@@ -1,0 +1,85 @@
+"""Shared helpers for operator lowerings: post-aggregation application and
+SQL assembly used by every aggregation type."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from bullet_storm_spark.plans.expressions import Dialect
+from bullet_storm_spark.plans.query import (
+    Computation,
+    Culling,
+    Having,
+    OrderBy,
+    PostAggregation,
+)
+
+
+def split_post(post: Sequence[PostAggregation]):
+    """Post-aggregations are applied in a fixed order:
+    HAVING -> COMPUTATION -> CULLING -> ORDER BY (then the aggregation's own
+    size cap). bullet-core applies its post-aggregation list in submission
+    order; the fixed order covers every combination its BQL can produce and
+    keeps the SQL oracle assembly simple."""
+    having = [p for p in post if isinstance(p, Having)]
+    comp = [p for p in post if isinstance(p, Computation)]
+    cull = [p for p in post if isinstance(p, Culling)]
+    order = [p for p in post if isinstance(p, OrderBy)]
+    return having, comp, cull, order
+
+
+def apply_post(df: DataFrame, post: Sequence[PostAggregation], limit: int | None) -> DataFrame:
+    having, comp, cull, order = split_post(post)
+    for h in having:
+        df = df.where(h.expression.to_column())
+    for c in comp:
+        for f in c.fields:
+            df = df.withColumn(f.name, f.expression.to_column())
+    for c in cull:
+        df = df.drop(*c.fields)
+    for o in order:
+        cols = [
+            F.col(name).asc() if asc else F.col(name).desc() for name, asc in o.keys
+        ]
+        df = df.orderBy(*cols)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def post_sql(inner: str, post: Sequence[PostAggregation], limit: int | None) -> str:
+    """Wrap ``inner`` SQL with the post-aggregation steps (DuckDB dialect).
+
+    Null ordering is pinned to Spark's defaults (ASC -> NULLS FIRST,
+    DESC -> NULLS LAST) so LIMIT truncation agrees between engines.
+    """
+    having, comp, cull, order = split_post(post)
+    sql = inner
+    for h in having:
+        sql = f"SELECT * FROM ({sql}) WHERE {h.expression.to_sql(Dialect.DUCKDB)}"
+    for c in comp:
+        exprs = ", ".join(
+            f"{f.expression.to_sql(Dialect.DUCKDB)} AS {f.name}" for f in c.fields
+        )
+        sql = f"SELECT *, {exprs} FROM ({sql})"
+    for c in cull:
+        cols = ", ".join(c.fields)
+        sql = f"SELECT * EXCLUDE ({cols}) FROM ({sql})"
+    order_clause = ""
+    if order:
+        keys = []
+        for name, asc in order[-1].keys:
+            keys.append(f"{name} ASC NULLS FIRST" if asc else f"{name} DESC NULLS LAST")
+        order_clause = " ORDER BY " + ", ".join(keys)
+    limit_clause = f" LIMIT {limit}" if limit is not None else ""
+    if order_clause or limit_clause:
+        sql = f"SELECT * FROM ({sql}){order_clause}{limit_clause}"
+    return sql
+
+
+def fmt_point(x: float) -> str:
+    """Canonical split-point rendering for DISTRIBUTION range labels,
+    identical in both generated programs ('0.0', '50.0', ...)."""
+    return repr(float(x))

@@ -1,0 +1,210 @@
+"""DISTRIBUTION aggregation — quantiles / PMF / CDF of a numeric field.
+
+Reference: KLL-family quantiles sketch with three output modes
+(/root/reference src/test/java/com/yahoo/bullet/storm/FilterBoltTest.java:
+740-786 — PMF over split points 0,50,100 yields 4 rows
+{range, count, probability} including the +/-inf edge bins with exact
+counts; DistributionType QUANTILE/PMF/CDF import at FilterBoltTest.java:17;
+output field names via QuantileSketch.{RANGE,COUNT,PROBABILITY}_FIELD,
+FilterBoltTest.java:79-86).
+
+Output columns (lowercased for SQL friendliness, same set as the
+reference): QUANTILE -> (quantile, value); PMF/CDF -> (range, count,
+probability). Range labels use ASCII infinity: "(-inf, 0.0)",
+"[0.0, 50.0)", "[100.0, +inf)"; CDF bins are "(-inf, s)" prefix masses plus
+a final "(-inf, +inf)" total, matching the DataSketches getCDF definition
+(mass strictly below each split point) that backs the reference.
+
+Spark lowering — one pass, no Python:
+* QUANTILE: exact ``percentile(col, array(fractions))`` (linear
+  interpolation, identical to DuckDB quantile_cont) -> posexplode. At
+  extreme scale swap to approx_percentile: same plan shape, bounded state.
+* PMF: bin index = sum of (v >= split) comparisons (whole-stage codegen),
+  single hash aggregate on <= k+1 keys, then a broadcast join against the
+  k+1 static bin labels so empty bins emit count 0 like the sketch does.
+* CDF: conditional-sum aggregate (one row), stack() to rows — zero
+  shuffles beyond the scan-side partial agg.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from bullet_storm_spark.operators.common import apply_post, fmt_point, post_sql
+from bullet_storm_spark.plans.query import (
+    Distribution,
+    DistributionType,
+    PostAggregation,
+)
+
+RANGE_FIELD = "range"
+COUNT_FIELD = "count"
+PROBABILITY_FIELD = "probability"
+QUANTILE_FIELD = "quantile"
+VALUE_FIELD = "value"
+
+NEG_INF = "-inf"
+POS_INF = "+inf"
+
+
+def pmf_labels(points: Sequence[float]) -> list[str]:
+    """k split points -> k+1 half-open range labels."""
+    pts = [fmt_point(p) for p in points]
+    labels = [f"({NEG_INF}, {pts[0]})"]
+    labels += [f"[{pts[i]}, {pts[i + 1]})" for i in range(len(pts) - 1)]
+    labels.append(f"[{pts[-1]}, {POS_INF})")
+    return labels
+
+
+def cdf_labels(points: Sequence[float]) -> list[str]:
+    return [f"({NEG_INF}, {fmt_point(p)})" for p in points] + [
+        f"({NEG_INF}, {POS_INF})"
+    ]
+
+
+def _round(col, round_to):
+    return F.round(col, round_to) if round_to is not None else col
+
+
+def apply(df: DataFrame, agg: Distribution, post: Sequence[PostAggregation]) -> DataFrame:
+    v = F.col(agg.field).cast("double")
+    points = [float(p) for p in agg.points]
+    if not points:
+        raise ValueError("Distribution requires at least one point")
+
+    if agg.dist_type == DistributionType.QUANTILE:
+        row = df.where(v.isNotNull()).agg(
+            F.percentile(v, F.lit(points)).alias("__vals")
+        )
+        fracs = F.lit(points)
+        out = (
+            row.select(F.posexplode("__vals").alias("__i", VALUE_FIELD))
+            .select(
+                F.element_at(fracs, F.col("__i") + 1).alias(QUANTILE_FIELD),
+                _round(F.col(VALUE_FIELD), agg.round_to).alias(VALUE_FIELD),
+            )
+        )
+        return apply_post(out, post, None)
+
+    if agg.dist_type == DistributionType.PMF:
+        bin_idx = F.lit(0)
+        for p in points:
+            bin_idx = bin_idx + (v >= F.lit(p)).cast("int")
+        counts = (
+            df.where(v.isNotNull())
+            .groupBy(bin_idx.alias("__bin"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = pmf_labels(points)
+        bins = df.sparkSession.createDataFrame(
+            [(i, lbl) for i, lbl in enumerate(labels)], "__bin int, range string"
+        )
+        joined = (
+            bins.join(F.broadcast(counts), "__bin", "left")
+            .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)).cast("bigint"))
+        )
+        total = F.sum("__c").over(Window.partitionBy())
+        out = (
+            joined.select(
+                F.col("__bin"),
+                F.col(RANGE_FIELD),
+                F.col("__c").alias(COUNT_FIELD),
+                _round(F.col("__c") / total, agg.round_to).alias(PROBABILITY_FIELD),
+            )
+            .orderBy("__bin")
+            .drop("__bin")
+        )
+        return apply_post(out, post, None)
+
+    if agg.dist_type == DistributionType.CDF:
+        aggs = [
+            F.sum((v < F.lit(p)).cast("bigint")).alias(f"__c{i}")
+            for i, p in enumerate(points)
+        ] + [F.count(F.lit(1)).alias("__total")]
+        row = df.where(v.isNotNull()).agg(*aggs)
+        labels = cdf_labels(points)
+        pairs = []
+        for i in range(len(points)):
+            pairs += [f"'{labels[i]}'", f"coalesce(__c{i}, 0L)"]
+        pairs += [f"'{labels[-1]}'", "__total"]
+        stacked = row.select(
+            F.expr(
+                f"stack({len(points) + 1}, {', '.join(pairs)}) "
+                f"AS ({RANGE_FIELD}, {COUNT_FIELD})"
+            ),
+            F.col("__total"),
+        )
+        out = stacked.select(
+            RANGE_FIELD,
+            COUNT_FIELD,
+            _round(
+                F.col(COUNT_FIELD) / F.col("__total"), agg.round_to
+            ).alias(PROBABILITY_FIELD),
+        )
+        return apply_post(out, post, None)
+
+    raise ValueError(f"unsupported distribution type {agg.dist_type}")
+
+
+def sql(agg: Distribution, base_sql: str, post: Sequence[PostAggregation]) -> str:
+    points = [float(p) for p in agg.points]
+    f = agg.field
+    rnd = agg.round_to
+    base = f"SELECT CAST({f} AS DOUBLE) AS v FROM ({base_sql}) WHERE {f} IS NOT NULL"
+
+    def r(expr: str) -> str:
+        return f"ROUND({expr}, {rnd})" if rnd is not None else expr
+
+    if agg.dist_type == DistributionType.QUANTILE:
+        arms = [
+            f"SELECT {fmt_point(p)} AS {QUANTILE_FIELD}, "
+            f"{r(f'quantile_cont(v, {fmt_point(p)})')} AS {VALUE_FIELD} "
+            f"FROM ({base})"
+            for p in points
+        ]
+        inner = " UNION ALL ".join(arms)
+        return post_sql(inner, post, None)
+
+    if agg.dist_type == DistributionType.PMF:
+        labels = pmf_labels(points)
+        bin_expr = " + ".join(
+            f"CAST(v >= {fmt_point(p)} AS INTEGER)" for p in points
+        )
+        values = ", ".join(
+            f"({i}, '{lbl}')" for i, lbl in enumerate(labels)
+        )
+        inner = (
+            f"WITH binned AS (SELECT ({bin_expr}) AS bin FROM ({base})), "
+            f"counts AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin), "
+            f"bins(bin, {RANGE_FIELD}) AS (VALUES {values}), "
+            f"tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM binned) "
+            f"SELECT {RANGE_FIELD}, CAST(COALESCE(c, 0) AS BIGINT) AS {COUNT_FIELD}, "
+            f"{r('COALESCE(c, 0) / t')} AS {PROBABILITY_FIELD} "
+            f"FROM bins LEFT JOIN counts USING (bin) CROSS JOIN tot"
+        )
+        return post_sql(inner, post, None)
+
+    if agg.dist_type == DistributionType.CDF:
+        labels = cdf_labels(points)
+        sums = ", ".join(
+            f"CAST(COALESCE(SUM(CAST(v < {fmt_point(p)} AS INTEGER)), 0) AS BIGINT)"
+            f" AS c{i}"
+            for i, p in enumerate(points)
+        )
+        arms = [
+            f"SELECT '{labels[i]}' AS {RANGE_FIELD}, c{i} AS {COUNT_FIELD}, "
+            f"{r(f'c{i} / CAST(total AS DOUBLE)')} AS {PROBABILITY_FIELD} FROM agg"
+            for i in range(len(points))
+        ] + [
+            f"SELECT '{labels[-1]}' AS {RANGE_FIELD}, total AS {COUNT_FIELD}, "
+            f"{r('total / CAST(total AS DOUBLE)')} AS {PROBABILITY_FIELD} FROM agg"
+        ]
+        inner = (
+            f"WITH agg AS (SELECT {sums}, COUNT(*) AS total FROM ({base})) "
+            + " UNION ALL ".join(arms)
+        )
+        return post_sql(inner, post, None)
+
+    raise ValueError(f"unsupported distribution type {agg.dist_type}")

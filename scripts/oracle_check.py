@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every entry in
+__spark_entry__.queries() against its oracle_sql() twin on the same parquet
+tables via DuckDB, and compare row count + column names + an
+order-insensitive value hash.
+
+Usage: python scripts/oracle_check.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from bullet_storm_spark import get_spark
+from bullet_storm_spark.sources.tables import TABLE_NAMES
+
+
+def canon(value):
+    """Canonical scalar rendering for hashing (both engines feed through
+    this, so representation differences like 1 vs 1.0 are normalized)."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        if value == int(value) and abs(value) < 1e15:
+            return str(int(value))
+        return f"{value:.10g}"
+    if isinstance(value, bytes):
+        return value.hex()
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(canon(v) for v in value) + "]"
+    if isinstance(value, dict):
+        return "{" + ",".join(f"{k}:{canon(v)}" for k, v in sorted(value.items())) + "}"
+    return str(value)
+
+
+def table_hash(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x1f".join(canon(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="oracle-check")
+    from bullet_storm_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir)
+
+    con = duckdb.connect()
+    import os
+
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results = {}
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            results[name] = {"status": "SPARK_ERROR", "error": str(e)[:300]}
+            failed.append(name)
+            print(f"[FAIL spark] {name}: {e}")
+            continue
+        if name not in oracles:
+            results[name] = {
+                "status": "NO_ORACLE",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 2),
+            }
+            print(f"[rows-only] {name}: {len(srows)} rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:
+            results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:300]}
+            failed.append(name)
+            print(f"[FAIL oracle] {name}: {e}")
+            continue
+        status = {}
+        status["rows"] = (len(srows), len(drows), len(srows) == len(drows))
+        status["cols"] = (sorted(scols), sorted(dcols), sorted(scols) == sorted(dcols))
+        sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
+        status["hash"] = (sh[:12], dh[:12], sh == dh)
+        ok = all(v[2] for v in status.values())
+        results[name] = {
+            "status": "MATCH" if ok else "MISMATCH",
+            "detail": status,
+            "secs": round(time.time() - t0, 2),
+        }
+        if not ok:
+            failed.append(name)
+            print(f"[MISMATCH] {name}: {status}")
+            # show a small diff to debug
+            sset = {tuple(map(canon, r)) for r in srows}
+            dset = {tuple(map(canon, r)) for r in drows}
+            print("  spark cols:", scols, " duck cols:", dcols)
+            print("  spark-only:", list(sset - dset)[:3])
+            print("  duck-only :", list(dset - sset)[:3])
+        else:
+            print(f"[MATCH] {name}: {len(srows)} rows in {status and results[name]['secs']}s")
+
+    n_match = sum(1 for r in results.values() if r["status"] == "MATCH")
+    print(
+        f"\n{n_match} MATCH / {len(results)} checked; "
+        f"{len(failed)} failing: {failed}"
+    )
+    with open("/tmp/oracle_check.json", "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
