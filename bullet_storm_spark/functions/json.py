@@ -1,0 +1,27 @@
+"""JSON field access over string columns (the events table's ``props``).
+
+The reference's map-typed fields (SURVEY.md §1.1) arrive in our synthetic
+data as JSON strings; these helpers give the same nested-access surface
+(FieldExpression("map_field", "id") analogue) over JSON, rendered for both
+engines: Spark ``get_json_object`` / DuckDB ``json_extract_string``.
+"""
+
+from __future__ import annotations
+
+from bullet_storm_spark.plans.expressions import CastExpression, SqlExpression
+
+
+def json_get(field: str, path: str) -> SqlExpression:
+    """Extract ``$.path`` from a JSON string column as a string."""
+    return SqlExpression(
+        sql=f"get_json_object({field}, '$.{path}')",
+        duckdb_sql=f"json_extract_string({field}, '$.{path}')",
+    )
+
+
+def json_get_int(field: str, path: str) -> CastExpression:
+    return CastExpression(json_get(field, path), "INTEGER")
+
+
+def json_get_double(field: str, path: str) -> CastExpression:
+    return CastExpression(json_get(field, path), "DOUBLE")

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from bullet_storm_spark.operators.common import apply_post, fmt_point, post_sql
 from bullet_storm_spark.plans.query import (
@@ -105,13 +105,16 @@ def apply(df: DataFrame, agg: Distribution, post: Sequence[PostAggregation]) -> 
             bins.join(F.broadcast(counts), "__bin", "left")
             .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)).cast("bigint"))
         )
-        total = F.sum("__c").over(Window.partitionBy())
+        total = counts.agg(F.sum("__c").cast("double").alias("__t"))
         out = (
-            joined.select(
+            joined.crossJoin(F.broadcast(total))
+            .select(
                 F.col("__bin"),
                 F.col(RANGE_FIELD),
                 F.col("__c").alias(COUNT_FIELD),
-                _round(F.col("__c") / total, agg.round_to).alias(PROBABILITY_FIELD),
+                _round(F.col("__c") / F.col("__t"), agg.round_to).alias(
+                    PROBABILITY_FIELD
+                ),
             )
             .orderBy("__bin")
             .drop("__bin")
@@ -159,7 +162,8 @@ def sql(agg: Distribution, base_sql: str, post: Sequence[PostAggregation]) -> st
 
     if agg.dist_type == DistributionType.QUANTILE:
         arms = [
-            f"SELECT {fmt_point(p)} AS {QUANTILE_FIELD}, "
+            # CAST: a bare 0.1 literal is DECIMAL in DuckDB, DOUBLE in Spark
+            f"SELECT CAST({fmt_point(p)} AS DOUBLE) AS {QUANTILE_FIELD}, "
             f"{r(f'quantile_cont(v, {fmt_point(p)})')} AS {VALUE_FIELD} "
             f"FROM ({base})"
             for p in points
