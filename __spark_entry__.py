@@ -339,6 +339,156 @@ ORDER BY region
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / text / similarity / multimodal) —
+# each Spark pipeline paired with a DuckDB twin generated from the same
+# parameters (operators.dedup / operators.similarity builders)
+# ---------------------------------------------------------------------------
+
+from bullet_storm_spark.functions import text as _text
+from bullet_storm_spark.operators import dedup as _dedup
+from bullet_storm_spark.operators import multimodal as _mm
+from bullet_storm_spark.operators import similarity as _sim
+
+_MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
+_JACCARD_KW = dict(shingle_n=1, threshold=0.8)
+_NEARDUP_KW = dict(threshold=0.4)
+_ANN_KW = dict(k=5)
+_ANN_LSH_KW = dict(k=5, nbits=4)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _text_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            _text.token_count("text").alias("n_tokens"),
+            _text.char_count("text").alias("n_chars_m"),
+            _text.quality_score("text").alias("quality"),
+            _text.fingerprint("text").alias("fp"),
+            _text.predicted_lang("text").alias("pred_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       {_text.token_count_sql('text')} AS n_tokens,
+       {_text.char_count_sql('text')} AS n_chars_m,
+       {_text.quality_score_sql('text')} AS quality,
+       {_text.fingerprint_sql('text')} AS fp,
+       {_text.predicted_lang_sql('text')} AS pred_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _lang_breakdown(spark, sf_dir):
+    """predicted language x declared language confusion counts."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(
+            _text.predicted_lang("text").alias("pred_lang"),
+            F.col("lang").alias("decl_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("pred_lang", "decl_lang")
+    )
+
+
+_LANG_BREAKDOWN_SQL = f"""
+SELECT {_text.predicted_lang_sql('text')} AS pred_lang, lang AS decl_lang,
+       COUNT(*) AS cnt
+FROM documents
+GROUP BY pred_lang, decl_lang
+ORDER BY pred_lang, decl_lang
+"""
+
+
+_LLM_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "text_stats": (_text_stats, _TEXT_STATS_SQL),
+    "text_lang_breakdown": (_lang_breakdown, _LANG_BREAKDOWN_SQL),
+    "dedup_exact": (
+        lambda s, d: _dedup.exact_dedup(_docs(s, d), "doc_id", "text"),
+        _dedup.exact_dedup_sql("documents", "doc_id", "text"),
+    ),
+    "dedup_minhash_signatures": (
+        lambda s, d: _dedup.minhash_signatures(_docs(s, d), "doc_id", "text"),
+        _dedup.minhash_signatures_sql("documents", "doc_id", "text"),
+    ),
+    "dedup_minhash_lsh_pairs": (
+        lambda s, d: _dedup.minhash_lsh_pairs(_docs(s, d), "doc_id", "text", **_MINHASH_KW),
+        _dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", **_MINHASH_KW),
+    ),
+    "dedup_simhash": (
+        lambda s, d: _dedup.simhash(_docs(s, d), "doc_id", "text"),
+        _dedup.simhash_sql("documents", "doc_id", "text"),
+    ),
+    "dedup_ngram_jaccard_pairs": (
+        lambda s, d: _dedup.ngram_jaccard_pairs(
+            _docs(s, d).where(F.col("doc_id") < 150), "doc_id", "text", **_JACCARD_KW
+        ),
+        _dedup.ngram_jaccard_pairs_sql(
+            "(SELECT * FROM documents WHERE doc_id < 150)", "doc_id", "text", **_JACCARD_KW
+        ),
+    ),
+    "dedup_embedding_pairs": (
+        lambda s, d: _dedup.embedding_neardup_pairs(
+            _embs(s, d), "vec_id", "embedding", **_NEARDUP_KW
+        ),
+        _dedup.embedding_neardup_pairs_sql(
+            "embeddings", "vec_id", "embedding", **_NEARDUP_KW
+        ),
+    ),
+    "ann_brute_force_topk": (
+        lambda s, d: _sim.brute_force_neighbors(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, **_ANN_KW
+        ),
+        _sim.brute_force_neighbors_sql(
+            "embeddings", "vec_id", "embedding", "id < 8", **_ANN_KW
+        ),
+    ),
+    "ann_lsh_bucketed_topk": (
+        lambda s, d: _sim.lsh_bucketed_neighbors(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, **_ANN_LSH_KW
+        ),
+        _sim.lsh_bucketed_neighbors_sql(
+            "embeddings", "vec_id", "embedding", "id < 8", **_ANN_LSH_KW
+        ),
+    ),
+    "multimodal_payload_meta": (
+        lambda s, d: _mm.with_payload(_docs(s, d), "doc_id", "text")
+        .select("id", "byte_len", "sha")
+        .orderBy("id"),
+        _mm.payload_meta_sql("documents", "doc_id", "text"),
+    ),
+    # Arrow/numpy matmul ANN: same semantics as brute force, BLAS reduction
+    # order -> not bit-reproducible; rows-only check
+    "ann_brute_force_arrow": (
+        lambda s, d: _sim.brute_force_neighbors_arrow(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, k=5
+        ),
+        None,
+    ),
+    # multimodal decode plumbing (deterministic fake decode): rows-only
+    "multimodal_decode_meta": (
+        lambda s, d: _mm.decode_image_meta(
+            _mm.with_payload(_docs(s, d), "doc_id", "text")
+        ),
+        None,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -378,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["count_distinct_users_approx"] = _make_runner(q_approx)
     for name, (fn, _) in _JOINS.items():
         out[name] = fn
+    for name, (fn, _) in _LLM_OPS.items():
+        out[name] = fn
     return out
 
 
@@ -386,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
     for name, q in _core_queries().items():
         out[name] = oracle_sql_for(q)
     for name, (_, sql) in _JOINS.items():
+        if sql is not None:
+            out[name] = sql
+    for name, (_, sql) in _LLM_OPS.items():
         if sql is not None:
             out[name] = sql
     return out

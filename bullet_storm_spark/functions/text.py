@@ -1,0 +1,201 @@
+"""Text-analysis primitives for training-data pipelines, dual-compiled.
+
+Every primitive has a Spark ``Column`` builder and a DuckDB SQL twin built
+from the same definition, so each derived query is oracle-checkable. All
+Spark forms are built-in expressions (whole-stage codegen, no Python):
+tokenization, n-gram shingles, punctuation/stopword ratios, a composite
+quality score, n-gram-heuristic language ID, and content fingerprints.
+
+These are the operators Bullet never had but a 100 TB document pipeline
+needs (BASELINE.json north star); they compose with the engine's filters
+and aggregations like any other expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# deterministic, fixed stopword marker sets for the language-ID heuristic.
+# Tiny by design: language ID here is a *pipeline operator* contract (schema,
+# determinism, SQL parity), not a linguistics model — swap in fastText et al.
+# via the same column shape when available.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "men5"],
+}
+LANG_ORDER = list(LANG_MARKERS)  # fixed tie-break order
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+_WS = r"\s+"
+_NON_ALNUM = r"[a-zA-Z0-9\s]"  # chars REMOVED to count punctuation
+
+
+# --- tokenization -----------------------------------------------------------
+
+def tokens(field: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(field))), _WS)
+
+
+def tokens_sql(field: str) -> str:
+    return f"string_split_regex(lower(trim({field})), '{_WS}')"
+
+
+def token_count(field: str) -> Column:
+    return F.size(tokens(field))
+
+
+def token_count_sql(field: str) -> str:
+    return f"len({tokens_sql(field)})"
+
+
+# --- shingles ---------------------------------------------------------------
+
+def shingles(field: str, n: int, distinct: bool = True) -> Column:
+    """Word n-grams as space-joined strings; n=1 -> unigram token set."""
+    toks = tokens(field)
+    if n == 1:
+        sh = toks
+    else:
+        count = F.size(toks) - (n - 1)
+        sh = F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def shingles_sql(field: str, n: int, distinct: bool = True) -> str:
+    t = tokens_sql(field)
+    if n == 1:
+        sh = t
+    else:
+        # DuckDB: range(1, len-n+2) is empty when len < n; slices are
+        # 1-based inclusive, so t[i:i+n-1] is the n-token window at i
+        sh = (
+            f"list_transform(range(1, len({t}) - {n - 2}), "
+            f"i -> array_to_string(({t})[i:i+{n - 1}], ' '))"
+        )
+    return f"list_distinct({sh})" if distinct else sh
+
+
+# --- quality signals --------------------------------------------------------
+
+def char_count(field: str) -> Column:
+    return F.length(F.col(field))
+
+
+def char_count_sql(field: str) -> str:
+    return f"length({field})"
+
+
+def punct_ratio(field: str) -> Column:
+    """Fraction of non-alphanumeric, non-whitespace characters."""
+    punct = F.length(F.regexp_replace(F.col(field), _NON_ALNUM, ""))
+    return punct / F.nullif(F.length(F.col(field)), F.lit(0))
+
+
+def punct_ratio_sql(field: str) -> str:
+    return (
+        f"length(regexp_replace({field}, '{_NON_ALNUM}', '', 'g'))"
+        f" / NULLIF(length({field}), 0)::DOUBLE"
+    )
+
+
+def stopword_ratio(field: str, stopwords: list[str] | None = None) -> Column:
+    words = stopwords or EN_STOPWORDS
+    toks = tokens(field)
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+    return hits / F.nullif(F.size(toks), F.lit(0))
+
+
+def stopword_ratio_sql(field: str, stopwords: list[str] | None = None) -> str:
+    words = stopwords or EN_STOPWORDS
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    t = tokens_sql(field)
+    return (
+        f"len(list_filter({t}, x -> list_contains({arr}, x)))"
+        f" / NULLIF(len({t}), 0)::DOUBLE"
+    )
+
+
+def quality_score(field: str, round_to: int = 6) -> Column:
+    """Composite [0,1] quality heuristic: length signal + low punctuation +
+    stopword presence. Deterministic and identical across engines."""
+    length_sig = F.least(token_count(field) / F.lit(50.0), F.lit(1.0))
+    punct_sig = F.lit(1.0) - F.least(
+        F.coalesce(punct_ratio(field), F.lit(0.0)) * 4.0, F.lit(1.0)
+    )
+    stop_sig = F.least(
+        F.coalesce(stopword_ratio(field), F.lit(0.0)) * 5.0, F.lit(1.0)
+    )
+    score = length_sig * 0.4 + punct_sig * 0.3 + stop_sig * 0.3
+    return F.round(score, round_to)
+
+
+def quality_score_sql(field: str, round_to: int = 6) -> str:
+    length_sig = f"least({token_count_sql(field)} / 50.0, 1.0)"
+    punct_sig = f"(1.0 - least(COALESCE({punct_ratio_sql(field)}, 0.0) * 4.0, 1.0))"
+    stop_sig = f"least(COALESCE({stopword_ratio_sql(field)}, 0.0) * 5.0, 1.0)"
+    return (
+        f"ROUND({length_sig} * 0.4 + {punct_sig} * 0.3 + {stop_sig} * 0.3, "
+        f"{round_to})"
+    )
+
+
+# --- language ID ------------------------------------------------------------
+
+def _lang_hits(field: str, lang: str) -> Column:
+    toks = tokens(field)
+    lit_arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+
+
+def predicted_lang(field: str) -> Column:
+    """argmax over marker-word hit counts; ties resolve in LANG_ORDER; no
+    hits at all -> 'und' (undetermined)."""
+    hits = {lang: _lang_hits(field, lang) for lang in LANG_ORDER}
+    best = hits[LANG_ORDER[0]]
+    for lang in LANG_ORDER[1:]:
+        best = F.greatest(best, hits[lang])
+    out = F.lit("und")
+    # build reversed CASE chain so the FIRST max in LANG_ORDER wins
+    for lang in reversed(LANG_ORDER):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            out
+        )
+    return out
+
+
+def _lang_hits_sql(field: str, lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter({tokens_sql(field)}, x -> list_contains({arr}, x)))"
+
+
+def predicted_lang_sql(field: str) -> str:
+    hits = {lang: _lang_hits_sql(field, lang) for lang in LANG_ORDER}
+    best = f"greatest({', '.join(hits.values())})"
+    whens = " ".join(
+        f"WHEN {hits[lang]} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in LANG_ORDER
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
+
+
+# --- fingerprints -----------------------------------------------------------
+
+def fingerprint(field: str) -> Column:
+    """md5 of whitespace-normalized lowercase text — exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(field))), _WS, " ")
+    return F.md5(normalized)
+
+
+def fingerprint_sql(field: str) -> str:
+    return f"md5(regexp_replace(lower(trim({field})), '{_WS}', ' ', 'g'))"

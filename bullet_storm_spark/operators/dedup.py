@@ -1,0 +1,426 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — each as a DataFrame transformation plus a DuckDB
+SQL twin generated from the same parameters, so every pipeline is
+oracle-checkable end-to-end (including the LSH candidate generation, which
+the oracle replicates hash-for-hash rather than comparing against ground
+truth).
+
+Scale design (100 TB posture):
+* exact dedup: one hash-partitioned window over the fingerprint — a single
+  shuffle on a short key; skew-safe because md5 keys are uniform.
+* MinHash LSH: signatures are pure column expressions (k md5s per shingle,
+  codegen); candidate generation explodes to (band, band_hash) and
+  self-joins — the classic shuffle-on-bucket plan whose cost is
+  O(candidates), not O(n^2). Band width r and band count b tune the
+  jaccard threshold s* ~ (1/b)^(1/r).
+* SimHash: per-document pure column expression (no shuffle at all until
+  pairing); pairing joins on rotated bit-bands of the hash.
+* embedding near-dup: exact pairwise within blocks; the scalable variant is
+  operators/similarity.py's LSH-bucketed join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from bullet_storm_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    shingles,
+    shingles_sql,
+)
+from bullet_storm_spark.functions.vectors import cosine, cosine_sql
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint, keep): keep=True on the lowest id per fingerprint
+    group — the canonical exact-dedup decision output."""
+    fp = fingerprint(text_col).alias("fp")
+    w = Window.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+        .orderBy(id_col)
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT {id_col}, fp, ({id_col} = MIN({id_col}) OVER (PARTITION BY fp)) AS keep
+FROM (SELECT {id_col}, {fingerprint_sql(text_col)} AS fp FROM {table})
+ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs + exact-jaccard verify
+# ---------------------------------------------------------------------------
+
+def _minhash_sig(text_col: str, num_hashes: int, shingle_n: int) -> Column:
+    """k-permutation MinHash via seeded md5: sig[i] = min over shingles of
+    md5(i || '|' || shingle). Deterministic and engine-portable."""
+    sh = shingles(text_col, shingle_n)
+    seeds = F.array(*[F.lit(str(i)) for i in range(num_hashes)])
+    return F.transform(
+        seeds,
+        lambda sd: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(sd, F.lit("|"), s)))
+        ),
+    )
+
+
+def _minhash_sig_sql(text_col: str, num_hashes: int, shingle_n: int) -> str:
+    sh = shingles_sql(text_col, shingle_n)
+    seeds = "[" + ", ".join(f"'{i}'" for i in range(num_hashes)) + "]"
+    return (
+        f"list_transform({seeds}, sd -> "
+        f"list_min(list_transform({sh}, s -> md5(sd || '|' || s))))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 1
+) -> DataFrame:
+    """(id, signature) with the signature flattened to one comma-joined
+    string so the output is hash-comparable across engines."""
+    sig = _minhash_sig(text_col, num_hashes, shingle_n)
+    return df.select(
+        F.col(id_col), F.array_join(sig, ",").alias("signature")
+    ).orderBy(id_col)
+
+
+def minhash_signatures_sql(
+    table: str, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 1
+) -> str:
+    sig = _minhash_sig_sql(text_col, num_hashes, shingle_n)
+    return (
+        f"SELECT {id_col}, array_to_string({sig}, ',') AS signature "
+        f"FROM {table} ORDER BY {id_col}"
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH banding proposes candidates, exact Jaccard
+    on the shingle sets verifies >= threshold. Output (id_a, id_b, jaccard).
+
+    The full pipeline (signature -> bands -> candidate join -> verify) is
+    one declarative plan; Spark shuffles only on (band, band_hash) and then
+    on the candidate ids — never all-pairs.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = _minhash_sig(text_col, num_hashes, shingle_n)
+    sh = shingles(text_col, shingle_n)
+    base = df.select(
+        F.col(id_col).alias("__id"), sig.alias("__sig"), sh.alias("__sh")
+    ).where(F.size("__sh") > 0)
+
+    band_hashes = F.array(
+        *[
+            F.md5(F.array_join(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), ""))
+            for b in range(bands)
+        ]
+    )
+    banded = base.select(
+        "__id", "__sh", F.posexplode(band_hashes).alias("__band", "__bh")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bh") == F.col("r.__bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sh").alias("sh_a"),
+            F.col("r.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), round_to)
+    return (
+        cand.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> str:
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = _minhash_sig_sql(text_col, num_hashes, shingle_n)
+    sh = shingles_sql(text_col, shingle_n)
+    band_arms = ", ".join(
+        # DuckDB list slice is 1-based inclusive
+        f"md5(array_to_string(sig[{b * r + 1}:{b * r + r}], ''))"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sig} AS sig, {sh} AS sh FROM {table}
+), nonempty AS (
+  SELECT * FROM base WHERE len(sh) > 0
+), banded AS (
+  SELECT id, sh, unnest(range(1, {bands + 1})) AS band,
+         unnest([{band_arms}]) AS bh
+  FROM nonempty
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(sh_a, sh_b))
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE,
+             {round_to}) AS jaccard
+FROM cand
+WHERE ROUND(len(list_intersect(sh_a, sh_b))
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE,
+            {round_to}) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 32-bit keeps every intermediate in signed-64 range in
+                   # both engines (md5 prefix -> int is < 2^32)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1) -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over shingle md5s, computed as a pure
+    column expression: per bit, count shingles with that bit set; the bit is
+    1 iff the +1/-1 vote sum is positive (2*count > total)."""
+    sh = shingles(text_col, shingle_n)
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    )
+    total = F.size(hs)
+    acc = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        cnt = F.size(
+            F.filter(hs, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = (cnt * 2 > total).cast("bigint")
+        acc = acc + F.shiftleft(bit, b)
+    return df.select(F.col(id_col), acc.alias("simhash")).orderBy(id_col)
+
+
+def simhash_sql(table: str, id_col: str, text_col: str, shingle_n: int = 1) -> str:
+    sh = shingles_sql(text_col, shingle_n)
+    hs = f"list_transform({sh}, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    terms = []
+    for b in range(SIMHASH_BITS):
+        cnt = f"len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
+        terms.append(f"((({cnt}) * 2 > len(hs))::BIGINT << {b})")
+    expr = " + ".join(terms)
+    return (
+        f"SELECT {id_col}, ({expr}) AS simhash "
+        f"FROM (SELECT {id_col}, {hs} AS hs FROM {table}) ORDER BY {id_col}"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Candidate pairs whose SimHashes differ in <= max_hamming bits.
+
+    Blocking: two 16-bit halves of the hash — any pair within hamming
+    distance <= max_hamming (< 2 halves can differ... pigeonhole: with 2
+    blocks, distance <= max_hamming means at least one half is within
+    floor(max_hamming/2), and for max_hamming < 2 one half matches exactly).
+    For the engine-standard recipe we join on exact half matches, which is
+    complete for max_hamming <= 1 per half; larger radii verify via
+    bit_count after the block join.
+    """
+    hdf = simhash(df, id_col, text_col, shingle_n)
+    lo = (F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))).alias("h_lo")
+    hi = F.shiftright(F.col("simhash"), 16).alias("h_hi")
+    blocked = hdf.select(F.col(id_col).alias("id"), F.col("simhash"), lo, hi)
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = l.join(
+        r,
+        (
+            (F.col("l.h_lo") == F.col("r.h_lo"))
+            | (F.col("l.h_hi") == F.col("r.h_hi"))
+        )
+        & (F.col("l.id") < F.col("r.id")),
+    )
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    return (
+        cand.select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 1,
+) -> str:
+    inner = simhash_sql(table, id_col, text_col, shingle_n)
+    return f"""
+WITH h AS ({inner}),
+blocked AS (
+  SELECT {id_col} AS id, simhash,
+         simhash & {(1 << 16) - 1} AS h_lo, simhash >> 16 AS h_hi
+  FROM h
+)
+SELECT l.id AS id_a, r.id AS id_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM blocked l JOIN blocked r
+  ON (l.h_lo = r.h_lo OR l.h_hi = r.h_hi) AND l.id < r.id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (block-bounded)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold over the input (callers bound
+    the block with a filter first — this operator is the *verifier*; at
+    scale the candidate source is minhash_lsh_pairs/simhash blocks)."""
+    sh = shingles(text_col, shingle_n)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")).where(
+        F.size("sh") > 0
+    )
+    l, r = base.alias("l"), base.alias("r")
+    jac = F.round(_jaccard(F.col("l.sh"), F.col("r.sh")), round_to)
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> str:
+    sh = shingles_sql(text_col, shingle_n)
+    jac = (
+        "len(list_intersect(l.sh, r.sh)) / "
+        "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))::DOUBLE"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sh} AS sh FROM {table}
+), nonempty AS (SELECT * FROM base WHERE len(sh) > 0)
+SELECT l.id AS id_a, r.id AS id_b, ROUND({jac}, {round_to}) AS jaccard
+FROM nonempty l JOIN nonempty r ON l.id < r.id
+WHERE ROUND({jac}, {round_to}) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairs with cosine >= threshold (exact within the given block; the
+    billion-scale path is similarity.lsh_bucketed_neighbors)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    l, r = base.alias("l"), base.alias("r")
+    cos = F.round(cosine(F.col("l.v"), F.col("r.v")), round_to)
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> str:
+    cos = f"ROUND({cosine_sql('l.v', 'r.v')}, {round_to})"
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
+SELECT l.id AS id_a, r.id AS id_b, {cos} AS cos
+FROM base l JOIN base r ON l.id < r.id
+WHERE {cos} >= {threshold}
+ORDER BY id_a, id_b
+"""

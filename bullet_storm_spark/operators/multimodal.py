@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, decoded/feature-extracted through Arrow-batched
+Pandas UDFs.
+
+The decode step itself is STUBBED (this container has no image/audio
+libraries): ``decode_image_meta`` uses a clearly-marked deterministic fake
+derived from the payload bytes, and ``decode_image_real`` raises
+NotImplementedError until PIL/libvips is present. Everything around the
+stub — schema contract, binary handling, mapInPandas batch shape,
+partition-preserving plumbing — is real and tested, so swapping in a real
+decoder is a one-function change.
+
+Scale notes: binary payloads ride the scan as ordinary columns (parquet
+keeps them row-grouped; column pruning drops them when untouched);
+mapInPandas streams Arrow batches so peak memory is one batch of images,
+not one partition; per-file parallelism is Spark's normal input split.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+DECODE_SCHEMA = (
+    "id long, width int, height int, channels int, n_bytes long, decode_ok boolean"
+)
+
+
+def with_payload(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata. In the synthetic
+    tables the 'media' is the UTF-8 text bytes; with real data this is the
+    image/audio bytes column straight from parquet."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.encode(F.col(content_col), "UTF-8").alias("payload"),
+        F.length(F.encode(F.col(content_col), "UTF-8")).alias("byte_len"),
+        F.sha2(F.col(content_col), 256).alias("sha"),
+    )
+
+
+def payload_meta_sql(table: str, id_col: str, content_col: str) -> str:
+    """DuckDB twin of with_payload's metadata (payload bytes themselves are
+    compared via sha, not raw)."""
+    return f"""
+SELECT {id_col} AS id,
+       octet_length(encode({content_col})) AS byte_len,
+       sha256({content_col}) AS sha
+FROM {table}
+ORDER BY id
+"""
+
+
+def decode_image_meta(payloads: DataFrame) -> DataFrame:
+    """DETERMINISTIC FAKE decode (see module docstring): metadata is a pure
+    function of the payload bytes so tests and reruns agree everywhere.
+    Exercises the real plumbing: binary column -> Arrow batch -> pandas ->
+    typed struct rows."""
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            n_bytes = payload.map(len)
+            first = payload.map(lambda b: b[0] if len(b) else 0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": (first % 64 + 1).astype("int32"),
+                    "height": (n_bytes % 64 + 1).astype("int32"),
+                    "channels": 3,
+                    "n_bytes": n_bytes.astype("int64"),
+                    "decode_ok": True,
+                }
+            )
+
+    return payloads.mapInPandas(decode, DECODE_SCHEMA)
+
+
+def decode_image_real(payloads: DataFrame) -> DataFrame:
+    """Real decode path — requires an imaging library not present in this
+    environment."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow; this environment has no "
+            "imaging libraries. Use decode_image_meta (deterministic fake) "
+            "for plumbing tests."
+        ) from e
+    raise NotImplementedError("wire PIL decode here when the library exists")
+
+
+def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
+    """'Video' frame sampling as pure column expressions: slice the payload
+    into n_frames byte-ranges (uniform stride), one output row per frame.
+    Output: (id, frame_idx, frame_bytes, frame_len)."""
+    total = F.length("payload")
+    frame_len = F.greatest((total / n_frames).cast("int"), F.lit(1))
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            F.substring(
+                F.col("payload"), (i * frame_len + 1).cast("int"), frame_len
+            ).alias("frame_bytes"),
+        ),
+    )
+    return (
+        payloads.select("id", F.explode(frames).alias("f"))
+        .select(
+            "id",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.frame_bytes").alias("frame_bytes"),
+            F.length(F.col("f.frame_bytes")).alias("frame_len"),
+        )
+        .where(F.col("frame_len") > 0)
+    )

@@ -1,0 +1,235 @@
+"""Tests for the training-data-pipeline operators (dedup / similarity /
+text / multimodal) — Spark behavior plus DuckDB parity on small real data."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark.operators import dedup, multimodal, similarity
+from bullet_storm_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "completely different text about spark engines"),
+        (4, "  The   QUICK brown fox jumps over the lazy dog "),  # ws/case dup
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def duck_docs(docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs.collect())
+    return con
+
+
+# --- text functions ---------------------------------------------------------
+
+def test_token_and_quality_columns(docs):
+    out = docs.select(
+        "doc_id",
+        T.token_count("text").alias("tc"),
+        T.quality_score("text").alias("q"),
+        T.fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in by_list(out)}
+    assert by_id[0].tc == 9
+    # normalization: 0 and 4 share a fingerprint, 2 does not
+    assert by_id[0].fp == by_id[4].fp != by_id[2].fp
+    assert 0.0 <= by_id[3].q <= 1.0
+
+
+def by_list(rows):
+    return rows
+
+
+def test_text_sql_parity(docs, duck_docs):
+    """Spark column builders and DuckDB SQL builders must agree exactly."""
+    sdf = docs.where("text <> ''").select(
+        "doc_id",
+        T.token_count("text").alias("tc"),
+        T.quality_score("text").alias("q"),
+        T.fingerprint("text").alias("fp"),
+        T.predicted_lang("text").alias("lang"),
+    )
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(
+        duck_docs.sql(
+            f"SELECT doc_id, {T.token_count_sql('text')} AS tc, "
+            f"{T.quality_score_sql('text')} AS q, "
+            f"{T.fingerprint_sql('text')} AS fp, "
+            f"{T.predicted_lang_sql('text')} AS lang "
+            f"FROM docs WHERE text <> ''"
+        ).fetchall()
+    )
+    assert srows == drows
+
+
+def test_shingles(docs):
+    out = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", T.shingles("text", 3).alias("sh")).collect()
+    }
+    assert "the quick brown" in out[0]
+    assert len(out[0]) == 7  # 9 tokens -> 7 trigrams (all distinct here)
+    assert out[5] == [""] or out[5] == []  # empty text degenerates, no crash
+
+
+# --- dedup ------------------------------------------------------------------
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text")
+    keep = {r.doc_id: r.keep for r in out.collect()}
+    assert keep[0] is True and keep[1] is False and keep[4] is False
+    assert keep[2] is True and keep[3] is True
+
+
+def test_exact_dedup_sql_parity(docs, duck_docs):
+    srows = sorted(tuple(r) for r in dedup.exact_dedup(docs, "doc_id", "text").collect())
+    drows = sorted(duck_docs.sql(dedup.exact_dedup_sql("docs", "doc_id", "text")).fetchall())
+    assert srows == drows
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=1, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found and (0, 4) in found  # exact dups, jaccard 1.0
+    assert (0, 2) in found  # near dup (8/10 unigram overlap)
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_minhash_lsh_sql_parity(docs, duck_docs):
+    kw = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.5)
+    srows = sorted(
+        tuple(r) for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    )
+    drows = sorted(
+        duck_docs.sql(dedup.minhash_lsh_pairs_sql("docs", "doc_id", "text", **kw)).fetchall()
+    )
+    assert srows == drows
+
+
+def test_simhash_parity_and_pairs(docs, duck_docs):
+    srows = sorted(tuple(r) for r in dedup.simhash(docs, "doc_id", "text").collect())
+    drows = sorted(duck_docs.sql(dedup.simhash_sql("docs", "doc_id", "text")).fetchall())
+    assert srows == drows
+    by_id = dict(srows)
+    assert by_id[0] == by_id[1] == by_id[4]  # identical token sets
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(0, 1), (0, 4), (1, 4)}
+
+
+def test_ngram_jaccard_pairs(docs, duck_docs):
+    kw = dict(shingle_n=1, threshold=0.6)
+    srows = sorted(
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", **kw).collect()
+    )
+    drows = sorted(
+        duck_docs.sql(dedup.ngram_jaccard_pairs_sql("docs", "doc_id", "text", **kw)).fetchall()
+    )
+    assert srows == drows
+    assert (0, 1, 1.0) in srows
+
+
+# --- similarity -------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_neighbors(vectors):
+    out = similarity.brute_force_neighbors(
+        vectors, "vec_id", "embedding", F.col("vec_id") < 3, k=5
+    ).collect()
+    assert len(out) == 15
+    for qid in (0, 1, 2):
+        ranks = [r.rank for r in out if r.query_id == qid]
+        assert ranks == [1, 2, 3, 4, 5]
+        cos = [r.cos for r in out if r.query_id == qid]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_brute_force_sql_parity(vectors):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW emb AS FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    srows = sorted(
+        tuple(r)
+        for r in similarity.brute_force_neighbors(
+            vectors, "vec_id", "embedding", F.col("vec_id") < 3, k=5
+        ).collect()
+    )
+    drows = sorted(
+        con.sql(
+            similarity.brute_force_neighbors_sql(
+                "emb", "vec_id", "embedding", "id < 3", k=5
+            )
+        ).fetchall()
+    )
+    assert srows == drows
+
+
+def test_lsh_bucketed_subset_of_bucket(vectors):
+    out = similarity.lsh_bucketed_neighbors(
+        vectors, "vec_id", "embedding", F.col("vec_id") < 5, k=3, nbits=3
+    ).collect()
+    # every query row reports <= k neighbors, ranked
+    for qid in {r.query_id for r in out}:
+        ranks = [r.rank for r in out if r.query_id == qid]
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_arrow_matches_expression_topk(vectors):
+    exact = similarity.brute_force_neighbors(
+        vectors, "vec_id", "embedding", F.col("vec_id") < 3, k=5
+    ).collect()
+    arrow = similarity.brute_force_neighbors_arrow(
+        vectors, "vec_id", "embedding", F.col("vec_id") < 3, k=5
+    ).collect()
+    # same neighbor sets and order (cos values may differ in last ulp)
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in exact] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in arrow
+    ]
+    # expression path rounds to 6 decimals; arrow path is unrounded
+    for e, a in zip(exact, arrow):
+        assert abs(e.cos - a.cos) < 1e-6
+
+
+# --- multimodal -------------------------------------------------------------
+
+def test_multimodal_payload_and_decode(docs):
+    payloads = multimodal.with_payload(docs.where("text <> ''"), "doc_id", "text")
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    meta = multimodal.decode_image_meta(payloads).collect()
+    assert len(meta) == 5
+    for r in meta:
+        assert r.decode_ok and 1 <= r.width <= 64 and r.n_bytes > 0
+    # deterministic: second run identical
+    meta2 = multimodal.decode_image_meta(payloads).collect()
+    assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
+
+
+def test_multimodal_real_decode_is_stubbed(docs):
+    payloads = multimodal.with_payload(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(payloads)
+
+
+def test_sample_frames(docs):
+    payloads = multimodal.with_payload(docs.where("doc_id = 0"), "doc_id", "text")
+    frames = multimodal.sample_frames(payloads, n_frames=4).collect()
+    assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
+    text = "the quick brown fox jumps over the lazy dog"
+    assert all(r.frame_len == len(text) // 4 for r in frames)
