@@ -350,6 +350,11 @@ from bullet_storm_spark.operators import multimodal as _mm
 from bullet_storm_spark.operators import similarity as _sim
 
 _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
+# trigram variant: the realistic near-duplicate setting (near-identical
+# text), where LSH candidate counts stay near-linear. The unigram variant
+# above is kept for the correctness gate: on the tiny-vocab synthetic corpus
+# it produces thousands of verified pairs, exercising the full pipeline.
+_MINHASH3_KW = dict(num_hashes=16, bands=4, shingle_n=3, threshold=0.9)
 _JACCARD_KW = dict(shingle_n=1, threshold=0.8)
 _NEARDUP_KW = dict(threshold=0.4)
 _ANN_KW = dict(k=5)
@@ -427,6 +432,10 @@ _LLM_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh_pairs": (
         lambda s, d: _dedup.minhash_lsh_pairs(_docs(s, d), "doc_id", "text", **_MINHASH_KW),
         _dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", **_MINHASH_KW),
+    ),
+    "dedup_minhash_lsh_pairs_3gram": (
+        lambda s, d: _dedup.minhash_lsh_pairs(_docs(s, d), "doc_id", "text", **_MINHASH3_KW),
+        _dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", **_MINHASH3_KW),
     ),
     "dedup_simhash": (
         lambda s, d: _dedup.simhash(_docs(s, d), "doc_id", "text"),

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers every operator family: core Bullet aggregations
+(group/count-distinct/distribution/top-k), raw filter scans, joins, the
+time rollup, and the LLM-pipeline operators (exact + MinHash dedup, text
+stats, ANN). Each query's wall time includes full execution to a
+driver-side count/collect, never cached.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from bullet_storm_spark import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline queries: name -> queries() key
+HEADLINE = [
+    "raw_filter_project",
+    "group_by_event_type",
+    "group_by_user_type",
+    "count_distinct_users",
+    "count_distinct_users_approx",
+    "distribution_pmf_value",
+    "distribution_quantile_value",
+    "top_k_event_user",
+    "lineitem_pricing_summary",
+    "events_hourly_rollup",
+    "join_revenue_by_nation",
+    "join_top_orders_by_revenue",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs_3gram",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "ann_brute_force_arrow",
+    "ann_lsh_bucketed_topk",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bullet-storm-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warm the JVM + file listing with a trivial action (not a bench query)
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

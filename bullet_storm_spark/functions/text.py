@@ -54,9 +54,15 @@ def token_count_sql(field: str) -> str:
 
 # --- shingles ---------------------------------------------------------------
 
-def shingles(field: str, n: int, distinct: bool = True) -> Column:
-    """Word n-grams as space-joined strings; n=1 -> unigram token set."""
-    toks = tokens(field)
+def shingles_from_tokens(toks: Column, n: int, distinct: bool = True) -> Column:
+    """Word n-grams from an existing token-array column.
+
+    Prefer this over shingles() when the token array is already a
+    materialized column (e.g. behind an exchange): Catalyst's
+    CollapseProject inlines expression-valued tokens into the per-shingle
+    lambda, re-running the regex split once per shingle — quadratic work.
+    A concrete column reference is computed once per row.
+    """
     if n == 1:
         sh = toks
     else:
@@ -69,6 +75,11 @@ def shingles(field: str, n: int, distinct: bool = True) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh) if distinct else sh
+
+
+def shingles(field: str, n: int, distinct: bool = True) -> Column:
+    """Word n-grams as space-joined strings; n=1 -> unigram token set."""
+    return shingles_from_tokens(tokens(field), n, distinct)
 
 
 def shingles_sql(field: str, n: int, distinct: bool = True) -> str:
