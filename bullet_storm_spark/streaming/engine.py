@@ -1,0 +1,286 @@
+"""StreamingEngine — one always-on loop evaluating every live query per
+micro-batch (the SURVEY.md §3 'Spark lifecycle mapping').
+
+Dataflow per batch (reference parity, FilterBolt.java:148-175 +
+JoinBolt.java:130-259):
+
+  1. drain the control channel (QuerySpout): submissions + signals
+  2. for each active query: filter -> project the batch (raw-name filter
+     semantics), compute the bounded partial aggregate IN SPARK, merge into
+     the query's driver-side state
+  3. lifecycle tick: RAW-full -> done; duration expired -> done; rate limit
+     exceeded -> FAIL with partial result; window closed -> emit + reset
+  4. emit Clips (records + metadata: query id, receive/finish time, window
+     number, signal) to the result sink (ResultBolt)
+
+Windows (SURVEY.md §2.5):
+  * None        -> single final emission when done
+  * TumblingWindow(ms)      -> emit + reset when the window elapses
+    (processing-time, batch-tick resolution — the micro-batch trigger IS
+    the reference's 100 ms tick clock)
+  * SlidingRecordWindow(n)  -> emit + reset every n records consumed
+
+The batch work stays fully distributed (Catalyst plans each query's
+filter+partial-agg over the batch); only bounded partial tables reach the
+driver — the same wire discipline as FilterBolt->JoinBolt sketch bytes.
+Scale note: with N concurrent queries the batch is scanned once per query;
+batch caching amortizes the scan, and the union-of-plans / query-predicate
+partitioner of SURVEY.md §4 is the documented next optimization.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bullet_storm_spark.clip import (
+    Clip,
+    QUERY_FINISH_TIME_KEY,
+    QUERY_ID_KEY,
+    QUERY_RECEIVE_TIME_KEY,
+    SIGNAL_KEY,
+    WINDOW_NUMBER_KEY,
+)
+from bullet_storm_spark.plans.query import (
+    Query,
+    SlidingRecordWindow,
+    TumblingWindow,
+)
+from bullet_storm_spark.streaming.registry import (
+    ControlChannel,
+    PubSubMessage,
+    QueryRegistry,
+    QueryStatus,
+    Signal,
+)
+
+ResultHandler = Callable[[str, Clip], None]
+
+
+class StreamingEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: QueryRegistry | None = None,
+        channel: ControlChannel | None = None,
+        clock: Callable[[], float] = time.time,
+        rate_limit_records_per_s: int | None = None,
+        cache_batches: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.clock = clock
+        self.registry = registry or QueryRegistry(clock=clock)
+        self.channel = channel or ControlChannel()
+        self.rate_limit = rate_limit_records_per_s
+        self.cache_batches = cache_batches
+        self.results: list[tuple[str, Clip]] = []  # in-memory ResultBolt
+        self.result_handlers: list[ResultHandler] = []
+        self._query = None  # live StreamingQuery when attached
+
+    # -- control plane -------------------------------------------------------
+
+    def submit(self, query_id: str, query: Query) -> None:
+        self.channel.submit(query_id, query)
+
+    def kill(self, query_id: str) -> None:
+        self.channel.signal(query_id, Signal.KILL)
+
+    def on_result(self, handler: ResultHandler) -> None:
+        self.result_handlers.append(handler)
+
+    def _emit(self, query_id: str, clip: Clip) -> None:
+        self.results.append((query_id, clip))
+        for handler in self.result_handlers:
+            handler(query_id, clip)
+
+    def _drain_control(self) -> None:
+        for msg in self.channel.drain():
+            if msg.signal in (Signal.KILL, Signal.COMPLETE):
+                rq = self.registry.remove(
+                    msg.id,
+                    QueryStatus.KILLED if msg.signal == Signal.KILL else QueryStatus.DONE,
+                )
+                if rq is not None:
+                    self._emit(
+                        msg.id,
+                        Clip.of([], **self._meta(rq, signal=msg.signal.value)),
+                    )
+            elif msg.content is not None:
+                self.registry.submit(msg.id, msg.content)
+
+    # -- data plane ----------------------------------------------------------
+
+    def _meta(self, rq, signal: str | None = None, windowed: bool = False) -> dict:
+        meta: dict[str, Any] = {
+            QUERY_ID_KEY: rq.id,
+            QUERY_RECEIVE_TIME_KEY: rq.receive_time_ms,
+        }
+        if windowed:
+            meta[WINDOW_NUMBER_KEY] = rq.window_number
+        if signal is not None:
+            meta[SIGNAL_KEY] = signal
+            if signal in (Signal.COMPLETE.value, Signal.FAIL.value, Signal.KILL.value):
+                meta[QUERY_FINISH_TIME_KEY] = int(self.clock() * 1000)
+        return meta
+
+    def _finish(self, rq, signal: Signal) -> None:
+        self.registry.remove(
+            rq.id,
+            QueryStatus.FAILED if signal == Signal.FAIL else QueryStatus.DONE,
+        )
+        self._emit(
+            rq.id,
+            Clip.of(rq.state.result(), **self._meta(rq, signal=signal.value)),
+        )
+
+    def _window_tick(self, rq, now_ms: int) -> None:
+        """Emit + reset on window close (JoinBolt.java:252-259 emitWindow)."""
+        win = rq.query.window
+        if isinstance(win, TumblingWindow):
+            if rq.last_window_close_ms == 0:
+                rq.last_window_close_ms = rq.receive_time_ms
+            if now_ms - rq.last_window_close_ms >= win.emit_every_ms:
+                rq.window_number += 1
+                self._emit(
+                    rq.id,
+                    Clip.of(rq.state.result(), **self._meta(rq, windowed=True)),
+                )
+                rq.state.reset()
+                rq.last_window_close_ms = now_ms
+        elif isinstance(win, SlidingRecordWindow):
+            from bullet_storm_spark.streaming.state import RawState
+
+            if isinstance(rq.state, RawState):
+                # RAW record windows emit exactly emit_every records per
+                # window (RECORD,1 -> one emit per record consumed,
+                # FilterBoltTest.java:396-411; batch granularity here)
+                while len(rq.state.records) >= win.emit_every:
+                    chunk = rq.state.records[: win.emit_every]
+                    rq.state.records = rq.state.records[win.emit_every :]
+                    rq.window_number += 1
+                    self._emit(
+                        rq.id, Clip.of(chunk, **self._meta(rq, windowed=True))
+                    )
+                    rq.window_record_marker += win.emit_every
+            else:
+                # aggregate record windows: emit + reset at each n-record
+                # boundary (batch-granular: a batch spanning k boundaries
+                # closes k windows, later ones empty)
+                while rq.records_consumed - rq.window_record_marker >= win.emit_every:
+                    rq.window_number += 1
+                    self._emit(
+                        rq.id,
+                        Clip.of(rq.state.result(), **self._meta(rq, windowed=True)),
+                    )
+                    rq.state.reset()
+                    rq.window_record_marker += win.emit_every
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+        """The foreachBatch body. Also the deterministic test surface —
+        exactly how the reference tests drive bolts with hand-built tuples."""
+        self._drain_control()
+        active = self.registry.active()
+        now_ms = int(self.clock() * 1000)
+        if not active:
+            return
+        cached = batch_df.cache() if self.cache_batches and len(active) > 1 else batch_df
+        try:
+            for rq in active:
+                q = rq.query
+                df = cached
+                if q.filter is not None:
+                    df = df.where(q.filter.to_column())
+                if q.projection.fields is not None:
+                    df = df.select(
+                        *[
+                            f.expression.to_column().alias(f.name)
+                            for f in q.projection.fields
+                        ]
+                    )
+                partial_rows = [r.asDict() for r in rq.state.partial(df).collect()]
+                consumed_before = rq.records_consumed
+                # records consumed this batch (for rate limit / record windows):
+                # RAW partials ARE records; aggregates report via merge deltas
+                rq.state.merge(partial_rows)
+                rq.records_consumed += self._batch_record_count(partial_rows, rq, df)
+
+                # rate limiting (JoinBolt.java:159-160,194-208)
+                if self.rate_limit is not None:
+                    elapsed_s = max((now_ms - rq.receive_time_ms) / 1000.0, 0.001)
+                    if rq.records_consumed / elapsed_s > self.rate_limit:
+                        self._finish(rq, Signal.FAIL)
+                        continue
+
+                # early termination: RAW full (FilterBoltTest.java:712-738)
+                if rq.state.is_full() and rq.query.window is None:
+                    self._finish(rq, Signal.COMPLETE)
+                    continue
+
+                self._window_tick(rq, now_ms)
+
+                if rq.is_expired(now_ms):
+                    self._finish(rq, Signal.COMPLETE)
+        finally:
+            if cached is not batch_df:
+                cached.unpersist()
+
+    def _batch_record_count(self, partial_rows, rq, df) -> int:
+        """Record-consumption accounting. For RAW the partial rows are the
+        records; aggregated queries with record windows or rate limits need
+        the true input count, which their partial already computed (count
+        metrics) or we derive from partial row metadata."""
+        from bullet_storm_spark.streaming.state import (
+            GroupState,
+            RawState,
+            TopKState,
+        )
+
+        state = rq.state
+        if isinstance(state, RawState):
+            return len(partial_rows)
+        if isinstance(state, TopKState):
+            return sum(r.get("__c", 0) for r in partial_rows)
+        if isinstance(state, GroupState):
+            for i, op in enumerate(rq.query.aggregation.operations):
+                if op.op.name.startswith("COUNT"):
+                    return sum(r.get(f"__c{i}", 0) or 0 for r in partial_rows)
+        needs_count = (
+            isinstance(rq.query.window, SlidingRecordWindow)
+            or self.rate_limit is not None
+        )
+        return df.count() if needs_count else 0
+
+    def tick(self) -> None:
+        """Clock-only tick with no data (TickSpout analogue): advances
+        window/duration lifecycle between batches."""
+        self._drain_control()
+        now_ms = int(self.clock() * 1000)
+        for rq in list(self.registry.active()):
+            self._window_tick(rq, now_ms)
+            if rq.is_expired(now_ms):
+                self._finish(rq, Signal.COMPLETE)
+
+    # -- structured-streaming attachment --------------------------------------
+
+    def attach(
+        self,
+        stream_df: DataFrame,
+        trigger_ms: int = 100,
+        checkpoint_dir: str | None = None,
+    ):
+        """Run the engine over a streaming DataFrame via foreachBatch. The
+        trigger interval is the engine clock (reference tick = 100 ms,
+        bullet_storm_defaults.yaml:143-148)."""
+        writer = (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .trigger(processingTime=f"{trigger_ms} milliseconds")
+            .outputMode("append")
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        self._query = writer.start()
+        return self._query

@@ -1,0 +1,369 @@
+"""Mergeable per-query aggregation state — the Querier PARTITION/ALL split.
+
+The reference runs every aggregation in two phases: FilterBolt's Querier
+consumes records and emits serialized partial state, JoinBolt's Querier
+merges partials (/root/reference src/main/java/com/yahoo/bullet/storm/
+FilterBolt.java:187-189, JoinBolt.java:154-155; associativity proven by
+JoinBoltTest.java:696-735).
+
+Spark translation: the *partial* phase is a compiled DataFrame aggregation
+over each micro-batch (Catalyst's own partial+final machinery runs inside
+the batch, fully distributed); what crosses to the driver is one bounded
+partial-result table per query per batch — the same wire contract as the
+reference's sketch bytes. The *merge* phase is the small pure-Python
+fold below, bounded by each aggregation's size cap exactly like Bullet's
+sketches bound their state.
+
+Each QueryState implements:
+  partial(df)  -> DataFrame   (batch -> bounded partial table, runs in Spark)
+  merge(rows)  -> None        (fold partial rows into state, driver-side)
+  result()     -> list[dict]  (current emission, reference output shape)
+  reset()      -> None        (window close — Querier.reset analogue)
+  is_full()    -> bool        (RAW early-termination contract)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from bullet_storm_spark.operators import top_k as top_k_op
+from bullet_storm_spark.operators.distribution import cdf_labels, pmf_labels
+from bullet_storm_spark.plans.query import (
+    CountDistinct,
+    Distribution,
+    DistributionType,
+    GroupBy,
+    GroupOpType,
+    Query,
+    Raw,
+    TopK,
+)
+
+
+class QueryState:
+    def partial(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def merge(self, rows: list[dict[str, Any]]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def result(self) -> list[dict[str, Any]]:  # pragma: no cover
+        raise NotImplementedError
+
+    def reset(self) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def is_full(self) -> bool:
+        return False
+
+
+class RawState(QueryState):
+    """Collect up to n records; full -> query done (JoinBoltTest.java:
+    340-351; early termination FilterBoltTest.java:712-738)."""
+
+    def __init__(self, agg: Raw):
+        self.size = agg.size
+        self.records: list[dict[str, Any]] = []
+
+    def partial(self, df: DataFrame) -> DataFrame:
+        # per-batch limit: never ship more than the remaining capacity
+        return df.limit(max(self.size - len(self.records), 0))
+
+    def merge(self, rows: list[dict[str, Any]]) -> None:
+        room = self.size - len(self.records)
+        self.records.extend(rows[:room])
+
+    def result(self) -> list[dict[str, Any]]:
+        return list(self.records)
+
+    def reset(self) -> None:
+        self.records = []
+
+    def is_full(self) -> bool:
+        return len(self.records) >= self.size
+
+
+class GroupState(QueryState):
+    """GROUP ALL / GROUP BY: metrics are merged as (count, sum, min, max)
+    partials; AVG derives at result time — numeric-add merge semantics
+    exactly like GroupData (JoinBoltTest.java:663-693)."""
+
+    def __init__(self, agg: GroupBy):
+        self.agg = agg
+        self.key_aliases = [agg.alias_of(f) for f in agg.fields]
+        self.groups: dict[tuple, dict[str, Any]] = {}
+
+    def partial(self, df: DataFrame) -> DataFrame:
+        keys = [F.col(f).alias(self.agg.alias_of(f)) for f in self.agg.fields]
+        aggs = []
+        for i, op in enumerate(self.agg.operations):
+            f = F.col(op.field) if op.field else None
+            t = op.op
+            if t == GroupOpType.COUNT:
+                aggs.append(F.count(F.lit(1)).alias(f"__c{i}"))
+            elif t == GroupOpType.COUNT_FIELD:
+                aggs.append(F.count(f).alias(f"__c{i}"))
+            elif t in (GroupOpType.SUM, GroupOpType.AVG):
+                aggs.append(F.sum(f.cast("double")).alias(f"__s{i}"))
+                aggs.append(F.count(f).alias(f"__n{i}"))
+            elif t == GroupOpType.MIN:
+                aggs.append(F.min(f).alias(f"__m{i}"))
+            elif t == GroupOpType.MAX:
+                aggs.append(F.max(f).alias(f"__m{i}"))
+        return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    def merge(self, rows: list[dict[str, Any]]) -> None:
+        for row in rows:
+            key = tuple(row[a] for a in self.key_aliases)
+            g = self.groups.get(key)
+            if g is None:
+                if len(self.groups) >= self.agg.size and key not in self.groups:
+                    continue  # group cap (reference caps sketch entries)
+                g = self.groups[key] = {}
+            for i, op in enumerate(self.agg.operations):
+                t = op.op
+                if t in (GroupOpType.COUNT, GroupOpType.COUNT_FIELD):
+                    g[f"c{i}"] = g.get(f"c{i}", 0) + (row[f"__c{i}"] or 0)
+                elif t in (GroupOpType.SUM, GroupOpType.AVG):
+                    s, n = row[f"__s{i}"], row[f"__n{i}"] or 0
+                    if s is not None:
+                        g[f"s{i}"] = g.get(f"s{i}", 0.0) + s
+                    g[f"n{i}"] = g.get(f"n{i}", 0) + n
+                elif t == GroupOpType.MIN:
+                    m = row[f"__m{i}"]
+                    if m is not None:
+                        cur = g.get(f"m{i}")
+                        g[f"m{i}"] = m if cur is None else min(cur, m)
+                elif t == GroupOpType.MAX:
+                    m = row[f"__m{i}"]
+                    if m is not None:
+                        cur = g.get(f"m{i}")
+                        g[f"m{i}"] = m if cur is None else max(cur, m)
+
+    def result(self) -> list[dict[str, Any]]:
+        if not self.agg.fields and not self.groups:
+            # GROUP ALL emits one row even with no data (operator tests)
+            self.groups[()] = {}
+        out = []
+        for key, g in self.groups.items():
+            row = dict(zip(self.key_aliases, key))
+            for i, op in enumerate(self.agg.operations):
+                t = op.op
+                if t in (GroupOpType.COUNT, GroupOpType.COUNT_FIELD):
+                    row[op.alias] = g.get(f"c{i}", 0)
+                elif t == GroupOpType.SUM:
+                    row[op.alias] = g.get(f"s{i}")
+                elif t == GroupOpType.AVG:
+                    n = g.get(f"n{i}", 0)
+                    row[op.alias] = (g.get(f"s{i}", 0.0) / n) if n else None
+                else:
+                    row[op.alias] = g.get(f"m{i}")
+            out.append(row)
+        return out
+
+    def reset(self) -> None:
+        self.groups = {}
+
+
+class CountDistinctState(QueryState):
+    """Exact: per-batch distinct keys merged into a driver set (matches the
+    reference's own small-cardinality exactness tests). Approx: per-batch
+    HyperLogLog sketch bytes merged with hll_union — bounded state at any
+    cardinality, the Theta-sketch contract (FilterBoltTest.java:680-710)."""
+
+    def __init__(self, agg: CountDistinct):
+        self.agg = agg
+        self.keys: set = set()
+        self.sketch: bytes | None = None
+        self._spark = None
+
+    def _key_col(self):
+        if len(self.agg.fields) == 1:
+            return F.col(self.agg.fields[0])
+        return F.concat_ws("\x1f", *[F.col(f).cast("string") for f in self.agg.fields])
+
+    def partial(self, df: DataFrame) -> DataFrame:
+        self._spark = df.sparkSession
+        if self.agg.exact:
+            return df.select(self._key_col().alias("__k")).distinct()
+        return df.agg(F.hll_sketch_agg(self._key_col()).alias("__sketch"))
+
+    def merge(self, rows: list[dict[str, Any]]) -> None:
+        if self.agg.exact:
+            self.keys.update(r["__k"] for r in rows)
+            return
+        for r in rows:
+            new = r["__sketch"]
+            if new is None:
+                continue
+            if self.sketch is None:
+                self.sketch = bytes(new)
+            else:
+                merged = self._spark.createDataFrame(
+                    [(self.sketch, bytes(new))], "a binary, b binary"
+                ).select(
+                    F.hll_union("a", "b").alias("u")
+                ).collect()[0]["u"]
+                self.sketch = bytes(merged)
+
+    def result(self) -> list[dict[str, Any]]:
+        if self.agg.exact:
+            return [{self.agg.name: len(self.keys)}]
+        if self.sketch is None:
+            return [{self.agg.name: 0}]
+        est = self._spark.createDataFrame([(self.sketch,)], "s binary").select(
+            F.hll_sketch_estimate("s").alias("e")
+        ).collect()[0]["e"]
+        return [{self.agg.name: int(est)}]
+
+    def reset(self) -> None:
+        self.keys = set()
+        self.sketch = None
+
+
+class TopKState(QueryState):
+    """Exact frequency merge with the frequent-items output shape
+    (stringified values, 'null' rendering, count desc —
+    FilterBoltTest.java:788-832)."""
+
+    def __init__(self, agg: TopK):
+        self.agg = agg
+        self.aliases = [agg.alias_of(f) for f in agg.fields]
+        self.counts: dict[tuple, int] = {}
+
+    def partial(self, df: DataFrame) -> DataFrame:
+        keys = [
+            F.coalesce(F.col(f).cast("string"), F.lit(top_k_op.NULL_RENDERING)).alias(
+                self.agg.alias_of(f)
+            )
+            for f in self.agg.fields
+        ]
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+
+    def merge(self, rows: list[dict[str, Any]]) -> None:
+        for row in rows:
+            key = tuple(row[a] for a in self.aliases)
+            self.counts[key] = self.counts.get(key, 0) + row["__c"]
+
+    def result(self) -> list[dict[str, Any]]:
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = []
+        for key, cnt in items[: self.agg.size]:
+            if self.agg.threshold is not None and cnt < self.agg.threshold:
+                continue
+            row = dict(zip(self.aliases, key))
+            row[self.agg.name] = cnt
+            out.append(row)
+        return out
+
+    def reset(self) -> None:
+        self.counts = {}
+
+
+class DistributionState(QueryState):
+    """PMF/CDF: per-split conditional counts merge exactly (numeric add).
+    QUANTILE: a capped uniform sample of values (bounded state) with exact
+    small-input behavior — semantic parity with the KLL sketch's bounded
+    memory, not byte parity (SURVEY.md §7.3)."""
+
+    SAMPLE_CAP = 100_000
+
+    def __init__(self, agg: Distribution):
+        self.agg = agg
+        self.points = [float(p) for p in agg.points]
+        self.bin_counts = [0] * (len(self.points) + 1)
+        self.total = 0
+        self.values: list[float] = []
+
+    def partial(self, df: DataFrame) -> DataFrame:
+        v = F.col(self.agg.field).cast("double")
+        df = df.where(v.isNotNull())
+        if self.agg.dist_type == DistributionType.QUANTILE:
+            return df.select(v.alias("__v")).limit(self.SAMPLE_CAP)
+        bin_idx = F.lit(0)
+        for p in self.points:
+            bin_idx = bin_idx + (v >= F.lit(p)).cast("int")
+        return df.groupBy(bin_idx.alias("__bin")).agg(F.count(F.lit(1)).alias("__c"))
+
+    def merge(self, rows: list[dict[str, Any]]) -> None:
+        if self.agg.dist_type == DistributionType.QUANTILE:
+            room = self.SAMPLE_CAP - len(self.values)
+            self.values.extend(r["__v"] for r in rows[:room])
+            return
+        for r in rows:
+            self.bin_counts[r["__bin"]] += r["__c"]
+            self.total += r["__c"]
+
+    def _round(self, x: float) -> float:
+        return round(x, self.agg.round_to) if self.agg.round_to is not None else x
+
+    def result(self) -> list[dict[str, Any]]:
+        t = self.agg.dist_type
+        if t == DistributionType.QUANTILE:
+            vals = sorted(self.values)
+            out = []
+            for p in self.points:
+                if not vals:
+                    out.append({"quantile": p, "value": None})
+                    continue
+                idx = p * (len(vals) - 1)
+                lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+                frac = idx - lo
+                v = vals[lo] * (1 - frac) + vals[hi] * frac
+                out.append({"quantile": p, "value": self._round(v)})
+            return out
+        total = self.total or 1
+        if t == DistributionType.PMF:
+            labels = pmf_labels(self.points)
+            return [
+                {
+                    "range": lbl,
+                    "count": c,
+                    "probability": self._round(c / total),
+                }
+                for lbl, c in zip(labels, self.bin_counts)
+            ]
+        # CDF: mass strictly below each split = cumulative of lower bins
+        labels = cdf_labels(self.points)
+        out = []
+        cum = 0
+        for i, p in enumerate(self.points):
+            cum = sum(self.bin_counts[: i + 1])
+            out.append(
+                {
+                    "range": labels[i],
+                    "count": cum,
+                    "probability": self._round(cum / total),
+                }
+            )
+        out.append(
+            {
+                "range": labels[-1],
+                "count": self.total,
+                "probability": self._round(self.total / total) if self.total else 0.0,
+            }
+        )
+        return out
+
+    def reset(self) -> None:
+        self.bin_counts = [0] * (len(self.points) + 1)
+        self.total = 0
+        self.values = []
+
+
+def make_state(query: Query) -> QueryState:
+    agg = query.aggregation
+    if isinstance(agg, Raw):
+        return RawState(agg)
+    if isinstance(agg, GroupBy):
+        return GroupState(agg)
+    if isinstance(agg, CountDistinct):
+        return CountDistinctState(agg)
+    if isinstance(agg, TopK):
+        return TopKState(agg)
+    if isinstance(agg, Distribution):
+        return DistributionState(agg)
+    raise ValueError(f"unsupported aggregation {type(agg).__name__}")

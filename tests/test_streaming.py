@@ -1,0 +1,238 @@
+"""Streaming engine lifecycle tests — the reference's bolt-driving test
+style (feed batches + ticks, assert exact emissions and signals;
+T/FilterBoltTest.java, T/JoinBoltTest.java)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark import (
+    CountDistinct,
+    GroupBy,
+    GroupOperation,
+    GroupOpType,
+    Query,
+    Raw,
+    SlidingRecordWindow,
+    TopK,
+    TumblingWindow,
+)
+from bullet_storm_spark.clip import SIGNAL_KEY, WINDOW_NUMBER_KEY
+from bullet_storm_spark.plans.expressions import eq, gt
+from bullet_storm_spark.streaming import QueryRegistry, StreamingEngine
+from bullet_storm_spark.streaming.registry import QueryStatus
+
+
+class FakeClock:
+    def __init__(self, t0: float = 1000.0):
+        self.t = t0
+
+    def __call__(self) -> float:
+        return self.t
+
+    def advance_ms(self, ms: int) -> None:
+        self.t += ms / 1000.0
+
+
+@pytest.fixture()
+def clock():
+    return FakeClock()
+
+
+@pytest.fixture()
+def engine(spark, clock):
+    return StreamingEngine(spark, registry=QueryRegistry(clock=clock), clock=clock)
+
+
+def batch(spark, rows, schema="field string, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def signals(engine, qid):
+    return [
+        c.meta.get(SIGNAL_KEY) for i, c in engine.results if i == qid
+    ]
+
+
+def test_raw_fills_and_completes(spark, engine, clock):
+    q = Query(filter=eq("field", "x"), aggregation=Raw(size=5), duration_ms=60_000)
+    engine.submit("q1", q)
+    engine.process_batch(batch(spark, [("x", 1.0), ("y", 2.0), ("x", 3.0)]))
+    assert engine.results == []  # 2/5 collected, still running
+    engine.process_batch(batch(spark, [("x", float(i)) for i in range(10)]))
+    # filled to exactly 5 -> COMPLETE with truncated records
+    assert signals(engine, "q1") == ["COMPLETE"]
+    clip = engine.results[0][1]
+    assert len(clip.records) == 5
+    assert all(r["field"] == "x" for r in clip.records)
+    assert "q1" not in engine.registry.queries
+
+
+def test_group_by_accumulates_until_duration(spark, engine, clock):
+    q = Query(
+        aggregation=GroupBy(
+            fields={"field": "k"},
+            operations=[
+                GroupOperation(GroupOpType.COUNT, None, "cnt"),
+                GroupOperation(GroupOpType.SUM, "v", "s"),
+            ],
+        ),
+        duration_ms=1_000,
+    )
+    engine.submit("g1", q)
+    engine.process_batch(batch(spark, [("a", 1.0), ("a", 2.0), ("b", 10.0)]))
+    engine.process_batch(batch(spark, [("a", 3.0), ("b", 30.0)]))
+    assert engine.results == []
+    clock.advance_ms(1_500)
+    engine.tick()  # duration expired -> final result
+    assert signals(engine, "g1") == ["COMPLETE"]
+    rows = {r["k"]: r for r in engine.results[0][1].records}
+    assert rows["a"]["cnt"] == 3 and rows["a"]["s"] == 6.0
+    assert rows["b"]["cnt"] == 2 and rows["b"]["s"] == 40.0
+
+
+def test_count_distinct_exact_merge_across_batches(spark, engine, clock):
+    q = Query(
+        aggregation=CountDistinct(fields=["field"], name="count"),
+        duration_ms=1_000,
+    )
+    engine.submit("cd1", q)
+    engine.process_batch(batch(spark, [(str(i), 0.0) for i in range(256)]))
+    engine.process_batch(batch(spark, [(str(i), 0.0) for i in range(128, 384)]))
+    clock.advance_ms(1_500)
+    engine.tick()
+    assert engine.results[0][1].records == [{"count": 384}]
+
+
+def test_count_distinct_approx_hll_merge(spark, engine, clock):
+    q = Query(
+        aggregation=CountDistinct(fields=["field"], name="count", exact=False),
+        duration_ms=1_000,
+    )
+    engine.submit("cd2", q)
+    engine.process_batch(batch(spark, [(str(i), 0.0) for i in range(500)]))
+    engine.process_batch(batch(spark, [(str(i), 0.0) for i in range(250, 1000)]))
+    clock.advance_ms(1_500)
+    engine.tick()
+    got = engine.results[0][1].records[0]["count"]
+    assert abs(got - 1000) / 1000 < 0.1  # HLL estimate of the union
+
+
+def test_tumbling_window_emits_and_resets(spark, engine, clock):
+    q = Query(
+        aggregation=GroupBy(
+            fields={}, operations=[GroupOperation(GroupOpType.COUNT, None, "cnt")], size=1
+        ),
+        window=TumblingWindow(emit_every_ms=1_000),
+        duration_ms=60_000,
+    )
+    engine.submit("w1", q)
+    engine.process_batch(batch(spark, [("a", 1.0)] * 3))
+    clock.advance_ms(1_100)
+    engine.process_batch(batch(spark, [("a", 1.0)] * 2))
+    clock.advance_ms(1_100)
+    engine.tick()
+    windows = [c for i, c in engine.results if i == "w1"]
+    assert len(windows) == 2
+    # first window: 3 records then 2 more arrive in the same batch as the
+    # close check (batch merges before the window tick) -> 5 then 0
+    assert windows[0].records[0]["cnt"] == 5
+    assert windows[1].records[0]["cnt"] == 0
+    assert windows[0].meta[WINDOW_NUMBER_KEY] == 1
+    assert windows[1].meta[WINDOW_NUMBER_KEY] == 2
+
+
+def test_sliding_record_window(spark, engine, clock):
+    # RECORD,2 window over a RAW query: emit every 2 records consumed
+    q = Query(
+        filter=eq("field", "x"),
+        aggregation=Raw(size=100),
+        window=SlidingRecordWindow(emit_every=2),
+        duration_ms=60_000,
+    )
+    engine.submit("r1", q)
+    engine.process_batch(batch(spark, [("x", 1.0), ("y", 0.0), ("x", 2.0)]))
+    engine.process_batch(batch(spark, [("x", 3.0), ("x", 4.0), ("x", 5.0)]))
+    windows = [c for i, c in engine.results if i == "r1"]
+    assert len(windows) == 2  # 5 matching records -> 2 full windows of 2
+    assert all(len(w.records) == 2 for w in windows)
+
+
+def test_kill_signal(spark, engine, clock):
+    engine.submit("k1", Query(aggregation=Raw(size=100), duration_ms=60_000))
+    engine.process_batch(batch(spark, [("a", 1.0)]))
+    engine.kill("k1")
+    engine.tick()
+    assert signals(engine, "k1") == ["KILL"]
+    assert "k1" not in engine.registry.queries
+
+
+def test_duplicate_submission_ignored(spark, engine, clock):
+    q = Query(aggregation=Raw(size=100), duration_ms=60_000)
+    engine.submit("d1", q)
+    engine.submit("d1", q)
+    engine.process_batch(batch(spark, [("a", 1.0)]))
+    assert engine.registry.duplicates_ignored == 1
+    assert len(engine.registry.queries) == 1
+
+
+def test_rate_limit_fail(spark, clock):
+    engine = StreamingEngine(
+        spark,
+        registry=QueryRegistry(clock=clock),
+        clock=clock,
+        rate_limit_records_per_s=10,
+    )
+    engine.submit("rl1", Query(aggregation=Raw(size=10_000), duration_ms=60_000))
+    clock.advance_ms(100)
+    engine.process_batch(batch(spark, [("a", float(i)) for i in range(500)]))
+    assert signals(engine, "rl1") == ["FAIL"]
+    clip = [c for i, c in engine.results if i == "rl1"][0]
+    assert len(clip.records) > 0  # partial results returned with FAIL
+
+
+def test_registry_replay_on_restart(spark, clock, tmp_path):
+    storage = str(tmp_path / "registry")
+    reg1 = QueryRegistry(storage_dir=storage, clock=clock)
+    engine1 = StreamingEngine(spark, registry=reg1, clock=clock)
+    engine1.submit("p1", Query(aggregation=Raw(size=5), duration_ms=60_000))
+    engine1.submit("p2", Query(aggregation=Raw(size=5), duration_ms=60_000))
+    engine1.process_batch(batch(spark, [("a", 1.0)]))
+    engine1.kill("p2")
+    engine1.tick()
+    # 'restart': fresh registry from the same storage dir
+    reg2 = QueryRegistry(storage_dir=storage, clock=clock)
+    assert reg2.replay() == 1
+    assert "p1" in reg2.queries and "p2" not in reg2.queries  # removed-id dedup
+
+
+def test_real_readstream_file_source(spark, clock, tmp_path):
+    """End-to-end over an actual Structured Streaming file source."""
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    engine = StreamingEngine(spark, registry=QueryRegistry(clock=clock), clock=clock)
+    engine.submit(
+        "s1",
+        Query(
+            filter=gt("v", 0.0),
+            aggregation=GroupBy(
+                fields={"field": "k"},
+                operations=[GroupOperation(GroupOpType.COUNT, None, "cnt")],
+            ),
+            duration_ms=3_600_000,
+        ),
+    )
+    df1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "field string, v double")
+    df1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("field string, v double").parquet(str(src))
+    query = engine.attach(stream, trigger_ms=100, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        query.processAllAvailable()
+        df2 = spark.createDataFrame([("a", 3.0)], "field string, v double")
+        df2.write.mode("append").parquet(str(src))
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    state_rows = {r["k"]: r for r in engine.registry.queries["s1"].state.result()}
+    assert state_rows["a"]["cnt"] == 2 and state_rows["b"]["cnt"] == 1
