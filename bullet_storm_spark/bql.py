@@ -1,0 +1,256 @@
+"""BQL-style query front door.
+
+The reference receives already-parsed Query objects (BQL parsing lives
+upstream in bullet-bql / the web service — SURVEY.md §4 'no parser'), but
+the published Bullet query language is the natural user surface, so this
+module provides a compact BQL-flavored dialect compiled to our Query model:
+
+    SELECT * FROM STREAM(30000, TIME) WHERE x > 1 LIMIT 10
+    SELECT COUNT(*) AS cnt, SUM(v) AS s FROM events WHERE v > 0
+    SELECT kind, COUNT(*) AS cnt FROM events GROUP BY kind
+    SELECT COUNT(DISTINCT user) AS u FROM events
+    SELECT TOP(5, 2, kind) AS cnt FROM events
+    SELECT QUANTILE(v, MANUAL, 0.1, 0.5, 0.9) FROM events
+    SELECT FREQ(v, MANUAL, 0, 50, 100) FROM events        -- PMF
+    SELECT CUMFREQ(v, MANUAL, 0, 50, 100) FROM events     -- CDF
+    ... WINDOWING EVERY(1000, TIME) | EVERY(10, RECORD)
+    ... HAVING cnt > 2  ORDER BY cnt DESC  LIMIT 5
+
+FROM STREAM(ms, TIME) sets the query duration (Bullet's look-forward
+bound); FROM <name> reads the named source. Scalar expressions inside
+SELECT/WHERE/HAVING are parsed by Spark itself via F.expr — Catalyst is the
+expression parser (SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+import re
+
+from bullet_storm_spark.plans.expressions import SqlExpression, ensure_expr
+from bullet_storm_spark.plans.query import (
+    CountDistinct,
+    Distribution,
+    DistributionType,
+    Field,
+    GroupBy,
+    GroupOperation,
+    GroupOpType,
+    Having,
+    OrderBy,
+    Projection,
+    Query,
+    Raw,
+    SlidingRecordWindow,
+    TumblingWindow,
+    DEFAULT_DURATION_MS,
+)
+
+_CLAUSE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)"
+    r"\s+FROM\s+(?P<source>STREAM\s*\([^)]*\)|\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?:\s+WINDOWING\s+(?P<window>.+?))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_AGG_FN = {
+    "COUNT": GroupOpType.COUNT,
+    "SUM": GroupOpType.SUM,
+    "MIN": GroupOpType.MIN,
+    "MAX": GroupOpType.MAX,
+    "AVG": GroupOpType.AVG,
+}
+
+
+class BQLError(ValueError):
+    pass
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _alias_split(item: str) -> tuple[str, str | None]:
+    m = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+    if m:
+        return m.group(1).strip(), m.group(2)
+    return item.strip(), None
+
+
+def parse(bql: str) -> Query:
+    m = _CLAUSE_RE.match(bql)
+    if not m:
+        raise BQLError(f"unparseable BQL: {bql!r}")
+    g = m.groupdict()
+
+    # FROM: STREAM(ms, TIME) -> duration; bare name -> source table
+    source, duration = "events", DEFAULT_DURATION_MS
+    src = g["source"].strip()
+    sm = re.match(r"STREAM\s*\(\s*(\d+)\s*(?:,\s*TIME\s*)?\)", src, re.IGNORECASE)
+    if sm:
+        duration = int(sm.group(1))
+    else:
+        source = src
+
+    where = SqlExpression(g["where"].strip()) if g["where"] else None
+    having = [Having(SqlExpression(g["having"].strip()))] if g["having"] else []
+    order = []
+    if g["order"]:
+        keys = []
+        for part in _split_top_level(g["order"]):
+            om = re.match(r"^(\w+)(?:\s+(ASC|DESC))?$", part.strip(), re.IGNORECASE)
+            if not om:
+                raise BQLError(f"unsupported ORDER BY item: {part!r}")
+            keys.append((om.group(1), (om.group(2) or "ASC").upper() == "ASC"))
+        order = [OrderBy(keys)]
+    limit = int(g["limit"]) if g["limit"] else None
+
+    window = None
+    if g["window"]:
+        wm = re.match(
+            r"EVERY\s*\(\s*(\d+)\s*,\s*(TIME|RECORD)\s*\)",
+            g["window"].strip(),
+            re.IGNORECASE,
+        )
+        if not wm:
+            raise BQLError(f"unsupported WINDOWING: {g['window']!r}")
+        n, unit = int(wm.group(1)), wm.group(2).upper()
+        window = TumblingWindow(n) if unit == "TIME" else SlidingRecordWindow(n)
+
+    items = _split_top_level(g["select"])
+    group_cols = (
+        [c.strip() for c in _split_top_level(g["group"])] if g["group"] else None
+    )
+
+    projection, aggregation, post = _compile_select(items, group_cols, limit)
+    return Query(
+        source=source,
+        filter=where,
+        projection=projection,
+        aggregation=aggregation,
+        post_aggregations=having + post + order,
+        window=window,
+        duration_ms=duration,
+    )
+
+
+def _compile_select(items, group_cols, limit):
+    # special single-function forms first
+    if len(items) == 1:
+        expr, alias = _alias_split(items[0])
+        cd = re.match(
+            r"COUNT\s*\(\s*DISTINCT\s+(.+?)\s*\)$", expr, re.IGNORECASE
+        )
+        if cd:
+            fields = [f.strip() for f in cd.group(1).split(",")]
+            return Projection(), CountDistinct(fields=fields, name=alias or "count"), []
+        top = re.match(r"TOP\s*\(\s*(.+?)\s*\)$", expr, re.IGNORECASE)
+        if top:
+            args = [a.strip() for a in _split_top_level(top.group(1))]
+            k = int(args[0])
+            threshold = None
+            rest = args[1:]
+            if rest and re.fullmatch(r"\d+", rest[0]):
+                threshold = int(rest[0])
+                rest = rest[1:]
+            if not rest:
+                raise BQLError("TOP(k[, threshold], field...) needs fields")
+            return (
+                Projection(),
+                TopKFromFields(rest, k, threshold, alias or "count"),
+                [],
+            )
+        dist = re.match(
+            r"(QUANTILE|FREQ|CUMFREQ)\s*\(\s*(\w+)\s*,\s*MANUAL\s*,\s*(.+?)\s*\)$",
+            expr,
+            re.IGNORECASE,
+        )
+        if dist:
+            kind = dist.group(1).upper()
+            dtype = {
+                "QUANTILE": DistributionType.QUANTILE,
+                "FREQ": DistributionType.PMF,
+                "CUMFREQ": DistributionType.CDF,
+            }[kind]
+            points = [float(p) for p in _split_top_level(dist.group(3))]
+            return (
+                Projection(),
+                Distribution(field=dist.group(2), dist_type=dtype, points=points),
+                [],
+            )
+
+    # aggregate vs raw select
+    ops: list[GroupOperation] = []
+    plain: list[tuple[str, str | None]] = []
+    for item in items:
+        expr, alias = _alias_split(item)
+        fm = re.match(r"(\w+)\s*\(\s*(\*|[^)]*)\s*\)$", expr)
+        if fm and fm.group(1).upper() in _AGG_FN:
+            fn, arg = fm.group(1).upper(), fm.group(2).strip()
+            if fn == "COUNT" and arg == "*":
+                ops.append(GroupOperation(GroupOpType.COUNT, None, alias or "count"))
+            elif fn == "COUNT":
+                ops.append(
+                    GroupOperation(GroupOpType.COUNT_FIELD, arg, alias or "count")
+                )
+            else:
+                ops.append(
+                    GroupOperation(_AGG_FN[fn], arg, alias or fn.lower())
+                )
+        else:
+            plain.append((expr, alias))
+
+    if ops:
+        fields = {}
+        for expr, alias in plain:
+            if not re.fullmatch(r"\w+", expr):
+                raise BQLError(
+                    f"group keys must be plain fields (got {expr!r}); project "
+                    "computed keys first"
+                )
+            fields[expr] = alias or ""
+        if group_cols:
+            for c in group_cols:
+                if c not in fields:
+                    fields[c] = ""
+        agg = GroupBy(fields=fields, operations=ops)
+        if limit is not None:
+            agg.size = limit
+        return Projection(), agg, []
+
+    # RAW
+    if len(plain) == 1 and plain[0][0] == "*":
+        projection = Projection()
+    else:
+        projection = Projection(
+            [Field(alias or _default_name(expr), SqlExpression(expr)) for expr, alias in plain]
+        )
+    return projection, Raw(size=limit or 100), []
+
+
+def _default_name(expr: str) -> str:
+    return expr if re.fullmatch(r"\w+", expr) else re.sub(r"\W+", "_", expr).strip("_")
+
+
+def TopKFromFields(fields, k, threshold, name):
+    from bullet_storm_spark.plans.query import TopK
+
+    return TopK(size=k, threshold=threshold, name=name, fields={f: "" for f in fields})

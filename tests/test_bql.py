@@ -1,0 +1,104 @@
+"""BQL front-door tests: parse -> compile -> run against sf0.001 tables."""
+
+import pytest
+
+from bullet_storm_spark import compile_query
+from bullet_storm_spark.bql import BQLError, parse
+from bullet_storm_spark.plans.query import (
+    CountDistinct,
+    Distribution,
+    DistributionType,
+    GroupBy,
+    Raw,
+    SlidingRecordWindow,
+    TopK,
+    TumblingWindow,
+)
+
+
+def run(bql, tables):
+    q = parse(bql)
+    return compile_query(q)(tables[q.source])
+
+
+def test_raw_star_with_stream_duration():
+    q = parse("SELECT * FROM STREAM(30000, TIME) WHERE value > 1 LIMIT 10")
+    assert isinstance(q.aggregation, Raw) and q.aggregation.size == 10
+    assert q.duration_ms == 30000 and q.source == "events"
+
+
+def test_raw_projection_runs(sf_tables):
+    out = run(
+        "SELECT event_id AS id, value FROM events WHERE event_type = 'error' LIMIT 7",
+        sf_tables,
+    )
+    rows = out.collect()
+    assert out.columns == ["id", "value"] and len(rows) == 7
+
+
+def test_group_all(sf_tables):
+    out = run(
+        "SELECT COUNT(*) AS cnt, SUM(value) AS s FROM events WHERE value > 0",
+        sf_tables,
+    ).collect()
+    assert len(out) == 1 and out[0]["cnt"] == 1000
+
+
+def test_group_by_with_having_order(sf_tables):
+    out = run(
+        "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type "
+        "HAVING cnt > 200 ORDER BY cnt DESC",
+        sf_tables,
+    ).collect()
+    assert [r.cnt for r in out] == sorted([r.cnt for r in out], reverse=True)
+    assert all(r.cnt > 200 for r in out)
+
+
+def test_count_distinct(sf_tables):
+    q = parse("SELECT COUNT(DISTINCT user_id) AS u FROM events")
+    assert isinstance(q.aggregation, CountDistinct)
+    out = compile_query(q)(sf_tables["events"]).collect()
+    expected = sf_tables["events"].select("user_id").distinct().count()
+    assert out[0]["u"] == expected
+
+
+def test_top_k(sf_tables):
+    q = parse("SELECT TOP(3, event_type) AS cnt FROM events")
+    assert isinstance(q.aggregation, TopK) and q.aggregation.size == 3
+    rows = compile_query(q)(sf_tables["events"]).collect()
+    assert len(rows) == 3 and rows[0]["cnt"] >= rows[1]["cnt"] >= rows[2]["cnt"]
+
+
+def test_top_k_with_threshold():
+    q = parse("SELECT TOP(5, 100, event_type, user_id) AS cnt FROM events")
+    assert q.aggregation.threshold == 100
+    assert list(q.aggregation.fields) == ["event_type", "user_id"]
+
+
+def test_distribution_forms(sf_tables):
+    q = parse("SELECT QUANTILE(value, MANUAL, 0.25, 0.5, 0.75) FROM events")
+    assert isinstance(q.aggregation, Distribution)
+    assert q.aggregation.dist_type == DistributionType.QUANTILE
+    rows = compile_query(q)(sf_tables["events"]).collect()
+    assert [r.quantile for r in rows] == [0.25, 0.5, 0.75]
+
+    q = parse("SELECT FREQ(value, MANUAL, 0, 50, 100) FROM events")
+    assert q.aggregation.dist_type == DistributionType.PMF
+    q = parse("SELECT CUMFREQ(value, MANUAL, 0, 50, 100) FROM events")
+    assert q.aggregation.dist_type == DistributionType.CDF
+
+
+def test_windowing_clauses():
+    q = parse("SELECT * FROM STREAM(60000, TIME) WINDOWING EVERY(1000, TIME)")
+    assert isinstance(q.window, TumblingWindow) and q.window.emit_every_ms == 1000
+    q = parse("SELECT * FROM STREAM(60000, TIME) WINDOWING EVERY(10, RECORD)")
+    assert isinstance(q.window, SlidingRecordWindow) and q.window.emit_every == 10
+
+
+def test_parse_errors():
+    with pytest.raises(BQLError):
+        parse("DELETE FROM events")
+    with pytest.raises(BQLError):
+        parse("SELECT * FROM STREAM(1000, TIME) WINDOWING SOMETIMES(5)")
+    with pytest.raises(BQLError):
+        parse("SELECT TOP(3) AS cnt FROM events")
