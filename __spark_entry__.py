@@ -228,6 +228,32 @@ def _core_queries() -> dict[str, Query]:
         post_aggregations=[OrderBy([("hour", True), ("event_type", True)])],
     )
 
+    # JSON props access in grouped aggregation: bucket events by the JSON
+    # 'k' attribute decile and aggregate (map-typed dynamic attributes,
+    # SURVEY.md §1.1 catch-all column pattern)
+    k_int = json_get_int("props", "k")
+    # floor() in both dialects: DuckDB CAST(double AS INT) rounds while
+    # Spark truncates, so an explicit floor keeps the engines aligned
+    bucket = SqlExpression(
+        "CAST(floor(CAST(get_json_object(props, '$.k') AS DOUBLE) / 10) AS INT)",
+        duckdb_sql=(
+            "CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10)"
+            " AS INTEGER)"
+        ),
+    )
+    qs["events_json_bucket_agg"] = Query(
+        source="events",
+        filter=gte(k_int, 0),
+        projection=Projection.of(k_bucket=bucket, value=fld("value")),
+        aggregation=GroupBy(
+            fields={"k_bucket": ""},
+            operations=[
+                _op("COUNT", None, "cnt"),
+                _op("AVG", "value", "avg_value", exact_decimal=True),
+            ],
+        ),
+        post_aggregations=[OrderBy([("k_bucket", True)])],
+    )
     return qs
 
 
@@ -448,6 +474,30 @@ _LLM_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _dedup.ngram_jaccard_pairs_sql(
             "(SELECT * FROM documents WHERE doc_id < 150)", "doc_id", "text", **_JACCARD_KW
         ),
+    ),
+    "dedup_simhash_pairs": (
+        lambda s, d: _dedup.simhash_pairs(_docs(s, d), "doc_id", "text", max_hamming=2),
+        _dedup.simhash_pairs_sql("documents", "doc_id", "text", max_hamming=2),
+    ),
+    "text_quality_filter": (
+        lambda s, d: _docs(s, d)
+        .select(
+            "doc_id",
+            "lang",
+            _text.quality_score("text").alias("quality"),
+            _text.token_count("text").alias("n_tokens"),
+        )
+        .where(
+            (F.col("lang") == "en") & (_text.quality_score("text") >= 0.5)
+        )
+        .orderBy("doc_id"),
+        f"""
+SELECT doc_id, lang, {_text.quality_score_sql('text')} AS quality,
+       {_text.token_count_sql('text')} AS n_tokens
+FROM documents
+WHERE lang = 'en' AND {_text.quality_score_sql('text')} >= 0.5
+ORDER BY doc_id
+""",
     ),
     "dedup_embedding_pairs": (
         lambda s, d: _dedup.embedding_neardup_pairs(

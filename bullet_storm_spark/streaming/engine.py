@@ -68,12 +68,22 @@ class StreamingEngine:
         clock: Callable[[], float] = time.time,
         rate_limit_records_per_s: int | None = None,
         cache_batches: bool = True,
+        config: "EngineConfig | None" = None,
     ) -> None:
+        from bullet_storm_spark.config import EngineConfig
+
         self.spark = spark
         self.clock = clock
-        self.registry = registry or QueryRegistry(clock=clock)
+        self.config = config or EngineConfig()
+        self.registry = registry or QueryRegistry(
+            clock=clock, max_duration_ms=self.config.max_query_duration_ms
+        )
         self.channel = channel or ControlChannel()
-        self.rate_limit = rate_limit_records_per_s
+        self.rate_limit = (
+            rate_limit_records_per_s
+            if rate_limit_records_per_s is not None
+            else self.config.rate_limit_records_per_s
+        )
         self.cache_batches = cache_batches
         self.results: list[tuple[str, Clip]] = []  # in-memory ResultBolt
         self.result_handlers: list[ResultHandler] = []
@@ -108,6 +118,12 @@ class StreamingEngine:
                         Clip.of([], **self._meta(rq, signal=msg.signal.value)),
                     )
             elif msg.content is not None:
+                errors = self.config.validate_query(msg.content)
+                if errors:
+                    # init-error path: FAIL clip with error metadata
+                    # (JoinBolt.java:261-268,304-306)
+                    self._emit(msg.id, Clip.error(msg.id, errors))
+                    continue
                 self.registry.submit(msg.id, msg.content)
 
     # -- data plane ----------------------------------------------------------
@@ -177,9 +193,30 @@ class StreamingEngine:
                     rq.state.reset()
                     rq.window_record_marker += win.emit_every
 
+    def _compute_partial(self, rq, cached: DataFrame):
+        """Filter -> project -> bounded partial aggregate for one query over
+        the batch. Pure Spark job; safe to run concurrently across queries
+        (the Spark scheduler interleaves jobs; FAIR mode recommended for
+        many live queries)."""
+        q = rq.query
+        df = cached
+        if q.filter is not None:
+            df = df.where(q.filter.to_column())
+        if q.projection.fields is not None:
+            df = df.select(
+                *[f.expression.to_column().alias(f.name) for f in q.projection.fields]
+            )
+        return [r.asDict() for r in rq.state.partial(df).collect()], df
+
     def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
         """The foreachBatch body. Also the deterministic test surface —
-        exactly how the reference tests drive bolts with hand-built tuples."""
+        exactly how the reference tests drive bolts with hand-built tuples.
+
+        With multiple live queries the per-query partial jobs are submitted
+        from a thread pool so Spark schedules them concurrently over the
+        (cached) batch — the multi-query multiplexing the reference got from
+        independent bolts (SURVEY.md §7.3 known-hard #1); state merge and
+        lifecycle stay single-threaded in stable submission order."""
         self._drain_control()
         active = self.registry.active()
         now_ms = int(self.clock() * 1000)
@@ -187,20 +224,16 @@ class StreamingEngine:
             return
         cached = batch_df.cache() if self.cache_batches and len(active) > 1 else batch_df
         try:
-            for rq in active:
-                q = rq.query
-                df = cached
-                if q.filter is not None:
-                    df = df.where(q.filter.to_column())
-                if q.projection.fields is not None:
-                    df = df.select(
-                        *[
-                            f.expression.to_column().alias(f.name)
-                            for f in q.projection.fields
-                        ]
+            if len(active) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(len(active), 8)) as pool:
+                    partials = list(
+                        pool.map(lambda rq: self._compute_partial(rq, cached), active)
                     )
-                partial_rows = [r.asDict() for r in rq.state.partial(df).collect()]
-                consumed_before = rq.records_consumed
+            else:
+                partials = [self._compute_partial(active[0], cached)]
+            for rq, (partial_rows, df) in zip(active, partials):
                 # records consumed this batch (for rate limit / record windows):
                 # RAW partials ARE records; aggregates report via merge deltas
                 rq.state.merge(partial_rows)
