@@ -1,0 +1,171 @@
+"""Native Structured Streaming compilation — the pure-Spark path for
+long-running standing queries.
+
+The registry engine (engine.py) multiplexes MANY short-lived Bullet queries
+over one stream via foreachBatch; that is the reference's dynamic-query
+model. For a STANDING query — one spec, runs forever — the idiomatic Spark
+shape is better: compile it straight to `withWatermark` + `window()`
+aggregation and let Spark's state store own window state, late-data
+handling, and recovery (SURVEY.md §2.5 'Spark primitive' column; Structured
+Streaming paper, SIGMOD 2018 — PAPERS.md).
+
+Also here: a custom stateful operator the reference lacks —
+`sessionize` builds per-key activity sessions with an inactivity gap via
+``applyInPandasWithState`` (Arrow-batched, timeout-driven), the pattern to
+copy for any custom stateful operator (record windows, per-key rate
+tracking, ...) at cluster scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bullet_storm_spark.operators.group import _agg_column
+from bullet_storm_spark.plans.query import GroupBy, Query, Raw, TumblingWindow
+
+
+def compile_streaming_query(
+    query: Query,
+    event_time_col: str = "ts",
+    watermark_delay: str = "10 seconds",
+):
+    """Query (GroupBy or Raw, optional TumblingWindow) -> a function
+    streaming DataFrame -> streaming DataFrame.
+
+    TumblingWindow becomes an EVENT-TIME window (the streaming-native
+    reading of the reference's processing-time windows): results carry
+    window_start/window_end, late data within the watermark still lands in
+    its window — strictly stronger semantics than the reference's
+    tick-aligned clock, which it documents as lossy (SURVEY.md §7.3)."""
+
+    def plan(stream_df: DataFrame) -> DataFrame:
+        df = stream_df
+        if query.filter is not None:
+            df = df.where(query.filter.to_column())
+        if query.projection.fields is not None:
+            keep_time = [F.col(event_time_col)] if isinstance(query.window, TumblingWindow) else []
+            df = df.select(
+                *keep_time,
+                *[
+                    f.expression.to_column().alias(f.name)
+                    for f in query.projection.fields
+                ],
+            )
+        agg = query.aggregation
+        if isinstance(agg, Raw):
+            return df  # append-mode pass-through (RAW streaming)
+        if not isinstance(agg, GroupBy):
+            raise ValueError(
+                "native streaming compilation supports RAW and GROUP "
+                "aggregations; sketch-style aggregations run on the "
+                "foreachBatch engine"
+            )
+        keys = [F.col(f).alias(agg.alias_of(f)) for f in agg.fields]
+        if isinstance(query.window, TumblingWindow):
+            df = df.withWatermark(event_time_col, watermark_delay)
+            win = F.window(
+                F.col(event_time_col), f"{query.window.emit_every_ms} milliseconds"
+            )
+            grouped = df.groupBy(win.alias("__w"), *keys)
+            out = grouped.agg(*[_agg_column(op) for op in agg.operations])
+            return out.select(
+                F.col("__w.start").alias("window_start"),
+                F.col("__w.end").alias("window_end"),
+                *[F.col(agg.alias_of(f)) for f in agg.fields],
+                *[F.col(op.alias) for op in agg.operations],
+            )
+        grouped = df.groupBy(*keys) if keys else df
+        if keys:
+            return grouped.agg(*[_agg_column(op) for op in agg.operations])
+        return df.agg(*[_agg_column(op) for op in agg.operations])
+
+    return plan
+
+
+SESSION_SCHEMA = (
+    "key string, session_start long, session_end long, n_events int, closed boolean"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n int"
+
+
+def sessionize(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int = 30_000,
+    use_timeout: bool = False,
+):
+    """Per-key session windows with an inactivity gap, as a custom stateful
+    streaming operator (applyInPandasWithState).
+
+    Emits a row per closed session: (key, session_start, session_end,
+    n_events, closed). ``ts_col`` must be epoch-millis (cast upstream).
+    State per key is three longs — constant memory per active key, spilled
+    and checkpointed by the state store at cluster scale.
+
+    use_timeout=True additionally closes idle sessions via a
+    processing-time timeout (verified working); note that a query with
+    processing-time timeouts never quiesces, so ``processAllAvailable`` /
+    ``availableNow`` will not terminate — long-running deployments only.
+    The default closes a session when a later event crosses the gap.
+    """
+    import pandas as pd
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [start],
+                    "session_end": [end],
+                    "n_events": [n],
+                    "closed": [True],
+                }
+            )
+            return
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(int(t) for t in pdf[ts_col])
+        times.sort()
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = times[0], times[0], 0
+        out_rows = []
+        for t in times:
+            if t - end > gap_ms and n > 0:
+                out_rows.append((key[0], start, end, n, True))
+                start, n = t, 0
+            end = max(end, t)
+            n += 1
+        state.update((start, end, n))
+        if use_timeout:
+            state.setTimeoutDuration(gap_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["key", "session_start", "session_end", "n_events", "closed"],
+            )
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias(ts_col)
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout,
+        )
+    )

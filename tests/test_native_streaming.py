@@ -1,0 +1,126 @@
+"""Native Structured Streaming compilation + custom stateful operators."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark import (
+    GroupBy,
+    GroupOperation,
+    GroupOpType,
+    Query,
+    Raw,
+    TumblingWindow,
+)
+from bullet_storm_spark.plans.expressions import gt
+from bullet_storm_spark.streaming.native import compile_streaming_query, sessionize
+
+
+def _write(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, tmp_path, out_df_fn, schema, chunks, mode="append"):
+    src = str(tmp_path / "in")
+    _write(spark, src, chunks[0], schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = out_df_fn(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("native_out")
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for chunk in chunks[1:]:
+            _write(spark, src, chunk, schema)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("native_out")
+
+
+def test_native_event_time_window(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, k string, v double"
+    rows1 = [
+        (t0, "a", 1.0),
+        (t0 + dt.timedelta(seconds=1), "a", 2.0),
+        (t0 + dt.timedelta(seconds=5), "b", 3.0),
+    ]
+    # second chunk advances the watermark far enough to close window 1
+    rows2 = [(t0 + dt.timedelta(seconds=60), "a", 9.0)]
+    q = Query(
+        aggregation=GroupBy(
+            fields={"k": ""},
+            operations=[
+                GroupOperation(GroupOpType.COUNT, None, "cnt"),
+                GroupOperation(GroupOpType.SUM, "v", "s"),
+            ],
+        ),
+        window=TumblingWindow(emit_every_ms=10_000),
+    )
+    plan = compile_streaming_query(q, event_time_col="ts", watermark_delay="5 seconds")
+    out = _run_stream(spark, tmp_path, plan, schema, [rows1, rows2])
+    rows = {(r.k, r.window_start): r for r in out.collect()}
+    first = rows[("a", t0)]
+    assert first.cnt == 2 and first.s == 3.0
+    assert ("b", t0) in rows and rows[("b", t0)].cnt == 1
+
+
+def test_native_raw_passthrough(spark, tmp_path):
+    schema = "ts timestamp, k string, v double"
+    t0 = dt.datetime(2024, 1, 1)
+    q = Query(filter=gt("v", 1.0), aggregation=Raw(size=100))
+    plan = compile_streaming_query(q)
+    out = _run_stream(
+        spark, tmp_path, plan, schema, [[(t0, "a", 0.5), (t0, "b", 2.0)]]
+    )
+    assert [r.k for r in out.collect()] == ["b"]
+
+
+def test_native_rejects_sketch_aggs(spark):
+    from bullet_storm_spark.plans.query import CountDistinct
+
+    with pytest.raises(ValueError, match="foreachBatch"):
+        compile_streaming_query(Query(aggregation=CountDistinct(fields=["x"])))(
+            spark.readStream.format("rate").load()
+        )
+
+
+def test_sessionize(spark, tmp_path):
+    # NOTE: processAllAvailable() can block under ProcessingTimeTimeout
+    # (every trigger may produce timeout work), so this uses a bounded
+    # availableNow trigger and asserts in-batch session closure only;
+    # timeout-driven closure is exercised by the operator's timeout branch
+    # in real deployments (verified manually — sessions close on the gap).
+    schema = "user string, ts_ms long"
+    base = 1_700_000_000_000
+    chunk1 = [
+        ("u1", base),
+        ("u1", base + 1_000),
+        ("u1", base + 2_000),
+        # gap > 5s -> closes the first session in-batch
+        ("u1", base + 60_000),
+        ("u2", base),
+    ]
+    src = str(tmp_path / "in")
+    _write(spark, src, chunk1, schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize(stream, "user", "ts_ms", gap_ms=5_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("sess_out").collect()
+    closed = {(r.key, r.session_start): r for r in rows}
+    s1 = closed[("u1", base)]
+    assert s1.n_events == 3 and s1.session_end == base + 2_000 and s1.closed
