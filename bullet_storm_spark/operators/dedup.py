@@ -91,23 +91,47 @@ def _minhash_sig_wide(
     return _sig_wide_from_toks(_tok_df(df, id_col, text_col), num_hashes, shingle_n)
 
 
+_MOD = 1 << 32
+
+
 def _sig_wide_from_toks(tok_df: DataFrame, num_hashes: int, shingle_n: int) -> DataFrame:
+    """Kirsch-Mitzenmacher double hashing: ONE md5 per shingle supplies two
+    32-bit halves (h1, h2); permutation i is (h1 + i*h2) mod 2^32. Same
+    theoretical guarantees as k independent hashes at 1/k the hash cost —
+    at 100 TB the md5 work dominates signature building, so this is the
+    difference between k passes and one."""
     sh = shingles_from_tokens(F.col("__toks"), shingle_n)
-    sh_rows = tok_df.select("__id", F.explode(sh).alias("__s"))
+    md5 = F.md5(F.col("__s"))
+    h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint")
+    sh_rows = tok_df.select("__id", F.explode(sh).alias("__s")).select(
+        "__id", h1.alias("__h1"), h2.alias("__h2")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("__s")))).alias(f"__h{i}")
+        F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(_MOD)).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
     return sh_rows.groupBy("__id").agg(*aggs)
 
 
-def _minhash_sig_sql(text_col: str, num_hashes: int, shingle_n: int) -> str:
+def _hash_pairs_sql(text_col: str, shingle_n: int) -> str:
+    """Per-document list of [h1, h2] 32-bit halves of one md5 per shingle
+    (the DuckDB twin of the Kirsch-Mitzenmacher input)."""
     sh = shingles_sql(text_col, shingle_n)
-    seeds = "[" + ", ".join(f"'{i}'" for i in range(num_hashes)) + "]"
     return (
-        f"list_transform({seeds}, sd -> "
-        f"list_min(list_transform({sh}, s -> md5(sd || '|' || s))))"
+        f"list_transform({sh}, s -> ["
+        f"('0x' || substr(md5(s), 1, 8))::BIGINT, "
+        f"('0x' || substr(md5(s), 9, 8))::BIGINT])"
     )
+
+
+def _sig_from_pairs_sql(hp: str, num_hashes: int) -> str:
+    """Signature list expression over an already-bound hash-pair column."""
+    mins = ", ".join(
+        f"list_min(list_transform({hp}, p -> (p[1] + {i} * p[2]) % {_MOD}))"
+        for i in range(num_hashes)
+    )
+    return f"[{mins}]"
 
 
 def minhash_signatures(
@@ -126,11 +150,12 @@ def minhash_signatures(
 def minhash_signatures_sql(
     table: str, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 1
 ) -> str:
-    sig = _minhash_sig_sql(text_col, num_hashes, shingle_n)
-    sh = shingles_sql(text_col, shingle_n)
+    hp = _hash_pairs_sql(text_col, shingle_n)
+    sig = _sig_from_pairs_sql("hp", num_hashes)
     return (
         f"SELECT {id_col}, array_to_string({sig}, ',') AS signature "
-        f"FROM {table} WHERE len({sh}) > 0 ORDER BY {id_col}"
+        f"FROM (SELECT {id_col}, {hp} AS hp FROM {table}) "
+        f"WHERE len(hp) > 0 ORDER BY {id_col}"
     )
 
 
@@ -220,7 +245,8 @@ def minhash_lsh_pairs_sql(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = _minhash_sig_sql(text_col, num_hashes, shingle_n)
+    hp = _hash_pairs_sql(text_col, shingle_n)
+    sig = _sig_from_pairs_sql("hp", num_hashes)
     sh = shingles_sql(text_col, shingle_n)
     band_arms = ", ".join(
         # DuckDB list slice is 1-based inclusive
@@ -228,8 +254,10 @@ def minhash_lsh_pairs_sql(
         for b in range(bands)
     )
     return f"""
-WITH base AS (
-  SELECT {id_col} AS id, {sig} AS sig, {sh} AS sh FROM {table}
+WITH pairs AS (
+  SELECT {id_col} AS id, {hp} AS hp, {sh} AS sh FROM {table}
+), base AS (
+  SELECT id, {sig} AS sig, sh FROM pairs
 ), nonempty AS (
   SELECT * FROM base WHERE len(sh) > 0
 ), banded AS (

@@ -69,6 +69,7 @@ class StreamingEngine:
         rate_limit_records_per_s: int | None = None,
         cache_batches: bool = True,
         config: "EngineConfig | None" = None,
+        enable_query_partitioner: bool = False,
     ) -> None:
         from bullet_storm_spark.config import EngineConfig
 
@@ -85,6 +86,8 @@ class StreamingEngine:
             else self.config.rate_limit_records_per_s
         )
         self.cache_batches = cache_batches
+        self.enable_query_partitioner = enable_query_partitioner
+        self.queries_pruned = 0  # partitioner effectiveness counter
         self.results: list[tuple[str, Clip]] = []  # in-memory ResultBolt
         self.result_handlers: list[ResultHandler] = []
         self._query = None  # live StreamingQuery when attached
@@ -222,22 +225,47 @@ class StreamingEngine:
         now_ms = int(self.clock() * 1000)
         if not active:
             return
-        cached = batch_df.cache() if self.cache_batches and len(active) > 1 else batch_df
+        # query-predicate partitioner (QueryManager.categorize analogue,
+        # SURVEY.md §4 row 1): one stats job over the batch prunes queries
+        # whose equality filter provably cannot match. Pruned queries skip
+        # the scan only — their window/duration lifecycle still advances.
+        scan = active
+        if self.enable_query_partitioner and len(active) > 1:
+            from bullet_storm_spark.streaming.partitioner import BatchPartitioner
+
+            part = BatchPartitioner(active)
+            if part.fields:
+                values = part.batch_values(batch_df)
+                scan = [rq for rq in active if part.should_scan(rq.id, values)]
+                self.queries_pruned += len(active) - len(scan)
+        cached = batch_df.cache() if self.cache_batches and len(scan) > 1 else batch_df
         try:
-            if len(active) > 1:
+            if len(scan) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=min(len(active), 8)) as pool:
-                    partials = list(
-                        pool.map(lambda rq: self._compute_partial(rq, cached), active)
+                with ThreadPoolExecutor(max_workers=min(len(scan), 8)) as pool:
+                    partials = dict(
+                        zip(
+                            [rq.id for rq in scan],
+                            pool.map(
+                                lambda rq: self._compute_partial(rq, cached), scan
+                            ),
+                        )
                     )
+            elif scan:
+                partials = {scan[0].id: self._compute_partial(scan[0], cached)}
             else:
-                partials = [self._compute_partial(active[0], cached)]
-            for rq, (partial_rows, df) in zip(active, partials):
-                # records consumed this batch (for rate limit / record windows):
-                # RAW partials ARE records; aggregates report via merge deltas
-                rq.state.merge(partial_rows)
-                rq.records_consumed += self._batch_record_count(partial_rows, rq, df)
+                partials = {}
+            for rq in active:
+                if rq.id in partials:
+                    partial_rows, df = partials[rq.id]
+                    # records consumed this batch (rate limit / record
+                    # windows): RAW partials ARE records; aggregates report
+                    # via merge deltas
+                    rq.state.merge(partial_rows)
+                    rq.records_consumed += self._batch_record_count(
+                        partial_rows, rq, df
+                    )
 
                 # rate limiting (JoinBolt.java:159-160,194-208)
                 if self.rate_limit is not None:
