@@ -585,6 +585,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         aggregation=CountDistinct(fields=["user_id"], name="count", exact=False),
     )
     out["count_distinct_users_approx"] = _make_runner(q_approx)
+    # approximate quantiles (bounded-state KLL contract): rows-only check
+    out["distribution_quantile_approx"] = _make_runner(
+        Query(
+            source="events",
+            aggregation=Distribution(
+                field="value",
+                dist_type=DistributionType.QUANTILE,
+                points=[0.1, 0.5, 0.9],
+                approx=True,
+            ),
+        )
+    )
     for name, (fn, _) in _JOINS.items():
         out[name] = fn
     for name, (fn, _) in _LLM_OPS.items():

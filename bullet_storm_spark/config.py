@@ -53,6 +53,11 @@ class EngineConfig:
     rate_limit_records_per_s: int | None = None
     window_disable: bool = False  # bullet.query.window.disable analogue
     window_min_emit_every_ms: int = field(default=0)  # 0 -> derived
+    # result metadata (SURVEY.md §2.7): RESULT_METADATA_ENABLE + the
+    # concept -> key mapping (JoinBoltTest.java:227-233). Keys here rename
+    # the default concept keys in every emitted Clip's meta.
+    result_meta_enable: bool = True
+    result_meta_keys: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.tick_interval_ms < TICK_INTERVAL_MS_MIN:

@@ -75,9 +75,12 @@ def apply(df: DataFrame, agg: Distribution, post: Sequence[PostAggregation]) -> 
         raise ValueError("Distribution requires at least one point")
 
     if agg.dist_type == DistributionType.QUANTILE:
-        row = df.where(v.isNotNull()).agg(
-            F.percentile(v, F.lit(points)).alias("__vals")
+        pct = (
+            F.percentile_approx(v, F.lit(points), F.lit(agg.accuracy))
+            if agg.approx
+            else F.percentile(v, F.lit(points))
         )
+        row = df.where(v.isNotNull()).agg(pct.alias("__vals"))
         fracs = F.lit(points)
         out = (
             row.select(F.posexplode("__vals").alias("__i", VALUE_FIELD))
@@ -152,6 +155,11 @@ def apply(df: DataFrame, agg: Distribution, post: Sequence[PostAggregation]) -> 
 
 
 def sql(agg: Distribution, base_sql: str, post: Sequence[PostAggregation]) -> str:
+    if agg.approx and agg.dist_type == DistributionType.QUANTILE:
+        raise ValueError(
+            "approximate QUANTILE has no exact SQL oracle; omit the oracle "
+            "entry for a rows-only check"
+        )
     points = [float(p) for p in agg.points]
     f = agg.field
     rnd = agg.round_to

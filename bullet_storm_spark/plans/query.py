@@ -162,6 +162,11 @@ class Distribution(Aggregation):
     dist_type: DistributionType = DistributionType.QUANTILE
     points: Sequence[float] = ()
     round_to: int | None = 6
+    # approx=True: QUANTILE via approx_percentile (bounded quantile-summary
+    # state — the KLL-sketch contract; PMF/CDF are already O(k) exact).
+    # No exact SQL oracle; the driver records a rows-only check.
+    approx: bool = False
+    accuracy: int = 10_000
 
     @staticmethod
     def linspace(start: float, end: float, num: int) -> list[float]:
@@ -185,6 +190,10 @@ class TopK(Aggregation):
     threshold: int | None = None
     name: str = "count"
     fields: dict[str, str] = dc_field(default_factory=dict)
+    # sketch_capacity=None -> exact counts (unbounded key state);
+    # an integer m -> SpaceSaving summary with m counters in the streaming
+    # engine (bounded state at any cardinality, NO_FALSE_NEGATIVES)
+    sketch_capacity: int | None = None
 
     def alias_of(self, field: str) -> str:
         alias = self.fields.get(field, "")
@@ -230,18 +239,25 @@ PostAggregation = Any  # OrderBy | Having | Computation | Culling
 
 @dataclass
 class TumblingWindow:
-    """TIME-based tumbling window: emit + reset every ``emit_every_ms``
-    (JoinBoltTest.java:1288; M/JoinBolt.java:252-259)."""
+    """TIME-based window: emit every ``emit_every_ms``
+    (JoinBoltTest.java:1288; M/JoinBolt.java:252-259).
+
+    include_all=False -> tumbling: state resets after each emission
+    (Querier.reset). include_all=True -> additive: each emission covers
+    everything since query start (bullet-core Window include=ALL)."""
 
     emit_every_ms: int
+    include_all: bool = False
 
 
 @dataclass
 class SlidingRecordWindow:
     """RECORD-based window: emit every ``emit_every`` records consumed
-    (FilterBoltTest.java:396-411 — RECORD,1 emits per record)."""
+    (FilterBoltTest.java:396-411 — RECORD,1 emits per record).
+    include_all mirrors TumblingWindow."""
 
     emit_every: int = 1
+    include_all: bool = False
 
 
 WindowSpec = Any  # TumblingWindow | SlidingRecordWindow | None

@@ -47,6 +47,17 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     shuffle = shuffle_partitions if shuffle_partitions is not None else cpus
 
+    # Python workers unpickle mapInPandas closures by module reference; make
+    # sure they can import this package no matter the driver's cwd (local
+    # mode workers inherit the driver process env). On a real cluster, ship
+    # the package with --py-files / addArtifact instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

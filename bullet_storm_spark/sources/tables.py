@@ -42,6 +42,14 @@ def sf_dir() -> str:
 
 
 def load_table(spark: SparkSession, directory: str, name: str) -> DataFrame:
+    if name == "events":
+        # the driver may hand us a session without our defaults; the nanos
+        # flag is runtime-settable, so apply it defensively (without it the
+        # TIMESTAMP(NANOS) column is an unreadable PARQUET_TYPE_ILLEGAL)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(directory, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(

@@ -88,6 +88,7 @@ class StreamingEngine:
         self.cache_batches = cache_batches
         self.enable_query_partitioner = enable_query_partitioner
         self.queries_pruned = 0  # partitioner effectiveness counter
+        self.batches_processed = 0
         self.results: list[tuple[str, Clip]] = []  # in-memory ResultBolt
         self.result_handlers: list[ResultHandler] = []
         self._query = None  # live StreamingQuery when attached
@@ -132,6 +133,10 @@ class StreamingEngine:
     # -- data plane ----------------------------------------------------------
 
     def _meta(self, rq, signal: str | None = None, windowed: bool = False) -> dict:
+        if not self.config.result_meta_enable:
+            # metadata disabled: signals still flow (control correctness),
+            # enrichment concepts are dropped (RESULT_METADATA_ENABLE=false)
+            return {SIGNAL_KEY: signal} if signal is not None else {}
         meta: dict[str, Any] = {
             QUERY_ID_KEY: rq.id,
             QUERY_RECEIVE_TIME_KEY: rq.receive_time_ms,
@@ -142,6 +147,9 @@ class StreamingEngine:
             meta[SIGNAL_KEY] = signal
             if signal in (Signal.COMPLETE.value, Signal.FAIL.value, Signal.KILL.value):
                 meta[QUERY_FINISH_TIME_KEY] = int(self.clock() * 1000)
+        remap = self.config.result_meta_keys
+        if remap:
+            meta = {remap.get(k, k): v for k, v in meta.items()}
         return meta
 
     def _finish(self, rq, signal: Signal) -> None:
@@ -166,7 +174,8 @@ class StreamingEngine:
                     rq.id,
                     Clip.of(rq.state.result(), **self._meta(rq, windowed=True)),
                 )
-                rq.state.reset()
+                if not win.include_all:  # include=ALL -> additive window
+                    rq.state.reset()
                 rq.last_window_close_ms = now_ms
         elif isinstance(win, SlidingRecordWindow):
             from bullet_storm_spark.streaming.state import RawState
@@ -193,7 +202,8 @@ class StreamingEngine:
                         rq.id,
                         Clip.of(rq.state.result(), **self._meta(rq, windowed=True)),
                     )
-                    rq.state.reset()
+                    if not win.include_all:
+                        rq.state.reset()
                     rq.window_record_marker += win.emit_every
 
     def _compute_partial(self, rq, cached: DataFrame):
@@ -221,6 +231,7 @@ class StreamingEngine:
         independent bolts (SURVEY.md §7.3 known-hard #1); state merge and
         lifecycle stay single-threaded in stable submission order."""
         self._drain_control()
+        self.batches_processed += 1
         active = self.registry.active()
         now_ms = int(self.clock() * 1000)
         if not active:
@@ -312,6 +323,20 @@ class StreamingEngine:
             or self.rate_limit is not None
         )
         return df.count() if needs_count else 0
+
+    def stats(self) -> dict[str, Any]:
+        """Engine statistics — the FilterBolt periodic stats report
+        (M/FilterBolt.java:153-158,177-185) as a pull-based surface."""
+        return {
+            "active_queries": len(self.registry.active()),
+            "batches_processed": self.batches_processed,
+            "results_emitted": len(self.results),
+            "duplicates_ignored": self.registry.duplicates_ignored,
+            "queries_pruned": self.queries_pruned,
+            "records_consumed": sum(
+                rq.records_consumed for rq in self.registry.queries.values()
+            ),
+        }
 
     def tick(self) -> None:
         """Clock-only tick with no data (TickSpout analogue): advances

@@ -225,14 +225,22 @@ class CountDistinctState(QueryState):
 
 
 class TopKState(QueryState):
-    """Exact frequency merge with the frequent-items output shape
-    (stringified values, 'null' rendering, count desc —
-    FilterBoltTest.java:788-832)."""
+    """Frequency merge with the frequent-items output shape (stringified
+    values, 'null' rendering, count desc — FilterBoltTest.java:788-832).
+
+    agg.sketch_capacity=None -> exact dict (state ∝ distinct keys seen);
+    otherwise a SpaceSaving summary bounds state to m counters at any key
+    cardinality — the reference's frequent-items-sketch contract."""
 
     def __init__(self, agg: TopK):
         self.agg = agg
         self.aliases = [agg.alias_of(f) for f in agg.fields]
         self.counts: dict[tuple, int] = {}
+        self.sketch = None
+        if agg.sketch_capacity is not None:
+            from bullet_storm_spark.operators.sketches import SpaceSavingSketch
+
+            self.sketch = SpaceSavingSketch(agg.sketch_capacity)
 
     def partial(self, df: DataFrame) -> DataFrame:
         keys = [
@@ -246,9 +254,19 @@ class TopKState(QueryState):
     def merge(self, rows: list[dict[str, Any]]) -> None:
         for row in rows:
             key = tuple(row[a] for a in self.aliases)
-            self.counts[key] = self.counts.get(key, 0) + row["__c"]
+            if self.sketch is not None:
+                self.sketch.offer(key, row["__c"])
+            else:
+                self.counts[key] = self.counts.get(key, 0) + row["__c"]
 
     def result(self) -> list[dict[str, Any]]:
+        if self.sketch is not None:
+            out = []
+            for key, est, _err in self.sketch.top(self.agg.size, self.agg.threshold):
+                row = dict(zip(self.aliases, key))
+                row[self.agg.name] = est
+                out.append(row)
+            return out
         items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
         out = []
         for key, cnt in items[: self.agg.size]:
@@ -261,6 +279,10 @@ class TopKState(QueryState):
 
     def reset(self) -> None:
         self.counts = {}
+        if self.sketch is not None:
+            from bullet_storm_spark.operators.sketches import SpaceSavingSketch
+
+            self.sketch = SpaceSavingSketch(self.agg.sketch_capacity)
 
 
 class DistributionState(QueryState):

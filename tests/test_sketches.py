@@ -1,0 +1,68 @@
+"""SpaceSaving sketch: guarantees, merge, batch operator, streaming state."""
+
+import random
+
+from bullet_storm_spark import Query, TopK
+from bullet_storm_spark.operators.sketches import SpaceSavingSketch, top_k_sketch
+from bullet_storm_spark.streaming import QueryRegistry, StreamingEngine
+
+
+def test_no_false_negatives_and_error_bounds():
+    # zipf-ish stream: key i appears 1000//(i+1) times
+    stream = []
+    for i in range(200):
+        stream += [f"k{i}"] * (1000 // (i + 1))
+    random.Random(7).shuffle(stream)
+    sketch = SpaceSavingSketch(capacity=64)
+    for x in stream:
+        sketch.offer(x)
+    true = {}
+    for x in stream:
+        true[x] = true.get(x, 0) + 1
+    top = sketch.top(10)
+    true_top = sorted(true.items(), key=lambda kv: -kv[1])[:10]
+    # no false negatives: every true heavy hitter is present
+    assert {k for k, _ in true_top} <= {k for k, _, _ in top}
+    for key, est, err in top:
+        assert est >= true[key]            # overestimate only
+        assert est - err <= true[key]      # error bound holds
+
+
+def test_merge_matches_single_sketch_estimates():
+    a, b = SpaceSavingSketch(32), SpaceSavingSketch(32)
+    for i in range(500):
+        a.offer(f"k{i % 20}")
+        b.offer(f"k{i % 30}")
+    a.merge(b)
+    top = a.top(5)
+    assert top[0][1] >= top[-1][1]
+    # heavy keys (in both halves) dominate
+    assert all(key[0] == "k" for key, _, _ in [(k, e, r) for k, e, r in top])
+
+
+def test_top_k_sketch_batch_operator(spark):
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [(None,)] * 8
+    df = spark.createDataFrame(rows, "x string").repartition(4)
+    out = top_k_sketch(df, {"x": ""}, k=3, name="cnt", capacity=100).collect()
+    got = [(r.x, r.cnt) for r in out]
+    assert got == [("a", 50), ("b", 30), ("null", 8)]
+    assert all(r.cnt_error == 0 for r in out)  # capacity > cardinality -> exact
+
+
+def test_streaming_topk_sketch_state(spark):
+    engine = StreamingEngine(spark)
+    engine.submit(
+        "sk",
+        Query(
+            aggregation=TopK(
+                size=3, name="cnt", fields={"k": ""}, sketch_capacity=50
+            ),
+            duration_ms=600_000,
+        ),
+    )
+    batch1 = spark.createDataFrame([(f"k{i % 40}",) for i in range(400)], "k string")
+    batch2 = spark.createDataFrame([("k1",)] * 100, "k string")
+    engine.process_batch(batch1)
+    engine.process_batch(batch2)
+    rows = engine.registry.queries["sk"].state.result()
+    assert rows[0]["k"] == "k1" and rows[0]["cnt"] == 110
