@@ -70,6 +70,7 @@ class StreamingEngine:
         cache_batches: bool = True,
         config: "EngineConfig | None" = None,
         enable_query_partitioner: bool = False,
+        enable_shared_scan: bool = True,
     ) -> None:
         from bullet_storm_spark.config import EngineConfig
 
@@ -87,7 +88,9 @@ class StreamingEngine:
         )
         self.cache_batches = cache_batches
         self.enable_query_partitioner = enable_query_partitioner
+        self.enable_shared_scan = enable_shared_scan
         self.queries_pruned = 0  # partitioner effectiveness counter
+        self.shared_scan_queries = 0  # queries served by shared-scan jobs
         self.batches_processed = 0
         self.results: list[tuple[str, Clip]] = []  # in-memory ResultBolt
         self.result_handlers: list[ResultHandler] = []
@@ -249,7 +252,24 @@ class StreamingEngine:
                 values = part.batch_values(batch_df)
                 scan = [rq for rq in active if part.should_scan(rq.id, values)]
                 self.queries_pruned += len(active) - len(scan)
-        cached = batch_df.cache() if self.cache_batches and len(scan) > 1 else batch_df
+        # shared scan (multiquery.py): collapse shareable aggregation queries
+        # into ONE grouping-sets job; the rest run per-query
+        shared: list = []
+        if self.enable_shared_scan and len(scan) > 1:
+            from bullet_storm_spark.streaming.multiquery import is_shareable
+
+            shared = [
+                rq
+                for rq in scan
+                if is_shareable(rq, rate_limited=self.rate_limit is not None)
+            ]
+            if len(shared) < 2:
+                shared = []
+            else:
+                scan = [rq for rq in scan if rq not in shared]
+        # shared queries plan into one job per distinct key-set (usually >1)
+        n_jobs = len(scan) + (2 if shared else 0)
+        cached = batch_df.cache() if self.cache_batches and n_jobs > 1 else batch_df
         try:
             if len(scan) > 1:
                 from concurrent.futures import ThreadPoolExecutor
@@ -267,6 +287,18 @@ class StreamingEngine:
                 partials = {scan[0].id: self._compute_partial(scan[0], cached)}
             else:
                 partials = {}
+            if shared:
+                from bullet_storm_spark.streaming.multiquery import shared_partials
+
+                try:
+                    for qid, rows in shared_partials(cached, shared).items():
+                        partials[qid] = (rows, None)
+                    self.shared_scan_queries += len(shared)
+                except Exception:
+                    # planning/execution failure: fall back to the
+                    # per-query path for correctness
+                    for rq in shared:
+                        partials[rq.id] = self._compute_partial(rq, cached)
             for rq in active:
                 if rq.id in partials:
                     partial_rows, df = partials[rq.id]
@@ -333,6 +365,7 @@ class StreamingEngine:
             "results_emitted": len(self.results),
             "duplicates_ignored": self.registry.duplicates_ignored,
             "queries_pruned": self.queries_pruned,
+            "shared_scan_queries": self.shared_scan_queries,
             "records_consumed": sum(
                 rq.records_consumed for rq in self.registry.queries.values()
             ),

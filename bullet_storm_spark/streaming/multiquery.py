@@ -1,0 +1,264 @@
+"""Shared-scan multi-query evaluation — N live queries, few Spark jobs.
+
+The engine's baseline multiplexing runs one job per live query per batch.
+This planner batches every *shareable* query into one aggregation job per
+DISTINCT KEY-SET:
+
+  pre-select: per job -> each member query's boolean filter column f_i and
+              the job's canonical key columns (queries grouping on the same
+              expression share one column and one job)
+  groupBy   : the key-set's columns (no GROUPING SETS — an Expand would
+              duplicate every input row once per key-set, which benchmarks
+              slower than per-set jobs over the cached batch)
+  agg       : per member query, its partial aggregates made conditional on
+              f_i (sum(when(f_i, x)), min(when(f_i, x)), ...), plus a match
+              count; groups with zero matches for a query are artifacts of
+              other members' rows and are dropped at split time
+
+With Q queries over K distinct key-sets this is K jobs instead of Q — e.g.
+a fleet of GROUP ALL health queries is ONE keyless aggregate regardless of
+fleet size. This is the reference's QueryManager one-record-many-queries
+fan-out (SURVEY.md §4 row 1 / §7.3 known-hard #1) as Catalyst plans.
+
+Shareable: GROUP ALL / GROUP BY, TOP K, DISTRIBUTION PMF/CDF — anything
+whose partial is a (possibly keyless) hash aggregation. Not shareable:
+RAW (limit semantics), COUNT DISTINCT (distinct-row / sketch partials),
+QUANTILE (value-sample partials), and queries needing per-batch record
+counts (record windows / rate limits) — those run on the per-query path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bullet_storm_spark.operators.top_k import NULL_RENDERING
+from bullet_storm_spark.plans.query import (
+    DistributionType,
+    GroupBy,
+    GroupOpType,
+    SlidingRecordWindow,
+    TopK,
+)
+from bullet_storm_spark.streaming.state import (
+    DistributionState,
+    GroupState,
+    TopKState,
+)
+
+
+def is_shareable(rq, rate_limited: bool) -> bool:
+    if rate_limited or isinstance(rq.query.window, SlidingRecordWindow):
+        return False
+    state = rq.state
+    if isinstance(state, (GroupState, TopKState)):
+        return True
+    if isinstance(state, DistributionState):
+        return state.agg.dist_type != DistributionType.QUANTILE
+    return False
+
+
+@dataclass
+class _Member:
+    rq: Any
+    prefix: str
+    agg_cols: list[Column] = field(default_factory=list)
+    rename: dict[str, str] = field(default_factory=dict)  # result col -> partial name
+    keyed: bool = False
+
+
+@dataclass
+class _Job:
+    key_names: list[str] = field(default_factory=list)
+    key_cols: dict[str, Column] = field(default_factory=dict)
+    value_cols: dict[str, Column] = field(default_factory=dict)
+    members: list[_Member] = field(default_factory=list)
+
+
+def _resolver(rq):
+    proj = rq.query.projection
+    if proj.fields is None:
+        return lambda name: (F.col(name), f"raw:{name}")
+    env = {f.name: f.expression.to_column() for f in proj.fields}
+    return lambda name: (env[name], f"proj:{rq.id}:{name}")
+
+
+def _canon(tag: str) -> str:
+    """Canonical ids become column names; keep them identifier-safe."""
+    return "k_" + "".join(c if c.isalnum() else "_" for c in tag)
+
+
+def plan_jobs(queries) -> list[_Job]:
+    jobs: dict[tuple, _Job] = {}
+    for i, rq in enumerate(queries):
+        state = rq.state
+        resolve = _resolver(rq)
+        prefix = f"q{i}__"
+        key_cols: dict[str, Column] = {}
+        key_to_alias: dict[str, str] = {}
+
+        if isinstance(state, GroupState):
+            agg: GroupBy = state.agg
+            for fname in agg.fields:
+                col, tag = resolve(fname)
+                name = _canon(f"plain:{tag}")
+                key_cols[name] = col
+                key_to_alias[name] = agg.alias_of(fname)
+            keyed = bool(agg.fields)
+        elif isinstance(state, TopKState):
+            agg_t: TopK = state.agg
+            for fname in agg_t.fields:
+                col, tag = resolve(fname)
+                name = _canon(f"str:{tag}")
+                key_cols[name] = F.coalesce(
+                    col.cast("string"), F.lit(NULL_RENDERING)
+                )
+                key_to_alias[name] = agg_t.alias_of(fname)
+            keyed = True
+        else:  # DistributionState PMF/CDF
+            col, tag = resolve(state.agg.field)
+            v = col.cast("double")
+            bin_idx = F.lit(0)
+            for pt in state.points:
+                bin_idx = bin_idx + (v >= F.lit(pt)).cast("int")
+            name = _canon(f"bin:{tag}:{','.join(map(repr, state.points))}")
+            key_cols[name] = bin_idx
+            key_to_alias[name] = "__bin"
+            keyed = True
+
+        job_key = tuple(sorted(key_cols))
+        job = jobs.setdefault(job_key, _Job(key_names=sorted(key_cols)))
+        for name, col in key_cols.items():
+            job.key_cols[name] = col
+
+        member = _Member(rq=rq, prefix=prefix, keyed=keyed)
+        for name, alias in key_to_alias.items():
+            member.rename[name] = alias
+        _add_agg_cols(member, state, rq, resolve, job)
+        job.members.append(member)
+    return list(jobs.values())
+
+
+def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
+    p = member.prefix
+    q = rq.query
+    fcol = q.filter.to_column() if q.filter is not None else F.lit(True)
+    fname = f"{p}f"
+    job.value_cols[fname] = fcol
+    f_ref = F.col(fname)
+
+    if isinstance(state, GroupState):
+        for j, op in enumerate(state.agg.operations):
+            t = op.op
+            if t == GroupOpType.COUNT:
+                c = F.sum(F.when(f_ref, 1).otherwise(0)).cast("bigint")
+                member.agg_cols.append(c.alias(f"{p}c{j}"))
+                member.rename[f"{p}c{j}"] = f"__c{j}"
+                continue
+            vcol, _ = resolve(op.field)
+            vname = f"{p}v{j}"
+            if t == GroupOpType.COUNT_FIELD:
+                job.value_cols[vname] = vcol
+                c = F.sum(
+                    F.when(f_ref & F.col(vname).isNotNull(), 1).otherwise(0)
+                ).cast("bigint")
+                member.agg_cols.append(c.alias(f"{p}c{j}"))
+                member.rename[f"{p}c{j}"] = f"__c{j}"
+            elif t in (GroupOpType.SUM, GroupOpType.AVG):
+                job.value_cols[vname] = vcol.cast("double")
+                member.agg_cols.append(
+                    F.sum(F.when(f_ref, F.col(vname))).alias(f"{p}s{j}")
+                )
+                member.agg_cols.append(
+                    F.sum(F.when(f_ref & F.col(vname).isNotNull(), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"{p}n{j}")
+                )
+                member.rename[f"{p}s{j}"] = f"__s{j}"
+                member.rename[f"{p}n{j}"] = f"__n{j}"
+            elif t in (GroupOpType.MIN, GroupOpType.MAX):
+                job.value_cols[vname] = vcol
+                fn = F.min if t == GroupOpType.MIN else F.max
+                member.agg_cols.append(
+                    fn(F.when(f_ref, F.col(vname))).alias(f"{p}m{j}")
+                )
+                member.rename[f"{p}m{j}"] = f"__m{j}"
+        member.agg_cols.append(
+            F.sum(F.when(f_ref, 1).otherwise(0)).alias(f"{p}match")
+        )
+
+    elif isinstance(state, TopKState):
+        c = F.sum(F.when(f_ref, 1).otherwise(0)).cast("bigint")
+        member.agg_cols.append(c.alias(f"{p}c"))
+        member.rename[f"{p}c"] = "__c"
+        member.agg_cols.append(
+            F.sum(F.when(f_ref, 1).otherwise(0)).alias(f"{p}match")
+        )
+
+    else:  # DistributionState PMF/CDF: null values never count
+        vcol, _ = resolve(state.agg.field)
+        effname = f"{p}fv"
+        job.value_cols[effname] = f_ref & vcol.cast("double").isNotNull()
+        eff = F.col(effname)
+        c = F.sum(F.when(eff, 1).otherwise(0)).cast("bigint")
+        member.agg_cols.append(c.alias(f"{p}c"))
+        member.rename[f"{p}c"] = "__c"
+        member.agg_cols.append(F.sum(F.when(eff, 1).otherwise(0)).alias(f"{p}match"))
+
+
+# max queries folded into one aggregation plan: beyond this, analysis +
+# codegen cost of the giant expression list dominates (measured: 93 GROUP
+# ALLs in one plan ran slower than 93 small jobs)
+MAX_MEMBERS_PER_JOB = 16
+
+
+def shared_partials(batch_df: DataFrame, queries) -> dict[str, list[dict[str, Any]]]:
+    """Compute every query's partial rows in one job per distinct key-set
+    (chunked to MAX_MEMBERS_PER_JOB queries per plan). Chunk jobs execute
+    concurrently — on low-partition batches a single job can't use the
+    cluster, so concurrency across jobs supplies the parallelism, exactly
+    like the per-query path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    result: dict[str, list[dict[str, Any]]] = {rq.id: [] for rq in queries}
+    chunks: list[tuple[Any, list[_Member]]] = []
+    for job in plan_jobs(queries):
+        for start in range(0, len(job.members), MAX_MEMBERS_PER_JOB):
+            members = job.members[start : start + MAX_MEMBERS_PER_JOB]
+            needed_values = {
+                name: col
+                for name, col in job.value_cols.items()
+                if any(name.startswith(m.prefix) for m in members)
+            }
+            pre_cols = [col.alias(name) for name, col in job.key_cols.items()]
+            pre_cols += [col.alias(name) for name, col in needed_values.items()]
+            pre = batch_df.select(*pre_cols)
+            aggs: list[Column] = []
+            for m in members:
+                aggs.extend(m.agg_cols)
+            if job.key_names:
+                out = pre.groupBy(*[F.col(k) for k in job.key_names]).agg(*aggs)
+            else:
+                out = pre.agg(*aggs)
+            chunks.append((out, members))
+
+    def run(chunk):
+        out, members = chunk
+        return [r.asDict() for r in out.collect()], members
+
+    if len(chunks) > 1:
+        with ThreadPoolExecutor(max_workers=min(len(chunks), 8)) as pool:
+            computed = list(pool.map(run, chunks))
+    else:
+        computed = [run(chunks[0])] if chunks else []
+    for rows, members in computed:
+        for row in rows:
+            for m in members:
+                if m.keyed and not row.get(f"{m.prefix}match"):
+                    continue
+                result[m.rq.id].append(
+                    {out_name: row[in_name] for in_name, out_name in m.rename.items()}
+                )
+    return result
