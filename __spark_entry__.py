@@ -35,6 +35,7 @@ from bullet_storm_spark.plans.expressions import (
     BinaryExpression,
     Operation,
     SqlExpression,
+    binop,
     eq,
     fld,
     gt,
@@ -226,6 +227,41 @@ def _core_queries() -> dict[str, Query]:
             size=1000000,
         ),
         post_aggregations=[OrderBy([("hour", True), ("event_type", True)])],
+    )
+
+    # REGEX_LIKE filter (bullet-core Operation REGEX_LIKE — SURVEY.md §2.2)
+    qs["raw_regex_filter"] = Query(
+        source="part",
+        filter=binop(fld("p_brand"), Operation.REGEX_LIKE, val("^Brand#1[0-9]$"))
+        & gt("p_size", 20),
+        projection=Projection.of(
+            partkey=fld("p_partkey"), type=fld("p_type"), size=fld("p_size")
+        ),
+        aggregation=Raw(size=100),
+        post_aggregations=[OrderBy([("partkey", True)])],
+    )
+
+    # part-table stats: GROUP BY brand with MIN/MAX/AVG over retail price
+    qs["part_brand_stats"] = Query(
+        source="part",
+        aggregation=GroupBy(
+            fields={"p_brand": "brand"},
+            operations=[
+                _op("COUNT", None, "cnt"),
+                _op("MIN", "p_retailprice", "min_price"),
+                _op("MAX", "p_retailprice", "max_price"),
+                _op("AVG", "p_retailprice", "avg_price", exact_decimal=True),
+            ],
+        ),
+        post_aggregations=[OrderBy([("brand", True)])],
+    )
+
+    # orders priority frequencies (TOP K over a second table)
+    qs["top_k_order_priority"] = Query(
+        source="orders",
+        aggregation=TopK(
+            size=5, name="cnt", fields={"o_orderpriority": "priority"}
+        ),
     )
 
     # JSON props access in grouped aggregation: bucket events by the JSON
@@ -474,6 +510,16 @@ _LLM_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _dedup.ngram_jaccard_pairs_sql(
             "(SELECT * FROM documents WHERE doc_id < 150)", "doc_id", "text", **_JACCARD_KW
         ),
+    ),
+    "dedup_minhash_filtered": (
+        lambda s, d: _dedup.deduplicate(_docs(s, d), "doc_id", "text", **_MINHASH_KW)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+        f"""
+SELECT doc_id, lang, source, n_chars
+FROM ({_dedup.deduplicate_sql('documents', 'doc_id', 'text', **_MINHASH_KW)})
+ORDER BY doc_id
+""",
     ),
     "dedup_simhash_pairs": (
         lambda s, d: _dedup.simhash_pairs(_docs(s, d), "doc_id", "text", max_hamming=2),

@@ -281,6 +281,51 @@ ORDER BY id_a, id_b
 """
 
 
+def deduplicate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """End-to-end dedup: the surviving rows after exact + near-duplicate
+    removal. Survivor policy (deterministic): within each near-dup pair the
+    higher id drops — i.e. a row survives iff it never appears as the
+    greater id of a verified pair. Exact duplicates are near-dups with
+    jaccard 1.0, so one pipeline covers both.
+
+    Physically: the minhash pipeline produces the (small) pair set, and a
+    broadcast anti-join removes the losers — the full table is scanned
+    once, never joined to itself."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    )
+    losers = pairs.select(F.col("id_b").alias("__loser")).distinct()
+    return df.join(
+        F.broadcast(losers), F.col(id_col) == F.col("__loser"), "left_anti"
+    )
+
+
+def deduplicate_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+) -> str:
+    pairs = minhash_lsh_pairs_sql(
+        table, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    )
+    return f"""
+SELECT * FROM {table}
+WHERE {id_col} NOT IN (SELECT id_b FROM ({pairs}))
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
