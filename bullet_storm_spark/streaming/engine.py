@@ -271,22 +271,35 @@ class StreamingEngine:
         n_jobs = len(scan) + (2 if shared else 0)
         cached = batch_df.cache() if self.cache_batches and n_jobs > 1 else batch_df
         try:
+            failed: dict[str, str] = {}
+
+            def safe_partial(rq):
+                # per-query fault isolation: a broken plan FAILs that query
+                # only (JoinBolt error path, JoinBolt.java:261-268) — the
+                # rest of the batch proceeds
+                try:
+                    return self._compute_partial(rq, cached)
+                except Exception as e:  # noqa: BLE001
+                    failed[rq.id] = str(e)[:500]
+                    return None
+
             if len(scan) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=min(len(scan), 8)) as pool:
                     partials = dict(
-                        zip(
-                            [rq.id for rq in scan],
-                            pool.map(
-                                lambda rq: self._compute_partial(rq, cached), scan
-                            ),
-                        )
+                        zip([rq.id for rq in scan], pool.map(safe_partial, scan))
                     )
             elif scan:
-                partials = {scan[0].id: self._compute_partial(scan[0], cached)}
+                partials = {scan[0].id: safe_partial(scan[0])}
             else:
                 partials = {}
+            partials = {k: v for k, v in partials.items() if v is not None}
+            for rq in list(scan):
+                if rq.id in failed:
+                    self.registry.remove(rq.id, QueryStatus.FAILED)
+                    self._emit(rq.id, Clip.error(rq.id, [failed[rq.id]]))
+                    active = [a for a in active if a.id != rq.id]
             if shared:
                 from bullet_storm_spark.streaming.multiquery import shared_partials
 

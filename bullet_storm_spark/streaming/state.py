@@ -287,24 +287,43 @@ class TopKState(QueryState):
 
 class DistributionState(QueryState):
     """PMF/CDF: per-split conditional counts merge exactly (numeric add).
-    QUANTILE: a capped uniform sample of values (bounded state) with exact
-    small-input behavior — semantic parity with the KLL sketch's bounded
-    memory, not byte parity (SURVEY.md §7.3)."""
+    QUANTILE: a weighted reservoir sample (bounded state, uniform over the
+    whole stream) with exact small-input behavior — semantic parity with
+    the KLL sketch's bounded memory, not byte parity (SURVEY.md §7.3).
+
+    Per-batch sampling runs IN SPARK (random-key top-R, a
+    TakeOrderedAndProject — no full sort); the driver merges batch samples
+    into the reservoir weighted by batch sizes, deterministically seeded.
+    Streams with <= SAMPLE_CAP total values stay exact (the reference's own
+    tests assert small-input exactness)."""
 
     SAMPLE_CAP = 100_000
 
     def __init__(self, agg: Distribution):
+        import random
+
         self.agg = agg
         self.points = [float(p) for p in agg.points]
         self.bin_counts = [0] * (len(self.points) + 1)
         self.total = 0
         self.values: list[float] = []
+        self.seen = 0  # total stream values represented by the reservoir
+        self._rng = random.Random(0xB17)
+        self._batch_no = 0
 
     def partial(self, df: DataFrame) -> DataFrame:
         v = F.col(self.agg.field).cast("double")
         df = df.where(v.isNotNull())
         if self.agg.dist_type == DistributionType.QUANTILE:
-            return df.select(v.alias("__v")).limit(self.SAMPLE_CAP)
+            self._batch_no += 1
+            cnt = df.agg(F.count(F.lit(1)).alias("__n"))
+            sample = (
+                df.select(v.alias("__v"), F.rand(self._batch_no).alias("__r"))
+                .orderBy("__r")
+                .limit(self.SAMPLE_CAP)
+                .drop("__r")
+            )
+            return sample.crossJoin(F.broadcast(cnt))
         bin_idx = F.lit(0)
         for p in self.points:
             bin_idx = bin_idx + (v >= F.lit(p)).cast("int")
@@ -312,8 +331,29 @@ class DistributionState(QueryState):
 
     def merge(self, rows: list[dict[str, Any]]) -> None:
         if self.agg.dist_type == DistributionType.QUANTILE:
-            room = self.SAMPLE_CAP - len(self.values)
-            self.values.extend(r["__v"] for r in rows[:room])
+            if not rows:
+                return
+            batch_vals = [r["__v"] for r in rows]
+            batch_total = rows[0]["__n"]
+            if self.seen + batch_total <= self.SAMPLE_CAP:
+                # everything still fits: stay exact
+                self.values.extend(batch_vals)
+                self.seen += batch_total
+                return
+            # weighted reservoir merge: each slot draws from the old
+            # reservoir with probability seen/(seen+batch_total)
+            r = self.SAMPLE_CAP
+            old = list(self.values)
+            new = list(batch_vals)
+            self._rng.shuffle(old)
+            self._rng.shuffle(new)
+            p_old = self.seen / (self.seen + batch_total)
+            merged: list[float] = []
+            while len(merged) < r and (old or new):
+                take_old = old and (not new or self._rng.random() < p_old)
+                merged.append(old.pop() if take_old else new.pop())
+            self.values = merged
+            self.seen += batch_total
             return
         for r in rows:
             self.bin_counts[r["__bin"]] += r["__c"]
@@ -374,6 +414,7 @@ class DistributionState(QueryState):
         self.bin_counts = [0] * (len(self.points) + 1)
         self.total = 0
         self.values = []
+        self.seen = 0
 
 
 def make_state(query: Query) -> QueryState:
