@@ -295,11 +295,6 @@ class StreamingEngine:
             else:
                 partials = {}
             partials = {k: v for k, v in partials.items() if v is not None}
-            for rq in list(scan):
-                if rq.id in failed:
-                    self.registry.remove(rq.id, QueryStatus.FAILED)
-                    self._emit(rq.id, Clip.error(rq.id, [failed[rq.id]]))
-                    active = [a for a in active if a.id != rq.id]
             if shared:
                 from bullet_storm_spark.streaming.multiquery import shared_partials
 
@@ -308,10 +303,18 @@ class StreamingEngine:
                         partials[qid] = (rows, None)
                     self.shared_scan_queries += len(shared)
                 except Exception:
-                    # planning/execution failure: fall back to the
-                    # per-query path for correctness
+                    # planning/execution failure (e.g. one member's plan is
+                    # broken): fall back to the fault-isolated per-query
+                    # path so only the offender FAILs
                     for rq in shared:
-                        partials[rq.id] = self._compute_partial(rq, cached)
+                        out = safe_partial(rq)
+                        if out is not None:
+                            partials[rq.id] = out
+            for rq in list(active):
+                if rq.id in failed:
+                    self.registry.remove(rq.id, QueryStatus.FAILED)
+                    self._emit(rq.id, Clip.error(rq.id, [failed[rq.id]]))
+                    active = [a for a in active if a.id != rq.id]
             for rq in active:
                 if rq.id in partials:
                     partial_rows, df = partials[rq.id]
