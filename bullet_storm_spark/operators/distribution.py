@@ -92,35 +92,37 @@ def apply(df: DataFrame, agg: Distribution, post: Sequence[PostAggregation]) -> 
         return apply_post(out, post, None)
 
     if agg.dist_type == DistributionType.PMF:
-        bin_idx = F.lit(0)
-        for p in points:
-            bin_idx = bin_idx + (v >= F.lit(p)).cast("int")
-        counts = (
-            df.where(v.isNotNull())
-            .groupBy(bin_idx.alias("__bin"))
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
+        # one conditional-sum pass: bin_i count = #(v in [s_{i-1}, s_i)) via
+        # per-split prefix masses — a single aggregate row stacked to k+1
+        # bins (zero joins; empty bins emit 0 like the sketch does)
+        aggs = [
+            F.sum((v < F.lit(p)).cast("bigint")).alias(f"__lt{i}")
+            for i, p in enumerate(points)
+        ] + [F.count(F.lit(1)).alias("__total")]
+        row = df.where(v.isNotNull()).agg(*aggs)
         labels = pmf_labels(points)
-        bins = df.sparkSession.createDataFrame(
-            [(i, lbl) for i, lbl in enumerate(labels)], "__bin int, range string"
+        pairs = []
+        for i, lbl in enumerate(labels):
+            if i == 0:
+                cnt = f"coalesce(__lt0, 0L)"
+            elif i < len(points):
+                cnt = f"coalesce(__lt{i}, 0L) - coalesce(__lt{i - 1}, 0L)"
+            else:
+                cnt = f"__total - coalesce(__lt{len(points) - 1}, 0L)"
+            pairs += [f"'{lbl}'", f"({cnt})"]
+        stacked = row.select(
+            F.expr(
+                f"stack({len(labels)}, {', '.join(pairs)}) "
+                f"AS ({RANGE_FIELD}, {COUNT_FIELD})"
+            ),
+            F.col("__total"),
         )
-        joined = (
-            bins.join(F.broadcast(counts), "__bin", "left")
-            .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)).cast("bigint"))
-        )
-        total = counts.agg(F.sum("__c").cast("double").alias("__t"))
-        out = (
-            joined.crossJoin(F.broadcast(total))
-            .select(
-                F.col("__bin"),
-                F.col(RANGE_FIELD),
-                F.col("__c").alias(COUNT_FIELD),
-                _round(F.col("__c") / F.col("__t"), agg.round_to).alias(
-                    PROBABILITY_FIELD
-                ),
-            )
-            .orderBy("__bin")
-            .drop("__bin")
+        out = stacked.select(
+            RANGE_FIELD,
+            COUNT_FIELD,
+            _round(F.col(COUNT_FIELD) / F.col("__total"), agg.round_to).alias(
+                PROBABILITY_FIELD
+            ),
         )
         return apply_post(out, post, None)
 
