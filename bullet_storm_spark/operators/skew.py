@@ -1,0 +1,66 @@
+"""Skew-aware aggregation: salted two-phase groupBy.
+
+AQE's skew handling covers joins and post-shuffle coalescing, but a
+pathological hot GROUP BY key (one key holding most rows) still funnels its
+partial-aggregated row stream through one reducer when per-partition group
+counts are large. Salting splits each key into ``salt_buckets`` sub-keys
+for the first aggregation, then re-aggregates the (tiny) salted results —
+two shuffles, both uniform.
+
+Use when a known-skewed key (e.g. the empty-string user id, the null
+bucket, one viral document) dominates; for well-distributed keys the plain
+single-shuffle groupBy wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bullet_storm_spark.plans.query import GroupOperation, GroupOpType
+
+_DECIMAL = "decimal(38,6)"
+
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: list[str],
+    operations: list[GroupOperation],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """groupBy(keys).agg(operations) with salted pre-aggregation. Supports
+    COUNT / COUNT_FIELD / SUM / MIN / MAX / AVG; results are identical to
+    the unsalted plan (decimal accumulators keep sums order-independent)."""
+    salt = (F.rand(42) * salt_buckets).cast("int").alias("__salt")
+    stage1_aggs: list[Column] = []
+    stage2_aggs: list[Column] = []
+    for i, op in enumerate(operations):
+        f = F.col(op.field) if op.field else None
+        t = op.op
+        if t in (GroupOpType.COUNT, GroupOpType.COUNT_FIELD):
+            src = F.count(F.lit(1)) if t == GroupOpType.COUNT else F.count(f)
+            stage1_aggs.append(src.alias(f"__p{i}"))
+            stage2_aggs.append(F.sum(f"__p{i}").alias(op.alias))
+        elif t == GroupOpType.SUM:
+            stage1_aggs.append(F.sum(f.cast(_DECIMAL)).alias(f"__p{i}"))
+            col = F.sum(f"__p{i}")
+            col = col.cast("double") if op.exact_decimal else col.cast("double")
+            stage2_aggs.append(_maybe_round(col, op).alias(op.alias))
+        elif t == GroupOpType.MIN:
+            stage1_aggs.append(F.min(f).alias(f"__p{i}"))
+            stage2_aggs.append(F.min(f"__p{i}").alias(op.alias))
+        elif t == GroupOpType.MAX:
+            stage1_aggs.append(F.max(f).alias(f"__p{i}"))
+            stage2_aggs.append(F.max(f"__p{i}").alias(op.alias))
+        elif t == GroupOpType.AVG:
+            stage1_aggs.append(F.sum(f.cast(_DECIMAL)).alias(f"__ps{i}"))
+            stage1_aggs.append(F.count(f).alias(f"__pn{i}"))
+            col = F.sum(f"__ps{i}").cast("double") / F.sum(f"__pn{i}")
+            stage2_aggs.append(_maybe_round(col, op).alias(op.alias))
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported op {t}")
+    stage1 = df.groupBy(*[F.col(k) for k in keys], salt).agg(*stage1_aggs)
+    return stage1.groupBy(*[F.col(k) for k in keys]).agg(*stage2_aggs)
+
+
+def _maybe_round(col: Column, op: GroupOperation) -> Column:
+    return F.round(col, op.round_to) if op.round_to is not None else col

@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the properties SCALING.md promises must be
+visible in explain() — pushdown into scans, partial/final aggregation,
+broadcast dimension joins, top-n instead of global sorts."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    queries = entry_mod.queries()
+
+    def plan_of(name):
+        df = queries[name](spark, SF)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    return plan_of
+
+
+def test_filter_pushdown_reaches_parquet_scan(plans):
+    p = plans("raw_filter_project")
+    assert "PushedFilters: [IsNotNull(event_type), IsNotNull(value)" in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert "GreaterThan(value,100.0)" in p
+
+
+def test_column_pruning(plans):
+    # projection only needs 3 columns -> ReadSchema must not include props
+    p = plans("raw_filter_project")
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema and "event_id" in read_schema
+
+
+def test_two_phase_aggregation(plans):
+    p = plans("group_by_event_type")
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "hashpartitioning(event_type" in p  # shuffle keyed on the group key
+
+
+def test_dimension_joins_broadcast(plans):
+    p = plans("join_revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+
+
+def test_top_n_never_global_sort(plans):
+    for name in ("top_k_event_user", "join_top_orders_by_revenue"):
+        p = plans(name)
+        assert "TakeOrderedAndProject" in p
+        # a global Sort node (outside TakeOrdered) would be a red flag
+        assert "Sort [" not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_timestamp_filter_pushdown(plans):
+    p = plans("lineitem_pricing_summary")
+    assert "LessThan(l_shipdate" in p
