@@ -575,6 +575,14 @@ ORDER BY doc_id
         .orderBy("id"),
         _mm.payload_meta_sql("documents", "doc_id", "text"),
     ),
+    # IVF ANN (numpy k-means centroids + Arrow assignment): rows-only
+    "ann_ivf_topk": (
+        lambda s, d: _sim.ivf_neighbors(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8,
+            k=5, n_centroids=16, nprobe=4,
+        ),
+        None,
+    ),
     # Arrow/numpy matmul ANN: same semantics as brute force, BLAS reduction
     # order -> not bit-reproducible; rows-only check
     "ann_brute_force_arrow": (

@@ -192,6 +192,108 @@ ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate neighbors
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded sample (driver-side
+    numpy — centroid fitting is O(sample), not O(N); at 100 TB the sample
+    is a cheap `df.sample()` collect and assignment stays distributed)."""
+    rows = (
+        df.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_neighbors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k: candidates are searched only in the nprobe cells nearest
+    to each query vector. Assignment is Arrow-batched numpy (argmax over
+    the centroid matrix); the cell id is the shuffle/join key, so per-query
+    work is ~N * nprobe / n_centroids. nprobe == n_centroids degenerates to
+    exact brute force (used by the tests as an exactness oracle)."""
+    import pandas as pd
+
+    cents = ivf_centroids(df, vec_col, n_centroids)
+    spark = df.sparkSession
+    b_cents = spark.sparkContext.broadcast(cents)
+    # evaluate the query predicate BEFORE the Python map barrier (original
+    # column names don't survive mapInPandas)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), query_pred.alias("is_q")
+    )
+
+    def assign(batches):
+        c = b_cents.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ c.T
+            order = np.argsort(-sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "v": pdf["v"],
+                    "is_q": pdf["is_q"],
+                    "cell": order[:, 0].astype("int32"),
+                    "probes": [row[:nprobe].astype("int32") for row in order],
+                }
+            )
+
+    schema = "id long, v array<float>, is_q boolean, cell int, probes array<int>"
+    assigned = base.mapInPandas(assign, schema)
+    queries = assigned.where(F.col("is_q")).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("probes").alias("cell"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(assigned.select("id", "v", "cell"), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _rank_topk(pairs, k)
+
+
+# ---------------------------------------------------------------------------
 # Arrow/Pandas throughput path (bench, not oracle)
 # ---------------------------------------------------------------------------
 
