@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import time
 from dataclasses import dataclass, field
 from enum import Enum
@@ -149,23 +148,28 @@ class QueryRegistry:
     # -- persistence / replay (StorageManager.getAll analogue) --------------
 
     def _store_path(self) -> str:
-        return os.path.join(self.storage_dir, "queries.pkl")
+        return os.path.join(self.storage_dir, "queries.json")
 
     def _persist(self) -> None:
+        """Queries persist as JSON (plans/serde) — language-neutral and
+        diff-able, unlike pickle; the store is the StorageManager analogue
+        that replay reads on restart."""
         if not self.storage_dir:
             return
+        from bullet_storm_spark.plans.serde import query_to_dict
+
         payload = [
             {
                 "id": rq.id,
-                "query": rq.query,
+                "query": query_to_dict(rq.query),
                 "receive_time_ms": rq.receive_time_ms,
                 "deadline_ms": rq.deadline_ms,
             }
             for rq in self.queries.values()
         ]
         tmp = self._store_path() + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump({"queries": payload, "removed": sorted(self.removed_ids)}, f)
+        with open(tmp, "w") as f:
+            json.dump({"queries": payload, "removed": sorted(self.removed_ids)}, f)
         os.replace(tmp, self._store_path())
 
     def replay(self) -> int:
@@ -175,17 +179,20 @@ class QueryRegistry:
         path = self._store_path() if self.storage_dir else None
         if not path or not os.path.exists(path):
             return 0
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
+        from bullet_storm_spark.plans.serde import query_from_dict
+
+        with open(path) as f:
+            payload = json.load(f)
         self.removed_ids.update(payload.get("removed", []))
         restored = 0
         for item in payload["queries"]:
             if item["id"] in self.queries or item["id"] in self.removed_ids:
                 continue
+            query = query_from_dict(item["query"])
             self.queries[item["id"]] = RunningQuery(
                 id=item["id"],
-                query=item["query"],
-                state=make_state(item["query"]),
+                query=query,
+                state=make_state(query),
                 receive_time_ms=item["receive_time_ms"],
                 deadline_ms=item["deadline_ms"],
             )
