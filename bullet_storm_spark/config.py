@@ -58,6 +58,9 @@ class EngineConfig:
     # the default concept keys in every emitted Clip's meta.
     result_meta_enable: bool = True
     result_meta_keys: dict[str, str] = field(default_factory=dict)
+    # in-flight query cap — the DRPC max-uncommitted-messages analogue
+    # (bullet_storm_defaults.yaml:220-223, default 50); None = unlimited
+    max_concurrent_queries: int | None = None
 
     def __post_init__(self) -> None:
         if self.tick_interval_ms < TICK_INTERVAL_MS_MIN:

@@ -125,6 +125,16 @@ class StreamingEngine:
                         Clip.of([], **self._meta(rq, signal=msg.signal.value)),
                     )
             elif msg.content is not None:
+                cap = self.config.max_concurrent_queries
+                if cap is not None and len(self.registry.queries) >= cap:
+                    self._emit(
+                        msg.id,
+                        Clip.error(
+                            msg.id,
+                            [f"engine at max concurrent queries ({cap})"],
+                        ),
+                    )
+                    continue
                 errors = self.config.validate_query(msg.content)
                 if errors:
                     # init-error path: FAIL clip with error metadata
