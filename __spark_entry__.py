@@ -407,6 +407,7 @@ ORDER BY region
 # ---------------------------------------------------------------------------
 
 from bullet_storm_spark.functions import text as _text
+from bullet_storm_spark.operators import curate as _curate
 from bullet_storm_spark.operators import dedup as _dedup
 from bullet_storm_spark.operators import multimodal as _mm
 from bullet_storm_spark.operators import similarity as _sim
@@ -520,6 +521,22 @@ SELECT doc_id, lang, source, n_chars
 FROM ({_dedup.deduplicate_sql('documents', 'doc_id', 'text', **_MINHASH_KW)})
 ORDER BY doc_id
 """,
+    ),
+    # full curation pipeline (quality -> language -> near-dup removal),
+    # oracle-checked end-to-end
+    "curate_documents": (
+        lambda s, d: _curate.curate(
+            _docs(s, d),
+            "doc_id",
+            "text",
+            _curate.CurationConfig(min_quality=0.3, keep_langs=("en", "de", "es")),
+        ),
+        _curate.curate_sql(
+            "documents",
+            "doc_id",
+            "text",
+            _curate.CurationConfig(min_quality=0.3, keep_langs=("en", "de", "es")),
+        ),
     ),
     "dedup_simhash_pairs": (
         lambda s, d: _dedup.simhash_pairs(_docs(s, d), "doc_id", "text", max_hamming=2),

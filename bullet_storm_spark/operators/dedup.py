@@ -327,6 +327,97 @@ WHERE {id_col} NOT IN (SELECT id_b FROM ({pairs}))
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+def band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """The persistable corpus index: one row per (doc, band) with the band
+    hash and the doc's shingle set — exactly what incremental arrivals must
+    probe. Write it as parquet partitioned/bucketed by band_hash and
+    day-over-day dedup becomes an append + a co-located join."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    toks = _tok_df(df, id_col, text_col)
+    wide = _sig_wide_from_toks(toks, num_hashes, shingle_n)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "", *[F.col(f"__h{b * r + j}") for j in range(r)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    sh_sets = toks.select(
+        "__id", shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh")
+    )
+    return (
+        wide.select("__id", F.posexplode(band_hashes).alias("band", "band_hash"))
+        .join(sh_sets, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            "band",
+            "band_hash",
+            F.col("__sh").alias("shingles"),
+        )
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental dedup: rows of ``new_df`` that are near-duplicates of
+    NOTHING in the index and of no earlier-id row within the batch.
+
+    The production shape: the historical corpus is touched only through its
+    band index (join on band_hash — no rescan of old text), and the new
+    batch additionally self-dedups. Returns the surviving new rows;
+    append band_index(survivors) to the store to complete the cycle."""
+    new_index = band_index(new_df, id_col, text_col, num_hashes, bands, shingle_n)
+    probe = new_index.select(
+        F.col(id_col).alias("__nid"),
+        "band",
+        "band_hash",
+        F.col("shingles").alias("__nsh"),
+    )
+    hist = index_df.select(
+        "band", "band_hash", F.col("shingles").alias("__hsh")
+    )
+    jac = F.round(_jaccard(F.col("__nsh"), F.col("__hsh")), round_to)
+    dup_vs_index = (
+        probe.join(hist, ["band", "band_hash"])
+        .select("__nid", jac.alias("__jac"))
+        .where(F.col("__jac") >= threshold)
+        .select(F.col("__nid").alias("__loser"))
+        .distinct()
+    )
+    within = minhash_lsh_pairs(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n, threshold, round_to
+    ).select(F.col("id_b").alias("__loser"))
+    losers = dup_vs_index.union(within).distinct()
+    return new_df.join(
+        F.broadcast(losers), F.col(id_col) == F.col("__loser"), "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
