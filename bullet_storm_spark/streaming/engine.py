@@ -234,9 +234,17 @@ class StreamingEngine:
             )
         return [r.asDict() for r in rq.state.partial(df).collect()], df
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+    def process_batch(
+        self, batch_df: DataFrame, batch_id: int = 0, source: str | None = None
+    ) -> None:
         """The foreachBatch body. Also the deterministic test surface —
         exactly how the reference tests drive bolts with hand-built tuples.
+
+        ``source`` names the stream this batch came from (multi-stream
+        topologies attach one engine to several streams): only queries whose
+        Query.source matches consume the batch; everyone's window/duration
+        lifecycle still advances. ``source=None`` (the reference's
+        single-stream model) feeds every live query.
 
         With multiple live queries the per-query partial jobs are submitted
         from a thread pool so Spark schedules them concurrently over the
@@ -249,6 +257,15 @@ class StreamingEngine:
         now_ms = int(self.clock() * 1000)
         if not active:
             return
+        if source is not None:
+            lifecycle_only = [rq for rq in active if rq.query.source != source]
+            active = [rq for rq in active if rq.query.source == source]
+            for rq in lifecycle_only:
+                self._window_tick(rq, now_ms)
+                if rq.is_expired(now_ms):
+                    self._finish(rq, Signal.COMPLETE)
+            if not active:
+                return
         # query-predicate partitioner (QueryManager.categorize analogue,
         # SURVEY.md §4 row 1): one stats job over the batch prunes queries
         # whose equality filter provably cannot match. Pruned queries skip
@@ -414,13 +431,16 @@ class StreamingEngine:
         stream_df: DataFrame,
         trigger_ms: int = 100,
         checkpoint_dir: str | None = None,
+        source: str | None = None,
     ):
         """Run the engine over a streaming DataFrame via foreachBatch. The
         trigger interval is the engine clock (reference tick = 100 ms,
-        bullet_storm_defaults.yaml:143-148)."""
+        bullet_storm_defaults.yaml:143-148). Pass ``source`` when attaching
+        several streams to one engine — queries bind to their
+        Query.source."""
         writer = (
             stream_df.writeStream.foreachBatch(
-                lambda df, bid: self.process_batch(df, bid)
+                lambda df, bid: self.process_batch(df, bid, source=source)
             )
             .trigger(processingTime=f"{trigger_ms} milliseconds")
             .outputMode("append")
