@@ -125,15 +125,22 @@ def parse(bql: str) -> Query:
 
     window = None
     if g["window"]:
+        # EVERY(n, TIME|RECORD[, ALL]) — trailing ALL = additive window
+        # (bullet-core include=ALL: emissions cover everything since start)
         wm = re.match(
-            r"EVERY\s*\(\s*(\d+)\s*,\s*(TIME|RECORD)\s*\)",
+            r"EVERY\s*\(\s*(\d+)\s*,\s*(TIME|RECORD)\s*(?:,\s*(ALL)\s*)?\)",
             g["window"].strip(),
             re.IGNORECASE,
         )
         if not wm:
             raise BQLError(f"unsupported WINDOWING: {g['window']!r}")
         n, unit = int(wm.group(1)), wm.group(2).upper()
-        window = TumblingWindow(n) if unit == "TIME" else SlidingRecordWindow(n)
+        include_all = wm.group(3) is not None
+        window = (
+            TumblingWindow(n, include_all=include_all)
+            if unit == "TIME"
+            else SlidingRecordWindow(n, include_all=include_all)
+        )
 
     items = _split_top_level(g["select"])
     group_cols = (

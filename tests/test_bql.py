@@ -91,8 +91,11 @@ def test_distribution_forms(sf_tables):
 def test_windowing_clauses():
     q = parse("SELECT * FROM STREAM(60000, TIME) WINDOWING EVERY(1000, TIME)")
     assert isinstance(q.window, TumblingWindow) and q.window.emit_every_ms == 1000
+    assert q.window.include_all is False
     q = parse("SELECT * FROM STREAM(60000, TIME) WINDOWING EVERY(10, RECORD)")
     assert isinstance(q.window, SlidingRecordWindow) and q.window.emit_every == 10
+    q = parse("SELECT * FROM STREAM(60000, TIME) WINDOWING EVERY(1000, TIME, ALL)")
+    assert q.window.include_all is True
 
 
 def test_parse_errors():
