@@ -43,6 +43,7 @@ from bullet_storm_spark.plans.query import (
     TopK,
 )
 from bullet_storm_spark.streaming.state import (
+    CountDistinctState,
     DistributionState,
     GroupState,
     TopKState,
@@ -57,6 +58,11 @@ def is_shareable(rq, rate_limited: bool) -> bool:
         return True
     if isinstance(state, DistributionState):
         return state.agg.dist_type != DistributionType.QUANTILE
+    if isinstance(state, CountDistinctState):
+        # approx: one HLL sketch column per query folds into the keyless
+        # job (hll_sketch_agg skips the nulls the filter produces); exact
+        # needs distinct-row partials and stays per-query
+        return not state.agg.exact
     return False
 
 
@@ -99,7 +105,9 @@ def plan_jobs(queries) -> list[_Job]:
         key_cols: dict[str, Column] = {}
         key_to_alias: dict[str, str] = {}
 
-        if isinstance(state, GroupState):
+        if isinstance(state, CountDistinctState):
+            keyed = False  # keyless HLL sketch job
+        elif isinstance(state, GroupState):
             agg: GroupBy = state.agg
             for fname in agg.fields:
                 col, tag = resolve(fname)
@@ -148,6 +156,22 @@ def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
     fname = f"{p}f"
     job.value_cols[fname] = fcol
     f_ref = F.col(fname)
+
+    if isinstance(state, CountDistinctState):
+        if len(state.agg.fields) == 1:
+            key, _ = resolve(state.agg.fields[0])
+        else:
+            key = F.concat_ws(
+                "\x1f",
+                *[resolve(f)[0].cast("string") for f in state.agg.fields],
+            )
+        vname = f"{p}cdk"
+        job.value_cols[vname] = F.when(f_ref, key)
+        member.agg_cols.append(
+            F.hll_sketch_agg(F.col(vname)).alias(f"{p}sk")
+        )
+        member.rename[f"{p}sk"] = "__sketch"
+        return
 
     if isinstance(state, GroupState):
         for j, op in enumerate(state.agg.operations):

@@ -191,6 +191,15 @@ class CountDistinctState(QueryState):
             return df.select(self._key_col().alias("__k")).distinct()
         return df.agg(F.hll_sketch_agg(self._key_col()).alias("__sketch"))
 
+    def _session(self):
+        if self._spark is not None:
+            return self._spark
+        # shared-scan path never calls partial(); fall back to the active
+        # session for the tiny sketch-merge jobs
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession()
+
     def merge(self, rows: list[dict[str, Any]]) -> None:
         if self.agg.exact:
             self.keys.update(r["__k"] for r in rows)
@@ -202,7 +211,7 @@ class CountDistinctState(QueryState):
             if self.sketch is None:
                 self.sketch = bytes(new)
             else:
-                merged = self._spark.createDataFrame(
+                merged = self._session().createDataFrame(
                     [(self.sketch, bytes(new))], "a binary, b binary"
                 ).select(
                     F.hll_union("a", "b").alias("u")
@@ -214,7 +223,7 @@ class CountDistinctState(QueryState):
             return [{self.agg.name: len(self.keys)}]
         if self.sketch is None:
             return [{self.agg.name: 0}]
-        est = self._spark.createDataFrame([(self.sketch,)], "s binary").select(
+        est = self._session().createDataFrame([(self.sketch,)], "s binary").select(
             F.hll_sketch_estimate("s").alias("e")
         ).collect()[0]["e"]
         return [{self.agg.name: int(est)}]

@@ -67,6 +67,12 @@ def _mixed_queries():
             ),
             duration_ms=600_000,
         ),
+        # approx count distinct IS shareable (HLL sketch column)
+        "cd_approx": Query(
+            filter=gt("n", 10),
+            aggregation=CountDistinct(fields=["k"], name="u", exact=False),
+            duration_ms=600_000,
+        ),
         # NOT shareable -> per-query path alongside
         "raw": Query(filter=gt("n", 50), aggregation=Raw(size=10), duration_ms=600_000),
         "cd": Query(
