@@ -120,6 +120,20 @@ def _core_queries() -> dict[str, Query]:
         post_aggregations=[OrderBy([("type", True)])],
     )
 
+    # variance/stddev from exact decimal moment sums (engine extension)
+    qs["group_by_value_spread"] = Query(
+        source="events",
+        aggregation=GroupBy(
+            fields={"event_type": "type"},
+            operations=[
+                _op("VAR_POP", "value", "var_value", exact_decimal=True, round_to=6),
+                _op("STDDEV_POP", "value", "std_value", exact_decimal=True, round_to=6),
+                _op("COUNT", None, "cnt"),
+            ],
+        ),
+        post_aggregations=[OrderBy([("type", True)])],
+    )
+
     # multi-key GROUP BY (user x type) with group cap + deterministic order
     qs["group_by_user_type"] = Query(
         source="events",

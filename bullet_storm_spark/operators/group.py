@@ -58,6 +58,18 @@ def _agg_column(op: GroupOperation) -> Column:
             if op.exact_decimal
             else F.avg(f)
         )
+    elif t in (GroupOpType.VAR_POP, GroupOpType.STDDEV_POP):
+        if op.exact_decimal:
+            # E[x^2] - E[x]^2 from exact decimal moment sums: identical
+            # doubles regardless of combine order or engine
+            n = F.count(f)
+            s1 = F.sum(f.cast(_DECIMAL)).cast("double")
+            s2 = F.sum((f * f).cast(_DECIMAL)).cast("double")
+            col = (s2 - s1 * s1 / n) / n
+        else:
+            col = F.var_pop(f)
+        if t == GroupOpType.STDDEV_POP:
+            col = F.sqrt(col) if op.exact_decimal else F.stddev_pop(f)
     else:  # pragma: no cover
         raise ValueError(f"unsupported group op {t}")
     if op.round_to is not None:
@@ -89,6 +101,20 @@ def _agg_sql(op: GroupOperation) -> str:
             if op.exact_decimal
             else f"AVG({op.field})"
         )
+    elif t in (GroupOpType.VAR_POP, GroupOpType.STDDEV_POP):
+        if op.exact_decimal:
+            n = f"COUNT({op.field})"
+            s1 = f"CAST(SUM(CAST({op.field} AS DECIMAL(38,6))) AS DOUBLE)"
+            s2 = (
+                f"CAST(SUM(CAST({op.field} * {op.field} AS DECIMAL(38,6)))"
+                f" AS DOUBLE)"
+            )
+            body = f"(({s2} - {s1} * {s1} / {n}) / {n})"
+            if t == GroupOpType.STDDEV_POP:
+                body = f"sqrt{body}"
+        else:
+            fn = "var_pop" if t == GroupOpType.VAR_POP else "stddev_pop"
+            body = f"{fn}({op.field})"
     else:  # pragma: no cover
         raise ValueError(f"unsupported group op {t}")
     if op.round_to is not None:

@@ -84,6 +84,11 @@ class GroupOpType(str, Enum):
     MIN = "MIN"
     MAX = "MAX"
     AVG = "AVG"
+    # extension beyond bullet-core's enum: population variance/stddev,
+    # computed from decimal moment sums so they stay order-independent
+    # (exact_decimal) and oracle-checkable
+    VAR_POP = "VAR_POP"
+    STDDEV_POP = "STDDEV_POP"
 
 
 @dataclass

@@ -91,7 +91,22 @@ class GroupState(QueryState):
     partials; AVG derives at result time — numeric-add merge semantics
     exactly like GroupData (JoinBoltTest.java:663-693)."""
 
+    _SUPPORTED = {
+        GroupOpType.COUNT,
+        GroupOpType.COUNT_FIELD,
+        GroupOpType.SUM,
+        GroupOpType.MIN,
+        GroupOpType.MAX,
+        GroupOpType.AVG,
+    }
+
     def __init__(self, agg: GroupBy):
+        for op in agg.operations:
+            if op.op not in self._SUPPORTED:
+                raise ValueError(
+                    f"group operation {op.op.name} is batch-only (no "
+                    "streaming merge implemented)"
+                )
         self.agg = agg
         self.key_aliases = [agg.alias_of(f) for f in agg.fields]
         self.groups: dict[tuple, dict[str, Any]] = {}
