@@ -498,6 +498,33 @@ ORDER BY pred_lang, decl_lang
 _LLM_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (_text_stats, _TEXT_STATS_SQL),
     "text_lang_breakdown": (_lang_breakdown, _LANG_BREAKDOWN_SQL),
+    "text_token_accounting": (
+        lambda s, d: _docs(s, d)
+        .select(
+            "doc_id",
+            _text.token_count("text").alias("ws_tokens"),
+            _text.bpe_token_count("text").alias("bpe_tokens"),
+            _text.normalized_text("text").alias("__norm"),
+        )
+        # exchange materializes __norm so the per-gram lambda reads a
+        # column, not a re-inlined regex (and parallelizes the one-file scan)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "ws_tokens",
+            "bpe_tokens",
+            _text.rolling_fingerprint_from_norm(F.col("__norm")).alias("roll_fp"),
+        )
+        .orderBy("doc_id"),
+        f"""
+SELECT doc_id,
+       {_text.token_count_sql('text')} AS ws_tokens,
+       {_text.bpe_token_count_sql('text')} AS bpe_tokens,
+       {_text.rolling_fingerprint_sql('text')} AS roll_fp
+FROM documents
+ORDER BY doc_id
+""",
+    ),
     "dedup_exact": (
         lambda s, d: _dedup.exact_dedup(_docs(s, d), "doc_id", "text"),
         _dedup.exact_dedup_sql("documents", "doc_id", "text"),

@@ -200,6 +200,27 @@ def predicted_lang_sql(field: str) -> str:
     return f"(CASE {whens} ELSE 'und' END)"
 
 
+# --- BPE-ish tokenization ---------------------------------------------------
+
+# GPT-2-flavored pretokenizer, simplified to be lookahead-free so it runs
+# identically on Java regex (Spark) and RE2 (DuckDB): contractions, letter
+# runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(field: str) -> Column:
+    """Approximate BPE token count: pretokenizer segments (the unit real
+    BPE merges start from) — the standard cheap estimator for LLM token
+    budgets over a corpus."""
+    return F.regexp_count(F.col(field), F.lit(BPE_PATTERN))
+
+
+def bpe_token_count_sql(field: str) -> str:
+    # RE2 needs the same pattern; single quotes doubled for SQL literal
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({field}, '{pat}'))"
+
+
 # --- fingerprints -----------------------------------------------------------
 
 def fingerprint(field: str) -> Column:
@@ -210,3 +231,44 @@ def fingerprint(field: str) -> Column:
 
 def fingerprint_sql(field: str) -> str:
     return f"md5(regexp_replace(lower(trim({field})), '{_WS}', ' ', 'g'))"
+
+
+def rolling_fingerprint_from_norm(norm: Column, k: int = 8) -> Column:
+    """Rolling fingerprint over an ALREADY-normalized (and ideally
+    exchange-materialized) text column — CollapseProject re-inlines an
+    expression-valued `norm` into every k-gram lambda, re-running the
+    normalization regex once per gram."""
+    n = F.length(norm)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(norm, i, k)), 1, 8), 16, 10
+            ).cast("bigint"),
+        ),
+    )
+    return F.array_min(grams)
+
+
+def normalized_text(field: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(field))), _WS, " ")
+
+
+def rolling_fingerprint(field: str, k: int = 8) -> Column:
+    """Content-defined rolling fingerprint: minimum hash over all
+    character k-gram hashes of the normalized text (the min-sampling step
+    of winnowing). Robust to edits outside the minimizing window — two
+    documents sharing their rarest k-gram collide, which is the property
+    near-dup blocking wants. Returns a bigint (null when len < k).
+    For bulk use, materialize normalized_text() behind an exchange and
+    call rolling_fingerprint_from_norm (see that docstring)."""
+    return rolling_fingerprint_from_norm(normalized_text(field), k)
+
+
+def rolling_fingerprint_sql(field: str, k: int = 8) -> str:
+    norm = f"regexp_replace(lower(trim({field})), '{_WS}', ' ', 'g')"
+    return (
+        f"list_min(list_transform(range(1, length({norm}) - {k - 2}), "
+        f"i -> ('0x' || substr(md5(substr({norm}, i, {k})), 1, 8))::BIGINT))"
+    )

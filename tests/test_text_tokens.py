@@ -1,0 +1,59 @@
+"""BPE-ish token counting + rolling fingerprints: behavior and DuckDB
+parity."""
+
+import duckdb
+
+from bullet_storm_spark.functions import text as T
+
+
+def test_bpe_token_count_behavior(spark):
+    rows = [
+        ("hello world",),          # 2 segments
+        ("don't stop",),           # don + 't + stop = 3
+        ("a1b2",),                 # a,1,b,2 = 4
+        ("  spaced   out  ",),     # 2 (whitespace not counted)
+        ("price: $5.99!",),        # price,:,$,5,.,99,! -> 7ish segments
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    out = [r[0] for r in df.select(T.bpe_token_count("s")).collect()]
+    assert out[0] == 2 and out[1] == 3 and out[2] == 4 and out[3] == 2
+    assert out[4] >= 6
+
+
+def test_rolling_fingerprint_edit_robustness(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog EXTRA TAIL"),  # append
+        (2, "completely different content with other characters"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    fp = {r.doc_id: r.fp for r in df.select(
+        "doc_id", T.rolling_fingerprint("s").alias("fp")).collect()}
+    # appended text usually leaves the minimizing k-gram intact
+    assert fp[0] == fp[1] != fp[2]
+    # too-short text -> null, not a crash
+    short = spark.createDataFrame([("abc",)], "s string")
+    assert short.select(T.rolling_fingerprint("s").alias("fp")).collect()[0].fp is None
+
+
+def test_token_accounting_sql_parity(spark):
+    rows = [(i, f"doc {i} isn't only text; value={i*3}.14") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    spark_rows = sorted(
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            T.bpe_token_count("s").alias("bpe"),
+            T.rolling_fingerprint("s").alias("fp"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck_rows = sorted(
+        con.sql(
+            f"SELECT doc_id, {T.bpe_token_count_sql('s')} AS bpe, "
+            f"{T.rolling_fingerprint_sql('s')} AS fp FROM t"
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
