@@ -83,3 +83,33 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def cluster_conf(target_partition_mb: int = 256) -> dict[str, str]:
+    """Recommended spark-submit conf for a real multi-executor deployment
+    of this engine (the knobs local mode can't meaningfully exercise).
+    Pass with --conf or SparkConf; see SCALING.md for the reasoning."""
+    return {
+        # scan sizing: row groups -> task-sized splits at 100 TB
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        # runtime re-planning: coalesce + skew splitting at real data shape
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # dimension joins broadcast; raise with executor memory
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # streaming state that exceeds heap (many live windowed queries)
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        # Arrow batches for every pandas-UDF operator (ANN, multimodal)
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # deterministic timestamps vs any SQL oracle
+        "spark.sql.session.timeZone": "UTC",
+        # concurrent live queries (engine thread pool) share fairly
+        "spark.scheduler.mode": "FAIR",
+        # the driver's nanos-timestamp parquet (see sources.tables)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
