@@ -672,10 +672,86 @@ def _make_runner(q: Query) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's latest signup value at
+    or before the purchase instant (exact nanosecond clock)."""
+    from bullet_storm_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_ns").alias("tns")
+    )
+    states = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_ns").alias("tns"), F.col("value").alias("signup_value")
+    )
+    return (
+        asof_join(facts, states, "user_id", "tns", ["signup_value"])
+        .select("event_id", "user_id", "asof_signup_value")
+        .orderBy("event_id")
+    )
+
+
+def _asof_sql() -> str:
+    from bullet_storm_spark.operators.asof import asof_join_sql
+
+    inner = asof_join_sql(
+        "SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events "
+        "WHERE event_type = 'purchase'",
+        "SELECT user_id, epoch_ns(ts) AS tns, value AS signup_value FROM events "
+        "WHERE event_type = 'signup'",
+        "user_id",
+        "tns",
+        ["signup_value"],
+        ["event_id", "user_id"],
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY event_id"
+
+
+def _range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events bucketed into literal value bands via an
+    interval-containment join against a broadcast bands table."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        _VALUE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+_VALUE_BANDS = [
+    ("low", 0.0, 25.0),
+    ("mid", 25.0, 100.0),
+    ("high", 100.0, 1e9),
+]
+
+_RANGE_JOIN_SQL = (
+    "WITH bands(band, lo, hi) AS (VALUES "
+    + ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _VALUE_BANDS)
+    + ") SELECT band, COUNT(*) AS cnt, "
+    "ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_value "
+    "FROM events JOIN bands ON value >= lo AND value < hi "
+    "GROUP BY band ORDER BY band"
+)
+
+
 _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "join_revenue_by_nation": (_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "join_top_orders_by_revenue": (_top_orders_by_revenue, _TOP_ORDERS_SQL),
     "join_region_supplier_rollup": (_region_nation_rollup, _REGION_NATION_SQL),
+    "join_asof_purchase_signup": (_asof_purchase_signup, _asof_sql()),
+    "join_range_value_bands": (_range_join_value_bands, _RANGE_JOIN_SQL),
 }
 
 
