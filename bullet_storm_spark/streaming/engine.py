@@ -414,6 +414,20 @@ class StreamingEngine:
             ),
         }
 
+    def shutdown(self) -> None:
+        """Graceful engine shutdown: stop the attached stream (if any) and
+        finish every live query with its current result and a COMPLETE
+        signal — no in-flight work is dropped on topology teardown."""
+        if self._query is not None:
+            try:
+                self._query.stop()
+            except Exception:
+                pass
+            self._query = None
+        self._drain_control()
+        for rq in list(self.registry.active()):
+            self._finish(rq, Signal.COMPLETE)
+
     def tick(self) -> None:
         """Clock-only tick with no data (TickSpout analogue): advances
         window/duration lifecycle between batches."""
