@@ -58,7 +58,9 @@ def main() -> None:
     queries = entry_mod.queries()
 
     # warm the JVM (codegen, shuffle service, Arrow path) with small
-    # non-bench actions so the first measured query reflects steady state
+    # non-bench actions so measured queries reflect steady state. The
+    # minhash pipeline's generated classes are keyed by plan structure, so
+    # one tiny-frame run warms the same codegen the measured run uses.
     region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
     region.count()
     (
@@ -68,6 +70,15 @@ def main() -> None:
         .limit(3)
         .collect()
     )
+    from bullet_storm_spark.operators.dedup import minhash_lsh_pairs
+
+    tiny = spark.createDataFrame(
+        [(i, f"warm doc {i} with a few shared tokens") for i in range(40)],
+        "doc_id long, text string",
+    )
+    minhash_lsh_pairs(
+        tiny, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3, threshold=0.9
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0
