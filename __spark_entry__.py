@@ -433,7 +433,8 @@ _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
 # it produces thousands of verified pairs, exercising the full pipeline.
 _MINHASH3_KW = dict(num_hashes=16, bands=4, shingle_n=3, threshold=0.9)
 _JACCARD_KW = dict(shingle_n=1, threshold=0.8)
-_NEARDUP_KW = dict(threshold=0.4)
+_NEARDUP_KW = dict(threshold=0.4, nbits=4, ntables=4, dim=64)
+_NEARDUP_EXACT_KW = dict(threshold=0.4)
 _ANN_KW = dict(k=5)
 _ANN_LSH_KW = dict(k=5, nbits=4)
 
@@ -603,12 +604,30 @@ WHERE lang = 'en' AND {_text.quality_score_sql('text')} >= 0.5
 ORDER BY doc_id
 """,
     ),
+    # hyperplane-LSH blocking + exact cosine inside buckets (the 100 TB
+    # shape: one hash equi-join on (table, bucket), never all-pairs)
     "dedup_embedding_pairs": (
-        lambda s, d: _dedup.embedding_neardup_pairs(
+        lambda s, d: _dedup.embedding_neardup_pairs_lsh(
             _embs(s, d), "vec_id", "embedding", **_NEARDUP_KW
         ),
-        _dedup.embedding_neardup_pairs_sql(
+        _dedup.embedding_neardup_pairs_lsh_sql(
             "embeddings", "vec_id", "embedding", **_NEARDUP_KW
+        ),
+    ),
+    # exact all-pairs cosine as the block-bounded VERIFIER (same contract
+    # as dedup_ngram_jaccard_pairs: callers bound the block)
+    "dedup_embedding_pairs_exact_block": (
+        lambda s, d: _dedup.embedding_neardup_pairs(
+            _embs(s, d).where(F.col("vec_id") < 300),
+            "vec_id",
+            "embedding",
+            **_NEARDUP_EXACT_KW,
+        ),
+        _dedup.embedding_neardup_pairs_sql(
+            "(SELECT * FROM embeddings WHERE vec_id < 300)",
+            "vec_id",
+            "embedding",
+            **_NEARDUP_EXACT_KW,
         ),
     ),
     "ann_brute_force_topk": (

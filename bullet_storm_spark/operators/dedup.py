@@ -470,6 +470,10 @@ def simhash_sql(table: str, id_col: str, text_col: str, shingle_n: int = 1) -> s
     )
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 8
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -479,25 +483,46 @@ def simhash_pairs(
 ) -> DataFrame:
     """Candidate pairs whose SimHashes differ in <= max_hamming bits.
 
-    Blocking: two 16-bit halves of the hash — any pair within hamming
-    distance <= max_hamming (< 2 halves can differ... pigeonhole: with 2
-    blocks, distance <= max_hamming means at least one half is within
-    floor(max_hamming/2), and for max_hamming < 2 one half matches exactly).
-    For the engine-standard recipe we join on exact half matches, which is
-    complete for max_hamming <= 1 per half; larger radii verify via
-    bit_count after the block join.
+    Blocking: 4 bands of 8 bits. Pigeonhole: a pair within hamming
+    distance <= 3 has at most 3 differing bits, which can dirty at most 3
+    of the 4 bands — so at least one band matches exactly, and banding has
+    NO false negatives for max_hamming <= SIMHASH_BANDS - 1 (the
+    reference's NO_FALSE_NEGATIVES posture, bullet-storm
+    src/test/.../FilterBoltTest.java:791).
+
+    Physical plan: each id explodes to (band, band_hash) rows and
+    candidates come from ONE hash equi-join on (band, band_hash) — a
+    shuffle/broadcast HASH join keyed on the band value, never a
+    nested-loop. Pairs that collide in several bands collapse via a
+    distinct on the id pair; exact bit_count verifies the radius after
+    blocking. Cost is O(sum of squared band-bucket sizes), not O(n^2):
+    scale-safe (tests/test_plan_quality.py pins the no-BNLJ property).
     """
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding recall guarantee "
+            f"({SIMHASH_BANDS} bands -> complete for <= {SIMHASH_BANDS - 1})"
+        )
     hdf = simhash(df, id_col, text_col, shingle_n)
-    lo = (F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))).alias("h_lo")
-    hi = F.shiftright(F.col("simhash"), 16).alias("h_hi")
-    blocked = hdf.select(F.col(id_col).alias("id"), F.col("simhash"), lo, hi)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    blocked = hdf.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(bands).alias("band", "bh"),
+    )
     l, r = blocked.alias("l"), blocked.alias("r")
     cand = l.join(
         r,
-        (
-            (F.col("l.h_lo") == F.col("r.h_lo"))
-            | (F.col("l.h_hi") == F.col("r.h_hi"))
-        )
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
         & (F.col("l.id") < F.col("r.id")),
     )
     ham = F.bit_count(
@@ -510,6 +535,7 @@ def simhash_pairs(
             ham.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
@@ -522,17 +548,18 @@ def simhash_pairs_sql(
     shingle_n: int = 1,
 ) -> str:
     inner = simhash_sql(table, id_col, text_col, shingle_n)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     return f"""
 WITH h AS ({inner}),
 blocked AS (
-  SELECT {id_col} AS id, simhash,
-         simhash & {(1 << 16) - 1} AS h_lo, simhash >> 16 AS h_hi
-  FROM h
+  SELECT {id_col} AS id, simhash, b.band,
+         (simhash >> ({SIMHASH_BAND_BITS} * b.band)) & {mask} AS bh
+  FROM h, (SELECT UNNEST(range({SIMHASH_BANDS})) AS band) b
 )
-SELECT l.id AS id_a, r.id AS id_b,
+SELECT DISTINCT l.id AS id_a, r.id AS id_b,
        bit_count(xor(l.simhash, r.simhash)) AS hamming
 FROM blocked l JOIN blocked r
-  ON (l.h_lo = r.h_lo OR l.h_hi = r.h_hi) AND l.id < r.id
+  ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
 ORDER BY id_a, id_b
 """
@@ -606,8 +633,10 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     round_to: int = 6,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold (exact within the given block; the
-    billion-scale path is similarity.lsh_bucketed_neighbors)."""
+    """Pairs with cosine >= threshold — EXACT all-pairs, so strictly a
+    block *verifier*: callers must bound the input block (as the n-gram
+    Jaccard verifier does); the scale path that generates candidates is
+    embedding_neardup_pairs_lsh below (hyperplane-LSH buckets)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     l, r = base.alias("l"), base.alias("r")
     cos = F.round(cosine(F.col("l.v"), F.col("r.v")), round_to)
@@ -635,6 +664,109 @@ def embedding_neardup_pairs_sql(
 WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
 SELECT l.id AS id_a, r.id AS id_b, {cos} AS cos
 FROM base l JOIN base r ON l.id < r.id
+WHERE {cos} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    nbits: int = 4,
+    ntables: int = 4,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH blocking + exact cosine
+    verification inside buckets — the 100 TB shape for embedding dedup.
+
+    Each vector hashes into one bucket per hash table (ntables independent
+    hyperplane sets); a pair is a candidate iff it collides in ANY table.
+    Physically: posexplode to (table, bucket) rows, ONE hash equi-join on
+    (table, bucket), dedup the id pair behind the join, then one exact
+    cosine per unique candidate pair. Cost is O(sum of squared bucket
+    sizes) — never the all-pairs nested loop (pinned by
+    tests/test_plan_quality.py). Recall for cosine >= t under p_collide =
+    (1 - theta/pi)^nbits per table, 1-(1-p)^ntables overall; raise ntables
+    for recall, nbits for smaller buckets. Hyperplanes are deterministic
+    seeded literals, so the DuckDB twin replicates the bucketing exactly
+    and the approximate pipeline stays hash-checkable."""
+    from bullet_storm_spark.operators.similarity import (
+        LSH_SEED,
+        _bucket_col,
+        hyperplanes,
+    )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = F.array(
+        *[
+            _bucket_col(F.col("v"), hyperplanes(dim, nbits, seed=LSH_SEED + t))
+            for t in range(ntables)
+        ]
+    )
+    blocked = base.select(
+        "id", "v", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    return (
+        cand.select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs_lsh_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    nbits: int = 4,
+    ntables: int = 4,
+    dim: int = 64,
+    round_to: int = 6,
+) -> str:
+    from bullet_storm_spark.operators.similarity import (
+        LSH_SEED,
+        _bucket_sql,
+        hyperplanes,
+    )
+
+    arms = " UNION ALL ".join(
+        f"SELECT id, v, {t} AS tbl, "
+        f"{_bucket_sql('v', hyperplanes(dim, nbits, seed=LSH_SEED + t))} AS bucket "
+        f"FROM base"
+        for t in range(ntables)
+    )
+    cos = f"ROUND({cosine_sql('va', 'vb')}, {round_to})"
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+blocked AS ({arms}),
+cand AS (
+  SELECT DISTINCT ON (l.id, r.id) l.id AS id_a, r.id AS id_b,
+         l.v AS va, r.v AS vb
+  FROM blocked l JOIN blocked r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+)
+SELECT id_a, id_b, {cos} AS cos
+FROM cand
 WHERE {cos} >= {threshold}
 ORDER BY id_a, id_b
 """

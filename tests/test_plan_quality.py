@@ -60,3 +60,33 @@ def test_top_n_never_global_sort(plans):
 def test_timestamp_filter_pushdown(plans):
     p = plans("lineitem_pricing_summary")
     assert "LessThan(l_shipdate" in p
+
+
+# all-pairs by declared contract: block VERIFIERS whose input the caller
+# bounds (docstrings route scale users to the LSH variants), plus the
+# brute-force ANN baseline whose nested loop is over a broadcast,
+# contract-bounded query set (O(|Q|*N), |Q| small) — not N x N
+_ALL_PAIRS_VERIFIERS = {
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_pairs_exact_block",
+    "ann_brute_force_topk",
+}
+
+
+def test_no_nested_loop_joins_in_dedup_and_ann_plans(plans):
+    """Every dedup_*/ann_* candidate-generation plan must be hash-join
+    blocked — a BroadcastNestedLoopJoin or CartesianProduct means the
+    blocking claim is false and the operator is O(n^2) at scale."""
+    names = [
+        n
+        for n in entry_mod.queries()
+        if (n.startswith("dedup_") or n.startswith("ann_"))
+        and n not in _ALL_PAIRS_VERIFIERS
+    ]
+    assert len(names) >= 8  # inventory guard: the sweep actually covers the surface
+    offenders = {}
+    for name in names:
+        p = plans(name)
+        if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+            offenders[name] = True
+    assert not offenders, f"nested-loop plans in: {sorted(offenders)}"
