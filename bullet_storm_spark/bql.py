@@ -219,8 +219,17 @@ def _compile_select(items, group_cols, limit):
                     GroupOperation(GroupOpType.COUNT_FIELD, arg, alias or "count")
                 )
             else:
+                # SUM/AVG default to exact DECIMAL(38,6) accumulation: the
+                # parser has no column types, and a BIGINT-pinned float sum
+                # would round in the oracle dialect; decimal accumulation is
+                # type-safe, order-independent, and identical in both engines
                 ops.append(
-                    GroupOperation(_AGG_FN[fn], arg, alias or fn.lower())
+                    GroupOperation(
+                        _AGG_FN[fn],
+                        arg,
+                        alias or fn.lower(),
+                        exact_decimal=fn in ("SUM", "AVG"),
+                    )
                 )
         else:
             plain.append((expr, alias))

@@ -54,21 +54,28 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the whole latest state ROW as a struct marker: the struct is
+    # non-null for every state row even when its payload columns are NULL,
+    # so the latest row wins (matching native ASOF JOIN semantics) instead
+    # of per-column last() skipping back to an older non-null value; the
+    # same marker drives the inner-join "matched" test
+    srow = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(f"__s_{c}").alias(c) for c in state_cols]),
+    )
     carried = unioned.select(
         "__side",
         *[F.col(f"__f_{c}") for c in fact_cols],
-        *[
-            F.last(F.col(f"__s_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in state_cols
-        ],
+        F.last(srow, ignorenulls=True).over(w).alias("__asof"),
     )
     out = carried.where(F.col("__side") == 1).select(
         *[F.col(f"__f_{c}").alias(c) for c in fact_cols],
-        *[F.col(f"asof_{c}") for c in state_cols],
+        *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in state_cols],
+        F.col("__asof").isNotNull().alias("__matched"),
     )
     if how == "inner":
-        out = out.where(F.col(f"asof_{state_cols[0]}").isNotNull())
-    return out
+        out = out.where(F.col("__matched"))
+    return out.drop("__matched")
 
 
 def asof_join_sql(

@@ -84,12 +84,15 @@ def _agg_sql(op: GroupOperation) -> str:
     elif t == GroupOpType.COUNT_FIELD:
         body = f"COUNT({op.field})"
     elif t == GroupOpType.SUM:
-        body = (
-            f"CAST(SUM(CAST({op.field} AS DECIMAL(38,6))) AS DOUBLE)"
-            if op.exact_decimal
+        if op.exact_decimal:
+            body = f"CAST(SUM(CAST({op.field} AS DECIMAL(38,6))) AS DOUBLE)"
+        elif op.field_kind == "float":
+            # DuckDB SUM(float) is DOUBLE already; the pin documents intent
+            # (a BIGINT pin here would ROUND — Spark returns the double)
+            body = f"CAST(SUM({op.field}) AS DOUBLE)"
+        else:
             # DuckDB sums integers into HUGEINT; pin to BIGINT like Spark
-            else f"CAST(SUM({op.field}) AS BIGINT)"
-        )
+            body = f"CAST(SUM({op.field}) AS BIGINT)"
     elif t == GroupOpType.MIN:
         body = f"MIN({op.field})"
     elif t == GroupOpType.MAX:

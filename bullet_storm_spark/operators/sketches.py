@@ -22,8 +22,15 @@ from pyspark.sql import DataFrame, functions as F
 
 class SpaceSavingSketch:
     """m-counter space-saving summary. offer() is O(1) amortized (min
-    tracked lazily); merge implements the standard summary merge: union
-    estimates, take top m, inherit error bounds."""
+    tracked lazily).
+
+    ``_base_error`` is the summary's floor for ABSENT keys: an upper bound
+    on the true count any key not currently tracked may have accumulated
+    (from evictions, merge truncation, or absence from one side of a
+    merge). Every (re-)inserted key inherits it, and merge() adds the
+    counterpart's floor for one-sided keys, so the documented guarantees
+    hold through arbitrary merge trees: estimate >= true count (no false
+    negatives) and true count >= estimate - max_error."""
 
     def __init__(self, capacity: int):
         if capacity <= 0:
@@ -31,43 +38,49 @@ class SpaceSavingSketch:
         self.capacity = capacity
         self.counts: dict[Any, int] = {}
         self.errors: dict[Any, int] = {}
+        self._base_error = 0
 
     def offer(self, key: Any, count: int = 1) -> None:
         if key in self.counts:
             self.counts[key] += count
             return
         if len(self.counts) < self.capacity:
-            self.counts[key] = count
-            self.errors[key] = 0
+            self.counts[key] = self._base_error + count
+            self.errors[key] = self._base_error
             return
         victim = min(self.counts, key=lambda k: self.counts[k])
-        floor = self.counts.pop(victim)
+        floor = max(self.counts.pop(victim), self._base_error)
         self.errors.pop(victim)
         self.counts[key] = floor + count
         self.errors[key] = floor
 
     def merge(self, other: "SpaceSavingSketch") -> None:
-        for key, cnt in other.counts.items():
-            err = other.errors[key]
-            if key in self.counts:
-                self.counts[key] += cnt
-                self.errors[key] += err
-            else:
-                self.counts[key] = cnt
-                self.errors[key] = err
-        if len(self.counts) > self.capacity:
-            keep = sorted(self.counts, key=lambda k: -self.counts[k])[: self.capacity]
-            dropped_floor = max(
-                self.counts[k] for k in self.counts if k not in set(keep)
+        """Standard mergeable-summary union: for each key in either side,
+        the side missing it contributes its absent-key floor to both the
+        estimate and the error bound; then truncate to capacity, folding
+        the largest truncated estimate into the new absent-key floor."""
+        sb, ob = self._base_error, other._base_error
+        new_counts: dict[Any, int] = {}
+        new_errors: dict[Any, int] = {}
+        for key in self.counts.keys() | other.counts.keys():
+            c1, c2 = self.counts.get(key), other.counts.get(key)
+            new_counts[key] = (c1 if c1 is not None else sb) + (
+                c2 if c2 is not None else ob
             )
-            new_counts, new_errors = {}, {}
-            for k in keep:
-                new_counts[k] = self.counts[k]
-                new_errors[k] = self.errors[k]
-            self.counts, self.errors = new_counts, new_errors
-            # dropped keys may reappear later with up to dropped_floor
-            # uncounted occurrences; track as the summary's base error
-            self._base_error = max(getattr(self, "_base_error", 0), dropped_floor)
+            new_errors[key] = (self.errors[key] if c1 is not None else sb) + (
+                other.errors[key] if c2 is not None else ob
+            )
+        base = sb + ob  # a key absent from both may have up to sb+ob mass
+        if len(new_counts) > self.capacity:
+            keep = sorted(new_counts, key=lambda k: -new_counts[k])[: self.capacity]
+            dropped_floor = max(
+                new_counts[k] for k in new_counts if k not in set(keep)
+            )
+            base = max(base, dropped_floor)
+            new_counts = {k: new_counts[k] for k in keep}
+            new_errors = {k: new_errors[k] for k in keep}
+        self.counts, self.errors = new_counts, new_errors
+        self._base_error = base
 
     def top(self, k: int, threshold: int | None = None) -> list[tuple[Any, int, int]]:
         """[(key, estimate, max_error)] by estimate desc then key asc.
@@ -137,22 +150,37 @@ def top_k_sketch(
             for key, cnt in pdf.groupby(aliases, dropna=False).size().items():
                 offer(key if isinstance(key, tuple) else (key,), int(cnt))
         items = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
-        rows = [list(key) + [est, errors[key]] for key, est in items]
-        yield pd.DataFrame(rows, columns=aliases + ["__est", "__err"])
+        # the partition's absent-key floor: when the sketch is full, any
+        # untracked key's true count <= min tracked estimate (SpaceSaving
+        # invariant); rigorous driver-side merging needs it per partition
+        base = min(counts.values()) if len(counts) >= cap else 0
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId() if TaskContext.get() else -1
+        rows = [
+            list(key) + [est, errors[key], base, part] for key, est in items
+        ]
+        yield pd.DataFrame(
+            rows, columns=aliases + ["__est", "__err", "__base", "__part"]
+        )
 
     schema = (
-        ", ".join(f"`{a}` string" for a in aliases) + ", __est long, __err long"
+        ", ".join(f"`{a}` string" for a in aliases)
+        + ", __est long, __err long, __base long, __part int"
     )
     partials = keyed.mapInPandas(partition_sketch, schema).collect()
-    merged = SpaceSavingSketch(capacity)
+    by_part: dict[int, list] = {}
     for row in partials:
-        key = tuple(row[a] for a in aliases)
-        if key in merged.counts:
-            merged.counts[key] += row["__est"]
-            merged.errors[key] += row["__err"]
-        else:
-            merged.counts[key] = row["__est"]
-            merged.errors[key] = row["__err"]
+        by_part.setdefault(row["__part"], []).append(row)
+    merged = SpaceSavingSketch(capacity)
+    for rows in by_part.values():
+        partial = SpaceSavingSketch(capacity)
+        for row in rows:
+            key = tuple(row[a] for a in aliases)
+            partial.counts[key] = row["__est"]
+            partial.errors[key] = row["__err"]
+            partial._base_error = row["__base"]
+        merged.merge(partial)
     out_rows = [
         dict(zip(aliases, key)) | {name: est, f"{name}_error": err}
         for key, est, err in merged.top(k, threshold)

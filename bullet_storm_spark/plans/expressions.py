@@ -100,7 +100,16 @@ def _sql_literal(value: Any) -> str:
     if isinstance(value, str):
         return "'" + value.replace("'", "''") + "'"
     if isinstance(value, float):
-        return repr(value)
+        # bare fraction literals parse as DECIMAL in both SQL dialects
+        # (DuckDB: 0.1 -> DECIMAL(2,1); Spark SQL: 0.1 -> DECIMAL(1,1))
+        # while F.lit(0.1) is DOUBLE — pin the literal to DOUBLE so
+        # arithmetic/result types can't drift from the Spark program
+        if value != value:  # NaN
+            return "CAST('NaN' AS DOUBLE)"
+        if value in (float("inf"), float("-inf")):
+            sign = "-" if value < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        return f"CAST({value!r} AS DOUBLE)"
     return str(value)
 
 

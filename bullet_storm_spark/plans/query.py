@@ -107,6 +107,12 @@ class GroupOperation:
     alias: str
     exact_decimal: bool = False
     round_to: int | None = None
+    # oracle-dialect hint for non-exact SUM: DuckDB sums integers into
+    # HUGEINT (pin to BIGINT like Spark) but sums floats into DOUBLE —
+    # casting a float sum to BIGINT would round. 'float' emits a DOUBLE
+    # pin; 'int' (the default, matching the dominant integer-count use)
+    # keeps BIGINT. exact_decimal sidesteps the issue entirely.
+    field_kind: str = "int"
 
 
 @dataclass

@@ -98,6 +98,7 @@ def _agg_to_dict(agg: Q.Aggregation) -> dict:
                     "alias": op.alias,
                     "exact_decimal": op.exact_decimal,
                     "round_to": op.round_to,
+                    "field_kind": op.field_kind,
                 }
                 for op in agg.operations
             ],
@@ -147,6 +148,7 @@ def _agg_from_dict(d: dict) -> Q.Aggregation:
                     o["alias"],
                     o.get("exact_decimal", False),
                     o.get("round_to"),
+                    o.get("field_kind", "int"),
                 )
                 for o in d["operations"]
             ],

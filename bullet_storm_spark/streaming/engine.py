@@ -232,7 +232,7 @@ class StreamingEngine:
             df = df.select(
                 *[f.expression.to_column().alias(f.name) for f in q.projection.fields]
             )
-        return [r.asDict() for r in rq.state.partial(df).collect()], df
+        return [r.asDict() for r in rq.state.partial(df).collect()]
 
     def process_batch(
         self, batch_df: DataFrame, batch_id: int = 0, source: str | None = None
@@ -327,7 +327,7 @@ class StreamingEngine:
 
                 try:
                     for qid, rows in shared_partials(cached, shared).items():
-                        partials[qid] = (rows, None)
+                        partials[qid] = rows
                     self.shared_scan_queries += len(shared)
                 except Exception:
                     # planning/execution failure (e.g. one member's plan is
@@ -344,14 +344,12 @@ class StreamingEngine:
                     active = [a for a in active if a.id != rq.id]
             for rq in active:
                 if rq.id in partials:
-                    partial_rows, df = partials[rq.id]
-                    # records consumed this batch (rate limit / record
-                    # windows): RAW partials ARE records; aggregates report
-                    # via merge deltas
+                    partial_rows = partials[rq.id]
+                    # record-consumption accounting rides the partial job
+                    # itself (state.consumed reads count columns the
+                    # partial already computed — never an extra job)
                     rq.state.merge(partial_rows)
-                    rq.records_consumed += self._batch_record_count(
-                        partial_rows, rq, df
-                    )
+                    rq.records_consumed += rq.state.consumed(partial_rows)
 
                 # rate limiting (JoinBolt.java:159-160,194-208)
                 if self.rate_limit is not None:
@@ -372,32 +370,6 @@ class StreamingEngine:
         finally:
             if cached is not batch_df:
                 cached.unpersist()
-
-    def _batch_record_count(self, partial_rows, rq, df) -> int:
-        """Record-consumption accounting. For RAW the partial rows are the
-        records; aggregated queries with record windows or rate limits need
-        the true input count, which their partial already computed (count
-        metrics) or we derive from partial row metadata."""
-        from bullet_storm_spark.streaming.state import (
-            GroupState,
-            RawState,
-            TopKState,
-        )
-
-        state = rq.state
-        if isinstance(state, RawState):
-            return len(partial_rows)
-        if isinstance(state, TopKState):
-            return sum(r.get("__c", 0) for r in partial_rows)
-        if isinstance(state, GroupState):
-            for i, op in enumerate(rq.query.aggregation.operations):
-                if op.op.name.startswith("COUNT"):
-                    return sum(r.get(f"__c{i}", 0) or 0 for r in partial_rows)
-        needs_count = (
-            isinstance(rq.query.window, SlidingRecordWindow)
-            or self.rate_limit is not None
-        )
-        return df.count() if needs_count else 0
 
     def stats(self) -> dict[str, Any]:
         """Engine statistics — the FilterBolt periodic stats report

@@ -21,10 +21,12 @@ fleet size. This is the reference's QueryManager one-record-many-queries
 fan-out (SURVEY.md §4 row 1 / §7.3 known-hard #1) as Catalyst plans.
 
 Shareable: GROUP ALL / GROUP BY, TOP K, DISTRIBUTION PMF/CDF — anything
-whose partial is a (possibly keyless) hash aggregation. Not shareable:
-RAW (limit semantics), COUNT DISTINCT (distinct-row / sketch partials),
-QUANTILE (value-sample partials), and queries needing per-batch record
-counts (record windows / rate limits) — those run on the per-query path.
+whose partial is a (possibly keyless) hash aggregation; their per-member
+match count doubles as the record-consumption metric, so they stay
+shareable under rate limits. Not shareable: RAW (limit semantics),
+QUANTILE (value-sample partials), record-window queries (emission timing
+is per-query), and COUNT DISTINCT under a rate limit (its sketch partial
+carries no per-member count) — those run on the per-query path.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ from bullet_storm_spark.streaming.state import (
 
 
 def is_shareable(rq, rate_limited: bool) -> bool:
-    if rate_limited or isinstance(rq.query.window, SlidingRecordWindow):
+    if isinstance(rq.query.window, SlidingRecordWindow):
         return False
     state = rq.state
     if isinstance(state, (GroupState, TopKState)):
@@ -61,8 +63,9 @@ def is_shareable(rq, rate_limited: bool) -> bool:
     if isinstance(state, CountDistinctState):
         # approx: one HLL sketch column per query folds into the keyless
         # job (hll_sketch_agg skips the nulls the filter produces); exact
-        # needs distinct-row partials and stays per-query
-        return not state.agg.exact
+        # needs distinct-row partials and stays per-query; rate-limited
+        # queries need per-batch counts the sketch row doesn't carry
+        return not state.agg.exact and not rate_limited
     return False
 
 
@@ -210,8 +213,10 @@ def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
                 )
                 member.rename[f"{p}m{j}"] = f"__m{j}"
         member.agg_cols.append(
-            F.sum(F.when(f_ref, 1).otherwise(0)).alias(f"{p}match")
+            F.sum(F.when(f_ref, 1).otherwise(0)).cast("bigint").alias(f"{p}match")
         )
+        # the match count doubles as the consumed-records metric
+        member.rename[f"{p}match"] = "__nrec"
 
     elif isinstance(state, TopKState):
         c = F.sum(F.when(f_ref, 1).otherwise(0)).cast("bigint")
@@ -221,7 +226,8 @@ def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
             F.sum(F.when(f_ref, 1).otherwise(0)).alias(f"{p}match")
         )
 
-    else:  # DistributionState PMF/CDF: null values never count
+    else:  # DistributionState PMF/CDF: null values never count in bins,
+        # but they DO count as consumed records (match uses the raw filter)
         vcol, _ = resolve(state.agg.field)
         effname = f"{p}fv"
         job.value_cols[effname] = f_ref & vcol.cast("double").isNotNull()
@@ -229,7 +235,10 @@ def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
         c = F.sum(F.when(eff, 1).otherwise(0)).cast("bigint")
         member.agg_cols.append(c.alias(f"{p}c"))
         member.rename[f"{p}c"] = "__c"
-        member.agg_cols.append(F.sum(F.when(eff, 1).otherwise(0)).alias(f"{p}match"))
+        member.agg_cols.append(
+            F.sum(F.when(f_ref, 1).otherwise(0)).cast("bigint").alias(f"{p}match")
+        )
+        member.rename[f"{p}match"] = "__nrec"
 
 
 # max queries folded into one aggregation plan: beyond this, analysis +

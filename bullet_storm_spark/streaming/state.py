@@ -59,6 +59,12 @@ class QueryState:
     def is_full(self) -> bool:
         return False
 
+    def consumed(self, rows: list[dict[str, Any]]) -> int:
+        """Records this batch's partial consumed — derived from count
+        columns that RIDE the partial job (rate limiting / record-window
+        accounting must never cost an extra Spark job per query)."""
+        return 0
+
 
 class RawState(QueryState):
     """Collect up to n records; full -> query done (JoinBoltTest.java:
@@ -84,6 +90,11 @@ class RawState(QueryState):
 
     def is_full(self) -> bool:
         return len(self.records) >= self.size
+
+    def consumed(self, rows: list[dict[str, Any]]) -> int:
+        # RAW forwards at most its remaining capacity — shipped rows ARE
+        # the consumed records (FilterBolt max-forwarding semantics)
+        return len(rows)
 
 
 class GroupState(QueryState):
@@ -128,6 +139,8 @@ class GroupState(QueryState):
                 aggs.append(F.min(f).alias(f"__m{i}"))
             elif t == GroupOpType.MAX:
                 aggs.append(F.max(f).alias(f"__m{i}"))
+        # input-record count rides the same aggregation (consumed())
+        aggs.append(F.count(F.lit(1)).alias("__nrec"))
         return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
     def merge(self, rows: list[dict[str, Any]]) -> None:
@@ -182,6 +195,16 @@ class GroupState(QueryState):
     def reset(self) -> None:
         self.groups = {}
 
+    def consumed(self, rows: list[dict[str, Any]]) -> int:
+        if rows and "__nrec" in rows[0]:
+            return sum(r["__nrec"] or 0 for r in rows)
+        # shared-scan rows: the per-member match count serves as __nrec;
+        # fall back to a COUNT metric if present
+        for i, op in enumerate(self.agg.operations):
+            if op.op == GroupOpType.COUNT:
+                return sum(r.get(f"__c{i}", 0) or 0 for r in rows)
+        return 0
+
 
 class CountDistinctState(QueryState):
     """Exact: per-batch distinct keys merged into a driver set (matches the
@@ -203,8 +226,15 @@ class CountDistinctState(QueryState):
     def partial(self, df: DataFrame) -> DataFrame:
         self._spark = df.sparkSession
         if self.agg.exact:
-            return df.select(self._key_col().alias("__k")).distinct()
-        return df.agg(F.hll_sketch_agg(self._key_col()).alias("__sketch"))
+            # groupBy instead of distinct: same shuffle shape, and the
+            # per-key counts sum to the batch record count (consumed())
+            return df.groupBy(self._key_col().alias("__k")).agg(
+                F.count(F.lit(1)).alias("__nrec")
+            )
+        return df.agg(
+            F.hll_sketch_agg(self._key_col()).alias("__sketch"),
+            F.count(F.lit(1)).alias("__nrec"),
+        )
 
     def _session(self):
         if self._spark is not None:
@@ -246,6 +276,9 @@ class CountDistinctState(QueryState):
     def reset(self) -> None:
         self.keys = set()
         self.sketch = None
+
+    def consumed(self, rows: list[dict[str, Any]]) -> int:
+        return sum(r.get("__nrec", 0) or 0 for r in rows)
 
 
 class TopKState(QueryState):
@@ -308,6 +341,9 @@ class TopKState(QueryState):
 
             self.sketch = SpaceSavingSketch(self.agg.sketch_capacity)
 
+    def consumed(self, rows: list[dict[str, Any]]) -> int:
+        return sum(r.get("__c", 0) or 0 for r in rows)
+
 
 class DistributionState(QueryState):
     """PMF/CDF: per-split conditional counts merge exactly (numeric add).
@@ -337,17 +373,23 @@ class DistributionState(QueryState):
 
     def partial(self, df: DataFrame) -> DataFrame:
         v = F.col(self.agg.field).cast("double")
-        df = df.where(v.isNotNull())
         if self.agg.dist_type == DistributionType.QUANTILE:
             self._batch_no += 1
-            cnt = df.agg(F.count(F.lit(1)).alias("__n"))
+            # __n = non-null values (reservoir weights), __nrec = all
+            # records (consumed()) — both ride the one partial job
+            cnt = df.agg(
+                F.count(v).alias("__n"), F.count(F.lit(1)).alias("__nrec")
+            )
             sample = (
-                df.select(v.alias("__v"), F.rand(self._batch_no).alias("__r"))
+                df.where(v.isNotNull())
+                .select(v.alias("__v"), F.rand(self._batch_no).alias("__r"))
                 .orderBy("__r")
                 .limit(self.SAMPLE_CAP)
                 .drop("__r")
             )
             return sample.crossJoin(F.broadcast(cnt))
+        # null values land in a NULL bin (never binned/totaled, but they
+        # keep the batch record count riding this job for consumed())
         bin_idx = F.lit(0)
         for p in self.points:
             bin_idx = bin_idx + (v >= F.lit(p)).cast("int")
@@ -380,6 +422,8 @@ class DistributionState(QueryState):
             self.seen += batch_total
             return
         for r in rows:
+            if r["__bin"] is None:  # null-value bin: counted only by consumed()
+                continue
             self.bin_counts[r["__bin"]] += r["__c"]
             self.total += r["__c"]
 
@@ -439,6 +483,13 @@ class DistributionState(QueryState):
         self.total = 0
         self.values = []
         self.seen = 0
+
+    def consumed(self, rows: list[dict[str, Any]]) -> int:
+        if self.agg.dist_type == DistributionType.QUANTILE:
+            return rows[0].get("__nrec", rows[0].get("__n", 0)) if rows else 0
+        if rows and "__nrec" in rows[0]:  # shared-scan rows
+            return sum(r["__nrec"] or 0 for r in rows)
+        return sum(r.get("__c", 0) or 0 for r in rows)  # incl. the NULL bin
 
 
 def make_state(query: Query) -> QueryState:
