@@ -11,12 +11,18 @@ from bullet_storm_spark.streaming.registry import (
     RunningQuery,
     Signal,
 )
+from bullet_storm_spark.streaming.channels import (
+    FileControlChannel,
+    FileControlClient,
+)
 from bullet_storm_spark.streaming.engine import StreamingEngine
 
 __all__ = [
     "make_state",
     "QueryState",
     "ControlChannel",
+    "FileControlChannel",
+    "FileControlClient",
     "QueryRegistry",
     "RunningQuery",
     "Signal",
