@@ -652,13 +652,20 @@ ORDER BY doc_id
         .orderBy("id"),
         _mm.payload_meta_sql("documents", "doc_id", "text"),
     ),
-    # IVF ANN (numpy k-means centroids + Arrow assignment): rows-only
+    # IVF ANN with a frozen centroid codebook (how a fitted codebook ships
+    # to a query cluster): expression-path assignment -> the whole
+    # approximate pipeline is hash-checkable. The Arrow/numpy-assignment
+    # variant (ivf_neighbors) is pytest-covered for exactness at
+    # nprobe=n_centroids and benchmarked via the arrow path below.
     "ann_ivf_topk": (
-        lambda s, d: _sim.ivf_neighbors(
+        lambda s, d: _sim.ivf_neighbors_frozen(
             _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8,
             k=5, n_centroids=16, nprobe=4,
         ),
-        None,
+        _sim.ivf_neighbors_frozen_sql(
+            "embeddings", "vec_id", "embedding", "vec_id < 8",
+            k=5, n_centroids=16, nprobe=4,
+        ),
     ),
     # Arrow/numpy matmul ANN: same semantics as brute force, BLAS reduction
     # order -> not bit-reproducible; rows-only check
@@ -668,12 +675,14 @@ ORDER BY doc_id
         ),
         None,
     ),
-    # multimodal decode plumbing (deterministic fake decode): rows-only
+    # multimodal decode plumbing: the fake decode is a deterministic pure
+    # function of the payload bytes, so the mapInPandas plumbing is fully
+    # oracle-checkable (the real image decode stays an honest stub)
     "multimodal_decode_meta": (
         lambda s, d: _mm.decode_image_meta(
             _mm.with_payload(_docs(s, d), "doc_id", "text")
-        ),
-        None,
+        ).orderBy("id"),
+        _mm.decode_meta_sql("documents", "doc_id", "text"),
     ),
 }
 

@@ -77,6 +77,29 @@ def decode_image_meta(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(decode, DECODE_SCHEMA)
 
 
+def decode_meta_sql(table: str, id_col: str, content_col: str) -> str:
+    """DuckDB twin of with_payload + decode_image_meta: the fake decode is
+    a pure function of the payload bytes (first byte, byte length), so the
+    mapInPandas plumbing is oracle-checkable end-to-end. First byte comes
+    from the hex rendering of the UTF-8 blob (ascii() would give a code
+    POINT, not a byte, for multibyte leaders)."""
+    n_bytes = f"octet_length(encode({content_col}))"
+    first = (
+        f"CASE WHEN {n_bytes} = 0 THEN 0 "
+        f"ELSE ('0x' || substr(hex(encode({content_col})), 1, 2))::INTEGER END"
+    )
+    return f"""
+SELECT {id_col} AS id,
+       CAST({first} % 64 + 1 AS INTEGER) AS width,
+       CAST({n_bytes} % 64 + 1 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST({n_bytes} AS BIGINT) AS n_bytes,
+       TRUE AS decode_ok
+FROM {table}
+ORDER BY id
+"""
+
+
 def decode_image_real(payloads: DataFrame) -> DataFrame:
     """Real decode path — requires an imaging library not present in this
     environment."""

@@ -293,6 +293,136 @@ def ivf_neighbors(
     return _rank_topk(pairs, k)
 
 
+def seeded_centroids(
+    dim: int, n_centroids: int, seed: int = LSH_SEED
+) -> list[list[float]]:
+    """Deterministic unit-ish centroids (seeded, rounded to 6dp so the
+    literal rendering is identical in both generated programs). Production
+    fits centroids OFFLINE with ivf_centroids and passes them in — frozen
+    literals are exactly how a fitted codebook ships to a query cluster."""
+    rng = np.random.RandomState(seed + 7)
+    c = rng.randn(n_centroids, dim)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in row] for row in c]
+
+
+def ivf_neighbors_frozen(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    centroids: list[list[float]] | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k with a FROZEN centroid codebook, assignment computed as
+    pure column expressions — every step (cell argmax, probe ranking,
+    cosine, tie-breaks) is bit-reproducible against the DuckDB twin, so
+    the whole approximate pipeline is hash-checkable (unlike the
+    Arrow/numpy assignment in ivf_neighbors, whose BLAS reduction order
+    is not). Plan shape is identical: cell id is the join/shuffle key,
+    per-query work ~ N * nprobe / n_centroids.
+
+    Ranking: cells are ordered by (-dot(v, c), cell_idx) — sequential
+    index-order accumulation in both engines; centroids are (rounded)
+    unit vectors so the dot ranking is the cosine ranking."""
+    cents = centroids or seeded_centroids(dim, n_centroids)
+    base0 = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        query_pred.alias("is_q"),
+    )
+    v = as_double(F.col("v"))
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-dot(v, F.array(*[F.lit(x) for x in c]))).alias("nd"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    # materialize probes behind the select so the HOF tree is evaluated
+    # once per row (CollapseProject would otherwise re-inline it per use)
+    assigned = base0.select("id", "v", "is_q", probes.alias("probes")).select(
+        "id", "v", "is_q", "probes", F.element_at("probes", 1).alias("cell")
+    )
+    queries = assigned.where(F.col("is_q")).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("probes").alias("cell"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(assigned.select("id", "v", "cell"), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _rank_topk(pairs, k)
+
+
+def ivf_neighbors_frozen_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    centroids: list[list[float]] | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    dim: int = 64,
+    round_to: int = 6,
+) -> str:
+    cents = centroids or seeded_centroids(dim, n_centroids)
+    entries = ", ".join(
+        "{'nd': -list_dot_product(v::DOUBLE[], ["
+        + ", ".join(repr(x) for x in c)
+        + f"]), 'i': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cos = f"ROUND({cosine_sql('q.qv', 'c.v')}, {round_to})"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col} AS v, ({query_pred_sql}) AS is_q
+  FROM {table}
+),
+assigned AS (
+  SELECT id, v, is_q,
+         list_transform(
+           list_slice(list_sort([{entries}]), 1, {nprobe}), x -> x.i
+         ) AS probes
+  FROM base
+),
+celled AS (SELECT id, v, is_q, probes, probes[1] AS cell FROM assigned),
+q AS (
+  SELECT id AS query_id, v AS qv, UNNEST(probes) AS cell
+  FROM celled WHERE is_q
+),
+pairs AS (
+  SELECT DISTINCT q.query_id, c.id AS neighbor_id, {cos} AS cos
+  FROM q JOIN celled c ON q.cell = c.cell AND q.query_id <> c.id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER)
+         AS rank
+FROM pairs
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Arrow/Pandas throughput path (bench, not oracle)
 # ---------------------------------------------------------------------------
