@@ -304,6 +304,21 @@ def _core_queries() -> dict[str, Query]:
         ),
         post_aggregations=[OrderBy([("k_bucket", True)])],
     )
+
+    # bounded-state TOP K: SpaceSaving sketch path (TopK.sketch_capacity)
+    # — exact with a zero error column while the true key cardinality fits
+    # the capacity, the reference's own sketch-exactness test posture
+    # (FilterBoltTest.java:704-709). user_id cardinality is << 4096 at
+    # every test SF, so the oracle twin (exact counts + 0 error) holds.
+    qs["top_k_sketched"] = Query(
+        source="events",
+        aggregation=TopK(
+            size=10,
+            name="cnt",
+            fields={"user_id": "uid"},
+            sketch_capacity=4096,
+        ),
+    )
     return qs
 
 

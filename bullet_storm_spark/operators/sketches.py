@@ -83,15 +83,19 @@ class SpaceSavingSketch:
         self._base_error = base
 
     def top(self, k: int, threshold: int | None = None) -> list[tuple[Any, int, int]]:
-        """[(key, estimate, max_error)] by estimate desc then key asc.
-        estimate >= true count always (no false negatives); true count >=
-        estimate - max_error."""
-        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        """[(key, estimate, max_error)] by estimate desc then key asc
+        (element-wise tuple order — matches the exact operator's ORDER BY
+        count DESC, aliases ASC). Threshold filters BEFORE the k cut, like
+        the exact operator's HAVING. estimate >= true count always (no
+        false negatives); true count >= estimate - max_error."""
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
         out = []
-        for key, est in items[:k]:
+        for key, est in items:
             if threshold is not None and est < threshold:
                 continue
             out.append((key, est, self.errors[key]))
+            if len(out) >= k:
+                break
         return out
 
 

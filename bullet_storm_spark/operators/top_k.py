@@ -31,6 +31,23 @@ NULL_RENDERING = "null"
 
 
 def apply(df: DataFrame, agg: TopK, post: Sequence[PostAggregation]) -> DataFrame:
+    if agg.sketch_capacity is not None:
+        # bounded-state SpaceSaving path: per-partition sketches merged on
+        # the driver (the reference's frequent-items-sketch contract);
+        # exact — with a zero error column — whenever the true key
+        # cardinality fits the capacity, like the reference's own
+        # 256-distinct exactness tests (FilterBoltTest.java:704-709)
+        from bullet_storm_spark.operators.sketches import top_k_sketch
+
+        out = top_k_sketch(
+            df,
+            agg.fields,
+            agg.size,
+            agg.name,
+            capacity=agg.sketch_capacity,
+            threshold=agg.threshold,
+        )
+        return apply_post(out, post, None)
     keys = [
         F.coalesce(F.col(f).cast("string"), F.lit(NULL_RENDERING)).alias(
             agg.alias_of(f)
@@ -54,8 +71,14 @@ def sql(agg: TopK, base_sql: str, post: Sequence[PostAggregation]) -> str:
         for f in agg.fields
     )
     group = ", ".join(aliases)
+    counts = f"COUNT(*) AS {agg.name}"
+    if agg.sketch_capacity is not None:
+        # sketch twin: valid as an EXACT oracle only while the true key
+        # cardinality fits the sketch capacity (estimates are then exact
+        # and every error bound is 0) — the caller owns that contract
+        counts += f", CAST(0 AS BIGINT) AS {agg.name}_error"
     inner = (
-        f"SELECT {key_exprs}, COUNT(*) AS {agg.name} FROM ({base_sql}) "
+        f"SELECT {key_exprs}, {counts} FROM ({base_sql}) "
         f"GROUP BY {group}"
     )
     if agg.threshold is not None:
