@@ -6,15 +6,24 @@ frequent-items contract (SURVEY.md §2.4 TOP K: NO_FALSE_NEGATIVES — every
 item with true count > n/m survives, estimates carry a per-item error
 bound) with m counters of state regardless of key cardinality.
 
+KLLSummary provides the reference's QuantileSketch contract (SURVEY.md
+§2.4 DISTRIBUTION): a mergeable, bounded quantile summary in the
+MRL/KLL compactor family (Manku-Rajagopalan-Lindsay SIGMOD'98; Karnin-
+Lang-Liberty FOCS'16) — exact while everything fits one compactor,
+rank-approximate beyond, associative under merge like the reference's
+sketch union (JoinBoltTest.java:696-735).
+
 Used two ways:
 * batch: per-partition sketches via mapInPandas, merged on the driver —
   the partial/final shape with O(partitions x m) driver work;
 * streaming: TopK(sketch_capacity=m) swaps the exact unbounded dict in
-  streaming.state.TopKState for a SpaceSaving sketch.
+  streaming.state.TopKState for a SpaceSaving sketch; DISTRIBUTION
+  QUANTILE state IS a KLLSummary merged from per-partition summaries.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -195,3 +204,114 @@ def top_k_sketch(
         + f", `{name}` long, `{name}_error` long"
     )
     return spark.createDataFrame(out_rows, out_schema)
+
+
+class KLLSummary:
+    """Mergeable bounded quantile summary (MRL/KLL compactor family).
+
+    ``levels[i]`` holds values each representing 2^i originals. A level
+    over ``capacity`` sorts and keeps alternate items, promoting them one
+    level up (weight doubles). Deterministic: the compaction offset
+    alternates per compaction (a counter, not a coin), so identical input
+    produces identical summaries everywhere — the property the engine's
+    hash-checked determinism audit relies on.
+
+    Contracts (mirroring the reference's QuantileSketch):
+    * bounded state: <= capacity * ceil(log2(n/capacity) + 1) floats;
+    * EXACT while n <= capacity (no compaction ever happens);
+    * mergeable: merge() concatenates level-wise then re-compacts — the
+      summary-union shape (JoinBoltTest.java:696-735), associative in
+      the rank-error sense, and bitwise order-insensitive while exact;
+    * rank error ~ O(log(n/capacity) / capacity) beyond exactness.
+    """
+
+    def __init__(self, capacity: int = 8192):
+        if capacity < 2:
+            raise ValueError("capacity must be >= 2")
+        self.capacity = capacity
+        self.levels: list[list[float]] = [[]]
+        self._compactions = 0
+
+    # -- ingestion ----------------------------------------------------------
+
+    def update(self, value: float) -> None:
+        self.levels[0].append(float(value))
+        self._compress()
+
+    def extend(self, values) -> None:
+        self.levels[0].extend(float(v) for v in values)
+        self._compress()
+
+    def merge(self, other: "KLLSummary") -> None:
+        for i, lvl in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append([])
+            self.levels[i].extend(lvl)
+        self._compress()
+
+    @classmethod
+    def from_levels(cls, levels, capacity: int = 8192) -> "KLLSummary":
+        s = cls(capacity)
+        s.levels = [list(map(float, lvl)) for lvl in levels] or [[]]
+        s._compress()
+        return s
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.capacity:
+                lvl = sorted(self.levels[i])
+                off = self._compactions & 1
+                self._compactions += 1
+                held = []
+                if len(lvl) & 1:
+                    # hold one item back so EXACTLY half promotes at
+                    # double weight — total weighted count stays exact
+                    # (alternating which end avoids a one-sided bias)
+                    held = [lvl.pop()] if off else [lvl.pop(0)]
+                if len(self.levels) <= i + 1:
+                    self.levels.append([])
+                self.levels[i + 1].extend(lvl[off::2])
+                self.levels[i] = held
+            i += 1
+
+    # -- queries ------------------------------------------------------------
+
+    @property
+    def n(self) -> int:
+        """Weighted count of represented values."""
+        return sum(len(lvl) << i for i, lvl in enumerate(self.levels))
+
+    @property
+    def stored(self) -> int:
+        return sum(len(lvl) for lvl in self.levels)
+
+    def is_exact(self) -> bool:
+        return self._compactions == 0
+
+    def quantile(self, p: float) -> float | None:
+        """Interpolated quantile over the weighted multiset. With all
+        weights 1 (exact regime) this is precisely the classic
+        sorted-values interpolation v[floor(t)]*(1-f) + v[ceil(t)]*f at
+        t = p*(n-1) — byte-compatible with the engine's batch/exact path."""
+        items = sorted(
+            (v, 1 << i) for i, lvl in enumerate(self.levels) for v in lvl
+        )
+        if not items:
+            return None
+        total = sum(w for _, w in items)
+        target = p * (total - 1)
+        lo, hi = int(math.floor(target)), int(math.ceil(target))
+        frac = target - lo
+
+        def value_at(rank: int) -> float:
+            cum = 0
+            for v, w in items:
+                if rank < cum + w:
+                    return v
+                cum += w
+            return items[-1][0]
+
+        vlo = value_at(lo)
+        vhi = vlo if hi == lo else value_at(hi)
+        return vlo * (1 - frac) + vhi * frac

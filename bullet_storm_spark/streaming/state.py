@@ -24,7 +24,6 @@ Each QueryState implements:
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
@@ -347,47 +346,75 @@ class TopKState(QueryState):
 
 class DistributionState(QueryState):
     """PMF/CDF: per-split conditional counts merge exactly (numeric add).
-    QUANTILE: a weighted reservoir sample (bounded state, uniform over the
-    whole stream) with exact small-input behavior — semantic parity with
-    the KLL sketch's bounded memory, not byte parity (SURVEY.md §7.3).
+    QUANTILE: a mergeable KLL-style summary (operators/sketches.KLLSummary)
+    — bounded, ASSOCIATIVE state exactly like the reference's
+    QuantileSketch union (JoinBoltTest.java:696-735), exact while the
+    stream fits one compactor (<= SAMPLE_CAP values — the reference's own
+    small-input exactness posture).
 
-    Per-batch sampling runs IN SPARK (random-key top-R, a
-    TakeOrderedAndProject — no full sort); the driver merges batch samples
-    into the reservoir weighted by batch sizes, deterministically seeded.
-    Streams with <= SAMPLE_CAP total values stay exact (the reference's own
-    tests assert small-input exactness)."""
+    The partial job builds one summary PER PARTITION in Spark (Arrow
+    batches; self-contained closure) and ships levels — the sketch-bytes
+    wire contract: driver traffic is O(partitions x capacity) floats no
+    matter how large the batch, and the driver merge is summary union."""
 
     SAMPLE_CAP = 100_000
 
     def __init__(self, agg: Distribution):
-        import random
+        from bullet_storm_spark.operators.sketches import KLLSummary
 
         self.agg = agg
         self.points = [float(p) for p in agg.points]
         self.bin_counts = [0] * (len(self.points) + 1)
         self.total = 0
-        self.values: list[float] = []
-        self.seen = 0  # total stream values represented by the reservoir
-        self._rng = random.Random(0xB17)
-        self._batch_no = 0
+        self.summary = KLLSummary(self.SAMPLE_CAP)
 
     def partial(self, df: DataFrame) -> DataFrame:
         v = F.col(self.agg.field).cast("double")
         if self.agg.dist_type == DistributionType.QUANTILE:
-            self._batch_no += 1
-            # __n = non-null values (reservoir weights), __nrec = all
-            # records (consumed()) — both ride the one partial job
-            cnt = df.agg(
-                F.count(v).alias("__n"), F.count(F.lit(1)).alias("__nrec")
+            cap = self.SAMPLE_CAP
+
+            # self-contained closure (cloudpickle ships it by value; no
+            # package import on workers) building a KLL summary per
+            # partition — mirrors KLLSummary._compress deterministically
+            def build(batches):
+                import pandas as pd
+
+                levels = [[]]
+                compactions = 0
+                nval = 0
+                nrec = 0
+
+                def compress():
+                    nonlocal compactions
+                    i = 0
+                    while i < len(levels):
+                        if len(levels[i]) > cap:
+                            lvl = sorted(levels[i])
+                            off = compactions & 1
+                            compactions += 1
+                            held = []
+                            if len(lvl) & 1:
+                                held = [lvl.pop()] if off else [lvl.pop(0)]
+                            if len(levels) <= i + 1:
+                                levels.append([])
+                            levels[i + 1].extend(lvl[off::2])
+                            levels[i] = held
+                        i += 1
+
+                for pdf in batches:
+                    col = pdf["__v"]
+                    nrec += len(col)
+                    vals = col.dropna()
+                    nval += len(vals)
+                    levels[0].extend(float(x) for x in vals)
+                    compress()
+                yield pd.DataFrame(
+                    {"__levels": [levels], "__n": [nval], "__nrec": [nrec]}
+                )
+
+            return df.select(v.alias("__v")).mapInPandas(
+                build, "__levels array<array<double>>, __n long, __nrec long"
             )
-            sample = (
-                df.where(v.isNotNull())
-                .select(v.alias("__v"), F.rand(self._batch_no).alias("__r"))
-                .orderBy("__r")
-                .limit(self.SAMPLE_CAP)
-                .drop("__r")
-            )
-            return sample.crossJoin(F.broadcast(cnt))
         # null values land in a NULL bin (never binned/totaled, but they
         # keep the batch record count riding this job for consumed())
         bin_idx = F.lit(0)
@@ -397,29 +424,12 @@ class DistributionState(QueryState):
 
     def merge(self, rows: list[dict[str, Any]]) -> None:
         if self.agg.dist_type == DistributionType.QUANTILE:
-            if not rows:
-                return
-            batch_vals = [r["__v"] for r in rows]
-            batch_total = rows[0]["__n"]
-            if self.seen + batch_total <= self.SAMPLE_CAP:
-                # everything still fits: stay exact
-                self.values.extend(batch_vals)
-                self.seen += batch_total
-                return
-            # weighted reservoir merge: each slot draws from the old
-            # reservoir with probability seen/(seen+batch_total)
-            r = self.SAMPLE_CAP
-            old = list(self.values)
-            new = list(batch_vals)
-            self._rng.shuffle(old)
-            self._rng.shuffle(new)
-            p_old = self.seen / (self.seen + batch_total)
-            merged: list[float] = []
-            while len(merged) < r and (old or new):
-                take_old = old and (not new or self._rng.random() < p_old)
-                merged.append(old.pop() if take_old else new.pop())
-            self.values = merged
-            self.seen += batch_total
+            from bullet_storm_spark.operators.sketches import KLLSummary
+
+            for r in rows:
+                self.summary.merge(
+                    KLLSummary.from_levels(r["__levels"], self.SAMPLE_CAP)
+                )
             return
         for r in rows:
             if r["__bin"] is None:  # null-value bin: counted only by consumed()
@@ -433,17 +443,12 @@ class DistributionState(QueryState):
     def result(self) -> list[dict[str, Any]]:
         t = self.agg.dist_type
         if t == DistributionType.QUANTILE:
-            vals = sorted(self.values)
             out = []
             for p in self.points:
-                if not vals:
-                    out.append({"quantile": p, "value": None})
-                    continue
-                idx = p * (len(vals) - 1)
-                lo, hi = int(math.floor(idx)), int(math.ceil(idx))
-                frac = idx - lo
-                v = vals[lo] * (1 - frac) + vals[hi] * frac
-                out.append({"quantile": p, "value": self._round(v)})
+                v = self.summary.quantile(p)
+                out.append(
+                    {"quantile": p, "value": None if v is None else self._round(v)}
+                )
             return out
         total = self.total or 1
         if t == DistributionType.PMF:
@@ -479,14 +484,15 @@ class DistributionState(QueryState):
         return out
 
     def reset(self) -> None:
+        from bullet_storm_spark.operators.sketches import KLLSummary
+
         self.bin_counts = [0] * (len(self.points) + 1)
         self.total = 0
-        self.values = []
-        self.seen = 0
+        self.summary = KLLSummary(self.SAMPLE_CAP)
 
     def consumed(self, rows: list[dict[str, Any]]) -> int:
         if self.agg.dist_type == DistributionType.QUANTILE:
-            return rows[0].get("__nrec", rows[0].get("__n", 0)) if rows else 0
+            return sum(r.get("__nrec", 0) or 0 for r in rows)
         if rows and "__nrec" in rows[0]:  # shared-scan rows
             return sum(r["__nrec"] or 0 for r in rows)
         return sum(r.get("__c", 0) or 0 for r in rows)  # incl. the NULL bin
