@@ -95,6 +95,16 @@ class StreamingEngine:
         self.results: list[tuple[str, Clip]] = []  # in-memory ResultBolt
         self.result_handlers: list[ResultHandler] = []
         self._query = None  # live StreamingQuery when attached
+        from bullet_storm_spark.streaming.metrics import EngineMetrics
+
+        self.metrics = EngineMetrics()
+        self._listener = None  # Spark listener bridge once attached
+
+    def add_metrics_consumer(self, consumer) -> None:
+        """Register a pluggable metrics consumer (BulletMetrics analogue,
+        reference ReflectionUtils.java:52-99): a callable
+        (name, key_or_None, delta) invoked on every counter increment."""
+        self.metrics.add_consumer(consumer)
 
     # -- control plane -------------------------------------------------------
 
@@ -113,6 +123,8 @@ class StreamingEngine:
             handler(query_id, clip)
 
     def _drain_control(self) -> None:
+        from bullet_storm_spark.streaming import metrics as M
+
         for msg in self.channel.drain():
             if msg.signal in (Signal.KILL, Signal.COMPLETE):
                 rq = self.registry.remove(
@@ -120,6 +132,10 @@ class StreamingEngine:
                     QueryStatus.KILLED if msg.signal == Signal.KILL else QueryStatus.DONE,
                 )
                 if rq is not None:
+                    if msg.signal == Signal.KILL:
+                        self.metrics.increment(M.QUERIES_KILLED)
+                    else:
+                        self.metrics.increment(M.QUERIES_COMPLETED)
                     self._emit(
                         msg.id,
                         Clip.of([], **self._meta(rq, signal=msg.signal.value)),
@@ -127,6 +143,7 @@ class StreamingEngine:
             elif msg.content is not None:
                 cap = self.config.max_concurrent_queries
                 if cap is not None and len(self.registry.queries) >= cap:
+                    self.metrics.increment(M.QUERIES_IMPROPER)
                     self._emit(
                         msg.id,
                         Clip.error(
@@ -139,9 +156,13 @@ class StreamingEngine:
                 if errors:
                     # init-error path: FAIL clip with error metadata
                     # (JoinBolt.java:261-268,304-306)
+                    self.metrics.increment(M.QUERIES_IMPROPER)
                     self._emit(msg.id, Clip.error(msg.id, errors))
                     continue
-                self.registry.submit(msg.id, msg.content)
+                if self.registry.submit(msg.id, msg.content) is not None:
+                    self.metrics.increment(M.QUERIES_CREATED)
+                else:
+                    self.metrics.increment(M.QUERIES_DUPLICATED)
 
     # -- data plane ----------------------------------------------------------
 
@@ -166,9 +187,14 @@ class StreamingEngine:
         return meta
 
     def _finish(self, rq, signal: Signal) -> None:
+        from bullet_storm_spark.streaming import metrics as M
+
         self.registry.remove(
             rq.id,
             QueryStatus.FAILED if signal == Signal.FAIL else QueryStatus.DONE,
+        )
+        self.metrics.increment(
+            M.QUERIES_FAILED if signal == Signal.FAIL else M.QUERIES_COMPLETED
         )
         self._emit(
             rq.id,
@@ -253,6 +279,9 @@ class StreamingEngine:
         lifecycle stay single-threaded in stable submission order."""
         self._drain_control()
         self.batches_processed += 1
+        from bullet_storm_spark.streaming import metrics as M
+
+        self.metrics.increment(M.BATCHES_PROCESSED)
         active = self.registry.active()
         now_ms = int(self.clock() * 1000)
         if not active:
@@ -349,12 +378,20 @@ class StreamingEngine:
                     # itself (state.consumed reads count columns the
                     # partial already computed — never an extra job)
                     rq.state.merge(partial_rows)
-                    rq.records_consumed += rq.state.consumed(partial_rows)
+                    consumed = rq.state.consumed(partial_rows)
+                    rq.records_consumed += consumed
+                    if consumed:
+                        from bullet_storm_spark.streaming import metrics as M
+
+                        self.metrics.increment(M.RECORDS_CONSUMED, consumed)
 
                 # rate limiting (JoinBolt.java:159-160,194-208)
                 if self.rate_limit is not None:
                     elapsed_s = max((now_ms - rq.receive_time_ms) / 1000.0, 0.001)
                     if rq.records_consumed / elapsed_s > self.rate_limit:
+                        from bullet_storm_spark.streaming import metrics as M
+
+                        self.metrics.increment(M.QUERIES_RATE_EXCEEDED)
                         self._finish(rq, Signal.FAIL)
                         continue
 
@@ -384,6 +421,7 @@ class StreamingEngine:
             "records_consumed": sum(
                 rq.records_consumed for rq in self.registry.queries.values()
             ),
+            "metrics": self.metrics.snapshot(),
         }
 
     def shutdown(self) -> None:
@@ -396,6 +434,12 @@ class StreamingEngine:
             except Exception:
                 pass
             self._query = None
+        if self._listener is not None:
+            try:
+                self.spark.streams.removeListener(self._listener)
+            except Exception:
+                pass
+            self._listener = None
         self._drain_control()
         for rq in list(self.registry.active()):
             self._finish(rq, Signal.COMPLETE)
@@ -424,6 +468,13 @@ class StreamingEngine:
         bullet_storm_defaults.yaml:143-148). Pass ``source`` when attaching
         several streams to one engine — queries bind to their
         Query.source."""
+        if self._listener is None:
+            # bridge Spark's own streaming telemetry (input rows, batch
+            # durations, lifecycle) into the pluggable metrics fan-out
+            from bullet_storm_spark.streaming.metrics import make_listener_bridge
+
+            self._listener = make_listener_bridge(self.metrics)
+            self.spark.streams.addListener(self._listener)
         writer = (
             stream_df.writeStream.foreachBatch(
                 lambda df, bid: self.process_batch(df, bid, source=source)
