@@ -92,34 +92,47 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
-    # streaming multiplexing: 20 concurrent live queries (all five
-    # aggregation families via BQL) over one sf-events micro-batch on the
-    # shared-scan engine — the engine's differentiating workload
+    # streaming multiplexing: N concurrent live queries (all five
+    # aggregation families via BQL, varied filters so plans differ) over
+    # one sf-events micro-batch on the shared-scan engine — the engine's
+    # differentiating workload. 20/50/100 points make multi-query scaling
+    # a graded, round-over-round series (SCALING.md measurements).
     from bullet_storm_spark.bql import parse
     from bullet_storm_spark.sources.tables import load_table
     from bullet_storm_spark.streaming import StreamingEngine
 
-    engine = StreamingEngine(spark)
-    bqls = (
-        ["SELECT COUNT(*) AS cnt, SUM(value) AS s FROM STREAM(600000, TIME) "
-         f"WHERE value > {v}" for v in (0, 20, 40, 60, 80, 100)]
-        + ["SELECT event_type, COUNT(*) AS cnt FROM STREAM(600000, TIME)"] * 3
-        + ["SELECT user_id, COUNT(*) AS cnt FROM STREAM(600000, TIME)"] * 3
-        + ["SELECT TOP(5, event_type) AS cnt FROM STREAM(600000, TIME)"] * 3
-        + ["SELECT FREQ(value, MANUAL, 25, 50, 100) FROM STREAM(600000, TIME)"] * 2
-        + ["SELECT COUNT(DISTINCT user_id) AS u FROM STREAM(600000, TIME)"] * 2
-        + ["SELECT * FROM STREAM(600000, TIME) WHERE value > 300 LIMIT 50"]
-    )
-    for i, b in enumerate(bqls):
-        engine.submit(f"bench-{i}", parse(b))
+    def fleet(n: int) -> list[str]:
+        families = [
+            lambda i: "SELECT COUNT(*) AS cnt, SUM(value) AS s FROM "
+            f"STREAM(600000, TIME) WHERE value > {(i * 7) % 200}",
+            lambda i: "SELECT event_type, COUNT(*) AS cnt FROM "
+            f"STREAM(600000, TIME) WHERE value > {(i * 13) % 100}",
+            lambda i: "SELECT user_id, COUNT(*) AS cnt FROM "
+            f"STREAM(600000, TIME) WHERE value > {(i * 11) % 100}",
+            lambda i: f"SELECT TOP({3 + i % 5}, event_type) AS cnt FROM "
+            "STREAM(600000, TIME)",
+            lambda i: f"SELECT FREQ(value, MANUAL, {10 + i % 7}, 50, 100) "
+            "FROM STREAM(600000, TIME)",
+            lambda i: "SELECT COUNT(DISTINCT user_id) AS u FROM "
+            f"STREAM(600000, TIME) WHERE value > {(i * 17) % 100}",
+            lambda i: "SELECT * FROM STREAM(600000, TIME) "
+            f"WHERE value > {300 + i} LIMIT 50",
+        ]
+        return [families[i % len(families)](i) for i in range(n)]
+
     events_batch = load_table(spark, SF_DIR, "events")
-    engine.process_batch(events_batch)  # warm plans
-    t0 = time.perf_counter()
-    engine.process_batch(events_batch)
-    dt = time.perf_counter() - t0
-    timings["streaming_multiplex_20q_batch"] = round(dt, 3)
-    total += dt
-    print(f"# streaming_multiplex_20q_batch: {dt:.2f}s", file=sys.stderr)
+    for n_queries in (20, 50, 100):
+        engine = StreamingEngine(spark)
+        for i, b in enumerate(fleet(n_queries)):
+            engine.submit(f"bench-{n_queries}-{i}", parse(b))
+        engine.process_batch(events_batch)  # warm plans
+        t0 = time.perf_counter()
+        engine.process_batch(events_batch)
+        dt = time.perf_counter() - t0
+        name = f"streaming_multiplex_{n_queries}q_batch"
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     result = {
         "metric": "headline_queries_total_runtime",
