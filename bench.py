@@ -45,9 +45,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs_3gram",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+    "top_k_sketched",
     "ann_brute_force_topk",
     "ann_brute_force_arrow",
     "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
 ]
 
 

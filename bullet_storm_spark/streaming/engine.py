@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bullet_storm_spark.clip import (
     Clip,
+    ERRORS_KEY,
     QUERY_FINISH_TIME_KEY,
     QUERY_ID_KEY,
     QUERY_RECEIVE_TIME_KEY,
@@ -186,7 +187,7 @@ class StreamingEngine:
             meta = {remap.get(k, k): v for k, v in meta.items()}
         return meta
 
-    def _finish(self, rq, signal: Signal) -> None:
+    def _finish(self, rq, signal: Signal, errors: list | None = None) -> None:
         from bullet_storm_spark.streaming import metrics as M
 
         self.registry.remove(
@@ -196,10 +197,10 @@ class StreamingEngine:
         self.metrics.increment(
             M.QUERIES_FAILED if signal == Signal.FAIL else M.QUERIES_COMPLETED
         )
-        self._emit(
-            rq.id,
-            Clip.of(rq.state.result(), **self._meta(rq, signal=signal.value)),
-        )
+        clip = Clip.of(rq.state.result(), **self._meta(rq, signal=signal.value))
+        if errors:
+            clip.add_meta(**{ERRORS_KEY: errors})
+        self._emit(rq.id, clip)
 
     def _window_tick(self, rq, now_ms: int) -> None:
         """Emit + reset on window close (JoinBolt.java:252-259 emitWindow)."""
@@ -385,14 +386,33 @@ class StreamingEngine:
 
                         self.metrics.increment(M.RECORDS_CONSUMED, consumed)
 
-                # rate limiting (JoinBolt.java:159-160,194-208)
+                # rate limiting (JoinBolt.java:159-160,194-208): FAIL with
+                # partial results + a structured RateLimitError object in
+                # the Clip meta (FilterBolt.java:111,191-193 error stream)
                 if self.rate_limit is not None:
                     elapsed_s = max((now_ms - rq.receive_time_ms) / 1000.0, 0.001)
-                    if rq.records_consumed / elapsed_s > self.rate_limit:
+                    rate = rq.records_consumed / elapsed_s
+                    if rate > self.rate_limit:
                         from bullet_storm_spark.streaming import metrics as M
 
                         self.metrics.increment(M.QUERIES_RATE_EXCEEDED)
-                        self._finish(rq, Signal.FAIL)
+                        self._finish(
+                            rq,
+                            Signal.FAIL,
+                            errors=[
+                                {
+                                    "error": (
+                                        "Query exceeded the maximum record "
+                                        f"rate: {rate:.1f} records/s > "
+                                        f"{self.rate_limit} records/s limit"
+                                    ),
+                                    "resolutions": [
+                                        "Make the query filter more selective",
+                                        "Raise rate_limit_records_per_s",
+                                    ],
+                                }
+                            ],
+                        )
                         continue
 
                 # early termination: RAW full (FilterBoltTest.java:712-738)

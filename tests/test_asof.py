@@ -31,6 +31,53 @@ def test_asof_semantics(spark):
     assert sorted(r.fid for r in inner) == [2, 3]
 
 
+def test_asof_null_payload_latest_state_wins(spark):
+    """The LATEST state row wins even when its payload column is NULL —
+    per-column last(ignorenulls) would skip back to an older value and
+    misclassify the match (ADVICE r1); native ASOF JOIN pins the
+    semantics."""
+    states = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, None), ("u2", 5, None)],
+        "k string, t long, state string",
+    )
+    facts = spark.createDataFrame(
+        [("u1", 15, 1), ("u1", 25, 2), ("u2", 9, 3), ("u3", 9, 4)],
+        "k string, t long, fid int",
+    )
+    left = {
+        r.fid: r.asof_state
+        for r in asof_join(facts, states, "k", "t", ["state"]).collect()
+    }
+    # fid=2: matched row is (u1, 20, NULL) -> NULL, not the older "a";
+    # fid=3: matched row exists with NULL payload
+    assert left == {1: "a", 2: None, 3: None, 4: None}
+    # inner keeps MATCHED facts regardless of payload nullness (2, 3)
+    inner = asof_join(facts, states, "k", "t", ["state"], how="inner").collect()
+    assert sorted(r.fid for r in inner) == [1, 2, 3]
+    # DuckDB native ASOF JOIN agrees on both shapes
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW s AS SELECT * FROM (VALUES ('u1', 10, 'a'), "
+        "('u1', 20, NULL), ('u2', 5, NULL)) t(k, t, state)"
+    )
+    con.execute(
+        "CREATE VIEW f AS SELECT * FROM (VALUES ('u1', 15, 1), ('u1', 25, 2), "
+        "('u2', 9, 3), ('u3', 9, 4)) t(k, t, fid)"
+    )
+    want_left = dict(
+        con.sql(asof_join_sql("FROM f", "FROM s", "k", "t", ["state"], ["fid"]))
+        .fetchall()
+    )
+    assert {k: left[k] for k in want_left} == want_left and len(want_left) == 4
+    want_inner = sorted(
+        r[0]
+        for r in con.sql(
+            asof_join_sql("FROM f", "FROM s", "k", "t", ["state"], ["fid"], how="inner")
+        ).fetchall()
+    )
+    assert want_inner == [1, 2, 3]
+
+
 def test_asof_matches_duckdb_on_events(spark):
     """purchases asof-join signups per user on the raw nanosecond clock."""
     from bullet_storm_spark.sources.tables import load_table

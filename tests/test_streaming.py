@@ -190,6 +190,10 @@ def test_rate_limit_fail(spark, clock):
     assert signals(engine, "rl1") == ["FAIL"]
     clip = [c for i, c in engine.results if i == "rl1"][0]
     assert len(clip.records) > 0  # partial results returned with FAIL
+    # structured RateLimitError object rides the Clip meta
+    # (FilterBolt.java:111,191-193 error-stream payload)
+    (err,) = clip.meta["errors"]
+    assert "record rate" in err["error"] and err["resolutions"]
 
 
 def test_rate_limit_accounting_rides_partial_job(spark, clock, monkeypatch):
