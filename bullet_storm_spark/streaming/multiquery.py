@@ -247,7 +247,9 @@ def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
 MAX_MEMBERS_PER_JOB = 16
 
 
-def shared_partials(batch_df: DataFrame, queries) -> dict[str, list[dict[str, Any]]]:
+def shared_partials(
+    batch_df: DataFrame, queries, pool_width: int = 8
+) -> dict[str, list[dict[str, Any]]]:
     """Compute every query's partial rows in one job per distinct key-set
     (chunked to MAX_MEMBERS_PER_JOB queries per plan). Chunk jobs execute
     concurrently — on low-partition batches a single job can't use the
@@ -282,7 +284,7 @@ def shared_partials(batch_df: DataFrame, queries) -> dict[str, list[dict[str, An
         return [r.asDict() for r in out.collect()], members
 
     if len(chunks) > 1:
-        with ThreadPoolExecutor(max_workers=min(len(chunks), 8)) as pool:
+        with ThreadPoolExecutor(max_workers=min(len(chunks), pool_width)) as pool:
             computed = list(pool.map(run, chunks))
     else:
         computed = [run(chunks[0])] if chunks else []
