@@ -8,12 +8,17 @@ module provides a compact BQL-flavored dialect compiled to our Query model:
     SELECT * FROM STREAM(30000, TIME) WHERE x > 1 LIMIT 10
     SELECT COUNT(*) AS cnt, SUM(v) AS s FROM events WHERE v > 0
     SELECT kind, COUNT(*) AS cnt FROM events GROUP BY kind
+    SELECT DISTINCT kind, region FROM events              -- GROUP BY, no ops
     SELECT COUNT(DISTINCT user) AS u FROM events
     SELECT TOP(5, 2, kind) AS cnt FROM events
     SELECT QUANTILE(v, MANUAL, 0.1, 0.5, 0.9) FROM events
+    SELECT QUANTILE(v, LINEAR, 11) FROM events            -- 11 even points
     SELECT FREQ(v, MANUAL, 0, 50, 100) FROM events        -- PMF
+    SELECT FREQ(v, REGION, 0, 200, 50) FROM events        -- start,end,step
     SELECT CUMFREQ(v, MANUAL, 0, 50, 100) FROM events     -- CDF
-    ... WINDOWING EVERY(1000, TIME) | EVERY(10, RECORD)
+    SELECT kind, COUNT(*) AS cnt, cnt * 2 AS double_cnt FROM events
+        GROUP BY kind                                     -- post-agg COMPUTE
+    ... WINDOWING EVERY(1000, TIME) | EVERY(10, RECORD) | TUMBLING(1000, TIME)
     ... HAVING cnt > 2  ORDER BY cnt DESC  LIMIT 5
 
 FROM STREAM(ms, TIME) sets the query duration (Bullet's look-forward
@@ -28,6 +33,7 @@ import re
 
 from bullet_storm_spark.plans.expressions import SqlExpression, ensure_expr
 from bullet_storm_spark.plans.query import (
+    Computation,
     CountDistinct,
     Distribution,
     DistributionType,
@@ -126,28 +132,39 @@ def parse(bql: str) -> Query:
     window = None
     if g["window"]:
         # EVERY(n, TIME|RECORD[, ALL]) — trailing ALL = additive window
-        # (bullet-core include=ALL: emissions cover everything since start)
+        # (bullet-core include=ALL: emissions cover everything since start);
+        # TUMBLING(n, unit) is the bullet-bql synonym for the resetting form
         wm = re.match(
-            r"EVERY\s*\(\s*(\d+)\s*,\s*(TIME|RECORD)\s*(?:,\s*(ALL)\s*)?\)",
+            r"(EVERY|TUMBLING)\s*\(\s*(\d+)\s*,\s*(TIME|RECORD)\s*(?:,\s*(ALL)\s*)?\)",
             g["window"].strip(),
             re.IGNORECASE,
         )
         if not wm:
             raise BQLError(f"unsupported WINDOWING: {g['window']!r}")
-        n, unit = int(wm.group(1)), wm.group(2).upper()
-        include_all = wm.group(3) is not None
+        kind = wm.group(1).upper()
+        n, unit = int(wm.group(2)), wm.group(3).upper()
+        include_all = wm.group(4) is not None
+        if kind == "TUMBLING" and include_all:
+            raise BQLError("TUMBLING windows reset; use EVERY(..., ALL)")
         window = (
             TumblingWindow(n, include_all=include_all)
             if unit == "TIME"
             else SlidingRecordWindow(n, include_all=include_all)
         )
 
-    items = _split_top_level(g["select"])
+    select_text = g["select"].strip()
+    distinct = False
+    dm = re.match(r"^DISTINCT\s+(.+)$", select_text, re.IGNORECASE | re.DOTALL)
+    if dm:
+        distinct, select_text = True, dm.group(1)
+    items = _split_top_level(select_text)
     group_cols = (
         [c.strip() for c in _split_top_level(g["group"])] if g["group"] else None
     )
 
-    projection, aggregation, post = _compile_select(items, group_cols, limit)
+    projection, aggregation, post = _compile_select(
+        items, group_cols, limit, distinct
+    )
     return Query(
         source=source,
         filter=where,
@@ -159,7 +176,47 @@ def parse(bql: str) -> Query:
     )
 
 
-def _compile_select(items, group_cols, limit):
+def _dist_points(kind: str, spec: str, args: list[float]) -> list[float]:
+    """MANUAL: explicit points. LINEAR(n): n evenly spaced points (over
+    [0,1] for QUANTILE — the bullet-bql LINEAR semantics). REGION(start,
+    end, increment): inclusive arithmetic range."""
+    spec = spec.upper()
+    if spec == "MANUAL":
+        return args
+    if spec == "LINEAR":
+        if len(args) != 1 or int(args[0]) < 2:
+            raise BQLError("LINEAR needs one arg: the number of points (>= 2)")
+        n = int(args[0])
+        if kind == "QUANTILE":
+            return [round(i / (n - 1), 10) for i in range(n)]
+        raise BQLError("LINEAR is only defined for QUANTILE; use REGION")
+    if spec == "REGION":
+        if len(args) != 3 or args[2] <= 0:
+            raise BQLError("REGION needs (start, end, increment > 0)")
+        start, end, inc = args
+        points, x, i = [], start, 0
+        while x <= end + 1e-9:
+            points.append(round(x, 10))
+            i += 1
+            x = start + i * inc
+        return points
+    raise BQLError(f"unsupported distribution spec {spec!r}")
+
+
+def _compile_select(items, group_cols, limit, distinct=False):
+    # SELECT DISTINCT a, b -> GROUP BY with no metric operations
+    if distinct:
+        fields = {}
+        for item in items:
+            expr, alias = _alias_split(item)
+            if not re.fullmatch(r"\w+", expr):
+                raise BQLError("SELECT DISTINCT takes plain field names")
+            fields[expr] = alias or ""
+        agg = GroupBy(fields=fields, operations=[])
+        if limit is not None:
+            agg.size = limit
+        return Projection(), agg, []
+
     # special single-function forms first
     if len(items) == 1:
         expr, alias = _alias_split(items[0])
@@ -186,7 +243,8 @@ def _compile_select(items, group_cols, limit):
                 [],
             )
         dist = re.match(
-            r"(QUANTILE|FREQ|CUMFREQ)\s*\(\s*(\w+)\s*,\s*MANUAL\s*,\s*(.+?)\s*\)$",
+            r"(QUANTILE|FREQ|CUMFREQ)\s*\(\s*(\w+)\s*,\s*(MANUAL|LINEAR|REGION)"
+            r"\s*,\s*(.+?)\s*\)$",
             expr,
             re.IGNORECASE,
         )
@@ -197,7 +255,8 @@ def _compile_select(items, group_cols, limit):
                 "FREQ": DistributionType.PMF,
                 "CUMFREQ": DistributionType.CDF,
             }[kind]
-            points = [float(p) for p in _split_top_level(dist.group(3))]
+            args = [float(p) for p in _split_top_level(dist.group(4))]
+            points = _dist_points(kind, dist.group(3), args)
             return (
                 Projection(),
                 Distribution(field=dist.group(2), dist_type=dtype, points=points),
@@ -236,13 +295,21 @@ def _compile_select(items, group_cols, limit):
 
     if ops:
         fields = {}
+        computed: list[Field] = []
+        group_set = {c for c in (group_cols or [])}
         for expr, alias in plain:
-            if not re.fullmatch(r"\w+", expr):
+            if re.fullmatch(r"\w+", expr) and (not group_set or expr in group_set):
+                fields[expr] = alias or ""
+            elif re.fullmatch(r"\w+", expr):
                 raise BQLError(
-                    f"group keys must be plain fields (got {expr!r}); project "
-                    "computed keys first"
+                    f"plain field {expr!r} must appear in GROUP BY"
                 )
-            fields[expr] = alias or ""
+            else:
+                # expression over aggregate aliases / group keys -> COMPUTE
+                # post-aggregation (bullet-bql computed select items)
+                computed.append(
+                    Field(alias or _default_name(expr), SqlExpression(expr))
+                )
         if group_cols:
             for c in group_cols:
                 if c not in fields:
@@ -250,7 +317,8 @@ def _compile_select(items, group_cols, limit):
         agg = GroupBy(fields=fields, operations=ops)
         if limit is not None:
             agg.size = limit
-        return Projection(), agg, []
+        post = [Computation(computed)] if computed else []
+        return Projection(), agg, post
 
     # RAW
     if len(plain) == 1 and plain[0][0] == "*":

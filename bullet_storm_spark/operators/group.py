@@ -128,7 +128,12 @@ def _agg_sql(op: GroupOperation) -> str:
 def apply(df: DataFrame, agg: GroupBy, post: Sequence[PostAggregation]) -> DataFrame:
     keys = [F.col(f).alias(agg.alias_of(f)) for f in agg.fields]
     aggs = [_agg_column(op) for op in agg.operations]
-    if keys:
+    if keys and not aggs:
+        # metric-less GROUP BY == DISTINCT over the keys (bullet-bql
+        # SELECT DISTINCT); same hash-aggregate plan, no metric columns
+        out = df.select(*keys).distinct()
+        limit = agg.size
+    elif keys:
         out = df.groupBy(*keys).agg(*aggs)
         limit = agg.size
     else:

@@ -105,3 +105,48 @@ def test_parse_errors():
         parse("SELECT * FROM STREAM(1000, TIME) WINDOWING SOMETIMES(5)")
     with pytest.raises(BQLError):
         parse("SELECT TOP(3) AS cnt FROM events")
+
+
+def test_select_distinct(sf_tables):
+    q = parse("SELECT DISTINCT event_type, user_type FROM events")
+    assert isinstance(q.aggregation, GroupBy) and not q.aggregation.operations
+    rows = run("SELECT DISTINCT event_type FROM events", sf_tables).collect()
+    assert sorted(r.event_type for r in rows) == sorted(
+        {r.event_type for r in rows}
+    ) and len(rows) == 5
+
+
+def test_distribution_linear_and_region(sf_tables):
+    q = parse("SELECT QUANTILE(value, LINEAR, 11) FROM events")
+    assert q.aggregation.points == [round(i / 10, 10) for i in range(11)]
+    q = parse("SELECT FREQ(value, REGION, 0, 200, 50) FROM events")
+    assert q.aggregation.points == [0.0, 50.0, 100.0, 150.0, 200.0]
+    rows = run("SELECT CUMFREQ(value, REGION, 0, 100, 50) FROM events", sf_tables)
+    assert rows.count() == 4  # 3 splits -> 3 CDF rows + the +inf row
+    with pytest.raises(BQLError):
+        parse("SELECT FREQ(value, LINEAR, 5) FROM events")  # LINEAR is quantile-only
+    with pytest.raises(BQLError):
+        parse("SELECT QUANTILE(value, REGION, 5, 1, -1) FROM events")
+
+
+def test_tumbling_window_synonym():
+    q = parse("SELECT * FROM STREAM(60000, TIME) WINDOWING TUMBLING(1000, TIME)")
+    assert isinstance(q.window, TumblingWindow) and not q.window.include_all
+    with pytest.raises(BQLError):
+        parse("SELECT * FROM STREAM(60000, TIME) WINDOWING TUMBLING(1000, TIME, ALL)")
+
+
+def test_computed_select_items_are_post_aggregations(sf_tables):
+    out = run(
+        "SELECT event_type, COUNT(*) AS cnt, cnt * 2 AS double_cnt "
+        "FROM events GROUP BY event_type ORDER BY event_type",
+        sf_tables,
+    )
+    rows = out.collect()
+    assert out.columns == ["event_type", "cnt", "double_cnt"]
+    assert all(r.double_cnt == 2 * r.cnt for r in rows) and len(rows) == 5
+
+
+def test_plain_field_not_in_group_by_rejected():
+    with pytest.raises(BQLError):
+        parse("SELECT region, COUNT(*) AS c FROM events GROUP BY event_type")
