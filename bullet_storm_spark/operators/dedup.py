@@ -517,6 +517,15 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.posexplode(bands).alias("band", "bh"),
+    ).repartition(
+        # pin the join partitioning: the banded rows are byte-cheap but the
+        # candidate pairs they generate are compute-heavy, and AQE would
+        # coalesce the small shuffle and serialize the pair stage
+        # (measured 2x on sf0.1); an explicit hash repartition on the join
+        # key feeds both sides with full parallelism
+        df.sparkSession.sparkContext.defaultParallelism,
+        "band",
+        "bh",
     )
     l, r = blocked.alias("l"), blocked.alias("r")
     cand = l.join(
