@@ -798,6 +798,32 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
 }
 
 
+# ---------------------------------------------------------------------------
+# BQL front-door entries: the full parse -> Query -> dual-compile chain under
+# the driver's hash check (a reference user's BQL runs verbatim here)
+# ---------------------------------------------------------------------------
+
+_BQL_QUERIES = {
+    "bql_distinct_types": (
+        "SELECT DISTINCT event_type, user_id FROM events "
+        "ORDER BY event_type, user_id LIMIT 2000"
+    ),
+    "bql_group_compute": (
+        "SELECT event_type, COUNT(*) AS cnt, SUM(value) AS rev, "
+        "rev / cnt AS avg_rev FROM events GROUP BY event_type "
+        "ORDER BY event_type"
+    ),
+    "bql_cumfreq_region": "SELECT CUMFREQ(value, REGION, 0, 400, 100) FROM events",
+    "bql_quantile_linear": "SELECT QUANTILE(value, LINEAR, 5) FROM events",
+}
+
+
+def _bql_queries() -> dict[str, Query]:
+    from bullet_storm_spark.bql import parse
+
+    return {name: parse(bql) for name, bql in _BQL_QUERIES.items()}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: GROUP BY with the full
     metric set over the events stream table (the reference's bread-and-
@@ -828,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
     )
+    for name, q in _bql_queries().items():
+        out[name] = _make_runner(q)
     for name, (fn, _) in _JOINS.items():
         out[name] = fn
     for name, (fn, _) in _LLM_OPS.items():
@@ -838,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, q in _core_queries().items():
+        out[name] = oracle_sql_for(q)
+    for name, q in _bql_queries().items():
         out[name] = oracle_sql_for(q)
     for name, (_, sql) in _JOINS.items():
         if sql is not None:
