@@ -61,11 +61,12 @@ def is_shareable(rq, rate_limited: bool) -> bool:
     if isinstance(state, DistributionState):
         return state.agg.dist_type != DistributionType.QUANTILE
     if isinstance(state, CountDistinctState):
-        # approx: one HLL sketch column per query folds into the keyless
-        # job (hll_sketch_agg skips the nulls the filter produces); exact
-        # needs distinct-row partials and stays per-query; rate-limited
-        # queries need per-batch counts the sketch row doesn't carry
-        return not state.agg.exact and not rate_limited
+        # approx folds an HLL sketch column into the keyless job; exact
+        # folds a collect_set column (raw key values — identical contents
+        # to the per-query distinct partial, nulls excluded both ways).
+        # Rate-limited CD stays per-query: neither column carries the
+        # per-batch record count.
+        return not rate_limited
     return False
 
 
@@ -170,10 +171,19 @@ def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
             )
         vname = f"{p}cdk"
         job.value_cols[vname] = F.when(f_ref, key)
-        member.agg_cols.append(
-            F.hll_sketch_agg(F.col(vname)).alias(f"{p}sk")
-        )
-        member.rename[f"{p}sk"] = "__sketch"
+        if state.agg.exact:
+            # raw key values, nulls excluded — exactly the per-query
+            # distinct partial's contents, so the driver-side set union
+            # is path-independent
+            member.agg_cols.append(
+                F.collect_set(F.col(vname)).alias(f"{p}ks")
+            )
+            member.rename[f"{p}ks"] = "__ks"
+        else:
+            member.agg_cols.append(
+                F.hll_sketch_agg(F.col(vname)).alias(f"{p}sk")
+            )
+            member.rename[f"{p}sk"] = "__sketch"
         return
 
     if isinstance(state, GroupState):

@@ -246,7 +246,15 @@ class CountDistinctState(QueryState):
 
     def merge(self, rows: list[dict[str, Any]]) -> None:
         if self.agg.exact:
-            self.keys.update(r["__k"] for r in rows)
+            if rows and "__ks" in rows[0]:
+                # shared-scan rows: one collect_set list per partial row
+                for r in rows:
+                    self.keys.update(r["__ks"] or [])
+                return
+            # COUNT DISTINCT never counts a NULL key (batch operator and
+            # both SQL dialects agree; multi-field concat keys are never
+            # null, matching too)
+            self.keys.update(r["__k"] for r in rows if r["__k"] is not None)
             return
         for r in rows:
             new = r["__sketch"]

@@ -67,17 +67,18 @@ def _mixed_queries():
             ),
             duration_ms=600_000,
         ),
-        # approx count distinct IS shareable (HLL sketch column)
+        # count distinct IS shareable: HLL sketch column (approx) /
+        # collect_set column (exact)
         "cd_approx": Query(
             filter=gt("n", 10),
             aggregation=CountDistinct(fields=["k"], name="u", exact=False),
             duration_ms=600_000,
         ),
-        # NOT shareable -> per-query path alongside
-        "raw": Query(filter=gt("n", 50), aggregation=Raw(size=10), duration_ms=600_000),
         "cd": Query(
             aggregation=CountDistinct(fields=["k"], name="u"), duration_ms=600_000
         ),
+        # NOT shareable -> per-query path alongside
+        "raw": Query(filter=gt("n", 50), aggregation=Raw(size=10), duration_ms=600_000),
     }
 
 
@@ -107,7 +108,7 @@ def _run(spark, batches, shared: bool):
 def test_shared_scan_equals_per_query(spark, batches):
     base, _ = _run(spark, batches, shared=False)
     shared, engine = _run(spark, batches, shared=True)
-    assert engine.shared_scan_queries >= 12  # 6 shareable queries x 2 batches
+    assert engine.shared_scan_queries >= 14  # 7 shareable queries x 2 batches
     assert base.keys() == shared.keys()
     for qid in base:
         assert base[qid] == shared[qid], qid

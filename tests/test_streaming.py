@@ -105,6 +105,22 @@ def test_count_distinct_exact_merge_across_batches(spark, engine, clock):
     assert engine.results[0][1].records == [{"count": 384}]
 
 
+def test_count_distinct_exact_never_counts_null(spark, engine, clock):
+    """COUNT DISTINCT excludes NULL keys — the batch operator, both SQL
+    dialects, and (now) the streaming state agree."""
+    q = Query(
+        aggregation=CountDistinct(fields=["field"], name="count"),
+        duration_ms=1_000,
+    )
+    engine.submit("cdn", q)
+    engine.process_batch(
+        batch(spark, [("a", 1.0), (None, 2.0), ("b", 3.0), (None, 4.0)])
+    )
+    clock.advance_ms(1_500)
+    engine.tick()
+    assert engine.results[0][1].records == [{"count": 2}]
+
+
 def test_count_distinct_approx_hll_merge(spark, engine, clock):
     q = Query(
         aggregation=CountDistinct(fields=["field"], name="count", exact=False),
