@@ -107,6 +107,7 @@ class QueryRegistry:
         self.storage_dir = storage_dir
         self.clock = clock
         self.max_duration_ms = max_duration_ms
+        self._log_events = 0
         if storage_dir:
             os.makedirs(storage_dir, exist_ok=True)
 
@@ -131,7 +132,7 @@ class QueryRegistry:
             deadline_ms=now + duration,
         )
         self.queries[query_id] = rq
-        self._persist()
+        self._persist_submit(rq)
         return rq
 
     def remove(self, query_id: str, status: QueryStatus) -> RunningQuery | None:
@@ -139,53 +140,119 @@ class QueryRegistry:
         if rq is not None:
             rq.status = status
             self.removed_ids.add(query_id)
-            self._persist()
+            self._persist_remove(query_id)
         return rq
 
     def active(self) -> list[RunningQuery]:
         return [q for q in self.queries.values() if q.status == QueryStatus.ACTIVE]
 
     # -- persistence / replay (StorageManager.getAll analogue) --------------
+    #
+    # Write path is an APPEND-ONLY JSONL event log (one line per
+    # submit/remove) — O(1) bytes per control-plane operation, so a
+    # registry holding ~100k standing queries never rewrites its whole
+    # store per submit (the scalability role of the reference's
+    # BatchManager batching/compression, M/batching/BatchManager.java,
+    # without the Storm acking protocol). The log compacts into a
+    # snapshot whenever it accumulates COMPACT_EVERY events; replay folds
+    # snapshot + tail.
+
+    COMPACT_EVERY = 4096
 
     def _store_path(self) -> str:
         return os.path.join(self.storage_dir, "queries.json")
 
-    def _persist(self) -> None:
-        """Queries persist as JSON (plans/serde) — language-neutral and
-        diff-able, unlike pickle; the store is the StorageManager analogue
-        that replay reads on restart."""
+    def _log_path(self) -> str:
+        return os.path.join(self.storage_dir, "queries.log")
+
+    def _append_event(self, event: dict) -> None:
         if not self.storage_dir:
             return
+        with open(self._log_path(), "a") as f:
+            f.write(json.dumps(event) + "\n")
+        self._log_events = getattr(self, "_log_events", 0) + 1
+        if self._log_events >= self.COMPACT_EVERY:
+            self._compact()
+
+    def _snapshot_payload(self) -> dict:
         from bullet_storm_spark.plans.serde import query_to_dict
 
-        payload = [
+        return {
+            "queries": [
+                {
+                    "id": rq.id,
+                    "query": query_to_dict(rq.query),
+                    "receive_time_ms": rq.receive_time_ms,
+                    "deadline_ms": rq.deadline_ms,
+                }
+                for rq in self.queries.values()
+            ],
+            "removed": sorted(self.removed_ids),
+        }
+
+    def _compact(self) -> None:
+        """Fold the event log into the snapshot (atomic replace), then
+        truncate the log. Queries persist as JSON (plans/serde) —
+        language-neutral and diff-able, unlike pickle."""
+        if not self.storage_dir:
+            return
+        tmp = self._store_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._snapshot_payload(), f)
+        os.replace(tmp, self._store_path())
+        try:
+            os.remove(self._log_path())
+        except FileNotFoundError:
+            pass
+        self._log_events = 0
+
+    def _persist_submit(self, rq: RunningQuery) -> None:
+        from bullet_storm_spark.plans.serde import query_to_dict
+
+        self._append_event(
             {
                 "id": rq.id,
                 "query": query_to_dict(rq.query),
                 "receive_time_ms": rq.receive_time_ms,
                 "deadline_ms": rq.deadline_ms,
             }
-            for rq in self.queries.values()
-        ]
-        tmp = self._store_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"queries": payload, "removed": sorted(self.removed_ids)}, f)
-        os.replace(tmp, self._store_path())
+        )
+
+    def _persist_remove(self, query_id: str) -> None:
+        self._append_event({"remove": query_id})
 
     def replay(self) -> int:
         """Reload persisted queries on restart (fresh state — aggregation
         state restarts like the reference's replayed queries, which also
-        resume empty; ReplayBolt.java:212-321). Returns count restored."""
-        path = self._store_path() if self.storage_dir else None
-        if not path or not os.path.exists(path):
+        resume empty; ReplayBolt.java:212-321). Folds snapshot + event-log
+        tail, then compacts. Returns count restored."""
+        if not self.storage_dir:
             return 0
         from bullet_storm_spark.plans.serde import query_from_dict
 
-        with open(path) as f:
-            payload = json.load(f)
-        self.removed_ids.update(payload.get("removed", []))
+        items: list[dict] = []
+        removed: set[str] = set()
+        if os.path.exists(self._store_path()):
+            with open(self._store_path()) as f:
+                payload = json.load(f)
+            items.extend(payload.get("queries", []))
+            removed.update(payload.get("removed", []))
+        if os.path.exists(self._log_path()):
+            with open(self._log_path()) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    event = json.loads(line)
+                    if "remove" in event:
+                        removed.add(event["remove"])
+                    else:
+                        items.append(event)
+        if not items and not removed:
+            return 0
+        self.removed_ids.update(removed)
         restored = 0
-        for item in payload["queries"]:
+        for item in items:
             if item["id"] in self.queries or item["id"] in self.removed_ids:
                 continue
             query = query_from_dict(item["query"])
@@ -197,4 +264,5 @@ class QueryRegistry:
                 deadline_ms=item["deadline_ms"],
             )
             restored += 1
+        self._compact()
         return restored

@@ -284,6 +284,30 @@ def test_rate_limit_accounting_rides_partial_job(spark, clock, monkeypatch):
     assert by_id["dq"].records_consumed == 3
 
 
+def test_registry_log_compaction_and_replay_at_scale(clock, tmp_path):
+    """Persistence is an O(1)-per-op append log with periodic compaction
+    (the BatchManager scalability role): thousands of submits/removes
+    never rewrite the whole store per op, and a restart folds
+    snapshot + log tail exactly."""
+    import os
+
+    storage = str(tmp_path / "reg")
+    reg = QueryRegistry(storage_dir=storage, clock=clock)
+    reg.COMPACT_EVERY = 500
+    n = 1200
+    for i in range(n):
+        reg.submit(f"s-{i}", Query(aggregation=Raw(size=5), duration_ms=600_000))
+    for i in range(0, n, 3):
+        reg.remove(f"s-{i}", QueryStatus.KILLED)
+    # compaction ran (log stays short), snapshot holds the live set
+    log = os.path.join(storage, "queries.log")
+    assert not os.path.exists(log) or sum(1 for _ in open(log)) < 500
+    reg2 = QueryRegistry(storage_dir=storage, clock=clock)
+    assert reg2.replay() == n - len(range(0, n, 3))
+    assert set(reg2.queries) == set(reg.queries)
+    assert "s-0" not in reg2.queries and "s-1" in reg2.queries
+
+
 def test_registry_replay_on_restart(spark, clock, tmp_path):
     storage = str(tmp_path / "registry")
     reg1 = QueryRegistry(storage_dir=storage, clock=clock)
