@@ -201,7 +201,15 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = wide.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    # explicit hash repartitions pin parallelism through the band join and
+    # the verify stage: banded rows / candidate ids are byte-cheap but
+    # feed compute-heavy stages (md5 band join, per-pair exact jaccard),
+    # which AQE would otherwise coalesce onto few tasks (measured 2.4x on
+    # the sf0.1 3-gram entry)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    banded = wide.select(
+        "__id", F.posexplode(band_hashes).alias("__band", "__bh")
+    ).repartition(par, "__band", "__bh")
     left = banded.alias("l")
     right = banded.alias("r")
     # candidate generation shuffles on (band, band_hash) only — ids, no
@@ -215,6 +223,7 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .repartition(par, "id_a", "id_b")
     )
     sh_sets = toks.select(
         F.col("__id").alias("__sid"),
