@@ -270,6 +270,30 @@ def _core_queries() -> dict[str, Query]:
         post_aggregations=[OrderBy([("brand", True)])],
     )
 
+    # the FULL post-aggregation pipeline in one oracle-checked entry:
+    # HAVING -> COMPUTATION -> CULLING -> ORDER BY (bullet-core's
+    # post-aggregation list, fixed application order per operators/common)
+    from bullet_storm_spark.plans.query import Computation, Culling, Field, Having
+
+    qs["group_post_pipeline"] = Query(
+        source="orders",
+        aggregation=GroupBy(
+            fields={"o_orderpriority": "priority"},
+            operations=[
+                _op("COUNT", None, "cnt"),
+                _op("SUM", "o_totalprice", "total", exact_decimal=True),
+            ],
+        ),
+        post_aggregations=[
+            Having(gt("cnt", 10)),
+            Computation(
+                [Field("avg_price", SqlExpression("ROUND(total / cnt, 4)"))]
+            ),
+            Culling(["total"]),
+            OrderBy([("priority", True)]),
+        ],
+    )
+
     # orders priority frequencies (TOP K over a second table)
     qs["top_k_order_priority"] = Query(
         source="orders",
