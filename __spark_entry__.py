@@ -463,7 +463,10 @@ from bullet_storm_spark.functions import text as _text
 from bullet_storm_spark.operators import curate as _curate
 from bullet_storm_spark.operators import dedup as _dedup
 from bullet_storm_spark.operators import multimodal as _mm
+from bullet_storm_spark.operators import packing as _pack
+from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
+from bullet_storm_spark.operators import spans as _spans
 
 _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
 # trigram variant: the realistic near-duplicate setting (near-identical
@@ -476,6 +479,13 @@ _NEARDUP_KW = dict(threshold=0.4, nbits=4, ntables=4, dim=64)
 _NEARDUP_EXACT_KW = dict(threshold=0.4)
 _ANN_KW = dict(k=5)
 _ANN_LSH_KW = dict(k=5, nbits=4)
+_SPAN_KW = dict(chunk_size=10)
+_MIX_KW = dict(
+    weights={"src0": 1.5, "src1": 0.5, "src2": 2.0, "src3": 0.25, "src4": 1.0},
+    default=0.1,
+    salt="mix",
+)
+_PACK_KW = dict(capacity=256, n_shards=8)
 
 
 def _docs(spark, sf_dir):
@@ -533,6 +543,53 @@ FROM documents
 GROUP BY pred_lang, decl_lang
 ORDER BY pred_lang, decl_lang
 """
+
+
+def _scrub_pii_query(s: SparkSession, d: str) -> DataFrame:
+    """Redaction pipeline over text deterministically augmented with one
+    email, URL, IP, and phone per row (pure function of doc_id)."""
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), did,
+        F.lit("@mail.example.com via https://ex.ample/doc/"), did,
+        F.lit(" node 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 (5"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("5) 123-4567 end"),
+    )
+    scr = _text.scrub_pii(aug)
+    return (
+        _docs(s, d)
+        .select(
+            "doc_id",
+            scr.alias("scrubbed"),
+            *[
+                _text.redaction_count(scr, k).alias(f"n_{k}")
+                for k, _, _ in _text.PII_PATTERNS
+            ],
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SCRUB_AUG_SQL = (
+    "(text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com via https://ex.ample/doc/' || CAST(doc_id AS VARCHAR)"
+    " || ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call +1 (5' || CAST(doc_id % 10 AS VARCHAR)"
+    " || '5) 123-4567 end')"
+)
+
+_SCRUB_PII_SQL = (
+    "SELECT doc_id, "
+    + _text.scrub_pii_sql(_SCRUB_AUG_SQL)
+    + " AS scrubbed, "
+    + ", ".join(
+        f"{_text.redaction_count_sql(_text.scrub_pii_sql(_SCRUB_AUG_SQL), k)} AS n_{k}"
+        for k, _, _ in _text.PII_PATTERNS
+    )
+    + " FROM documents ORDER BY doc_id"
+)
 
 
 _LLM_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -722,6 +779,49 @@ ORDER BY doc_id
             _mm.with_payload(_docs(s, d), "doc_id", "text")
         ).orderBy("id"),
         _mm.decode_meta_sql("documents", "doc_id", "text"),
+    ),
+    # sub-document duplicate-span removal (C4-style): keep-first over
+    # corpus-wide token chunks, reassemble surviving text
+    "dedup_span_chunks": (
+        lambda s, d: _spans.span_chunk_dedup(_docs(s, d), "doc_id", "text", **_SPAN_KW),
+        _spans.span_chunk_dedup_sql("documents", "doc_id", "text", **_SPAN_KW),
+    ),
+    # deterministic weighted source mixing: scan-level hash-threshold filter
+    # (no shuffle), epoch weights > 1 emit repeat copies
+    "sample_weighted_mix": (
+        lambda s, d: _smp.weighted_sample(_docs(s, d), "doc_id", "source", **_MIX_KW),
+        _smp.weighted_sample_sql("documents", "doc_id", "source", **_MIX_KW),
+    ),
+    "sample_mix_accounting": (
+        lambda s, d: _smp.mix_accounting(
+            _docs(s, d), "doc_id", "source", "text", **_MIX_KW
+        ),
+        _smp.mix_accounting_sql("documents", "doc_id", "source", "text", **_MIX_KW),
+    ),
+    # sequence packing: contiguous stream cut every `capacity` tokens — a
+    # per-shard window cumsum, oracle-checked end-to-end
+    "pack_contiguous": (
+        lambda s, d: _pack.pack_contiguous(_docs(s, d), "doc_id", "text", **_PACK_KW),
+        _pack.pack_contiguous_sql("documents", "doc_id", "text", **_PACK_KW),
+    ),
+    "pack_shard_stats": (
+        lambda s, d: _pack.pack_shard_stats(_docs(s, d), "doc_id", "text", **_PACK_KW),
+        _pack.pack_shard_stats_sql("documents", "doc_id", "text", **_PACK_KW),
+    ),
+    # greedy first-fit-decreasing packing (docs never split): a sequential
+    # fold over per-bin state — not window-SQL-expressible, so rows-only
+    # here; invariants (capacity, coverage, determinism) are pytest-pinned
+    # in tests/test_pipeline_ops.py
+    "pack_greedy_bins": (
+        lambda s, d: _pack.pack_greedy(_docs(s, d), "doc_id", "text", **_PACK_KW),
+        None,
+    ),
+    # PII scrubbing over a deterministically PII-augmented column (the
+    # corpus itself is synthetic and PII-free; the augmentation exercises
+    # every pattern on every row and is identical in both dialects)
+    "text_scrub_pii": (
+        lambda s, d: _scrub_pii_query(s, d),
+        _SCRUB_PII_SQL,
     ),
 }
 

@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "top_k_sketched",
+    "dedup_span_chunks",
+    "sample_mix_accounting",
+    "pack_contiguous",
     "ann_brute_force_topk",
     "ann_brute_force_arrow",
     "ann_lsh_bucketed_topk",

@@ -221,6 +221,50 @@ def bpe_token_count_sql(field: str) -> str:
     return f"len(regexp_extract_all({field}, '{pat}'))"
 
 
+# --- PII / boilerplate scrubbing --------------------------------------------
+
+# Redaction patterns, applied IN ORDER (earlier replacements' markers contain
+# no digits, so later patterns never re-match them). Conservative syntax only
+# — no lookahead/backrefs — so Java regex (Spark) and RE2 (DuckDB) agree.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Sequentially redact emails, URLs, IPs, then phone-shaped digit runs.
+    Order matters: each marker is digit-free, so no pattern can match text
+    produced by an earlier replacement."""
+    out = col
+    for _, pat, marker in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, marker)
+    return out
+
+
+def scrub_pii_sql(expr: str) -> str:
+    out = expr
+    for _, pat, marker in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{marker}', 'g')"
+    return out
+
+
+def redaction_count(scrubbed: Column, kind: str) -> Column:
+    """How many <KIND> markers the scrub emitted — counted on the scrubbed
+    text so the number reflects what was actually replaced."""
+    marker = dict((k, m) for k, _, m in PII_PATTERNS)[kind]
+    # '<' and '>' are not regex metacharacters in Java regex or RE2, so the
+    # marker is its own pattern
+    return F.regexp_count(scrubbed, F.lit(marker))
+
+
+def redaction_count_sql(scrubbed_expr: str, kind: str) -> str:
+    marker = dict((k, m) for k, _, m in PII_PATTERNS)[kind]
+    return f"len(regexp_extract_all({scrubbed_expr}, '{marker}'))"
+
+
 # --- fingerprints -----------------------------------------------------------
 
 def fingerprint(field: str) -> Column:

@@ -1,0 +1,249 @@
+"""Training-data pipeline operators: span-chunk dedup, weighted source
+mixing, sequence packing, PII scrubbing — semantics, DuckDB parity, and
+the plan shapes the 100 TB design notes promise."""
+
+from collections import defaultdict
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark.functions import text as T
+from bullet_storm_spark.operators import packing, sampling, spans
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b c d e f g h", "s0"),
+        (1, "a b c x y z", "s0"),          # chunk 'a b c' duplicates doc 0
+        (2, "x y z a b c", "s1"),          # both chunks seen before -> empty
+        (3, "", "s1"),
+        (4, "p q r s t u v w x", "s2"),
+        (5, "p q r s t u", "s2"),          # 'p q r' + 's t u' vs doc4 chunking
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def duck(docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?,?)", docs.collect())
+    return con
+
+
+# --- span-chunk dedup -------------------------------------------------------
+
+def test_span_dedup_semantics(docs):
+    out = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.cleaned_text)
+        for r in spans.span_chunk_dedup(docs, "doc_id", "text", 3).collect()
+    }
+    assert out[0] == (3, 3, "a b c d e f g h")      # first occurrence keeps all
+    assert out[1] == (2, 1, "x y z")                # 'a b c' removed
+    assert out[2] == (2, 0, "")                     # fully duplicate doc collapses
+    assert out[3] == (1, 1, "")                     # empty doc's '' chunk is first
+    # doc 4 chunks: 'p q r','s t u','v w x'; doc 5: 'p q r','s t u' -> both dup
+    assert out[4] == (3, 3, "p q r s t u v w x")
+    assert out[5] == (2, 0, "")
+
+
+def test_span_dedup_duck_parity(docs, duck):
+    s = [tuple(r) for r in spans.span_chunk_dedup(docs, "doc_id", "text", 3).collect()]
+    d = duck.execute(spans.span_chunk_dedup_sql("docs", "doc_id", "text", 3)).fetchall()
+    assert s == [tuple(r) for r in d]
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    df = spark.createDataFrame(
+        [(7, "m n o m n o m n o")], "doc_id long, text string"
+    )
+    out = spans.span_chunk_dedup(df, "doc_id", "text", 3).collect()[0]
+    assert (out.n_chunks, out.n_kept, out.cleaned_text) == (3, 1, "m n o")
+
+
+# --- weighted mixing --------------------------------------------------------
+
+_W = {"s0": 1.5, "s1": 1.0, "s2": 0.0}
+
+
+def test_weighted_sample_semantics(docs):
+    out = {
+        r.doc_id: r.n_copies
+        for r in sampling.weighted_sample(docs, "doc_id", "source", _W).collect()
+    }
+    # weight 1.0 -> exactly one copy, always kept
+    assert out[2] == 1 and out[3] == 1
+    # weight 0.0 -> dropped entirely
+    assert 4 not in out and 5 not in out
+    # weight 1.5 -> one or two copies
+    assert out[0] in (1, 2) and out[1] in (1, 2)
+
+
+def test_weighted_sample_deterministic_and_salted(docs):
+    a = sorted(map(tuple, sampling.weighted_sample(docs, "doc_id", "source", _W).collect()))
+    b = sorted(map(tuple, sampling.weighted_sample(docs, "doc_id", "source", _W).collect()))
+    assert a == b
+    c = sorted(
+        map(
+            tuple,
+            sampling.weighted_sample(docs, "doc_id", "source", _W, salt="other").collect(),
+        )
+    )
+    # a different salt is allowed to (and here does) re-draw the fractional keeps
+    assert {t[0] for t in a if t[2] == 1} != {t[0] for t in c if t[2] == 1} or a == c
+
+
+def test_weighted_sample_duck_parity(docs, duck):
+    s = [tuple(r) for r in sampling.weighted_sample(docs, "doc_id", "source", _W).collect()]
+    d = duck.execute(sampling.weighted_sample_sql("docs", "doc_id", "source", _W)).fetchall()
+    assert s == [tuple(r) for r in d]
+    s2 = [
+        tuple(r)
+        for r in sampling.mix_accounting(docs, "doc_id", "source", "text", _W).collect()
+    ]
+    d2 = duck.execute(
+        sampling.mix_accounting_sql("docs", "doc_id", "source", "text", _W)
+    ).fetchall()
+    assert s2 == [tuple(r) for r in d2]
+
+
+def test_weighted_sample_rate_converges(spark):
+    """On a large uniform id range the kept fraction approaches the weight."""
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    kept = sampling.weighted_sample(df, "doc_id", "source", {"s": 0.3}).count()
+    assert abs(kept / 20000 - 0.3) < 0.02
+
+
+def test_weighted_sample_is_scan_level(docs):
+    """The mixing filter must not shuffle: no Exchange in the filter plan
+    (orderBy excluded — take the pre-sort subplan via a limit-free filter)."""
+    copies = sampling.n_copies("doc_id", "source", _W, 0.0, "mix")
+    plan = (
+        docs.select("doc_id", "source", copies.alias("n_copies"))
+        .where(F.col("n_copies") >= 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# --- packing ----------------------------------------------------------------
+
+def _toks(r):
+    return r.n_tokens
+
+
+def test_pack_contiguous_offsets(spark):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 37 + 1).cast("int"))).alias(
+            "text"
+        ),
+    )
+    out = packing.pack_contiguous(df, "doc_id", "text", capacity=64, n_shards=4).collect()
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r.shard].append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rows:
+            assert r.start_offset == off, "stream must be gap-free in id order"
+            assert r.bin_first == off // 64
+            assert r.bin_last == (off + r.n_tokens - 1) // 64
+            off += r.n_tokens
+
+
+def test_pack_contiguous_duck_parity(docs, duck):
+    kw = dict(capacity=5, n_shards=2)
+    s = [tuple(r) for r in packing.pack_contiguous(docs, "doc_id", "text", **kw).collect()]
+    d = duck.execute(packing.pack_contiguous_sql("docs", "doc_id", "text", **kw)).fetchall()
+    assert s == [tuple(r) for r in d]
+    s2 = [tuple(r) for r in packing.pack_shard_stats(docs, "doc_id", "text", **kw).collect()]
+    d2 = duck.execute(packing.pack_shard_stats_sql("docs", "doc_id", "text", **kw)).fetchall()
+    assert s2 == [tuple(r) for r in d2]
+
+
+def test_pack_greedy_invariants(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") * 7 % 90 + 1).cast("int"))).alias(
+            "text"
+        ),
+    )
+    cap = 100
+    out = packing.pack_greedy(df, "doc_id", "text", capacity=cap, n_shards=4).collect()
+    assert len(out) == 300  # every doc placed exactly once
+    fill = defaultdict(int)
+    members = defaultdict(list)
+    for r in out:
+        fill[(r.shard, r.bin_id)] += r.n_tokens
+        members[(r.shard, r.bin_id)].append(r)
+    for key, total in fill.items():
+        if total > cap:  # only legal as an oversize singleton
+            assert len(members[key]) == 1 and members[key][0].n_tokens > cap
+    # determinism
+    again = packing.pack_greedy(df, "doc_id", "text", capacity=cap, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # FFD can't beat the volume lower bound, and should be near it
+    for shard in {r.shard for r in out}:
+        rows = [r for r in out if r.shard == shard]
+        n_bins = len({r.bin_id for r in rows})
+        lower = -(-sum(r.n_tokens for r in rows) // cap)
+        assert lower <= n_bins <= 2 * lower + 1
+
+
+# --- PII scrub --------------------------------------------------------------
+
+def test_scrub_patterns(spark):
+    rows = [
+        (0, "mail a.b-c+d@ex-a.mple.org end"),
+        (1, "go to https://h.i/j?k=1#l and http://m.n"),
+        (2, "ips 1.2.3.4 10.200.30.7"),
+        (3, "tel +49 (0) 30-1234567 and 555 123 4567"),
+        (4, "no pii here, just words and 42 numbers 7"),
+        (5, "v1.2.3 release is not an ip"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scr = T.scrub_pii(F.col("text"))
+    out = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", scr.alias("s")).collect()
+    }
+    assert out[0] == "mail <EMAIL> end"
+    assert out[1] == "go to <URL> and <URL>"
+    assert out[2] == "ips <IP> <IP>"
+    assert out[3] == "tel <PHONE> and <PHONE>"
+    assert out[4] == "no pii here, just words and 42 numbers 7"
+    # 'v1.2.3' has only three octets -> not an IP; the digit run is too
+    # short for the phone pattern
+    assert out[5] == "v1.2.3 release is not an ip"
+
+
+def test_scrub_duck_parity(docs, duck):
+    aug = F.concat(F.col("text"), F.lit(" x@y.zz http://u.v 9.9.9.9 +12 345 6789"))
+    scr = T.scrub_pii(aug)
+    s = [
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            scr.alias("s"),
+            *[T.redaction_count(scr, k).alias("n_" + k) for k, _, _ in T.PII_PATTERNS],
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    aug_sql = "(text || ' x@y.zz http://u.v 9.9.9.9 +12 345 6789')"
+    scr_sql = T.scrub_pii_sql(aug_sql)
+    cols = ", ".join(
+        f"{T.redaction_count_sql(scr_sql, k)} AS n_{k}" for k, _, _ in T.PII_PATTERNS
+    )
+    d = duck.execute(
+        f"SELECT doc_id, {scr_sql} AS s, {cols} FROM docs ORDER BY doc_id"
+    ).fetchall()
+    assert s == [tuple(r) for r in d]
