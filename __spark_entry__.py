@@ -660,6 +660,14 @@ FROM ({_dedup.deduplicate_sql('documents', 'doc_id', 'text', **_MINHASH_KW)})
 ORDER BY doc_id
 """,
     ),
+    # transitive closure over the verified pair graph: distributed
+    # connected components (min-label propagation + pointer jumping) on the
+    # Spark side, recursive-CTE reachability on the DuckDB side — both
+    # reduce to component-min labels, so the closure itself is in the gate
+    "dedup_clusters": (
+        lambda s, d: _dedup.dedup_clusters(_docs(s, d), "doc_id", "text", **_MINHASH_KW),
+        _dedup.dedup_clusters_sql("documents", "doc_id", "text", **_MINHASH_KW),
+    ),
     # full curation pipeline (quality -> language -> near-dup removal),
     # oracle-checked end-to-end
     "curate_documents": (
