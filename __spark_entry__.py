@@ -467,6 +467,7 @@ from bullet_storm_spark.operators import packing as _pack
 from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import spans as _spans
+from bullet_storm_spark.operators import vocab as _vocab
 
 _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
 # trigram variant: the realistic near-duplicate setting (near-identical
@@ -621,6 +622,12 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """,
+    ),
+    # vocabulary building: wordcount-shaped two-phase aggregation, top-N
+    # via TakeOrdered, corpus size rides a broadcast 1-row aggregate
+    "text_vocabulary": (
+        lambda s, d: _vocab.vocabulary(_docs(s, d), "doc_id", "text", top_n=200),
+        _vocab.vocabulary_sql("documents", "doc_id", "text", top_n=200),
     ),
     "dedup_exact": (
         lambda s, d: _dedup.exact_dedup(_docs(s, d), "doc_id", "text"),

@@ -57,3 +57,36 @@ def test_token_accounting_sql_parity(spark):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+# --- vocabulary building ----------------------------------------------------
+
+def test_vocabulary_counts_and_idf(spark):
+    from bullet_storm_spark.operators import vocab
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the the dog"),
+        (3, "a cat ran"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["token"]: r for r in vocab.vocabulary(df, "doc_id", "text").collect()}
+    assert out["the"]["term_freq"] == 3 and out["the"]["doc_freq"] == 2
+    assert out["cat"]["term_freq"] == 2 and out["cat"]["doc_freq"] == 2
+    assert out["dog"]["doc_freq"] == 1
+    import math
+    assert out["dog"]["idf"] == round(math.log(4 / 2), 6)
+
+
+def test_vocabulary_plan_is_two_phase_and_take_ordered(spark, sf_tables):
+    from bullet_storm_spark.operators import vocab
+
+    df = vocab.vocabulary(sf_tables["documents"], "doc_id", "text", top_n=50)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # wordcount shape: partial/final pairs for both aggregations, top-N as
+    # TakeOrdered (never a global sort), corpus size broadcast not collected
+    assert plan.count("HashAggregate") >= 4
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
