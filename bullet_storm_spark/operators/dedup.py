@@ -222,8 +222,13 @@ def minhash_lsh_pairs(
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # repartition BEFORE the dedup: placed after, the optimizer elides
+        # it as redundant with the dedup's own exchange and AQE coalesces
+        # the surviving ENSURE_REQUIREMENTS read, serializing the per-pair
+        # jaccard verify stage; placed here the dedup reads the
+        # REPARTITION_BY_NUM exchange, which AQE must respect
         .repartition(par, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     sh_sets = toks.select(
         F.col("__id").alias("__sid"),
@@ -731,7 +736,16 @@ def embedding_neardup_pairs_lsh(
     # afterwards via two joins against the (comparatively tiny) vector
     # table, norms precomputed once per vector, so each unique candidate
     # pair costs exactly one dot-product pass.
-    blocked = base.select("id", F.posexplode(buckets).alias("tbl", "bucket"))
+    # pin the blocking join's parallelism: the (table, bucket) rows are
+    # byte-cheap, but the join fans each bucket out to O(|bucket|^2)
+    # candidates — left at scan parallelism (or a broadcast join), that
+    # explosion runs on as few tasks as the parquet scan had (measured 3
+    # tasks / 2.2x slower at sf0.1). Hash-distributing both sides on the
+    # bucket key spreads it and makes the join co-partitioned.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    blocked = base.select(
+        "id", F.posexplode(buckets).alias("tbl", "bucket")
+    ).repartition(par, "tbl", "bucket")
     l, r = blocked.alias("l"), blocked.alias("r")
     cand_ids = (
         l.join(
@@ -741,14 +755,18 @@ def embedding_neardup_pairs_lsh(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         # candidate rows are BYTE-cheap but COMPUTE-expensive (one 64-dim
         # dot each); AQE coalesces the few-MB id shuffle to one partition
-        # and would serialize the dot stage (measured 4x slowdown) — spread
-        # the pairs explicitly before the per-pair work
+        # and would serialize the dot stage (measured 4x slowdown). The
+        # repartition must come BEFORE the pair dedup: placed after, the
+        # optimizer elides it (the dedup's exchange already provides the
+        # distribution) and the surviving ENSURE_REQUIREMENTS exchange is
+        # AQE-coalesced right back — placed here, the dedup itself reads
+        # the REPARTITION_BY_NUM exchange, which AQE must respect.
         .repartition(
             df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
     vecs = base.select(
         "id", "v", norm(as_double(F.col("v"))).alias("nrm")
