@@ -467,6 +467,7 @@ from bullet_storm_spark.operators import packing as _pack
 from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import spans as _spans
+from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import vocab as _vocab
 
 _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
@@ -622,6 +623,45 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """,
+    ),
+    # within-document repetition (Gopher-style duplicate-ngram signal):
+    # pure column expressions, ride the documents scan
+    "text_repetition": (
+        lambda s, d: _docs(s, d)
+        .select(
+            "doc_id",
+            _text.repetition_ratio("text", n=2).alias("rep2"),
+            _text.repetition_ratio("text", n=3).alias("rep3"),
+        )
+        .orderBy("doc_id"),
+        f"""
+SELECT doc_id, {_text.repetition_ratio_sql('text', 2)} AS rep2,
+       {_text.repetition_ratio_sql('text', 3)} AS rep3
+FROM documents ORDER BY doc_id
+""",
+    ),
+    # benchmark decontamination: corpus n-grams semi-joined against a
+    # BROADCAST distinct benchmark n-gram set (the eval suite stand-in is
+    # every 10th document) — corpus scanned once, never shuffled on grams
+    "text_decontaminate": (
+        lambda s, d: _decon.contamination(
+            _docs(s, d),
+            "doc_id",
+            "text",
+            _docs(s, d).where(F.col("doc_id") % 10 == 0),
+            "text",
+            shingle_n=3,
+            threshold=0.5,
+        ),
+        _decon.contamination_sql(
+            "documents",
+            "doc_id",
+            "text",
+            "(SELECT * FROM documents WHERE doc_id % 10 = 0)",
+            "text",
+            shingle_n=3,
+            threshold=0.5,
+        ),
     ),
     # vocabulary building: wordcount-shaped two-phase aggregation, top-N
     # via TakeOrdered, corpus size rides a broadcast 1-row aggregate

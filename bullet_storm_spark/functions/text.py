@@ -161,6 +161,37 @@ def quality_score_sql(field: str, round_to: int = 6) -> str:
     )
 
 
+# --- repetition (within-document duplication) -------------------------------
+
+def repetition_ratio_from_tokens(
+    toks: Column, n: int = 2, round_to: int = 6
+) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier n-gram
+    in the same document: ``1 - |distinct n-grams| / |n-grams|`` (a
+    Gopher-style quality signal — boilerplate and looped generations score
+    high). 0.0 for documents shorter than n tokens. Pure column expression,
+    rides the scan."""
+    all_sh = shingles_from_tokens(toks, n, distinct=False)
+    total = F.size(all_sh)
+    uniq = F.size(F.array_distinct(all_sh))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - uniq / total.cast("double"), round_to)
+    )
+
+
+def repetition_ratio(field: str, n: int = 2, round_to: int = 6) -> Column:
+    return repetition_ratio_from_tokens(tokens(field), n, round_to)
+
+
+def repetition_ratio_sql(field: str, n: int = 2, round_to: int = 6) -> str:
+    all_sh = shingles_sql(field, n, distinct=False)
+    return (
+        f"CASE WHEN len({all_sh}) <= 0 THEN 0.0 "
+        f"ELSE ROUND(1.0 - len(list_distinct({all_sh})) "
+        f"/ len({all_sh})::DOUBLE, {round_to}) END"
+    )
+
+
 # --- language ID ------------------------------------------------------------
 
 def _lang_hits(field: str, lang: str) -> Column:

@@ -90,3 +90,74 @@ def test_vocabulary_plan_is_two_phase_and_take_ordered(spark, sf_tables):
     assert plan.count("HashAggregate") >= 4
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- repetition + decontamination -------------------------------------------
+
+def test_repetition_ratio_semantics(spark):
+    from bullet_storm_spark.functions.text import repetition_ratio
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> 5 total 2 uniq
+        (2, "all words differ here"),
+        (3, "x"),                   # shorter than n -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", repetition_ratio("text", 2).alias("rep")
+        ).collect()
+    }
+    assert out[1] == 0.6   # 1 - 2/5
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_contamination_counts_and_flag(spark):
+    from bullet_storm_spark.operators.decontam import contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "totally novel training text"),
+            (3, "the quick brown cat sleeps"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs fast")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination(
+            corpus, "doc_id", "text", bench, "text", shingle_n=2, threshold=0.5
+        ).collect()
+    }
+    # doc 1 bigrams: {the quick, quick brown, brown fox, fox jumps};
+    # bench has the first three -> 3/4
+    assert out[1]["total_ngrams"] == 4 and out[1]["overlap_ngrams"] == 3
+    assert out[1]["contamination"] == 0.75 and out[1]["is_contaminated"]
+    assert out[2]["overlap_ngrams"] == 0 and not out[2]["is_contaminated"]
+    # doc 3 overlaps on exactly half its bigrams: 0.5 >= threshold
+    assert out[3]["overlap_ngrams"] == 2 and out[3]["contamination"] == 0.5
+    assert out[3]["is_contaminated"]
+
+
+def test_contamination_plan_broadcasts_benchmark_side(spark, sf_tables):
+    from bullet_storm_spark.operators.decontam import contamination
+    from pyspark.sql import functions as F
+
+    docs = sf_tables["documents"]
+    df = contamination(
+        docs, "doc_id", "text", docs.where(F.col("doc_id") % 10 == 0), "text",
+        shingle_n=3,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # benchmark n-grams broadcast into a semi-join: the corpus n-gram
+    # stream is never shuffled on the gram key
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
