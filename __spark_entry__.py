@@ -134,6 +134,22 @@ def _core_queries() -> dict[str, Query]:
         post_aggregations=[OrderBy([("type", True)])],
     )
 
+    # exact per-group percentiles (batch-only extension; streaming
+    # percentiles route through DISTRIBUTION's mergeable summary)
+    qs["group_by_percentiles"] = Query(
+        source="events",
+        aggregation=GroupBy(
+            fields={"event_type": "type"},
+            operations=[
+                _op("PERCENTILE", "value", "p50_value", round_to=6, p=0.5),
+                _op("PERCENTILE", "value", "p90_value", round_to=6, p=0.9),
+                _op("PERCENTILE", "value", "p99_value", round_to=6, p=0.99),
+                _op("COUNT", None, "cnt"),
+            ],
+        ),
+        post_aggregations=[OrderBy([("type", True)])],
+    )
+
     # multi-key GROUP BY (user x type) with group cap + deterministic order
     qs["group_by_user_type"] = Query(
         source="events",

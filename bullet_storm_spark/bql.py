@@ -70,6 +70,7 @@ _AGG_FN = {
     "MIN": GroupOpType.MIN,
     "MAX": GroupOpType.MAX,
     "AVG": GroupOpType.AVG,
+    "PERCENTILE": GroupOpType.PERCENTILE,
 }
 
 
@@ -276,6 +277,25 @@ def _compile_select(items, group_cols, limit, distinct=False):
             elif fn == "COUNT":
                 ops.append(
                     GroupOperation(GroupOpType.COUNT_FIELD, arg, alias or "count")
+                )
+            elif fn == "PERCENTILE":
+                # PERCENTILE(field, p) — exact per-group percentile
+                # (batch-only; streaming routes through DISTRIBUTION)
+                parts = _split_top_level(arg)
+                if len(parts) != 2:
+                    raise BQLError(f"PERCENTILE needs (field, p): {expr!r}")
+                try:
+                    p = float(parts[1])
+                except ValueError:
+                    raise BQLError(f"PERCENTILE p must be numeric: {parts[1]!r}")
+                ops.append(
+                    GroupOperation(
+                        GroupOpType.PERCENTILE,
+                        parts[0],
+                        alias or "percentile",
+                        round_to=6,
+                        p=p,
+                    )
                 )
             else:
                 # SUM/AVG default to exact DECIMAL(38,6) accumulation: the

@@ -70,6 +70,13 @@ def _agg_column(op: GroupOperation) -> Column:
             col = F.var_pop(f)
         if t == GroupOpType.STDDEV_POP:
             col = F.sqrt(col) if op.exact_decimal else F.stddev_pop(f)
+    elif t == GroupOpType.PERCENTILE:
+        if op.p is None or not (0.0 <= op.p <= 1.0):
+            raise ValueError(f"PERCENTILE needs p in [0,1], got {op.p}")
+        # exact percentile, linear interpolation at rank p*(n-1) — the
+        # same definition as the DuckDB twin's quantile_cont. Batch-only
+        # (GroupState rejects it for streaming; use DISTRIBUTION there).
+        col = F.percentile(f.cast("double"), F.lit(op.p))
     else:  # pragma: no cover
         raise ValueError(f"unsupported group op {t}")
     if op.round_to is not None:
@@ -118,6 +125,10 @@ def _agg_sql(op: GroupOperation) -> str:
         else:
             fn = "var_pop" if t == GroupOpType.VAR_POP else "stddev_pop"
             body = f"{fn}({op.field})"
+    elif t == GroupOpType.PERCENTILE:
+        if op.p is None or not (0.0 <= op.p <= 1.0):
+            raise ValueError(f"PERCENTILE needs p in [0,1], got {op.p}")
+        body = f"quantile_cont(CAST({op.field} AS DOUBLE), {op.p!r})"
     else:  # pragma: no cover
         raise ValueError(f"unsupported group op {t}")
     if op.round_to is not None:

@@ -89,6 +89,11 @@ class GroupOpType(str, Enum):
     # (exact_decimal) and oracle-checkable
     VAR_POP = "VAR_POP"
     STDDEV_POP = "STDDEV_POP"
+    # exact per-group percentile (linear interpolation at rank p*(n-1)) —
+    # batch-only: not mergeable from numeric partials, so the streaming
+    # engine rejects it at submit (GroupState._SUPPORTED); streaming
+    # percentiles go through DISTRIBUTION's mergeable KLL summary instead
+    PERCENTILE = "PERCENTILE"
 
 
 @dataclass
@@ -113,6 +118,9 @@ class GroupOperation:
     # pin; 'int' (the default, matching the dominant integer-count use)
     # keeps BIGINT. exact_decimal sidesteps the issue entirely.
     field_kind: str = "int"
+    # PERCENTILE only: the fraction in [0, 1] (0.5 = median). Keyword-ish
+    # tail position so existing positional construction sites are unmoved.
+    p: float | None = None
 
 
 @dataclass

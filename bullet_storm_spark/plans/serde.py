@@ -99,6 +99,7 @@ def _agg_to_dict(agg: Q.Aggregation) -> dict:
                     "exact_decimal": op.exact_decimal,
                     "round_to": op.round_to,
                     "field_kind": op.field_kind,
+                    "p": op.p,
                 }
                 for op in agg.operations
             ],
@@ -149,6 +150,7 @@ def _agg_from_dict(d: dict) -> Q.Aggregation:
                     o.get("exact_decimal", False),
                     o.get("round_to"),
                     o.get("field_kind", "int"),
+                    o.get("p"),
                 )
                 for o in d["operations"]
             ],

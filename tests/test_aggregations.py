@@ -268,3 +268,56 @@ def test_oracle_sql_matches_spark_on_duckdb(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     duck_rows = con.sql(oracle_sql_for(q)).fetchall()
     assert spark_rows == duck_rows
+
+
+# --- PERCENTILE (batch-only group extension) --------------------------------
+
+def test_group_percentile_exact_interpolation(spark):
+    import duckdb
+    from bullet_storm_spark import oracle_sql_for
+
+    rows = [(1, float(v)) for v in (1, 2, 3, 10)] + [(2, 5.0)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    q = Query(
+        source="t",
+        aggregation=GroupBy(
+            fields={"k": "key"},
+            operations=[
+                GroupOperation(GroupOpType.PERCENTILE, "v", "p50", round_to=6, p=0.5),
+                GroupOperation(GroupOpType.PERCENTILE, "v", "p75", round_to=6, p=0.75),
+            ],
+        ),
+        post_aggregations=[OrderBy([("key", True)])],
+    )
+    got = [tuple(r) for r in run(q, df).collect()]
+    # k=1: sorted [1,2,3,10]; p50 at rank 1.5 -> 2.5; p75 at rank 2.25 -> 4.75
+    assert got == [(1, 2.5, 4.75), (2, 5.0, 5.0)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k int, v double)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    assert got == con.sql(oracle_sql_for(q)).fetchall()
+
+
+def test_group_percentile_rejects_bad_p(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    q = Query(
+        source="t",
+        aggregation=GroupBy(
+            fields={"k": "key"},
+            operations=[GroupOperation(GroupOpType.PERCENTILE, "v", "bad", p=1.5)],
+        ),
+    )
+    with pytest.raises(ValueError):
+        run(q, df).collect()
+
+
+def test_group_percentile_is_batch_only_in_streaming():
+    from bullet_storm_spark.streaming.state import GroupState
+
+    agg = GroupBy(
+        fields={"k": "key"},
+        operations=[GroupOperation(GroupOpType.PERCENTILE, "v", "p50", p=0.5)],
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        GroupState(agg)

@@ -150,3 +150,30 @@ def test_computed_select_items_are_post_aggregations(sf_tables):
 def test_plain_field_not_in_group_by_rejected():
     with pytest.raises(BQLError):
         parse("SELECT region, COUNT(*) AS c FROM events GROUP BY event_type")
+
+
+def test_bql_percentile(spark, sf_tables):
+    import duckdb
+    from bullet_storm_spark import compile_query, oracle_sql_for
+    from bullet_storm_spark.bql import parse
+
+    q = parse(
+        "SELECT event_type AS type, PERCENTILE(value, 0.5) AS p50, "
+        "COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY type"
+    )
+    got = [tuple(r) for r in compile_query(q)(sf_tables["events"]).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = con.sql(oracle_sql_for(q)).fetchall()
+    assert got == want
+
+
+def test_bql_percentile_arity_error():
+    import pytest as _pytest
+    from bullet_storm_spark.bql import BQLError, parse
+
+    with _pytest.raises(BQLError):
+        parse("SELECT PERCENTILE(value) FROM events")
