@@ -180,6 +180,11 @@ def repetition_ratio_from_tokens(
 
 
 def repetition_ratio(field: str, n: int = 2, round_to: int = 6) -> Column:
+    """Convenience form for small frames. In scans, prefer
+    `repetition_ratio_from_tokens` over a token column materialized behind
+    an exchange: here the token expression is re-inlined into the
+    per-shingle lambda (quadratic regex work — measured 31 s vs 1.4 s at
+    sf0.1 on the documents table)."""
     return repetition_ratio_from_tokens(tokens(field), n, round_to)
 
 

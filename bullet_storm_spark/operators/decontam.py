@@ -23,7 +23,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bullet_storm_spark.functions.text import shingles, shingles_sql
+from bullet_storm_spark.functions.text import (
+    shingles_from_tokens,
+    shingles_sql,
+    tokens,
+)
 
 
 def contamination(
@@ -42,12 +46,25 @@ def contamination(
     is_contaminated)`` for every document, ordered by id. ``contamination``
     is ``overlap_ngrams / total_ngrams`` (0.0 for documents with no
     n-grams)."""
-    doc_sh = df.select(
-        F.col(id_col).alias("__doc"),
-        F.explode(shingles(text_col, shingle_n)).alias("__sh"),
+    # materialize tokens behind an exchange before shingling: a concrete
+    # array column is computed once per row, where an expression-valued
+    # token array is re-inlined into the per-shingle lambda (quadratic
+    # regex work — the SCALING.md MinHash pitfall); the exchange also
+    # parallelizes single-file scans (measured 9.2 s -> 1.4 s at sf0.1)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    doc_tok = df.select(
+        F.col(id_col).alias("__doc"), tokens(text_col).alias("__toks")
+    ).repartition(par)
+    doc_sh = doc_tok.select(
+        "__doc",
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
     )
     bench_sh = (
-        bench_df.select(F.explode(shingles(bench_text_col, shingle_n)).alias("__sh"))
+        bench_df.select(tokens(bench_text_col).alias("__btoks"))
+        .repartition(par)
+        .select(
+            F.explode(shingles_from_tokens(F.col("__btoks"), shingle_n)).alias("__sh")
+        )
         .distinct()
     )
     overlap = (
@@ -55,9 +72,11 @@ def contamination(
         .groupBy("__doc")
         .agg(F.count("*").cast("long").alias("overlap_ngrams"))
     )
-    totals = df.select(
-        F.col(id_col),
-        F.size(shingles(text_col, shingle_n)).cast("long").alias("total_ngrams"),
+    totals = doc_tok.select(
+        F.col("__doc").alias(id_col),
+        F.size(shingles_from_tokens(F.col("__toks"), shingle_n))
+        .cast("long")
+        .alias("total_ngrams"),
     )
     contamination_col = F.when(F.col("total_ngrams") <= 0, F.lit(0.0)).otherwise(
         F.round(
