@@ -36,12 +36,16 @@ HEADLINE = [
     "count_distinct_users_approx",
     "distribution_pmf_value",
     "distribution_quantile_value",
+    "group_by_percentiles",
     "top_k_event_user",
     "lineitem_pricing_summary",
     "events_hourly_rollup",
     "join_revenue_by_nation",
     "join_top_orders_by_revenue",
     "text_stats",
+    "text_vocabulary",
+    "text_repetition",
+    "text_decontaminate",
     "dedup_exact",
     "dedup_minhash_lsh_pairs_3gram",
     "dedup_simhash",

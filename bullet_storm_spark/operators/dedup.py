@@ -969,6 +969,28 @@ def dedup_clusters(
     )
 
 
+def deduplicate_transitive(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Transitive dedup filter: keep exactly one row per near-duplicate
+    cluster (the minimum id). Unlike `deduplicate`'s pairwise loser policy
+    — which can drop every member of a chain A~B~C except A *or* keep
+    inconsistent sets depending on which pairs verified — the survivor set
+    here is well-defined: the canonical representative of each connected
+    component. Same single broadcast join against the corpus."""
+    labels = dedup_clusters(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    )
+    keep = labels.where(F.col("is_canonical")).select(F.col(id_col).alias("__keep"))
+    return df.join(F.broadcast(keep), F.col(id_col) == F.col("__keep"), "left_semi")
+
+
 def dedup_clusters_sql(
     table: str,
     id_col: str,

@@ -67,3 +67,21 @@ def test_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     with pytest.raises(RuntimeError):
         dedup.connected_components(pairs, max_iterations=0)
+
+
+def test_deduplicate_transitive_keeps_one_per_cluster(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog !"),
+        (3, "an entirely different document about spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.deduplicate_transitive(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    )
+    # one canonical from the {0,1,2} cluster (the min id), plus the singleton
+    assert kept == [0, 3]
