@@ -91,6 +91,34 @@ SESSION_SCHEMA = (
 _SESSION_STATE_SCHEMA = "start long, end long, n int"
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    event_time_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for continuous ingestion: drop any record
+    whose normalized-content fingerprint was already seen within the
+    watermark horizon (the streaming face of `operators.dedup.exact_dedup`;
+    for near-dup at ingest see `operators.dedup.dedup_against_index`, which
+    probes a persisted band index per micro-batch).
+
+    Built on ``dropDuplicatesWithinWatermark`` so the dedup key does NOT
+    need to include the event time: state holds one fingerprint per unique
+    document and the store evicts entries older than the watermark —
+    bounded state, no full-history growth. At cluster scale the state is
+    hash-partitioned on the (uniform, md5) fingerprint: no skew, no
+    broadcast, scales with unique-docs-per-horizon not stream volume."""
+    from bullet_storm_spark.functions.text import fingerprint
+
+    return (
+        stream_df.withColumn("__fp", fingerprint(text_col))
+        .withWatermark(event_time_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def sessionize(
     stream_df: DataFrame,
     key_col: str,

@@ -124,3 +124,37 @@ def test_sessionize(spark, tmp_path):
     closed = {(r.key, r.session_start): r for r in rows}
     s1 = closed[("u1", base)]
     assert s1.n_events == 3 and s1.session_end == base + 2_000 and s1.closed
+
+
+def test_stream_dedup_drops_repeats_within_watermark(spark, tmp_path):
+    from bullet_storm_spark.streaming.native import stream_dedup
+
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    chunks = [
+        [
+            (1, "alpha beta gamma", s(0)),
+            (2, "alpha beta gamma", s(1)),   # in-batch duplicate content
+            (3, "unique doc one", s(2)),
+        ],
+        [
+            (4, "Alpha  beta GAMMA", s(10)),  # normalized duplicate, later batch
+            (5, "unique doc two", s(11)),
+        ],
+    ]
+    out = _run_stream(
+        spark,
+        tmp_path,
+        lambda st: stream_dedup(st, "text", "ts", "1 hour"),
+        schema,
+        chunks,
+    )
+    kept_ids = set(r["doc_id"] for r in out.collect())
+    # one survivor per distinct normalized content: one of {1,2}, plus 3, 5
+    assert len(kept_ids) == 3
+    assert {3, 5} <= kept_ids and 4 not in kept_ids
+    assert len(kept_ids & {1, 2}) == 1
