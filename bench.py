@@ -90,6 +90,14 @@ def main() -> None:
     minhash_lsh_pairs(
         tiny, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3, threshold=0.9
     ).count()
+    # spin up the Python/Arrow worker pool once so mapInPandas queries
+    # (SpaceSaving top-k, BLAS ANN, multimodal decode) measure the
+    # operator, not daemon startup (~2 s fixed, analogous to JVM warmup)
+    def _warm_pandas(it):
+        for pdf in it:
+            yield pdf
+
+    tiny.select("doc_id").mapInPandas(_warm_pandas, "doc_id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

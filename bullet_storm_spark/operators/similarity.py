@@ -486,3 +486,128 @@ def brute_force_neighbors_arrow(
 
     local = base.mapInPandas(local_topk, schema)
     return _rank_topk(local, k)
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index: fit once, store, probe/append forever
+# ---------------------------------------------------------------------------
+
+def _assign_cells(df: DataFrame, id_col: str, vec_col: str, cents: "np.ndarray",
+                  nprobe: int | None = None) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment. With nprobe, also emits
+    the ``probes`` array (the nprobe nearest cells) for query-side use."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    b_cents = spark.sparkContext.broadcast(cents)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    want_probes = nprobe is not None
+    np_ = nprobe or 1
+
+    def assign(batches):
+        c = b_cents.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(mat @ c.T), axis=1)
+            out = {
+                "id": pdf["id"],
+                "v": pdf["v"],
+                "cell": order[:, 0].astype("int32"),
+            }
+            if want_probes:
+                out["probes"] = [row[:np_].astype("int32") for row in order]
+            yield pd.DataFrame(out)
+
+    schema = "id long, v array<float>, cell int"
+    if want_probes:
+        schema += ", probes array<int>"
+    return base.mapInPandas(assign, schema)
+
+
+def ivf_build_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a persistable IVF index: returns ``(index, centroids)`` — the
+    corpus with its cell assignment ``(id, v, cell)`` and the codebook
+    ``(cell, centroid)``. Both are plain DataFrames: write them as parquet
+    (partitionBy("cell") for the index, so a probe prunes to the nprobe
+    cell directories) and reload in any later session — the production ANN
+    cycle (mirrors `dedup.band_index` for MinHash).
+
+    Scale: fitting reads a bounded sample (O(sample), driver numpy);
+    assignment is one Arrow-batched pass over the corpus; nothing all-pairs.
+    """
+    cents = ivf_centroids(df, vec_col, n_centroids, iters)
+    spark = df.sparkSession
+    centroids_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    return _assign_cells(df, id_col, vec_col, cents), centroids_df
+
+
+def _cents_from_df(centroids_df: DataFrame) -> "np.ndarray":
+    rows = centroids_df.orderBy("cell").collect()
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError("centroid table must have contiguous cells 0..n-1")
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_append_to_index(
+    index: DataFrame,
+    centroids_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign newly-arrived vectors against the FROZEN codebook and return
+    index rows to append — no refit, no rescan of the existing corpus (the
+    incremental-ingest shape; periodically rebuild when drift accumulates)."""
+    return index.unionByName(
+        _assign_cells(new_df, id_col, vec_col, _cents_from_df(centroids_df))
+    )
+
+
+def ivf_probe_index(
+    index: DataFrame,
+    centroids_df: DataFrame,
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k neighbors for ``query_df`` against a stored index: queries
+    assign to their nprobe nearest cells (Arrow batch over the tiny query
+    set), then ONE hash join on the cell key against the index — per-query
+    work is ~|index| * nprobe / n_centroids, and a cell-partitioned parquet
+    index prunes the scan to the probed cells."""
+    cents = _cents_from_df(centroids_df)
+    queries = (
+        _assign_cells(query_df, id_col, vec_col, cents, nprobe=nprobe)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode("probes").alias("cell"),
+        )
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(index.select("id", "v", "cell"), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _rank_topk(pairs, k)
