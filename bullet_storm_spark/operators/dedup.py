@@ -303,6 +303,7 @@ def deduplicate(
     bands: int = 4,
     shingle_n: int = 1,
     threshold: float = 0.9,
+    exact_first: bool = True,
 ) -> DataFrame:
     """End-to-end dedup: the surviving rows after exact + near-duplicate
     removal. Survivor policy (deterministic): within each near-dup pair the
@@ -310,14 +311,34 @@ def deduplicate(
     greater id of a verified pair. Exact duplicates are near-dups with
     jaccard 1.0, so one pipeline covers both.
 
-    Physically: the minhash pipeline produces the (small) pair set, and a
-    broadcast anti-join removes the losers — the full table is scanned
-    once, never joined to itself."""
+    ``exact_first`` (default) collapses exact duplicates BEFORE banding:
+    one window over the content fingerprint keeps the minimum id per
+    identical text. This does not change the survivor set — identical
+    texts have identical shingle sets, so any pair the dropped copy would
+    have verified, its kept representative (which has a smaller id)
+    verifies too — but it bounds LSH bucket sizes by DISTINCT texts. That
+    is the 100 TB guard: a viral document with n exact copies would
+    otherwise put n rows in one (band, hash) bucket and generate O(n^2)
+    candidates; after the collapse it contributes exactly one.
+
+    Physically: fingerprint window (one shuffle on uniform md5 keys), the
+    minhash pipeline over distinct texts produces the (small) pair set,
+    and a broadcast anti-join removes the losers — the full table is
+    scanned once, never joined to itself."""
+    base = df
+    if exact_first:
+        w = Window.partitionBy("__fp")
+        base = (
+            df.withColumn("__fp", fingerprint(text_col))
+            .withColumn("__keep", F.col(id_col) == F.min(F.col(id_col)).over(w))
+            .where(F.col("__keep"))
+            .drop("__fp", "__keep")
+        )
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+        base, id_col, text_col, num_hashes, bands, shingle_n, threshold
     )
     losers = pairs.select(F.col("id_b").alias("__loser")).distinct()
-    return df.join(
+    return base.join(
         F.broadcast(losers), F.col(id_col) == F.col("__loser"), "left_anti"
     )
 
@@ -330,12 +351,19 @@ def deduplicate_sql(
     bands: int = 4,
     shingle_n: int = 1,
     threshold: float = 0.9,
+    exact_first: bool = True,
 ) -> str:
+    base = table
+    if exact_first:
+        base = (
+            f"(SELECT * FROM {table} QUALIFY {id_col} = MIN({id_col}) "
+            f"OVER (PARTITION BY {fingerprint_sql(text_col)}))"
+        )
     pairs = minhash_lsh_pairs_sql(
-        table, id_col, text_col, num_hashes, bands, shingle_n, threshold
+        base, id_col, text_col, num_hashes, bands, shingle_n, threshold
     )
     return f"""
-SELECT * FROM {table}
+SELECT * FROM {base} AS base_t
 WHERE {id_col} NOT IN (SELECT id_b FROM ({pairs}))
 """
 

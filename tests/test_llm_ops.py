@@ -233,3 +233,29 @@ def test_sample_frames(docs):
     assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
     text = "the quick brown fox jumps over the lazy dog"
     assert all(r.frame_len == len(text) // 4 for r in frames)
+
+
+def test_deduplicate_exact_first_same_survivors_fewer_candidates(spark):
+    from bullet_storm_spark.operators import dedup
+
+    # a "viral" doc with 30 exact copies + a near-dup + unrelated docs
+    viral = "breaking news everyone is sharing this exact same story today"
+    rows = (
+        [(i, viral) for i in range(30)]
+        + [(100, viral + " !")]                       # near-dup of the viral text
+        + [(200, "a completely unrelated document"),
+           (201, "another quite different text entirely")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fast = sorted(r["doc_id"] for r in
+                  dedup.deduplicate(df, "doc_id", "text", threshold=0.8).collect())
+    slow = sorted(r["doc_id"] for r in
+                  dedup.deduplicate(df, "doc_id", "text", threshold=0.8,
+                                    exact_first=False).collect())
+    # identical survivor sets: one viral representative + the singletons
+    assert fast == slow == [0, 200, 201]
+
+    # the guard's point: candidate volume collapses from O(copies^2) to O(1)
+    n_raw = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8).count()
+    assert n_raw >= 30 * 29 / 2  # every copy pair verifies at jaccard 1.0
