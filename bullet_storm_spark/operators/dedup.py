@@ -973,26 +973,41 @@ def dedup_clusters(
 
     Output: (id_col, cluster_id, cluster_size, is_canonical), ordered.
 
-    Scale posture: components run on the pair graph only; the corpus is
-    touched exactly once, by a broadcast left join of the (small) label
-    table — singleton documents never shuffle.
+    Scale posture: exact copies collapse to their minimum-id representative
+    FIRST (one fingerprint window — the viral-duplicate guard, see
+    `deduplicate`), so the LSH pipeline and the label-propagation rounds
+    run on the DISTINCT-text pair graph. Copies inherit their
+    representative's component through the same window (no extra join:
+    rep's label rides a broadcast), which is provably the same clustering —
+    a copy is connected to its representative by a jaccard-1.0 edge, and
+    the component minimum is always a representative (each group's min id
+    is the representative). Cluster sizes count ALL rows via one map-side
+    combined aggregation + broadcast-back of the (small) size table.
     """
+    wfp = Window.partitionBy("__fp")
+    base = df.withColumn("__fp", fingerprint(text_col)).withColumn(
+        "__rep", F.min(F.col(id_col)).over(wfp)
+    )
+    reps_df = base.where(F.col(id_col) == F.col("__rep")).drop("__fp", "__rep")
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+        reps_df, id_col, text_col, num_hashes, bands, shingle_n, threshold
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
-    sizes = comp.groupBy("cluster").agg(F.count("*").alias("__csize"))
-    labeled = comp.join(sizes, "cluster")
-    return (
-        df.join(F.broadcast(labeled), F.col(id_col) == F.col("node"), "left")
+    lab = (
+        base.select(F.col(id_col), F.col("__rep"))
+        .join(F.broadcast(comp), F.col("__rep") == F.col("node"), "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster_id"),
-            F.coalesce(F.col("__csize"), F.lit(1)).cast("long").alias("cluster_size"),
-            (F.col(id_col) == F.coalesce(F.col("cluster"), F.col(id_col))).alias(
-                "is_canonical"
-            ),
+            F.coalesce(F.col("cluster"), F.col("__rep")).alias("cluster_id"),
         )
+    )
+    # sizes via one window on cluster_id (not a broadcast join: the size
+    # table has one row per cluster ~ per distinct text, far beyond
+    # broadcast range at corpus scale)
+    wsz = Window.partitionBy("cluster_id")
+    return (
+        lab.withColumn("cluster_size", F.count("*").over(wsz).cast("long"))
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
         .orderBy(id_col)
     )
 
