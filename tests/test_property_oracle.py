@@ -79,6 +79,9 @@ group_ops = st.lists(
             GroupOperation(GroupOpType.MAX, "v", "max_v"),
             GroupOperation(GroupOpType.AVG, "v", "avg_v", exact_decimal=True),
             GroupOperation(GroupOpType.COUNT_FIELD, "s", "cnt_s"),
+            GroupOperation(GroupOpType.VAR_POP, "v", "var_v", exact_decimal=True, round_to=6),
+            GroupOperation(GroupOpType.PERCENTILE, "v", "p50_v", round_to=6, p=0.5),
+            GroupOperation(GroupOpType.PERCENTILE, "n", "p90_n", round_to=6, p=0.9),
         ]
     ),
     min_size=1,
