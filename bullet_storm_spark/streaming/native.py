@@ -119,6 +119,61 @@ def stream_dedup(
     )
 
 
+def stream_dedup_incremental(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+):
+    """Continuous NEAR-duplicate dedup for an ingest stream: every
+    micro-batch probes the persisted MinHash band index
+    (`operators.dedup.band_index` parquet), keeps only documents that
+    duplicate nothing in the historical corpus and no earlier-id document
+    within the batch, appends survivors to ``out_path`` and their band
+    rows to the index — the day-over-day production dedup loop, run
+    per-batch instead of per-day. Returns the StreamingQuery.
+
+    Scale: the probe is a hash join on band_hash against the index —
+    partition the index parquet by band_hash range at cluster scale and
+    the join prunes; per-batch cost is O(batch x bands + collisions),
+    never a corpus rescan. Exactly-once caveat: foreachBatch may re-run a
+    batch after failure; the appends are idempotent only if downstream
+    compaction dedups on (id) — or write with partitionBy(batch_id) and
+    overwrite dynamic partitions for true idempotence.
+    """
+    from bullet_storm_spark.operators.dedup import band_index, dedup_against_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:
+            # first batch: empty index with the right schema
+            idx = band_index(
+                batch_df.limit(0), id_col, text_col, num_hashes, bands, shingle_n
+            )
+        survivors = dedup_against_index(
+            batch_df, idx, id_col, text_col,
+            num_hashes, bands, shingle_n, threshold,
+        ).localCheckpoint()  # probe once; reused for both writes below
+        survivors.write.mode("append").parquet(out_path)
+        band_index(
+            survivors, id_col, text_col, num_hashes, bands, shingle_n
+        ).write.mode("append").parquet(index_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def sessionize(
     stream_df: DataFrame,
     key_col: str,

@@ -158,3 +158,43 @@ def test_stream_dedup_drops_repeats_within_watermark(spark, tmp_path):
     assert len(kept_ids) == 3
     assert {3, 5} <= kept_ids and 4 not in kept_ids
     assert len(kept_ids & {1, 2}) == 1
+
+
+def test_stream_dedup_incremental_probes_persisted_index(spark, tmp_path):
+    from bullet_storm_spark.streaming.native import stream_dedup_incremental
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    _write(spark, src, [(1, "alpha beta gamma delta"), (2, "totally new doc one")], schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_dedup_incremental(
+        stream,
+        "doc_id",
+        "text",
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one historical dup (of doc 1), one in-batch dup pair, one novel
+        _write(
+            spark,
+            src,
+            [
+                (10, "alpha beta gamma delta"),     # dup of corpus doc 1
+                (11, "fresh document eleven here"),
+                (12, "fresh document eleven here"), # in-batch dup of 11
+                (13, "another novel thirteen text"),
+            ],
+            schema,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out_ids = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert out_ids == [1, 2, 11, 13]
+    # the index holds band rows for every survivor (and only survivors)
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()}
+    assert idx_ids == {1, 2, 11, 13}
