@@ -119,6 +119,41 @@ def stream_dedup(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lookback: str = "1 hour",
+    lookahead: str = "0 seconds",
+    watermark_delay: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: match right rows whose event time
+    lies in ``[left_time - lookback, left_time + lookahead]`` for the same
+    key — the streaming face of the batch as-of/range join extensions
+    (e.g. purchases joined to the signups that preceded them within an
+    hour).
+
+    Both sides carry watermarks and the join predicate carries explicit
+    time bounds, so Spark can EVICT state: each side buffers only
+    ``watermark + lookback/lookahead`` of data per key, not the whole
+    stream — the requirement for unbounded-stream joins at cluster scale.
+    State is hash-partitioned on the join key; outer modes emit nulls only
+    once the watermark proves no match can arrive."""
+    l = left.withWatermark(left_time, watermark_delay).alias("l")
+    r = right.withWatermark(right_time, watermark_delay).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_time}")
+           >= F.col(f"l.{left_time}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{right_time}")
+           <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {lookahead}"))
+    )
+    return l.join(r, cond, how)
+
+
 def stream_dedup_incremental(
     stream_df: DataFrame,
     id_col: str,

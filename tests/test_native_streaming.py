@@ -198,3 +198,48 @@ def test_stream_dedup_incremental_probes_persisted_index(spark, tmp_path):
     # the index holds band rows for every survivor (and only survivors)
     idx_ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()}
     assert idx_ids == {1, 2, 11, 13}
+
+
+def test_stream_interval_join_matches_within_lookback(spark, tmp_path):
+    from bullet_storm_spark.streaming.native import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    lschema = "user string, lts timestamp, amount double"
+    rschema = "user string, rts timestamp, page string"
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    # purchases (left) and page views (right): match views within 60s before
+    _write(spark, lsrc, [("u1", s(100), 9.99), ("u2", s(200), 5.0)], lschema)
+    _write(
+        spark,
+        rsrc,
+        [
+            ("u1", s(70), "pricing"),    # 30s before u1's purchase -> match
+            ("u1", s(10), "landing"),    # 90s before -> outside lookback
+            ("u2", s(210), "deals"),     # AFTER the purchase -> no match
+            ("u3", s(95), "other"),      # different user
+        ],
+        rschema,
+    )
+    lstream = spark.readStream.schema(lschema).parquet(lsrc)
+    rstream = spark.readStream.schema(rschema).parquet(rsrc)
+    joined = stream_interval_join(
+        lstream, rstream, on="user", left_time="lts", right_time="rts",
+        lookback="60 seconds",
+    ).select("l.user", "amount", "page")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r["user"], r["amount"], r["page"]) for r in spark.table("sj_out").collect()]
+    assert rows == [("u1", 9.99, "pricing")]
