@@ -866,6 +866,26 @@ ORDER BY id_a, id_b
 """
 
 
+def compact_index(
+    spark,
+    index_path: str,
+    out_path: str | None = None,
+    partitions: int | None = None,
+) -> None:
+    """Rewrite a band index accumulated by incremental appends (e.g.
+    `streaming.native.stream_dedup_incremental`: one small parquet file per
+    micro-batch) into ``partitions`` files hash-clustered on band_hash, so
+    probe joins read co-partitioned data instead of thousands of tiny
+    files. Run periodically, like any LSM-ish compaction; writes to
+    ``out_path`` (default: ``index_path + '.compact'``) — swap directories
+    atomically outside Spark."""
+    idx = spark.read.parquet(index_path)
+    n = partitions or spark.sparkContext.defaultParallelism
+    idx.repartition(n, "band", "band_hash").write.mode("overwrite").parquet(
+        out_path or index_path + ".compact"
+    )
+
+
 # ---------------------------------------------------------------------------
 # transitive dedup clusters (distributed connected components)
 # ---------------------------------------------------------------------------

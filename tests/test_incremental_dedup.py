@@ -37,3 +37,29 @@ def test_incremental_dedup_against_index(spark, tmp_path):
         [(20, "brand new novel document text")], "doc_id long, text string"
     )
     assert dedup.dedup_against_index(again, index2, "doc_id", "text").count() == 0
+
+
+def test_compact_index_preserves_rows_and_reduces_files(spark, tmp_path):
+    import glob
+
+    rows = [(i, f"document number {i} with words {i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    # simulate many tiny appends (one per "batch")
+    for lo in range(0, 40, 10):
+        part = df.where((df.doc_id >= lo) & (df.doc_id < lo + 10))
+        dedup.band_index(part, "doc_id", "text").write.mode("append").parquet(path)
+    n_before = len(glob.glob(f"{path}/*.parquet"))
+
+    dedup.compact_index(spark, path, partitions=2)
+    out = str(tmp_path / "idx.compact")
+    compacted = spark.read.parquet(out)
+    assert compacted.count() == spark.read.parquet(path).count()
+    assert len(glob.glob(f"{out}/*.parquet")) == 2 < n_before
+    # probing the compacted index behaves identically
+    probe = spark.createDataFrame(
+        [(100, "document number 7 with words 2")], "doc_id long, text string"
+    )
+    before = dedup.dedup_against_index(probe, spark.read.parquet(path), "doc_id", "text").count()
+    after = dedup.dedup_against_index(probe, compacted, "doc_id", "text").count()
+    assert before == after == 0  # duplicate of historical doc 7 -> dropped
