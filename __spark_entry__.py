@@ -988,12 +988,37 @@ _RANGE_JOIN_SQL = (
 )
 
 
+def _set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.6 — absent in the reference, first-class
+    here): users who both purchased AND clicked, minus users who ever hit
+    an error. INTERSECT/EXCEPT lower to hash semi/anti aggregation plans
+    shuffled on the (uniform) user key — no sort, scale-safe."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def seg(t):
+        return ev.where(F.col("event_type") == t).select("user_id")
+
+    return (
+        seg("purchase").intersect(seg("click")).exceptAll(seg("error").distinct())
+        .orderBy("user_id")
+    )
+
+
+_SET_OPS_SQL = (
+    "SELECT user_id FROM events WHERE event_type = 'purchase' "
+    "INTERSECT SELECT user_id FROM events WHERE event_type = 'click' "
+    "EXCEPT SELECT user_id FROM events WHERE event_type = 'error' "
+    "ORDER BY user_id"
+)
+
+
 _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "join_revenue_by_nation": (_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "join_top_orders_by_revenue": (_top_orders_by_revenue, _TOP_ORDERS_SQL),
     "join_region_supplier_rollup": (_region_nation_rollup, _REGION_NATION_SQL),
     "join_asof_purchase_signup": (_asof_purchase_signup, _asof_sql()),
     "join_range_value_bands": (_range_join_value_bands, _RANGE_JOIN_SQL),
+    "set_ops_segments": (_set_ops_segments, _SET_OPS_SQL),
 }
 
 
