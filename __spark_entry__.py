@@ -484,6 +484,7 @@ from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
+from bullet_storm_spark.operators import quantize as _quant
 from bullet_storm_spark.operators import vocab as _vocab
 
 _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
@@ -897,6 +898,36 @@ ORDER BY doc_id
     "text_scrub_pii": (
         lambda s, d: _scrub_pii_query(s, d),
         _SCRUB_PII_SQL,
+    ),
+    # int8 scalar quantization: the 4x scan/shuffle-byte lever for ANN at
+    # 100 TB. Quantized dots/norms are exact integer sums, so the whole
+    # approximate pipeline — including the Arrow/numpy int64-matmul
+    # throughput path — is hash-checkable (unlike the float BLAS path).
+    "embed_quantize": (
+        lambda s, d: _quant.quantize_embeddings(_embs(s, d), "vec_id", "embedding"),
+        _quant.quantize_embeddings_sql("embeddings", "vec_id", "embedding"),
+    ),
+    "embed_quantize_report": (
+        lambda s, d: _quant.quantization_report(_embs(s, d), "vec_id", "embedding"),
+        _quant.quantization_report_sql("embeddings", "vec_id", "embedding"),
+    ),
+    "ann_quantized_topk": (
+        lambda s, d: _quant.quantized_neighbors(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, k=5
+        ),
+        _quant.quantized_neighbors_sql(
+            "embeddings", "vec_id", "embedding", "id < 8", k=5
+        ),
+    ),
+    # same oracle SQL as ann_quantized_topk: integer matmul makes the
+    # Arrow path bit-identical to the expression path
+    "ann_quantized_arrow": (
+        lambda s, d: _quant.quantized_neighbors_arrow(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, k=5
+        ),
+        _quant.quantized_neighbors_sql(
+            "embeddings", "vec_id", "embedding", "id < 8", k=5
+        ),
     ),
 }
 

@@ -59,6 +59,8 @@ HEADLINE = [
     "ann_brute_force_arrow",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
+    "embed_quantize",
+    "ann_quantized_arrow",
 ]
 
 

@@ -1,0 +1,338 @@
+"""Int8 scalar quantization for embedding columns, dual-compiled.
+
+At 100 TB the dominant ANN cost is scanning float32 vectors; symmetric
+per-vector int8 quantization cuts the scanned bytes 4x (and the shuffle
+bytes of any candidate join that carries payloads) at a bounded cosine
+error (<= ~1/127 per axis). Three operators:
+
+* ``quantize_embeddings`` — (id, scale, qv): scale = max|v_i| / 127,
+  q_i = clip(round(v_i / scale), -127, 127). Pure column expressions,
+  rides the scan; deterministic, so the DuckDB twin is hash-exact.
+* ``quantized_neighbors`` — brute-force top-k cosine over the QUANTIZED
+  vectors (the expression/reference path). Because quantized dots and
+  norms are integer sums (|dot| <= 127^2 * dim << 2^53), every
+  intermediate is EXACT in both engines regardless of accumulation
+  order — the whole approximate pipeline is hash-checkable.
+* ``quantized_neighbors_arrow`` — the same semantics on the Arrow/numpy
+  path (int64 matmul per batch + margin-safe local top-k). Integer
+  matmul is associativity-free, so unlike the float BLAS path
+  (similarity.brute_force_neighbors_arrow, rows-only by necessity) this
+  throughput path is bit-reproducible against the SAME oracle SQL as
+  the expression path.
+
+Reference: the reference engine's sketch posture (bounded-size,
+mergeable approximations with deterministic estimates — e.g. the
+CountDistinct/TopK sketches exercised at
+src/test/java/com/yahoo/bullet/storm/FilterBoltTest.java:704-709)
+motivates the same trade here: a bounded-error representation whose
+results stay exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bullet_storm_spark.functions.vectors import as_double
+from bullet_storm_spark.operators.similarity import _rank_topk
+
+QMAX = 127  # symmetric int8 range
+
+
+def _scale_col(v: Column) -> Column:
+    mx = F.aggregate(
+        F.transform(v, F.abs), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+    )
+    # epsilon floor keeps all-zero vectors finite (they quantize to zeros)
+    return F.greatest(mx, F.lit(1e-12)) / F.lit(float(QMAX))
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, round_to: int = 9
+) -> DataFrame:
+    """(id, scale, qv array<int>): symmetric per-vector int8 quantization.
+    ``scale`` is rounded for cross-engine rendering stability only; ``qv``
+    is computed from the UNROUNDED scale in both programs."""
+    v = as_double(F.col("__v"))
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    scaled = base.select("__id", "__v", _scale_col(v).alias("__scale"))
+    q = F.transform(
+        as_double(F.col("__v")),
+        lambda x: F.least(
+            F.greatest(F.round(x / F.col("__scale"), 0), F.lit(-float(QMAX))),
+            F.lit(float(QMAX)),
+        ).cast("int"),
+    )
+    return scaled.select(
+        F.col("__id").alias(id_col),
+        F.round(F.col("__scale"), round_to).alias("scale"),
+        q.alias("qv"),
+    ).orderBy(id_col)
+
+
+def _quantized_base_sql(table: str, id_col: str, vec_col: str) -> str:
+    """Shared CTE text: (id, scale [unrounded], qv) per row."""
+    return f"""
+base AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+scaled AS (
+  SELECT id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / {float(QMAX)}
+           AS uscale
+  FROM base
+),
+quantized AS (
+  SELECT id, uscale,
+         list_transform(
+           v, x -> CAST(least(greatest(round(x / uscale, 0), -{float(QMAX)}),
+                              {float(QMAX)}) AS INTEGER)
+         ) AS qv
+  FROM scaled
+)"""
+
+
+def quantize_embeddings_sql(
+    table: str, id_col: str, vec_col: str, round_to: int = 9
+) -> str:
+    return f"""
+WITH {_quantized_base_sql(table, id_col, vec_col)}
+SELECT id AS {id_col}, ROUND(uscale, {round_to}) AS scale, qv
+FROM quantized ORDER BY {id_col}
+"""
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product as a bigint (|dot| <= 127^2 * dim)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_neighbors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine over the int8-quantized vectors (self excluded;
+    zero-quantized vectors excluded as both query and candidate). Output
+    (query_id, neighbor_id, qcos, rank) — ``qcos`` is the cosine of the
+    quantized vectors, which every engine computes bit-identically because
+    dot/norm intermediates are exact integers."""
+    base0 = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), query_pred.alias("__isq")
+    )
+    scaled = base0.select("__id", "__v", "__isq", _scale_col(as_double(F.col("__v"))).alias("__scale"))
+    q = F.transform(
+        as_double(F.col("__v")),
+        lambda x: F.least(
+            F.greatest(F.round(x / F.col("__scale"), 0), F.lit(-float(QMAX))),
+            F.lit(float(QMAX)),
+        ).cast("int"),
+    )
+    quant = scaled.select("__id", "__isq", q.alias("__qv")).select(
+        "__id", "__isq", "__qv", _int_dot(F.col("__qv"), F.col("__qv")).alias("__n2")
+    ).where(F.col("__n2") > 0)
+    queries = quant.where(F.col("__isq")).select(
+        F.col("__id").alias("query_id"),
+        F.col("__qv").alias("__qqv"),
+        F.col("__n2").alias("__qn2"),
+    )
+    qcos = F.round(
+        _int_dot(F.col("__qqv"), F.col("__qv")).cast("double")
+        / (F.sqrt(F.col("__qn2").cast("double")) * F.sqrt(F.col("__n2").cast("double"))),
+        round_to,
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(quant, F.col("query_id") != F.col("__id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            qcos.alias("cos"),
+        )
+    )
+    return _rank_topk(pairs, k)
+
+
+def quantized_neighbors_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of BOTH quantized_neighbors and
+    quantized_neighbors_arrow (integer math makes the two Spark paths
+    bit-identical, so one oracle covers both). list_dot_product over
+    integer lists is exact: products and partial sums stay < 2^53."""
+    cos = (
+        f"ROUND(list_dot_product(q.qqv::DOUBLE[], c.qv::DOUBLE[]) "
+        f"/ (sqrt(q.qn2::DOUBLE) * sqrt(c.n2::DOUBLE)), {round_to})"
+    )
+    return f"""
+WITH {_quantized_base_sql(table, id_col, vec_col)},
+normed AS (
+  SELECT id, qv,
+         CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS n2
+  FROM quantized
+),
+nz AS (SELECT * FROM normed WHERE n2 > 0),
+q AS (
+  SELECT id AS query_id, qv AS qqv, n2 AS qn2
+  FROM nz WHERE {query_pred_sql}
+)
+SELECT query_id, c.id AS neighbor_id, {cos} AS cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY {cos} DESC, c.id ASC) AS INTEGER) AS rank
+FROM q JOIN nz c ON q.query_id <> c.id
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def quantized_neighbors_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Throughput path with the SAME hash-checkable semantics as
+    quantized_neighbors: per Arrow batch, an int64 matmul computes every
+    (query, candidate) dot EXACTLY (no float reduction-order drift), a
+    margin-safe local top-k keeps candidates within one rounding quantum
+    of the local k-th best, and the final Spark expression recomputes the
+    rounded qcos and global rank. A locally-dropped candidate is > 1
+    quantum below the k-th, so its rounded qcos is strictly smaller —
+    the global result equals the expression path bit-for-bit.
+
+    Map-side-combine shape: |Q| x |batch| work per partition, only
+    O(|Q| * k) rows shuffle to the final rank."""
+    import pandas as pd
+
+    quant = quantize_embeddings(df, id_col, vec_col)
+    pred_ids = df.select(F.col(id_col).alias("__pid")).where(query_pred)
+    qrows = (
+        quant.join(pred_ids, quant[id_col] == F.col("__pid"))
+        .select(id_col, "qv")
+        .collect()
+    )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.int64)
+    qn2 = (qmat * qmat).sum(axis=1)
+    keep = qn2 > 0
+    qids, qmat, qn2 = qids[keep], qmat[keep], qn2[keep]
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((qids, qmat, qn2))
+    margin = 2.0 * 10.0 ** (-round_to)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm, qn = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            cn2 = (cmat * cmat).sum(axis=1)
+            cids = pdf["id"].to_numpy()
+            nz = cn2 > 0
+            cmat, cn2, cids = cmat[nz], cn2[nz], cids[nz]
+            if not len(cids):
+                continue
+            idot = qm @ cmat.T  # int64, exact
+            cos = idot / (np.sqrt(qn.astype(np.float64))[:, None]
+                          * np.sqrt(cn2.astype(np.float64))[None, :])
+            out = []
+            for row, qid in enumerate(qi):
+                mask = cids != qid
+                s = cos[row][mask]
+                if not len(s):
+                    continue
+                kth = np.sort(s)[-min(k, len(s))]
+                sel = s >= kth - margin
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cids[mask][sel],
+                            "idot": idot[row][mask][sel].astype("float64"),
+                            "cn2": cn2[mask][sel],
+                            "qn2": qn[row],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    schema = "query_id long, neighbor_id long, idot double, cn2 long, qn2 long"
+    base = quant.select(F.col(id_col).alias("id"), "qv")
+    local = base.mapInPandas(local_topk, schema)
+    qcos = F.round(
+        F.col("idot")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+        round_to,
+    )
+    return _rank_topk(local.select("query_id", "neighbor_id", qcos.alias("cos")), k)
+
+
+def quantization_report(
+    df: DataFrame, id_col: str, vec_col: str, round_to: int = 9
+) -> DataFrame:
+    """Per-vector reconstruction audit: (id, dim, max_abs_err, guaranteed
+    bound scale/2). max_abs_err <= scale/2 always (round() is nearest);
+    the report makes the bound checkable row-by-row in both engines."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    v = as_double(F.col("__v"))
+    scaled = base.select("__id", "__v", _scale_col(v).alias("__scale"))
+    q = F.transform(
+        as_double(F.col("__v")),
+        lambda x: F.least(
+            F.greatest(F.round(x / F.col("__scale"), 0), F.lit(-float(QMAX))),
+            F.lit(float(QMAX)),
+        ),
+    )
+    err = F.zip_with(
+        as_double(F.col("__v")),
+        F.col("__q"),
+        lambda x, qi: F.abs(x - qi * F.col("__scale")),
+    )
+    return (
+        scaled.select("__id", "__v", "__scale", q.alias("__q"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.size("__v").alias("dim"),
+            F.round(
+                F.aggregate(err, F.lit(0.0), lambda a, x: F.greatest(a, x)), round_to
+            ).alias("max_abs_err"),
+            F.round(F.col("__scale") / 2, round_to).alias("err_bound"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def quantization_report_sql(
+    table: str, id_col: str, vec_col: str, round_to: int = 9
+) -> str:
+    return f"""
+WITH {_quantized_base_sql(table, id_col, vec_col)},
+joined AS (
+  SELECT s.id, s.v, s.uscale,
+         list_transform(s.v, x -> least(greatest(round(x / s.uscale, 0),
+                                                 -{float(QMAX)}), {float(QMAX)}))
+           AS q
+  FROM scaled s
+)
+SELECT id AS {id_col}, len(v) AS dim,
+       ROUND(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - q[i] * uscale))),
+             {round_to}) AS max_abs_err,
+       ROUND(uscale / 2, {round_to}) AS err_bound
+FROM joined ORDER BY {id_col}
+"""

@@ -1,0 +1,74 @@
+"""Int8 embedding quantization: invariants, exactness of the integer
+path, arrow/expression agreement, and recall against the float baseline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark.operators import quantize as Q
+from bullet_storm_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def embs(sf_tables):
+    return sf_tables["embeddings"]
+
+
+def test_quantize_invariants(embs):
+    rows = Q.quantize_embeddings(embs, "vec_id", "embedding").collect()
+    assert len(rows) == embs.count()
+    for r in rows:
+        assert r["scale"] > 0
+        assert all(-127 <= x <= 127 for x in r["qv"])
+        # symmetric max-abs quantization saturates at least one axis
+        assert max(abs(x) for x in r["qv"]) == 127
+
+
+def test_reconstruction_error_bound(embs):
+    rows = Q.quantization_report(embs, "vec_id", "embedding").collect()
+    for r in rows:
+        # round() is nearest: error <= scale/2 (+ float-rendering slack)
+        assert r["max_abs_err"] <= r["err_bound"] + 1e-9
+
+
+def test_quantize_deterministic(embs):
+    a = Q.quantize_embeddings(embs, "vec_id", "embedding").collect()
+    b = Q.quantize_embeddings(embs, "vec_id", "embedding").collect()
+    assert a == b
+
+
+def test_arrow_path_bit_identical_to_expression_path(embs):
+    pred = F.col("vec_id") < 8
+    expr = Q.quantized_neighbors(embs, "vec_id", "embedding", pred, k=5).collect()
+    arrow = Q.quantized_neighbors_arrow(embs, "vec_id", "embedding", pred, k=5).collect()
+    assert [tuple(r) for r in expr] == [tuple(r) for r in arrow]
+
+
+def test_quantized_recall_vs_float_baseline(embs):
+    """int8 cosine preserves neighborhoods: recall@5 vs the exact float
+    top-5 stays high (the quantization error per axis is <= 1/127)."""
+    pred = F.col("vec_id") < 16
+    exact = S.brute_force_neighbors(embs, "vec_id", "embedding", pred, k=5).collect()
+    quant = Q.quantized_neighbors(embs, "vec_id", "embedding", pred, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in quant:
+        total += 1
+        if r["neighbor_id"] in truth[r["query_id"]]:
+            hits += 1
+    assert total == len(exact)
+    assert hits / total >= 0.85, f"recall@5 {hits}/{total}"
+
+
+def test_zero_vector_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = Q.quantized_neighbors(
+        df, "vec_id", "embedding", F.col("vec_id") >= 0, k=2
+    ).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 0 not in ids  # all-zero vector is neither query nor candidate
+    assert len(out) == 2  # 1<->2 both ways
