@@ -911,6 +911,17 @@ ORDER BY doc_id
         lambda s, d: _quant.quantization_report(_embs(s, d), "vec_id", "embedding"),
         _quant.quantization_report_sql("embeddings", "vec_id", "embedding"),
     ),
+    # LSH-blocked near-dup pairs with QUANTIZED Arrow verification: int8
+    # candidate payloads (4x fewer shuffle bytes) + exact-integer einsum
+    # dots — the fast verify path, still hash-checked end-to-end
+    "dedup_embedding_pairs_quantized": (
+        lambda s, d: _quant.quantized_neardup_pairs_lsh(
+            _embs(s, d), "vec_id", "embedding", **_NEARDUP_KW
+        ),
+        _quant.quantized_neardup_pairs_lsh_sql(
+            "embeddings", "vec_id", "embedding", **_NEARDUP_KW
+        ),
+    ),
     "ann_quantized_topk": (
         lambda s, d: _quant.quantized_neighbors(
             _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, k=5

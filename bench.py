@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
+    "dedup_embedding_pairs_quantized",
     "top_k_sketched",
     "dedup_span_chunks",
     "sample_mix_accounting",

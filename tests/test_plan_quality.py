@@ -70,6 +70,7 @@ _ALL_PAIRS_VERIFIERS = {
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_pairs_exact_block",
     "ann_brute_force_topk",
+    "ann_quantized_topk",  # same broadcast-|Q| contract as brute force
 }
 
 

@@ -61,6 +61,29 @@ def test_quantized_recall_vs_float_baseline(embs):
     assert hits / total >= 0.85, f"recall@5 {hits}/{total}"
 
 
+def test_quantized_pairs_agree_with_float_pipeline(embs):
+    """Same LSH blocking, quantized vs float verify: the pair sets agree
+    except within the quantization error band around the threshold."""
+    from bullet_storm_spark.operators import dedup as D
+
+    kw = dict(threshold=0.4, nbits=4, ntables=4, dim=64)
+    fl = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_neardup_pairs_lsh(
+            embs, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    qt = {
+        (r["id_a"], r["id_b"])
+        for r in Q.quantized_neardup_pairs_lsh(
+            embs, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    assert fl and qt
+    jacc = len(fl & qt) / len(fl | qt)
+    assert jacc >= 0.9, f"pair-set jaccard {jacc:.3f}"
+
+
 def test_zero_vector_excluded(spark):
     df = spark.createDataFrame(
         [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
