@@ -485,6 +485,7 @@ from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import quantize as _quant
+from bullet_storm_spark.operators import semdedup as _semd
 from bullet_storm_spark.operators import vocab as _vocab
 
 _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
@@ -784,6 +785,23 @@ ORDER BY doc_id
         ),
         _dedup.embedding_neardup_pairs_lsh_sql(
             "embeddings", "vec_id", "embedding", **_NEARDUP_KW
+        ),
+    ),
+    # SemDeDup (arXiv 2303.09540): frozen-codebook k-means cells, exact
+    # cosine inside each cell, keep-lowest-id — assignment rides the scan,
+    # the only shuffle is the cell equi-join (never all-pairs)
+    "dedup_semantic": (
+        lambda s, d: _semd.semantic_dedup(
+            _embs(s, d), "vec_id", "embedding", threshold=0.4
+        ),
+        _semd.semantic_dedup_sql("embeddings", "vec_id", "embedding", threshold=0.4),
+    ),
+    "dedup_semantic_report": (
+        lambda s, d: _semd.semantic_dedup_report(
+            _embs(s, d), "vec_id", "embedding", threshold=0.4
+        ),
+        _semd.semantic_dedup_report_sql(
+            "embeddings", "vec_id", "embedding", threshold=0.4
         ),
     ),
     # exact all-pairs cosine as the block-bounded VERIFIER (same contract

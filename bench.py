@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "dedup_embedding_pairs_quantized",
+    "dedup_semantic",
     "top_k_sketched",
     "dedup_span_chunks",
     "sample_mix_accounting",

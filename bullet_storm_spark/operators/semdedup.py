@@ -1,0 +1,163 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Design follows the published SemDeDup recipe (Abbas et al., arXiv
+2303.09540): cluster embeddings with k-means, then inside each cluster drop
+every item whose cosine similarity to another cluster member exceeds a
+threshold, keeping one canonical representative per near-duplicate relation.
+This is the embedding-space sibling of the MinHash/SimHash text dedup in
+``operators/dedup.py`` (no bullet-storm counterpart — extension surface).
+
+Spark-first shape (100 TB posture):
+
+* Cluster assignment is a pure column expression over a FROZEN centroid
+  codebook (one constant-folded literal + ``array_sort`` HOF) — it rides the
+  scan with no shuffle and is bit-reproducible against the DuckDB twin, the
+  same posture as ``similarity.ivf_neighbors_frozen``. Production fits the
+  codebook offline (``similarity.ivf_centroids``) and ships it as literals.
+* The only shuffle is the self equi-join on the cell id (hash join — pinned
+  nested-loop-free in ``tests/test_plan_quality.py``). Within-cell pairwise
+  work is O(sum cell_size**2); cell size is the ``n_centroids`` knob, so the
+  quadratic term is bounded at ~ (N/k)**2 per cell on centroid-spread data —
+  never O(N**2) globally.
+* Keep rule: the lowest id in each near-duplicate relation survives — the
+  repo's canonical deterministic rule (cf. ``exact_dedup``,
+  ``deduplicate``). SemDeDup's keep-farthest-from-centroid variant is the
+  same pair set with a different ORDER BY; lowest-id keeps the decision
+  deterministic and oracle-checkable without tie-break drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bullet_storm_spark.functions.vectors import as_double, cosine, cosine_sql, dot
+from bullet_storm_spark.operators.similarity import _planes_lit, seeded_centroids
+
+
+def assign_cells_frozen(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """(id, v, cell): nearest frozen centroid by dot product (centroids are
+    unit vectors, so dot ranking == cosine ranking), ties to the lowest
+    centroid index — sequential index-order evaluation in both engines."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = as_double(F.col("v"))
+    ranked = F.array_sort(
+        F.transform(
+            _planes_lit(centroids),
+            lambda c, i: F.struct(
+                (-dot(v, c)).alias("nd"), i.cast("int").alias("i")
+            ),
+        )
+    )
+    return base.select("id", "v", F.element_at(ranked, 1)["i"].alias("cell"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None = None,
+    threshold: float = 0.7,
+    n_centroids: int = 16,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, cell, keep): keep=False iff a lower-id member of the same
+    cluster has cosine >= threshold. Output ordered by id.
+
+    The cosine is rounded to ``round_to`` decimals before the threshold
+    test so the Spark and DuckDB programs make identical keep decisions."""
+    cents = centroids or seeded_centroids(dim, n_centroids)
+    assigned = assign_cells_frozen(df, id_col, vec_col, cents)
+    left = assigned.select(
+        F.col("id").alias("l_id"), F.col("v").alias("l_v"), "cell"
+    )
+    right = assigned.select(
+        F.col("id").alias("r_id"), F.col("v").alias("r_v"), "cell"
+    )
+    dropped = (
+        left.join(right, "cell")
+        .where(F.col("l_id") < F.col("r_id"))
+        .where(
+            F.round(cosine(F.col("l_v"), F.col("r_v")), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.col("r_id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("dropped", F.lit(True)), "id", "left")
+        .select("id", "cell", F.col("dropped").isNull().alias("keep"))
+        .orderBy("id")
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None = None,
+    threshold: float = 0.7,
+    n_centroids: int = 16,
+    dim: int = 64,
+    round_to: int = 6,
+) -> str:
+    cents = centroids or seeded_centroids(dim, n_centroids)
+    entries = ", ".join(
+        "{'nd': -list_dot_product(v::DOUBLE[], ["
+        + ", ".join(repr(x) for x in c)
+        + f"]), 'i': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cos = f"ROUND({cosine_sql('l.v', 'r.v')}, {round_to})"
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+assigned AS (
+  SELECT id, v, list_sort([{entries}])[1].i AS cell FROM base
+),
+dropped AS (
+  SELECT DISTINCT r.id AS id
+  FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.id < r.id
+  WHERE {cos} >= {threshold!r}
+)
+SELECT a.id, a.cell, (d.id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON a.id = d.id
+ORDER BY a.id
+"""
+
+
+def semantic_dedup_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    **kw,
+) -> DataFrame:
+    """Per-cluster accounting: (cell, n, kept, dropped) — the operational
+    view for tuning threshold/n_centroids. Same plan as semantic_dedup
+    plus one hash aggregation on the (small) cell key."""
+    decisions = semantic_dedup(df, id_col, vec_col, **kw)
+    return (
+        decisions.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+        )
+        .orderBy("cell")
+    )
+
+
+def semantic_dedup_report_sql(table: str, id_col: str, vec_col: str, **kw) -> str:
+    inner = semantic_dedup_sql(table, id_col, vec_col, **kw)
+    return f"""
+SELECT cell, COUNT(*) AS n,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
+       SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS dropped
+FROM ({inner})
+GROUP BY cell
+ORDER BY cell
+"""
