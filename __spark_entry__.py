@@ -485,6 +485,7 @@ from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import quantize as _quant
+from bullet_storm_spark.operators import resample as _rsmp
 from bullet_storm_spark.operators import semdedup as _semd
 from bullet_storm_spark.operators import vocab as _vocab
 
