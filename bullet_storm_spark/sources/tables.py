@@ -51,10 +51,24 @@ def load_table(spark: SparkSession, directory: str, name: str) -> DataFrame:
         except Exception:
             pass
     df = spark.read.parquet(os.path.join(directory, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
-        )
+    if name == "events":
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+            )
+        else:
+            # plain TIMESTAMP/TIMESTAMP_NTZ (micros) parquet: derive the
+            # nanos clock so queries written against ts_ns keep working
+            # (DuckDB's epoch_ns(ts) produces the identical value);
+            # timestampdiff on the wall-clock is timezone-independent
+            df = df.withColumn(
+                "ts_ns",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " cast('1970-01-01 00:00:00' as timestamp_ntz),"
+                    " cast(ts as timestamp_ntz)) * 1000"
+                ),
+            )
     return df
 
 
