@@ -5,13 +5,18 @@ formats: none") — so batch parquet tables are our Spark-idiomatic source
 layer: correctness queries run on these, and the streaming engine reads the
 same schemas via readStream.
 
-The events table needs one normalization: the driver writes
-TIMESTAMP(NANOS) parquet, which Spark reads (under
-spark.sql.legacy.parquet.nanosAsLong) as an epoch-nanos LongType. We keep
-the raw nanos as ``ts_ns`` and derive a microsecond ``ts`` timestamp, so
-queries can use native time functions while the DuckDB oracle (which reads
-nanos natively) compares via epoch arithmetic that truncates identically in
-both engines.
+The events table needs one normalization, and the driver has shipped two
+parquet layouts for its ``ts`` column over time:
+
+* TIMESTAMP(NANOS), which Spark reads (under
+  spark.sql.legacy.parquet.nanosAsLong) as an epoch-nanos LongType;
+* plain microsecond TIMESTAMP / TIMESTAMP_NTZ.
+
+Whatever the layout, we normalize to the same two columns: ``ts`` as a
+session-timezone-independent TIMESTAMP_NTZ wall clock and ``ts_ns`` as
+epoch nanos (== DuckDB's ``epoch_ns(ts)``), so queries can use native time
+functions while the DuckDB oracle compares via epoch arithmetic that
+truncates identically in both engines regardless of driver timezone.
 """
 
 from __future__ import annotations
@@ -52,22 +57,35 @@ def load_table(spark: SparkSession, directory: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(os.path.join(directory, f"{name}.parquet"))
     if name == "events":
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        # Normalize every parquet flavor to the same (ts: TIMESTAMP_NTZ,
+        # ts_ns: epoch-nanos bigint) pair without ever passing through a
+        # session-timezone-dependent conversion.
+        _NTZ_EPOCH = "cast('1970-01-01 00:00:00' as timestamp_ntz)"
+        dtype = df.schema["ts"].dataType
+        if isinstance(dtype, T.LongType):
+            # nanosAsLong layout: the long IS the nanos clock; rebuild the
+            # NTZ wall clock by adding micros to the NTZ epoch (timestampadd
+            # on an NTZ base stays NTZ and never consults the session tz)
             df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-                "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+                "ts",
+                F.expr(f"timestampadd(MICROSECOND, ts_ns div 1000, {_NTZ_EPOCH})"),
+            )
+        elif isinstance(dtype, T.TimestampType):
+            # instant-typed (isAdjustedToUTC) micros parquet: unix_micros is
+            # the tz-independent reading; then rebuild ts as NTZ from it
+            df = df.withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            ).withColumn(
+                "ts",
+                F.expr(f"timestampadd(MICROSECOND, ts_ns div 1000, {_NTZ_EPOCH})"),
             )
         else:
-            # plain TIMESTAMP/TIMESTAMP_NTZ (micros) parquet: derive the
-            # nanos clock so queries written against ts_ns keep working
-            # (DuckDB's epoch_ns(ts) produces the identical value);
-            # timestampdiff on the wall-clock is timezone-independent
+            # TIMESTAMP_NTZ (micros) parquet — the current test-data layout:
+            # ts is already the wall clock; diff vs the NTZ epoch is
+            # tz-independent and equals DuckDB's epoch_ns(ts)
             df = df.withColumn(
                 "ts_ns",
-                F.expr(
-                    "timestampdiff(MICROSECOND,"
-                    " cast('1970-01-01 00:00:00' as timestamp_ntz),"
-                    " cast(ts as timestamp_ntz)) * 1000"
-                ),
+                F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts) * 1000"),
             )
     return df
 
