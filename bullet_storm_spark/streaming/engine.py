@@ -335,7 +335,18 @@ class StreamingEngine:
                 scan = [rq for rq in scan if rq not in shared]
         # shared queries plan into one job per distinct key-set (usually >1)
         n_jobs = len(scan) + (2 if shared else 0)
-        cached = batch_df.cache() if self.cache_batches and n_jobs > 1 else batch_df
+        # persist the batch only if the caller hasn't already: a pre-
+        # normalized, pre-persisted batch (bench.py, replayed batches)
+        # passes straight through, while a fresh foreachBatch frame is
+        # persisted for the multi-job fan-out and ALWAYS unpersisted after
+        # — cache() returns self in PySpark, so the old `cached is not
+        # batch_df` guard never fired and every micro-batch's cache entry
+        # leaked for the life of the stream
+        we_persisted = False
+        if self.cache_batches and n_jobs > 1 and not getattr(batch_df, "is_cached", False):
+            batch_df.persist()
+            we_persisted = True
+        cached = batch_df
         try:
             failed: dict[str, str] = {}
 
@@ -438,8 +449,8 @@ class StreamingEngine:
                 if rq.is_expired(now_ms):
                     self._finish(rq, Signal.COMPLETE)
         finally:
-            if cached is not batch_df:
-                cached.unpersist()
+            if we_persisted:
+                batch_df.unpersist()
 
     def stats(self) -> dict[str, Any]:
         """Engine statistics — the FilterBolt periodic stats report
