@@ -33,12 +33,28 @@ from bullet_storm_spark import api
 from bullet_storm_spark.bql import parse
 
 
+DEFAULT_MAX_INFLIGHT = 50  # the reference bounds DRPC at 50 uncommitted
+#                            messages (src/main/resources/
+#                            bullet_storm_defaults.yaml:220-223,
+#                            M/drpc/DRPCConfig.java:40,59); beyond the cap
+#                            we shed load with 429 instead of queueing
+#                            unbounded work onto the one driver
+
+
 def make_server(
-    spark: SparkSession, tables: list[str], host: str = "127.0.0.1", port: int = 0
+    spark: SparkSession,
+    tables: list[str],
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_inflight: int = DEFAULT_MAX_INFLIGHT,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server. ``port=0`` picks a free port
     (``server.server_address[1]`` reports it). Tables must already be
-    registered as temp views (sources.tables.load_tables)."""
+    registered as temp views (sources.tables.load_tables). At most
+    ``max_inflight`` queries execute concurrently; excess POSTs are
+    refused with 429 + Retry-After rather than queued."""
+
+    inflight = threading.Semaphore(max_inflight)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args) -> None:  # quiet by default
@@ -62,6 +78,23 @@ def make_server(
             if self.path != "/query":
                 self._respond(404, {"error": "unknown path"})
                 return
+            if not inflight.acquire(blocking=False):
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = json.dumps(
+                    {"error": f"too many in-flight queries (max {max_inflight})"}
+                ).encode("utf-8")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            try:
+                self._do_query()
+            finally:
+                inflight.release()
+
+        def _do_query(self) -> None:
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
@@ -89,11 +122,15 @@ def make_server(
 
 
 def serve_background(
-    spark: SparkSession, tables: list[str], host: str = "127.0.0.1", port: int = 0
+    spark: SparkSession,
+    tables: list[str],
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_inflight: int = DEFAULT_MAX_INFLIGHT,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the server on a daemon thread; returns (server, thread).
     Stop with ``server.shutdown()``."""
-    server = make_server(spark, tables, host, port)
+    server = make_server(spark, tables, host, port, max_inflight)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread

@@ -66,9 +66,16 @@ def load_table(spark: SparkSession, directory: str, name: str) -> DataFrame:
             # nanosAsLong layout: the long IS the nanos clock; rebuild the
             # NTZ wall clock by adding micros to the NTZ epoch (timestampadd
             # on an NTZ base stays NTZ and never consults the session tz)
+            # floor-division nanos->micros (`div` truncates toward zero,
+            # which for pre-epoch negative nanos would land 1µs above
+            # DuckDB's floor-based conversion); pmod keeps it exact integer
+            # math, no double round-trip
             df = df.withColumnRenamed("ts", "ts_ns").withColumn(
                 "ts",
-                F.expr(f"timestampadd(MICROSECOND, ts_ns div 1000, {_NTZ_EPOCH})"),
+                F.expr(
+                    "timestampadd(MICROSECOND, "
+                    f"(ts_ns - pmod(ts_ns, 1000)) div 1000, {_NTZ_EPOCH})"
+                ),
             )
         elif isinstance(dtype, T.TimestampType):
             # instant-typed (isAdjustedToUTC) micros parquet: unix_micros is

@@ -82,3 +82,57 @@ def test_bad_payload_400(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_inflight_cap_sheds_429(spark, monkeypatch):
+    """The reference bounds DRPC at 50 uncommitted messages
+    (bullet_storm_defaults.yaml:220-223); our front door sheds load past
+    max_inflight with 429 instead of queueing onto the driver. Driven
+    deterministically: execute blocks on an event while extra requests
+    arrive."""
+    import threading
+
+    from bullet_storm_spark import api
+    from bullet_storm_spark.http_server import serve_background
+
+    release = threading.Event()
+    entered = threading.Semaphore(0)
+
+    class _FakeClip:
+        def to_json(self):
+            return json.dumps({"records": [], "meta": {}})
+
+    def blocking_execute(query, spark=None, query_id=None):
+        entered.release()
+        assert release.wait(timeout=30)
+        return _FakeClip()
+
+    monkeypatch.setattr(api, "execute", blocking_execute)
+    srv, _thread = serve_background(spark, ["events"], max_inflight=2)
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        results = {}
+
+        def post(i):
+            try:
+                results[i] = _post(url, {"bql": "SELECT COUNT(*) AS c FROM events"})[0]
+            except urllib.error.HTTPError as e:
+                results[i] = e.code
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in (1, 2)]
+        for t in threads:
+            t.start()
+        # both occupants are inside execute before the probe fires
+        assert entered.acquire(timeout=30) and entered.acquire(timeout=30)
+        post(3)
+        assert results[3] == 429
+        release.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert results[1] == 200 and results[2] == 200
+        # slots released: the next request is admitted again
+        post(4)
+        assert results[4] == 200
+    finally:
+        release.set()
+        srv.shutdown()
