@@ -15,6 +15,11 @@ from bullet_storm_spark.streaming.channels import (
     FileControlChannel,
     FileControlClient,
 )
+from bullet_storm_spark.streaming.kafka_channel import (
+    InMemoryKafka,
+    KafkaControlChannel,
+    KafkaControlClient,
+)
 from bullet_storm_spark.streaming.engine import StreamingEngine
 
 __all__ = [
@@ -23,6 +28,9 @@ __all__ = [
     "ControlChannel",
     "FileControlChannel",
     "FileControlClient",
+    "InMemoryKafka",
+    "KafkaControlChannel",
+    "KafkaControlClient",
     "QueryRegistry",
     "RunningQuery",
     "Signal",

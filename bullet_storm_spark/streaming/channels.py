@@ -30,8 +30,10 @@ are quarantined as ``<name>.bad`` instead of wedging the control loop.
 
 Scale posture: control traffic is metadata (bytes per query, not data
 plane); a directory on shared storage comfortably carries thousands of
-messages per tick. The same drain loop swaps onto a Kafka topic consumer
-by replacing the transport — the engine only ever sees PubSubMessage.
+messages per tick. The same drain loop runs over a Kafka topic consumer
+via ``streaming/kafka_channel.py`` (``KafkaControlChannel`` — same wire
+format, offset-committed at-least-once) — the engine only ever sees
+PubSubMessage.
 """
 
 from __future__ import annotations
