@@ -100,6 +100,9 @@ class QueryRegistry:
         storage_dir: str | None = None,
         clock: Callable[[], float] = time.time,
         max_duration_ms: int | None = None,
+        snapshot_partitions: int = 16,
+        snapshot_batch_size: int = 512,
+        compress_snapshots: bool = True,
     ) -> None:
         self.queries: dict[str, RunningQuery] = {}
         self.removed_ids: set[str] = set()  # ReplayBolt removedIds dedup
@@ -108,8 +111,17 @@ class QueryRegistry:
         self.clock = clock
         self.max_duration_ms = max_duration_ms
         self._log_events = 0
+        self._store = None
         if storage_dir:
             os.makedirs(storage_dir, exist_ok=True)
+            from bullet_storm_spark.streaming.batching import BatchedSnapshotStore
+
+            self._store = BatchedSnapshotStore(
+                os.path.join(storage_dir, "batches"),
+                partition_count=snapshot_partitions,
+                batch_size=snapshot_batch_size,
+                compress=compress_snapshots,
+            )
 
     def _now_ms(self) -> int:
         return int(self.clock() * 1000)
@@ -191,15 +203,21 @@ class QueryRegistry:
         }
 
     def _compact(self) -> None:
-        """Fold the event log into the snapshot (atomic replace), then
-        truncate the log. Queries persist as JSON (plans/serde) —
-        language-neutral and diff-able, unlike pickle."""
+        """Fold the event log into the partitioned, gzip-batched snapshot
+        (streaming/batching.py — the BatchManager analogue: only dirty
+        partitions are rewritten/recompressed), then truncate the log.
+        Queries persist as JSON (plans/serde) — language-neutral and
+        diff-able, unlike pickle."""
         if not self.storage_dir:
             return
-        tmp = self._store_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._snapshot_payload(), f)
-        os.replace(tmp, self._store_path())
+        payload = self._snapshot_payload()
+        self._store.write(payload["queries"], payload["removed"])
+        # retire the legacy single-blob snapshot once the batched store
+        # holds the same logical state
+        try:
+            os.remove(self._store_path())
+        except FileNotFoundError:
+            pass
         try:
             os.remove(self._log_path())
         except FileNotFoundError:
@@ -232,7 +250,14 @@ class QueryRegistry:
 
         items: list[dict] = []
         removed: set[str] = set()
-        if os.path.exists(self._store_path()):
+        if self._store is not None and self._store.exists():
+            # batched store: stream batch by batch (bounded replay memory)
+            for batch in self._store.iter_batches():
+                items.extend(batch)
+            removed.update(self._store.removed_ids())
+        elif os.path.exists(self._store_path()):
+            # legacy single-blob snapshot from an older store: migrated
+            # into the batched layout by the _compact() below
             with open(self._store_path()) as f:
                 payload = json.load(f)
             items.extend(payload.get("queries", []))
