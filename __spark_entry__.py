@@ -484,6 +484,7 @@ from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
+from bullet_storm_spark.operators import pq as _pq
 from bullet_storm_spark.operators import quantize as _quant
 from bullet_storm_spark.operators import resample as _rsmp
 from bullet_storm_spark.operators import semdedup as _semd
@@ -974,6 +975,23 @@ ORDER BY doc_id
         ),
         _rsmp.gap_report_sql("events", "event_type", "ts", "value", unit="hour"),
     ),
+    # product quantization: m=8 codes per 64-dim vector (~32x scan-byte
+    # cut) with asymmetric-distance top-k scored from codes alone; the
+    # frozen codebook makes encode/audit/search all hash-checkable
+    "embed_pq_encode": (
+        lambda s, d: _pq.pq_encode(_embs(s, d), "vec_id", "embedding"),
+        _pq.pq_encode_sql("embeddings", "vec_id", "embedding"),
+    ),
+    "embed_pq_report": (
+        lambda s, d: _pq.pq_report(_embs(s, d), "vec_id", "embedding"),
+        _pq.pq_report_sql("embeddings", "vec_id", "embedding"),
+    ),
+    "ann_pq_topk": (
+        lambda s, d: _pq.pq_neighbors(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, k=5
+        ),
+        _pq.pq_neighbors_sql("embeddings", "vec_id", "embedding", "vec_id < 8", k=5),
+    ),
 }
 
 
@@ -1165,6 +1183,9 @@ _DRIVER_PRIORITY = [
     # new this round
     "events_resample_locf",
     "events_resample_gaps",
+    "embed_pq_encode",
+    "embed_pq_report",
+    "ann_pq_topk",
 ]
 
 

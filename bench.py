@@ -63,6 +63,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "embed_quantize",
     "ann_quantized_arrow",
+    "embed_pq_encode",
+    "ann_pq_topk",
+    "events_resample_locf",
 ]
 
 

@@ -1,0 +1,313 @@
+"""Product quantization (PQ) for embedding columns, dual-compiled.
+
+Int8 scalar quantization (operators/quantize.py) cuts vector bytes 4x;
+PQ is the next rung on the same ladder: split each vector into ``m``
+subspaces, quantize every subspace to one of ``ksub`` codebook centroids,
+and store only the m code indices — for the entry settings (dim=64, m=8,
+ksub=16) that is 8 small ints per vector instead of 64 floats, a ~32x
+scan/shuffle-byte cut, which at 100 TB is the difference between an ANN
+sweep that reads 3 TB and one that reads 100. Asymmetric distance
+computation (ADC) keeps the QUERY full-precision and scores a candidate
+from its codes alone: dot(q, v_hat) = sum_j dot(q_j, C_j[code_j]) — per
+candidate O(m) table lookups instead of O(dim) multiplies (Jegou,
+Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+IEEE TPAMI 2011).
+
+Frozen-codebook posture, exactly as operators/similarity.py's IVF: the
+codebook ships as ONE constant-folded ``from_json`` literal (analysis-
+O(1)), assignment/ADC are pure column expressions, and both engines fold
+float sums sequentially — so encode, reconstruction audit, and the whole
+approximate top-k are hash-checkable against the DuckDB twin. Production
+fits the codebook offline (k-means per subspace over a sample) and
+passes it in; the seeded default stands in for a fitted one in-sandbox.
+
+Scale shape: encode rides the scan (no shuffle); ADC search scans only
+the codes column (+ the broadcast query set); nothing here is ever
+all-pairs on full vectors.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bullet_storm_spark.functions.vectors import as_double, dot
+from bullet_storm_spark.operators.similarity import LSH_SEED, _rank_topk
+
+
+def pq_codebook(
+    dim: int = 64, m: int = 8, ksub: int = 16, seed: int = LSH_SEED
+) -> list[list[list[float]]]:
+    """Deterministic codebook: m sub-codebooks of ksub centroids of
+    dim/m components, scaled ~N(0, 1/sqrt(dim)) to match unit-vector
+    subspace energy; rounded to 6dp so the literal rendering is identical
+    in both generated programs."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    rng = np.random.RandomState(seed + 31)
+    cb = rng.randn(m, ksub, dim // m) / np.sqrt(dim)
+    return [
+        [[round(float(x), 6) for x in cent] for cent in sub] for sub in cb
+    ]
+
+
+def _sub_lit(sub: list[list[float]]) -> Column:
+    return F.from_json(F.lit(json.dumps(sub)), "array<array<double>>")
+
+
+def _cb_lit(cb: list[list[list[float]]]) -> Column:
+    return F.from_json(F.lit(json.dumps(cb)), "array<array<array<double>>>")
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return dot(d, d)
+
+
+def _codes_col(v: Column, cb: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid indices (0-based).
+    Argmin via (distance, index) struct sort — index tie-break, the same
+    deterministic pattern as similarity.ivf_neighbors_frozen."""
+    m = len(cb)
+    dsub = len(cb[0][0])
+    codes = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        ranked = F.array_sort(
+            F.transform(
+                _sub_lit(cb[j]),
+                lambda c, i: F.struct(
+                    _sqdist(sub, c).alias("d"), i.cast("int").alias("i")
+                ),
+            )
+        )
+        codes.append(F.element_at(ranked, 1)["i"])
+    return F.array(*codes)
+
+
+def _sqdist_sql(vec_expr: str, off: int, cent: list[float]) -> str:
+    arr = "[" + ", ".join(repr(x) for x in cent) + "]"
+    diff = (
+        f"list_transform(range(1, {len(cent) + 1}), "
+        f"i -> {vec_expr}[{off} + i] - ({arr})[i])"
+    )
+    return f"list_dot_product({diff}, {diff})"
+
+
+def _codes_sql(vec_expr: str, cb: list[list[list[float]]]) -> str:
+    dsub = len(cb[0][0])
+    per_sub = []
+    for j, sub in enumerate(cb):
+        entries = ", ".join(
+            f"{{'d': {_sqdist_sql(vec_expr, j * dsub, cent)}, 'i': {i}}}"
+            for i, cent in enumerate(sub)
+        )
+        per_sub.append(f"(list_sort([{entries}]))[1].i")
+    return "[" + ", ".join(per_sub) + "]"
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """(id, codes array<int>): each vector reduced to m codebook indices.
+    Pure column expressions — rides the scan, no shuffle."""
+    cb = codebook or pq_codebook(dim, m, ksub)
+    v = as_double(F.col("__v"))
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .select(F.col("__id").alias(id_col), _codes_col(v, cb).alias("codes"))
+        .orderBy(id_col)
+    )
+
+
+def pq_encode_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+) -> str:
+    cb = codebook or pq_codebook(dim, m, ksub)
+    return (
+        f"SELECT {id_col}, {_codes_sql('v', cb)} AS codes "
+        f"FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}) "
+        f"ORDER BY {id_col}"
+    )
+
+
+def pq_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reconstruction audit: (id, m, rel_err) where rel_err =
+    ||v - v_hat|| / ||v|| for the decoded vector v_hat — the per-row
+    check that the codebook actually fits the data (the PQ analogue of
+    quantize.quantization_report)."""
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    v = as_double(F.col("__v"))
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    coded = base.select("__id", "__v", _codes_col(v, cb).alias("__codes"))
+    err2 = F.lit(0.0)
+    for j in range(len(cb)):
+        sub = F.slice(as_double(F.col("__v")), j * dsub + 1, dsub)
+        cent = F.element_at(
+            F.element_at(_cb_lit(cb), j + 1), F.element_at("__codes", j + 1) + 1
+        )
+        err2 = err2 + _sqdist(sub, cent)
+    n2 = dot(as_double(F.col("__v")), as_double(F.col("__v")))
+    return coded.select(
+        F.col("__id").alias(id_col),
+        F.lit(len(cb)).alias("m"),
+        F.round(F.sqrt(err2) / F.sqrt(n2), round_to).alias("rel_err"),
+    ).orderBy(id_col)
+
+
+def pq_report_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> str:
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    err_terms = []
+    for j, sub in enumerate(cb):
+        arr = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(x) for x in cent) + "]" for cent in sub
+            )
+            + "]"
+        )
+        diff = (
+            f"list_transform(range(1, {dsub + 1}), "
+            f"i -> v[{j * dsub} + i] - (({arr})[codes[{j + 1}] + 1])[i])"
+        )
+        err_terms.append(f"list_dot_product({diff}, {diff})")
+    err2 = " + ".join(err_terms)
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+coded AS (SELECT id, v, {_codes_sql('v', cb)} AS codes FROM base)
+SELECT id AS {id_col}, {len(cb)} AS m,
+       ROUND(sqrt({err2}) / sqrt(list_dot_product(v, v)), {round_to}) AS rel_err
+FROM coded ORDER BY {id_col}
+"""
+
+
+def pq_neighbors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    codebook: list[list[list[float]]] | None = None,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC top-k: queries keep full vectors (broadcast-sized by
+    contract), candidates are scored from their m codes alone —
+    adc_cos = sum_j dot(q_j, C_j[code_j]) / (||q|| * ||v_hat||).
+    The candidate scan reads codes only (~32x fewer bytes than vectors);
+    per-candidate work is m sub-dots against the constant codebook.
+    Output (query_id, neighbor_id, adc_cos, rank); self excluded."""
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), query_pred.alias("is_q")
+    )
+    coded = base.select(
+        "id", "v", "is_q", _codes_col(as_double(F.col("v")), cb).alias("codes")
+    )
+    queries = coded.where(F.col("is_q")).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = coded.select("id", "codes")
+    adc = F.lit(0.0)
+    recon2 = F.lit(0.0)
+    for j in range(len(cb)):
+        cent = F.element_at(
+            F.element_at(_cb_lit(cb), j + 1), F.element_at("codes", j + 1) + 1
+        )
+        qsub = F.slice(as_double(F.col("qv")), j * dsub + 1, dsub)
+        adc = adc + dot(qsub, cent)
+        recon2 = recon2 + dot(cent, cent)
+    qn = F.sqrt(dot(as_double(F.col("qv")), as_double(F.col("qv"))))
+    score = F.round(adc / (qn * F.sqrt(recon2)), round_to)
+    pairs = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), score.alias("cos"))
+    )
+    return _rank_topk(pairs, k)
+
+
+def pq_neighbors_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    codebook: list[list[list[float]]] | None = None,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> str:
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    adc_terms, recon_terms = [], []
+    for j, sub in enumerate(cb):
+        arr = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(x) for x in cent) + "]" for cent in sub
+            )
+            + "]"
+        )
+        cent = f"(({arr})[c.codes[{j + 1}] + 1])"
+        qsub = f"list_slice(q.qv, {j * dsub + 1}, {(j + 1) * dsub})"
+        adc_terms.append(f"list_dot_product({qsub}, {cent})")
+        recon_terms.append(f"list_dot_product({cent}, {cent})")
+    score = (
+        f"ROUND(({' + '.join(adc_terms)}) / "
+        f"(sqrt(list_dot_product(q.qv, q.qv)) * sqrt({' + '.join(recon_terms)})), "
+        f"{round_to})"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v, ({query_pred_sql}) AS is_q
+  FROM {table}
+),
+coded AS (SELECT id, v, is_q, {_codes_sql('v', cb)} AS codes FROM base),
+q AS (SELECT id AS query_id, v AS qv FROM coded WHERE is_q)
+SELECT query_id, c.id AS neighbor_id, {score} AS cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY {score} DESC, c.id ASC) AS INTEGER)
+         AS rank
+FROM q JOIN coded c ON q.query_id <> c.id
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
