@@ -1106,6 +1106,140 @@ _SET_OPS_SQL = (
 )
 
 
+def _win_user_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user revenue over the purchase stream (SURVEY §2.6
+    window-function extension — the standard cumulative-feature shape for
+    a training pipeline). One shuffle on user_id; the frame is a per-key
+    ordered cumsum, parallelism = distinct users. Decimal accumulation
+    keeps the running values bit-stable under any partial-agg order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.where((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
+        .select(
+            "user_id",
+            "ts_ns",
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"),
+                2,
+            ).alias("running_revenue"),
+        )
+        .orderBy("user_id", "ts_ns")
+    )
+
+
+_WIN_RUNNING_SQL = (
+    "SELECT user_id, epoch_ns(ts) AS ts_ns, "
+    "ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER ("
+    "PARTITION BY user_id ORDER BY epoch_ns(ts) "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) "
+    "AS running_revenue "
+    "FROM events WHERE event_type = 'purchase' AND user_id < 40 "
+    "ORDER BY user_id, ts_ns"
+)
+
+
+def _win_type_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by revenue within each event type: aggregate then rank
+    over the group — the post-aggregation window shape. Deterministic via
+    (revenue desc, user_id asc) ordering."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("rev")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("rev").desc(), F.col("user_id").asc()
+    )
+    return (
+        agg.select(
+            "event_type",
+            "user_id",
+            "rev",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk")
+    )
+
+
+_WIN_RANK_SQL = (
+    "SELECT event_type, user_id, rev, CAST(rnk AS INTEGER) AS rnk FROM ("
+    "SELECT event_type, user_id, "
+    "ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS rev, "
+    "row_number() OVER (PARTITION BY event_type "
+    "ORDER BY ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) DESC, "
+    "user_id ASC) AS rnk "
+    "FROM events GROUP BY event_type, user_id) "
+    "WHERE rnk <= 3 ORDER BY event_type, rnk"
+)
+
+
+def _win_user_inter_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: per-user milliseconds since the previous event (sessionization
+    feature). NULL on each user's first event in both dialects."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    return (
+        ev.where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "ts_ns",
+            ((F.col("ts_ns") - F.lag("ts_ns").over(w)) / F.lit(1000000))
+            .cast("bigint")
+            .alias("gap_ms"),
+        )
+        .orderBy("user_id", "ts_ns")
+    )
+
+
+_WIN_GAP_SQL = (
+    "SELECT user_id, epoch_ns(ts) AS ts_ns, "
+    "CAST((epoch_ns(ts) - lag(epoch_ns(ts)) OVER ("
+    "PARTITION BY user_id ORDER BY epoch_ns(ts))) // 1000000 AS BIGINT) AS gap_ms "
+    "FROM events WHERE user_id < 20 ORDER BY user_id, ts_ns"
+)
+
+
+def _group_rollup_type_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (event_type, user_type): subtotal + grand-total rows in
+    one pass (Expand keeps it a single shuffle). GROUPING() flags encode
+    the aggregation level exactly as the SQL standard does."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_type", (F.col("user_id") % 3).cast("int"))
+        .rollup("event_type", "user_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("user_type").cast("int").alias("g_user"),
+        )
+        .orderBy("g_type", "g_user", "event_type", "user_type")
+    )
+
+
+_GROUP_ROLLUP_SQL = (
+    "SELECT event_type, user_type, COUNT(*) AS cnt, "
+    "CAST(GROUPING(event_type) AS INTEGER) AS g_type, "
+    "CAST(GROUPING(user_type) AS INTEGER) AS g_user "
+    "FROM (SELECT event_type, CAST(user_id % 3 AS INTEGER) AS user_type "
+    "FROM events) "
+    "GROUP BY ROLLUP(event_type, user_type) "
+    "ORDER BY g_type, g_user, event_type, user_type"
+)
+
+
 _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "join_revenue_by_nation": (_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "join_top_orders_by_revenue": (_top_orders_by_revenue, _TOP_ORDERS_SQL),
@@ -1113,6 +1247,10 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "join_asof_purchase_signup": (_asof_purchase_signup, _asof_sql()),
     "join_range_value_bands": (_range_join_value_bands, _RANGE_JOIN_SQL),
     "set_ops_segments": (_set_ops_segments, _SET_OPS_SQL),
+    "win_user_running_revenue": (_win_user_running_revenue, _WIN_RUNNING_SQL),
+    "win_type_user_rank": (_win_type_user_rank, _WIN_RANK_SQL),
+    "win_user_inter_event_gap": (_win_user_inter_event_gap, _WIN_GAP_SQL),
+    "group_rollup_type_user": (_group_rollup_type_user, _GROUP_ROLLUP_SQL),
 }
 
 
@@ -1188,12 +1326,25 @@ _DRIVER_PRIORITY = [
     "ann_pq_topk",
 ]
 
+# new-this-round extension queries outside _LLM_OPS that must also land
+# inside the driver's 50-row window (appended right after the priority
+# block in queries())
+_DRIVER_PRIORITY_EXT = [
+    "win_user_running_revenue",
+    "win_type_user_rank",
+    "win_user_inter_event_gap",
+    "group_rollup_type_user",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     llm = {name: fn for name, (fn, _) in _LLM_OPS.items()}
+    joins = {name: fn for name, (fn, _) in _JOINS.items()}
     for name in _DRIVER_PRIORITY:
         out[name] = llm.pop(name)
+    for name in _DRIVER_PRIORITY_EXT:
+        out[name] = joins.pop(name)
     out.update(llm)
     # approximate count distinct: rows-only check (no exact SQL oracle)
     q_approx = Query(
@@ -1213,8 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
     )
-    for name, (fn, _) in _JOINS.items():
-        out[name] = fn
+    out.update(joins)
     for name, q in _bql_queries().items():
         out[name] = _make_runner(q)
     for name, q in _core_queries().items():

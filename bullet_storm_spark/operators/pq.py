@@ -235,27 +235,60 @@ def pq_neighbors(
     Output (query_id, neighbor_id, adc_cos, rank); self excluded."""
     cb = codebook or pq_codebook(dim, m, ksub)
     dsub = len(cb[0][0])
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), query_pred.alias("is_q")
     )
-    coded = base.select(
-        "id", "v", "is_q", _codes_col(as_double(F.col("v")), cb).alias("codes")
+    # queries never need codes — just the full vector, its norm, and a
+    # precomputed ADC lookup table lut[j][c] = dot(q_j, C_j[c]) (m*ksub
+    # sub-dots ONCE per query row), so each (query, candidate) pair costs
+    # m array lookups instead of m sub-dots
+    lut = F.transform(
+        _cb_lit(cb),
+        lambda sub, j: F.transform(
+            sub,
+            lambda c: dot(
+                # slice(qv, j*dsub+1, dsub): positional math on the
+                # transform index keeps one expression for all subspaces
+                F.slice(as_double(F.col("qv")), j * dsub + 1, dsub),
+                c,
+            ),
+        ),
     )
-    queries = coded.where(F.col("is_q")).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    queries = (
+        base.where(F.col("is_q"))
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+        .select(
+            "query_id",
+            F.sqrt(dot(as_double(F.col("qv")), as_double(F.col("qv")))).alias("__qn"),
+            lut.alias("__lut"),
+        )
     )
-    cands = coded.select("id", "codes")
-    adc = F.lit(0.0)
+    # candidates: the argmin encode is the heavy per-row expression — an
+    # exchange first spreads the single-file scan across the cluster so
+    # encoding parallelizes (same discipline as the text-op token
+    # materialization), and codes are computed exactly once
     recon2 = F.lit(0.0)
     for j in range(len(cb)):
         cent = F.element_at(
             F.element_at(_cb_lit(cb), j + 1), F.element_at("codes", j + 1) + 1
         )
-        qsub = F.slice(as_double(F.col("qv")), j * dsub + 1, dsub)
-        adc = adc + dot(qsub, cent)
         recon2 = recon2 + dot(cent, cent)
-    qn = F.sqrt(dot(as_double(F.col("qv")), as_double(F.col("qv"))))
-    score = F.round(adc / (qn * F.sqrt(recon2)), round_to)
+    cands = (
+        base.repartition(par)
+        .select("id", _codes_col(as_double(F.col("v")), cb).alias("codes"))
+        .select("id", "codes", recon2.alias("__r2"))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("codes"),
+            lambda l, c: F.element_at(l, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(adc / (F.col("__qn") * F.sqrt(F.col("__r2"))), round_to)
     pairs = (
         F.broadcast(queries)
         .join(cands, F.col("query_id") != F.col("id"))
