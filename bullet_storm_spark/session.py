@@ -74,7 +74,13 @@ def get_spark(
         # sources.tables derive a microsecond timestamp column.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs every task thread in the driver JVM: size the
+        # heap for 32-way execution or long query sequences GC-thrash
+        # (observed: 3x slowdowns on late-bench queries at 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # reclaim dead shuffle/broadcast state promptly during long
+        # many-query sessions instead of waiting for heap-pressure GC
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # Streaming: micro-batch trigger is the engine clock (reference ticks
         # every 100 ms, bullet_storm_defaults.yaml:143-148); state store kept
         # default (RocksDB only needed at real-cluster state sizes).
