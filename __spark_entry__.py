@@ -992,6 +992,32 @@ ORDER BY doc_id
         ),
         _pq.pq_neighbors_sql("embeddings", "vec_id", "embedding", "vec_id < 8", k=5),
     ),
+    # deterministic train/holdout carve with EXACT per-stratum quotas
+    # (content-hash rank order: reproducible under re-runs and new strata)
+    "sample_stratified_split": (
+        lambda s, d: _smp.stratified_split(
+            _docs(s, d), "doc_id", "source", holdout_frac=0.1
+        ),
+        _smp.stratified_split_sql("documents", "doc_id", "source", holdout_frac=0.1),
+    ),
+    "sample_split_accounting": (
+        lambda s, d: _smp.split_accounting(
+            _docs(s, d), "doc_id", "source", holdout_frac=0.1
+        ),
+        _smp.split_accounting_sql("documents", "doc_id", "source", holdout_frac=0.1),
+    ),
+    # LSH quality audit: recall of the banded pipeline vs exact all-pairs
+    # ground truth on a bounded block (precision is 1.0 by construction —
+    # candidates verify with the same exact jaccard)
+    "dedup_lsh_recall": (
+        lambda s, d: _dedup.lsh_recall_audit(
+            _docs(s, d).where(F.col("doc_id") < 150), "doc_id", "text", **_MINHASH_KW
+        ),
+        _dedup.lsh_recall_audit_sql(
+            "(SELECT * FROM documents WHERE doc_id < 150)", "doc_id", "text",
+            **_MINHASH_KW,
+        ),
+    ),
 }
 
 
@@ -1324,6 +1350,9 @@ _DRIVER_PRIORITY = [
     "embed_pq_encode",
     "embed_pq_report",
     "ann_pq_topk",
+    "sample_stratified_split",
+    "sample_split_accounting",
+    "dedup_lsh_recall",
 ]
 
 # new-this-round extension queries outside _LLM_OPS that must also land

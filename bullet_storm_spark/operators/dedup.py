@@ -1124,3 +1124,71 @@ SELECT t.{id_col},
 FROM {table} t LEFT JOIN sized s ON t.{id_col} = s.node
 ORDER BY t.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH quality audit
+# ---------------------------------------------------------------------------
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row audit of the MinHash-LSH pipeline against exact ground
+    truth on a caller-bounded block: (exact_pairs, lsh_found, missed,
+    recall). The LSH pipeline verifies candidates with the same exact
+    Jaccard, so precision is 1.0 by construction and recall is the whole
+    quality story — this is the measurement that justifies a banding
+    config ((bands, rows) sets the S-curve) before a 100 TB run, on a
+    sample small enough for the exact all-pairs verifier."""
+    exact = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold, round_to)
+    lsh = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, round_to
+    )
+    found = lsh.select("id_a", "id_b", F.lit(1).alias("__found"))
+    return (
+        exact.join(found, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("exact_pairs"),
+            F.sum(F.coalesce(F.col("__found"), F.lit(0)))
+            .cast("bigint")
+            .alias("lsh_found"),
+            F.sum(F.col("__found").isNull().cast("bigint")).alias("missed"),
+            F.round(
+                F.sum(F.coalesce(F.col("__found"), F.lit(0)))
+                / F.nullif(F.count(F.lit(1)), F.lit(0)),
+                round_to,
+            ).alias("recall"),
+        )
+    )
+
+
+def lsh_recall_audit_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> str:
+    exact = ngram_jaccard_pairs_sql(table, id_col, text_col, shingle_n, threshold, round_to)
+    lsh = minhash_lsh_pairs_sql(
+        table, id_col, text_col, num_hashes, bands, shingle_n, threshold, round_to
+    )
+    return f"""
+WITH exact_pairs AS (SELECT id_a, id_b FROM ({exact})),
+lsh_pairs AS (SELECT id_a, id_b, 1 AS found FROM ({lsh}))
+SELECT COUNT(*) AS exact_pairs,
+       CAST(SUM(COALESCE(found, 0)) AS BIGINT) AS lsh_found,
+       CAST(SUM(CASE WHEN found IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missed,
+       ROUND(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0), {round_to}) AS recall
+FROM exact_pairs LEFT JOIN lsh_pairs USING (id_a, id_b)
+"""

@@ -173,3 +173,117 @@ FROM (SELECT {stratum_col}, {copies} AS __c, CAST({toks} AS BIGINT) AS __t
 GROUP BY {stratum_col}
 ORDER BY {stratum_col}
 """
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    holdout_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """(id, stratum, split): deterministic train/holdout assignment with an
+    EXACT per-stratum quota — floor(holdout_frac * |stratum|) rows land in
+    'holdout', the rest in 'train' (the eval-set carve a training run
+    needs; the hash-threshold filter above is only approximate per
+    stratum). Ranking is by (md5(id:salt), id): content-hash order, so the
+    assignment is reproducible under re-runs, engine changes, and row
+    order — and adding a NEW stratum never perturbs existing ones.
+
+    Scale shape: one shuffle on the stratum key (window rank + count);
+    strata are the parallelism unit. A single viral stratum serializes its
+    own rank — at 100 TB prefer more granular strata (source x shard) or
+    the approximate zero-shuffle split when exact quotas aren't required.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 <= holdout_frac <= 1.0):
+        raise ValueError(f"holdout_frac must be in [0, 1], got {holdout_frac}")
+    h = hash_fraction(id_col, salt)
+    w = Window.partitionBy(stratum_col).orderBy(F.col("__h"), F.col(id_col))
+    wc = Window.partitionBy(stratum_col)
+    return (
+        df.select(F.col(id_col), F.col(stratum_col), h.alias("__h"))
+        .select(
+            id_col,
+            stratum_col,
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        .select(
+            id_col,
+            stratum_col,
+            F.when(
+                F.col("__rn") <= F.floor(F.col("__n") * F.lit(float(holdout_frac))),
+                F.lit("holdout"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def stratified_split_sql(
+    table: str,
+    id_col: str,
+    stratum_col: str,
+    holdout_frac: float = 0.1,
+    salt: str = "split",
+) -> str:
+    h = hash_fraction_sql(id_col, salt)
+    return f"""
+SELECT {id_col}, {stratum_col},
+       CASE WHEN __rn <= floor(__n * {float(holdout_frac)!r}) THEN 'holdout'
+            ELSE 'train' END AS split
+FROM (
+  SELECT {id_col}, {stratum_col},
+         row_number() OVER (PARTITION BY {stratum_col}
+                            ORDER BY {h}, {id_col}) AS __rn,
+         COUNT(*) OVER (PARTITION BY {stratum_col}) AS __n
+  FROM {table}
+)
+ORDER BY {id_col}
+"""
+
+
+def split_accounting(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    holdout_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Per-stratum split report: (stratum, n_docs, n_holdout, n_train) —
+    the quota audit (n_holdout == floor(frac * n_docs) by construction)."""
+    assigned = stratified_split(df, id_col, stratum_col, holdout_frac, salt)
+    return (
+        assigned.groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("split") == "holdout").cast("bigint")).alias("n_holdout"),
+            F.sum((F.col("split") == "train").cast("bigint")).alias("n_train"),
+        )
+        .orderBy(stratum_col)
+    )
+
+
+def split_accounting_sql(
+    table: str,
+    id_col: str,
+    stratum_col: str,
+    holdout_frac: float = 0.1,
+    salt: str = "split",
+) -> str:
+    inner = stratified_split_sql(table, id_col, stratum_col, holdout_frac, salt)
+    return f"""
+SELECT {stratum_col},
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_holdout,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train
+FROM ({inner})
+GROUP BY {stratum_col}
+ORDER BY {stratum_col}
+"""

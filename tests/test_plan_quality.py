@@ -71,6 +71,11 @@ _ALL_PAIRS_VERIFIERS = {
     "dedup_embedding_pairs_exact_block",
     "ann_brute_force_topk",
     "ann_quantized_topk",  # same broadcast-|Q| contract as brute force
+    "ann_pq_topk",  # same broadcast-|Q| contract; the candidate side scans
+    #                 m-byte CODES, not vectors — the loop is O(|Q|*N) cheap
+    #                 lookups, and the byte cut is the operator's point
+    "dedup_lsh_recall",  # recall audit embeds the exact all-pairs ground
+    #                      truth by definition; caller bounds the block
 }
 
 
