@@ -1006,6 +1006,16 @@ ORDER BY doc_id
         ),
         _smp.split_accounting_sql("documents", "doc_id", "source", holdout_frac=0.1),
     ),
+    # pretraining/RAG chunking: overlapping fixed-token windows, exact
+    # integer window layout in both dialects
+    "text_chunk_documents": (
+        lambda s, d: _spans.chunk_documents(
+            _docs(s, d), "doc_id", "text", chunk_size=24, overlap=8
+        ),
+        _spans.chunk_documents_sql(
+            "documents", "doc_id", "text", chunk_size=24, overlap=8
+        ),
+    ),
     # LSH quality audit: recall of the banded pipeline vs exact all-pairs
     # ground truth on a bounded block (precision is 1.0 by construction —
     # candidates verify with the same exact jaccard)
@@ -1352,6 +1362,7 @@ _DRIVER_PRIORITY = [
     "ann_pq_topk",
     "sample_stratified_split",
     "sample_split_accounting",
+    "text_chunk_documents",
     "dedup_lsh_recall",
 ]
 

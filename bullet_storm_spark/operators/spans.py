@@ -117,3 +117,96 @@ SELECT s.__id AS {id_col}, s.__n_chunks AS n_chunks,
 FROM __sized s LEFT JOIN __agg a USING (__id)
 ORDER BY {id_col}
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_text): every document exploded into
+    fixed-width token windows starting every ``chunk_size - overlap``
+    tokens — the pretraining/RAG chunking pass. The last window may be
+    short; empty documents emit nothing. Chunk count per doc is
+    ceil(max(n - overlap, 1) / step) in EXACT integer arithmetic (both
+    dialects), so the window layout is engine-independent.
+
+    Scale shape: per-row expression over a materialized token array, rows
+    multiply by ~n/step (overlap is a bounded constant factor) — the same
+    explode-not-quadratic posture as span_chunk_dedup; no shuffle beyond
+    the materializing exchange."""
+    c, ov = int(chunk_size), int(overlap)
+    if not 0 <= ov < c:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {ov} >= {c}")
+    step = c - ov
+    spark = df.sparkSession
+    base = (
+        # empty/whitespace docs emit nothing (tokens('') is [''] in both
+        # engines, so the guard is on the trimmed text, not the array)
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+        .repartition(spark.sparkContext.defaultParallelism, F.col("__id"))
+        .select("__id", "__toks", F.size("__toks").cast("bigint").alias("__n"))
+        .select(
+            "__id",
+            "__toks",
+            "__n",
+            (
+                (F.greatest(F.col("__n") - ov, F.lit(1)) + (step - 1))
+                .cast("bigint") / F.lit(step)
+            ).cast("bigint").alias("__n_chunks"),
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.col("__n_chunks") - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("__toks"), (i * step + 1).cast("int"), c), " "
+        ),
+    )
+    return (
+        base.select("__id", "__n", F.posexplode(chunks).alias("__idx", "__chunk"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__idx").cast("int").alias("chunk_idx"),
+            F.least(F.lit(c).cast("bigint"), F.col("__n") - F.col("__idx") * step)
+            .alias("n_tokens"),
+            F.col("__chunk").alias("chunk_text"),
+        )
+        .orderBy(id_col, "chunk_idx")
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 0,
+) -> str:
+    c, ov = int(chunk_size), int(overlap)
+    if not 0 <= ov < c:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {ov} >= {c}")
+    step = c - ov
+    return f"""
+WITH __sized AS (
+  SELECT {id_col} AS __id, __toks, CAST(len(__toks) AS BIGINT) AS __n,
+         CAST((greatest(len(__toks) - {ov}, 1) + {step - 1}) // {step} AS BIGINT)
+           AS __n_chunks
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS __toks FROM {table}
+        WHERE trim({text_col}) <> '')
+)
+SELECT __id AS {id_col},
+       CAST(__u.__idx AS INTEGER) AS chunk_idx,
+       least({c}, __n - __u.__idx * {step}) AS n_tokens,
+       __u.__chunk AS chunk_text
+FROM (
+  SELECT __id, __n,
+         unnest(list_transform(range(0, __n_chunks), i ->
+           struct_pack(__idx := i,
+                       __chunk := array_to_string(
+                         __toks[i*{step}+1 : i*{step}+{c}], ' ')))) AS __u
+  FROM __sized)
+ORDER BY {id_col}, chunk_idx
+"""

@@ -95,3 +95,65 @@ def test_lsh_recall_audit_duckdb_parity(docs):
         ).fetchall()
     ]
     assert srows == drows
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (operators/spans.py)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_layout(spark):
+    from bullet_storm_spark.operators.spans import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=8, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: n=10, step=4 -> chunks at 0 and 4: [t0..t7], [t4..t9]
+    d1 = by_doc[1]
+    assert [r["chunk_idx"] for r in d1] == [0, 1]
+    assert d1[0]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert d1[1]["chunk_text"].split() == [f"t{i}" for i in range(4, 10)]
+    assert [r["n_tokens"] for r in d1] == [8, 6]
+    # doc 2: shorter than one chunk -> exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    # doc 3: empty -> no rows
+    assert 3 not in by_doc
+    # overlap reconstruction: consecutive chunks share exactly `overlap`
+    assert d1[0]["chunk_text"].split()[4:] == d1[1]["chunk_text"].split()[:4]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from bullet_storm_spark.operators.spans import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=8, overlap=8)
+
+
+def test_chunk_documents_duckdb_parity(spark):
+    from bullet_storm_spark.operators.spans import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i * 3 % 17))) for i in range(25)],
+        "doc_id long, text string",
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    srows = [
+        tuple(r)
+        for r in chunk_documents(df, "doc_id", "text", chunk_size=6, overlap=2).collect()
+    ]
+    drows = [
+        tuple(r)
+        for r in con.sql(
+            chunk_documents_sql("t", "doc_id", "text", chunk_size=6, overlap=2)
+        ).fetchall()
+    ]
+    assert srows == drows and len(srows) > 25
