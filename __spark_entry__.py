@@ -1364,6 +1364,10 @@ _DRIVER_PRIORITY = [
     "sample_split_accounting",
     "text_chunk_documents",
     "dedup_lsh_recall",
+    # changed this round (packed bit-plane simhash) — must re-verify under
+    # the driver gate, not only the in-repo replica
+    "dedup_simhash",
+    "dedup_simhash_pairs",
 ]
 
 # new-this-round extension queries outside _LLM_OPS that must also land
