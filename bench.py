@@ -66,6 +66,10 @@ HEADLINE = [
     "embed_pq_encode",
     "ann_pq_topk",
     "events_resample_locf",
+    "text_chunk_documents",
+    "sample_stratified_split",
+    "win_user_running_revenue",
+    "dedup_lsh_recall",
 ]
 
 
