@@ -992,6 +992,18 @@ ORDER BY doc_id
         ),
         _pq.pq_neighbors_sql("embeddings", "vec_id", "embedding", "vec_id < 8", k=5),
     ),
+    # IVF-PQ: coarse cells prune the search, PQ codes score the survivors
+    # — both levers composed (the FAISS IVFPQ shape, non-residual variant)
+    "ann_ivfpq_topk": (
+        lambda s, d: _pq.ivfpq_neighbors(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8,
+            k=5, nprobe=4, n_centroids=16,
+        ),
+        _pq.ivfpq_neighbors_sql(
+            "embeddings", "vec_id", "embedding", "vec_id < 8",
+            k=5, nprobe=4, n_centroids=16,
+        ),
+    ),
     # deterministic train/holdout carve with EXACT per-stratum quotas
     # (content-hash rank order: reproducible under re-runs and new strata)
     "sample_stratified_split": (
@@ -1360,6 +1372,7 @@ _DRIVER_PRIORITY = [
     "embed_pq_encode",
     "embed_pq_report",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "sample_stratified_split",
     "sample_split_accounting",
     "text_chunk_documents",

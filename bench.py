@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_quantized_arrow",
     "embed_pq_encode",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "events_resample_locf",
     "text_chunk_documents",
     "sample_stratified_split",

@@ -344,3 +344,161 @@ FROM q JOIN coded c ON q.query_id <> c.id
 QUALIFY rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def ivfpq_neighbors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the two scale levers composed — the coarse IVF codebook
+    prunes the search to ``nprobe`` of ``n_centroids`` cells (~N * nprobe
+    / n_centroids candidates per query) and PQ codes score each surviving
+    candidate from m bytes (the FAISS IVFPQ shape; non-residual variant
+    — codes quantize the raw vector, which keeps every step a pure
+    column expression and the whole pipeline hash-checkable; residual
+    encoding is the production refinement, same plan shape). Both
+    codebooks are frozen constant-folded literals; the only shuffle keys
+    on the cell id. Output (query_id, neighbor_id, adc_cos, rank)."""
+    from bullet_storm_spark.operators.similarity import (
+        _planes_lit,
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(dim, n_centroids)
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), query_pred.alias("is_q")
+    )
+    v = as_double(F.col("v"))
+    ranked = F.array_sort(
+        F.transform(
+            _planes_lit(cents),
+            lambda c, i: F.struct((-dot(v, c)).alias("nd"), i.cast("int").alias("i")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    # candidates: top-1 cell + PQ codes, the heavy per-row expressions
+    # parallelized behind one exchange and computed exactly once
+    recon2 = F.lit(0.0)
+    for j in range(len(cb)):
+        cent = F.element_at(
+            F.element_at(_cb_lit(cb), j + 1), F.element_at("codes", j + 1) + 1
+        )
+        recon2 = recon2 + dot(cent, cent)
+    cands = (
+        base.repartition(par)
+        .select("id", F.element_at(probes, 1).alias("cell"), _codes_col(v, cb).alias("codes"))
+        .select("id", "cell", "codes", recon2.alias("__r2"))
+    )
+    lut = F.transform(
+        _cb_lit(cb),
+        lambda sub, j: F.transform(
+            sub,
+            lambda c: dot(F.slice(as_double(F.col("qv")), j * dsub + 1, dsub), c),
+        ),
+    )
+    queries = (
+        base.where(F.col("is_q"))
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), probes.alias("__p"))
+        .select(
+            "query_id",
+            F.sqrt(dot(as_double(F.col("qv")), as_double(F.col("qv")))).alias("__qn"),
+            lut.alias("__lut"),
+            F.explode("__p").alias("cell"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("__lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(adc / (F.col("__qn") * F.sqrt(F.col("__r2"))), round_to)
+    pairs = (
+        F.broadcast(queries)
+        .join(cands, "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), score.alias("cos"))
+    )
+    return _rank_topk(pairs, k)
+
+
+def ivfpq_neighbors_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> str:
+    from bullet_storm_spark.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(dim, n_centroids)
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    entries = ", ".join(
+        "{'nd': -list_dot_product(v::DOUBLE[], ["
+        + ", ".join(repr(x) for x in c)
+        + f"]), 'i': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    adc_terms, recon_terms = [], []
+    for j, sub in enumerate(cb):
+        arr = (
+            "["
+            + ", ".join("[" + ", ".join(repr(x) for x in cent) + "]" for cent in sub)
+            + "]"
+        )
+        cent = f"(({arr})[c.codes[{j + 1}] + 1])"
+        qsub = f"list_slice(q.qv, {j * dsub + 1}, {(j + 1) * dsub})"
+        adc_terms.append(f"list_dot_product({qsub}, {cent})")
+        recon_terms.append(f"list_dot_product({cent}, {cent})")
+    score = (
+        f"ROUND(({' + '.join(adc_terms)}) / "
+        f"(sqrt(list_dot_product(q.qv, q.qv)) * sqrt({' + '.join(recon_terms)})), "
+        f"{round_to})"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v, ({query_pred_sql}) AS is_q
+  FROM {table}
+),
+assigned AS (
+  SELECT id, v, is_q,
+         list_transform(list_slice(list_sort([{entries}]), 1, {nprobe}),
+                        x -> x.i) AS probes
+  FROM base
+),
+cands AS (
+  SELECT id, probes[1] AS cell, {_codes_sql('v', cb)} AS codes
+  FROM assigned
+),
+q AS (
+  SELECT id AS query_id, v AS qv, UNNEST(probes) AS cell
+  FROM assigned WHERE is_q
+)
+SELECT query_id, c.id AS neighbor_id, {score} AS cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY {score} DESC, c.id ASC) AS INTEGER)
+         AS rank
+FROM q JOIN cands c ON q.cell = c.cell AND q.query_id <> c.id
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
