@@ -992,6 +992,17 @@ ORDER BY doc_id
         ),
         _pq.pq_neighbors_sql("embeddings", "vec_id", "embedding", "vec_id < 8", k=5),
     ),
+    # recall@k audit of the composed approximate index vs exact brute
+    # force on the bounded query block — the ANN analogue of
+    # dedup_lsh_recall (measure the approximation before trusting it)
+    "ann_recall_report": (
+        lambda s, d: _pq.ann_recall_report(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, k=5
+        ),
+        _pq.ann_recall_report_sql(
+            "embeddings", "vec_id", "embedding", "vec_id < 8", k=5
+        ),
+    ),
     # IVF-PQ: coarse cells prune the search, PQ codes score the survivors
     # — both levers composed (the FAISS IVFPQ shape, non-residual variant)
     "ann_ivfpq_topk": (
@@ -1373,6 +1384,7 @@ _DRIVER_PRIORITY = [
     "embed_pq_report",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_recall_report",
     "sample_stratified_split",
     "sample_split_accounting",
     "text_chunk_documents",

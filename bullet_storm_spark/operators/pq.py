@@ -502,3 +502,99 @@ FROM q JOIN cands c ON q.cell = c.cell AND q.query_id <> c.id
 QUALIFY rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def ann_recall_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query recall@k of the IVF-PQ pipeline against exact brute-force
+    cosine ground truth: (query_id, exact_k, found, recall) ordered by
+    query_id. The ANN analogue of dedup.lsh_recall_audit — the
+    measurement that justifies (nprobe, m, ksub) on a bounded sample
+    before trusting the approximate index on the full corpus. Ground
+    truth embeds the brute-force verifier, so callers bound the query
+    set exactly as they do for ann_brute_force_topk."""
+    from bullet_storm_spark.operators.similarity import brute_force_neighbors
+
+    exact = brute_force_neighbors(df, id_col, vec_col, query_pred, k, round_to).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivfpq_neighbors(
+        df, id_col, vec_col, query_pred, k, nprobe, n_centroids,
+        codebook, dim, m, ksub, round_to,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__found"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("exact_k"),
+            F.sum(F.coalesce(F.col("__found"), F.lit(0)))
+            .cast("bigint")
+            .alias("found"),
+            F.round(
+                F.sum(F.coalesce(F.col("__found"), F.lit(0)))
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_report_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> str:
+    from bullet_storm_spark.functions.vectors import cosine_sql
+
+    # ground truth inlined (brute_force_neighbors_sql binds its predicate
+    # over the aliased projection; here both arms bind over the original
+    # table columns so ONE predicate string drives both)
+    cos = f"ROUND({cosine_sql('q.qv', 'c.v')}, {round_to})"
+    approx = ivfpq_neighbors_sql(
+        table, id_col, vec_col, query_pred_sql, k, nprobe, n_centroids,
+        codebook, dim, m, ksub, round_to,
+    )
+    return f"""
+WITH gbase AS (
+  SELECT {id_col} AS id, {vec_col} AS v, ({query_pred_sql}) AS is_q
+  FROM {table}
+),
+gq AS (SELECT id AS query_id, v AS qv FROM gbase WHERE is_q),
+exact_ranked AS (
+  SELECT query_id, c.id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos} DESC, c.id ASC) AS rnk
+  FROM gq q JOIN gbase c ON q.query_id <> c.id
+),
+exact_k AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rnk <= {k}),
+approx_k AS (SELECT query_id, neighbor_id, 1 AS found FROM ({approx}))
+SELECT query_id,
+       COUNT(*) AS exact_k,
+       CAST(SUM(COALESCE(found, 0)) AS BIGINT) AS found,
+       ROUND(SUM(COALESCE(found, 0)) / COUNT(*), {round_to}) AS recall
+FROM exact_k LEFT JOIN approx_k USING (query_id, neighbor_id)
+GROUP BY query_id
+ORDER BY query_id
+"""

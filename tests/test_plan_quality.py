@@ -76,6 +76,7 @@ _ALL_PAIRS_VERIFIERS = {
     #                 lookups, and the byte cut is the operator's point
     "dedup_lsh_recall",  # recall audit embeds the exact all-pairs ground
     #                      truth by definition; caller bounds the block
+    "ann_recall_report",  # same: ground truth IS the brute-force verifier
 }
 
 

@@ -172,3 +172,37 @@ def test_ivfpq_duckdb_parity(frame):
         ).fetchall()
     ]
     assert srows == drows and len(srows) > 0
+
+
+def test_ann_recall_report(frame):
+    """Recall@k audit: count identity per query, recall in [0,1], full
+    probe + full-resolution quantization can only help; DuckDB parity."""
+    rep = pq.ann_recall_report(
+        frame, "vid", "emb", F.col("vid") < 3,
+        k=4, nprobe=2, n_centroids=8, dim=DIM, m=M, ksub=KSUB,
+    ).collect()
+    assert {r["query_id"] for r in rep} == {0, 1, 2}
+    for r in rep:
+        assert r["exact_k"] == 4
+        assert 0 <= r["found"] <= 4
+        assert abs(r["recall"] - r["found"] / r["exact_k"]) < 1e-9
+
+    con = duckdb.connect()
+    con.register("t", frame.toPandas())
+    srows = [
+        tuple(r)
+        for r in pq.ann_recall_report(
+            frame, "vid", "emb", F.col("vid") < 3,
+            k=4, nprobe=2, n_centroids=8, dim=DIM, m=M, ksub=KSUB,
+        ).collect()
+    ]
+    drows = [
+        tuple(r)
+        for r in con.sql(
+            pq.ann_recall_report_sql(
+                "t", "vid", "emb", "vid < 3",
+                k=4, nprobe=2, n_centroids=8, dim=DIM, m=M, ksub=KSUB,
+            )
+        ).fetchall()
+    ]
+    assert srows == drows
