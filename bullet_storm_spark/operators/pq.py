@@ -598,3 +598,122 @@ FROM exact_k LEFT JOIN approx_k USING (query_id, neighbor_id)
 GROUP BY query_id
 ORDER BY query_id
 """
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """Persistable IVF-PQ index rows: (id, cell, codes, r2) — the coarse
+    cell, the m PQ codes, and the precomputed reconstructed norm. Per
+    vector that is ~m small ints + 2 scalars instead of the full vector,
+    so the stored index is ~32x smaller than ivf_build_index's
+    (id, v, cell) rows — at 100 TB of embeddings the index fits where
+    the vectors don't. Write with ``.write.partitionBy("cell")`` so a
+    probe's scan prunes to its nprobe cell directories; reload in any
+    later session and probe with ivfpq_probe_index (same frozen
+    codebooks — the production serving cycle, mirroring
+    similarity.ivf_build_index)."""
+    from bullet_storm_spark.operators.similarity import (
+        _planes_lit,
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(dim, n_centroids)
+    cb = codebook or pq_codebook(dim, m, ksub)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    v = as_double(F.col("v"))
+    ranked = F.array_sort(
+        F.transform(
+            _planes_lit(cents),
+            lambda c, i: F.struct((-dot(v, c)).alias("nd"), i.cast("int").alias("i")),
+        )
+    )
+    recon2 = F.lit(0.0)
+    for j in range(len(cb)):
+        cent = F.element_at(
+            F.element_at(_cb_lit(cb), j + 1), F.element_at("codes", j + 1) + 1
+        )
+        recon2 = recon2 + dot(cent, cent)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .repartition(par)
+        .select(
+            "id",
+            F.element_at(ranked, 1)["i"].alias("cell"),
+            _codes_col(v, cb).alias("codes"),
+        )
+        .select("id", "cell", "codes", recon2.alias("r2"))
+    )
+
+
+def ivfpq_probe_index(
+    index: DataFrame,
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k for ``query_df`` against a STORED IVF-PQ index: queries rank
+    their nprobe cells and build the ADC lookup table (tiny, broadcast);
+    one hash join on the cell key scores index rows from codes alone. On
+    a cell-partitioned parquet index the scan prunes to the probed cell
+    directories — the index bytes a probe touches are
+    ~|index| * nprobe / n_centroids * (m + 2 values)."""
+    from bullet_storm_spark.operators.similarity import (
+        _planes_lit,
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(dim, n_centroids)
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    qv = as_double(F.col("qv"))
+    ranked = F.array_sort(
+        F.transform(
+            _planes_lit(cents),
+            lambda c, i: F.struct((-dot(qv, c)).alias("nd"), i.cast("int").alias("i")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    lut = F.transform(
+        _cb_lit(cb),
+        lambda sub, j: F.transform(
+            sub, lambda c: dot(F.slice(qv, j * dsub + 1, dsub), c)
+        ),
+    )
+    queries = (
+        query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select(
+            "query_id",
+            F.sqrt(dot(qv, qv)).alias("__qn"),
+            lut.alias("__lut"),
+            F.explode(probes).alias("cell"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("__lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(adc / (F.col("__qn") * F.sqrt(F.col("r2"))), round_to)
+    pairs = (
+        F.broadcast(queries)
+        .join(index.select("id", "cell", "codes", "r2"), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), score.alias("cos"))
+    )
+    return _rank_topk(pairs, k)

@@ -206,3 +206,40 @@ def test_ann_recall_report(frame):
         ).fetchall()
     ]
     assert srows == drows
+
+
+def test_ivfpq_index_persist_and_pruned_probe(spark, tmp_path):
+    """Production cycle: build the (id, cell, codes, r2) index, persist
+    partitionBy(cell), reload in fresh-session shape, probe — the probe
+    result equals the in-memory ivfpq_neighbors run, and the parquet scan
+    carries a partition filter on cell (only probed directories read)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(60, DIM)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vid long, emb array<double>",
+    )
+    kw = dict(n_centroids=8, dim=DIM, m=M, ksub=KSUB)
+
+    index = pq.ivfpq_build_index(df, "vid", "emb", **kw)
+    path = str(tmp_path / "ivfpq")
+    index.write.partitionBy("cell").parquet(path)
+    index2 = spark.read.parquet(path)
+
+    queries = df.where(F.col("vid") < 3)
+    got = pq.ivfpq_probe_index(
+        index2, queries, "vid", "emb", k=4, nprobe=2, **kw
+    )
+    # partition pruning: the parquet scan is filtered on the cell key
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+
+    rows = got.collect()
+    direct = pq.ivfpq_neighbors(
+        df, "vid", "emb", F.col("vid") < 3, k=4, nprobe=2, **kw
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, direct))
