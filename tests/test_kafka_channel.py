@@ -109,3 +109,53 @@ def test_engine_submit_and_kill_through_kafka_channel(spark):
     assert engine.registry.active() == []
     killed = [c for qid, c in engine.results if qid == "k1"][-1]
     assert json.loads(killed.to_json())["meta"][SIGNAL_KEY] == "KILL"
+
+
+def test_kafka_submit_and_kill_while_attached(spark, tmp_path):
+    """Live-stream shape: engine runs attach() with the Kafka channel;
+    a client publishes a submit onto the log, sees windowed results
+    emitted, then kills through the same log (the QuerySpout loop over
+    the offset-committed transport, end-to-end)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    broker = InMemoryKafka()
+    engine = StreamingEngine(spark, channel=_channel(broker))
+    client = KafkaControlClient(broker.producer(), TOPIC)
+    src = str(tmp_path / "stream-src")
+    os.makedirs(src)
+    base = spark.range(100).select(
+        F.col("id").cast("double").alias("value"),
+        (F.col("id") % 5).cast("string").alias("event_type"),
+    )
+    base.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    query = engine.attach(stream, trigger_ms=100)
+    try:
+        client.submit(
+            "live1",
+            "SELECT COUNT(*) AS cnt FROM STREAM(600000, TIME) "
+            "WINDOWING EVERY(500, TIME)",
+        )
+        deadline = time.time() + 30
+        while "live1" not in engine.registry.queries:
+            assert time.time() < deadline, "kafka submission never arrived"
+            base.limit(0).write.mode("append").parquet(src)
+            time.sleep(0.2)
+        while not any(i == "live1" and c.records for i, c in engine.results):
+            assert time.time() < deadline, "no windowed result emitted"
+            base.write.mode("append").parquet(src)
+            time.sleep(0.2)
+        client.kill("live1")
+        while "live1" in engine.registry.queries:
+            assert time.time() < deadline, "kafka kill never applied"
+            base.limit(0).write.mode("append").parquet(src)
+            time.sleep(0.2)
+    finally:
+        query.stop()
+    signals = [c.meta.get(SIGNAL_KEY) for i, c in engine.results if i == "live1"]
+    assert signals[-1] == "KILL"
+    counted = [c for i, c in engine.results if i == "live1" and c.records]
+    assert counted and counted[0].records[0]["cnt"] > 0
