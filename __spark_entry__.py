@@ -1015,6 +1015,19 @@ ORDER BY doc_id
             k=5, nprobe=4, n_centroids=16,
         ),
     ),
+    # residual IVF-PQ (the production FAISS encoding): codes quantize
+    # v - centroid[cell]; every cell/code-dependent norm/cross term is a
+    # precomputed literal, so even this variant is hash-checkable
+    "ann_ivfpq_residual_topk": (
+        lambda s, d: _pq.ivfpq_residual_neighbors(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8,
+            k=5, nprobe=4, n_centroids=16,
+        ),
+        _pq.ivfpq_residual_neighbors_sql(
+            "embeddings", "vec_id", "embedding", "vec_id < 8",
+            k=5, nprobe=4, n_centroids=16,
+        ),
+    ),
     # deterministic train/holdout carve with EXACT per-stratum quotas
     # (content-hash rank order: reproducible under re-runs and new strata)
     "sample_stratified_split": (
@@ -1384,6 +1397,7 @@ _DRIVER_PRIORITY = [
     "embed_pq_report",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
     "ann_recall_report",
     "sample_stratified_split",
     "sample_split_accounting",

@@ -717,3 +717,259 @@ def ivfpq_probe_index(
         .select("query_id", F.col("id").alias("neighbor_id"), score.alias("cos"))
     )
     return _rank_topk(pairs, k)
+
+
+def _flit(values) -> Column:
+    """Nested float-list literal as one constant-folded node (same
+    rationale as similarity._planes_lit; json round-trips the shortest
+    decimal repr, so both generated programs parse identical doubles)."""
+    return F.from_json(
+        F.lit(json.dumps(values)),
+        "array<double>" if not isinstance(values[0], list) else (
+            "array<array<double>>" if not isinstance(values[0][0], list)
+            else "array<array<array<double>>>"
+        ),
+    )
+
+
+def _residual_tables(cents, cb):
+    """Python-precomputed constants for residual IVF-PQ scoring: per-cell
+    centroid norm^2, per-(cell, sub, code) centroid-x-codeword cross dot,
+    and per-(sub, code) codeword norm^2 — every cell/code-dependent float
+    becomes a literal lookup, so the only runtime float work is the
+    per-query LUT and the final ordered sums (identical fold order in
+    both engines)."""
+    dsub = len(cb[0][0])
+    cnorm2 = [sum(x * x for x in c) for c in cents]
+    cross = [
+        [
+            [
+                sum(
+                    c[j * dsub + t] * cent[t]
+                    for t in range(dsub)
+                )
+                for cent in cb[j]
+            ]
+            for j in range(len(cb))
+        ]
+        for c in cents
+    ]
+    rnorm2 = [[sum(x * x for x in cent) for cent in sub] for sub in cb]
+    return cnorm2, cross, rnorm2
+
+
+def ivfpq_residual_neighbors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ — the production FAISS encoding: PQ codes quantize
+    v - centroid[cell] (residuals are smaller and better covered by the
+    codebook), and ADC scores dot(q, c + decode(codes)) = dot(q, c) +
+    sum_j lut[j][code_j]. The per-query lookup table is cell-independent
+    (codebook subspaces are global), dot(q, c) rides the exploded
+    (query, probe-cell) rows, and every cell/code-dependent norm/cross
+    term is a precomputed literal — so the pipeline stays hash-checkable
+    end-to-end. Candidate cost: m lookups + 3 literal-table sums per
+    pair; index bytes identical to the non-residual variant."""
+    from bullet_storm_spark.operators.similarity import (
+        _planes_lit,
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(dim, n_centroids)
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    cnorm2, cross, rnorm2 = _residual_tables(cents, cb)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), query_pred.alias("is_q")
+    )
+    v = as_double(F.col("v"))
+    ranked = F.array_sort(
+        F.transform(
+            _planes_lit(cents),
+            lambda c, i: F.struct((-dot(v, c)).alias("nd"), i.cast("int").alias("i")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    residual = F.zip_with(
+        v, F.element_at(_flit(cents), F.col("cell") + 1), lambda x, c: x - c
+    )
+    # candidate side: cell -> residual -> codes, then literal-table score
+    # components; each heavy expression materializes behind its select
+    celled = (
+        base.repartition(par)
+        .select("id", "v", F.element_at(probes, 1).alias("cell"))
+        .select("id", "cell", residual.alias("__res"))
+        .select("id", "cell", _codes_col(F.col("__res"), cb).alias("codes"))
+    )
+    cn2 = F.element_at(_flit(cnorm2), F.col("cell") + 1)
+    cross2 = F.lit(0.0)
+    r2 = F.lit(0.0)
+    for j in range(len(cb)):
+        code1 = F.element_at("codes", j + 1) + 1
+        cross2 = cross2 + F.element_at(
+            F.element_at(F.element_at(_flit(cross), F.col("cell") + 1), j + 1), code1
+        )
+        r2 = r2 + F.element_at(F.element_at(_flit(rnorm2), j + 1), code1)
+    cands = celled.select(
+        "id", "cell", "codes",
+        F.sqrt(cn2 + 2 * cross2 + r2).alias("__vn"),
+    )
+    lut = F.transform(
+        _cb_lit(cb),
+        lambda sub, j: F.transform(
+            sub,
+            lambda c: dot(F.slice(as_double(F.col("qv")), j * dsub + 1, dsub), c),
+        ),
+    )
+    queries = (
+        base.where(F.col("is_q"))
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), probes.alias("__p"))
+        .select(
+            "query_id",
+            "qv",
+            F.sqrt(dot(as_double(F.col("qv")), as_double(F.col("qv")))).alias("__qn"),
+            lut.alias("__lut"),
+            F.explode("__p").alias("cell"),
+        )
+        .select(
+            "query_id",
+            "__qn",
+            "__lut",
+            "cell",
+            dot(
+                as_double(F.col("qv")), F.element_at(_flit(cents), F.col("cell") + 1)
+            ).alias("__qc"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("__lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round((F.col("__qc") + adc) / (F.col("__qn") * F.col("__vn")), round_to)
+    pairs = (
+        F.broadcast(queries)
+        .join(cands, "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), score.alias("cos"))
+    )
+    return _rank_topk(pairs, k)
+
+
+def ivfpq_residual_neighbors_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    codebook: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    round_to: int = 6,
+) -> str:
+    from bullet_storm_spark.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(dim, n_centroids)
+    cb = codebook or pq_codebook(dim, m, ksub)
+    dsub = len(cb[0][0])
+    cnorm2, cross, rnorm2 = _residual_tables(cents, cb)
+    entries = ", ".join(
+        "{'nd': -list_dot_product(v::DOUBLE[], ["
+        + ", ".join(repr(x) for x in c)
+        + f"]), 'i': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cents_lit = (
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents) + "]"
+    )
+    cn2_lit = "[" + ", ".join(repr(x) for x in cnorm2) + "]"
+    cross_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(x) for x in codes) + "]" for codes in cell_tab
+            )
+            + "]"
+            for cell_tab in cross
+        )
+        + "]"
+    )
+    r2_lit = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in sub) + "]" for sub in rnorm2)
+        + "]"
+    )
+    cross_sum = " + ".join(
+        f"(({cross_lit})[cell + 1])[{j + 1}][codes[{j + 1}] + 1]"
+        for j in range(len(cb))
+    )
+    r2_sum = " + ".join(
+        f"({r2_lit})[{j + 1}][codes[{j + 1}] + 1]" for j in range(len(cb))
+    )
+    adc_terms = []
+    for j, sub in enumerate(cb):
+        arr = (
+            "["
+            + ", ".join("[" + ", ".join(repr(x) for x in cent) + "]" for cent in sub)
+            + "]"
+        )
+        cent = f"(({arr})[c.codes[{j + 1}] + 1])"
+        qsub = f"list_slice(q.qv, {j * dsub + 1}, {(j + 1) * dsub})"
+        adc_terms.append(f"list_dot_product({qsub}, {cent})")
+    score = (
+        f"ROUND((q.qc + {' + '.join(adc_terms)}) / "
+        f"(sqrt(list_dot_product(q.qv, q.qv)) * c.vn), {round_to})"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v, ({query_pred_sql}) AS is_q
+  FROM {table}
+),
+assigned AS (
+  SELECT id, v, is_q,
+         list_transform(list_slice(list_sort([{entries}]), 1, {nprobe}),
+                        x -> x.i) AS probes
+  FROM base
+),
+resid AS (
+  SELECT id, v, probes[1] AS cell,
+         list_transform(range(1, {dim + 1}),
+                        i -> v[i] - (({cents_lit})[probes[1] + 1])[i]) AS res
+  FROM assigned
+),
+coded AS (SELECT id, cell, {_codes_sql('res', cb)} AS codes FROM resid),
+cands AS (
+  SELECT id, cell, codes,
+         sqrt(({cn2_lit})[cell + 1] + 2 * ({cross_sum}) + ({r2_sum})) AS vn
+  FROM coded
+),
+q AS (
+  SELECT query_id, qv, cell,
+         list_dot_product(qv, ({cents_lit})[cell + 1]) AS qc
+  FROM (SELECT id AS query_id, v AS qv, UNNEST(probes) AS cell
+        FROM assigned WHERE is_q)
+)
+SELECT query_id, c.id AS neighbor_id, {score} AS cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY {score} DESC, c.id ASC) AS INTEGER)
+         AS rank
+FROM q JOIN cands c ON q.cell = c.cell AND q.query_id <> c.id
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""

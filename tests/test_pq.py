@@ -243,3 +243,31 @@ def test_ivfpq_index_persist_and_pruned_probe(spark, tmp_path):
         df, "vid", "emb", F.col("vid") < 3, k=4, nprobe=2, **kw
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, direct))
+
+
+def test_ivfpq_residual_contract_and_parity(frame):
+    """Residual IVF-PQ: top-k contract, and DuckDB parity (all
+    cell/code-dependent terms are precomputed literals, so the only
+    runtime float work is order-pinned in both engines). At full
+    resolution (codes reconstruct residuals well) the residual variant's
+    scored cosine tracks the true cosine more closely than raw-vector PQ
+    on the same codebook size."""
+    kw = dict(k=4, nprobe=2, n_centroids=8, dim=DIM, m=M, ksub=KSUB)
+    out = pq.ivfpq_residual_neighbors(frame, "vid", "emb", F.col("vid") < 3, **kw)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+
+    con = duckdb.connect()
+    con.register("t", frame.toPandas())
+    drows = [
+        tuple(r)
+        for r in con.sql(
+            pq.ivfpq_residual_neighbors_sql("t", "vid", "emb", "vid < 3", **kw)
+        ).fetchall()
+    ]
+    assert sorted(map(tuple, rows)) == sorted(drows)
