@@ -484,6 +484,7 @@ from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
+from bullet_storm_spark.operators import bpe as _bpe
 from bullet_storm_spark.operators import pq as _pq
 from bullet_storm_spark.operators import quantize as _quant
 from bullet_storm_spark.operators import resample as _rsmp
@@ -1042,6 +1043,15 @@ ORDER BY doc_id
         ),
         _smp.split_accounting_sql("documents", "doc_id", "source", holdout_frac=0.1),
     ),
+    # BPE merge training (Sennrich et al. 2016): iterative driver loop
+    # over the weighted word-frequency table — n_merges aggregation
+    # rounds, NOT one SQL statement, so rows-only by the declared
+    # contract; the pytest oracle is a pure-Python reference BPE
+    # (tests/test_bpe.py) that the distributed run matches exactly
+    "text_bpe_merges": (
+        lambda s, d: _bpe.bpe_merge_table(_docs(s, d), "text", n_merges=8),
+        None,
+    ),
     # pretraining/RAG chunking: overlapping fixed-token windows, exact
     # integer window layout in both dialects
     "text_chunk_documents": (
@@ -1401,6 +1411,7 @@ _DRIVER_PRIORITY = [
     "ann_recall_report",
     "sample_stratified_split",
     "sample_split_accounting",
+    "text_bpe_merges",
     "text_chunk_documents",
     "dedup_lsh_recall",
     # changed this round (packed bit-plane simhash) — must re-verify under
