@@ -1052,6 +1052,15 @@ ORDER BY doc_id
         lambda s, d: _bpe.bpe_merge_table(_docs(s, d), "text", n_merges=8),
         None,
     ),
+    # apply side: corpus segmented with a merge table trained on itself
+    # (train + apply in one entry; rows-only like the trainer)
+    "text_bpe_segment": (
+        lambda s, d: _bpe.bpe_segment(
+            _docs(s, d), "doc_id", "text",
+            _bpe.bpe_train(_docs(s, d), "text", n_merges=4),
+        ),
+        None,
+    ),
     # pretraining/RAG chunking: overlapping fixed-token windows, exact
     # integer window layout in both dialects
     "text_chunk_documents": (
@@ -1412,6 +1421,7 @@ _DRIVER_PRIORITY = [
     "sample_stratified_split",
     "sample_split_accounting",
     "text_bpe_merges",
+    "text_bpe_segment",
     "text_chunk_documents",
     "dedup_lsh_recall",
     # changed this round (packed bit-plane simhash) — must re-verify under
