@@ -157,3 +157,29 @@ def test_chunk_documents_duckdb_parity(spark):
         ).fetchall()
     ]
     assert srows == drows and len(srows) > 25
+
+
+@pytest.mark.parametrize("c,ov", [(6, 0), (6, 2), (8, 4), (5, 4)])
+def test_chunk_documents_reconstruction_property(spark, c, ov):
+    """Lossless-coverage property over varied doc lengths: dropping the
+    first `overlap` tokens of every chunk after the first reconstructs
+    the original token stream exactly — no token lost, none duplicated
+    beyond the declared overlap."""
+    from bullet_storm_spark.operators.spans import chunk_documents
+
+    df = spark.createDataFrame(
+        [(n, " ".join(f"w{n}_{j}" for j in range(n))) for n in range(0, 21)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=c, overlap=ov).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"].split())
+    assert 0 not in by_doc  # empty doc emits nothing
+    for n in range(1, 21):
+        chunks = by_doc[n]
+        rebuilt = list(chunks[0])
+        for ch in chunks[1:]:
+            assert ch[:ov] == rebuilt[len(rebuilt) - ov:] if ov else True
+            rebuilt.extend(ch[ov:])
+        assert rebuilt == [f"w{n}_{j}" for j in range(n)]
