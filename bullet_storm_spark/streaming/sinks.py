@@ -73,3 +73,23 @@ class KafkaResultSink:
             .option("topic", self.topic)
             .save()
         )
+
+
+class ProducerResultSink:
+    """Publish each result to a Kafka-protocol producer (the duck-typed
+    ``send(topic, value=bytes, key=bytes)`` surface of
+    streaming/kafka_channel.py) — the ResultBolt->PubSub leg over the
+    same log transport the control channel uses, so the whole
+    submit->execute->result loop rides one broker. Works unchanged with
+    a real KafkaProducer or the in-process InMemoryKafka."""
+
+    def __init__(self, producer, topic: str = "bullet.results") -> None:
+        self.producer = producer
+        self.topic = topic
+
+    def __call__(self, query_id: str, clip: Clip) -> None:
+        self.producer.send(
+            self.topic,
+            value=clip.to_json().encode("utf-8"),
+            key=query_id.encode("utf-8"),
+        )

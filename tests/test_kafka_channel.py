@@ -159,3 +159,33 @@ def test_kafka_submit_and_kill_while_attached(spark, tmp_path):
     assert signals[-1] == "KILL"
     counted = [c for i, c in engine.results if i == "live1" and c.records]
     assert counted and counted[0].records[0]["cnt"] > 0
+
+
+def test_full_loop_results_ride_the_log(spark):
+    """Submit arrives on the control topic, results leave on the results
+    topic: the complete PubSub loop (QuerySpout in, ResultBolt out) over
+    one broker."""
+    from bullet_storm_spark.streaming.sinks import ProducerResultSink
+
+    broker = InMemoryKafka()
+    engine = StreamingEngine(spark, channel=_channel(broker))
+    engine.result_handlers.append(ProducerResultSink(broker.producer(), "bullet.results"))
+    client = KafkaControlClient(broker.producer(), TOPIC)
+
+    batch = spark.range(20).select(
+        F.col("id").cast("double").alias("value"),
+        (F.col("id") % 5).cast("string").alias("event_type"),
+    )
+    client.submit("loop1", "SELECT COUNT(*) AS cnt FROM STREAM(600000, TIME)")
+    engine.process_batch(batch)
+    client.kill("loop1")
+    engine.process_batch(batch)
+
+    results_consumer = broker.consumer("bullet.results", "client")
+    records = [r for recs in results_consumer.poll().values() for r in recs]
+    assert records, "no results published to the log"
+    payloads = [json.loads(r.value) for r in records]
+    # killed queries emit an empty-records KILL clip (reference KILL
+    # semantics); the signal + key routing are the loop's contract
+    assert any(p["meta"].get(SIGNAL_KEY) == "KILL" for p in payloads)
+    assert all(r.key == b"loop1" for r in records)
