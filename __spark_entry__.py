@@ -1026,15 +1026,19 @@ ORDER BY doc_id
     ),
     # residual IVF-PQ (the production FAISS encoding): codes quantize
     # v - centroid[cell]; every cell/code-dependent norm/cross term is a
-    # precomputed literal, so even this variant is hash-checkable
+    # precomputed literal, so even this variant is hash-checkable.
+    # n_centroids=8 at the entry: the DuckDB twin evaluates the coarse
+    # cell ranking twice (candidate + query arms), and 8 cells halves the
+    # gate's oracle cost (22s -> 9s) with nprobe still covering half the
+    # space
     "ann_ivfpq_residual_topk": (
         lambda s, d: _pq.ivfpq_residual_neighbors(
             _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8,
-            k=5, nprobe=4, n_centroids=16,
+            k=5, nprobe=4, n_centroids=8,
         ),
         _pq.ivfpq_residual_neighbors_sql(
             "embeddings", "vec_id", "embedding", "vec_id < 8",
-            k=5, nprobe=4, n_centroids=16,
+            k=5, nprobe=4, n_centroids=8,
         ),
     ),
     # deterministic train/holdout carve with EXACT per-stratum quotas
