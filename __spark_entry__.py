@@ -1055,6 +1055,12 @@ ORDER BY doc_id
         ),
         _smp.split_accounting_sql("documents", "doc_id", "source", holdout_frac=0.1),
     ),
+    # CCNet-style LM quality scoring: per-doc cross-entropy under the
+    # corpus unigram model (one model agg + one token join + one doc agg)
+    "text_lm_score": (
+        lambda s, d: _vocab.lm_score(_docs(s, d), "doc_id", "text"),
+        _vocab.lm_score_sql("documents", "doc_id", "text"),
+    ),
     # BPE merge training (Sennrich et al. 2016): iterative driver loop
     # over the weighted word-frequency table — n_merges aggregation
     # rounds, NOT one SQL statement, so rows-only by the declared
@@ -1433,6 +1439,7 @@ _DRIVER_PRIORITY = [
     "embed_outlier_report",
     "sample_stratified_split",
     "sample_split_accounting",
+    "text_lm_score",
     "text_bpe_merges",
     "text_bpe_segment",
     "text_chunk_documents",

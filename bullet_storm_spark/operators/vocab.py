@@ -85,3 +85,88 @@ FROM vocab
 ORDER BY term_freq DESC, token
 LIMIT {top_n}
 """
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram language-model quality score per document: (id, n_tokens,
+    cross_entropy) where cross_entropy = -mean ln p(token) under the
+    corpus unigram model p(w) = (tf_w + alpha) / (T + alpha * V)
+    (add-alpha smoothing over vocabulary size V, total tokens T). This is
+    the CCNet-style "how surprising is this document under the corpus
+    distribution" curation signal (Wenzek et al., CCNet, LREC 2020 — they
+    use a KenLM; the unigram model is the dependency-free in-sandbox
+    form; the plan shape is identical for any token-level LM).
+
+    Scale shape: ONE token-keyed aggregation builds the model (vocab-
+    sized), one join tags each token row with its probability (broadcast
+    under threshold, hash join on the token key beyond it), one doc-keyed
+    aggregation scores. Per-token ln p rounds to 9dp and sums in
+    DECIMAL — the mean is order-free and the whole score hash-MATCHes the
+    DuckDB twin."""
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("__tf"))
+    totals = vocab.agg(
+        F.sum("__tf").cast("long").alias("__T"),
+        F.count("*").cast("long").alias("__V"),
+    )
+    logp = F.round(
+        F.log(
+            (F.col("__tf") + F.lit(float(alpha)))
+            / (F.col("__T") + F.lit(float(alpha)) * F.col("__V"))
+        ),
+        9,
+    )
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .select("__doc", logp.alias("__logp"))
+    )
+    return (
+        scored.groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("__logp").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("cross_entropy"),
+        )
+        .withColumnRenamed("__doc", id_col)
+        .orderBy(id_col)
+    )
+
+
+def lm_score_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc, unnest({tokens_sql(text_col)}) AS token FROM {table}
+), nonempty AS (SELECT * FROM tok WHERE token <> ''),
+vocab AS (
+  SELECT token, COUNT(*)::BIGINT AS tf FROM nonempty GROUP BY token
+),
+totals AS (SELECT SUM(tf)::BIGINT AS T, COUNT(*)::BIGINT AS V FROM vocab),
+scored AS (
+  SELECT n.doc,
+         ROUND(ln((v.tf + {float(alpha)!r})
+                  / (t.T + {float(alpha)!r} * t.V)), 9) AS logp
+  FROM nonempty n JOIN vocab v USING (token) CROSS JOIN totals t
+)
+SELECT doc AS {id_col}, COUNT(*)::BIGINT AS n_tokens,
+       ROUND(-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*),
+             {round_to}) AS cross_entropy
+FROM scored GROUP BY doc ORDER BY {id_col}
+"""

@@ -220,3 +220,31 @@ def test_embedding_outlier_report(spark):
         ).fetchall()
     ]
     assert srows == drows
+
+
+def test_lm_score_properties_and_parity(spark):
+    """Unigram LM score: a document of corpus-common tokens scores lower
+    cross-entropy than one of rare tokens; values reproduce a hand
+    unigram model; DuckDB parity."""
+    import math
+
+    from bullet_storm_spark.operators.vocab import lm_score, lm_score_sql
+
+    rows = [
+        (0, "common common common common"),
+        (1, "common common rare1"),
+        (2, "rare2 rare3 rare4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_score(df, "doc_id", "text").collect()}
+    assert out[0]["cross_entropy"] < out[1]["cross_entropy"] < out[2]["cross_entropy"]
+    # hand model: T=10, V=5, p(common) = (6+1)/(10+5)
+    p_common = 7.0 / 15.0
+    assert abs(out[0]["cross_entropy"] + math.log(p_common)) < 1e-6
+    assert out[0]["n_tokens"] == 4
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    srows = [tuple(r) for r in lm_score(df, "doc_id", "text").collect()]
+    drows = [tuple(r) for r in con.sql(lm_score_sql("t", "doc_id", "text")).fetchall()]
+    assert srows == drows
