@@ -71,6 +71,8 @@ HEADLINE = [
     "sample_stratified_split",
     "win_user_running_revenue",
     "dedup_lsh_recall",
+    "text_lm_score",
+    "embed_outlier_report",
 ]
 
 
