@@ -486,10 +486,21 @@ from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import bpe as _bpe
 from bullet_storm_spark.operators import pq as _pq
+from bullet_storm_spark.operators import dsir as _dsir
+from bullet_storm_spark.operators import quality as _qual
 from bullet_storm_spark.operators import quantize as _quant
 from bullet_storm_spark.operators import resample as _rsmp
 from bullet_storm_spark.operators import semdedup as _semd
 from bullet_storm_spark.operators import vocab as _vocab
+
+# deterministic non-Latin augmentation for the script-profile entry (one
+# expression string, compiled by BOTH Spark SQL and DuckDB so the two
+# sides see byte-identical input text)
+_SCRIPT_AUG_SQL = (
+    "substr(text, 1, doc_id % 30)"
+    " || repeat('д', doc_id % 5) || repeat('中', doc_id % 4)"
+    " || repeat('ψ', doc_id % 3) || repeat('س', doc_id % 2)"
+)
 
 _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
 # trigram variant: the realistic near-duplicate setting (near-identical
@@ -1101,6 +1112,52 @@ ORDER BY doc_id
             **_MINHASH_KW,
         ),
     ),
+    # Gopher rule-suite quality gate (Rae et al. 2112.11446 Table A1):
+    # per-rule measurement + flag + AND verdict, pure scan expressions
+    "text_gopher_rules": (
+        lambda s, d: _qual.gopher_rules(_docs(s, d), "doc_id", "text"),
+        _qual.gopher_rules_sql("documents", "doc_id", "text"),
+    ),
+    # unicode-script profile over deterministically augmented text (the
+    # synthetic corpus is pure ASCII, so the entry grafts per-doc
+    # Cyrillic/CJK/Greek/Arabic runs and truncates the Latin prefix to
+    # exercise every dominant_script branch incl. 'und')
+    "text_script_profile": (
+        lambda s, d: _qual.script_profile(
+            _docs(s, d).select("doc_id", F.expr(_SCRIPT_AUG_SQL).alias("text")),
+            "doc_id",
+            "text",
+        ),
+        _qual.script_profile_sql(
+            f"(SELECT doc_id, {_SCRIPT_AUG_SQL} AS text FROM documents)",
+            "doc_id",
+            "text",
+        ),
+    ),
+    # per-document characteristic terms: TF-IDF top-k with a rounded-score
+    # rank boundary (engine-independent tie cut)
+    "text_tfidf_terms": (
+        lambda s, d: _vocab.tfidf_terms(_docs(s, d), "doc_id", "text", top_k=5),
+        _vocab.tfidf_terms_sql("documents", "doc_id", "text", top_k=5),
+    ),
+    # DSIR hashed-bigram importance weights (Xie et al. 2302.03169):
+    # log p_target/p_raw under 1024-bucket smoothed unigram models; the
+    # target slice is three sources — high weight = "looks like them"
+    "sample_dsir_weights": (
+        lambda s, d: _dsir.dsir_weights(
+            _docs(s, d), "doc_id", "text",
+            F.col("source").isin("src0", "src1", "src2"),
+        ),
+        _dsir.dsir_weights_sql(
+            "documents", "doc_id", "text", "source IN ('src0','src1','src2')",
+        ),
+    ),
+    # deterministic epoch shuffle: the training-order permutation as a
+    # pure (seed, id) function — shard + in-shard position
+    "sample_epoch_shuffle": (
+        lambda s, d: _smp.epoch_shuffle(_docs(s, d), "doc_id", "ep0", n_shards=8),
+        _smp.epoch_shuffle_sql("documents", "doc_id", "ep0", n_shards=8),
+    ),
 }
 
 
@@ -1444,6 +1501,12 @@ _DRIVER_PRIORITY = [
     "text_bpe_segment",
     "text_chunk_documents",
     "dedup_lsh_recall",
+    # new in the round-4 continuation: quality gating + data-selection ops
+    "text_gopher_rules",
+    "text_script_profile",
+    "text_tfidf_terms",
+    "sample_dsir_weights",
+    "sample_epoch_shuffle",
     # changed this round (packed bit-plane simhash) — must re-verify under
     # the driver gate, not only the in-repo replica
     "dedup_simhash",

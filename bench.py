@@ -73,6 +73,10 @@ HEADLINE = [
     "dedup_lsh_recall",
     "text_lm_score",
     "embed_outlier_report",
+    "text_gopher_rules",
+    "text_tfidf_terms",
+    "sample_dsir_weights",
+    "sample_epoch_shuffle",
 ]
 
 

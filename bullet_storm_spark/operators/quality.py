@@ -1,0 +1,246 @@
+"""Document-quality gating: Gopher-style rule flags and a unicode-script
+profile, dual-compiled (Spark Column builders + DuckDB SQL twins).
+
+``gopher_rules`` applies the published heuristic filter suite from Gopher
+(Rae et al., "Scaling Language Models: Methods, Analysis & Insights from
+Training Gopher", arXiv 2112.11446, Table A1): word-count bounds, mean
+word length bounds, symbol-to-word ratio, fraction of words containing an
+alphabetic character, and minimum distinct-stopword presence. Each rule is
+emitted as its own measured column + boolean flag so a pipeline can grade
+*why* a document failed, not only that it failed — the flags feed the
+curation mix (operators/curate.py) and the sampling priors
+(operators/sampling.py).
+
+``script_profile`` counts characters per unicode script (Latin, Cyrillic,
+Greek, Arabic, CJK) plus the non-ASCII ratio and an argmax dominant
+script — the cheap writing-system signal used to route documents to
+script-specific tokenizers and to catch mojibake (high non-ASCII with no
+dominant script). Ranges use ``\\x{....}`` escapes, the one hex-codepoint
+syntax Java regex (Spark) and RE2 (DuckDB) share.
+
+Scale posture (100 TB): every output is a pure per-row column expression
+over one scan — no shuffle, no UDF, whole-stage codegen end to end. The
+token array is expected MATERIALIZED (behind an exchange) by the caller
+for the same CollapseProject reason documented at
+functions/text.py:57-65 — an expression-valued token column re-runs the
+split regex inside every lambda.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bullet_storm_spark.functions.text import (
+    EN_STOPWORDS,
+    tokens,
+    tokens_sql,
+    _NON_ALNUM,
+)
+
+# --- Gopher rule suite ------------------------------------------------------
+
+# Thresholds from Gopher Table A1, with the word-count floor lowered to fit
+# the synthetic corpus' ~60-word documents (the reference corpus floor is
+# 50; both are caller-overridable).
+GOPHER_DEFAULTS = dict(
+    min_words=30,
+    max_words=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,
+    min_alpha_word_ratio=0.80,
+    min_stopword_hits=2,
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+    **overrides: float,
+) -> DataFrame:
+    """Per-document Gopher rule measurements + flags + the AND verdict.
+
+    Output: ``(id, n_words, mean_word_len, symbol_word_ratio,
+    alpha_word_ratio, n_stopword_kinds, ok_words, ok_word_len, ok_symbols,
+    ok_alpha, ok_stopwords, passes)``. All ratios ROUND(x, round_to) so
+    the DuckDB twin hash-matches; the flags compare the rounded values,
+    so flag and measurement can never disagree in the output.
+    """
+    p = {**GOPHER_DEFAULTS, **overrides}
+    spark = df.sparkSession
+
+    toks = F.col("__toks")
+    n_words = F.size(toks).cast("long")
+    # integer char total / integer word count -> one double division, then
+    # one round: no accumulation-order concern
+    char_total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, t: a + t
+    )
+    mean_word_len = F.round(char_total / F.nullif(n_words, F.lit(0)), round_to)
+    symbols = F.length(F.regexp_replace(F.col("__text"), _NON_ALNUM, ""))
+    symbol_ratio = F.round(symbols / F.nullif(n_words, F.lit(0)), round_to)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_ratio = F.round(alpha_words / F.nullif(n_words, F.lit(0)), round_to)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stop_kinds = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast(
+        "long"
+    )
+
+    measured = (
+        # the exchange materializes BOTH the raw text and the token array,
+        # so the per-token lambdas below read concrete columns instead of
+        # re-inlined regex splits (functions/text.py:57-65)
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__text"),
+            tokens(text_col).alias("__toks"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("__id"),
+            n_words.alias("n_words"),
+            mean_word_len.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_word_ratio"),
+            alpha_ratio.alias("alpha_word_ratio"),
+            stop_kinds.alias("n_stopword_kinds"),
+        )
+    )
+    ok_words = (F.col("n_words") >= p["min_words"]) & (
+        F.col("n_words") <= p["max_words"]
+    )
+    ok_wlen = (F.col("mean_word_len") >= p["min_mean_word_len"]) & (
+        F.col("mean_word_len") <= p["max_mean_word_len"]
+    )
+    ok_sym = F.col("symbol_word_ratio") <= p["max_symbol_word_ratio"]
+    ok_alpha = F.col("alpha_word_ratio") >= p["min_alpha_word_ratio"]
+    ok_stop = F.col("n_stopword_kinds") >= p["min_stopword_hits"]
+    return measured.select(
+        F.col("__id").alias(id_col),
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_ratio",
+        "n_stopword_kinds",
+        ok_words.alias("ok_words"),
+        ok_wlen.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wlen & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    ).orderBy(id_col)
+
+
+def gopher_rules_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+    **overrides: float,
+) -> str:
+    p = {**GOPHER_DEFAULTS, **overrides}
+    t = tokens_sql(text_col)
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+WITH __m AS (
+  SELECT {id_col} AS __id,
+         len({t})::BIGINT AS n_words,
+         ROUND(list_sum(list_transform({t}, x -> length(x)))
+               / NULLIF(len({t}), 0)::DOUBLE, {round_to}) AS mean_word_len,
+         ROUND(length(regexp_replace({text_col}, '{_NON_ALNUM}', '', 'g'))
+               / NULLIF(len({t}), 0)::DOUBLE, {round_to}) AS symbol_word_ratio,
+         ROUND(len(list_filter({t}, x -> regexp_matches(x, '[a-zA-Z]')))
+               / NULLIF(len({t}), 0)::DOUBLE, {round_to}) AS alpha_word_ratio,
+         len(list_intersect(list_distinct({t}), {stop_arr}))::BIGINT
+           AS n_stopword_kinds
+  FROM {table}
+)
+SELECT __id AS {id_col}, n_words, mean_word_len, symbol_word_ratio,
+       alpha_word_ratio, n_stopword_kinds,
+       (n_words >= {p['min_words']} AND n_words <= {p['max_words']}) AS ok_words,
+       (mean_word_len >= {p['min_mean_word_len']}
+        AND mean_word_len <= {p['max_mean_word_len']}) AS ok_word_len,
+       (symbol_word_ratio <= {p['max_symbol_word_ratio']}) AS ok_symbols,
+       (alpha_word_ratio >= {p['min_alpha_word_ratio']}) AS ok_alpha,
+       (n_stopword_kinds >= {p['min_stopword_hits']}) AS ok_stopwords,
+       ((n_words >= {p['min_words']} AND n_words <= {p['max_words']})
+        AND (mean_word_len >= {p['min_mean_word_len']}
+             AND mean_word_len <= {p['max_mean_word_len']})
+        AND (symbol_word_ratio <= {p['max_symbol_word_ratio']})
+        AND (alpha_word_ratio >= {p['min_alpha_word_ratio']})
+        AND (n_stopword_kinds >= {p['min_stopword_hits']})) AS passes
+FROM __m ORDER BY {id_col}
+"""
+
+
+# --- unicode script profile -------------------------------------------------
+
+# Script ranges as hex-codepoint classes — the \\x{{..}} escape is the one
+# syntax Java regex and RE2 both accept (Java's \\p{{IsLatin}} and RE2's
+# \\p{{Latin}} spellings differ, so named script classes can't be shared).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "cyrillic": r"\x{0400}-\x{04FF}",
+    "greek": r"\x{0370}-\x{03FF}",
+    "arabic": r"\x{0600}-\x{06FF}",
+    "cjk": r"\x{4E00}-\x{9FFF}",
+}
+SCRIPT_ORDER = list(SCRIPT_RANGES)  # fixed argmax tie-break order
+_NON_ASCII = r"[^\x{0000}-\x{007F}]"
+
+
+def script_profile(
+    df: DataFrame, id_col: str, text_col: str, round_to: int = 6
+) -> DataFrame:
+    """(id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, non_ascii_ratio,
+    dominant_script) — per-script character counts, the non-ASCII character
+    fraction, and the first-max dominant script ('und' when no script char
+    occurs at all). Pure row expressions; rides the scan."""
+    text = F.col(text_col)
+    counts = {
+        name: F.regexp_count(text, F.lit(f"[{rng}]")).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    best = counts[SCRIPT_ORDER[0]]
+    for name in SCRIPT_ORDER[1:]:
+        best = F.greatest(best, counts[name])
+    dominant = F.lit("und")
+    for name in reversed(SCRIPT_ORDER):
+        dominant = F.when(
+            (counts[name] > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(dominant)
+    non_ascii = F.round(
+        F.regexp_count(text, F.lit(_NON_ASCII))
+        / F.nullif(F.length(text), F.lit(0)),
+        round_to,
+    )
+    return df.select(
+        F.col(id_col),
+        *[counts[n].alias(f"n_{n}") for n in SCRIPT_ORDER],
+        non_ascii.alias("non_ascii_ratio"),
+        dominant.alias("dominant_script"),
+    ).orderBy(id_col)
+
+
+def script_profile_sql(
+    table: str, id_col: str, text_col: str, round_to: int = 6
+) -> str:
+    counts = {
+        name: f"len(regexp_extract_all({text_col}, '[{rng}]'))::BIGINT"
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    best = f"greatest({', '.join(counts.values())})"
+    whens = " ".join(
+        f"WHEN {counts[n]} > 0 AND {counts[n]} = {best} THEN '{n}'"
+        for n in SCRIPT_ORDER
+    )
+    cols = ", ".join(f"{counts[n]} AS n_{n}" for n in SCRIPT_ORDER)
+    return f"""
+SELECT {id_col}, {cols},
+       ROUND(len(regexp_extract_all({text_col}, '{_NON_ASCII}'))
+             / NULLIF(length({text_col}), 0)::DOUBLE, {round_to})
+         AS non_ascii_ratio,
+       (CASE {whens} ELSE 'und' END) AS dominant_script
+FROM {table} ORDER BY {id_col}
+"""

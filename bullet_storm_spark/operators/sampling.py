@@ -287,3 +287,56 @@ FROM ({inner})
 GROUP BY {stratum_col}
 ORDER BY {stratum_col}
 """
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, seed: str, n_shards: int = 8
+) -> DataFrame:
+    """(shard, pos, id): the deterministic global training-order shuffle.
+    Every record is assigned a shard and a position within it as a pure
+    function of (seed, id) — change the seed, get an independent
+    permutation; re-run the job, get the identical one. This is the
+    epoch-ordering pass a trainer consumes: readers stream shard files in
+    pos order and the concatenation is a uniform permutation of the corpus.
+
+    Scale shape: the shuffle key is md5(seed:id) — uniform by
+    construction, so shards balance regardless of id skew. ONE exchange on
+    the shard id, ONE within-partition sort for the position window; with
+    n_shards ~ cluster parallelism this is exactly the
+    repartitionByRange+sortWithinPartitions posture of the shard layout
+    writer (operators/layout.py), expressed as an oracle-checkable query.
+    No driver state, no global sort."""
+    from pyspark.sql import Window
+
+    b = int(n_shards)
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"), F.lit(b)
+    )
+    keyed = df.select(
+        F.col(id_col).alias("__id"), key.alias("__key"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("__key", "__id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", F.col("__id").alias(id_col))
+        .orderBy("shard", "pos")
+    )
+
+
+def epoch_shuffle_sql(
+    table: str, id_col: str, seed: str, n_shards: int = 8
+) -> str:
+    b = int(n_shards)
+    key = f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"
+    shard = f"(('0x' || substr({key}, 1, 8))::BIGINT % {b})"
+    return f"""
+SELECT {shard} AS shard,
+       row_number() OVER (PARTITION BY {shard}
+                          ORDER BY {key}, {id_col})::BIGINT AS pos,
+       {id_col}
+FROM {table}
+ORDER BY shard, pos
+"""

@@ -170,3 +170,85 @@ SELECT doc AS {id_col}, COUNT(*)::BIGINT AS n_tokens,
              {round_to}) AS cross_entropy
 FROM scored GROUP BY doc ORDER BY {id_col}
 """
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by TF-IDF:
+    ``(id, rank, token, tf, tfidf)`` where ``tfidf = tf * ln((1 + N) /
+    (1 + doc_freq))`` (same smoothed IDF as :func:`vocabulary`). The
+    per-doc ordering is (ROUNDED tfidf desc, token asc) so the rank-k
+    boundary is engine-independent — ties can't be cut differently by a
+    sub-round-off ln() discrepancy.
+
+    Scale shape: the (doc, token) aggregation spreads hot tokens across
+    documents (no hot key); the doc-frequency table is vocab-sized and
+    joins on the token key (broadcast under threshold / shuffled hash
+    beyond — AQE's call); N rides a broadcast 1-row aggregate; the final
+    per-doc top-k is ONE window partitioned by the doc id — the corpus'
+    natural key, uniform by construction."""
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    per_doc = tok.groupBy("__doc", "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = per_doc.groupBy("token").agg(F.count("*").cast("long").alias("__df"))
+    n_docs = df.agg(F.count("*").alias("__n"))
+    scored = (
+        per_doc.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__doc",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("__df"))),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__doc").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("__doc").alias(id_col), "rank", "token", "tf", "tfidf")
+        .orderBy(id_col, "rank")
+    )
+
+
+def tfidf_terms_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc, unnest({tokens_sql(text_col)}) AS token FROM {table}
+), per_doc AS (
+  SELECT doc, token, COUNT(*)::BIGINT AS tf
+  FROM tok WHERE token <> '' GROUP BY doc, token
+), dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS df FROM per_doc GROUP BY token
+), scored AS (
+  SELECT doc, token, tf,
+         ROUND(tf * ln((1 + (SELECT COUNT(*) FROM {table}))::DOUBLE
+                       / (1 + df)), {round_to}) AS tfidf
+  FROM per_doc JOIN dfreq USING (token)
+)
+SELECT doc AS {id_col},
+       row_number() OVER (PARTITION BY doc
+                          ORDER BY tfidf DESC, token ASC)::BIGINT AS rank,
+       token, tf, tfidf
+FROM scored
+QUALIFY rank <= {top_k}
+ORDER BY {id_col}, rank
+"""

@@ -1,0 +1,204 @@
+"""Tests for the quality-gating + data-selection operators: Gopher rule
+suite, unicode-script profile, TF-IDF terms, DSIR importance weights, and
+the deterministic epoch shuffle — behavior plus DuckDB parity."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark.operators import quality as Q
+from bullet_storm_spark.operators import sampling as S
+from bullet_storm_spark.operators import vocab as V
+from bullet_storm_spark.operators.dsir import dsir_weights, dsir_weights_sql
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and that is for sure "
+    "a fine day in the field with plenty of calm and steady words that "
+    "keep going for a while so the word count clears the floor easily"
+)
+
+ROWS = [
+    (0, GOOD),  # passes everything
+    (1, "too short"),  # fails min_words
+    (2, GOOD + " ### $$$ %%% !!! ??? *** ((( ))) @@@ &&& ^^^ ~~~ ```"),
+    (3, " ".join(["zz"] * 60)),  # no stopwords, short mean word len
+    (4, " ".join(["12345"] * 60)),  # numeric: fails alpha + stopwords
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def duck(docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", ROWS)
+    return con
+
+
+def _parity(sdf, con, sql):
+    a = sdf.toPandas()
+    b = con.sql(sql).df()[list(a.columns)]
+    key = list(a.columns)
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return a
+
+
+# --- gopher rules -----------------------------------------------------------
+
+def test_gopher_rules_flags(docs, duck):
+    out = _parity(
+        Q.gopher_rules(docs, "doc_id", "text"),
+        duck,
+        Q.gopher_rules_sql("docs", "doc_id", "text"),
+    )
+    by = out.set_index("doc_id")
+    assert bool(by.loc[0, "passes"])
+    assert not bool(by.loc[1, "ok_words"]) and not bool(by.loc[1, "passes"])
+    assert not bool(by.loc[2, "ok_symbols"])
+    assert not bool(by.loc[3, "ok_stopwords"])
+    assert not bool(by.loc[4, "ok_alpha"]) and not bool(by.loc[4, "ok_stopwords"])
+    # measurements are consistent with flags (flag compares the emitted value)
+    assert by.loc[2, "symbol_word_ratio"] > Q.GOPHER_DEFAULTS["max_symbol_word_ratio"]
+
+
+def test_gopher_rules_overrides(docs):
+    out = (
+        Q.gopher_rules(docs, "doc_id", "text", min_words=1, min_stopword_hits=0,
+                       min_alpha_word_ratio=0.0, min_mean_word_len=0.0,
+                       max_symbol_word_ratio=10.0)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[1, "passes"])  # relaxed thresholds admit everything
+    assert bool(out.loc[4, "passes"])
+
+
+# --- script profile ---------------------------------------------------------
+
+SCRIPT_ROWS = [
+    (0, "plain latin text only"),
+    (1, "короткий русский текст"),
+    (2, "中文文本测试中文"),
+    (3, "mixed латиница and 中文 chars"),
+    (4, "1234 .,!? 5678"),  # no script chars at all -> 'und'
+    (5, "ελληνικά words here yes"),  # greek chars outnumber latin? no: latin more
+]
+
+
+def test_script_profile(spark):
+    df = spark.createDataFrame(SCRIPT_ROWS, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", SCRIPT_ROWS)
+    out = _parity(
+        Q.script_profile(df, "doc_id", "text"),
+        con,
+        Q.script_profile_sql("t", "doc_id", "text"),
+    )
+    by = out.set_index("doc_id")
+    assert by.loc[0, "dominant_script"] == "latin"
+    assert by.loc[1, "dominant_script"] == "cyrillic"
+    assert by.loc[2, "dominant_script"] == "cjk"
+    assert by.loc[4, "dominant_script"] == "und"
+    assert by.loc[0, "non_ascii_ratio"] == 0.0
+    assert by.loc[2, "non_ascii_ratio"] > 0.9
+    # mixed doc counts both scripts
+    assert by.loc[3, "n_latin"] > 0 and by.loc[3, "n_cyrillic"] > 0
+    assert by.loc[3, "n_cjk"] == 2
+
+
+# --- tf-idf terms -----------------------------------------------------------
+
+TFIDF_ROWS = [
+    (0, "common common common unicorn"),
+    (1, "common common dragon dragon"),
+    (2, "common words words words everywhere"),
+]
+
+
+def test_tfidf_terms(spark):
+    df = spark.createDataFrame(TFIDF_ROWS, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", TFIDF_ROWS)
+    out = _parity(
+        V.tfidf_terms(df, "doc_id", "text", top_k=2),
+        con,
+        V.tfidf_terms_sql("t", "doc_id", "text", top_k=2),
+    )
+    by_rank = out.set_index(["doc_id", "rank"])
+    # the doc-unique term outranks the corpus-wide 'common' everywhere
+    assert by_rank.loc[(0, 1), "token"] == "unicorn"
+    assert by_rank.loc[(1, 1), "token"] == "dragon"
+    assert by_rank.loc[(2, 1), "token"] == "words"
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+
+
+# --- DSIR importance weights ------------------------------------------------
+
+DSIR_ROWS = [
+    (0, "alpha beta gamma delta alpha beta", "target"),
+    (1, "alpha beta gamma delta epsilon zeta", "target"),
+    (2, "alpha beta gamma delta alpha gamma", "raw"),  # looks like target
+    (3, "omega psi chi phi upsilon tau", "raw"),  # looks nothing like it
+    (4, "solo", "raw"),  # < 2 tokens -> no bigram
+]
+
+
+def test_dsir_weights(spark):
+    df = spark.createDataFrame(DSIR_ROWS, "doc_id long, text string, src string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, src VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", DSIR_ROWS)
+    out = _parity(
+        dsir_weights(df, "doc_id", "text", F.col("src") == "target",
+                     n_buckets=64),
+        con,
+        dsir_weights_sql("t", "doc_id", "text", "src = 'target'", n_buckets=64),
+    )
+    by = out.set_index("doc_id")
+    # target-looking raw doc scores above the target-alien one
+    assert by.loc[2, "log_weight"] > by.loc[3, "log_weight"]
+    # and the target docs themselves score high
+    assert by.loc[0, "log_weight"] > by.loc[3, "log_weight"]
+    # no-bigram doc: zero grams, zero weight
+    assert by.loc[4, "n_grams"] == 0 and by.loc[4, "log_weight"] == 0.0
+    assert by.loc[0, "n_grams"] == 5
+
+
+# --- epoch shuffle ----------------------------------------------------------
+
+def test_epoch_shuffle(spark):
+    rows = [(i, f"doc {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    out = _parity(
+        S.epoch_shuffle(df, "doc_id", "ep1", n_shards=4),
+        con,
+        S.epoch_shuffle_sql("t", "doc_id", "ep1", n_shards=4),
+    )
+    # a permutation: every id exactly once
+    assert sorted(out["doc_id"]) == list(range(40))
+    # positions are contiguous 1..n within each shard
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # deterministic under re-run; different seed -> different order
+    again = S.epoch_shuffle(df, "doc_id", "ep1", n_shards=4).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["shard", "pos"]).reset_index(drop=True),
+        again.sort_values(["shard", "pos"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    other = S.epoch_shuffle(df, "doc_id", "ep2", n_shards=4).toPandas()
+    assert list(other.sort_values(["shard", "pos"])["doc_id"]) != list(
+        out.sort_values(["shard", "pos"])["doc_id"]
+    )
