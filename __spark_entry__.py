@@ -1152,6 +1152,12 @@ ORDER BY doc_id
             "documents", "doc_id", "text", "source IN ('src0','src1','src2')",
         ),
     ),
+    # corpus analytics before mixing: per-source KL divergence to the
+    # corpus unigram distribution (distributional drift detector)
+    "text_source_divergence": (
+        lambda s, d: _vocab.source_divergence(_docs(s, d), "source", "text"),
+        _vocab.source_divergence_sql("documents", "source", "text"),
+    ),
     # deterministic epoch shuffle: the training-order permutation as a
     # pure (seed, id) function — shard + in-shard position
     "sample_epoch_shuffle": (
@@ -1505,6 +1511,7 @@ _DRIVER_PRIORITY = [
     "text_gopher_rules",
     "text_script_profile",
     "text_tfidf_terms",
+    "text_source_divergence",
     "sample_dsir_weights",
     "sample_epoch_shuffle",
     # changed this round (packed bit-plane simhash) — must re-verify under

@@ -75,6 +75,7 @@ HEADLINE = [
     "embed_outlier_report",
     "text_gopher_rules",
     "text_tfidf_terms",
+    "text_source_divergence",
     "sample_dsir_weights",
     "sample_epoch_shuffle",
 ]

@@ -252,3 +252,95 @@ FROM scored
 QUALIFY rank <= {top_k}
 ORDER BY {id_col}, rank
 """
+
+
+def source_divergence(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-source distribution drift: ``(stratum, n_tokens, vocab_size,
+    kl_to_corpus)`` where ``kl_to_corpus = KL(P_s || P_corpus) =
+    sum over tokens in s of p_s(w) * ln(p_s(w) / p_c(w))`` with the
+    unsmoothed within-source distribution ``p_s`` and corpus distribution
+    ``p_c`` (well-defined — every source token is a corpus token). This is
+    the corpus-analytics pass run before choosing mixing weights: a
+    source with high KL is distributionally far from the blend (dialect,
+    boilerplate, or contamination) and gets inspected before training.
+
+    Hash-exact across engines: per-token terms round to 12 dp then sum in
+    DECIMAL(38,12) — order-free, so the score is independent of
+    partitioning (same treatment as lm_score).
+
+    Scale shape (100 TB): ONE (stratum, token) aggregation (hot tokens
+    spread across strata), the corpus vocabulary derived from it by a
+    second vocab-bounded aggregation, a token-keyed join between two
+    vocab-sized tables (broadcast under threshold), per-stratum totals as
+    a |strata|-row broadcast, one final |strata|-keyed aggregation.
+    The raw corpus is scanned once and shuffled once."""
+    tok = df.select(
+        F.col(stratum_col).alias("__src"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).where(F.col("token") != "")
+    per_src = tok.groupBy("__src", "token").agg(
+        F.count("*").cast("long").alias("__tfs")
+    )
+    corpus = per_src.groupBy("token").agg(F.sum("__tfs").cast("long").alias("__tfc"))
+    totals = per_src.groupBy("__src").agg(F.sum("__tfs").cast("long").alias("__Ts"))
+    grand = corpus.agg(F.sum("__tfc").cast("long").alias("__Tc"))
+    ps = F.col("__tfs") / F.col("__Ts")
+    pc = F.col("__tfc") / F.col("__Tc")
+    term = F.round(ps * F.log(ps / pc), 12)
+    return (
+        per_src.join(corpus, "token")
+        .join(F.broadcast(totals), "__src")
+        .crossJoin(F.broadcast(grand))
+        .select("__src", "__Ts", term.alias("__term"))
+        .groupBy("__src")
+        .agg(
+            F.first("__Ts").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.round(
+                F.sum(F.col("__term").cast("decimal(38,12)")).cast("double"),
+                round_to,
+            ).alias("kl_to_corpus"),
+        )
+        .withColumnRenamed("__src", stratum_col)
+        .orderBy(stratum_col)
+    )
+
+
+def source_divergence_sql(
+    table: str,
+    stratum_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT {stratum_col} AS src, unnest({tokens_sql(text_col)}) AS token
+  FROM {table}
+), nonempty AS (SELECT * FROM tok WHERE token <> ''),
+per_src AS (
+  SELECT src, token, COUNT(*)::BIGINT AS tfs FROM nonempty GROUP BY src, token
+), corpus AS (
+  SELECT token, SUM(tfs)::BIGINT AS tfc FROM per_src GROUP BY token
+), totals AS (
+  SELECT src, SUM(tfs)::BIGINT AS Ts FROM per_src GROUP BY src
+), grand AS (SELECT SUM(tfc)::BIGINT AS Tc FROM corpus),
+terms AS (
+  SELECT p.src, t.Ts,
+         ROUND((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc)), 12)
+           AS term
+  FROM per_src p
+  JOIN corpus c USING (token)
+  JOIN totals t ON p.src = t.src
+  CROSS JOIN grand g
+)
+SELECT src AS {stratum_col}, ANY_VALUE(Ts) AS n_tokens,
+       COUNT(*)::BIGINT AS vocab_size,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), {round_to})
+         AS kl_to_corpus
+FROM terms GROUP BY src ORDER BY {stratum_col}
+"""

@@ -287,3 +287,50 @@ def sessionize(
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sliding_window_agg(
+    stream_df: DataFrame,
+    fields: list[str],
+    operations: list,
+    event_time_col: str = "ts",
+    window_ms: int = 10_000,
+    slide_ms: int = 5_000,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Sliding EVENT-TIME window aggregation — the window kind the
+    reference lacks (it has tumbling time and sliding RECORD windows,
+    `plans/query.py:260-278`; a sliding *time* window under Storm's tick
+    clock would re-scan every buffered record per tick). In Spark it is
+    one `window(col, windowDuration, slideDuration)` group-by: each event
+    lands in ``window_ms / slide_ms`` overlapping windows, the state store
+    owns per-window partial aggregates, and the watermark expires windows
+    whose end passed — bounded state, late data within the delay still
+    lands in every window that covers it.
+
+    ``operations`` is the same GroupOperation list the batch GroupBy
+    lowering uses, so the metric surface (COUNT/SUM/MIN/MAX/AVG)
+    compiles identically in both engines.
+
+    Scale shape: the shuffle key is (window, *fields) — slide multiplies
+    state, not shuffle volume (window assignment is map-side); partial
+    aggregation combines per partition before the exchange like any
+    batch hash aggregate."""
+    if window_ms <= 0 or slide_ms <= 0 or slide_ms > window_ms:
+        raise ValueError(
+            f"need 0 < slide_ms <= window_ms, got {slide_ms} / {window_ms}"
+        )
+    df = stream_df.withWatermark(event_time_col, watermark_delay)
+    win = F.window(
+        F.col(event_time_col),
+        f"{window_ms} milliseconds",
+        f"{slide_ms} milliseconds",
+    )
+    grouped = df.groupBy(win.alias("__w"), *[F.col(f) for f in fields])
+    out = grouped.agg(*[_agg_column(op) for op in operations])
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *[F.col(f) for f in fields],
+        *[F.col(op.alias) for op in operations],
+    )

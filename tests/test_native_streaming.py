@@ -243,3 +243,47 @@ def test_stream_interval_join_matches_within_lookback(spark, tmp_path):
         q.stop()
     rows = [(r["user"], r["amount"], r["page"]) for r in spark.table("sj_out").collect()]
     assert rows == [("u1", 9.99, "pricing")]
+
+
+def test_sliding_window_agg(spark, tmp_path):
+    from bullet_storm_spark.streaming.native import sliding_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, k string, v double"
+    rows1 = [
+        (t0 + dt.timedelta(seconds=0, milliseconds=500), "a", 1.0),
+        (t0 + dt.timedelta(seconds=1, milliseconds=500), "a", 2.0),
+    ]
+    # advance the watermark far enough to close every early window
+    rows2 = [(t0 + dt.timedelta(seconds=60), "a", 9.0)]
+    ops = [
+        GroupOperation(GroupOpType.COUNT, None, "cnt"),
+        GroupOperation(GroupOpType.SUM, "v", "s"),
+    ]
+    out = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: sliding_window_agg(
+            s, ["k"], ops, event_time_col="ts",
+            window_ms=2_000, slide_ms=1_000, watermark_delay="5 seconds",
+        ),
+        schema,
+        [rows1, rows2],
+    )
+    rows = {r.window_start: r for r in out.collect() if r.window_start < t0 + dt.timedelta(seconds=10)}
+    # event at 0.5s lands in windows [-1,1) and [0,2); event at 1.5s in
+    # [0,2) and [1,3) — the overlapping [0,2) window sees both
+    w_minus1 = t0 - dt.timedelta(seconds=1)
+    assert rows[w_minus1].cnt == 1 and rows[w_minus1].s == 1.0
+    assert rows[t0].cnt == 2 and rows[t0].s == 3.0
+    w1 = t0 + dt.timedelta(seconds=1)
+    assert rows[w1].cnt == 1 and rows[w1].s == 2.0
+
+
+def test_sliding_window_agg_validates(spark):
+    from bullet_storm_spark.streaming.native import sliding_window_agg
+
+    with pytest.raises(ValueError, match="slide_ms"):
+        sliding_window_agg(
+            spark.readStream.format("rate").load(), [], [], slide_ms=0
+        )

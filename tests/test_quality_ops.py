@@ -202,3 +202,31 @@ def test_epoch_shuffle(spark):
     assert list(other.sort_values(["shard", "pos"])["doc_id"]) != list(
         out.sort_values(["shard", "pos"])["doc_id"]
     )
+
+
+# --- source divergence ------------------------------------------------------
+
+DIV_ROWS = [
+    (0, "alpha beta gamma alpha beta", "blend"),
+    (1, "alpha beta gamma delta", "blend"),
+    (2, "alpha beta delta gamma", "blend"),
+    (3, "omega omega omega psi psi", "weird"),  # distributionally far
+]
+
+
+def test_source_divergence(spark):
+    df = spark.createDataFrame(DIV_ROWS, "doc_id long, text string, source string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", DIV_ROWS)
+    out = _parity(
+        V.source_divergence(df, "source", "text"),
+        con,
+        V.source_divergence_sql("t", "source", "text"),
+    )
+    by = out.set_index("source")
+    # KL is non-negative and the alien source diverges far more
+    assert (out["kl_to_corpus"] >= 0).all()
+    assert by.loc["weird", "kl_to_corpus"] > by.loc["blend", "kl_to_corpus"]
+    assert by.loc["blend", "n_tokens"] == 13
+    assert by.loc["weird", "vocab_size"] == 2
