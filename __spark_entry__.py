@@ -487,6 +487,7 @@ from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import bpe as _bpe
 from bullet_storm_spark.operators import pq as _pq
 from bullet_storm_spark.operators import dsir as _dsir
+from bullet_storm_spark.operators import kmeans as _km
 from bullet_storm_spark.operators import quality as _qual
 from bullet_storm_spark.operators import quantize as _quant
 from bullet_storm_spark.operators import resample as _rsmp
@@ -1151,6 +1152,14 @@ ORDER BY doc_id
         _dsir.dsir_weights_sql(
             "documents", "doc_id", "text", "source IN ('src0','src1','src2')",
         ),
+    ),
+    # full-corpus distributed Lloyd k-means (iterative driver loop ->
+    # rows-only by the declared contract; the pytest oracle is an exact
+    # pure-Python replica of every step, tests/test_kmeans.py)
+    "embed_kmeans_report": (
+        lambda s, d: _km.kmeans_report(_embs(s, d), "vec_id", "embedding",
+                                       k=8, iters=3),
+        None,
     ),
     # corpus analytics before mixing: per-source KL divergence to the
     # corpus unigram distribution (distributional drift detector)
