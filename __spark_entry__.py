@@ -1153,6 +1153,21 @@ ORDER BY doc_id
             "documents", "doc_id", "text", "source IN ('src0','src1','src2')",
         ),
     ),
+    # fuzzy decontamination: near-duplicate train/eval leakage that exact
+    # n-gram overlap misses (banded MinHash probe of a broadcast
+    # benchmark index; exact jaccard verify on collisions only)
+    "text_decontaminate_fuzzy": (
+        lambda s, d: _decon.fuzzy_contamination(
+            _docs(s, d), "doc_id", "text",
+            _docs(s, d).where(F.col("doc_id") % 10 == 0), "doc_id", "text",
+            num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+        ),
+        _decon.fuzzy_contamination_sql(
+            "documents", "doc_id", "text",
+            "(SELECT * FROM documents WHERE doc_id % 10 = 0)", "doc_id", "text",
+            num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+        ),
+    ),
     # full-corpus distributed Lloyd k-means (iterative driver loop ->
     # rows-only by the declared contract; the pytest oracle is an exact
     # pure-Python replica of every step, tests/test_kmeans.py)

@@ -137,3 +137,113 @@ SELECT t.{id_col},
 FROM totals t LEFT JOIN overlap o ON t.{id_col} = o.doc
 ORDER BY t.{id_col}
 """
+
+
+def fuzzy_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_df: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-duplicate (fuzzy) decontamination: ``(id, max_jaccard,
+    contaminated)`` where max_jaccard is the highest exact shingle-set
+    Jaccard between the training document and ANY benchmark document that
+    collides with it in at least one MinHash band. Catches the rephrased /
+    lightly-edited eval leakage that exact n-gram overlap
+    (:func:`contamination`) misses once whitespace or a few tokens change.
+
+    Plan shape — the cross-corpus reading of the incremental-dedup probe
+    (`dedup.band_index` / `dedup_against_index`): the BENCHMARK side is
+    banded and BROADCAST (eval suites are MBs); the corpus bands once and
+    probes with one broadcast hash join on (band, band_hash); exact
+    Jaccard verifies only colliding pairs; a max-aggregation on the doc id
+    and a left join back to the corpus complete it. The 100 TB corpus is
+    scanned once (the left join reuses the scan) and shuffled only on its
+    own doc id. LSH recall caveats are measurable first via
+    `dedup.lsh_recall_audit` at the same (num_hashes, bands)."""
+    from bullet_storm_spark.operators.dedup import _jaccard, band_index
+
+    corpus = band_index(df, id_col, text_col, num_hashes, bands, shingle_n)
+    bench = band_index(
+        bench_df, bench_id_col, bench_text_col, num_hashes, bands, shingle_n
+    ).select("band", "band_hash", F.col("shingles").alias("__bsh"))
+    jac = F.round(_jaccard(F.col("shingles"), F.col("__bsh")), round_to)
+    hits = (
+        corpus.join(F.broadcast(bench), ["band", "band_hash"])
+        .select(F.col(id_col).alias("__hid"), jac.alias("__jac"))
+        .groupBy("__hid")
+        .agg(F.max("__jac").alias("__maxjac"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("__hid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__maxjac", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("__maxjac", F.lit(0.0)) >= threshold).alias("contaminated"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def fuzzy_contamination_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bench_table: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> str:
+    from bullet_storm_spark.operators.dedup import (
+        _hash_pairs_sql,
+        _sig_from_pairs_sql,
+    )
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    def banded(src_table: str, src_id: str, src_text: str) -> str:
+        hp = _hash_pairs_sql(src_text, shingle_n)
+        sig = _sig_from_pairs_sql("hp", num_hashes)
+        sh = shingles_sql(src_text, shingle_n)
+        band_arms = ", ".join(
+            f"md5(array_to_string(sig[{b * r + 1}:{b * r + r}], ''))"
+            for b in range(bands)
+        )
+        return f"""
+  SELECT id, sh, unnest(range(1, {bands + 1})) AS band,
+         unnest([{band_arms}]) AS bh
+  FROM (SELECT id, {sig} AS sig, sh
+        FROM (SELECT {src_id} AS id, {hp} AS hp, {sh} AS sh FROM {src_table})
+        WHERE len(sh) > 0)"""
+
+    jac = (
+        "len(list_intersect(c.sh, b.sh))"
+        " / (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh)))::DOUBLE"
+    )
+    return f"""
+WITH __fz_corpus AS ({banded(table, id_col, text_col)}
+), __fz_bench AS ({banded(bench_table, bench_id_col, bench_text_col)}
+), __fz_hits AS (
+  SELECT c.id AS hid, MAX(ROUND({jac}, {round_to})) AS maxjac
+  FROM __fz_corpus c JOIN __fz_bench b ON c.band = b.band AND c.bh = b.bh
+  GROUP BY c.id
+)
+SELECT t.{id_col}, COALESCE(h.maxjac, 0.0) AS max_jaccard,
+       (COALESCE(h.maxjac, 0.0) >= {threshold}) AS contaminated
+FROM {table} t LEFT JOIN __fz_hits h ON t.{id_col} = h.hid
+ORDER BY t.{id_col}
+"""

@@ -161,3 +161,65 @@ def test_contamination_plan_broadcasts_benchmark_side(spark, sf_tables):
     # stream is never shuffled on the gram key
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_contamination_flags_near_duplicates(spark):
+    import duckdb
+    import pandas as pd
+    from bullet_storm_spark.operators.decontam import (
+        fuzzy_contamination,
+        fuzzy_contamination_sql,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),  # near-dup
+        (2, "totally unrelated training text about spark engines here"),
+        (3, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+    ]
+    bench_rows = [(100, "the quick brown fox jumps over the lazy dog now")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.5)
+    out = fuzzy_contamination(
+        corpus, "doc_id", "text", bench, "doc_id", "text", **kw
+    ).toPandas()
+    by = out.set_index("doc_id")
+    # edited near-dup and its exact copy flag; the unrelated doc does not
+    assert bool(by.loc[1, "contaminated"]) and bool(by.loc[3, "contaminated"])
+    assert not bool(by.loc[2, "contaminated"])
+    assert by.loc[1, "max_jaccard"] > 0.7
+    # DuckDB twin parity on the same frame
+    con = duckdb.connect()
+    con.execute("CREATE TABLE corpus (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO corpus VALUES (?, ?)", corpus_rows)
+    con.execute("CREATE TABLE bench (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO bench VALUES (?, ?)", bench_rows)
+    twin = con.sql(
+        fuzzy_contamination_sql(
+            "corpus", "doc_id", "text", "bench", "doc_id", "text", **kw
+        )
+    ).df()[list(out.columns)]
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        twin.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_fuzzy_contamination_plan_broadcasts_bench_index(spark, sf_tables):
+    from bullet_storm_spark.operators.decontam import fuzzy_contamination
+    from pyspark.sql import functions as F
+
+    docs = sf_tables["documents"]
+    df = fuzzy_contamination(
+        docs, "doc_id", "text",
+        docs.where(F.col("doc_id") % 10 == 0), "doc_id", "text",
+        shingle_n=3,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the benchmark band index broadcasts; the probe must be a hash join,
+    # never a nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
