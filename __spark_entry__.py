@@ -1153,6 +1153,16 @@ ORDER BY doc_id
             "documents", "doc_id", "text", "source IN ('src0','src1','src2')",
         ),
     ),
+    # curriculum mixing report: LM-difficulty ntile buckets x source (the
+    # table a curriculum schedule and mixing-skew check are written from)
+    "text_curriculum_report": (
+        lambda s, d: _vocab.curriculum_report(
+            _docs(s, d), "doc_id", "text", "source", n_buckets=4
+        ),
+        _vocab.curriculum_report_sql(
+            "documents", "doc_id", "text", "source", n_buckets=4
+        ),
+    ),
     # fuzzy decontamination: near-duplicate train/eval leakage that exact
     # n-gram overlap misses (banded MinHash probe of a broadcast
     # benchmark index; exact jaccard verify on collisions only)

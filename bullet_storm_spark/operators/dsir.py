@@ -35,7 +35,6 @@ from bullet_storm_spark.functions.text import (
     shingles_from_tokens,
     shingles_sql,
     tokens,
-    tokens_sql,
 )
 
 

@@ -28,7 +28,7 @@ split regex inside every lambda.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from bullet_storm_spark.functions.text import (
     EN_STOPWORDS,

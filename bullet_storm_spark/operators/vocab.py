@@ -344,3 +344,78 @@ SELECT src AS {stratum_col}, ANY_VALUE(Ts) AS n_tokens,
          AS kl_to_corpus
 FROM terms GROUP BY src ORDER BY {stratum_col}
 """
+
+
+def curriculum_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    n_buckets: int = 4,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Curriculum mixing report: ``(bucket, stratum, n_docs, mean_ce)`` —
+    documents ranked by unigram-LM cross-entropy (:func:`lm_score`) and
+    cut into ``n_buckets`` ntile difficulty buckets, cross-tabulated by
+    source. This is the table a curriculum schedule is written from
+    ("easy-first: bucket 1 epochs 2x") and the skew check before
+    quality-weighted mixing (a source concentrated in the hardest bucket
+    is suspect). The ntile orders by (cross_entropy, id) — a total order,
+    so the bucket boundary is engine-independent; per-cell means sum
+    6dp-rounded scores in DECIMAL (order-free).
+
+    Scale note: ntile is ONE global sort over (score, id) — a DIAGNOSTIC
+    report (bounded |buckets| x |strata| output), not a per-record tag; to
+    tag 100 TB of records, freeze this report's bucket boundaries and
+    re-apply them as literal thresholds riding the scan."""
+    from pyspark.sql import Window
+
+    scores = lm_score(df, id_col, text_col, alpha=alpha)
+    joined = df.select(
+        F.col(id_col).alias("__jid"), F.col(stratum_col).alias("__src")
+    ).join(scores, F.col("__jid") == F.col(id_col))
+    w = Window.orderBy("cross_entropy", F.col(id_col))
+    return (
+        joined.select(
+            "__src",
+            "cross_entropy",
+            F.ntile(int(n_buckets)).over(w).alias("bucket"),
+        )
+        .groupBy("bucket", "__src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("cross_entropy").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("mean_ce"),
+        )
+        .withColumnRenamed("__src", stratum_col)
+        .orderBy("bucket", stratum_col)
+    )
+
+
+def curriculum_report_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    n_buckets: int = 4,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> str:
+    inner = lm_score_sql(table, id_col, text_col, alpha=alpha)
+    return f"""
+WITH __scores AS ({inner}),
+__tiled AS (
+  SELECT t.{stratum_col} AS src, s.cross_entropy,
+         ntile({int(n_buckets)}) OVER (ORDER BY s.cross_entropy, s.{id_col})
+           AS bucket
+  FROM __scores s JOIN {table} t ON s.{id_col} = t.{id_col}
+)
+SELECT bucket, src AS {stratum_col}, COUNT(*)::BIGINT AS n_docs,
+       ROUND(CAST(SUM(CAST(cross_entropy AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), {round_to}) AS mean_ce
+FROM __tiled GROUP BY bucket, src ORDER BY bucket, src
+"""

@@ -230,3 +230,30 @@ def test_source_divergence(spark):
     assert by.loc["weird", "kl_to_corpus"] > by.loc["blend", "kl_to_corpus"]
     assert by.loc["blend", "n_tokens"] == 13
     assert by.loc["weird", "vocab_size"] == 2
+
+
+# --- curriculum report ------------------------------------------------------
+
+def test_curriculum_report(spark):
+    rows = [
+        (0, "alpha alpha alpha alpha", "easy"),   # all high-freq tokens
+        (1, "alpha alpha alpha beta", "easy"),
+        (2, "alpha beta rare1 rare2", "hard"),    # rare tokens -> high CE
+        (3, "rare3 rare4 rare5 rare6", "hard"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    out = _parity(
+        V.curriculum_report(df, "doc_id", "text", "source", n_buckets=2),
+        con,
+        V.curriculum_report_sql("t", "doc_id", "text", "source", n_buckets=2),
+    )
+    # the all-common-token docs land in the easy bucket, rares in the hard
+    agg = out.groupby(["bucket", "source"])["n_docs"].sum()
+    assert agg.get((1, "easy"), 0) == 2
+    assert agg.get((2, "hard"), 0) == 2
+    # bucket means are ordered: difficulty rises with the bucket index
+    means = out.groupby("bucket")["mean_ce"].mean()
+    assert means.loc[1] < means.loc[2]
