@@ -1153,6 +1153,15 @@ ORDER BY doc_id
             "documents", "doc_id", "text", "source IN ('src0','src1','src2')",
         ),
     ),
+    # multimodal feature extraction: REAL content computation (byte-nibble
+    # histogram via Arrow-batched numpy) in the exact mapInPandas shape a
+    # CLIP/spectrogram extractor drops into; integer counts -> hash-exact
+    "multimodal_features": (
+        lambda s, d: _mm.extract_features(
+            _mm.with_payload(_docs(s, d), "doc_id", "text")
+        ).orderBy("id"),
+        _mm.extract_features_sql("documents", "doc_id", "text"),
+    ),
     # curriculum mixing report: LM-difficulty ntile buckets x source (the
     # table a curriculum schedule and mixing-skew check are written from)
     "text_curriculum_report": (

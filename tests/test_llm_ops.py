@@ -259,3 +259,20 @@ def test_deduplicate_exact_first_same_survivors_fewer_candidates(spark):
     # the guard's point: candidate volume collapses from O(copies^2) to O(1)
     n_raw = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8).count()
     assert n_raw >= 30 * 29 / 2  # every copy pair verifies at jaccard 1.0
+
+
+def test_multimodal_extract_features(docs):
+    import numpy as np
+
+    payloads = multimodal.with_payload(docs.where("text <> ''"), "doc_id", "text")
+    out = {r["id"]: r for r in multimodal.extract_features(payloads).collect()}
+    rows = {r["doc_id"]: r["text"] for r in docs.where("text <> ''").collect()}
+    for i, text in rows.items():
+        arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        want = np.bincount(arr >> 4, minlength=16)
+        got = out[i]
+        assert got["n_bytes"] == len(arr)
+        assert list(got["features"]) == [int(x) for x in want]
+        assert got["top_nibble"] == int(np.argmax(want))
+        # histogram mass accounts for every byte
+        assert sum(got["features"]) == got["n_bytes"]
