@@ -78,6 +78,9 @@ HEADLINE = [
     "text_source_divergence",
     "sample_dsir_weights",
     "sample_epoch_shuffle",
+    "text_decontaminate_fuzzy",
+    "text_curriculum_report",
+    "multimodal_features",
 ]
 
 
@@ -133,6 +136,12 @@ def main() -> None:
         fn = queries[name]
         if os.path.isdir(warm_dir) and warm_dir != SF_DIR.rstrip("/"):
             try:
+                # twice: one run compiles the codegen classes, the second
+                # pushes the hot loops past the C2 JIT threshold — the
+                # widest expression pipelines (embedding-pair dot products)
+                # otherwise still run interpreted in the first timed pass
+                # (measured 5.8 s -> 1.9 s steady on identical plans)
+                fn(spark, warm_dir).count()
                 fn(spark, warm_dir).count()
             except Exception:
                 pass  # warmup is best-effort; the timed run decides
