@@ -257,3 +257,49 @@ def test_curriculum_report(spark):
     # bucket means are ordered: difficulty rises with the bucket index
     means = out.groupby("bucket")["mean_ce"].mean()
     assert means.loc[1] < means.loc[2]
+
+
+# --- property-based parity (adversarial text) -------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+# realistic document alphabet: ASCII words/punct/digits, multilingual
+# script runs, and whitespace — the input space the corpus entries see
+_CHUNKS = st.sampled_from(
+    [
+        "the", "quick", "fox", "data", "spark", "zz", "12345", "a",
+        "###", "!?.", "...", "(x)", "@@",
+        "привет", "мир", "中文测试", "ελληνικά", "سلام",
+        " ", "  ", "\t",
+    ]
+)
+_TEXT = st.lists(_CHUNKS, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_TEXT, min_size=1, max_size=8))
+def test_quality_ops_random_text_parity(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    _parity(
+        Q.gopher_rules(df, "doc_id", "text"),
+        con,
+        Q.gopher_rules_sql("t", "doc_id", "text"),
+    )
+    _parity(
+        Q.script_profile(df, "doc_id", "text"),
+        con,
+        Q.script_profile_sql("t", "doc_id", "text"),
+    )
+    _parity(
+        V.tfidf_terms(df, "doc_id", "text", top_k=3),
+        con,
+        V.tfidf_terms_sql("t", "doc_id", "text", top_k=3),
+    )
