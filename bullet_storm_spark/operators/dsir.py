@@ -86,6 +86,12 @@ def dsir_weights(
             ).alias("__gram"),
         )
         .select("__id", "__is_target", _bucket(F.col("__gram"), b).alias("__b"))
+        # hash-partition by bucket so the model aggregation and the scoring
+        # probe read the SAME exchange: Spark's ReuseExchange dedupes the
+        # two identical subtrees and the md5-dominated featurization runs
+        # ONCE (without this, fit and score each recompute it from the raw
+        # scan — two full passes)
+        .repartition(spark.sparkContext.defaultParallelism, "__b")
     )
     occ = grams.where(F.col("__b").isNotNull())
     model = occ.groupBy("__b").agg(

@@ -65,6 +65,11 @@ def kmeans_train(
         .limit(k)
         .collect()
     )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"k-means needs at least k={k} vectors to seed; input has "
+            f"{len(init_rows)}"
+        )
     cents = [_unit([float(x) for x in r["__v"]]) for r in init_rows]
     for _ in range(int(iters)):
         assigned = assign_cells_frozen(df, id_col, vec_col, cents)
@@ -134,21 +139,28 @@ def kmeans_report(
     )
     l1 = [round(sum(abs(x) for x in c), round_to) for c in cents]
     l1_lit = F.array(*[F.lit(x) for x in l1])
-    return (
+    stats = (
         assigned.where(nrm > 0)
         .select("cell", sim.alias("__sim"))
         .groupBy("cell")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
             F.round(
                 F.sum(F.col("__sim").cast("decimal(38,12)")).cast("double")
                 / F.count(F.lit(1)),
                 round_to,
             ).alias("mean_sim"),
         )
+    )
+    # every codebook cell gets a row — a cell Lloyd left empty reports
+    # n_members = 0 / mean_sim NULL rather than silently disappearing
+    spark = df.sparkSession
+    all_cells = spark.range(len(cents)).select(F.col("id").cast("int").alias("cell"))
+    return (
+        all_cells.join(stats, "cell", "left")
         .select(
             "cell",
-            "n_members",
+            F.coalesce("__n", F.lit(0)).alias("n_members"),
             "mean_sim",
             F.element_at(l1_lit, F.col("cell") + 1).alias("centroid_l1"),
         )

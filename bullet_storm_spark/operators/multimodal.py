@@ -188,20 +188,24 @@ def extract_features_sql(table: str, id_col: str, content_col: str) -> str:
     2i-1 of the blob's hex rendering, so the histogram is 16 filtered
     counts over that character list — integer-exact parity with the
     numpy path."""
-    hexs = f"hex(encode({content_col}))"
-    nibs = (
-        f"list_transform(range(1, octet_length(encode({content_col})) + 1), "
-        f"i -> substr({hexs}, 2*i - 1, 1))"
-    )
     digits = "0123456789ABCDEF"
     counts = ", ".join(
         f"len(list_filter(nibs, c -> c = '{d}'))::INTEGER" for d in digits
     )
+    # hex(encode(..)) binds ONCE per row in __x — inlining it into the
+    # per-element lambda would re-render the full 2n-char hex string for
+    # each of the n nibbles (DuckDB does not hoist loop-invariant lambda
+    # subexpressions), making the twin O(n^2) per row
     return f"""
-WITH __p AS (
+WITH __x AS (
   SELECT {id_col} AS id, octet_length(encode({content_col}))::BIGINT AS n_bytes,
-         {nibs} AS nibs
+         hex(encode({content_col})) AS hx
   FROM {table}
+), __p AS (
+  SELECT id, n_bytes,
+         list_transform(range(1, n_bytes + 1), i -> substr(hx, 2*i - 1, 1))
+           AS nibs
+  FROM __x
 ), __h AS (
   SELECT id, n_bytes, [{counts}] AS features FROM __p
 )

@@ -140,21 +140,27 @@ def gopher_rules_sql(
     **overrides: float,
 ) -> str:
     p = {**GOPHER_DEFAULTS, **overrides}
-    t = tokens_sql(text_col)
     stop_arr = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    # the token array binds ONCE in __t (the split regex would otherwise
+    # re-run per use), and each ok_* flag is referenced by lateral alias in
+    # `passes` so flag and verdict can never drift apart
     return f"""
-WITH __m AS (
-  SELECT {id_col} AS __id,
-         len({t})::BIGINT AS n_words,
-         ROUND(list_sum(list_transform({t}, x -> length(x)))
-               / NULLIF(len({t}), 0)::DOUBLE, {round_to}) AS mean_word_len,
-         ROUND(length(regexp_replace({text_col}, '{_NON_ALNUM}', '', 'g'))
-               / NULLIF(len({t}), 0)::DOUBLE, {round_to}) AS symbol_word_ratio,
-         ROUND(len(list_filter({t}, x -> regexp_matches(x, '[a-zA-Z]')))
-               / NULLIF(len({t}), 0)::DOUBLE, {round_to}) AS alpha_word_ratio,
-         len(list_intersect(list_distinct({t}), {stop_arr}))::BIGINT
-           AS n_stopword_kinds
+WITH __t AS (
+  SELECT {id_col} AS __id, {text_col} AS __text,
+         {tokens_sql(text_col)} AS __toks
   FROM {table}
+), __m AS (
+  SELECT __id,
+         len(__toks)::BIGINT AS n_words,
+         ROUND(list_sum(list_transform(__toks, x -> length(x)))
+               / NULLIF(len(__toks), 0)::DOUBLE, {round_to}) AS mean_word_len,
+         ROUND(length(regexp_replace(__text, '{_NON_ALNUM}', '', 'g'))
+               / NULLIF(len(__toks), 0)::DOUBLE, {round_to}) AS symbol_word_ratio,
+         ROUND(len(list_filter(__toks, x -> regexp_matches(x, '[a-zA-Z]')))
+               / NULLIF(len(__toks), 0)::DOUBLE, {round_to}) AS alpha_word_ratio,
+         len(list_intersect(list_distinct(__toks), {stop_arr}))::BIGINT
+           AS n_stopword_kinds
+  FROM __t
 )
 SELECT __id AS {id_col}, n_words, mean_word_len, symbol_word_ratio,
        alpha_word_ratio, n_stopword_kinds,
@@ -164,12 +170,8 @@ SELECT __id AS {id_col}, n_words, mean_word_len, symbol_word_ratio,
        (symbol_word_ratio <= {p['max_symbol_word_ratio']}) AS ok_symbols,
        (alpha_word_ratio >= {p['min_alpha_word_ratio']}) AS ok_alpha,
        (n_stopword_kinds >= {p['min_stopword_hits']}) AS ok_stopwords,
-       ((n_words >= {p['min_words']} AND n_words <= {p['max_words']})
-        AND (mean_word_len >= {p['min_mean_word_len']}
-             AND mean_word_len <= {p['max_mean_word_len']})
-        AND (symbol_word_ratio <= {p['max_symbol_word_ratio']})
-        AND (alpha_word_ratio >= {p['min_alpha_word_ratio']})
-        AND (n_stopword_kinds >= {p['min_stopword_hits']})) AS passes
+       (ok_words AND ok_word_len AND ok_symbols AND ok_alpha
+        AND ok_stopwords) AS passes
 FROM __m ORDER BY {id_col}
 """
 
@@ -226,21 +228,27 @@ def script_profile(
 def script_profile_sql(
     table: str, id_col: str, text_col: str, round_to: int = 6
 ) -> str:
-    counts = {
-        name: f"len(regexp_extract_all({text_col}, '[{rng}]'))::BIGINT"
+    # counts materialize ONCE in a CTE; `best` and the CASE arms read the
+    # aliased columns (the inline form materialized each match list ~35x
+    # per row)
+    count_defs = ", ".join(
+        f"len(regexp_extract_all({text_col}, '[{rng}]'))::BIGINT AS n_{name}"
         for name, rng in SCRIPT_RANGES.items()
-    }
-    best = f"greatest({', '.join(counts.values())})"
-    whens = " ".join(
-        f"WHEN {counts[n]} > 0 AND {counts[n]} = {best} THEN '{n}'"
-        for n in SCRIPT_ORDER
     )
-    cols = ", ".join(f"{counts[n]} AS n_{n}" for n in SCRIPT_ORDER)
+    best = f"greatest({', '.join(f'n_{n}' for n in SCRIPT_ORDER)})"
+    whens = " ".join(
+        f"WHEN n_{n} > 0 AND n_{n} = {best} THEN '{n}'" for n in SCRIPT_ORDER
+    )
+    cols = ", ".join(f"n_{n}" for n in SCRIPT_ORDER)
     return f"""
-SELECT {id_col}, {cols},
-       ROUND(len(regexp_extract_all({text_col}, '{_NON_ASCII}'))
-             / NULLIF(length({text_col}), 0)::DOUBLE, {round_to})
-         AS non_ascii_ratio,
+WITH __c AS (
+  SELECT {id_col}, {count_defs},
+         ROUND(len(regexp_extract_all({text_col}, '{_NON_ASCII}'))
+               / NULLIF(length({text_col}), 0)::DOUBLE, {round_to})
+           AS non_ascii_ratio
+  FROM {table}
+)
+SELECT {id_col}, {cols}, non_ascii_ratio,
        (CASE {whens} ELSE 'und' END) AS dominant_script
-FROM {table} ORDER BY {id_col}
+FROM __c ORDER BY {id_col}
 """

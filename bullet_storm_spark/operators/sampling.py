@@ -309,6 +309,8 @@ def epoch_shuffle(
     from pyspark.sql import Window
 
     b = int(n_shards)
+    if b < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     key = F.md5(
         F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
     )
@@ -330,6 +332,8 @@ def epoch_shuffle_sql(
     table: str, id_col: str, seed: str, n_shards: int = 8
 ) -> str:
     b = int(n_shards)
+    if b < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     key = f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"
     shard = f"(('0x' || substr({key}, 1, 8))::BIGINT % {b})"
     return f"""
