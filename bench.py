@@ -134,7 +134,13 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        if os.path.isdir(warm_dir) and warm_dir != SF_DIR.rstrip("/"):
+        # warm only when the warm set is SMALLER than the measured set
+        # (at SF_DIR=sf0.001 the sf0.01 "warm" would dominate the run)
+        if (
+            os.path.isdir(warm_dir)
+            and warm_dir != SF_DIR.rstrip("/")
+            and os.path.basename(SF_DIR.rstrip("/")) not in ("sf0.001", "sf0.01")
+        ):
             try:
                 # twice: one run compiles the codegen classes, the second
                 # pushes the hot loops past the C2 JIT threshold — the
