@@ -103,7 +103,18 @@ def test_kmeans_report_invariants(embs):
     rep = kmeans_report(embs, "vec_id", "embedding", k=4, iters=2).collect()
     n_total = embs.count()
     assert sum(r["n_members"] for r in rep) == n_total
-    assert all(-1.0 <= r["mean_sim"] <= 1.0 + 1e-9 for r in rep)
+    # empty cells (if Lloyd leaves any) report n_members=0 / mean_sim NULL
+    assert all(
+        (r["mean_sim"] is None) == (r["n_members"] == 0) for r in rep
+    )
+    assert all(
+        r["mean_sim"] is None or -1.0 <= r["mean_sim"] <= 1.0 + 1e-9 for r in rep
+    )
     assert all(r["centroid_l1"] > 0 for r in rep)
-    cells = [r["cell"] for r in rep]
-    assert cells == sorted(cells)
+    # every codebook cell is present exactly once, in order
+    assert [r["cell"] for r in rep] == list(range(4))
+
+
+def test_kmeans_train_rejects_too_few_vectors(embs):
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_train(embs.where("vec_id < 3"), "vec_id", "embedding", k=8)

@@ -303,3 +303,11 @@ def test_quality_ops_random_text_parity(spark, texts):
         con,
         V.tfidf_terms_sql("t", "doc_id", "text", top_k=3),
     )
+
+
+def test_epoch_shuffle_rejects_zero_shards(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_shards"):
+        S.epoch_shuffle(df, "doc_id", "s", n_shards=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        S.epoch_shuffle_sql("t", "doc_id", "s", n_shards=0)
