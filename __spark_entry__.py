@@ -485,6 +485,7 @@ from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import bpe as _bpe
+from bullet_storm_spark.operators import pca as _pca
 from bullet_storm_spark.operators import pq as _pq
 from bullet_storm_spark.operators import dsir as _dsir
 from bullet_storm_spark.operators import kmeans as _km
@@ -501,6 +502,15 @@ _SCRIPT_AUG_SQL = (
     "substr(text, 1, doc_id % 30)"
     " || repeat('д', doc_id % 5) || repeat('中', doc_id % 4)"
     " || repeat('ψ', doc_id % 3) || repeat('س', doc_id % 2)"
+)
+
+# PCA codebook fit OFFLINE from the frozen sf0.001 sample (DuckDB+numpy,
+# no Spark) and shipped as literals into BOTH generated programs — the
+# production "fit once, embed everywhere" shape; evaluation at any sf uses
+# the same frozen components, exactly like the LSH hyperplanes
+_PCA_CODEBOOK = _pca.pca_fit_from_parquet(
+    "/root/testdata/sf0.001/embeddings.parquet", "vec_id", "embedding",
+    n_components=16,
 )
 
 _MINHASH_KW = dict(num_hashes=16, bands=4, shingle_n=1, threshold=0.9)
@@ -1152,6 +1162,21 @@ ORDER BY doc_id
         _dsir.dsir_weights_sql(
             "documents", "doc_id", "text", "source IN ('src0','src1','src2')",
         ),
+    ),
+    # PCA projection with the frozen offline codebook: 64 -> 16 dims as
+    # pure scan expressions (4x byte cut before ANN/clustering shuffles)
+    "embed_pca_project": (
+        lambda s, d: _pca.pca_project(
+            _embs(s, d), "vec_id", "embedding", *_PCA_CODEBOOK
+        ),
+        _pca.pca_project_sql("embeddings", "vec_id", "embedding", *_PCA_CODEBOOK),
+    ),
+    # per-component captured-variance profile of the projected corpus
+    "embed_pca_variance": (
+        lambda s, d: _pca.pca_report(
+            _embs(s, d), "vec_id", "embedding", codebook=_PCA_CODEBOOK
+        ),
+        _pca.pca_report_sql("embeddings", "vec_id", "embedding", *_PCA_CODEBOOK),
     ),
     # multimodal feature extraction: REAL content computation (byte-nibble
     # histogram via Arrow-batched numpy) in the exact mapInPandas shape a

@@ -1,0 +1,233 @@
+"""PCA projection for embedding pipelines, dual-compiled.
+
+Dimension reduction is the standard pre-pass before large-scale embedding
+work: project 64-dim vectors to 16 components before ANN/clustering and
+the candidate-generation shuffles move 4× fewer bytes while retaining
+most variance (the same byte-economics argument as int8/PQ quantization,
+operators/quantize.py / pq.py, but lossy-in-dimensions instead of
+lossy-in-precision).
+
+Fit/apply split mirrors the other frozen-codebook operators
+(`similarity.ivf_centroids`, `pq.py`): the components are fit driver-side
+on a BOUNDED deterministic sample (SVD is O(sample × dim²) — sampling is
+how every production system fits this), rounded onto a literal grid, and
+shipped into both generated programs as constants. The projection itself
+is a pure per-row expression — one dot product per output component over
+a constant-folded literal matrix — so it rides the scan with zero
+shuffles and whole-stage codegen, and the DuckDB twin (list_dot_product
+against the same literals) is hash-exact.
+
+Determinism: the sample is the first ``sample_size`` vectors by id (no
+RNG); numpy SVD is deterministic for a fixed input; each component's sign
+is normalized (largest-|coefficient| entry made positive) to kill the SVD
+sign ambiguity; components and the centering offsets round to 9 dp before
+becoming literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from bullet_storm_spark.functions.vectors import as_double, dot
+from bullet_storm_spark.operators.similarity import _planes_lit
+
+COEF_DP = 9
+
+
+def pca_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_components: int = 16,
+    sample_size: int = 4096,
+) -> tuple[list[list[float]], list[float]]:
+    """Fit on the first ``sample_size`` vectors by id. Returns
+    ``(components, offsets)``: ``components[j]`` is the j-th principal
+    axis (9dp-rounded), ``offsets[j] = dot(mean, components[j])`` the
+    centering constant, so the projection is
+    ``y_j = dot(x, components[j]) - offsets[j]``."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
+        .orderBy("__id")
+        .limit(int(sample_size))
+        .collect()
+    )
+    x = np.array([[float(v) for v in r["__v"]] for r in rows], dtype=np.float64)
+    return _fit_core(x, n_components)
+
+
+def pca_fit_from_parquet(
+    path: str,
+    id_col: str,
+    vec_col: str,
+    n_components: int = 16,
+    sample_size: int = 4096,
+) -> tuple[list[list[float]], list[float]]:
+    """Offline fit straight from a parquet file (DuckDB + numpy, no Spark
+    session) — how a production codebook ships: fit once on a frozen
+    sample, embed the literals in every downstream program. Identical
+    result to :func:`pca_fit` on the same data (both paths read the same
+    float32 values into float64)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT {vec_col} FROM read_parquet('{path}') "
+        f"ORDER BY {id_col} LIMIT {int(sample_size)}"
+    ).fetchall()
+    x = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
+    return _fit_core(x, n_components)
+
+
+def _fit_core(
+    x: "np.ndarray", n_components: int
+) -> tuple[list[list[float]], list[float]]:
+    if len(x) < 2:
+        raise ValueError(f"PCA needs >= 2 sample vectors, got {len(x)}")
+    k = int(n_components)
+    if not 1 <= k <= x.shape[1]:
+        raise ValueError(f"need 1 <= n_components <= dim={x.shape[1]}, got {k}")
+    mean = x.mean(axis=0)
+    _, _, vt = np.linalg.svd(x - mean, full_matrices=False)
+    comps = []
+    for j in range(k):
+        w = vt[j]
+        if w[int(np.argmax(np.abs(w)))] < 0:  # sign normalization
+            w = -w
+        comps.append([round(float(c), COEF_DP) for c in w])
+    # offsets computed FROM the rounded components so both engines use
+    # literals derived from identical values
+    offsets = [
+        round(float(sum(m * c for m, c in zip(mean, comp))), COEF_DP)
+        for comp in comps
+    ]
+    return comps, offsets
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    components: list[list[float]],
+    offsets: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, proj): each vector projected onto the frozen components —
+    ``proj[j] = round(dot(v, components[j]) - offsets[j], round_to)``.
+    Pure scan-riding expressions; the component matrix is ONE
+    constant-folded literal (similarity._planes_lit discipline)."""
+    v = as_double(F.col(vec_col))
+    dots = F.transform(_planes_lit(components), lambda w: dot(v, w))
+    off_lit = F.array(*[F.lit(float(c)) for c in offsets])
+    proj = F.zip_with(dots, off_lit, lambda d, c: F.round(d - c, round_to))
+    return df.select(F.col(id_col), proj.alias("proj")).orderBy(id_col)
+
+
+def pca_project_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    components: list[list[float]],
+    offsets: list[float],
+    round_to: int = 6,
+) -> str:
+    terms = []
+    for comp, off in zip(components, offsets):
+        arr = "[" + ", ".join(repr(c) for c in comp) + "]"
+        terms.append(
+            f"ROUND(list_dot_product({vec_col}::DOUBLE[], {arr}) - {off!r}, "
+            f"{round_to})"
+        )
+    return (
+        f"SELECT {id_col}, [{', '.join(terms)}] AS proj "
+        f"FROM {table} ORDER BY {id_col}"
+    )
+
+
+def pca_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_components: int = 16,
+    round_to: int = 6,
+    codebook: tuple[list[list[float]], list[float]] | None = None,
+) -> DataFrame:
+    """(component, var_captured, var_total_ratio): per-component variance
+    of the PROJECTED corpus (not just the fit sample) plus the running
+    captured-variance ratio against the full input variance — the
+    "how many components do I actually need" table. Decimal-exact sums so
+    the report is partition-order-free; one scan, one tiny aggregation.
+    Pass ``codebook=(components, offsets)`` to profile a frozen offline
+    fit instead of refitting."""
+    comps, offsets = codebook or pca_fit(
+        df, id_col, vec_col, n_components=n_components
+    )
+    proj = pca_project(df, id_col, vec_col, comps, offsets, round_to=COEF_DP)
+    v = as_double(F.col(vec_col))
+    total_sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    totals = df.select(
+        F.round(total_sq, COEF_DP).cast("decimal(38,9)").alias("__sq")
+    ).agg(
+        F.sum("__sq").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    per_comp = (
+        proj.select(F.posexplode("proj").alias("component", "__y"))
+        .select(
+            "component",
+            F.round(F.col("__y") * F.col("__y"), COEF_DP)
+            .cast("decimal(38,9)")
+            .alias("__y2"),
+        )
+        .groupBy("component")
+        .agg(F.sum("__y2").cast("double").alias("__var"))
+    )
+    return (
+        per_comp.crossJoin(F.broadcast(totals))
+        .select(
+            "component",
+            F.round(F.col("__var") / F.col("__n"), round_to).alias("var_captured"),
+            F.round(F.col("__var") / F.col("__total"), round_to).alias(
+                "var_total_ratio"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+def pca_report_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    components: list[list[float]],
+    offsets: list[float],
+    round_to: int = 6,
+) -> str:
+    inner = pca_project_sql(
+        table, id_col, vec_col, components, offsets, round_to=COEF_DP
+    )
+    return f"""
+WITH __proj AS ({inner}),
+__tot AS (
+  SELECT CAST(SUM(CAST(ROUND(list_dot_product({vec_col}::DOUBLE[],
+                                              {vec_col}::DOUBLE[]), {COEF_DP})
+                       AS DECIMAL(38,9))) AS DOUBLE) AS total,
+         COUNT(*)::BIGINT AS n
+  FROM {table}
+), __pc AS (
+  SELECT u.__i - 1 AS component,
+         CAST(SUM(CAST(ROUND(u.__y * u.__y, {COEF_DP}) AS DECIMAL(38,9)))
+              AS DOUBLE) AS var
+  FROM __proj p,
+       LATERAL (SELECT unnest(p.proj) AS __y,
+                       generate_subscripts(p.proj, 1) AS __i) u
+  GROUP BY u.__i
+)
+SELECT component, ROUND(var / t.n, {round_to}) AS var_captured,
+       ROUND(var / t.total, {round_to}) AS var_total_ratio
+FROM __pc CROSS JOIN __tot t
+ORDER BY component
+"""
