@@ -1171,6 +1171,16 @@ ORDER BY doc_id
         ),
         _pca.pca_project_sql("embeddings", "vec_id", "embedding", *_PCA_CODEBOOK),
     ),
+    # two-stage ANN: coarse cosine in the 16-dim projected space (the
+    # cheap pair volume), exact top-k rerank of the k*expand shortlist
+    "ann_pca_rerank_topk": (
+        lambda s, d: _pca.pca_rerank_neighbors(
+            _embs(s, d), "vec_id", "embedding", F.col("id") < 8, *_PCA_CODEBOOK
+        ),
+        _pca.pca_rerank_neighbors_sql(
+            "embeddings", "vec_id", "embedding", "id < 8", *_PCA_CODEBOOK
+        ),
+    ),
     # per-component captured-variance profile of the projected corpus
     "embed_pca_variance": (
         lambda s, d: _pca.pca_report(

@@ -231,3 +231,114 @@ SELECT component, ROUND(var / t.n, {round_to}) AS var_captured,
 FROM __pc CROSS JOIN __tot t
 ORDER BY component
 """
+
+
+def pca_rerank_neighbors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred,
+    components: list[list[float]],
+    offsets: list[float],
+    k: int = 5,
+    expand: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-stage ANN: COARSE top-(k*expand) candidates by cosine in the
+    PCA-projected space (16-dim dot products — ~dim/16 of the full-width
+    pair cost), then EXACT top-k rerank of the shortlist in the original
+    space. Output (query_id, neighbor_id, coarse_cos, cos, rank).
+
+    The classic reduce-then-rerank recipe: at 100 TB the coarse stage is
+    where all the pair volume lives, and it runs on 4x fewer bytes per
+    vector; the exact stage touches only k*expand rows per query. Both
+    stages order by (ROUNDED score desc, id) so the shortlist boundary
+    and final ranks are engine-independent; recall loss from coarse
+    truncation is measurable against `similarity.brute_force_neighbors`
+    the same way `pq.ann_recall_report` audits IVF-PQ."""
+    from pyspark.sql import Window
+    from bullet_storm_spark.functions.vectors import cosine
+
+    v = as_double(F.col(vec_col))
+    dots = F.transform(_planes_lit(components), lambda w: dot(v, w))
+    off_lit = F.array(*[F.lit(float(c)) for c in offsets])
+    proj = F.zip_with(dots, off_lit, lambda d, c: F.round(d - c, COEF_DP))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), proj.alias("p")
+    )
+    queries = base.where(query_pred).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("p").alias("qp")
+    )
+    coarse = (
+        F.broadcast(queries)
+        .join(base, F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qp"), F.col("p")), round_to).alias("coarse_cos"),
+            F.col("qv"),
+            F.col("v"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_cos").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = coarse.withColumn("__crank", F.row_number().over(wc)).where(
+        F.col("__crank") <= k * expand
+    )
+    exact = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        "coarse_cos",
+        F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def pca_rerank_neighbors_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    components: list[list[float]],
+    offsets: list[float],
+    k: int = 5,
+    expand: int = 4,
+    round_to: int = 6,
+) -> str:
+    terms = []
+    for comp, off in zip(components, offsets):
+        arr = "[" + ", ".join(repr(c) for c in comp) + "]"
+        terms.append(
+            f"ROUND(list_dot_product(v::DOUBLE[], {arr}) - {off!r}, {COEF_DP})"
+        )
+    ccos = f"ROUND(list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[]), {round_to})"
+    ecos = f"ROUND(list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[]), {round_to})"
+    return f"""
+WITH __base AS (
+  SELECT {id_col} AS id, {vec_col} AS v, [{', '.join(terms)}] AS p
+  FROM {table}
+), __q AS (
+  SELECT id AS query_id, v AS qv, p AS qp FROM __base WHERE {query_pred_sql}
+), __short AS (
+  SELECT query_id, id AS neighbor_id, {ccos} AS coarse_cos, qv, v,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {ccos} DESC, id ASC) AS __crank
+  FROM __q q JOIN __base c ON q.query_id <> c.id
+  QUALIFY __crank <= {k * expand}
+)
+SELECT query_id, neighbor_id, coarse_cos, {ecos} AS cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY {ecos} DESC, neighbor_id ASC)
+            AS INTEGER) AS rank
+FROM __short
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""

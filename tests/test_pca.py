@@ -63,3 +63,28 @@ def test_fit_validation(embs):
         P.pca_fit(embs, "vec_id", "embedding", n_components=999)
     with pytest.raises(ValueError, match=">= 2"):
         P.pca_fit(embs.where("vec_id < 1"), "vec_id", "embedding")
+
+
+def test_rerank_topk_recall_vs_exact(embs, codebook):
+    from pyspark.sql import functions as F
+    from bullet_storm_spark.operators.similarity import brute_force_neighbors
+
+    comps, offs = codebook
+    approx = P.pca_rerank_neighbors(
+        embs, "vec_id", "embedding", F.col("id") < 4, comps, offs, k=5, expand=8
+    ).toPandas()
+    exact = brute_force_neighbors(
+        embs, "vec_id", "embedding", F.col("id") < 4, k=5
+    ).toPandas()
+    # structural contract
+    assert (approx.groupby("query_id")["rank"].max() == 5).all()
+    # the exact-rerank stage means every returned cos is a TRUE cosine:
+    # approx results are a subset of the corpus ranked exactly, so
+    # top-1 recall vs full brute force is a meaningful overlap measure
+    overlap = 0
+    for qid, grp in approx.groupby("query_id"):
+        ex = set(exact[exact.query_id == qid]["neighbor_id"])
+        overlap += len(set(grp["neighbor_id"]) & ex)
+    # coarse truncation loses some neighbors on near-isotropic data, but
+    # with expand=8 at least a third of the exact top-5 must survive
+    assert overlap >= len(approx) // 3
