@@ -81,6 +81,8 @@ HEADLINE = [
     "text_decontaminate_fuzzy",
     "text_curriculum_report",
     "multimodal_features",
+    "embed_pca_project",
+    "ann_pca_rerank_topk",
 ]
 
 
