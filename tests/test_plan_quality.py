@@ -77,6 +77,11 @@ _ALL_PAIRS_VERIFIERS = {
     "dedup_lsh_recall",  # recall audit embeds the exact all-pairs ground
     #                      truth by definition; caller bounds the block
     "ann_recall_report",  # same: ground truth IS the brute-force verifier
+    "ann_pca_rerank_topk",  # coarse stage is a DECLARED brute-force scan
+    #                         over the 16-dim projections — same broadcast
+    #                         contract-bounded |Q| as brute force, at 1/4
+    #                         the bytes per pair; the rerank touches only
+    #                         k*expand rows per query
 }
 
 
