@@ -905,6 +905,19 @@ ORDER BY doc_id
         lambda s, d: _spans.span_chunk_dedup(_docs(s, d), "doc_id", "text", **_SPAN_KW),
         _spans.span_chunk_dedup_sql("documents", "doc_id", "text", **_SPAN_KW),
     ),
+    # exact duplicated-substring spans (Lee et al. 2107.06499 class):
+    # corpus-duplicated positional n-grams merged into maximal token spans
+    "dedup_substring_spans": (
+        lambda s, d: _spans.duplicated_spans(_docs(s, d), "doc_id", "text", ngram=8),
+        _spans.duplicated_spans_sql("documents", "doc_id", "text", ngram=8),
+    ),
+    # per-document duplicated-token fraction (the removal-decision signal)
+    "dedup_substring_report": (
+        lambda s, d: _spans.duplicated_span_report(
+            _docs(s, d), "doc_id", "text", ngram=8
+        ),
+        _spans.duplicated_span_report_sql("documents", "doc_id", "text", ngram=8),
+    ),
     # deterministic weighted source mixing: scan-level hash-threshold filter
     # (no shuffle), epoch weights > 1 emit repeat copies
     "sample_weighted_mix": (
@@ -1564,7 +1577,6 @@ _DRIVER_PRIORITY = [
     "pack_greedy_bins",
     "text_scrub_pii",
     "embed_quantize",
-    "embed_quantize_report",
     "dedup_embedding_pairs_quantized",
     "ann_quantized_topk",
     "ann_quantized_arrow",
@@ -1572,7 +1584,6 @@ _DRIVER_PRIORITY = [
     "events_resample_locf",
     "events_resample_gaps",
     "embed_pq_encode",
-    "embed_pq_report",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
@@ -1592,11 +1603,18 @@ _DRIVER_PRIORITY = [
     "text_source_divergence",
     "sample_dsir_weights",
     "sample_epoch_shuffle",
-    # changed this round (packed bit-plane simhash) — must re-verify under
+    # changed post-r3 (packed bit-plane simhash) — must re-verify under
     # the driver gate, not only the in-repo replica
     "dedup_simhash",
     "dedup_simhash_pairs",
+    # new in the round-4 session: exact duplicated-substring spans
+    "dedup_substring_spans",
+    "dedup_substring_report",
 ]
+
+# displaced to the in-repo replica to keep the window at exactly 50:
+# embed_quantize_report / embed_pq_report (derived audits whose code paths
+# are fully exercised by the in-window encode/topk entries)
 
 # new-this-round extension queries outside _LLM_OPS that must also land
 # inside the driver's 50-row window (appended right after the priority

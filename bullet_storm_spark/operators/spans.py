@@ -210,3 +210,198 @@ FROM (
   FROM __sized)
 ORDER BY {id_col}, chunk_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (the ExactSubstr dedup class of
+# Lee et al., "Deduplicating Training Data Makes Language Models Better",
+# arXiv 2107.06499). The reference implementation builds a corpus-wide
+# suffix array on one machine; that does not distribute. The Spark-first
+# reformulation below detects the same signal at n-gram granularity: any
+# token n-gram that occurs >= 2 times corpus-wide (across documents OR
+# repeated within one) marks its token range as duplicated, and per
+# document the covered ranges are merged into MAXIMAL spans. A true
+# length-L duplicated substring (L >= ngram) is covered by L - ngram + 1
+# duplicated n-grams, so the merged spans coincide with the suffix-array
+# answer for every duplicate of length >= ngram; shorter duplicates are
+# deliberately below the detection floor (the paper uses a 50-token floor
+# for the same reason).
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 8
+) -> DataFrame:
+    """(id, span_start, span_end, span_len, n_dup_ngrams) — maximal token
+    spans covered by corpus-duplicated ``ngram``-grams, per document.
+    ``span_start``/``span_end`` are 0-based inclusive token positions.
+
+    Physical shape (100 TB posture):
+    * positional n-grams are a per-row explode over the materialized token
+      array (~n rows per doc, never quadratic);
+    * duplicate detection is ONE window count over md5(ngram) — a single
+      shuffle on a uniform short key with no skew (any md5 value repeated
+      enough to skew a partition is itself the duplication being measured);
+    * span merging is two windows + one groupBy, all partitioned by the
+      doc id — the source's natural key, one shuffle reused across all
+      three.
+    No driver-side state; the plan is the exact-dedup plan at positional
+    n-gram granularity.
+    """
+    n = int(ngram)
+    if n < 2:
+        raise ValueError(f"need ngram >= 2, got {n}")
+    spark = df.sparkSession
+    base = (
+        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+        .repartition(spark.sparkContext.defaultParallelism, F.col("__id"))
+        .select("__id", "__toks", F.size("__toks").cast("bigint").alias("__n"))
+        .where(F.col("__n") >= n)
+    )
+    grams = base.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), F.col("__n") - n),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("__toks"), (i + 1).cast("int"), n), " ")
+                ),
+            )
+        ).alias("__pos", "__h"),
+    )
+    dup = (
+        grams.withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        )
+        .where(F.col("__cnt") >= 2)
+        .select("__id", F.col("__pos").cast("bigint").alias("__pos"))
+    )
+    # merge overlapping-or-adjacent covered intervals [pos, pos+n-1] into
+    # maximal islands: a row starts a new island iff its start exceeds the
+    # running max end of every earlier interval by more than 1
+    ordered = Window.partitionBy("__id").orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + (n - 1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "__new", F.when(prev_end.isNull() | (F.col("__pos") > prev_end + 1), 1).otherwise(0)
+    ).withColumn("__island", F.sum("__new").over(ordered))
+    return (
+        islands.groupBy("__id", "__island")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_ngrams"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_dup_ngrams",
+        )
+        .orderBy(id_col, "span_start")
+    )
+
+
+def duplicated_spans_sql(
+    table: str, id_col: str, text_col: str, ngram: int = 8
+) -> str:
+    n = int(ngram)
+    if n < 2:
+        raise ValueError(f"need ngram >= 2, got {n}")
+    return f"""
+WITH __sized AS (
+  SELECT {id_col} AS __id, __toks, CAST(len(__toks) AS BIGINT) AS __n
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS __toks FROM {table})
+  WHERE len(__toks) >= {n}
+), __grams AS (
+  SELECT __id, __u.__pos AS __pos, __u.__h AS __h
+  FROM (SELECT __id,
+               unnest(list_transform(range(0, __n - {n} + 1), i ->
+                 struct_pack(__pos := i,
+                             __h := md5(array_to_string(
+                               __toks[i+1 : i+{n}], ' '))))) AS __u
+        FROM __sized)
+), __dup AS (
+  SELECT __id, CAST(__pos AS BIGINT) AS __pos FROM (
+    SELECT __id, __pos, COUNT(*) OVER (PARTITION BY __h) AS __cnt
+    FROM __grams)
+  WHERE __cnt >= 2
+), __islands AS (
+  SELECT __id, __pos,
+         SUM(__new) OVER (PARTITION BY __id ORDER BY __pos) AS __island
+  FROM (
+    SELECT __id, __pos,
+           CASE WHEN __prev_end IS NULL OR __pos > __prev_end + 1
+                THEN 1 ELSE 0 END AS __new
+    FROM (
+      SELECT __id, __pos,
+             MAX(__pos + {n - 1}) OVER (
+               PARTITION BY __id ORDER BY __pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __prev_end
+      FROM __dup))
+)
+SELECT __id AS {id_col},
+       MIN(__pos) AS span_start,
+       MAX(__pos) + {n - 1} AS span_end,
+       MAX(__pos) + {n - 1} - MIN(__pos) + 1 AS span_len,
+       COUNT(*) AS n_dup_ngrams
+FROM __islands
+GROUP BY __id, __island
+ORDER BY {id_col}, span_start
+"""
+
+
+def duplicated_span_report(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 8
+) -> DataFrame:
+    """(id, n_tokens, dup_tokens, n_spans, dup_fraction) — per-document
+    roll-up of duplicated_spans() over ALL documents (docs with no
+    duplicated span report 0/0/0.0). ``dup_fraction`` is rounded to 6
+    decimals so the engines' float division agrees bit-for-bit. This is
+    the removal-decision signal: pipelines drop documents above a
+    duplicated-fraction threshold or cut the spans themselves."""
+    spans = duplicated_spans(df, id_col, text_col, ngram=ngram)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("__dup_tokens"),
+        F.count(F.lit(1)).alias("__n_spans"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("__dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("__n_spans", F.lit(0)).alias("n_spans"),
+            F.round(
+                F.coalesce("__dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duplicated_span_report_sql(
+    table: str, id_col: str, text_col: str, ngram: int = 8
+) -> str:
+    spans = duplicated_spans_sql(table, id_col, text_col, ngram=ngram)
+    return f"""
+WITH __spans AS ({spans}),
+__per_doc AS (
+  SELECT {id_col}, SUM(span_len) AS __dup_tokens, COUNT(*) AS __n_spans
+  FROM __spans GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(len({tokens_sql(text_col)}) AS BIGINT) AS n_tokens,
+       COALESCE(p.__dup_tokens, 0) AS dup_tokens,
+       COALESCE(p.__n_spans, 0) AS n_spans,
+       round(COALESCE(p.__dup_tokens, 0) /
+             CAST(len({tokens_sql(text_col)}) AS BIGINT), 6) AS dup_fraction
+FROM {table} d LEFT JOIN __per_doc p ON d.{id_col} = p.{id_col}
+ORDER BY d.{id_col}
+"""

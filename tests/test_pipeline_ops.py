@@ -247,3 +247,80 @@ def test_scrub_duck_parity(docs, duck):
         f"SELECT doc_id, {scr_sql} AS s, {cols} FROM docs ORDER BY doc_id"
     ).fetchall()
     assert s == [tuple(r) for r in d]
+
+
+# --- exact duplicated-substring spans (Lee et al. 2107.06499 class) ---------
+
+@pytest.fixture(scope="module")
+def sub_docs(spark):
+    rows = [
+        (10, "one two three four five six"),
+        (11, "zz one two three four yy"),        # shares a 4-token run with 10
+        (12, "r s t r s t r s t"),               # within-doc repetition
+        (13, "unique tokens only here"),         # no duplicated n-gram
+        (14, "ab cd"),                           # shorter than the n-gram
+        (15, "one two three gapA gapB gapC r s t end"),  # two disjoint spans
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def sub_duck(sub_docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sdocs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO sdocs VALUES (?,?)", sub_docs.collect())
+    return con
+
+
+def test_duplicated_spans_semantics(sub_docs):
+    out = defaultdict(list)
+    for r in spans.duplicated_spans(sub_docs, "doc_id", "text", ngram=3).collect():
+        out[r.doc_id].append((r.span_start, r.span_end, r.span_len, r.n_dup_ngrams))
+    # docs 10/11 share 'one two three four': two dup 3-grams each, merged
+    assert out[10] == [(0, 3, 4, 2)]
+    assert out[11] == [(1, 4, 4, 2)]
+    # within-doc repetition: every 3-gram of doc 12 repeats -> one full span
+    assert out[12] == [(0, 8, 9, 7)]
+    # no duplicated n-gram / too short -> no rows at all
+    assert 13 not in out and 14 not in out
+    # two disjoint duplicated runs stay separate islands
+    assert out[15] == [(0, 2, 3, 1), (6, 8, 3, 1)]
+
+
+def test_duplicated_spans_duck_parity(sub_docs, sub_duck):
+    s = [
+        tuple(r)
+        for r in spans.duplicated_spans(sub_docs, "doc_id", "text", ngram=3).collect()
+    ]
+    d = sub_duck.execute(
+        spans.duplicated_spans_sql("sdocs", "doc_id", "text", ngram=3)
+    ).fetchall()
+    assert s == [tuple(r) for r in d]
+
+
+def test_duplicated_span_report(sub_docs, sub_duck):
+    rep = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans, r.dup_fraction)
+        for r in spans.duplicated_span_report(
+            sub_docs, "doc_id", "text", ngram=3
+        ).collect()
+    }
+    assert rep[12] == (9, 9, 1, 1.0)          # fully duplicated
+    assert rep[13] == (4, 0, 0, 0.0)          # clean doc still reports
+    assert rep[14] == (2, 0, 0, 0.0)          # below the n-gram floor
+    assert rep[15][1] == 6 and rep[15][2] == 2
+    d = sub_duck.execute(
+        spans.duplicated_span_report_sql("sdocs", "doc_id", "text", ngram=3)
+    ).fetchall()
+    got = [
+        tuple(r)
+        for r in spans.duplicated_span_report(
+            sub_docs, "doc_id", "text", ngram=3
+        ).collect()
+    ]
+    assert got == [tuple(r) for r in d]
+
+
+def test_duplicated_spans_rejects_tiny_ngram(sub_docs):
+    with pytest.raises(ValueError):
+        spans.duplicated_spans(sub_docs, "doc_id", "text", ngram=1)
