@@ -482,6 +482,7 @@ from bullet_storm_spark.operators import multimodal as _mm
 from bullet_storm_spark.operators import packing as _pack
 from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
+from bullet_storm_spark.operators import bloom as _bloom
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import bpe as _bpe
@@ -917,6 +918,33 @@ ORDER BY doc_id
             _docs(s, d), "doc_id", "text", ngram=8
         ),
         _spans.duplicated_span_report_sql("documents", "doc_id", "text", ngram=8),
+    ),
+    # Bloom-filter membership: the bitmap words of a filter over the
+    # "historical corpus" (doc_id < 250) content keys — the broadcastable
+    # index artifact (bounded by filter size, not corpus size)
+    "dedup_bloom_index": (
+        lambda s, d: _bloom.bloom_build(
+            _docs(s, d).where(F.col("doc_id") < 250).select(F.md5("text").alias("k")),
+            "k", m_bits=1024, k=3,
+        ),
+        _bloom.bloom_build_sql(
+            "(SELECT md5(text) AS k FROM documents WHERE doc_id < 250)",
+            "k", m_bits=1024, k=3,
+        ),
+    ),
+    # probe EVERY document against that filter as a pure scan expression
+    # (no join/shuffle on the probe side), with the exact-membership and
+    # false-positive audit; the small 4-bits/key config makes the fp rate
+    # visibly non-zero so the audit is exercised, not vacuous
+    "dedup_bloom_probe": (
+        lambda s, d: _bloom.bloom_probe_audit(
+            _docs(s, d).select("doc_id", F.md5("text").alias("k")),
+            "doc_id", "k", F.col("doc_id") < 250, m_bits=1024, k=3,
+        ),
+        _bloom.bloom_probe_audit_sql(
+            "(SELECT doc_id, md5(text) AS k FROM documents)",
+            "doc_id", "k", "doc_id < 250", m_bits=1024, k=3,
+        ),
     ),
     # deterministic weighted source mixing: scan-level hash-threshold filter
     # (no shuffle), epoch weights > 1 emit repeat copies
