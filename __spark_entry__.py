@@ -483,6 +483,7 @@ from bullet_storm_spark.operators import packing as _pack
 from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
 from bullet_storm_spark.operators import bloom as _bloom
+from bullet_storm_spark.operators import cms as _cms
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import bpe as _bpe
@@ -918,6 +919,24 @@ ORDER BY doc_id
             _docs(s, d), "doc_id", "text", ngram=8
         ),
         _spans.duplicated_span_report_sql("documents", "doc_id", "text", ngram=8),
+    ),
+    # Count-Min sketch over event user traffic: the sketch IS a tiny
+    # DataFrame (one map-side-combined shuffle over d*w cells), mergeable
+    # across shards by re-summing — SURVEY §2.4's sketch-union posture
+    "freq_cms_sketch": (
+        lambda s, d: _cms.cms_build(
+            load_table(s, d, "events"), "user_id", width=64, depth=4
+        ),
+        _cms.cms_build_sql("events", "user_id", width=64, depth=4),
+    ),
+    # accuracy audit for the heaviest 20 users: est_cnt >= exact_cnt is
+    # structural (overestimate-only); width=64 on ~200 users keeps the
+    # collision error visibly non-zero so the audit is exercised
+    "freq_cms_audit": (
+        lambda s, d: _cms.cms_estimate_audit(
+            load_table(s, d, "events"), "user_id", width=64, depth=4, top_n=20
+        ),
+        _cms.cms_estimate_audit_sql("events", "user_id", width=64, depth=4, top_n=20),
     ),
     # Bloom-filter membership: the bitmap words of a filter over the
     # "historical corpus" (doc_id < 250) content keys — the broadcastable
