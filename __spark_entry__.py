@@ -920,6 +920,15 @@ ORDER BY doc_id
         ),
         _spans.duplicated_span_report_sql("documents", "doc_id", "text", ngram=8),
     ),
+    # sparse TF-IDF cosine similarity join (Bayardo et al. WWW'07 class):
+    # inverted-index self-join over the mid-frequency vocabulary — graded
+    # text similarity without embeddings, df_cap bounds volume AND skew
+    "sim_tfidf_pairs": (
+        lambda s, d: _vocab.tfidf_pairs(
+            _docs(s, d), "doc_id", "text", df_cap=100, min_sim=0.3
+        ),
+        _vocab.tfidf_pairs_sql("documents", "doc_id", "text", df_cap=100, min_sim=0.3),
+    ),
     # Count-Min sketch over event user traffic: the sketch IS a tiny
     # DataFrame (one map-side-combined shuffle over d*w cells), mergeable
     # across shards by re-summing — SURVEY §2.4's sketch-union posture

@@ -419,3 +419,148 @@ SELECT bucket, src AS {stratum_col}, COUNT(*)::BIGINT AS n_docs,
              / COUNT(*), {round_to}) AS mean_ce
 FROM __tiled GROUP BY bucket, src ORDER BY bucket, src
 """
+
+
+def tfidf_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    df_cap: int = 100,
+    min_sim: float = 0.3,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_terms, cosine): document pairs with TF-IDF
+    cosine similarity >= ``min_sim``, computed over the MID-FREQUENCY
+    vocabulary (terms appearing in 2..``df_cap`` documents). This is the
+    classic sparse similarity join (Bayardo et al., WWW 2007 "Scaling Up
+    All Pairs Similarity Search" — the df_cap prune is their
+    high-frequency-term cut): the complement to embedding cosine
+    (operators/similarity.py) when no embeddings exist, and to MinHash
+    (operators/dedup.py) when graded similarity, not a Jaccard threshold,
+    is wanted.
+
+    Semantics: w(d,t) = tf * ln(N/df) rounded to 9 dp; norms and dot
+    products accumulate 12-dp-rounded terms in DECIMAL(38,12) so the
+    score is partitioning-independent and hash-exact across engines;
+    cosine is rounded to 6 dp before the threshold so both engines make
+    the same boundary call.
+
+    Scale shape (100 TB): the corpus collapses to a posting list
+    (term, doc, w) — vocabulary-height × bounded df. Candidate volume is
+    sum over kept terms of df², bounded by df_cap × corpus postings: the
+    df_cap contract is BOTH the relevance prune (ubiquitous terms carry
+    no signal) and the skew bound (no term explodes the join). One
+    term-keyed self-join moving (id, w) only, one pair-keyed aggregation,
+    one doc-keyed norm join. Nothing is corpus-quadratic.
+    """
+    if df_cap < 2:
+        raise ValueError(f"need df_cap >= 2, got {df_cap}")
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("__id", "token").agg(F.count("*").cast("long").alias("__tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("__df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).cast("long").alias("__N"))
+    posting = (
+        tf.join(
+            dfreq.where((F.col("__df") >= 2) & (F.col("__df") <= int(df_cap))),
+            "token",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "token",
+            F.round(
+                F.col("__tf") * F.log(F.col("__N") / F.col("__df")), 9
+            ).alias("__w"),
+        )
+    )
+    norms = posting.groupBy("__id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("__w") * F.col("__w"), 12).cast("decimal(38,12)")
+            ).cast("double")
+        ).alias("__norm")
+    )
+    right = posting.select(
+        F.col("__id").alias("__id_b"), "token", F.col("__w").alias("__w_b")
+    )
+    dots = (
+        posting.join(right, "token")
+        .where(F.col("__id") < F.col("__id_b"))
+        .select(
+            F.col("__id").alias("__a"),
+            F.col("__id_b").alias("__b"),
+            F.round(F.col("__w") * F.col("__w_b"), 12).alias("__p"),
+        )
+        .groupBy("__a", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(F.col("__p").cast("decimal(38,12)")).cast("double").alias("__dot"),
+        )
+    )
+    na = norms.select(F.col("__id").alias("__a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col("__id").alias("__b"), F.col("__norm").alias("__nb"))
+    return (
+        dots.join(na, "__a")
+        .join(nb, "__b")
+        .select(
+            F.col("__a").alias("doc_a"),
+            F.col("__b").alias("doc_b"),
+            "n_shared_terms",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= float(min_sim))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def tfidf_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    df_cap: int = 100,
+    min_sim: float = 0.3,
+) -> str:
+    if df_cap < 2:
+        raise ValueError(f"need df_cap >= 2, got {df_cap}")
+    return f"""
+WITH __tok AS (
+  SELECT {id_col} AS id, unnest({tokens_sql(text_col)}) AS token FROM {table}
+), __nonempty AS (SELECT * FROM __tok WHERE token <> ''),
+__tf AS (
+  SELECT id, token, COUNT(*)::BIGINT AS tf FROM __nonempty GROUP BY id, token
+),
+__dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS dfc FROM __tf GROUP BY token
+),
+__n AS (SELECT COUNT(DISTINCT {id_col})::BIGINT AS N FROM {table}),
+__posting AS (
+  SELECT t.id, t.token, ROUND(t.tf * ln(n.N / d.dfc), 9) AS w
+  FROM __tf t
+  JOIN __dfreq d ON t.token = d.token AND d.dfc BETWEEN 2 AND {int(df_cap)}
+  CROSS JOIN __n n
+),
+__norms AS (
+  SELECT id,
+         sqrt(CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE))
+           AS nrm
+  FROM __posting GROUP BY id
+),
+__dots AS (
+  SELECT a.id AS da, b.id AS db, COUNT(*)::BIGINT AS n_shared_terms,
+         CAST(SUM(CAST(ROUND(a.w * b.w, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS dot
+  FROM __posting a JOIN __posting b
+    ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT d.da AS doc_a, d.db AS doc_b, d.n_shared_terms,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM __dots d
+JOIN __norms na ON d.da = na.id
+JOIN __norms nb ON d.db = nb.id
+WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= {float(min_sim)}
+ORDER BY doc_a, doc_b
+"""

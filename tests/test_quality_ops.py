@@ -311,3 +311,63 @@ def test_epoch_shuffle_rejects_zero_shards(spark):
         S.epoch_shuffle(df, "doc_id", "s", n_shards=0)
     with pytest.raises(ValueError, match="n_shards"):
         S.epoch_shuffle_sql("t", "doc_id", "s", n_shards=0)
+
+
+# --- sparse TF-IDF cosine pairs (V.tfidf_pairs) -------------------------
+
+class TestTfidfPairs:
+    @pytest.fixture(scope="class")
+    def sim_docs(self, spark):
+        rows = [
+            (0, "apple banana cherry durian elderberry"),
+            (1, "apple banana cherry durian fig"),        # near-dup of 0
+            (2, "apple banana grape honeydew icefruit"),  # some overlap
+            (3, "xylo yam zucchini quince ugli"),          # disjoint
+            (4, "apple banana cherry durian elderberry"), # exact dup of 0
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.fixture(scope="class")
+    def sim_duck(self, sim_docs):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE simdocs (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO simdocs VALUES (?,?)", sim_docs.collect())
+        return con
+
+    def test_semantics(self, sim_docs):
+        out = {
+            (r.doc_a, r.doc_b): (r.n_shared_terms, r.cosine)
+            for r in V.tfidf_pairs(
+                sim_docs, "doc_id", "text", df_cap=4, min_sim=0.1
+            ).collect()
+        }
+        # exact duplicates score 1.0 in the pruned space
+        assert out[(0, 4)][1] == pytest.approx(1.0)
+        # near-dup of 0 scores higher than the partial-overlap doc
+        assert out[(0, 1)][1] > out[(0, 2)][1]
+        # the disjoint doc pairs with nobody
+        assert not any(3 in p for p in out)
+
+    def test_df_cap_prunes_ubiquitous_terms(self, sim_docs):
+        # df_cap=3 drops 'apple'/'banana' (df=4): doc 2 now shares
+        # nothing with 0/1/4 above threshold
+        out = V.tfidf_pairs(
+            sim_docs, "doc_id", "text", df_cap=3, min_sim=0.1
+        ).collect()
+        assert not any(r.doc_a == 2 or r.doc_b == 2 for r in out)
+
+    def test_duck_parity(self, sim_docs, sim_duck):
+        s = [
+            tuple(r)
+            for r in V.tfidf_pairs(
+                sim_docs, "doc_id", "text", df_cap=4, min_sim=0.1
+            ).collect()
+        ]
+        d = sim_duck.execute(
+            V.tfidf_pairs_sql("simdocs", "doc_id", "text", df_cap=4, min_sim=0.1)
+        ).fetchall()
+        assert s == [tuple(r) for r in d]
+
+    def test_rejects_tiny_cap(self, sim_docs):
+        with pytest.raises(ValueError):
+            V.tfidf_pairs(sim_docs, "doc_id", "text", df_cap=1)
