@@ -482,6 +482,7 @@ from bullet_storm_spark.operators import multimodal as _mm
 from bullet_storm_spark.operators import packing as _pack
 from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
+from bullet_storm_spark.operators import behavior as _behavior
 from bullet_storm_spark.operators import bloom as _bloom
 from bullet_storm_spark.operators import cms as _cms
 from bullet_storm_spark.operators import spans as _spans
@@ -919,6 +920,30 @@ ORDER BY doc_id
             _docs(s, d), "doc_id", "text", ngram=8
         ),
         _spans.duplicated_span_report_sql("documents", "doc_id", "text", ngram=8),
+    ),
+    # batch behavioral analytics over the event stream: gaps-and-islands
+    # sessionization (batch twin of streaming/native.sessionize, one
+    # user-keyed shuffle), ordered-stage funnel conversion, and
+    # first-seen-day retention cohorts — all exactly oracle-checkable in
+    # shared microsecond resolution
+    "events_sessionize": (
+        lambda s, d: _behavior.sessionize(
+            load_table(s, d, "events"), gap_minutes=360
+        ),
+        _behavior.sessionize_sql("events", gap_minutes=360),
+    ),
+    "events_funnel": (
+        lambda s, d: _behavior.funnel(
+            load_table(s, d, "events"), ["view", "click", "purchase"],
+            horizon_hours=72,
+        ),
+        _behavior.funnel_sql(
+            "events", ["view", "click", "purchase"], horizon_hours=72
+        ),
+    ),
+    "events_retention_cohorts": (
+        lambda s, d: _behavior.retention_cohorts(load_table(s, d, "events")),
+        _behavior.retention_cohorts_sql("events"),
     ),
     # sparse TF-IDF cosine similarity join (Bayardo et al. WWW'07 class):
     # inverted-index self-join over the mid-frequency vocabulary — graded

@@ -1,0 +1,282 @@
+"""Batch behavioral analytics: sessionization, funnels, retention cohorts.
+
+The reference engine answers "what is happening right now" (live windowed
+queries); its users pair it with a batch stack for the behavioral questions
+over the SAME event stream — where sessions start and end, how users move
+through a staged funnel, whether cohorts come back. These are the three
+canonical event-analytics shapes, and all three are pure window/groupBy
+plans over the user key:
+
+* ``sessionize``: gaps-and-islands over (user, time) — the batch twin of
+  ``streaming/native.sessionize`` (applyInPandasWithState), same session
+  semantics, but expressed as two windows + one groupBy so it is exactly
+  oracle-checkable and runs as one shuffle on the user id;
+* ``funnel``: ordered-stage conversion via iterated conditional-min
+  aggregations — stage k's timestamp is the earliest qualifying event
+  AFTER stage k-1's, within a horizon of stage 1; per-stage shuffles are
+  user-keyed and reuse the same partitioning;
+* ``retention_cohorts``: first-seen day × activity-day offset counts — two
+  user-keyed aggregations and a broadcast cohort-size join.
+
+Time is handled in MICROSECONDS (``ts_ns div 1000`` on the Spark side,
+``epoch_us(ts)`` in DuckDB) — the resolution the two engines share for the
+nanos-parquet events table (sources/tables.py); value sums accumulate
+6-dp-rounded terms in DECIMAL(38,6) so results are partitioning-independent.
+Nothing here is ever corpus-quadratic: every shuffle is keyed by user id or
+(cohort, offset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _ts_us() -> F.Column:
+    return F.expr("ts_ns div 1000")
+
+
+def sessionize(
+    df: DataFrame, gap_minutes: int = 30, round_to: int = 6
+) -> DataFrame:
+    """(user_id, session_idx, n_events, start_us, end_us, duration_us,
+    total_value): per-user sessions split where consecutive events are
+    more than ``gap_minutes`` apart. ``session_idx`` is 1-based in time
+    order; ``total_value`` is the decimal-exact sum of 6dp-rounded event
+    values."""
+    gap_us = int(gap_minutes) * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    marked = (
+        df.select("user_id", "event_id", "value", _ts_us().alias("__us"))
+        .withColumn("__prev", F.lag("__us").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__us") - F.col("__prev") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("__new").over(w))
+    )
+    return (
+        marked.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("__us").alias("start_us"),
+            F.max("__us").alias("end_us"),
+            (F.max("__us") - F.min("__us")).alias("duration_us"),
+            F.round(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                round_to,
+            ).alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def sessionize_sql(table: str, gap_minutes: int = 30, round_to: int = 6) -> str:
+    gap_us = int(gap_minutes) * 60_000_000
+    return f"""
+WITH __e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM {table}
+),
+__marked AS (
+  SELECT user_id, event_id, value, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM __e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+__sess AS (
+  SELECT user_id, value, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS session_idx
+  FROM __marked
+)
+SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us,
+       ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE),
+             {round_to}) AS total_value
+FROM __sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    horizon_hours: int = 72,
+    round_to: int = 6,
+) -> DataFrame:
+    """(stage_idx, stage, n_users, conversion): ordered-funnel counts —
+    a user converts through stage k if their earliest stage-k event is
+    strictly AFTER their stage-(k-1) conversion time and within
+    ``horizon_hours`` of their stage-1 time. ``conversion`` is
+    n_users(stage k) / n_users(stage 1), rounded.
+
+    Plan: one conditional-min aggregation per stage, each keyed by
+    user_id (the same partitioning reused k times), then a k-row union.
+    The per-stage frames carry one timestamp per user — never raw
+    events past stage 1."""
+    if len(stages) < 2:
+        raise ValueError(f"need >= 2 funnel stages, got {stages}")
+    horizon_us = int(horizon_hours) * 3_600_000_000
+    ev = df.select("user_id", "event_type", _ts_us().alias("__us"))
+    # stage 1: earliest occurrence per user
+    cur = (
+        ev.where(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("__us").alias("__t1"))
+        .withColumn("__tprev", F.col("__t1"))
+    )
+    tagged = [
+        cur.select(
+            F.lit(1).alias("stage_idx"), F.lit(stages[0]).alias("stage"), "user_id"
+        )
+    ]
+    for i, stage in enumerate(stages[1:], start=2):
+        cur = (
+            ev.where(F.col("event_type") == stage)
+            .join(cur.select("user_id", "__t1", "__tprev"), "user_id")
+            .where(
+                (F.col("__us") > F.col("__tprev"))
+                & (F.col("__us") <= F.col("__t1") + horizon_us)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.first("__t1").alias("__t1"),
+                F.min("__us").alias("__tprev"),
+            )
+        )
+        tagged.append(
+            cur.select(
+                F.lit(i).alias("stage_idx"), F.lit(stage).alias("stage"), "user_id"
+            )
+        )
+    # one lazy union -> one job; each branch recomputes its prefix chain
+    # (k small; at scale persist the filtered event frame once first)
+    allstages = tagged[0]
+    for t in tagged[1:]:
+        allstages = allstages.unionByName(t)
+    per_stage = allstages.groupBy("stage_idx", "stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    base = per_stage.where(F.col("stage_idx") == 1).select(
+        F.col("n_users").alias("__base")
+    )
+    return (
+        per_stage.crossJoin(F.broadcast(base))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_users",
+            F.round(F.col("n_users") / F.col("__base"), round_to).alias("conversion"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def funnel_sql(
+    table: str,
+    stages: list[str],
+    horizon_hours: int = 72,
+    round_to: int = 6,
+) -> str:
+    if len(stages) < 2:
+        raise ValueError(f"need >= 2 funnel stages, got {stages}")
+    horizon_us = int(horizon_hours) * 3_600_000_000
+    ctes = [
+        f"""__s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1, MIN(epoch_us(ts)) AS tprev
+  FROM {table} WHERE event_type = '{stages[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, stage in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"""__s{i} AS (
+  SELECT e.user_id, MIN(p.t1) AS t1, MIN(epoch_us(e.ts)) AS tprev
+  FROM {table} e JOIN __s{i - 1} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{stage}'
+    AND epoch_us(e.ts) > p.tprev
+    AND epoch_us(e.ts) <= p.t1 + {horizon_us}
+  GROUP BY e.user_id
+)"""
+        )
+    selects = [
+        f"SELECT {i} AS stage_idx, '{stage}' AS stage, "
+        f"(SELECT COUNT(*) FROM __s{i})::BIGINT AS n_users"
+        for i, stage in enumerate(stages, start=1)
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {', '.join(ctes)},
+__stages AS ({union})
+SELECT stage_idx, stage, n_users,
+       ROUND(n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1),
+             {round_to}) AS conversion
+FROM __stages
+WHERE n_users > 0  -- stages nobody reaches are omitted (Spark groupBy shape)
+ORDER BY stage_idx
+"""
+
+
+def retention_cohorts(df: DataFrame, round_to: int = 6) -> DataFrame:
+    """(cohort_day, day_offset, n_active, cohort_size, retention): users
+    grouped by first-seen epoch-day; for each later activity day, how many
+    of the cohort were active. Day arithmetic is integer epoch-days (the
+    engines' shared resolution); ``retention`` = n_active / cohort_size
+    rounded."""
+    ev = df.select("user_id", (_ts_us() / _US_PER_DAY).cast("bigint").alias("__day"))
+    first = ev.groupBy("user_id").agg(F.min("__day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    active = (
+        ev.distinct()
+        .join(first, "user_id")
+        .groupBy("cohort_day", (F.col("__day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), round_to).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def retention_cohorts_sql(table: str, round_to: int = 6) -> str:
+    return f"""
+WITH __e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM {table}
+),
+__first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM __e GROUP BY user_id
+),
+__sizes AS (
+  SELECT cohort_day, COUNT(*)::BIGINT AS cohort_size
+  FROM __first GROUP BY cohort_day
+),
+__active AS (
+  SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+         COUNT(*)::BIGINT AS n_active
+  FROM __e e JOIN __first f ON e.user_id = f.user_id
+  GROUP BY f.cohort_day, e.day - f.cohort_day
+)
+SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
+       ROUND(a.n_active / s.cohort_size, {round_to}) AS retention
+FROM __active a JOIN __sizes s ON a.cohort_day = s.cohort_day
+ORDER BY a.cohort_day, a.day_offset
+"""

@@ -1,0 +1,152 @@
+"""Batch behavioral analytics (operators/behavior.py): sessionization
+gaps-and-islands semantics, ordered funnel conversion, retention cohorts,
+and DuckDB parity for all three."""
+
+import duckdb
+import pytest
+
+from bullet_storm_spark.operators import behavior
+
+MIN = 60_000_000  # µs
+DAY = 86_400_000_000
+
+
+def _mk(spark, rows):
+    # rows: (event_id, user_id, event_type, value, us)
+    df = spark.createDataFrame(
+        [(e, u, t, v, us * 1000) for (e, u, t, v, us) in rows],
+        "event_id long, user_id long, event_type string, value double, ts_ns long",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, ts TIMESTAMP)"
+    )
+    con.executemany(
+        "INSERT INTO ev VALUES (?,?,?,?,make_timestamp(?))",
+        [(e, u, t, v, us) for (e, u, t, v, us) in rows],
+    )
+    return df, con
+
+
+@pytest.fixture(scope="module")
+def sess_data(spark):
+    rows = [
+        # user 1: three events 10 min apart, then a 2 h gap, then one more
+        (1, 1, "view", 1.0, 0),
+        (2, 1, "click", 2.0, 10 * MIN),
+        (3, 1, "view", 3.0, 20 * MIN),
+        (4, 1, "purchase", 4.0, 140 * MIN),
+        # user 2: single event
+        (5, 2, "view", 0.5, 5 * MIN),
+    ]
+    return _mk(spark, rows)
+
+
+def test_sessionize_semantics(sess_data):
+    df, _ = sess_data
+    out = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.total_value)
+        for r in behavior.sessionize(df, gap_minutes=30).collect()
+    }
+    assert out[(1, 1)] == (3, 0, 20 * MIN, 6.0)
+    assert out[(1, 2)] == (1, 140 * MIN, 140 * MIN, 4.0)
+    assert out[(2, 1)] == (1, 5 * MIN, 5 * MIN, 0.5)
+
+
+def test_sessionize_duck_parity(sess_data):
+    df, con = sess_data
+    s = [tuple(r) for r in behavior.sessionize(df, gap_minutes=30).collect()]
+    d = con.execute(behavior.sessionize_sql("ev", gap_minutes=30)).fetchall()
+    assert s == [tuple(r) for r in d]
+
+
+@pytest.fixture(scope="module")
+def funnel_data(spark):
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, 1, "view", 0.0, 0),
+        (2, 1, "click", 0.0, 10 * MIN),
+        (3, 1, "purchase", 0.0, 20 * MIN),
+        # user 2: click BEFORE view -> stalls at view
+        (4, 2, "click", 0.0, 0),
+        (5, 2, "view", 0.0, 10 * MIN),
+        # user 3: view then click, purchase outside the horizon
+        (6, 3, "view", 0.0, 0),
+        (7, 3, "click", 0.0, 5 * MIN),
+        (8, 3, "purchase", 0.0, 3 * DAY + 10 * MIN),
+        # user 4: never views
+        (9, 4, "purchase", 0.0, 0),
+    ]
+    return _mk(spark, rows)
+
+
+def test_funnel_semantics(funnel_data):
+    df, _ = funnel_data
+    out = {
+        r.stage_idx: (r.stage, r.n_users, r.conversion)
+        for r in behavior.funnel(
+            df, ["view", "click", "purchase"], horizon_hours=72
+        ).collect()
+    }
+    assert out[1] == ("view", 3, 1.0)          # users 1, 2, 3
+    assert out[2][1] == 2                       # users 1, 3 (user 2 clicked first)
+    assert out[3][1] == 1                       # user 1 only (user 3 past horizon)
+    assert out[3][2] == pytest.approx(round(1 / 3, 6))
+
+
+def test_funnel_duck_parity(funnel_data):
+    df, con = funnel_data
+    s = [
+        tuple(r)
+        for r in behavior.funnel(
+            df, ["view", "click", "purchase"], horizon_hours=72
+        ).collect()
+    ]
+    d = con.execute(
+        behavior.funnel_sql("ev", ["view", "click", "purchase"], horizon_hours=72)
+    ).fetchall()
+    assert s == [tuple(r) for r in d]
+
+
+def test_funnel_rejects_single_stage(funnel_data):
+    df, _ = funnel_data
+    with pytest.raises(ValueError):
+        behavior.funnel(df, ["view"])
+
+
+@pytest.fixture(scope="module")
+def cohort_data(spark):
+    rows = [
+        # cohort day 0: users 1, 2; user 1 returns day 1 and day 3
+        (1, 1, "view", 0.0, 1 * MIN),
+        (2, 2, "view", 0.0, 2 * MIN),
+        (3, 1, "click", 0.0, DAY + MIN),
+        (4, 1, "view", 0.0, 3 * DAY + MIN),
+        # cohort day 1: user 3, returns day 2
+        (5, 3, "view", 0.0, DAY + 2 * MIN),
+        (6, 3, "view", 0.0, 2 * DAY + MIN),
+        (7, 3, "view", 0.0, 2 * DAY + 2 * MIN),  # same day, counted once
+    ]
+    return _mk(spark, rows)
+
+
+def test_retention_semantics(cohort_data):
+    df, _ = cohort_data
+    out = {
+        (r.cohort_day, r.day_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in behavior.retention_cohorts(df).collect()
+    }
+    assert out[(0, 0)] == (2, 2, 1.0)
+    assert out[(0, 1)] == (1, 2, 0.5)
+    assert out[(0, 3)] == (1, 2, 0.5)
+    assert out[(1, 0)] == (1, 1, 1.0)
+    assert out[(1, 1)] == (1, 1, 1.0)
+    assert (0, 2) not in out
+
+
+def test_retention_duck_parity(cohort_data):
+    df, con = cohort_data
+    s = [tuple(r) for r in behavior.retention_cohorts(df).collect()]
+    d = con.execute(behavior.retention_cohorts_sql("ev")).fetchall()
+    assert s == [tuple(r) for r in d]
