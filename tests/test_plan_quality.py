@@ -85,6 +85,12 @@ _ALL_PAIRS_VERIFIERS = {
 }
 
 
+# entries whose ONLY nested loop is a 1-row scalar broadcast (a corpus
+# aggregate like doc count N crossing into a vocabulary-sized frame —
+# O(n*1), not a pair generator)
+_SCALAR_BROADCAST_CROSS = {"sim_tfidf_pairs"}
+
+
 def test_no_nested_loop_joins_in_dedup_and_ann_plans(plans):
     """Every dedup_*/ann_* candidate-generation plan must be hash-join
     blocked — a BroadcastNestedLoopJoin or CartesianProduct means the
@@ -92,13 +98,31 @@ def test_no_nested_loop_joins_in_dedup_and_ann_plans(plans):
     names = [
         n
         for n in entry_mod.queries()
-        if (n.startswith("dedup_") or n.startswith("ann_"))
+        if (
+            n.startswith("dedup_")
+            or n.startswith("ann_")
+            or n.startswith("sim_")   # sparse TF-IDF posting-list join
+            or n.startswith("freq_")  # CMS broadcast probe join
+        )
         and n not in _ALL_PAIRS_VERIFIERS
     ]
     assert len(names) >= 8  # inventory guard: the sweep actually covers the surface
     offenders = {}
     for name in names:
         p = plans(name)
-        if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+        if name in _SCALAR_BROADCAST_CROSS:
+            # the only nested loops allowed are Cross BuildRight scalar
+            # broadcasts (corpus size N riding into every posting row,
+            # O(n*1); the subtree repeats once per diamond-DAG branch).
+            # A real pair-generating nested loop shows up as an
+            # Inner/Left/Right BNLJ or a CartesianProduct.
+            bad_bnlj = any(
+                "BroadcastNestedLoopJoin" in l and "Cross BuildRight" not in l
+                for l in p.splitlines()
+                if "+- BroadcastNestedLoopJoin" in l or ":- BroadcastNestedLoopJoin" in l
+            )
+            if bad_bnlj or "CartesianProduct" in p:
+                offenders[name] = True
+        elif "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
             offenders[name] = True
     assert not offenders, f"nested-loop plans in: {sorted(offenders)}"
