@@ -1584,6 +1584,75 @@ _GROUP_ROLLUP_SQL = (
 )
 
 
+def _pivot_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab: user cohort (user_id mod 10) x event_type counts as a
+    wide matrix — the classic OLAP pivot surface. The pivot VALUES are
+    pinned explicitly (the five known types) so the output schema is
+    static and plannable: Spark then compiles it to ONE pass of
+    conditional aggregates (partial+final, shuffle keyed on the cohort),
+    identical to the SQL twin's FILTER clauses — never a per-column scan."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    total = None
+    for t in types:
+        total = F.col(t) if total is None else total + F.col(t)
+    return out.withColumn("total", total.cast("long")).orderBy("cohort")
+
+
+_PIVOT_SQL = (
+    "SELECT user_id % 10 AS cohort, "
+    + ", ".join(
+        f"COUNT(*) FILTER (event_type = '{t}')::BIGINT AS {t}"
+        for t in ("click", "error", "purchase", "signup", "view")
+    )
+    + ", COUNT(*)::BIGINT AS total FROM events GROUP BY cohort ORDER BY cohort"
+)
+
+
+def _top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (vs the global TOP K aggregation, SURVEY §2.4):
+    the 3 most active users within EACH event type, deterministic rank by
+    (count desc, user_id). One count aggregation + one group-partitioned
+    window — the window sees only the pre-aggregated (type, user) counts,
+    never raw events, so state is #groups x #users, not #rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("event_type", "rank")
+    )
+
+
+_TOP_PER_TYPE_SQL = """
+SELECT event_type, user_id, cnt, rank FROM (
+  SELECT event_type, user_id, COUNT(*)::BIGINT AS cnt,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY COUNT(*) DESC, user_id) AS INTEGER)
+           AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 3 ORDER BY event_type, rank
+"""
+
+
+def _editdistance_pairs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.editdistance_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_dist=20, prefix_len=12
+    )
+
+
 _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "join_revenue_by_nation": (_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "join_top_orders_by_revenue": (_top_orders_by_revenue, _TOP_ORDERS_SQL),
@@ -1595,6 +1664,14 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "win_type_user_rank": (_win_type_user_rank, _WIN_RANK_SQL),
     "win_user_inter_event_gap": (_win_user_inter_event_gap, _WIN_GAP_SQL),
     "group_rollup_type_user": (_group_rollup_type_user, _GROUP_ROLLUP_SQL),
+    "events_pivot_matrix": (_pivot_cohort_matrix, _PIVOT_SQL),
+    "top_k_per_group": (_top_users_per_type, _TOP_PER_TYPE_SQL),
+    "dedup_editdistance_pairs": (
+        _editdistance_pairs_entry,
+        _dedup.editdistance_pairs_sql(
+            "documents", "doc_id", "text", max_dist=20, prefix_len=12
+        ),
+    ),
 }
 
 

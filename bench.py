@@ -83,6 +83,13 @@ HEADLINE = [
     "multimodal_features",
     "embed_pca_project",
     "ann_pca_rerank_topk",
+    "dedup_substring_spans",
+    "dedup_bloom_probe",
+    "freq_cms_audit",
+    "sim_tfidf_pairs",
+    "events_sessionize",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 

@@ -1192,3 +1192,88 @@ SELECT COUNT(*) AS exact_pairs,
        ROUND(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0), {round_to}) AS recall
 FROM exact_pairs LEFT JOIN lsh_pairs USING (id_a, id_b)
 """
+
+
+def editdistance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 20,
+    prefix_len: int = 12,
+) -> DataFrame:
+    """(id_a, id_b, len_a, len_b, edit_distance): document pairs within
+    ``max_dist`` Levenshtein edits, candidate-blocked by an exact match on
+    the first ``prefix_len`` characters (classic prefix blocking from the
+    record-linkage literature). Complements the token-set measures
+    (MinHash Jaccard, TF-IDF cosine): edit distance sees character-level
+    perturbations — typo rewrites, template fills — that token sets blur.
+
+    DECLARED RECALL CONTRACT: only pairs agreeing on the prefix block are
+    compared (a pair edited within its first ``prefix_len`` chars is
+    missed); run after exact-dup collapse so a viral boilerplate prefix
+    cannot concentrate one block (the same viral-duplicate guard as the
+    MinHash path, dedup.py deduplicate(exact_first=True)).
+
+    Scale shape: one equi-join on the prefix key moving (id, text, len);
+    |len_a - len_b| <= max_dist prunes before the O(len^2) levenshtein,
+    which runs only on surviving candidates inside codegen. Candidate
+    volume is sum over blocks of size^2 — bounded by the prefix
+    selectivity, never corpus-quadratic."""
+    if max_dist < 0 or prefix_len < 1:
+        raise ValueError(f"need max_dist >= 0 and prefix_len >= 1")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.length(text_col).cast("long").alias("__len"),
+        F.substring(text_col, 1, int(prefix_len)).alias("__blk"),
+    )
+    right = base.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__text").alias("__text_b"),
+        F.col("__len").alias("__len_b"),
+        "__blk",
+    )
+    return (
+        base.join(right, "__blk")
+        .where(
+            (F.col("__id") < F.col("__id_b"))
+            & (F.abs(F.col("__len") - F.col("__len_b")) <= int(max_dist))
+        )
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
+            F.col("__len").alias("len_a"),
+            F.col("__len_b").alias("len_b"),
+            F.levenshtein(F.col("__text"), F.col("__text_b")).cast("long").alias(
+                "edit_distance"
+            ),
+        )
+        .where(F.col("edit_distance") <= int(max_dist))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def editdistance_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 20,
+    prefix_len: int = 12,
+) -> str:
+    if max_dist < 0 or prefix_len < 1:
+        raise ValueError(f"need max_dist >= 0 and prefix_len >= 1")
+    return f"""
+WITH __b AS (
+  SELECT {id_col} AS id, {text_col} AS text,
+         length({text_col})::BIGINT AS len,
+         substr({text_col}, 1, {int(prefix_len)}) AS blk
+  FROM {table}
+)
+SELECT a.id AS id_a, b.id AS id_b, a.len AS len_a, b.len AS len_b,
+       levenshtein(a.text, b.text)::BIGINT AS edit_distance
+FROM __b a JOIN __b b
+  ON a.blk = b.blk AND a.id < b.id
+WHERE abs(a.len - b.len) <= {int(max_dist)}
+  AND levenshtein(a.text, b.text) <= {int(max_dist)}
+ORDER BY id_a, id_b
+"""

@@ -324,3 +324,54 @@ def test_duplicated_span_report(sub_docs, sub_duck):
 def test_duplicated_spans_rejects_tiny_ngram(sub_docs):
     with pytest.raises(ValueError):
         spans.duplicated_spans(sub_docs, "doc_id", "text", ngram=1)
+
+
+# --- blocked edit-distance pairs (dedup.editdistance_pairs) -----------------
+
+def test_editdistance_pairs_semantics(spark):
+    from bullet_storm_spark.operators import dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # 3 edits
+        (2, "the quick brown wolf sprints over a lazy dog"),  # close-ish
+        (3, "a completely different document altogether"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (5, "THE quick brown fox jumps over the lazy dog"),   # edited IN prefix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in dedup.editdistance_pairs(
+            df, "doc_id", "text", max_dist=12, prefix_len=12
+        ).collect()
+    }
+    assert out[(0, 4)] == 0          # exact duplicate
+    assert out[(0, 1)] == 3          # dog -> cat
+    assert (0, 3) not in out         # different block
+    # DECLARED contract: an edit inside the prefix block is missed
+    assert not any(5 in p for p in out)
+    # doc 2 shares the 12-char prefix, so it IS compared and lands
+    # exactly at the threshold (12 edits)
+    assert out[(0, 2)] == 12
+
+
+def test_editdistance_pairs_duck_parity(spark):
+    from bullet_storm_spark.operators import dedup
+
+    rows = [(i, f"prefix-{i % 3} shared body text {'x' * (i % 5)}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ed (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO ed VALUES (?,?)", rows)
+    s = [
+        tuple(r)
+        for r in dedup.editdistance_pairs(
+            df, "doc_id", "text", max_dist=6, prefix_len=9
+        ).collect()
+    ]
+    d = con.execute(
+        dedup.editdistance_pairs_sql("ed", "doc_id", "text", max_dist=6, prefix_len=9)
+    ).fetchall()
+    assert s == [tuple(r) for r in d]
+    assert len(s) > 0
