@@ -90,6 +90,9 @@ HEADLINE = [
     "events_sessionize",
     "events_funnel",
     "events_retention_cohorts",
+    "events_pivot_matrix",
+    "top_k_per_group",
+    "dedup_editdistance_pairs",
 ]
 
 

@@ -430,7 +430,8 @@ def tfidf_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared_terms, cosine): document pairs with TF-IDF
     cosine similarity >= ``min_sim``, computed over the MID-FREQUENCY
-    vocabulary (terms appearing in 2..``df_cap`` documents). This is the
+    vocabulary (terms appearing in 2..``df_cap`` documents; a float
+    ``df_cap`` in (0,1) is a corpus-size fraction resolved at plan time). This is the
     classic sparse similarity join (Bayardo et al., WWW 2007 "Scaling Up
     All Pairs Similarity Search" — the df_cap prune is their
     high-frequency-term cut): the complement to embedding cosine
@@ -452,20 +453,25 @@ def tfidf_pairs(
     term-keyed self-join moving (id, w) only, one pair-keyed aggregation,
     one doc-keyed norm join. Nothing is corpus-quadratic.
     """
-    if df_cap < 2:
-        raise ValueError(f"need df_cap >= 2, got {df_cap}")
+    cap = _resolve_df_cap(df_cap)
     tok = df.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
     tf = tok.groupBy("__id", "token").agg(F.count("*").cast("long").alias("__tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("__df"))
     n_docs = df.select(F.count_distinct(F.col(id_col)).cast("long").alias("__N"))
-    posting = (
-        tf.join(
-            dfreq.where((F.col("__df") >= 2) & (F.col("__df") <= int(df_cap))),
-            "token",
+    if isinstance(cap, float):
+        # fractional cap resolves corpus-side: size-independent config
+        cap_col = F.greatest(
+            F.lit(2).cast("long"),
+            F.ceil(F.lit(cap) * F.col("__N")).cast("long"),
         )
+    else:
+        cap_col = F.lit(cap).cast("long")
+    posting = (
+        tf.join(dfreq.where(F.col("__df") >= 2), "token")
         .crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") <= cap_col)
         .select(
             "__id",
             "token",
@@ -523,8 +529,11 @@ def tfidf_pairs_sql(
     df_cap: int = 100,
     min_sim: float = 0.3,
 ) -> str:
-    if df_cap < 2:
-        raise ValueError(f"need df_cap >= 2, got {df_cap}")
+    cap = _resolve_df_cap(df_cap)
+    if isinstance(cap, float):
+        cap_sql = f"greatest(2, CAST(ceil({cap} * n.N) AS BIGINT))"
+    else:
+        cap_sql = str(cap)
     return f"""
 WITH __tok AS (
   SELECT {id_col} AS id, unnest({tokens_sql(text_col)}) AS token FROM {table}
@@ -539,8 +548,9 @@ __n AS (SELECT COUNT(DISTINCT {id_col})::BIGINT AS N FROM {table}),
 __posting AS (
   SELECT t.id, t.token, ROUND(t.tf * ln(n.N / d.dfc), 9) AS w
   FROM __tf t
-  JOIN __dfreq d ON t.token = d.token AND d.dfc BETWEEN 2 AND {int(df_cap)}
+  JOIN __dfreq d ON t.token = d.token AND d.dfc >= 2
   CROSS JOIN __n n
+  WHERE d.dfc <= {cap_sql}
 ),
 __norms AS (
   SELECT id,
@@ -564,3 +574,20 @@ JOIN __norms nb ON d.db = nb.id
 WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= {float(min_sim)}
 ORDER BY doc_a, doc_b
 """
+
+
+def _resolve_df_cap(df_cap: int | float) -> int | float:
+    """An int >= 2 is an absolute document-frequency cap; a float in (0, 1)
+    is a FRACTION of the corpus size resolved at plan time corpus-side
+    (min 2). The fractional form is the size-independent config: a fixed
+    absolute cap silently empties the posting list once the corpus grows
+    past cap/expected-df docs (measured in SCALING.md's data-growth
+    curve)."""
+    if isinstance(df_cap, float) and not df_cap.is_integer():
+        if not 0.0 < df_cap < 1.0:
+            raise ValueError(f"fractional df_cap must be in (0, 1), got {df_cap}")
+        return df_cap
+    cap = int(df_cap)
+    if cap < 2:
+        raise ValueError(f"need df_cap >= 2, got {df_cap}")
+    return cap

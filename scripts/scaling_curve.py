@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Strong-scaling curve: the same sf0.1 workload at increasing local[N]
+parallelism, one fresh JVM per point (master is fixed per session).
+
+Measures the three shuffle-heavy shapes whose scaling behavior the 100 TB
+design notes argue from: the MinHash LSH pair pipeline (explode + two
+shuffles), the SimHash pipeline (wide aggregate + banded join), and the
+sparse TF-IDF similarity join (posting self-join). Each point reports the
+steady (second-run) time; writes one JSON line per point.
+
+Usage: python scripts/scaling_curve.py [out.jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+import bullet_storm_spark as bss
+from bullet_storm_spark.operators import dedup, vocab
+from bullet_storm_spark.sources.tables import load_table
+
+n = int(sys.argv[1])
+spark = bss.get_spark(app_name=f"scale-{n}", master=f"local[{n}]",
+                      shuffle_partitions=max(n, 4))
+spark.sparkContext.setLogLevel("ERROR")
+docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+docs = docs.persist(); docs.count()
+
+def run(name, fn):
+    fn().count()              # warm plan + codegen
+    t0 = time.perf_counter(); fn().count(); dt = time.perf_counter() - t0
+    return name, round(dt, 3)
+
+out = dict([
+    run("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
+        threshold=0.5)),
+    run("simhash_pairs", lambda: dedup.simhash_pairs(
+        docs, "doc_id", "text", shingle_n=3, max_hamming=3)),
+    run("tfidf_pairs", lambda: vocab.tfidf_pairs(
+        docs, "doc_id", "text", df_cap=100, min_sim=0.3)),
+])
+print("RESULT " + json.dumps({"cores": n, **out}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/dev/stdout"
+    results = []
+    for n in (1, 2, 4, 8, 16, 32):
+        proc = subprocess.run(
+            [sys.executable, "-c", CHILD, str(n)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(f"cores={n} FAILED:\n{proc.stderr[-2000:]}", file=sys.stderr)
+            continue
+        rec = json.loads(line[0][len("RESULT "):])
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    if out_path != "/dev/stdout":
+        with open(out_path, "w") as f:
+            for rec in results:
+                f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -371,3 +371,39 @@ class TestTfidfPairs:
     def test_rejects_tiny_cap(self, sim_docs):
         with pytest.raises(ValueError):
             V.tfidf_pairs(sim_docs, "doc_id", "text", df_cap=1)
+
+    def test_fractional_df_cap_survives_corpus_growth(self, spark, sim_docs):
+        # replicate the corpus 8x with perturbed ids/text: every term's
+        # absolute df scales 8x, so an absolute cap tuned for 1x empties
+        # the posting list, while the fractional cap tracks N (the
+        # SCALING.md data-growth finding)
+        frames = [
+            sim_docs.select(
+                (F.col("doc_id") + i * 1000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" tag{i}")).alias("text"),
+            )
+            for i in range(8)
+        ]
+        big = frames[0]
+        for f in frames[1:]:
+            big = big.unionByName(f)
+        absolute = V.tfidf_pairs(big, "doc_id", "text", df_cap=4, min_sim=0.1)
+        fractional = V.tfidf_pairs(big, "doc_id", "text", df_cap=0.81, min_sim=0.1)
+        assert absolute.count() == 0
+        assert fractional.count() > 0
+
+    def test_fractional_cap_duck_parity(self, sim_docs, sim_duck):
+        s = [
+            tuple(r)
+            for r in V.tfidf_pairs(
+                sim_docs, "doc_id", "text", df_cap=0.81, min_sim=0.1
+            ).collect()
+        ]
+        d = sim_duck.execute(
+            V.tfidf_pairs_sql("simdocs", "doc_id", "text", df_cap=0.81, min_sim=0.1)
+        ).fetchall()
+        assert s == [tuple(r) for r in d]
+
+    def test_fractional_cap_validation(self, sim_docs):
+        with pytest.raises(ValueError):
+            V.tfidf_pairs(sim_docs, "doc_id", "text", df_cap=1.5)
