@@ -482,6 +482,7 @@ from bullet_storm_spark.operators import multimodal as _mm
 from bullet_storm_spark.operators import packing as _pack
 from bullet_storm_spark.operators import sampling as _smp
 from bullet_storm_spark.operators import similarity as _sim
+from bullet_storm_spark.operators import anomaly as _anomaly
 from bullet_storm_spark.operators import behavior as _behavior
 from bullet_storm_spark.operators import bloom as _bloom
 from bullet_storm_spark.operators import cms as _cms
@@ -920,6 +921,28 @@ ORDER BY doc_id
             _docs(s, d), "doc_id", "text", ngram=8
         ),
         _spans.duplicated_span_report_sql("documents", "doc_id", "text", ngram=8),
+    ),
+    # CUSUM changepoint detection per event_type: the sequential statistic
+    # as two window frames (cumsum minus running min — no recursion, no
+    # UDF); per-key series collapse to hourly counts before any window
+    "events_volume_cusum": (
+        lambda s, d: _anomaly.volume_cusum(load_table(s, d, "events")),
+        _anomaly.volume_cusum_sql("events"),
+    ),
+    # exactly-k weighted sampling without replacement (Efraimidis-Spirakis
+    # priorities over deterministic per-row draws): reproducible under
+    # partitioning and appends, one TakeOrdered, no global sort
+    "sample_priority_weighted": (
+        lambda s, d: _smp.priority_sample(
+            _docs(s, d), "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double"),
+            k=50, salt="prio",
+        ),
+        _smp.priority_sample_sql(
+            "documents", "doc_id",
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)",
+            k=50, salt="prio",
+        ),
     ),
     # batch behavioral analytics over the event stream: gaps-and-islands
     # sessionization (batch twin of streaming/native.sessionize, one

@@ -1,0 +1,174 @@
+"""Changepoint / anomaly detection over event-time series, dual-compiled.
+
+CUSUM (Page 1954) is the standard sequential changepoint statistic: it
+accumulates deviations from the in-control mean and flags when the
+accumulation crosses a threshold. The textbook recursion
+``S+_t = max(0, S+_{t-1} + (x_t - mu - slack))`` looks inherently
+sequential — but it has a closed prefix form: with
+``c_t = sum_{i<=t} (x_i - mu - slack)``,
+
+    S+_t = c_t - min_{j <= t} c_j          (and symmetrically S-_t
+                                            from the negated series)
+
+so the whole detector is a cumulative sum plus a running min — two
+window frames, no recursion, no UDF. That is what makes it a
+SPARK-NATIVE operator: per monitored key (here event_type) the series
+lives in one window partition; cross-key parallelism is free, and at 100
+TB you monitor millions of keys (user, shard, source) with one shuffle
+on the key — the per-key series length (hours) is tiny by construction
+because the FIRST aggregation collapses raw events to (key, bucket)
+counts.
+
+Engine parity: counts are integers; mu/sd derive from integer sums and
+round once to 9 dp; EVERYTHING downstream is exact decimal arithmetic
+(9-dp values recovered losslessly from their doubles, 2-dp knob
+literals), so the cusum columns and the flag comparison carry no
+rounding at all — the one decimal->double cast at the end is correctly
+rounded identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def _check_knobs(slack_k: float, threshold_h: float) -> None:
+    for name, v in (("slack_k", slack_k), ("threshold_h", threshold_h)):
+        if not 0 <= v < 100 or round(v, 2) != v:
+            raise ValueError(
+                f"{name} must be in [0, 100) and exact at 2 decimals, got {v}"
+            )
+
+
+def volume_cusum(
+    df: DataFrame,
+    key_col: str = "event_type",
+    slack_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> DataFrame:
+    """(key, hour, cnt, cusum_pos, cusum_neg, flag): hourly event counts
+    per key with two-sided CUSUM statistics. ``slack_k`` and
+    ``threshold_h`` are in units of the per-key population std (the
+    usual k=0.5, h=4-5 operating point); ``flag`` is true where either
+    side exceeds h*std. Both knobs must be exact at 2 decimals — they
+    enter the EXACT decimal arithmetic the parity guarantee rests on."""
+    _check_knobs(slack_k, threshold_h)
+    hours = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            (F.expr("ts_ns div 1000") / _US_PER_HOUR).cast("bigint").alias("hour"),
+        )
+        .groupBy("__key", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stats = hours.groupBy("__key").agg(
+        F.round(F.avg("cnt"), 9).alias("__mu"),
+        # population std from integer sums: sqrt(E[x^2] - E[x]^2)
+        F.round(
+            F.sqrt(
+                F.avg(F.col("cnt") * F.col("cnt"))
+                - F.avg("cnt") * F.avg("cnt")
+            ),
+            9,
+        ).alias("__sd"),
+    )
+    w = Window.partitionBy("__key").orderBy("hour")
+    wmin = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ALL deviation arithmetic happens in exact DECIMAL: the 9-dp mu/sd
+    # doubles cast back to decimal(18,9) losslessly (nearest double of a
+    # 9-dp value is within 2^-50 of it), slack/threshold are 2-dp decimal
+    # literals, so dev/cumsum/spos carry NO rounding at all. Rounding a
+    # double anywhere here tie-splits between HALF_UP and half-even
+    # engines — measured: slack_k * sd makes exact half-ulp ties in ~half
+    # of all buckets because 0.5 * (odd 9th digit) lands on ...5.
+    mu_d = F.col("__mu").cast("decimal(18,9)")
+    sd_d = F.col("__sd").cast("decimal(18,9)")
+    slack = F.lit(float(slack_k)).cast("decimal(4,2)")
+    cnt_d = F.col("cnt").cast("decimal(18,3)")
+    dev_pos = (cnt_d - mu_d - slack * sd_d).cast("decimal(38,11)")
+    dev_neg = (-(cnt_d - mu_d) - slack * sd_d).cast("decimal(38,11)")
+    # windows cannot nest: materialize the cumulative sums, then take the
+    # running min in a second projection (both ride the SAME key-ordered
+    # window partitioning — one shuffle, two window stages)
+    cum = hours.join(F.broadcast(stats), "__key").select(
+        "__key",
+        "hour",
+        "cnt",
+        "__sd",
+        F.sum(dev_pos).over(w).alias("__cpos"),
+        F.sum(dev_neg).over(w).alias("__cneg"),
+    )
+    s_pos = F.col("__cpos") - F.min("__cpos").over(wmin)
+    s_neg = F.col("__cneg") - F.min("__cneg").over(wmin)
+    thr = (
+        F.lit(float(threshold_h)).cast("decimal(4,2)")
+        * F.col("__sd").cast("decimal(18,9)")
+    ).cast("decimal(38,11)")
+    return (
+        cum.select(
+            F.col("__key").alias(key_col),
+            "hour",
+            "cnt",
+            s_pos.cast("double").alias("cusum_pos"),
+            s_neg.cast("double").alias("cusum_neg"),
+            ((s_pos > thr) | (s_neg > thr)).alias("flag"),
+        )
+        .orderBy(key_col, "hour")
+    )
+
+
+def volume_cusum_sql(
+    table: str,
+    key_col: str = "event_type",
+    slack_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> str:
+    _check_knobs(slack_k, threshold_h)
+    return f"""
+WITH __hours AS (
+  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
+         COUNT(*)::BIGINT AS cnt
+  FROM {table} GROUP BY key, hour
+),
+__stats AS (
+  SELECT key, ROUND(AVG(cnt), 9) AS mu,
+         ROUND(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt)), 9) AS sd
+  FROM __hours GROUP BY key
+),
+__dev AS (
+  SELECT h.key, h.hour, h.cnt, s.mu, s.sd,
+         CAST(CAST(h.cnt AS DECIMAL(18,3)) - CAST(s.mu AS DECIMAL(18,9))
+              - CAST({float(slack_k)!r} AS DECIMAL(4,2))
+                * CAST(s.sd AS DECIMAL(18,9)) AS DECIMAL(38,11)) AS dpos,
+         CAST(-(CAST(h.cnt AS DECIMAL(18,3)) - CAST(s.mu AS DECIMAL(18,9)))
+              - CAST({float(slack_k)!r} AS DECIMAL(4,2))
+                * CAST(s.sd AS DECIMAL(18,9)) AS DECIMAL(38,11)) AS dneg
+  FROM __hours h JOIN __stats s ON h.key = s.key
+),
+__cum AS (
+  SELECT key, hour, cnt, sd,
+         SUM(dpos) OVER w AS cpos,
+         SUM(dneg) OVER w AS cneg
+  FROM __dev
+  WINDOW w AS (PARTITION BY key ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+__s AS (
+  SELECT key, hour, cnt, sd,
+         cpos - MIN(cpos) OVER w AS spos,
+         cneg - MIN(cneg) OVER w AS sneg
+  FROM __cum
+  WINDOW w AS (PARTITION BY key ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key AS {key_col}, hour, cnt,
+       CAST(spos AS DOUBLE) AS cusum_pos, CAST(sneg AS DOUBLE) AS cusum_neg,
+       (spos > CAST(CAST({float(threshold_h)!r} AS DECIMAL(4,2))
+                    * CAST(sd AS DECIMAL(18,9)) AS DECIMAL(38,11))
+        OR sneg > CAST(CAST({float(threshold_h)!r} AS DECIMAL(4,2))
+                       * CAST(sd AS DECIMAL(18,9)) AS DECIMAL(38,11)))
+         AS flag
+FROM __s ORDER BY {key_col}, hour
+"""

@@ -344,3 +344,76 @@ SELECT {shard} AS shard,
 FROM {table}
 ORDER BY shard, pos
 """
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "prio",
+    weight_name: str = "weight",
+) -> DataFrame:
+    """(id, weight, priority): a weighted random sample WITHOUT
+    replacement of exactly ``k`` rows (fewer only if the eligible corpus
+    is smaller) — Efraimidis & Spirakis (IPL 2006) priority sampling.
+    Each row draws priority = -ln(u) / w from its deterministic (id,
+    salt) uniform u; the k SMALLEST priorities are the sample, and the
+    inclusion probabilities are exactly the weighted-without-replacement
+    ones. Rows with weight <= 0 are excluded (zero mass).
+
+    Why this beats df.sample at scale: it is (1) weighted per-row, (2)
+    exactly-k, (3) reproducible under partitioning/re-runs/appends (the
+    draw is a pure row function), and (4) one TakeOrdered — per-partition
+    heaps merged on the driver, no global sort, no second pass to fix the
+    sample size. Priorities round to 9 dp with the id as tiebreak, so the
+    boundary is engine-independent."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ) / F.lit(float(1 << 32) + 1.0)
+    pri = F.round(-F.log(u) / weight, 9)
+    return (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.round(weight, 9).alias(weight_name),
+            pri.alias("priority"),
+        )
+        .where(F.col(weight_name) > 0)
+        .orderBy("priority", id_col)
+        .limit(int(k))
+    )
+
+
+def priority_sample_sql(
+    table: str,
+    id_col: str,
+    weight_expr: str,
+    k: int,
+    salt: str = "prio",
+    weight_name: str = "weight",
+) -> str:
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    u = (
+        f"((('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 8))"
+        f"::BIGINT + 1) / {float(1 << 32) + 1.0!r})"
+    )
+    return f"""
+SELECT {id_col}, ROUND({weight_expr}, 9) AS {weight_name},
+       ROUND(-ln({u}) / ({weight_expr}), 9) AS priority
+FROM {table}
+WHERE ROUND({weight_expr}, 9) > 0
+ORDER BY priority, {id_col}
+LIMIT {int(k)}
+"""

@@ -1,0 +1,151 @@
+"""CUSUM changepoint detection (operators/anomaly.py) and priority
+sampling (sampling.priority_sample): semantics, structural guarantees,
+DuckDB parity."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark.operators import anomaly, sampling
+
+HOUR = 3_600_000_000
+
+
+def _mk_events(spark, rows):
+    # rows: (event_id, key, us)
+    df = spark.createDataFrame(
+        [(e, k, us * 1000) for (e, k, us) in rows],
+        "event_id long, event_type string, ts_ns long",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, event_type VARCHAR, ts TIMESTAMP)"
+    )
+    con.executemany(
+        "INSERT INTO ev VALUES (?,?,make_timestamp(?))",
+        [(e, k, us) for (e, k, us) in rows],
+    )
+    return df, con
+
+
+@pytest.fixture(scope="module")
+def shifted(spark):
+    # key 'a': 20 hours at 2 events/hour, then 10 hours at 9 events/hour —
+    # a clean level shift the detector must flag in the back half
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 2 if h < 20 else 9
+        for i in range(n):
+            rows.append((eid, "a", h * HOUR + i * 60_000_000))
+            eid += 1
+    # key 'b': steady 3/hour, never flags
+    for h in range(30):
+        for i in range(3):
+            rows.append((eid, "b", h * HOUR + i * 60_000_000))
+            eid += 1
+    return _mk_events(spark, [(e, k, us) for (e, k, us) in rows])
+
+
+def test_cusum_flags_level_shift_only(shifted):
+    df, _ = shifted
+    out = anomaly.volume_cusum(df, slack_k=0.5, threshold_h=4.0).collect()
+    a = [r for r in out if r.event_type == "a"]
+    b = [r for r in out if r.event_type == "b"]
+    assert any(r.flag for r in a), "shift not detected"
+    # detection happens in the shifted regime, not before it
+    first_flag_hour = min(r.hour for r in a if r.flag)
+    assert first_flag_hour >= 20
+    assert not any(r.flag for r in b), "false alarm on the steady series"
+    # cusum statistics are non-negative by construction
+    assert all(r.cusum_pos >= 0 and r.cusum_neg >= 0 for r in out)
+
+
+def test_cusum_matches_sequential_reference(shifted):
+    # the window formulation must equal the textbook recursion exactly
+    df, _ = shifted
+    out = [r for r in anomaly.volume_cusum(df).collect() if r.event_type == "a"]
+    out.sort(key=lambda r: r.hour)
+    counts = [r.cnt for r in out]
+    n = len(counts)
+    mu = round(sum(counts) / n, 9)
+    sd = round(
+        math.sqrt(sum(c * c for c in counts) / n - (sum(counts) / n) ** 2), 9
+    )
+    s = 0.0
+    for r, c in zip(out, counts):
+        s = max(0.0, s + (c - mu - 0.5 * sd))
+        assert r.cusum_pos == pytest.approx(s, abs=1e-6)
+
+
+def test_cusum_duck_parity(shifted):
+    df, con = shifted
+    s = [tuple(r) for r in anomaly.volume_cusum(df).collect()]
+    d = con.execute(anomaly.volume_cusum_sql("ev")).fetchall()
+    assert s == [tuple(r) for r in d]
+
+
+def test_cusum_knob_validation(shifted):
+    df, _ = shifted
+    with pytest.raises(ValueError):
+        anomaly.volume_cusum(df, slack_k=0.123)
+    with pytest.raises(ValueError):
+        anomaly.volume_cusum_sql("ev", threshold_h=-1.0)
+
+
+# --- priority sampling ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def weighted_docs(spark):
+    rows = [(i, float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wd (doc_id BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO wd VALUES (?,?)", rows)
+    return df, con
+
+
+def test_priority_sample_exact_k_and_reproducible(weighted_docs):
+    df, _ = weighted_docs
+    a = sampling.priority_sample(df, "doc_id", F.col("w"), k=40).collect()
+    b = sampling.priority_sample(
+        df.repartition(7), "doc_id", F.col("w"), k=40
+    ).collect()
+    assert len(a) == 40
+    # partitioning-independent: identical sample under a different layout
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # different salt -> different sample
+    c = sampling.priority_sample(df, "doc_id", F.col("w"), k=40, salt="other")
+    assert {r.doc_id for r in a} != {r.doc_id for r in c.collect()}
+
+
+def test_priority_sample_weight_bias(spark):
+    # weight-7 rows must be sampled far more often than weight-1 rows
+    rows = [(i, 7.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sampling.priority_sample(df, "doc_id", F.col("w"), k=200).collect()
+    heavy = sum(1 for r in got if r.doc_id < 500)
+    assert heavy > 140  # expectation ~ 175/200; 140 is a loose floor
+
+
+def test_priority_sample_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, w double"
+    )
+    got = sampling.priority_sample(df, "doc_id", F.col("w"), k=10).collect()
+    assert [r.doc_id for r in got] == [3]
+
+
+def test_priority_sample_duck_parity(weighted_docs):
+    df, con = weighted_docs
+    s = [
+        tuple(r)
+        for r in sampling.priority_sample(df, "doc_id", F.col("w"), k=25).collect()
+    ]
+    d = con.execute(
+        sampling.priority_sample_sql("wd", "doc_id", "w", k=25)
+    ).fetchall()
+    assert s == [tuple(r) for r in d]
