@@ -93,6 +93,8 @@ HEADLINE = [
     "events_pivot_matrix",
     "top_k_per_group",
     "dedup_editdistance_pairs",
+    "events_volume_cusum",
+    "sample_priority_weighted",
 ]
 
 
