@@ -857,6 +857,18 @@ ORDER BY doc_id
             "embeddings", "vec_id", "embedding", "id < 8", **_ANN_KW
         ),
     ),
+    # reciprocal-rank fusion (Cormack SIGIR'09) of the exact and the
+    # LSH-bucketed rankers: the standard score-calibration-free ensemble
+    # of retrieval backends; fusion cost is rank-lists only
+    "ann_rrf_fusion": (
+        lambda s, d: _sim.rrf_fusion(
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8,
+            k=5, pool=10,
+        ),
+        _sim.rrf_fusion_sql(
+            "embeddings", "vec_id", "embedding", "id < 8", k=5, pool=10
+        ),
+    ),
     "ann_lsh_bucketed_topk": (
         lambda s, d: _sim.lsh_bucketed_neighbors(
             _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, **_ANN_LSH_KW
@@ -1670,6 +1682,42 @@ SELECT event_type, user_id, cnt, rank FROM (
 """
 
 
+def _latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: the LATEST record per (user, event_type) key
+    (ts desc, event_id desc tiebreak) — the upsert/merge shape every
+    ingest pipeline runs to collapse a change stream into current state.
+    One window over the natural key; at 100 TB this is
+    repartitionByRange-friendly and pairs with the shard layout writer."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # order by the µs column the output carries (the engines' shared
+    # resolution), event_id as the deterministic tiebreak
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        ev.select(
+            "user_id", "event_type", "event_id", "value",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_type", "event_id", "value", "ts_us")
+        .orderBy("user_id", "event_type")
+    )
+
+
+_LATEST_BY_KEY_SQL = """
+SELECT user_id, event_type, event_id, value, ts_us FROM (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
 def _editdistance_pairs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.editdistance_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_dist=20, prefix_len=12
@@ -1687,6 +1735,7 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "win_type_user_rank": (_win_type_user_rank, _WIN_RANK_SQL),
     "win_user_inter_event_gap": (_win_user_inter_event_gap, _WIN_GAP_SQL),
     "group_rollup_type_user": (_group_rollup_type_user, _GROUP_ROLLUP_SQL),
+    "events_latest_by_key": (_latest_by_key, _LATEST_BY_KEY_SQL),
     "events_pivot_matrix": (_pivot_cohort_matrix, _PIVOT_SQL),
     "top_k_per_group": (_top_users_per_type, _TOP_PER_TYPE_SQL),
     "dedup_editdistance_pairs": (

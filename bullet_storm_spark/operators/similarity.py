@@ -733,3 +733,102 @@ SELECT d.id AS {id_col}, d.cell,
 FROM dists d JOIN stats s USING (cell)
 ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two rankers (hybrid / ensemble retrieval)
+# ---------------------------------------------------------------------------
+
+def rrf_fusion(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    pool: int = 10,
+    c: int = 60,
+    nbits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, rrf, rank): reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009) of two neighbor rankers —
+    the exact brute-force ranker and the LSH-bucketed approximate one —
+    each contributing its top-``pool`` list; fused score is
+    sum over rankers of 1/(c + rank), missing entries contribute 0.
+
+    RRF is the standard way to ensemble retrieval backends (sparse +
+    dense, or several ANN indexes): rank-based, so no score calibration
+    across rankers is needed, and the c constant damps the head. The
+    fused list recovers results a single approximate index drops.
+
+    Scale shape: each ranker's output is (|Q| x pool) rows — the fusion
+    join and re-rank never touch the corpus, only the two rank lists;
+    cost is entirely in the underlying rankers. The 1/(c+rank) terms are
+    integer-derived doubles, identical in both engines; rrf rounds to
+    9 dp with the neighbor id as tiebreak."""
+    if k < 1 or pool < k or c < 1:
+        raise ValueError(f"need 1 <= k <= pool and c >= 1, got {k=} {pool=} {c=}")
+    a = brute_force_neighbors(df, id_col, vec_col, query_pred, k=pool).select(
+        "query_id", "neighbor_id", F.col("rank").alias("__ra")
+    )
+    b = lsh_bucketed_neighbors(
+        df, id_col, vec_col, query_pred, k=pool, nbits=nbits, dim=dim
+    ).select("query_id", "neighbor_id", F.col("rank").alias("__rb"))
+    fused = (
+        a.join(b, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(c) + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("__rb")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def rrf_fusion_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    pool: int = 10,
+    c: int = 60,
+    nbits: int = 4,
+    dim: int = 64,
+) -> str:
+    if k < 1 or pool < k or c < 1:
+        raise ValueError(f"need 1 <= k <= pool and c >= 1, got {k=} {pool=} {c=}")
+    bf = brute_force_neighbors_sql(table, id_col, vec_col, query_pred_sql, k=pool)
+    lsh = lsh_bucketed_neighbors_sql(
+        table, id_col, vec_col, query_pred_sql, k=pool, nbits=nbits, dim=dim
+    )
+    return f"""
+WITH __a AS (SELECT query_id, neighbor_id, rank AS ra FROM ({bf}) t),
+__b AS (SELECT query_id, neighbor_id, rank AS rb FROM ({lsh}) t),
+__fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         ROUND(COALESCE(1.0 / ({c} + a.ra), 0.0)
+               + COALESCE(1.0 / ({c} + b.rb), 0.0), 9) AS rrf
+  FROM __a a FULL OUTER JOIN __b b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id ASC) AS INTEGER)
+         AS rank
+FROM __fused
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""

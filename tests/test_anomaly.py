@@ -149,3 +149,69 @@ def test_priority_sample_duck_parity(weighted_docs):
         sampling.priority_sample_sql("wd", "doc_id", "w", k=25)
     ).fetchall()
     assert s == [tuple(r) for r in d]
+
+
+# --- RRF fusion (similarity.rrf_fusion) -------------------------------------
+
+
+def test_rrf_fusion_semantics_and_parity(spark):
+    import random
+
+    from bullet_storm_spark.operators import similarity
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.rrf_fusion(
+        df, "vec_id", "embedding", F.col("vec_id") < 4, k=5, pool=10, dim=dim
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, lst in by_q.items():
+        assert [r.rank for r in lst] == [1, 2, 3, 4, 5]
+        # scores non-increasing, all positive, bounded by 2/(c+1)
+        scores = [r.rrf for r in lst]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0 < s <= 2 / 61 + 1e-12 for s in scores)
+        # a neighbor ranked 1 by BOTH rankers gets the max possible score
+    # parity
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?,?)", rows)
+    d = con.execute(
+        similarity.rrf_fusion_sql(
+            "emb", "id", "embedding", "id < 4", k=5, pool=10, dim=dim
+        )
+    ).fetchall()
+    assert [tuple(r) for r in out] == [tuple(r) for r in d]
+
+
+def test_rrf_fusion_surfaces_union_of_rankers(spark):
+    from bullet_storm_spark.operators import similarity
+
+    # two clusters: LSH buckets will separate them, so the bucketed ranker
+    # misses cross-cluster neighbors the exact ranker sees — the fused
+    # list must still contain the exact ranker's head
+    rows = [(i, [1.0, 0.0] + [0.0] * 6) for i in range(5)]
+    rows += [(i + 5, [-1.0, 0.0] + [0.0] * 6) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.rrf_fusion(
+        df, "vec_id", "embedding", F.col("vec_id") == 0, k=8, pool=9, dim=8
+    ).collect()
+    ids = {r.neighbor_id for r in out}
+    assert {1, 2, 3, 4} <= ids  # same-cluster neighbors present
+
+
+def test_rrf_fusion_validation(spark):
+    from bullet_storm_spark.operators import similarity
+
+    df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        similarity.rrf_fusion(df, "vec_id", "embedding", F.col("vec_id") < 1, k=9, pool=5)
