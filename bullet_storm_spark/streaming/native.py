@@ -334,3 +334,77 @@ def sliding_window_agg(
         *[F.col(f) for f in fields],
         *[F.col(op.alias) for op in operations],
     )
+
+
+CUSUM_SCHEMA = (
+    "key string, batch_events long, cusum_pos double, cusum_neg double, "
+    "alarm boolean"
+)
+
+
+def stream_cusum(
+    stream_df: DataFrame,
+    key_col: str,
+    mu: float,
+    sd: float,
+    slack_k: float = 0.5,
+    threshold_h: float = 4.0,
+):
+    """Live drift detection: per-key CUSUM over micro-batch event counts,
+    the streaming twin of operators/anomaly.volume_cusum. The batch
+    detector profiles history; this one watches the live stream against
+    FROZEN control limits (``mu``/``sd`` fit offline — the production
+    control-chart shape: limits move only when a human re-baselines, so
+    an excursion cannot normalize itself into the model).
+
+    Emits one row per (key, micro-batch): the batch's event count, both
+    running CUSUM sides, and the alarm flag. State per key is two floats
+    — constant memory per monitored key, checkpointed by the state store;
+    a million monitored keys cost one shuffle on the key per batch.
+
+    After an alarm fires the statistic keeps accumulating (alarm stays
+    raised until re-baseline) — the reference's rate-limit posture
+    (SURVEY.md §2.5): detect, surface, let the operator decide.
+    """
+    import pandas as pd
+
+    if sd <= 0:
+        raise ValueError(f"need sd > 0, got {sd}")
+    slack = float(slack_k) * float(sd)
+    thr = float(threshold_h) * float(sd)
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            spos, sneg = state.get
+        else:
+            spos, sneg = 0.0, 0.0
+        x = float(n)
+        spos = max(0.0, spos + (x - float(mu) - slack))
+        sneg = max(0.0, sneg + (float(mu) - x - slack))
+        state.update((float(spos), float(sneg)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_events": [n],
+                "cusum_pos": [round(spos, 9)],
+                "cusum_neg": [round(sneg, 9)],
+                "alarm": [spos > thr or sneg > thr],
+            }
+        )
+
+    return (
+        stream_df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            CUSUM_SCHEMA,
+            "cusum_pos double, cusum_neg double",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

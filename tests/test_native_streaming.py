@@ -287,3 +287,58 @@ def test_sliding_window_agg_validates(spark):
         sliding_window_agg(
             spark.readStream.format("rate").load(), [], [], slide_ms=0
         )
+
+
+def test_stream_cusum_raises_and_holds_alarm(spark, tmp_path):
+    from bullet_storm_spark.streaming.native import stream_cusum
+
+    schema = "k string, v long"
+    # in-control batches of 3 events for key 'a', then a 12-event burst
+    chunks = [
+        [("a", i) for i in range(3)],
+        [("a", i) for i in range(3)],
+        [("a", i) for i in range(12)],       # excursion
+        [("a", i) for i in range(3)],        # back to normal; alarm holds
+    ]
+    out = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: stream_cusum(s, "k", mu=3.0, sd=1.0, slack_k=0.5, threshold_h=4.0),
+        schema,
+        chunks,
+    ).orderBy("cusum_pos").collect()
+    rows = sorted(out, key=lambda r: r.cusum_pos)
+    # batches 1-2: in control, no alarm, statistic stays ~0
+    assert sum(1 for r in rows if not r.alarm) >= 2
+    # the burst pushes cusum_pos to (12 - 3 - 0.5) = 8.5 > 4.0 -> alarm
+    alarmed = [r for r in rows if r.alarm]
+    assert alarmed, "excursion not flagged"
+    assert max(r.cusum_pos for r in alarmed) >= 8.5 - 1e-9
+    # the post-burst batch still alarms (8.5 + (3 - 3 - 0.5) = 8.0 > 4)
+    assert sum(1 for r in rows if r.alarm) >= 2
+
+
+def test_stream_cusum_per_key_isolation(spark, tmp_path):
+    from bullet_storm_spark.streaming.native import stream_cusum
+
+    schema = "k string, v long"
+    chunks = [
+        [("a", i) for i in range(3)] + [("b", i) for i in range(3)],
+        [("a", i) for i in range(20)] + [("b", i) for i in range(3)],
+    ]
+    out = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: stream_cusum(s, "k", mu=3.0, sd=1.0),
+        schema,
+        chunks,
+    ).collect()
+    assert any(r.alarm for r in out if r.key == "a")
+    assert not any(r.alarm for r in out if r.key == "b")
+
+
+def test_stream_cusum_validates_sd(spark):
+    from bullet_storm_spark.streaming.native import stream_cusum
+
+    with pytest.raises(ValueError):
+        stream_cusum(spark.range(1), "id", mu=1.0, sd=0.0)
