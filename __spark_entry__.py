@@ -486,6 +486,7 @@ from bullet_storm_spark.operators import anomaly as _anomaly
 from bullet_storm_spark.operators import behavior as _behavior
 from bullet_storm_spark.operators import bloom as _bloom
 from bullet_storm_spark.operators import cms as _cms
+from bullet_storm_spark.operators import graph as _graph
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import bpe as _bpe
@@ -731,6 +732,19 @@ FROM documents ORDER BY doc_id
     "dedup_minhash_lsh_pairs": (
         lambda s, d: _dedup.minhash_lsh_pairs(_docs(s, d), "doc_id", "text", **_MINHASH_KW),
         _dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", **_MINHASH_KW),
+    ),
+    # PageRank over the verified near-dup pair graph: canonical-copy
+    # selection by centrality (integer-unit arithmetic, engine-exact;
+    # per-iteration = one node-keyed join + one aggregation)
+    "graph_pagerank_dedup": (
+        lambda s, d: _graph.pagerank(
+            _dedup.minhash_lsh_pairs(_docs(s, d), "doc_id", "text", **_MINHASH3_KW),
+            "id_a", "id_b", iterations=5,
+        ),
+        _graph.pagerank_sql(
+            _dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", **_MINHASH3_KW),
+            "id_a", "id_b", iterations=5,
+        ),
     ),
     "dedup_minhash_lsh_pairs_3gram": (
         lambda s, d: _dedup.minhash_lsh_pairs(_docs(s, d), "doc_id", "text", **_MINHASH3_KW),

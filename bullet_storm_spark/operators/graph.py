@@ -1,0 +1,162 @@
+"""Graph analytics over the duplicate/similarity pair graph, dual-compiled.
+
+`connected_components` (operators/dedup.py) answers "which documents are
+the same?"; PageRank over the same pair graph answers "which copy is the
+CANONICAL one?" — the highest-centrality node of a near-dup cluster is the
+version most connected to the rest (the web-dedup authority-selection
+trick), and on citation/link graphs it is the standard importance prior
+for curation weighting.
+
+Spark-first shape: PageRank with a FIXED iteration count is a chain of
+joins — per iteration one equi-join of the rank table to the edge list
+(shuffle keyed by node id, the graph's natural key) and one aggregation.
+No driver-side state beyond the loop counter; the rank table is
+node-sized, orders of magnitude smaller than the corpus that produced the
+pairs.
+
+Engine parity by INTEGER arithmetic: ranks live in BIGINT units of 1e-12
+(the whole graph carries ~1e12 units of mass). Every step — uniform
+start ``1e12 div n``, per-edge contribution ``pr div degree``, damping
+``(sum * 85) div 100``, teleport ``15e10 div n`` — is integer division
+and multiplication, bit-identical in any engine at any partitioning.
+(The first formulation used decimal division; Spark's decimal-division
+scale rules and DuckDB's decimal ``/`` disagree, so the twin could never
+be exact. Floor-division units sidestep the whole class.)
+
+For web-scale graphs swap the fixed unroll for the checkpoint-per-round
+loop `connected_components` uses (lineage cut, convergence test on the
+rank delta); the per-round plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MASS = 1_000_000_000_000          # total rank mass in units (1.0 == 1e12)
+TELEPORT_UNITS = 150_000_000_000  # 0.15 * MASS
+DAMP_NUM, DAMP_DEN = 85, 100      # 0.85 as an integer ratio
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 5,
+) -> DataFrame:
+    """(node, degree, pr_units, pagerank) over the UNDIRECTED graph given
+    as edge pairs (each input row contributes both directions; isolated
+    nodes cannot appear). ``pr_units`` is the exact integer rank in 1e-12
+    units; ``pagerank`` is its double rendering (unrounded — the same
+    integer divides to the same double in every engine)."""
+    if not 1 <= iterations <= 20:
+        raise ValueError(f"need 1 <= iterations <= 20, got {iterations}")
+    und = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
+        )
+        .distinct()
+        # materialize the edge list ONCE: the iteration chain references it
+        # every round, and without the lineage cut each round re-runs the
+        # (possibly expensive) edge-producing pipeline — measured 64 s ->
+        # 7 s on the LSH pair graph. Same discipline as
+        # dedup.connected_components; swap for checkpoint() on a cluster.
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("__s").alias("node")).distinct()
+    deg = und.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"{MASS} div __n").alias("__pr")
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            und.join(ranks.withColumnRenamed("node", "__s"), "__s")
+            .join(deg.withColumnRenamed("node", "__s"), "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("__pr div degree").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("long").alias("__sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.expr(f"{TELEPORT_UNITS} div __n")
+                    + F.expr(
+                        f"(coalesce(__sum, 0L) * {DAMP_NUM}) div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("__pr"),
+            )
+        )
+    return (
+        ranks.join(deg, "node")
+        .select(
+            "node",
+            "degree",
+            F.col("__pr").alias("pr_units"),
+            (F.col("__pr") / F.lit(float(MASS))).alias("pagerank"),
+        )
+        .orderBy("node")
+    )
+
+
+def pagerank_sql(
+    edges_sql: str,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 5,
+) -> str:
+    """DuckDB twin: the same fixed iteration unrolled as CTE stages over
+    an edge-list subquery (``edges_sql`` must yield ``src_col`` and
+    ``dst_col`` columns)."""
+    if not 1 <= iterations <= 20:
+        raise ValueError(f"need 1 <= iterations <= 20, got {iterations}")
+    stages = []
+    prev = "__r0"
+    for i in range(1, int(iterations) + 1):
+        cur = f"__r{i}"
+        stages.append(
+            f"""{cur} AS (
+  SELECT n.node,
+         CAST({TELEPORT_UNITS} // (SELECT n FROM __n)
+              + (COALESCE(c.s, 0) * {DAMP_NUM}) // {DAMP_DEN} AS BIGINT)
+           AS pr
+  FROM __nodes n LEFT JOIN (
+    SELECT e.__d AS node, SUM(r.pr // d.degree)::BIGINT AS s
+    FROM __und e
+    JOIN {prev} r ON e.__s = r.node
+    JOIN __deg d ON e.__s = d.node
+    GROUP BY e.__d
+  ) c ON n.node = c.node
+)"""
+        )
+        prev = cur
+    joined = ",\n".join(stages)
+    return f"""
+WITH __edges AS MATERIALIZED ({edges_sql}),
+__und AS MATERIALIZED (
+  SELECT {src_col} AS __s, {dst_col} AS __d FROM __edges
+  UNION
+  SELECT {dst_col} AS __s, {src_col} AS __d FROM __edges
+),
+__nodes AS MATERIALIZED (SELECT DISTINCT __s AS node FROM __und),
+__deg AS MATERIALIZED (SELECT __s AS node, COUNT(*)::BIGINT AS degree
+          FROM __und GROUP BY __s),
+__n AS (SELECT COUNT(*)::BIGINT AS n FROM __nodes),
+__r0 AS (
+  SELECT node, CAST({MASS} // (SELECT n FROM __n) AS BIGINT) AS pr
+  FROM __nodes
+),
+{joined}
+SELECT r.node, d.degree, r.pr AS pr_units,
+       r.pr / {float(MASS)!r} AS pagerank
+FROM {prev} r JOIN __deg d ON r.node = d.node
+ORDER BY r.node
+"""

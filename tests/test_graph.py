@@ -1,0 +1,62 @@
+"""PageRank over pair graphs (operators/graph.py): structural properties,
+partitioning independence, DuckDB parity."""
+
+import duckdb
+import pytest
+
+from bullet_storm_spark.operators import graph
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    # node 0 is the hub of a 6-leaf star, plus a detached 2-clique (7, 8)
+    rows = [(0, i) for i in range(1, 7)] + [(7, 8)]
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_pagerank_star_hub_dominates(star):
+    out = {r.node: r for r in graph.pagerank(star, "id_a", "id_b").collect()}
+    hub, leaf = out[0], out[1]
+    assert hub.degree == 6 and leaf.degree == 1
+    assert hub.pr_units > leaf.pr_units * 3
+    # leaves are symmetric -> identical ranks
+    assert len({out[i].pr_units for i in range(1, 7)}) == 1
+    # the detached clique is symmetric too
+    assert out[7].pr_units == out[8].pr_units
+
+
+def test_pagerank_mass_approximately_conserved(star):
+    out = graph.pagerank(star, "id_a", "id_b").collect()
+    total = sum(r.pr_units for r in out)
+    # floor divisions only ever LOSE units, bounded by (#ops per node) per
+    # iteration; with 9 nodes and 5 iterations the loss is tiny
+    assert 0.999 * graph.MASS <= total <= graph.MASS
+
+
+def test_pagerank_partitioning_independent(star):
+    a = [tuple(r) for r in graph.pagerank(star, "id_a", "id_b").collect()]
+    b = [
+        tuple(r)
+        for r in graph.pagerank(star.repartition(5), "id_a", "id_b").collect()
+    ]
+    assert a == b
+
+
+def test_pagerank_duck_parity(spark):
+    rows = [(i, (i * 3 + 1) % 20) for i in range(20) if i != (i * 3 + 1) % 20]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    s = [tuple(r) for r in graph.pagerank(df, "id_a", "id_b", iterations=7).collect()]
+    d = con.execute(
+        graph.pagerank_sql("SELECT id_a, id_b FROM e", "id_a", "id_b", iterations=7)
+    ).fetchall()
+    assert s == [tuple(r) for r in d]
+
+
+def test_pagerank_validation(star):
+    with pytest.raises(ValueError):
+        graph.pagerank(star, "id_a", "id_b", iterations=0)
+    with pytest.raises(ValueError):
+        graph.pagerank_sql("SELECT 1 AS a, 2 AS b", "a", "b", iterations=25)
