@@ -948,6 +948,22 @@ ORDER BY doc_id
         ),
         _spans.duplicated_span_report_sql("documents", "doc_id", "text", ngram=8),
     ),
+    # two-sample KS drift test between the first and second half-month of
+    # event values: exact by integer cross-multiplication (the
+    # distribution-shift gate run before trusting thresholds fit on an
+    # older slice)
+    "events_ks_drift": (
+        lambda s, d: _anomaly.ks_drift(
+            load_table(s, d, "events"), "value",
+            F.expr("(ts_ns div 1000) div 86400000000") < 19738,
+            F.expr("(ts_ns div 1000) div 86400000000") >= 19738,
+        ),
+        _anomaly.ks_drift_sql(
+            "events", "value",
+            "epoch_us(ts) // 86400000000 < 19738",
+            "epoch_us(ts) // 86400000000 >= 19738",
+        ),
+    ),
     # CUSUM changepoint detection per event_type: the sequential statistic
     # as two window frames (cumsum minus running min — no recursion, no
     # UDF); per-key series collapse to hourly counts before any window

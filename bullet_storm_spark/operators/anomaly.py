@@ -172,3 +172,105 @@ SELECT key AS {key_col}, hour, cnt,
          AS flag
 FROM __s ORDER BY {key_col}, hour
 """
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    a_pred,
+    b_pred,
+) -> DataFrame:
+    """One-row two-sample Kolmogorov-Smirnov drift test between the rows
+    matching ``a_pred`` and ``b_pred``: (n_a, n_b, ks_num, ks_den, ks_d,
+    at_value) where ks_d = max over the merged support of
+    |F_a(x) - F_b(x)| and ``at_value`` is the smallest support point
+    attaining it. This is the distribution-shift gate run between corpus
+    slices (yesterday vs today, source A vs B) before trusting mixing
+    weights or quality thresholds fit on the old slice.
+
+    EXACT by integer cross-multiplication: |c_a/n_a - c_b/n_b| compares
+    as |c_a*n_b - c_b*n_a| over the common denominator n_a*n_b — every
+    comparison and the argmax are BIGINT arithmetic, so both engines
+    agree bit-for-bit; the single ks_num/ks_den division to double at the
+    end is correctly rounded identically.
+
+    Scale shape: one conditional-count aggregation on the value (hot
+    values spread by the upstream groupBy), one ordered window over the
+    DISTINCT-value table (support-sized, not corpus-sized — pre-bucket
+    the value for unbounded-support data, exactly as DISTRIBUTION PMF
+    does), one 1-row argmax reduce."""
+    counts = (
+        df.select(
+            F.col(value_col).alias("__v"),
+            F.when(a_pred, 1).otherwise(0).alias("__a"),
+            F.when(b_pred, 1).otherwise(0).alias("__b"),
+        )
+        .where((F.col("__a") == 1) | (F.col("__b") == 1))
+        .groupBy("__v")
+        .agg(
+            F.sum("__a").cast("long").alias("__ca"),
+            F.sum("__b").cast("long").alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "__v",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+    )
+    totals = counts.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "__v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("__cuma") * F.col("n_b") - F.col("__cumb") * F.col("n_a")
+        ).alias("__num"),
+    )
+    return (
+        diffs.orderBy(F.desc("__num"), "__v")
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("__num").alias("ks_num"),
+            (F.col("n_a") * F.col("n_b")).alias("ks_den"),
+            (F.col("__num") / (F.col("n_a") * F.col("n_b"))).alias("ks_d"),
+            F.col("__v").alias("at_value"),
+        )
+    )
+
+
+def ks_drift_sql(table: str, value_col: str, a_pred_sql: str, b_pred_sql: str) -> str:
+    return f"""
+WITH __counts AS (
+  SELECT {value_col} AS v,
+         SUM(CASE WHEN {a_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS ca,
+         SUM(CASE WHEN {b_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM {table}
+  WHERE ({a_pred_sql}) OR ({b_pred_sql})
+  GROUP BY v
+),
+__cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb
+  FROM __counts
+),
+__totals AS (
+  SELECT SUM(ca)::BIGINT AS n_a, SUM(cb)::BIGINT AS n_b FROM __counts
+),
+__diffs AS (
+  SELECT c.v, t.n_a, t.n_b,
+         abs(c.cuma * t.n_b - c.cumb * t.n_a) AS num
+  FROM __cum c CROSS JOIN __totals t
+)
+SELECT n_a, n_b, num AS ks_num, n_a * n_b AS ks_den,
+       num / (n_a * n_b) AS ks_d, v AS at_value
+FROM __diffs ORDER BY num DESC, v LIMIT 1
+"""

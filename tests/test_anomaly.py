@@ -215,3 +215,69 @@ def test_rrf_fusion_validation(spark):
     df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         similarity.rrf_fusion(df, "vec_id", "embedding", F.col("vec_id") < 1, k=9, pool=5)
+
+
+# --- two-sample KS drift (anomaly.ks_drift) ---------------------------------
+
+
+def test_ks_identical_slices_zero(spark):
+    from bullet_storm_spark.operators import anomaly
+
+    rows = [(i, float(i % 10), (i // 10) % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double, g int")
+    out = anomaly.ks_drift(df, "v", F.col("g") == 0, F.col("g") == 1).collect()[0]
+    # both slices carry the identical distribution -> D = 0
+    assert out.ks_num == 0 and out.ks_d == 0.0
+    assert out.n_a == 100 and out.n_b == 100
+
+
+def test_ks_disjoint_slices_one(spark):
+    from bullet_storm_spark.operators import anomaly
+
+    rows = [(i, float(i), 0) for i in range(50)]
+    rows += [(50 + i, float(100 + i), 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v double, g int")
+    out = anomaly.ks_drift(df, "v", F.col("g") == 0, F.col("g") == 1).collect()[0]
+    # disjoint supports -> D = 1 exactly, attained at the end of slice A
+    assert out.ks_num == out.ks_den
+    assert out.ks_d == 1.0
+    assert out.at_value == 49.0
+
+
+def test_ks_matches_scipy_style_reference(spark):
+    from bullet_storm_spark.operators import anomaly
+
+    import random
+
+    rng = random.Random(3)
+    a = [round(rng.gauss(0, 1), 3) for _ in range(150)]
+    b = [round(rng.gauss(0.5, 1), 3) for _ in range(120)]
+    rows = [(i, v, 0) for i, v in enumerate(a)]
+    rows += [(1000 + i, v, 1) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, "id long, v double, g int")
+    out = anomaly.ks_drift(df, "v", F.col("g") == 0, F.col("g") == 1).collect()[0]
+    # pure-python exact reference on the merged support
+    support = sorted(set(a) | set(b))
+    best = 0
+    for x in support:
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        best = max(best, abs(ca * len(b) - cb * len(a)))
+    assert out.ks_num == best
+    assert out.ks_d == best / (len(a) * len(b))
+
+
+def test_ks_duck_parity(spark):
+    from bullet_storm_spark.operators import anomaly
+
+    rows = [(i, float((i * 7) % 23), i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double, g int")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE kd (id BIGINT, v DOUBLE, g INTEGER)")
+    con.executemany("INSERT INTO kd VALUES (?,?,?)", rows)
+    s = [
+        tuple(r)
+        for r in anomaly.ks_drift(df, "v", F.col("g") == 0, F.col("g") != 0).collect()
+    ]
+    d = con.execute(anomaly.ks_drift_sql("kd", "v", "g = 0", "g <> 0")).fetchall()
+    assert s == [tuple(r) for r in d]
