@@ -95,6 +95,10 @@ HEADLINE = [
     "dedup_editdistance_pairs",
     "events_volume_cusum",
     "sample_priority_weighted",
+    "events_ks_drift",
+    "ann_rrf_fusion",
+    "events_latest_by_key",
+    "graph_pagerank_dedup",
 ]
 
 
