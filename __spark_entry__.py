@@ -780,6 +780,15 @@ ORDER BY doc_id
         lambda s, d: _dedup.dedup_clusters(_docs(s, d), "doc_id", "text", **_MINHASH_KW),
         _dedup.dedup_clusters_sql("documents", "doc_id", "text", **_MINHASH_KW),
     ),
+    # survivorship composition: transitive clusters x PageRank centrality
+    # -> the canonical copy per cluster is the highest-centrality member
+    # (web-dedup authority selection), singletons are their own canonical;
+    # oracle composes the recursive-CTE closure with the unrolled
+    # integer-unit PageRank as subqueries
+    "dedup_canonical_pagerank": (
+        lambda s, d: _canonical_pagerank(s, d),
+        None,  # replaced with _canonical_pagerank_sql() below definition
+    ),
     # full curation pipeline (quality -> language -> near-dup removal),
     # oracle-checked end-to-end
     "curate_documents": (
@@ -1710,6 +1719,67 @@ SELECT event_type, user_id, cnt, rank FROM (
   FROM events GROUP BY event_type, user_id
 ) WHERE rank <= 3 ORDER BY event_type, rank
 """
+
+
+def _canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: transitive 3-gram near-dup clusters joined with
+    PageRank centrality over the same pair graph; the canonical copy per
+    cluster is the highest-pr_units member (doc_id tiebreak), singletons
+    (pr_units = -1) canonicalize to themselves. Every stage reuses an
+    already-verified operator — clusters, pagerank, one left join, one
+    cluster-keyed window."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    cl = _dedup.dedup_clusters(docs, "doc_id", "text", **_MINHASH3_KW).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    pr = _graph.pagerank(
+        _dedup.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH3_KW),
+        "id_a", "id_b", iterations=5,
+    ).select(F.col("node").alias("doc_id"), "pr_units")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("pr_units"), F.asc("doc_id")
+    )
+    return (
+        cl.join(pr, "doc_id", "left")
+        .select(
+            "doc_id", "cluster_id", "cluster_size",
+            F.coalesce("pr_units", F.lit(-1).cast("long")).alias("pr_units"),
+        )
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .orderBy("doc_id")
+    )
+
+
+def _canonical_pagerank_sql() -> str:
+    clusters = _dedup.dedup_clusters_sql("documents", "doc_id", "text", **_MINHASH3_KW)
+    pr = _graph.pagerank_sql(
+        _dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", **_MINHASH3_KW),
+        "id_a", "id_b", iterations=5,
+    )
+    return f"""
+WITH __cl AS MATERIALIZED (SELECT * FROM ({clusters}) t),
+__pr AS MATERIALIZED (SELECT * FROM ({pr}) t),
+__joined AS (
+  SELECT c.doc_id, c.cluster_id, c.cluster_size,
+         COALESCE(p.pr_units, -1) AS pr_units
+  FROM __cl c LEFT JOIN __pr p ON c.doc_id = p.node
+)
+SELECT doc_id, cluster_id, cluster_size, pr_units,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY pr_units DESC, doc_id ASC) = 1
+         AS is_canonical
+FROM __joined ORDER BY doc_id
+"""
+
+
+# late-bind the composed oracle (the helper needs _graph/_dedup SQL
+# generators defined above; the key keeps its insertion position)
+_LLM_OPS["dedup_canonical_pagerank"] = (
+    _LLM_OPS["dedup_canonical_pagerank"][0],
+    _canonical_pagerank_sql(),
+)
 
 
 def _latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,3 +60,23 @@ def test_pagerank_validation(star):
         graph.pagerank(star, "id_a", "id_b", iterations=0)
     with pytest.raises(ValueError):
         graph.pagerank_sql("SELECT 1 AS a, 2 AS b", "a", "b", iterations=25)
+
+
+def test_canonical_pagerank_one_per_cluster(spark):
+    import __spark_entry__ as em
+
+    out = em.queries()["dedup_canonical_pagerank"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        canon = [r for r in rows if r.is_canonical]
+        assert len(canon) == 1, f"cluster {cid}: {len(canon)} canonicals"
+        # the canonical is the max-centrality member (doc_id tiebreak)
+        best = max(rows, key=lambda r: (r.pr_units, -r.doc_id))
+        assert canon[0].doc_id == best.doc_id
+    # singletons canonicalize to themselves with no graph presence
+    singles = [r for r in out if r.cluster_size == 1]
+    assert singles and all(r.is_canonical and r.pr_units == -1 for r in singles)
