@@ -1945,6 +1945,15 @@ _DRIVER_PRIORITY = [
 # displaced to the in-repo replica to keep the window at exactly 50:
 # embed_quantize_report / embed_pq_report (derived audits whose code paths
 # are fully exercised by the in-window encode/topk entries)
+#
+# ROTATION PLAN (round 5): once CORRECTNESS_r04 lands green rows for the
+# 22 r1-era entries at the head of this list, rotate them to the tail and
+# promote the round-4-session additions (dedup_substring_*, dedup_bloom_*,
+# freq_cms_*, sim_tfidf_pairs, events_{sessionize,funnel,retention_cohorts,
+# pivot_matrix,volume_cusum,ks_drift,latest_by_key}, top_k_per_group,
+# dedup_editdistance_pairs, sample_priority_weighted, ann_rrf_fusion,
+# graph_pagerank_dedup, dedup_canonical_pagerank) into the window — every
+# inventory entry then has a driver row within two rounds of landing.
 
 # new-this-round extension queries outside _LLM_OPS that must also land
 # inside the driver's 50-row window (appended right after the priority
