@@ -1721,6 +1721,58 @@ SELECT event_type, user_id, cnt, rank FROM (
 """
 
 
+def _bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via Bloom prefilter: revenue per customer of
+    ONE nation, with the orders scan pre-filtered by a Bloom filter over
+    the qualifying customer keys BEFORE the join shuffle.
+
+    The classic distributed-DB technique (and what Spark's own runtime
+    row-level-filter pushdown does under the hood): the build side's key
+    set compresses to a bitmap; the fact scan drops non-joining rows at
+    the scan stage, so the shuffle carries ~selectivity x the rows. The
+    ORACLE IS THE PLAIN JOIN — no bloom simulation — because the filter
+    admits a SUPERSET (no false negatives, structural) and the join
+    discards the false positives; the plans differ, the answer cannot.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = customer.where(F.col("c_nationkey") == 7).select(
+        "c_custkey", "c_name"
+    )
+    words = _bloom.bloom_words(
+        build.select(F.col("c_custkey").cast("string").alias("k")),
+        "k", m_bits=4096, k=4,
+    )
+    probe = orders.where(
+        _bloom.bloom_maybe_member(
+            F.col("o_custkey").cast("string"), words, 4096, 4
+        )
+    )
+    return (
+        probe.join(F.broadcast(build), probe.o_custkey == build.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT c.c_custkey, c.c_name, COUNT(*)::BIGINT AS order_cnt,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey = 7
+GROUP BY c.c_custkey, c.c_name
+ORDER BY c.c_custkey
+"""
+
+
 def _canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship: transitive 3-gram near-dup clusters joined with
     PageRank centrality over the same pair graph; the canonical copy per
@@ -1836,6 +1888,7 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "win_user_inter_event_gap": (_win_user_inter_event_gap, _WIN_GAP_SQL),
     "group_rollup_type_user": (_group_rollup_type_user, _GROUP_ROLLUP_SQL),
     "events_latest_by_key": (_latest_by_key, _LATEST_BY_KEY_SQL),
+    "join_bloom_prefiltered": (_bloom_prefiltered_join, _BLOOM_JOIN_SQL),
     "events_pivot_matrix": (_pivot_cohort_matrix, _PIVOT_SQL),
     "top_k_per_group": (_top_users_per_type, _TOP_PER_TYPE_SQL),
     "dedup_editdistance_pairs": (

@@ -90,3 +90,43 @@ def test_param_validation(keyed):
         bloom.bloom_build(keyed, "key", m_bits=1024, k=0)
     with pytest.raises(ValueError):
         bloom.bloom_maybe_member(F.col("key"), [0] * 3, 1024, 3)  # wrong length
+
+
+def test_semijoin_reduction_preserves_join_result(spark):
+    # the bloom prefilter admits a superset of joining rows (never fewer),
+    # so the join result is IDENTICAL while the shuffle input shrinks
+    import __spark_entry__ as em
+    from bullet_storm_spark.operators import bloom as B
+    from bullet_storm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = em.queries()["join_bloom_prefiltered"](spark, sf).collect()
+
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    build = customer.where(F.col("c_nationkey") == 7).select("c_custkey", "c_name")
+    plain = (
+        orders.join(build, orders.o_custkey == build.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("c_custkey")
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in plain]
+
+    # and the prefilter genuinely reduces the fact side pre-shuffle
+    words = B.bloom_words(
+        build.select(F.col("c_custkey").cast("string").alias("k")),
+        "k", m_bits=4096, k=4,
+    )
+    kept = orders.where(
+        B.bloom_maybe_member(F.col("o_custkey").cast("string"), words, 4096, 4)
+    ).count()
+    total = orders.count()
+    joining = orders.join(build, orders.o_custkey == build.c_custkey).count()
+    assert joining <= kept < total
