@@ -82,13 +82,20 @@ _ALL_PAIRS_VERIFIERS = {
     #                         contract-bounded |Q| as brute force, at 1/4
     #                         the bytes per pair; the rerank touches only
     #                         k*expand rows per query
+    "ann_rrf_fusion",  # fuses the brute-force ranker (the declared
+    #                    broadcast-|Q| verifier above) with the LSH one;
+    #                    the fusion itself joins rank LISTS only
 }
 
 
 # entries whose ONLY nested loop is a 1-row scalar broadcast (a corpus
 # aggregate like doc count N crossing into a vocabulary-sized frame —
 # O(n*1), not a pair generator)
-_SCALAR_BROADCAST_CROSS = {"sim_tfidf_pairs"}
+_SCALAR_BROADCAST_CROSS = {
+    "sim_tfidf_pairs",            # corpus size N into the posting list
+    "graph_pagerank_dedup",       # node count into the rank table, per iter
+    "dedup_canonical_pagerank",   # same, via the composed pagerank stage
+}
 
 
 def test_no_nested_loop_joins_in_dedup_and_ann_plans(plans):
@@ -101,8 +108,9 @@ def test_no_nested_loop_joins_in_dedup_and_ann_plans(plans):
         if (
             n.startswith("dedup_")
             or n.startswith("ann_")
-            or n.startswith("sim_")   # sparse TF-IDF posting-list join
-            or n.startswith("freq_")  # CMS broadcast probe join
+            or n.startswith("sim_")    # sparse TF-IDF posting-list join
+            or n.startswith("freq_")   # CMS broadcast probe join
+            or n.startswith("graph_")  # pair-graph analytics
         )
         and n not in _ALL_PAIRS_VERIFIERS
     ]
