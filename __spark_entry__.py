@@ -950,6 +950,14 @@ ORDER BY doc_id
         lambda s, d: _spans.duplicated_spans(_docs(s, d), "doc_id", "text", ngram=8),
         _spans.duplicated_spans_sql("documents", "doc_id", "text", ngram=8),
     ),
+    # ...and the removal itself: duplicated spans cut out, remainder
+    # reassembled (drop-every-occurrence, the C4 boilerplate posture)
+    "dedup_substring_clean": (
+        lambda s, d: _spans.remove_duplicated_spans(
+            _docs(s, d), "doc_id", "text", ngram=8
+        ),
+        _spans.remove_duplicated_spans_sql("documents", "doc_id", "text", ngram=8),
+    ),
     # per-document duplicated-token fraction (the removal-decision signal)
     "dedup_substring_report": (
         lambda s, d: _spans.duplicated_span_report(

@@ -405,3 +405,98 @@ SELECT d.{id_col},
 FROM {table} d LEFT JOIN __per_doc p ON d.{id_col} = p.{id_col}
 ORDER BY d.{id_col}
 """
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 8
+) -> DataFrame:
+    """(id, n_tokens, n_removed, cleaned_text): every document with its
+    corpus-duplicated spans (duplicated_spans, same ``ngram`` floor) CUT
+    OUT and the remainder reassembled in order. Removal drops EVERY
+    occurrence of duplicated material — the C4 posture for boilerplate
+    (the repeated span is noise wherever it appears); use
+    span_chunk_dedup for keep-first semantics at chunk granularity.
+
+    Physical shape: the span table explodes to covered (doc, pos) rows
+    (bounded by total covered tokens, never quadratic), one left-anti
+    join on (doc, pos) against the positional token table, one doc-keyed
+    reassembly groupBy — all three shuffles on the doc id."""
+    n = int(ngram)
+    spans = duplicated_spans(df, id_col, text_col, ngram=n).select(
+        F.col(id_col).alias("__id"), "span_start", "span_end"
+    )
+    covered = spans.select(
+        "__id",
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias(
+            "__pos"
+        ),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).select(
+        "__id",
+        F.size("__toks").cast("bigint").alias("__n"),
+        F.posexplode("__toks").alias("__pos", "__tok"),
+    ).select("__id", "__n", F.col("__pos").cast("bigint").alias("__pos"), "__tok")
+    kept = toks.join(covered, ["__id", "__pos"], "left_anti")
+    agg = kept.groupBy("__id").agg(
+        F.first("__n").alias("__n"),
+        F.count(F.lit(1)).alias("__kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__cleaned"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(agg.select("__id", "__kept", "__cleaned"), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("__cleaned", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def remove_duplicated_spans_sql(
+    table: str, id_col: str, text_col: str, ngram: int = 8
+) -> str:
+    n = int(ngram)
+    spans = duplicated_spans_sql(table, id_col, text_col, ngram=n)
+    return f"""
+WITH __spans AS ({spans}),
+__covered AS (
+  SELECT {id_col} AS id, unnest(range(span_start, span_end + 1)) AS pos
+  FROM __spans
+),
+__toks AS (
+  SELECT {id_col} AS id, CAST(len(__t) AS BIGINT) AS n,
+         unnest(__t) AS tok,
+         CAST(unnest(range(0, len(__t))) AS BIGINT) AS pos
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS __t FROM {table})
+),
+__kept AS (
+  SELECT t.id, t.n, t.pos, t.tok
+  FROM __toks t ANTI JOIN __covered c ON t.id = c.id AND t.pos = c.pos
+),
+__agg AS (
+  SELECT id, COUNT(*) AS kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM __kept GROUP BY id
+)
+SELECT b.{id_col}, b.n_tokens,
+       b.n_tokens - COALESCE(a.kept, 0) AS n_removed,
+       COALESCE(a.cleaned, '') AS cleaned_text
+FROM (SELECT {id_col}, CAST(len({tokens_sql(text_col)}) AS BIGINT) AS n_tokens
+      FROM {table}) b
+LEFT JOIN __agg a ON b.{id_col} = a.id
+ORDER BY b.{id_col}
+"""

@@ -375,3 +375,35 @@ def test_editdistance_pairs_duck_parity(spark):
     ).fetchall()
     assert s == [tuple(r) for r in d]
     assert len(s) > 0
+
+
+def test_remove_duplicated_spans_semantics(sub_docs):
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in spans.remove_duplicated_spans(
+            sub_docs, "doc_id", "text", ngram=3
+        ).collect()
+    }
+    # docs 10/11 lose the shared 4-token run, keep their unique tails
+    assert out[10] == (6, 4, "five six")
+    assert out[11] == (6, 4, "zz yy")
+    # fully-duplicated doc 12 collapses to ''
+    assert out[12] == (9, 9, "")
+    # clean doc 13 and the below-floor doc 14 are untouched
+    assert out[13] == (4, 0, "unique tokens only here")
+    assert out[14] == (2, 0, "ab cd")
+    # doc 15 loses both disjoint spans, keeps the gap tokens + tail
+    assert out[15] == (10, 6, "gapa gapb gapc end")  # tokens() lowercases
+
+
+def test_remove_duplicated_spans_duck_parity(sub_docs, sub_duck):
+    s = [
+        tuple(r)
+        for r in spans.remove_duplicated_spans(
+            sub_docs, "doc_id", "text", ngram=3
+        ).collect()
+    ]
+    d = sub_duck.execute(
+        spans.remove_duplicated_spans_sql("sdocs", "doc_id", "text", ngram=3)
+    ).fetchall()
+    assert s == [tuple(r) for r in d]
