@@ -99,6 +99,8 @@ HEADLINE = [
     "ann_rrf_fusion",
     "events_latest_by_key",
     "graph_pagerank_dedup",
+    "dedup_substring_clean",
+    "join_bloom_prefiltered",
 ]
 
 
