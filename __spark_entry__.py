@@ -958,6 +958,12 @@ ORDER BY doc_id
         ),
         _spans.remove_duplicated_spans_sql("documents", "doc_id", "text", ngram=8),
     ),
+    # per-document n-gram novelty: how much content appears here FIRST
+    # (dataset ordering / crawl-refetch pruning signal)
+    "text_novelty_scores": (
+        lambda s, d: _spans.novelty_scores(_docs(s, d), "doc_id", "text", ngram=3),
+        _spans.novelty_scores_sql("documents", "doc_id", "text", ngram=3),
+    ),
     # per-document duplicated-token fraction (the removal-decision signal)
     "dedup_substring_report": (
         lambda s, d: _spans.duplicated_span_report(

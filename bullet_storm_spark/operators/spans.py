@@ -500,3 +500,102 @@ FROM (SELECT {id_col}, CAST(len({tokens_sql(text_col)}) AS BIGINT) AS n_tokens
 LEFT JOIN __agg a ON b.{id_col} = a.id
 ORDER BY b.{id_col}
 """
+
+
+def novelty_scores(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """(id, n_ngrams, n_novel, novelty): per document, how much of its
+    content appears here FIRST — an n-gram is novel in the document
+    holding its first corpus occurrence by (doc_id, position) order.
+    ``novelty`` = n_novel / n_ngrams rounded to 6 dp (NULL for docs below
+    the n-gram floor). Duplicate-heavy corpora put late copies near 0;
+    dataset-ordering pipelines feed high-novelty documents first and use
+    the same signal to prune crawl re-fetches.
+
+    Physical shape: positional n-gram explode (~n rows per doc), ONE
+    window over md5(ngram) for the keep-first decision (the exact-dedup
+    shuffle at n-gram granularity), one doc-keyed count-aggregation."""
+    n = int(ngram)
+    if n < 1:
+        raise ValueError(f"need ngram >= 1, got {n}")
+    spark = df.sparkSession
+    base = (
+        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+        .repartition(spark.sparkContext.defaultParallelism, F.col("__id"))
+        .select("__id", "__toks", F.size("__toks").cast("bigint").alias("__n"))
+    )
+    grams = base.where(F.col("__n") >= n).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), F.col("__n") - n),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("__toks"), (i + 1).cast("int"), n), " ")
+                ),
+            )
+        ).alias("__pos", "__h"),
+    )
+    w = Window.partitionBy("__h").orderBy("__id", "__pos")
+    flagged = grams.withColumn(
+        "__first", (F.row_number().over(w) == 1).cast("int")
+    )
+    per_doc = flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum("__first").cast("long").alias("n_novel"),
+    )
+    return (
+        base.select("__id")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_ngrams").isNotNull(),
+                F.round(F.col("n_novel") / F.col("n_ngrams"), 6),
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def novelty_scores_sql(
+    table: str, id_col: str, text_col: str, ngram: int = 3
+) -> str:
+    n = int(ngram)
+    if n < 1:
+        raise ValueError(f"need ngram >= 1, got {n}")
+    return f"""
+WITH __sized AS (
+  SELECT {id_col} AS __id, __toks, CAST(len(__toks) AS BIGINT) AS __n
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS __toks FROM {table})
+),
+__grams AS (
+  SELECT __id, __u.__pos AS __pos, __u.__h AS __h
+  FROM (SELECT __id,
+               unnest(list_transform(range(0, __n - {n} + 1), i ->
+                 struct_pack(__pos := i,
+                             __h := md5(array_to_string(
+                               __toks[i+1 : i+{n}], ' '))))) AS __u
+        FROM __sized WHERE __n >= {n})
+),
+__flagged AS (
+  SELECT __id,
+         CASE WHEN row_number() OVER (PARTITION BY __h
+                                      ORDER BY __id, __pos) = 1
+              THEN 1 ELSE 0 END AS __first
+  FROM __grams
+),
+__per_doc AS (
+  SELECT __id, COUNT(*)::BIGINT AS n_ngrams, SUM(__first)::BIGINT AS n_novel
+  FROM __flagged GROUP BY __id
+)
+SELECT s.__id AS {id_col},
+       COALESCE(p.n_ngrams, 0) AS n_ngrams,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN p.n_ngrams IS NOT NULL
+            THEN ROUND(p.n_novel / p.n_ngrams, 6) END AS novelty
+FROM __sized s LEFT JOIN __per_doc p ON s.__id = p.__id
+ORDER BY s.__id
+"""

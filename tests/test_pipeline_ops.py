@@ -407,3 +407,32 @@ def test_remove_duplicated_spans_duck_parity(sub_docs, sub_duck):
         spans.remove_duplicated_spans_sql("sdocs", "doc_id", "text", ngram=3)
     ).fetchall()
     assert s == [tuple(r) for r in d]
+
+
+def test_novelty_scores_semantics(spark):
+    rows = [
+        (0, "one two three four"),     # everything first -> novelty 1.0
+        (1, "one two three zz"),       # 'one two three' seen in doc 0
+        (2, "one two three four"),     # exact copy -> novelty 0.0
+        (3, "ab"),                     # below the 3-gram floor -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_ngrams, r.n_novel, r.novelty)
+        for r in spans.novelty_scores(df, "doc_id", "text", ngram=3).collect()
+    }
+    assert out[0] == (2, 2, 1.0)
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 0, 0.0)
+    assert out[3] == (0, 0, None)
+
+
+def test_novelty_scores_duck_parity(spark):
+    rows = [(i, f"w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4} w{i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nv (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO nv VALUES (?,?)", rows)
+    s = [tuple(r) for r in spans.novelty_scores(df, "doc_id", "text", ngram=3).collect()]
+    d = con.execute(spans.novelty_scores_sql("nv", "doc_id", "text", ngram=3)).fetchall()
+    assert s == [tuple(r) for r in d]
