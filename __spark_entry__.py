@@ -487,6 +487,7 @@ from bullet_storm_spark.operators import behavior as _behavior
 from bullet_storm_spark.operators import bloom as _bloom
 from bullet_storm_spark.operators import cms as _cms
 from bullet_storm_spark.operators import graph as _graph
+from bullet_storm_spark.operators import sketches as _sketches
 from bullet_storm_spark.operators import spans as _spans
 from bullet_storm_spark.operators import decontam as _decon
 from bullet_storm_spark.operators import bpe as _bpe
@@ -2042,6 +2043,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in _DRIVER_PRIORITY_EXT:
         out[name] = joins.pop(name)
     out.update(llm)
+    # native DataSketches HLL rollup: per-day distinct users + the UNION
+    # of the daily sketches (SURVEY §2.4 Theta-union posture) — sketch
+    # estimates are not SQL-portable, so rows-only with a pytest-pinned
+    # error envelope
+    out["distinct_daily_hll"] = lambda s, d: _sketches.hll_daily_rollup(
+        load_table(s, d, "events"), "user_id"
+    )
     # approximate count distinct: rows-only check (no exact SQL oracle)
     q_approx = Query(
         source="events",

@@ -315,3 +315,36 @@ class KLLSummary:
         vlo = value_at(lo)
         vhi = vlo if hi == lo else value_at(hi)
         return vlo * (1 - frac) + vhi * frac
+
+
+def hll_daily_rollup(df: DataFrame, key_col: str) -> DataFrame:
+    """(day, est_distinct): per-epoch-day approximate distinct ``key_col``
+    via Spark's NATIVE Apache DataSketches HLL aggregate, plus one
+    ``day = -1`` row holding the UNION of all daily sketches — the
+    month's distinct count derived by merging summaries, never
+    rescanning the raw stream. This is exactly the reference's
+    Theta-sketch union posture (SURVEY.md §2.4 COUNT DISTINCT: partial
+    sketches merge associatively in the combine stage); materialize the
+    daily sketch column instead of the estimate and the same rollup
+    composes across arbitrary ranges (week/month/quarter) at constant
+    cost per range.
+
+    Scale shape: one groupBy(day) carrying fixed-size sketch buffers
+    (lgConfigK=12 -> 4 KB each) regardless of key cardinality; the union
+    is a |days|-row aggregate. Estimates are deterministic for a given
+    input set (the sketch is hash-based, not sampled), but NOT
+    SQL-portable — the driver records this entry rows-only and pytest
+    pins the error envelope instead."""
+    days = df.select(
+        F.expr("(ts_ns div 1000) div 86400000000").alias("day"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    daily = days.groupBy("day").agg(F.hll_sketch_agg("__k").alias("__sk"))
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("__sk").cast("long").alias("est_distinct")
+    )
+    total = daily.agg(F.hll_union_agg("__sk").alias("__u")).select(
+        F.lit(-1).cast("long").alias("day"),
+        F.hll_sketch_estimate("__u").cast("long").alias("est_distinct"),
+    )
+    return per_day.unionByName(total).orderBy("day")

@@ -321,3 +321,29 @@ def test_group_percentile_is_batch_only_in_streaming():
     )
     with pytest.raises(ValueError, match="batch-only"):
         GroupState(agg)
+
+
+def test_hll_daily_rollup_error_envelope(spark):
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.sketches import hll_daily_rollup
+    from bullet_storm_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    out = {r.day: r.est_distinct for r in hll_daily_rollup(ev, "user_id").collect()}
+    exact_days = {
+        r.day: r.c
+        for r in ev.select(
+            F.expr("(ts_ns div 1000) div 86400000000").alias("day"), "user_id"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .collect()
+    }
+    exact_total = ev.select("user_id").distinct().count()
+    # lgConfigK=12 HLL: rsd ~1.6%; allow 5% slack per day and on the union
+    for day, exact in exact_days.items():
+        assert abs(out[day] - exact) <= max(2, 0.05 * exact), (day, out[day], exact)
+    assert abs(out[-1] - exact_total) <= max(2, 0.05 * exact_total)
+    # the union row merges summaries only — it must cover every day
+    assert set(out) == set(exact_days) | {-1}
