@@ -34,6 +34,9 @@ _US_PER_DAY = 86_400_000_000
 
 
 def _ts_us() -> F.Column:
+    # `div` truncates toward zero: identical to DuckDB's epoch_us for the
+    # positive-epoch data these operators target (pre-1970 timestamps are
+    # out of scope, as documented for sources/tables.py)
     return F.expr("ts_ns div 1000")
 
 
