@@ -1021,6 +1021,18 @@ ORDER BY doc_id
         ),
         _behavior.sessionize_sql("events", gap_minutes=360),
     ),
+    # per-event session-feature join table (the assignment behind the
+    # session rollup) and the first-order Markov transition model
+    "events_session_assignment": (
+        lambda s, d: _behavior.session_assignment(
+            load_table(s, d, "events"), gap_minutes=360
+        ),
+        _behavior.session_assignment_sql("events", gap_minutes=360),
+    ),
+    "events_transition_matrix": (
+        lambda s, d: _behavior.transition_matrix(load_table(s, d, "events")),
+        _behavior.transition_matrix_sql("events"),
+    ),
     "events_funnel": (
         lambda s, d: _behavior.funnel(
             load_table(s, d, "events"), ["view", "click", "purchase"],

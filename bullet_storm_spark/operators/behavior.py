@@ -283,3 +283,122 @@ SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
 FROM __active a JOIN __sizes s ON a.cohort_day = s.cohort_day
 ORDER BY a.cohort_day, a.day_offset
 """
+
+
+def session_assignment(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(event_id, user_id, session_idx, event_in_session): every event
+    tagged with its session (same gaps-and-islands split as sessionize)
+    and its 1-based position within it — the per-event session-feature
+    join table a training pipeline attaches to raw events. Same single
+    user-keyed shuffle; the windows reuse one partitioning."""
+    gap_us = int(gap_minutes) * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    marked = (
+        df.select("user_id", "event_id", _ts_us().alias("__us"))
+        .withColumn("__prev", F.lag("__us").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__us") - F.col("__prev") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("__new").over(w))
+    )
+    w_sess = Window.partitionBy("user_id", "session_idx").orderBy(
+        "__us", "event_id"
+    )
+    return (
+        marked.withColumn(
+            "event_in_session", F.row_number().over(w_sess).cast("long")
+        )
+        .select("event_id", "user_id", "session_idx", "event_in_session")
+        .orderBy("event_id")
+    )
+
+
+def session_assignment_sql(table: str, gap_minutes: int = 30) -> str:
+    gap_us = int(gap_minutes) * 60_000_000
+    return f"""
+WITH __e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM {table}
+),
+__marked AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM __e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+__sess AS (
+  SELECT user_id, event_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS session_idx
+  FROM __marked
+)
+SELECT event_id, user_id, session_idx,
+       row_number() OVER (PARTITION BY user_id, session_idx
+                          ORDER BY us, event_id)::BIGINT AS event_in_session
+FROM __sess ORDER BY event_id
+"""
+
+
+def transition_matrix(df: DataFrame, round_to: int = 6) -> DataFrame:
+    """(from_type, to_type, cnt, prob): per-user consecutive event-type
+    transition counts over the whole stream, with row-normalized
+    probabilities — the first-order Markov behavior model (next-action
+    prediction features, bot detection via improbable chains).
+    ``prob`` = cnt / sum over the from_type row, rounded.
+
+    Plan: one user-keyed lag window over (type) pairs, one (from, to)
+    aggregation, one broadcast row-total join — the transition table is
+    |types|² rows regardless of stream size."""
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    pairs = (
+        df.select("user_id", "event_id", "event_type", _ts_us().alias("__us"))
+        .withColumn("__next", F.lead("event_type").over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("cnt").alias("__total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), round_to).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def transition_matrix_sql(table: str, round_to: int = 6) -> str:
+    return f"""
+WITH __e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM {table}
+),
+__pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS to_type
+  FROM __e
+),
+__counts AS (
+  SELECT from_type, to_type, COUNT(*)::BIGINT AS cnt
+  FROM __pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+__totals AS (
+  SELECT from_type, SUM(cnt) AS total FROM __counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.cnt,
+       ROUND(c.cnt / t.total, {round_to}) AS prob
+FROM __counts c JOIN __totals t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""

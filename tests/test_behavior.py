@@ -150,3 +150,54 @@ def test_retention_duck_parity(cohort_data):
     s = [tuple(r) for r in behavior.retention_cohorts(df).collect()]
     d = con.execute(behavior.retention_cohorts_sql("ev")).fetchall()
     assert s == [tuple(r) for r in d]
+
+
+def test_session_assignment_consistent_with_sessionize(sess_data):
+    df, con = sess_data
+    assign = behavior.session_assignment(df, gap_minutes=30).collect()
+    sessions = behavior.sessionize(df, gap_minutes=30).collect()
+    # per (user, session): assignment count == session n_events, and
+    # event_in_session runs 1..n
+    from collections import defaultdict
+
+    got = defaultdict(list)
+    for r in assign:
+        got[(r.user_id, r.session_idx)].append(r.event_in_session)
+    for s in sessions:
+        lst = sorted(got[(s.user_id, s.session_idx)])
+        assert lst == list(range(1, s.n_events + 1))
+    d = con.execute(behavior.session_assignment_sql("ev", gap_minutes=30)).fetchall()
+    assert [tuple(r) for r in assign] == [tuple(r) for r in d]
+
+
+def test_transition_matrix_semantics_and_parity(spark):
+    rows = [
+        # user 1: view -> click -> view -> purchase
+        (1, 1, "view", 0.0, 0),
+        (2, 1, "click", 0.0, MIN),
+        (3, 1, "view", 0.0, 2 * MIN),
+        (4, 1, "purchase", 0.0, 3 * MIN),
+        # user 2: view -> click
+        (5, 2, "view", 0.0, 0),
+        (6, 2, "click", 0.0, MIN),
+    ]
+    df, con = _mk(spark, rows)
+    out = {
+        (r.from_type, r.to_type): (r.cnt, r.prob)
+        for r in behavior.transition_matrix(df).collect()
+    }
+    # 'view' row: 2x view->click, 1x view->purchase
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("view", "purchase")] == (1, round(1 / 3, 6))
+    # 'click' row: 1x click->view (user 1 only; user 2's click is last)
+    assert out[("click", "view")] == (1, 1.0)
+    # probabilities row-normalize to 1
+    from collections import defaultdict
+
+    rowsum = defaultdict(float)
+    for (f, _), (_, p) in out.items():
+        rowsum[f] += p
+    assert all(abs(s - 1.0) < 1e-5 for s in rowsum.values())
+    d = con.execute(behavior.transition_matrix_sql("ev")).fetchall()
+    got = [tuple(r) for r in behavior.transition_matrix(df).collect()]
+    assert got == [tuple(r) for r in d]
