@@ -101,6 +101,9 @@ HEADLINE = [
     "graph_pagerank_dedup",
     "dedup_substring_clean",
     "join_bloom_prefiltered",
+    "text_novelty_scores",
+    "events_transition_matrix",
+    "events_session_assignment",
 ]
 
 
