@@ -248,7 +248,11 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s (cold {runs[0]:.2f}s)", file=sys.stderr)
     events_batch.unpersist()
 
-    result = {
+    # The driver captures only the last 2 KB of stdout, so the FINAL line
+    # must be compact: steady per-query map only (2 dp), detail to a side
+    # file + stderr. If the map still doesn't fit, drop the fastest
+    # queries (full numbers remain in the detail file).
+    detail_out = {
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
@@ -256,6 +260,27 @@ def main() -> None:
         "queries_detail": detail,
         "sf": sf,
     }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail_out, f, indent=1)
+    except OSError as e:  # read-only checkout: stderr still carries it
+        print(f"# bench detail not written: {e}", file=sys.stderr)
+    print("# detail: " + json.dumps(detail_out), file=sys.stderr)
+
+    compact = {k: round(v, 2) for k, v in timings.items()}
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": compact,
+        "sf": sf,
+    }
+    while len(json.dumps(result)) > 1900 and compact:
+        fastest = min(compact, key=compact.get)
+        del compact[fastest]
+        result["queries_omitted"] = len(timings) - len(compact)
     print(json.dumps(result))
     spark.stop()
 

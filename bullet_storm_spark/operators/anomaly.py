@@ -5,10 +5,11 @@ accumulates deviations from the in-control mean and flags when the
 accumulation crosses a threshold. The textbook recursion
 ``S+_t = max(0, S+_{t-1} + (x_t - mu - slack))`` looks inherently
 sequential — but it has a closed prefix form: with
-``c_t = sum_{i<=t} (x_i - mu - slack)``,
+``c_t = sum_{i<=t} (x_i - mu - slack)`` and the implicit ``S+_0 = 0``
+start (i.e. the running min is clamped at zero),
 
-    S+_t = c_t - min_{j <= t} c_j          (and symmetrically S-_t
-                                            from the negated series)
+    S+_t = c_t - min(0, min_{j <= t} c_j)   (and symmetrically S-_t
+                                             from the negated series)
 
 so the whole detector is a cumulative sum plus a running min — two
 window frames, no recursion, no UDF. That is what makes it a
@@ -55,13 +56,25 @@ def volume_cusum(
     side exceeds h*std. Both knobs must be exact at 2 decimals — they
     enter the EXACT decimal arithmetic the parity guarantee rests on."""
     _check_knobs(slack_k, threshold_h)
-    hours = (
+    observed = (
         df.select(
             F.col(key_col).alias("__key"),
             (F.expr("ts_ns div 1000") / _US_PER_HOUR).cast("bigint").alias("hour"),
         )
         .groupBy("__key", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # densify the per-key hour grid: hours with ZERO events must appear as
+    # cnt=0 rows or the negative CUSUM side can never accumulate during a
+    # total outage (a two-sided detector blind to drop-to-zero). The spine
+    # is per-key min..max hour — bounded by the time range, not the data.
+    spine = (
+        observed.groupBy("__key")
+        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
+        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
+    )
+    hours = spine.join(observed, ["__key", "hour"], "left").select(
+        "__key", "hour", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
     )
     stats = hours.groupBy("__key").agg(
         F.round(F.avg("cnt"), 9).alias("__mu"),
@@ -100,8 +113,13 @@ def volume_cusum(
         F.sum(dev_pos).over(w).alias("__cpos"),
         F.sum(dev_neg).over(w).alias("__cneg"),
     )
-    s_pos = F.col("__cpos") - F.min("__cpos").over(wmin)
-    s_neg = F.col("__cneg") - F.min("__cneg").over(wmin)
+    # clamp the running min with zero: S_t = c_t - min(0, min_{j<=t} c_j)
+    # — without the clamp the statistic is understated by the first
+    # cumulative deviation whenever the series OPENS in the anomalous
+    # regime (prefix cumsum positive from t=1)
+    zero = F.lit(0).cast("decimal(38,11)")
+    s_pos = F.col("__cpos") - F.least(zero, F.min("__cpos").over(wmin))
+    s_neg = F.col("__cneg") - F.least(zero, F.min("__cneg").over(wmin))
     thr = (
         F.lit(float(threshold_h)).cast("decimal(4,2)")
         * F.col("__sd").cast("decimal(18,9)")
@@ -127,10 +145,20 @@ def volume_cusum_sql(
 ) -> str:
     _check_knobs(slack_k, threshold_h)
     return f"""
-WITH __hours AS (
+WITH __observed AS (
   SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
          COUNT(*)::BIGINT AS cnt
   FROM {table} GROUP BY key, hour
+),
+__span AS (
+  SELECT key, MIN(hour) AS h0, MAX(hour) AS h1 FROM __observed GROUP BY key
+),
+__spine AS (
+  SELECT key, unnest(generate_series(h0, h1)) AS hour FROM __span
+),
+__hours AS (
+  SELECT s.key, s.hour, COALESCE(o.cnt, 0)::BIGINT AS cnt
+  FROM __spine s LEFT JOIN __observed o ON s.key = o.key AND s.hour = o.hour
 ),
 __stats AS (
   SELECT key, ROUND(AVG(cnt), 9) AS mu,
@@ -156,9 +184,14 @@ __cum AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 __s AS (
+  -- zero-clamped running min (S0 = 0); CASE instead of LEAST because
+  -- DuckDB's LEAST(DECIMAL, DECIMAL) promotes to DOUBLE and breaks the
+  -- exact-decimal parity contract
   SELECT key, hour, cnt, sd,
-         cpos - MIN(cpos) OVER w AS spos,
-         cneg - MIN(cneg) OVER w AS sneg
+         cpos - CASE WHEN MIN(cpos) OVER w < 0 THEN MIN(cpos) OVER w
+                     ELSE CAST(0 AS DECIMAL(38,11)) END AS spos,
+         cneg - CASE WHEN MIN(cneg) OVER w < 0 THEN MIN(cneg) OVER w
+                     ELSE CAST(0 AS DECIMAL(38,11)) END AS sneg
   FROM __cum
   WINDOW w AS (PARTITION BY key ORDER BY hour
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -42,14 +42,24 @@ def pagerank(
     src_col: str,
     dst_col: str,
     iterations: int = 5,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(node, degree, pr_units, pagerank) over the UNDIRECTED graph given
     as edge pairs (each input row contributes both directions; isolated
     nodes cannot appear). ``pr_units`` is the exact integer rank in 1e-12
     units; ``pagerank`` is its double rendering (unrounded — the same
-    integer divides to the same double in every engine)."""
+    integer divides to the same double in every engine).
+
+    ``checkpoint_every`` cuts the rank table's join lineage every k
+    rounds (localCheckpoint here; swap for cluster ``checkpoint()`` on a
+    real deployment, same discipline as the edge-list cut below): without
+    it the optimized plan grows two joins per iteration and the final
+    stage re-plans the whole chain — plan depth is now bounded by k
+    regardless of iteration count (pinned in tests/test_graph.py)."""
     if not 1 <= iterations <= 20:
         raise ValueError(f"need 1 <= iterations <= 20, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(f"need checkpoint_every >= 1, got {checkpoint_every}")
     und = (
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
         .unionByName(
@@ -71,7 +81,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.expr(f"{MASS} div __n").alias("__pr")
     )
-    for _ in range(int(iterations)):
+    for it in range(int(iterations)):
         contrib = (
             und.join(ranks.withColumnRenamed("node", "__s"), "__s")
             .join(deg.withColumnRenamed("node", "__s"), "__s")
@@ -95,6 +105,8 @@ def pagerank(
                 ).cast("long").alias("__pr"),
             )
         )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return (
         ranks.join(deg, "node")
         .select(

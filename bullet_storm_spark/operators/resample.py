@@ -178,9 +178,9 @@ gap_runs AS (
 )
 SELECT d.key,
        COUNT(*) AS slots,
-       SUM(CASE WHEN d.filled THEN 0 ELSE 1 END) AS observed,
-       SUM(CASE WHEN d.filled THEN 1 ELSE 0 END) AS gaps,
-       COALESCE(ANY_VALUE(g.longest_gap), 0) AS longest_gap
+       CAST(SUM(CASE WHEN d.filled THEN 0 ELSE 1 END) AS BIGINT) AS observed,
+       CAST(SUM(CASE WHEN d.filled THEN 1 ELSE 0 END) AS BIGINT) AS gaps,
+       CAST(COALESCE(ANY_VALUE(g.longest_gap), 0) AS BIGINT) AS longest_gap
 FROM dense d LEFT JOIN gap_runs g ON d.key = g.key
 GROUP BY d.key
 ORDER BY d.key

@@ -155,8 +155,8 @@ def semantic_dedup_report_sql(table: str, id_col: str, vec_col: str, **kw) -> st
     inner = semantic_dedup_sql(table, id_col, vec_col, **kw)
     return f"""
 SELECT cell, COUNT(*) AS n,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
-       SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS dropped
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped
 FROM ({inner})
 GROUP BY cell
 ORDER BY cell

@@ -441,44 +441,57 @@ def brute_force_neighbors_arrow(
     vec_col: str,
     query_pred: Column,
     k: int = 5,
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k via numpy matmul over Arrow batches: queries are
     collected (small, broadcast-sized by contract), each candidate
     partition computes Q @ C^T and its local top-k, and a final global
     top-k merges per-partition winners — the map-side-combine shape, in
-    Python only where BLAS wins."""
+    Python only where BLAS wins.
+
+    Hash-checkable against brute_force_neighbors_sql: the score is
+    dot / (|q| * |c|) — the same formula as the expression/SQL path, NOT
+    normalize-then-multiply — rounded to ``round_to`` dp BEFORE the local
+    top-k (ties broken by neighbor_id asc, the global rank's total
+    order). BLAS reduction order differs from the sequential fold by
+    ~1 ulp, far below the 6-dp rounding grain, so both engines agree on
+    every rounded score except a value within ~1e-12 of a rounding
+    boundary (never observed on real-valued cosines; the same contract
+    every rounded-score oracle in this file relies on)."""
     import pandas as pd
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     qrows = base.where(query_pred).collect()
     qids = np.array([r["id"] for r in qrows])
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qmat, axis=1)
     spark = df.sparkSession
     b_qids = spark.sparkContext.broadcast(qids)
     b_qmat = spark.sparkContext.broadcast(qmat)
+    b_qnorm = spark.sparkContext.broadcast(qnorm)
 
     schema = "query_id long, neighbor_id long, cos double"
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm, qi = b_qmat.value, b_qids.value
+        qm, qi, qn = b_qmat.value, b_qids.value, b_qnorm.value
         for pdf in batches:
             if pdf.empty:
                 continue
             cmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
-            sims = qm @ cmat.T  # |Q| x |C|
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = np.round(
+                (qm @ cmat.T) / (qn[:, None] * cnorm[None, :]), round_to
+            )
             cids = pdf["id"].to_numpy()
             out = []
             for row, qid in enumerate(qi):
                 s = sims[row]
                 mask = cids != qid
-                idx = np.argsort(-s[mask])[:k]
-                sel_ids = cids[mask][idx]
-                sel_s = s[mask][idx]
+                sm, im = s[mask], cids[mask]
+                idx = np.lexsort((im, -sm))[:k]
                 out.append(
                     pd.DataFrame(
-                        {"query_id": qid, "neighbor_id": sel_ids, "cos": sel_s}
+                        {"query_id": qid, "neighbor_id": im[idx], "cos": sm[idx]}
                     )
                 )
             if out:

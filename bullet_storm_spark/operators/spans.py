@@ -398,8 +398,8 @@ __per_doc AS (
 )
 SELECT d.{id_col},
        CAST(len({tokens_sql(text_col)}) AS BIGINT) AS n_tokens,
-       COALESCE(p.__dup_tokens, 0) AS dup_tokens,
-       COALESCE(p.__n_spans, 0) AS n_spans,
+       CAST(COALESCE(p.__dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(p.__n_spans, 0) AS BIGINT) AS n_spans,
        round(COALESCE(p.__dup_tokens, 0) /
              CAST(len({tokens_sql(text_col)}) AS BIGINT), 6) AS dup_fraction
 FROM {table} d LEFT JOIN __per_doc p ON d.{id_col} = p.{id_col}

@@ -479,6 +479,11 @@ def tfidf_pairs(
                 F.col("__tf") * F.log(F.col("__N") / F.col("__df")), 9
             ).alias("__w"),
         )
+        # a term with df == N gets idf ln(1) = 0: keeping its zero-weight
+        # postings lets an all-such-terms document reach norm 0, whose
+        # 0/0 = NaN cosine passes the >= threshold in both engines (NaN
+        # sorts high). Zero weights carry no signal — drop them.
+        .where(F.col("__w") > 0)
     )
     norms = posting.groupBy("__id").agg(
         F.sqrt(
@@ -545,13 +550,16 @@ __dfreq AS (
   SELECT token, COUNT(*)::BIGINT AS dfc FROM __tf GROUP BY token
 ),
 __n AS (SELECT COUNT(DISTINCT {id_col})::BIGINT AS N FROM {table}),
-__posting AS (
+__posting0 AS (
   SELECT t.id, t.token, ROUND(t.tf * ln(n.N / d.dfc), 9) AS w
   FROM __tf t
   JOIN __dfreq d ON t.token = d.token AND d.dfc >= 2
   CROSS JOIN __n n
   WHERE d.dfc <= {cap_sql}
 ),
+-- zero-weight postings (df == N) dropped: they can produce norm-0 docs
+-- whose NaN cosine passes the threshold (NaN compares high both engines)
+__posting AS (SELECT * FROM __posting0 WHERE w > 0),
 __norms AS (
   SELECT id,
          sqrt(CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE))

@@ -342,6 +342,18 @@ CUSUM_SCHEMA = (
 )
 
 
+def _cusum_step(
+    spos: float, sneg: float, x: float, mu: float, slack: float
+) -> tuple[float, float]:
+    """One CUSUM update (shared by the in-batch and the timeout-driven
+    zero-count path; module-level so the silent-key transition is unit-
+    testable — the timeout path can't be driven under availableNow)."""
+    return (
+        max(0.0, spos + (x - mu - slack)),
+        max(0.0, sneg + (mu - x - slack)),
+    )
+
+
 def stream_cusum(
     stream_df: DataFrame,
     key_col: str,
@@ -349,6 +361,7 @@ def stream_cusum(
     sd: float,
     slack_k: float = 0.5,
     threshold_h: float = 4.0,
+    silent_key_timeout_ms: int | None = None,
 ):
     """Live drift detection: per-key CUSUM over micro-batch event counts,
     the streaming twin of operators/anomaly.volume_cusum. The batch
@@ -365,11 +378,26 @@ def stream_cusum(
     After an alarm fires the statistic keeps accumulating (alarm stays
     raised until re-baseline) — the reference's rate-limit posture
     (SURVEY.md §2.5): detect, surface, let the operator decide.
+
+    A key that stops sending events entirely is otherwise INVISIBLE (the
+    state function only runs for keys present in the batch, so a total
+    outage never accumulates on the negative side — round-4 ADVICE).
+    ``silent_key_timeout_ms`` arms a processing-time timeout per stateful
+    key: when it fires, the key is scored as a zero-count pseudo-batch
+    (batch_events = 0) and the timeout re-arms, so drop-to-zero alarms
+    after ~mu/(mu - slack) timeouts. Same caveat as sessionize's
+    use_timeout: a query with processing-time timeouts never quiesces, so
+    availableNow/processAllAvailable tests exercise only the in-batch
+    path — long-running deployments only.
     """
     import pandas as pd
 
     if sd <= 0:
         raise ValueError(f"need sd > 0, got {sd}")
+    if silent_key_timeout_ms is not None and silent_key_timeout_ms <= 0:
+        raise ValueError(
+            f"need silent_key_timeout_ms > 0, got {silent_key_timeout_ms}"
+        )
     slack = float(slack_k) * float(sd)
     thr = float(threshold_h) * float(sd)
 
@@ -377,16 +405,17 @@ def stream_cusum(
         key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
         n = 0
-        for pdf in pdfs:
-            n += len(pdf)
+        if not state.hasTimedOut:  # timeout => zero-count pseudo-batch
+            for pdf in pdfs:
+                n += len(pdf)
         if state.exists:
             spos, sneg = state.get
         else:
             spos, sneg = 0.0, 0.0
-        x = float(n)
-        spos = max(0.0, spos + (x - float(mu) - slack))
-        sneg = max(0.0, sneg + (float(mu) - x - slack))
+        spos, sneg = _cusum_step(spos, sneg, float(n), float(mu), slack)
         state.update((float(spos), float(sneg)))
+        if silent_key_timeout_ms is not None:
+            state.setTimeoutDuration(silent_key_timeout_ms)
         yield pd.DataFrame(
             {
                 "key": [key[0]],
@@ -405,6 +434,8 @@ def stream_cusum(
             CUSUM_SCHEMA,
             "cusum_pos double, cusum_neg double",
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout
+            if silent_key_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout,
         )
     )

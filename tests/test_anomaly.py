@@ -55,29 +55,85 @@ def test_cusum_flags_level_shift_only(shifted):
     a = [r for r in out if r.event_type == "a"]
     b = [r for r in out if r.event_type == "b"]
     assert any(r.flag for r in a), "shift not detected"
-    # detection happens in the shifted regime, not before it
-    first_flag_hour = min(r.hour for r in a if r.flag)
-    assert first_flag_hour >= 20
+    # the POSITIVE side fires only in the shifted (high) regime; any
+    # earlier flag must come from the negative side correctly marking the
+    # long low-opening stretch as below the full-series mean
+    pos_flags = [r.hour for r in a if r.flag and r.cusum_pos > r.cusum_neg]
+    assert pos_flags and min(pos_flags) >= 20
+    for r in a:
+        if r.flag and r.hour < 20:
+            assert r.cusum_neg > r.cusum_pos
     assert not any(r.flag for r in b), "false alarm on the steady series"
     # cusum statistics are non-negative by construction
     assert all(r.cusum_pos >= 0 and r.cusum_neg >= 0 for r in out)
 
 
-def test_cusum_matches_sequential_reference(shifted):
-    # the window formulation must equal the textbook recursion exactly
-    df, _ = shifted
-    out = [r for r in anomaly.volume_cusum(df).collect() if r.event_type == "a"]
-    out.sort(key=lambda r: r.hour)
+def _assert_matches_recursion(out_rows):
+    # the window formulation must equal the textbook recursion exactly,
+    # BOTH sides (S0 = 0 start: running min clamped with zero)
+    out = sorted(out_rows, key=lambda r: r.hour)
     counts = [r.cnt for r in out]
     n = len(counts)
     mu = round(sum(counts) / n, 9)
     sd = round(
         math.sqrt(sum(c * c for c in counts) / n - (sum(counts) / n) ** 2), 9
     )
-    s = 0.0
+    sp = sn = 0.0
     for r, c in zip(out, counts):
-        s = max(0.0, s + (c - mu - 0.5 * sd))
-        assert r.cusum_pos == pytest.approx(s, abs=1e-6)
+        sp = max(0.0, sp + (c - mu - 0.5 * sd))
+        sn = max(0.0, sn + (-(c - mu) - 0.5 * sd))
+        assert r.cusum_pos == pytest.approx(sp, abs=1e-6)
+        assert r.cusum_neg == pytest.approx(sn, abs=1e-6)
+
+
+def test_cusum_matches_sequential_reference(shifted):
+    df, _ = shifted
+    out = [r for r in anomaly.volume_cusum(df).collect() if r.event_type == "a"]
+    _assert_matches_recursion(out)
+
+
+def test_cusum_shift_first_matches_reference(spark):
+    # series OPENS in the anomalous (high) regime — prefix cumsum is
+    # positive from t=1, the case the unclamped closed form understated
+    # (round-4 ADVICE): 10 hours at 9/hour then 20 hours at 2/hour
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 9 if h < 10 else 2
+        for i in range(n):
+            rows.append((eid, "a", h * HOUR + i * 60_000_000))
+            eid += 1
+    df, con = _mk_events(spark, rows)
+    out = anomaly.volume_cusum(df).collect()
+    _assert_matches_recursion(out)
+    # the opening high regime itself must flag on the positive side
+    assert any(r.flag and r.hour < 10 for r in out)
+    # parity still holds with the clamp in both dialects
+    d = con.execute(anomaly.volume_cusum_sql("ev")).fetchall()
+    assert [tuple(r) for r in sorted(out, key=lambda r: r.hour)] == [
+        tuple(r) for r in d
+    ]
+
+
+def test_cusum_outage_hours_densified(spark):
+    # hours 10-14 have NO events at all: the dense per-key grid must emit
+    # cnt=0 rows there and the negative side must flag the outage
+    rows = []
+    eid = 0
+    for h in range(20):
+        if 10 <= h < 15:
+            continue
+        for i in range(5):
+            rows.append((eid, "a", h * HOUR + i * 60_000_000))
+            eid += 1
+    df, con = _mk_events(spark, rows)
+    out = sorted(anomaly.volume_cusum(df).collect(), key=lambda r: r.hour)
+    assert [r.hour for r in out] == list(range(20))
+    assert all(r.cnt == 0 for r in out if 10 <= r.hour < 15)
+    assert any(r.flag and 10 <= r.hour < 15 for r in out), "outage not flagged"
+    _assert_matches_recursion(out)
+    d = con.execute(anomaly.volume_cusum_sql("ev")).fetchall()
+    assert [tuple(r) for r in out] == [tuple(r) for r in d]
 
 
 def test_cusum_duck_parity(shifted):

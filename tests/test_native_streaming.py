@@ -342,3 +342,45 @@ def test_stream_cusum_validates_sd(spark):
 
     with pytest.raises(ValueError):
         stream_cusum(spark.range(1), "id", mu=1.0, sd=0.0)
+    with pytest.raises(ValueError):
+        stream_cusum(spark.range(1), "id", mu=1.0, sd=1.0, silent_key_timeout_ms=0)
+
+
+def test_stream_cusum_timeout_plan_builds(spark, tmp_path):
+    # the silent-key path can't be driven end-to-end in tests
+    # (processing-time timeouts never quiesce, so processAllAvailable /
+    # availableNow block — same boundary as sessionize's use_timeout);
+    # pin that the timeout variant's streaming plan BUILDS with the
+    # ProcessingTimeTimeout conf and the expected schema
+    from bullet_storm_spark.streaming.native import stream_cusum
+
+    schema = "k string, v long"
+    src = str(tmp_path / "in")
+    _write(spark, src, [("a", 1)], schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_cusum(stream, "k", mu=3.0, sd=1.0, silent_key_timeout_ms=60_000)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "key", "batch_events", "cusum_pos", "cusum_neg", "alarm",
+    ]
+
+
+def test_stream_cusum_silent_key_transition():
+    # unit-test the timeout-driven zero-count pseudo-batch: a key stuck at
+    # zero must accumulate on the NEGATIVE side and cross h*sd after
+    # ~thr/(mu - slack) silent periods (round-4 ADVICE drop-to-zero gap)
+    from bullet_storm_spark.streaming.native import _cusum_step
+
+    mu, sd, slack_k, threshold_h = 5.0, 1.0, 0.5, 4.0
+    slack, thr = slack_k * sd, threshold_h * sd
+    spos = sneg = 0.0
+    fired_at = None
+    for i in range(1, 10):
+        spos, sneg = _cusum_step(spos, sneg, 0.0, mu, slack)  # silent: x=0
+        if sneg > thr and fired_at is None:
+            fired_at = i
+    assert fired_at == 1  # (5 - 0 - 0.5) = 4.5 > 4.0 on the first timeout
+    assert spos == 0.0
+    # an in-control batch right after re-opens: statistic decays
+    spos, sneg2 = _cusum_step(spos, sneg, mu, mu, slack)
+    assert sneg2 < sneg

@@ -407,3 +407,28 @@ class TestTfidfPairs:
     def test_fractional_cap_validation(self, sim_docs):
         with pytest.raises(ValueError):
             V.tfidf_pairs(sim_docs, "doc_id", "text", df_cap=1.5)
+
+    def test_zero_norm_docs_never_pair(self, spark):
+        # 'common' appears in every doc (df == N <= df_cap): its idf is
+        # ln(1) = 0, so docs 0/1 — made ONLY of that term — have norm 0
+        # and used to surface as NaN-cosine pairs (NaN >= min_sim is true
+        # in both engines; round-4 ADVICE). They must pair with nobody.
+        rows = [
+            (0, "common common"),
+            (1, "common"),
+            (2, "common alpha beta"),
+            (3, "common alpha gamma"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = V.tfidf_pairs(df, "doc_id", "text", df_cap=4, min_sim=0.1).collect()
+        assert not any(r.doc_a in (0, 1) or r.doc_b in (0, 1) for r in out)
+        assert all(r.cosine == r.cosine for r in out)  # no NaN survives
+        # (2,3) still pair on 'alpha'
+        assert any((r.doc_a, r.doc_b) == (2, 3) for r in out)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE zn (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO zn VALUES (?,?)", rows)
+        d = con.execute(
+            V.tfidf_pairs_sql("zn", "doc_id", "text", df_cap=4, min_sim=0.1)
+        ).fetchall()
+        assert [tuple(r) for r in out] == [tuple(r) for r in d]
