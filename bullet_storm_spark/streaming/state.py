@@ -362,10 +362,15 @@ class DistributionState(QueryState):
 
     The partial job builds one summary PER PARTITION in Spark (Arrow
     batches; self-contained closure) and ships levels — the sketch-bytes
-    wire contract: driver traffic is O(partitions x capacity) floats no
-    matter how large the batch, and the driver merge is summary union."""
+    wire contract. When the scan has more than TREE_FANIN partitions, a
+    coalesce + merge stage unions summaries EXECUTOR-SIDE first, so
+    driver traffic is O(TREE_FANIN x capacity) floats no matter how many
+    partitions the batch scan has (a 10k-partition scan must not funnel
+    10k raw summaries to the driver); coalesce moves no shuffle — each
+    merge task folds its co-located partition summaries."""
 
     SAMPLE_CAP = 100_000
+    TREE_FANIN = 32
 
     def __init__(self, agg: Distribution):
         from bullet_storm_spark.operators.sketches import KLLSummary
@@ -380,26 +385,27 @@ class DistributionState(QueryState):
         v = F.col(self.agg.field).cast("double")
         if self.agg.dist_type == DistributionType.QUANTILE:
             cap = self.SAMPLE_CAP
+            schema = "__levels array<array<double>>, __n long, __nrec long"
 
-            # self-contained closure (cloudpickle ships it by value; no
-            # package import on workers) building a KLL summary per
-            # partition — mirrors KLLSummary._compress deterministically
-            def build(batches):
-                import pandas as pd
+            # self-contained closures (cloudpickle ships them by value; no
+            # package import on workers) mirroring KLLSummary._compress
+            # deterministically; the accumulator is shared by the build
+            # and the tree-merge stages
+            def make_acc():
+                levels: list[list[float]] = [[]]
+                counter = [0]
 
-                levels = [[]]
-                compactions = 0
-                nval = 0
-                nrec = 0
-
-                def compress():
-                    nonlocal compactions
+                def fold(in_levels):
+                    for i, lvl in enumerate(in_levels):
+                        while len(levels) <= i:
+                            levels.append([])
+                        levels[i].extend(float(x) for x in lvl)
                     i = 0
                     while i < len(levels):
                         if len(levels[i]) > cap:
                             lvl = sorted(levels[i])
-                            off = compactions & 1
-                            compactions += 1
+                            off = counter[0] & 1
+                            counter[0] += 1
                             held = []
                             if len(lvl) & 1:
                                 held = [lvl.pop()] if off else [lvl.pop(0)]
@@ -409,20 +415,47 @@ class DistributionState(QueryState):
                             levels[i] = held
                         i += 1
 
+                return levels, fold
+
+            def build(batches):
+                import pandas as pd
+
+                levels, fold = make_acc()
+                nval = 0
+                nrec = 0
                 for pdf in batches:
                     col = pdf["__v"]
                     nrec += len(col)
                     vals = col.dropna()
                     nval += len(vals)
-                    levels[0].extend(float(x) for x in vals)
-                    compress()
+                    fold([list(vals)])
                 yield pd.DataFrame(
                     {"__levels": [levels], "__n": [nval], "__nrec": [nrec]}
                 )
 
-            return df.select(v.alias("__v")).mapInPandas(
-                build, "__levels array<array<double>>, __n long, __nrec long"
-            )
+            def tree_merge(batches):
+                import pandas as pd
+
+                levels, fold = make_acc()
+                nval = 0
+                nrec = 0
+                for pdf in batches:
+                    for lv, nn, nr in zip(
+                        pdf["__levels"], pdf["__n"], pdf["__nrec"]
+                    ):
+                        fold(lv)
+                        nval += int(nn)
+                        nrec += int(nr)
+                yield pd.DataFrame(
+                    {"__levels": [levels], "__n": [nval], "__nrec": [nrec]}
+                )
+
+            out = df.select(v.alias("__v")).mapInPandas(build, schema)
+            if df.rdd.getNumPartitions() > self.TREE_FANIN:
+                out = out.coalesce(self.TREE_FANIN).mapInPandas(
+                    tree_merge, schema
+                )
+            return out
         # null values land in a NULL bin (never binned/totaled, but they
         # keep the batch record count riding this job for consumed())
         bin_idx = F.lit(0)

@@ -46,6 +46,33 @@ def test_bounded_summary_above_cap(spark, monkeypatch):
         assert abs(got[frac] - expect) < 5.0  # compaction tolerance
 
 
+def test_tree_merge_bounds_driver_traffic(spark, monkeypatch):
+    """A scan with many partitions must NOT funnel one summary per
+    partition to the driver: the coalesce+merge stage caps the partial
+    frame at TREE_FANIN rows, and (exact regime) the merged result is
+    identical to the unmerged path's."""
+    monkeypatch.setattr(DistributionState, "TREE_FANIN", 4)
+    state = DistributionState(
+        Distribution(field="v", dist_type=DistributionType.QUANTILE, points=[0.5])
+    )
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(400)], "v double"
+    ).repartition(64)
+    part = state.partial(df)
+    rows = [r.asDict() for r in part.collect()]
+    assert len(rows) <= 4, "driver received more than TREE_FANIN summaries"
+    assert sum(r["__n"] for r in rows) == 400
+    state.merge(rows)
+    # exact regime: same quantile as a no-tree (few-partition) run
+    flat_state = DistributionState(
+        Distribution(field="v", dist_type=DistributionType.QUANTILE, points=[0.5])
+    )
+    flat = [r.asDict() for r in flat_state.partial(df.coalesce(2)).collect()]
+    flat_state.merge(flat)
+    assert state.summary.is_exact() and flat_state.summary.is_exact()
+    assert state.result() == flat_state.result()
+
+
 def test_kll_merge_associative_exact_regime():
     """While nothing compacts, any merge tree over the same multiset gives
     IDENTICAL quantiles (the two-sketch merge test shape,
