@@ -500,6 +500,11 @@ from bullet_storm_spark.operators import quantize as _quant
 from bullet_storm_spark.operators import resample as _rsmp
 from bullet_storm_spark.operators import semdedup as _semd
 from bullet_storm_spark.operators import vocab as _vocab
+from bullet_storm_spark.operators import winnow as _winnow
+from bullet_storm_spark.operators import skew as _skew
+
+# winnowing window/gram config shared by the fingerprint + pair entries
+_WINNOW_KW = dict(k=8, w=16)
 
 # deterministic non-Latin augmentation for the script-profile entry (one
 # expression string, compiled by BOTH Spark SQL and DuckDB so the two
@@ -721,6 +726,30 @@ FROM documents ORDER BY doc_id
     "text_vocabulary": (
         lambda s, d: _vocab.vocabulary(_docs(s, d), "doc_id", "text", top_n=200),
         _vocab.vocabulary_sql("documents", "doc_id", "text", top_n=200),
+    ),
+    # corpus Zipf audit: closed-form OLS of ln(freq)~ln(rank) over the
+    # top-N vocabulary — one explode + one hash-agg + six scalar aggs
+    "text_zipf_report": (
+        lambda s, d: _vocab.zipf_report(_docs(s, d), "doc_id", "text", top_n=500),
+        _vocab.zipf_report_sql("documents", "doc_id", "text", top_n=500),
+    ),
+    # winnowing (Schleimer SIGMOD'03): min of each w-window of k-gram
+    # hashes — any >= w+k-1 char substring match shares a fingerprint
+    "text_winnow_fingerprints": (
+        lambda s, d: _winnow.winnow_fingerprints(
+            _docs(s, d), "doc_id", "text", **_WINNOW_KW
+        ),
+        _winnow.winnow_fingerprints_sql("documents", "doc_id", "text", **_WINNOW_KW),
+    ),
+    # partial-overlap candidate pairs: equi-join on winnow fingerprint +
+    # pair groupBy, boilerplate fps (df > cap) dropped pre-join
+    "dedup_winnow_pairs": (
+        lambda s, d: _winnow.winnow_neardup_pairs(
+            _docs(s, d), "doc_id", "text", **_WINNOW_KW, min_shared=4, df_cap=30
+        ),
+        _winnow.winnow_neardup_pairs_sql(
+            "documents", "doc_id", "text", **_WINNOW_KW, min_shared=4, df_cap=30
+        ),
     ),
     "dedup_exact": (
         lambda s, d: _dedup.exact_dedup(_docs(s, d), "doc_id", "text"),
@@ -1926,6 +1955,74 @@ def _editdistance_pairs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salted_join_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact-dim join: lineitem salted per-row, part replicated
+    per salt bucket, then brand rollup. The result is provably identical
+    to the plain equi-join (the gate checks it against the unsalted SQL);
+    the value is the plan shape — a hot partkey spreads over salt_buckets
+    reducers instead of one. At 100 TB this is the manual fallback when
+    AQE's runtime skew split can't fire (e.g. a broadcast-disabled dim
+    that still fits replication)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity", "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = _skew.salted_join(li, pt, "partkey", salt_buckets=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double").alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                .cast("double"), 2,
+            ).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT p_brand, COUNT(*) AS cnt,
+       (SUM(CAST(l_quantity AS DECIMAL(38,6))))::DOUBLE AS sum_qty,
+       ROUND((SUM(CAST(l_extendedprice AS DECIMAL(38,6))))::DOUBLE, 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def _salted_group_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted GROUP BY on events.event_type (the hot-key-proof
+    aggregation plan): results equal the single-shuffle groupBy exactly
+    (decimal accumulators), which the unsalted oracle SQL pins."""
+    ev = load_table(spark, sf_dir, "events")
+    return _skew.salted_group_agg(
+        ev,
+        ["event_type"],
+        [
+            _op("COUNT", None, "cnt"),
+            _op("SUM", "value", "sum_value", exact_decimal=True, round_to=6),
+            _op("MIN", "value", "min_value"),
+            _op("MAX", "value", "max_value"),
+            _op("AVG", "value", "avg_value", exact_decimal=True, round_to=6),
+        ],
+        salt_buckets=16,
+    ).orderBy("event_type")
+
+
+_SALTED_GROUP_SQL = """
+SELECT event_type, COUNT(*) AS cnt,
+       ROUND((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE, 6) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       ROUND((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE / COUNT(value), 6)
+         AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "join_revenue_by_nation": (_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "join_top_orders_by_revenue": (_top_orders_by_revenue, _TOP_ORDERS_SQL),
@@ -1947,6 +2044,8 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "documents", "doc_id", "text", max_dist=20, prefix_len=12
         ),
     ),
+    "join_salted_skew": (_salted_join_brand_qty, _SALTED_JOIN_SQL),
+    "group_salted_skew": (_salted_group_event_type, _SALTED_GROUP_SQL),
 }
 
 
@@ -2038,6 +2137,12 @@ _DRIVER_PRIORITY = [
     "text_bpe_segment",
     # --- entries changed this round (new oracles / operator fixes) ---
     "ann_brute_force_arrow",
+    # --- round-5 additions (never driver-checked) ---
+    "text_zipf_report",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "join_salted_skew",
+    "group_salted_skew",
 ]
 
 

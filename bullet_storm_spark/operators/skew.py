@@ -64,3 +64,38 @@ def salted_group_agg(
 
 def _maybe_round(col: Column, op: GroupOperation) -> Column:
     return F.round(col, op.round_to) if op.round_to is not None else col
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed (left) side salted and the right side
+    replicated ``salt_buckets`` ways, so a hot join key spreads over
+    ``salt_buckets`` reducers instead of funneling through one.
+
+    Semantics are identical to ``left.join(right, on, how)`` for inner and
+    left joins (each left row carries exactly one salt value; each right
+    row exists once per salt, and a left row meets each matching right row
+    exactly once — at its own salt). Use when BOTH sides are too large to
+    broadcast and the left key histogram is pathological; AQE's runtime
+    skew split covers sort-merge joins after the fact, this covers the
+    planned shape. Right-side replication costs ``salt_buckets`` ×
+    |right|, so keep the right side the smaller relation.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # per-ROW salt on the left (a key-derived salt would send the whole hot
+    # key to one bucket); the right side exists once per salt value, so the
+    # join result is invariant to the salt assignment — rand() is safe here
+    l = left.withColumn(
+        "__salt", (F.rand(17) * salt_buckets).cast("int")
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = l.join(r, [on, "__salt"], how)
+    return out.drop("__salt")

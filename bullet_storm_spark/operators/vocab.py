@@ -599,3 +599,116 @@ def _resolve_df_cap(df_cap: int | float) -> int | float:
     if cap < 2:
         raise ValueError(f"need df_cap >= 2, got {df_cap}")
     return cap
+
+
+def zipf_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row corpus Zipf audit: least-squares fit of ln(freq) against
+    ln(rank) over the top-``top_n`` tokens, plus coverage. A healthy
+    natural-language corpus fits slope ~ -1 (Zipf's law); a slope far from
+    that (or low r2) flags templated/boilerplate or synthetic text — a
+    cheap corpus-level quality gate to run before spending tokens on
+    per-document scoring.
+
+    Output ``(n_terms, total_tf, top_coverage, zipf_slope, zipf_intercept,
+    zipf_r2)``. Closed-form OLS over aggregates — the whole fit is one
+    groupBy-free reduction over top_n rows, so the plan is: token explode,
+    one hash-agg, one top-n sort (rank boundary deterministic: freq desc,
+    token asc), six scalar aggregates. No iteration, no driver math.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
+    # TakeOrdered cuts the vocabulary to top_n BEFORE the global-rank
+    # window, so the single-partition window sees top_n rows, not the
+    # whole vocabulary (the limit itself is a per-partition partial top-n)
+    ranked = (
+        vocab.orderBy(F.desc("tf"), F.asc("token"))
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("token"))),
+        )
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("tf").cast("double")).alias("y"),
+            "tf",
+        )
+    )
+    totals = vocab.agg(
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    fit = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("tf").cast("long").alias("top_tf"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return (
+        fit.crossJoin(F.broadcast(totals))
+        .select(
+            "n_terms",
+            "total_tf",
+            F.round(F.col("top_tf") / F.col("total_tf"), round_to).alias(
+                "top_coverage"
+            ),
+            F.round(cov / varx, round_to).alias("zipf_slope"),
+            F.round((sy - (cov / varx) * sx) / n, round_to).alias(
+                "zipf_intercept"
+            ),
+            F.round((cov * cov) / (varx * vary), round_to).alias("zipf_r2"),
+        )
+    )
+
+
+def zipf_report_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    top_n: int = 500,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest({tokens_sql(text_col)}) AS token FROM {table}
+), vocab AS (
+  SELECT token, COUNT(*)::BIGINT AS tf FROM tok WHERE token <> '' GROUP BY token
+), totals AS (
+  SELECT SUM(tf)::BIGINT AS total_tf, COUNT(*)::BIGINT AS n_terms FROM vocab
+), ranked AS (
+  SELECT ln(ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC)::DOUBLE) AS x,
+         ln(tf::DOUBLE) AS y, tf
+  FROM vocab
+  QUALIFY ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) <= {top_n}
+), fit AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+         SUM(tf)::BIGINT AS top_tf
+  FROM ranked
+)
+SELECT n_terms, total_tf,
+       ROUND(top_tf / total_tf::DOUBLE, {round_to}) AS top_coverage,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), {round_to}) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             {round_to}) AS zipf_intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), {round_to}) AS zipf_r2
+FROM fit, totals
+"""

@@ -1,0 +1,175 @@
+"""Winnowing document fingerprints (Schleimer, Kleinberg, Aiken, SIGMOD'03),
+dual-compiled Spark + DuckDB.
+
+``rolling_fingerprint`` (functions/text.py) keeps ONE hash per document —
+the global k-gram minimum — which is a blocking key, not a coverage
+guarantee. Winnowing keeps the minimum of every ``w`` consecutive k-gram
+hashes instead, which yields the classic guarantee: any substring match of
+length >= ``w + k - 1`` between two documents shares at least one selected
+fingerprint. That makes the fingerprint set a sound candidate generator for
+partial-overlap (plagiarism-style) duplicate detection, where whole-document
+MinHash under-fires and span chunking (operators/spans.py) needs aligned
+chunk boundaries.
+
+Scale shape (100 TB posture):
+* per-document work is a pure column expression over the normalized text —
+  the gram-hash array is O(n_chars), the window-min pass O(n_chars * w)
+  inside codegen'd higher-order functions; no Python, no UDF;
+* the fingerprint relation explodes to O(total selected fps) rows
+  (~2/(w+1) of gram count by the winnowing density bound), hash-partitioned
+  on a uniform 32-bit key;
+* pairing is ONE equi-join on the fingerprint value followed by a pair
+  groupBy — the exact-dedup plan at fingerprint granularity. Boilerplate
+  fingerprints shared by more than ``df_cap`` documents are dropped before
+  the join (same skew bound as vocab.tfidf_pairs), so no hot key can
+  produce a quadratic bucket.
+
+Reference analog: the reference engine has no sub-document dedup at all
+(SURVEY.md §2.6 extensions); semantics follow the paper, position handling
+simplified to distinct hash values (robust winnowing's rightmost-min
+tie-break only affects positions, not the selected value set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from bullet_storm_spark.functions.text import normalized_text
+
+_WS = r"\s+"
+
+
+def _gram_hashes(norm, k: int):
+    """Array of 32-bit k-gram hashes of an already-materialized normalized
+    text column (callers put an exchange between the normalization regex
+    and this, or CollapseProject re-inlines the regex per gram)."""
+    n = F.length(norm)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(norm, i, k)), 1, 8), 16, 10
+            ).cast("bigint"),
+        ),
+    )
+
+
+def _gram_hashes_sql(norm: str, k: int) -> str:
+    return (
+        f"list_transform(range(1, length({norm}) - {k - 2}), "
+        f"i -> ('0x' || substr(md5(substr({norm}, i, {k})), 1, 8))::BIGINT)"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """(id, fp) — the distinct winnowing fingerprint set per document:
+    minimum of each window of ``w`` consecutive k-gram hashes. Documents
+    shorter than k chars produce no rows (no grams)."""
+    base = df.select(
+        F.col(id_col).alias("id"), normalized_text(text_col).alias("__norm")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    grams = base.select("id", _gram_hashes(F.col("__norm"), k).alias("__g"))
+    ng = F.size("__g")
+    # window starts: 1 .. max(ng - w + 1, 1) — shorter-than-w docs keep
+    # their single global min (degenerate window = whole array)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(ng - (w - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice("__g", i, w)),
+        )
+    )
+    return (
+        grams.where(F.col("__g").isNotNull())
+        .select("id", F.explode(fps).alias("fp"))
+        .distinct()
+        .orderBy("id", "fp")
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '{_WS}', ' ', 'g')"
+    return f"""
+WITH grams AS (
+  SELECT {id_col} AS id, {_gram_hashes_sql(norm, k)} AS g FROM {table}
+  WHERE length({norm}) >= {k}
+), fps AS (
+  SELECT id, unnest(list_transform(
+    range(1, greatest(len(g) - {w - 1}, 1) + 1),
+    i -> list_min(g[i : i + {w - 1}])
+  )) AS fp
+  FROM grams
+)
+SELECT DISTINCT id, fp FROM fps ORDER BY id, fp
+"""
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    df_cap: int = 50,
+) -> DataFrame:
+    """(id_a, id_b, shared) — document pairs sharing >= ``min_shared``
+    winnowing fingerprints; fingerprints in more than ``df_cap`` documents
+    are dropped before the join (boilerplate / skew bound). One equi-join
+    on fp + one pair groupBy — never all-pairs."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    kept = (
+        fps.withColumn("__df", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("__df") <= df_cap)
+        .drop("__df")
+    )
+    l = kept.alias("l")
+    r = kept.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def winnow_neardup_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    df_cap: int = 50,
+) -> str:
+    fps = winnow_fingerprints_sql(table, id_col, text_col, k, w).strip().rstrip()
+    # strip the trailing ORDER BY of the fingerprint query for CTE reuse
+    fps = fps[: fps.rindex("ORDER BY")]
+    return f"""
+WITH fps AS ({fps}),
+kept AS (
+  SELECT id, fp FROM (
+    SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fps
+  ) WHERE dfc <= {df_cap}
+)
+SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS shared
+FROM kept l JOIN kept r ON l.fp = r.fp AND l.id < r.id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+ORDER BY id_a, id_b
+"""

@@ -37,3 +37,33 @@ def test_salted_equals_plain_on_skewed_keys(spark):
     }
     assert salted == plain
     assert salted["hot"][0] == 9000
+
+
+def test_salted_join_equals_plain_inner(spark):
+    # hot key 0 holds 80% of left rows
+    left = spark.createDataFrame(
+        [(0, i) for i in range(4000)] + [(i % 97 + 1, i) for i in range(1000)],
+        "k long, lv long",
+    ).repartition(8)
+    right = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k long, rv long"
+    )
+    from bullet_storm_spark.operators.skew import salted_join
+
+    got = sorted(
+        tuple(r) for r in salted_join(left, right, "k", salt_buckets=8).collect()
+    )
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, 1), (999, 2)], "k long, lv long")
+    right = spark.createDataFrame([(1, 10)], "k long, rv long")
+    from bullet_storm_spark.operators.skew import salted_join
+
+    got = sorted(
+        tuple(r) for r in salted_join(left, right, "k", how="left").collect()
+    )
+    want = sorted(tuple(r) for r in left.join(right, "k", "left").collect())
+    assert got == want

@@ -1,0 +1,76 @@
+"""Winnowing fingerprints: guarantee + determinism + oracle parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_fingerprints_sql,
+    winnow_neardup_pairs,
+    winnow_neardup_pairs_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # two docs sharing a >= w+k-1 char substring must share a fingerprint
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "totally different opening text " + shared + " closing words"),
+        (3, "no overlap here at all just unrelated content entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fps = winnow_fingerprints(df, "id", "text", k=8, w=16).collect()
+    by_id = {}
+    for r in fps:
+        by_id.setdefault(r.id, set()).add(r.fp)
+    assert by_id[1] & by_id[2], "shared substring must share a fingerprint"
+
+
+def test_winnow_density_bound(spark):
+    # selected fingerprints are a small fraction of all grams
+    df = _docs(spark).limit(50)
+    n_fp = winnow_fingerprints(df, "doc_id", "text", k=8, w=16).count()
+    total_chars = df.agg(F.sum(F.length("text"))).collect()[0][0]
+    # winnowing expectation is ~2/(w+1) of gram count; allow 2x slack
+    assert n_fp < total_chars * 2 * 2 / 17
+
+
+def test_winnow_fingerprints_oracle(spark):
+    got = winnow_fingerprints(
+        _docs(spark), "doc_id", "text", k=8, w=16
+    ).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.execute(
+        winnow_fingerprints_sql("documents", "doc_id", "text", k=8, w=16)
+    ).fetchall()
+    assert [(r.id, r.fp) for r in got] == [(a, b) for a, b in want]
+
+
+def test_winnow_pairs_oracle(spark):
+    got = winnow_neardup_pairs(
+        _docs(spark), "doc_id", "text", k=8, w=16, min_shared=2
+    ).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.execute(
+        winnow_neardup_pairs_sql("documents", "doc_id", "text", k=8, w=16, min_shared=2)
+    ).fetchall()
+    assert [(r.id_a, r.id_b, r.shared) for r in got] == [tuple(w) for w in want]
+
+
+def test_winnow_short_doc_no_rows(spark):
+    df = spark.createDataFrame([(1, "tiny")], "id long, text string")
+    assert winnow_fingerprints(df, "id", "text", k=8, w=16).count() == 0
