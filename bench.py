@@ -104,6 +104,11 @@ HEADLINE = [
     "text_novelty_scores",
     "events_transition_matrix",
     "events_session_assignment",
+    "text_zipf_report",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "join_salted_skew",
+    "group_salted_skew",
 ]
 
 

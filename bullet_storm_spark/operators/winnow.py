@@ -72,22 +72,37 @@ def winnow_fingerprints(
     """(id, fp) — the distinct winnowing fingerprint set per document:
     minimum of each window of ``w`` consecutive k-gram hashes. Documents
     shorter than k chars produce no rows (no grams)."""
-    base = df.select(
-        F.col(id_col).alias("id"), normalized_text(text_col).alias("__norm")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    grams = base.select("id", _gram_hashes(F.col("__norm"), k).alias("__g"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # the short-doc filter runs HERE, on the normalized length, and never
+    # on __g: a predicate referencing __g gets pushed below the exchange
+    # and re-inlines the normalization regex into every gram of the
+    # filter's transform — O(chars per doc) regex evaluations per doc
+    # (measured 15.3 s vs 1.0 s at sf0.1 for the identical result)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"), normalized_text(text_col).alias("__norm")
+        )
+        .where(F.length("__norm") >= k)
+        .repartition(par)
+    )
+    # the exchange materializes __g as a concrete column: without it,
+    # CollapseProject inlines the md5-gram transform into every window's
+    # slice() in the fps lambda below — O(grams × windows) gram hashing
+    grams = base.select(
+        "id", _gram_hashes(F.col("__norm"), k).alias("__g")
+    ).repartition(par)
     ng = F.size("__g")
     # window starts: 1 .. max(ng - w + 1, 1) — shorter-than-w docs keep
-    # their single global min (degenerate window = whole array)
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(ng - (w - 1), F.lit(1))),
-            lambda i: F.array_min(F.slice("__g", i, w)),
-        )
+    # their single global min (degenerate window = whole array). NO
+    # array_distinct here: the per-pair .distinct() after the explode
+    # already dedups, and an array_distinct inside a Generate input is
+    # several times slower on the interpreted HOF path
+    fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(ng - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice("__g", i, w)),
     )
     return (
-        grams.where(F.col("__g").isNotNull())
-        .select("id", F.explode(fps).alias("fp"))
+        grams.select("id", F.explode(fps).alias("fp"))
         .distinct()
         .orderBy("id", "fp")
     )
