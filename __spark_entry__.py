@@ -502,6 +502,7 @@ from bullet_storm_spark.operators import semdedup as _semd
 from bullet_storm_spark.operators import vocab as _vocab
 from bullet_storm_spark.operators import winnow as _winnow
 from bullet_storm_spark.operators import skew as _skew
+from bullet_storm_spark.operators import linkage as _linkage
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -1955,6 +1956,34 @@ def _editdistance_pairs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter record linkage on the customer dimension: equality
+# blocking on (nation, segment) — block-size audited ≤ 21 records at
+# sf0.01 — then codegen'd per-field comparators (levenshtein name,
+# balance proximity) summed into a match score
+_LINK_COMPARATORS = [
+    _linkage.Comparator("c_name", "levenshtein", weight=2.0, scale=4.0),
+    _linkage.Comparator("c_acctbal", "abs_diff", weight=1.0, scale=500.0),
+]
+
+
+def _link_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _linkage.record_linkage_pairs(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        _LINK_COMPARATORS,
+        threshold=1.5,
+    )
+
+
+def _link_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _linkage.block_size_audit(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        top_n=20,
+    )
+
+
 def _salted_join_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof fact-dim join: lineitem salted per-row, part replicated
     per salt bucket, then brand rollup. The result is provably identical
@@ -2046,6 +2075,22 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     ),
     "join_salted_skew": (_salted_join_brand_qty, _SALTED_JOIN_SQL),
     "group_salted_skew": (_salted_group_event_type, _SALTED_GROUP_SQL),
+    "link_customer_pairs": (
+        _link_customer_pairs,
+        _linkage.record_linkage_pairs_sql(
+            "customer",
+            "c_custkey",
+            ["c_nationkey", "c_mktsegment"],
+            _LINK_COMPARATORS,
+            threshold=1.5,
+        ),
+    ),
+    "link_block_audit": (
+        _link_block_audit,
+        _linkage.block_size_audit_sql(
+            "customer", ["c_nationkey", "c_mktsegment"], top_n=20
+        ),
+    ),
 }
 
 
@@ -2143,6 +2188,8 @@ _DRIVER_PRIORITY = [
     "dedup_winnow_pairs",
     "join_salted_skew",
     "group_salted_skew",
+    "link_customer_pairs",
+    "link_block_audit",
 ]
 
 

@@ -109,6 +109,7 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "join_salted_skew",
     "group_salted_skew",
+    "link_customer_pairs",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Structured-record linkage (entity resolution), dual-compiled.
+
+Every dedup operator in this package keys on unstructured content (text
+shingles, embeddings, fingerprints). Production entity resolution on
+STRUCTURED records (customers, suppliers, catalog items) is a different
+shape — the Fellegi-Sunter pipeline: block on cheap equality keys,
+compare candidate pairs field-by-field (string edit distance, numeric
+proximity, exact agreement), and sum per-field agreement weights into a
+match score.
+
+Scale shape (100 TB posture):
+* blocking is ONE equi-join on the block key tuple — candidate count is
+  sum of block sizes squared, bounded by the blocking choice, never
+  corpus². Callers pick keys so blocks stay executor-sized (the same
+  contract as the LSH bucket operators; block-size audit included);
+* per-pair comparators are pure JVM column expressions (levenshtein,
+  abs-diff, equality) inside whole-stage codegen — no Python, no UDF;
+* scoring is a projection; the threshold filter runs before the
+  orderBy, so only matches survive the final sort.
+
+Reference: Fellegi & Sunter, JASA 1969 (the linkage-weight model);
+blocking posture follows the survey in Christen, TKDE 2012. The Bullet
+reference engine has no record-linkage surface (SURVEY.md §2.6
+extension).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Comparator:
+    """One field comparison: ``kind`` in {'exact', 'levenshtein',
+    'abs_diff'}. ``scale`` is the distance at which the field's
+    contribution decays to zero (levenshtein / abs_diff); ``weight`` is
+    the field's agreement weight in the score."""
+
+    field: str
+    kind: str
+    weight: float = 1.0
+    scale: float = 1.0
+
+
+def _pair_score(c: Comparator):
+    l = F.col(f"l.{c.field}")
+    r = F.col(f"r.{c.field}")
+    if c.kind == "exact":
+        sim = F.when(l == r, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif c.kind == "levenshtein":
+        dist = F.levenshtein(l, r).cast("double")
+        sim = F.greatest(F.lit(0.0), F.lit(1.0) - dist / F.lit(float(c.scale)))
+    elif c.kind == "abs_diff":
+        dist = F.abs(l - r).cast("double")
+        sim = F.greatest(F.lit(0.0), F.lit(1.0) - dist / F.lit(float(c.scale)))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown comparator kind {c.kind!r}")
+    return sim * c.weight
+
+
+def _pair_score_sql(c: Comparator) -> str:
+    l, r = f"l.{c.field}", f"r.{c.field}"
+    if c.kind == "exact":
+        sim = f"(CASE WHEN {l} = {r} THEN 1.0 ELSE 0.0 END)"
+    elif c.kind == "levenshtein":
+        sim = f"greatest(0.0, 1.0 - levenshtein({l}, {r}) / {float(c.scale)})"
+    elif c.kind == "abs_diff":
+        sim = f"greatest(0.0, 1.0 - abs({l} - {r}) / {float(c.scale)})"
+    else:  # pragma: no cover
+        raise ValueError(f"unknown comparator kind {c.kind!r}")
+    return f"({sim} * {float(c.weight)})"
+
+
+def record_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_on: list[str],
+    comparators: list[Comparator],
+    threshold: float = 1.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, score) — candidate pairs from equality blocking on
+    ``block_on``, scored as the weighted sum of per-field similarities,
+    kept when score >= threshold."""
+    cols = {id_col, *block_on, *(c.field for c in comparators)}
+    base = df.select(*sorted(cols))
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for b in block_on:
+        cond = cond & (F.col(f"l.{b}") == F.col(f"r.{b}"))
+    score = F.round(
+        sum((_pair_score(c) for c in comparators), F.lit(0.0)), round_to
+    )
+    return (
+        l.join(r, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def record_linkage_pairs_sql(
+    table: str,
+    id_col: str,
+    block_on: list[str],
+    comparators: list[Comparator],
+    threshold: float = 1.5,
+    round_to: int = 6,
+) -> str:
+    block = " AND ".join(f"l.{b} = r.{b}" for b in block_on)
+    score = " + ".join(_pair_score_sql(c) for c in comparators)
+    return f"""
+SELECT id_a, id_b, score FROM (
+  SELECT l.{id_col} AS id_a, r.{id_col} AS id_b,
+         ROUND({score}, {round_to}) AS score
+  FROM {table} l JOIN {table} r
+    ON l.{id_col} < r.{id_col} AND {block}
+) WHERE score >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def block_size_audit(
+    df: DataFrame,
+    block_on: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """(block cols..., n_records, n_pairs) for the ``top_n`` largest
+    blocks — the pre-flight skew check before a linkage run: a block of
+    m records generates m(m-1)/2 candidate pairs, so one hot block can
+    dominate the whole join. Run this first; if the top block is
+    unbounded, add another blocking key."""
+    counts = df.groupBy(*block_on).agg(F.count("*").alias("n_records"))
+    return (
+        counts.withColumn(
+            "n_pairs",
+            (F.col("n_records") * (F.col("n_records") - 1) / 2).cast("long"),
+        )
+        .orderBy(F.desc("n_pairs"), *block_on)
+        .limit(top_n)
+    )
+
+
+def block_size_audit_sql(table: str, block_on: list[str], top_n: int = 20) -> str:
+    cols = ", ".join(block_on)
+    return f"""
+SELECT {cols}, n_records,
+       CAST(n_records * (n_records - 1) / 2 AS BIGINT) AS n_pairs
+FROM (SELECT {cols}, COUNT(*)::BIGINT AS n_records FROM {table} GROUP BY {cols})
+ORDER BY n_pairs DESC, {cols}
+LIMIT {top_n}
+"""

@@ -1,0 +1,75 @@
+"""Record linkage: comparator semantics, oracle parity, blocking bound."""
+
+import duckdb
+
+from bullet_storm_spark.operators.linkage import (
+    Comparator,
+    block_size_audit,
+    block_size_audit_sql,
+    record_linkage_pairs,
+    record_linkage_pairs_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _customer(spark):
+    return spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+
+_COMPS = [
+    Comparator("c_name", "levenshtein", weight=2.0, scale=4.0),
+    Comparator("c_acctbal", "abs_diff", weight=1.0, scale=500.0),
+]
+_BLOCK = ["c_nationkey", "c_mktsegment"]
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'"
+    )
+    return con
+
+
+def test_linkage_pairs_oracle(spark):
+    got = record_linkage_pairs(
+        _customer(spark), "c_custkey", _BLOCK, _COMPS, threshold=1.5
+    ).collect()
+    want = _con().execute(
+        record_linkage_pairs_sql("customer", "c_custkey", _BLOCK, _COMPS, 1.5)
+    ).fetchall()
+    assert [(r.id_a, r.id_b, r.score) for r in got] == [tuple(w) for w in want]
+    assert len(got) > 0
+
+
+def test_block_audit_oracle(spark):
+    got = block_size_audit(_customer(spark), _BLOCK, top_n=20).collect()
+    want = _con().execute(
+        block_size_audit_sql("customer", _BLOCK, top_n=20)
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+    # the audit's purpose: pair counts are the quadratic exposure
+    for r in got:
+        assert r.n_pairs == r.n_records * (r.n_records - 1) // 2
+
+
+def test_comparator_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 100.0, "B"),
+            (2, "alphX", 100.0, "B"),   # lev 1 -> name sim .75*2 + bal 1.0
+            (3, "zzzzz", 600.0, "B"),   # lev 5 -> 0; bal diff 500 -> 0
+            (4, "alpha", 100.0, "C"),   # different block: never paired
+        ],
+        "id long, name string, bal double, blk string",
+    )
+    comps = [
+        Comparator("name", "levenshtein", weight=2.0, scale=4.0),
+        Comparator("bal", "abs_diff", weight=1.0, scale=500.0),
+    ]
+    rows = record_linkage_pairs(df, "id", ["blk"], comps, threshold=0.0).collect()
+    scores = {(r.id_a, r.id_b): r.score for r in rows}
+    assert scores[(1, 2)] == 2.5   # 2*(1-1/4) + 1*(1-0/500)
+    assert scores[(1, 3)] == 0.0   # both comparators floored at 0
+    assert (1, 4) not in scores    # blocking respected
