@@ -111,6 +111,7 @@ def test_no_nested_loop_joins_in_dedup_and_ann_plans(plans):
             or n.startswith("sim_")    # sparse TF-IDF posting-list join
             or n.startswith("freq_")   # CMS broadcast probe join
             or n.startswith("graph_")  # pair-graph analytics
+            or n.startswith("link_")   # record-linkage blocked self-join
         )
         and n not in _ALL_PAIRS_VERIFIERS
     ]
