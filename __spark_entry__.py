@@ -1984,6 +1984,19 @@ def _link_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match graph -> connected components -> survivorship: canonical
+    record = highest account balance (id tiebreak) per cluster."""
+    return _linkage.resolve_entities(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        _LINK_COMPARATORS,
+        threshold=1.5,
+        survivor_col="c_acctbal",
+    )
+
+
 def _salted_join_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof fact-dim join: lineitem salted per-row, part replicated
     per salt bucket, then brand rollup. The result is provably identical
@@ -2091,6 +2104,17 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "customer", ["c_nationkey", "c_mktsegment"], top_n=20
         ),
     ),
+    "link_resolve_entities": (
+        _link_resolve_entities,
+        _linkage.resolve_entities_sql(
+            "customer",
+            "c_custkey",
+            ["c_nationkey", "c_mktsegment"],
+            _LINK_COMPARATORS,
+            threshold=1.5,
+            survivor_col="c_acctbal",
+        ),
+    ),
 }
 
 
@@ -2190,6 +2214,7 @@ _DRIVER_PRIORITY = [
     "group_salted_skew",
     "link_customer_pairs",
     "link_block_audit",
+    "link_resolve_entities",
 ]
 
 

@@ -156,3 +156,99 @@ FROM (SELECT {cols}, COUNT(*)::BIGINT AS n_records FROM {table} GROUP BY {cols})
 ORDER BY n_pairs DESC, {cols}
 LIMIT {top_n}
 """
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    block_on: list[str],
+    comparators: list[Comparator],
+    threshold: float = 1.5,
+    survivor_col: str | None = None,
+) -> DataFrame:
+    """Full entity-resolution pass: linkage pairs -> transitive closure
+    (connected components over the match graph) -> survivorship. Output
+    one row per input record: ``(id, cluster_id, cluster_size,
+    canonical_id, is_canonical)`` where ``canonical_id`` is the cluster
+    member with the greatest ``survivor_col`` (record id ascending as the
+    tie-break; min id when no survivor column is given) — the
+    master-record election every MDM pipeline runs after matching.
+
+    Scale: the component step shuffles only the match graph (see
+    dedup.connected_components); the corpus joins the label table once,
+    by its natural key; survivorship is one window over the cluster key.
+    """
+    from pyspark.sql import Window
+
+    from bullet_storm_spark.operators.dedup import connected_components
+
+    pairs = record_linkage_pairs(df, id_col, block_on, comparators, threshold)
+    comp = connected_components(pairs)
+    keep = [id_col] + ([survivor_col] if survivor_col else [])
+    base = df.select(*keep)
+    labeled = base.join(
+        comp, base[id_col] == comp["node"], "left"
+    ).select(
+        *keep, F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    order = (
+        [F.desc(survivor_col), F.asc(id_col)] if survivor_col else [F.asc(id_col)]
+    )
+    ws = Window.partitionBy("cluster_id").orderBy(*order)
+    return (
+        labeled.select(
+            F.col(id_col),
+            "cluster_id",
+            F.count("*").over(wc).cast("long").alias("cluster_size"),
+            F.first(id_col).over(ws).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+        .orderBy(id_col)
+    )
+
+
+def resolve_entities_sql(
+    table: str,
+    id_col: str,
+    block_on: list[str],
+    comparators: list[Comparator],
+    threshold: float = 1.5,
+    survivor_col: str | None = None,
+) -> str:
+    pairs = record_linkage_pairs_sql(
+        table, id_col, block_on, comparators, threshold
+    ).strip()
+    pairs = pairs[: pairs.rindex("ORDER BY")]
+    order = (
+        f"{survivor_col} DESC, {id_col} ASC" if survivor_col else f"{id_col} ASC"
+    )
+    # MATERIALIZED is load-bearing (see dedup_clusters_sql): the recursive
+    # step re-scans edges each iteration
+    return f"""
+WITH RECURSIVE base_pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({pairs})
+), edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM base_pairs
+  UNION
+  SELECT id_b, id_a FROM base_pairs
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src
+), labeled AS (
+  SELECT t.{id_col} AS id{', t.' + survivor_col if survivor_col else ''},
+         COALESCE(c.cluster, t.{id_col}) AS cluster_id
+  FROM {table} t LEFT JOIN comp c ON t.{id_col} = c.node
+)
+SELECT id AS {id_col}, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       FIRST_VALUE(id) OVER (PARTITION BY cluster_id ORDER BY {order})
+         AS canonical_id,
+       id = FIRST_VALUE(id) OVER (PARTITION BY cluster_id ORDER BY {order})
+         AS is_canonical
+FROM labeled
+ORDER BY {id_col}
+"""

@@ -73,3 +73,33 @@ def test_comparator_semantics(spark):
     assert scores[(1, 2)] == 2.5   # 2*(1-1/4) + 1*(1-0/500)
     assert scores[(1, 3)] == 0.0   # both comparators floored at 0
     assert (1, 4) not in scores    # blocking respected
+
+
+def test_resolve_entities_oracle(spark):
+    from bullet_storm_spark.operators.linkage import (
+        resolve_entities,
+        resolve_entities_sql,
+    )
+
+    got = resolve_entities(
+        _customer(spark), "c_custkey", _BLOCK, _COMPS,
+        threshold=1.5, survivor_col="c_acctbal",
+    ).collect()
+    want = _con().execute(
+        resolve_entities_sql(
+            "customer", "c_custkey", _BLOCK, _COMPS,
+            threshold=1.5, survivor_col="c_acctbal",
+        )
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+    # every record appears exactly once; canonicals are self-canonical
+    ids = [r.c_custkey for r in got]
+    assert len(ids) == len(set(ids))
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1
+        assert all(m.canonical_id == canon[0].c_custkey for m in members)
+        assert len(members) == members[0].cluster_size
