@@ -2104,6 +2104,22 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "customer", ["c_nationkey", "c_mktsegment"], top_n=20
         ),
     ),
+    # REAL media decode (stdlib codecs): WAV bytes built by the `wave`
+    # writer, decoded back by the `wave` parser; BMP bytes built and
+    # parsed with struct+numpy. The oracle recomputes features from the
+    # closed-form waveform/pixel formula, independent of the container
+    "multimodal_wav_decode": (
+        lambda s, d: _mm.decode_wav_features(
+            _mm.synthesize_wav(_docs(s, d), "doc_id")
+        ),
+        _mm.wav_features_sql("documents", "doc_id"),
+    ),
+    "multimodal_bmp_decode": (
+        lambda s, d: _mm.decode_bmp_features(
+            _mm.synthesize_bmp(_docs(s, d), "doc_id")
+        ),
+        _mm.bmp_features_sql("documents", "doc_id"),
+    ),
     "link_resolve_entities": (
         _link_resolve_entities,
         _linkage.resolve_entities_sql(
@@ -2215,6 +2231,8 @@ _DRIVER_PRIORITY = [
     "link_customer_pairs",
     "link_block_audit",
     "link_resolve_entities",
+    "multimodal_wav_decode",
+    "multimodal_bmp_decode",
 ]
 
 

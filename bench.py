@@ -266,8 +266,10 @@ def main() -> None:
         "queries_detail": detail,
         "sf": sf,
     }
+    # sf-suffixed so a small-sf run (e.g. the bench-contract test at
+    # sf0.001) never clobbers the sf0.1 record
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               f"BENCH_DETAIL_sf{sf}.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail_out, f, indent=1)

@@ -2,13 +2,22 @@
 with typed metadata, decoded/feature-extracted through Arrow-batched
 Pandas UDFs.
 
-The decode step itself is STUBBED (this container has no image/audio
-libraries): ``decode_image_meta`` uses a clearly-marked deterministic fake
-derived from the payload bytes, and ``decode_image_real`` raises
-NotImplementedError until PIL/libvips is present. Everything around the
-stub — schema contract, binary handling, mapInPandas batch shape,
-partition-preserving plumbing — is real and tested, so swapping in a real
-decoder is a one-function change.
+Decode status by format:
+
+* **PCM WAV and 24-bit BMP: REAL decoders** (`decode_wav_features`,
+  `decode_bmp_features`, bottom of this file) — the Python stdlib
+  (`wave`, `struct`) parses these containers without any imaging/audio
+  library, and the features are verified against a DuckDB twin that
+  recomputes them from the payloads' closed-form generative formula
+  (codec-independent oracle: a header/stride/endianness bug fails the
+  hash check).
+* **Exotic codecs (JPEG/PNG/MP3/H.264): stubbed** — ``decode_image_meta``
+  uses a clearly-marked deterministic fake derived from the payload
+  bytes, and ``decode_image_real`` raises NotImplementedError until
+  PIL/libvips is present. Everything around the stub — schema contract,
+  binary handling, mapInPandas batch shape, partition-preserving
+  plumbing — is real and tested, so swapping in a real decoder is a
+  one-function change.
 
 Scale notes: binary payloads ride the scan as ordinary columns (parquet
 keeps them row-grouped; column pruning drops them when untouched);
@@ -213,4 +222,252 @@ SELECT id, n_bytes, features,
        CAST(list_position(features, list_max(features)) - 1 AS INTEGER)
          AS top_nibble
 FROM __h ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — formats the Python stdlib can decode without any
+# imaging/audio library: PCM WAV (`wave` + numpy) and 24-bit BMP
+# (`struct` + numpy). The synthetic payloads are REAL container bytes
+# built from a closed-form sample/pixel formula, so the DuckDB twin can
+# recompute the expected features independently of the codec: if the
+# decoder misparses headers, padding, row order, or sample width, the
+# hash check fails. This closes the decode gap for stdlib-decodable
+# formats; only exotic codecs (JPEG/MP3/H.264) remain behind the
+# documented decode_image_real stub.
+# ---------------------------------------------------------------------------
+
+WAV_SCHEMA = (
+    "id long, sample_rate int, n_channels int, n_samples long, "
+    "sum_sq long, peak int, zero_crossings long, decode_ok boolean"
+)
+BMP_SCHEMA = (
+    "id long, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, decode_ok boolean"
+)
+
+_WAV_SR = 8000
+
+
+def _wav_samples(ident: int):
+    """Closed-form int16 waveform for id: length 400 + id % 600, sample
+    s_t = ((id*131 + t*65) % 2003) - 1001. Shared by the synthesizer and
+    (re-expressed in SQL) the oracle twin."""
+    import numpy as np
+
+    n = 400 + ident % 600
+    t = np.arange(n, dtype=np.int64)
+    return (((ident * 131 + t * 65) % 2003) - 1001).astype(np.int16)
+
+
+def synthesize_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) — REAL RIFF/WAVE PCM bytes (stdlib `wave` writer),
+    mono 16-bit at 8 kHz, waveform a pure function of id."""
+    import io
+    import wave as wavmod
+
+    import pandas as pd
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ident in pdf["id"]:
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_WAV_SR)
+                    w.writeframes(_wav_samples(int(ident)).tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        synth, "id long, payload binary"
+    )
+
+
+def decode_wav_features(payloads: DataFrame) -> DataFrame:
+    """REAL WAV decode (stdlib `wave` parses the RIFF container) +
+    integer-exact audio features: energy (sum of squared samples), peak
+    amplitude, zero-crossing count. All-integer outputs so the SQL twin
+    hashes exactly."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                try:
+                    with wavmod.open(io.BytesIO(bytes(blob)), "rb") as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nfr = w.getnframes()
+                        raw = w.readframes(nfr)
+                    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    rows.append(
+                        (
+                            int(ident), sr, nch, len(s),
+                            int((s * s).sum()),
+                            int(np.abs(s).max()) if len(s) else 0,
+                            int(((s[:-1] * s[1:]) < 0).sum()),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(ident), 0, 0, 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "sample_rate", "n_channels", "n_samples",
+                    "sum_sq", "peak", "zero_crossings", "decode_ok",
+                ],
+            )
+
+    return payloads.mapInPandas(decode, WAV_SCHEMA).orderBy("id")
+
+
+def wav_features_sql(table: str, id_col: str) -> str:
+    """DuckDB twin: recompute the closed-form waveform per id and
+    aggregate the same integer features — fully independent of the WAV
+    container parsing on the Spark side."""
+    return f"""
+WITH ids AS (
+  SELECT {id_col} AS id, 400 + {id_col} % 600 AS n FROM {table}
+), smp AS (
+  SELECT id, n, t, ((id * 131 + t * 65) % 2003) - 1001 AS s
+  FROM (SELECT id, n, unnest(range(0, n)) AS t FROM ids)
+), nxt AS (
+  SELECT id, n, s,
+         LEAD(s) OVER (PARTITION BY id ORDER BY t) AS s2
+  FROM smp
+)
+SELECT id, {_WAV_SR} AS sample_rate, 1 AS n_channels,
+       COUNT(*)::BIGINT AS n_samples,
+       SUM(s * s)::BIGINT AS sum_sq,
+       MAX(ABS(s))::INTEGER AS peak,
+       SUM(CASE WHEN s * s2 < 0 THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+       TRUE AS decode_ok
+FROM nxt GROUP BY id ORDER BY id
+"""
+
+
+def _bmp_dims(ident: int) -> tuple[int, int]:
+    return 8 + ident % 9, 8 + (ident // 7) % 9
+
+
+def synthesize_bmp(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) — REAL 24-bit uncompressed BMP bytes (54-byte
+    BITMAPFILEHEADER + BITMAPINFOHEADER, BGR pixel order, 4-byte padded
+    rows, bottom-up), pixel (x, y, c) = (id + 3x + 7y + 11c) % 256."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ident_ in pdf["id"]:
+                ident = int(ident_)
+                w, h = _bmp_dims(ident)
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]  # 0=R,1=G,2=B
+                px = ((ident + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                bgr = px[:, :, ::-1]  # BMP stores BGR
+                row_len = w * 3
+                pad = (-row_len) % 4
+                rows = []
+                for yy in range(h - 1, -1, -1):  # bottom-up
+                    rows.append(bgr[yy].tobytes() + b"\x00" * pad)
+                pixel_data = b"".join(rows)
+                off = 54
+                size = off + len(pixel_data)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", size, 0, 0, off
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                    2835, 2835, 0, 0,
+                )
+                payloads.append(header + pixel_data)
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        synth, "id long, payload binary"
+    )
+
+
+def decode_bmp_features(payloads: DataFrame) -> DataFrame:
+    """REAL BMP decode: parse the file + info headers with `struct`,
+    de-pad and re-order the bottom-up BGR rows with numpy, and emit
+    integer channel sums. A wrong stride, row order, or channel order
+    changes the sums and fails the hash check."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                try:
+                    b = bytes(blob)
+                    magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", b, 0)
+                    assert magic == b"BM"
+                    (_hsz, w, h, _planes, bpp) = struct.unpack_from("<IiiHH", b, 14)
+                    assert bpp == 24 and h > 0
+                    row_len = w * 3
+                    stride = row_len + ((-row_len) % 4)
+                    img = np.zeros((h, w, 3), dtype=np.int64)
+                    for yy in range(h):
+                        start = off + yy * stride
+                        row = np.frombuffer(
+                            b[start : start + row_len], dtype=np.uint8
+                        ).reshape(w, 3)
+                        img[h - 1 - yy] = row[:, ::-1]  # BGR -> RGB, un-flip
+                    rows.append(
+                        (
+                            int(ident), w, h, w * h,
+                            int(img[:, :, 0].sum()),
+                            int(img[:, :, 1].sum()),
+                            int(img[:, :, 2].sum()),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(ident), 0, 0, 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "decode_ok",
+                ],
+            )
+
+    return payloads.mapInPandas(decode, BMP_SCHEMA).orderBy("id")
+
+
+def bmp_features_sql(table: str, id_col: str) -> str:
+    """DuckDB twin: channel sums from the pixel formula over the (x, y)
+    grid — independent of the BMP container bytes."""
+    sums = ", ".join(
+        f"SUM((id + 3 * x + 7 * y + {11 * c}) % 256)::BIGINT AS sum_{ch}"
+        for c, ch in ((0, "r"), (1, "g"), (2, "b"))
+    )
+    return f"""
+WITH ids AS (
+  SELECT {id_col} AS id, 8 + {id_col} % 9 AS w, 8 + ({id_col} // 7) % 9 AS h
+  FROM {table}
+), grid AS (
+  SELECT id, w, h, x, unnest(range(0, h)) AS y
+  FROM (SELECT id, w, h, unnest(range(0, w)) AS x FROM ids)
+)
+SELECT id, MIN(w)::INTEGER AS width, MIN(h)::INTEGER AS height,
+       COUNT(*)::BIGINT AS n_pixels, {sums}, TRUE AS decode_ok
+FROM grid GROUP BY id ORDER BY id
 """
