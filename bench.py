@@ -110,6 +110,8 @@ HEADLINE = [
     "join_salted_skew",
     "group_salted_skew",
     "link_customer_pairs",
+    "link_resolve_entities",
+    "multimodal_wav_decode",
 ]
 
 
