@@ -74,3 +74,33 @@ def test_winnow_pairs_oracle(spark):
 def test_winnow_short_doc_no_rows(spark):
     df = spark.createDataFrame([(1, "tiny")], "id long, text string")
     assert winnow_fingerprints(df, "id", "text", k=8, w=16).count() == 0
+
+
+def test_winnow_guarantee_planted_overlaps_batch(spark):
+    """Property-style batch check: 40 random doc pairs with a planted
+    shared substring of exactly w+k-1 chars must each share >= 1
+    fingerprint (the winnowing guarantee, Schleimer'03 Thm 1)."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    k, w = 8, 16
+    rows = []
+    for i in range(40):
+        shared = "".join(rng.choice(alpha) for _ in range(w + k - 1))
+        pre_a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        suf_a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        pre_b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        suf_b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        rows.append((2 * i, pre_a + shared + suf_a))
+        rows.append((2 * i + 1, pre_b + shared + suf_b))
+    df = spark.createDataFrame(rows, "id long, text string")
+    fps = winnow_fingerprints(df, "id", "text", k=k, w=w).collect()
+    by_id = {}
+    for r in fps:
+        by_id.setdefault(r.id, set()).add(r.fp)
+    misses = [
+        i for i in range(40)
+        if not (by_id.get(2 * i, set()) & by_id.get(2 * i + 1, set()))
+    ]
+    assert not misses, f"guarantee violated for planted pairs: {misses}"
