@@ -756,6 +756,30 @@ FROM documents ORDER BY doc_id
         lambda s, d: _dedup.exact_dedup(_docs(s, d), "doc_id", "text"),
         _dedup.exact_dedup_sql("documents", "doc_id", "text"),
     ),
+    # corpus duplication audit: cluster-size histogram over the transitive
+    # near-dup clusters (how much of the corpus is singleton vs viral)
+    "dedup_cluster_histogram": (
+        lambda s, d: _dedup.dedup_clusters(_docs(s, d), "doc_id", "text", **_MINHASH_KW)
+        .groupBy("cluster_size")
+        .agg(
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size"),
+        f"""
+SELECT cluster_size, COUNT(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       COUNT(*)::BIGINT AS n_docs
+FROM ({_dedup.dedup_clusters_sql("documents", "doc_id", "text", **_MINHASH_KW)})
+GROUP BY cluster_size ORDER BY cluster_size
+""",
+    ),
+    # context-window budget trim: the pre-packing truncation pass
+    "pack_truncate_budget": (
+        lambda s, d: _pack.truncate_to_token_budget(
+            _docs(s, d), "doc_id", "text", max_tokens=40
+        ),
+        _pack.truncate_to_token_budget_sql("documents", "doc_id", "text", max_tokens=40),
+    ),
     "dedup_minhash_signatures": (
         lambda s, d: _dedup.minhash_signatures(_docs(s, d), "doc_id", "text"),
         _dedup.minhash_signatures_sql("documents", "doc_id", "text"),

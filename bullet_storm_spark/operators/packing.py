@@ -30,7 +30,12 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from bullet_storm_spark.functions.text import token_count, token_count_sql
+from bullet_storm_spark.functions.text import (
+    token_count,
+    token_count_sql,
+    tokens,
+    tokens_sql,
+)
 
 
 def _sharded_tokens(df: DataFrame, id_col: str, text_col: str, n_shards: int):
@@ -191,3 +196,43 @@ def pack_greedy(
         .applyInPandas(_ffd, "__id long, shard long, n_tokens long, bin_id long")
     )
     return out.withColumnRenamed("__id", id_col).orderBy(id_col)
+
+
+def truncate_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Per-document token-budget truncation — the pre-packing step every
+    context-window pipeline runs: keep the first ``max_tokens`` whitespace
+    tokens, rejoin with single spaces (the normalized-token contract the
+    other text operators share). Output ``(id, n_tokens, kept_tokens,
+    truncated, out_text)``. Pure column expressions; rides the scan."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    kept = F.least(n, F.lit(int(max_tokens)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        kept.cast("long").alias("kept_tokens"),
+        (n > max_tokens).alias("truncated"),
+        F.array_join(F.slice(toks, 1, int(max_tokens)), " ").alias("out_text"),
+    ).orderBy("id")
+
+
+def truncate_to_token_budget_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 128,
+) -> str:
+    t = tokens_sql(text_col)
+    return f"""
+SELECT {id_col} AS id,
+       len({t})::BIGINT AS n_tokens,
+       least(len({t}), {int(max_tokens)})::BIGINT AS kept_tokens,
+       len({t}) > {int(max_tokens)} AS truncated,
+       array_to_string({t}[1:{int(max_tokens)}], ' ') AS out_text
+FROM {table} ORDER BY id
+"""
