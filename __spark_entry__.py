@@ -2257,6 +2257,10 @@ _DRIVER_PRIORITY = [
     "link_resolve_entities",
     "multimodal_wav_decode",
     "multimodal_bmp_decode",
+    # NOTE: the window is exactly 50 here. Next rotation (r6): hoist
+    # dedup_cluster_histogram, pack_truncate_budget (added late in r5,
+    # in-repo tri-scale MATCH but never driver-checked) and retire the
+    # oldest twice-green rows.
 ]
 
 
