@@ -111,3 +111,55 @@ def load_tables(
         if register_views:
             df.createOrReplaceTempView(name)
     return tables
+
+
+# --- format-agnostic batch sources (reference §2.1 "file formats" row) -----
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".jsonl": "json",
+    ".json": "json",
+    ".ndjson": "json",
+    ".csv": "csv",
+    ".tsv": "csv",
+}
+
+
+def load_batch_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    fmt: str | None = None,
+    **options,
+) -> DataFrame:
+    """Read a batch table from any supported format, dispatched on file
+    extension (or forced via ``fmt``) — the batch analogue of the stream
+    DSL's config-dispatched connector + deserializer chain
+    (sources/dsl.py). CSV defaults to header=true; TSV sets the tab
+    separator; pass an explicit ``schema`` for text formats in production
+    (inference scans the data twice and types drift with content).
+
+    Scale: all formats arrive through the same DataSource V2 scan, so
+    partition-splitting applies everywhere; column pruning and predicate
+    pushdown reach parquet/ORC natively, while text formats prune after
+    parse — another reason the pipeline writes parquet (layout.py) even
+    when ingest lands as JSONL/CSV."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lower()
+        if ext not in _EXT_FORMAT:
+            raise ValueError(
+                f"cannot infer format from {path!r}; pass fmt= explicitly "
+                f"(known extensions: {sorted(_EXT_FORMAT)})"
+            )
+        fmt = _EXT_FORMAT[ext]
+        if ext == ".tsv":
+            options.setdefault("sep", "\t")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.format(fmt).options(**options).load(path)
