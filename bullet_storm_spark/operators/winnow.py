@@ -68,10 +68,18 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 8,
     w: int = 16,
+    max_chars: int = 100_000,
 ) -> DataFrame:
     """(id, fp) — the distinct winnowing fingerprint set per document:
     minimum of each window of ``w`` consecutive k-gram hashes. Documents
-    shorter than k chars produce no rows (no grams)."""
+    shorter than k chars produce no rows (no grams).
+
+    ``max_chars`` bounds per-row state: the gram-hash array is one bigint
+    per character, so an unbounded megabyte document would materialize a
+    multi-MB array inside a single row. Fingerprints come from the first
+    ``max_chars`` normalized chars only — for whole-document near-dup
+    blocking that prefix is enough (same contract as MinHash's shingle
+    sampling); raise it when hunting tail-of-document plagiarism."""
     par = df.sparkSession.sparkContext.defaultParallelism
     # the short-doc filter runs HERE, on the normalized length, and never
     # on __g: a predicate referencing __g gets pushed below the exchange
@@ -80,7 +88,10 @@ def winnow_fingerprints(
     # (measured 15.3 s vs 1.0 s at sf0.1 for the identical result)
     base = (
         df.select(
-            F.col(id_col).alias("id"), normalized_text(text_col).alias("__norm")
+            F.col(id_col).alias("id"),
+            F.substring(normalized_text(text_col), 1, int(max_chars)).alias(
+                "__norm"
+            ),
         )
         .where(F.length("__norm") >= k)
         .repartition(par)
@@ -114,8 +125,12 @@ def winnow_fingerprints_sql(
     text_col: str,
     k: int = 8,
     w: int = 16,
+    max_chars: int = 100_000,
 ) -> str:
-    norm = f"regexp_replace(lower(trim({text_col})), '{_WS}', ' ', 'g')"
+    norm = (
+        f"substr(regexp_replace(lower(trim({text_col})), '{_WS}', ' ', 'g'),"
+        f" 1, {int(max_chars)})"
+    )
     return f"""
 WITH grams AS (
   SELECT {id_col} AS id, {_gram_hashes_sql(norm, k)} AS g FROM {table}

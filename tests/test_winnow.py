@@ -104,3 +104,24 @@ def test_winnow_guarantee_planted_overlaps_batch(spark):
         if not (by_id.get(2 * i, set()) & by_id.get(2 * i + 1, set()))
     ]
     assert not misses, f"guarantee violated for planted pairs: {misses}"
+
+
+def test_max_chars_bounds_state_and_keeps_parity(spark):
+    import random
+
+    rng = random.Random(7)
+    # non-repetitive tail so the uncapped run has strictly more distinct fps
+    long_doc = "x" * 50 + "".join(
+        rng.choice("abcdefghij ") for _ in range(800)
+    )
+    df = spark.createDataFrame([(1, long_doc)], "id long, text string")
+    capped = winnow_fingerprints(df, "id", "text", k=8, w=16, max_chars=100)
+    full = winnow_fingerprints(df, "id", "text", k=8, w=16)
+    n_capped, n_full = capped.count(), full.count()
+    assert 0 < n_capped < n_full  # prefix-only fingerprints, state bounded
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT 1::BIGINT AS id, ? AS text", [long_doc])
+    want = con.execute(
+        winnow_fingerprints_sql("d", "id", "text", k=8, w=16, max_chars=100)
+    ).fetchall()
+    assert [(r.id, r.fp) for r in capped.collect()] == [tuple(w) for w in want]
