@@ -44,6 +44,10 @@ out = dict([
         docs, "doc_id", "text", shingle_n=3, max_hamming=3)),
     run("tfidf_pairs", lambda: vocab.tfidf_pairs(
         docs, "doc_id", "text", df_cap=100, min_sim=0.3)),
+    run("winnow_pairs", lambda: __import__(
+        "bullet_storm_spark.operators.winnow", fromlist=["winnow"]
+    ).winnow_neardup_pairs(
+        docs, "doc_id", "text", k=8, w=16, min_shared=4, df_cap=30)),
 ])
 print("RESULT " + json.dumps({"cores": n, **out}))
 spark.stop()
