@@ -742,6 +742,20 @@ FROM documents ORDER BY doc_id
         ),
         _winnow.winnow_fingerprints_sql("documents", "doc_id", "text", **_WINNOW_KW),
     ),
+    # sampling-loss audit on a bounded block: ground truth = pairs sharing
+    # >= m raw k-gram hashes (the w=1 pipeline); the guarantee covers
+    # contiguous >= w+k-1 matches, so scattered-gram pairs CAN be missed
+    # and this measures how often — run before trusting a (k, w) config
+    "dedup_winnow_recall": (
+        lambda s, d: _winnow.winnow_recall_audit(
+            _docs(s, d).where(F.col("doc_id") < 150), "doc_id", "text",
+            **_WINNOW_KW, min_shared=2,
+        ),
+        _winnow.winnow_recall_audit_sql(
+            "(SELECT * FROM documents WHERE doc_id < 150)", "doc_id", "text",
+            **_WINNOW_KW, min_shared=2,
+        ),
+    ),
     # partial-overlap candidate pairs: equi-join on winnow fingerprint +
     # pair groupBy, boilerplate fps (df > cap) dropped pre-join
     "dedup_winnow_pairs": (

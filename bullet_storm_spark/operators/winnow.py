@@ -203,3 +203,70 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}
 ORDER BY id_a, id_b
 """
+
+
+def winnow_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+) -> DataFrame:
+    """One-row audit of winnowing's sampling loss on a caller-bounded
+    block: ground truth is pairs sharing >= ``min_shared`` distinct
+    k-gram hashes outright (equivalently the ``w=1`` pipeline — every
+    gram selected), measured against the ``w``-window pairs. Output
+    ``(exact_pairs, winnow_found, missed, recall)``.
+
+    The guarantee covers CONTIGUOUS matches >= w+k-1 chars; pairs sharing
+    many scattered short grams can be missed, and this measures how often
+    that happens on real data — run it before trusting a (k, w) config,
+    the same discipline as dedup.lsh_recall_audit / pq.ann_recall_report.
+    No df_cap on either side, so the audit isolates the windowing effect;
+    keep the block small enough for the exact gram self-join."""
+    no_cap = 1 << 60
+    exact = winnow_neardup_pairs(
+        df, id_col, text_col, k=k, w=1, min_shared=min_shared, df_cap=no_cap
+    )
+    found = winnow_neardup_pairs(
+        df, id_col, text_col, k=k, w=w, min_shared=min_shared, df_cap=no_cap
+    ).select("id_a", "id_b", F.lit(1).alias("__found"))
+    return exact.join(found, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum(F.coalesce(F.col("__found"), F.lit(0)))
+        .cast("bigint")
+        .alias("winnow_found"),
+        F.sum(F.col("__found").isNull().cast("bigint")).alias("missed"),
+        F.round(
+            F.sum(F.coalesce(F.col("__found"), F.lit(0)))
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def winnow_recall_audit_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+) -> str:
+    no_cap = 1 << 60
+    exact = winnow_neardup_pairs_sql(
+        table, id_col, text_col, k=k, w=1, min_shared=min_shared, df_cap=no_cap
+    )
+    found = winnow_neardup_pairs_sql(
+        table, id_col, text_col, k=k, w=w, min_shared=min_shared, df_cap=no_cap
+    )
+    return f"""
+WITH exact_pairs AS (SELECT id_a, id_b FROM ({exact})),
+winnow_pairs AS (SELECT id_a, id_b, 1 AS found FROM ({found}))
+SELECT COUNT(*) AS exact_pairs,
+       CAST(SUM(COALESCE(found, 0)) AS BIGINT) AS winnow_found,
+       CAST(SUM(CASE WHEN found IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missed,
+       ROUND(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0), 6) AS recall
+FROM exact_pairs LEFT JOIN winnow_pairs USING (id_a, id_b)
+"""

@@ -125,3 +125,30 @@ def test_max_chars_bounds_state_and_keeps_parity(spark):
         winnow_fingerprints_sql("d", "id", "text", k=8, w=16, max_chars=100)
     ).fetchall()
     assert [(r.id, r.fp) for r in capped.collect()] == [tuple(w) for w in want]
+
+
+def test_winnow_recall_audit_oracle(spark):
+    from bullet_storm_spark.operators.winnow import (
+        winnow_recall_audit,
+        winnow_recall_audit_sql,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 80
+    )
+    got = winnow_recall_audit(docs, "doc_id", "text", min_shared=2).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.execute(
+        winnow_recall_audit_sql(
+            "(SELECT * FROM documents WHERE doc_id < 80)", "doc_id", "text",
+            min_shared=2,
+        )
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+    row = got[0]
+    assert row.exact_pairs == row.winnow_found + row.missed
+    assert 0.0 <= row.recall <= 1.0
