@@ -67,3 +67,16 @@ def test_salted_join_left_keeps_unmatched(spark):
     )
     want = sorted(tuple(r) for r in left.join(right, "k", "left").collect())
     assert got == want
+
+
+def test_salted_join_duplicate_right_keys_and_empty_right(spark):
+    from bullet_storm_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "k long, lv long")
+    right_dup = spark.createDataFrame([(1, 100), (1, 101)], "k long, rv long")
+    got = sorted(tuple(r) for r in salted_join(left, right_dup, "k").collect())
+    want = sorted(tuple(r) for r in left.join(right_dup, "k").collect())
+    assert got == want  # each left row meets each matching right row once
+    empty = right_dup.limit(0)
+    assert salted_join(left, empty, "k").count() == 0
+    assert salted_join(left, empty, "k", how="left").count() == 3
