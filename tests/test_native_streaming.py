@@ -190,6 +190,25 @@ def test_stream_dedup_incremental_probes_persisted_index(spark, tmp_path):
             schema,
         )
         q.processAllAvailable()
+        # under heavy machine load the second batch's file-listing can lag
+        # the append by a beat; processAllAvailable returns when the data
+        # it SAW is processed, so poll briefly for the final state before
+        # asserting (a genuinely dropped batch still fails below)
+        import time as _time
+
+        deadline = _time.time() + 20
+        while _time.time() < deadline:
+            try:
+                ids = sorted(
+                    r["doc_id"]
+                    for r in spark.read.parquet(str(tmp_path / "out")).collect()
+                )
+                if ids == [1, 2, 11, 13]:
+                    break
+            except Exception:
+                pass
+            q.processAllAvailable()
+            _time.sleep(0.5)
     finally:
         q.stop()
 
