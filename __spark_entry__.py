@@ -1263,11 +1263,18 @@ ORDER BY doc_id
     # time-spine resampling + LOCF gap-fill (hypertable rollup): dense
     # per-type hour grid over events (~6% of slots are gaps at sf0.01, so
     # the carry-forward path is genuinely exercised by the gate)
+    # gate shape note: bucket rendered as epoch-µs BIGINT on both sides —
+    # a raw timestamp cell reaches pandas as datetime64[ns] from Spark but
+    # datetime64[us] from DuckDB, a dtype divergence the driver's
+    # canonicalizer happens to tolerate today but must not be relied on
     "events_resample_locf": (
         lambda s, d: _rsmp.resample_locf(
             load_table(s, d, "events"), "event_type", "ts", "value", unit="hour"
-        ),
-        _rsmp.resample_locf_sql("events", "event_type", "ts", "value", unit="hour"),
+        ).withColumn("bucket", F.unix_micros("bucket")),
+        "SELECT key, epoch_us(bucket) AS bucket, n, v_sum, v_locf, filled "
+        "FROM ("
+        + _rsmp.resample_locf_sql("events", "event_type", "ts", "value", unit="hour")
+        + ") ORDER BY key, bucket",
     ),
     "events_resample_gaps": (
         lambda s, d: _rsmp.gap_report(
@@ -1451,11 +1458,20 @@ ORDER BY doc_id
     ),
     # PCA projection with the frozen offline codebook: 64 -> 16 dims as
     # pure scan expressions (4x byte cut before ANN/clustering shuffles)
+    # gate shape note: the array<double> proj is exploded to scalar
+    # (vec_id, dim, val) cells — the driver's pandas canonicalizer can't
+    # hash list cells, and double->string joining would add a formatting
+    # hazard; the array-typed API is exercised by tests/test_pca.py
     "embed_pca_project": (
         lambda s, d: _pca.pca_project(
             _embs(s, d), "vec_id", "embedding", *_PCA_CODEBOOK
-        ),
-        _pca.pca_project_sql("embeddings", "vec_id", "embedding", *_PCA_CODEBOOK),
+        )
+        .select("vec_id", F.posexplode("proj").alias("dim", "val"))
+        .orderBy("vec_id", "dim"),
+        "SELECT vec_id, CAST(r.r AS INTEGER) AS dim, proj[r.r + 1] AS val "
+        "FROM (" + _pca.pca_project_sql("embeddings", "vec_id", "embedding",
+                                        *_PCA_CODEBOOK)
+        + f") t, range(0, {len(_PCA_CODEBOOK[0])}) r(r) ORDER BY vec_id, dim",
     ),
     # two-stage ANN: coarse cosine in the 16-dim projected space (the
     # cheap pair volume), exact top-k rerank of the k*expand shortlist
@@ -1477,11 +1493,22 @@ ORDER BY doc_id
     # multimodal feature extraction: REAL content computation (byte-nibble
     # histogram via Arrow-batched numpy) in the exact mapInPandas shape a
     # CLIP/spectrogram extractor drops into; integer counts -> hash-exact
+    # gate shape note: integer-count features rendered as a comma-joined
+    # string both sides (driver canonicalizer can't hash list cells);
+    # array API test-pinned in tests/test_multimodal.py
     "multimodal_features": (
         lambda s, d: _mm.extract_features(
             _mm.with_payload(_docs(s, d), "doc_id", "text")
-        ).orderBy("id"),
-        _mm.extract_features_sql("documents", "doc_id", "text"),
+        )
+        .withColumn(
+            "features",
+            F.array_join(F.transform("features", lambda x: x.cast("string")), ","),
+        )
+        .orderBy("id"),
+        "SELECT id, n_bytes, array_to_string(features, ',') AS features, "
+        "top_nibble FROM ("
+        + _mm.extract_features_sql("documents", "doc_id", "text")
+        + ") ORDER BY id",
     ),
     # curriculum mixing report: LM-difficulty ntile buckets x source (the
     # table a curriculum schedule and mixing-skew check are written from)
@@ -2214,67 +2241,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # stable core/BQL/join entries rotate to the tail, where
 # scripts/oracle_check.py re-verifies them in-repo every round.
 _DRIVER_PRIORITY = [
-    # --- the 33 entries that had never been inside a driver window as of
-    # CORRECTNESS_r01-r04 (VERDICT r4 "What's missing" #1) ---
-    "graph_pagerank_dedup",
-    "dedup_canonical_pagerank",
-    "ann_rrf_fusion",
-    "dedup_substring_clean",
-    "text_novelty_scores",
-    "events_ks_drift",
-    "events_volume_cusum",
-    "sample_priority_weighted",
+    # --- r6 window (VERDICT r5 "Next round" #3): the 3 entries that have
+    # never been inside any driver window (r5 late additions) ---
+    "dedup_cluster_histogram",
+    "dedup_winnow_recall",
+    "pack_truncate_budget",
+    # --- the 5 r5-red entries repaired this round (BIGINT-cast oracle
+    # twins / scalarized gate shapes) — must land green driver rows to
+    # close the canonicalizer class ---
     "events_sessionize",
     "events_session_assignment",
-    "events_transition_matrix",
-    "events_funnel",
-    "events_retention_cohorts",
-    "sim_tfidf_pairs",
-    "freq_cms_sketch",
-    "freq_cms_audit",
-    "dedup_bloom_index",
-    "dedup_bloom_probe",
-    "embed_quantize_report",
-    "embed_pq_report",
+    "events_ks_drift",
     "embed_pca_project",
-    "ann_pca_rerank_topk",
-    "embed_pca_variance",
     "multimodal_features",
-    "text_curriculum_report",
-    "text_decontaminate_fuzzy",
-    "embed_kmeans_report",
-    "distinct_daily_hll",
-    "events_latest_by_key",
-    "join_bloom_prefiltered",
-    "events_pivot_matrix",
-    "top_k_per_group",
-    "dedup_editdistance_pairs",
-    # --- the six entries repaired for driver-canonicalizer compatibility
-    # this round (BIGINT casts / scalarized array columns) — must land a
-    # green driver row to close VERDICT r4 "What's wrong" ---
-    "dedup_semantic_report",
-    "dedup_substring_report",
-    "events_resample_gaps",
-    "embed_quantize",
-    "embed_pq_encode",
-    "text_bpe_segment",
-    # --- entries changed this round (new oracles / operator fixes) ---
-    "ann_brute_force_arrow",
-    # --- round-5 additions (never driver-checked) ---
-    "text_zipf_report",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "join_salted_skew",
-    "group_salted_skew",
-    "link_customer_pairs",
-    "link_block_audit",
-    "link_resolve_entities",
-    "multimodal_wav_decode",
-    "multimodal_bmp_decode",
-    # NOTE: the window is exactly 50 here. Next rotation (r6): hoist
-    # dedup_cluster_histogram, pack_truncate_budget (added late in r5,
-    # in-repo tri-scale MATCH but never driver-checked) and retire the
-    # oldest twice-green rows.
+    # --- reshaped this round (bucket -> epoch-µs BIGINT, the latent
+    # ns-vs-µs hazard) — re-verify under the driver ---
+    "events_resample_locf",
+    # --- the 12 entries with the fewest lifetime driver checks (2×,
+    # last seen r3) ---
+    "text_repetition",
+    "text_decontaminate",
+    "text_vocabulary",
+    "dedup_clusters",
+    "set_ops_segments",
+    "bql_distinct_types",
+    "bql_group_compute",
+    "bql_cumfreq_region",
+    "bql_quantile_linear",
+    "group_by_percentiles",
+    "group_post_pipeline",
+    "top_k_sketched",
+    # --- longest-unchecked r1-era core (3×, last seen r3); 7 of the most
+    # stable (raw_*, group_all/by_event_type, the two rows-only approx
+    # entries) deferred to the r7 rotation to fit the 50-cap ---
+    "text_stats",
+    "text_lang_breakdown",
+    "text_token_accounting",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_3gram",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_filtered",
+    "curate_documents",
+    "text_quality_filter",
+    "join_revenue_by_nation",
+    "join_top_orders_by_revenue",
+    "join_region_supplier_rollup",
+    "join_asof_purchase_signup",
+    "join_range_value_bands",
+    "group_by_value_spread",
+    "group_by_user_type",
+    "count_distinct_users",
+    "count_distinct_user_type",
+    "distribution_pmf_value",
+    "distribution_cdf_value",
+    "distribution_quantile_value",
+    "top_k_event_user",
+    "lineitem_pricing_summary",
+    "events_hourly_rollup",
+    "part_brand_stats",
+    "top_k_order_priority",
+    "events_json_bucket_agg",
+    # NOTE: the window is exactly 50 here. r7 rotation: the 7 deferred
+    # entries (raw_filter_project, raw_complex_filter, raw_regex_filter,
+    # group_all_metrics, group_by_event_type, count_distinct_users_approx,
+    # distribution_quantile_approx) plus any entry repaired or added in r6.
 ]
 
 

@@ -289,10 +289,10 @@ WITH __counts AS (
 ),
 __cum AS (
   SELECT v,
-         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS cuma,
-         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS cumb
+         CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cumb
   FROM __counts
 ),
 __totals AS (
@@ -300,10 +300,10 @@ __totals AS (
 ),
 __diffs AS (
   SELECT c.v, t.n_a, t.n_b,
-         abs(c.cuma * t.n_b - c.cumb * t.n_a) AS num
+         CAST(abs(c.cuma * t.n_b - c.cumb * t.n_a) AS BIGINT) AS num
   FROM __cum c CROSS JOIN __totals t
 )
-SELECT n_a, n_b, num AS ks_num, n_a * n_b AS ks_den,
-       num / (n_a * n_b) AS ks_d, v AS at_value
+SELECT n_a, n_b, num AS ks_num, CAST(n_a * n_b AS BIGINT) AS ks_den,
+       CAST(num AS DOUBLE) / (n_a * n_b) AS ks_d, v AS at_value
 FROM __diffs ORDER BY num DESC, v LIMIT 1
 """

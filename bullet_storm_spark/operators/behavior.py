@@ -96,8 +96,8 @@ __marked AS (
 ),
 __sess AS (
   SELECT user_id, value, us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
-           AS session_idx
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              AS BIGINT) AS session_idx
   FROM __marked
 )
 SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
@@ -333,8 +333,8 @@ __marked AS (
 ),
 __sess AS (
   SELECT user_id, event_id, us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
-           AS session_idx
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              AS BIGINT) AS session_idx
   FROM __marked
 )
 SELECT event_id, user_id, session_idx,

@@ -46,6 +46,61 @@ def canon(value):
     return str(value)
 
 
+def _dtype_class(dtype) -> str:
+    """Collapse a pandas dtype into the classes that matter to the
+    driver's canonicalizer: int/float divergence and datetime unit
+    divergence both flip the value hash even when values agree."""
+    kind = dtype.kind
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "M":
+        return f"datetime[{dtype}]"  # full dtype: ns vs us matters
+    if kind == "b":
+        return "bool"
+    return "object"
+
+
+def hazard_check(spdf, ddf) -> list[str]:
+    """Emulate the driver-side canonicalizer hazards that the
+    collect()-based hash above is blind to (VERDICT r5 'What's wrong' #3):
+
+    1. any list/dict/ndarray cell -> the driver's pandas sort_values
+       raises TypeError: unhashable type (a hard ERROR row);
+    2. int-vs-float dtype divergence on a shared column (e.g. an uncast
+       DuckDB HUGEINT arriving as float64 vs Spark int64) -> hash-FAIL;
+    3. datetime unit divergence (Spark ns vs DuckDB us) -> depends on
+       canonicalizer tolerance; flagged so no entry relies on it.
+
+    Both frames come from the same fetch paths the driver uses
+    (DataFrame.toPandas() / duckdb .df()).
+    """
+    import numpy as np
+
+    issues = []
+    for pdf, side in ((spdf, "spark"), (ddf, "duck")):
+        for col in pdf.columns:
+            if pdf[col].dtype.kind == "O":
+                bad = pdf[col].map(
+                    lambda v: isinstance(v, (list, tuple, dict, set, np.ndarray))
+                )
+                if bad.any():
+                    issues.append(
+                        f"{side}.{col}: unhashable container cells "
+                        f"({type(pdf[col][bad.idxmax()]).__name__})"
+                    )
+    shared = [c for c in spdf.columns if c in set(ddf.columns)]
+    for col in shared:
+        sc, dc = _dtype_class(spdf[col].dtype), _dtype_class(ddf[col].dtype)
+        if sc != dc:
+            issues.append(
+                f"{col}: dtype divergence spark={spdf[col].dtype}({sc}) "
+                f"vs duck={ddf[col].dtype}({dc})"
+            )
+    return issues
+
+
 def table_hash(columns: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted(
@@ -59,8 +114,10 @@ def table_hash(columns: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--fast"]
+    run_hazards = "--fast" not in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark(app_name="oracle-check")
     from bullet_storm_spark.sources.tables import load_tables
@@ -95,12 +152,24 @@ def main() -> int:
             print(f"[FAIL spark] {name}: {e}")
             continue
         if name not in oracles:
+            hazards = []
+            if run_hazards:
+                try:
+                    spdf = fn(spark, sf_dir).toPandas()
+                    hazards = hazard_check(spdf, spdf[[]])
+                except Exception as e:  # driver would record an ERROR row
+                    hazards = [f"toPandas failed: {str(e)[:200]}"]
             results[name] = {
-                "status": "NO_ORACLE",
+                "status": "HAZARD" if hazards else "NO_ORACLE",
                 "rows": len(srows),
+                "hazards": hazards,
                 "secs": round(time.time() - t0, 2),
             }
-            print(f"[rows-only] {name}: {len(srows)} rows")
+            if hazards:
+                failed.append(name)
+                print(f"[HAZARD rows-only] {name}: {hazards}")
+            else:
+                print(f"[rows-only] {name}: {len(srows)} rows")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -116,6 +185,15 @@ def main() -> int:
         status["cols"] = (sorted(scols), sorted(dcols), sorted(scols) == sorted(dcols))
         sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
         status["hash"] = (sh[:12], dh[:12], sh == dh)
+        hazards = []
+        if run_hazards:
+            try:
+                spdf = fn(spark, sf_dir).toPandas()
+                ddf = con.sql(oracles[name]).df()
+                hazards = hazard_check(spdf, ddf)
+            except Exception as e:
+                hazards = [f"pandas fetch failed: {str(e)[:200]}"]
+        status["hazards"] = (hazards, [], not hazards)
         ok = all(v[2] for v in status.values())
         results[name] = {
             "status": "MATCH" if ok else "MISMATCH",
