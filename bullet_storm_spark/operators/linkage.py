@@ -84,6 +84,11 @@ def record_linkage_pairs(
     """(id_a, id_b, score) — candidate pairs from equality blocking on
     ``block_on``, scored as the weighted sum of per-field similarities,
     kept when score >= threshold."""
+    if not block_on:
+        # an empty block list would silently degrade to an unblocked
+        # all-pairs cross join (O(n^2) BroadcastNestedLoopJoin) —
+        # blocking is mandatory at scale
+        raise ValueError("record_linkage_pairs requires >= 1 block_on column")
     cols = {id_col, *block_on, *(c.field for c in comparators)}
     base = df.select(*sorted(cols))
     # spread the probe side: the comparator work runs on the streamed side
@@ -119,6 +124,8 @@ def record_linkage_pairs_sql(
     threshold: float = 1.5,
     round_to: int = 6,
 ) -> str:
+    if not block_on:
+        raise ValueError("record_linkage_pairs_sql requires >= 1 block_on column")
     block = " AND ".join(f"l.{b} = r.{b}" for b in block_on)
     score = " + ".join(_pair_score_sql(c) for c in comparators)
     return f"""

@@ -290,7 +290,13 @@ def decode_wav_features(payloads: DataFrame) -> DataFrame:
     """REAL WAV decode (stdlib `wave` parses the RIFF container) +
     integer-exact audio features: energy (sum of squared samples), peak
     amplitude, zero-crossing count. All-integer outputs so the SQL twin
-    hashes exactly."""
+    hashes exactly.
+
+    Multi-channel WAVs are de-interleaved: ``n_samples`` counts ALL
+    samples (frames x channels, the energy/peak domain), while
+    ``zero_crossings`` is computed per channel and summed — a sign flip
+    across a frame boundary between two different channels is not a
+    crossing."""
     import io
     import wave as wavmod
 
@@ -308,12 +314,14 @@ def decode_wav_features(payloads: DataFrame) -> DataFrame:
                         nfr = w.getnframes()
                         raw = w.readframes(nfr)
                     s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    # de-interleave: column j = channel j's sample series
+                    ch = s.reshape(-1, nch) if nch > 1 else s.reshape(-1, 1)
                     rows.append(
                         (
                             int(ident), sr, nch, len(s),
                             int((s * s).sum()),
                             int(np.abs(s).max()) if len(s) else 0,
-                            int(((s[:-1] * s[1:]) < 0).sum()),
+                            int(((ch[:-1] * ch[1:]) < 0).sum()),
                             True,
                         )
                     )

@@ -88,6 +88,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        # withColumn would silently replace the user's column and the
+        # final drop would discard it — corrupt output, no error
+        raise ValueError("salted_join reserves the column name '__salt'")
     # per-ROW salt on the left (a key-derived salt would send the whole hot
     # key to one bucket); the right side exists once per salt value, so the
     # join result is invariant to the salt assignment — rand() is safe here

@@ -145,16 +145,19 @@ def load_batch_source(
     pushdown reach parquet/ORC natively, while text formats prune after
     parse — another reason the pipeline writes parquet (layout.py) even
     when ingest lands as JSONL/CSV."""
+    ext = os.path.splitext(path)[1].lower()
     if fmt is None:
-        ext = os.path.splitext(path)[1].lower()
         if ext not in _EXT_FORMAT:
             raise ValueError(
                 f"cannot infer format from {path!r}; pass fmt= explicitly "
                 f"(known extensions: {sorted(_EXT_FORMAT)})"
             )
         fmt = _EXT_FORMAT[ext]
-        if ext == ".tsv":
-            options.setdefault("sep", "\t")
+    if ext == ".tsv" and fmt == "csv":
+        # a .tsv path must get the tab separator even when fmt='csv' was
+        # passed explicitly — otherwise the file silently parses as
+        # one-column comma rows
+        options.setdefault("sep", "\t")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

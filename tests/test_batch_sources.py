@@ -49,3 +49,13 @@ def test_extension_dispatch_and_unknown(spark, sample, tmp_path):
     assert _rows(load_batch_source(spark, p)) == _rows(sample)
     with pytest.raises(ValueError, match="cannot infer format"):
         load_batch_source(spark, "/tmp/file.xyz")
+
+
+def test_tsv_with_explicit_csv_fmt_gets_tab_sep(spark, tmp_path):
+    p = tmp_path / "t.tsv"
+    p.write_text("a\tb\n1\tx\n2\ty\n")
+    from bullet_storm_spark.sources.tables import load_batch_source
+
+    df = load_batch_source(spark, str(p), fmt="csv", schema="a int, b string")
+    assert df.columns == ["a", "b"]
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "x"), (2, "y")]

@@ -103,3 +103,12 @@ def test_resolve_entities_oracle(spark):
         assert len(canon) == 1
         assert all(m.canonical_id == canon[0].c_custkey for m in members)
         assert len(members) == members[0].cluster_size
+
+
+def test_empty_block_on_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="block_on"):
+        record_linkage_pairs(_customer(spark), "c_custkey", [], _COMPS)
+    with pytest.raises(ValueError, match="block_on"):
+        record_linkage_pairs_sql("customer", "c_custkey", [], _COMPS)

@@ -66,3 +66,34 @@ def test_decoder_flags_corrupt_payload(spark):
     )
     rows = decode_wav_features(corrupt).collect()
     assert all(not r.decode_ok for r in rows)
+
+
+def test_stereo_wav_deinterleaved_zero_crossings(spark):
+    # build a 2-channel WAV where interleaved sign flips would overcount:
+    # ch0 is all positive, ch1 is all negative -> 0 true crossings, but
+    # the interleaved stream flips sign at every sample (ADVICE r5)
+    import io
+    import struct
+    import wave as wavmod
+
+    import numpy as np
+
+    ch0 = np.array([100, 200, 300, 400], dtype="<i2")
+    ch1 = np.array([-100, -200, -300, -400], dtype="<i2")
+    inter = np.empty(8, dtype="<i2")
+    inter[0::2], inter[1::2] = ch0, ch1
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    payload = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+    [row] = decode_wav_features(df).collect()
+    assert row.decode_ok and row.n_channels == 2
+    assert row.n_samples == 8  # frames x channels
+    assert row.zero_crossings == 0  # per-channel, not interleaved
+    s = inter.astype("int64")
+    assert row.sum_sq == int((s * s).sum())
+    assert row.peak == 400

@@ -80,3 +80,16 @@ def test_salted_join_duplicate_right_keys_and_empty_right(spark):
     empty = right_dup.limit(0)
     assert salted_join(left, empty, "k").count() == 0
     assert salted_join(left, empty, "k", how="left").count() == 3
+
+
+def test_salted_join_rejects_reserved_salt_column(spark):
+    import pytest
+
+    from bullet_storm_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 0)], "k long, __salt long")
+    right = spark.createDataFrame([(1, 2)], "k long, rv long")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(left, right, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(right, left, "k")
