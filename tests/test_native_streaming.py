@@ -403,3 +403,54 @@ def test_stream_cusum_silent_key_transition():
     # an in-control batch right after re-opens: statistic decays
     spos, sneg2 = _cusum_step(spos, sneg, mu, mu, slack)
     assert sneg2 < sneg
+
+def test_sessionize_stream_equals_batch_on_replayed_corpus(spark, tmp_path):
+    """Batch-vs-streaming equivalence (VERDICT r5 item 7): replaying a
+    fixed corpus through the state-store sessionize must yield exactly
+    the batch operator's sessions, so the streaming twin inherits the
+    batch DuckDB oracle transitively. The last session per key stays
+    open in the stream (no timeout here), so the batch side drops each
+    key's final session before comparing."""
+    from bullet_storm_spark.operators.behavior import sessionize as batch_sessionize
+    from bullet_storm_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    # batch sessionize reads ts_ns (micros = ts_ns div 1000); truncate to
+    # ms so both engines see identical gap arithmetic
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.expr("ts_ns div 1000000") * 1_000_000).alias("ts_ns"),
+    )
+    # ---- batch side: sessions with a 30-minute gap, open tails dropped
+    batch = batch_sessionize(ev, gap_minutes=30)
+    w = Window.partitionBy("user_id")
+    batch_closed = {
+        (str(r.user_id), r.start_us // 1000, r.end_us // 1000, r.n_events)
+        for r in batch.withColumn(
+            "__last", F.max("session_idx").over(w)
+        ).where(F.col("session_idx") < F.col("__last")).collect()
+    }
+    assert batch_closed, "corpus must close at least one session"
+    # ---- streaming side: same corpus replayed in 3 time-ordered chunks
+    rows = [
+        (str(r.user_id), r.ms)
+        for r in ev.select(
+            "user_id", F.expr("ts_ns div 1000000").alias("ms")
+        ).orderBy("ms", "user_id").collect()
+    ]
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    out = _run_stream(
+        spark,
+        tmp_path,
+        lambda st: sessionize(st, "user", "ts_ms", gap_ms=30 * 60_000),
+        "user string, ts_ms long",
+        chunks,
+    )
+    stream_closed = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    assert stream_closed == batch_closed
