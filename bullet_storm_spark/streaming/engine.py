@@ -109,6 +109,12 @@ class StreamingEngine:
         except Exception:  # pragma: no cover - no context yet
             cores = 8
         self.job_pool_width = max(8, cores - 8)
+        # shared-scan plan cache: ChunkPlans are batch-independent Column
+        # trees, and rebuilding them per micro-batch cost ~1.5 s/batch at
+        # 100 queries (more than the jobs themselves). Keyed on the exact
+        # member objects in order; any fleet change rebuilds.
+        self._chunk_cache_key: tuple | None = None
+        self._chunk_cache = None
 
     def add_metrics_consumer(self, consumer) -> None:
         """Register a pluggable metrics consumer (BulletMetrics analogue,
@@ -375,18 +381,31 @@ class StreamingEngine:
                 partials = {}
             partials = {k: v for k, v in partials.items() if v is not None}
             if shared:
-                from bullet_storm_spark.streaming.multiquery import shared_partials
+                from bullet_storm_spark.streaming.multiquery import (
+                    plan_chunks,
+                    shared_partials,
+                )
 
                 try:
+                    key = tuple((rq.id, id(rq)) for rq in shared)
+                    if key != self._chunk_cache_key:
+                        self._chunk_cache = plan_chunks(shared)
+                        self._chunk_cache_key = key
                     for qid, rows in shared_partials(
-                        cached, shared, pool_width=self.job_pool_width
+                        cached,
+                        shared,
+                        pool_width=self.job_pool_width,
+                        chunks=self._chunk_cache,
                     ).items():
                         partials[qid] = rows
                     self.shared_scan_queries += len(shared)
                 except Exception:
                     # planning/execution failure (e.g. one member's plan is
                     # broken): fall back to the fault-isolated per-query
-                    # path so only the offender FAILs
+                    # path so only the offender FAILs; drop the cached
+                    # plans so the next batch re-plans from scratch
+                    self._chunk_cache_key = None
+                    self._chunk_cache = None
                     for rq in shared:
                         out = safe_partial(rq)
                         if out is not None:

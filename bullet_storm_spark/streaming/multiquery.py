@@ -257,18 +257,28 @@ def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
 MAX_MEMBERS_PER_JOB = 16
 
 
-def shared_partials(
-    batch_df: DataFrame, queries, pool_width: int = 8
-) -> dict[str, list[dict[str, Any]]]:
-    """Compute every query's partial rows in one job per distinct key-set
-    (chunked to MAX_MEMBERS_PER_JOB queries per plan). Chunk jobs execute
-    concurrently — on low-partition batches a single job can't use the
-    cluster, so concurrency across jobs supplies the parallelism, exactly
-    like the per-query path."""
-    from concurrent.futures import ThreadPoolExecutor
+@dataclass
+class ChunkPlan:
+    """One aggregation job's batch-INDEPENDENT plan pieces: aliased
+    pre-select columns, grouping key names, agg expressions, members.
+    Column objects are pure expression trees (names + literals, never
+    bound to a DataFrame), so a ChunkPlan is reusable across micro-batches
+    — building these is ~1.5 s of driver-side Py4J calls for a 100-query
+    fleet, which dominated steady-state batch time when rebuilt per batch
+    (measured r6: plan_jobs 1.5 s vs 1.1 s of actual job execution)."""
 
-    result: dict[str, list[dict[str, Any]]] = {rq.id: [] for rq in queries}
-    chunks: list[tuple[Any, list[_Member]]] = []
+    pre_cols: list
+    key_names: list[str]
+    aggs: list
+    members: list[_Member]
+
+
+def plan_chunks(queries) -> list[ChunkPlan]:
+    """plan_jobs + MAX_MEMBERS_PER_JOB chunking + per-chunk column
+    pruning, as cacheable batch-independent plans. The engine caches the
+    result keyed on the fleet identity and rebuilds only when a query is
+    added or finishes."""
+    chunks: list[ChunkPlan] = []
     for job in plan_jobs(queries):
         for start in range(0, len(job.members), MAX_MEMBERS_PER_JOB):
             members = job.members[start : start + MAX_MEMBERS_PER_JOB]
@@ -279,25 +289,45 @@ def shared_partials(
             }
             pre_cols = [col.alias(name) for name, col in job.key_cols.items()]
             pre_cols += [col.alias(name) for name, col in needed_values.items()]
-            pre = batch_df.select(*pre_cols)
             aggs: list[Column] = []
             for m in members:
                 aggs.extend(m.agg_cols)
-            if job.key_names:
-                out = pre.groupBy(*[F.col(k) for k in job.key_names]).agg(*aggs)
-            else:
-                out = pre.agg(*aggs)
-            chunks.append((out, members))
+            chunks.append(ChunkPlan(pre_cols, list(job.key_names), aggs, members))
+    return chunks
+
+
+def shared_partials(
+    batch_df: DataFrame, queries, pool_width: int = 8, chunks=None
+) -> dict[str, list[dict[str, Any]]]:
+    """Compute every query's partial rows in one job per distinct key-set
+    (chunked to MAX_MEMBERS_PER_JOB queries per plan). Chunk jobs execute
+    concurrently — on low-partition batches a single job can't use the
+    cluster, so concurrency across jobs supplies the parallelism, exactly
+    like the per-query path. Pass ``chunks`` (from ``plan_chunks``, cached
+    across batches for a stable fleet) to skip plan construction."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    result: dict[str, list[dict[str, Any]]] = {rq.id: [] for rq in queries}
+    if chunks is None:
+        chunks = plan_chunks(queries)
+    bound: list[tuple[Any, list[_Member]]] = []
+    for cp in chunks:
+        pre = batch_df.select(*cp.pre_cols)
+        if cp.key_names:
+            out = pre.groupBy(*[F.col(k) for k in cp.key_names]).agg(*cp.aggs)
+        else:
+            out = pre.agg(*cp.aggs)
+        bound.append((out, cp.members))
 
     def run(chunk):
         out, members = chunk
         return [r.asDict() for r in out.collect()], members
 
-    if len(chunks) > 1:
-        with ThreadPoolExecutor(max_workers=min(len(chunks), pool_width)) as pool:
-            computed = list(pool.map(run, chunks))
+    if len(bound) > 1:
+        with ThreadPoolExecutor(max_workers=min(len(bound), pool_width)) as pool:
+            computed = list(pool.map(run, bound))
     else:
-        computed = [run(chunks[0])] if chunks else []
+        computed = [run(bound[0])] if bound else []
     for rows, members in computed:
         for row in rows:
             for m in members:

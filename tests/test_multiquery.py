@@ -120,3 +120,26 @@ def test_shared_scan_single_query_falls_back(spark, batches):
     engine.process_batch(batches[0])
     assert engine.shared_scan_queries == 0  # <2 shareable -> per-query path
     assert engine.registry.queries["only"].state.result()
+
+
+def test_shared_plan_cache_invalidates_on_fleet_change(spark, batches):
+    # the ChunkPlan cache must rebuild when a member leaves the fleet
+    # (killed query) and keep producing per-query-identical results
+    engine = StreamingEngine(spark, enable_shared_scan=True)
+    for qid, q in _mixed_queries().items():
+        engine.submit(qid, q)
+    engine.process_batch(batches[0])
+    key1 = engine._chunk_cache_key
+    assert key1 is not None and engine._chunk_cache
+    engine.process_batch(batches[0])
+    assert engine._chunk_cache_key == key1  # stable fleet -> cache reused
+    engine.kill("grp_all")
+    engine.process_batch(batches[1])
+    key2 = engine._chunk_cache_key
+    assert key2 is not None and key2 != key1
+    # survivors still aggregate both batches correctly vs per-query path
+    base, _ = _run(spark, [batches[0], batches[0], batches[1]], shared=False)
+    for qid, rq in engine.registry.queries.items():
+        if qid == "grp_all":
+            continue
+        assert sorted(map(str, rq.state.result())) == base[qid], qid
