@@ -503,6 +503,7 @@ from bullet_storm_spark.operators import vocab as _vocab
 from bullet_storm_spark.operators import winnow as _winnow
 from bullet_storm_spark.operators import skew as _skew
 from bullet_storm_spark.operators import linkage as _linkage
+from bullet_storm_spark.operators import pii as _pii
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -514,6 +515,33 @@ _SCRIPT_AUG_SQL = (
     "substr(text, 1, doc_id % 30)"
     " || repeat('д', doc_id % 5) || repeat('中', doc_id % 4)"
     " || repeat('ψ', doc_id % 3) || repeat('س', doc_id % 2)"
+)
+
+# deterministic PII augmentation for the pii_* entries (same dual-dialect
+# discipline as _SCRIPT_AUG_SQL): the synthetic corpus carries no PII, so
+# each doc grafts 0-2 typed spans as closed-form functions of doc_id —
+# emails on doc_id%3=0, phones on %4=1, SSNs on %5=2, IPv4 on %6=3,
+# credit cards on %7=4, with overlapping residues producing multi-kind
+# docs (e.g. 9 -> phone + IP) and the rest staying clean
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS STRING)"
+    "   || '@mail' || CAST(doc_id % 7 AS STRING) || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 1 THEN ' 555-'"
+    "   || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-'"
+    "   || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 2 THEN ' '"
+    "   || lpad(CAST(doc_id % 900 AS STRING), 3, '0') || '-'"
+    "   || lpad(CAST(doc_id % 90 AS STRING), 2, '0') || '-'"
+    "   || lpad(CAST(doc_id % 9000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 3 THEN ' 10.'"
+    "   || CAST(doc_id % 256 AS STRING) || '.'"
+    "   || CAST((doc_id * 7) % 256 AS STRING) || '.'"
+    "   || CAST(doc_id % 200 AS STRING) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 4 THEN ' 4111-'"
+    "   || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || '-'"
+    "   || lpad(CAST((doc_id * 3) % 10000 AS STRING), 4, '0') || '-'"
+    "   || lpad(CAST((doc_id * 9) % 10000 AS STRING), 4, '0') ELSE '' END"
 )
 
 # PCA codebook fit OFFLINE from the frozen sf0.001 sample (DuckDB+numpy,
@@ -1436,6 +1464,50 @@ ORDER BY doc_id
             f"(SELECT doc_id, {_SCRIPT_AUG_SQL} AS text FROM documents)",
             "doc_id",
             "text",
+        ),
+    ),
+    # PII pass (Dolma 2402.00159 §2.3 / FineWeb 2406.17557 §3.5 analogue)
+    # over deterministically augmented text (corpus is synthetic-clean, so
+    # the gate grafts emails/phones/SSNs/IPs/cards per _PII_AUG_SQL to
+    # exercise every pattern + multi-kind docs + clean docs)
+    "text_pii_report": (
+        lambda s, d: _pii.pii_report(
+            _docs(s, d).select("doc_id", F.expr(_PII_AUG_SQL).alias("text")),
+            "doc_id",
+            "text",
+        ),
+        _pii.pii_report_sql(
+            f"(SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)",
+            "doc_id",
+            "text",
+        ),
+    ),
+    "text_pii_redact": (
+        lambda s, d: _pii.pii_redact(
+            _docs(s, d).select("doc_id", F.expr(_PII_AUG_SQL).alias("text")),
+            "doc_id",
+            "text",
+        ),
+        _pii.pii_redact_sql(
+            f"(SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)",
+            "doc_id",
+            "text",
+        ),
+    ),
+    "text_pii_summary": (
+        lambda s, d: _pii.pii_summary(
+            _docs(s, d).select(
+                "doc_id", "source", F.expr(_PII_AUG_SQL).alias("text")
+            ),
+            "doc_id",
+            "text",
+            "source",
+        ),
+        _pii.pii_summary_sql(
+            f"(SELECT doc_id, source, {_PII_AUG_SQL} AS text FROM documents)",
+            "doc_id",
+            "text",
+            "source",
         ),
     ),
     # per-document characteristic terms: TF-IDF top-k with a rounded-score
