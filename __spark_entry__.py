@@ -504,6 +504,7 @@ from bullet_storm_spark.operators import winnow as _winnow
 from bullet_storm_spark.operators import skew as _skew
 from bullet_storm_spark.operators import linkage as _linkage
 from bullet_storm_spark.operators import pii as _pii
+from bullet_storm_spark.operators import diff as _diff
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -575,6 +576,34 @@ _PACK_KW = dict(capacity=256, n_shards=8)
 
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
+
+
+# derived "next version" of the documents snapshot for the corpus-diff
+# entries: %13 removed, %7 changed, %11 cloned as new ids (added); the
+# Spark builder and the SQL string must stay branch-identical
+_NEW_SNAPSHOT_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END"
+    " AS text FROM documents WHERE doc_id % 13 <> 0"
+    " UNION ALL"
+    " SELECT doc_id + 1000000 AS doc_id,"
+    " 'brand new doc ' || CAST(doc_id AS STRING) AS text"
+    " FROM documents WHERE doc_id % 11 = 0)"
+)
+
+
+def _new_snapshot(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    kept = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END"
+        ).alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("'brand new doc ' || CAST(doc_id AS STRING)").alias("text"),
+    )
+    return kept.unionByName(added)
 
 
 def _embs(spark, sf_dir):
@@ -1509,6 +1538,39 @@ ORDER BY doc_id
             "text",
             "source",
         ),
+    ),
+    # corpus snapshot diff: the dataset-version release table. The "new"
+    # snapshot is derived deterministically from documents (doc_id%13=0
+    # removed, %7=0 text-mutated -> changed, %11=0 re-added under id+1e6
+    # -> added) so every status branch is exercised at every sf
+    "corpus_diff_versions": (
+        lambda s, d: _diff.corpus_diff(
+            _docs(s, d), _new_snapshot(s, d), "doc_id", "text"
+        ),
+        _diff.corpus_diff_sql("documents", _NEW_SNAPSHOT_SQL, "doc_id", "text"),
+    ),
+    "corpus_diff_summary": (
+        lambda s, d: _diff.diff_summary(
+            _docs(s, d), _new_snapshot(s, d), "doc_id", "text"
+        ),
+        _diff.diff_summary_sql("documents", _NEW_SNAPSHOT_SQL, "doc_id", "text"),
+    ),
+    # domain-cap sampling (C4/FineWeb per-host cap analogue): at most 20
+    # docs per source by deterministic hash election + the pre-flight
+    # accounting of what a cap value would drop
+    "sample_cap_per_group": (
+        lambda s, d: _smp.cap_per_group(
+            _docs(s, d).select("doc_id", "source"), "source", "doc_id", cap=20
+        ),
+        _smp.cap_per_group_sql(
+            "(SELECT doc_id, source FROM documents)", "source", "doc_id", cap=20
+        ),
+    ),
+    "sample_cap_accounting": (
+        lambda s, d: _smp.cap_accounting(
+            _docs(s, d), "source", "doc_id", cap=20
+        ),
+        _smp.cap_accounting_sql("documents", "source", "doc_id", cap=20),
     ),
     # per-document characteristic terms: TF-IDF top-k with a rounded-score
     # rank boundary (engine-independent tie cut)

@@ -417,3 +417,87 @@ WHERE ROUND({weight_expr}, 9) > 0
 ORDER BY priority, {id_col}
 LIMIT {int(k)}
 """
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen by a deterministic per-id
+    hash draw — the web-pipeline "domain cap" (no single domain/source
+    may dominate the mixture; C4 and FineWeb both cap per-host page
+    counts). Output: the surviving rows with ``grp_rank`` (1-based
+    position inside the group's hash order) attached.
+
+    Plan: one window (rank over hash order) on the group key — a single
+    group-keyed exchange; the draw is a pure (id, salt) function so any
+    re-run, any partitioning, any engine elects the same survivors. A
+    pathologically hot group costs one fat window partition: at 100 TB
+    pre-aggregate per (group, id-hash-prefix) or use salted_group_agg's
+    two-phase shape if one group holds a double-digit share of rows."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"need cap >= 1, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("grp_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("grp_rank") <= cap)
+        .orderBy(group_col, "grp_rank")
+    )
+
+
+def cap_per_group_sql(
+    table: str, group_col: str, id_col: str, cap: int, salt: str = "cap"
+) -> str:
+    if cap < 1:
+        raise ValueError(f"need cap >= 1, got {cap}")
+    u = hash_fraction_sql(id_col, salt)
+    return f"""
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY {group_col} ORDER BY {u}, {id_col}
+  ) AS BIGINT) AS grp_rank
+  FROM {table}
+)
+WHERE grp_rank <= {int(cap)}
+ORDER BY {group_col}, grp_rank
+"""
+
+
+def cap_accounting(
+    df: DataFrame, group_col: str, id_col: str, cap: int, salt: str = "cap"
+) -> DataFrame:
+    """(group, n_rows, kept, dropped): what the cap would remove per
+    group — the pre-flight report run before committing a cap value."""
+    if cap < 1:
+        raise ValueError(f"need cap >= 1, got {cap}")
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            "grp",
+            "n_rows",
+            F.least(F.col("n_rows"), F.lit(int(cap))).cast("long").alias("kept"),
+            F.greatest(F.col("n_rows") - cap, F.lit(0)).cast("long").alias("dropped"),
+        )
+        .orderBy("grp")
+    )
+
+
+def cap_accounting_sql(
+    table: str, group_col: str, id_col: str, cap: int, salt: str = "cap"
+) -> str:
+    if cap < 1:
+        raise ValueError(f"need cap >= 1, got {cap}")
+    return f"""
+SELECT {group_col} AS grp, COUNT(*)::BIGINT AS n_rows,
+       CAST(LEAST(COUNT(*), {int(cap)}) AS BIGINT) AS kept,
+       CAST(GREATEST(COUNT(*) - {int(cap)}, 0) AS BIGINT) AS dropped
+FROM {table} GROUP BY {group_col} ORDER BY grp
+"""
