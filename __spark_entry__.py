@@ -1539,6 +1539,24 @@ ORDER BY doc_id
             "source",
         ),
     ),
+    # marketing attribution: first/last-touch election among the user's
+    # view/click touches in the 72h window before each purchase; ties
+    # engine-independent via (touch_us, touch_id) ordering
+    "events_attribution": (
+        lambda s, d: _behavior.attribution(
+            load_table(s, d, "events"), "purchase", ["view", "click"],
+            lookback_hours=72,
+        ),
+        _behavior.attribution_sql(
+            "events", "purchase", ["view", "click"], lookback_hours=72
+        ),
+    ),
+    # SCD Type-2 state history: the event stream's type collapsed into
+    # per-user validity intervals (the dimension-table build)
+    "events_state_intervals": (
+        lambda s, d: _behavior.state_intervals(load_table(s, d, "events")),
+        _behavior.state_intervals_sql("events"),
+    ),
     # corpus snapshot diff: the dataset-version release table. The "new"
     # snapshot is derived deterministically from documents (doc_id%13=0
     # removed, %7=0 text-mutated -> changed, %11=0 re-added under id+1e6
@@ -2440,7 +2458,11 @@ _DRIVER_PRIORITY = [
     # NOTE: the window is exactly 50 here. r7 rotation: the 7 deferred
     # entries (raw_filter_project, raw_complex_filter, raw_regex_filter,
     # group_all_metrics, group_by_event_type, count_distinct_users_approx,
-    # distribution_quantile_approx) plus any entry repaired or added in r6.
+    # distribution_quantile_approx) plus the 7 r6 additions
+    # (text_pii_report, text_pii_redact, text_pii_summary,
+    # corpus_diff_versions, corpus_diff_summary, sample_cap_per_group,
+    # sample_cap_accounting — all tri-scale MATCH in-repo, never
+    # driver-windowed).
 ]
 
 

@@ -402,3 +402,201 @@ SELECT c.from_type, c.to_type, c.cnt,
 FROM __counts c JOIN __totals t ON c.from_type = t.from_type
 ORDER BY c.from_type, c.to_type
 """
+
+
+def attribution(
+    df: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_hours: int = 72,
+) -> DataFrame:
+    """(conv_event_id, user_id, conv_us, first_touch, last_touch,
+    n_touches): marketing-style attribution — for every conversion event,
+    the first- and last-touch channel among the user's qualifying touch
+    events in the ``lookback_hours`` window strictly before the
+    conversion, plus the touch count. Unattributed conversions keep NULL
+    touches (the organic bucket).
+
+    Plan: one user-keyed equi-join between the conversion and touch
+    slices with the lookback as a join-time range predicate (pair volume
+    is bounded by per-user activity within the window, never corpus-
+    quadratic), then two row_number windows keyed by the conversion id.
+    First/last election orders by (touch_us, touch_event_id) so ties are
+    engine-independent."""
+    if not touch_types:
+        raise ValueError("attribution requires >= 1 touch type")
+    lookback_us = int(lookback_hours) * 3_600_000_000
+    conv = df.where(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("conv_event_id"),
+        F.col("user_id"),
+        _ts_us().alias("conv_us"),
+    )
+    touch = df.where(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+        _ts_us().alias("touch_us"),
+    )
+    j = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - lookback_us),
+        "left",
+    ).select(
+        "conv_event_id", conv.user_id.alias("user_id"), "conv_us",
+        "touch_type", "touch_id", "touch_us",
+    )
+    w_first = Window.partitionBy("conv_event_id").orderBy(
+        F.asc_nulls_last("touch_us"), F.asc_nulls_last("touch_id")
+    )
+    w_last = Window.partitionBy("conv_event_id").orderBy(
+        F.desc_nulls_last("touch_us"), F.desc_nulls_last("touch_id")
+    )
+    ranked = j.select(
+        "conv_event_id", "user_id", "conv_us", "touch_type", "touch_id",
+        F.row_number().over(w_first).alias("__rf"),
+        F.row_number().over(w_last).alias("__rl"),
+    )
+    return (
+        ranked.groupBy("conv_event_id")
+        .agg(
+            F.first("user_id").alias("user_id"),
+            F.first("conv_us").alias("conv_us"),
+            F.max(F.when(F.col("__rf") == 1, F.col("touch_type"))).alias(
+                "first_touch"
+            ),
+            F.max(F.when(F.col("__rl") == 1, F.col("touch_type"))).alias(
+                "last_touch"
+            ),
+            F.count("touch_id").cast("long").alias("n_touches"),
+        )
+        .orderBy("conv_event_id")
+    )
+
+
+def attribution_sql(
+    table: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_hours: int = 72,
+) -> str:
+    if not touch_types:
+        raise ValueError("attribution requires >= 1 touch type")
+    lookback_us = int(lookback_hours) * 3_600_000_000
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH __conv AS (
+  SELECT event_id AS conv_event_id, user_id, epoch_us(ts) AS conv_us
+  FROM {table} WHERE event_type = '{conversion_type}'
+),
+__touch AS (
+  SELECT user_id, event_type AS touch_type, event_id AS touch_id,
+         epoch_us(ts) AS touch_us
+  FROM {table} WHERE event_type IN ({tt})
+),
+__j AS (
+  SELECT c.conv_event_id, c.user_id, c.conv_us,
+         t.touch_type, t.touch_id, t.touch_us
+  FROM __conv c LEFT JOIN __touch t
+    ON c.user_id = t.user_id
+   AND t.touch_us < c.conv_us
+   AND t.touch_us >= c.conv_us - {lookback_us}
+),
+__r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_event_id
+                            ORDER BY touch_us NULLS LAST,
+                                     touch_id NULLS LAST) AS rf,
+         row_number() OVER (PARTITION BY conv_event_id
+                            ORDER BY touch_us DESC NULLS LAST,
+                                     touch_id DESC NULLS LAST) AS rl
+  FROM __j
+)
+SELECT conv_event_id, ANY_VALUE(user_id) AS user_id,
+       ANY_VALUE(conv_us) AS conv_us,
+       MAX(CASE WHEN rf = 1 THEN touch_type END) AS first_touch,
+       MAX(CASE WHEN rl = 1 THEN touch_type END) AS last_touch,
+       COUNT(touch_id)::BIGINT AS n_touches
+FROM __r GROUP BY conv_event_id ORDER BY conv_event_id
+"""
+
+
+def state_intervals(df: DataFrame) -> DataFrame:
+    """(user_id, interval_idx, state, valid_from_us, valid_to_us,
+    n_events, is_current): SCD Type-2 state history per user — the event
+    stream's ``event_type`` collapsed into validity intervals (consecutive
+    same-type events merge; a type change closes the interval at the next
+    interval's start). ``valid_to_us`` is NULL on each user's current
+    interval. The dimension-table build every warehouse runs off an event
+    stream.
+
+    Plan: gaps-and-islands (lag + running sum) on the user key, one
+    groupBy on (user, interval), one lead window for the interval chain —
+    three stages, all partitioned by user_id, so the shuffle is one
+    user-keyed exchange reused throughout."""
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    marked = (
+        df.select("user_id", "event_id", F.col("event_type").alias("state"),
+                  _ts_us().alias("__us"))
+        .withColumn("__prev", F.lag("state").over(w))
+        .withColumn(
+            "__chg",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__prev") != F.col("state")), 1
+            ).otherwise(0),
+        )
+        .withColumn("interval_idx", F.sum("__chg").over(w).cast("long"))
+    )
+    grouped = marked.groupBy("user_id", "interval_idx").agg(
+        F.first("state").alias("state"),
+        F.min("__us").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_next = Window.partitionBy("user_id").orderBy("interval_idx")
+    return (
+        grouped.withColumn(
+            "valid_to_us", F.lead("valid_from_us").over(w_next)
+        )
+        .select(
+            "user_id", "interval_idx", "state", "valid_from_us",
+            "valid_to_us", "n_events",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "interval_idx")
+    )
+
+
+def state_intervals_sql(table: str) -> str:
+    return f"""
+WITH __e AS (
+  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us
+  FROM {table}
+),
+__m AS (
+  SELECT user_id, event_id, state, us,
+         CASE WHEN lag(state) OVER w IS NULL
+                OR lag(state) OVER w <> state
+              THEN 1 ELSE 0 END AS chg
+  FROM __e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+__i AS (
+  SELECT user_id, state, us,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              AS BIGINT) AS interval_idx
+  FROM __m
+),
+__g AS (
+  SELECT user_id, interval_idx, ANY_VALUE(state) AS state,
+         MIN(us) AS valid_from_us, COUNT(*)::BIGINT AS n_events
+  FROM __i GROUP BY user_id, interval_idx
+)
+SELECT user_id, interval_idx, state, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY interval_idx)
+         AS valid_to_us,
+       n_events,
+       (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY interval_idx)
+        IS NULL) AS is_current
+FROM __g ORDER BY user_id, interval_idx
+"""

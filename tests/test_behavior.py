@@ -201,3 +201,82 @@ def test_transition_matrix_semantics_and_parity(spark):
     d = con.execute(behavior.transition_matrix_sql("ev")).fetchall()
     got = [tuple(r) for r in behavior.transition_matrix(df).collect()]
     assert got == [tuple(r) for r in d]
+
+
+HOUR = 3_600_000_000
+
+
+def test_attribution_first_last_touch(spark):
+    rows = [
+        # user 1: view @0h, click @1h, purchase @2h -> first=view last=click
+        (1, 1, "view", 0.0, 0),
+        (2, 1, "click", 0.0, HOUR),
+        (3, 1, "purchase", 9.0, 2 * HOUR),
+        # user 2: touch OUTSIDE 72h lookback -> organic (NULL touches)
+        (4, 2, "view", 0.0, 0),
+        (5, 2, "purchase", 5.0, 80 * HOUR),
+        # user 3: touch AT conversion time (not strictly before) -> organic
+        (6, 3, "click", 0.0, 10 * HOUR),
+        (7, 3, "purchase", 1.0, 10 * HOUR),
+    ]
+    # _mk expects µs in the last slot; rows above carry us already scaled
+    df, con = _mk(spark, [(e, u, t, v, us) for (e, u, t, v, us) in rows])
+    got = {
+        r.conv_event_id: r
+        for r in behavior.attribution(
+            df, "purchase", ["view", "click"], lookback_hours=72
+        ).collect()
+    }
+    assert got[3].first_touch == "view" and got[3].last_touch == "click"
+    assert got[3].n_touches == 2
+    assert got[5].first_touch is None and got[5].n_touches == 0
+    assert got[7].first_touch is None and got[7].n_touches == 0
+    # DuckDB twin parity on the same fixture
+    want = con.sql(
+        behavior.attribution_sql("ev", "purchase", ["view", "click"], 72)
+    ).fetchall()
+    spark_rows = sorted(
+        (r.conv_event_id, r.user_id, r.conv_us, r.first_touch, r.last_touch,
+         r.n_touches)
+        for r in got.values()
+    )
+    assert spark_rows == sorted(want)
+
+
+def test_attribution_tie_breaks_on_event_id(spark):
+    # two touches at the SAME timestamp: election must use event_id order
+    us = 5 * HOUR
+    rows = [
+        (10, 1, "click", 0.0, us),
+        (11, 1, "view", 0.0, us),
+        (12, 1, "purchase", 1.0, us + HOUR),
+    ]
+    df, con = _mk(spark, rows)
+    [r] = behavior.attribution(df, "purchase", ["view", "click"], 72).collect()
+    assert r.first_touch == "click" and r.last_touch == "view"  # id 10 < 11
+
+
+def test_state_intervals_collapse_and_chain(spark):
+    rows = [
+        # user 1: view view click view -> 3 intervals
+        (1, 1, "view", 0.0, 0),
+        (2, 1, "view", 0.0, 10 * MIN),
+        (3, 1, "click", 0.0, 20 * MIN),
+        (4, 1, "view", 0.0, 30 * MIN),
+        # user 2: single state
+        (5, 2, "error", 0.0, 0),
+    ]
+    df, con = _mk(spark, rows)
+    got = sorted(
+        (r.user_id, r.interval_idx, r.state, r.valid_from_us, r.valid_to_us,
+         r.n_events, r.is_current)
+        for r in behavior.state_intervals(df).collect()
+    )
+    assert got == [
+        (1, 1, "view", 0, 20 * MIN, 2, False),
+        (1, 2, "click", 20 * MIN, 30 * MIN, 1, False),
+        (1, 3, "view", 30 * MIN, None, 1, True),
+        (2, 1, "error", 0, None, 1, True),
+    ]
+    want = sorted(con.sql(behavior.state_intervals_sql("ev")).fetchall())
+    assert got == want
