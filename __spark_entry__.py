@@ -1539,6 +1539,15 @@ ORDER BY doc_id
             "source",
         ),
     ),
+    # robust numeric sanity pass: per-type modified-Z outliers over the
+    # value column (median/MAD resist the contamination that wrecks
+    # mean/std detectors); 9dp-rounded med/mad pin the flag boundary
+    "events_robust_outliers": (
+        lambda s, d: _anomaly.robust_outliers(
+            load_table(s, d, "events"), "event_type", "value", k=3.5
+        ),
+        _anomaly.robust_outliers_sql("events", "event_type", "value", k=3.5),
+    ),
     # marketing attribution: first/last-touch election among the user's
     # view/click touches in the 72h window before each purchase; ties
     # engine-independent via (touch_us, touch_id) ordering

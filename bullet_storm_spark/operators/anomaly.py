@@ -307,3 +307,95 @@ SELECT n_a, n_b, num AS ks_num, CAST(n_a * n_b AS BIGINT) AS ks_den,
        CAST(num AS DOUBLE) / (n_a * n_b) AS ks_d, v AS at_value
 FROM __diffs ORDER BY num DESC, v LIMIT 1
 """
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """(key, n, med, mad, n_outliers, outlier_rate): per-key robust
+    outlier accounting via the modified Z-score (Iglewicz & Hoaglin 1993):
+    flag x where 0.6745 * |x - median| > k * MAD. Median/MAD resist the
+    contamination that wrecks mean/stddev-based detectors — the standard
+    pre-training numeric-column sanity pass.
+
+    Plan: three scans, each ending in a small key-keyed aggregation
+    (median pass, MAD pass over deviations, flag-count pass); the per-key
+    median/MAD frames are key-cardinality-sized and broadcast back, so
+    nothing shuffles the raw values twice. Median/MAD are 9dp-rounded
+    before the threshold comparison so the flag boundary is
+    engine-independent (exact percentile, linear interpolation — the
+    quantile_cont definition, same as operators/group.py)."""
+    v = F.col(value_col).cast("double")
+    key = F.col(key_col).alias("key")
+    base = df.select(key, v.alias("__v"))
+    med = base.groupBy("key").agg(
+        F.round(F.percentile(F.col("__v"), F.lit(0.5)), 9).alias("__med"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    with_med = base.join(F.broadcast(med), "key")
+    mad = (
+        with_med.select("key", F.abs(F.col("__v") - F.col("__med")).alias("__dev"))
+        .groupBy("key")
+        .agg(F.round(F.percentile(F.col("__dev"), F.lit(0.5)), 9).alias("__mad"))
+    )
+    flagged = (
+        with_med.join(F.broadcast(mad), "key")
+        .select(
+            "key", "n", "__med", "__mad",
+            (
+                F.lit(0.6745) * F.abs(F.col("__v") - F.col("__med"))
+                > F.lit(float(k)) * F.col("__mad")
+            ).cast("long").alias("__out"),
+        )
+        .groupBy("key")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("__med"), round_to).alias("med"),
+            F.round(F.first("__mad"), round_to).alias("mad"),
+            F.sum("__out").cast("long").alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        "key", "n", "med", "mad", "n_outliers",
+        F.round(F.col("n_outliers") / F.col("n"), round_to).alias("outlier_rate"),
+    ).orderBy("key")
+
+
+def robust_outliers_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    k: float = 3.5,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH __b AS (
+  SELECT {key_col} AS key, CAST({value_col} AS DOUBLE) AS v FROM {table}
+),
+__med AS (
+  SELECT key, ROUND(quantile_cont(v, 0.5), 9) AS med,
+         COUNT(*)::BIGINT AS n
+  FROM __b GROUP BY key
+),
+__mad AS (
+  SELECT b.key, ROUND(quantile_cont(abs(b.v - m.med), 0.5), 9) AS mad
+  FROM __b b JOIN __med m ON b.key = m.key GROUP BY b.key
+),
+__f AS (
+  SELECT b.key, m.n, m.med, d.mad,
+         CASE WHEN 0.6745 * abs(b.v - m.med) > {float(k)!r} * d.mad
+              THEN 1 ELSE 0 END AS is_out
+  FROM __b b JOIN __med m ON b.key = m.key JOIN __mad d ON b.key = d.key
+)
+SELECT key, ANY_VALUE(n) AS n,
+       ROUND(ANY_VALUE(med), {round_to}) AS med,
+       ROUND(ANY_VALUE(mad), {round_to}) AS mad,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+       ROUND(CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n), {round_to})
+         AS outlier_rate
+FROM __f GROUP BY key ORDER BY key
+"""

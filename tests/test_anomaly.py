@@ -337,3 +337,44 @@ def test_ks_duck_parity(spark):
     ]
     d = con.execute(anomaly.ks_drift_sql("kd", "v", "g = 0", "g <> 0")).fetchall()
     assert s == [tuple(r) for r in d]
+
+
+def test_robust_outliers_flags_extremes(spark):
+    # key a: tight cluster around 10 with two wild points; key b: constant
+    rows = (
+        [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(20)]
+        + [(100, "a", 500.0), (101, "a", -500.0)]
+        + [(200 + i, "b", 7.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    from bullet_storm_spark.operators.anomaly import robust_outliers
+
+    got = {r.key: r for r in robust_outliers(df, "event_type", "value").collect()}
+    a = got["a"]
+    assert a.n == 22 and a.n_outliers == 2  # only the two wild points
+    assert abs(a.med - 10.2) < 0.2
+    b = got["b"]
+    # MAD = 0 on a constant series: no deviation -> no outliers
+    assert b.n_outliers == 0 and b.mad == 0.0
+    assert b.outlier_rate == 0.0
+
+
+def test_robust_outliers_duckdb_parity_fixture(spark):
+    import duckdb
+
+    rows = [(i, ["x", "y"][i % 2], float((i * 37) % 100) / 7.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    from bullet_storm_spark.operators.anomaly import (
+        robust_outliers,
+        robust_outliers_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (event_id BIGINT, event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO ev VALUES (?,?,?)", rows)
+    want = sorted(con.sql(robust_outliers_sql("ev", "event_type", "value")).fetchall())
+    got = sorted(
+        (r.key, r.n, r.med, r.mad, r.n_outliers, r.outlier_rate)
+        for r in robust_outliers(df, "event_type", "value").collect()
+    )
+    assert got == want
