@@ -112,6 +112,13 @@ HEADLINE = [
     "link_customer_pairs",
     "link_resolve_entities",
     "multimodal_wav_decode",
+    # r6 operator families
+    "text_pii_report",
+    "corpus_diff_summary",
+    "sample_cap_per_group",
+    "events_attribution",
+    "events_state_intervals",
+    "events_robust_outliers",
 ]
 
 
