@@ -2467,10 +2467,11 @@ _DRIVER_PRIORITY = [
     # NOTE: the window is exactly 50 here. r7 rotation: the 7 deferred
     # entries (raw_filter_project, raw_complex_filter, raw_regex_filter,
     # group_all_metrics, group_by_event_type, count_distinct_users_approx,
-    # distribution_quantile_approx) plus the 7 r6 additions
+    # distribution_quantile_approx) plus the 10 r6 additions
     # (text_pii_report, text_pii_redact, text_pii_summary,
     # corpus_diff_versions, corpus_diff_summary, sample_cap_per_group,
-    # sample_cap_accounting — all tri-scale MATCH in-repo, never
+    # sample_cap_accounting, events_attribution, events_state_intervals,
+    # events_robust_outliers — all tri-scale MATCH in-repo, never
     # driver-windowed).
 ]
 
