@@ -505,6 +505,7 @@ from bullet_storm_spark.operators import skew as _skew
 from bullet_storm_spark.operators import linkage as _linkage
 from bullet_storm_spark.operators import pii as _pii
 from bullet_storm_spark.operators import diff as _diff
+from bullet_storm_spark.operators import html as _html
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -576,6 +577,26 @@ _PACK_KW = dict(capacity=256, n_shards=8)
 
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
+
+
+# deterministic HTML wrapping for the html_extract_* entries (dual-dialect
+# like _PII_AUG_SQL): every doc gets head/title/body/comment markup;
+# residues add script blocks (%3=0), style blocks (%5=1), links (%4=2),
+# and entity soup incl. the &amp;lt; decode-order case (%6=5)
+_HTML_AUG_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<script type=\"text/javascript\">var x"
+    " = ' || CAST(doc_id AS STRING) || ';</script>' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 1 THEN '<style>.c{color:red}</style>'"
+    " ELSE '' END"
+    " || '</head><body><!-- id ' || CAST(doc_id AS STRING) || ' -->"
+    "<h1>Heading</h1><p>' || substr(text, 1, 50 + doc_id % 100) || '</p>'"
+    " || CASE WHEN doc_id % 4 = 2 THEN '<a href=\"http://example.com/'"
+    " || CAST(doc_id AS STRING) || '\">a link</a>' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 5 THEN"
+    " '<p>a &amp;lt; b &nbsp; c &quot;q&#39;s&quot; &gt; d</p>' ELSE '' END"
+    " || '</body></html>'"
+)
 
 
 # derived "next version" of the documents snapshot for the corpus-diff
@@ -1537,6 +1558,34 @@ ORDER BY doc_id
             "doc_id",
             "text",
             "source",
+        ),
+    ),
+    # HTML -> text extraction (the crawl-ingest stage): tag/script/style/
+    # comment strip + ordered entity decode + whitespace collapse, pure
+    # scan expressions; report carries the jusText-style boilerplate
+    # signals (link count, text-to-markup ratio) + title
+    "html_extract_text": (
+        lambda s, d: _html.html_to_text(
+            _docs(s, d).select("doc_id", F.expr(_HTML_AUG_SQL).alias("html")),
+            "doc_id",
+            "html",
+        ),
+        _html.html_to_text_sql(
+            f"(SELECT doc_id, {_HTML_AUG_SQL} AS html FROM documents)",
+            "doc_id",
+            "html",
+        ),
+    ),
+    "html_extract_report": (
+        lambda s, d: _html.html_report(
+            _docs(s, d).select("doc_id", F.expr(_HTML_AUG_SQL).alias("html")),
+            "doc_id",
+            "html",
+        ),
+        _html.html_report_sql(
+            f"(SELECT doc_id, {_HTML_AUG_SQL} AS html FROM documents)",
+            "doc_id",
+            "html",
         ),
     ),
     # robust numeric sanity pass: per-type modified-Z outliers over the
