@@ -1588,6 +1588,30 @@ ORDER BY doc_id
             "html",
         ),
     ),
+    # categorical drift: chi-squared homogeneity between the first- and
+    # second-half user populations over event_type (pairs with ks_drift)
+    "events_chi2_drift": (
+        lambda s, d: _anomaly.chi2_drift(
+            load_table(s, d, "events"), "event_type",
+            F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1,
+        ),
+        _anomaly.chi2_drift_sql(
+            "events", "event_type", "user_id % 2 = 0", "user_id % 2 = 1"
+        ),
+    ),
+    # feature drift: population stability index over value in [0, 400),
+    # 10 fixed bins, same slice pair; every row carries the total PSI
+    "events_psi_drift": (
+        lambda s, d: _anomaly.psi_drift(
+            load_table(s, d, "events"), "value",
+            F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1,
+            lo=0.0, hi=400.0, n_bins=10,
+        ),
+        _anomaly.psi_drift_sql(
+            "events", "value", "user_id % 2 = 0", "user_id % 2 = 1",
+            lo=0.0, hi=400.0, n_bins=10,
+        ),
+    ),
     # robust numeric sanity pass: per-type modified-Z outliers over the
     # value column (median/MAD resist the contamination that wrecks
     # mean/std detectors); 9dp-rounded med/mad pin the flag boundary

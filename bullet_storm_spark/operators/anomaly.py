@@ -399,3 +399,216 @@ SELECT key, ANY_VALUE(n) AS n,
          AS outlier_rate
 FROM __f GROUP BY key ORDER BY key
 """
+
+
+def chi2_drift(
+    df: DataFrame,
+    cat_col: str,
+    a_pred: F.Column,
+    b_pred: F.Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """(n_a, n_b, n_cats, chi2): two-sample chi-squared homogeneity
+    statistic between slices A and B over a CATEGORICAL column — the
+    pairing of ``ks_drift`` (numeric) for type/source/label drift.
+    chi2 = sum over cells of (obs - exp)^2 / exp with expected counts
+    from the pooled distribution; categories absent from one slice get
+    obs=0 (never dropped — that IS the drift signal).
+
+    Plan: one category-keyed conditional-count aggregation (category
+    cardinality rows), then a 1-row total — nothing scales with row
+    count past the first scan. Per-cell terms are 9dp-rounded and summed
+    in DECIMAL so the statistic is partitioning/engine-independent."""
+    counts = (
+        df.where(a_pred | b_pred)
+        .groupBy(F.col(cat_col).alias("__c"))
+        .agg(
+            F.sum(F.when(a_pred, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(b_pred, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+    )
+    cells = counts.crossJoin(F.broadcast(tot))
+    # expected cell count: (row total) * (col total) / grand total
+    grand = (F.col("n_a") + F.col("n_b")).cast("double")
+    ea = (F.col("ca") + F.col("cb")) * F.col("n_a") / grand
+    eb = (F.col("ca") + F.col("cb")) * F.col("n_b") / grand
+    term = F.round(
+        (F.col("ca") - ea) * (F.col("ca") - ea) / ea
+        + (F.col("cb") - eb) * (F.col("cb") - eb) / eb,
+        9,
+    ).cast("decimal(38,9)")
+    return (
+        cells.select("n_a", "n_b", "n_cats", term.alias("__t"))
+        .groupBy("n_a", "n_b", "n_cats")
+        .agg(F.round(F.sum("__t").cast("double"), round_to).alias("chi2"))
+    )
+
+
+def chi2_drift_sql(
+    table: str,
+    cat_col: str,
+    a_pred_sql: str,
+    b_pred_sql: str,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH __counts AS (
+  SELECT {cat_col} AS c,
+         SUM(CASE WHEN {a_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS ca,
+         SUM(CASE WHEN {b_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM {table}
+  WHERE ({a_pred_sql}) OR ({b_pred_sql})
+  GROUP BY c
+),
+__tot AS (
+  SELECT SUM(ca)::BIGINT AS n_a, SUM(cb)::BIGINT AS n_b,
+         COUNT(*)::BIGINT AS n_cats
+  FROM __counts
+),
+__cells AS (
+  SELECT c.ca, c.cb, t.n_a, t.n_b, t.n_cats,
+         (c.ca + c.cb) * t.n_a / CAST(t.n_a + t.n_b AS DOUBLE) AS ea,
+         (c.ca + c.cb) * t.n_b / CAST(t.n_a + t.n_b AS DOUBLE) AS eb
+  FROM __counts c CROSS JOIN __tot t
+)
+SELECT n_a, n_b, n_cats,
+       ROUND(CAST(SUM(CAST(ROUND(
+         (ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 9)
+         AS DECIMAL(38,9))) AS DOUBLE), {round_to}) AS chi2
+FROM __cells GROUP BY n_a, n_b, n_cats
+"""
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    a_pred: F.Column,
+    b_pred: F.Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """(bin, p_a, p_b, psi_term, psi): population stability index between
+    slices A (reference) and B (current) over a fixed [lo, hi) equal-width
+    binning of ``value_col`` — the standard feature-drift monitor
+    (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted). Values outside
+    [lo, hi) clamp into the edge bins so mass is never silently dropped;
+    empty bins get the usual 0.5-count smoothing so the log term is
+    finite. Every row repeats the total ``psi`` (sum of terms).
+
+    Plan: one bin-keyed conditional-count aggregation over a scan
+    expression bin index, a broadcast 1-row total, one n_bins-row window
+    sum — nothing scales past the scan. Terms are 9dp-rounded and
+    decimal-summed (engine-independent)."""
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (float(hi) - float(lo)) / n_bins
+    v = F.col(value_col).cast("double")
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
+    bin_idx = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(n_bins - 1)))
+    counts = (
+        df.where(a_pred | b_pred)
+        .select(bin_idx.alias("bin"), a_pred.alias("__a"), b_pred.alias("__b"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    # densify: every bin 0..n_bins-1 appears even with zero mass
+    spine = df.sparkSession.range(0, int(n_bins)).select(F.col("id").alias("bin"))
+    dense = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = dense.agg(
+        F.sum("ca").cast("double").alias("ta"), F.sum("cb").cast("double").alias("tb")
+    )
+    j = dense.crossJoin(F.broadcast(tot))
+    # 0.5-count smoothing on empty cells keeps ln finite without moving
+    # non-empty cells
+    pa = F.when(F.col("ca") > 0, F.col("ca") / F.col("ta")).otherwise(
+        F.lit(0.5) / F.col("ta")
+    )
+    pb = F.when(F.col("cb") > 0, F.col("cb") / F.col("tb")).otherwise(
+        F.lit(0.5) / F.col("tb")
+    )
+    term = F.round((pa - pb) * F.log(pa / pb), 9)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        j.select(
+            "bin",
+            F.round(pa, round_to).alias("p_a"),
+            F.round(pb, round_to).alias("p_b"),
+            F.round(term, round_to).alias("psi_term"),
+            F.round(
+                F.sum(term.cast("decimal(38,9)")).over(w).cast("double"), round_to
+            ).alias("psi"),
+        )
+        .orderBy("bin")
+    )
+
+
+def psi_drift_sql(
+    table: str,
+    value_col: str,
+    a_pred_sql: str,
+    b_pred_sql: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (float(hi) - float(lo)) / n_bins
+    return f"""
+WITH __counts AS (
+  SELECT LEAST(GREATEST(
+           CAST(floor((CAST({value_col} AS DOUBLE) - {float(lo)!r})
+                      / {width!r}) AS BIGINT), 0), {int(n_bins) - 1}) AS bin,
+         SUM(CASE WHEN {a_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS ca,
+         SUM(CASE WHEN {b_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM {table}
+  WHERE ({a_pred_sql}) OR ({b_pred_sql})
+  GROUP BY bin
+),
+__dense AS (
+  SELECT s.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+  FROM (SELECT unnest(range(0, {int(n_bins)})) AS bin) s
+  LEFT JOIN __counts c ON s.bin = c.bin
+),
+__tot AS (
+  SELECT CAST(SUM(ca) AS DOUBLE) AS ta, CAST(SUM(cb) AS DOUBLE) AS tb
+  FROM __dense
+),
+__p AS (
+  SELECT d.bin,
+         CASE WHEN d.ca > 0 THEN d.ca / t.ta ELSE 0.5 / t.ta END AS pa,
+         CASE WHEN d.cb > 0 THEN d.cb / t.tb ELSE 0.5 / t.tb END AS pb
+  FROM __dense d CROSS JOIN __tot t
+),
+__terms AS (
+  SELECT bin, pa, pb, ROUND((pa - pb) * ln(pa / pb), 9) AS term FROM __p
+)
+SELECT bin, ROUND(pa, {round_to}) AS p_a, ROUND(pb, {round_to}) AS p_b,
+       ROUND(term, {round_to}) AS psi_term,
+       ROUND(CAST((SELECT SUM(CAST(term AS DECIMAL(38,9))) FROM __terms)
+             AS DOUBLE), {round_to}) AS psi
+FROM __terms ORDER BY bin
+"""

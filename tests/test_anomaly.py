@@ -378,3 +378,83 @@ def test_robust_outliers_duckdb_parity_fixture(spark):
         for r in robust_outliers(df, "event_type", "value").collect()
     )
     assert got == want
+
+
+def test_chi2_drift_identical_slices_zero(spark):
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.anomaly import chi2_drift
+
+    # slices with IDENTICAL category distributions -> chi2 == 0
+    rows = [(i, ["a", "b", "c"][i % 3], i % 2) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, cat string, grp int")
+    [r] = chi2_drift(df, "cat", F.col("grp") == 0, F.col("grp") == 1).collect()
+    assert r.n_a == 300 and r.n_b == 300 and r.n_cats == 3
+    assert r.chi2 == 0.0
+
+
+def test_chi2_drift_detects_shift_and_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.anomaly import chi2_drift, chi2_drift_sql
+
+    # slice B heavily over-represents category 'z'; 'w' absent from A
+    rows = (
+        [(i, "x", 0) for i in range(100)] + [(100 + i, "y", 0) for i in range(100)]
+        + [(200 + i, "x", 1) for i in range(20)]
+        + [(220 + i, "z", 1) for i in range(160)]
+        + [(380 + i, "w", 1) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "id long, cat string, grp int")
+    [r] = chi2_drift(df, "cat", F.col("grp") == 0, F.col("grp") == 1).collect()
+    assert r.chi2 > 100  # massive shift
+    assert r.n_cats == 4  # 'w' and 'z' kept with obs=0 on the A side
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, cat VARCHAR, grp INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    [want] = con.sql(chi2_drift_sql("t", "cat", "grp = 0", "grp = 1")).fetchall()
+    assert (r.n_a, r.n_b, r.n_cats, r.chi2) == want
+
+
+def test_psi_drift_shifted_distribution(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.anomaly import psi_drift, psi_drift_sql
+
+    # A uniform over [0,100); B shifted to [50,150) incl. out-of-range mass
+    rows = [(i, float(i % 100), 0) for i in range(1000)] + [
+        (10000 + i, 50.0 + (i % 100), 1) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, grp int")
+    out = psi_drift(
+        df, "v", F.col("grp") == 0, F.col("grp") == 1, lo=0.0, hi=100.0, n_bins=10
+    ).collect()
+    assert len(out) == 10
+    psi = out[0].psi
+    assert all(r.psi == psi for r in out)
+    assert psi > 0.25  # "shifted" by the standard rule of thumb
+    # clamped top bin holds B's out-of-range mass
+    assert out[-1].p_b > out[-1].p_a
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, v DOUBLE, grp INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.sql(
+        psi_drift_sql("t", "v", "grp = 0", "grp = 1", 0.0, 100.0, 10)
+    ).fetchall()
+    got = [(r.bin, r.p_a, r.p_b, r.psi_term, r.psi) for r in out]
+    assert got == want
+
+
+def test_psi_drift_identical_slices_near_zero(spark):
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.anomaly import psi_drift
+
+    rows = [(i, float(i % 80), i % 2) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, v double, grp int")
+    out = psi_drift(
+        df, "v", F.col("grp") == 0, F.col("grp") == 1, lo=0.0, hi=100.0, n_bins=10
+    ).collect()
+    assert out[0].psi < 0.01
