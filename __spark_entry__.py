@@ -506,6 +506,7 @@ from bullet_storm_spark.operators import linkage as _linkage
 from bullet_storm_spark.operators import pii as _pii
 from bullet_storm_spark.operators import diff as _diff
 from bullet_storm_spark.operators import html as _html
+from bullet_storm_spark.operators import layout as _layout
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -1586,6 +1587,43 @@ ORDER BY doc_id
             f"(SELECT doc_id, {_HTML_AUG_SQL} AS html FROM documents)",
             "doc_id",
             "html",
+        ),
+    ),
+    # Z-order (Morton) interleave keys: the multi-dim data-skipping
+    # layout (Delta OPTIMIZE ZORDER analogue) as pure integer scan
+    # expressions; the block report is the proof table — tight per-block
+    # min/max on EVERY dimension = prunable parquet statistics
+    "layout_zorder_keys": (
+        lambda s, d: load_table(s, d, "events")
+        .select(
+            "event_id", "value", (F.col("user_id") % 1024).alias("u")
+        )
+        .select(
+            "event_id",
+            _layout.zorder_key(
+                [("value", 0.0, 400.0), ("u", 0.0, 1024.0)], bits=8
+            ).alias("zkey"),
+        )
+        .orderBy("event_id"),
+        "SELECT event_id, "
+        + _layout.zorder_key_sql([("value", 0.0, 400.0), ("u", 0.0, 1024.0)], bits=8)
+        + " AS zkey FROM (SELECT event_id, value, user_id % 1024 AS u "
+        "FROM events) ORDER BY event_id",
+    ),
+    "layout_zorder_blocks": (
+        lambda s, d: _layout.zorder_block_report(
+            load_table(s, d, "events").select(
+                "value", (F.col("user_id") % 1024).alias("u")
+            ),
+            [("value", 0.0, 400.0), ("u", 0.0, 1024.0)],
+            bits=8,
+            block_shift=12,
+        ),
+        _layout.zorder_block_report_sql(
+            "(SELECT value, user_id % 1024 AS u FROM events)",
+            [("value", 0.0, 400.0), ("u", 0.0, 1024.0)],
+            bits=8,
+            block_shift=12,
         ),
     ),
     # categorical drift: chi-squared homogeneity between the first- and

@@ -59,3 +59,118 @@ def write_training_shards(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleave keys — multi-dimensional clustering
+# ---------------------------------------------------------------------------
+
+def zorder_key(
+    dims: "list[tuple[str, float, float]]",
+    bits: int = 8,
+):
+    """Morton/Z-order interleave key over ``dims`` = [(col, lo, hi), ...]
+    — the Delta ``OPTIMIZE ZORDER BY`` analogue as a pure scan
+    expression. Each dimension is quantized to ``bits`` buckets over its
+    fixed [lo, hi) range (out-of-range values clamp to the edge buckets),
+    then the bucket bits are interleaved so rows close in EVERY dimension
+    get close keys. Range-partitioning + sorting shards by this key makes
+    min/max file statistics selective for predicates on ANY prefix of
+    the dimensions — the data-skipping layout for multi-dim filters that
+    a single-column sort cannot give.
+
+    Pure integer arithmetic (floor-quantize, shift, or), identical in
+    Spark and DuckDB; use ``zorder_key_sql`` for the oracle twin. Keep
+    ``len(dims) * bits <= 62``."""
+    from pyspark.sql import functions as F
+
+    if not dims:
+        raise ValueError("zorder_key needs >= 1 dimension")
+    if len(dims) * bits > 62:
+        raise ValueError(f"{len(dims)} dims x {bits} bits overflows a long")
+    n = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for d, (col, lo, hi) in enumerate(dims):
+        if not hi > lo:
+            raise ValueError(f"need hi > lo for {col}, got [{lo}, {hi})")
+        width = (float(hi) - float(lo)) / (1 << bits)
+        q = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+        q = F.least(F.greatest(q, F.lit(0)), F.lit(n)).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * len(dims) + d)
+            )
+    return key
+
+
+def zorder_key_sql(
+    dims: "list[tuple[str, float, float]]",
+    bits: int = 8,
+) -> str:
+    if not dims:
+        raise ValueError("zorder_key needs >= 1 dimension")
+    if len(dims) * bits > 62:
+        raise ValueError(f"{len(dims)} dims x {bits} bits overflows a long")
+    n = (1 << bits) - 1
+    parts = []
+    for d, (col, lo, hi) in enumerate(dims):
+        if not hi > lo:
+            raise ValueError(f"need hi > lo for {col}, got [{lo}, {hi})")
+        width = (float(hi) - float(lo)) / (1 << bits)
+        q = (
+            f"LEAST(GREATEST(CAST(floor((CAST({col} AS DOUBLE) - {float(lo)!r})"
+            f" / {width!r}) AS BIGINT), 0), {n})"
+        )
+        for b in range(bits):
+            parts.append(f"((({q} >> {b}) & 1) << {b * len(dims) + d})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def zorder_block_report(
+    df: DataFrame,
+    dims: "list[tuple[str, float, float]]",
+    bits: int = 8,
+    block_shift: int = 8,
+):
+    """(block, n_rows, <col>_min, <col>_max per dim): the data-skipping
+    proof table — group rows by the TOP bits of their z-key (``block`` =
+    zkey >> block_shift, one row per would-be file) and report each
+    dimension's min/max inside the block. Tight per-block ranges on EVERY
+    dimension are exactly the parquet min/max statistics a scan prunes
+    with; a single-column sort shows tight ranges on one dim and full-
+    span ranges on the rest. One scan-expression key + one block-keyed
+    aggregation."""
+    from pyspark.sql import functions as F
+
+    key = zorder_key(dims, bits)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for col, _, _ in dims:
+        aggs.append(F.min(F.col(col).cast("double")).alias(f"{col}_min"))
+        aggs.append(F.max(F.col(col).cast("double")).alias(f"{col}_max"))
+    return (
+        df.select(F.shiftright(key, block_shift).alias("block"), *[c for c, _, _ in dims])
+        .groupBy("block")
+        .agg(*aggs)
+        .orderBy("block")
+    )
+
+
+def zorder_block_report_sql(
+    table: str,
+    dims: "list[tuple[str, float, float]]",
+    bits: int = 8,
+    block_shift: int = 8,
+) -> str:
+    key = zorder_key_sql(dims, bits)
+    cols = ",\n       ".join(
+        f"MIN(CAST({c} AS DOUBLE)) AS {c}_min, MAX(CAST({c} AS DOUBLE)) AS {c}_max"
+        for c, _, _ in dims
+    )
+    return f"""
+SELECT ({key} >> {block_shift}) AS block,
+       COUNT(*)::BIGINT AS n_rows,
+       {cols}
+FROM {table}
+GROUP BY block ORDER BY block
+"""

@@ -57,3 +57,52 @@ def test_shards_without_partitioning(spark, sf_tables, tmp_path):
         vals = t.column("n_chars").to_pylist()
         assert vals == sorted(vals)
     assert spark.read.parquet(path).count() == docs.count()
+
+
+def test_zorder_key_interleaves_and_clamps(spark):
+    from bullet_storm_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (255.5, 255.5), (999.0, -5.0)], "x double, y double"
+    )
+    keys = [
+        r.k
+        for r in df.select(
+            zorder_key([("x", 0.0, 256.0), ("y", 0.0, 256.0)], bits=8).alias("k")
+        ).collect()
+    ]
+    assert keys[0] == 0
+    # (255, 255) -> all 16 bits set
+    assert keys[1] == (1 << 16) - 1
+    # x clamps to bucket 255, y clamps to bucket 0 -> even bits set only
+    assert keys[2] == sum(1 << (2 * b) for b in range(8))
+
+
+def test_zorder_blocks_cluster_every_dimension(spark):
+    # uniform 2-D grid: top-4-bit blocks must bound BOTH dims to ~1/4 of
+    # their range (a single-column sort leaves the other dim full-span)
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.layout import zorder_block_report
+
+    rows = [(float(i % 64) * 4, float((i * 17) % 64) * 4) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    dims = [("x", 0.0, 256.0), ("y", 0.0, 256.0)]
+    blocks = zorder_block_report(df, dims, bits=8, block_shift=12).collect()
+    assert len(blocks) == 16
+    for b in blocks:
+        assert b.x_max - b.x_min <= 0.3 * 256
+        assert b.y_max - b.y_min <= 0.3 * 256
+
+
+def test_zorder_rejects_bad_config(spark):
+    import pytest
+
+    from bullet_storm_spark.operators.layout import zorder_key, zorder_key_sql
+
+    with pytest.raises(ValueError):
+        zorder_key([], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key([("x", 0.0, 1.0)] * 8, bits=8)  # 64 bits overflows
+    with pytest.raises(ValueError):
+        zorder_key_sql([("x", 5.0, 5.0)])
