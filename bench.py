@@ -119,6 +119,10 @@ HEADLINE = [
     "events_attribution",
     "events_state_intervals",
     "events_robust_outliers",
+    "events_chi2_drift",
+    "events_psi_drift",
+    "html_extract_text",
+    "layout_zorder_keys",
 ]
 
 
