@@ -439,3 +439,95 @@ def stream_cusum(
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PSI_SCHEMA = (
+    "key string, batch_rows long, total_rows long, psi double, alarm boolean"
+)
+
+
+def stream_psi(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ref_probs: "list[float]",
+    lo: float,
+    hi: float,
+    alarm_at: float = 0.25,
+):
+    """Live feature-drift monitoring: per-key population stability index
+    of the stream's ACCUMULATED value distribution against a FROZEN
+    reference histogram — the streaming twin of
+    ``operators/anomaly.psi_drift``, with the same production posture as
+    ``stream_cusum``: the reference (``ref_probs`` over ``len(ref_probs)``
+    equal-width bins spanning ``[lo, hi)``, fit offline from the training
+    snapshot) moves only when a human re-baselines, so drift cannot
+    normalize itself into the model.
+
+    Emits one row per (key, micro-batch): the batch's row count, total
+    rows observed, the PSI of the cumulative observed distribution vs the
+    reference, and the alarm flag (industry thresholds: 0.1 drifting,
+    0.25 shifted). Binning matches the batch operator: equal width,
+    out-of-range values clamp into the edge bins, empty observed bins get
+    0.5-count smoothing. State per key is ``n_bins`` longs — constant
+    memory per monitored key, one shuffle on the key per batch; a million
+    monitored (source, feature) keys is one exchange."""
+    import math
+
+    import pandas as pd
+
+    n_bins = len(ref_probs)
+    if n_bins < 2:
+        raise ValueError(f"need >= 2 reference bins, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if any(p <= 0 for p in ref_probs):
+        raise ValueError("every reference bin probability must be > 0 "
+                         "(smooth the reference when fitting it)")
+    total_p = sum(ref_probs)
+    if abs(total_p - 1.0) > 1e-6:
+        raise ValueError(f"reference probabilities must sum to 1, got {total_p}")
+    width = (float(hi) - float(lo)) / n_bins
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        counts = list(state.get[0]) if state.exists else [0] * n_bins
+        batch_rows = 0
+        for pdf in pdfs:
+            for v in pdf["__v"]:
+                b = int((float(v) - lo) // width)
+                b = 0 if b < 0 else (n_bins - 1 if b >= n_bins else b)
+                counts[b] += 1
+                batch_rows += 1
+        state.update((counts,))
+        total = sum(counts)
+        psi = 0.0
+        if total > 0:
+            for c, pr in zip(counts, ref_probs):
+                po = (c if c > 0 else 0.5) / total
+                psi += (po - pr) * math.log(po / pr)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_rows": [batch_rows],
+                "total_rows": [total],
+                "psi": [round(psi, 9)],
+                "alarm": [psi > alarm_at],
+            }
+        )
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            PSI_SCHEMA,
+            "counts array<bigint>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -454,3 +454,59 @@ def test_sessionize_stream_equals_batch_on_replayed_corpus(spark, tmp_path):
         for r in out.collect()
     }
     assert stream_closed == batch_closed
+
+
+def test_stream_psi_accumulates_and_alarms(spark, tmp_path):
+    import math
+
+    from bullet_storm_spark.streaming.native import stream_psi
+
+    # reference: uniform over 4 bins spanning [0, 40)
+    ref = [0.25, 0.25, 0.25, 0.25]
+    schema = "src string, v double"
+    # batch 1 matches the reference; batch 2 dumps all mass in bin 3
+    chunk1 = [("a", float(v)) for v in (5, 15, 25, 35) * 5]
+    chunk2 = [("a", 39.0)] * 60 + [("b", 5.0)] * 8
+    out = _run_stream(
+        spark,
+        tmp_path,
+        lambda st: stream_psi(st, "src", "v", ref, lo=0.0, hi=40.0),
+        schema,
+        [chunk1, chunk2],
+    )
+    rows = sorted(
+        ((r.key, r.total_rows), r) for r in out.collect()
+    )
+    emits = {k: r for k, r in rows}
+    # after batch 1 key a is exactly on-reference -> psi == 0
+    a1 = emits[("a", 20)]
+    assert a1.batch_rows == 20 and a1.psi == 0.0 and not a1.alarm
+    # after batch 2 key a is heavily skewed -> alarm
+    a2 = emits[("a", 80)]
+    assert a2.batch_rows == 60 and a2.alarm
+    # pure-Python replica of the cumulative PSI
+    counts = [5, 5, 5, 65]
+    total = 80
+    want = sum(
+        ((c if c > 0 else 0.5) / total - p)
+        * math.log(((c if c > 0 else 0.5) / total) / p)
+        for c, p in zip(counts, ref)
+    )
+    assert abs(a2.psi - round(want, 9)) < 1e-12
+    # key b first seen in batch 2: all mass in bin 0, empty bins smoothed
+    b1 = emits[("b", 8)]
+    assert b1.batch_rows == 8 and b1.psi > 0
+
+
+def test_stream_psi_validates_reference(spark):
+    import pytest
+
+    from bullet_storm_spark.streaming.native import stream_psi
+
+    st = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="probability"):
+        stream_psi(st, "value", "value", [0.5, 0.5, 0.0], 0.0, 1.0)
+    with pytest.raises(ValueError, match="sum to 1"):
+        stream_psi(st, "value", "value", [0.5, 0.4], 0.0, 1.0)
+    with pytest.raises(ValueError, match="bins"):
+        stream_psi(st, "value", "value", [1.0], 0.0, 1.0)
