@@ -536,6 +536,9 @@ def state_intervals(df: DataFrame) -> DataFrame:
     three stages, all partitioned by user_id, so the shuffle is one
     user-keyed exchange reused throughout."""
     w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    # first-row detection uses row_number, and the state comparison is
+    # null-safe: a NULL state forms its own interval instead of being
+    # absorbed into the neighbor (and a run of NULLs merges)
     marked = (
         df.select("user_id", "event_id", F.col("event_type").alias("state"),
                   _ts_us().alias("__us"))
@@ -543,7 +546,9 @@ def state_intervals(df: DataFrame) -> DataFrame:
         .withColumn(
             "__chg",
             F.when(
-                F.col("__prev").isNull() | (F.col("__prev") != F.col("state")), 1
+                (F.row_number().over(w) == 1)
+                | ~F.col("__prev").eqNullSafe(F.col("state")),
+                1,
             ).otherwise(0),
         )
         .withColumn("interval_idx", F.sum("__chg").over(w).cast("long"))
@@ -575,8 +580,8 @@ WITH __e AS (
 ),
 __m AS (
   SELECT user_id, event_id, state, us,
-         CASE WHEN lag(state) OVER w IS NULL
-                OR lag(state) OVER w <> state
+         CASE WHEN row_number() OVER w = 1
+                OR lag(state) OVER w IS DISTINCT FROM state
               THEN 1 ELSE 0 END AS chg
   FROM __e
   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)

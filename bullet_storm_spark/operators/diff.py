@@ -35,24 +35,30 @@ def corpus_diff(
     """(id, status, old_fp, new_fp): per-document version diff between
     two corpus snapshots, by normalized-content fingerprint. ``status``
     is added / removed / changed / unchanged."""
+    # presence is tested on the ID, not the fingerprint — a doc whose
+    # TEXT is NULL is still present (its fp is NULL), and fp comparison
+    # is null-safe so NULL-text vs real-text counts as 'changed'
     of = old.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("__oid"),
         fingerprint(text_col).alias("old_fp"),
     )
     nf = new.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("__nid"),
         fingerprint(text_col).alias("new_fp"),
     )
-    joined = of.join(nf, "id", "full_outer")
+    joined = of.join(nf, of["__oid"] == nf["__nid"], "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("__oid").isNull(), F.lit("added"))
+        .when(F.col("__nid").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    return joined.select("id", status.alias("status"), "old_fp", "new_fp").orderBy(
-        "id"
-    )
+    return joined.select(
+        F.coalesce("__oid", "__nid").alias("id"),
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+    ).orderBy("id")
 
 
 def corpus_diff_sql(old_table: str, new_table: str, id_col: str, text_col: str) -> str:
@@ -63,7 +69,7 @@ __n AS (SELECT {id_col} AS id, {fp} AS new_fp FROM {new_table})
 SELECT COALESCE(o.id, n.id) AS id,
        CASE WHEN o.id IS NULL THEN 'added'
             WHEN n.id IS NULL THEN 'removed'
-            WHEN o.old_fp <> n.new_fp THEN 'changed'
+            WHEN o.old_fp IS DISTINCT FROM n.new_fp THEN 'changed'
             ELSE 'unchanged' END AS status,
        o.old_fp, n.new_fp
 FROM __o o FULL OUTER JOIN __n n ON o.id = n.id

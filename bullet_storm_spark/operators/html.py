@@ -47,32 +47,42 @@ _ENTITIES: list[tuple[str, str]] = [
 ]
 
 
-def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
-    """(id, text, n_chars): markup stripped to whitespace-normalized
-    text."""
+def _stripped(html_col: str):
+    """The full strip+decode+collapse pipeline as ONE Column expression
+    (shared by html_to_text and html_report so the report never needs a
+    second scan or a join to learn the extracted length)."""
     col = F.col(html_col)
     for pat, repl in _STRIP_STEPS:
         col = F.regexp_replace(col, pat, repl)
     for ent, ch in _ENTITIES:
         col = F.replace(col, F.lit(ent), F.lit(ch))
-    col = F.trim(F.regexp_replace(col, r"\s+", " "))
-    return (
-        df.select(F.col(id_col).alias("id"), col.alias("text"))
-        .withColumn("n_chars", F.length("text").cast("long"))
-        .orderBy("id")
-    )
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
-def html_to_text_sql(table: str, id_col: str, html_col: str) -> str:
+def _stripped_sql(html_col: str) -> str:
     col = html_col
     for pat, repl in _STRIP_STEPS:
         col = f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
     for ent, ch in _ENTITIES:
         lit = ch.replace("'", "''")
         col = f"replace({col}, '{ent}', '{lit}')"
-    col = f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+
+
+def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """(id, text, n_chars): markup stripped to whitespace-normalized
+    text."""
+    return (
+        df.select(F.col(id_col).alias("id"), _stripped(html_col).alias("text"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .orderBy("id")
+    )
+
+
+def html_to_text_sql(table: str, id_col: str, html_col: str) -> str:
     return f"""
-WITH __t AS (SELECT {id_col} AS id, {col} AS text FROM {table})
+WITH __t AS (SELECT {id_col} AS id, {_stripped_sql(html_col)} AS text
+             FROM {table})
 SELECT id, text, CAST(length(text) AS BIGINT) AS n_chars
 FROM __t ORDER BY id
 """
@@ -85,28 +95,32 @@ def html_report(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     metadata. ``text_ratio`` = extracted-text chars / raw chars, rounded;
     ``title`` is the first <title> element's content ('' when absent)."""
     raw = F.col(html_col)
-    extracted = html_to_text(
-        df.select(F.col(id_col), F.col(html_col)), id_col, html_col
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.regexp_count(raw, F.lit(r"<[A-Za-z][^>]*>")).cast("long").alias("n_tags"),
-        F.regexp_count(raw, F.lit(r"(?i)<a\s[^>]*href")).cast("long").alias(
-            "n_links"
-        ),
-        F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title>", 1).alias("title"),
-        F.length(raw).cast("long").alias("__raw_len"),
-    )
+    # one scan: the stripped-text length is a pure expression, so the
+    # ratio never needs a join back to html_to_text
     return (
-        base.join(extracted.select("id", "n_chars"), "id")
+        df.select(
+            F.col(id_col).alias("id"),
+            F.regexp_count(raw, F.lit(r"<[A-Za-z][^>]*>"))
+            .cast("long")
+            .alias("n_tags"),
+            F.regexp_count(raw, F.lit(r"(?i)<a\s[^>]*href"))
+            .cast("long")
+            .alias("n_links"),
+            F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title>", 1).alias(
+                "title"
+            ),
+            F.length(_stripped(html_col)).cast("long").alias("__n_chars"),
+            F.length(raw).cast("long").alias("__raw_len"),
+        )
         .select(
             "id",
             "n_tags",
             "n_links",
             "title",
             F.round(
-                F.when(F.col("__raw_len") > 0, F.col("n_chars") / F.col("__raw_len"))
-                .otherwise(F.lit(0.0)),
+                F.when(
+                    F.col("__raw_len") > 0, F.col("__n_chars") / F.col("__raw_len")
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("text_ratio"),
         )
@@ -115,10 +129,8 @@ def html_report(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
 
 
 def html_report_sql(table: str, id_col: str, html_col: str) -> str:
-    inner = html_to_text_sql(table, id_col, html_col)
     return f"""
-WITH __x AS ({inner}),
-__b AS (
+WITH __b AS (
   SELECT {id_col} AS id,
          CAST(len(regexp_extract_all({html_col}, '<[A-Za-z][^>]*>')) AS BIGINT)
            AS n_tags,
@@ -126,13 +138,13 @@ __b AS (
            AS n_links,
          COALESCE(regexp_extract({html_col},
                   '(?is)<title[^>]*>(.*?)</title>', 1), '') AS title,
+         length({_stripped_sql(html_col)}) AS n_chars,
          length({html_col}) AS raw_len
   FROM {table}
 )
-SELECT b.id, b.n_tags, b.n_links, b.title,
-       ROUND(CASE WHEN b.raw_len > 0
-                  THEN CAST(x.n_chars AS DOUBLE) / b.raw_len
+SELECT id, n_tags, n_links, title,
+       ROUND(CASE WHEN raw_len > 0
+                  THEN CAST(n_chars AS DOUBLE) / raw_len
                   ELSE 0.0 END, 6) AS text_ratio
-FROM __b b JOIN __x x ON b.id = x.id
-ORDER BY b.id
+FROM __b ORDER BY id
 """

@@ -68,14 +68,9 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def pii_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_email, n_credit_card, n_ssn, n_phone, n_ipv4, n_pii,
-    has_pii): per-document PII match counts, one scan.
-
-    Counts are per-pattern over the RAW text, so a span matched by two
-    patterns counts under both (detection is a screening metric);
-    ``pii_redact`` is the authoritative masking pass where order
-    disambiguates. ``n_pii`` is the sum; ``has_pii`` flags any hit."""
+def _count_cols(text_col: str):
+    """Per-pattern count columns + the total expression (shared by
+    pii_report and pii_summary so the two surfaces can never diverge)."""
     counts = [
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}")
         for kind, pat, _ in PII_PATTERNS
@@ -84,6 +79,18 @@ def pii_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for kind, _, _ in PII_PATTERNS:
         c = F.col(f"n_{kind}")
         total = c if total is None else total + c
+    return counts, total
+
+
+def pii_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_email, n_credit_card, n_ssn, n_phone, n_ipv4, n_pii,
+    has_pii): per-document PII match counts, one scan.
+
+    Counts are per-pattern over the RAW text, so a span matched by two
+    patterns counts under both (detection is a screening metric);
+    ``pii_redact`` is the authoritative masking pass where order
+    disambiguates. ``n_pii`` is the sum; ``has_pii`` flags any hit."""
+    counts, total = _count_cols(text_col)
     return (
         df.select(F.col(id_col).alias("id"), *counts)
         .withColumn("n_pii", total.cast("long"))
@@ -168,14 +175,7 @@ def pii_summary(df: DataFrame, id_col: str, text_col: str, by: str) -> DataFrame
     PII accounting per ``by`` group (e.g. source) — the release-gate
     table: which slices exceed the PII budget before masking. One scan +
     one small hash aggregation on the group key."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}")
-        for kind, pat, _ in PII_PATTERNS
-    ]
-    total = None
-    for kind, _, _ in PII_PATTERNS:
-        c = F.col(f"n_{kind}")
-        total = c if total is None else total + c
+    counts, total = _count_cols(text_col)
     per_doc = df.select(F.col(by).alias("grp"), *counts).withColumn(
         "n_pii", total.cast("long")
     )

@@ -300,6 +300,13 @@ class StreamingEngine:
         self.metrics.increment(M.BATCHES_PROCESSED)
         active = self.registry.active()
         now_ms = int(self.clock() * 1000)
+        if len(active) < 2 and self._chunk_cache is not None:
+            # fleet shrank below any possible shareable threshold: drop
+            # the cached ChunkPlans so retired queries' state can be
+            # collected (the later shared-scan check also clears this,
+            # but never runs when the batch short-circuits here)
+            self._chunk_cache_key = None
+            self._chunk_cache = None
         if not active:
             return
         if source is not None:
@@ -380,6 +387,12 @@ class StreamingEngine:
             else:
                 partials = {}
             partials = {k: v for k, v in partials.items() if v is not None}
+            if not shared and self._chunk_cache is not None:
+                # fleet shrank below the shareable threshold: drop the
+                # cached plans so the retired queries' RunningQuery
+                # objects (and their accumulated state) can be collected
+                self._chunk_cache_key = None
+                self._chunk_cache = None
             if shared:
                 from bullet_storm_spark.streaming.multiquery import (
                     plan_chunks,

@@ -496,7 +496,10 @@ def stream_psi(
         batch_rows = 0
         for pdf in pdfs:
             for v in pdf["__v"]:
-                b = int((float(v) - lo) // width)
+                f = float(v)
+                if f != f:  # NULL/NaN values are dropped, as in the
+                    continue  # batch twin — never crash the monitor
+                b = int((f - lo) // width)
                 b = 0 if b < 0 else (n_bins - 1 if b >= n_bins else b)
                 counts[b] += 1
                 batch_rows += 1

@@ -4,7 +4,14 @@ __spark_entry__.queries() against its oracle_sql() twin on the same parquet
 tables via DuckDB, and compare row count + column names + an
 order-insensitive value hash.
 
-Usage: python scripts/oracle_check.py [sf_dir] [name ...]
+Usage: python scripts/oracle_check.py [sf_dir] [name ...] [--fast]
+
+The hazard pass re-executes each entry through the driver's actual fetch
+paths (DataFrame.toPandas / duckdb .df()) IN ADDITION to the collect()-
+based hash — roughly doubling wall time — because deriving the hash rows
+from the pandas frames would itself reintroduce the dtype coercions
+(None->NaN, int->float) the pass exists to detect. Pass --fast to skip
+the hazard pass when iterating on values rather than shapes.
 """
 
 from __future__ import annotations

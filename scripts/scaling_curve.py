@@ -48,6 +48,16 @@ out = dict([
         "bullet_storm_spark.operators.winnow", fromlist=["winnow"]
     ).winnow_neardup_pairs(
         docs, "doc_id", "text", k=8, w=16, min_shared=4, df_cap=30)),
+    # r6: the 3-stage entity-resolution pipeline (the heaviest bench
+    # entry: linkage join + pointer-jumping components + survivorship)
+    run("link_resolve", lambda: (lambda L: L.resolve_entities(
+        load_table(spark, "/root/testdata/sf0.1", "customer"),
+        "c_custkey", ["c_nationkey", "c_mktsegment"],
+        [L.Comparator("c_name", "levenshtein", weight=2.0, scale=4.0),
+         L.Comparator("c_acctbal", "abs_diff", weight=1.0, scale=500.0)],
+        threshold=1.5, survivor_col="c_acctbal"))(
+        __import__("bullet_storm_spark.operators.linkage",
+                   fromlist=["linkage"]))),
 ])
 print("RESULT " + json.dumps({"cores": n, **out}))
 spark.stop()

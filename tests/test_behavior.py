@@ -280,3 +280,23 @@ def test_state_intervals_collapse_and_chain(spark):
     ]
     want = sorted(con.sql(behavior.state_intervals_sql("ev")).fetchall())
     assert got == want
+
+
+def test_state_intervals_null_state_is_its_own_interval(spark):
+    rows = [
+        (1, 1, "view", 0.0, 0),
+        (2, 1, None, 0.0, 10 * MIN),
+        (3, 1, None, 0.0, 20 * MIN),
+        (4, 1, "view", 0.0, 30 * MIN),
+    ]
+    df, con = _mk(spark, rows)
+    got = sorted(
+        (r.interval_idx, r.state, r.n_events)
+        for r in behavior.state_intervals(df).collect()
+    )
+    # NULL run forms its own interval; the surrounding views do NOT merge
+    assert got == [(1, "view", 1), (2, None, 2), (3, "view", 1)]
+    want = sorted(
+        (r[1], r[2], r[5]) for r in con.sql(behavior.state_intervals_sql("ev")).fetchall()
+    )
+    assert got == want

@@ -81,3 +81,11 @@ def test_cap_rejects_nonpositive(spark):
         cap_per_group(df, "grp", "id", cap=0)
     with pytest.raises(ValueError):
         cap_accounting(df, "grp", "id", cap=0)
+
+
+def test_diff_null_text_presence_and_change(spark):
+    # presence is tested on the ID: NULL text != absent doc (r6 review)
+    old = _snap(spark, [(1, None), (2, None), (3, "real")])
+    new = _snap(spark, [(1, "now has text"), (2, None), (3, None)])
+    got = {r.id: r.status for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}

@@ -143,3 +143,18 @@ def test_shared_plan_cache_invalidates_on_fleet_change(spark, batches):
         if qid == "grp_all":
             continue
         assert sorted(map(str, rq.state.result())) == base[qid], qid
+
+
+def test_shared_plan_cache_released_when_fleet_shrinks(spark, batches):
+    # killing the fleet below the shareable threshold must drop the
+    # cached ChunkPlans (they hold the retired queries' state)
+    engine = StreamingEngine(spark, enable_shared_scan=True)
+    for qid, q in _mixed_queries().items():
+        engine.submit(qid, q)
+    engine.process_batch(batches[0])
+    assert engine._chunk_cache is not None
+    for qid in list(engine.registry.queries):
+        if qid != "raw":
+            engine.kill(qid)
+    engine.process_batch(batches[1])
+    assert engine._chunk_cache is None and engine._chunk_cache_key is None
