@@ -1815,6 +1815,15 @@ ORDER BY doc_id
                                        k=8, iters=3),
         None,
     ),
+    # cross-source trigram overlap matrix: the set-overlap sibling of
+    # source_divergence — mirrored/syndicated content + cross-source
+    # leakage detection before choosing mixing weights
+    "text_source_overlap": (
+        lambda s, d: _vocab.source_overlap_matrix(
+            _docs(s, d), "source", "text", shingle_n=3
+        ),
+        _vocab.source_overlap_matrix_sql("documents", "source", "text", shingle_n=3),
+    ),
     # corpus analytics before mixing: per-source KL divergence to the
     # corpus unigram distribution (distributional drift detector)
     "text_source_divergence": (

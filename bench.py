@@ -123,6 +123,7 @@ HEADLINE = [
     "events_psi_drift",
     "html_extract_text",
     "layout_zorder_keys",
+    "text_source_overlap",
 ]
 
 

@@ -712,3 +712,114 @@ SELECT n_terms, total_tf,
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), {round_to}) AS zipf_r2
 FROM fit, totals
 """
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """(source_a, source_b, grams_a, grams_b, shared, jaccard): the
+    cross-source n-gram overlap matrix — distinct word-``shingle_n``-gram
+    Jaccard between every source pair. The set-overlap sibling of
+    ``source_divergence`` (which compares unigram DISTRIBUTIONS): high
+    overlap between two "different" sources means mirrored/syndicated
+    content that will defeat per-source mixing weights, and overlap with
+    a benchmark-derived source is leakage. All C(n_sources, 2) pairs
+    appear, including zero-overlap ones.
+
+    Plan: distinct (source, gram) pairs in one hash aggregation (linear
+    in corpus grams), then ONE gram-keyed self-join whose output per gram
+    is bounded by C(n_sources, 2) — never corpus-quadratic; the complete
+    pair spine is a sources² cross of two source-cardinality aggregates
+    (bounded by the source count, the funnel broadcast-base pattern)."""
+    from bullet_storm_spark.functions.text import shingles
+
+    grams = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(shingles(text_col, shingle_n)).alias("g"),
+        )
+        .distinct()
+    )
+    per_src = grams.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    shared = (
+        a.join(
+            b,
+            (F.col("ga.g") == F.col("gb.g")) & (F.col("ga.src") < F.col("gb.src")),
+        )
+        .groupBy(
+            F.col("ga.src").alias("source_a"), F.col("gb.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    pa = per_src.select(
+        F.col("src").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    pb = per_src.select(
+        F.col("src").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    spine = pa.crossJoin(F.broadcast(pb)).where(
+        F.col("source_a") < F.col("source_b")
+    )
+    return (
+        spine.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            F.coalesce("shared", F.lit(0)).cast("long").alias("shared"),
+            F.round(
+                F.coalesce("shared", F.lit(0))
+                / (F.col("grams_a") + F.col("grams_b") - F.coalesce("shared", F.lit(0))),
+                round_to,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_overlap_matrix_sql(
+    table: str,
+    source_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    round_to: int = 6,
+) -> str:
+    from bullet_storm_spark.functions.text import shingles_sql
+
+    sh = shingles_sql(text_col, shingle_n)
+    return f"""
+WITH __g AS (
+  SELECT DISTINCT {source_col} AS src, g
+  FROM {table}, UNNEST({sh}) AS t(g)
+),
+__per AS (
+  SELECT src, COUNT(*)::BIGINT AS n_grams FROM __g GROUP BY src
+),
+__shared AS (
+  SELECT a.src AS source_a, b.src AS source_b, COUNT(*)::BIGINT AS shared
+  FROM __g a JOIN __g b ON a.g = b.g AND a.src < b.src
+  GROUP BY a.src, b.src
+),
+__spine AS (
+  SELECT pa.src AS source_a, pb.src AS source_b,
+         pa.n_grams AS grams_a, pb.n_grams AS grams_b
+  FROM __per pa CROSS JOIN __per pb WHERE pa.src < pb.src
+)
+SELECT s.source_a, s.source_b, s.grams_a, s.grams_b,
+       COALESCE(h.shared, 0)::BIGINT AS shared,
+       ROUND(CAST(COALESCE(h.shared, 0) AS DOUBLE)
+             / (s.grams_a + s.grams_b - COALESCE(h.shared, 0)),
+             {round_to}) AS jaccard
+FROM __spine s LEFT JOIN __shared h
+  ON s.source_a = h.source_a AND s.source_b = h.source_b
+ORDER BY s.source_a, s.source_b
+"""

@@ -432,3 +432,42 @@ class TestTfidfPairs:
             V.tfidf_pairs_sql("zn", "doc_id", "text", df_cap=4, min_sim=0.1)
         ).fetchall()
         assert [tuple(r) for r in out] == [tuple(r) for r in d]
+
+
+def test_source_overlap_matrix(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.vocab import (
+        source_overlap_matrix,
+        source_overlap_matrix_sql,
+    )
+
+    rows = [
+        # a and b share "x y z"; c is disjoint
+        (1, "a", "x y z q"),
+        (2, "a", "p q r"),
+        (3, "b", "x y z w"),
+        (4, "c", "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(df, "source", "text", shingle_n=3).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}  # complete matrix
+    ab = got[("a", "b")]
+    assert ab.shared == 1  # the trigram "x y z"
+    assert ab.grams_a == 3 and ab.grams_b == 2
+    assert abs(ab.jaccard - 1 / 4) < 1e-9
+    assert got[("a", "c")].shared == 0 and got[("a", "c")].jaccard == 0.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?,?)", rows)
+    want = sorted(
+        con.sql(source_overlap_matrix_sql("d", "source", "text", 3)).fetchall()
+    )
+    spark_rows = sorted(
+        (r.source_a, r.source_b, r.grams_a, r.grams_b, r.shared, r.jaccard)
+        for r in got.values()
+    )
+    assert spark_rows == want
