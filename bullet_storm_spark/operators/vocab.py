@@ -728,24 +728,45 @@ def source_overlap_matrix(
     overlap between two "different" sources means mirrored/syndicated
     content that will defeat per-source mixing weights, and overlap with
     a benchmark-derived source is leakage. All C(n_sources, 2) pairs
-    appear, including zero-overlap ones.
+    over the NON-NULL sources appear, including zero-overlap ones and
+    sources whose docs are all too short to yield a gram (grams=0,
+    jaccard=0.0); NULL sources are excluded — join provenance before
+    auditing.
 
     Plan: distinct (source, gram) pairs in one hash aggregation (linear
-    in corpus grams), then ONE gram-keyed self-join whose output per gram
+    in corpus grams; tokens materialized behind an exchange so the
+    per-shingle lambda never re-tokenizes — the SCALING.md MinHash
+    pitfall), then ONE gram-keyed self-join whose output per gram
     is bounded by C(n_sources, 2) — never corpus-quadratic; the complete
     pair spine is a sources² cross of two source-cardinality aggregates
     (bounded by the source count, the funnel broadcast-base pattern)."""
-    from bullet_storm_spark.functions.text import shingles
+    from bullet_storm_spark.functions.text import shingles_from_tokens, tokens
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nn = df.where(F.col(source_col).isNotNull())
+    toks = nn.select(
+        F.col(source_col).alias("src"), tokens(text_col).alias("__toks")
+    ).repartition(par)
     grams = (
-        df.select(
-            F.col(source_col).alias("src"),
-            F.explode(shingles(text_col, shingle_n)).alias("g"),
+        toks.select(
+            "src",
+            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("g"),
         )
         .distinct()
     )
-    per_src = grams.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
+    # the pair spine comes from ALL distinct (non-null) sources, not just
+    # gram-producing ones — a source of only-too-short docs still appears
+    per_src = (
+        nn.select(F.col(source_col).alias("src"))
+        .distinct()
+        .join(
+            grams.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("__ng")
+            ),
+            "src",
+            "left",
+        )
+        .select("src", F.coalesce("__ng", F.lit(0)).cast("long").alias("n_grams"))
     )
     a = grams.alias("ga")
     b = grams.alias("gb")
@@ -777,8 +798,15 @@ def source_overlap_matrix(
             "grams_b",
             F.coalesce("shared", F.lit(0)).cast("long").alias("shared"),
             F.round(
-                F.coalesce("shared", F.lit(0))
-                / (F.col("grams_a") + F.col("grams_b") - F.coalesce("shared", F.lit(0))),
+                F.when(
+                    F.col("grams_a") + F.col("grams_b") > 0,
+                    F.coalesce("shared", F.lit(0))
+                    / (
+                        F.col("grams_a")
+                        + F.col("grams_b")
+                        - F.coalesce("shared", F.lit(0))
+                    ),
+                ).otherwise(F.lit(0.0)),
                 round_to,
             ).alias("jaccard"),
         )
@@ -800,9 +828,14 @@ def source_overlap_matrix_sql(
 WITH __g AS (
   SELECT DISTINCT {source_col} AS src, g
   FROM {table}, UNNEST({sh}) AS t(g)
+  WHERE {source_col} IS NOT NULL
 ),
 __per AS (
-  SELECT src, COUNT(*)::BIGINT AS n_grams FROM __g GROUP BY src
+  SELECT s.src, COALESCE(n.n_grams, 0)::BIGINT AS n_grams
+  FROM (SELECT DISTINCT {source_col} AS src FROM {table}
+        WHERE {source_col} IS NOT NULL) s
+  LEFT JOIN (SELECT src, COUNT(*)::BIGINT AS n_grams
+             FROM __g GROUP BY src) n ON s.src = n.src
 ),
 __shared AS (
   SELECT a.src AS source_a, b.src AS source_b, COUNT(*)::BIGINT AS shared
@@ -816,8 +849,10 @@ __spine AS (
 )
 SELECT s.source_a, s.source_b, s.grams_a, s.grams_b,
        COALESCE(h.shared, 0)::BIGINT AS shared,
-       ROUND(CAST(COALESCE(h.shared, 0) AS DOUBLE)
-             / (s.grams_a + s.grams_b - COALESCE(h.shared, 0)),
+       ROUND(CASE WHEN s.grams_a + s.grams_b > 0
+                  THEN CAST(COALESCE(h.shared, 0) AS DOUBLE)
+                       / (s.grams_a + s.grams_b - COALESCE(h.shared, 0))
+                  ELSE 0.0 END,
              {round_to}) AS jaccard
 FROM __spine s LEFT JOIN __shared h
   ON s.source_a = h.source_a AND s.source_b = h.source_b

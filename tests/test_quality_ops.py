@@ -471,3 +471,40 @@ def test_source_overlap_matrix(spark):
         for r in got.values()
     )
     assert spark_rows == want
+
+
+def test_source_overlap_short_doc_and_null_sources(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.vocab import (
+        source_overlap_matrix,
+        source_overlap_matrix_sql,
+    )
+
+    rows = [
+        (1, "a", "x y z q"),
+        (2, "b", "x y z w"),
+        # source d: only a too-short doc (2 tokens < trigram) -> must
+        # still appear in the matrix with grams=0 (r6 review)
+        (3, "d", "too short"),
+        # NULL source: excluded by contract
+        (4, None, "x y z leaked everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(df, "source", "text", shingle_n=3).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "d"), ("b", "d")}
+    ad = got[("a", "d")]
+    assert ad.grams_b == 0 and ad.shared == 0 and ad.jaccard == 0.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?,?)", rows)
+    want = sorted(
+        con.sql(source_overlap_matrix_sql("d", "source", "text", 3)).fetchall()
+    )
+    assert want == sorted(
+        (r.source_a, r.source_b, r.grams_a, r.grams_b, r.shared, r.jaccard)
+        for r in got.values()
+    )
