@@ -507,6 +507,7 @@ from bullet_storm_spark.operators import pii as _pii
 from bullet_storm_spark.operators import diff as _diff
 from bullet_storm_spark.operators import html as _html
 from bullet_storm_spark.operators import layout as _layout
+from bullet_storm_spark.operators import lines as _lines
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -597,6 +598,19 @@ _HTML_AUG_SQL = (
     " || CASE WHEN doc_id % 6 = 5 THEN"
     " '<p>a &amp;lt; b &nbsp; c &quot;q&#39;s&quot; &gt; d</p>' ELSE '' END"
     " || '</body></html>'"
+)
+
+
+# deterministic multi-line wrapping for the line-dedup entries (the
+# synthetic corpus is single-line): every doc gets a shared header line
+# (df = all docs), half get a shared cookie-banner line (df = half),
+# and every doc gets a unique footer — so the boilerplate threshold has
+# all three regimes to separate
+_LINES_AUG_SQL = (
+    "'SHARED SITE HEADER NAVIGATION' || chr(10) || text || chr(10)"
+    " || CASE WHEN doc_id % 2 = 0 THEN 'WE USE COOKIES ON THIS SITE'"
+    " || chr(10) ELSE '' END"
+    " || 'unique footer ' || CAST(doc_id AS STRING)"
 )
 
 
@@ -1814,6 +1828,37 @@ ORDER BY doc_id
         lambda s, d: _km.kmeans_report(_embs(s, d), "vec_id", "embedding",
                                        k=8, iters=3),
         None,
+    ),
+    # line-level corpus dedup (CCNet/RefinedWeb boilerplate pass) over
+    # deterministically multi-lined text: corpus-wide line doc-frequency
+    # report + frequent-line removal with in-order reassembly
+    "text_line_boilerplate": (
+        lambda s, d: _lines.line_frequency(
+            _docs(s, d).select("doc_id", F.expr(_LINES_AUG_SQL).alias("text")),
+            "doc_id",
+            "text",
+            min_df=5,
+        ),
+        _lines.line_frequency_sql(
+            f"(SELECT doc_id, {_LINES_AUG_SQL} AS text FROM documents)",
+            "doc_id",
+            "text",
+            min_df=5,
+        ),
+    ),
+    "text_line_dedup_clean": (
+        lambda s, d: _lines.remove_boilerplate_lines(
+            _docs(s, d).select("doc_id", F.expr(_LINES_AUG_SQL).alias("text")),
+            "doc_id",
+            "text",
+            min_df=5,
+        ),
+        _lines.remove_boilerplate_lines_sql(
+            f"(SELECT doc_id, {_LINES_AUG_SQL} AS text FROM documents)",
+            "doc_id",
+            "text",
+            min_df=5,
+        ),
     ),
     # cross-source trigram overlap matrix: the set-overlap sibling of
     # source_divergence — mirrored/syndicated content + cross-source

@@ -124,6 +124,7 @@ HEADLINE = [
     "html_extract_text",
     "layout_zorder_keys",
     "text_source_overlap",
+    "text_line_dedup_clean",
 ]
 
 
