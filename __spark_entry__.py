@@ -508,6 +508,7 @@ from bullet_storm_spark.operators import diff as _diff
 from bullet_storm_spark.operators import html as _html
 from bullet_storm_spark.operators import layout as _layout
 from bullet_storm_spark.operators import lines as _lines
+from bullet_storm_spark.operators import profile as _profile
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -1828,6 +1829,22 @@ ORDER BY doc_id
         lambda s, d: _km.kmeans_report(_embs(s, d), "vec_id", "embedding",
                                        k=8, iters=3),
         None,
+    ),
+    # Deequ-style table profile: per-column completeness / cardinality /
+    # typed extremes in ONE aggregation pass (the data-quality gate a
+    # table passes before feeding training)
+    "profile_customer": (
+        lambda s, d: _profile.profile_table(load_table(s, d, "customer")),
+        _profile.profile_table_sql(
+            "customer",
+            [
+                ("c_custkey", "num", "bigint"),
+                ("c_name", "str", "string"),
+                ("c_nationkey", "num", "int"),
+                ("c_acctbal", "num", "double"),
+                ("c_mktsegment", "str", "string"),
+            ],
+        ),
     ),
     # line-level corpus dedup (CCNet/RefinedWeb boilerplate pass) over
     # deterministically multi-lined text: corpus-wide line doc-frequency

@@ -125,6 +125,7 @@ HEADLINE = [
     "layout_zorder_keys",
     "text_source_overlap",
     "text_line_dedup_clean",
+    "profile_customer",
 ]
 
 

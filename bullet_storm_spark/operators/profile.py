@@ -1,0 +1,177 @@
+"""Table profiling — the Deequ / Great-Expectations data-quality gate.
+
+Before a table feeds training or analytics, the pipeline wants one cheap
+pass answering: how complete is each column (null rate), how wide is it
+(distinct count), and what are its extremes? That per-column profile is
+what completeness/uniqueness/range EXPECTATIONS are then written against
+(Schelter et al., VLDB 2018 — Deequ's metric set; this module is the
+profile computation, expressed Spark-first).
+
+Plan shape: ONE aggregation job over the scan computes every column's
+metrics together (count / conditional-null count / count(distinct) /
+min / max are all partial-aggregatable, so the pass is map-side combined
+and shuffles one row per partition); the per-column result rows are then
+C trivial selects over that single cached 1-row frame. Numeric and
+timestamp extremes land in ``num_min``/``num_max`` (doubles, 6 dp;
+timestamps as epoch micros), string extremes in ``str_min``/``str_max``
+— never a stringified double, so the oracle comparison carries no
+float-formatting hazard.
+
+At 100 TB: the profile is one scan; ``count(distinct)`` per column is
+the only expensive metric (Catalyst expands once per distinct column) —
+for extreme-cardinality columns swap ``exact_distinct=False`` to
+HLL++ (`approx_count_distinct`), the same contract as the COUNT
+DISTINCT aggregation family (the entry then declares rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _kind(dtype: T.DataType) -> str:
+    if isinstance(dtype, _NUMERIC):
+        return "num"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dtype, T.StringType):
+        return "str"
+    return "other"
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """(column, dtype, n_rows, n_nulls, null_rate, n_distinct, num_min,
+    num_max, str_min, str_max): one row per profiled column. ``num_*``
+    carry numeric/timestamp extremes (doubles; timestamps as epoch µs),
+    ``str_*`` string extremes; the inapplicable pair is NULL. Complex
+    types (arrays/maps/structs) profile completeness only."""
+    fields = [
+        f for f in df.schema.fields if columns is None or f.name in set(columns)
+    ]
+    if not fields:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for f in fields:
+        c, k = F.col(f.name), _kind(f.dataType)
+        aggs.append(
+            F.sum(c.isNull().cast("long")).alias(f"__nulls_{f.name}")
+        )
+        if k == "other":
+            continue
+        dcol = (
+            F.count_distinct(c)
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs.append(dcol.cast("long").alias(f"__dist_{f.name}"))
+        if k == "num":
+            aggs.append(F.round(F.min(c).cast("double"), round_to)
+                        .alias(f"__min_{f.name}"))
+            aggs.append(F.round(F.max(c).cast("double"), round_to)
+                        .alias(f"__max_{f.name}"))
+        elif k == "ts":
+            aggs.append(F.unix_micros(F.min(c)).cast("double")
+                        .alias(f"__min_{f.name}"))
+            aggs.append(F.unix_micros(F.max(c)).cast("double")
+                        .alias(f"__max_{f.name}"))
+        else:
+            aggs.append(F.min(c).alias(f"__smin_{f.name}"))
+            aggs.append(F.max(c).alias(f"__smax_{f.name}"))
+    one = df.agg(*aggs)
+    outs = []
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    for f in fields:
+        k = _kind(f.dataType)
+        outs.append(
+            one.select(
+                F.lit(f.name).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{f.name}").alias("n_nulls"),
+                F.round(F.col(f"__nulls_{f.name}") / F.col("__n"), round_to)
+                .alias("null_rate"),
+                (F.col(f"__dist_{f.name}") if k != "other" else null_l)
+                .alias("n_distinct"),
+                (F.col(f"__min_{f.name}") if k in ("num", "ts") else null_d)
+                .alias("num_min"),
+                (F.col(f"__max_{f.name}") if k in ("num", "ts") else null_d)
+                .alias("num_max"),
+                (F.col(f"__smin_{f.name}") if k == "str" else null_s)
+                .alias("str_min"),
+                (F.col(f"__smax_{f.name}") if k == "str" else null_s)
+                .alias("str_max"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("column")
+
+
+def profile_table_sql(
+    table: str,
+    columns: list[tuple[str, str, str]],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin. ``columns`` = [(name, kind, dtype_string)] with kind
+    in num/ts/str/other and ``dtype_string`` the SPARK simpleString (the
+    profile reports the engine-side dtype; the twin echoes it so the
+    check compares values, not type-system spellings)."""
+    if not columns:
+        raise ValueError("no columns to profile")
+    aggs = ["COUNT(*)::BIGINT AS __n"]
+    for name, kind, _ in columns:
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS __nulls_{name}"
+        )
+        if kind == "other":
+            continue
+        aggs.append(f"COUNT(DISTINCT {name})::BIGINT AS __dist_{name}")
+        if kind == "num":
+            aggs.append(f"ROUND(CAST(MIN({name}) AS DOUBLE), {round_to})"
+                        f" AS __min_{name}")
+            aggs.append(f"ROUND(CAST(MAX({name}) AS DOUBLE), {round_to})"
+                        f" AS __max_{name}")
+        elif kind == "ts":
+            aggs.append(f"CAST(epoch_us(MIN({name})) AS DOUBLE) AS __min_{name}")
+            aggs.append(f"CAST(epoch_us(MAX({name})) AS DOUBLE) AS __max_{name}")
+        else:
+            aggs.append(f"MIN({name}) AS __smin_{name}")
+            aggs.append(f"MAX({name}) AS __smax_{name}")
+    selects = []
+    for name, kind, dtype in columns:
+        dist = f"__dist_{name}" if kind != "other" else "CAST(NULL AS BIGINT)"
+        nmin = f"__min_{name}" if kind in ("num", "ts") else "CAST(NULL AS DOUBLE)"
+        nmax = f"__max_{name}" if kind in ("num", "ts") else "CAST(NULL AS DOUBLE)"
+        smin = f"__smin_{name}" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        smax = f"__smax_{name}" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        selects.append(
+            f"SELECT '{name}' AS \"column\", '{dtype}' AS dtype, __n AS n_rows,\n"
+            f"       __nulls_{name} AS n_nulls,\n"
+            f"       ROUND(CAST(__nulls_{name} AS DOUBLE) / __n, {round_to})"
+            f" AS null_rate,\n"
+            f"       {dist} AS n_distinct, {nmin} AS num_min, {nmax} AS num_max,\n"
+            f"       {smin} AS str_min, {smax} AS str_max FROM __agg"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH __agg AS (
+  SELECT {", ".join(aggs)} FROM {table}
+)
+{body}
+ORDER BY "column"
+"""
