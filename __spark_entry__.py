@@ -602,6 +602,20 @@ _HTML_AUG_SQL = (
 )
 
 
+# Deequ-style expectation suite for the profile_expectations entry:
+# mixes passing rules with deliberately failing ones (acctbal range,
+# nationkey uniqueness) so both verdict branches are hash-checked
+_EXPECTATION_RULES = [
+    ("not_null", "c_custkey", 0.0),
+    ("unique", "c_custkey"),
+    ("unique", "c_nationkey"),          # fails: 25 nations over all rows
+    ("min_at_least", "c_acctbal", -1000.0),
+    ("max_at_most", "c_acctbal", 100.0),  # fails: balances run to ~10k
+    ("distinct_at_least", "c_mktsegment", 3.0),
+    ("distinct_at_most", "c_mktsegment", 10.0),
+]
+
+
 # deterministic multi-line wrapping for the line-dedup entries (the
 # synthetic corpus is single-line): every doc gets a shared header line
 # (df = all docs), half get a shared cookie-banner line (df = half),
@@ -1845,6 +1859,15 @@ ORDER BY doc_id
                 ("c_mktsegment", "str", "string"),
             ],
         ),
+    ),
+    # the verification half of the gate: a Deequ-style expectation suite
+    # (completeness/uniqueness/range/cardinality) in the same one-pass
+    # aggregation shape; the mixed pass/fail verdicts are the point
+    "profile_expectations": (
+        lambda s, d: _profile.check_expectations(
+            load_table(s, d, "customer"), _EXPECTATION_RULES
+        ),
+        _profile.check_expectations_sql("customer", _EXPECTATION_RULES),
     ),
     # line-level corpus dedup (CCNet/RefinedWeb boilerplate pass) over
     # deterministically multi-lined text: corpus-wide line doc-frequency

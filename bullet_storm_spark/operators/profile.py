@@ -175,3 +175,172 @@ WITH __agg AS (
 {body}
 ORDER BY "column"
 """
+
+
+# ---------------------------------------------------------------------------
+# Expectations — the verification half of the Deequ gate
+# ---------------------------------------------------------------------------
+
+# rule kinds -> required params
+_RULE_KINDS = {
+    "not_null": ("max_null_rate",),       # null_rate(col) <= max_null_rate
+    "unique": (),                         # count(distinct col) == count(col)
+    "min_at_least": ("bound",),           # min(col) >= bound
+    "max_at_most": ("bound",),            # max(col) <= bound
+    "distinct_at_least": ("bound",),      # count(distinct col) >= bound
+    "distinct_at_most": ("bound",),       # count(distinct col) <= bound
+}
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: list[tuple],
+    round_to: int = 6,
+) -> DataFrame:
+    """(rule_idx, kind, column, observed, threshold, passed): evaluate a
+    Deequ-style expectation suite in ONE aggregation pass. ``rules`` is
+    a list of (kind, column[, param]) tuples with kinds: not_null
+    (null_rate <= max_null_rate), unique, min_at_least, max_at_most,
+    distinct_at_least, distinct_at_most. ``observed`` is the measured
+    metric, ``threshold`` the rule parameter (NULL for unique), both
+    doubles so the verdict table is engine-portable.
+
+    The suite verdict is ``passed`` AND-ed by the caller (or feed the
+    frame to a HAVING) — individual rows stay visible so a failing gate
+    names its rule, the FilterBolt error-path posture."""
+    if not rules:
+        raise ValueError("need >= 1 rule")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    seen = set()
+    for r in rules:
+        kind, col = r[0], r[1]
+        if kind not in _RULE_KINDS:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        if len(r) != 2 + len(_RULE_KINDS[kind]):
+            raise ValueError(f"rule {r!r} needs params {_RULE_KINDS[kind]}")
+        if ("nulls", col) not in seen:
+            seen.add(("nulls", col))
+            aggs.append(
+                F.sum(F.col(col).isNull().cast("long")).alias(f"__nulls_{col}")
+            )
+        if kind in ("unique", "distinct_at_least", "distinct_at_most") and (
+            "dist", col
+        ) not in seen:
+            seen.add(("dist", col))
+            aggs.append(F.count_distinct(F.col(col)).cast("long")
+                        .alias(f"__dist_{col}"))
+        if kind in ("min_at_least",) and ("min", col) not in seen:
+            seen.add(("min", col))
+            aggs.append(F.min(F.col(col)).cast("double").alias(f"__min_{col}"))
+        if kind in ("max_at_most",) and ("max", col) not in seen:
+            seen.add(("max", col))
+            aggs.append(F.max(F.col(col)).cast("double").alias(f"__max_{col}"))
+    one = df.agg(*aggs)
+    outs = []
+    for i, r in enumerate(rules):
+        kind, col = r[0], r[1]
+        param = float(r[2]) if len(r) > 2 else None
+        if kind == "not_null":
+            obs = F.round(F.col(f"__nulls_{col}") / F.col("__n"), round_to)
+            passed = obs <= param
+        elif kind == "unique":
+            obs = (F.col(f"__dist_{col}")
+                   + F.col(f"__nulls_{col}")).cast("double")
+            passed = (F.col(f"__dist_{col}") + F.col(f"__nulls_{col}")
+                      ) == F.col("__n")
+        elif kind == "min_at_least":
+            obs = F.round(F.col(f"__min_{col}"), round_to)
+            passed = obs >= param
+        elif kind == "max_at_most":
+            obs = F.round(F.col(f"__max_{col}"), round_to)
+            passed = obs <= param
+        elif kind == "distinct_at_least":
+            obs = F.col(f"__dist_{col}").cast("double")
+            passed = obs >= param
+        else:  # distinct_at_most
+            obs = F.col(f"__dist_{col}").cast("double")
+            passed = obs <= param
+        outs.append(
+            one.select(
+                F.lit(i).cast("long").alias("rule_idx"),
+                F.lit(kind).alias("kind"),
+                F.lit(col).alias("column"),
+                obs.cast("double").alias("observed"),
+                (F.lit(param).cast("double") if param is not None
+                 else F.lit(None).cast("double")).alias("threshold"),
+                passed.alias("passed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("rule_idx")
+
+
+def check_expectations_sql(
+    table: str,
+    rules: list[tuple],
+    round_to: int = 6,
+) -> str:
+    if not rules:
+        raise ValueError("need >= 1 rule")
+    aggs = ["COUNT(*)::BIGINT AS __n"]
+    seen = set()
+    for r in rules:
+        kind, col = r[0], r[1]
+        if kind not in _RULE_KINDS:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        if ("nulls", col) not in seen:
+            seen.add(("nulls", col))
+            aggs.append(
+                f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS __nulls_{col}"
+            )
+        if kind in ("unique", "distinct_at_least", "distinct_at_most") and (
+            "dist", col
+        ) not in seen:
+            seen.add(("dist", col))
+            aggs.append(f"COUNT(DISTINCT {col})::BIGINT AS __dist_{col}")
+        if kind == "min_at_least" and ("min", col) not in seen:
+            seen.add(("min", col))
+            aggs.append(f"CAST(MIN({col}) AS DOUBLE) AS __min_{col}")
+        if kind == "max_at_most" and ("max", col) not in seen:
+            seen.add(("max", col))
+            aggs.append(f"CAST(MAX({col}) AS DOUBLE) AS __max_{col}")
+    selects = []
+    for i, r in enumerate(rules):
+        kind, col = r[0], r[1]
+        param = float(r[2]) if len(r) > 2 else None
+        thr = repr(param) if param is not None else "CAST(NULL AS DOUBLE)"
+        if kind == "not_null":
+            obs = f"ROUND(CAST(__nulls_{col} AS DOUBLE) / __n, {round_to})"
+            passed = f"({obs}) <= {param!r}"
+        elif kind == "unique":
+            obs = f"CAST(__dist_{col} + __nulls_{col} AS DOUBLE)"
+            passed = f"(__dist_{col} + __nulls_{col}) = __n"
+        elif kind == "min_at_least":
+            obs = f"ROUND(__min_{col}, {round_to})"
+            passed = f"({obs}) >= {param!r}"
+        elif kind == "max_at_most":
+            obs = f"ROUND(__max_{col}, {round_to})"
+            passed = f"({obs}) <= {param!r}"
+        elif kind == "distinct_at_least":
+            obs = f"CAST(__dist_{col} AS DOUBLE)"
+            passed = f"({obs}) >= {param!r}"
+        else:
+            obs = f"CAST(__dist_{col} AS DOUBLE)"
+            passed = f"({obs}) <= {param!r}"
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS rule_idx, '{kind}' AS kind,"
+            f" '{col}' AS \"column\",\n"
+            f"       CAST({obs} AS DOUBLE) AS observed, {thr} AS threshold,\n"
+            f"       {passed} AS passed FROM __agg"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH __agg AS (
+  SELECT {", ".join(aggs)} FROM {table}
+)
+{body}
+ORDER BY rule_idx
+"""

@@ -49,3 +49,52 @@ def test_profile_approx_distinct_path(spark):
     [r] = profile_table(df, exact_distinct=False).collect()
     # HLL++ estimate within its documented rsd of the true 100
     assert abs(r.n_distinct - 100) <= 5
+
+
+def test_expectations_verdicts(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.profile import (
+        check_expectations,
+        check_expectations_sql,
+    )
+
+    rows = [(1, "a", 5.0), (2, "b", 50.0), (3, "a", None), (None, "c", 7.0)]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    rules = [
+        ("not_null", "k", 0.3),        # 1/4 nulls <= 0.3 -> pass
+        ("not_null", "v", 0.1),        # 1/4 > 0.1 -> fail
+        ("unique", "k", ),             # 3 distinct + 1 null == 4 -> pass
+        ("unique", "s", ),             # 3 distinct + 0 null != 4 -> fail
+        ("min_at_least", "v", 0.0),    # min 5.0 >= 0 -> pass
+        ("max_at_most", "v", 10.0),    # max 50 -> fail
+        ("distinct_at_least", "s", 3.0),
+        ("distinct_at_most", "s", 2.0),  # 3 > 2 -> fail
+    ]
+    got = {r.rule_idx: r for r in check_expectations(df, rules).collect()}
+    verdicts = [got[i].passed for i in range(len(rules))]
+    assert verdicts == [True, False, True, False, True, False, True, False]
+    assert got[1].observed == 0.25 and got[1].threshold == 0.1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, s VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.sql(check_expectations_sql("t", rules)).fetchall()
+    spark_rows = [
+        (r.rule_idx, r.kind, r.column, r.observed, r.threshold, r.passed)
+        for _, r in sorted(got.items())
+    ]
+    assert spark_rows == want
+
+
+def test_expectations_validation(spark):
+    import pytest
+
+    from bullet_storm_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        check_expectations(df, [])
+    with pytest.raises(ValueError):
+        check_expectations(df, [("bogus_kind", "k")])
+    with pytest.raises(ValueError):
+        check_expectations(df, [("not_null", "k")])  # missing param
