@@ -442,13 +442,41 @@ def test_sessionize_stream_equals_batch_on_replayed_corpus(spark, tmp_path):
     ]
     third = len(rows) // 3
     chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
-    out = _run_stream(
-        spark,
-        tmp_path,
-        lambda st: sessionize(st, "user", "ts_ms", gap_ms=30 * 60_000),
-        "user string, ts_ms long",
-        chunks,
+    # each chunk must appear ATOMICALLY: a multi-part parquet write can be
+    # listed mid-commit by a concurrent micro-batch, splitting a chunk's
+    # rows across batches in arbitrary (out-of-time-order) subsets — the
+    # flake this test showed under full-machine load. One part file per
+    # chunk, staged then rename()d into the source dir, removes the race.
+    import os
+
+    schema = "user string, ts_ms long"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def _drop(i, chunk):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"c{i}.parquet"))
+
+    _drop(0, chunks[0])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_stream = sessionize(stream, "user", "ts_ms", gap_ms=30 * 60_000)
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName("sess_equiv_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
     )
+    try:
+        q.processAllAvailable()
+        for i, chunk in enumerate(chunks[1:], start=1):
+            _drop(i, chunk)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("sess_equiv_out")
     stream_closed = {
         (r.key, r.session_start, r.session_end, r.n_events)
         for r in out.collect()
