@@ -1655,6 +1655,17 @@ ORDER BY doc_id
             block_shift=12,
         ),
     ),
+    # semantic drift: cosine/L2 between slice mean-embedding centroids
+    # (the representation-space member of the drift family)
+    "embed_centroid_drift": (
+        lambda s, d: _anomaly.centroid_drift(
+            _embs(s, d), "embedding",
+            F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1,
+        ),
+        _anomaly.centroid_drift_sql(
+            "embeddings", "embedding", "vec_id % 2 = 0", "vec_id % 2 = 1"
+        ),
+    ),
     # categorical drift: chi-squared homogeneity between the first- and
     # second-half user populations over event_type (pairs with ks_drift)
     "events_chi2_drift": (

@@ -612,3 +612,99 @@ SELECT bin, ROUND(pa, {round_to}) AS p_a, ROUND(pb, {round_to}) AS p_b,
              AS DOUBLE), {round_to}) AS psi
 FROM __terms ORDER BY bin
 """
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str,
+    a_pred: F.Column,
+    b_pred: F.Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """(n_a, n_b, cos_centroids, l2_centroids): SEMANTIC drift between
+    two corpus slices — cosine and L2 distance between the slices' mean
+    embedding vectors. Completes the drift family: KS (numeric column),
+    chi-squared (categorical), PSI (binned feature), and this for the
+    representation space itself (a new crawl whose centroid swings away
+    from the reference slice changed in meaning, not just in surface
+    statistics — the SemDeDup/embedding-curation signal at corpus level).
+
+    Plan: one posexplode to (dim, value), one dim-keyed aggregation with
+    conditional decimal-exact sums per slice (64 rows out), one 1-row
+    reduction computing the distances from 9dp-rounded per-dim means —
+    partitioning/engine-independent end to end."""
+    base = df.where(a_pred | b_pred).select(
+        a_pred.alias("__a"),
+        b_pred.alias("__b"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    )
+    dims = (
+        base.groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("__a"), F.col("__v").cast("decimal(38,9)")))
+            .alias("__sa"),
+            F.sum(F.when(F.col("__b"), F.col("__v").cast("decimal(38,9)")))
+            .alias("__sb"),
+            F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__na"),
+            F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long").alias("__nb"),
+        )
+        .select(
+            "dim", "__na", "__nb",
+            F.round(F.col("__sa").cast("double") / F.col("__na"), 9).alias("__ma"),
+            F.round(F.col("__sb").cast("double") / F.col("__nb"), 9).alias("__mb"),
+        )
+    )
+    return dims.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.round(
+            F.sum(F.col("__ma") * F.col("__mb"))
+            / F.sqrt(F.sum(F.col("__ma") * F.col("__ma")))
+            / F.sqrt(F.sum(F.col("__mb") * F.col("__mb"))),
+            round_to,
+        ).alias("cos_centroids"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("__ma") - F.col("__mb"))
+                    * (F.col("__ma") - F.col("__mb"))
+                )
+            ),
+            round_to,
+        ).alias("l2_centroids"),
+    )
+
+
+def centroid_drift_sql(
+    table: str,
+    vec_col: str,
+    a_pred_sql: str,
+    b_pred_sql: str,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH __e AS (
+  SELECT ({a_pred_sql}) AS a, ({b_pred_sql}) AS b,
+         CAST(i - 1 AS INTEGER) AS dim,
+         CAST(({vec_col})[i] AS DOUBLE) AS v
+  FROM {table}, UNNEST(generate_series(1, len({vec_col}))) AS __u(i)
+  WHERE ({a_pred_sql}) OR ({b_pred_sql})
+),
+__d AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         ROUND(CAST(SUM(CASE WHEN a THEN CAST(v AS DECIMAL(38,9)) END)
+               AS DOUBLE)
+               / SUM(CASE WHEN a THEN 1 ELSE 0 END), 9) AS ma,
+         ROUND(CAST(SUM(CASE WHEN b THEN CAST(v AS DECIMAL(38,9)) END)
+               AS DOUBLE)
+               / SUM(CASE WHEN b THEN 1 ELSE 0 END), 9) AS mb
+  FROM __e GROUP BY dim
+)
+SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+       ROUND(SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb)),
+             {round_to}) AS cos_centroids,
+       ROUND(sqrt(SUM((ma - mb) * (ma - mb))), {round_to}) AS l2_centroids
+FROM __d
+"""

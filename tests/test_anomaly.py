@@ -458,3 +458,39 @@ def test_psi_drift_identical_slices_near_zero(spark):
         df, "v", F.col("grp") == 0, F.col("grp") == 1, lo=0.0, hi=100.0, n_bins=10
     ).collect()
     assert out[0].psi < 0.01
+
+
+def test_centroid_drift_identical_and_shifted(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.anomaly import (
+        centroid_drift,
+        centroid_drift_sql,
+    )
+
+    # slices with IDENTICAL vector sets -> cos 1.0, l2 0.0
+    vecs = [[1.0, 2.0, 3.0], [4.0, 0.0, -1.0], [0.5, 0.5, 0.5]]
+    rows = [(i * 2 + g, v, g) for i, v in enumerate(vecs) for g in (0, 1)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>, grp int")
+    [r] = centroid_drift(
+        df, "embedding", F.col("grp") == 0, F.col("grp") == 1
+    ).collect()
+    assert r.n_a == 3 and r.n_b == 3
+    assert r.cos_centroids == 1.0 and r.l2_centroids == 0.0
+    # orthogonal-shifted slice B -> cosine far below 1
+    rows2 = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 1)]
+    df2 = spark.createDataFrame(rows2, "id long, embedding array<double>, grp int")
+    [r2] = centroid_drift(
+        df2, "embedding", F.col("grp") == 0, F.col("grp") == 1
+    ).collect()
+    assert r2.cos_centroids == 0.0
+    assert abs(r2.l2_centroids - round(2 ** 0.5, 6)) < 1e-12
+    # DuckDB twin parity on the first fixture
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, embedding DOUBLE[], grp INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    [want] = con.sql(
+        centroid_drift_sql("t", "embedding", "grp = 0", "grp = 1")
+    ).fetchall()
+    assert (r.n_a, r.n_b, r.cos_centroids, r.l2_centroids) == want
