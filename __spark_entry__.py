@@ -1655,6 +1655,39 @@ ORDER BY doc_id
             block_shift=12,
         ),
     ),
+    # asymmetric near-dup: containment verifier on a bounded block whose
+    # derived corpus adds whole-prefix excerpts (id+500000, first ~12
+    # words of every 5th doc) — high containment, low jaccard, exactly
+    # the quote-inclusion case the symmetric metrics miss
+    "dedup_containment_pairs": (
+        lambda s, d: _dedup.ngram_containment_pairs(
+            _docs(s, d)
+            .where(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .unionByName(
+                _docs(s, d)
+                .where((F.col("doc_id") < 100) & (F.col("doc_id") % 5 == 0))
+                .select(
+                    (F.col("doc_id") + 500000).alias("doc_id"),
+                    F.expr("substr(text, 1, 80)").alias("text"),
+                )
+            ),
+            "doc_id",
+            "text",
+            shingle_n=3,
+            threshold=0.8,
+        ),
+        _dedup.ngram_containment_pairs_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id < 100"
+            " UNION ALL SELECT doc_id + 500000 AS doc_id,"
+            " substr(text, 1, 80) AS text FROM documents"
+            " WHERE doc_id < 100 AND doc_id % 5 = 0)",
+            "doc_id",
+            "text",
+            shingle_n=3,
+            threshold=0.8,
+        ),
+    ),
     # semantic drift: cosine/L2 between slice mean-embedding centroids
     # (the representation-space member of the drift family)
     "embed_centroid_drift": (

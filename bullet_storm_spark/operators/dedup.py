@@ -674,6 +674,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, containment, size_a, size_b): pairs where the SMALLER
+    document's distinct-gram set is >= ``threshold`` contained in the
+    larger's — |A∩B| / min(|A|, |B|). Jaccard misses exactly these:
+    a short doc quoted whole inside a long one has tiny Jaccard but
+    containment ~1 (quote/boilerplate-inclusion detection, the asymmetric
+    face of near-dup).
+
+    Same bounded-VERIFIER contract as ngram_jaccard_pairs: callers bound
+    the block; at scale the candidate source is the winnowing fingerprint
+    join (operators/winnow.py), whose shared-fingerprint guarantee is
+    length-asymmetric by construction — unlike MinHash banding, which is
+    calibrated to Jaccard and systematically misses contained pairs."""
+    sh = shingles(text_col, shingle_n)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")).where(
+        F.size("sh") > 0
+    )
+    l, r = base.alias("l"), base.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    cont = F.round(
+        inter / F.least(F.size(F.col("l.sh")), F.size(F.col("r.sh"))), round_to
+    )
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cont.alias("containment"),
+            F.size(F.col("l.sh")).alias("size_a"),
+            F.size(F.col("r.sh")).alias("size_b"),
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_containment_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> str:
+    sh = shingles_sql(text_col, shingle_n)
+    cont = (
+        "len(list_intersect(l.sh, r.sh))"
+        " / LEAST(len(l.sh), len(r.sh))::DOUBLE"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sh} AS sh FROM {table}
+), nonempty AS (SELECT * FROM base WHERE len(sh) > 0)
+SELECT l.id AS id_a, r.id AS id_b,
+       ROUND({cont}, {round_to}) AS containment,
+       CAST(len(l.sh) AS INTEGER) AS size_a,
+       CAST(len(r.sh) AS INTEGER) AS size_b
+FROM nonempty l JOIN nonempty r ON l.id < r.id
+WHERE ROUND({cont}, {round_to}) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def ngram_jaccard_pairs_sql(
     table: str,
     id_col: str,

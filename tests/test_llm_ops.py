@@ -276,3 +276,34 @@ def test_multimodal_extract_features(docs):
         assert got["top_nibble"] == int(np.argmax(want))
         # histogram mass accounts for every byte
         assert sum(got["features"]) == got["n_bytes"]
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_sql,
+        ngram_jaccard_pairs,
+    )
+
+    long = "alpha beta gamma delta " * 20 + "epsilon zeta eta theta " * 20
+    quote = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    rows = [(1, long), (2, quote), (3, "totally unrelated words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = ngram_containment_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.8)
+    got = [(r.id_a, r.id_b, r.containment) for r in cont.collect()]
+    assert len(got) == 1 and got[0][:2] == (1, 2) and got[0][2] >= 0.8
+    # the symmetric metric misses the same pair at any meaningful bar
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.5)
+    assert jac.count() == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", rows)
+    want = con.sql(
+        ngram_containment_pairs_sql("d", "doc_id", "text", 3, 0.8)
+    ).fetchall()
+    spark_rows = [
+        (r.id_a, r.id_b, r.containment, r.size_a, r.size_b) for r in cont.collect()
+    ]
+    assert spark_rows == want

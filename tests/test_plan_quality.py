@@ -68,6 +68,9 @@ def test_timestamp_filter_pushdown(plans):
 # contract-bounded query set (O(|Q|*N), |Q| small) — not N x N
 _ALL_PAIRS_VERIFIERS = {
     "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",  # same bounded-block verifier contract as
+    #                             the jaccard verifier (winnow supplies
+    #                             candidates at scale)
     "dedup_embedding_pairs_exact_block",
     "ann_brute_force_topk",
     "ann_quantized_topk",  # same broadcast-|Q| contract as brute force
