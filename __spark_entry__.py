@@ -1655,6 +1655,44 @@ ORDER BY doc_id
             block_shift=12,
         ),
     ),
+    # the SCALE path for asymmetric near-dup: winnow fingerprint
+    # candidates (length-asymmetric by construction) -> containment
+    # verify on candidates only; same derived excerpt corpus as the
+    # bounded verifier entry, full-corpus this time (no block bound)
+    "dedup_containment_winnowed": (
+        lambda s, d: _winnow.winnow_containment_pairs(
+            _docs(s, d)
+            .select("doc_id", "text")
+            .unionByName(
+                _docs(s, d)
+                .where(F.col("doc_id") % 5 == 0)
+                .select(
+                    (F.col("doc_id") + 500000).alias("doc_id"),
+                    F.expr("substr(text, 1, 80)").alias("text"),
+                )
+            ),
+            "doc_id",
+            "text",
+            **_WINNOW_KW,
+            min_shared=2,
+            df_cap=50,
+            shingle_n=3,
+            threshold=0.8,
+        ),
+        _winnow.winnow_containment_pairs_sql(
+            "(SELECT doc_id, text FROM documents"
+            " UNION ALL SELECT doc_id + 500000 AS doc_id,"
+            " substr(text, 1, 80) AS text FROM documents"
+            " WHERE doc_id % 5 = 0)",
+            "doc_id",
+            "text",
+            **_WINNOW_KW,
+            min_shared=2,
+            df_cap=50,
+            shingle_n=3,
+            threshold=0.8,
+        ),
+    ),
     # asymmetric near-dup: containment verifier on a bounded block whose
     # derived corpus adds whole-prefix excerpts (id+500000, first ~12
     # words of every 5th doc) — high containment, low jaccard, exactly

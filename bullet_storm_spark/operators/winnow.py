@@ -270,3 +270,85 @@ SELECT COUNT(*) AS exact_pairs,
        ROUND(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0), 6) AS recall
 FROM exact_pairs LEFT JOIN winnow_pairs USING (id_a, id_b)
 """
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    df_cap: int = 50,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, shared, containment): the SCALE path for asymmetric
+    (quote-inclusion) near-dup — winnowing fingerprint candidates,
+    containment-verified. Winnowing's shared-fingerprint guarantee is
+    length-asymmetric (a contiguous match >= w+k-1 chars shares a
+    fingerprint no matter how different the document lengths), which is
+    exactly the property MinHash banding lacks for contained pairs; the
+    verifier is `dedup.ngram_containment_pairs`' formula evaluated ONLY
+    on the candidate set (one fp equi-join + two id-keyed joins — never
+    all-pairs)."""
+    from bullet_storm_spark.functions.text import shingles
+
+    cands = winnow_neardup_pairs(
+        df, id_col, text_col, k=k, w=w, min_shared=min_shared, df_cap=df_cap
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    cont = F.round(
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        / F.least(F.size(F.col("a.sh")), F.size(F.col("b.sh"))),
+        round_to,
+    )
+    return (
+        cands.join(base.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(base.alias("b"), F.col("id_b") == F.col("b.id"))
+        .select("id_a", "id_b", "shared", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def winnow_containment_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    df_cap: int = 50,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> str:
+    from bullet_storm_spark.functions.text import shingles_sql
+
+    cands = winnow_neardup_pairs_sql(
+        table, id_col, text_col, k, w, min_shared, df_cap
+    ).strip()
+    cands = cands[: cands.rindex("ORDER BY")]
+    sh = shingles_sql(text_col, shingle_n)
+    cont = (
+        "len(list_intersect(a.sh, b.sh))"
+        " / LEAST(len(a.sh), len(b.sh))::DOUBLE"
+    )
+    return f"""
+WITH __cands AS ({cands}),
+__base AS (
+  SELECT {id_col} AS id, {sh} AS sh FROM {table}
+),
+__nonempty AS (SELECT * FROM __base WHERE len(sh) > 0)
+SELECT c.id_a, c.id_b, c.shared,
+       ROUND({cont}, {round_to}) AS containment
+FROM __cands c
+JOIN __nonempty a ON c.id_a = a.id
+JOIN __nonempty b ON c.id_b = b.id
+WHERE ROUND({cont}, {round_to}) >= {threshold}
+ORDER BY c.id_a, c.id_b
+"""

@@ -152,3 +152,23 @@ def test_winnow_recall_audit_oracle(spark):
     row = got[0]
     assert row.exact_pairs == row.winnow_found + row.missed
     assert 0.0 <= row.recall <= 1.0
+
+
+def test_winnow_containment_finds_excerpt(spark):
+    from bullet_storm_spark.operators.winnow import winnow_containment_pairs
+
+    body = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill nearby ") * 4
+    rows = [
+        (1, body),
+        (2, body[:90]),  # whole-prefix excerpt: contained, not similar
+        (3, "completely different content with other words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.id_a, r.id_b, r.containment)
+        for r in winnow_containment_pairs(
+            df, "doc_id", "text", k=8, w=16, min_shared=2, threshold=0.8
+        ).collect()
+    ]
+    assert len(got) == 1 and got[0][:2] == (1, 2) and got[0][2] >= 0.8
