@@ -1942,6 +1942,20 @@ ORDER BY doc_id
             ],
         ),
     ),
+    # referential integrity: orders.o_custkey -> customer.c_custkey
+    # orphan accounting + parent-key uniqueness (the star-schema join
+    # pre-flight; orphan facts silently vanish from inner joins)
+    "profile_referential": (
+        lambda s, d: _profile.referential_check(
+            load_table(s, d, "orders"),
+            load_table(s, d, "customer"),
+            "o_custkey",
+            "c_custkey",
+        ),
+        _profile.referential_check_sql(
+            "orders", "customer", "o_custkey", "c_custkey"
+        ),
+    ),
     # the verification half of the gate: a Deequ-style expectation suite
     # (completeness/uniqueness/range/cardinality) in the same one-pass
     # aggregation shape; the mixed pass/fail verdicts are the point

@@ -126,6 +126,9 @@ HEADLINE = [
     "text_source_overlap",
     "text_line_dedup_clean",
     "profile_customer",
+    "profile_expectations",
+    "profile_referential",
+    "embed_centroid_drift",
 ]
 
 

@@ -344,3 +344,100 @@ WITH __agg AS (
 {body}
 ORDER BY rule_idx
 """
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """(n_child, fk_nulls, n_orphans, orphan_rate, n_parent, pk_is_unique):
+    referential-integrity accounting between a child table's foreign key
+    and a parent's key — the join-quality pre-flight every star-schema
+    load runs (orphan facts silently vanish from inner joins; a non-unique
+    "primary" key silently fans joins out). ``orphan_rate`` is orphans /
+    non-null FK rows.
+
+    Plan: one distinct-key aggregate on the parent (key-cardinality
+    sized, broadcast) + one left join from the child FK counts — the
+    child table never shuffles on anything but its own aggregation."""
+    pk = parent.agg(
+        F.count(pk_col).cast("long").alias("__pk_rows"),
+        F.count_distinct(F.col(pk_col)).cast("long").alias("__pk_distinct"),
+    )
+    keys = parent.select(F.col(pk_col).alias("__k")).distinct()
+    fk_counts = (
+        child.select(F.col(fk_col).alias("__fk"))
+        .groupBy("__fk")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    joined = fk_counts.join(
+        F.broadcast(keys), fk_counts["__fk"] == keys["__k"], "left"
+    )
+    agg = joined.agg(
+        F.sum("__c").cast("long").alias("n_child"),
+        F.sum(F.when(F.col("__fk").isNull(), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("fk_nulls"),
+        F.sum(
+            F.when(F.col("__k").isNull() & F.col("__fk").isNotNull(), F.col("__c"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_orphans"),
+    )
+    return agg.crossJoin(F.broadcast(pk)).select(
+        "n_child",
+        "fk_nulls",
+        "n_orphans",
+        F.round(
+            F.when(
+                F.col("n_child") - F.col("fk_nulls") > 0,
+                F.col("n_orphans") / (F.col("n_child") - F.col("fk_nulls")),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("orphan_rate"),
+        F.col("__pk_rows").alias("n_parent"),
+        (F.col("__pk_distinct") == F.col("__pk_rows")).alias("pk_is_unique"),
+    )
+
+
+def referential_check_sql(
+    child_table: str,
+    parent_table: str,
+    fk_col: str,
+    pk_col: str,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH __pk AS (
+  SELECT COUNT({pk_col})::BIGINT AS pk_rows,
+         COUNT(DISTINCT {pk_col})::BIGINT AS pk_distinct
+  FROM {parent_table}
+),
+__keys AS (SELECT DISTINCT {pk_col} AS k FROM {parent_table}),
+__fk AS (
+  SELECT {fk_col} AS fk, COUNT(*)::BIGINT AS c
+  FROM {child_table} GROUP BY fk
+),
+__j AS (
+  SELECT f.fk, f.c, k.k FROM __fk f LEFT JOIN __keys k ON f.fk = k.k
+),
+__a AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN fk IS NULL THEN c ELSE 0 END) AS BIGINT)
+           AS fk_nulls,
+         CAST(SUM(CASE WHEN k IS NULL AND fk IS NOT NULL THEN c ELSE 0 END)
+              AS BIGINT) AS n_orphans
+  FROM __j
+)
+SELECT n_child, fk_nulls, n_orphans,
+       ROUND(CASE WHEN n_child - fk_nulls > 0
+                  THEN CAST(n_orphans AS DOUBLE) / (n_child - fk_nulls)
+                  ELSE 0.0 END, {round_to}) AS orphan_rate,
+       pk_rows AS n_parent,
+       (pk_distinct = pk_rows) AS pk_is_unique
+FROM __a CROSS JOIN __pk
+"""

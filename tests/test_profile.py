@@ -98,3 +98,39 @@ def test_expectations_validation(spark):
         check_expectations(df, [("bogus_kind", "k")])
     with pytest.raises(ValueError):
         check_expectations(df, [("not_null", "k")])  # missing param
+
+
+def test_referential_check_orphans_and_nulls(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.profile import (
+        referential_check,
+        referential_check_sql,
+    )
+
+    parent = [(1,), (2,), (3,)]
+    child = [(10, 1), (11, 1), (12, 2), (13, 99), (14, None), (15, 98)]
+    p = spark.createDataFrame(parent, "pk long")
+    c = spark.createDataFrame(child, "id long, fk long")
+    [r] = referential_check(c, p, "fk", "pk").collect()
+    assert r.n_child == 6 and r.fk_nulls == 1
+    assert r.n_orphans == 2  # fks 99, 98
+    assert r.orphan_rate == round(2 / 5, 6)
+    assert r.n_parent == 3 and r.pk_is_unique
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (pk BIGINT)")
+    con.execute("CREATE TABLE c (id BIGINT, fk BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?)", parent)
+    con.executemany("INSERT INTO c VALUES (?,?)", child)
+    [want] = con.sql(referential_check_sql("c", "p", "fk", "pk")).fetchall()
+    assert (r.n_child, r.fk_nulls, r.n_orphans, r.orphan_rate,
+            r.n_parent, r.pk_is_unique) == want
+
+
+def test_referential_check_nonunique_parent_key(spark):
+    from bullet_storm_spark.operators.profile import referential_check
+
+    p = spark.createDataFrame([(1,), (1,), (2,)], "pk long")
+    c = spark.createDataFrame([(10, 1)], "id long, fk long")
+    [r] = referential_check(c, p, "fk", "pk").collect()
+    assert not r.pk_is_unique and r.n_parent == 3 and r.n_orphans == 0
