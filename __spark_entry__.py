@@ -1996,6 +1996,13 @@ ORDER BY doc_id
             min_df=5,
         ),
     ),
+    # vocabulary-growth audit: Heaps' law V = K*N^beta at 10 id
+    # checkpoints + the log-log OLS fit (the Zipf report's companion —
+    # saturating vocabulary flags templated/duplicated corpora)
+    "text_heaps_report": (
+        lambda s, d: _vocab.heaps_report(_docs(s, d), "doc_id", "text"),
+        _vocab.heaps_report_sql("documents", "doc_id", "text"),
+    ),
     # cross-source trigram overlap matrix: the set-overlap sibling of
     # source_divergence — mirrored/syndicated content + cross-source
     # leakage detection before choosing mixing weights

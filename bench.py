@@ -129,6 +129,7 @@ HEADLINE = [
     "profile_expectations",
     "profile_referential",
     "embed_centroid_drift",
+    "text_heaps_report",
 ]
 
 

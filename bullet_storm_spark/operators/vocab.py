@@ -858,3 +858,202 @@ FROM __spine s LEFT JOIN __shared h
   ON s.source_a = h.source_a AND s.source_b = h.source_b
 ORDER BY s.source_a, s.source_b
 """
+
+
+def heaps_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_checkpoints: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """(checkpoint, docs_le, cum_tokens, cum_distinct, heaps_beta,
+    heaps_log_k, heaps_r2): vocabulary-GROWTH audit — Heaps' law
+    (V = K * N^beta, natural text beta ~ 0.4-0.6) measured at
+    ``n_checkpoints`` equal-width id checkpoints, with the log-log OLS
+    fit repeated on every row. The companion of `zipf_report`: Zipf
+    checks the frequency DISTRIBUTION, this checks whether vocabulary
+    keeps growing with corpus size — templated/synthetic text saturates
+    (beta -> 0) and duplicated corpora grow too slowly, both invisible
+    to per-document quality scores.
+
+    Plan: token first-occurrence = one (token -> min id) hash agg; the
+    cumulative curves are checkpoint-conditional sums over that
+    vocabulary-sized frame and the per-doc token counts — no running
+    window over the corpus, no iteration; the OLS is closed-form over
+    n_checkpoints rows (the zipf_report discipline)."""
+    if n_checkpoints < 3:
+        raise ValueError(f"need >= 3 checkpoints, got {n_checkpoints}")
+    base = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    bounds = df.agg(
+        F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi")
+    )
+    # checkpoint c (1-based) covers ids <= lo + c * (hi - lo + 1) / n - 1
+    cps = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(1), F.lit(int(n_checkpoints)))).alias(
+                "checkpoint"
+            ),
+            "__lo",
+            "__hi",
+        )
+        .select(
+            "checkpoint",
+            (
+                F.col("__lo")
+                + F.floor(
+                    F.col("checkpoint")
+                    * (F.col("__hi") - F.col("__lo") + 1)
+                    / n_checkpoints
+                )
+                - 1
+            ).cast("long").alias("__cut"),
+        )
+    )
+    first_seen = base.groupBy("token").agg(F.min("id").alias("__first"))
+    doc_tokens = base.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("__nt")
+    )
+    curves = (
+        cps.join(
+            F.broadcast(
+                doc_tokens.crossJoin(F.broadcast(cps.select("checkpoint", "__cut")))
+                .where(F.col("id") <= F.col("__cut"))
+                .groupBy(F.col("checkpoint").alias("__cp1"))
+                .agg(F.sum("__nt").cast("long").alias("cum_tokens"))
+            ),
+            F.col("checkpoint") == F.col("__cp1"),
+        )
+        .join(
+            F.broadcast(
+                first_seen.crossJoin(F.broadcast(cps.select("checkpoint", "__cut")))
+                .where(F.col("__first") <= F.col("__cut"))
+                .groupBy(F.col("checkpoint").alias("__cp2"))
+                .agg(F.count(F.lit(1)).cast("long").alias("cum_distinct"))
+            ),
+            F.col("checkpoint") == F.col("__cp2"),
+        )
+        .join(
+            F.broadcast(
+                df.crossJoin(F.broadcast(cps.select("checkpoint", "__cut")))
+                .where(F.col(id_col) <= F.col("__cut"))
+                .groupBy(F.col("checkpoint").alias("__cp3"))
+                .agg(F.count(F.lit(1)).cast("long").alias("docs_le"))
+            ),
+            F.col("checkpoint") == F.col("__cp3"),
+        )
+        .select("checkpoint", "docs_le", "cum_tokens", "cum_distinct")
+    )
+    pts = curves.select(
+        "checkpoint", "docs_le", "cum_tokens", "cum_distinct",
+        F.log(F.col("cum_tokens").cast("double")).alias("__x"),
+        F.log(F.col("cum_distinct").cast("double")).alias("__y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    # zero-variance guards: constant cum_distinct (fully saturated
+    # vocabulary) zeroes the y-variance -> slope is exactly 0 and r2 is
+    # undefined (NULL); constant x cannot happen for a non-empty corpus
+    # but gets the same guard for ANSI-division safety
+    varx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    fit = fit.select(
+        F.round(
+            F.when(varx != 0, cov / varx).otherwise(F.lit(None)), round_to
+        ).alias("heaps_beta"),
+        F.round(
+            F.when(
+                varx != 0,
+                (F.col("__sy") - (cov / varx) * F.col("__sx")) / F.col("__n"),
+            ).otherwise(F.lit(None)),
+            round_to,
+        ).alias("heaps_log_k"),
+        F.round(
+            F.when(
+                (varx != 0) & (vary != 0), cov * cov / (varx * vary)
+            ).otherwise(F.lit(None)),
+            round_to,
+        ).alias("heaps_r2"),
+    )
+    return pts.select(
+        "checkpoint", "docs_le", "cum_tokens", "cum_distinct"
+    ).crossJoin(F.broadcast(fit)).orderBy("checkpoint")
+
+
+def heaps_report_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_checkpoints: int = 10,
+    round_to: int = 6,
+) -> str:
+    if n_checkpoints < 3:
+        raise ValueError(f"need >= 3 checkpoints, got {n_checkpoints}")
+    t = tokens_sql(text_col)
+    return f"""
+WITH __base AS (
+  SELECT {id_col} AS id, token
+  FROM {table}, UNNEST({t}) AS __t(token)
+  WHERE token <> ''
+),
+__bounds AS (
+  SELECT MIN({id_col}) AS lo, MAX({id_col}) AS hi FROM {table}
+),
+__cps AS (
+  SELECT c AS checkpoint,
+         CAST(lo + floor(c * (hi - lo + 1) / {n_checkpoints}) - 1 AS BIGINT)
+           AS cut
+  FROM __bounds, UNNEST(generate_series(1, {n_checkpoints})) AS __c(c)
+),
+__first AS (SELECT token, MIN(id) AS first_id FROM __base GROUP BY token),
+__doc_tokens AS (
+  SELECT id, COUNT(*)::BIGINT AS nt FROM __base GROUP BY id
+),
+__curves AS (
+  SELECT c.checkpoint,
+         (SELECT COUNT(*)::BIGINT FROM {table} WHERE {id_col} <= c.cut)
+           AS docs_le,
+         (SELECT COALESCE(SUM(nt), 0)::BIGINT FROM __doc_tokens
+          WHERE id <= c.cut) AS cum_tokens,
+         (SELECT COUNT(*)::BIGINT FROM __first WHERE first_id <= c.cut)
+           AS cum_distinct
+  FROM __cps c
+),
+__pts AS (
+  SELECT *, ln(CAST(cum_tokens AS DOUBLE)) AS x,
+         ln(CAST(cum_distinct AS DOUBLE)) AS y
+  FROM __curves
+),
+__fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM __pts
+)
+SELECT p.checkpoint, p.docs_le, p.cum_tokens, p.cum_distinct,
+       ROUND(CASE WHEN f.n * f.sxx - f.sx * f.sx <> 0
+                  THEN (f.n * f.sxy - f.sx * f.sy)
+                       / (f.n * f.sxx - f.sx * f.sx) END,
+             {round_to}) AS heaps_beta,
+       ROUND(CASE WHEN f.n * f.sxx - f.sx * f.sx <> 0
+                  THEN (f.sy - ((f.n * f.sxy - f.sx * f.sy)
+                                / (f.n * f.sxx - f.sx * f.sx)) * f.sx) / f.n
+                  END,
+             {round_to}) AS heaps_log_k,
+       ROUND(CASE WHEN (f.n * f.sxx - f.sx * f.sx) <> 0
+                   AND (f.n * f.syy - f.sy * f.sy) <> 0
+                  THEN (f.n * f.sxy - f.sx * f.sy) * (f.n * f.sxy - f.sx * f.sy)
+                       / ((f.n * f.sxx - f.sx * f.sx)
+                          * (f.n * f.syy - f.sy * f.sy)) END,
+             {round_to}) AS heaps_r2
+FROM __pts p CROSS JOIN __fit f
+ORDER BY p.checkpoint
+"""

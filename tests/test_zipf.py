@@ -29,3 +29,37 @@ def test_zipf_slope_negative_and_r2_bounded(spark):
     assert 0.0 < row.top_coverage <= 1.0
     # synthetic sf0.001 corpus has a tiny vocabulary; just require a real fit
     assert row.n_terms >= 10
+
+
+def test_heaps_growing_vs_saturated_vocabulary(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.vocab import heaps_report, heaps_report_sql
+
+    # growing: each doc introduces fresh tokens -> beta near 1
+    growing = [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(30)]
+    gdf = spark.createDataFrame(growing, "doc_id long, text string")
+    g = heaps_report(gdf, "doc_id", "text", n_checkpoints=5).collect()
+    assert len(g) == 5
+    assert all(r.heaps_beta == g[0].heaps_beta for r in g)  # fit repeated
+    assert g[0].heaps_beta > 0.9
+    assert g[-1].cum_distinct == 30 * 20 and g[-1].docs_le == 30
+    # monotone curves
+    assert all(a.cum_tokens < b.cum_tokens for a, b in zip(g, g[1:]))
+    # saturated: every doc reuses the same 5 tokens -> beta ~ 0
+    flat = [(i, "a b c d e") for i in range(30)]
+    fdf = spark.createDataFrame(flat, "doc_id long, text string")
+    f = heaps_report(fdf, "doc_id", "text", n_checkpoints=5).collect()
+    assert f[0].heaps_beta == 0.0 and f[-1].cum_distinct == 5
+    assert f[0].heaps_r2 is None  # undefined on zero vocabulary variance
+    # DuckDB twin parity on the growing fixture
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", growing)
+    want = con.sql(heaps_report_sql("d", "doc_id", "text", 5)).fetchall()
+    got = [
+        (r.checkpoint, r.docs_le, r.cum_tokens, r.cum_distinct,
+         r.heaps_beta, r.heaps_log_k, r.heaps_r2)
+        for r in g
+    ]
+    assert got == want
