@@ -576,6 +576,13 @@ _MIX_KW = dict(
     salt="mix",
 )
 _PACK_KW = dict(capacity=256, n_shards=8)
+# mix_plan: budget sized so src0 over-epochs at the sf0.01 gate scale
+# (target 3000 vs ~1435 avail tokens @ max 2.0 epochs -> shortfall)
+_MIX_PLAN_KW = dict(
+    weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    budget_tokens=6000,
+    max_epochs=2.0,
+)
 
 
 def _docs(spark, sf_dir):
@@ -1291,6 +1298,14 @@ ORDER BY doc_id
             _docs(s, d), "doc_id", "source", "text", **_MIX_KW
         ),
         _smp.mix_accounting_sql("documents", "doc_id", "source", "text", **_MIX_KW),
+    ),
+    # token-budget mixture solver: target shares + budget -> per-source
+    # sampling epochs, over-epoch guard, shortfall (the Chinchilla-style
+    # data-budget pre-flight before a mixing run); targets are plan
+    # literals, one hash agg over the corpus
+    "sample_mix_plan": (
+        lambda s, d: _smp.mix_plan(_docs(s, d), "source", "text", **_MIX_PLAN_KW),
+        _smp.mix_plan_sql("documents", "source", "text", **_MIX_PLAN_KW),
     ),
     # sequence packing: contiguous stream cut every `capacity` tokens — a
     # per-shard window cumsum, oracle-checked end-to-end

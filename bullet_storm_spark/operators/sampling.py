@@ -175,6 +175,132 @@ ORDER BY {stratum_col}
 """
 
 
+def _target_tokens_sql_case(
+    stratum_col: str, targets: dict[str, int]
+) -> str:
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{k}' THEN CAST({targets[k]} AS BIGINT)"
+        for k in sorted(targets)
+    )
+    return f"CASE {whens} ELSE CAST(0 AS BIGINT) END"
+
+
+def _target_tokens_col(stratum_col: str, targets: dict[str, int]) -> Column:
+    out: Column = F.lit(0).cast("bigint")
+    for key in sorted(targets, reverse=True):
+        out = F.when(
+            F.col(stratum_col) == key, F.lit(int(targets[key])).cast("bigint")
+        ).otherwise(out)
+    return out
+
+
+def _mix_targets(weights: dict[str, float], budget_tokens: int) -> dict[str, int]:
+    """Per-source token targets as exact plan literals.
+
+    Shares are resolved driver-side (weights and budget are config, not
+    data), so both dialects see identical integer literals and the only
+    data-dependent arithmetic left in the plan is one BIGINT division —
+    no float-multiply parity surface at all."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("mix_plan: weights must sum to a positive value")
+    return {
+        k: int(round(weights[k] / total * budget_tokens)) for k in weights
+    }
+
+
+def mix_plan(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Token-budget mixture solver: given target source proportions and a
+    total token budget, report per source what the corpus can actually
+    supply — available tokens, the target, the epochs the sampler would
+    need (``planned_epochs`` feeds straight into ``weighted_sample`` /
+    ``n_copies`` as the per-source weight), whether that exceeds the
+    over-epoching guard, and the token shortfall if it does.
+
+    This is the pre-flight a data-budgeting pass (Chinchilla-style token
+    accounting, DoReMi-style domain reweighting) runs before committing a
+    100 TB mixing job: one hash aggregation over the corpus, a broadcast-
+    sized output (one row per source), and every threshold a plan literal.
+    Sources present in the data but absent from ``weights`` get a zero
+    target (they are being mixed out), and appear in the report so the
+    review sees what is being dropped.
+
+    Output: ``(stratum, n_docs, avail_tokens, target_tokens,
+    planned_epochs, over_epoch, shortfall_tokens)``; ``planned_epochs``
+    ROUND 6dp from one BIGINT/BIGINT division, NULL for a zero-token
+    source; ``shortfall_tokens = max(target - floor(avail * max_epochs),
+    0)``."""
+    targets = _mix_targets(weights, budget_tokens)
+    toks = token_count(text_col)
+    agg = (
+        df.select(F.col(stratum_col), toks.cast("bigint").alias("__t"))
+        .groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("avail_tokens"),
+        )
+    )
+    target = _target_tokens_col(stratum_col, targets)
+    epochs = F.when(
+        F.col("avail_tokens") > 0,
+        F.round(F.col("target_tokens") / F.col("avail_tokens"), 6),
+    )
+    cap = F.floor(F.col("avail_tokens") * F.lit(float(max_epochs))).cast("bigint")
+    return (
+        agg.withColumn("target_tokens", target)
+        .withColumn("planned_epochs", epochs)
+        .withColumn("over_epoch", F.col("planned_epochs") > float(max_epochs))
+        .withColumn(
+            "shortfall_tokens",
+            F.greatest(F.col("target_tokens") - cap, F.lit(0).cast("bigint")),
+        )
+        .orderBy(stratum_col)
+    )
+
+
+def mix_plan_sql(
+    table: str,
+    stratum_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+) -> str:
+    targets = _mix_targets(weights, budget_tokens)
+    toks = token_count_sql(text_col)
+    target = _target_tokens_sql_case(stratum_col, targets)
+    return f"""
+WITH __agg AS (
+  SELECT {stratum_col},
+         COUNT(*) AS n_docs,
+         CAST(SUM(CAST({toks} AS BIGINT)) AS BIGINT) AS avail_tokens
+  FROM {table}
+  GROUP BY {stratum_col}
+),
+__plan AS (
+  SELECT {stratum_col}, n_docs, avail_tokens,
+         {target} AS target_tokens,
+         CASE WHEN avail_tokens > 0
+              THEN ROUND(({target}) / avail_tokens, 6) END AS planned_epochs,
+         CAST(FLOOR(avail_tokens * CAST({float(max_epochs)!r} AS DOUBLE))
+              AS BIGINT) AS __cap
+  FROM __agg
+)
+SELECT {stratum_col}, n_docs, avail_tokens, target_tokens, planned_epochs,
+       planned_epochs > CAST({float(max_epochs)!r} AS DOUBLE) AS over_epoch,
+       GREATEST(target_tokens - __cap, CAST(0 AS BIGINT)) AS shortfall_tokens
+FROM __plan
+ORDER BY {stratum_col}
+"""
+
+
 def stratified_split(
     df: DataFrame,
     id_col: str,

@@ -132,6 +132,62 @@ def test_weighted_sample_is_scan_level(docs):
     assert "Exchange" not in plan
 
 
+# --- mix_plan (token-budget mixture solver) ---------------------------------
+
+@pytest.fixture(scope="module")
+def plan_docs(spark):
+    # s0: 10 tokens over 2 docs; s1: 5 tokens; s2: 4 tokens, unweighted
+    rows = [
+        (0, "a b c d e f", "s0"),
+        (1, "g h i j", "s0"),
+        (2, "k l m n o", "s1"),
+        (3, "p q r s", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+_PLAN_KW = dict(weights={"s0": 0.6, "s1": 0.4}, budget_tokens=30, max_epochs=2.0)
+
+
+def test_mix_plan_semantics(plan_docs):
+    out = {
+        r.source: r.asDict()
+        for r in sampling.mix_plan(plan_docs, "source", "text", **_PLAN_KW).collect()
+    }
+    # targets: s0 = 0.6*30 = 18, s1 = 0.4*30 = 12, s2 absent -> 0
+    s0 = out["s0"]
+    assert (s0["n_docs"], s0["avail_tokens"], s0["target_tokens"]) == (2, 10, 18)
+    assert s0["planned_epochs"] == 1.8 and s0["over_epoch"] is False
+    assert s0["shortfall_tokens"] == 0          # cap = floor(10*2.0) = 20 >= 18
+    s1 = out["s1"]
+    assert (s1["avail_tokens"], s1["target_tokens"]) == (5, 12)
+    assert s1["planned_epochs"] == 2.4 and s1["over_epoch"] is True
+    assert s1["shortfall_tokens"] == 2          # 12 - floor(5*2.0) = 2
+    s2 = out["s2"]                               # mixed out, still reported
+    assert (s2["target_tokens"], s2["planned_epochs"], s2["shortfall_tokens"]) == (
+        0, 0.0, 0,
+    )
+
+
+def test_mix_plan_duck_parity(plan_docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pdocs (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO pdocs VALUES (?,?,?)", plan_docs.collect())
+    s = [
+        tuple(r)
+        for r in sampling.mix_plan(plan_docs, "source", "text", **_PLAN_KW).collect()
+    ]
+    d = con.execute(
+        sampling.mix_plan_sql("pdocs", "source", "text", **_PLAN_KW)
+    ).fetchall()
+    assert s == [tuple(r) for r in d]
+
+
+def test_mix_plan_rejects_zero_weights(plan_docs):
+    with pytest.raises(ValueError):
+        sampling.mix_plan(plan_docs, "source", "text", {}, 100)
+
+
 # --- packing ----------------------------------------------------------------
 
 def _toks(r):
