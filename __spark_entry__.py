@@ -1545,6 +1545,13 @@ ORDER BY doc_id
         lambda s, d: _qual.gopher_rules(_docs(s, d), "doc_id", "text"),
         _qual.gopher_rules_sql("documents", "doc_id", "text"),
     ),
+    # rule-cascade accounting over the Gopher suite: marginal vs solo
+    # kills per rule in cascade order (the RefinedWeb-style curation
+    # table); one hash agg + inline, no second scan
+    "text_filter_funnel": (
+        lambda s, d: _qual.filter_funnel(_docs(s, d), "doc_id", "text"),
+        _qual.filter_funnel_sql("documents", "doc_id", "text"),
+    ),
     # unicode-script profile over deterministically augmented text (the
     # synthetic corpus is pure ASCII, so the entry grafts per-doc
     # Cyrillic/CJK/Greek/Arabic runs and truncates the Latin prefix to
@@ -2790,12 +2797,13 @@ _DRIVER_PRIORITY = [
     # NOTE: the window is exactly 50 here. r7 rotation: the 7 deferred
     # entries (raw_filter_project, raw_complex_filter, raw_regex_filter,
     # group_all_metrics, group_by_event_type, count_distinct_users_approx,
-    # distribution_quantile_approx) plus the 10 r6 additions
-    # (text_pii_report, text_pii_redact, text_pii_summary,
-    # corpus_diff_versions, corpus_diff_summary, sample_cap_per_group,
-    # sample_cap_accounting, events_attribution, events_state_intervals,
-    # events_robust_outliers — all tri-scale MATCH in-repo, never
-    # driver-windowed).
+    # distribution_quantile_approx) plus every r6 addition that has never
+    # been driver-windowed (text_pii_*, html_extract_*, layout_zorder_*,
+    # dedup_containment_*, embed_centroid_drift, events_chi2/psi_drift,
+    # events_robust_outliers, events_attribution, events_state_intervals,
+    # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
+    # text_source_overlap, text_heaps_report, text_filter_funnel,
+    # sample_mix_plan — all tri-scale MATCH in-repo).
 ]
 
 

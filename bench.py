@@ -130,6 +130,8 @@ HEADLINE = [
     "profile_referential",
     "embed_centroid_drift",
     "text_heaps_report",
+    "text_filter_funnel",
+    "sample_mix_plan",
 ]
 
 

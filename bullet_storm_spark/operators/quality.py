@@ -176,6 +176,105 @@ FROM __m ORDER BY {id_col}
 """
 
 
+# --- filter funnel ------------------------------------------------------
+
+# Cascade order is part of the report's contract: marginal kills depend on
+# it (a doc failing two rules is charged to the earlier one), solo
+# failures do not.
+FUNNEL_RULES = ["ok_words", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stopwords"]
+
+
+def filter_funnel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+    **overrides: float,
+) -> DataFrame:
+    """Rule-cascade accounting over the Gopher suite: one row per rule in
+    cascade order with ``(stage, rule, n_in, n_killed, n_out,
+    solo_failures, marginal_kill_rate)`` — the curation-report table
+    (RefinedWeb-style) that shows what each filter removes *marginally*
+    (in cascade position, survivors-so-far entering) vs *solo* (docs
+    failing the rule regardless of order). NULL flags count as failures,
+    matching WHERE-clause drop semantics.
+
+    One partial+final hash aggregation over the corpus into a 1-row wide
+    frame, then ``inline`` explodes it to the 5 report rows driver-side of
+    the exchange — no collect, no second scan; at 100 TB this is exactly
+    one pass."""
+    flags = gopher_rules(df, id_col, text_col, round_to, **overrides)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    cum = None
+    for i, r in enumerate(FUNNEL_RULES, 1):
+        c = F.coalesce(F.col(r), F.lit(False))
+        cum = c if cum is None else (cum & c)
+        aggs.append(F.sum(cum.cast("long")).alias(f"__cum{i}"))
+        aggs.append(F.sum((~c).cast("long")).alias(f"__solo{i}"))
+    wide = flags.agg(*aggs)
+    structs = []
+    for i, r in enumerate(FUNNEL_RULES, 1):
+        n_in = F.col("__n") if i == 1 else F.col(f"__cum{i - 1}")
+        n_out = F.col(f"__cum{i}")
+        structs.append(
+            F.struct(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(r[3:]).alias("rule"),
+                n_in.alias("n_in"),
+                (n_in - n_out).alias("n_killed"),
+                n_out.alias("n_out"),
+                F.col(f"__solo{i}").alias("solo_failures"),
+                F.round(
+                    (n_in - n_out) / F.nullif(n_in, F.lit(0)), round_to
+                ).alias("marginal_kill_rate"),
+            )
+        )
+    return wide.select(F.inline(F.array(*structs))).orderBy("stage")
+
+
+def filter_funnel_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+    **overrides: float,
+) -> str:
+    gopher = gopher_rules_sql(table, id_col, text_col, round_to, **overrides)
+    sums, conj = [], []
+    for i, r in enumerate(FUNNEL_RULES, 1):
+        conj.append(f"COALESCE({r}, FALSE)")
+        cum = " AND ".join(conj)
+        sums.append(
+            f"CAST(SUM(CASE WHEN {cum} THEN 1 ELSE 0 END) AS BIGINT) AS __cum{i}"
+        )
+        sums.append(
+            f"CAST(SUM(CASE WHEN NOT COALESCE({r}, FALSE) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS __solo{i}"
+        )
+    rows = []
+    for i, r in enumerate(FUNNEL_RULES, 1):
+        n_in = "__n" if i == 1 else f"__cum{i - 1}"
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS stage, '{r[3:]}' AS rule,"
+            f" {n_in} AS n_in, {n_in} - __cum{i} AS n_killed,"
+            f" __cum{i} AS n_out, __solo{i} AS solo_failures,"
+            f" ROUND(({n_in} - __cum{i}) / NULLIF({n_in}, 0), {round_to})"
+            f" AS marginal_kill_rate FROM __w"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH __g AS ({gopher}),
+__w AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS __n,
+         {", ".join(sums)}
+  FROM __g
+)
+SELECT * FROM (
+{body}
+) ORDER BY stage
+"""
+
+
 # --- unicode script profile -------------------------------------------------
 
 # Script ranges as hex-codepoint classes — the \\x{{..}} escape is the one

@@ -80,6 +80,31 @@ def test_gopher_rules_overrides(docs):
     assert bool(out.loc[4, "passes"])
 
 
+# --- filter funnel ----------------------------------------------------------
+
+def test_filter_funnel(docs, duck):
+    out = _parity(
+        Q.filter_funnel(docs, "doc_id", "text"),
+        duck,
+        Q.filter_funnel_sql("docs", "doc_id", "text"),
+    )
+    assert list(out["rule"]) == ["words", "word_len", "symbols", "alpha", "stopwords"]
+    assert list(out["stage"]) == [1, 2, 3, 4, 5]
+    # chain consistency: survivors of stage k enter stage k+1
+    assert out.loc[0, "n_in"] == 5
+    for k in range(1, 5):
+        assert out.loc[k, "n_in"] == out.loc[k - 1, "n_out"]
+    assert (out["n_killed"] == out["n_in"] - out["n_out"]).all()
+    # a doc killed at stage k fails rule k, so it also counts as a solo
+    # failure of that rule
+    assert (out["n_killed"] <= out["solo_failures"]).all()
+    # stage 1: only doc 1 fails min_words (solo and marginal agree)
+    assert out.loc[0, "n_killed"] == 1 and out.loc[0, "solo_failures"] == 1
+    assert out.loc[0, "marginal_kill_rate"] == 0.2
+    # only doc 0 survives the whole cascade
+    assert out.loc[4, "n_out"] == 1
+
+
 # --- script profile ---------------------------------------------------------
 
 SCRIPT_ROWS = [
