@@ -503,6 +503,7 @@ from bullet_storm_spark.operators import vocab as _vocab
 from bullet_storm_spark.operators import winnow as _winnow
 from bullet_storm_spark.operators import skew as _skew
 from bullet_storm_spark.operators import linkage as _linkage
+from bullet_storm_spark.operators import urls as _urls
 from bullet_storm_spark.operators import pii as _pii
 from bullet_storm_spark.operators import diff as _diff
 from bullet_storm_spark.operators import html as _html
@@ -607,6 +608,27 @@ _HTML_AUG_SQL = (
     " '<p>a &amp;lt; b &nbsp; c &quot;q&#39;s&quot; &gt; d</p>' ELSE '' END"
     " || '</body></html>'"
 )
+
+
+# deterministic URL synthesis for the url_* entries (dual-dialect like
+# _HTML_AUG_SQL): residues vary scheme/host case (%2), www prefix (%2),
+# explicit :443 (%5), trailing slash (%3), tracking-vs-clean query (%4),
+# fragment (%7), and TLD (%11) — so every normalization step fires and
+# (source, doc_id%40, query-class) collisions create real dup groups
+_URL_AUG_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END"
+    " || source"
+    " || CASE WHEN doc_id % 11 = 0 THEN '.Example.ORG' ELSE '.Example.COM' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END"
+    " || '/articles/' || CAST(doc_id % 40 AS STRING)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id='"
+    " || CAST(doc_id % 40 AS STRING)"
+    " WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 40 AS STRING)"
+    " || '&utm_campaign=x' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END"
+)
+_URL_DOCS_SQL = f"(SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents)"
 
 
 # Deequ-style expectation suite for the profile_expectations entry:
@@ -1639,6 +1661,33 @@ ORDER BY doc_id
             "doc_id",
             "html",
         ),
+    ),
+    # URL canonicalization: the crawl pipeline's first dedup key (CCNet/
+    # C4 URL-level pass) — fragment/tracking/port/www/case normalization
+    # as one codegen regexp chain over synthesized URLs (_URL_AUG_SQL)
+    "url_normalize": (
+        lambda s, d: _urls.url_normalize(
+            _docs(s, d).select("doc_id", F.expr(_URL_AUG_SQL).alias("url")),
+            "doc_id",
+            "url",
+        ),
+        _urls.url_normalize_sql(_URL_DOCS_SQL, "doc_id", "url"),
+    ),
+    "url_dedup_report": (
+        lambda s, d: _urls.url_dedup_report(
+            _docs(s, d).select("doc_id", F.expr(_URL_AUG_SQL).alias("url")),
+            "doc_id",
+            "url",
+        ),
+        _urls.url_dedup_report_sql(_URL_DOCS_SQL, "doc_id", "url"),
+    ),
+    "url_domain_report": (
+        lambda s, d: _urls.url_domain_report(
+            _docs(s, d).select("doc_id", F.expr(_URL_AUG_SQL).alias("url")),
+            "doc_id",
+            "url",
+        ),
+        _urls.url_domain_report_sql(_URL_DOCS_SQL, "doc_id", "url"),
     ),
     # Z-order (Morton) interleave keys: the multi-dim data-skipping
     # layout (Delta OPTIMIZE ZORDER analogue) as pure integer scan
@@ -2803,7 +2852,7 @@ _DRIVER_PRIORITY = [
     # events_robust_outliers, events_attribution, events_state_intervals,
     # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
     # text_source_overlap, text_heaps_report, text_filter_funnel,
-    # sample_mix_plan — all tri-scale MATCH in-repo).
+    # sample_mix_plan, url_* — all tri-scale MATCH in-repo).
 ]
 
 

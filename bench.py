@@ -132,6 +132,7 @@ HEADLINE = [
     "text_heaps_report",
     "text_filter_funnel",
     "sample_mix_plan",
+    "url_dedup_report",
 ]
 
 
