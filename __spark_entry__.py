@@ -1567,6 +1567,13 @@ ORDER BY doc_id
         lambda s, d: _qual.gopher_rules(_docs(s, d), "doc_id", "text"),
         _qual.gopher_rules_sql("documents", "doc_id", "text"),
     ),
+    # per-doc unigram SELF-entropy (RPv2 signal; lm_score is the corpus
+    # cross-entropy twin): one (doc,token) agg + BIGINT-cast doc window +
+    # decimal term sums
+    "text_token_entropy": (
+        lambda s, d: _qual.token_entropy(_docs(s, d), "doc_id", "text"),
+        _qual.token_entropy_sql("documents", "doc_id", "text"),
+    ),
     # rule-cascade accounting over the Gopher suite: marginal vs solo
     # kills per rule in cascade order (the RefinedWeb-style curation
     # table); one hash agg + inline, no second scan
@@ -2852,7 +2859,8 @@ _DRIVER_PRIORITY = [
     # events_robust_outliers, events_attribution, events_state_intervals,
     # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
     # text_source_overlap, text_heaps_report, text_filter_funnel,
-    # sample_mix_plan, url_* — all tri-scale MATCH in-repo).
+    # sample_mix_plan, url_*, text_token_entropy — all tri-scale MATCH
+    # in-repo).
 ]
 
 

@@ -133,6 +133,7 @@ HEADLINE = [
     "text_filter_funnel",
     "sample_mix_plan",
     "url_dedup_report",
+    "text_token_entropy",
 ]
 
 

@@ -275,6 +275,92 @@ SELECT * FROM (
 """
 
 
+# --- unigram self-entropy -----------------------------------------------
+
+
+def token_entropy(
+    df: DataFrame, id_col: str, text_col: str, round_to: int = 6
+) -> DataFrame:
+    """Per-document unigram self-entropy — intra-document token diversity
+    (the RedPajama-v2 "unigram entropy" quality signal; Weber et al.
+    2411.12372): ``H = -sum_w (c_w/n) ln(c_w/n)`` over the doc's OWN
+    token counts, distinct from :func:`vocab.lm_score`'s cross-entropy
+    under the corpus model. Low H flags repetitive/templated text even
+    when every token is corpus-plausible.
+
+    Output: ``(id, n_tokens, n_distinct, token_entropy, norm_entropy)``
+    with ``norm_entropy = H / ln(n_distinct)`` in [0,1], NULL for
+    single-token-kind docs (0/0). Docs with no nonempty tokens drop out.
+
+    Parity + scale shape: one (doc, token) hash aggregation (the heavy
+    shuffle, partial+final), a doc-partitioned window for the doc total
+    (BIGINT-cast — the DuckDB HUGEINT class), per-term
+    ``ROUND(p ln p, 9)`` then an order-free DECIMAL(38,9) sum per doc —
+    the lm_score parity pattern; the final doc aggregation reuses the
+    window's hash partitioning, so there is no third exchange."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    cnt = tok.groupBy("__doc", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    n = F.sum("__c").over(Window.partitionBy("__doc")).cast("long")
+    p = F.col("__c") / F.col("__n")
+    per = cnt.withColumn("__n", n).select(
+        "__doc", "__n", F.round(p * F.log(p), 9).alias("__term")
+    )
+    h = -F.sum(F.col("__term").cast("decimal(38,9)")).cast("double")
+    return (
+        per.groupBy("__doc")
+        .agg(
+            F.max("__n").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            h.alias("__H"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.round("__H", round_to).alias("token_entropy"),
+            F.when(
+                F.col("n_distinct") > 1,
+                F.round(F.col("__H") / F.log(F.col("n_distinct")), round_to),
+            ).alias("norm_entropy"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def token_entropy_sql(
+    table: str, id_col: str, text_col: str, round_to: int = 6
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc, unnest({tokens_sql(text_col)}) AS token FROM {table}
+), ne AS (SELECT * FROM tok WHERE token <> ''),
+cnt AS (
+  SELECT doc, token, COUNT(*)::BIGINT AS c FROM ne GROUP BY doc, token
+),
+wn AS (
+  SELECT doc, c, CAST(SUM(c) OVER (PARTITION BY doc) AS BIGINT) AS n FROM cnt
+),
+term AS (
+  SELECT doc, n, ROUND((c / n) * ln(c / n), 9) AS term FROM wn
+)
+SELECT doc AS {id_col},
+       MAX(n) AS n_tokens,
+       COUNT(*)::BIGINT AS n_distinct,
+       ROUND(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE),
+             {round_to}) AS token_entropy,
+       CASE WHEN COUNT(*) > 1
+            THEN ROUND(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)
+                       / ln(COUNT(*)), {round_to}) END AS norm_entropy
+FROM term GROUP BY doc ORDER BY {id_col}
+"""
+
+
 # --- unicode script profile -------------------------------------------------
 
 # Script ranges as hex-codepoint classes — the \\x{{..}} escape is the one

@@ -105,6 +105,52 @@ def test_filter_funnel(docs, duck):
     assert out.loc[4, "n_out"] == 1
 
 
+# --- unigram self-entropy -----------------------------------------------
+
+def test_token_entropy(spark):
+    import math
+
+    rows = [
+        (0, "a a b b"),          # uniform over 2 kinds: H = ln 2, norm = 1
+        (1, "a a a a"),          # single kind: H = 0, norm undefined
+        (2, "a a a b"),          # skewed: H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+        (3, ""),                 # no tokens -> absent from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in Q.token_entropy(df, "doc_id", "text").collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].n_tokens == 4 and out[0].n_distinct == 2
+    assert out[0].token_entropy == round(math.log(2), 6)
+    assert out[0].norm_entropy == 1.0
+    assert out[1].token_entropy == 0.0 and out[1].norm_entropy is None
+    h2 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(out[2].token_entropy - h2) < 1e-6
+    # parity
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edocs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO edocs VALUES (?,?)", rows)
+    s = [tuple(r) for r in Q.token_entropy(df, "doc_id", "text").collect()]
+    d = con.execute(Q.token_entropy_sql("edocs", "doc_id", "text")).fetchall()
+    assert s == [tuple(r) for r in d]
+
+
+def test_token_entropy_plan_two_exchanges(spark):
+    """The doc-keyed final agg must reuse the window's hash partitioning:
+    exactly two Exchanges (token agg, doc window), not three."""
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = (
+        Q.token_entropy(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # exclude the final orderBy's range exchange from the count
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 2, plan
+
+
 # --- script profile ---------------------------------------------------------
 
 SCRIPT_ROWS = [
