@@ -1567,6 +1567,14 @@ ORDER BY doc_id
         lambda s, d: _qual.gopher_rules(_docs(s, d), "doc_id", "text"),
         _qual.gopher_rules_sql("documents", "doc_id", "text"),
     ),
+    # zlib compressibility (Gopher/RPv2 boilerplate signal): DEFLATE is
+    # not SQL-expressible -> declared rows-only (exact pure-Python zlib
+    # oracle in test_quality_ops, the BPE contract); Arrow-batched
+    # mapInPandas, pure map stage
+    "text_compression_signal": (
+        lambda s, d: _qual.compression_signal(_docs(s, d), "doc_id", "text"),
+        None,
+    ),
     # per-doc unigram SELF-entropy (RPv2 signal; lm_score is the corpus
     # cross-entropy twin): one (doc,token) agg + BIGINT-cast doc window +
     # decimal term sums

@@ -134,6 +134,7 @@ HEADLINE = [
     "sample_mix_plan",
     "url_dedup_report",
     "text_token_entropy",
+    "text_compression_signal",
 ]
 
 

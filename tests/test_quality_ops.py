@@ -151,6 +151,30 @@ def test_token_entropy_plan_two_exchanges(spark):
     assert n == 2, plan
 
 
+# --- zlib compression signal --------------------------------------------
+
+def test_compression_signal_exact(spark):
+    """Exact pure-Python zlib oracle — the rows-only contract."""
+    import zlib
+
+    rows = [
+        (0, GOOD),
+        (1, "spam " * 200),        # degenerate repetition -> high ratio
+        (2, ""),                   # empty: 0 raw bytes, header-only deflate
+        (3, "naïve café — 中文"),   # multi-byte UTF-8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in Q.compression_signal(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        b = t.encode("utf-8")
+        c = zlib.compress(b, 6)
+        assert out[i].n_bytes == len(b)
+        assert out[i].n_zlib_bytes == len(c)
+        assert out[i].compression_ratio == round(len(b) / len(c), 6)
+    # the signal separates repetition from prose
+    assert out[1].compression_ratio > 10 > out[0].compression_ratio > 1
+
+
 # --- script profile ---------------------------------------------------------
 
 SCRIPT_ROWS = [
