@@ -25,6 +25,7 @@ from bullet_storm_spark.operators import dedup, vocab
 from bullet_storm_spark.sources.tables import load_table
 
 n = int(sys.argv[1])
+only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 and sys.argv[2] else None
 spark = bss.get_spark(app_name=f"scale-{n}", master=f"local[{n}]",
                       shuffle_partitions=max(n, 4))
 spark.sparkContext.setLogLevel("ERROR")
@@ -32,6 +33,8 @@ docs = load_table(spark, "/root/testdata/sf0.1", "documents")
 docs = docs.persist(); docs.count()
 
 def run(name, fn):
+    if only is not None and name not in only:
+        return name, None
     fn().count()              # warm plan + codegen
     t0 = time.perf_counter(); fn().count(); dt = time.perf_counter() - t0
     return name, round(dt, 3)
@@ -58,7 +61,21 @@ out = dict([
         threshold=1.5, survivor_col="c_acctbal"))(
         __import__("bullet_storm_spark.operators.linkage",
                    fromlist=["linkage"]))),
+    # r6 late additions: the (doc,token) two-shuffle entropy shape and
+    # the scan-regex + single-agg URL dedup shape
+    run("token_entropy", lambda: __import__(
+        "bullet_storm_spark.operators.quality", fromlist=["quality"]
+    ).token_entropy(docs, "doc_id", "text")),
+    run("url_dedup", lambda: (lambda U, F: U.url_dedup_report(
+        docs.select("doc_id", F.expr(
+            "'https://' || source || '.example.com/a/' "
+            "|| CAST(doc_id % 40 AS STRING) "
+            "|| CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x' ELSE '' END"
+        ).alias("url")), "doc_id", "url"))(
+        __import__("bullet_storm_spark.operators.urls", fromlist=["urls"]),
+        __import__("pyspark.sql.functions", fromlist=["functions"]))),
 ])
+out = {k: v for k, v in out.items() if v is not None}
 print("RESULT " + json.dumps({"cores": n, **out}))
 spark.stop()
 """
@@ -66,10 +83,11 @@ spark.stop()
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/dev/stdout"
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
     results = []
     for n in (1, 2, 4, 8, 16, 32):
         proc = subprocess.run(
-            [sys.executable, "-c", CHILD, str(n)],
+            [sys.executable, "-c", CHILD, str(n), only],
             capture_output=True, text=True, timeout=1800,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
