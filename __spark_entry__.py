@@ -2740,6 +2740,29 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         ),
         _mm.bmp_features_sql("documents", "doc_id"),
     ),
+    # REAL image resize over the real decode path: box-average onto an
+    # 8x8 grid via the floor mapping (exact integer aggregation, no
+    # interpolation floats); bounded to 250 images so the 64x cell
+    # fan-out stays hash-cheap at every scale
+    "multimodal_resize": (
+        lambda s, d: _mm.resize_bmp(
+            _mm.synthesize_bmp(
+                _docs(s, d).where("doc_id < 250"), "doc_id"
+            )
+        ),
+        _mm.resize_bmp_sql(
+            "(SELECT * FROM documents WHERE doc_id < 250)", "doc_id"
+        ),
+    ),
+    # perceptual dHash dedup: 8x8 gray grid -> 56 horizontal-gradient
+    # bits as a portable '0'/'1' string; group report collapses
+    # perceptual duplicates the way url_dedup_report collapses URLs
+    "multimodal_dhash_groups": (
+        lambda s, d: _mm.dhash_groups(
+            _mm.dhash_bmp(_mm.synthesize_bmp(_docs(s, d), "doc_id"))
+        ),
+        _mm.dhash_groups_sql("documents", "doc_id"),
+    ),
     "link_resolve_entities": (
         _link_resolve_entities,
         _linkage.resolve_entities_sql(
@@ -2867,8 +2890,8 @@ _DRIVER_PRIORITY = [
     # events_robust_outliers, events_attribution, events_state_intervals,
     # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
     # text_source_overlap, text_heaps_report, text_filter_funnel,
-    # sample_mix_plan, url_*, text_token_entropy — all tri-scale MATCH
-    # in-repo).
+    # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
+    # multimodal_dhash_groups — all tri-scale MATCH in-repo).
 ]
 
 

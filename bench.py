@@ -135,6 +135,7 @@ HEADLINE = [
     "url_dedup_report",
     "text_token_entropy",
     "text_compression_signal",
+    "multimodal_dhash_groups",
 ]
 
 

@@ -479,3 +479,212 @@ SELECT id, MIN(w)::INTEGER AS width, MIN(h)::INTEGER AS height,
        COUNT(*)::BIGINT AS n_pixels, {sums}, TRUE AS decode_ok
 FROM grid GROUP BY id ORDER BY id
 """
+
+
+# --- real image resize + perceptual hash ---------------------------------
+
+RESIZE_SCHEMA = (
+    "id long, out_x long, out_y long, n_px long, sum_gray long, "
+    "mean_gray double"
+)
+
+
+def _parse_bmp(b: bytes):
+    """Shared 24-bit BMP parser (the decode_bmp_features logic, factored
+    for reuse): returns an (h, w, 3) RGB int64 array, top-down."""
+    import struct
+
+    import numpy as np
+
+    magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", b, 0)
+    assert magic == b"BM"
+    (_hsz, w, h, _planes, bpp) = struct.unpack_from("<IiiHH", b, 14)
+    assert bpp == 24 and h > 0
+    row_len = w * 3
+    stride = row_len + ((-row_len) % 4)
+    img = np.zeros((h, w, 3), dtype=np.int64)
+    for yy in range(h):
+        start = off + yy * stride
+        row = np.frombuffer(b[start : start + row_len], dtype=np.uint8).reshape(
+            w, 3
+        )
+        img[h - 1 - yy] = row[:, ::-1]  # BGR -> RGB, un-flip
+    return img
+
+
+def resize_bmp(
+    payloads: DataFrame, out_w: int = 8, out_h: int = 8, round_to: int = 6
+) -> DataFrame:
+    """REAL image resize: decode the BMP container, box-average onto an
+    ``(out_w, out_h)`` grid with the floor mapping
+    ``cell_x = x * out_w // w`` (every input pixel lands in exactly one
+    output cell, so the reduction is an exact integer aggregation — no
+    interpolation-kernel float soup to diverge between engines). One
+    output row per cell: ``(id, out_x, out_y, n_px, sum_gray,
+    mean_gray)`` with gray = r+g+b (integer, divide-free) and mean the
+    single rounded division.
+
+    This is the resize stage the brief's multimodal pipeline calls for —
+    Arrow-batched mapInPandas over binary payloads, numpy bincount for
+    the box sums, output fan-out a fixed out_w*out_h per image. The
+    DuckDB twin recomputes the same cells from the synthesis pixel
+    formula (codec-independent, like the decode oracles): a wrong
+    stride, row order, channel order, or box mapping in the REAL decode
+    path shifts integer sums and fails the hash."""
+    import pandas as pd
+    import numpy as np
+
+    ow, oh, rt = int(out_w), int(out_h), int(round_to)
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                try:
+                    img = _parse_bmp(bytes(blob))
+                except Exception:
+                    continue  # undecodable: contributes no cells
+                h, w = img.shape[:2]
+                gray = img.sum(axis=2)
+                cx = np.arange(w, dtype=np.int64) * ow // w
+                cy = np.arange(h, dtype=np.int64) * oh // h
+                cell = (cy[:, None] * ow + cx[None, :]).ravel()
+                sums = np.bincount(cell, weights=gray.ravel(), minlength=ow * oh)
+                cnts = np.bincount(cell, minlength=ow * oh)
+                for k in range(ow * oh):
+                    n = int(cnts[k])
+                    if n == 0:
+                        continue
+                    s = int(sums[k])
+                    recs.append(
+                        (int(ident), k % ow, k // ow, n, s, round(s / n, rt))
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=["id", "out_x", "out_y", "n_px", "sum_gray", "mean_gray"],
+            )
+
+    return payloads.mapInPandas(rz, RESIZE_SCHEMA).orderBy("id", "out_y", "out_x")
+
+
+def _resize_cells_sql(table: str, id_col: str, out_w: int, out_h: int) -> str:
+    """Shared cells CTE: the synthesis pixel formula box-averaged onto the
+    (out_w, out_h) grid — the codec-independent twin of resize_bmp."""
+    gray = (
+        "((id + 3 * x + 7 * y) % 256 + (id + 3 * x + 7 * y + 11) % 256"
+        " + (id + 3 * x + 7 * y + 22) % 256)"
+    )
+    return f"""
+ids AS (
+  SELECT {id_col} AS id, 8 + {id_col} % 9 AS w, 8 + ({id_col} // 7) % 9 AS h
+  FROM {table}
+), grid AS (
+  SELECT id, w, h, x, unnest(range(0, h)) AS y
+  FROM (SELECT id, w, h, unnest(range(0, w)) AS x FROM ids)
+), cells AS (
+  SELECT id, (x * {int(out_w)}) // w AS out_x, (y * {int(out_h)}) // h AS out_y,
+         CAST(COUNT(*) AS BIGINT) AS n_px,
+         CAST(SUM({gray}) AS BIGINT) AS sum_gray
+  FROM grid GROUP BY id, (x * {int(out_w)}) // w, (y * {int(out_h)}) // h
+)"""
+
+
+def resize_bmp_sql(
+    table: str, id_col: str, out_w: int = 8, out_h: int = 8, round_to: int = 6
+) -> str:
+    return f"""
+WITH {_resize_cells_sql(table, id_col, out_w, out_h)}
+SELECT id, out_x, out_y, n_px, sum_gray,
+       ROUND(sum_gray / n_px, {int(round_to)}) AS mean_gray
+FROM cells ORDER BY id, out_y, out_x
+"""
+
+
+def dhash_bmp(payloads: DataFrame, round_to: int = 6) -> DataFrame:
+    """Perceptual difference-hash over the REAL decode path: box-average
+    to an 8x8 gray grid (resize_bmp's mapping), then one bit per
+    horizontal neighbor pair — ``mean(x+1, y) > mean(x, y)`` for x in
+    0..6, y in 0..7 — emitted as a 56-char '0'/'1' string in (y, x)
+    order. The classic dHash uses a 9x8 grid; 8x8-with-7-diffs keeps
+    every cell nonempty for the smallest (8px-wide) synthesized images
+    and changes nothing about the method. A bit-string (not a packed
+    BIGINT) keeps the value dialect-portable and driver-hashable.
+
+    Near-identical images (e.g. the same photo re-encoded or mildly
+    cropped) collide; use the group report to collapse them the way the
+    URL/content dedup passes collapse text."""
+    import pandas as pd
+    import numpy as np
+
+    rt = int(round_to)
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                try:
+                    img = _parse_bmp(bytes(blob))
+                except Exception:
+                    ids.append(int(ident))
+                    hashes.append(None)
+                    continue
+                h, w = img.shape[:2]
+                gray = img.sum(axis=2)
+                cx = np.arange(w, dtype=np.int64) * 8 // w
+                cy = np.arange(h, dtype=np.int64) * 8 // h
+                cell = (cy[:, None] * 8 + cx[None, :]).ravel()
+                sums = np.bincount(cell, weights=gray.ravel(), minlength=64)
+                cnts = np.bincount(cell, minlength=64)
+                mean = np.round(sums / cnts, rt).reshape(8, 8)
+                bits = (mean[:, 1:] > mean[:, :-1]).astype(int)  # (8, 7)
+                ids.append(int(ident))
+                hashes.append("".join(str(b) for b in bits.ravel()))
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return payloads.mapInPandas(hsh, "id long, dhash string").orderBy("id")
+
+
+def dhash_bmp_sql(table: str, id_col: str, round_to: int = 6) -> str:
+    return f"""
+WITH {_resize_cells_sql(table, id_col, 8, 8)},
+means AS (
+  SELECT id, out_x, out_y,
+         ROUND(sum_gray / n_px, {int(round_to)}) AS mean_gray
+  FROM cells
+),
+bits AS (
+  SELECT a.id, a.out_y, a.out_x,
+         CASE WHEN b.mean_gray > a.mean_gray THEN '1' ELSE '0' END AS bit
+  FROM means a JOIN means b
+    ON a.id = b.id AND a.out_y = b.out_y AND b.out_x = a.out_x + 1
+  WHERE a.out_x < 7
+)
+SELECT id, string_agg(bit, '' ORDER BY out_y, out_x) AS dhash
+FROM bits GROUP BY id ORDER BY id
+"""
+
+
+def dhash_groups(hashes: DataFrame) -> DataFrame:
+    """Perceptual duplicate groups: ``(dhash, n_images, canonical_id)``
+    for hashes shared by >1 image — one hash aggregation on the 56-bit
+    key, same shape as the URL dedup report."""
+    return (
+        hashes.where(F.col("dhash").isNotNull())
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("id").alias("canonical_id"),
+        )
+        .where(F.col("n_images") > 1)
+        .orderBy("dhash", "canonical_id")
+    )
+
+
+def dhash_groups_sql(table: str, id_col: str, round_to: int = 6) -> str:
+    inner = dhash_bmp_sql(table, id_col, round_to).strip().rstrip()
+    return f"""
+SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images, MIN(id) AS canonical_id
+FROM ({inner})
+GROUP BY dhash HAVING COUNT(*) > 1
+ORDER BY dhash, canonical_id
+"""

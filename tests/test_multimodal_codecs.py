@@ -97,3 +97,64 @@ def test_stereo_wav_deinterleaved_zero_crossings(spark):
     s = inter.astype("int64")
     assert row.sum_sq == int((s * s).sum())
     assert row.peak == 400
+
+
+def test_resize_matches_formula_oracle(spark):
+    from bullet_storm_spark.operators.multimodal import resize_bmp, resize_bmp_sql
+
+    sub = _docs(spark).where("doc_id < 40")
+    got = resize_bmp(synthesize_bmp(sub, "doc_id")).collect()
+    want = _con().execute(
+        resize_bmp_sql("(SELECT * FROM documents WHERE doc_id < 40)", "doc_id")
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+    # 8x8 grid per image, every cell populated (w, h >= 8 by synthesis)
+    assert len(got) == 40 * 64
+    # pixel conservation: the cells of each image partition its pixels
+    by_img = {}
+    for r in got:
+        by_img.setdefault(r.id, []).append(r)
+    for ident, rows in by_img.items():
+        w, h = 8 + ident % 9, 8 + (ident // 7) % 9
+        assert sum(r.n_px for r in rows) == w * h
+        assert len(rows) == 64
+
+
+def test_resize_exact_semantics(spark):
+    """Hand-check one image: id=0 is 8x8, so every cell is exactly one
+    pixel and mean_gray equals that pixel's r+g+b."""
+    from bullet_storm_spark.operators.multimodal import resize_bmp
+
+    sub = _docs(spark).where("doc_id = 0")
+    got = {(r.out_x, r.out_y): r for r in
+           resize_bmp(synthesize_bmp(sub, "doc_id")).collect()}
+    for (x, y), r in got.items():
+        gray = sum((0 + 3 * x + 7 * y + 11 * c) % 256 for c in range(3))
+        assert r.n_px == 1 and r.sum_gray == gray and r.mean_gray == float(gray)
+
+
+def test_dhash_matches_formula_oracle_and_groups(spark):
+    from bullet_storm_spark.operators.multimodal import (
+        dhash_bmp, dhash_bmp_sql, dhash_groups, dhash_groups_sql,
+    )
+
+    payloads = synthesize_bmp(_docs(spark), "doc_id")
+    got = dhash_bmp(payloads).collect()
+    want = _con().execute(dhash_bmp_sql("documents", "doc_id")).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+    assert all(len(r.dhash) == 56 and set(r.dhash) <= {"0", "1"} for r in got)
+    g = dhash_groups(dhash_bmp(payloads)).collect()
+    wg = _con().execute(dhash_groups_sql("documents", "doc_id")).fetchall()
+    assert [tuple(r) for r in g] == [tuple(w) for w in wg]
+    assert all(r.n_images > 1 for r in g)
+
+
+def test_dhash_corrupt_payload_is_null(spark):
+    from pyspark.sql import functions as F
+    from bullet_storm_spark.operators.multimodal import dhash_bmp
+
+    bad = spark.range(1).select(
+        F.col("id"), F.lit(b"not a bmp").alias("payload")
+    )
+    rows = dhash_bmp(bad).collect()
+    assert rows[0].dhash is None
