@@ -504,6 +504,7 @@ from bullet_storm_spark.operators import winnow as _winnow
 from bullet_storm_spark.operators import skew as _skew
 from bullet_storm_spark.operators import linkage as _linkage
 from bullet_storm_spark.operators import urls as _urls
+from bullet_storm_spark.operators import merge as _merge
 from bullet_storm_spark.operators import pii as _pii
 from bullet_storm_spark.operators import diff as _diff
 from bullet_storm_spark.operators import html as _html
@@ -629,6 +630,31 @@ _URL_AUG_SQL = (
     " || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END"
 )
 _URL_DOCS_SQL = f"(SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents)"
+
+# deterministic CDC-style update batch for the merge_upsert entries:
+# every %3=0 customer arrives as an update; %10=0 among them shifts to a
+# fresh key (insert), %5=1 keeps acctbal unchanged (no-op 'keep').
+# Aliases are emitted AFTER every base-column use in the same SELECT so
+# DuckDB's lateral-alias resolution can never shadow a base column.
+_MERGE_UPDATES_SQL = (
+    "(SELECT c_name,"
+    " CASE WHEN c_custkey % 5 = 1 THEN c_acctbal"
+    " ELSE ROUND(c_acctbal + 100.0, 2) END AS c_acctbal,"
+    " c_custkey + CASE WHEN c_custkey % 10 = 0 THEN 200000 ELSE 0 END"
+    " AS c_custkey"
+    " FROM customer WHERE c_custkey % 3 = 0)"
+)
+
+
+def _merge_updates(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.where("c_custkey % 3 = 0").selectExpr(
+        "c_name",
+        "CASE WHEN c_custkey % 5 = 1 THEN c_acctbal"
+        " ELSE ROUND(c_acctbal + 100.0, 2) END AS c_acctbal",
+        "c_custkey + CASE WHEN c_custkey % 10 = 0 THEN 200000 ELSE 0 END"
+        " AS c_custkey",
+    )
 
 
 # Deequ-style expectation suite for the profile_expectations entry:
@@ -1675,6 +1701,31 @@ ORDER BY doc_id
             f"(SELECT doc_id, {_HTML_AUG_SQL} AS html FROM documents)",
             "doc_id",
             "html",
+        ),
+    ),
+    # lakehouse MERGE INTO semantics: one full-outer key join + column
+    # coalesce with insert/update/keep action tags (no-op update
+    # detection filters CDC echo); accounting = one agg over the action
+    "merge_upsert_customer": (
+        lambda s, d: _merge.merge_upsert(
+            load_table(s, d, "customer"),
+            _merge_updates(s, d),
+            "c_custkey",
+            ["c_name", "c_acctbal"],
+        ),
+        _merge.merge_upsert_sql(
+            "customer", _MERGE_UPDATES_SQL, "c_custkey", ["c_name", "c_acctbal"]
+        ),
+    ),
+    "merge_upsert_accounting": (
+        lambda s, d: _merge.merge_accounting(
+            load_table(s, d, "customer"),
+            _merge_updates(s, d),
+            "c_custkey",
+            ["c_name", "c_acctbal"],
+        ),
+        _merge.merge_accounting_sql(
+            "customer", _MERGE_UPDATES_SQL, "c_custkey", ["c_name", "c_acctbal"]
         ),
     ),
     # URL canonicalization: the crawl pipeline's first dedup key (CCNet/
@@ -2891,7 +2942,8 @@ _DRIVER_PRIORITY = [
     # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
     # text_source_overlap, text_heaps_report, text_filter_funnel,
     # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
-    # multimodal_dhash_groups — all tri-scale MATCH in-repo).
+    # multimodal_dhash_groups, merge_upsert_* — all tri-scale MATCH
+    # in-repo).
 ]
 
 

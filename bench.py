@@ -136,6 +136,7 @@ HEADLINE = [
     "text_token_entropy",
     "text_compression_signal",
     "multimodal_dhash_groups",
+    "merge_upsert_customer",
 ]
 
 
