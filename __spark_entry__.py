@@ -505,6 +505,7 @@ from bullet_storm_spark.operators import skew as _skew
 from bullet_storm_spark.operators import linkage as _linkage
 from bullet_storm_spark.operators import urls as _urls
 from bullet_storm_spark.operators import merge as _merge
+from bullet_storm_spark.operators import chat as _chat
 from bullet_storm_spark.operators import pii as _pii
 from bullet_storm_spark.operators import diff as _diff
 from bullet_storm_spark.operators import html as _html
@@ -630,6 +631,27 @@ _URL_AUG_SQL = (
     " || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END"
 )
 _URL_DOCS_SQL = f"(SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents)"
+
+# deterministic chat transcripts for the chat_* entries (dual-dialect
+# like _HTML_AUG_SQL): system+user+assistant base; %3=0 adds a second
+# exchange, %7=0 leaves a trailing unanswered user turn, %11=0 injects a
+# repeated-assistant run (ill-formed), %13=0 drops the system prompt —
+# so every structural-QA branch is exercised. Synthetic text is ASCII
+# words (never '<'), so [^<]* content capture is exact.
+_CHAT_AUG_SQL = (
+    "CASE WHEN doc_id % 13 = 0 THEN '' ELSE"
+    " '<|system|>You are doc ' || CAST(doc_id AS STRING) END"
+    " || '<|user|>' || substr(text, 1, 40 + doc_id % 60)"
+    " || '<|assistant|>' || substr(text, 10, 30 + doc_id % 40)"
+    " || CASE WHEN doc_id % 11 = 0 THEN '<|assistant|>and another thing'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<|user|>' || substr(text, 5, 20)"
+    " || '<|assistant|>' || substr(text, 25, 20) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN '<|user|>one more question'"
+    " ELSE '' END"
+)
+_CHAT_DOCS_SQL = f"(SELECT doc_id, {_CHAT_AUG_SQL} AS chat FROM documents)"
+
 
 # deterministic CDC-style update batch for the merge_upsert entries:
 # every %3=0 customer arrives as an update; %10=0 among them shifts to a
@@ -1702,6 +1724,25 @@ ORDER BY doc_id
             "doc_id",
             "html",
         ),
+    ),
+    # SFT conversation shape: role-tagged transcripts -> typed turns
+    # (regexp_extract_all groups, zip + posexplode, codegen) and the
+    # per-transcript structural-QA report (array HOFs, zero shuffle)
+    "chat_parse_turns": (
+        lambda s, d: _chat.parse_turns(
+            _docs(s, d).select("doc_id", F.expr(_CHAT_AUG_SQL).alias("chat")),
+            "doc_id",
+            "chat",
+        ),
+        _chat.parse_turns_sql(_CHAT_DOCS_SQL, "doc_id", "chat"),
+    ),
+    "chat_report": (
+        lambda s, d: _chat.conversation_report(
+            _docs(s, d).select("doc_id", F.expr(_CHAT_AUG_SQL).alias("chat")),
+            "doc_id",
+            "chat",
+        ),
+        _chat.conversation_report_sql(_CHAT_DOCS_SQL, "doc_id", "chat"),
     ),
     # lakehouse MERGE INTO semantics: one full-outer key join + column
     # coalesce with insert/update/keep action tags (no-op update
@@ -2942,8 +2983,8 @@ _DRIVER_PRIORITY = [
     # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
     # text_source_overlap, text_heaps_report, text_filter_funnel,
     # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
-    # multimodal_dhash_groups, merge_upsert_* — all tri-scale MATCH
-    # in-repo).
+    # multimodal_dhash_groups, merge_upsert_*, chat_* — all tri-scale
+    # MATCH in-repo).
 ]
 
 

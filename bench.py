@@ -137,6 +137,7 @@ HEADLINE = [
     "text_compression_signal",
     "multimodal_dhash_groups",
     "merge_upsert_customer",
+    "chat_parse_turns",
 ]
 
 
