@@ -1725,6 +1725,15 @@ ORDER BY doc_id
             "html",
         ),
     ),
+    # one-row key-skew pre-flight (gini + top-share over the key-count
+    # frame): decides salted-fallback vs AQE vs nothing BEFORE the 100 TB
+    # shuffle; exact decimal rank-sums, dialect-identical double formula
+    "skew_key_profile": (
+        lambda s, d: _skew.key_skew_profile(
+            load_table(s, d, "events"), ["user_id"]
+        ),
+        _skew.key_skew_profile_sql("events", ["user_id"]),
+    ),
     # SFT conversation shape: role-tagged transcripts -> typed turns
     # (regexp_extract_all groups, zip + posexplode, codegen) and the
     # per-transcript structural-QA report (array HOFs, zero shuffle)
@@ -2983,8 +2992,8 @@ _DRIVER_PRIORITY = [
     # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
     # text_source_overlap, text_heaps_report, text_filter_funnel,
     # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
-    # multimodal_dhash_groups, merge_upsert_*, chat_* — all tri-scale
-    # MATCH in-repo).
+    # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile —
+    # all tri-scale MATCH in-repo).
 ]
 
 

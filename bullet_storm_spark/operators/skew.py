@@ -103,3 +103,100 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     out = l.join(r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+# --- key-skew profile ------------------------------------------------------
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_n: int = 10, round_to: int = 6
+) -> DataFrame:
+    """One-row skew pre-flight for a join/groupBy key: ``(n_rows, n_keys,
+    max_count, top1_share, topN_share, gini)``. Decides BEFORE a 100 TB
+    shuffle whether the key needs the salted fallback (`salted_join` /
+    `salted_group_agg`), AQE skew hints, or nothing: gini near 0 =
+    uniform, near 1 = one key owns the table; top1_share is the single
+    hottest reducer's fraction directly.
+
+    Shape: one hash aggregation to key cardinality, then a global-window
+    rank over the (k-row) count frame — the same k-sized-frame contract
+    as the duplication profile; if key cardinality itself is huge,
+    profile a hash-sample of keys instead. Σ(i·c) accumulates in
+    DECIMAL(38,0) (exact, order-free — and immune to the BIGINT overflow
+    a 1e9-key × 1e12-row corpus would hit); the Gini formula
+    ``(2·A)/(k·T) − (k+1)/k`` is evaluated in doubles written identically
+    in both dialects."""
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    asc = Window.orderBy(F.col("__c").asc(), *[F.col(k).asc() for k in key_cols])
+    desc = Window.orderBy(
+        F.col("__c").desc(), *[F.col(k).desc() for k in key_cols]
+    )
+    ranked = cnt.select(
+        F.col("__c"),
+        F.row_number().over(asc).alias("__i"),
+        F.row_number().over(desc).alias("__j"),
+    )
+    agg = ranked.agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__c").alias("max_count"),
+        F.sum(F.col("__i").cast("decimal(38,0)") * F.col("__c")).alias("__A"),
+        F.sum(
+            F.when(F.col("__j") <= int(top_n), F.col("__c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("__topn"),
+    )
+    rt = int(round_to)
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        F.round(F.col("max_count") / F.col("n_rows").cast("double"), rt).alias(
+            "top1_share"
+        ),
+        F.round(F.col("__topn") / F.col("n_rows").cast("double"), rt).alias(
+            "topn_share"
+        ),
+        F.round(
+            (F.lit(2.0) * F.col("__A").cast("double"))
+            / (F.col("n_keys").cast("double") * F.col("n_rows"))
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
+            rt,
+        ).alias("gini"),
+    )
+
+
+def key_skew_profile_sql(
+    table: str, key_cols: list[str], top_n: int = 10, round_to: int = 6
+) -> str:
+    keys = ", ".join(key_cols)
+    asc = ", ".join([f"c, {', '.join(key_cols)}"])
+    desc = ", ".join(["c DESC"] + [f"{k} DESC" for k in key_cols])
+    rt = int(round_to)
+    return f"""
+WITH cnt AS (
+  SELECT {keys}, COUNT(*)::BIGINT AS c FROM {table} GROUP BY {keys}
+), rk AS (
+  SELECT c,
+         row_number() OVER (ORDER BY {asc}) AS i,
+         row_number() OVER (ORDER BY {desc}) AS j
+  FROM cnt
+), agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         MAX(c) AS max_count,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS A,
+         CAST(SUM(CASE WHEN j <= {int(top_n)} THEN c ELSE 0 END) AS BIGINT)
+           AS topn
+  FROM rk
+)
+SELECT n_rows, n_keys, max_count,
+       ROUND(max_count / CAST(n_rows AS DOUBLE), {rt}) AS top1_share,
+       ROUND(topn / CAST(n_rows AS DOUBLE), {rt}) AS topn_share,
+       ROUND((2.0 * CAST(A AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * n_rows)
+             - (n_keys + 1.0) / n_keys, {rt}) AS gini
+FROM agg
+"""

@@ -93,3 +93,41 @@ def test_salted_join_rejects_reserved_salt_column(spark):
         salted_join(left, right, "k")
     with pytest.raises(ValueError, match="__salt"):
         salted_join(right, left, "k")
+
+
+# --- key-skew profile --------------------------------------------------
+
+def test_key_skew_profile_uniform_and_skewed(spark):
+    import duckdb
+    from bullet_storm_spark.operators.skew import (
+        key_skew_profile, key_skew_profile_sql,
+    )
+
+    uniform = [(k, i) for k in ("a", "b") for i in range(2)]
+    skewed = [("a", i) for i in range(9)] + [("b", 0)]
+    for rows, want_gini, want_top1 in (
+        (uniform, 0.0, 0.5),
+        (skewed, 0.4, 0.9),
+    ):
+        df = spark.createDataFrame(rows, "k string, v long")
+        got = key_skew_profile(df, ["k"]).collect()[0]
+        assert got.gini == want_gini and got.top1_share == want_top1
+        assert got.n_rows == len(rows) and got.n_keys == 2
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (k VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?,?)", rows)
+        d = con.execute(key_skew_profile_sql("t", ["k"])).fetchall()
+        assert tuple(got) == tuple(d[0])
+
+
+def test_key_skew_profile_topn_cut(spark):
+    """topn_share cuts at the top_n hottest keys under the shared
+    deterministic tie-break."""
+    from bullet_storm_spark.operators.skew import key_skew_profile
+
+    rows = [(f"k{i}", j) for i in range(5) for j in range(i + 1)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = key_skew_profile(df, ["k"], top_n=2).collect()[0]
+    # counts 1..5 over 15 rows; top-2 = 5 + 4
+    assert got.topn_share == round(9 / 15, 6)
+    assert got.max_count == 5
