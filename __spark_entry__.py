@@ -2855,6 +2855,17 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "(SELECT * FROM documents WHERE doc_id < 250)", "doc_id"
         ),
     ),
+    # REAL audio decimation over the real WAV decode path (the audio twin
+    # of multimodal_resize): integer frame sums + a tie-free rounded
+    # mean; bounded to 250 clips so frame fan-out is constant per scale
+    "multimodal_wav_decimate": (
+        lambda s, d: _mm.decimate_wav(
+            _mm.synthesize_wav(_docs(s, d).where("doc_id < 250"), "doc_id")
+        ),
+        _mm.decimate_wav_sql(
+            "(SELECT * FROM documents WHERE doc_id < 250)", "doc_id"
+        ),
+    ),
     # perceptual dHash dedup: 8x8 gray grid -> 56 horizontal-gradient
     # bits as a portable '0'/'1' string; group report collapses
     # perceptual duplicates the way url_dedup_report collapses URLs
@@ -2992,8 +3003,8 @@ _DRIVER_PRIORITY = [
     # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
     # text_source_overlap, text_heaps_report, text_filter_funnel,
     # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
-    # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile —
-    # all tri-scale MATCH in-repo).
+    # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile,
+    # multimodal_wav_decimate — all tri-scale MATCH in-repo).
 ]
 
 

@@ -688,3 +688,92 @@ FROM ({inner})
 GROUP BY dhash HAVING COUNT(*) > 1
 ORDER BY dhash, canonical_id
 """
+
+
+# --- audio decimation resample -------------------------------------------
+
+DECIMATE_SCHEMA = (
+    "id long, frame_idx long, n_samples long, sum_amp long, sum_sq long, "
+    "mean_amp double"
+)
+
+
+def decimate_wav(
+    payloads: DataFrame, factor: int = 8, round_to: int = 6
+) -> DataFrame:
+    """REAL audio decimation over the real WAV decode path — the audio
+    twin of :func:`resize_bmp`: parse the RIFF container (stdlib
+    ``wave``), box-average the int16 sample stream into frames of
+    ``factor`` samples (the last frame may be partial), one output row
+    per frame: ``(id, frame_idx, n_samples, sum_amp, sum_sq,
+    mean_amp)``. Sums are exact integers; ``mean_amp`` is the single
+    rounded division — with frame sizes ≤ 8 the mean's denominator
+    divides into a terminating or repeating decimal that can never land
+    exactly mid-grid at 1e-6, so HALF_UP-vs-half-even rounding cannot
+    diverge between engines.
+
+    The DuckDB twin recomputes the frames from the closed-form waveform
+    (codec-independent, like the decode oracles): a wrong sample width,
+    endianness, or frame boundary in the REAL parser shifts the integer
+    sums and fails the hash."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+    import pandas as pd
+
+    fac, rt = int(factor), int(round_to)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                try:
+                    with wavmod.open(io.BytesIO(bytes(blob)), "rb") as w:
+                        raw = w.readframes(w.getnframes())
+                    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                except Exception:
+                    continue  # undecodable: contributes no frames
+                frame = np.arange(len(s), dtype=np.int64) // fac
+                nfr = int(frame[-1]) + 1 if len(s) else 0
+                sums = np.bincount(frame, weights=s, minlength=nfr)
+                sq = np.bincount(frame, weights=s * s, minlength=nfr)
+                cnts = np.bincount(frame, minlength=nfr)
+                for k in range(nfr):
+                    n, sm = int(cnts[k]), int(sums[k])
+                    recs.append(
+                        (int(ident), k, n, sm, int(sq[k]), round(sm / n, rt))
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "id", "frame_idx", "n_samples", "sum_amp", "sum_sq",
+                    "mean_amp",
+                ],
+            )
+
+    return payloads.mapInPandas(dec, DECIMATE_SCHEMA).orderBy("id", "frame_idx")
+
+
+def decimate_wav_sql(
+    table: str, id_col: str, factor: int = 8, round_to: int = 6
+) -> str:
+    fac, rt = int(factor), int(round_to)
+    return f"""
+WITH ids AS (
+  SELECT {id_col} AS id, 400 + {id_col} % 600 AS n FROM {table}
+), ts AS (
+  SELECT id, unnest(range(0, n)) AS t FROM ids
+), s AS (
+  SELECT id, t // {fac} AS frame_idx,
+         ((id * 131 + t * 65) % 2003) - 1001 AS v
+  FROM ts
+)
+SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       ROUND(CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT), {rt})
+         AS mean_amp
+FROM s GROUP BY id, frame_idx ORDER BY id, frame_idx
+"""

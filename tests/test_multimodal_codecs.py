@@ -158,3 +158,37 @@ def test_dhash_corrupt_payload_is_null(spark):
     )
     rows = dhash_bmp(bad).collect()
     assert rows[0].dhash is None
+
+
+def test_decimate_matches_formula_oracle(spark):
+    from bullet_storm_spark.operators.multimodal import (
+        decimate_wav, decimate_wav_sql,
+    )
+
+    sub = _docs(spark).where("doc_id < 30")
+    got = decimate_wav(synthesize_wav(sub, "doc_id")).collect()
+    want = _con().execute(
+        decimate_wav_sql("(SELECT * FROM documents WHERE doc_id < 30)", "doc_id")
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+    # sample conservation per clip: frames partition the waveform
+    by = {}
+    for r in got:
+        by.setdefault(r.id, 0)
+        by[r.id] += r.n_samples
+    for ident, n in by.items():
+        assert n == 400 + ident % 600
+
+
+def test_decimate_exact_frame(spark):
+    """Hand-check clip 0's first frame: mean of the first 8 formula
+    samples, exact integer sums."""
+    from bullet_storm_spark.operators.multimodal import decimate_wav
+
+    sub = _docs(spark).where("doc_id = 0")
+    first = decimate_wav(synthesize_wav(sub, "doc_id")).collect()[0]
+    samples = [((0 * 131 + t * 65) % 2003) - 1001 for t in range(8)]
+    assert first.n_samples == 8
+    assert first.sum_amp == sum(samples)
+    assert first.sum_sq == sum(v * v for v in samples)
+    assert first.mean_amp == round(sum(samples) / 8, 6)
