@@ -1615,6 +1615,13 @@ ORDER BY doc_id
         lambda s, d: _qual.gopher_rules(_docs(s, d), "doc_id", "text"),
         _qual.gopher_rules_sql("documents", "doc_id", "text"),
     ),
+    # bigram PMI collocations (Church & Hanks CL'90): the tokenizer-merge
+    # / phrase-mining ranking — in-array bigram zip, vocab-sized unigram
+    # joins, single ln of an all-integer ratio, deterministic top-N cut
+    "text_pmi_collocations": (
+        lambda s, d: _vocab.pmi_collocations(_docs(s, d), "doc_id", "text"),
+        _vocab.pmi_collocations_sql("documents", "doc_id", "text"),
+    ),
     # zlib compressibility (Gopher/RPv2 boilerplate signal): DEFLATE is
     # not SQL-expressible -> declared rows-only (exact pure-Python zlib
     # oracle in test_quality_ops, the BPE contract); Arrow-batched
@@ -3004,7 +3011,8 @@ _DRIVER_PRIORITY = [
     # text_source_overlap, text_heaps_report, text_filter_funnel,
     # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
     # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile,
-    # multimodal_wav_decimate — all tri-scale MATCH in-repo).
+    # multimodal_wav_decimate, text_pmi_collocations — all tri-scale
+    # MATCH in-repo).
 ]
 
 

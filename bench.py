@@ -138,6 +138,7 @@ HEADLINE = [
     "multimodal_dhash_groups",
     "merge_upsert_customer",
     "chat_parse_turns",
+    "text_pmi_collocations",
 ]
 
 

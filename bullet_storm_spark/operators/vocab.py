@@ -1057,3 +1057,115 @@ SELECT p.checkpoint, p.docs_le, p.cum_tokens, p.cum_distinct,
 FROM __pts p CROSS JOIN __fit f
 ORDER BY p.checkpoint
 """
+
+
+# --- PMI collocations -------------------------------------------------------
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 3,
+    top_n: int = 40,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information:
+    ``PMI(x,y) = ln( p(x,y) / (p(x) p(y)) )`` with the pair probability
+    over the bigram total B and unigram probabilities over the token
+    total T — the standard collocation / multi-word-expression signal
+    (Church & Hanks, CL 1990), and the statistic a tokenizer-merge or
+    phrase-mining pass ranks candidates by.
+
+    Output: ``(w1, w2, n_pair, n_left, n_right, pmi)``, pairs with
+    ``n_pair >= min_count``, top ``top_n`` by (pmi DESC, w1, w2) — a
+    total order, so the cut is deterministic in both engines.
+
+    Scale shape: bigrams come from an in-array zip (codegen, no
+    self-join); one (w1,w2) hash agg + one token agg; the two unigram
+    joins are vocabulary-sized (broadcast under threshold); T and B ride
+    a 1-row broadcast. PMI is a single ``ln`` of an all-integer ratio
+    with identical parenthesization in both dialects — no accumulation
+    anywhere."""
+    toks = tokens(text_col)
+    tok = df.select(F.explode(toks).alias("token")).where(F.col("token") != "")
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    tot = uni.agg(F.sum("__c").cast("long").alias("__T"))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        df.where(n >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    btot = big.agg(F.sum("n_pair").cast("long").alias("__B"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("__c").alias("n_left"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("__c").alias("n_right"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("__T") * F.col("__T"))
+            / (
+                (F.col("__B").cast("double") * F.col("n_left"))
+                * F.col("n_right")
+            )
+        ),
+        int(round_to),
+    )
+    return (
+        big.where(F.col("n_pair") >= int(min_count))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "n_pair", "n_left", "n_right", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(int(top_n))
+    )
+
+
+def pmi_collocations_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_count: int = 3,
+    top_n: int = 40,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH __t AS (
+  SELECT {tokens_sql(text_col)} AS toks FROM {table}
+), __tok AS (
+  SELECT unnest(toks) AS token FROM __t
+), __ne AS (SELECT token FROM __tok WHERE token <> ''),
+__uni AS (
+  SELECT token, COUNT(*)::BIGINT AS c FROM __ne GROUP BY token
+),
+__tot AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM __uni),
+__bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM __t)
+  WHERE toks[i] <> '' AND toks[i + 1] <> ''
+),
+__pair AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n_pair FROM __bg GROUP BY w1, w2
+),
+__btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS B FROM __pair)
+SELECT p.w1, p.w2, p.n_pair, u1.c AS n_left, u2.c AS n_right,
+       ROUND(ln((CAST(p.n_pair AS DOUBLE) * t.T * t.T)
+                / ((CAST(b.B AS DOUBLE) * u1.c) * u2.c)),
+             {int(round_to)}) AS pmi
+FROM __pair p
+JOIN __uni u1 ON p.w1 = u1.token
+JOIN __uni u2 ON p.w2 = u2.token
+CROSS JOIN __tot t CROSS JOIN __btot b
+WHERE p.n_pair >= {int(min_count)}
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT {int(top_n)}
+"""

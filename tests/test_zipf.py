@@ -63,3 +63,33 @@ def test_heaps_growing_vs_saturated_vocabulary(spark):
         for r in g
     ]
     assert got == want
+
+
+# --- PMI collocations ----------------------------------------------------
+
+def test_pmi_collocations_closed_form(spark):
+    import math
+
+    import duckdb
+    from bullet_storm_spark.operators.vocab import (
+        pmi_collocations, pmi_collocations_sql,
+    )
+
+    rows = [(0, "a b a b a b"), (1, "c"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_collocations(df, "doc_id", "text", min_count=2, top_n=10).collect()
+    # bigrams: (a,b) x3, (b,a) x2; unigrams a=3 b=3 c=1, T=7; B=5
+    by = {(r.w1, r.w2): r for r in got}
+    assert set(by) == {("a", "b"), ("b", "a")}
+    ab, ba = by[("a", "b")], by[("b", "a")]
+    assert (ab.n_pair, ab.n_left, ab.n_right) == (3, 3, 3)
+    assert ab.pmi == round(math.log(3 * 7 * 7 / (5 * 3 * 3)), 6)
+    assert ba.pmi == round(math.log(2 * 7 * 7 / (5 * 3 * 3)), 6)
+    assert got[0].pmi >= got[1].pmi  # ordered by pmi desc
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pdocs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO pdocs VALUES (?,?)", rows)
+    d = con.execute(
+        pmi_collocations_sql("pdocs", "doc_id", "text", min_count=2, top_n=10)
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in d]
