@@ -1660,6 +1660,25 @@ ORDER BY doc_id
             "text",
         ),
     ),
+    # wrong-language-tag gate: (lang, dominant_script) contingency matrix
+    # with expectation + mismatch verdict over the script-augmented text —
+    # the lang-ID failure check before per-language sampling rates apply
+    "text_script_lang_matrix": (
+        lambda s, d: _qual.script_lang_matrix(
+            _docs(s, d).select(
+                "doc_id", "lang", F.expr(_SCRIPT_AUG_SQL).alias("text")
+            ),
+            "doc_id",
+            "text",
+            "lang",
+        ),
+        _qual.script_lang_matrix_sql(
+            f"(SELECT doc_id, lang, {_SCRIPT_AUG_SQL} AS text FROM documents)",
+            "doc_id",
+            "text",
+            "lang",
+        ),
+    ),
     # PII pass (Dolma 2402.00159 §2.3 / FineWeb 2406.17557 §3.5 analogue)
     # over deterministically augmented text (corpus is synthetic-clean, so
     # the gate grafts emails/phones/SSNs/IPs/cards per _PII_AUG_SQL to
@@ -3011,8 +3030,8 @@ _DRIVER_PRIORITY = [
     # text_source_overlap, text_heaps_report, text_filter_funnel,
     # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
     # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile,
-    # multimodal_wav_decimate, text_pmi_collocations — all tri-scale
-    # MATCH in-repo).
+    # multimodal_wav_decimate, text_pmi_collocations,
+    # text_script_lang_matrix — all tri-scale MATCH in-repo).
 ]
 
 

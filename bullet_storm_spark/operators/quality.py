@@ -492,3 +492,90 @@ SELECT {id_col}, {cols}, non_ascii_ratio,
        (CASE {whens} ELSE 'und' END) AS dominant_script
 FROM __c ORDER BY {id_col}
 """
+
+
+# --- language-tag vs script consistency -----------------------------------
+
+# what script a correctly-tagged document should be dominated by; langs
+# outside the map get NULL expectations (consistency is then undefined,
+# never a mismatch)
+LANG_EXPECTED_SCRIPT: dict[str, str] = {
+    "en": "latin", "de": "latin", "es": "latin", "fr": "latin",
+    "pt": "latin", "it": "latin",
+    "ru": "cyrillic", "el": "greek", "ar": "arabic", "zh": "cjk",
+}
+
+
+def script_lang_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    expected: dict[str, str] | None = None,
+) -> DataFrame:
+    """Wrong-language-tag detector: the (lang, dominant_script)
+    contingency matrix with per-cell expectation and mismatch verdict —
+    ``(lang, dominant_script, n_docs, expected_script, is_mismatch)``.
+    A 'zh'-tagged document dominated by Latin characters (or vice versa)
+    is the classic upstream lang-ID failure a curation run must catch
+    before per-language sampling rates are applied.
+
+    ``is_mismatch`` is FALSE for 'und' (no script signal) and for langs
+    outside the expectation map (undefined, not wrong). Shape: the
+    script profile is a scan expression; one id-keyed join carries the
+    lang tag; the matrix aggregates to (langs x scripts) cells."""
+    exp = expected if expected is not None else LANG_EXPECTED_SCRIPT
+    prof = script_profile(df, id_col, text_col).select(
+        id_col, "dominant_script"
+    )
+    j = df.select(id_col, F.col(lang_col).alias("lang")).join(prof, id_col)
+    agg = (
+        j.groupBy("lang", "dominant_script")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    exp_col: F.Column = F.lit(None).cast("string")
+    for k in sorted(exp, reverse=True):
+        exp_col = F.when(F.col("lang") == k, F.lit(exp[k])).otherwise(exp_col)
+    mismatch = (
+        (F.col("dominant_script") != "und")
+        & exp_col.isNotNull()
+        & (F.col("dominant_script") != exp_col)
+    )
+    return agg.select(
+        "lang",
+        "dominant_script",
+        "n_docs",
+        exp_col.alias("expected_script"),
+        mismatch.alias("is_mismatch"),
+    ).orderBy("lang", "dominant_script")
+
+
+def script_lang_matrix_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    expected: dict[str, str] | None = None,
+) -> str:
+    exp = expected if expected is not None else LANG_EXPECTED_SCRIPT
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN '{exp[k]}'" for k in sorted(exp)
+    )
+    prof = script_profile_sql(table, id_col, text_col)
+    return f"""
+WITH __prof AS ({prof}),
+__j AS (
+  SELECT t.{lang_col} AS lang, p.dominant_script
+  FROM {table} t JOIN __prof p ON t.{id_col} = p.{id_col}
+),
+__m AS (
+  SELECT lang, dominant_script, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM __j GROUP BY lang, dominant_script
+)
+SELECT lang, dominant_script, n_docs,
+       (CASE {whens} ELSE NULL END) AS expected_script,
+       (dominant_script <> 'und'
+        AND (CASE {whens} ELSE NULL END) IS NOT NULL
+        AND dominant_script <> (CASE {whens} ELSE NULL END)) AS is_mismatch
+FROM __m ORDER BY lang, dominant_script
+"""

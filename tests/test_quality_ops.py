@@ -603,3 +603,33 @@ def test_source_overlap_short_doc_and_null_sources(spark):
         (r.source_a, r.source_b, r.grams_a, r.grams_b, r.shared, r.jaccard)
         for r in got.values()
     )
+
+
+# --- language-tag vs script consistency -----------------------------------
+
+def test_script_lang_matrix(spark):
+    rows = [
+        (0, "en", "plain latin text here"),
+        (1, "en", "plain latin words again"),
+        (2, "zh", "latin text wrongly tagged chinese"),   # mismatch
+        (3, "zh", "中文中文中文"),                          # consistent
+        (4, "xx", "unknown language tag"),                 # no expectation
+        (5, "en", "1234 .,!?"),                            # und -> not judged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {(r.lang, r.dominant_script): r
+           for r in Q.script_lang_matrix(df, "doc_id", "text", "lang").collect()}
+    assert out[("en", "latin")].n_docs == 2
+    assert out[("en", "latin")].is_mismatch is False
+    assert out[("zh", "latin")].is_mismatch is True       # the wrong tag
+    assert out[("zh", "cjk")].is_mismatch is False
+    assert out[("xx", "latin")].expected_script is None
+    assert out[("xx", "latin")].is_mismatch is False
+    assert out[("en", "und")].is_mismatch is False
+    # parity
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sdocs (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO sdocs VALUES (?,?,?)", rows)
+    s = [tuple(r) for r in Q.script_lang_matrix(df, "doc_id", "text", "lang").collect()]
+    d = con.execute(Q.script_lang_matrix_sql("sdocs", "doc_id", "text", "lang")).fetchall()
+    assert s == [tuple(r) for r in d]
