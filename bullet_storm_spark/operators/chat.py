@@ -78,10 +78,12 @@ def conversation_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-transcript structural QA: ``(id, n_turns, n_system, n_user,
     n_assistant, user_chars, assistant_chars, repeated_role_runs,
     well_formed)``. ``repeated_role_runs`` counts adjacent same-role
-    pairs; ``well_formed`` = at least one user and one assistant turn,
-    no repeated-role run, and the transcript opens with a system or
-    user turn. All from the role/content arrays — no explode, no
-    shuffle."""
+    pairs; ``well_formed`` enforces the full structural contract: at
+    least one user and one assistant turn, no repeated-role run, opens
+    with a system or user turn, the FINAL turn is an assistant turn
+    (with no repeats, a trailing user turn is exactly an unanswered
+    question), and any system prompt is single and leading. All from
+    the role/content arrays — no explode, no shuffle."""
     roles, contents = _extracts(text_col)
     d = df.select(
         F.col(id_col), roles.alias("__r"), contents.alias("__c")
@@ -112,10 +114,13 @@ def conversation_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
-    # try_element_at: an empty transcript has no first role (NULL), which
-    # the well_formed AND-chain resolves to FALSE via n_user >= 1 — same
-    # three-valued outcome as DuckDB's out-of-bounds list index
+    # try_element_at: an empty transcript has no first/last role (NULL),
+    # which the well_formed AND-chain resolves to FALSE via n_user >= 1 —
+    # same three-valued outcome as DuckDB's out-of-bounds list index
     first = F.try_element_at(F.col("__r"), F.lit(1))
+    # greatest(n, 1): index 0 is invalid even for try_element_at; an empty
+    # array then probes index 1 -> out of bounds -> NULL, as intended
+    last = F.try_element_at(F.col("__r"), F.greatest(n, F.lit(1)))
     out = d.select(
         F.col(id_col),
         n.cast("long").alias("n_turns"),
@@ -126,12 +131,18 @@ def conversation_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         chars_role("assistant").alias("assistant_chars"),
         repeated.alias("repeated_role_runs"),
         first.alias("__first"),
+        last.alias("__last"),
     )
     well = (
         (F.col("n_user") >= 1)
         & (F.col("n_assistant") >= 1)
         & (F.col("repeated_role_runs") == 0)
         & F.col("__first").isin("system", "user")
+        & (F.col("__last") == "assistant")
+        & (
+            (F.col("n_system") == 0)
+            | ((F.col("n_system") == 1) & (F.col("__first") == "system"))
+        )
     )
     return out.select(
         id_col,
@@ -176,12 +187,16 @@ WITH ex AS (
          CASE WHEN len(roles) >= 2 THEN CAST(len(list_filter(
               range(1, len(roles)), i -> roles[i] = roles[i + 1]))
               AS BIGINT) ELSE 0 END AS repeated_role_runs,
-         roles[1] AS first_role
+         roles[1] AS first_role,
+         roles[len(roles)] AS last_role
   FROM ex
 )
 SELECT id AS {id_col}, n_turns, n_system, n_user, n_assistant,
        user_chars, assistant_chars, repeated_role_runs,
        (n_user >= 1 AND n_assistant >= 1 AND repeated_role_runs = 0
-        AND first_role IN ('system', 'user')) AS well_formed
+        AND first_role IN ('system', 'user')
+        AND last_role = 'assistant'
+        AND (n_system = 0 OR (n_system = 1 AND first_role = 'system')))
+         AS well_formed
 FROM m ORDER BY {id_col}
 """

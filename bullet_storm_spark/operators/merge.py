@@ -67,21 +67,28 @@ def merge_upsert(
 def merge_upsert_sql(
     target: str, updates: str, key_col: str, value_cols: list[str]
 ) -> str:
+    # Presence MARKERS (__in_t/__in_u), not key-NULL tests, decide which
+    # side a row came from: a NULL-keyed target row also has t.key IS
+    # NULL after the full-outer join (NULL keys never match), and a
+    # key-NULL test would tag it 'insert' while the DataFrame twin's
+    # presence flags correctly say 'keep'.
     same = " AND ".join(
         f"t.{c} IS NOT DISTINCT FROM u.{c}" for c in value_cols
     )
     merged = ", ".join(
-        f"CASE WHEN u.{key_col} IS NOT NULL THEN u.{c} ELSE t.{c} END AS {c}"
+        f"CASE WHEN u.__in_u IS NOT NULL THEN u.{c} ELSE t.{c} END AS {c}"
         for c in value_cols
     )
     return f"""
 SELECT COALESCE(t.{key_col}, u.{key_col}) AS {key_col},
        {merged},
-       CASE WHEN t.{key_col} IS NULL THEN 'insert'
-            WHEN u.{key_col} IS NULL THEN 'keep'
+       CASE WHEN t.__in_t IS NULL THEN 'insert'
+            WHEN u.__in_u IS NULL THEN 'keep'
             WHEN {same} THEN 'keep'
             ELSE 'update' END AS action
-FROM {target} t FULL OUTER JOIN {updates} u ON t.{key_col} = u.{key_col}
+FROM (SELECT *, TRUE AS __in_t FROM {target}) t
+FULL OUTER JOIN (SELECT *, TRUE AS __in_u FROM {updates}) u
+  ON t.{key_col} = u.{key_col}
 ORDER BY {key_col}
 """
 

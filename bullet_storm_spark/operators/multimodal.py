@@ -410,13 +410,12 @@ def synthesize_bmp(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def decode_bmp_features(payloads: DataFrame) -> DataFrame:
-    """REAL BMP decode: parse the file + info headers with `struct`,
-    de-pad and re-order the bottom-up BGR rows with numpy, and emit
-    integer channel sums. A wrong stride, row order, or channel order
-    changes the sums and fails the hash check."""
-    import struct
-
-    import numpy as np
+    """REAL BMP decode via the shared :func:`_parse_bmp` parser (headers
+    with `struct`, de-padded bottom-up BGR rows with numpy — ONE parser
+    for the feature, resize, and dhash paths, so a container-handling
+    fix can never diverge between them), emitting integer channel sums.
+    A wrong stride, row order, or channel order changes the sums and
+    fails the hash check."""
     import pandas as pd
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -424,20 +423,8 @@ def decode_bmp_features(payloads: DataFrame) -> DataFrame:
             rows = []
             for ident, blob in zip(pdf["id"], pdf["payload"]):
                 try:
-                    b = bytes(blob)
-                    magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", b, 0)
-                    assert magic == b"BM"
-                    (_hsz, w, h, _planes, bpp) = struct.unpack_from("<IiiHH", b, 14)
-                    assert bpp == 24 and h > 0
-                    row_len = w * 3
-                    stride = row_len + ((-row_len) % 4)
-                    img = np.zeros((h, w, 3), dtype=np.int64)
-                    for yy in range(h):
-                        start = off + yy * stride
-                        row = np.frombuffer(
-                            b[start : start + row_len], dtype=np.uint8
-                        ).reshape(w, 3)
-                        img[h - 1 - yy] = row[:, ::-1]  # BGR -> RGB, un-flip
+                    img = _parse_bmp(bytes(blob))
+                    h, w = img.shape[:2]
                     rows.append(
                         (
                             int(ident), w, h, w * h,

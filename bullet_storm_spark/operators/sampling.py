@@ -195,7 +195,13 @@ def _target_tokens_col(stratum_col: str, targets: dict[str, int]) -> Column:
 
 
 def _mix_targets(weights: dict[str, float], budget_tokens: int) -> dict[str, int]:
-    """Per-source token targets as exact plan literals.
+    """Per-source token targets as exact plan literals, apportioned by
+    largest remainder so they sum to EXACTLY ``budget_tokens`` —
+    independent per-source rounding can strand or overshoot up to
+    len(weights)/2 tokens of the budget (banker's rounding makes
+    {0.5, 0.5} of 5 yield 2+2), and a budget pre-flight that does not
+    conserve the budget under-plans the run. Fractional-remainder ties
+    break by key order (deterministic).
 
     Shares are resolved driver-side (weights and budget are config, not
     data), so both dialects see identical integer literals and the only
@@ -204,9 +210,16 @@ def _mix_targets(weights: dict[str, float], budget_tokens: int) -> dict[str, int
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("mix_plan: weights must sum to a positive value")
-    return {
-        k: int(round(weights[k] / total * budget_tokens)) for k in weights
-    }
+    budget = int(budget_tokens)
+    raw = {k: weights[k] / total * budget for k in weights}
+    out = {k: int(raw[k]) for k in weights}
+    leftover = budget - sum(out.values())
+    for k in sorted(weights, key=lambda k: (-(raw[k] - int(raw[k])), k)):
+        if leftover <= 0:
+            break
+        out[k] += 1
+        leftover -= 1
+    return out
 
 
 def mix_plan(
@@ -229,14 +242,19 @@ def mix_plan(
     100 TB mixing job: one hash aggregation over the corpus, a broadcast-
     sized output (one row per source), and every threshold a plan literal.
     Sources present in the data but absent from ``weights`` get a zero
-    target (they are being mixed out), and appear in the report so the
-    review sees what is being dropped.
+    target (they are being mixed out); sources WEIGHTED but absent from
+    the data appear too, with zero availability and their full target as
+    shortfall — the worst unsatisfiable-target case is exactly what the
+    pre-flight exists to surface, so it must not vanish from the report.
 
     Output: ``(stratum, n_docs, avail_tokens, target_tokens,
     planned_epochs, over_epoch, shortfall_tokens)``; ``planned_epochs``
     ROUND 6dp from one BIGINT/BIGINT division, NULL for a zero-token
     source; ``shortfall_tokens = max(target - floor(avail * max_epochs),
-    0)``."""
+    0)`` and ``over_epoch = shortfall_tokens > 0`` — computed from the
+    exact integer cap, never from the rounded epochs (a 6dp-rounded
+    2.0000001 epochs would read as exactly at-cap while a real shortfall
+    exists)."""
     targets = _mix_targets(weights, budget_tokens)
     toks = token_count(text_col)
     agg = (
@@ -247,6 +265,16 @@ def mix_plan(
             F.sum("__t").alias("avail_tokens"),
         )
     )
+    weighted = df.sparkSession.createDataFrame(
+        [(k,) for k in sorted(weights)], f"{stratum_col} string"
+    )
+    full = agg.join(weighted, stratum_col, "full_outer").select(
+        F.col(stratum_col),
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("avail_tokens"), F.lit(0))
+        .cast("long")
+        .alias("avail_tokens"),
+    )
     target = _target_tokens_col(stratum_col, targets)
     epochs = F.when(
         F.col("avail_tokens") > 0,
@@ -254,12 +282,21 @@ def mix_plan(
     )
     cap = F.floor(F.col("avail_tokens") * F.lit(float(max_epochs))).cast("bigint")
     return (
-        agg.withColumn("target_tokens", target)
+        full.withColumn("target_tokens", target)
         .withColumn("planned_epochs", epochs)
-        .withColumn("over_epoch", F.col("planned_epochs") > float(max_epochs))
         .withColumn(
             "shortfall_tokens",
             F.greatest(F.col("target_tokens") - cap, F.lit(0).cast("bigint")),
+        )
+        .withColumn("over_epoch", F.col("shortfall_tokens") > 0)
+        .select(
+            stratum_col,
+            "n_docs",
+            "avail_tokens",
+            "target_tokens",
+            "planned_epochs",
+            "over_epoch",
+            "shortfall_tokens",
         )
         .orderBy(stratum_col)
     )
@@ -276,6 +313,7 @@ def mix_plan_sql(
     targets = _mix_targets(weights, budget_tokens)
     toks = token_count_sql(text_col)
     target = _target_tokens_sql_case(stratum_col, targets)
+    strata = ", ".join(f"'{k}'" for k in sorted(weights))
     return f"""
 WITH __agg AS (
   SELECT {stratum_col},
@@ -284,6 +322,13 @@ WITH __agg AS (
   FROM {table}
   GROUP BY {stratum_col}
 ),
+__w AS (SELECT unnest([{strata}]) AS __s),
+__full AS (
+  SELECT COALESCE(a.{stratum_col}, w.__s) AS {stratum_col},
+         CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+         CAST(COALESCE(a.avail_tokens, 0) AS BIGINT) AS avail_tokens
+  FROM __agg a FULL OUTER JOIN __w w ON a.{stratum_col} = w.__s
+),
 __plan AS (
   SELECT {stratum_col}, n_docs, avail_tokens,
          {target} AS target_tokens,
@@ -291,10 +336,10 @@ __plan AS (
               THEN ROUND(({target}) / avail_tokens, 6) END AS planned_epochs,
          CAST(FLOOR(avail_tokens * CAST({float(max_epochs)!r} AS DOUBLE))
               AS BIGINT) AS __cap
-  FROM __agg
+  FROM __full
 )
 SELECT {stratum_col}, n_docs, avail_tokens, target_tokens, planned_epochs,
-       planned_epochs > CAST({float(max_epochs)!r} AS DOUBLE) AS over_epoch,
+       GREATEST(target_tokens - __cap, CAST(0 AS BIGINT)) > 0 AS over_epoch,
        GREATEST(target_tokens - __cap, CAST(0 AS BIGINT)) AS shortfall_tokens
 FROM __plan
 ORDER BY {stratum_col}

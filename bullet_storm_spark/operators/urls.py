@@ -36,7 +36,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_TRACKING = "(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*"
+# Anchored to a [?&] delimiter (kept via the $1 backref) so only WHOLE
+# query parameters named exactly utm_*/fbclid/... are stripped — an
+# unanchored form would also hit '?href=...' (embedded 'ref='), '?pref=',
+# or a path segment '/ref=x/page', silently merging or truncating
+# unrelated URLs on both sides of the oracle.
+_TRACKING = "([?&])(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*"
 
 # (pattern, spark_replacement, duckdb_replacement) applied in order AFTER
 # the scheme+authority lowercasing step (which is concat-based, not a
@@ -45,7 +50,7 @@ _STEPS: list[tuple[str, str, str]] = [
     ("://www\\.", "://", "://"),
     ("^(https://[^/:?#]+):443([/?#].*)?$", "$1$2", "\\1\\2"),
     ("^(http://[^/:?#]+):80([/?#].*)?$", "$1$2", "\\1\\2"),
-    (_TRACKING, "", ""),
+    (_TRACKING, "$1", "\\1"),
     ("\\?&+", "?", "?"),
     ("&&+", "&", "&"),
     ("[?&]+$", "", ""),

@@ -13,6 +13,9 @@ ROWS = [
     (3, "<|assistant|>orphan"),                              # opens wrong
     (4, "<|system|>s<|user|>unanswered"),                    # no assistant
     (5, "no markers at all"),                                # 0 turns
+    (6, "<|user|>q<|assistant|>a<|user|>more"),              # unanswered tail
+    (7, "<|user|>q<|assistant|>a<|system|>late<|user|>q2<|assistant|>a2"),
+    (8, "<|system|>a<|system|>b<|user|>q<|assistant|>r"),    # double system
 ]
 
 
@@ -55,6 +58,9 @@ def test_conversation_report(chats, duck):
     assert by[3][8] is False                       # opens with assistant
     assert by[4][8] is False                       # no assistant turn
     assert by[5][1] == 0 and by[5][8] is False     # empty transcript
+    assert by[6][8] is False                       # trailing unanswered user
+    assert by[7][8] is False                       # mid-conversation system
+    assert by[8][8] is False                       # two system prompts
 
 
 def test_report_is_scan_level(chats):

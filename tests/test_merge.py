@@ -11,12 +11,14 @@ TARGET = [
     (2, "b", 20.0),
     (3, "c", None),   # NULL value in target
     (4, "d", 40.0),
+    (None, "n", 5.0),  # NULL key in target: full-outer never matches it
 ]
 UPDATES = [
     (2, "b", 25.0),   # matched, changed -> update
     (3, "c", None),   # matched, identical incl. NULL -> keep
     (4, "d", 40.0),   # matched, identical -> keep
     (9, "z", 90.0),   # new key -> insert
+    (None, "m", 6.0),  # NULL key in updates: arrives as its own insert
 ]
 
 
@@ -39,26 +41,40 @@ def duck():
 
 def test_merge_semantics(frames):
     t, u = frames
-    out = {r.k: r for r in M.merge_upsert(t, u, "k", ["name", "bal"]).collect()}
+    rows = M.merge_upsert(t, u, "k", ["name", "bal"]).collect()
+    out = {r.k: r for r in rows if r.k is not None}
     assert set(out) == {1, 2, 3, 4, 9}
     assert out[1].action == "keep" and out[1].bal == 10.0      # target-only
     assert out[2].action == "update" and out[2].bal == 25.0    # update wins
     assert out[3].action == "keep" and out[3].bal is None      # NULL == NULL
     assert out[4].action == "keep" and out[4].bal == 40.0      # no-op echo
     assert out[9].action == "insert" and out[9].bal == 90.0
+    # NULL keys never match in a full-outer join: the target's NULL-key
+    # row is a keep, the update's is an insert — presence flags, not
+    # key-NULL tests, decide (the SQL twin regression)
+    nulls = {(r.name, r.action) for r in rows if r.k is None}
+    assert nulls == {("n", "keep"), ("m", "insert")}
 
 
 def test_merge_duck_parity(frames, duck):
     t, u = frames
-    s = [tuple(r) for r in M.merge_upsert(t, u, "k", ["name", "bal"]).collect()]
-    d = duck.execute(M.merge_upsert_sql("t", "u", "k", ["name", "bal"])).fetchall()
-    assert s == [tuple(r) for r in d]
+
+    def canon(rows):
+        # Spark sorts NULL keys first, DuckDB last — compare as multisets
+        return sorted(
+            (tuple(r) for r in rows),
+            key=lambda r: tuple((v is None, v) for v in r),
+        )
+
+    s = canon(M.merge_upsert(t, u, "k", ["name", "bal"]).collect())
+    d = canon(duck.execute(M.merge_upsert_sql("t", "u", "k", ["name", "bal"])).fetchall())
+    assert s == d
     sa = [tuple(r) for r in M.merge_accounting(t, u, "k", ["name", "bal"]).collect()]
     da = duck.execute(
         M.merge_accounting_sql("t", "u", "k", ["name", "bal"])
     ).fetchall()
     assert sa == [tuple(r) for r in da]
-    assert dict((a, n) for a, n in sa) == {"insert": 1, "keep": 3, "update": 1}
+    assert dict((a, n) for a, n in sa) == {"insert": 2, "keep": 4, "update": 1}
 
 
 def test_merge_single_join(frames):

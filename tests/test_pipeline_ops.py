@@ -188,6 +188,67 @@ def test_mix_plan_rejects_zero_weights(plan_docs):
         sampling.mix_plan(plan_docs, "source", "text", {}, 100)
 
 
+def test_mix_plan_weighted_absent_source(plan_docs):
+    """A weighted source missing from the corpus must appear with zero
+    availability and its full target as shortfall — the unsatisfiable-
+    target case the pre-flight exists to surface."""
+    out = {
+        r.source: r
+        for r in sampling.mix_plan(
+            plan_docs, "source", "text",
+            {"s0": 0.5, "missing": 0.5}, budget_tokens=20, max_epochs=2.0,
+        ).collect()
+    }
+    m = out["missing"]
+    assert (m.n_docs, m.avail_tokens, m.target_tokens) == (0, 0, 10)
+    assert m.planned_epochs is None
+    assert m.over_epoch is True and m.shortfall_tokens == 10
+    # duck twin agrees
+    con = duckdb.connect()
+    con.execute("CREATE TABLE adocs (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO adocs VALUES (?,?,?)", plan_docs.collect())
+    d = con.execute(
+        sampling.mix_plan_sql(
+            "adocs", "source", "text",
+            {"s0": 0.5, "missing": 0.5}, budget_tokens=20, max_epochs=2.0,
+        )
+    ).fetchall()
+    s = [
+        tuple(r)
+        for r in sampling.mix_plan(
+            plan_docs, "source", "text",
+            {"s0": 0.5, "missing": 0.5}, budget_tokens=20, max_epochs=2.0,
+        ).collect()
+    ]
+    assert s == [tuple(r) for r in d]
+
+
+def test_mix_targets_conserve_budget():
+    """Largest-remainder apportionment: targets sum to the budget
+    exactly, for shares where independent rounding loses tokens."""
+    for weights, budget in (
+        ({"a": 1.0, "b": 1.0, "c": 1.0}, 100),
+        ({"a": 0.5, "b": 0.5}, 5),
+        ({"a": 0.7, "b": 0.2, "c": 0.1}, 33),
+    ):
+        t = sampling._mix_targets(weights, budget)
+        assert sum(t.values()) == budget, (weights, budget, t)
+
+
+def test_mix_plan_over_epoch_is_exact(spark):
+    """over_epoch comes from the integer cap, not the 6dp-rounded
+    epochs: a 1-token shortfall on a huge source must flag."""
+    # one source, 40 tokens available, target 81 with max 2.0 epochs:
+    # epochs 2.025 (clearly over), shortfall 1 if target = cap + 1
+    df = spark.createDataFrame(
+        [(0, " ".join(["w"] * 40), "s")], "doc_id long, text string, source string"
+    )
+    out = sampling.mix_plan(
+        df, "source", "text", {"s": 1.0}, budget_tokens=81, max_epochs=2.0
+    ).collect()[0]
+    assert out.shortfall_tokens == 1 and out.over_epoch is True
+
+
 # --- packing ----------------------------------------------------------------
 
 def _toks(r):

@@ -14,6 +14,12 @@ CASES = [
     (5, "  https://plain.net/x  "),
     (6, "https://a.b.co.uk/p?keep=1&gclid=z&also=2"),
     (7, "https://site.example.com/Articles/7?id=7"),  # already canonical
+    # tracking-regex anchoring regressions: none of these contain a real
+    # tracking param and must survive untouched
+    (8, "https://site.com/p?href=https://other.com"),   # embedded 'ref='
+    (9, "https://site.com/ref=x/page"),                 # path segment
+    (10, "https://site.com/p?xfbclid=1&pref=dark"),     # superstring names
+    (11, "https://site.com/p?utm_a=1&utm_b=2&keep=3"),  # consecutive strips
 ]
 
 
@@ -42,6 +48,11 @@ def test_normalize_semantics(urls_df):
     # non-tracking params survive, in original order
     assert out[6][0] == "https://a.b.co.uk/p?keep=1&also=2"
     assert out[6][1] == "co.uk"  # documented no-PSL approximation
+    # anchored tracking regex: whole-param matches only
+    assert out[8][0] == "https://site.com/p?href=https://other.com"
+    assert out[9][0] == "https://site.com/ref=x/page"
+    assert out[10][0] == "https://site.com/p?xfbclid=1&pref=dark"
+    assert out[11][0] == "https://site.com/p?keep=3"
 
 
 def test_normalize_duck_parity(urls_df, duck):
