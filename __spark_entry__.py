@@ -1751,6 +1751,19 @@ ORDER BY doc_id
             "html",
         ),
     ),
+    # Matryoshka truncation audit (Kusupati NeurIPS'22): cosine
+    # distortion of prefix-dim embeddings vs full — the pre-flight
+    # before truncating vectors to shrink an ANN index
+    "embed_matryoshka_audit": (
+        lambda s, d: _quant.matryoshka_audit(_embs(s, d), "vec_id", "embedding"),
+        _quant.matryoshka_audit_sql("embeddings", "vec_id", "embedding"),
+    ),
+    # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
+    # the measured dedup_lsh_recall audit; config-only, no table input
+    "dedup_lsh_s_curve": (
+        lambda s, d: _dedup.lsh_s_curve(s),
+        _dedup.lsh_s_curve_sql(),
+    ),
     # one-row key-skew pre-flight (gini + top-share over the key-count
     # frame): decides salted-fallback vs AQE vs nothing BEFORE the 100 TB
     # shuffle; exact decimal rank-sums, dialect-identical double formula
@@ -3031,7 +3044,8 @@ _DRIVER_PRIORITY = [
     # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
     # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile,
     # multimodal_wav_decimate, text_pmi_collocations,
-    # text_script_lang_matrix — all tri-scale MATCH in-repo).
+    # text_script_lang_matrix, embed_matryoshka_audit,
+    # dedup_lsh_s_curve — all tri-scale MATCH in-repo).
 ]
 
 

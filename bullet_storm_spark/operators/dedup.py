@@ -1347,3 +1347,55 @@ WHERE abs(a.len - b.len) <= {int(max_dist)}
   AND levenshtein(a.text, b.text) <= {int(max_dist)}
 ORDER BY id_a, id_b
 """
+
+
+# --- LSH banding S-curve ---------------------------------------------------
+
+
+def lsh_s_curve(
+    spark,
+    num_hashes: int = 64,
+    bands: int = 16,
+    grid: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """The analytic banding S-curve ``p(s) = 1 - (1 - s^r)^b`` for the
+    (num_hashes, bands) MinHash-LSH configuration (MMDS ch. 3): the
+    probability a pair with Jaccard similarity ``s`` collides in at
+    least one band. ``(similarity, p_collision)`` at grid+1 points —
+    the design-time companion to the MEASURED ``lsh_recall_audit``: the
+    curve picks (b, r), the recall audit then validates the pick on the
+    actual corpus.
+
+    Config-only (no table input), computed as one engine expression over
+    a generated range so the oracle twin exercises the identical
+    POWER/ROUND chain."""
+    if num_hashes % bands != 0:
+        raise ValueError("lsh_s_curve: bands must divide num_hashes")
+    r = num_hashes // bands
+    rt = int(round_to)
+    s = F.col("id").cast("double") / F.lit(float(grid))
+    p = F.round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, F.lit(r)), F.lit(bands)), rt
+    )
+    return (
+        spark.range(int(grid) + 1)
+        .select(F.round(s, rt).alias("similarity"), p.alias("p_collision"))
+        .orderBy("similarity")
+    )
+
+
+def lsh_s_curve_sql(
+    num_hashes: int = 64, bands: int = 16, grid: int = 20, round_to: int = 6
+) -> str:
+    if num_hashes % bands != 0:
+        raise ValueError("lsh_s_curve: bands must divide num_hashes")
+    r = num_hashes // bands
+    rt = int(round_to)
+    return f"""
+SELECT ROUND(CAST(i AS DOUBLE) / {float(grid)!r}, {rt}) AS similarity,
+       ROUND(1.0 - POWER(1.0 - POWER(CAST(i AS DOUBLE) / {float(grid)!r},
+                                     {r}), {bands}), {rt}) AS p_collision
+FROM range(0, {int(grid) + 1}) t(i)
+ORDER BY similarity
+"""

@@ -504,3 +504,100 @@ SELECT id AS {id_col}, len(v) AS dim,
        ROUND(uscale / 2, {round_to}) AS err_bound
 FROM joined ORDER BY {id_col}
 """
+
+
+# --- Matryoshka truncation audit ------------------------------------------
+
+
+def matryoshka_audit(
+    df,
+    id_col: str,
+    vec_col: str,
+    dims: tuple = (8, 16, 32),
+    round_to: int = 6,
+):
+    """Embedding-truncation distortion report (Matryoshka representation
+    check, Kusupati et al. NeurIPS'22): for each prefix length k, how
+    much does cosine similarity computed on the first k dimensions
+    deviate from full-dimensional cosine — the pre-flight before
+    shipping truncated embeddings to cut ANN index size by dim/k.
+
+    Pairs are deterministic consecutive ids (even id i vs i+1), so the
+    audit is one equi-join over a computed key, not an all-pairs
+    product; per-k rows come from a literal dims explode. Output:
+    ``(dims, n_pairs, mean_abs_err, max_abs_err)`` with both cosines
+    rounded to ``round_to`` before differencing (the established
+    engine-parity grid for cosine folds) and the mean accumulated in
+    DECIMAL — order-free."""
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.functions.vectors import cosine
+
+    v = df.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"))
+    left = v.where(F.col("__i") % 2 == 0).select(
+        F.col("__i"), F.col("__v").alias("__a")
+    )
+    right = v.select((F.col("__i") - 1).alias("__i"), F.col("__v").alias("__b"))
+    pairs = left.join(right, "__i").select("__a", "__b")
+    rt = int(round_to)
+    k = F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias("dims")
+    cos_full = F.round(cosine(F.col("__a"), F.col("__b")), rt)
+    cos_k = F.round(
+        cosine(
+            F.slice(F.col("__a"), 1, F.col("dims")),
+            F.slice(F.col("__b"), 1, F.col("dims")),
+        ),
+        rt,
+    )
+    err = F.round(F.abs(cos_k - cos_full), rt)
+    per = pairs.select(k, F.col("__a"), F.col("__b")).select(
+        "dims", err.alias("__err")
+    )
+    return (
+        per.groupBy("dims")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("__err").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                rt,
+            ).alias("mean_abs_err"),
+            F.max("__err").alias("max_abs_err"),
+        )
+        .orderBy("dims")
+    )
+
+
+def matryoshka_audit_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dims: tuple = (8, 16, 32),
+    round_to: int = 6,
+) -> str:
+    rt = int(round_to)
+    ks = ", ".join(str(int(d)) for d in dims)
+    return f"""
+WITH __v AS (
+  SELECT {id_col} AS i, {vec_col} AS v FROM {table}
+),
+__p AS (
+  SELECT l.v AS a, r.v AS b
+  FROM __v l JOIN __v r ON r.i = l.i + 1
+  WHERE l.i % 2 = 0
+),
+__e AS (
+  SELECT k.dims,
+         ROUND(ABS(
+           ROUND(list_cosine_similarity(a[1:k.dims]::DOUBLE[],
+                                        b[1:k.dims]::DOUBLE[]), {rt})
+           - ROUND(list_cosine_similarity(a::DOUBLE[], b::DOUBLE[]), {rt})
+         ), {rt}) AS err
+  FROM __p CROSS JOIN (SELECT unnest([{ks}]) AS dims) k
+)
+SELECT dims, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*),
+             {rt}) AS mean_abs_err,
+       MAX(err) AS max_abs_err
+FROM __e GROUP BY dims ORDER BY dims
+"""

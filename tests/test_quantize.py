@@ -95,3 +95,33 @@ def test_zero_vector_excluded(spark):
     ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
     assert 0 not in ids  # all-zero vector is neither query nor candidate
     assert len(out) == 2  # 1<->2 both ways
+
+
+# --- Matryoshka truncation audit -----------------------------------------
+
+def test_matryoshka_audit(spark):
+    import duckdb
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 1.0, 0.0]),   # pair (0,1): cos2 = 1.0, cos4 ~ .7071
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 1.0]),   # pair (2,3): cos2 = 1.0, cos4 ~ .7071
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from bullet_storm_spark.operators.quantize import (
+        matryoshka_audit, matryoshka_audit_sql,
+    )
+
+    got = matryoshka_audit(df, "vec_id", "embedding", dims=(2,)).collect()
+    assert len(got) == 1 and got[0].dims == 2 and got[0].n_pairs == 2
+    # truncating to 2 dims inflates cos from .707107 to 1.0 on both pairs
+    assert got[0].mean_abs_err == round(1.0 - 0.707107, 6)
+    assert got[0].max_abs_err == got[0].mean_abs_err
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    d = con.execute(
+        matryoshka_audit_sql("e", "vec_id", "embedding", dims=(2,))
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in d]

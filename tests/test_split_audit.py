@@ -248,3 +248,28 @@ def test_lm_score_properties_and_parity(spark):
     srows = [tuple(r) for r in lm_score(df, "doc_id", "text").collect()]
     drows = [tuple(r) for r in con.sql(lm_score_sql("t", "doc_id", "text")).fetchall()]
     assert srows == drows
+
+
+# --- LSH banding S-curve ---------------------------------------------------
+
+def test_lsh_s_curve(spark):
+    import duckdb
+    import pytest as _pt
+
+    from bullet_storm_spark.operators.dedup import lsh_s_curve, lsh_s_curve_sql
+
+    got = lsh_s_curve(spark, num_hashes=64, bands=16, grid=20).collect()
+    assert len(got) == 21
+    by = {r.similarity: r.p_collision for r in got}
+    assert by[0.0] == 0.0 and by[1.0] == 1.0
+    # closed form at s = 0.5, r = 4, b = 16
+    assert by[0.5] == round(1 - (1 - 0.5**4) ** 16, 6)
+    # monotone nondecreasing in s
+    ps = [r.p_collision for r in sorted(got, key=lambda r: r.similarity)]
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
+    d = duckdb.connect().execute(
+        lsh_s_curve_sql(num_hashes=64, bands=16, grid=20)
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in d]
+    with _pt.raises(ValueError):
+        lsh_s_curve(spark, num_hashes=64, bands=15)
