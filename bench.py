@@ -139,6 +139,7 @@ HEADLINE = [
     "merge_upsert_customer",
     "chat_parse_turns",
     "text_pmi_collocations",
+    "embed_matryoshka_audit",
 ]
 
 
