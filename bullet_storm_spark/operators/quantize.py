@@ -35,7 +35,7 @@ from typing import Iterator
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
-from bullet_storm_spark.functions.vectors import as_double
+from bullet_storm_spark.functions.vectors import as_double, cosine, dot
 from bullet_storm_spark.operators.similarity import _rank_topk
 
 QMAX = 127  # symmetric int8 range
@@ -528,30 +528,42 @@ def matryoshka_audit(
     ``(dims, n_pairs, mean_abs_err, max_abs_err)`` with both cosines
     rounded to ``round_to`` before differencing (the established
     engine-parity grid for cosine folds) and the mean accumulated in
-    DECIMAL — order-free."""
-    from pyspark.sql import functions as F
+    DECIMAL — order-free.
 
-    from bullet_storm_spark.functions.vectors import cosine
-
+    All-zero vectors are excluded upfront (cosine undefined, same
+    contract as quantized_neighbors). A (pair, k) row is dropped when
+    either prefix has zero norm
+    (cosine undefined — truncation can zero a nonzero vector) or when
+    k exceeds the vector's actual length (slice would be a no-op and
+    the row would falsely report lossless truncation); n_pairs counts
+    survivors per k, so a shrunken count flags the misconfiguration."""
+    if not dims or any(int(d) <= 0 for d in dims):
+        raise ValueError("dims must be a non-empty tuple of positive ints")
     v = df.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"))
+    dv = as_double(F.col("__v"))
+    v = v.where(dot(dv, dv) > 0)
     left = v.where(F.col("__i") % 2 == 0).select(
         F.col("__i"), F.col("__v").alias("__a")
     )
     right = v.select((F.col("__i") - 1).alias("__i"), F.col("__v").alias("__b"))
-    pairs = left.join(right, "__i").select("__a", "__b")
     rt = int(round_to)
-    k = F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias("dims")
     cos_full = F.round(cosine(F.col("__a"), F.col("__b")), rt)
-    cos_k = F.round(
-        cosine(
-            F.slice(F.col("__a"), 1, F.col("dims")),
-            F.slice(F.col("__b"), 1, F.col("dims")),
-        ),
-        rt,
+    base = left.join(right, "__i").select(
+        "__a", "__b", cos_full.alias("__cf")
     )
-    err = F.round(F.abs(cos_k - cos_full), rt)
-    per = pairs.select(k, F.col("__a"), F.col("__b")).select(
-        "dims", err.alias("__err")
+    k = F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias("dims")
+    a_k = as_double(F.slice(F.col("__a"), 1, F.col("dims")))
+    b_k = as_double(F.slice(F.col("__b"), 1, F.col("dims")))
+    cos_k = F.round(cosine(a_k, b_k), rt)
+    err = F.round(F.abs(cos_k - F.col("__cf")), rt)
+    per = (
+        base.select(k, "__a", "__b", "__cf")
+        .where(
+            (F.col("dims") <= F.least(F.size("__a"), F.size("__b")))
+            & (dot(a_k, a_k) > 0)
+            & (dot(b_k, b_k) > 0)
+        )
+        .select("dims", err.alias("__err"))
     )
     return (
         per.groupBy("dims")
@@ -575,14 +587,19 @@ def matryoshka_audit_sql(
     dims: tuple = (8, 16, 32),
     round_to: int = 6,
 ) -> str:
+    if not dims or any(int(d) <= 0 for d in dims):
+        raise ValueError("dims must be a non-empty tuple of positive ints")
     rt = int(round_to)
     ks = ", ".join(str(int(d)) for d in dims)
     return f"""
 WITH __v AS (
   SELECT {id_col} AS i, {vec_col} AS v FROM {table}
+  WHERE list_dot_product(v::DOUBLE[], v::DOUBLE[]) > 0
 ),
 __p AS (
-  SELECT l.v AS a, r.v AS b
+  SELECT l.v AS a, r.v AS b,
+         ROUND(list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[]),
+               {rt}) AS cf
   FROM __v l JOIN __v r ON r.i = l.i + 1
   WHERE l.i % 2 = 0
 ),
@@ -591,9 +608,12 @@ __e AS (
          ROUND(ABS(
            ROUND(list_cosine_similarity(a[1:k.dims]::DOUBLE[],
                                         b[1:k.dims]::DOUBLE[]), {rt})
-           - ROUND(list_cosine_similarity(a::DOUBLE[], b::DOUBLE[]), {rt})
+           - cf
          ), {rt}) AS err
   FROM __p CROSS JOIN (SELECT unnest([{ks}]) AS dims) k
+  WHERE k.dims <= LEAST(len(a), len(b))
+    AND list_dot_product(a[1:k.dims]::DOUBLE[], a[1:k.dims]::DOUBLE[]) > 0
+    AND list_dot_product(b[1:k.dims]::DOUBLE[], b[1:k.dims]::DOUBLE[]) > 0
 )
 SELECT dims, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*),

@@ -125,3 +125,37 @@ def test_matryoshka_audit(spark):
         matryoshka_audit_sql("e", "vec_id", "embedding", dims=(2,))
     ).fetchall()
     assert [tuple(r) for r in got] == [tuple(w) for w in d]
+
+
+def test_matryoshka_audit_guards(spark):
+    import duckdb
+    import pytest
+
+    from bullet_storm_spark.operators.quantize import (
+        matryoshka_audit, matryoshka_audit_sql,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 1.0, 0.0]),   # prefix-2 is all-zero -> row dropped
+        (1, [0.0, 0.0, 1.0, 1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # all-zero vector -> excluded upfront
+        (3, [1.0, 1.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.0, 0.0]),
+        (5, [1.0, 1.0, 0.0, 0.0]),   # only surviving pair for dims=2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # dims=2: pair (0,1) dropped (zero prefixes), pair (2,3) dropped
+    # (zero full vector), pair (4,5) survives; dims=128 > len -> no rows
+    got = matryoshka_audit(df, "vec_id", "embedding", dims=(2, 128)).collect()
+    assert len(got) == 1 and got[0].dims == 2 and got[0].n_pairs == 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    d = con.execute(
+        matryoshka_audit_sql("e", "vec_id", "embedding", dims=(2, 128))
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in d]
+    with pytest.raises(ValueError):
+        matryoshka_audit(df, "vec_id", "embedding", dims=())
+    with pytest.raises(ValueError):
+        matryoshka_audit_sql("e", "vec_id", "embedding", dims=(0,))
