@@ -512,9 +512,19 @@ from bullet_storm_spark.operators import html as _html
 from bullet_storm_spark.operators import layout as _layout
 from bullet_storm_spark.operators import lines as _lines
 from bullet_storm_spark.operators import profile as _profile
+from bullet_storm_spark.operators import retrieval as _retr
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
+
+# fixed retrieval workload for the BM25 entry: phrases over the synthetic
+# corpus vocabulary, one per query intent class
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "fast hash join"),
+    (3, "customer query filter"),
+    (4, "stream batch merge sort"),
+]
 
 # deterministic non-Latin augmentation for the script-profile entry (one
 # expression string, compiled by BOTH Spark SQL and DuckDB so the two
@@ -1757,6 +1767,15 @@ ORDER BY doc_id
     "embed_matryoshka_audit": (
         lambda s, d: _quant.matryoshka_audit(_embs(s, d), "vec_id", "embedding"),
         _quant.matryoshka_audit_sql("embeddings", "vec_id", "embedding"),
+    ),
+    # BM25 ranked retrieval (Robertson SIGIR'94, Lucene idf): query ->
+    # top-k docs over an inverted index; the query postings ride a
+    # broadcast so candidates are linear in corpus size, never quadratic
+    "text_bm25_topk": (
+        lambda s, d: _retr.bm25_topk(
+            _docs(s, d), "doc_id", "text", _BM25_QUERIES, k=10
+        ),
+        _retr.bm25_topk_sql("documents", "doc_id", "text", _BM25_QUERIES, k=10),
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
@@ -3045,7 +3064,7 @@ _DRIVER_PRIORITY = [
     # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile,
     # multimodal_wav_decimate, text_pmi_collocations,
     # text_script_lang_matrix, embed_matryoshka_audit,
-    # dedup_lsh_s_curve — all tri-scale MATCH in-repo).
+    # dedup_lsh_s_curve, text_bm25_topk — all tri-scale MATCH in-repo).
 ]
 
 

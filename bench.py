@@ -140,6 +140,7 @@ HEADLINE = [
     "chat_parse_turns",
     "text_pmi_collocations",
     "embed_matryoshka_audit",
+    "text_bm25_topk",
 ]
 
 

@@ -1,0 +1,244 @@
+"""BM25 ranked retrieval over a document corpus, dual-compiled.
+
+The missing piece between the similarity joins (vocab.tfidf_pairs — doc
+pairs) and ANN (operators/similarity.py — embedding neighbors): classic
+lexical *query → top-k documents* retrieval (Robertson & Walker SIGIR'94;
+the idf variant is Lucene's ``ln(1 + (N - df + 0.5)/(df + 0.5))``, always
+positive). In a training-data pipeline this is the retrieval half of RAG
+corpus curation, hard-negative mining for embedding training, and the
+lexical baseline every dense retriever is measured against.
+
+Scale shape (100 TB): the corpus collapses to a posting list
+(term, doc, tf) — one wordcount shuffle. The query set is dimension-sized
+(Q queries x a few terms each) and rides a broadcast, so candidate volume
+is sum over query terms of df(t) — LINEAR in corpus size, never
+corpus-quadratic (contrast the all-pairs joins, which need a df_cap as a
+skew bound; here the optional df_cap is only a stopword/efficiency prune).
+Per-(query, doc) scores aggregate on a composite key with map-side
+partials; the top-k is a Q-partition window, Q tiny by construction.
+
+Engine parity follows the tfidf_pairs contract: each per-term
+contribution is rounded to 12 dp and accumulated in DECIMAL(38,12), so
+the score is partitioning-independent and hash-exact across engines; the
+final score is rounded to ``round_to`` BEFORE ranking so both engines
+make the same tie call, with doc id as the total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from bullet_storm_spark.functions.text import tokens, tokens_sql
+from bullet_storm_spark.operators.vocab import _resolve_df_cap
+
+# Python twin of functions.text.tokens() for the dimension-sized query
+# strings (lowercase, trim, whitespace split) — queries are plan literals,
+# so they tokenize at plan-build time, identically in both twins.
+_WS_RE = re.compile(r"\s+")
+
+
+def _check_params(k: int, k1: float, b: float) -> None:
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if k1 < 0:
+        raise ValueError(f"need k1 >= 0, got {k1}")
+    if not 0.0 <= b <= 1.0:
+        # b > 1 can drive the length-norm denominator non-positive for
+        # shorter-than-average documents
+        raise ValueError(f"need 0 <= b <= 1, got {b}")
+
+
+def _query_terms(queries) -> list[tuple[int, str]]:
+    if not queries:
+        raise ValueError("bm25_topk requires >= 1 (query_id, text) pair")
+    out: list[tuple[int, str]] = []
+    seen: set[tuple[int, str]] = set()
+    for qid, text in queries:
+        terms = [t for t in _WS_RE.split(str(text).strip().lower()) if t]
+        if not terms:
+            raise ValueError(f"query {qid!r} has no tokens")
+        for t in terms:  # distinct terms per query (qtf simplification)
+            if (int(qid), t) not in seen:
+                seen.add((int(qid), t))
+                out.append((int(qid), t))
+    return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    df_cap: int | float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25. Output
+    ``(query_id, rank, doc_id, n_terms_matched, score)``.
+
+    ``queries`` is a list of ``(query_id, text)`` literals — a
+    dimension-sized broadcast, the retrieval analogue of
+    decontam's benchmark index. ``df_cap`` (optional; int >= 2 absolute
+    or float fraction of N) drops ultra-common terms before the join —
+    an efficiency prune only, BM25's idf already down-weights them.
+    Corpus stats (N, avgdl) are defined over documents with >= 1 token
+    (tokenless docs can never match) and ride a 1-row broadcast."""
+    qterms = _query_terms(queries)
+    k = int(k)
+    _check_params(k, k1, b)
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("__doc", "token").agg(F.count("*").cast("long").alias("__tf"))
+    dl = tok.groupBy("__doc").agg(F.count("*").cast("long").alias("__dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("__df"))
+    if df_cap is not None:
+        cap = _resolve_df_cap(df_cap)
+        if isinstance(cap, float):
+            dfreq = dfreq.crossJoin(F.broadcast(stats.select("__N"))).where(
+                F.col("__df")
+                <= F.greatest(
+                    F.lit(2).cast("long"),
+                    F.ceil(F.lit(cap) * F.col("__N")).cast("long"),
+                )
+            ).select("token", "__df")
+        else:
+            dfreq = dfreq.where(F.col("__df") <= cap)
+    q = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    F.lit(t).alias("token"),
+                )
+                for qid, t in qterms
+            ]
+        )
+    ).alias("__q")
+    qdf = df.sparkSession.range(1).select(q).select("__q.query_id", "__q.token")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1.0)) / (
+        F.col("__tf")
+        + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    contrib = F.round(idf * tf_part, 12)
+    # dfreq pruned to query terms BEFORE the broadcast: dimension-sized,
+    # never vocabulary-sized on the wire
+    qdfreq = dfreq.join(F.broadcast(qdf.select("token").distinct()), "token")
+    scored = (
+        tf.join(F.broadcast(qdf), "token")
+        .join(dl, "__doc")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdfreq), "token")
+        .select("query_id", "__doc", contrib.alias("__c"))
+        .groupBy("query_id", "__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.round(
+                F.sum(F.col("__c").cast("decimal(38,12)")).cast("double"),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("__doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("__doc").alias("doc_id"),
+            "n_terms_matched",
+            "score",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    df_cap: int | float | None = None,
+    round_to: int = 6,
+) -> str:
+    qterms = _query_terms(queries)
+    k = int(k)
+    _check_params(k, k1, b)
+    vals = ", ".join(
+        f"({qid}, '" + t.replace("'", "''") + "')" for qid, t in qterms
+    )
+    cap_pred = ""
+    if df_cap is not None:
+        cap = _resolve_df_cap(df_cap)
+        if isinstance(cap, float):
+            cap_pred = (
+                "  WHERE dfc <= greatest(2, CAST(ceil("
+                f"{cap} * (SELECT N FROM __stats)) AS BIGINT))\n"
+            )
+        else:
+            cap_pred = f"  WHERE dfc <= {cap}\n"
+    return f"""
+WITH __tok AS (
+  SELECT {id_col} AS doc, unnest({tokens_sql(text_col)}) AS token
+  FROM {table}
+), __nonempty AS (SELECT * FROM __tok WHERE token <> ''),
+__tf AS (
+  SELECT doc, token, COUNT(*)::BIGINT AS tf FROM __nonempty GROUP BY doc, token
+),
+__dl AS (
+  SELECT doc, COUNT(*)::BIGINT AS dl FROM __nonempty GROUP BY doc
+),
+__stats AS (
+  SELECT COUNT(*)::BIGINT AS N, AVG(dl) AS avgdl FROM __dl
+),
+__dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS dfc FROM __tf GROUP BY token
+),
+__dfreq_kept AS (
+  SELECT token, dfc FROM __dfreq
+{cap_pred}),
+__q(query_id, token) AS (VALUES {vals}),
+__scored AS (
+  SELECT q.query_id::BIGINT AS query_id, t.doc,
+         COUNT(*)::BIGINT AS n_terms_matched,
+         ROUND(CAST(SUM(CAST(ROUND(
+           ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+           * (t.tf * ({k1} + 1.0))
+             / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)),
+         12) AS DECIMAL(38,12))) AS DOUBLE), {round_to}) AS score
+  FROM __tf t
+  JOIN __q q ON t.token = q.token
+  JOIN __dl l ON t.doc = l.doc
+  CROSS JOIN __stats s
+  JOIN __dfreq_kept d ON t.token = d.token
+  GROUP BY q.query_id, t.doc
+),
+__ranked AS (
+  SELECT query_id, doc, n_terms_matched, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc ASC) AS BIGINT)
+           AS rank
+  FROM __scored
+)
+SELECT query_id, rank, doc AS doc_id, n_terms_matched, score
+FROM __ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,113 @@
+"""BM25 ranked retrieval: pure-Python oracle + DuckDB twin + guards."""
+
+import math
+
+import duckdb
+import pytest
+
+from bullet_storm_spark.operators.retrieval import bm25_topk, bm25_topk_sql
+
+DOCS = [
+    (1, "apple banana apple"),
+    (2, "banana cherry"),
+    (3, "cherry cherry cherry date"),
+    (4, "   "),  # tokenless: excluded from N/avgdl, never matches
+]
+QUERIES = [(1, "apple cherry"), (2, "banana")]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in docs}
+    toks = {d: t for d, t in toks.items() if t}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        nmatch = {}
+        for term in dict.fromkeys(qtext.lower().split()):
+            if term not in dfreq:
+                continue
+            idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                c = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+                scores[d] = scores.get(d, 0.0) + round(c, 12)
+                nmatch[d] = nmatch.get(d, 0) + 1
+        ranked = sorted(scores, key=lambda d: (-round(scores[d], 6), d))
+        out[qid] = [
+            (qid, r + 1, d, nmatch[d], round(scores[d], 6))
+            for r, d in enumerate(ranked)
+        ]
+    return [row for qid in sorted(out) for row in out[qid]]
+
+
+def test_bm25_topk_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = [tuple(r) for r in bm25_topk(df, "doc_id", "text", QUERIES, k=5).collect()]
+    assert got == _py_bm25(DOCS, QUERIES)
+    # d1 ranks first for "apple cherry": rare term apple dominates
+    assert got[0][:3] == (1, 1, 1)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", DOCS)
+    drows = [
+        tuple(r)
+        for r in con.execute(
+            bm25_topk_sql("d", "doc_id", "text", QUERIES, k=5)
+        ).fetchall()
+    ]
+    assert got == drows
+
+
+def test_bm25_df_cap_prunes_common_terms(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # cherry has df=2; cap at 1 leaves only apple contributing to query 1
+    got = [
+        tuple(r)
+        for r in bm25_topk(
+            df, "doc_id", "text", [(1, "apple cherry")], k=5, df_cap=2
+        ).collect()
+    ]
+    # df_cap=2 keeps both terms; df_cap as fraction 0.4 -> ceil(0.4*3)=2 same
+    frac = [
+        tuple(r)
+        for r in bm25_topk(
+            df, "doc_id", "text", [(1, "apple cherry")], k=5, df_cap=0.7
+        ).collect()
+    ]
+    assert got == frac
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", DOCS)
+    for cap in (2, 0.7):
+        drows = [
+            tuple(r)
+            for r in con.execute(
+                bm25_topk_sql("d", "doc_id", "text", [(1, "apple cherry")], k=5, df_cap=cap)
+            ).fetchall()
+        ]
+        assert got == drows
+
+
+def test_bm25_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", [(1, "   ")])
+    with pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", QUERIES, k=0)
+    with pytest.raises(ValueError):
+        bm25_topk_sql("d", "doc_id", "text", [])
+    # SQL-injection-shaped query text is quoted, not executed
+    sql = bm25_topk_sql("d", "doc_id", "text", [(1, "it's a 'test'")])
+    assert "it''s" in sql
