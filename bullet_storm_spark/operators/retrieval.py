@@ -35,8 +35,12 @@ from bullet_storm_spark.operators.vocab import _resolve_df_cap
 
 # Python twin of functions.text.tokens() for the dimension-sized query
 # strings (lowercase, trim, whitespace split) — queries are plan literals,
-# so they tokenize at plan-build time, identically in both twins.
-_WS_RE = re.compile(r"\s+")
+# so they tokenize at plan-build time. re.ASCII pins Python's \s to the
+# same ASCII set Java/RE2 \s matches; non-ASCII query text is rejected
+# outright (Unicode whitespace/case-folding differs per engine, and a
+# query that tokenizes differently from the corpus silently scores 0
+# against its own exact text).
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def _check_params(k: int, k1: float, b: float) -> None:
@@ -56,7 +60,13 @@ def _query_terms(queries) -> list[tuple[int, str]]:
     out: list[tuple[int, str]] = []
     seen: set[tuple[int, str]] = set()
     for qid, text in queries:
-        terms = [t for t in _WS_RE.split(str(text).strip().lower()) if t]
+        text = str(text)
+        if not text.isascii():
+            raise ValueError(
+                f"query {qid!r} contains non-ASCII text; engine-identical "
+                "tokenization is only guaranteed for ASCII queries"
+            )
+        terms = [t for t in _WS_RE.split(text.strip().lower()) if t]
         if not terms:
             raise ValueError(f"query {qid!r} has no tokens")
         for t in terms:  # distinct terms per query (qtf simplification)
@@ -221,8 +231,8 @@ __scored AS (
          COUNT(*)::BIGINT AS n_terms_matched,
          ROUND(CAST(SUM(CAST(ROUND(
            ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
-           * (t.tf * ({k1} + 1.0))
-             / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)),
+           * ((t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))),
          12) AS DECIMAL(38,12))) AS DOUBLE), {round_to}) AS score
   FROM __tf t
   JOIN __q q ON t.token = q.token

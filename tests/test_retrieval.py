@@ -37,8 +37,10 @@ def _py_bm25(docs, queries, k1=1.2, b=0.75):
                 tf = t.count(term)
                 if tf == 0:
                     continue
-                c = idf * tf * (k1 + 1) / (
-                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                # association mirrors both engine twins: idf * (num / den)
+                c = idf * (
+                    tf * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * len(t) / avgdl))
                 )
                 scores[d] = scores.get(d, 0.0) + round(c, 12)
                 nmatch[d] = nmatch.get(d, 0) + 1
@@ -69,33 +71,41 @@ def test_bm25_topk_matches_python_and_duckdb(spark):
 
 
 def test_bm25_df_cap_prunes_common_terms(spark):
-    df = spark.createDataFrame(DOCS, "doc_id long, text string")
-    # cherry has df=2; cap at 1 leaves only apple contributing to query 1
-    got = [
-        tuple(r)
-        for r in bm25_topk(
-            df, "doc_id", "text", [(1, "apple cherry")], k=5, df_cap=2
-        ).collect()
+    # cherry appears in 3 of 4 docs, apple in 1: df_cap=2 (and the
+    # fraction 0.5 -> ceil(0.5*4)=2) must DROP cherry, changing both the
+    # score and n_terms_matched for query "apple cherry"
+    docs = [
+        (1, "apple cherry"),
+        (2, "cherry banana"),
+        (3, "cherry date"),
+        (4, "banana date"),
     ]
-    # df_cap=2 keeps both terms; df_cap as fraction 0.4 -> ceil(0.4*3)=2 same
+    q = [(1, "apple cherry")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = [tuple(r) for r in bm25_topk(df, "doc_id", "text", q, k=5).collect()]
+    capped = [
+        tuple(r)
+        for r in bm25_topk(df, "doc_id", "text", q, k=5, df_cap=2).collect()
+    ]
     frac = [
         tuple(r)
-        for r in bm25_topk(
-            df, "doc_id", "text", [(1, "apple cherry")], k=5, df_cap=0.7
-        ).collect()
+        for r in bm25_topk(df, "doc_id", "text", q, k=5, df_cap=0.5).collect()
     ]
-    assert got == frac
+    assert capped == frac != uncapped
+    # with cherry pruned only doc 1 matches, on the single term apple
+    assert [(r[2], r[3]) for r in capped] == [(1, 1)]
+    assert {r[2] for r in uncapped} == {1, 2, 3}
     con = duckdb.connect()
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
-    con.executemany("INSERT INTO d VALUES (?,?)", DOCS)
-    for cap in (2, 0.7):
+    con.executemany("INSERT INTO d VALUES (?,?)", docs)
+    for cap, want in ((None, uncapped), (2, capped), (0.5, capped)):
         drows = [
             tuple(r)
             for r in con.execute(
-                bm25_topk_sql("d", "doc_id", "text", [(1, "apple cherry")], k=5, df_cap=cap)
+                bm25_topk_sql("d", "doc_id", "text", q, k=5, df_cap=cap)
             ).fetchall()
         ]
-        assert got == drows
+        assert want == drows
 
 
 def test_bm25_validation(spark):
@@ -111,3 +121,11 @@ def test_bm25_validation(spark):
     # SQL-injection-shaped query text is quoted, not executed
     sql = bm25_topk_sql("d", "doc_id", "text", [(1, "it's a 'test'")])
     assert "it''s" in sql
+    # non-ASCII queries are rejected: Python/Java/RE2 disagree on Unicode
+    # whitespace and case folding, so parity can't be guaranteed
+    with pytest.raises(ValueError, match="non-ASCII"):
+        bm25_topk(df, "doc_id", "text", [(1, "spark join")])
+    with pytest.raises(ValueError, match="need 0 <= b <= 1"):
+        bm25_topk(df, "doc_id", "text", QUERIES, b=1.5)
+    with pytest.raises(ValueError, match="need k1 >= 0"):
+        bm25_topk_sql("d", "doc_id", "text", QUERIES, k1=-1.0)
