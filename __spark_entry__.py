@@ -526,6 +526,10 @@ _BM25_QUERIES = [
     (4, "stream batch merge sort"),
 ]
 
+# query documents for the hybrid sparse+dense entry (doc_id == vec_id by
+# testdata construction, so each id queries both backends)
+_HYBRID_QIDS = [7, 130, 311, 444]
+
 # deterministic non-Latin augmentation for the script-profile entry (one
 # expression string, compiled by BOTH Spark SQL and DuckDB so the two
 # sides see byte-identical input text)
@@ -1776,6 +1780,21 @@ ORDER BY doc_id
             _docs(s, d), "doc_id", "text", _BM25_QUERIES, k=10
         ),
         _retr.bm25_topk_sql("documents", "doc_id", "text", _BM25_QUERIES, k=10),
+    ),
+    # hybrid sparse+dense retrieval: BM25-by-document fused with exact
+    # cosine neighbors via reciprocal-rank fusion (Cormack SIGIR'09) over
+    # the id-aligned documents/embeddings pair — the modern search stack
+    "ann_hybrid_bm25_rrf": (
+        lambda s, d: _retr.hybrid_rrf(
+            _docs(s, d), _embs(s, d),
+            "doc_id", "text", "vec_id", "embedding",
+            _HYBRID_QIDS, k=5, pool=10,
+        ),
+        _retr.hybrid_rrf_sql(
+            "documents", "embeddings",
+            "doc_id", "text", "vec_id", "embedding",
+            _HYBRID_QIDS, k=5, pool=10,
+        ),
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
@@ -3064,7 +3083,8 @@ _DRIVER_PRIORITY = [
     # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile,
     # multimodal_wav_decimate, text_pmi_collocations,
     # text_script_lang_matrix, embed_matryoshka_audit,
-    # dedup_lsh_s_curve, text_bm25_topk — all tri-scale MATCH in-repo).
+    # dedup_lsh_s_curve, text_bm25_topk, ann_hybrid_bm25_rrf — all
+    # tri-scale MATCH in-repo).
 ]
 
 

@@ -141,6 +141,7 @@ HEADLINE = [
     "text_pmi_collocations",
     "embed_matryoshka_audit",
     "text_bm25_topk",
+    "ann_hybrid_bm25_rrf",
 ]
 
 

@@ -252,3 +252,272 @@ SELECT query_id, rank, doc AS doc_id, n_terms_matched, score
 FROM __ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Query-by-document BM25 and the hybrid sparse+dense RRF stack
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk_by_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 where the queries ARE documents: each id in ``query_ids``
+    retrieves its top-``k`` most similar OTHER documents (self excluded,
+    matching brute_force_neighbors' contract) using its own distinct
+    tokens as the query. Unlike :func:`bm25_topk`, tokenization happens
+    entirely engine-side through the shared ``tokens()`` expression, so
+    there is no ASCII restriction and no Python tokenizer twin to keep
+    in sync.
+
+    Scale: the query postings are |query_ids| documents' distinct
+    tokens — dimension-sized, broadcast; everything else is the
+    :func:`bm25_topk` shape (posting-list wordcount + broadcast probe,
+    linear candidate volume)."""
+    if not query_ids:
+        raise ValueError("bm25_topk_by_doc requires >= 1 query id")
+    k = int(k)
+    _check_params(k, k1, b)
+    qids = [int(q) for q in query_ids]
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("__doc", "token").agg(F.count("*").cast("long").alias("__tf"))
+    dl = tok.groupBy("__doc").agg(F.count("*").cast("long").alias("__dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("__df"))
+    qdf = (
+        tok.where(F.col("__doc").isin(qids))
+        .select(F.col("__doc").cast("long").alias("query_id"), "token")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1.0)) / (
+        F.col("__tf")
+        + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    contrib = F.round(idf * tf_part, 12)
+    qdfreq = dfreq.join(F.broadcast(qdf.select("token").distinct()), "token")
+    scored = (
+        tf.join(F.broadcast(qdf), "token")
+        .where(F.col("query_id") != F.col("__doc"))
+        .join(dl, "__doc")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdfreq), "token")
+        .select("query_id", "__doc", contrib.alias("__c"))
+        .groupBy("query_id", "__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.round(
+                F.sum(F.col("__c").cast("decimal(38,12)")).cast("double"),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("__doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("__doc").alias("doc_id"),
+            "n_terms_matched",
+            "score",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_topk_by_doc_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    if not query_ids:
+        raise ValueError("bm25_topk_by_doc requires >= 1 query id")
+    k = int(k)
+    _check_params(k, k1, b)
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH __tok AS (
+  SELECT {id_col} AS doc, unnest({tokens_sql(text_col)}) AS token
+  FROM {table}
+), __nonempty AS (SELECT * FROM __tok WHERE token <> ''),
+__tf AS (
+  SELECT doc, token, COUNT(*)::BIGINT AS tf FROM __nonempty GROUP BY doc, token
+),
+__dl AS (
+  SELECT doc, COUNT(*)::BIGINT AS dl FROM __nonempty GROUP BY doc
+),
+__stats AS (
+  SELECT COUNT(*)::BIGINT AS N, AVG(dl) AS avgdl FROM __dl
+),
+__dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS dfc FROM __tf GROUP BY token
+),
+__q AS (
+  SELECT DISTINCT CAST(doc AS BIGINT) AS query_id, token
+  FROM __nonempty WHERE doc IN ({ids})
+),
+__scored AS (
+  SELECT q.query_id, t.doc,
+         COUNT(*)::BIGINT AS n_terms_matched,
+         ROUND(CAST(SUM(CAST(ROUND(
+           ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+           * ((t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))),
+         12) AS DECIMAL(38,12))) AS DOUBLE), {round_to}) AS score
+  FROM __tf t
+  JOIN __q q ON t.token = q.token AND q.query_id <> t.doc
+  JOIN __dl l ON t.doc = l.doc
+  CROSS JOIN __stats s
+  JOIN __dfreq d ON t.token = d.token
+  GROUP BY q.query_id, t.doc
+),
+__ranked AS (
+  SELECT query_id, doc, n_terms_matched, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc ASC) AS BIGINT)
+           AS rank
+  FROM __scored
+)
+SELECT query_id, rank, doc AS doc_id, n_terms_matched, score
+FROM __ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 10,
+    c: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rrf, rank): the modern hybrid-search
+    stack — BM25 lexical retrieval fused with exact dense cosine
+    retrieval by reciprocal-rank fusion (Cormack SIGIR'09), querying by
+    document over an id-aligned (documents, embeddings) table pair.
+    Rank-based fusion needs no score calibration between the sparse and
+    dense backends; each contributes its top-``pool`` list and missing
+    entries contribute 0.
+
+    Scale: cost is entirely in the two rankers (each documented linear
+    shapes); the fusion join touches only |Q| x pool rank rows."""
+    from bullet_storm_spark.operators.similarity import brute_force_neighbors
+
+    if k < 1 or pool < k or c < 1:
+        raise ValueError(f"need 1 <= k <= pool and c >= 1, got {k=} {pool=} {c=}")
+    qids = [int(q) for q in query_ids]
+    lex = bm25_topk_by_doc(
+        docs, doc_id_col, text_col, qids, k=pool, round_to=round_to
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("rank").alias("__rl"),
+    )
+    # brute_force_neighbors aliases its id column to "id" before applying
+    # the predicate, so the query filter references that alias
+    den = brute_force_neighbors(
+        embs, vec_id_col, vec_col, F.col("id").isin(qids), k=pool
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").alias("__rd"),
+    )
+    fused = lex.join(den, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(c) + F.col("__rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("__rd")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hybrid_rrf_sql(
+    doc_table: str,
+    emb_table: str,
+    doc_id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 10,
+    c: int = 60,
+    round_to: int = 6,
+) -> str:
+    from bullet_storm_spark.operators.similarity import brute_force_neighbors_sql
+
+    if k < 1 or pool < k or c < 1:
+        raise ValueError(f"need 1 <= k <= pool and c >= 1, got {k=} {pool=} {c=}")
+    qids = [int(q) for q in query_ids]
+    ids = ", ".join(str(q) for q in qids)
+    lex = bm25_topk_by_doc_sql(
+        doc_table, doc_id_col, text_col, qids, k=pool, round_to=round_to
+    )
+    den = brute_force_neighbors_sql(
+        emb_table, vec_id_col, vec_col, f"id IN ({ids})", k=pool
+    )
+    return f"""
+WITH __lex AS (
+  SELECT query_id, doc_id AS neighbor_id, rank AS rl FROM ({lex}) t
+),
+__den AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(neighbor_id AS BIGINT) AS neighbor_id, rank AS rd
+  FROM ({den}) t
+),
+__fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         ROUND(COALESCE(1.0 / ({c} + a.rl), 0.0)
+               + COALESCE(1.0 / ({c} + b.rd), 0.0), 9) AS rrf
+  FROM __lex a FULL OUTER JOIN __den b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT)
+         AS rank
+FROM __fused
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -88,6 +88,11 @@ _ALL_PAIRS_VERIFIERS = {
     "ann_rrf_fusion",  # fuses the brute-force ranker (the declared
     #                    broadcast-|Q| verifier above) with the LSH one;
     #                    the fusion itself joins rank LISTS only
+    "ann_hybrid_bm25_rrf",  # dense side is the same broadcast-|Q|
+    #                         brute-force contract; the BM25 side is
+    #                         hash-joined postings (its own 1-row stats
+    #                         cross is the allowed scalar broadcast) and
+    #                         the fusion joins rank lists only
 }
 
 

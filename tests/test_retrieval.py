@@ -129,3 +129,82 @@ def test_bm25_validation(spark):
         bm25_topk(df, "doc_id", "text", QUERIES, b=1.5)
     with pytest.raises(ValueError, match="need k1 >= 0"):
         bm25_topk_sql("d", "doc_id", "text", QUERIES, k1=-1.0)
+
+
+# --- query-by-document BM25 + hybrid sparse/dense RRF ---------------------
+
+def test_bm25_by_doc_excludes_self_and_matches_duckdb(spark):
+    from bullet_storm_spark.operators.retrieval import (
+        bm25_topk_by_doc, bm25_topk_by_doc_sql,
+    )
+
+    docs = [
+        (1, "apple banana"),
+        (2, "apple banana cherry"),
+        (3, "cherry date"),
+        (4, "banana date apple"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bm25_topk_by_doc(df, "doc_id", "text", [1, 3], k=3).collect()
+    ]
+    # query 1 never retrieves itself; its tokens hit docs 2 and 4
+    q1 = [r for r in got if r[0] == 1]
+    assert {r[2] for r in q1} == {2, 4}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", docs)
+    drows = [
+        tuple(r)
+        for r in con.execute(
+            bm25_topk_by_doc_sql("d", "doc_id", "text", [1, 3], k=3)
+        ).fetchall()
+    ]
+    assert got == drows
+    with pytest.raises(ValueError):
+        bm25_topk_by_doc(df, "doc_id", "text", [])
+
+
+def test_hybrid_rrf_fuses_lexical_and_dense(spark):
+    from bullet_storm_spark.operators.retrieval import hybrid_rrf, hybrid_rrf_sql
+
+    docs = [
+        (1, "apple banana"),
+        (2, "apple banana"),      # lexical twin of 1
+        (3, "cherry date"),
+        (4, "elderberry fig"),
+    ]
+    embs = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),          # dense-orthogonal to 1
+        (3, [1.0, 0.1]),          # dense twin of 1
+        (4, [0.9, 0.2]),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(embs, "vec_id long, embedding array<float>")
+    got = [
+        tuple(r)
+        for r in hybrid_rrf(
+            ddf, edf, "doc_id", "text", "vec_id", "embedding", [1], k=4, pool=4
+        ).collect()
+    ]
+    # doc 2 tops lexical, doc 3 tops dense; both outrank dense-only doc 4
+    by_id = {r[1]: r[3] for r in got}
+    assert by_id[2] < by_id[4] and by_id[3] < by_id[4]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", docs)
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO e VALUES (?,?)", embs)
+    drows = [
+        tuple(r)
+        for r in con.execute(
+            hybrid_rrf_sql(
+                "d", "e", "doc_id", "text", "vec_id", "embedding", [1], k=4, pool=4
+            )
+        ).fetchall()
+    ]
+    assert got == drows
+    with pytest.raises(ValueError):
+        hybrid_rrf(ddf, edf, "doc_id", "text", "vec_id", "embedding", [1], k=5, pool=3)
