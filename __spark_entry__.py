@@ -513,6 +513,7 @@ from bullet_storm_spark.operators import layout as _layout
 from bullet_storm_spark.operators import lines as _lines
 from bullet_storm_spark.operators import profile as _profile
 from bullet_storm_spark.operators import retrieval as _retr
+from bullet_storm_spark.operators import ranking_eval as _rkeval
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -1794,6 +1795,29 @@ ORDER BY doc_id
             "documents", "embeddings",
             "doc_id", "text", "vec_id", "embedding",
             _HYBRID_QIDS, k=5, pool=10,
+        ),
+    ),
+    # ranked-retrieval evaluation (Jarvelin TOIS'02 NDCG + TREC MRR/P/R):
+    # the BM25 run graded against term-overlap pseudo-qrels — discounts
+    # are Python-side 12dp literals so neither engine runs a
+    # transcendental; equi-joins + query-partitioned windows only
+    # grade_by_tf: the synthetic corpus is term-dense (every top doc
+    # matches all query terms), so distinct-term grades saturate NDCG at
+    # 1.0; occurrence-count grades keep the metric off the ceiling
+    "text_retrieval_eval": (
+        lambda s, d: _rkeval.retrieval_eval(
+            _retr.bm25_topk(_docs(s, d), "doc_id", "text", _BM25_QUERIES, k=10),
+            _rkeval.term_overlap_qrels(
+                _docs(s, d), "doc_id", "text", _BM25_QUERIES, grade_by_tf=True
+            ),
+            k=10,
+        ),
+        _rkeval.retrieval_eval_sql(
+            _retr.bm25_topk_sql("documents", "doc_id", "text", _BM25_QUERIES, k=10),
+            _rkeval.term_overlap_qrels_sql(
+                "documents", "doc_id", "text", _BM25_QUERIES, grade_by_tf=True
+            ),
+            k=10,
         ),
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of

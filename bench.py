@@ -142,6 +142,7 @@ HEADLINE = [
     "embed_matryoshka_audit",
     "text_bm25_topk",
     "ann_hybrid_bm25_rrf",
+    "text_retrieval_eval",
 ]
 
 
