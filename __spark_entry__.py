@@ -514,6 +514,7 @@ from bullet_storm_spark.operators import lines as _lines
 from bullet_storm_spark.operators import profile as _profile
 from bullet_storm_spark.operators import retrieval as _retr
 from bullet_storm_spark.operators import ranking_eval as _rkeval
+from bullet_storm_spark.operators import stats_tests as _stats
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -1818,6 +1819,66 @@ ORDER BY doc_id
                 "documents", "doc_id", "text", _BM25_QUERIES, grade_by_tf=True
             ),
             k=10,
+        ),
+    ),
+    # ROC AUC via midrank Mann-Whitney (Hanley Radiology'82): does an
+    # embedding dimension separate the label classes? Integer 2x-midrank
+    # core, support-sized cumulative window (the ks_drift contract)
+    "embed_dim_auc": (
+        lambda s, d: _stats.auc_rank_sum(
+            _embs(s, d).select(
+                F.element_at("embedding", 1).alias("dim1"), "label"
+            ),
+            "dim1",
+            F.col("label") >= 5,
+        ),
+        _stats.auc_rank_sum_sql("embeddings", "embedding[1]", "label >= 5"),
+    ),
+    # Welch unequal-variance t statistic between event-type slices
+    # (Welch Biometrika'47): exact-decimal moment sums, one conditional
+    # aggregation over the scan, closed-form float end
+    "events_welch_ttest": (
+        lambda s, d: _stats.welch_t(
+            load_table(s, d, "events"),
+            "value",
+            F.col("event_type") == "click",
+            F.col("event_type") == "view",
+        ),
+        _stats.welch_t_sql(
+            "events", "value", "event_type = 'click'", "event_type = 'view'"
+        ),
+    ),
+    # pooled two-proportion z between deterministic hash arms: the A/B
+    # readout for rate metrics — integer counts, one scan
+    "events_ab_ztest": (
+        lambda s, d: _stats.two_proportion_z(
+            load_table(s, d, "events"),
+            F.col("value") >= 50.0,
+            F.col("user_id") % 2 == 0,
+            F.col("user_id") % 2 == 1,
+        ),
+        _stats.two_proportion_z_sql(
+            "events", "value >= 50.0", "user_id % 2 = 0", "user_id % 2 = 1"
+        ),
+    ),
+    # Cohen's kappa (EPM'60) between two quality-filter verdicts: do the
+    # char-length and token-count gates agree beyond chance? Margin
+    # equi-join for the chance term, DECIMAL(38,0) products
+    "text_filter_kappa": (
+        lambda s, d: _stats.cohens_kappa(
+            _docs(s, d),
+            F.when(F.col("n_chars") >= 300, F.lit("keep")).otherwise(
+                F.lit("drop")
+            ),
+            F.when(
+                F.size(_text.tokens("text")) >= 45, F.lit("keep")
+            ).otherwise(F.lit("drop")),
+        ),
+        _stats.cohens_kappa_sql(
+            "documents",
+            "CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END",
+            f"CASE WHEN len({_text.tokens_sql('text')}) >= 45"
+            " THEN 'keep' ELSE 'drop' END",
         ),
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of

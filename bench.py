@@ -143,6 +143,10 @@ HEADLINE = [
     "text_bm25_topk",
     "ann_hybrid_bm25_rrf",
     "text_retrieval_eval",
+    "embed_dim_auc",
+    "events_welch_ttest",
+    "events_ab_ztest",
+    "text_filter_kappa",
 ]
 
 

@@ -1,0 +1,203 @@
+"""Statistical tests: pure-Python oracles + DuckDB twins + guards."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark.operators.stats_tests import (
+    auc_rank_sum,
+    auc_rank_sum_sql,
+    cohens_kappa,
+    cohens_kappa_sql,
+    two_proportion_z,
+    two_proportion_z_sql,
+    welch_t,
+    welch_t_sql,
+)
+
+# (score, label) with deliberate ties: score 2.0 appears in both classes
+AUC_ROWS = [
+    (0.1, 0), (0.5, 0), (2.0, 0), (3.0, 0),
+    (2.0, 1), (4.0, 1), (5.0, 1),
+]
+
+
+def _py_auc(rows):
+    # midrank Mann-Whitney
+    scores = sorted(r[0] for r in rows)
+    ranks = {}
+    i = 0
+    while i < len(scores):
+        j = i
+        while j < len(scores) and scores[j] == scores[i]:
+            j += 1
+        ranks[scores[i]] = (i + 1 + j) / 2  # average of ranks i+1..j
+        i = j
+    pos = [r[0] for r in rows if r[1] == 1]
+    neg = [r[0] for r in rows if r[1] == 0]
+    rs = sum(ranks[s] for s in pos)
+    return (rs - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg))
+
+
+def _duck(rows_sql, query):
+    con = duckdb.connect()
+    con.execute(rows_sql)
+    return con.execute(query).fetchall()
+
+
+def test_auc_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(AUC_ROWS, "score double, label int")
+    row = auc_rank_sum(df, "score", F.col("label") == 1).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (3, 4)
+    assert row["auc"] == pytest.approx(_py_auc(AUC_ROWS), abs=1e-9)
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({s}, {l})" for s, l in AUC_ROWS)
+        + ") v(score, label)",
+        auc_rank_sum_sql("t", "score", "label = 1"),
+    )
+    assert tuple(row) == oracle[0]
+
+
+def test_auc_perfect_separation(spark):
+    rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    assert auc_rank_sum(df, "score", F.col("label") == 1).collect()[0][
+        "auc"
+    ] == 1.0
+
+
+def test_auc_degenerate_single_class(spark):
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, label int")
+    row = auc_rank_sum(df, "score", F.col("label") == 1).collect()[0]
+    assert row["auc"] is None and row["n_neg"] == 0
+
+
+WELCH_A = [1.1, 2.3, 2.9, 4.2, 5.0]
+WELCH_B = [2.0, 3.5, 4.1, 6.6, 7.2, 8.0]
+
+
+def _py_welch(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return ma, mb, t, dof
+
+
+def test_welch_matches_python_and_duckdb(spark):
+    rows = [(v, "a") for v in WELCH_A] + [(v, "b") for v in WELCH_B]
+    df = spark.createDataFrame(rows, "value double, arm string")
+    got = welch_t(
+        df, "value", F.col("arm") == "a", F.col("arm") == "b"
+    ).collect()[0]
+    ma, mb, t, dof = _py_welch(WELCH_A, WELCH_B)
+    assert (got["n_a"], got["n_b"]) == (5, 6)
+    assert got["mean_a"] == pytest.approx(ma, abs=1e-8)
+    assert got["t_stat"] == pytest.approx(t, abs=1e-8)
+    assert got["dof"] == pytest.approx(dof, abs=1e-8)
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({v}, '{a}')" for v, a in rows)
+        + ") v(value, arm)",
+        welch_t_sql("t", "value", "arm = 'a'", "arm = 'b'"),
+    )
+    assert tuple(got) == oracle[0]
+
+
+def test_welch_small_arm_is_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (3.0, "b")], "value double, arm string"
+    )
+    got = welch_t(
+        df, "value", F.col("arm") == "a", F.col("arm") == "b"
+    ).collect()[0]
+    assert got["t_stat"] is None and got["dof"] is None
+    assert got["mean_a"] == 1.0  # means still reported
+
+
+def test_two_proportion_z_matches_python_and_duckdb(spark):
+    # arm a: 30/100 success; arm b: 45/120
+    rows = [(i, "a", 1 if i < 30 else 0) for i in range(100)] + [
+        (i, "b", 1 if i < 45 else 0) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "i long, arm string, ok int")
+    got = two_proportion_z(
+        df, F.col("ok") == 1, F.col("arm") == "a", F.col("arm") == "b"
+    ).collect()[0]
+    pa, pb = 30 / 100, 45 / 120
+    pp = 75 / 220
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 120))
+    assert (got["n_a"], got["s_a"], got["n_b"], got["s_b"]) == (100, 30, 120, 45)
+    assert got["z_stat"] == pytest.approx(z, abs=1e-9)
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{a}', {o})" for i, a, o in rows)
+        + ") v(i, arm, ok)",
+        two_proportion_z_sql("t", "ok = 1", "arm = 'a'", "arm = 'b'"),
+    )
+    assert tuple(got) == oracle[0]
+
+
+def test_two_proportion_z_degenerate_pool(spark):
+    # every row succeeds -> pooled rate 1 -> z undefined
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "ok int, arm string"
+    )
+    got = two_proportion_z(
+        df, F.col("ok") == 1, F.col("arm") == "a", F.col("arm") == "b"
+    ).collect()[0]
+    assert got["z_stat"] is None and got["p_a"] == 1.0
+
+
+KAPPA_ROWS = [
+    ("k", "k"), ("k", "k"), ("k", "k"), ("k", "d"),
+    ("d", "d"), ("d", "d"), ("d", "k"), ("d", "d"),
+]
+
+
+def _py_kappa(rows):
+    n = len(rows)
+    po = sum(1 for a, b in rows if a == b) / n
+    cats = {c for r in rows for c in r}
+    pe = sum(
+        (sum(1 for a, _ in rows if a == c) / n)
+        * (sum(1 for _, b in rows if b == c) / n)
+        for c in cats
+    )
+    return (po - pe) / (1 - pe)
+
+
+def test_kappa_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(KAPPA_ROWS, "a string, b string")
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert got["n"] == 8 and got["agree"] == 6
+    assert got["kappa"] == pytest.approx(_py_kappa(KAPPA_ROWS), abs=1e-9)
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{a}', '{b}')" for a, b in KAPPA_ROWS)
+        + ") v(a, b)",
+        cohens_kappa_sql("t", "a", "b"),
+    )
+    assert tuple(got) == oracle[0]
+
+
+def test_kappa_perfect_agreement_and_null_exclusion(spark):
+    rows = [("x", "x"), ("y", "y"), ("x", None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert got["n"] == 2 and got["agree"] == 2 and got["kappa"] == 1.0
+
+
+def test_kappa_disjoint_categories_chance_zero(spark):
+    # raters never emit the same category: pe joins to empty -> pe 0,
+    # po 0 -> kappa 0 (not NULL, not crash)
+    rows = [("x", "y"), ("x", "y")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert got["pe"] == 0.0 and got["kappa"] == 0.0
