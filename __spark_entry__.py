@@ -1881,6 +1881,55 @@ ORDER BY doc_id
             " THEN 'keep' ELSE 'drop' END",
         ),
     ),
+    # reliability-diagram bins + ECE/MCE/Brier (Naeini AAAI'15) for a
+    # pseudo-probability (clamped length fraction) against the
+    # token-count gate: the calibration readout for any quality scorer
+    "text_calibration_bins": (
+        lambda s, d: _stats.calibration_bins(
+            _docs(s, d).select(
+                (
+                    F.least(F.col("n_chars"), F.lit(600)).cast("double")
+                    / F.lit(600.0)
+                ).alias("p"),
+                (F.size(_text.tokens("text")) >= 45).alias("y"),
+            ),
+            "p",
+            F.col("y"),
+        ),
+        _stats.calibration_bins_sql(
+            "documents",
+            "CAST(LEAST(n_chars, 600) AS DOUBLE) / 600.0",
+            f"len({_text.tokens_sql('text')}) >= 45",
+        ),
+    ),
+    "text_calibration_summary": (
+        lambda s, d: _stats.calibration_summary(
+            _docs(s, d).select(
+                (
+                    F.least(F.col("n_chars"), F.lit(600)).cast("double")
+                    / F.lit(600.0)
+                ).alias("p"),
+                (F.size(_text.tokens("text")) >= 45).alias("y"),
+            ),
+            "p",
+            F.col("y"),
+        ),
+        _stats.calibration_summary_sql(
+            "documents",
+            "CAST(LEAST(n_chars, 600) AS DOUBLE) / 600.0",
+            f"len({_text.tokens_sql('text')}) >= 45",
+        ),
+    ),
+    # deterministic Poisson-bootstrap CI for the mean (Chamandy 2012):
+    # per-(row, replicate) weights invert Poisson(1) CDF literals through
+    # the md5-fraction draw — reproducible resampling, b x CPU not
+    # b x shuffle (partials reduce the shuffle to b rows per partition)
+    "events_bootstrap_ci": (
+        lambda s, d: _stats.bootstrap_mean_ci(
+            load_table(s, d, "events"), "event_id", "value", b=200
+        ),
+        _stats.bootstrap_mean_ci_sql("events", "event_id", "value", b=200),
+    ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
     "dedup_lsh_s_curve": (

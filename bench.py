@@ -147,6 +147,9 @@ HEADLINE = [
     "events_welch_ttest",
     "events_ab_ztest",
     "text_filter_kappa",
+    "text_calibration_bins",
+    "text_calibration_summary",
+    "events_bootstrap_ci",
 ]
 
 

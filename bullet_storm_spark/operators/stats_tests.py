@@ -12,6 +12,14 @@ must therefore do in one pass, not in a driver-side sample:
   move between A and B arms?
 - ``cohens_kappa``  — agreement between two categorical raters beyond
   chance (Cohen EPM'60): do two quality filters agree more than chance?
+- ``calibration_bins`` / ``calibration_summary`` — reliability diagram,
+  ECE/MCE (Naeini AAAI'15) and Brier score: is the classifier's
+  probability honest, not just rank-correct?
+- ``bootstrap_mean_ci`` — percentile CI for a mean via the Poisson
+  bootstrap (Chamandy et al. 2012), deterministic by construction: the
+  per-(row, replicate) weight inverts Poisson(1) CDF literals through
+  the repo's md5-fraction draw, so the "random" resample is a pure
+  function of (id, salt, replica) and bit-identical across engines.
 
 Engine-parity design mirrors the repo's exact-core convention: every
 accumulation is integer or exact-decimal (midranks via the integer
@@ -33,13 +41,18 @@ vocabulary-sized margin frames.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-# values quantize to DECIMAL(19,6) on entry (the group.py exact-sum
-# convention): squares are then exact at 12 dp, so sum(x) and sum(x^2)
-# are order-independent and engine-identical
+# values quantize to DECIMAL(18,6) on entry (the group.py exact-sum
+# convention, narrowed by one digit): an (18,6)x(18,6) product is
+# (37,12) — EXACT in both engines. (19,6) squares would be (39,12),
+# which Spark silently rescales to scale 11 (rounding the 12th dp)
+# while DuckDB keeps (38,12) — a 1-ulp cross-engine divergence we hit
+# on the Brier score before narrowing.
 _MOMENT = "decimal(38,12)"
-_VAL_DEC = "decimal(19,6)"
+_VAL_DEC = "decimal(18,6)"
 
 
 def auc_rank_sum(
@@ -134,7 +147,7 @@ FROM __agg
 
 def _arm_moments(value: Column, in_arm: Column) -> list[Column]:
     """n / exact-decimal Σx / Σx² for one arm, as conditional aggregates
-    over a single scan (x quantizes to DECIMAL(19,6) on entry, so x² is
+    over a single scan (x quantizes to DECIMAL(18,6) on entry, so x² is
     exact at 12dp and both sums are order-independent)."""
     x = F.when(in_arm, value).cast(_VAL_DEC)
     return [
@@ -155,8 +168,9 @@ def welch_t(
     of ``value_col``. Output ``(n_a, n_b, mean_a, mean_b, t_stat, dof)``
     — the statistic and Welch-Satterthwaite degrees of freedom; p-value
     lookup is the caller's (no portable t CDF). NULL when either arm has
-    n < 2 or both variances are zero. Values quantize to DECIMAL(19,6)
-    for the moment sums (the repo's order-independence convention)."""
+    n < 2 or both variances are zero. Values quantize to DECIMAL(18,6)
+    for the moment sums (the repo's order-independence convention,
+    narrowed so squares stay exact — see the module constant note)."""
     v = F.col(value_col).cast("double")
     base = df.where(F.col(value_col).isNotNull())
     na, sa, qa = _arm_moments(v, a_pred)
@@ -208,7 +222,7 @@ def welch_t_sql(
     def arm(pred: str, tag: str) -> str:
         x = (
             f"CAST(CASE WHEN {pred} THEN CAST({value_sql} AS DOUBLE) END"
-            " AS DECIMAL(19,6))"
+            " AS DECIMAL(18,6))"
         )
         return (
             f"COUNT({x})::BIGINT AS n_{tag},\n"
@@ -434,4 +448,390 @@ SELECT d.n, d.agree,
                  / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE))) END,
          {round_to}) AS kappa
 FROM __diag d CROSS JOIN __pe p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calibration (reliability bins) and the deterministic Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds for k = 0..7 (resamples beyond 8 are cut:
+# P(X > 8) ~ 1.1e-7, a deterministic, documented truncation). Computed
+# once in Python and emitted as literals so neither engine runs exp().
+_POIS1_CDF = []
+_term = 1.0
+_acc = 0.0
+for _k in range(8):
+    _acc += _term
+    _POIS1_CDF.append(round(_acc * 0.36787944117144233, 12))  # e^-1
+    _term /= _k + 1
+_SCALE32 = float(1 << 32)
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    pos_pred: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a predicted probability against a
+    binary outcome (Naeini AAAI'15 ECE binning). Output per non-empty
+    bin: ``(bin, n, conf, acc, gap)`` where conf = mean predicted
+    probability (exact decimal sum of (18,6)-quantized probs), acc =
+    positive rate, gap = |acc - conf|. One hash aggregation on the bin
+    key — the scan-shaped calibration readout.
+
+    Outputs are deliberately UNROUNDED: every input to the final
+    divisions is exact (decimal sums / integer counts), so the doubles
+    are bit-identical across engines as-is — while a final ROUND would
+    reintroduce divergence, because exact-decimal pipelines frequently
+    land on decimal ties where Spark's HALF_UP and DuckDB's
+    binary-value rounding disagree (observed on the Brier score)."""
+    if not 2 <= int(bins) <= 10_000:
+        raise ValueError(f"need 2 <= bins <= 10000, got {bins}")
+    bins = int(bins)
+    p = F.col(prob_col).cast("double")
+    y = F.when(pos_pred, F.lit(1)).otherwise(F.lit(0))
+    binc = F.least(
+        F.floor(p * F.lit(float(bins))).cast("long"), F.lit(bins - 1)
+    )
+    base = df.where(
+        p.isNotNull() & (p >= 0.0) & (p <= 1.0) & pos_pred.isNotNull()
+    )
+    agg = (
+        base.select(binc.alias("bin"), p.alias("__p"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__p").cast(_VAL_DEC).cast(_MOMENT))
+            .cast(_MOMENT)
+            .alias("__sp"),
+            F.sum("__y").cast("long").alias("__pos"),
+        )
+    )
+    conf = F.col("__sp").cast("double") / F.col("n").cast("double")
+    acc = F.col("__pos").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        F.abs(acc - conf).alias("gap"),
+    ).orderBy("bin")
+
+
+def calibration_bins_sql(
+    table: str,
+    prob_sql: str,
+    pos_pred_sql: str,
+    bins: int = 10,
+) -> str:
+    if not 2 <= int(bins) <= 10_000:
+        raise ValueError(f"need 2 <= bins <= 10000, got {bins}")
+    bins = int(bins)
+    return f"""
+WITH __b AS (
+  SELECT LEAST(CAST(floor(CAST({prob_sql} AS DOUBLE) * {float(bins)})
+               AS BIGINT), {bins - 1}) AS bin,
+         CAST(CAST({prob_sql} AS DOUBLE) AS DECIMAL(18,6)) AS p,
+         CASE WHEN {pos_pred_sql} THEN 1 ELSE 0 END AS y
+  FROM {table}
+  WHERE CAST({prob_sql} AS DOUBLE) BETWEEN 0.0 AND 1.0
+    AND ({pos_pred_sql}) IS NOT NULL
+),
+__g AS (
+  SELECT bin, COUNT(*)::BIGINT AS n,
+         CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sp,
+         SUM(y)::BIGINT AS pos
+  FROM __b GROUP BY bin
+)
+SELECT bin, n,
+       CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
+       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+       abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+           - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+FROM __g ORDER BY bin
+"""
+
+
+def calibration_summary(
+    df: DataFrame,
+    prob_col: str,
+    pos_pred: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """One-row ECE / MCE / Brier score. Uses the identity
+    ``ECE = Σ_b (n_b/N)·|pos_b/n_b - sp_b/n_b| = Σ_b |pos_b - sp_b| / N``
+    so the ECE numerator is an EXACT decimal sum (pos integer, sp an
+    exact (18,6)-quantized sum); MCE = max per-bin gap; Brier = mean
+    (p₆ - y)², also an exact decimal sum. Outputs are unrounded — see
+    calibration_bins for why rounding would *hurt* parity here. Exactness
+    of the double casts holds while per-bin decimal magnitudes stay under
+    2^53 · 10⁻¹² (~9e3 in sum units) — far above any realistic bin."""
+    if not 2 <= int(bins) <= 10_000:
+        raise ValueError(f"need 2 <= bins <= 10000, got {bins}")
+    bins = int(bins)
+    p = F.col(prob_col).cast("double")
+    y = F.when(pos_pred, F.lit(1)).otherwise(F.lit(0))
+    binc = F.least(
+        F.floor(p * F.lit(float(bins))).cast("long"), F.lit(bins - 1)
+    )
+    base = df.where(
+        p.isNotNull() & (p >= 0.0) & (p <= 1.0) & pos_pred.isNotNull()
+    )
+    p6 = p.cast(_VAL_DEC)
+    # re-cast the difference to (18,6) before squaring: add/sub widens
+    # precision to 19, and a (19,6) square would re-trigger Spark's
+    # scale reduction; the diff is in [-1, 1] so the cast is exact
+    d6 = (p6 - y.cast(_VAL_DEC)).cast(_VAL_DEC)
+    sq = (d6 * d6).cast(_MOMENT)
+    g = (
+        base.select(
+            binc.alias("bin"), p6.alias("__p"), y.alias("__y"), sq.alias("__sq")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col("__p").cast(_MOMENT)).cast(_MOMENT).alias("__sp"),
+            F.sum("__y").cast("long").alias("__pos"),
+            F.sum("__sq").cast(_MOMENT).alias("__sqs"),
+        )
+    )
+    gap = F.abs(
+        F.col("__pos").cast("double") / F.col("__n").cast("double")
+        - F.col("__sp").cast("double") / F.col("__n").cast("double")
+    )
+    ece_term = F.abs(
+        (F.col("__pos").cast(_VAL_DEC).cast(_MOMENT) - F.col("__sp")).cast(
+            _MOMENT
+        )
+    )
+    return g.agg(
+        F.sum("__n").cast("long").alias("n"),
+        (
+            F.sum(ece_term).cast(_MOMENT).cast("double")
+            / F.sum("__n").cast("double")
+        ).alias("ece"),
+        F.max(gap).alias("mce"),
+        (
+            F.sum("__sqs").cast(_MOMENT).cast("double")
+            / F.sum("__n").cast("double")
+        ).alias("brier"),
+    )
+
+
+def calibration_summary_sql(
+    table: str,
+    prob_sql: str,
+    pos_pred_sql: str,
+    bins: int = 10,
+) -> str:
+    if not 2 <= int(bins) <= 10_000:
+        raise ValueError(f"need 2 <= bins <= 10000, got {bins}")
+    bins = int(bins)
+    return f"""
+WITH __b AS (
+  SELECT LEAST(CAST(floor(CAST({prob_sql} AS DOUBLE) * {float(bins)})
+               AS BIGINT), {bins - 1}) AS bin,
+         CAST(CAST({prob_sql} AS DOUBLE) AS DECIMAL(18,6)) AS p,
+         CASE WHEN {pos_pred_sql} THEN 1 ELSE 0 END AS y
+  FROM {table}
+  WHERE CAST({prob_sql} AS DOUBLE) BETWEEN 0.0 AND 1.0
+    AND ({pos_pred_sql}) IS NOT NULL
+),
+__g AS (
+  SELECT bin, COUNT(*)::BIGINT AS n,
+         CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sp,
+         SUM(y)::BIGINT AS pos,
+         CAST(SUM(CAST(CAST(p - CAST(y AS DECIMAL(18,6)) AS DECIMAL(18,6))
+                       * CAST(p - CAST(y AS DECIMAL(18,6)) AS DECIMAL(18,6))
+                       AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sqs
+  FROM __b GROUP BY bin
+)
+SELECT SUM(n)::BIGINT AS n,
+       CAST(SUM(CAST(abs(CAST(CAST(pos AS DECIMAL(18,6)) AS DECIMAL(38,12))
+                         - sp) AS DECIMAL(38,12))) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS ece,
+       MAX(abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) AS mce,
+       CAST(SUM(sqs) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS brier
+FROM __g
+"""
+
+
+def _poisson_case_sql(u_sql: str) -> str:
+    whens = " ".join(
+        f"WHEN {u_sql} < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {whens} ELSE 8 END)"
+
+
+def _poisson_case(u: Column) -> Column:
+    out = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        out = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(out)
+    return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    b: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row percentile-bootstrap CI for the mean of ``value_col`` via
+    the Poisson bootstrap (Chamandy et al., Google 2012: resample weights
+    ~ Poisson(1) instead of multinomial, so each row's weight in each
+    replicate is a pure per-row draw — no global coordination). Output
+    ``(n, b, est_mean, ci_lo, ci_hi)``.
+
+    Determinism: the per-(row, replicate) uniform is the md5-fraction of
+    ``id:salt:replica`` (the repo's sampling trick, bit-equal across
+    engines) inverted through Poisson(1) CDF literals precomputed in
+    Python — no randomness, no exp(), reproducible under replay. CI
+    bounds are pure order statistics of the replicate means (rank
+    ``ceil(alpha/2·b)`` from each end) — no quantile interpolation to
+    diverge on.
+
+    Scale: the replicate explosion is map-side (b× CPU, not b× shuffle:
+    partial aggregation reduces the shuffle to b rows per partition);
+    the final window orders b rows. Cost grows linearly in b — 100-500
+    replicates is the standard range."""
+    b = int(b)
+    if b < 2:
+        raise ValueError(f"need b >= 2 replicates, got {b}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    if alpha / 2.0 * b < 1.0:
+        raise ValueError(
+            f"b={b} cannot resolve alpha={alpha}: need b >= 2/alpha "
+            f"({math.ceil(2.0 / alpha)}) replicates"
+        )
+    m = math.ceil(alpha / 2.0 * b)
+    if 2 * m > b:
+        raise ValueError(f"b={b} too small for alpha={alpha}")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r")
+    # key reads the renamed __id (id_col is gone after the first select)
+    key = F.concat(
+        F.col("__id").cast("string"),
+        F.lit(":" + salt + ":"),
+        F.col("__r").cast("string"),
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") / F.lit(
+        _SCALE32
+    )
+    w = _poisson_case(u)
+    x = F.col(value_col).cast("double").cast(_VAL_DEC)
+    base = df.where(F.col(value_col).isNotNull())
+    reps = (
+        base.select(F.col(id_col).alias("__id"), x.alias("__x"))
+        .select("__id", "__x", rep)
+        .select(
+            "__r",
+            (w.cast(_VAL_DEC) * F.col("__x")).cast(_MOMENT).alias("__wx"),
+            w.cast("long").alias("__w"),
+        )
+        .groupBy("__r")
+        .agg(
+            F.sum("__wx").cast(_MOMENT).alias("__swx"),
+            F.sum("__w").cast("long").alias("__sw"),
+        )
+        .where(F.col("__sw") > 0)
+        .select(
+            "__r",
+            (F.col("__swx").cast("double") / F.col("__sw").cast("double")).alias(
+                "__mean"
+            ),
+        )
+    )
+    wnd = Window.orderBy(F.col("__mean").asc(), F.col("__r").asc())
+    ranked = reps.withColumn("__rn", F.row_number().over(wnd))
+    ci = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.round(F.min(F.when(F.col("__rn") == m, F.col("__mean"))), round_to)
+        .alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("__rn") == b + 1 - m, F.col("__mean"))),
+            round_to,
+        ).alias("ci_hi"),
+    )
+    est = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(x.cast(_MOMENT)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            round_to,
+        ).alias("est_mean"),
+    )
+    return est.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.lit(b).cast("long").alias("b"),
+        "est_mean",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table: str,
+    id_col: str,
+    value_sql: str,
+    b: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    round_to: int = 9,
+) -> str:
+    b = int(b)
+    if b < 2:
+        raise ValueError(f"need b >= 2 replicates, got {b}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    if alpha / 2.0 * b < 1.0:
+        raise ValueError(
+            f"b={b} cannot resolve alpha={alpha}: need b >= 2/alpha "
+            f"({math.ceil(2.0 / alpha)}) replicates"
+        )
+    m = math.ceil(alpha / 2.0 * b)
+    if 2 * m > b:
+        raise ValueError(f"b={b} too small for alpha={alpha}")
+    u = (
+        f"((('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}:'"
+        f" || CAST(r.__r AS VARCHAR)), 1, 8))::BIGINT) / {_SCALE32!r})"
+    )
+    w = _poisson_case_sql(u)
+    return f"""
+WITH __reps AS (
+  SELECT r.__r,
+         CAST(SUM(CAST(CAST({w} AS DECIMAL(18,6))
+                       * CAST(CAST({value_sql} AS DOUBLE) AS DECIMAL(18,6))
+                       AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS swx,
+         SUM({w})::BIGINT AS sw
+  FROM {table}
+  CROSS JOIN (SELECT unnest(range({b})) AS __r) r
+  WHERE ({value_sql}) IS NOT NULL
+  GROUP BY r.__r
+),
+__means AS (
+  SELECT __r, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+         row_number() OVER (ORDER BY CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+                            ASC, __r ASC) AS rn
+  FROM __reps WHERE sw > 0
+),
+__ci AS (
+  SELECT ROUND(MIN(CASE WHEN rn = {m} THEN m END), {round_to}) AS ci_lo,
+         ROUND(MIN(CASE WHEN rn = {b + 1 - m} THEN m END), {round_to}) AS ci_hi
+  FROM __means
+),
+__est AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         ROUND(CAST(SUM(CAST(CAST(CAST({value_sql} AS DOUBLE)
+                    AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), {round_to}) AS est_mean
+  FROM {table} WHERE ({value_sql}) IS NOT NULL
+)
+SELECT e.n, CAST({b} AS BIGINT) AS b, e.est_mean, c.ci_lo, c.ci_hi
+FROM __est e CROSS JOIN __ci c
 """

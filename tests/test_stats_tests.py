@@ -201,3 +201,153 @@ def test_kappa_disjoint_categories_chance_zero(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
     assert got["pe"] == 0.0 and got["kappa"] == 0.0
+
+
+# --- calibration -----------------------------------------------------------
+
+from bullet_storm_spark.operators.stats_tests import (  # noqa: E402
+    _POIS1_CDF,
+    bootstrap_mean_ci,
+    bootstrap_mean_ci_sql,
+    calibration_bins,
+    calibration_bins_sql,
+    calibration_summary,
+    calibration_summary_sql,
+)
+
+# (prob, label): bin 0 holds {0.05->0, 0.15->?} with 10 bins: 0.05 in bin 0,
+# 0.15 bin 1 ... deliberately include p=1.0 (clamps into the last bin)
+CAL_ROWS = [
+    (0.05, 0), (0.08, 0), (0.12, 0), (0.95, 1), (0.90, 1),
+    (0.55, 1), (0.52, 0), (1.00, 1), (0.35, 0), (0.38, 1),
+]
+
+
+def _py_cal(rows, bins=10):
+    out = {}
+    for p, y in rows:
+        b = min(int(p * bins), bins - 1)
+        n, sp, pos = out.get(b, (0, 0.0, 0))
+        out[b] = (n + 1, sp + p, pos + y)
+    res = []
+    for b in sorted(out):
+        n, sp, pos = out[b]
+        conf, acc = sp / n, pos / n
+        res.append((b, n, conf, acc, abs(acc - conf)))
+    return res
+
+
+def _rows_approx(got, want):
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        for gv, wv in zip(g[2:], w[2:]):
+            assert gv == pytest.approx(wv, abs=1e-12)
+
+
+def test_calibration_bins_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(CAL_ROWS, "p double, y int")
+    got = [
+        tuple(r)
+        for r in calibration_bins(df, "p", F.col("y") == 1).collect()
+    ]
+    _rows_approx(got, _py_cal(CAL_ROWS))
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({p}, {y})" for p, y in CAL_ROWS)
+        + ") v(p, y)",
+        calibration_bins_sql("t", "p", "y = 1"),
+    )
+    assert got == [tuple(r) for r in oracle]
+
+
+def test_calibration_summary_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(CAL_ROWS, "p double, y int")
+    got = tuple(calibration_summary(df, "p", F.col("y") == 1).collect()[0])
+    bins = _py_cal(CAL_ROWS)
+    n = sum(b[1] for b in bins)
+    ece = sum(b[1] * b[4] for b in bins) / n
+    mce = max(b[4] for b in bins)
+    brier = sum((p - y) ** 2 for p, y in CAL_ROWS) / len(CAL_ROWS)
+    assert got[0] == n
+    assert got[1] == pytest.approx(ece, abs=1e-8)
+    assert got[2] == pytest.approx(mce, abs=1e-8)
+    assert got[3] == pytest.approx(brier, abs=1e-8)
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({p}, {y})" for p, y in CAL_ROWS)
+        + ") v(p, y)",
+        calibration_summary_sql("t", "p", "y = 1"),
+    )
+    assert got == oracle[0]
+
+
+def test_calibration_out_of_range_rows_excluded(spark):
+    rows = CAL_ROWS + [(1.5, 1), (-0.2, 0)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = [tuple(r) for r in calibration_bins(df, "p", F.col("y") == 1).collect()]
+    _rows_approx(got, _py_cal(CAL_ROWS))  # invalid probs dropped, not clamped
+
+
+def test_calibration_bins_validation(spark):
+    with pytest.raises(ValueError):
+        calibration_bins_sql("t", "p", "y = 1", bins=1)
+
+
+# --- bootstrap -------------------------------------------------------------
+
+
+def test_poisson_cdf_literals_mean_near_one():
+    # sanity on the inverse-CDF table itself: E[k] over a fine uniform
+    # grid must sit near 1 (Poisson(1) mean), and the table must be
+    # strictly increasing
+    assert all(b > a for a, b in zip(_POIS1_CDF, _POIS1_CDF[1:]))
+    grid = [(i + 0.5) / 10000 for i in range(10000)]
+    def inv(u):
+        for k, c in enumerate(_POIS1_CDF):
+            if u < c:
+                return k
+        return 8
+    mean = sum(inv(u) for u in grid) / len(grid)
+    assert mean == pytest.approx(1.0, abs=0.01)
+
+
+def test_bootstrap_ci_matches_duckdb_and_brackets_mean(spark):
+    rows = [(i, float(10 + (i * 7) % 13)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    got = tuple(
+        bootstrap_mean_ci(df, "id", "value", b=80, alpha=0.1).collect()[0]
+    )
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v})" for i, v in rows)
+        + ") v(id, value)",
+        bootstrap_mean_ci_sql("t", "id", "value", b=80, alpha=0.1),
+    )
+    assert got == oracle[0]
+    n, b, est, lo, hi = got
+    assert (n, b) == (120, 80)
+    assert lo <= est <= hi          # CI brackets the point estimate
+    assert hi - lo < 2.0            # and is tight for n=120, sd~3.7
+
+
+def test_bootstrap_is_deterministic_and_salt_sensitive(spark):
+    rows = [(i, float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    a1 = tuple(bootstrap_mean_ci(df, "id", "value", b=40).collect()[0])
+    a2 = tuple(bootstrap_mean_ci(df, "id", "value", b=40).collect()[0])
+    assert a1 == a2                  # same salt -> same CI, always
+    b1 = tuple(
+        bootstrap_mean_ci(df, "id", "value", b=40, salt="other").collect()[0]
+    )
+    assert (a1[3], a1[4]) != (b1[3], b1[4])  # different salt -> new draw
+
+
+def test_bootstrap_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, value double")
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "id", "value", b=1)
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "id", "value", b=10, alpha=0.05)  # 2m > b
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci_sql("t", "id", "value", b=100, alpha=1.5)
