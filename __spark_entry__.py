@@ -1930,6 +1930,34 @@ ORDER BY doc_id
         ),
         _stats.bootstrap_mean_ci_sql("events", "event_id", "value", b=200),
     ),
+    # chi-squared independence + Cramér's V between event type and the
+    # value band: margin identity chi2 = n(Σ o²/(r·c) − 1), so the plan
+    # is contingency + margins + equi-joins — never cells×cells
+    "events_chi2_indep": (
+        lambda s, d: _stats.chi2_independence(
+            load_table(s, d, "events"),
+            F.col("event_type"),
+            F.when(F.col("value") >= 50.0, F.lit("hi")).otherwise(F.lit("lo")),
+        ),
+        _stats.chi2_independence_sql(
+            "events",
+            "event_type",
+            "CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END",
+        ),
+    ),
+    # multi-arm experiment table: every event-type arm vs the 'view'
+    # control via pooled z — one group-by + a 1-row control broadcast
+    "events_experiment_readout": (
+        lambda s, d: _stats.experiment_readout(
+            load_table(s, d, "events"),
+            "event_type",
+            F.col("value") >= 50.0,
+            "view",
+        ),
+        _stats.experiment_readout_sql(
+            "events", "event_type", "value >= 50.0", "view"
+        ),
+    ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
     "dedup_lsh_s_curve": (

@@ -150,6 +150,8 @@ HEADLINE = [
     "text_calibration_bins",
     "text_calibration_summary",
     "events_bootstrap_ci",
+    "events_chi2_indep",
+    "events_experiment_readout",
 ]
 
 

@@ -835,3 +835,188 @@ __est AS (
 SELECT e.n, CAST({b} AS BIGINT) AS b, e.est_mean, c.ci_lo, c.ci_hi
 FROM __est e CROSS JOIN __ci c
 """
+
+
+# ---------------------------------------------------------------------------
+# Categorical association and the multi-arm experiment readout
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: Column,
+    b_col: Column,
+) -> DataFrame:
+    """One-row chi-squared test of independence between two categorical
+    columns plus Cramér's V effect size. Output
+    ``(n, r, c, dof, chi2, cramers_v)``.
+
+    Uses the margin identity ``chi2 = n·(Σ_ij o_ij²/(r_i·c_j) − 1)`` so
+    the plan is: one contingency aggregation + two margin aggregations +
+    equi-joins on the category keys — never a cells×cells anything. The
+    per-cell ratio is rounded to 12 dp and accumulated in DECIMAL
+    (the BM25/tfidf association convention), so the sum is
+    partition-order independent. NULL statistics when either variable is
+    constant (dof = 0). Rows with NULL in either column are excluded."""
+    labeled = (
+        df.select(a_col.alias("__a"), b_col.alias("__b"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    )
+    cells = labeled.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__o")
+    )
+    ra = labeled.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__r"))
+    cb = labeled.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    term = F.round(
+        (F.col("__o").cast("double") * F.col("__o").cast("double"))
+        / (F.col("__r").cast("double") * F.col("__c").cast("double")),
+        12,
+    ).cast(_MOMENT)
+    sums = (
+        cells.join(ra, "__a")
+        .join(cb, "__b")
+        .agg(
+            F.sum("__o").cast("long").alias("n"),
+            F.count_distinct("__a").cast("long").alias("r"),
+            F.count_distinct("__b").cast("long").alias("c"),
+            F.sum(term).cast(_MOMENT).alias("__t"),
+        )
+    )
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    chi2 = F.col("n").cast("double") * (
+        F.col("__t").cast("double") - F.lit(1.0)
+    )
+    mind = F.least(F.col("r"), F.col("c")) - 1
+    v = F.sqrt(
+        chi2 / (F.col("n").cast("double") * mind.cast("double"))
+    )
+    ok = (F.col("n") > 0) & (dof > 0)
+    return sums.select(
+        "n",
+        "r",
+        "c",
+        dof.cast("long").alias("dof"),
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, v).alias("cramers_v"),
+    )
+
+
+def chi2_independence_sql(table: str, a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH __l AS (
+  SELECT {a_sql} AS a, {b_sql} AS b FROM {table}
+  WHERE ({a_sql}) IS NOT NULL AND ({b_sql}) IS NOT NULL
+),
+__cells AS (
+  SELECT a, b, COUNT(*)::BIGINT AS o FROM __l GROUP BY a, b
+),
+__ra AS (SELECT a, COUNT(*)::BIGINT AS r FROM __l GROUP BY a),
+__cb AS (SELECT b, COUNT(*)::BIGINT AS c FROM __l GROUP BY b),
+__s AS (
+  SELECT SUM(o)::BIGINT AS n,
+         COUNT(DISTINCT cl.a)::BIGINT AS r,
+         COUNT(DISTINCT cl.b)::BIGINT AS c,
+         CAST(SUM(CAST(ROUND(
+           (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
+           / (CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)), 12)
+           AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS t
+  FROM __cells cl JOIN __ra ra ON cl.a = ra.a JOIN __cb cb ON cl.b = cb.b
+)
+SELECT n, r, c,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       CASE WHEN n > 0 AND (r - 1) * (c - 1) > 0 THEN
+         CAST(n AS DOUBLE) * (CAST(t AS DOUBLE) - 1.0) END AS chi2,
+       CASE WHEN n > 0 AND (r - 1) * (c - 1) > 0 THEN
+         sqrt(CAST(n AS DOUBLE) * (CAST(t AS DOUBLE) - 1.0)
+              / (CAST(n AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE))) END
+         AS cramers_v
+FROM __s
+"""
+
+
+def experiment_readout(
+    df: DataFrame,
+    variant_col: str,
+    success_pred: Column,
+    control: str,
+) -> DataFrame:
+    """Per-variant experiment table: each arm vs the named control, via
+    the pooled two-proportion z (the multi-arm generalization of
+    two_proportion_z). Output per variant (control row included with
+    NULL lift/z): ``(variant, n, s, rate, lift, z_vs_control)`` ordered
+    by variant. Control presence is data-dependent, so it cannot raise
+    at plan-build time; a missing control arm yields NULL lift/z on
+    every row (left join against the empty control frame) — visible,
+    never a silent wrong baseline.
+
+    Scale: one group-by on the variant key + a 1-row broadcast of the
+    control arm — variants are dimension-sized by construction."""
+    arms = (
+        df.where(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(success_pred, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    ctl = (
+        arms.where(F.col("variant") == control)
+        .select(
+            F.col("n").alias("__nc"),
+            F.col("s").alias("__sc"),
+        )
+    )
+    # LEFT join on TRUE, not crossJoin: an absent control arm must keep
+    # every variant row (with NULL stats), not produce an empty result
+    j = arms.join(F.broadcast(ctl), F.lit(True), "left")
+    n, s = F.col("n").cast("double"), F.col("s").cast("double")
+    nc, sc = F.col("__nc").cast("double"), F.col("__sc").cast("double")
+    rate = s / n
+    rc = sc / nc
+    pp = (s + sc) / (n + nc)
+    se2 = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n + F.lit(1.0) / nc)
+    is_ctl = F.col("variant") == control
+    return j.select(
+        "variant",
+        "n",
+        "s",
+        rate.alias("rate"),
+        F.when(~is_ctl, rate - rc).alias("lift"),
+        F.when(~is_ctl & (se2 > 0), (rate - rc) / F.sqrt(se2)).alias(
+            "z_vs_control"
+        ),
+    ).orderBy("variant")
+
+
+def experiment_readout_sql(
+    table: str, variant_sql: str, success_pred_sql: str, control: str
+) -> str:
+    ctl = control.replace("'", "''")
+    return f"""
+WITH __arms AS (
+  SELECT {variant_sql} AS variant, COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN {success_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM {table} WHERE ({variant_sql}) IS NOT NULL
+  GROUP BY variant
+),
+__ctl AS (SELECT n AS nc, s AS sc FROM __arms WHERE variant = '{ctl}'),
+__j AS (SELECT a.*, c.nc, c.sc FROM __arms a LEFT JOIN __ctl c ON TRUE)
+SELECT variant, n, s,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       CASE WHEN variant <> '{ctl}' THEN
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) END AS lift,
+       CASE WHEN variant <> '{ctl}'
+             AND (CAST(s + sc AS DOUBLE) / CAST(n + nc AS DOUBLE))
+                 * (1.0 - CAST(s + sc AS DOUBLE) / CAST(n + nc AS DOUBLE))
+                 * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)) > 0
+       THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+            / sqrt((CAST(s + sc AS DOUBLE) / CAST(n + nc AS DOUBLE))
+                   * (1.0 - CAST(s + sc AS DOUBLE) / CAST(n + nc AS DOUBLE))
+                   * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)))
+       END AS z_vs_control
+FROM __j ORDER BY variant
+"""

@@ -351,3 +351,93 @@ def test_bootstrap_validation(spark):
         bootstrap_mean_ci(df, "id", "value", b=10, alpha=0.05)  # 2m > b
     with pytest.raises(ValueError):
         bootstrap_mean_ci_sql("t", "id", "value", b=100, alpha=1.5)
+
+
+# --- chi2 / Cramér's V / experiment readout ---------------------------------
+
+from bullet_storm_spark.operators.stats_tests import (  # noqa: E402
+    chi2_independence,
+    chi2_independence_sql,
+    experiment_readout,
+    experiment_readout_sql,
+)
+
+CHI_ROWS = [
+    ("x", "u"), ("x", "u"), ("x", "v"), ("x", "u"),
+    ("y", "v"), ("y", "v"), ("y", "u"), ("y", "v"), ("y", "v"),
+    ("z", "u"), ("z", "v"), ("z", "u"),
+]
+
+
+def _py_chi2(rows):
+    n = len(rows)
+    from collections import Counter
+    cells = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    chi2 = 0.0
+    for (a, b), o in cells.items():
+        e = ra[a] * cb[b] / n
+        chi2 += (o - e) ** 2 / e
+    r, c = len(ra), len(cb)
+    v = math.sqrt(chi2 / (n * (min(r, c) - 1)))
+    return n, r, c, (r - 1) * (c - 1), chi2, v
+
+
+def test_chi2_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(CHI_ROWS, "a string, b string")
+    got = tuple(chi2_independence(df, F.col("a"), F.col("b")).collect()[0])
+    n, r, c, dof, chi2, v = _py_chi2(CHI_ROWS)
+    assert got[:4] == (n, r, c, dof)
+    assert got[4] == pytest.approx(chi2, abs=1e-8)
+    assert got[5] == pytest.approx(v, abs=1e-8)
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{a}', '{b}')" for a, b in CHI_ROWS)
+        + ") v(a, b)",
+        chi2_independence_sql("t", "a", "b"),
+    )
+    assert got == oracle[0]
+
+
+def test_chi2_constant_column_null_stats(spark):
+    df = spark.createDataFrame(
+        [("x", "u"), ("x", "v")], "a string, b string"
+    )
+    got = chi2_independence(df, F.col("a"), F.col("b")).collect()[0]
+    assert got["dof"] == 0 and got["chi2"] is None and got["cramers_v"] is None
+
+
+def test_experiment_readout_matches_duckdb(spark):
+    rows = (
+        [("control", 1)] * 40 + [("control", 0)] * 60
+        + [("t1", 1)] * 55 + [("t1", 0)] * 45
+        + [("t2", 1)] * 42 + [("t2", 0)] * 58
+    )
+    df = spark.createDataFrame(rows, "variant string, ok int")
+    got = [
+        tuple(r)
+        for r in experiment_readout(
+            df, "variant", F.col("ok") == 1, "control"
+        ).collect()
+    ]
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{v}', {o})" for v, o in rows)
+        + ") v(variant, ok)",
+        experiment_readout_sql("t", "variant", "ok = 1", "control"),
+    )
+    assert got == [tuple(r) for r in oracle]
+    byv = {r[0]: r for r in got}
+    assert byv["control"][4] is None and byv["control"][5] is None
+    assert byv["t1"][4] == pytest.approx(0.15)
+    assert byv["t1"][5] > 2.0          # 55% vs 40% on n=100: clearly significant
+    assert abs(byv["t2"][5]) < 1.0     # 42% vs 40%: noise
+
+
+def test_experiment_readout_missing_control_keeps_rows(spark):
+    rows = [("t1", 1), ("t1", 0), ("t2", 1)]
+    df = spark.createDataFrame(rows, "variant string, ok int")
+    got = experiment_readout(df, "variant", F.col("ok") == 1, "nope").collect()
+    assert len(got) == 2
+    assert all(r["lift"] is None and r["z_vs_control"] is None for r in got)
