@@ -515,6 +515,7 @@ from bullet_storm_spark.operators import profile as _profile
 from bullet_storm_spark.operators import retrieval as _retr
 from bullet_storm_spark.operators import ranking_eval as _rkeval
 from bullet_storm_spark.operators import stats_tests as _stats
+from bullet_storm_spark.operators import trend as _trend
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -1956,6 +1957,53 @@ ORDER BY doc_id
         ),
         _stats.experiment_readout_sql(
             "events", "event_type", "value >= 50.0", "view"
+        ),
+    ),
+    # per-key OLS trend: is `value` drifting over time within each event
+    # type? Five exact-decimal moment sums per key, x centered at the
+    # global min hour so moments stay small (see trend.py docstring)
+    "events_trend_ols": (
+        lambda s, d: _trend.groupwise_ols(
+            load_table(s, d, "events").select(
+                "event_type",
+                "value",
+                F.expr("ts_ns div 3600000000000").alias("hr"),
+            ),
+            ["event_type"],
+            "hr",
+            "value",
+        ),
+        _trend.groupwise_ols_sql(
+            "events",
+            ["event_type"],
+            "epoch_us(ts) // 3600000000",
+            "value",
+        ),
+    ),
+    # trending items by half-life-decayed counts: weights are exact
+    # 12-digit dyadic decimals (2^-k literals, k clamped at 12), so the
+    # ranking is reproducible to the bit — no pow(), no float sums
+    "events_decayed_top": (
+        lambda s, d: _trend.decayed_top_items(
+            load_table(s, d, "events").select(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(":"),
+                    (F.col("user_id") % 10).cast("string"),
+                ).alias("item"),
+                F.expr("ts_ns div 1000").alias("us"),
+            ),
+            "item",
+            "us",
+            halflife_us=7 * 86_400_000_000,
+            k=20,
+        ),
+        _trend.decayed_top_items_sql(
+            "events",
+            "event_type || ':' || CAST(user_id % 10 AS VARCHAR)",
+            "epoch_us(ts)",
+            halflife_us=7 * 86_400_000_000,
+            k=20,
         ),
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of

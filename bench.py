@@ -152,6 +152,8 @@ HEADLINE = [
     "events_bootstrap_ci",
     "events_chi2_indep",
     "events_experiment_readout",
+    "events_trend_ols",
+    "events_decayed_top",
 ]
 
 

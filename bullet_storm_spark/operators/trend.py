@@ -1,0 +1,263 @@
+"""Temporal trend analytics: per-group OLS and time-decayed ranking.
+
+Two questions every metrics pipeline asks of an event stream:
+
+- ``groupwise_ols`` — "is this metric trending, per key?" Ordinary
+  least squares y ~ x within each group, from the five moment sums
+  (n, Σx, Σy, Σxy, Σx², Σy²) — the textbook closed form, one hash
+  aggregation per key, no iteration.
+- ``decayed_top_items`` — "what is trending NOW?" Items ranked by
+  exponentially time-decayed frequency (half-life decay), the classic
+  trending-items scorer.
+
+Engine-parity design (the stats_tests conventions):
+
+* OLS moments quantize x and y to DECIMAL(18,6) so products are (37,12)
+  — exact in both engines (a (19,6)² would trip Spark's silent scale
+  reduction, SCALING.md "Determinism under distribution"). x is
+  CENTERED at its global min by default: slope and r² are
+  shift-invariant, and centering keeps moment magnitudes small enough
+  that the decimal→double casts stay comfortably inside 2^53 where both
+  engines convert identically.
+* Decay weights avoid pow() entirely: the age in half-lives is clamped
+  to 12 buckets and 2^-k for k ≤ 12 is a FINITE 12-digit decimal
+  (5^k/10^k) — a 13-entry CASE of exact DECIMAL literals precomputed in
+  Python. Contributions older than 12 half-lives round to 0 by
+  construction (2^-12 < 2.5e-4 of one fresh event) — a documented,
+  deterministic horizon, not a float underflow.
+
+Scale: OLS is one shuffle on the group key. The decayed ranking is one
+hash aggregation on the item key + a vocabulary-sized top-k window; the
+reference time (max ts) rides a 1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_MOMENT = "decimal(38,12)"
+_VAL_DEC = "decimal(18,6)"
+
+# 2^-k as exact 12dp decimal strings, k = 0..12
+_DYADIC = [
+    "1.000000000000" if k == 0 else f"0.{5 ** k * 10 ** (12 - k) // 1:012d}"
+    for k in range(13)
+]
+
+
+def _decay_weight(k_col: F.Column) -> F.Column:
+    out = F.lit(_DYADIC[12]).cast(_MOMENT)
+    for k in range(11, -1, -1):
+        out = F.when(k_col == k, F.lit(_DYADIC[k]).cast(_MOMENT)).otherwise(out)
+    return out
+
+
+def _decay_weight_sql(k_sql: str) -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN CAST({_DYADIC[k]} AS DECIMAL(38,12))"
+        for k in range(12)
+    )
+    return f"(CASE {k_sql} {whens} ELSE CAST({_DYADIC[12]} AS DECIMAL(38,12)) END)"
+
+
+def groupwise_ols(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    center_x: bool = True,
+) -> DataFrame:
+    """Per-key OLS of ``y_col`` on ``x_col``. Output
+    ``(<keys...>, n, slope, intercept, r2)`` ordered by keys. With
+    ``center_x`` (default) the intercept is the fitted value at the
+    GLOBAL min of x (slope/r² are shift-invariant; centering keeps the
+    exact-decimal moments small — see module docstring). slope/intercept
+    are NULL when a group has n < 2 or zero x-variance; r² additionally
+    NULL at zero y-variance. Rows with NULL x or y are excluded."""
+    if not key_cols:
+        raise ValueError("groupwise_ols needs >= 1 key column")
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    base = df.where(xd.isNotNull() & yd.isNotNull())
+    if center_x:
+        xmin = base.agg(F.min(xd).alias("__xmin"))
+        base = base.crossJoin(F.broadcast(xmin))
+        x = (xd - F.col("__xmin")).cast(_VAL_DEC)
+    else:
+        x = xd.cast(_VAL_DEC)
+    y = yd.cast(_VAL_DEC)
+    g = base.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(_MOMENT)).cast(_MOMENT).alias("__sx"),
+        F.sum(y.cast(_MOMENT)).cast(_MOMENT).alias("__sy"),
+        F.sum((x * y).cast(_MOMENT)).cast(_MOMENT).alias("__sxy"),
+        F.sum((x * x).cast(_MOMENT)).cast(_MOMENT).alias("__sxx"),
+        F.sum((y * y).cast(_MOMENT)).cast(_MOMENT).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = n * F.col("__sxy").cast("double") - sx * sy
+    sxx = n * F.col("__sxx").cast("double") - sx * sx
+    syy = n * F.col("__syy").cast("double") - sy * sy
+    ok = (F.col("n") >= 2) & (sxx > 0)
+    slope = F.when(ok, sxy / sxx)
+    return g.select(
+        *key_cols,
+        "n",
+        slope.alias("slope"),
+        F.when(ok, (sy - (sxy / sxx) * sx) / n).alias("intercept"),
+        F.when(ok & (syy > 0), (sxy * sxy) / (sxx * syy)).alias("r2"),
+    ).orderBy(*key_cols)
+
+
+def groupwise_ols_sql(
+    table: str,
+    key_cols: list[str],
+    x_sql: str,
+    y_sql: str,
+    center_x: bool = True,
+) -> str:
+    if not key_cols:
+        raise ValueError("groupwise_ols needs >= 1 key column")
+    keys = ", ".join(key_cols)
+    xd = f"CAST({x_sql} AS DOUBLE)"
+    yd = f"CAST({y_sql} AS DOUBLE)"
+    if center_x:
+        x = f"CAST({xd} - __c.__xmin AS DECIMAL(18,6))"
+        center = (
+            f" CROSS JOIN (SELECT MIN({xd}) AS __xmin FROM {table}"
+            f" WHERE ({xd}) IS NOT NULL AND ({yd}) IS NOT NULL) __c"
+        )
+    else:
+        x = f"CAST({xd} AS DECIMAL(18,6))"
+        center = ""
+    y = f"CAST({yd} AS DECIMAL(18,6))"
+    return f"""
+WITH __g AS (
+  SELECT {keys}, COUNT(*)::BIGINT AS n,
+         CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sx,
+         CAST(SUM(CAST({y} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sy,
+         CAST(SUM(CAST({x} * {y} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxy,
+         CAST(SUM(CAST({x} * {x} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx,
+         CAST(SUM(CAST({y} * {y} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS syy
+  FROM {table}{center}
+  WHERE ({xd}) IS NOT NULL AND ({yd}) IS NOT NULL
+  GROUP BY {keys}
+),
+__d AS (
+  SELECT {keys}, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS vxy,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyy,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM __g
+)
+SELECT {keys}, n,
+       CASE WHEN n >= 2 AND vxx > 0 THEN vxy / vxx END AS slope,
+       CASE WHEN n >= 2 AND vxx > 0
+         THEN (syd - (vxy / vxx) * sxd) / CAST(n AS DOUBLE) END AS intercept,
+       CASE WHEN n >= 2 AND vxx > 0 AND vyy > 0
+         THEN (vxy * vxy) / (vxx * vyy) END AS r2
+FROM __d ORDER BY {keys}
+"""
+
+
+def decayed_top_items(
+    df: DataFrame,
+    item_col: str,
+    ts_us_col: str,
+    halflife_us: int,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` items by exponentially decayed count: each event
+    contributes ``2^-(age_in_halflives)`` where age is measured back
+    from the corpus max timestamp (a 1-row broadcast) and clamped to 12
+    half-lives (older events contribute exactly 0.000244140625 — the
+    deterministic horizon; see module docstring). Output
+    ``(rank, item, decayed_count, n_events)`` — decayed_count is an
+    exact decimal sum cast to double, ties broken by item ASC."""
+    if halflife_us < 1:
+        raise ValueError(f"need halflife_us >= 1, got {halflife_us}")
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    base = df.where(
+        F.col(item_col).isNotNull() & F.col(ts_us_col).isNotNull()
+    )
+    tmax = base.agg(F.max(F.col(ts_us_col)).cast("long").alias("__tmax"))
+    # integer `div`, not `/`: Spark's `/` is double division, and a
+    # float age-in-halflives could land on the other side of a bucket
+    # boundary than DuckDB's integer `//`
+    age_k = F.least(
+        F.expr(
+            f"(__tmax - cast({ts_us_col} as bigint)) div {int(halflife_us)}"
+        ),
+        F.lit(12).cast("long"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(tmax))
+        .select(
+            F.col(item_col).alias("item"),
+            _decay_weight(age_k).alias("__w"),
+        )
+        .groupBy("item")
+        .agg(
+            F.sum("__w").cast(_MOMENT).alias("__dw"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w = Window.orderBy(F.desc("__dw"), F.asc("item"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "rank",
+            "item",
+            F.col("__dw").cast("double").alias("decayed_count"),
+            "n_events",
+        )
+        .orderBy("rank")
+    )
+
+
+def decayed_top_items_sql(
+    table: str,
+    item_sql: str,
+    ts_us_sql: str,
+    halflife_us: int,
+    k: int = 10,
+) -> str:
+    if halflife_us < 1:
+        raise ValueError(f"need halflife_us >= 1, got {halflife_us}")
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    age_k = (
+        f"LEAST(CAST((__t.__tmax - CAST({ts_us_sql} AS BIGINT))"
+        f" // {halflife_us} AS BIGINT), 12)"
+    )
+    w = _decay_weight_sql(age_k)
+    return f"""
+WITH __scored AS (
+  SELECT {item_sql} AS item,
+         CAST(SUM({w}) AS DECIMAL(38,12)) AS dw,
+         COUNT(*)::BIGINT AS n_events
+  FROM {table}
+  CROSS JOIN (SELECT MAX(CAST({ts_us_sql} AS BIGINT)) AS __tmax
+              FROM {table}
+              WHERE ({item_sql}) IS NOT NULL
+                AND ({ts_us_sql}) IS NOT NULL) __t
+  WHERE ({item_sql}) IS NOT NULL AND ({ts_us_sql}) IS NOT NULL
+  GROUP BY item
+),
+__ranked AS (
+  SELECT item, dw, n_events,
+         row_number() OVER (ORDER BY dw DESC, item ASC) AS rank
+  FROM __scored
+)
+SELECT CAST(rank AS BIGINT) AS rank, item,
+       CAST(dw AS DOUBLE) AS decayed_count, n_events
+FROM __ranked WHERE rank <= {k} ORDER BY rank
+"""
