@@ -2006,6 +2006,58 @@ ORDER BY doc_id
             k=20,
         ),
     ),
+    # CUPED variance-reduced t test (Deng WSDM'13): per-user view-value
+    # covariate against purchase-value metric, arms by user-id parity —
+    # everything closed-form from per-arm joint moment sums, the
+    # adjusted metric is never materialized per row
+    "events_cuped_ttest": (
+        lambda s, d: _stats.cuped_ttest(
+            load_table(s, d, "events")
+            .groupBy("user_id")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "view",
+                            F.col("value").cast("decimal(18,6)"),
+                        ).cast("decimal(38,12)")
+                    ),
+                    F.lit(0).cast("decimal(38,12)"),
+                )
+                .cast("double")
+                .alias("x"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.col("value").cast("decimal(18,6)"),
+                        ).cast("decimal(38,12)")
+                    ),
+                    F.lit(0).cast("decimal(38,12)"),
+                )
+                .cast("double")
+                .alias("y"),
+            ),
+            "x",
+            "y",
+            F.col("user_id") % 2 == 0,
+            F.col("user_id") % 2 == 1,
+        ),
+        _stats.cuped_ttest_sql(
+            "(SELECT user_id,"
+            " CAST(COALESCE(SUM(CAST(CAST(CASE WHEN event_type = 'view'"
+            " THEN CAST(value AS DOUBLE) END AS DECIMAL(18,6))"
+            " AS DECIMAL(38,12))), CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS x,"
+            " CAST(COALESCE(SUM(CAST(CAST(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(value AS DOUBLE) END AS DECIMAL(18,6))"
+            " AS DECIMAL(38,12))), CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS y"
+            " FROM events GROUP BY user_id) __units",
+            "x",
+            "y",
+            "user_id % 2 = 0",
+            "user_id % 2 = 1",
+        ),
+    ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
     "dedup_lsh_s_curve": (

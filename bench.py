@@ -154,6 +154,7 @@ HEADLINE = [
     "events_experiment_readout",
     "events_trend_ols",
     "events_decayed_top",
+    "events_cuped_ttest",
 ]
 
 

@@ -55,6 +55,19 @@ _MOMENT = "decimal(38,12)"
 _VAL_DEC = "decimal(18,6)"
 
 
+def _div(a, b):
+    """NULL-on-zero division for data-dependent denominators.
+
+    Matches DuckDB, whose double division yields NULL at zero — and is
+    the only safe form under this repo's ANSI-mode Spark: `F.when`
+    branches are lazy, but whole-stage codegen's subexpression
+    elimination can HOIST a guarded division out of its branch and
+    evaluate it eagerly (observed: CUPED's theta = vxy/vxx raised
+    DIVIDE_BY_ZERO on a zero-variance covariate despite the vxx > 0
+    guard). try_divide keeps IEEE results for nonzero divisors."""
+    return F.try_divide(a, b)
+
+
 def auc_rank_sum(
     df: DataFrame,
     score_col: str,
@@ -94,12 +107,13 @@ def auc_rank_sum(
         (F.sum("__cnt") - F.sum("__pos")).cast("long").alias("n_neg"),
         F.sum(term).cast("decimal(38,0)").alias("__rs2"),
     )
-    auc = (
+    auc = _div(
         F.col("__rs2").cast("double") / F.lit(2.0)
         - F.col("n_pos").cast("double")
         * (F.col("n_pos").cast("double") + F.lit(1.0))
-        / F.lit(2.0)
-    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        / F.lit(2.0),
+        F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
+    )
     return agg.select(
         "n_pos",
         "n_neg",
@@ -181,25 +195,31 @@ def welch_t(
     )
     n_a = F.col("n_a").cast("double")
     n_b = F.col("n_b").cast("double")
-    ma = F.col("__sa").cast("double") / n_a
-    mb = F.col("__sb").cast("double") / n_b
-    va = (
+    ma = _div(F.col("__sa").cast("double"), n_a)
+    mb = _div(F.col("__sb").cast("double"), n_b)
+    va = _div(
         F.col("__qa").cast("double")
-        - F.col("__sa").cast("double") * F.col("__sa").cast("double") / n_a
-    ) / (n_a - F.lit(1.0))
-    vb = (
+        - _div(
+            F.col("__sa").cast("double") * F.col("__sa").cast("double"), n_a
+        ),
+        n_a - F.lit(1.0),
+    )
+    vb = _div(
         F.col("__qb").cast("double")
-        - F.col("__sb").cast("double") * F.col("__sb").cast("double") / n_b
-    ) / (n_b - F.lit(1.0))
-    se2 = va / n_a + vb / n_b
+        - _div(
+            F.col("__sb").cast("double") * F.col("__sb").cast("double"), n_b
+        ),
+        n_b - F.lit(1.0),
+    )
+    se2 = _div(va, n_a) + _div(vb, n_b)
     ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
-    t = F.when(ok & (se2 > 0), (ma - mb) / F.sqrt(se2))
+    t = F.when(ok & (se2 > 0), _div(ma - mb, F.sqrt(se2)))
     dof = F.when(
         ok & (se2 > 0),
-        (se2 * se2)
-        / (
-            (va / n_a) * (va / n_a) / (n_a - F.lit(1.0))
-            + (vb / n_b) * (vb / n_b) / (n_b - F.lit(1.0))
+        _div(
+            se2 * se2,
+            _div(_div(va, n_a) * _div(va, n_a), n_a - F.lit(1.0))
+            + _div(_div(vb, n_b) * _div(vb, n_b), n_b - F.lit(1.0)),
         ),
     )
     return agg.select(
@@ -224,11 +244,18 @@ def welch_t_sql(
             f"CAST(CASE WHEN {pred} THEN CAST({value_sql} AS DOUBLE) END"
             " AS DECIMAL(18,6))"
         )
+        xw = f"CAST({x} AS DECIMAL(19,6))"
+        # widen to (19,6) BEFORE the product: DuckDB's (18,6)x(18,6)
+        # takes an int64 fast path that overflows at runtime on large
+        # magnitudes even when the result is representable; (19,6)
+        # operands force the exact int128 DECIMAL(38,12) path. Values
+        # are identical (pure widening), and the Spark side keeps
+        # (18,6) operands (where (19,6)^2 would trip scale reduction).
         return (
             f"COUNT({x})::BIGINT AS n_{tag},\n"
             f"         CAST(SUM(CAST({x} AS DECIMAL(38,12)))"
             f" AS DECIMAL(38,12)) AS s_{tag},\n"
-            f"         CAST(SUM(CAST({x} * {x} AS DECIMAL(38,12)))"
+            f"         CAST(SUM({xw} * {xw})"
             f" AS DECIMAL(38,12)) AS q_{tag}"
         )
 
@@ -288,9 +315,9 @@ def two_proportion_z(
     )
     n_a, s_a = F.col("n_a").cast("double"), F.col("s_a").cast("double")
     n_b, s_b = F.col("n_b").cast("double"), F.col("s_b").cast("double")
-    pa, pb = s_a / n_a, s_b / n_b
-    pp = (s_a + s_b) / (n_a + n_b)
-    se2 = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+    pa, pb = _div(s_a, n_a), _div(s_b, n_b)
+    pp = _div(s_a + s_b, n_a + n_b)
+    se2 = pp * (F.lit(1.0) - pp) * (_div(F.lit(1.0), n_a) + _div(F.lit(1.0), n_b))
     ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return agg.select(
         "n_a",
@@ -299,7 +326,7 @@ def two_proportion_z(
         "s_b",
         F.round(F.when(F.col("n_a") > 0, pa), round_to).alias("p_a"),
         F.round(F.when(F.col("n_b") > 0, pb), round_to).alias("p_b"),
-        F.round(F.when(ok & (se2 > 0), (pa - pb) / F.sqrt(se2)), round_to).alias(
+        F.round(F.when(ok & (se2 > 0), _div(pa - pb, F.sqrt(se2))), round_to).alias(
             "z_stat"
         ),
     )
@@ -394,8 +421,8 @@ def cohens_kappa(
     )
     joined = diag.crossJoin(F.broadcast(pe_num))
     n_d = F.col("n").cast("double")
-    pe = F.col("__pe").cast("double") / (n_d * n_d)
-    po = F.col("agree").cast("double") / n_d
+    pe = _div(F.col("__pe").cast("double"), n_d * n_d)
+    po = _div(F.col("agree").cast("double"), n_d)
     return joined.select(
         "n",
         "agree",
@@ -403,7 +430,7 @@ def cohens_kappa(
         F.round(F.when(F.col("n") > 0, pe), round_to).alias("pe"),
         F.round(
             F.when(
-                (F.col("n") > 0) & (pe < 1.0), (po - pe) / (F.lit(1.0) - pe)
+                (F.col("n") > 0) & (pe < 1.0), _div(po - pe, F.lit(1.0) - pe)
             ),
             round_to,
         ).alias("kappa"),
@@ -509,8 +536,8 @@ def calibration_bins(
             F.sum("__y").cast("long").alias("__pos"),
         )
     )
-    conf = F.col("__sp").cast("double") / F.col("n").cast("double")
-    acc = F.col("__pos").cast("double") / F.col("n").cast("double")
+    conf = _div(F.col("__sp").cast("double"), F.col("n").cast("double"))
+    acc = _div(F.col("__pos").cast("double"), F.col("n").cast("double"))
     return agg.select(
         "bin",
         "n",
@@ -598,8 +625,8 @@ def calibration_summary(
         )
     )
     gap = F.abs(
-        F.col("__pos").cast("double") / F.col("__n").cast("double")
-        - F.col("__sp").cast("double") / F.col("__n").cast("double")
+        _div(F.col("__pos").cast("double"), F.col("__n").cast("double"))
+        - _div(F.col("__sp").cast("double"), F.col("__n").cast("double"))
     )
     ece_term = F.abs(
         (F.col("__pos").cast(_VAL_DEC).cast(_MOMENT) - F.col("__sp")).cast(
@@ -608,14 +635,14 @@ def calibration_summary(
     )
     return g.agg(
         F.sum("__n").cast("long").alias("n"),
-        (
-            F.sum(ece_term).cast(_MOMENT).cast("double")
-            / F.sum("__n").cast("double")
+        _div(
+            F.sum(ece_term).cast(_MOMENT).cast("double"),
+            F.sum("__n").cast("double"),
         ).alias("ece"),
         F.max(gap).alias("mce"),
-        (
-            F.sum("__sqs").cast(_MOMENT).cast("double")
-            / F.sum("__n").cast("double")
+        _div(
+            F.sum("__sqs").cast(_MOMENT).cast("double"),
+            F.sum("__n").cast("double"),
         ).alias("brier"),
     )
 
@@ -644,8 +671,10 @@ __g AS (
          CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sp,
          SUM(y)::BIGINT AS pos,
          CAST(SUM(CAST(CAST(p - CAST(y AS DECIMAL(18,6)) AS DECIMAL(18,6))
-                       * CAST(p - CAST(y AS DECIMAL(18,6)) AS DECIMAL(18,6))
-                       AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sqs
+                            AS DECIMAL(19,6))
+                       * CAST(CAST(p - CAST(y AS DECIMAL(18,6))
+                                   AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+              AS DECIMAL(38,12)) AS sqs
   FROM __b GROUP BY bin
 )
 SELECT SUM(n)::BIGINT AS n,
@@ -742,9 +771,9 @@ def bootstrap_mean_ci(
         .where(F.col("__sw") > 0)
         .select(
             "__r",
-            (F.col("__swx").cast("double") / F.col("__sw").cast("double")).alias(
-                "__mean"
-            ),
+            _div(
+                F.col("__swx").cast("double"), F.col("__sw").cast("double")
+            ).alias("__mean"),
         )
     )
     wnd = Window.orderBy(F.col("__mean").asc(), F.col("__r").asc())
@@ -761,8 +790,10 @@ def bootstrap_mean_ci(
     est = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(
-            F.sum(x.cast(_MOMENT)).cast("double")
-            / F.count(F.lit(1)).cast("double"),
+            _div(
+                F.sum(x.cast(_MOMENT)).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ),
             round_to,
         ).alias("est_mean"),
     )
@@ -805,9 +836,10 @@ def bootstrap_mean_ci_sql(
     return f"""
 WITH __reps AS (
   SELECT r.__r,
-         CAST(SUM(CAST(CAST({w} AS DECIMAL(18,6))
-                       * CAST(CAST({value_sql} AS DOUBLE) AS DECIMAL(18,6))
-                       AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS swx,
+         CAST(SUM(CAST(CAST({w} AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                       * CAST(CAST(CAST({value_sql} AS DOUBLE)
+                                   AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+              AS DECIMAL(38,12)) AS swx,
          SUM({w})::BIGINT AS sw
   FROM {table}
   CROSS JOIN (SELECT unnest(range({b})) AS __r) r
@@ -868,8 +900,10 @@ def chi2_independence(
     ra = labeled.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__r"))
     cb = labeled.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__c"))
     term = F.round(
-        (F.col("__o").cast("double") * F.col("__o").cast("double"))
-        / (F.col("__r").cast("double") * F.col("__c").cast("double")),
+        _div(
+            F.col("__o").cast("double") * F.col("__o").cast("double"),
+            F.col("__r").cast("double") * F.col("__c").cast("double"),
+        ),
         12,
     ).cast(_MOMENT)
     sums = (
@@ -888,7 +922,7 @@ def chi2_independence(
     )
     mind = F.least(F.col("r"), F.col("c")) - 1
     v = F.sqrt(
-        chi2 / (F.col("n").cast("double") * mind.cast("double"))
+        _div(chi2, F.col("n").cast("double") * mind.cast("double"))
     )
     ok = (F.col("n") > 0) & (dof > 0)
     return sums.select(
@@ -973,10 +1007,10 @@ def experiment_readout(
     j = arms.join(F.broadcast(ctl), F.lit(True), "left")
     n, s = F.col("n").cast("double"), F.col("s").cast("double")
     nc, sc = F.col("__nc").cast("double"), F.col("__sc").cast("double")
-    rate = s / n
-    rc = sc / nc
-    pp = (s + sc) / (n + nc)
-    se2 = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n + F.lit(1.0) / nc)
+    rate = _div(s, n)
+    rc = _div(sc, nc)
+    pp = _div(s + sc, n + nc)
+    se2 = pp * (F.lit(1.0) - pp) * (_div(F.lit(1.0), n) + _div(F.lit(1.0), nc))
     is_ctl = F.col("variant") == control
     return j.select(
         "variant",
@@ -984,7 +1018,7 @@ def experiment_readout(
         "s",
         rate.alias("rate"),
         F.when(~is_ctl, rate - rc).alias("lift"),
-        F.when(~is_ctl & (se2 > 0), (rate - rc) / F.sqrt(se2)).alias(
+        F.when(~is_ctl & (se2 > 0), _div(rate - rc, F.sqrt(se2))).alias(
             "z_vs_control"
         ),
     ).orderBy("variant")
@@ -1019,4 +1053,209 @@ SELECT variant, n, s,
                    * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)))
        END AS z_vs_control
 FROM __j ORDER BY variant
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+
+
+def _joint_moments(x: Column, y: Column, in_arm: Column) -> list[Column]:
+    """n / Σx / Σy / Σxy / Σx² / Σy² for one arm as conditional exact-
+    decimal aggregates ((18,6) operands — squares exact, see module
+    note)."""
+    xa = F.when(in_arm, x).cast(_VAL_DEC)
+    ya = F.when(in_arm, y).cast(_VAL_DEC)
+    return [
+        F.count(ya).cast("long"),
+        F.sum(xa.cast(_MOMENT)).cast(_MOMENT),
+        F.sum(ya.cast(_MOMENT)).cast(_MOMENT),
+        F.sum((xa * ya).cast(_MOMENT)).cast(_MOMENT),
+        F.sum((xa * xa).cast(_MOMENT)).cast(_MOMENT),
+        F.sum((ya * ya).cast(_MOMENT)).cast(_MOMENT),
+    ]
+
+
+def cuped_ttest(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    a_pred: Column,
+    b_pred: Column,
+) -> DataFrame:
+    """One-row CUPED-adjusted Welch t test (Deng et al. WSDM'13):
+    variance-reduce the metric ``y`` with pre-experiment covariate ``x``
+    before comparing arm A to arm B. Output ``(n_a, n_b, theta,
+    mean_a_adj, mean_b_adj, t_adj, dof_adj, var_reduction)``.
+
+    Everything is CLOSED FORM from per-arm joint moment sums — the
+    adjusted metric ``y − θ(x − x̄)`` is never materialized per row
+    (which would inject order-dependent float sums): θ is the pooled
+    cov(x,y)/var(x); adjusted arm means and sample variances come from
+    the same six sums via
+    ``var(y − θx) = [Σy² − 2θΣxy + θ²Σx² − (Σy − θΣx)²/n]/(n−1)``;
+    var_reduction is pooled ρ²(x, y) — the fraction of metric variance
+    the covariate removes. One conditional aggregation over the scan.
+    NULL statistics when either arm has n < 2 or pooled var(x) is 0.
+    Rows with NULL x or y are excluded (impute x upstream — e.g.
+    COALESCE to 0 for units with no pre-period)."""
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    base = df.where(xd.isNotNull() & yd.isNotNull())
+    a = _joint_moments(xd, yd, a_pred)
+    b = _joint_moments(xd, yd, b_pred)
+    names_a = ["n_a", "__xa", "__ya", "__xya", "__xxa", "__yya"]
+    names_b = ["n_b", "__xb", "__yb", "__xyb", "__xxb", "__yyb"]
+    agg = base.agg(
+        *[c.alias(nm) for c, nm in zip(a, names_a)],
+        *[c.alias(nm) for c, nm in zip(b, names_b)],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n_a") + d("n_b")
+    sx = d("__xa") + d("__xb")
+    sy = d("__ya") + d("__yb")
+    sxy = d("__xya") + d("__xyb")
+    sxx = d("__xxa") + d("__xxb")
+    syy = d("__yya") + d("__yyb")
+    vxy = n * sxy - sx * sy
+    vxx = n * sxx - sx * sx
+    vyy = n * syy - sy * sy
+    theta = _div(vxy, vxx)
+    rho2 = _div(vxy * vxy, vxx * vyy)
+    xbar = _div(sx, n)
+
+    def arm(nc, sxc, syc, sxyc, sxxc, syyc):
+        nn = d(nc)
+        mean_adj = _div(d(syc) - theta * d(sxc), nn) + theta * xbar
+        var_adj = _div(
+            d(syyc)
+            - F.lit(2.0) * theta * d(sxyc)
+            + theta * theta * d(sxxc)
+            - _div(
+                (d(syc) - theta * d(sxc)) * (d(syc) - theta * d(sxc)), nn
+            ),
+            nn - F.lit(1.0),
+        )
+        return mean_adj, var_adj
+
+    ma, va = arm("n_a", "__xa", "__ya", "__xya", "__xxa", "__yya")
+    mb, vb = arm("n_b", "__xb", "__yb", "__xyb", "__xxb", "__yyb")
+    se2 = _div(va, d("n_a")) + _div(vb, d("n_b"))
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (vxx > 0)
+    t = F.when(ok & (se2 > 0), _div(ma - mb, F.sqrt(se2)))
+    dof = F.when(
+        ok & (se2 > 0),
+        _div(
+            se2 * se2,
+            _div(
+                _div(va, d("n_a")) * _div(va, d("n_a")), d("n_a") - F.lit(1.0)
+            )
+            + _div(
+                _div(vb, d("n_b")) * _div(vb, d("n_b")), d("n_b") - F.lit(1.0)
+            ),
+        ),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, theta).alias("theta"),
+        F.when(ok, ma).alias("mean_a_adj"),
+        F.when(ok, mb).alias("mean_b_adj"),
+        t.alias("t_adj"),
+        dof.alias("dof_adj"),
+        F.when(ok & (vyy > 0), rho2).alias("var_reduction"),
+    )
+
+
+def cuped_ttest_sql(
+    table: str,
+    x_sql: str,
+    y_sql: str,
+    a_pred_sql: str,
+    b_pred_sql: str,
+) -> str:
+    def arm_sums(pred: str, tag: str) -> str:
+        xa = (
+            f"CAST(CASE WHEN {pred} THEN CAST({x_sql} AS DOUBLE) END"
+            " AS DECIMAL(18,6))"
+        )
+        ya = (
+            f"CAST(CASE WHEN {pred} THEN CAST({y_sql} AS DOUBLE) END"
+            " AS DECIMAL(18,6))"
+        )
+        m = "DECIMAL(38,12)"
+        # (19,6) widening before products: DuckDB's (18,6)x(18,6) int64
+        # fast path overflows at runtime on summed magnitudes (values
+        # unchanged; Spark keeps (18,6) -- see welch_t_sql note)
+        xw = f"CAST({xa} AS DECIMAL(19,6))"
+        yw = f"CAST({ya} AS DECIMAL(19,6))"
+        return (
+            f"COUNT({ya})::BIGINT AS n_{tag},\n"
+            f"         CAST(SUM(CAST({xa} AS {m})) AS {m}) AS x_{tag},\n"
+            f"         CAST(SUM(CAST({ya} AS {m})) AS {m}) AS y_{tag},\n"
+            f"         CAST(SUM({xw} * {yw}) AS {m}) AS xy_{tag},\n"
+            f"         CAST(SUM({xw} * {xw}) AS {m}) AS xx_{tag},\n"
+            f"         CAST(SUM({yw} * {yw}) AS {m}) AS yy_{tag}"
+        )
+
+    return f"""
+WITH __m AS (
+  SELECT {arm_sums(a_pred_sql, 'a')},
+         {arm_sums(b_pred_sql, 'b')}
+  FROM {table}
+  WHERE ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL
+),
+__p AS (
+  SELECT n_a, n_b,
+         CAST(n_a + n_b AS DOUBLE) AS n,
+         CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE) AS sx,
+         CAST(y_a AS DOUBLE) + CAST(y_b AS DOUBLE) AS sy,
+         CAST(xy_a AS DOUBLE) + CAST(xy_b AS DOUBLE) AS sxy,
+         CAST(xx_a AS DOUBLE) + CAST(xx_b AS DOUBLE) AS sxx,
+         CAST(yy_a AS DOUBLE) + CAST(yy_b AS DOUBLE) AS syy,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(x_a AS DOUBLE) AS xa, CAST(y_a AS DOUBLE) AS ya,
+         CAST(xy_a AS DOUBLE) AS xya, CAST(xx_a AS DOUBLE) AS xxa,
+         CAST(yy_a AS DOUBLE) AS yya,
+         CAST(x_b AS DOUBLE) AS xb, CAST(y_b AS DOUBLE) AS yb,
+         CAST(xy_b AS DOUBLE) AS xyb, CAST(xx_b AS DOUBLE) AS xxb,
+         CAST(yy_b AS DOUBLE) AS yyb
+  FROM __m
+),
+__t AS (
+  SELECT *,
+         n * sxy - sx * sy AS vxy,
+         n * sxx - sx * sx AS vxx,
+         n * syy - sy * sy AS vyy
+  FROM __p
+),
+__adj AS (
+  SELECT *,
+         (vxy / vxx) AS theta,
+         (ya - (vxy / vxx) * xa) / na + (vxy / vxx) * (sx / n) AS ma,
+         (yb - (vxy / vxx) * xb) / nb + (vxy / vxx) * (sx / n) AS mb,
+         (yya - 2.0 * (vxy / vxx) * xya + (vxy / vxx) * (vxy / vxx) * xxa
+          - (ya - (vxy / vxx) * xa) * (ya - (vxy / vxx) * xa) / na)
+           / (na - 1.0) AS va,
+         (yyb - 2.0 * (vxy / vxx) * xyb + (vxy / vxx) * (vxy / vxx) * xxb
+          - (yb - (vxy / vxx) * xb) * (yb - (vxy / vxx) * xb) / nb)
+           / (nb - 1.0) AS vb
+  FROM __t
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND vxx > 0 THEN theta END AS theta,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND vxx > 0 THEN ma END AS mean_a_adj,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND vxx > 0 THEN mb END AS mean_b_adj,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND vxx > 0
+             AND va / na + vb / nb > 0
+         THEN (ma - mb) / sqrt(va / na + vb / nb) END AS t_adj,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND vxx > 0
+             AND va / na + vb / nb > 0
+         THEN ((va / na + vb / nb) * (va / na + vb / nb))
+              / ((va / na) * (va / na) / (na - 1.0)
+                 + (vb / nb) * (vb / nb) / (nb - 1.0)) END AS dof_adj,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND vxx > 0 AND vyy > 0
+         THEN (vxy * vxy) / (vxx * vyy) END AS var_reduction
+FROM __adj
 """

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from bullet_storm_spark.operators.stats_tests import _div
+
 _MOMENT = "decimal(38,12)"
 _VAL_DEC = "decimal(18,6)"
 
@@ -101,13 +103,13 @@ def groupwise_ols(
     sxx = n * F.col("__sxx").cast("double") - sx * sx
     syy = n * F.col("__syy").cast("double") - sy * sy
     ok = (F.col("n") >= 2) & (sxx > 0)
-    slope = F.when(ok, sxy / sxx)
+    slope = F.when(ok, _div(sxy, sxx))
     return g.select(
         *key_cols,
         "n",
         slope.alias("slope"),
-        F.when(ok, (sy - (sxy / sxx) * sx) / n).alias("intercept"),
-        F.when(ok & (syy > 0), (sxy * sxy) / (sxx * syy)).alias("r2"),
+        F.when(ok, _div(sy - _div(sxy, sxx) * sx, n)).alias("intercept"),
+        F.when(ok & (syy > 0), _div(sxy * sxy, sxx * syy)).alias("r2"),
     ).orderBy(*key_cols)
 
 
@@ -138,9 +140,12 @@ WITH __g AS (
   SELECT {keys}, COUNT(*)::BIGINT AS n,
          CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sx,
          CAST(SUM(CAST({y} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sy,
-         CAST(SUM(CAST({x} * {y} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxy,
-         CAST(SUM(CAST({x} * {x} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx,
-         CAST(SUM(CAST({y} * {y} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS syy
+         CAST(SUM(CAST({x} AS DECIMAL(19,6)) * CAST({y} AS DECIMAL(19,6)))
+           AS DECIMAL(38,12)) AS sxy,
+         CAST(SUM(CAST({x} AS DECIMAL(19,6)) * CAST({x} AS DECIMAL(19,6)))
+           AS DECIMAL(38,12)) AS sxx,
+         CAST(SUM(CAST({y} AS DECIMAL(19,6)) * CAST({y} AS DECIMAL(19,6)))
+           AS DECIMAL(38,12)) AS syy
   FROM {table}{center}
   WHERE ({xd}) IS NOT NULL AND ({yd}) IS NOT NULL
   GROUP BY {keys}

@@ -82,16 +82,17 @@ def test_submit_and_kill_from_separate_process_while_attached(spark, tmp_path):
             "    'WINDOWING EVERY(500, TIME)')\n"
         )
         # per-phase deadlines: each phase includes a cold python -c
-        # subprocess import of pyspark, which alone can take ~10s when
-        # the machine is loaded — one shared deadline flaked under a
-        # concurrent full-suite run
-        deadline = time.time() + 60
+        # subprocess import of pyspark (~10s loaded) and a 100ms-trigger
+        # stream that can fall multi-second behind when another Spark
+        # session saturates the machine — generous wall-clock budgets,
+        # this is an integration test of ordering, not latency
+        deadline = time.time() + 120
         while time.time() > 0 and "ext1" not in engine.registry.queries:
             assert time.time() < deadline, "external submission never arrived"
             base.limit(0).write.mode("append").parquet(src)  # tick
             time.sleep(0.2)
         # wait for at least one windowed emission with real counts
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while not any(i == "ext1" and c.records for i, c in engine.results):
             assert time.time() < deadline, "no windowed result emitted"
             base.write.mode("append").parquet(src)
@@ -100,7 +101,7 @@ def test_submit_and_kill_from_separate_process_while_attached(spark, tmp_path):
             "from bullet_storm_spark.streaming import FileControlClient\n"
             f"FileControlClient({spool!r}).kill('ext1')\n"
         )
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while "ext1" in engine.registry.queries:
             assert time.time() < deadline, "external kill never applied"
             base.limit(0).write.mode("append").parquet(src)

@@ -441,3 +441,92 @@ def test_experiment_readout_missing_control_keeps_rows(spark):
     got = experiment_readout(df, "variant", F.col("ok") == 1, "nope").collect()
     assert len(got) == 2
     assert all(r["lift"] is None and r["z_vs_control"] is None for r in got)
+
+
+# --- CUPED -------------------------------------------------------------------
+
+from bullet_storm_spark.operators.stats_tests import (  # noqa: E402
+    cuped_ttest,
+    cuped_ttest_sql,
+)
+
+# unit rows: (x pre-metric, y metric, arm). y correlates strongly with x,
+# arm b gets a +0.5 true lift on top
+CUPED_ROWS = [
+    (1.0, 2.1, "a"), (2.0, 4.2, "a"), (3.0, 5.9, "a"), (4.0, 8.1, "a"),
+    (5.0, 9.8, "a"), (6.0, 12.2, "a"),
+    (1.0, 2.6, "b"), (2.0, 4.6, "b"), (3.0, 6.4, "b"), (4.0, 8.6, "b"),
+    (5.0, 10.4, "b"), (6.0, 12.6, "b"),
+]
+
+
+def _py_cuped(rows):
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y, _ in rows)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    vxy, vxx, vyy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    theta = vxy / vxx
+    xbar = sx / n
+    out = {}
+    for arm in ("a", "b"):
+        pts = [(x, y) for x, y, a in rows if a == arm]
+        adj = [y - theta * (x - xbar) for x, y in pts]
+        na = len(adj)
+        m = sum(adj) / na
+        v = sum((z - m) ** 2 for z in adj) / (na - 1)
+        out[arm] = (na, m, v)
+    na, ma, va = out["a"]
+    nb, mb, vb = out["b"]
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    rho2 = vxy * vxy / (vxx * vyy)
+    return theta, ma, mb, t, dof, rho2
+
+
+def test_cuped_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(CUPED_ROWS, "x double, y double, arm string")
+    got = cuped_ttest(
+        df, "x", "y", F.col("arm") == "a", F.col("arm") == "b"
+    ).collect()[0]
+    theta, ma, mb, t, dof, rho2 = _py_cuped(CUPED_ROWS)
+    assert (got["n_a"], got["n_b"]) == (6, 6)
+    assert got["theta"] == pytest.approx(theta, abs=1e-9)
+    assert got["mean_a_adj"] == pytest.approx(ma, abs=1e-9)
+    assert got["t_adj"] == pytest.approx(t, abs=1e-7)
+    assert got["dof_adj"] == pytest.approx(dof, abs=1e-6)
+    assert got["var_reduction"] == pytest.approx(rho2, abs=1e-9)
+    # the covariate removes almost all variance in this construction
+    assert got["var_reduction"] > 0.95
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({x}, {y}, '{a}')" for x, y, a in CUPED_ROWS)
+        + ") v(x, y, arm)",
+        cuped_ttest_sql("t", "x", "y", "arm = 'a'", "arm = 'b'"),
+    )
+    assert tuple(got) == oracle[0]
+
+
+def test_cuped_beats_raw_welch_on_correlated_covariate(spark):
+    df = spark.createDataFrame(CUPED_ROWS, "x double, y double, arm string")
+    raw = welch_t(
+        df, "y", F.col("arm") == "a", F.col("arm") == "b"
+    ).collect()[0]
+    adj = cuped_ttest(
+        df, "x", "y", F.col("arm") == "a", F.col("arm") == "b"
+    ).collect()[0]
+    # same true lift, much less variance -> much larger |t|
+    assert abs(adj["t_adj"]) > 3 * abs(raw["t_stat"])
+
+
+def test_cuped_degenerate_constant_covariate(spark):
+    rows = [(1.0, 2.0, "a"), (1.0, 3.0, "a"), (1.0, 4.0, "b"), (1.0, 5.0, "b")]
+    df = spark.createDataFrame(rows, "x double, y double, arm string")
+    got = cuped_ttest(
+        df, "x", "y", F.col("arm") == "a", F.col("arm") == "b"
+    ).collect()[0]
+    assert got["theta"] is None and got["t_adj"] is None
