@@ -55,6 +55,21 @@ _MOMENT = "decimal(38,12)"
 _VAL_DEC = "decimal(18,6)"
 
 
+def _d2d(c):
+    """Decimal→double via the STRING hop: decimal→text is exact and
+    text→double is correctly rounded in BOTH engines, whereas the
+    direct decimal→double cast double-rounds (int128→double, then
+    /10^scale) and diverges across engines by 1 ulp once the unscaled
+    value exceeds 2^53 — fuzz-caught on CUPED moments at |x| ~ 1e5.
+    Use for every aggregate-decimal → double conversion (cheap: runs on
+    aggregated rows, never in the per-input hot path)."""
+    return c.cast("string").cast("double")
+
+
+def _d2d_sql(e: str) -> str:
+    return f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
+
+
 def _div(a, b):
     """NULL-on-zero division for data-dependent denominators.
 
@@ -108,7 +123,7 @@ def auc_rank_sum(
         F.sum(term).cast("decimal(38,0)").alias("__rs2"),
     )
     auc = _div(
-        F.col("__rs2").cast("double") / F.lit(2.0)
+        _d2d(F.col("__rs2")) / F.lit(2.0)
         - F.col("n_pos").cast("double")
         * (F.col("n_pos").cast("double") + F.lit(1.0))
         / F.lit(2.0),
@@ -117,7 +132,7 @@ def auc_rank_sum(
     return agg.select(
         "n_pos",
         "n_neg",
-        F.col("__rs2").cast("double").alias("rank_sum2"),
+        _d2d(F.col("__rs2")).alias("rank_sum2"),
         F.round(
             F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc), round_to
         ).alias("auc"),
@@ -149,9 +164,9 @@ __agg AS (
               AS DECIMAL(38,0)) AS rs2
   FROM __cum
 )
-SELECT n_pos, n_neg, CAST(rs2 AS DOUBLE) AS rank_sum2,
+SELECT n_pos, n_neg, CAST(CAST(rs2 AS VARCHAR) AS DOUBLE) AS rank_sum2,
        ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-         (CAST(rs2 AS DOUBLE) / 2.0
+         (CAST(CAST(rs2 AS VARCHAR) AS DOUBLE) / 2.0
           - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
          / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
        END, {round_to}) AS auc
@@ -195,20 +210,16 @@ def welch_t(
     )
     n_a = F.col("n_a").cast("double")
     n_b = F.col("n_b").cast("double")
-    ma = _div(F.col("__sa").cast("double"), n_a)
-    mb = _div(F.col("__sb").cast("double"), n_b)
+    ma = _div(_d2d(F.col("__sa")), n_a)
+    mb = _div(_d2d(F.col("__sb")), n_b)
     va = _div(
-        F.col("__qa").cast("double")
-        - _div(
-            F.col("__sa").cast("double") * F.col("__sa").cast("double"), n_a
-        ),
+        _d2d(F.col("__qa"))
+        - _div(_d2d(F.col("__sa")) * _d2d(F.col("__sa")), n_a),
         n_a - F.lit(1.0),
     )
     vb = _div(
-        F.col("__qb").cast("double")
-        - _div(
-            F.col("__sb").cast("double") * F.col("__sb").cast("double"), n_b
-        ),
+        _d2d(F.col("__qb"))
+        - _div(_d2d(F.col("__sb")) * _d2d(F.col("__sb")), n_b),
         n_b - F.lit(1.0),
     )
     se2 = _div(va, n_a) + _div(vb, n_b)
@@ -267,11 +278,11 @@ WITH __m AS (
 ),
 __d AS (
   SELECT n_a, n_b,
-         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
-         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
-         (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+         CAST(CAST(s_a AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(CAST(s_b AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         (CAST(CAST(q_a AS VARCHAR) AS DOUBLE) - CAST(CAST(s_a AS VARCHAR) AS DOUBLE) * CAST(CAST(s_a AS VARCHAR) AS DOUBLE)
             / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
-         (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+         (CAST(CAST(q_b AS VARCHAR) AS DOUBLE) - CAST(CAST(s_b AS VARCHAR) AS DOUBLE) * CAST(CAST(s_b AS VARCHAR) AS DOUBLE)
             / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
   FROM __m
 )
@@ -421,7 +432,7 @@ def cohens_kappa(
     )
     joined = diag.crossJoin(F.broadcast(pe_num))
     n_d = F.col("n").cast("double")
-    pe = _div(F.col("__pe").cast("double"), n_d * n_d)
+    pe = _div(_d2d(F.col("__pe")), n_d * n_d)
     po = _div(F.col("agree").cast("double"), n_d)
     return joined.select(
         "n",
@@ -463,15 +474,15 @@ SELECT d.n, d.agree,
          THEN CAST(d.agree AS DOUBLE) / CAST(d.n AS DOUBLE) END,
          {round_to}) AS po,
        ROUND(CASE WHEN d.n > 0
-         THEN CAST(p.pe_num AS DOUBLE)
+         THEN CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
               / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)) END,
          {round_to}) AS pe,
-       ROUND(CASE WHEN d.n > 0 AND CAST(p.pe_num AS DOUBLE)
+       ROUND(CASE WHEN d.n > 0 AND CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
                   / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)) < 1.0
          THEN (CAST(d.agree AS DOUBLE) / CAST(d.n AS DOUBLE)
-               - CAST(p.pe_num AS DOUBLE)
+               - CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
                  / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)))
-              / (1.0 - CAST(p.pe_num AS DOUBLE)
+              / (1.0 - CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
                  / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE))) END,
          {round_to}) AS kappa
 FROM __diag d CROSS JOIN __pe p
@@ -536,7 +547,7 @@ def calibration_bins(
             F.sum("__y").cast("long").alias("__pos"),
         )
     )
-    conf = _div(F.col("__sp").cast("double"), F.col("n").cast("double"))
+    conf = _div(_d2d(F.col("__sp")), F.col("n").cast("double"))
     acc = _div(F.col("__pos").cast("double"), F.col("n").cast("double"))
     return agg.select(
         "bin",
@@ -573,10 +584,10 @@ __g AS (
   FROM __b GROUP BY bin
 )
 SELECT bin, n,
-       CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
+       CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
        CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
        abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
-           - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+           - CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
 FROM __g ORDER BY bin
 """
 
@@ -626,7 +637,7 @@ def calibration_summary(
     )
     gap = F.abs(
         _div(F.col("__pos").cast("double"), F.col("__n").cast("double"))
-        - _div(F.col("__sp").cast("double"), F.col("__n").cast("double"))
+        - _div(_d2d(F.col("__sp")), F.col("__n").cast("double"))
     )
     ece_term = F.abs(
         (F.col("__pos").cast(_VAL_DEC).cast(_MOMENT) - F.col("__sp")).cast(
@@ -636,12 +647,12 @@ def calibration_summary(
     return g.agg(
         F.sum("__n").cast("long").alias("n"),
         _div(
-            F.sum(ece_term).cast(_MOMENT).cast("double"),
+            _d2d(F.sum(ece_term).cast(_MOMENT)),
             F.sum("__n").cast("double"),
         ).alias("ece"),
         F.max(gap).alias("mce"),
         _div(
-            F.sum("__sqs").cast(_MOMENT).cast("double"),
+            _d2d(F.sum("__sqs").cast(_MOMENT)),
             F.sum("__n").cast("double"),
         ).alias("brier"),
     )
@@ -678,12 +689,16 @@ __g AS (
   FROM __b GROUP BY bin
 )
 SELECT SUM(n)::BIGINT AS n,
-       CAST(SUM(CAST(abs(CAST(CAST(pos AS DECIMAL(18,6)) AS DECIMAL(38,12))
-                         - sp) AS DECIMAL(38,12))) AS DOUBLE)
+       CAST(CAST(CAST(SUM(CAST(abs(CAST(CAST(pos AS DECIMAL(18,6))
+                                        AS DECIMAL(38,12)) - sp)
+                               AS DECIMAL(38,12))) AS DECIMAL(38,12))
+                 AS VARCHAR) AS DOUBLE)
          / CAST(SUM(n) AS DOUBLE) AS ece,
        MAX(abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
-               - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) AS mce,
-       CAST(SUM(sqs) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS brier
+               - CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+         AS mce,
+       CAST(CAST(CAST(SUM(sqs) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS brier
 FROM __g
 """
 
@@ -794,7 +809,7 @@ def bootstrap_mean_ci(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(
             _div(
-                F.sum(xdec.cast(_MOMENT)).cast("double"),
+                _d2d(F.sum(xdec.cast(_MOMENT)).cast(_MOMENT)),
                 F.count(F.lit(1)).cast("double"),
             ),
             round_to,
@@ -872,8 +887,9 @@ __ci AS (
 ),
 __est AS (
   SELECT COUNT(*)::BIGINT AS n,
-         ROUND(CAST(SUM(CAST(CAST(CAST({value_sql} AS DOUBLE)
-                    AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE)
+         ROUND(CAST(CAST(CAST(SUM(CAST(CAST(CAST({value_sql} AS DOUBLE)
+                    AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                    AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
                / COUNT(*), {round_to}) AS est_mean
   FROM {table} WHERE ({value_sql}) IS NOT NULL
 )
@@ -931,7 +947,7 @@ def chi2_independence(
     )
     dof = (F.col("r") - 1) * (F.col("c") - 1)
     chi2 = F.col("n").cast("double") * (
-        F.col("__t").cast("double") - F.lit(1.0)
+        _d2d(F.col("__t")) - F.lit(1.0)
     )
     mind = F.least(F.col("r"), F.col("c")) - 1
     v = F.sqrt(
@@ -972,9 +988,9 @@ __s AS (
 SELECT n, r, c,
        CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
        CASE WHEN n > 0 AND (r - 1) * (c - 1) > 0 THEN
-         CAST(n AS DOUBLE) * (CAST(t AS DOUBLE) - 1.0) END AS chi2,
+         CAST(n AS DOUBLE) * (CAST(CAST(t AS VARCHAR) AS DOUBLE) - 1.0) END AS chi2,
        CASE WHEN n > 0 AND (r - 1) * (c - 1) > 0 THEN
-         sqrt(CAST(n AS DOUBLE) * (CAST(t AS DOUBLE) - 1.0)
+         sqrt(CAST(n AS DOUBLE) * (CAST(CAST(t AS VARCHAR) AS DOUBLE) - 1.0)
               / (CAST(n AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE))) END
          AS cramers_v
 FROM __s
@@ -1124,7 +1140,9 @@ def cuped_ttest(
         *[c.alias(nm) for c, nm in zip(a, names_a)],
         *[c.alias(nm) for c, nm in zip(b, names_b)],
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # string-hop for every moment column (decimal OR bigint: both parse
+    # exactly); see _d2d
+    d = lambda c: _d2d(F.col(c))  # noqa: E731
     n = d("n_a") + d("n_b")
     sx = d("__xa") + d("__xb")
     sy = d("__ya") + d("__yb")
@@ -1222,18 +1240,18 @@ WITH __m AS (
 __p AS (
   SELECT n_a, n_b,
          CAST(n_a + n_b AS DOUBLE) AS n,
-         CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE) AS sx,
-         CAST(y_a AS DOUBLE) + CAST(y_b AS DOUBLE) AS sy,
-         CAST(xy_a AS DOUBLE) + CAST(xy_b AS DOUBLE) AS sxy,
-         CAST(xx_a AS DOUBLE) + CAST(xx_b AS DOUBLE) AS sxx,
-         CAST(yy_a AS DOUBLE) + CAST(yy_b AS DOUBLE) AS syy,
+         CAST(CAST(x_a AS VARCHAR) AS DOUBLE) + CAST(CAST(x_b AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(y_a AS VARCHAR) AS DOUBLE) + CAST(CAST(y_b AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(xy_a AS VARCHAR) AS DOUBLE) + CAST(CAST(xy_b AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(xx_a AS VARCHAR) AS DOUBLE) + CAST(CAST(xx_b AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(yy_a AS VARCHAR) AS DOUBLE) + CAST(CAST(yy_b AS VARCHAR) AS DOUBLE) AS syy,
          CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
-         CAST(x_a AS DOUBLE) AS xa, CAST(y_a AS DOUBLE) AS ya,
-         CAST(xy_a AS DOUBLE) AS xya, CAST(xx_a AS DOUBLE) AS xxa,
-         CAST(yy_a AS DOUBLE) AS yya,
-         CAST(x_b AS DOUBLE) AS xb, CAST(y_b AS DOUBLE) AS yb,
-         CAST(xy_b AS DOUBLE) AS xyb, CAST(xx_b AS DOUBLE) AS xxb,
-         CAST(yy_b AS DOUBLE) AS yyb
+         CAST(CAST(x_a AS VARCHAR) AS DOUBLE) AS xa, CAST(CAST(y_a AS VARCHAR) AS DOUBLE) AS ya,
+         CAST(CAST(xy_a AS VARCHAR) AS DOUBLE) AS xya, CAST(CAST(xx_a AS VARCHAR) AS DOUBLE) AS xxa,
+         CAST(CAST(yy_a AS VARCHAR) AS DOUBLE) AS yya,
+         CAST(CAST(x_b AS VARCHAR) AS DOUBLE) AS xb, CAST(CAST(y_b AS VARCHAR) AS DOUBLE) AS yb,
+         CAST(CAST(xy_b AS VARCHAR) AS DOUBLE) AS xyb, CAST(CAST(xx_b AS VARCHAR) AS DOUBLE) AS xxb,
+         CAST(CAST(yy_b AS VARCHAR) AS DOUBLE) AS yyb
   FROM __m
 ),
 __t AS (

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from bullet_storm_spark.operators.stats_tests import _div
+from bullet_storm_spark.operators.stats_tests import _d2d, _div
 
 _MOMENT = "decimal(38,12)"
 _VAL_DEC = "decimal(18,6)"
@@ -97,11 +97,11 @@ def groupwise_ols(
         F.sum((y * y).cast(_MOMENT)).cast(_MOMENT).alias("__syy"),
     )
     n = F.col("n").cast("double")
-    sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxy = n * F.col("__sxy").cast("double") - sx * sy
-    sxx = n * F.col("__sxx").cast("double") - sx * sx
-    syy = n * F.col("__syy").cast("double") - sy * sy
+    sx = _d2d(F.col("__sx"))
+    sy = _d2d(F.col("__sy"))
+    sxy = n * _d2d(F.col("__sxy")) - sx * sy
+    sxx = n * _d2d(F.col("__sxx")) - sx * sx
+    syy = n * _d2d(F.col("__syy")) - sy * sy
     ok = (F.col("n") >= 2) & (sxx > 0)
     slope = F.when(ok, _div(sxy, sxx))
     return g.select(
@@ -152,13 +152,13 @@ WITH __g AS (
 ),
 __d AS (
   SELECT {keys}, n,
-         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS vxy,
-         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxx,
-         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyy,
-         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS vxy,
+         CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS vxx,
+         CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS vyy,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
   FROM __g
 )
 SELECT {keys}, n,
@@ -221,7 +221,7 @@ def decayed_top_items(
         .select(
             "rank",
             "item",
-            F.col("__dw").cast("double").alias("decayed_count"),
+            _d2d(F.col("__dw")).alias("decayed_count"),
             "n_events",
         )
         .orderBy("rank")
@@ -263,6 +263,6 @@ __ranked AS (
   FROM __scored
 )
 SELECT CAST(rank AS BIGINT) AS rank, item,
-       CAST(dw AS DOUBLE) AS decayed_count, n_events
+       CAST(CAST(dw AS VARCHAR) AS DOUBLE) AS decayed_count, n_events
 FROM __ranked WHERE rank <= {k} ORDER BY rank
 """
