@@ -77,6 +77,10 @@ def retrieval_eval(
     unique per query (bm25_topk / hybrid_rrf emit exactly this shape);
     ``qrels`` needs (query_id, doc_id, rel) with rel > 0 meaning relevant
     (rel <= 0 rows are judged-nonrelevant and ignored, TREC convention).
+    CONTRACT: (query_id, doc_id) must be unique in both inputs — a
+    duplicate judgment or a duplicate run row double-counts through the
+    hit join (qrels generators in this repo emit unique pairs; dedupe
+    upstream if yours does not).
     Queries with no positive judgments are dropped (NDCG undefined);
     judged queries missing from the run get an all-zero row. ``rr`` is
     MRR@k: 1/rank of the first relevant hit within the top k, else 0."""

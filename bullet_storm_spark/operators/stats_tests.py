@@ -741,7 +741,9 @@ def bootstrap_mean_ci(
     no randomness, no exp(), bit-equal across engines, replay-stable.
     CI bounds are pure order statistics of the replicate means (rank
     ``ceil(alpha/2·b)`` from each end) — no quantile interpolation to
-    diverge on.
+    diverge on. CONTRACT: ``id_col`` must be unique per row — duplicate
+    ids draw identical weights in every replicate, silently narrowing
+    the resample space.
 
     Scale: the replicate explosion is map-side (b× CPU, not b× shuffle:
     partial aggregation reduces the shuffle to b rows per partition);
