@@ -516,6 +516,7 @@ from bullet_storm_spark.operators import retrieval as _retr
 from bullet_storm_spark.operators import ranking_eval as _rkeval
 from bullet_storm_spark.operators import stats_tests as _stats
 from bullet_storm_spark.operators import trend as _trend
+from bullet_storm_spark.operators import rolling as _rolling
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -2057,6 +2058,39 @@ ORDER BY doc_id
             "user_id % 2 = 0",
             "user_id % 2 = 1",
         ),
+    ),
+    # per-key trailing-frame statistics + self-excluding rolling z
+    # (the metrics-monitoring primitive): exact-decimal frame sums so
+    # Spark's incremental and DuckDB's segment-tree window algorithms
+    # cannot diverge in float association
+    "events_rolling_stats": (
+        lambda s, d: _rolling.rolling_stats(
+            load_table(s, d, "events").select(
+                "event_type",
+                "event_id",
+                F.expr("ts_ns div 1000").alias("us"),
+                "value",
+            ),
+            ["event_type"],
+            ["us", "event_id"],
+            "value",
+            window_rows=50,
+        ).select(
+            "event_type", "event_id", "us",
+            "roll_n", "roll_mean", "roll_std", "roll_z",
+        ),
+        "SELECT event_type, event_id, us, roll_n, roll_mean, roll_std,"
+        " roll_z FROM ("
+        + _rolling.rolling_stats_sql(
+            "(SELECT event_type, event_id, epoch_us(ts) AS us, value"
+            " FROM events) __e",
+            ["event_type"],
+            ["us", "event_id"],
+            "value",
+            window_rows=50,
+            select_cols=["event_type", "event_id", "us"],
+        )
+        + ") __rs",
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input

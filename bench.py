@@ -155,6 +155,7 @@ HEADLINE = [
     "events_trend_ols",
     "events_decayed_top",
     "events_cuped_ttest",
+    "events_rolling_stats",
 ]
 
 
