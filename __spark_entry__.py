@@ -2092,6 +2092,15 @@ ORDER BY doc_id
         )
         + ") __rs",
     ),
+    # frequent order-3 event paths (the order-n generalization of the
+    # transition matrix): one user-keyed lead window + one path count —
+    # integer-only, path cardinality is |types|^n, never row-scaled
+    "events_path_trigrams": (
+        lambda s, d: _behavior.sequence_ngrams(
+            load_table(s, d, "events"), n=3, k=25
+        ),
+        _behavior.sequence_ngrams_sql("events", n=3, k=25),
+    ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
     "dedup_lsh_s_curve": (

@@ -156,6 +156,7 @@ HEADLINE = [
     "events_decayed_top",
     "events_cuped_ttest",
     "events_rolling_stats",
+    "events_path_trigrams",
 ]
 
 

@@ -605,3 +605,90 @@ SELECT user_id, interval_idx, state, valid_from_us,
         IS NULL) AS is_current
 FROM __g ORDER BY user_id, interval_idx
 """
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 25,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top-``k`` frequent order-``n`` event-type paths:
+    ``(rank, path, cnt)`` where ``path`` is the '>'-joined sequence of
+    ``n`` consecutive event types within one user's timeline — the
+    order-n generalization of transition_matrix (n=2), i.e. the
+    frequent-path miner behind funnel discovery and bot-chain
+    detection. Ties break by path ASC; paths below ``min_count`` drop.
+
+    Plan: one user-keyed window producing n-1 LEADs (the same single
+    sort/exchange regardless of n), one hash aggregation on the path
+    string, one path-count top-k window — integer counts throughout, no
+    float surface at all. Scale: the shuffle carries (path, partial
+    count) pairs; path cardinality is |event types|^n, a vocabulary —
+    never row-scaled."""
+    if n < 2:
+        raise ValueError(f"need n >= 2, got {n}")
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"need min_count >= 1, got {min_count}")
+    w = Window.partitionBy("user_id").orderBy(
+        _ts_us().asc(), F.col("event_id").asc()
+    )
+    steps = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = steps[-1].isNotNull()  # leads run past the timeline end
+    counts = (
+        df.select(path.alias("path"), complete.alias("__ok"))
+        .where(F.col("__ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    rank_w = Window.orderBy(F.desc("cnt"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "path", "cnt")
+        .orderBy("rank")
+    )
+
+
+def sequence_ngrams_sql(
+    table: str,
+    n: int = 3,
+    k: int = 25,
+    min_count: int = 2,
+) -> str:
+    if n < 2:
+        raise ValueError(f"need n >= 2, got {n}")
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"need min_count >= 1, got {min_count}")
+    leads = ", ".join(
+        f"lead(event_type, {i}) OVER w AS s{i}" for i in range(1, n)
+    )
+    parts = " || '>' || ".join(["event_type"] + [f"s{i}" for i in range(1, n)])
+    return f"""
+WITH __s AS (
+  SELECT event_type, {leads}
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+),
+__p AS (
+  SELECT {parts} AS path FROM __s WHERE s{n - 1} IS NOT NULL
+),
+__c AS (
+  SELECT path, COUNT(*)::BIGINT AS cnt FROM __p GROUP BY path
+  HAVING COUNT(*) >= {min_count}
+),
+__r AS (
+  SELECT path, cnt, row_number() OVER (ORDER BY cnt DESC, path ASC) AS rank
+  FROM __c
+)
+SELECT CAST(rank AS BIGINT) AS rank, path, cnt
+FROM __r WHERE rank <= {k} ORDER BY rank
+"""

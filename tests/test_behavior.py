@@ -300,3 +300,44 @@ def test_state_intervals_null_state_is_its_own_interval(spark):
         (r[1], r[2], r[5]) for r in con.sql(behavior.state_intervals_sql("ev")).fetchall()
     )
     assert got == want
+
+
+def test_sequence_ngrams_semantics_and_parity(spark):
+    rows = [
+        # user 1: view > click > view > click > buy
+        (1, 1, "view", 0.0, 0),
+        (2, 1, "click", 0.0, MIN),
+        (3, 1, "view", 0.0, 2 * MIN),
+        (4, 1, "click", 0.0, 3 * MIN),
+        (5, 1, "buy", 0.0, 4 * MIN),
+        # user 2: view > click > view  (repeats the common trigram)
+        (6, 2, "view", 0.0, 0),
+        (7, 2, "click", 0.0, MIN),
+        (8, 2, "view", 0.0, 2 * MIN),
+        # user 3: too short for any trigram
+        (9, 3, "view", 0.0, 0),
+        (10, 3, "click", 0.0, MIN),
+    ]
+    df, con = _mk(spark, rows)
+    got = [tuple(r) for r in behavior.sequence_ngrams(df, n=3, min_count=1).collect()]
+    # trigrams: u1 -> v>c>v, c>v>c, v>c>b; u2 -> v>c>v. No cross-user
+    # paths (u3's pair never forms a trigram), so v>c>v counts twice.
+    assert got[0] == (1, "view>click>view", 2)
+    assert {g[1] for g in got} == {
+        "view>click>view", "click>view>click", "view>click>buy",
+    }
+    oracle = con.execute(
+        behavior.sequence_ngrams_sql("ev", n=3, min_count=1)
+    ).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    # min_count prunes the singletons; bigrams reduce to transition pairs
+    got2 = behavior.sequence_ngrams(df, n=3, min_count=2).collect()
+    assert [(r["path"], r["cnt"]) for r in got2] == [("view>click>view", 2)]
+
+
+def test_sequence_ngrams_validation(spark):
+    df, _ = _mk(spark, [(1, 1, "view", 0.0, 0)])
+    with pytest.raises(ValueError):
+        behavior.sequence_ngrams(df, n=1)
+    with pytest.raises(ValueError):
+        behavior.sequence_ngrams_sql("ev", n=3, k=0)
