@@ -639,7 +639,13 @@ def sequence_ngrams(
         F.lead("event_type", i).over(w) for i in range(1, n)
     ]
     path = F.concat_ws(">", *steps)
-    complete = steps[-1].isNotNull()  # leads run past the timeline end
+    # EVERY step must be non-null: concat_ws silently skips NULLs, so a
+    # NULL event_type mid-path would emit a collapsed shorter path that
+    # collides with genuine (n-1)-grams (and diverge from the SQL twin,
+    # whose || operator nulls the whole path)
+    complete = steps[0].isNotNull()
+    for st in steps[1:]:
+        complete = complete & st.isNotNull()
     counts = (
         df.select(path.alias("path"), complete.alias("__ok"))
         .where(F.col("__ok"))
@@ -672,6 +678,9 @@ def sequence_ngrams_sql(
         f"lead(event_type, {i}) OVER w AS s{i}" for i in range(1, n)
     )
     parts = " || '>' || ".join(["event_type"] + [f"s{i}" for i in range(1, n)])
+    null_guards = "".join(
+        f" AND s{i} IS NOT NULL" for i in range(1, n)
+    )
     return f"""
 WITH __s AS (
   SELECT event_type, {leads}
@@ -679,7 +688,8 @@ WITH __s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
 ),
 __p AS (
-  SELECT {parts} AS path FROM __s WHERE s{n - 1} IS NOT NULL
+  SELECT {parts} AS path FROM __s
+  WHERE event_type IS NOT NULL{null_guards}
 ),
 __c AS (
   SELECT path, COUNT(*)::BIGINT AS cnt FROM __p GROUP BY path

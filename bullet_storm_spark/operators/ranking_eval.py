@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from bullet_storm_spark.functions.text import tokens, tokens_sql
 from bullet_storm_spark.operators.retrieval import _query_terms
+from bullet_storm_spark.operators.stats_tests import _d2d
 
 # graded relevance is clamped here before the 2^rel gain: judgments are
 # small ordinals (TREC uses 0..4); 30 keeps the gain far inside BIGINT
@@ -132,8 +133,12 @@ def retrieval_eval(
         F.count(F.lit(1)).cast("long").alias("n_ret")
     )
     hits = F.coalesce(F.col("hits"), F.lit(0).cast("long"))
-    dcg_d = F.coalesce(F.col("__dcg"), F.lit(0).cast("decimal(38,12)")).cast(
-        "double"
+    # _d2d: at rel near _REL_CLAMP the gains push the decimal's unscaled
+    # value past 2^53, where the direct cast double-rounds differently
+    # per engine (review finding; safe-by-magnitude only for small
+    # TREC-style grades)
+    dcg_d = _d2d(
+        F.coalesce(F.col("__dcg"), F.lit(0).cast("decimal(38,12)"))
     )
     return (
         base.join(idcg_agg, "query_id")
@@ -157,7 +162,7 @@ def retrieval_eval(
                 ),
                 round_to,
             ).alias("rr"),
-            F.round(dcg_d / F.col("__idcg").cast("double"), round_to).alias(
+            F.round(dcg_d / _d2d(F.col("__idcg")), round_to).alias(
                 "ndcg"
             ),
         )
@@ -233,8 +238,9 @@ SELECT b.query_id, b.n_rel,
              {round_to}) AS recall_at_k,
        ROUND(COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0), {round_to})
          AS rr,
-       ROUND(CAST(COALESCE(h.dcg, CAST(0 AS DECIMAL(38,12))) AS DOUBLE)
-             / CAST(i.idcg AS DOUBLE), {round_to}) AS ndcg
+       ROUND(CAST(CAST(COALESCE(h.dcg, CAST(0 AS DECIMAL(38,12)))
+                       AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(i.idcg AS VARCHAR) AS DOUBLE), {round_to}) AS ndcg
 FROM __base b
 JOIN __idcg i ON b.query_id = i.query_id
 LEFT JOIN __hits h ON b.query_id = h.query_id

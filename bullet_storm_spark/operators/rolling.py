@@ -25,10 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from bullet_storm_spark.operators.stats_tests import _d2d, _div
-
-_MOMENT = "decimal(38,12)"
-_VAL_DEC = "decimal(18,6)"
+from bullet_storm_spark.operators.stats_tests import (
+    _MOMENT,
+    _VAL_DEC,
+    _d2d,
+    _div,
+    _q6,
+)
 
 
 def rolling_stats(
@@ -54,7 +57,7 @@ def rolling_stats(
         raise ValueError("rolling_stats needs >= 1 order column")
     if window_rows < 2:
         raise ValueError(f"need window_rows >= 2, got {window_rows}")
-    v6 = F.col(value_col).cast("double").cast(_VAL_DEC)
+    v6 = _q6(F.col(value_col))
     base = df.where(F.col(value_col).isNotNull()).withColumn(
         "__v6", v6
     )
@@ -146,7 +149,8 @@ def rolling_stats_sql(
     )
     return f"""
 WITH __b AS (
-  SELECT *, CAST(CAST({value_sql} AS DOUBLE) AS DECIMAL(18,6)) AS v6
+  SELECT *, CAST(CAST(CAST({value_sql} AS DOUBLE) AS VARCHAR)
+                 AS DECIMAL(18,6)) AS v6
   FROM {table} WHERE ({value_sql}) IS NOT NULL
 ),
 __w AS (
@@ -192,7 +196,7 @@ def rolling_outliers(
     s = rolling_stats(df, key_cols, order_cols, value_col, window_rows)
     # emit the QUANTIZED value through the string hop, mirroring the SQL
     # twin's v6 — the raw double would differ from the (18,6) quantum
-    q = _d2d(F.col(value_col).cast("double").cast(_VAL_DEC))
+    q = _d2d(_q6(F.col(value_col)))
     return (
         s.where(F.abs(F.col("roll_z")) >= z_threshold)
         .select(

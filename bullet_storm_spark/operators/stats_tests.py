@@ -70,6 +70,21 @@ def _d2d_sql(e: str) -> str:
     return f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
 
 
+def _q6(c):
+    """Engine-identical (18,6) quantizer: double→STRING→decimal. The
+    direct double→decimal cast is NOT portable at quantization ties —
+    Spark rounds the shortest decimal repr HALF_UP while DuckDB rounds
+    the exact binary value (probe: 12345.1976225 → .197623 vs .197622).
+    Both engines emit shortest round-trip text and parse decimal text
+    HALF_UP, so the text hop agrees everywhere (review-caught; the
+    inverse twin of _d2d)."""
+    return c.cast("double").cast("string").cast(_VAL_DEC)
+
+
+def _q6_sql(e: str) -> str:
+    return f"CAST(CAST(CAST({e} AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))"
+
+
 def _div(a, b):
     """NULL-on-zero division for data-dependent denominators.
 
@@ -178,7 +193,7 @@ def _arm_moments(value: Column, in_arm: Column) -> list[Column]:
     """n / exact-decimal Σx / Σx² for one arm, as conditional aggregates
     over a single scan (x quantizes to DECIMAL(18,6) on entry, so x² is
     exact at 12dp and both sums are order-independent)."""
-    x = F.when(in_arm, value).cast(_VAL_DEC)
+    x = _q6(F.when(in_arm, value))
     return [
         F.count(x).cast("long"),
         F.sum(x.cast(_MOMENT)).cast(_MOMENT),
@@ -251,10 +266,7 @@ def welch_t_sql(
     round_to: int = 9,
 ) -> str:
     def arm(pred: str, tag: str) -> str:
-        x = (
-            f"CAST(CASE WHEN {pred} THEN CAST({value_sql} AS DOUBLE) END"
-            " AS DECIMAL(18,6))"
-        )
+        x = _q6_sql(f"CASE WHEN {pred} THEN CAST({value_sql} AS DOUBLE) END")
         xw = f"CAST({x} AS DECIMAL(19,6))"
         # widen to (19,6) BEFORE the product: DuckDB's (18,6)x(18,6)
         # takes an int64 fast path that overflows at runtime on large
@@ -541,7 +553,7 @@ def calibration_bins(
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("__p").cast(_VAL_DEC).cast(_MOMENT))
+            F.sum(_q6(F.col("__p")).cast(_MOMENT))
             .cast(_MOMENT)
             .alias("__sp"),
             F.sum("__y").cast("long").alias("__pos"),
@@ -571,7 +583,8 @@ def calibration_bins_sql(
 WITH __b AS (
   SELECT LEAST(CAST(floor(CAST({prob_sql} AS DOUBLE) * {float(bins)})
                AS BIGINT), {bins - 1}) AS bin,
-         CAST(CAST({prob_sql} AS DOUBLE) AS DECIMAL(18,6)) AS p,
+         CAST(CAST(CAST({prob_sql} AS DOUBLE) AS VARCHAR)
+              AS DECIMAL(18,6)) AS p,
          CASE WHEN {pos_pred_sql} THEN 1 ELSE 0 END AS y
   FROM {table}
   WHERE CAST({prob_sql} AS DOUBLE) BETWEEN 0.0 AND 1.0
@@ -617,7 +630,7 @@ def calibration_summary(
     base = df.where(
         p.isNotNull() & (p >= 0.0) & (p <= 1.0) & pos_pred.isNotNull()
     )
-    p6 = p.cast(_VAL_DEC)
+    p6 = _q6(p)
     # re-cast the difference to (18,6) before squaring: add/sub widens
     # precision to 19, and a (19,6) square would re-trigger Spark's
     # scale reduction; the diff is in [-1, 1] so the cast is exact
@@ -671,7 +684,8 @@ def calibration_summary_sql(
 WITH __b AS (
   SELECT LEAST(CAST(floor(CAST({prob_sql} AS DOUBLE) * {float(bins)})
                AS BIGINT), {bins - 1}) AS bin,
-         CAST(CAST({prob_sql} AS DOUBLE) AS DECIMAL(18,6)) AS p,
+         CAST(CAST(CAST({prob_sql} AS DOUBLE) AS VARCHAR)
+              AS DECIMAL(18,6)) AS p,
          CASE WHEN {pos_pred_sql} THEN 1 ELSE 0 END AS y
   FROM {table}
   WHERE CAST({prob_sql} AS DOUBLE) BETWEEN 0.0 AND 1.0
@@ -772,41 +786,72 @@ def bootstrap_mean_ci(
         (F.col("__h1") + F.col("__r") * F.col("__h2")) % F.lit(1 << 32)
     ).cast("double") / F.lit(_SCALE32)
     w = _poisson_case(u)
-    x = F.col(value_col).cast("double").cast(_VAL_DEC)
+    # x quantizes to integer MICRO-units through the text-hop quantum
+    # (the same _q6 every other operator uses — review finding: the SQL
+    # twin's former ROUND(v*1e6) disagreed with the decimal cast on
+    # ~0.5% of 7-digit inputs): weighted sums are then plain BIGINT
+    # aggregation in whole-stage codegen. Magnitude contract:
+    # sum(|x|)*8e6 per replicate must fit BIGINT (~1.15e12 in value
+    # units) — sub-sample first if a replicate sums past that.
+    xu = (_q6(F.col(value_col)) * F.lit(1_000_000)).cast("long")
     base = df.where(F.col(value_col).isNotNull())
     reps = (
-        base.select(h1.alias("__h1"), h2.alias("__h2"), x.alias("__x"))
-        .select("__h1", "__h2", "__x", rep)
+        base.select(h1.alias("__h1"), h2.alias("__h2"), xu.alias("__xu"))
+        .select("__h1", "__h2", "__xu", rep)
         .select(
             "__r",
-            (w.cast(_VAL_DEC) * F.col("__x")).cast(_MOMENT).alias("__wx"),
+            (w.cast("long") * F.col("__xu")).alias("__wx"),
             w.cast("long").alias("__w"),
         )
         .groupBy("__r")
         .agg(
-            F.sum("__wx").cast(_MOMENT).alias("__swx"),
+            F.sum("__wx").cast("long").alias("__swx"),
             F.sum("__w").cast("long").alias("__sw"),
         )
         .where(F.col("__sw") > 0)
         .select(
             "__r",
             _div(
-                F.col("__swx").cast("double"), F.col("__sw").cast("double")
+                F.col("__swx").cast("double"),
+                F.col("__sw").cast("double") * F.lit(1e6),
             ).alias("__mean"),
         )
     )
+    # order statistics over the SURVIVING replicates: with tiny n a
+    # replicate can draw all-zero weights (P = e^-n each) and drop, so
+    # the percentile ranks recompute against the survivor count instead
+    # of misaligning (ci_lo) or going silently NULL (ci_hi) against b
     wnd = Window.orderBy(F.col("__mean").asc(), F.col("__r").asc())
-    ranked = reps.withColumn("__rn", F.row_number().over(wnd))
+    nb_w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        reps.withColumn("__rn", F.row_number().over(wnd))
+        .withColumn("__nb", F.count(F.lit(1)).over(nb_w))
+        .withColumn(
+            "__lo",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.lit(alpha / 2.0) * F.col("__nb")).cast("long"),
+            ),
+        )
+    )
     ci = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("__nb"),
-        F.round(F.min(F.when(F.col("__rn") == m, F.col("__mean"))), round_to)
-        .alias("ci_lo"),
         F.round(
-            F.min(F.when(F.col("__rn") == b + 1 - m, F.col("__mean"))),
+            F.min(F.when(F.col("__rn") == F.col("__lo"), F.col("__mean"))),
+            round_to,
+        ).alias("ci_lo"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("__rn") == F.col("__nb") + 1 - F.col("__lo"),
+                    F.col("__mean"),
+                )
+            ),
             round_to,
         ).alias("ci_hi"),
     )
-    xdec = F.col(value_col).cast("double").cast(_VAL_DEC)
+    xdec = _q6(F.col(value_col))
     est = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(
@@ -852,10 +897,11 @@ def bootstrap_mean_ci_sql(
     # row and the uniform once per draw — interpolating u into the
     # 8-branch Poisson CASE would otherwise re-evaluate it per WHEN
     h = f"md5(CAST({id_col} AS VARCHAR) || ':{salt}')"
+    q6v = _q6_sql(value_sql)
     w = _poisson_case_sql("u")
     return f"""
 WITH __rows AS (
-  SELECT CAST(ROUND(CAST({value_sql} AS DOUBLE) * 1e6, 0) AS BIGINT) AS xu,
+  SELECT CAST(CAST({q6v} AS DECIMAL(19,6)) * 1000000 AS BIGINT) AS xu,
          ('0x' || substr({h}, 1, 8))::BIGINT AS h1,
          ('0x' || substr({h}, 9, 8))::BIGINT AS h2
   FROM {table} WHERE ({value_sql}) IS NOT NULL
@@ -882,15 +928,21 @@ __means AS (
                             / (CAST(sw AS DOUBLE) * 1e6) ASC, __r ASC) AS rn
   FROM __reps WHERE sw > 0
 ),
-__ci AS (
-  SELECT ROUND(MIN(CASE WHEN rn = {m} THEN m END), {round_to}) AS ci_lo,
-         ROUND(MIN(CASE WHEN rn = {b + 1 - m} THEN m END), {round_to}) AS ci_hi
+__ranksrc AS (
+  SELECT *, COUNT(*) OVER () AS nb,
+         GREATEST(1, CAST(ceil({alpha / 2.0} * (COUNT(*) OVER ()))
+                     AS BIGINT)) AS lo
   FROM __means
+),
+__ci AS (
+  SELECT ROUND(MIN(CASE WHEN rn = lo THEN m END), {round_to}) AS ci_lo,
+         ROUND(MIN(CASE WHEN rn = nb + 1 - lo THEN m END), {round_to})
+           AS ci_hi
+  FROM __ranksrc
 ),
 __est AS (
   SELECT COUNT(*)::BIGINT AS n,
-         ROUND(CAST(CAST(CAST(SUM(CAST(CAST(CAST({value_sql} AS DOUBLE)
-                    AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+         ROUND(CAST(CAST(CAST(SUM(CAST({q6v} AS DECIMAL(38,12)))
                     AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
                / COUNT(*), {round_to}) AS est_mean
   FROM {table} WHERE ({value_sql}) IS NOT NULL
@@ -1096,8 +1148,8 @@ def _joint_moments(x: Column, y: Column, in_arm: Column) -> list[Column]:
     """n / Σx / Σy / Σxy / Σx² / Σy² for one arm as conditional exact-
     decimal aggregates ((18,6) operands — squares exact, see module
     note)."""
-    xa = F.when(in_arm, x).cast(_VAL_DEC)
-    ya = F.when(in_arm, y).cast(_VAL_DEC)
+    xa = _q6(F.when(in_arm, x))
+    ya = _q6(F.when(in_arm, y))
     return [
         F.count(ya).cast("long"),
         F.sum(xa.cast(_MOMENT)).cast(_MOMENT),
@@ -1209,14 +1261,8 @@ def cuped_ttest_sql(
     b_pred_sql: str,
 ) -> str:
     def arm_sums(pred: str, tag: str) -> str:
-        xa = (
-            f"CAST(CASE WHEN {pred} THEN CAST({x_sql} AS DOUBLE) END"
-            " AS DECIMAL(18,6))"
-        )
-        ya = (
-            f"CAST(CASE WHEN {pred} THEN CAST({y_sql} AS DOUBLE) END"
-            " AS DECIMAL(18,6))"
-        )
+        xa = _q6_sql(f"CASE WHEN {pred} THEN CAST({x_sql} AS DOUBLE) END")
+        ya = _q6_sql(f"CASE WHEN {pred} THEN CAST({y_sql} AS DOUBLE) END")
         m = "DECIMAL(38,12)"
         # (19,6) widening before products: DuckDB's (18,6)x(18,6) int64
         # fast path overflows at runtime on summed magnitudes (values

@@ -35,10 +35,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from bullet_storm_spark.operators.stats_tests import _d2d, _div
-
-_MOMENT = "decimal(38,12)"
-_VAL_DEC = "decimal(18,6)"
+from bullet_storm_spark.operators.stats_tests import (
+    _MOMENT,
+    _VAL_DEC,
+    _d2d,
+    _div,
+    _q6,
+    _q6_sql,
+)
 
 # 2^-k as exact 12dp decimal strings, k = 0..12
 _DYADIC = [
@@ -84,10 +88,10 @@ def groupwise_ols(
     if center_x:
         xmin = base.agg(F.min(xd).alias("__xmin"))
         base = base.crossJoin(F.broadcast(xmin))
-        x = (xd - F.col("__xmin")).cast(_VAL_DEC)
+        x = _q6(xd - F.col("__xmin"))
     else:
-        x = xd.cast(_VAL_DEC)
-    y = yd.cast(_VAL_DEC)
+        x = _q6(xd)
+    y = _q6(yd)
     g = base.groupBy(*[F.col(k) for k in key_cols]).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x.cast(_MOMENT)).cast(_MOMENT).alias("__sx"),
@@ -126,15 +130,15 @@ def groupwise_ols_sql(
     xd = f"CAST({x_sql} AS DOUBLE)"
     yd = f"CAST({y_sql} AS DOUBLE)"
     if center_x:
-        x = f"CAST({xd} - __c.__xmin AS DECIMAL(18,6))"
+        x = _q6_sql(f"{xd} - __c.__xmin")
         center = (
             f" CROSS JOIN (SELECT MIN({xd}) AS __xmin FROM {table}"
             f" WHERE ({xd}) IS NOT NULL AND ({yd}) IS NOT NULL) __c"
         )
     else:
-        x = f"CAST({xd} AS DECIMAL(18,6))"
+        x = _q6_sql(xd)
         center = ""
-    y = f"CAST({yd} AS DECIMAL(18,6))"
+    y = _q6_sql(yd)
     return f"""
 WITH __g AS (
   SELECT {keys}, COUNT(*)::BIGINT AS n,

@@ -53,7 +53,7 @@ def test_group_state_split_invariant(spark, cuts):
                 GroupOperation(GroupOpType.AVG, "v", "av"),
             ],
         ),
-        duration_ms=600_000,
+        duration_ms=3_600_000,  # 1h: a loaded machine outlived 10min once
     )
     whole = _run_split(spark, q, [])
     split = _run_split(spark, q, cuts)
@@ -66,7 +66,7 @@ def test_group_state_split_invariant(spark, cuts):
 def test_topk_state_split_invariant(spark, cuts):
     q = Query(
         aggregation=TopK(size=4, name="cnt", fields={"k": ""}),
-        duration_ms=600_000,
+        duration_ms=3_600_000,  # 1h: a loaded machine outlived 10min once
     )
     assert _run_split(spark, q, []) == _run_split(spark, q, cuts)
 
@@ -78,6 +78,6 @@ def test_distribution_state_split_invariant(spark, cuts):
         aggregation=Distribution(
             field="v", dist_type=DistributionType.CDF, points=[10.0, 25.0]
         ),
-        duration_ms=600_000,
+        duration_ms=3_600_000,  # 1h: a loaded machine outlived 10min once
     )
     assert _run_split(spark, q, []) == _run_split(spark, q, cuts)

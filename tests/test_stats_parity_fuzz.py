@@ -51,6 +51,11 @@ def _values(rng, n):
         lambda: round(rng.uniform(-2000, 2000), 6),    # full 6dp
         lambda: float(rng.randint(-3, 3)),             # integer ties
         lambda: rng.uniform(-1e5, 1e5),                # large magnitudes
+        # 7-digit values ending in 5: EXACT (18,6) quantization ties,
+        # where the direct double->decimal cast diverges across engines
+        # (the _q6 text-hop class) -- float() of the literal gives the
+        # nearest double whose shortest repr is the tie text
+        lambda: float(f"{rng.randint(-9999, 9999)}.{rng.randint(0, 999999):06d}5"),
     ]
     return [rng.choice(pool)() for _ in range(n)]
 
@@ -174,5 +179,25 @@ def test_trend_parity_fuzz(spark, seed):
     got = decayed_top_items(df, "item", "ts", halflife_us=5_000, k=4)
     oracle = _duck(
         setup, decayed_top_items_sql("t", "item", "ts", halflife_us=5_000, k=4)
+    )
+    assert [tuple(r) for r in got.collect()] == oracle
+
+
+from bullet_storm_spark.operators.stats_tests import (  # noqa: E402
+    bootstrap_mean_ci,
+    bootstrap_mean_ci_sql,
+)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bootstrap_parity_fuzz(spark, seed):
+    rng = random.Random(5000 + seed)
+    n = rng.randint(3, 50)  # tiny n exercises the dropped-replicate ranks
+    rows = [(i, v) for i, v in enumerate(_values(rng, n))]
+    df = spark.createDataFrame(rows, "id long, value double")
+    setup = _rows_sql(rows, "id, value")
+    got = bootstrap_mean_ci(df, "id", "value", b=40, alpha=0.1)
+    oracle = _duck(
+        setup, bootstrap_mean_ci_sql("t", "id", "value", b=40, alpha=0.1)
     )
     assert [tuple(r) for r in got.collect()] == oracle
