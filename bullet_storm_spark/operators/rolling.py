@@ -16,9 +16,13 @@ the string-hop (_d2d) conversion and try_divide closed form at the end
 (SCALING.md hazards #1-#5).
 
 Scale: one shuffle on the key columns; each partition sorts once and
-evaluates both frame sums in a single window pass. The frame is
-row-bounded (``window_rows``), so state per key is O(frame), never
-O(history).
+computes TWO running prefix sums — bounded sliding frames would make
+Spark recompute each frame from scratch (O(n·frame) on the slow
+unbounded-precision decimal path, measured 19.7 s at sf0.1), while the
+prefix-sum + LAG(cum, W) differencing is O(n) and dropped the same
+entry to 4.7 s (remaining cost: parallelism = #keys, 5 at the local
+bench; a real corpus has many keys). State per key is O(1) during the
+scan; exactness is untouched because the differencing is decimal.
 """
 
 from __future__ import annotations
@@ -58,65 +62,60 @@ def rolling_stats(
     if window_rows < 2:
         raise ValueError(f"need window_rows >= 2, got {window_rows}")
     v6 = _q6(F.col(value_col))
-    base = df.where(F.col(value_col).isNotNull()).withColumn(
-        "__v6", v6
-    )
+    base = df.where(F.col(value_col).isNotNull()).withColumn("__v6", v6)
     order = [F.col(c).asc() for c in order_cols]
-    cur = (
-        Window.partitionBy(*key_cols)
-        .orderBy(*order)
-        .rowsBetween(-(window_rows - 1), 0)
+    wseq = Window.partitionBy(*key_cols).orderBy(*order)
+    cum = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    # PREFIX-SUM formulation: bounded sliding frames make Spark
+    # recompute the aggregate per row (O(n·frame), and decimal sums run
+    # on the slow unbounded-precision path — measured 19.7 s at sf0.1);
+    # running UNBOUNDED-PRECEDING sums are incremental O(1)/row, and the
+    # frame sum is cum − LAG(cum, W), an exact decimal subtraction.
+    zero = F.lit(0).cast(_MOMENT)
+    sq6 = (
+        F.col("__v6").cast("decimal(19,6)")
+        * F.col("__v6").cast("decimal(19,6)")
+    ).cast(_MOMENT)
+    wr = window_rows
+    stats_src = (
+        base.withColumn("__rn", F.row_number().over(wseq).cast("long"))
+        .withColumn("__cx", F.sum(F.col("__v6").cast(_MOMENT)).over(cum).cast(_MOMENT))
+        .withColumn("__cq", F.sum(sq6).over(cum).cast(_MOMENT))
     )
-    prev = (
-        Window.partitionBy(*key_cols)
-        .orderBy(*order)
-        .rowsBetween(-window_rows, -1)
-    )
+    lagd = lambda c, off: F.coalesce(  # noqa: E731
+        F.lag(F.col(c), off).over(wseq), zero
+    ).cast(_MOMENT)
 
-    def stats(w):
-        n = F.count(F.col("__v6")).over(w).cast("long")
-        sx = _d2d(F.sum(F.col("__v6").cast(_MOMENT)).over(w).cast(_MOMENT))
-        sq = _d2d(
-            F.sum(
-                (
-                    F.col("__v6").cast("decimal(19,6)")
-                    * F.col("__v6").cast("decimal(19,6)")
-                ).cast(_MOMENT)
-            )
-            .over(w)
-            .cast(_MOMENT)
-        )
-        nd = n.cast("double")
+    def frame(n_expr, sx_expr, sq_expr):
+        nd = n_expr.cast("double")
+        sx = _d2d(sx_expr.cast(_MOMENT))
+        sq = _d2d(sq_expr.cast(_MOMENT))
         mean = _div(sx, nd)
         var = _div(sq - _div(sx * sx, nd), nd - F.lit(1.0))
         std = F.when(var >= 0, F.sqrt(var))
-        return n, mean, std
+        return n_expr.cast("long"), mean, std
 
-    n_cur, mean_cur, std_cur = stats(cur)
-    n_prev, mean_prev, std_prev = stats(prev)
+    n_cur, mean_cur, std_cur = frame(
+        F.least(F.col("__rn"), F.lit(wr)),
+        F.col("__cx") - lagd("__cx", wr),
+        F.col("__cq") - lagd("__cq", wr),
+    )
+    n_prev_expr = F.least(F.col("__rn") - 1, F.lit(wr))
+    n_prev, mean_prev, std_prev = frame(
+        n_prev_expr,
+        lagd("__cx", 1) - lagd("__cx", wr + 1),
+        lagd("__cq", 1) - lagd("__cq", wr + 1),
+    )
     z = F.when(
         (n_prev >= 2) & (std_prev > 0),
         _div(_d2d(F.col("__v6")) - mean_prev, std_prev),
     )
     return (
-        base.withColumn("roll_n", n_cur)
+        stats_src.withColumn("roll_n", n_cur)
         .withColumn("roll_mean", mean_cur)
         .withColumn("roll_std", F.when(n_cur >= 2, std_cur))
         .withColumn("roll_z", z)
-        .drop("__v6")
-    )
-
-
-def _stats_sql(frame: str, tag: str) -> str:
-    # v6 is the quantized value; (19,6) widening before the square —
-    # SCALING.md hazard #3
-    return (
-        f"COUNT(v6) OVER {frame} AS n_{tag},\n"
-        f"         CAST(CAST(SUM(CAST(v6 AS DECIMAL(38,12))) OVER {frame}"
-        f" AS VARCHAR) AS DOUBLE) AS sx_{tag},\n"
-        f"         CAST(CAST(SUM(CAST(v6 AS DECIMAL(19,6))"
-        f" * CAST(v6 AS DECIMAL(19,6))) OVER {frame}"
-        f" AS VARCHAR) AS DOUBLE) AS sq_{tag}"
+        .drop("__v6", "__rn", "__cx", "__cq")
     )
 
 
@@ -128,8 +127,9 @@ def rolling_stats_sql(
     window_rows: int = 50,
     select_cols: list[str] | None = None,
 ) -> str:
-    """DuckDB twin. ``select_cols`` are the pass-through input columns
-    to emit (default: keys + order columns)."""
+    """DuckDB twin (same prefix-sum formulation as the Spark plan).
+    ``select_cols`` are the pass-through input columns to emit
+    (default: keys + order columns)."""
     if not key_cols:
         raise ValueError("rolling_stats needs >= 1 key column")
     if not order_cols:
@@ -139,42 +139,65 @@ def rolling_stats_sql(
     keys = ", ".join(key_cols)
     order = ", ".join(f"{c} ASC" for c in order_cols)
     passthru = ", ".join(select_cols or (key_cols + order_cols))
-    wc = (
-        f"(PARTITION BY {keys} ORDER BY {order} ROWS BETWEEN"
-        f" {window_rows - 1} PRECEDING AND CURRENT ROW)"
-    )
-    wp = (
-        f"(PARTITION BY {keys} ORDER BY {order} ROWS BETWEEN"
-        f" {window_rows} PRECEDING AND 1 PRECEDING)"
-    )
+    wr = window_rows
+    m = "DECIMAL(38,12)"
+    zero = f"CAST(0 AS {m})"
+
+    def lagd(col: str, off: int) -> str:
+        return f"CAST(COALESCE(lag({col}, {off}) OVER w, {zero}) AS {m})"
+
+    def d2d(e: str) -> str:
+        return f"CAST(CAST(CAST({e} AS {m}) AS VARCHAR) AS DOUBLE)"
+
+    def closed(n: str, sx: str, sq: str, label: str) -> str:
+        nd = f"CAST({n} AS DOUBLE)"
+        mean = f"{sx} / {nd}"
+        var = f"({sq} - {sx} * {sx} / {nd}) / ({nd} - 1.0)"
+        if label == "cur":
+            return (
+                f"CAST({n} AS BIGINT) AS roll_n,\n"
+                f"         {mean} AS roll_mean,\n"
+                f"         CASE WHEN {var} >= 0 AND {n} >= 2"
+                f" THEN sqrt({var}) END AS roll_std"
+            )
+        return (
+            f"CASE WHEN {n} >= 2 AND {var} > 0\n"
+            f"           THEN (CAST(CAST(v6 AS VARCHAR) AS DOUBLE)"
+            f" - {mean}) / sqrt({var}) END AS roll_z"
+        )
+
+    cur_n = f"LEAST(rn, {wr})"
+    cur_sx = d2d(f"cx - {lagd('cx', wr)}")
+    cur_sq = d2d(f"cq - {lagd('cq', wr)}")
+    prev_n = f"LEAST(rn - 1, {wr})"
+    prev_sx = d2d(f"{lagd('cx', 1)} - {lagd('cx', wr + 1)}")
+    prev_sq = d2d(f"{lagd('cq', 1)} - {lagd('cq', wr + 1)}")
     return f"""
 WITH __b AS (
   SELECT *, CAST(CAST(CAST({value_sql} AS DOUBLE) AS VARCHAR)
                  AS DECIMAL(18,6)) AS v6
   FROM {table} WHERE ({value_sql}) IS NOT NULL
 ),
-__w AS (
+__c AS (
   SELECT {passthru}, v6,
-         {_stats_sql(wc, 'c')},
-         {_stats_sql(wp, 'p')}
+         row_number() OVER w AS rn,
+         CAST(SUM(CAST(v6 AS {m})) OVER (PARTITION BY {keys}
+              ORDER BY {order} ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS {m}) AS cx,
+         CAST(SUM(CAST(CAST(v6 AS DECIMAL(19,6))
+                       * CAST(v6 AS DECIMAL(19,6)) AS {m}))
+              OVER (PARTITION BY {keys} ORDER BY {order}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS {m}) AS cq
   FROM __b
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {order})
 ),
 __s AS (
   SELECT {passthru}, v6,
-         CAST(n_c AS BIGINT) AS roll_n,
-         sx_c / CAST(n_c AS DOUBLE) AS roll_mean,
-         CASE WHEN (sq_c - sx_c * sx_c / CAST(n_c AS DOUBLE))
-                   / (CAST(n_c AS DOUBLE) - 1.0) >= 0 AND n_c >= 2
-           THEN sqrt((sq_c - sx_c * sx_c / CAST(n_c AS DOUBLE))
-                     / (CAST(n_c AS DOUBLE) - 1.0)) END AS roll_std,
-         CASE WHEN n_p >= 2
-                AND (sq_p - sx_p * sx_p / CAST(n_p AS DOUBLE))
-                    / (CAST(n_p AS DOUBLE) - 1.0) > 0
-           THEN (CAST(CAST(v6 AS VARCHAR) AS DOUBLE)
-                 - sx_p / CAST(n_p AS DOUBLE))
-                / sqrt((sq_p - sx_p * sx_p / CAST(n_p AS DOUBLE))
-                       / (CAST(n_p AS DOUBLE) - 1.0)) END AS roll_z
-  FROM __w
+         {closed(cur_n, cur_sx, cur_sq, "cur")},
+         {closed(prev_n, prev_sx, prev_sq, "prev")}
+  FROM __c
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {order})
 )
 SELECT * FROM __s
 """
