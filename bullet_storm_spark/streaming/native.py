@@ -534,3 +534,94 @@ def stream_psi(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ROLLZ_SCHEMA = (
+    "key string, seq long, value double, prev_n long, roll_z double, "
+    "alarm boolean"
+)
+
+
+def stream_rolling_z(
+    stream_df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    window_rows: int = 50,
+    z_threshold: float = 3.0,
+):
+    """Live per-key rolling z-score — the streaming twin of
+    operators/rolling.rolling_stats: each arriving value is scored
+    against the mean/std of the PRECEDING ``window_rows`` values of its
+    key (self-excluding, same as the batch operator), then pushed into
+    the bounded state deque. Emits one row per event with the z and the
+    threshold flag; z is NULL until the key has >= 2 history values or
+    while their std is 0.
+
+    State per key is the last ``window_rows`` values (a bounded
+    array<double> in the state store — O(window) per key, checkpointed).
+    Rows within a micro-batch are processed in ``seq_col`` order;
+    cross-batch order is the source's arrival order, so equivalence with
+    the batch operator holds on an in-order replay (the sessionize
+    equivalence contract; see
+    test_rolling_z_stream_equals_batch_on_replayed_corpus)."""
+    import math
+
+    import pandas as pd
+
+    if window_rows < 2:
+        raise ValueError(f"need window_rows >= 2, got {window_rows}")
+    if z_threshold <= 0:
+        raise ValueError(f"need z_threshold > 0, got {z_threshold}")
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        hist: list[float] = list(state.get[0]) if state.exists else []
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("seq", kind="mergesort")
+        for seq, v in zip(batch["seq"], batch["value"]):
+            # quantize like the batch side's _q6 (6 dp via text round)
+            x = round(float(v), 6)
+            n = len(hist)
+            z = None
+            if n >= 2:
+                m = sum(hist) / n
+                var = sum((h - m) ** 2 for h in hist) / (n - 1)
+                if var > 0:
+                    z = (x - m) / math.sqrt(var)
+            rows.append(
+                (
+                    key[0],
+                    int(seq),
+                    x,
+                    n,
+                    z,
+                    bool(z is not None and abs(z) >= z_threshold),
+                )
+            )
+            hist.append(x)
+            if len(hist) > window_rows:
+                hist.pop(0)
+        state.update((list(hist),))
+        yield pd.DataFrame(
+            rows,
+            columns=["key", "seq", "value", "prev_n", "roll_z", "alarm"],
+        )
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(seq_col).cast("long").alias("seq"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            ROLLZ_SCHEMA,
+            "vals array<double>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -538,3 +538,87 @@ def test_stream_psi_validates_reference(spark):
         stream_psi(st, "value", "value", [0.5, 0.4], 0.0, 1.0)
     with pytest.raises(ValueError, match="bins"):
         stream_psi(st, "value", "value", [1.0], 0.0, 1.0)
+
+
+def test_rolling_z_stream_equals_batch_on_replayed_corpus(spark, tmp_path):
+    """Batch-vs-streaming equivalence for the rolling z monitor: an
+    in-order replay of a fixed corpus through the state-store twin must
+    score every event like operators/rolling.rolling_stats (whose
+    values are DuckDB-oracle-checked), so the stream inherits the batch
+    oracle transitively. Compared at 1e-9: the batch side runs exact
+    decimals, the stream python floats."""
+    import os
+
+    from bullet_storm_spark.operators.rolling import rolling_stats
+    from bullet_storm_spark.streaming.native import stream_rolling_z
+
+    rng_rows = [
+        (str(k), i, float(((i * 37 + k * 11) % 100) / 10.0))
+        for k in (1, 2)
+        for i in range(40)
+    ]
+    # one spike per key so alarms actually fire
+    rng_rows += [("1", 100, 99.0), ("2", 101, -99.0)]
+    schema = "k string, seq long, value double"
+
+    # ---- batch side
+    bdf = spark.createDataFrame(rng_rows, schema)
+    batch = {
+        (r["k"], r["seq"]): (r["roll_z"])
+        for r in rolling_stats(bdf, ["k"], ["seq"], "value", window_rows=8)
+        .collect()
+    }
+
+    # ---- streaming side: 3 seq-ordered atomic chunks
+    rows = sorted(rng_rows, key=lambda r: (r[1], r[0]))
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def _drop(i, chunk):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"c{i}.parquet"))
+
+    _drop(0, chunks[0])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_stream = stream_rolling_z(
+        stream, "k", "seq", "value", window_rows=8, z_threshold=3.0
+    )
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName("rollz_equiv_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, chunk in enumerate(chunks[1:], start=1):
+            _drop(i, chunk)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("rollz_equiv_out").collect()
+    assert len(out) == len(rng_rows)
+    alarms = 0
+    for r in out:
+        bz = batch[(r["key"], r["seq"])]
+        if bz is None:
+            assert r["roll_z"] is None
+        else:
+            assert r["roll_z"] == pytest.approx(bz, abs=1e-9)
+        alarms += int(r["alarm"])
+    assert alarms >= 2  # both spikes flagged
+
+
+def test_stream_rolling_z_validation(spark):
+    from bullet_storm_spark.streaming.native import stream_rolling_z
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        stream_rolling_z(df, "id", "id", "id", window_rows=1)
+    with pytest.raises(ValueError):
+        stream_rolling_z(df, "id", "id", "id", z_threshold=0)
