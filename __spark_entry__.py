@@ -2101,6 +2101,14 @@ ORDER BY doc_id
         ),
         _behavior.sequence_ngrams_sql("events", n=3, k=25),
     ),
+    # Benford first-digit audit (Newcomb 1881): the fabricated-numbers
+    # detector as one 9-key aggregation — expected probs are log10
+    # literals precomputed in Python, first digits extracted from the
+    # engines' (identical) shortest round-trip text
+    "events_benford": (
+        lambda s, d: _stats.benford_audit(load_table(s, d, "events"), "value"),
+        _stats.benford_audit_sql("events", "value"),
+    ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
     "dedup_lsh_s_curve": (

@@ -157,6 +157,7 @@ HEADLINE = [
     "events_cuped_ttest",
     "events_rolling_stats",
     "events_path_trigrams",
+    "events_benford",
 ]
 
 

@@ -1338,3 +1338,104 @@ SELECT n_a, n_b,
          THEN (vxy * vxy) / (vxx * vyy) END AS var_reduction
 FROM __adj
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9,
+# rounded to 12 dp in Python — no log10 in either engine's plan
+_BENFORD_P = [round(math.log10(1.0 + 1.0 / d), 12) for d in range(1, 10)]
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law (Newcomb
+    1881 / Benford 1938; the classic fabricated-numbers detector and a
+    cheap data-quality fingerprint for any multiplicative metric).
+    Output per digit 1..9: ``(digit, n, freq, expected, dev)`` with
+    ``dev = freq − expected``; digits absent from the data emit n = 0
+    rows (the 9-row shape is fixed). Rows with NULL/zero values are
+    excluded (zero has no leading significant digit); the sign is
+    ignored.
+
+    The first significant digit is extracted TEXTUALLY from the
+    engine's shortest round-trip repr — identical strings on both
+    sides, no log10/pow floating point anywhere; expected values are
+    Python literals. One hash aggregation on a 9-key column."""
+    # first nonzero digit of the absolute value's shortest repr: strip
+    # sign, "0.", and zeros; regexp portable across both engines
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col).cast("double")).cast("string"),
+        "([1-9])",
+        1,
+    )
+    base = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & (F.col(value_col).cast("double") != 0.0)
+        )
+        # try_cast: a digitless repr (NaN/Infinity) yields '' and ANSI
+        # cast would raise; NULL -> filtered, mirroring the twin's
+        # TRY_CAST
+        .select(digit.try_cast("int").alias("digit"))
+        .where(F.col("digit").isNotNull())
+    )
+    counts = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("digit")
+    )
+    total = F.sum("n").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    freq = _div(F.col("n").cast("double"), total.cast("double"))
+    return (
+        digits.join(counts, "digit", "left")
+        .select("digit", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"))
+        .select(
+            "digit",
+            "n",
+            freq.alias("freq"),
+            expected.alias("expected"),
+            (freq - expected).alias("dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_audit_sql(table: str, value_sql: str) -> str:
+    # CAST to DOUBLE: a bare VALUES literal parses as DECIMAL in DuckDB
+    # (an int-vs-float-class dtype hazard under the driver's hasher)
+    exp_rows = ", ".join(
+        f"({d + 1}, CAST({p!r} AS DOUBLE))" for d, p in enumerate(_BENFORD_P)
+    )
+    return f"""
+WITH __d AS (
+  SELECT TRY_CAST(regexp_extract(
+           CAST(abs(CAST({value_sql} AS DOUBLE)) AS VARCHAR),
+           '([1-9])', 1) AS INT) AS digit
+  FROM {table}
+  WHERE ({value_sql}) IS NOT NULL AND CAST({value_sql} AS DOUBLE) <> 0.0
+),
+__c AS (
+  SELECT digit, COUNT(*)::BIGINT AS n FROM __d
+  WHERE digit IS NOT NULL GROUP BY digit
+),
+__e(digit, expected) AS (VALUES {exp_rows}),
+__j AS (
+  SELECT e.digit, COALESCE(c.n, 0)::BIGINT AS n, e.expected
+  FROM __e e LEFT JOIN __c c ON e.digit = c.digit
+)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS freq,
+       expected,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) - expected AS dev
+FROM __j ORDER BY digit
+"""

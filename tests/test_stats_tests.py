@@ -530,3 +530,51 @@ def test_cuped_degenerate_constant_covariate(spark):
         df, "x", "y", F.col("arm") == "a", F.col("arm") == "b"
     ).collect()[0]
     assert got["theta"] is None and got["t_adj"] is None
+
+
+# --- Benford ----------------------------------------------------------------
+
+from bullet_storm_spark.operators.stats_tests import (  # noqa: E402
+    _BENFORD_P,
+    benford_audit,
+    benford_audit_sql,
+)
+
+
+def test_benford_expected_table():
+    assert sum(_BENFORD_P) == pytest.approx(1.0, abs=1e-9)
+    assert _BENFORD_P[0] == pytest.approx(0.30103, abs=1e-5)
+
+
+def test_benford_matches_python_and_duckdb(spark):
+    # mix of magnitudes incl. scientific-notation reprs, negatives,
+    # zeros and NULLs (excluded), and an absent digit (9)
+    vals = [1.0, 12.5, 0.013, 150.0, 1e-7, -2.5, 25.0, 0.00033, 4.2,
+            55.5, 6e8, 0.07, 812.0, None, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [tuple(r) for r in benford_audit(df, "v").collect()]
+    import collections
+    # repr() is Python's SHORTEST round-trip text — the same convention
+    # both engines use (a %.17g format would print 1e-7 as 9.99...e-08
+    # and miscount the first digit)
+    first = collections.Counter(
+        next(c for c in repr(abs(v)) if c in "123456789")
+        for v in vals if v not in (None, 0.0)
+    )
+    n_total = sum(first.values())
+    assert [g[0] for g in got] == list(range(1, 10))
+    for g in got:
+        d, n, freq, exp, dev = g
+        assert n == first.get(str(d), 0)
+        assert freq == pytest.approx(n / n_total, abs=1e-12)
+        assert exp == _BENFORD_P[d - 1]
+        assert dev == pytest.approx(freq - exp, abs=1e-12)
+    assert got[8][1] == 0  # digit 9 absent -> explicit zero row
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({v!r}::DOUBLE)" if v is not None else "(NULL::DOUBLE)"
+                    for v in vals)
+        + ") v(v)",
+        benford_audit_sql("t", "v"),
+    )
+    assert got == [tuple(r) for r in oracle]
