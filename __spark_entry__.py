@@ -2109,6 +2109,17 @@ ORDER BY doc_id
         lambda s, d: _stats.benford_audit(load_table(s, d, "events"), "value"),
         _stats.benford_audit_sql("events", "value"),
     ),
+    # association rules over session baskets (Agrawal SIGMOD'93):
+    # support/confidence/lift per directed event-type pair — baskets
+    # bounded by the type vocabulary, pair join never row-quadratic
+    "events_assoc_rules": (
+        lambda s, d: _behavior.session_assoc_rules(
+            load_table(s, d, "events"), gap_minutes=360, min_support=2
+        ),
+        _behavior.session_assoc_rules_sql(
+            "events", gap_minutes=360, min_support=2
+        ),
+    ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
     "dedup_lsh_s_curve": (

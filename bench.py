@@ -158,6 +158,7 @@ HEADLINE = [
     "events_rolling_stats",
     "events_path_trigrams",
     "events_benford",
+    "events_assoc_rules",
 ]
 
 

@@ -702,3 +702,188 @@ __r AS (
 SELECT CAST(rank AS BIGINT) AS rank, path, cnt
 FROM __r WHERE rank <= {k} ORDER BY rank
 """
+
+
+def session_assoc_rules(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    min_support: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Association rules over session baskets (Agrawal SIGMOD'93 applied
+    to event streams): for each directed event-type pair A→B
+    co-occurring in a session, ``(rank, antecedent, consequent,
+    support_ab, confidence, lift)`` — confidence = P(B-session |
+    A-session), lift = confidence / P(B-session). Pairs below
+    ``min_support`` sessions drop; top-``k`` by lift (ties: pair ASC).
+
+    Plan: the gaps-and-islands session split (one user-keyed window),
+    distinct (user, session, type) baskets, then a self-equi-join on the
+    session key — pair volume is Σ basket_size², and baskets are
+    bounded by the TYPE VOCABULARY (not by events), so the join never
+    goes row-quadratic. Counts are integers; confidence/lift are
+    closed-form ratios of identical integers — unrounded, deterministic.
+    """
+    if min_support < 1:
+        raise ValueError(f"need min_support >= 1, got {min_support}")
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    gap_us = int(gap_minutes) * 60_000_000
+    w = Window.partitionBy("user_id").orderBy(
+        _ts_us().asc(), F.col("event_id").asc()
+    )
+    new = F.when(
+        F.lag(_ts_us()).over(w).isNull()
+        | (_ts_us() - F.lag(_ts_us()).over(w) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    tagged = df.select(
+        "user_id",
+        "event_type",
+        F.sum(new).over(
+            Window.partitionBy("user_id")
+            .orderBy(_ts_us().asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("session_idx"),
+    )
+    items = tagged.select("user_id", "session_idx", "event_type").distinct()
+    # total session count rides the plan as a 1-row broadcast — a
+    # driver-side .count() here would be an eager action that runs the
+    # session split twice and breaks lazy composition
+    ns = (
+        items.select("user_id", "session_idx")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("__ns"))
+    )
+    sup = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__sup")
+    )
+    a = items.select(
+        "user_id", "session_idx", F.col("event_type").alias("antecedent")
+    )
+    bb = items.select(
+        "user_id", "session_idx", F.col("event_type").alias("consequent")
+    )
+    pairs = (
+        a.join(bb, ["user_id", "session_idx"])
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_ab"))
+        .where(F.col("support_ab") >= min_support)
+    )
+    scored = (
+        pairs.join(
+            sup.select(
+                F.col("event_type").alias("antecedent"),
+                F.col("__sup").alias("__sup_a"),
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                sup.select(
+                    F.col("event_type").alias("consequent"),
+                    F.col("__sup").alias("__sup_b"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "antecedent",
+            "consequent",
+            "support_ab",
+            (
+                F.col("support_ab").cast("double")
+                / F.col("__sup_a").cast("double")
+            ).alias("confidence"),
+            (
+                F.col("support_ab").cast("double")
+                * F.col("__ns").cast("double")
+                / (
+                    F.col("__sup_a").cast("double")
+                    * F.col("__sup_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+    rw = Window.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "rank", "antecedent", "consequent", "support_ab",
+            "confidence", "lift",
+        )
+        .orderBy("rank")
+    )
+
+
+def session_assoc_rules_sql(
+    table: str,
+    gap_minutes: int = 30,
+    min_support: int = 2,
+    k: int = 50,
+) -> str:
+    if min_support < 1:
+        raise ValueError(f"need min_support >= 1, got {min_support}")
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    gap_us = int(gap_minutes) * 60_000_000
+    return f"""
+WITH __e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM {table}
+),
+__m AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS is_new, us, event_id
+  FROM __e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+__t AS (
+  SELECT user_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+  FROM __m
+),
+__items AS (SELECT DISTINCT user_id, session_idx, event_type FROM __t),
+__ns AS (
+  SELECT COUNT(*)::BIGINT AS n FROM
+  (SELECT DISTINCT user_id, session_idx FROM __items)
+),
+__sup AS (
+  SELECT event_type, COUNT(*)::BIGINT AS sup FROM __items GROUP BY event_type
+),
+__pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         COUNT(*)::BIGINT AS support_ab
+  FROM __items a
+  JOIN __items b ON a.user_id = b.user_id
+                AND a.session_idx = b.session_idx
+                AND a.event_type <> b.event_type
+  GROUP BY antecedent, consequent
+  HAVING COUNT(*) >= {min_support}
+),
+__scored AS (
+  SELECT p.antecedent, p.consequent, p.support_ab,
+         CAST(p.support_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS confidence,
+         CAST(p.support_ab AS DOUBLE) * CAST(ns.n AS DOUBLE)
+           / (CAST(sa.sup AS DOUBLE) * CAST(sb.sup AS DOUBLE)) AS lift
+  FROM __pairs p
+  JOIN __sup sa ON p.antecedent = sa.event_type
+  JOIN __sup sb ON p.consequent = sb.event_type
+  CROSS JOIN __ns ns
+),
+__r AS (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, antecedent ASC,
+                               consequent ASC) AS rank
+  FROM __scored
+)
+SELECT CAST(rank AS BIGINT) AS rank, antecedent, consequent, support_ab,
+       confidence, lift
+FROM __r WHERE rank <= {k} ORDER BY rank
+"""

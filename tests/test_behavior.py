@@ -341,3 +341,49 @@ def test_sequence_ngrams_validation(spark):
         behavior.sequence_ngrams(df, n=1)
     with pytest.raises(ValueError):
         behavior.sequence_ngrams_sql("ev", n=3, k=0)
+
+
+def test_session_assoc_rules_semantics_and_parity(spark):
+    rows = [
+        # u1 s1: view+click+buy | u1 s2 (2h later): view only
+        (1, 1, "view", 0.0, 0),
+        (2, 1, "click", 0.0, MIN),
+        (3, 1, "buy", 0.0, 2 * MIN),
+        (4, 1, "view", 0.0, 200 * MIN),
+        # u2 s1: view+click | u2 s2: click+buy
+        (5, 2, "view", 0.0, 0),
+        (6, 2, "click", 0.0, MIN),
+        (7, 2, "click", 0.0, 300 * MIN),
+        (8, 2, "buy", 0.0, 301 * MIN),
+    ]
+    df, con = _mk(spark, rows)
+    got = [
+        tuple(r)
+        for r in behavior.session_assoc_rules(
+            df, gap_minutes=30, min_support=2
+        ).collect()
+    ]
+    byp = {(g[1], g[2]): g for g in got}
+    # 4 sessions total; view-sessions=3, click-sessions=3, buy-sessions=2
+    # view&click together in 2 sessions -> conf(view->click)=2/3,
+    # lift = (2*4)/(3*3)
+    assert byp[("view", "click")][3] == 2
+    assert byp[("view", "click")][4] == pytest.approx(2 / 3)
+    assert byp[("view", "click")][5] == pytest.approx(8 / 9)
+    # click->buy: 2 sessions, conf 2/3, lift (2*4)/(3*2)=4/3 ranks first
+    assert got[0][1:3] == ("buy", "click") or got[0][1:3] == ("click", "buy")
+    assert got[0][5] == pytest.approx(4 / 3)
+    # min_support prunes singletons: view&buy co-occur once -> absent
+    assert ("view", "buy") not in byp
+    oracle = con.execute(
+        behavior.session_assoc_rules_sql("ev", gap_minutes=30, min_support=2)
+    ).fetchall()
+    assert got == [tuple(r) for r in oracle]
+
+
+def test_session_assoc_rules_validation(spark):
+    df, _ = _mk(spark, [(1, 1, "view", 0.0, 0)])
+    with pytest.raises(ValueError):
+        behavior.session_assoc_rules(df, min_support=0)
+    with pytest.raises(ValueError):
+        behavior.session_assoc_rules_sql("ev", k=0)
