@@ -2120,6 +2120,13 @@ ORDER BY doc_id
             "events", gap_minutes=360, min_support=2
         ),
     ),
+    # inter-arrival burstiness per event type (Goh & Barabási EPL'08):
+    # B = (σ−µ)/(σ+µ) of per-user gap sequences — the bot/automation
+    # fingerprint; exact integer gaps, decimal moment sums
+    "events_interarrival": (
+        lambda s, d: _behavior.interarrival_stats(load_table(s, d, "events")),
+        _behavior.interarrival_stats_sql("events"),
+    ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input
     "dedup_lsh_s_curve": (

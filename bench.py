@@ -159,6 +159,7 @@ HEADLINE = [
     "events_path_trigrams",
     "events_benford",
     "events_assoc_rules",
+    "events_interarrival",
 ]
 
 

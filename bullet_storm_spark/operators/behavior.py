@@ -887,3 +887,104 @@ SELECT CAST(rank AS BIGINT) AS rank, antecedent, consequent, support_ab,
        confidence, lift
 FROM __r WHERE rank <= {k} ORDER BY rank
 """
+
+
+def interarrival_stats(df: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival statistics over each user's timeline:
+    ``(event_type, n_gaps, mean_gap_us, cv, burstiness)`` where gaps are
+    the µs deltas between a user's consecutive events of that type, cv
+    is σ/µ of the gaps, and burstiness is Goh & Barabási's
+    ``B = (σ − µ)/(σ + µ)`` (EPL'08): −1 = perfectly periodic, 0 =
+    Poisson, →1 = bursty. The bot/automation fingerprint (periodic
+    traffic → B near −1) and the capacity-planning shape parameter.
+
+    Plan: one (user, type)-keyed LAG window, then one hash aggregation
+    per type. Gaps are exact integers; moment sums run in DECIMAL(38,0)
+    with (19,0) factors and the string-hop conversion (gap² ~ 1e20
+    overflows BIGINT) — closed-form float end, NULL stats at n < 2 or
+    µ = 0."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        _ts_us().asc(), F.col("event_id").asc()
+    )
+    gap = (_ts_us() - F.lag(_ts_us()).over(w)).alias("__gap")
+    g = (
+        df.select("event_type", gap)
+        .where(F.col("__gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum(F.col("__gap").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("__s"),
+            F.sum(
+                (
+                    F.col("__gap").cast("decimal(19,0)")
+                    * F.col("__gap").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("__q"),
+        )
+    )
+    from bullet_storm_spark.operators.stats_tests import _d2d, _div
+
+    n = F.col("n_gaps").cast("double")
+    mean = _div(_d2d(F.col("__s")), n)
+    var = _div(
+        _d2d(F.col("__q")) - _div(_d2d(F.col("__s")) * _d2d(F.col("__s")), n),
+        n - F.lit(1.0),
+    )
+    sd = F.when(var >= 0, F.sqrt(var))
+    ok = (F.col("n_gaps") >= 2) & (mean > 0)
+    return g.select(
+        "event_type",
+        "n_gaps",
+        F.when(F.col("n_gaps") >= 1, mean).alias("mean_gap_us"),
+        F.when(ok, _div(sd, mean)).alias("cv"),
+        F.when(ok & (sd + mean > 0), _div(sd - mean, sd + mean)).alias(
+            "burstiness"
+        ),
+    ).orderBy("event_type")
+
+
+def interarrival_stats_sql(table: str) -> str:
+    return """
+WITH __e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM {table}
+),
+__g AS (
+  SELECT event_type,
+         us - lag(us) OVER (PARTITION BY user_id, event_type
+                            ORDER BY us, event_id) AS gap
+  FROM __e
+),
+__m AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_gaps,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS q
+  FROM __g WHERE gap IS NOT NULL
+  GROUP BY event_type
+),
+__d AS (
+  SELECT event_type, n_gaps,
+         CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sd_,
+         CAST(CAST(q AS VARCHAR) AS DOUBLE) AS qd_,
+         CAST(n_gaps AS DOUBLE) AS nd_
+  FROM __m
+),
+__c AS (
+  SELECT event_type, n_gaps,
+         sd_ / nd_ AS mean,
+         CASE WHEN (qd_ - sd_ * sd_ / nd_) / (nd_ - 1.0) >= 0
+               AND n_gaps >= 2
+           THEN sqrt((qd_ - sd_ * sd_ / nd_) / (nd_ - 1.0)) END AS sdev
+  FROM __d
+)
+SELECT event_type, n_gaps,
+       CASE WHEN n_gaps >= 1 THEN mean END AS mean_gap_us,
+       CASE WHEN n_gaps >= 2 AND mean > 0 THEN sdev / mean END AS cv,
+       CASE WHEN n_gaps >= 2 AND mean > 0 AND sdev + mean > 0
+         THEN (sdev - mean) / (sdev + mean) END AS burstiness
+FROM __c ORDER BY event_type
+""".format(table=table)

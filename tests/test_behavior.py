@@ -387,3 +387,35 @@ def test_session_assoc_rules_validation(spark):
         behavior.session_assoc_rules(df, min_support=0)
     with pytest.raises(ValueError):
         behavior.session_assoc_rules_sql("ev", k=0)
+
+
+def test_interarrival_stats_semantics_and_parity(spark):
+    rows = [
+        # u1 'tick': perfectly periodic (gap = MIN) -> cv 0, B = -1
+        (1, 1, "tick", 0.0, 0),
+        (2, 1, "tick", 0.0, MIN),
+        (3, 1, "tick", 0.0, 2 * MIN),
+        (4, 1, "tick", 0.0, 3 * MIN),
+        # u1+u2 'hit': gaps MIN and 9*MIN (u2) -> bursty
+        (5, 1, "hit", 0.0, 0),
+        (6, 1, "hit", 0.0, MIN),
+        (7, 2, "hit", 0.0, 0),
+        (8, 2, "hit", 0.0, 9 * MIN),
+        # 'solo': one event per user -> no gaps -> absent
+        (9, 1, "solo", 0.0, 0),
+    ]
+    df, con = _mk(spark, rows)
+    got = {r["event_type"]: r for r in behavior.interarrival_stats(df).collect()}
+    assert set(got) == {"tick", "hit"}
+    t = got["tick"]
+    assert (t["n_gaps"], t["mean_gap_us"]) == (3, float(MIN))
+    assert t["cv"] == 0.0 and t["burstiness"] == -1.0
+    h = got["hit"]
+    assert h["n_gaps"] == 2 and h["mean_gap_us"] == 5.0 * MIN
+    import math
+    sd = math.sqrt(((MIN - 5 * MIN) ** 2 + (9 * MIN - 5 * MIN) ** 2) / 1)
+    assert h["cv"] == pytest.approx(sd / (5 * MIN), rel=1e-12)
+    assert h["burstiness"] == pytest.approx((sd - 5 * MIN) / (sd + 5 * MIN), rel=1e-12)
+    oracle = con.execute(behavior.interarrival_stats_sql("ev")).fetchall()
+    srows = [tuple(r) for r in behavior.interarrival_stats(df).collect()]
+    assert srows == [tuple(r) for r in oracle]
