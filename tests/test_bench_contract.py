@@ -17,7 +17,9 @@ def test_bench_emits_contract_json():
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
         text=True,
-        timeout=420,
+        # the headline list keeps growing (130+ entries, cold+warm each);
+        # 420s tipped over at ~130 entries on a busy machine
+        timeout=900,
         env=env,
         cwd="/root/repo",
     )
