@@ -969,10 +969,16 @@ def chi2_independence(
     Uses the margin identity ``chi2 = n·(Σ_ij o_ij²/(r_i·c_j) − 1)`` so
     the plan is: one contingency aggregation + two margin aggregations +
     equi-joins on the category keys — never a cells×cells anything. The
-    per-cell ratio is rounded to 12 dp and accumulated in DECIMAL
-    (the BM25/tfidf association convention), so the sum is
-    partition-order independent. NULL statistics when either variable is
-    constant (dof = 0). Rows with NULL in either column are excluded."""
+    per-cell ratio is quantized to DECIMAL(38,12) via the text hop
+    (the ``_q6`` convention at 12 dp — direct double ROUND rounds
+    HALF_UP on the shortest repr in Spark but on the binary value in
+    DuckDB, a 1-ulp tie hazard) and accumulated in DECIMAL, so the sum
+    is partition-order independent AND engine-identical. The 12-dp
+    quantization can still push Σ a hair below 1 on exactly-independent
+    tables (e.g. contingency [[1,2],[2,4]]), so chi2 is clamped at 0
+    before the Cramér sqrt — independence reports 0, never −eps/NaN.
+    NULL statistics when either variable is constant (dof = 0). Rows
+    with NULL in either column are excluded."""
     labeled = (
         df.select(a_col.alias("__a"), b_col.alias("__b"))
         .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
@@ -982,13 +988,14 @@ def chi2_independence(
     )
     ra = labeled.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__r"))
     cb = labeled.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    term = F.round(
+    term = (
         _div(
             F.col("__o").cast("double") * F.col("__o").cast("double"),
             F.col("__r").cast("double") * F.col("__c").cast("double"),
-        ),
-        12,
-    ).cast(_MOMENT)
+        )
+        .cast("string")
+        .cast(_MOMENT)
+    )
     sums = (
         cells.join(ra, "__a")
         .join(cb, "__b")
@@ -1000,8 +1007,9 @@ def chi2_independence(
         )
     )
     dof = (F.col("r") - 1) * (F.col("c") - 1)
-    chi2 = F.col("n").cast("double") * (
-        _d2d(F.col("__t")) - F.lit(1.0)
+    chi2 = F.greatest(
+        F.col("n").cast("double") * (_d2d(F.col("__t")) - F.lit(1.0)),
+        F.lit(0.0),
     )
     mind = F.least(F.col("r"), F.col("c")) - 1
     v = F.sqrt(
@@ -1033,21 +1041,25 @@ __s AS (
   SELECT SUM(o)::BIGINT AS n,
          COUNT(DISTINCT cl.a)::BIGINT AS r,
          COUNT(DISTINCT cl.b)::BIGINT AS c,
-         CAST(SUM(CAST(ROUND(
+         CAST(SUM(CAST(CAST(
            (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
-           / (CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)), 12)
+           / (CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS VARCHAR)
            AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS t
   FROM __cells cl JOIN __ra ra ON cl.a = ra.a JOIN __cb cb ON cl.b = cb.b
+),
+__x AS (
+  SELECT n, r, c,
+         GREATEST(CAST(n AS DOUBLE)
+                  * (CAST(CAST(t AS VARCHAR) AS DOUBLE) - 1.0), 0.0) AS chi2
+  FROM __s
 )
 SELECT n, r, c,
        CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       CASE WHEN n > 0 AND (r - 1) * (c - 1) > 0 THEN chi2 END AS chi2,
        CASE WHEN n > 0 AND (r - 1) * (c - 1) > 0 THEN
-         CAST(n AS DOUBLE) * (CAST(CAST(t AS VARCHAR) AS DOUBLE) - 1.0) END AS chi2,
-       CASE WHEN n > 0 AND (r - 1) * (c - 1) > 0 THEN
-         sqrt(CAST(n AS DOUBLE) * (CAST(CAST(t AS VARCHAR) AS DOUBLE) - 1.0)
-              / (CAST(n AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE))) END
+         sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE))) END
          AS cramers_v
-FROM __s
+FROM __x
 """
 
 

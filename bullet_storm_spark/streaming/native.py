@@ -542,6 +542,22 @@ ROLLZ_SCHEMA = (
 )
 
 
+def _q6_py(v: float) -> float:
+    """Python twin of operators/stats_tests._q6: shortest decimal repr
+    -> DECIMAL(18,6) HALF_UP -> float (the text hop). Python's round()
+    is NOT equivalent — it rounds the binary value half-to-even
+    (2.3456785 -> 2.345678 vs _q6's 2.345679; 5e-07 -> 0.0 vs
+    0.000001), so using it here would silently break the streaming
+    operators' batch-equivalence contract on tie values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(v))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def stream_rolling_z(
     stream_df: DataFrame,
     key_col: str,
@@ -582,8 +598,8 @@ def stream_rolling_z(
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values("seq", kind="mergesort")
         for seq, v in zip(batch["seq"], batch["value"]):
-            # quantize like the batch side's _q6 (6 dp via text round)
-            x = round(float(v), 6)
+            # quantize exactly like the batch side's _q6 (see _q6_py)
+            x = _q6_py(v)
             n = len(hist)
             z = None
             if n >= 2:

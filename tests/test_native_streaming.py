@@ -559,6 +559,11 @@ def test_rolling_z_stream_equals_batch_on_replayed_corpus(spark, tmp_path):
     ]
     # one spike per key so alarms actually fire
     rng_rows += [("1", 100, 99.0), ("2", 101, -99.0)]
+    # 6-dp rounding-tie values (ADVICE r6): Python round() half-to-even
+    # diverges from the batch _q6 text-hop HALF_UP on exactly these
+    # (2.3456785 -> 2.345678 vs 2.345679; 5e-07 -> 0.0 vs 0.000001), so
+    # their presence pins the streaming quantizer to the batch one
+    rng_rows += [("1", 102, 2.3456785), ("2", 103, 5e-07), ("1", 104, -2.3456785)]
     schema = "k string, seq long, value double"
 
     # ---- batch side
@@ -612,6 +617,15 @@ def test_rolling_z_stream_equals_batch_on_replayed_corpus(spark, tmp_path):
             assert r["roll_z"] == pytest.approx(bz, abs=1e-9)
         alarms += int(r["alarm"])
     assert alarms >= 2  # both spikes flagged
+
+
+def test_q6_py_matches_batch_text_hop_on_ties():
+    from bullet_storm_spark.streaming.native import _q6_py
+
+    assert _q6_py(2.3456785) == 2.345679  # round() gives 2.345678
+    assert _q6_py(5e-07) == 0.000001  # round() gives 0.0
+    assert _q6_py(-2.3456785) == -2.345679
+    assert _q6_py(3.7) == 3.7
 
 
 def test_stream_rolling_z_validation(spark):

@@ -400,6 +400,29 @@ def test_chi2_matches_python_and_duckdb(spark):
     assert got == oracle[0]
 
 
+def test_chi2_exactly_independent_clamps_to_zero(spark):
+    """Exactly-independent table (contingency [[1,2],[2,4]]): the 12-dp
+    per-cell quantization can push Σ o²/(rc) a hair below 1, making
+    n·(Σ−1) ≈ −3e-12. Unclamped, Spark emitted a negative chi2 with a
+    NaN cramers_v while the DuckDB twin crashed outright on
+    sqrt(negative) — the ADVICE r6 finding. Both sides must now report
+    exactly 0."""
+    rows = (
+        [("x", "u")] * 1 + [("x", "v")] * 2 + [("y", "u")] * 2 + [("y", "v")] * 4
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = tuple(chi2_independence(df, F.col("a"), F.col("b")).collect()[0])
+    assert got[:4] == (9, 2, 2, 1)
+    assert got[4] == 0.0 and got[5] == 0.0
+    oracle = _duck(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{a}', '{b}')" for a, b in rows)
+        + ") v(a, b)",
+        chi2_independence_sql("t", "a", "b"),
+    )
+    assert got == oracle[0]
+
+
 def test_chi2_constant_column_null_stats(spark):
     df = spark.createDataFrame(
         [("x", "u"), ("x", "v")], "a string, b string"
