@@ -3339,83 +3339,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # stable core/BQL/join entries rotate to the tail, where
 # scripts/oracle_check.py re-verifies them in-repo every round.
 _DRIVER_PRIORITY = [
-    # --- r6 window (VERDICT r5 "Next round" #3): the 3 entries that have
-    # never been inside any driver window (r5 late additions) ---
-    "dedup_cluster_histogram",
-    "dedup_winnow_recall",
-    "pack_truncate_budget",
-    # --- the 5 r5-red entries repaired this round (BIGINT-cast oracle
-    # twins / scalarized gate shapes) — must land green driver rows to
-    # close the canonicalizer class ---
-    "events_sessionize",
-    "events_session_assignment",
-    "events_ks_drift",
-    "embed_pca_project",
-    "multimodal_features",
-    # --- reshaped this round (bucket -> epoch-µs BIGINT, the latent
-    # ns-vs-µs hazard) — re-verify under the driver ---
-    "events_resample_locf",
-    # --- the 12 entries with the fewest lifetime driver checks (2×,
-    # last seen r3) ---
-    "text_repetition",
-    "text_decontaminate",
-    "text_vocabulary",
-    "dedup_clusters",
-    "set_ops_segments",
-    "bql_distinct_types",
-    "bql_group_compute",
-    "bql_cumfreq_region",
-    "bql_quantile_linear",
-    "group_by_percentiles",
-    "group_post_pipeline",
-    "top_k_sketched",
-    # --- longest-unchecked r1-era core (3×, last seen r3); 7 of the most
-    # stable (raw_*, group_all/by_event_type, the two rows-only approx
-    # entries) deferred to the r7 rotation to fit the 50-cap ---
-    "text_stats",
-    "text_lang_breakdown",
-    "text_token_accounting",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_lsh_pairs_3gram",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_filtered",
-    "curate_documents",
-    "text_quality_filter",
-    "join_revenue_by_nation",
-    "join_top_orders_by_revenue",
-    "join_region_supplier_rollup",
-    "join_asof_purchase_signup",
-    "join_range_value_bands",
-    "group_by_value_spread",
-    "group_by_user_type",
-    "count_distinct_users",
-    "count_distinct_user_type",
-    "distribution_pmf_value",
-    "distribution_cdf_value",
-    "distribution_quantile_value",
-    "top_k_event_user",
-    "lineitem_pricing_summary",
-    "events_hourly_rollup",
-    "part_brand_stats",
-    "top_k_order_priority",
-    "events_json_bucket_agg",
-    # NOTE: the window is exactly 50 here. r7 rotation: the 7 deferred
-    # entries (raw_filter_project, raw_complex_filter, raw_regex_filter,
+    # --- r7 window: 50 of the 65 entries that have NEVER been inside a
+    # driver correctness window (all r6 additions; CORRECTNESS_r01-r06
+    # union = 144 of 209). All are tri-scale MATCH under
+    # scripts/oracle_check.py (text_compression_signal rows-only by
+    # declared contract). events_chi2_indep / events_experiment_readout
+    # carry the r7 chi2 clamp + text-hop fix (ADVICE r6) and were
+    # re-verified tri-scale after it.
+    "sample_mix_plan",
+    "text_pmi_collocations",
+    "text_compression_signal",
+    "text_token_entropy",
+    "text_filter_funnel",
+    "text_script_lang_matrix",
+    "text_pii_report",
+    "text_pii_redact",
+    "text_pii_summary",
+    "html_extract_text",
+    "html_extract_report",
+    "embed_matryoshka_audit",
+    "text_bm25_topk",
+    "ann_hybrid_bm25_rrf",
+    "text_retrieval_eval",
+    "embed_dim_auc",
+    "events_welch_ttest",
+    "events_ab_ztest",
+    "text_filter_kappa",
+    "text_calibration_bins",
+    "text_calibration_summary",
+    "events_bootstrap_ci",
+    "events_chi2_indep",
+    "events_experiment_readout",
+    "events_trend_ols",
+    "events_decayed_top",
+    "events_cuped_ttest",
+    "events_rolling_stats",
+    "events_path_trigrams",
+    "events_benford",
+    "events_assoc_rules",
+    "events_interarrival",
+    "dedup_lsh_s_curve",
+    "skew_key_profile",
+    "chat_parse_turns",
+    "chat_report",
+    "merge_upsert_customer",
+    "merge_upsert_accounting",
+    "url_normalize",
+    "url_dedup_report",
+    "url_domain_report",
+    "layout_zorder_keys",
+    "layout_zorder_blocks",
+    "dedup_containment_winnowed",
+    "dedup_containment_pairs",
+    "embed_centroid_drift",
+    "events_chi2_drift",
+    "events_psi_drift",
+    "events_robust_outliers",
+    "events_attribution",
+    # NOTE: the window is exactly 50 here. r8 rotation: the remaining 15
+    # never-checked r6 entries (events_state_intervals, corpus_diff_*,
+    # sample_cap_*, profile_*, text_line_*, text_heaps_report,
+    # text_source_overlap, multimodal_resize, multimodal_wav_decimate,
+    # multimodal_dhash_groups), the 7 r1-era core entries deferred since
+    # r6 (raw_filter_project, raw_complex_filter, raw_regex_filter,
     # group_all_metrics, group_by_event_type, count_distinct_users_approx,
-    # distribution_quantile_approx) plus every r6 addition that has never
-    # been driver-windowed (text_pii_*, html_extract_*, layout_zorder_*,
-    # dedup_containment_*, embed_centroid_drift, events_chi2/psi_drift,
-    # events_robust_outliers, events_attribution, events_state_intervals,
-    # corpus_diff_*, sample_cap_*, profile_*, text_line_*,
-    # text_source_overlap, text_heaps_report, text_filter_funnel,
-    # sample_mix_plan, url_*, text_token_entropy, multimodal_resize,
-    # multimodal_dhash_groups, merge_upsert_*, chat_*, skew_key_profile,
-    # multimodal_wav_decimate, text_pmi_collocations,
-    # text_script_lang_matrix, embed_matryoshka_audit,
-    # dedup_lsh_s_curve, text_bm25_topk, ann_hybrid_bm25_rrf — all
-    # tri-scale MATCH in-repo).
+    # distribution_quantile_approx), and every r7 addition.
 ]
 
 
