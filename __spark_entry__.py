@@ -517,6 +517,10 @@ from bullet_storm_spark.operators import ranking_eval as _rkeval
 from bullet_storm_spark.operators import stats_tests as _stats
 from bullet_storm_spark.operators import trend as _trend
 from bullet_storm_spark.operators import rolling as _rolling
+from bullet_storm_spark.operators import readability as _read
+from bullet_storm_spark.operators import keywords as _kw
+from bullet_storm_spark.operators import concentration as _conc
+from bullet_storm_spark.operators import seasonal as _season
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -2126,6 +2130,49 @@ ORDER BY doc_id
     "events_interarrival": (
         lambda s, d: _behavior.interarrival_stats(load_table(s, d, "events")),
         _behavior.interarrival_stats_sql("events"),
+    ),
+    # Flesch / Flesch-Kincaid readability per document: regex syllable
+    # heuristic shared verbatim by both engines, exact integer counts,
+    # fixed-order IEEE formulas (unrounded doubles by hazard-class-2)
+    "text_readability": (
+        lambda s, d: _read.readability(_docs(s, d), "doc_id", "text"),
+        _read.readability_sql("documents", "doc_id", "text"),
+    ),
+    # per-source readability rollup: 6dp-quantized decimal sums + the
+    # below-Flesch-50 college-band share (the corpus-mix difficulty knob)
+    "text_readability_sources": (
+        lambda s, d: _read.readability_by_source(_docs(s, d), "source", "text"),
+        _read.readability_by_source_sql("documents", "source", "text"),
+    ),
+    # RAKE keyphrases (Rose et al. 2010): stopword/punct-delimited
+    # candidate runs (capped at 4 words), degree/freq word scores in
+    # 6dp decimal, exact-decimal phrase sums, global top-25
+    "text_rake_keywords": (
+        lambda s, d: _kw.rake_keywords(_docs(s, d), "text"),
+        _kw.rake_keywords_sql("documents", "text"),
+    ),
+    # token-mass concentration per source: exact rank-formula Gini +
+    # top-decile share in DECIMAL(38,0) (the doc-level sibling of
+    # skew_key_profile's key-count gini)
+    "corpus_token_gini": (
+        lambda s, d: _conc.token_concentration(
+            _docs(s, d), "source", "doc_id", "text"
+        ),
+        _conc.token_concentration_sql("documents", "source", "doc_id", "text"),
+    ),
+    # hour-of-week traffic shape per event type: peak/trough cells +
+    # peak-to-mean seasonality strength; pure integer epoch-µs phase
+    # arithmetic (no engine calendar functions)
+    "events_seasonality": (
+        lambda s, d: _season.seasonality_profile(load_table(s, d, "events")),
+        _season.seasonality_profile_sql("events"),
+    ),
+    # seasonally-adjusted anomaly cells: each (type, week, hour-of-week)
+    # count judged against its own hour-of-week median/MAD baseline,
+    # zero-weeks densified (the robust_outliers × seasonality compose)
+    "events_seasonal_outliers": (
+        lambda s, d: _season.seasonal_outliers(load_table(s, d, "events")),
+        _season.seasonal_outliers_sql("events"),
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input

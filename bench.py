@@ -160,6 +160,12 @@ HEADLINE = [
     "events_benford",
     "events_assoc_rules",
     "events_interarrival",
+    "text_readability",
+    "text_readability_sources",
+    "text_rake_keywords",
+    "corpus_token_gini",
+    "events_seasonality",
+    "events_seasonal_outliers",
 ]
 
 

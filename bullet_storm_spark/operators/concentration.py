@@ -1,0 +1,132 @@
+"""Corpus concentration metrics: Gini coefficient + top-decile share of
+token mass per source, dual-compiled.
+
+The inequality audit for a training mix: a source whose token mass is
+concentrated in a few giant documents behaves very differently under
+doc-level sampling than its row count suggests (a handful of documents
+dominate gradients; dedup and curation quotas silently skew). The Gini
+coefficient over per-document token counts is the standard scalar for
+that concentration (0 = uniform, →1 = one doc holds everything), computed
+with the exact rank formula over the ascending-sorted masses:
+
+    G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)      (i = 1-based rank)
+
+Ties in x are rank-ordered by document id; swapping equal x between
+adjacent ranks leaves Σ i·x_i unchanged, so the statistic is
+deterministic regardless of tie order. Both numerator and denominator
+accumulate in DECIMAL(38,0) — exact in both engines, and rank·tokens
+products overflow BIGINT at ~1e9-doc sources — and convert via the
+``_d2d`` text hop before the single final IEEE division, so the output
+double is engine-identical. ``top_decile_share`` is the token share of
+the ceil(n/10) largest documents (the "how much do the whales own" view
+of the same curve).
+
+Scale posture (100 TB): one scan computing per-doc token counts, one
+window rank per source (the sort is inherent to any rank statistic), one
+hash aggregation per source. No joins, no pair generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from bullet_storm_spark.functions.text import token_count, token_count_sql
+from bullet_storm_spark.operators.stats_tests import _d2d, _d2d_sql, _div
+
+_EXACT = "decimal(38,0)"
+
+
+def token_concentration(
+    df: DataFrame, group_col: str, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-source concentration: ``(source, n_docs, total_tokens, gini,
+    top_decile_share)`` ordered by source."""
+    w = Window.partitionBy("source").orderBy(F.asc("__x"), F.asc("__id"))
+    wn = Window.partitionBy("source")
+    per = (
+        df.select(
+            F.col(group_col).alias("source"),
+            F.col(id_col).alias("__id"),
+            token_count(text_col).cast("long").alias("__x"),
+        )
+        .withColumn("__i", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(wn).cast("long"))
+    )
+    n = F.count(F.lit(1)).cast("long")
+    s0 = F.sum(F.col("__x").cast(_EXACT)).cast(_EXACT)
+    # cast BEFORE the product: rank·tokens exceeds int64 at ~1e9-doc
+    # sources (ANSI overflow); decimal(38,0)·decimal(38,0) stays exact
+    s1 = F.sum(F.col("__i").cast(_EXACT) * F.col("__x").cast(_EXACT)).cast(
+        _EXACT
+    )
+    agg = per.groupBy("source").agg(
+        n.alias("n_docs"),
+        s0.alias("__s0"),
+        s1.alias("__s1"),
+        # top decile: ranks above n - ceil(n/10) in the ascending order
+        F.sum(
+            F.when(
+                F.col("__i")
+                > F.col("__n")
+                - F.ceil(F.col("__n") / F.lit(10.0)).cast("long"),
+                F.col("__x").cast(_EXACT),
+            )
+        )
+        .cast(_EXACT)
+        .alias("__top"),
+    )
+    num = (
+        F.lit(2).cast(_EXACT) * F.col("__s1")
+        - (F.col("n_docs") + F.lit(1)).cast(_EXACT) * F.col("__s0")
+    ).cast(_EXACT)
+    den = (F.col("n_docs").cast(_EXACT) * F.col("__s0")).cast(_EXACT)
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("__s0").cast("long").alias("total_tokens"),
+        _div(_d2d(num), _d2d(den)).alias("gini"),
+        _div(_d2d(F.col("__top")), _d2d(F.col("__s0"))).alias(
+            "top_decile_share"
+        ),
+    ).orderBy("source")
+
+
+def token_concentration_sql(
+    table: str, group_col: str, id_col: str, text_col: str
+) -> str:
+    num = _d2d_sql(
+        "CAST(2 AS DECIMAL(38,0)) * s1"
+        " - CAST(n_docs + 1 AS DECIMAL(38,0)) * s0"
+    )
+    den = _d2d_sql("CAST(n_docs AS DECIMAL(38,0)) * s0")
+    top = _d2d_sql("tp")
+    tot = _d2d_sql("s0")
+    return f"""
+WITH __x AS (
+  SELECT {group_col} AS source, {id_col} AS id,
+         {token_count_sql(text_col)}::BIGINT AS x
+  FROM {table}
+),
+__r AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY x ASC, id ASC)::BIGINT
+           AS i,
+         COUNT(*) OVER (PARTITION BY source)::BIGINT AS n
+  FROM __x
+),
+__a AS (
+  SELECT source,
+         COUNT(*)::BIGINT AS n_docs,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s0,
+         CAST(SUM(CAST(i * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CASE WHEN i > n - CAST(CEIL(n / 10.0) AS BIGINT)
+                       THEN CAST(x AS DECIMAL(38,0)) END)
+              AS DECIMAL(38,0)) AS tp
+  FROM __r GROUP BY source
+)
+SELECT source, n_docs, CAST(s0 AS BIGINT) AS total_tokens,
+       {num} / {den} AS gini,
+       {top} / {tot} AS top_decile_share
+FROM __a
+ORDER BY source
+"""
