@@ -521,6 +521,8 @@ from bullet_storm_spark.operators import readability as _read
 from bullet_storm_spark.operators import keywords as _kw
 from bullet_storm_spark.operators import concentration as _conc
 from bullet_storm_spark.operators import seasonal as _season
+from bullet_storm_spark.operators import survival as _surv
+from bullet_storm_spark.operators import intervals as _iv
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -2173,6 +2175,36 @@ ORDER BY doc_id
     "events_seasonal_outliers": (
         lambda s, d: _season.seasonal_outliers(load_table(s, d, "events")),
         _season.seasonal_outliers_sql("events"),
+    ),
+    # group-aware (leakage-free) split: every event of a user lands in
+    # the same train/val/test bucket via an md5 hash of the GROUP key —
+    # the tag is a pure scan expression, so the fact table is tagged
+    # with no join; per-user assignment table
+    "sample_group_split": (
+        lambda s, d: _smp.group_split(load_table(s, d, "events"), "user_id"),
+        _smp.group_split_sql("events", "user_id"),
+    ),
+    # the split's proof: per-split sizes/shares + the cross-split
+    # leaked-group count demonstrated as 0 on the tagged output
+    "sample_group_split_audit": (
+        lambda s, d: _smp.group_split_audit(load_table(s, d, "events"), "user_id"),
+        _smp.group_split_audit_sql("events", "user_id"),
+    ),
+    # Kaplan-Meier survival over user activity lifetimes (hour-granular,
+    # 12h censor gap): censoring-correct retention; running product
+    # computed strictly sequentially on BOTH sides (bounded mapInPandas
+    # loop vs recursive CTE) because windowed products reassociate
+    "events_km_survival": (
+        lambda s, d: _surv.km_survival(load_table(s, d, "events")),
+        _surv.km_survival_sql("events"),
+    ),
+    # bucketed interval-overlap join (the scale-safe non-equi join):
+    # user-day activity intervals x per-type top-3 busiest-hour incident
+    # windows -> blast radius per incident; hour buckets + equi-join +
+    # exact verify, oracle = DuckDB's textbook inequality join
+    "join_interval_overlap": (
+        lambda s, d: _iv.user_day_incident_overlap(load_table(s, d, "events")),
+        _iv.user_day_incident_overlap_sql("events"),
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input

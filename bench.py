@@ -166,6 +166,10 @@ HEADLINE = [
     "corpus_token_gini",
     "events_seasonality",
     "events_seasonal_outliers",
+    "sample_group_split",
+    "sample_group_split_audit",
+    "events_km_survival",
+    "join_interval_overlap",
 ]
 
 

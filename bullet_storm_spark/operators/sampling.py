@@ -672,3 +672,185 @@ SELECT {group_col} AS grp, COUNT(*)::BIGINT AS n_rows,
        CAST(GREATEST(COUNT(*) - {int(cap)}, 0) AS BIGINT) AS dropped
 FROM {table} GROUP BY {group_col} ORDER BY grp
 """
+
+
+# --- group-aware (leakage-free) splits --------------------------------------
+
+_DEFAULT_FRACS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def _split_thresholds(fracs) -> list[tuple[str, float]]:
+    """(name, cumulative-upper-bound) pairs with the EXACT float cums both
+    dialects will compare against (the python float sum, repr-emitted, so
+    0.8+0.1 -> 0.9000000000000001 identically in both plans)."""
+    items = list(fracs.items()) if isinstance(fracs, dict) else list(fracs)
+    if not items:
+        raise ValueError("need at least one split")
+    names = [n for n, _ in items]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    if any(f <= 0 for _, f in items):
+        raise ValueError(f"split fractions must be > 0: {items}")
+    total = sum(f for _, f in items)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    for name, f in items:
+        cum += f
+        out.append((name, cum))
+    return out
+
+
+def _split_col(group_col: str, fracs, salt: str) -> Column:
+    """The split tag as a PURE scan expression of the group key — no
+    join, no shuffle: any frame sharing the key computes the identical
+    assignment independently (the leakage-free property is carried by
+    the hash, not by a materialized assignment table)."""
+    cums = _split_thresholds(fracs)
+    u = hash_fraction(group_col, salt)
+    # ascending when-chain: first matching threshold wins, mirroring the
+    # SQL CASE branch order exactly
+    expr = None
+    for name, hi in cums[:-1]:
+        cond = u < F.lit(hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return (
+        expr.otherwise(F.lit(cums[-1][0]))
+        if expr is not None
+        else F.lit(cums[-1][0])
+    )
+
+
+def _split_sql_case(group_col: str, fracs, salt: str) -> str:
+    cums = _split_thresholds(fracs)
+    u = hash_fraction_sql(group_col, salt)
+    branches = "\n            ".join(
+        f"WHEN {u} < {hi!r} THEN '{name}'" for name, hi in cums[:-1]
+    )
+    return f"CASE {branches}\n            ELSE '{cums[-1][0]}' END"
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fracs=None,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Per-group split assignment: ``(grp, n_rows, split)`` ordered by
+    group. Every row of a group lands in the SAME split (the leakage
+    guard row-level splits cannot give: a user's history must not
+    straddle train and eval), assigned by md5-hash bucket of the group
+    key against the cumulative fraction thresholds.
+
+    Scale shape: one aggregation on the group key; the tag itself is a
+    scan expression (see ``_split_col``), so tagging the full fact table
+    needs NO join against this frame."""
+    fracs = fracs if fracs is not None else dict(_DEFAULT_FRACS)
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select("grp", "n_rows", _split_col("grp", fracs, salt).alias("split"))
+        .orderBy("grp")
+    )
+
+
+def group_split_sql(
+    table: str, group_col: str, fracs=None, salt: str = "gsplit"
+) -> str:
+    fracs = fracs if fracs is not None else dict(_DEFAULT_FRACS)
+    case = _split_sql_case("grp", fracs, salt)
+    return f"""
+SELECT grp, n_rows, {case} AS split
+FROM (
+  SELECT {group_col} AS grp, COUNT(*)::BIGINT AS n_rows
+  FROM {table} GROUP BY {group_col}
+)
+ORDER BY grp
+"""
+
+
+def group_split_audit(
+    df: DataFrame,
+    group_col: str,
+    fracs=None,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """The proof the split is leakage-free AND sized as requested:
+    per-split ``(split, n_groups, n_rows, group_share, row_share,
+    leaked_groups)`` ordered by split. ``leaked_groups`` (same value on
+    every row, a 1-row broadcast) counts groups whose rows landed in
+    more than one split — 0 by construction; the audit DEMONSTRATES it
+    on the tagged output rather than assuming it, which is the entire
+    job of an audit operator. ``group_share`` is measured against the
+    requested fraction; hash-bucket noise shrinks as groups grow."""
+    fracs = fracs if fracs is not None else dict(_DEFAULT_FRACS)
+    tagged = df.select(
+        F.col(group_col).alias("grp"),
+        _split_col(group_col, fracs, salt).alias("split"),
+    )
+    per = tagged.groupBy("split").agg(
+        F.count_distinct("grp").cast("long").alias("n_groups"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    tot = per.agg(
+        F.sum("n_groups").cast("long").alias("__tg"),
+        F.sum("n_rows").cast("long").alias("__tr"),
+    )
+    leaked = (
+        tagged.groupBy("grp")
+        .agg(F.count_distinct("split").alias("__ns"))
+        .where(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_groups"))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "split",
+            "n_groups",
+            "n_rows",
+            (F.col("n_groups").cast("double") / F.col("__tg").cast("double")).alias(
+                "group_share"
+            ),
+            (F.col("n_rows").cast("double") / F.col("__tr").cast("double")).alias(
+                "row_share"
+            ),
+            "leaked_groups",
+        )
+        .orderBy("split")
+    )
+
+
+def group_split_audit_sql(
+    table: str, group_col: str, fracs=None, salt: str = "gsplit"
+) -> str:
+    fracs = fracs if fracs is not None else dict(_DEFAULT_FRACS)
+    case = _split_sql_case(group_col, fracs, salt)
+    return f"""
+WITH __t AS (
+  SELECT {group_col} AS grp, {case} AS split FROM {table}
+),
+__p AS (
+  SELECT split, COUNT(DISTINCT grp)::BIGINT AS n_groups,
+         COUNT(*)::BIGINT AS n_rows
+  FROM __t GROUP BY split
+),
+__tot AS (
+  SELECT SUM(n_groups)::BIGINT AS tg, SUM(n_rows)::BIGINT AS tr FROM __p
+),
+__leak AS (
+  SELECT COUNT(*)::BIGINT AS leaked_groups FROM (
+    SELECT grp FROM __t GROUP BY grp HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT p.split, p.n_groups, p.n_rows,
+       CAST(p.n_groups AS DOUBLE) / CAST(t.tg AS DOUBLE) AS group_share,
+       CAST(p.n_rows AS DOUBLE) / CAST(t.tr AS DOUBLE) AS row_share,
+       l.leaked_groups
+FROM __p p CROSS JOIN __tot t CROSS JOIN __leak l
+ORDER BY p.split
+"""
