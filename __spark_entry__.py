@@ -523,6 +523,7 @@ from bullet_storm_spark.operators import concentration as _conc
 from bullet_storm_spark.operators import seasonal as _season
 from bullet_storm_spark.operators import survival as _surv
 from bullet_storm_spark.operators import intervals as _iv
+from bullet_storm_spark.operators import experiment as _exp
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -2205,6 +2206,37 @@ ORDER BY doc_id
     "join_interval_overlap": (
         lambda s, d: _iv.user_day_incident_overlap(load_table(s, d, "events")),
         _iv.user_day_incident_overlap_sql("events"),
+    ),
+    # difference-in-differences over the 2x2 (treated x post) design:
+    # cell means from exact decimal moments, pooled-variance normal SE;
+    # the launch readout when randomization wasn't available
+    "events_did": (
+        lambda s, d: _exp.did(
+            load_table(s, d, "events"), "value",
+            F.col("user_id") % 2 == 0,
+            F.expr("(ts_ns div 1000) div 86400000000") >= 689,
+        ),
+        _exp.did_sql(
+            "events", "value", "user_id % 2 = 0",
+            "epoch_us(ts) // 86400000000 >= 689",
+        ),
+    ),
+    # per-type alpha-trimmed + winsorized means: robust location for
+    # heavy-tailed value columns (exact percentile bounds, decimal sums)
+    "events_trimmed_means": (
+        lambda s, d: _exp.trimmed_means(
+            load_table(s, d, "events"), "event_type", "value", alpha=0.05
+        ),
+        _exp.trimmed_means_sql("events", "event_type", "value", alpha=0.05),
+    ),
+    # minimum-detectable-effect plan from the observed control arm
+    # (z constants are python literals - no engine evaluates a normal
+    # quantile): the pre-experiment sizing readout
+    "events_mde_planning": (
+        lambda s, d: _exp.mde_planning(
+            load_table(s, d, "events"), "value", F.col("user_id") % 2 == 0
+        ),
+        _exp.mde_planning_sql("events", "value", "user_id % 2 = 0"),
     ),
     # analytic LSH banding S-curve (MMDS ch.3): the design-time twin of
     # the measured dedup_lsh_recall audit; config-only, no table input

@@ -170,6 +170,9 @@ HEADLINE = [
     "sample_group_split_audit",
     "events_km_survival",
     "join_interval_overlap",
+    "events_did",
+    "events_trimmed_means",
+    "events_mde_planning",
 ]
 
 

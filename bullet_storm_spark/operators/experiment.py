@@ -1,0 +1,342 @@
+"""Experiment design & robust estimation: difference-in-differences,
+trimmed/winsorized means, and MDE planning — dual-compiled.
+
+The three pieces around the tests stats_tests.py already ships (Welch t,
+two-proportion z, CUPED, readouts):
+
+* ``did`` — difference-in-differences (Card & Krueger AER 1994 lineage):
+  the 2×2 (treated × post) cell means and the interaction estimate
+  ``(m11 − m10) − (m01 − m00)``, with a pooled per-cell-variance normal
+  SE. The workhorse for launches WITHOUT randomization — parallel-trends
+  is the caller's assumption, the arithmetic is ours.
+* ``trimmed_means`` — per-key α-trimmed and winsorized means: the robust
+  location estimates for heavy-tailed value columns (revenue, latency),
+  where one whale user moves a raw mean by more than the treatment
+  effect. Bounds are exact percentiles (quantile_cont convention).
+* ``mde_planning`` — minimum detectable effect at given α/power from the
+  observed control variance: ``MDE = (z_{1−α/2} + z_power)·σ·√(2/n)``
+  for an equal-split two-arm test. The z constants are PYTHON literals
+  (default 1.959963984540054, 0.8416212335729143 — Φ⁻¹ is a
+  transcendental neither engine should evaluate), so both plans consume
+  identical doubles.
+
+Engine parity: all three follow the module conventions of
+stats_tests.py — values quantize to DECIMAL(18,6) on entry (``_q6``),
+moments accumulate in DECIMAL(38,12) with the (19,6) operand widening in
+the DuckDB twins, decimal→double via the ``_d2d`` text hop, try_divide
+for data-dependent denominators, ROUND(…, round_to) only on final
+outputs (the family's certified pattern).
+
+Scale posture (100 TB): ``did`` and ``mde_planning`` are single-scan
+conditional aggregations (no shuffle beyond the 1-row agg);
+``trimmed_means`` is the robust_outliers shape — percentile pass +
+broadcast bounds + one keyed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bullet_storm_spark.operators.stats_tests import (
+    _MOMENT,
+    _arm_moments,
+    _d2d,
+    _d2d_sql,
+    _div,
+    _q6,
+    _q6_sql,
+)
+
+# Φ⁻¹(0.975) and Φ⁻¹(0.80): the standard 5%-two-sided / 80%-power pair
+Z_ALPHA_975 = 1.959963984540054
+Z_POWER_80 = 0.8416212335729143
+
+
+def _arm_sql(value_sql: str, pred: str, tag: str) -> str:
+    """The welch_t_sql arm builder: n / Σx / Σx² with the (19,6)
+    widening so DuckDB's decimal multiply takes the exact int128 path."""
+    x = _q6_sql(f"CASE WHEN {pred} THEN CAST({value_sql} AS DOUBLE) END")
+    xw = f"CAST({x} AS DECIMAL(19,6))"
+    return (
+        f"COUNT({x})::BIGINT AS n_{tag},\n"
+        f"         CAST(SUM(CAST({x} AS DECIMAL(38,12)))"
+        f" AS DECIMAL(38,12)) AS s_{tag},\n"
+        f"         CAST(SUM({xw} * {xw})"
+        f" AS DECIMAL(38,12)) AS q_{tag}"
+    )
+
+
+def did(
+    df: DataFrame,
+    value_col: str,
+    treat_pred: Column,
+    post_pred: Column,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row difference-in-differences readout over the 2×2 design:
+    ``(n00, n01, n10, n11, m00, m01, m10, m11, did, se_did, z)`` where
+    cell ``gp`` is (treated=g, post=p), ``did = (m11−m10)−(m01−m00)``
+    and ``se_did = sqrt(Σ s²_gp/n_gp)`` (independent-cell normal
+    approximation). did/se/z are NULL unless every cell has n >= 2."""
+    v = F.col(value_col).cast("double")
+    base = df.where(F.col(value_col).isNotNull())
+    arms = {}
+    for g, gp in ((0, ~treat_pred), (1, treat_pred)):
+        for p, pp in ((0, ~post_pred), (1, post_pred)):
+            arms[f"{g}{p}"] = _arm_moments(v, gp & pp)
+    agg = base.agg(
+        *[
+            c.alias(f"{name}_{tag}")
+            for tag, cols in arms.items()
+            for name, c in zip(("n", "s", "q"), cols)
+        ]
+    )
+    m, var, ok = {}, {}, F.lit(True)
+    for tag in arms:
+        n_d = F.col(f"n_{tag}").cast("double")
+        s_d = _d2d(F.col(f"s_{tag}"))
+        q_d = _d2d(F.col(f"q_{tag}"))
+        m[tag] = _div(s_d, n_d)
+        var[tag] = _div(q_d - _div(s_d * s_d, n_d), n_d - F.lit(1.0))
+        ok = ok & (F.col(f"n_{tag}") >= 2)
+    est = (m["11"] - m["10"]) - (m["01"] - m["00"])
+    se2 = sum(
+        (_div(var[tag], F.col(f"n_{tag}").cast("double")) for tag in arms),
+        F.lit(0.0),
+    )
+    se = F.sqrt(se2)
+    return agg.select(
+        *[F.col(f"n_{t}") for t in ("00", "01", "10", "11")],
+        *[
+            F.round(F.when(F.col(f"n_{t}") > 0, m[t]), round_to).alias(f"m_{t}")
+            for t in ("00", "01", "10", "11")
+        ],
+        F.round(F.when(ok, est), round_to).alias("did"),
+        F.round(F.when(ok & (se2 > 0), se), round_to).alias("se_did"),
+        F.round(F.when(ok & (se2 > 0), _div(est, se)), round_to).alias("z"),
+    )
+
+
+def did_sql(
+    table: str,
+    value_sql: str,
+    treat_sql: str,
+    post_sql: str,
+    round_to: int = 9,
+) -> str:
+    arms = ",\n         ".join(
+        _arm_sql(
+            value_sql,
+            f"({'' if g else 'NOT '}({treat_sql})) AND "
+            f"({'' if p else 'NOT '}({post_sql}))",
+            f"{g}{p}",
+        )
+        for g in (0, 1)
+        for p in (0, 1)
+    )
+    mdef = "\n         ".join(
+        f"{_d2d_sql(f's_{t}')} / CAST(n_{t} AS DOUBLE) AS m_{t},"
+        f" ({_d2d_sql(f'q_{t}')} - {_d2d_sql(f's_{t}')} * {_d2d_sql(f's_{t}')}"
+        f" / CAST(n_{t} AS DOUBLE)) / (CAST(n_{t} AS DOUBLE) - 1.0) AS v_{t},"
+        for t in ("00", "01", "10", "11")
+    ).rstrip(",")
+    ok = " AND ".join(f"n_{t} >= 2" for t in ("00", "01", "10", "11"))
+    se2 = " + ".join(f"v_{t} / CAST(n_{t} AS DOUBLE)" for t in ("00", "01", "10", "11"))
+    return f"""
+WITH __m AS (
+  SELECT {arms}
+  FROM {table} WHERE ({value_sql}) IS NOT NULL
+),
+__d AS (
+  SELECT n_00, n_01, n_10, n_11,
+         {mdef}
+  FROM __m
+),
+__e AS (
+  SELECT *, (m_11 - m_10) - (m_01 - m_00) AS est,
+         {se2} AS se2
+  FROM __d
+)
+SELECT n_00, n_01, n_10, n_11,
+       ROUND(CASE WHEN n_00 > 0 THEN m_00 END, {round_to}) AS m_00,
+       ROUND(CASE WHEN n_01 > 0 THEN m_01 END, {round_to}) AS m_01,
+       ROUND(CASE WHEN n_10 > 0 THEN m_10 END, {round_to}) AS m_10,
+       ROUND(CASE WHEN n_11 > 0 THEN m_11 END, {round_to}) AS m_11,
+       ROUND(CASE WHEN {ok} THEN est END, {round_to}) AS did,
+       ROUND(CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END, {round_to})
+         AS se_did,
+       ROUND(CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END,
+             {round_to}) AS z
+FROM __e
+"""
+
+
+def trimmed_means(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key robust location: ``(key, n, n_trimmed, lo, hi,
+    trimmed_mean, winsorized_mean)`` ordered by key. ``lo``/``hi`` are
+    the exact α and 1−α percentiles (9dp-rounded, the robust_outliers
+    boundary convention); the trimmed mean averages values inside
+    [lo, hi], the winsorized mean clamps outsiders to the bounds.
+    ``n_trimmed`` counts dropped values."""
+    if not 0.0 <= alpha < 0.5:
+        raise ValueError(f"need 0 <= alpha < 0.5, got {alpha}")
+    v6 = _d2d(_q6(F.col(value_col).cast("double")))
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"), v6.alias("__v")
+    )
+    bounds = base.groupBy("key").agg(
+        F.round(F.percentile(F.col("__v"), F.lit(float(alpha))), 9).alias("__lo"),
+        F.round(
+            F.percentile(F.col("__v"), F.lit(1.0 - float(alpha))), 9
+        ).alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    joined = base.join(F.broadcast(bounds), "key")
+    inb = (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+    clamped = F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi"))
+    t6 = _q6(F.when(inb, F.col("__v")))
+    w6 = _q6(clamped)
+    agg = joined.groupBy("key").agg(
+        F.first("n").alias("n"),
+        F.first("__lo").alias("lo"),
+        F.first("__hi").alias("hi"),
+        F.count(t6).cast("long").alias("__nt"),
+        F.sum(t6.cast(_MOMENT)).cast(_MOMENT).alias("__st"),
+        F.sum(w6.cast(_MOMENT)).cast(_MOMENT).alias("__sw"),
+    )
+    return agg.select(
+        "key",
+        "n",
+        (F.col("n") - F.col("__nt")).cast("long").alias("n_trimmed"),
+        "lo",
+        "hi",
+        F.round(
+            _div(_d2d(F.col("__st")), F.col("__nt").cast("double")), round_to
+        ).alias("trimmed_mean"),
+        F.round(
+            _div(_d2d(F.col("__sw")), F.col("n").cast("double")), round_to
+        ).alias("winsorized_mean"),
+    ).orderBy("key")
+
+
+def trimmed_means_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> str:
+    if not 0.0 <= alpha < 0.5:
+        raise ValueError(f"need 0 <= alpha < 0.5, got {alpha}")
+    v6 = _d2d_sql(_q6_sql(f"CAST({value_col} AS DOUBLE)"))
+    t6 = _q6_sql("CASE WHEN v >= lo AND v <= hi THEN v END")
+    w6 = _q6_sql("LEAST(GREATEST(v, lo), hi)")
+    return f"""
+WITH __b AS (
+  SELECT {key_col} AS key, {v6} AS v FROM {table}
+  WHERE ({value_col}) IS NOT NULL
+),
+__bd AS (
+  SELECT key, ROUND(quantile_cont(v, {float(alpha)!r}), 9) AS lo,
+         ROUND(quantile_cont(v, {1.0 - float(alpha)!r}), 9) AS hi,
+         COUNT(*)::BIGINT AS n
+  FROM __b GROUP BY key
+),
+__j AS (
+  SELECT b.key, b.v, d.lo, d.hi, d.n FROM __b b JOIN __bd d ON b.key = d.key
+),
+__a AS (
+  SELECT key, MIN(n) AS n, MIN(lo) AS lo, MIN(hi) AS hi,
+         COUNT({t6})::BIGINT AS nt,
+         CAST(SUM(CAST({t6} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS st,
+         CAST(SUM(CAST({w6} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sw
+  FROM __j GROUP BY key
+)
+SELECT key, n, (n - nt)::BIGINT AS n_trimmed, lo, hi,
+       ROUND({_d2d_sql('st')} / CAST(nt AS DOUBLE), {round_to})
+         AS trimmed_mean,
+       ROUND({_d2d_sql('sw')} / CAST(n AS DOUBLE), {round_to})
+         AS winsorized_mean
+FROM __a
+ORDER BY key
+"""
+
+
+def mde_planning(
+    df: DataFrame,
+    value_col: str,
+    control_pred: Column,
+    z_alpha: float = Z_ALPHA_975,
+    z_power: float = Z_POWER_80,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row minimum-detectable-effect plan from the observed control
+    arm: ``(n, mean, sd, mde_abs, mde_rel)`` — the smallest true lift an
+    equal-split two-arm test of this size would detect at the given
+    α/power: ``mde_abs = (z_α + z_power)·sd·sqrt(2/n)``;
+    ``mde_rel = mde_abs / mean`` (NULL at zero mean). NULL statistics
+    when n < 2 or variance is 0."""
+    v = F.col(value_col).cast("double")
+    base = df.where(F.col(value_col).isNotNull())
+    n_c, s_c, q_c = _arm_moments(v, control_pred)
+    agg = base.agg(n_c.alias("n"), s_c.alias("__s"), q_c.alias("__q"))
+    n_d = F.col("n").cast("double")
+    mean = _div(_d2d(F.col("__s")), n_d)
+    var = _div(
+        _d2d(F.col("__q")) - _div(_d2d(F.col("__s")) * _d2d(F.col("__s")), n_d),
+        n_d - F.lit(1.0),
+    )
+    ok = (F.col("n") >= 2) & (var > 0)
+    sd = F.sqrt(var)
+    mde = (
+        (F.lit(float(z_alpha)) + F.lit(float(z_power)))
+        * sd
+        * F.sqrt(_div(F.lit(2.0), n_d))
+    )
+    return agg.select(
+        "n",
+        F.round(F.when(F.col("n") > 0, mean), round_to).alias("mean"),
+        F.round(F.when(ok, sd), round_to).alias("sd"),
+        F.round(F.when(ok, mde), round_to).alias("mde_abs"),
+        F.round(F.when(ok, _div(mde, mean)), round_to).alias("mde_rel"),
+    )
+
+
+def mde_planning_sql(
+    table: str,
+    value_sql: str,
+    control_sql: str,
+    z_alpha: float = Z_ALPHA_975,
+    z_power: float = Z_POWER_80,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH __m AS (
+  SELECT {_arm_sql(value_sql, control_sql, 'c')}
+  FROM {table} WHERE ({value_sql}) IS NOT NULL
+),
+__d AS (
+  SELECT n_c AS n,
+         {_d2d_sql('s_c')} / CAST(n_c AS DOUBLE) AS mean,
+         ({_d2d_sql('q_c')} - {_d2d_sql('s_c')} * {_d2d_sql('s_c')}
+            / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) AS var
+  FROM __m
+)
+SELECT n,
+       ROUND(CASE WHEN n > 0 THEN mean END, {round_to}) AS mean,
+       ROUND(CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END, {round_to})
+         AS sd,
+       ROUND(CASE WHEN n >= 2 AND var > 0 THEN
+         ({float(z_alpha)!r} + {float(z_power)!r}) * sqrt(var)
+           * sqrt(2.0 / CAST(n AS DOUBLE)) END, {round_to}) AS mde_abs,
+       ROUND(CASE WHEN n >= 2 AND var > 0 AND mean <> 0 THEN
+         ({float(z_alpha)!r} + {float(z_power)!r}) * sqrt(var)
+           * sqrt(2.0 / CAST(n AS DOUBLE)) / mean END, {round_to}) AS mde_rel
+FROM __d
+"""

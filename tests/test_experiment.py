@@ -1,0 +1,199 @@
+"""DiD / trimmed means / MDE planning: pure-Python oracles + DuckDB
+twins + guards."""
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_storm_spark.operators.experiment import (
+    Z_ALPHA_975,
+    Z_POWER_80,
+    did,
+    did_sql,
+    mde_planning,
+    mde_planning_sql,
+    trimmed_means,
+    trimmed_means_sql,
+)
+
+
+def _duck(setup_sql, query):
+    con = duckdb.connect()
+    con.execute(setup_sql)
+    return con.execute(query).fetchall()
+
+
+def _rows_sql(rows, cols):
+    vals = ", ".join(
+        "(" + ", ".join(repr(v) for v in r) + ")" for r in rows
+    )
+    return f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v({cols})"
+
+
+# --- DiD --------------------------------------------------------------------
+
+DID_ROWS = (
+    [(0, 0, 10.0 + i) for i in range(5)]       # control, pre: mean 12
+    + [(0, 1, 11.0 + i) for i in range(5)]     # control, post: mean 13 (+1)
+    + [(1, 0, 20.0 + i) for i in range(5)]     # treated, pre: mean 22
+    + [(1, 1, 24.0 + i) for i in range(5)]     # treated, post: mean 26 (+4)
+)
+
+
+def _py_cell(rows, g, p):
+    xs = [round(v, 6) for gg, pp, v in rows if gg == g and pp == p]
+    n = len(xs)
+    m = sum(xs) / n
+    var = sum((x - m) ** 2 for x in xs) / (n - 1)
+    return n, m, var
+
+
+def test_did_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(DID_ROWS, "g int, p int, value double")
+    got = tuple(
+        did(df, "value", F.col("g") == 1, F.col("p") == 1).collect()[0]
+    )
+    cells = {f"{g}{p}": _py_cell(DID_ROWS, g, p) for g in (0, 1) for p in (0, 1)}
+    est = (cells["11"][1] - cells["10"][1]) - (cells["01"][1] - cells["00"][1])
+    se = math.sqrt(sum(v / n for n, _, v in cells.values()))
+    assert got[:4] == (5, 5, 5, 5)
+    assert got[8] == pytest.approx(est) == pytest.approx(3.0)
+    assert got[9] == pytest.approx(se, abs=1e-9)
+    assert got[10] == pytest.approx(est / se, abs=1e-9)
+    oracle = _duck(
+        _rows_sql(DID_ROWS, "g, p, value"),
+        did_sql("t", "value", "g = 1", "p = 1"),
+    )
+    assert got == oracle[0]
+
+
+def test_did_null_on_thin_cells(spark):
+    rows = [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 4.0)]
+    df = spark.createDataFrame(rows, "g int, p int, value double")
+    got = did(df, "value", F.col("g") == 1, F.col("p") == 1).collect()[0]
+    assert got["did"] is None and got["se_did"] is None and got["z"] is None
+    oracle = _duck(
+        _rows_sql(rows, "g, p, value"), did_sql("t", "value", "g = 1", "p = 1")
+    )
+    assert tuple(got) == oracle[0]
+
+
+# --- trimmed means ----------------------------------------------------------
+
+
+def _py_qcont(xs, q):
+    xs = sorted(xs)
+    h = (len(xs) - 1) * q
+    lo = int(math.floor(h))
+    hi = min(lo + 1, len(xs) - 1)
+    return xs[lo] + (h - lo) * (xs[hi] - xs[lo])
+
+
+def test_trimmed_means_matches_python_and_duckdb(spark):
+    rows = [("k", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    df = spark.createDataFrame(rows, "key string, value double")
+    got = tuple(trimmed_means(df, "key", "value", alpha=0.1).collect()[0])
+    xs = [v for _, v in rows]
+    lo = round(_py_qcont(xs, 0.1), 9)
+    hi = round(_py_qcont(xs, 0.9), 9)
+    kept = [x for x in xs if lo <= x <= hi]
+    wins = [min(max(x, lo), hi) for x in xs]
+    assert got[0] == "k" and got[1] == 10
+    assert got[2] == len(xs) - len(kept)
+    assert got[3] == pytest.approx(lo) and got[4] == pytest.approx(hi)
+    assert got[5] == pytest.approx(round(sum(kept) / len(kept), 6))
+    assert got[6] == pytest.approx(round(sum(round(w, 6) for w in wins) / 10, 6))
+    # the whale moved the raw mean to 104.5; robust estimates stay near 5
+    assert got[5] < 10 and got[6] < got[5] + 100
+    oracle = _duck(
+        _rows_sql(rows, "key, value"),
+        trimmed_means_sql("t", "key", "value", alpha=0.1),
+    )
+    assert got == oracle[0]
+
+
+def test_trimmed_means_validation(spark):
+    df = spark.createDataFrame([("k", 1.0)], "key string, value double")
+    with pytest.raises(ValueError):
+        trimmed_means(df, "key", "value", alpha=0.5)
+    with pytest.raises(ValueError):
+        trimmed_means_sql("t", "key", "value", alpha=-0.1)
+
+
+# --- MDE --------------------------------------------------------------------
+
+
+def test_mde_matches_python_and_duckdb(spark):
+    rows = [("c", float(10 + (i * 7) % 13)) for i in range(40)] + [
+        ("x", 999.0)
+    ] * 5
+    df = spark.createDataFrame(rows, "arm string, value double")
+    got = tuple(mde_planning(df, "value", F.col("arm") == "c").collect()[0])
+    xs = [round(v, 6) for a, v in rows if a == "c"]
+    n = len(xs)
+    m = sum(xs) / n
+    var = sum((x - m) ** 2 for x in xs) / (n - 1)
+    mde = (Z_ALPHA_975 + Z_POWER_80) * math.sqrt(var) * math.sqrt(2 / n)
+    assert got[0] == 40
+    assert got[1] == pytest.approx(m, abs=1e-9)
+    assert got[2] == pytest.approx(math.sqrt(var), abs=1e-9)
+    assert got[3] == pytest.approx(mde, abs=1e-9)
+    assert got[4] == pytest.approx(mde / m, abs=1e-9)
+    oracle = _duck(
+        _rows_sql(rows, "arm, value"), mde_planning_sql("t", "value", "arm = 'c'")
+    )
+    assert got == oracle[0]
+
+
+def test_mde_degenerate_null(spark):
+    df = spark.createDataFrame(
+        [("c", 5.0), ("c", 5.0)], "arm string, value double"
+    )
+    got = mde_planning(df, "value", F.col("arm") == "c").collect()[0]
+    assert got["sd"] is None and got["mde_abs"] is None  # zero variance
+
+
+# --- cross-engine fuzz ------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_experiment_parity_fuzz(spark, seed):
+    rng = random.Random(7500 + seed)
+    n = rng.randint(8, 80)
+    rows = [
+        (
+            rng.randint(0, 1),
+            rng.randint(0, 1),
+            rng.choice(
+                [round(rng.uniform(-1e5, 1e5), 2), round(rng.random(), 6), 0.0]
+            ),
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g int, p int, value double")
+    got = [tuple(r) for r in did(df, "value", F.col("g") == 1, F.col("p") == 1).collect()]
+    oracle = _duck(
+        _rows_sql(rows, "g, p, value"), did_sql("t", "value", "g = 1", "p = 1")
+    )
+    assert got == oracle
+
+    got = [
+        tuple(r)
+        for r in trimmed_means(df, "g", "value", alpha=0.25).collect()
+    ]
+    oracle = _duck(
+        _rows_sql(rows, "g, p, value"),
+        trimmed_means_sql("t", "g", "value", alpha=0.25),
+    )
+    assert got == oracle
+
+    got = [
+        tuple(r) for r in mde_planning(df, "value", F.col("g") == 0).collect()
+    ]
+    oracle = _duck(
+        _rows_sql(rows, "g, p, value"), mde_planning_sql("t", "value", "g = 0")
+    )
+    assert got == oracle
