@@ -68,6 +68,10 @@ def seasonality_profile(df: DataFrame, type_col: str = "event_type") -> DataFram
         )
         .groupBy("event_type", "how")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # the ONE corpus pass; the result is calendar-bounded
+        # (types x 168), and it feeds two consumers (grid + densify
+        # join) - checkpoint so neither re-runs the raw aggregation
+        .localCheckpoint()
     )
     grid = (
         cells.select("event_type")
@@ -191,6 +195,11 @@ def seasonal_outliers(
         )
         .groupBy("event_type", "week", "how")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # the ONE corpus pass; downstream (span, grid, densify, median,
+        # MAD, flag join) is calendar-bounded (types x weeks x 168) and
+        # consumes this frame 3x - without the checkpoint the executed
+        # plan re-ran the raw aggregation 16 scans deep (PLANS.md audit)
+        .localCheckpoint()
     )
     span = cells.groupBy("event_type").agg(
         F.min("week").alias("__w0"), F.max("week").alias("__w1")
