@@ -524,6 +524,8 @@ from bullet_storm_spark.operators import seasonal as _season
 from bullet_storm_spark.operators import survival as _surv
 from bullet_storm_spark.operators import intervals as _iv
 from bullet_storm_spark.operators import experiment as _exp
+from bullet_storm_spark.operators import forecast as _fcst
+from bullet_storm_spark.operators import correlate as _correl
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -2729,6 +2731,30 @@ ORDER BY doc_id
     "sample_epoch_shuffle": (
         lambda s, d: _smp.epoch_shuffle(_docs(s, d), "doc_id", "ep0", n_shards=8),
         _smp.epoch_shuffle_sql("documents", "doc_id", "ep0", n_shards=8),
+    ),
+    # seasonal-naive backtest per type (MASE denominator convention,
+    # Hyndman & Koehler IJF'06): does the weekly shape actually predict —
+    # one corpus collapse to (type, hour) cells, span-bounded LAG scoring
+    "events_forecast_eval": (
+        lambda s, d: _fcst.seasonal_naive_eval(
+            load_table(s, d, "events"), period=168
+        ),
+        _fcst.seasonal_naive_eval_sql("events", period=168),
+    ),
+    # pairwise Pearson matrix over the lineitem measures in ONE
+    # aggregation pass (all Σx/Σx²/Σxy as explicit columns — no unpivot
+    # self-join); exact decimal moments, closed-form IEEE finish
+    "corr_lineitem_matrix": (
+        lambda s, d: _correl.correlation_matrix(
+            load_table(s, d, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            exact_decimal=True,
+        ),
+        _correl.correlation_matrix_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            exact_decimal=True,
+        ),
     ),
 }
 

@@ -173,6 +173,8 @@ HEADLINE = [
     "events_did",
     "events_trimmed_means",
     "events_mde_planning",
+    "events_forecast_eval",
+    "corr_lineitem_matrix",
 ]
 
 
