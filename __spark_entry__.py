@@ -2741,6 +2741,32 @@ ORDER BY doc_id
         ),
         _fcst.seasonal_naive_eval_sql("events", period=168),
     ),
+    # Spearman rank correlation via integer doubled-midranks over each
+    # column's SUPPORT (the auc_rank_sum identity — no global per-row
+    # sort); price floored to whole units to bound the support at scale
+    "corr_spearman_qty_price": (
+        lambda s, d: _correl.spearman(
+            load_table(s, d, "lineitem"),
+            "l_quantity",
+            "l_price_unit",
+            x_expr=F.col("l_quantity"),
+            y_expr=F.floor("l_extendedprice").cast("long"),
+        ),
+        _correl.spearman_sql(
+            "lineitem",
+            "l_quantity",
+            "l_price_unit",
+            x_sql="l_quantity",
+            y_sql="CAST(FLOOR(l_extendedprice) AS BIGINT)",
+        ),
+    ),
+    # EWMA control chart per type: integer fixed-point recursion (exact
+    # half-up nano-count steps — applyInPandas loop vs recursive CTE),
+    # asymptotic limits from the CUSUM 9-dp moment convention
+    "events_ewma_monitor": (
+        lambda s, d: _anomaly.ewma_monitor(load_table(s, d, "events")),
+        _anomaly.ewma_monitor_sql("events"),
+    ),
     # pairwise Pearson matrix over the lineitem measures in ONE
     # aggregation pass (all Σx/Σx²/Σxy as explicit columns — no unpivot
     # self-join); exact decimal moments, closed-form IEEE finish

@@ -175,6 +175,8 @@ HEADLINE = [
     "events_mde_planning",
     "events_forecast_eval",
     "corr_lineitem_matrix",
+    "corr_spearman_qty_price",
+    "events_ewma_monitor",
 ]
 
 

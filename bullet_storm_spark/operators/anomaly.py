@@ -30,6 +30,8 @@ rounded identically in both engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 _US_PER_HOUR = 3_600_000_000
@@ -707,4 +709,180 @@ SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
              {round_to}) AS cos_centroids,
        ROUND(sqrt(SUM((ma - mb) * (ma - mb))), {round_to}) AS l2_centroids
 FROM __d
+"""
+
+
+def ewma_monitor(
+    df: DataFrame,
+    key_col: str = "event_type",
+    lam_num: int = 1,
+    lam_den: int = 5,
+    limit_l: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart over hourly event counts per key (Roberts
+    Technometrics 1959; Lucas & Saccucci 1990): ``(key, hour, cnt, ewma,
+    mu, sd, ucl, lcl, outside)`` on the densified hour spine, ordered by
+    (key, hour). ``ewma`` is the recursion z_t = λ·x_t + (1−λ)·z_{t−1}
+    seeded at z_0 = x_0 with λ = lam_num/lam_den; the control limits are
+    the ASYMPTOTIC ones, μ ± L·σ·sqrt(λ/(2−λ)) (the steady-state form —
+    the finite-t correction needs (1−λ)^{2t}, and a float pow is not
+    portable across engines; for series longer than ~3/λ hours the two
+    are indistinguishable, and flagging during the first hours of a
+    monitor's life is noise anyway).
+
+    Engine parity: the recursion runs in INTEGER fixed point — z carries
+    nano-counts (×10⁹) and each step is
+    ``z = (2·(lam_num·x·10⁹ + (lam_den−lam_num)·z) + lam_den)
+    div (2·lam_den)`` (exact half-up rational rounding, pure int64) — a
+    float recursion would compound 1-ulp divergence, and a windowed
+    formulation reassociates (the km_survival lesson). The Spark side is
+    one bounded applyInPandas loop per key; the DuckDB twin steps the
+    identical integers through a recursive CTE. μ/σ follow the CUSUM
+    9-dp moment convention; the final double conversions are text-hops
+    of exact integers, so both engines compare identical doubles at the
+    limit boundary.
+
+    Scale posture (100 TB): the first aggregation collapses raw events
+    to (key, hour) cells; the per-key sequential pass runs on the
+    span-bounded spine (hours, not events), one shuffle on the key.
+    Counts up to ~2·10⁹ per cell stay inside int64 in the recursion.
+    """
+    if lam_den < 1 or lam_num < 1 or lam_num >= lam_den:
+        raise ValueError(f"need 0 < lam_num < lam_den, got {lam_num}/{lam_den}")
+    if round(limit_l, 2) != limit_l:
+        raise ValueError(f"limit_l must be exact at 2 decimals, got {limit_l}")
+    scale = 10**9
+    observed = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            (F.expr("ts_ns div 1000") / _US_PER_HOUR).cast("bigint").alias("hour"),
+        )
+        .groupBy("__key", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spine = (
+        observed.groupBy("__key")
+        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
+        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
+    )
+    hours = spine.join(observed, ["__key", "hour"], "left").select(
+        "__key", "hour", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    # the ONE corpus-derived frame; moments + recursion both consume it
+    hours = hours.localCheckpoint()
+    stats = hours.groupBy("__key").agg(
+        F.round(F.avg("cnt"), 9).alias("__mu"),
+        F.round(
+            F.sqrt(
+                F.avg(F.col("cnt") * F.col("cnt"))
+                - F.avg("cnt") * F.avg("cnt")
+            ),
+            9,
+        ).alias("__sd"),
+    )
+    ln, ld = int(lam_num), int(lam_den)
+
+    def rec(pdf):
+        pdf = pdf.sort_values("hour", kind="mergesort").reset_index(drop=True)
+        z, out = None, []
+        for x in pdf["cnt"]:
+            xi = int(x) * scale
+            if z is None:
+                z = xi
+            else:
+                # exact half-up rational rounding in pure ints — the
+                # recursive-CTE twin runs these same integers
+                z = (2 * (ln * xi + (ld - ln) * z) + ld) // (2 * ld)
+            out.append(z)
+        pdf["__z"] = out
+        return pdf
+
+    walked = hours.groupBy("__key").applyInPandas(
+        rec, "__key string, hour long, cnt long, __z long"
+    )
+    lam = float(ln) / float(ld)
+    width = F.lit(float(limit_l)) * F.col("__sd") * F.lit(
+        math.sqrt(lam / (2.0 - lam))
+    )
+    ewma_d = F.col("__z").cast("string").cast("double") / F.lit(float(scale))
+    return (
+        walked.join(F.broadcast(stats), "__key")
+        .select(
+            F.col("__key").alias(key_col),
+            "hour",
+            "cnt",
+            ewma_d.alias("ewma"),
+            F.col("__mu").alias("mu"),
+            F.col("__sd").alias("sd"),
+            (F.col("__mu") + width).alias("ucl"),
+            (F.col("__mu") - width).alias("lcl"),
+            (
+                (ewma_d > F.col("__mu") + width)
+                | (ewma_d < F.col("__mu") - width)
+            ).alias("outside"),
+        )
+        .orderBy(key_col, "hour")
+    )
+
+
+def ewma_monitor_sql(
+    table: str,
+    key_col: str = "event_type",
+    lam_num: int = 1,
+    lam_den: int = 5,
+    limit_l: float = 3.0,
+) -> str:
+    if lam_den < 1 or lam_num < 1 or lam_num >= lam_den:
+        raise ValueError(f"need 0 < lam_num < lam_den, got {lam_num}/{lam_den}")
+    if round(limit_l, 2) != limit_l:
+        raise ValueError(f"limit_l must be exact at 2 decimals, got {limit_l}")
+    import math as _math
+
+    ln, ld = int(lam_num), int(lam_den)
+    lam = float(ln) / float(ld)
+    factor = repr(_math.sqrt(lam / (2.0 - lam)))
+    return f"""
+WITH RECURSIVE __o AS (
+  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
+         COUNT(*)::BIGINT AS cnt
+  FROM {table} GROUP BY 1, 2
+),
+__spine AS (
+  SELECT key, unnest(generate_series(h0, h1)) AS hour
+  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1 FROM __o GROUP BY key)
+),
+__h AS (
+  SELECT s.key, s.hour, COALESCE(o.cnt, 0)::BIGINT AS cnt
+  FROM __spine s LEFT JOIN __o o ON s.key = o.key AND s.hour = o.hour
+),
+__stats AS (
+  SELECT key, ROUND(AVG(cnt), 9) AS mu,
+         ROUND(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt)), 9) AS sd
+  FROM __h GROUP BY key
+),
+__nb AS (
+  SELECT key, hour, cnt,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY hour) AS rn
+  FROM __h
+),
+__rec AS (
+  SELECT key, hour, cnt, rn, cnt * {10**9} AS z
+  FROM __nb WHERE rn = 1
+  UNION ALL
+  SELECT b.key, b.hour, b.cnt, b.rn,
+         (2 * ({ln} * b.cnt * {10**9} + {ld - ln} * r.z) + {ld}) // (2 * {ld})
+  FROM __nb b JOIN __rec r ON b.key = r.key AND b.rn = r.rn + 1
+),
+__f AS (
+  SELECT key, hour, cnt,
+         CAST(CAST(z AS VARCHAR) AS DOUBLE) / {float(10**9)!r} AS ewma,
+         mu, sd,
+         mu + {float(limit_l)!r} * sd * {factor} AS ucl,
+         mu - {float(limit_l)!r} * sd * {factor} AS lcl
+  FROM __rec JOIN __stats USING (key)
+)
+SELECT key AS {key_col}, hour, cnt, ewma, mu, sd, ucl, lcl,
+       (ewma > ucl OR ewma < lcl) AS outside
+FROM __f
+ORDER BY {key_col}, hour
 """

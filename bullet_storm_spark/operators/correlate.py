@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from bullet_storm_spark.operators.stats_tests import (
     _MOMENT,
@@ -155,4 +155,126 @@ WITH __m AS (
 )
 {union}
 ORDER BY col_x, col_y
+"""
+
+
+def spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_expr=None,
+    y_expr=None,
+) -> DataFrame:
+    """One-row Spearman rank correlation with exact tie midranks:
+    ``(n, rho)``. Rows with a NULL in either column are excluded.
+
+    Midranks come from each column's SUPPORT (value → count → cumulative
+    count), not from a global per-row sort: ``2·midrank = 2·cum_before +
+    cnt + 1`` is an integer (the auc_rank_sum identity), Spearman is
+    scale-invariant, so the whole statistic runs on integer doubled
+    ranks with DECIMAL(38,0)-exact moments — both engines reach one
+    closed-form IEEE finish on identical inputs. The support-sized
+    cumulative window carries the same contract as ks_drift/auc: bound
+    the support at scale by pre-quantizing continuous values via
+    ``x_expr``/``y_expr`` (e.g. round a price to whole units — the rank
+    correlation of the quantized value is what you asked for then).
+
+    Scale posture (100 TB): one scan for each column's support
+    aggregation (map-side combined), support-sized rank windows, two
+    broadcast-joins of the rank maps back onto the fact, one 1-row
+    moment reduction. Σ(2r)² ≈ 4n³ stays inside DECIMAL(38,0) to n≈10¹².
+    """
+    xe = x_expr if x_expr is not None else F.col(x_col)
+    ye = y_expr if y_expr is not None else F.col(y_col)
+    pts = df.select(xe.alias("__x"), ye.alias("__y")).where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+
+    def rank_map(col):
+        sup = pts.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return sup.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + F.col("__c")
+                + F.lit(1)
+            ).cast("long").alias(f"__r{col}"),
+        )
+
+    ranked = pts.join(F.broadcast(rank_map("__x")), "__x").join(
+        F.broadcast(rank_map("__y")), "__y"
+    )
+    ex = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__r__x").cast(ex)).cast(ex).alias("__sx"),
+        F.sum(F.col("__r__y").cast(ex)).cast(ex).alias("__sy"),
+        F.sum((F.col("__r__x").cast(ex) * F.col("__r__x").cast(ex))).cast(ex).alias("__qx"),
+        F.sum((F.col("__r__y").cast(ex) * F.col("__r__y").cast(ex))).cast(ex).alias("__qy"),
+        F.sum((F.col("__r__x").cast(ex) * F.col("__r__y").cast(ex))).cast(ex).alias("__pxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx, sy = _d2d(F.col("__sx")), _d2d(F.col("__sy"))
+    qx, qy = _d2d(F.col("__qx")), _d2d(F.col("__qy"))
+    pxy = _d2d(F.col("__pxy"))
+    num = (n_d * pxy) - (sx * sy)
+    vx = F.greatest((n_d * qx) - (sx * sx), F.lit(0.0))
+    vy = F.greatest((n_d * qy) - (sy * sy), F.lit(0.0))
+    return agg.select("n", _div(num, F.sqrt(vx * vy)).alias("rho"))
+
+
+def spearman_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    x_sql: str | None = None,
+    y_sql: str | None = None,
+) -> str:
+    xe = x_sql if x_sql is not None else x_col
+    ye = y_sql if y_sql is not None else y_col
+    return f"""
+WITH __p AS (
+  SELECT {xe} AS x, {ye} AS y FROM {table}
+  WHERE {xe} IS NOT NULL AND {ye} IS NOT NULL
+),
+__rx AS (
+  SELECT x,
+         (2 * COALESCE(SUM(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1)::BIGINT AS rx
+  FROM (SELECT x, COUNT(*)::BIGINT AS c FROM __p GROUP BY x)
+),
+__ry AS (
+  SELECT y,
+         (2 * COALESCE(SUM(c) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1)::BIGINT AS ry
+  FROM (SELECT y, COUNT(*)::BIGINT AS c FROM __p GROUP BY y)
+),
+__m AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS qx,
+         CAST(SUM(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS qy,
+         CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS pxy
+  FROM __p JOIN __rx USING (x) JOIN __ry USING (y)
+)
+SELECT n,
+       CASE WHEN sqrt(GREATEST((CAST(n AS DOUBLE) * {_d2d_sql('qx')})
+                      - ({_d2d_sql('sx')} * {_d2d_sql('sx')}), 0.0)
+                 * GREATEST((CAST(n AS DOUBLE) * {_d2d_sql('qy')})
+                      - ({_d2d_sql('sy')} * {_d2d_sql('sy')}), 0.0)) <> 0.0
+            THEN ((CAST(n AS DOUBLE) * {_d2d_sql('pxy')})
+                  - ({_d2d_sql('sx')} * {_d2d_sql('sy')}))
+                 / sqrt(GREATEST((CAST(n AS DOUBLE) * {_d2d_sql('qx')})
+                        - ({_d2d_sql('sx')} * {_d2d_sql('sx')}), 0.0)
+                      * GREATEST((CAST(n AS DOUBLE) * {_d2d_sql('qy')})
+                        - ({_d2d_sql('sy')} * {_d2d_sql('sy')}), 0.0))
+       END AS rho
+FROM __m
 """

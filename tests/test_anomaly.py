@@ -494,3 +494,121 @@ def test_centroid_drift_identical_and_shifted(spark):
         centroid_drift_sql("t", "embedding", "grp = 0", "grp = 1")
     ).fetchall()
     assert (r.n_a, r.n_b, r.cos_centroids, r.l2_centroids) == want
+
+
+# --- EWMA control chart -----------------------------------------------------
+
+
+def _py_ewma(rows, ln=1, ld=5, L=3.0):
+    """Pure-Python EWMA reference: integer fixed-point recursion +
+    asymptotic limits."""
+    S = 10**9
+    by_key = {}
+    for _, k, us in rows:
+        by_key.setdefault(k, []).append(us // 3_600_000_000)
+    out = {}
+    for k, hs in by_key.items():
+        h0, h1 = min(hs), max(hs)
+        cnt = {h: 0 for h in range(h0, h1 + 1)}
+        for h in hs:
+            cnt[h] += 1
+        xs = [cnt[h] for h in range(h0, h1 + 1)]
+        n = len(xs)
+        mu = round(sum(xs) / n, 9)
+        sd = round(
+            math.sqrt(sum(x * x for x in xs) / n - (sum(xs) / n) ** 2), 9
+        )
+        lam = ln / ld
+        width = L * sd * math.sqrt(lam / (2.0 - lam))
+        z, zs = None, []
+        for x in xs:
+            xi = x * S
+            z = xi if z is None else (2 * (ln * xi + (ld - ln) * z) + ld) // (
+                2 * ld
+            )
+            zs.append(z)
+        for h, x, z in zip(range(h0, h1 + 1), xs, zs):
+            ew = float(z) / S
+            out[(k, h)] = (
+                x,
+                ew,
+                mu,
+                sd,
+                mu + width,
+                mu - width,
+                ew > mu + width or ew < mu - width,
+            )
+    return out
+
+
+def test_ewma_flags_level_shift_and_matches_python(shifted):
+    df, con = shifted
+    got = [tuple(r) for r in anomaly.ewma_monitor(df).collect()]
+    oracle = con.execute(anomaly.ewma_monitor_sql("ev")).fetchall()
+    assert got == oracle
+    # rebuild rows from the fixture definition
+    rows = []
+    for h in range(30):
+        for i in range(2 if h < 20 else 9):
+            rows.append((0, "a", h * HOUR + i * 60_000_000))
+    for h in range(30):
+        for i in range(3):
+            rows.append((0, "b", h * HOUR + i * 60_000_000))
+    ref = _py_ewma(rows)
+    for k, hour, cnt, ewma, mu, sd, ucl, lcl, outside in got:
+        rx, rew, rmu, rsd, rucl, rlcl, rout = ref[(k, hour)]
+        assert cnt == rx
+        assert ewma == pytest.approx(rew, abs=1e-12)
+        assert mu == pytest.approx(rmu)
+        assert sd == pytest.approx(rsd)
+        assert outside == rout
+    # the shifted key flags in the back half; the steady key never does
+    a_out = [r[1] for r in got if r[0] == "a" and r[8]]
+    b_out = [r[1] for r in got if r[0] == "b" and r[8]]
+    assert a_out and min(a_out) >= 20
+    assert b_out == []
+
+
+def test_ewma_constant_series_inside(spark):
+    rows = [(i, "c", h * 3_600_000_000 + i) for h in range(8) for i in range(4)]
+    df, con = _mk_events(spark, rows)
+    got = [tuple(r) for r in anomaly.ewma_monitor(df).collect()]
+    oracle = con.execute(anomaly.ewma_monitor_sql("ev")).fetchall()
+    assert got == oracle
+    assert all(not r[8] for r in got)  # sd=0, ewma==mu: never outside
+    assert all(r[3] == 4.0 for r in got)
+
+
+def test_ewma_knob_validation(spark):
+    df, _ = _mk_events(spark, [(0, "a", 0)])
+    with pytest.raises(ValueError):
+        anomaly.ewma_monitor(df, lam_num=5, lam_den=5)
+    with pytest.raises(ValueError):
+        anomaly.ewma_monitor_sql("ev", lam_num=0, lam_den=4)
+    with pytest.raises(ValueError):
+        anomaly.ewma_monitor(df, limit_l=3.001)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_ewma_parity_fuzz(spark, seed):
+    import random
+
+    rng = random.Random(5150 + seed)
+    rows = [
+        (i, rng.choice(["a", "b"]), rng.randint(0, 80) * 3_600_000_000 + i)
+        for i in range(rng.randint(30, 200))
+    ]
+    df, con = _mk_events(spark, rows)
+    ln, ld = rng.choice([(1, 5), (1, 10), (3, 10)])
+    got = [
+        tuple(r)
+        for r in anomaly.ewma_monitor(df, lam_num=ln, lam_den=ld).collect()
+    ]
+    oracle = con.execute(
+        anomaly.ewma_monitor_sql("ev", lam_num=ln, lam_den=ld)
+    ).fetchall()
+    assert got == oracle
+    ref = _py_ewma(rows, ln=ln, ld=ld)
+    for k, hour, cnt, ewma, mu, sd, ucl, lcl, outside in got:
+        assert ewma == pytest.approx(ref[(k, hour)][1], abs=1e-12)
+        assert outside == ref[(k, hour)][6]

@@ -262,3 +262,96 @@ def test_correlation_parity_fuzz(spark, seed):
     ]
     oracle = _duck(_num_sql(rows), correlation_matrix_sql("t", ["x", "y", "z"]))
     assert got == oracle
+
+
+# --- spearman ---------------------------------------------------------------
+
+from bullet_storm_spark.operators.correlate import spearman, spearman_sql
+
+
+def _py_spearman(pairs):
+    """Pure-Python Spearman with tie midranks (Pearson on midranks)."""
+    pairs = [(x, y) for x, y in pairs if x is not None and y is not None]
+    n = len(pairs)
+
+    def midranks(vals):
+        order = {}
+        for v in vals:
+            order[v] = order.get(v, 0) + 1
+        ranks, cum = {}, 0
+        for v in sorted(order):
+            c = order[v]
+            ranks[v] = cum + (c + 1) / 2
+            cum += c
+        return ranks
+
+    rx = midranks([p[0] for p in pairs])
+    ry = midranks([p[1] for p in pairs])
+    xs = [rx[p[0]] for p in pairs]
+    ys = [ry[p[1]] for p in pairs]
+    sx, sy = sum(xs), sum(ys)
+    qx = sum(v * v for v in xs)
+    qy = sum(v * v for v in ys)
+    pxy = sum(a * b for a, b in zip(xs, ys))
+    den = math.sqrt(
+        max(n * qx - sx * sx, 0.0) * max(n * qy - sy * sy, 0.0)
+    )
+    return (n * pxy - sx * sy) / den if den else None
+
+
+def _pair_df(spark, pairs):
+    return spark.createDataFrame(pairs, "x double, y double")
+
+
+def _pair_sql(pairs):
+    vals = ", ".join(
+        "(" + ", ".join("NULL" if v is None else repr(v) for v in p) + ")"
+        for p in pairs
+    )
+    return f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(x, y)"
+
+
+def test_spearman_monotonic_and_ties(spark):
+    # monotonic but non-linear: rho = 1 exactly, Pearson would not be
+    pairs = [(float(i), float(i**3)) for i in range(1, 12)]
+    got = spearman(_pair_df(spark, pairs), "x", "y").collect()[0]
+    oracle = _duck(_pair_sql(pairs), spearman_sql("t", "x", "y"))[0]
+    assert tuple(got) == oracle
+    assert got["rho"] == pytest.approx(1.0)
+    # heavy ties
+    pairs = [(1.0, 2.0), (1.0, 2.0), (2.0, 2.0), (2.0, 5.0), (3.0, 5.0)]
+    got = spearman(_pair_df(spark, pairs), "x", "y").collect()[0]
+    oracle = _duck(_pair_sql(pairs), spearman_sql("t", "x", "y"))[0]
+    assert tuple(got) == oracle
+    assert got["rho"] == pytest.approx(_py_spearman(pairs))
+
+
+def test_spearman_nulls_and_constant(spark):
+    pairs = [(1.0, 4.0), (2.0, None), (None, 1.0), (3.0, 4.0), (4.0, 4.0)]
+    got = spearman(_pair_df(spark, pairs), "x", "y").collect()[0]
+    oracle = _duck(_pair_sql(pairs), spearman_sql("t", "x", "y"))[0]
+    assert tuple(got) == oracle
+    assert got["n"] == 3
+    assert got["rho"] is None  # constant y -> zero variance -> NULL
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_spearman_parity_fuzz(spark, seed):
+    rng = random.Random(6200 + seed)
+    pairs = [
+        (
+            float(rng.randint(0, 20)),
+            rng.choice([None, float(rng.randint(-10, 10))]),
+        )
+        for _ in range(rng.randint(10, 120))
+    ]
+    pairs.append((1.0, 1.0))
+    pairs.append((2.0, 3.0))
+    got = spearman(_pair_df(spark, pairs), "x", "y").collect()[0]
+    oracle = _duck(_pair_sql(pairs), spearman_sql("t", "x", "y"))[0]
+    assert tuple(got) == oracle
+    ref = _py_spearman(pairs)
+    if ref is None:
+        assert got["rho"] is None
+    else:
+        assert got["rho"] == pytest.approx(ref, abs=1e-9)
