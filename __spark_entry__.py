@@ -525,6 +525,7 @@ from bullet_storm_spark.operators import survival as _surv
 from bullet_storm_spark.operators import intervals as _iv
 from bullet_storm_spark.operators import experiment as _exp
 from bullet_storm_spark.operators import forecast as _fcst
+from bullet_storm_spark.operators import ids as _ids
 from bullet_storm_spark.operators import correlate as _correl
 
 # winnowing window/gram config shared by the fingerprint + pair entries
@@ -2740,6 +2741,29 @@ ORDER BY doc_id
             load_table(s, d, "events"), period=168
         ),
         _fcst.seasonal_naive_eval_sql("events", period=168),
+    ),
+    # per-source OOV audit vs the corpus top-N vocabulary: the
+    # tokenizer-coverage pre-flight (occurrence share vs type share);
+    # (source, token) collapse + TakeOrdered vocab broadcast
+    "text_oov_report": (
+        lambda s, d: _vocab.oov_report(
+            _docs(s, d), "source", "doc_id", "text", top_n=200
+        ),
+        _vocab.oov_report_sql("documents", "source", "doc_id", "text", top_n=200),
+    ),
+    # dense global ordinal WITHOUT the single-partition window trap:
+    # range exchange + partition-count offsets + pid-partitioned ranks
+    # (total order by (µs, event_id)); oracle is the plain ROW_NUMBER
+    "events_dense_ids": (
+        lambda s, d: _ids.assign_dense_ids(
+            load_table(s, d, "events").select(
+                "event_id", F.expr("ts_ns div 1000").alias("us")
+            ),
+            ["us", "event_id"],
+        ).select("event_id", "dense_id"),
+        "SELECT event_id, ROW_NUMBER() OVER "
+        "(ORDER BY epoch_us(ts), event_id)::BIGINT AS dense_id "
+        "FROM events ORDER BY dense_id",
     ),
     # Spearman rank correlation via integer doubled-midranks over each
     # column's SUPPORT (the auc_rank_sum identity — no global per-row

@@ -176,6 +176,8 @@ HEADLINE = [
     "events_forecast_eval",
     "corr_lineitem_matrix",
     "corr_spearman_qty_price",
+    "events_dense_ids",
+    "text_oov_report",
     "events_ewma_monitor",
 ]
 

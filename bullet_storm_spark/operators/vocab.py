@@ -1169,3 +1169,114 @@ WHERE p.n_pair >= {int(min_count)}
 ORDER BY pmi DESC, p.w1, p.w2
 LIMIT {int(top_n)}
 """
+
+
+def oov_report(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    top_n: int = 1000,
+) -> DataFrame:
+    """Per-source out-of-vocabulary audit against the corpus' top-N
+    vocabulary: ``(source, total_tokens, oov_tokens, oov_token_share,
+    n_types, oov_types, oov_type_share)`` ordered by source.
+
+    The tokenizer-coverage pre-flight: a fixed vocabulary (or BPE merge
+    table) trained on the corpus head covers each source unevenly — a
+    source with high OOV occurrence share will fragment into many
+    subword pieces (inflating its effective token cost) or map to UNK.
+    Token-occurrence share and type share answer different questions
+    (frequent-token coverage vs long-tail breadth), so both are
+    reported. Vocabulary cut is deterministic: term_freq desc, token
+    asc — the LIMIT boundary is never ambiguous (the zipf_report
+    convention).
+
+    Scale posture (100 TB): one explode pass collapses to (source,
+    token) counts — vocabulary-sized per source, NOT corpus-sized; the
+    top-N vocabulary is a TakeOrdered cut broadcast back; shares are
+    single IEEE divisions of exact integer sums.
+    """
+    occ = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).where(F.col("token") != "")
+    st = occ.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    vocab = (
+        st.groupBy("token")
+        .agg(F.sum("__c").cast("long").alias("__tf"))
+        .orderBy(F.desc("__tf"), "token")
+        .limit(top_n)
+        .select("token", F.lit(1).alias("__in"))
+    )
+    flagged = st.join(F.broadcast(vocab), "token", "left")
+    agg = flagged.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_types"),
+    )
+    return agg.select(
+        "source",
+        "total_tokens",
+        "oov_tokens",
+        (
+            F.col("oov_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("oov_token_share"),
+        "n_types",
+        "oov_types",
+        (
+            F.col("oov_types").cast("double") / F.col("n_types").cast("double")
+        ).alias("oov_type_share"),
+    ).orderBy("source")
+
+
+def oov_report_sql(
+    table: str,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    top_n: int = 1000,
+) -> str:
+    return f"""
+WITH __occ AS (
+  SELECT {source_col} AS source, unnest({tokens_sql(text_col)}) AS token
+  FROM {table}
+),
+__st AS (
+  SELECT source, token, COUNT(*)::BIGINT AS c
+  FROM __occ WHERE token <> '' GROUP BY source, token
+),
+__vocab AS (
+  SELECT token FROM (
+    SELECT token, SUM(c)::BIGINT AS tf FROM __st GROUP BY token
+  ) ORDER BY tf DESC, token ASC LIMIT {int(top_n)}
+),
+__f AS (
+  SELECT s.source, s.token, s.c,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM __st s LEFT JOIN __vocab v ON s.token = v.token
+),
+__a AS (
+  SELECT source,
+         SUM(c)::BIGINT AS total_tokens,
+         SUM(CASE WHEN oov = 1 THEN c ELSE 0 END)::BIGINT AS oov_tokens,
+         COUNT(*)::BIGINT AS n_types,
+         SUM(oov)::BIGINT AS oov_types
+  FROM __f GROUP BY source
+)
+SELECT source, total_tokens, oov_tokens,
+       CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+         AS oov_token_share,
+       n_types, oov_types,
+       CAST(oov_types AS DOUBLE) / CAST(n_types AS DOUBLE) AS oov_type_share
+FROM __a
+ORDER BY source
+"""

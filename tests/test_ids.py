@@ -1,0 +1,84 @@
+"""Distributed dense-ID assignment: ROW_NUMBER parity + the
+no-single-partition-window plan guarantee."""
+
+import random
+
+import duckdb
+import pytest
+
+from bullet_storm_spark.operators.ids import (
+    assign_dense_ids,
+    assign_dense_ids_sql,
+)
+
+
+def _duck(rows, query):
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b!r})" for a, b in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(k, s)")
+    return con.execute(query).fetchall()
+
+
+def test_dense_ids_match_row_number(spark):
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 10_000) * 2 + (i % 2), f"r{i}") for i in range(500)]
+    # ties impossible: k is unique by construction? no — make total order
+    # with the unique payload as tiebreaker
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = [
+        tuple(r)
+        for r in assign_dense_ids(df, ["k", "s"], num_partitions=7).collect()
+    ]
+    oracle = _duck(rows, assign_dense_ids_sql("t", ["k", "s"]))
+    assert got == oracle
+    ids = [r[2] for r in got]
+    assert ids == list(range(1, len(rows) + 1))  # dense, gap-free, 1-based
+
+
+def test_dense_ids_deterministic_across_partitionings(spark):
+    rows = [(i * 3 % 97, f"x{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    a = [tuple(r) for r in assign_dense_ids(df, ["k", "s"], num_partitions=3).collect()]
+    b = [tuple(r) for r in assign_dense_ids(df, ["k", "s"], num_partitions=13).collect()]
+    c = [tuple(r) for r in assign_dense_ids(df, ["k", "s"]).collect()]
+    assert a == b == c
+
+
+def test_dense_ids_no_global_window_over_fact(spark):
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(50)], "k long, s string")
+    plan = assign_dense_ids(df, ["k", "s"], num_partitions=4)._jdf.queryExecution().executedPlan().toString()
+    # every Window must be partitioned by __pid; an unpartitioned Window
+    # (the 100 TB trap) shows as "Window [...], [...]" with no partition
+    # spec over the fact. The offsets window IS unpartitioned but runs on
+    # the partition-count frame (one row per partition), which is fine —
+    # assert the rank window carries the __pid partition spec.
+    assert "windowpartitionby" not in plan.lower()  # sanity: plan rendered
+    import re
+
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    ranked = [ln for ln in windows if "row_number" in ln]
+    assert ranked and all("__pid" in ln for ln in ranked)
+
+
+def test_dense_ids_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError):
+        assign_dense_ids(df, [])
+    with pytest.raises(ValueError):
+        assign_dense_ids_sql("t", [])
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_dense_ids_parity_fuzz(spark, seed):
+    rng = random.Random(3300 + seed)
+    n = rng.randint(20, 400)
+    rows = [(rng.randint(-50, 50), f"u{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = [
+        tuple(r)
+        for r in assign_dense_ids(
+            df, ["k", "s"], num_partitions=rng.choice([2, 5, 16])
+        ).collect()
+    ]
+    oracle = _duck(rows, assign_dense_ids_sql("t", ["k", "s"]))
+    assert got == oracle

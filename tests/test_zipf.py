@@ -93,3 +93,60 @@ def test_pmi_collocations_closed_form(spark):
         pmi_collocations_sql("pdocs", "doc_id", "text", min_count=2, top_n=10)
     ).fetchall()
     assert [tuple(r) for r in got] == [tuple(w) for w in d]
+
+
+# --- OOV coverage audit -----------------------------------------------------
+
+
+def test_oov_report_semantics(spark):
+    from bullet_storm_spark.operators.vocab import oov_report, oov_report_sql
+
+    # vocab (top 2 by freq): "the" (6), "cat" (4). Source A speaks only
+    # vocab; source B is half OOV by occurrence.
+    rows = [
+        (1, "A", "the cat the cat"),
+        (2, "A", "the the cat cat"),
+        (3, "B", "the zebra quokka zebra"),
+        (4, "B", "the xylo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = [
+        tuple(r)
+        for r in oov_report(df, "source", "doc_id", "text", top_n=2).collect()
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{s}', '{t}')" for i, s, t in rows)
+    con.execute(
+        f"CREATE TABLE docs AS SELECT * FROM (VALUES {vals}) v(doc_id, source, text)"
+    )
+    want = con.execute(
+        oov_report_sql("docs", "source", "doc_id", "text", top_n=2)
+    ).fetchall()
+    assert got == want
+    by_src = {r[0]: r for r in got}
+    a = by_src["A"]
+    assert a[1] == 8 and a[2] == 0 and a[3] == 0.0  # fully covered
+    assert a[4] == 2 and a[5] == 0
+    b = by_src["B"]
+    assert b[1] == 6 and b[2] == 4  # zebra x2, quokka, xylo
+    assert b[3] == 4 / 6
+    assert b[4] == 4 and b[5] == 3 and b[6] == 0.75
+
+
+def test_oov_report_oracle_parity_real_corpus(spark):
+    from bullet_storm_spark.operators.vocab import oov_report, oov_report_sql
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [
+        tuple(r)
+        for r in oov_report(df, "source", "doc_id", "text", top_n=50).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.execute(
+        oov_report_sql("documents", "source", "doc_id", "text", top_n=50)
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert all(0.0 <= r[3] <= 1.0 and 0.0 <= r[6] <= 1.0 for r in got)
