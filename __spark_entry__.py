@@ -2742,6 +2742,15 @@ ORDER BY doc_id
         ),
         _fcst.seasonal_naive_eval_sql("events", period=168),
     ),
+    # mutual information / NMI between language and source: the
+    # feature-redundancy & leakage scalar (chi2's p-value-free cousin);
+    # per-cell ln on all-integer ratios, q9 text-hop before exact sums
+    "text_mi_lang_source": (
+        lambda s, d: _stats.mutual_information(
+            _docs(s, d), F.col("lang"), F.col("source")
+        ),
+        _stats.mutual_information_sql("documents", "lang", "source"),
+    ),
     # per-source OOV audit vs the corpus top-N vocabulary: the
     # tokenizer-coverage pre-flight (occurrence share vs type share);
     # (source, token) collapse + TakeOrdered vocab broadcast

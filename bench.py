@@ -178,6 +178,7 @@ HEADLINE = [
     "corr_spearman_qty_price",
     "events_dense_ids",
     "text_oov_report",
+    "text_mi_lang_source",
     "events_ewma_monitor",
 ]
 

@@ -1451,3 +1451,153 @@ SELECT digit, n,
        CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) - expected AS dev
 FROM __j ORDER BY digit
 """
+
+
+def mutual_information(df: DataFrame, a_col: Column, b_col: Column) -> DataFrame:
+    """One-row mutual information between two categoricals:
+    ``(n, k_a, k_b, mi, h_a, h_b, nmi)`` — MI and the marginal entropies
+    in nats (9 dp), plus the sqrt-normalized NMI = MI/√(H(A)·H(B))
+    (Strehl & Ghosh JMLR'02), the feature-redundancy/leakage scalar the
+    chi2 test's p-value-free cousin: MI is in interpretable units and
+    NMI is comparable across cardinalities. NULL NMI when either
+    variable is constant (its entropy is zero by definition, pinned
+    exactly — the quantized formula would leave ±1e-9 residue and blow
+    the ratio up). Rows with NULL in either column are excluded.
+
+    Engine parity: each ln runs on an all-integer ratio converted via
+    ``_d2d`` text hops (the pmi_collocations discipline) and its RESULT
+    is quantized to (18,9) by the text hop before the exact
+    ``count × q9(ln)`` DECIMAL(38,9) accumulation — so a 1-ulp libm
+    divergence must land within ~1e-16 of a 9-dp tie to matter, and the
+    accumulation is partition-order independent. MI clamps at 0 (exact
+    independence can quantize to −eps — the chi2 lesson). One IEEE
+    division + ln(n) per output, rounded 9 dp (the cusum convention).
+
+    Scale posture (100 TB): one scan collapses to |A|·|B| cells plus two
+    margin frames (vocabulary-sized); the margins broadcast back; one
+    1-row reduction. Same shapes as chi2_independence.
+    """
+    labeled = df.select(a_col.alias("__a"), b_col.alias("__b")).where(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    )
+    cells = labeled.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__o")
+    )
+    ra = labeled.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__r"))
+    cb = labeled.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    tot = labeled.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    _ex = "decimal(38,0)"
+    _q9 = lambda c: c.cast("string").cast("decimal(18,9)")
+    _c19 = lambda c: c.cast("decimal(19,0)")
+    lmi = F.log(
+        _div(
+            _d2d((F.col("__n").cast(_ex) * F.col("__o").cast(_ex)).cast(_ex)),
+            _d2d((F.col("__r").cast(_ex) * F.col("__c").cast(_ex)).cast(_ex)),
+        )
+    )
+    smi = (
+        cells.join(F.broadcast(ra), "__a")
+        .join(F.broadcast(cb), "__b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((_c19(F.col("__o")) * _q9(lmi)).cast("decimal(38,9)"))
+            .cast("decimal(38,9)")
+            .alias("__smi"),
+            F.count(F.lit(1)).cast("long").alias("__cells"),
+        )
+    )
+    ha = ra.agg(
+        F.sum(
+            (_c19(F.col("__r")) * _q9(F.log(F.col("__r").cast("double"))))
+            .cast("decimal(38,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("__sa"),
+        F.count(F.lit(1)).cast("long").alias("k_a"),
+    )
+    hb = cb.agg(
+        F.sum(
+            (_c19(F.col("__c")) * _q9(F.log(F.col("__c").cast("double"))))
+            .cast("decimal(38,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("__sb"),
+        F.count(F.lit(1)).cast("long").alias("k_b"),
+    )
+    one = tot.crossJoin(F.broadcast(smi)).crossJoin(F.broadcast(ha)).crossJoin(
+        F.broadcast(hb)
+    )
+    n_d = F.col("__n").cast("double")
+    mi = F.greatest(_div(_d2d(F.col("__smi")), n_d), F.lit(0.0))
+    h_of = lambda k, s: F.when(F.col(k) == 1, F.lit(0.0)).otherwise(
+        F.greatest(F.log(n_d) - _div(_d2d(F.col(s)), n_d), F.lit(0.0))
+    )
+    h_a = h_of("k_a", "__sa")
+    h_b = h_of("k_b", "__sb")
+    return one.select(
+        F.col("__n").alias("n"),
+        "k_a",
+        "k_b",
+        F.round(mi, 9).alias("mi"),
+        F.round(h_a, 9).alias("h_a"),
+        F.round(h_b, 9).alias("h_b"),
+        F.round(_div(mi, F.sqrt(h_a * h_b)), 9).alias("nmi"),
+    )
+
+
+def mutual_information_sql(table: str, a_sql: str, b_sql: str) -> str:
+    q9 = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DECIMAL(18,9))"
+    d2d = _d2d_sql
+    lmi = (
+        f"ln({d2d('CAST(CAST(n AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0)) AS DECIMAL(38,0))')}"
+        f" / {d2d('CAST(CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DECIMAL(38,0))')})"
+    )
+    return f"""
+WITH __l AS (
+  SELECT {a_sql} AS a, {b_sql} AS b FROM {table}
+  WHERE ({a_sql}) IS NOT NULL AND ({b_sql}) IS NOT NULL
+),
+__cells AS (SELECT a, b, COUNT(*)::BIGINT AS o FROM __l GROUP BY a, b),
+__ra AS (SELECT a, COUNT(*)::BIGINT AS r FROM __l GROUP BY a),
+__cb AS (SELECT b, COUNT(*)::BIGINT AS c FROM __l GROUP BY b),
+__tot AS (SELECT COUNT(*)::BIGINT AS n FROM __l),
+__smi AS (
+  SELECT CAST(SUM(CAST(CAST(o AS DECIMAL(19,0)) * {q9(lmi)}
+                       AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS smi
+  FROM __cells JOIN __ra USING (a) JOIN __cb USING (b) CROSS JOIN __tot
+),
+__ha AS (
+  SELECT CAST(SUM(CAST(CAST(r AS DECIMAL(19,0))
+                       * {q9('ln(CAST(r AS DOUBLE))')}
+                       AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sa,
+         COUNT(*)::BIGINT AS k_a
+  FROM __ra
+),
+__hb AS (
+  SELECT CAST(SUM(CAST(CAST(c AS DECIMAL(19,0))
+                       * {q9('ln(CAST(c AS DOUBLE))')}
+                       AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sb,
+         COUNT(*)::BIGINT AS k_b
+  FROM __cb
+),
+__x AS (
+  SELECT n, k_a, k_b,
+         GREATEST({d2d('smi')} / CAST(n AS DOUBLE), 0.0) AS mi,
+         CASE WHEN k_a = 1 THEN 0.0
+              ELSE GREATEST(ln(CAST(n AS DOUBLE))
+                            - ({d2d('sa')} / CAST(n AS DOUBLE)), 0.0)
+         END AS h_a,
+         CASE WHEN k_b = 1 THEN 0.0
+              ELSE GREATEST(ln(CAST(n AS DOUBLE))
+                            - ({d2d('sb')} / CAST(n AS DOUBLE)), 0.0)
+         END AS h_b
+  FROM __tot CROSS JOIN __smi CROSS JOIN __ha CROSS JOIN __hb
+)
+SELECT n, k_a, k_b,
+       ROUND(mi, 9) AS mi,
+       ROUND(h_a, 9) AS h_a,
+       ROUND(h_b, 9) AS h_b,
+       CASE WHEN h_a * h_b <> 0.0
+            THEN ROUND(mi / sqrt(h_a * h_b), 9) END AS nmi
+FROM __x
+"""

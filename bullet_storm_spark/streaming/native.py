@@ -641,3 +641,91 @@ def stream_rolling_z(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_ewma(
+    stream_df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    mu: float,
+    sd: float,
+    lam_num: int = 1,
+    lam_den: int = 5,
+    limit_l: float = 3.0,
+):
+    """Live EWMA control chart: per-key integer fixed-point EWMA over a
+    stream of pre-aggregated observations (e.g. the hourly counts an
+    upstream windowed aggregation emits), the streaming twin of
+    ``operators/anomaly.ewma_monitor``. Control limits are FROZEN
+    (``mu``/``sd`` fit offline, the stream_cusum/stream_psi posture:
+    limits move only on human re-baseline).
+
+    Emits one row per observation: ``(key, seq, cnt, z_n9, ewma,
+    outside)``. Because the recursion state is an INTEGER (nano-count
+    fixed point, the exact half-up steps of the batch operator), the
+    streaming chart is BIT-equal to the batch chart on a replayed
+    series — not approximately equal: int→double conversion is
+    correctly rounded in both paths, so ewma and the flag are
+    identical (the batch-equivalence test pins this). Observations are
+    ordered by ``seq_col`` within each micro-batch; feed batches in
+    order (the replay contract shared by every stream twin here).
+
+    State per key is one integer + a count — constant memory,
+    one key shuffle per batch.
+    """
+    import pandas as pd
+
+    if lam_den < 1 or lam_num < 1 or lam_num >= lam_den:
+        raise ValueError(f"need 0 < lam_num < lam_den, got {lam_num}/{lam_den}")
+    if round(limit_l, 2) != limit_l:
+        raise ValueError(f"limit_l must be exact at 2 decimals, got {limit_l}")
+    if sd < 0:
+        raise ValueError(f"need sd >= 0, got {sd}")
+    import math as _math
+
+    ln, ld = int(lam_num), int(lam_den)
+    scale = 10**9
+    lam = float(ln) / float(ld)
+    width = float(limit_l) * float(sd) * _math.sqrt(lam / (2.0 - lam))
+    ucl, lcl = float(mu) + width, float(mu) - width
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        z, seen = state.get if state.exists else (None, 0)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("__seq", kind="mergesort")
+        for seq, v in zip(batch["__seq"], batch["__v"]):
+            xi = int(v) * scale
+            if seen == 0:
+                z = xi
+            else:
+                # the batch operator's exact half-up integer step
+                z = (2 * (ln * xi + (ld - ln) * z) + ld) // (2 * ld)
+            seen += 1
+            ew = float(z) / float(scale)
+            rows.append((key[0], int(seq), int(v), z, ew,
+                         ew > ucl or ew < lcl))
+        state.update((z, seen))
+        yield pd.DataFrame(
+            rows, columns=["key", "seq", "cnt", "z_n9", "ewma", "outside"]
+        )
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(seq_col).cast("long").alias("__seq"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            "key string, seq long, cnt long, z_n9 long, ewma double, "
+            "outside boolean",
+            "z long, seen long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

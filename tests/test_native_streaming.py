@@ -636,3 +636,63 @@ def test_stream_rolling_z_validation(spark):
         stream_rolling_z(df, "id", "id", "id", window_rows=1)
     with pytest.raises(ValueError):
         stream_rolling_z(df, "id", "id", "id", z_threshold=0)
+
+
+def test_stream_ewma_bit_equal_to_batch(spark, tmp_path):
+    """Replaying the batch operator's densified hour cells through the
+    stream (frozen batch mu/sd) must reproduce ewma and the flag
+    BIT-exactly — the integer state makes the equivalence exact, not
+    approximate."""
+    from bullet_storm_spark.operators.anomaly import ewma_monitor
+    from bullet_storm_spark.streaming.native import stream_ewma
+
+    rows = []
+    eid = 0
+    for h in range(24):
+        n = 3 if h < 16 else 11
+        for i in range(n):
+            rows.append((eid, "a", (h * 3_600_000_000 + i) * 1000))
+            eid += 1
+    for h in range(24):
+        rows.append((eid, "b", (h * 3_600_000_000) * 1000))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts_ns long")
+    batch = ewma_monitor(df).collect()
+    mu = {r["event_type"]: r["mu"] for r in batch}
+    sd = {r["event_type"]: r["sd"] for r in batch}
+    # one stream per key (frozen per-key limits are scalars, the
+    # stream_cusum contract); feed the batch's densified cells in two
+    # chunks to cross a state boundary
+    for key in ("a", "b"):
+        cells = [(key, r["hour"], r["cnt"]) for r in batch if r["event_type"] == key]
+        mid = len(cells) // 2
+        out = _run_stream(
+            spark,
+            tmp_path / f"ewma_{key}",
+            lambda st: stream_ewma(
+                st, "k", "h", "c", mu=mu[key], sd=sd[key]
+            ),
+            "k string, h long, c long",
+            [cells[:mid], cells[mid:]],
+        )
+        got = {r.seq: (r.cnt, r.ewma, r.outside) for r in out.collect()}
+        want = {
+            r["hour"]: (r["cnt"], r["ewma"], r["outside"])
+            for r in batch
+            if r["event_type"] == key
+        }
+        assert got == want  # bit-exact, == on doubles intended
+
+
+def test_stream_ewma_validation(spark):
+    import pytest
+
+    from bullet_storm_spark.streaming.native import stream_ewma
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError):
+        stream_ewma(df, "k", "s", "v", 0.0, 1.0, lam_num=7, lam_den=7)
+    with pytest.raises(ValueError):
+        stream_ewma(df, "k", "s", "v", 0.0, -1.0)
+    with pytest.raises(ValueError):
+        stream_ewma(df, "k", "s", "v", 0.0, 1.0, limit_l=2.999)

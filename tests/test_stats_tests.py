@@ -601,3 +601,90 @@ def test_benford_matches_python_and_duckdb(spark):
         benford_audit_sql("t", "v"),
     )
     assert got == [tuple(r) for r in oracle]
+
+
+# --- mutual information -----------------------------------------------------
+
+from bullet_storm_spark.operators.stats_tests import (  # noqa: E402
+    mutual_information,
+    mutual_information_sql,
+)
+
+
+def _py_mi(pairs):
+    """Pure-Python MI/entropies in nats (unquantized reference)."""
+    pairs = [p for p in pairs if None not in p]
+    n = len(pairs)
+    from collections import Counter
+
+    cab, ca, cb = Counter(pairs), Counter(p[0] for p in pairs), Counter(
+        p[1] for p in pairs
+    )
+    mi = sum(
+        (o / n) * math.log(n * o / (ca[a] * cb[b]))
+        for (a, b), o in cab.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in ca.values())
+    hb = -sum((c / n) * math.log(c / n) for c in cb.values())
+    return max(mi, 0.0), ha, hb
+
+
+def _mi_setup(pairs):
+    vals = ", ".join(
+        "("
+        + ", ".join("NULL" if v is None else f"'{v}'" for v in p)
+        + ")"
+        for p in pairs
+    )
+    return f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(a, b)"
+
+
+def test_mi_dependent_independent_and_constant(spark):
+    # perfectly dependent: MI = H(A) = H(B), NMI = 1
+    dep = [("x", "1")] * 5 + [("y", "2")] * 5 + [("z", "3")] * 2
+    df = spark.createDataFrame(dep, "a string, b string")
+    got = tuple(mutual_information(df, F.col("a"), F.col("b")).collect()[0])
+    want = _duck(_mi_setup(dep), mutual_information_sql("t", "a", "b"))[0]
+    assert got == want
+    mi, ha, hb = _py_mi(dep)
+    assert got[3] == pytest.approx(mi, abs=1e-8)
+    assert got[6] == pytest.approx(1.0, abs=1e-8)
+    # exactly independent 2x2: MI quantizes to ~0, clamped at >= 0
+    ind = (
+        [("x", "1")] * 1 + [("x", "2")] * 2 + [("y", "1")] * 2 + [("y", "2")] * 4
+    )
+    df = spark.createDataFrame(ind, "a string, b string")
+    got = tuple(mutual_information(df, F.col("a"), F.col("b")).collect()[0])
+    want = _duck(_mi_setup(ind), mutual_information_sql("t", "a", "b"))[0]
+    assert got == want
+    assert got[3] == pytest.approx(0.0, abs=1e-8) and got[3] >= 0.0
+    # constant column: H = 0 pinned exactly, NMI NULL
+    const = [("x", "1"), ("x", "2"), ("x", "2")]
+    df = spark.createDataFrame(const, "a string, b string")
+    got = tuple(mutual_information(df, F.col("a"), F.col("b")).collect()[0])
+    want = _duck(_mi_setup(const), mutual_information_sql("t", "a", "b"))[0]
+    assert got == want
+    assert got[1] == 1 and got[4] == 0.0 and got[6] is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_mi_parity_fuzz(spark, seed):
+    import random
+
+    rng = random.Random(7700 + seed)
+    pairs = [
+        (
+            rng.choice(["a", "b", "c", None]),
+            rng.choice(["1", "2", "3", "4", None]),
+        )
+        for _ in range(rng.randint(10, 200))
+    ]
+    pairs += [("a", "1"), ("b", "2")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = tuple(mutual_information(df, F.col("a"), F.col("b")).collect()[0])
+    want = _duck(_mi_setup(pairs), mutual_information_sql("t", "a", "b"))[0]
+    assert got == want
+    mi, ha, hb = _py_mi(pairs)
+    assert got[3] == pytest.approx(mi, abs=1e-7)
+    assert got[4] == pytest.approx(ha, abs=1e-7)
+    assert got[5] == pytest.approx(hb, abs=1e-7)
