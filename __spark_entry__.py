@@ -526,6 +526,7 @@ from bullet_storm_spark.operators import intervals as _iv
 from bullet_storm_spark.operators import experiment as _exp
 from bullet_storm_spark.operators import forecast as _fcst
 from bullet_storm_spark.operators import ids as _ids
+from bullet_storm_spark.operators import distribution as _dist
 from bullet_storm_spark.operators import correlate as _correl
 
 # winnowing window/gram config shared by the fingerprint + pair entries
@@ -2741,6 +2742,26 @@ ORDER BY doc_id
             load_table(s, d, "events"), period=168
         ),
         _fcst.seasonal_naive_eval_sql("events", period=168),
+    ),
+    # token-mass-weighted length quantiles per source: the doc length at
+    # which q of the TOKEN MASS sits in shorter docs (what packing and
+    # truncation budgets see); all-integer threshold test, zero floats
+    "text_weighted_len_quantiles": (
+        lambda s, d: _dist.weighted_quantiles(
+            _docs(s, d).select(
+                "source", _text.token_count("text").cast("long").alias("tc")
+            ),
+            "source",
+            "tc",
+            "tc",
+        ),
+        _dist.weighted_quantiles_sql(
+            f"(SELECT source, {_text.token_count_sql('text')}::BIGINT AS tc"
+            " FROM documents)",
+            "source",
+            "tc",
+            "tc",
+        ),
     ),
     # mutual information / NMI between language and source: the
     # feature-redundancy & leakage scalar (chi2's p-value-free cousin);

@@ -179,6 +179,7 @@ HEADLINE = [
     "events_dense_ids",
     "text_oov_report",
     "text_mi_lang_source",
+    "text_weighted_len_quantiles",
     "events_ewma_monitor",
 ]
 

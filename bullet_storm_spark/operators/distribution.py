@@ -222,3 +222,147 @@ def sql(agg: Distribution, base_sql: str, post: Sequence[PostAggregation]) -> st
         return post_sql(inner, post, None)
 
     raise ValueError(f"unsupported distribution type {agg.dist_type}")
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact weighted lower quantiles per key: ``(key, q, wq)`` — the
+    smallest value whose cumulative weight reaches ``q``·W (the
+    "weighted median" family: e.g. the document length at which half the
+    TOKEN MASS sits in shorter documents, which is what batch packing and
+    truncation budgets care about — the unweighted median answers a
+    different question whenever length and weight correlate, i.e.
+    always).
+
+    Entirely EXACT arithmetic: weights must be non-negative integers
+    (token counts, bytes, rows), each ``q`` must be exact at 3 decimals;
+    the threshold test is ``cumw ≥ q·W`` in DECIMAL — no engine touches
+    a float anywhere, so parity is structural. NULL when a key's total
+    weight is 0.
+
+    Scale posture (100 TB): one scan collapses to the (key, value)
+    support; the cumulative window runs per key over the support (the
+    ks_drift contract — pre-quantize a continuous value to bound it);
+    one conditional-min aggregation per key emits |qs| rows.
+    """
+    if not qs:
+        raise ValueError("need at least one quantile")
+    for q in qs:
+        if not (0.0 < q <= 1.0) or round(q, 3) != q:
+            raise ValueError(
+                f"each q must be in (0, 1] and exact at 3 decimals, got {q}"
+            )
+    w_col = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    sup = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(value_col).alias("__v"),
+            w_col.cast("long").alias("__w"),
+        )
+        .where(F.col("__v").isNotNull() & (F.col("__w") >= 0))
+        .groupBy("__k", "__v")
+        .agg(F.sum("__w").cast("long").alias("__sw"))
+    )
+    from pyspark.sql import Window as _W
+
+    w_cum = _W.partitionBy("__k").orderBy("__v").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    w_tot = _W.partitionBy("__k")
+    cum = sup.select(
+        "__k",
+        "__v",
+        F.sum("__sw").over(w_cum).cast("long").alias("__cum"),
+        F.sum("__sw").over(w_tot).cast("long").alias("__tot"),
+    )
+    # q exact at 3 decimals -> the threshold test is the all-integer
+    # 1000·cumw ≥ qm·W ((19,0)x(19,0) -> (38,0) int128-exact in both
+    # engines; a decimal-fraction multiply would hit Spark's precision
+    # adjustment and round)
+    _c19 = lambda c: c.cast("decimal(19,0)")
+    picks = []
+    for q in qs:
+        qm = int(round(q * 1000))
+        picks.append(
+            F.min(
+                F.when(
+                    (F.col("__tot") > 0)
+                    & (
+                        F.lit(1000).cast("decimal(19,0)") * _c19(F.col("__cum"))
+                        >= F.lit(qm).cast("decimal(19,0)")
+                        * _c19(F.col("__tot"))
+                    ),
+                    F.col("__v"),
+                )
+            ).alias(f"__q{qm}")
+        )
+    agg = cum.groupBy("__k").agg(*picks)
+    arms = [
+        F.struct(
+            F.lit(float(q)).alias("q"),
+            F.col(f"__q{int(round(q * 1000))}").alias("wq"),
+        )
+        for q in qs
+    ]
+    return (
+        agg.select(
+            F.col("__k").alias(key_col), F.explode(F.array(*arms)).alias("__e")
+        )
+        .select(key_col, "__e.q", "__e.wq")
+        .orderBy(key_col, "q")
+    )
+
+
+def weighted_quantiles_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    weight_sql: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> str:
+    if not qs:
+        raise ValueError("need at least one quantile")
+    for q in qs:
+        if not (0.0 < q <= 1.0) or round(q, 3) != q:
+            raise ValueError(
+                f"each q must be in (0, 1] and exact at 3 decimals, got {q}"
+            )
+    picks = ", ".join(
+        f"MIN(CASE WHEN tot > 0 AND "
+        f"CAST(1000 AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0)) >= "
+        f"CAST({int(round(q * 1000))} AS DECIMAL(19,0)) * CAST(tot AS DECIMAL(19,0)) "
+        f"THEN v END) AS q{int(round(q * 1000))}"
+        for q in qs
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT k AS {key_col}, CAST({float(q)!r} AS DOUBLE) AS q, "
+        f"q{int(round(q * 1000))} AS wq FROM __a"
+        for q in qs
+    )
+    return f"""
+WITH __sup AS (
+  SELECT {key_col} AS k, {value_col} AS v,
+         SUM(CAST({weight_sql} AS BIGINT))::BIGINT AS sw
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND CAST({weight_sql} AS BIGINT) >= 0
+  GROUP BY 1, 2
+),
+__cum AS (
+  SELECT k, v,
+         CAST(SUM(sw) OVER (PARTITION BY k ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(sw) OVER (PARTITION BY k) AS BIGINT) AS tot
+  FROM __sup
+),
+__a AS (
+  SELECT k, {picks} FROM __cum GROUP BY k
+)
+{arms}
+ORDER BY {key_col}, q
+"""
