@@ -2743,6 +2743,13 @@ ORDER BY doc_id
         ),
         _fcst.seasonal_naive_eval_sql("events", period=168),
     ),
+    # offline "when did it change": one binary-segmentation step per
+    # type over the densified hourly series — integer prefix sums, one
+    # IEEE statistic per candidate split, (stat desc, hour asc) argmax
+    "events_changepoint": (
+        lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
+        _anomaly.binseg_changepoint_sql("events"),
+    ),
     # token-mass-weighted length quantiles per source: the doc length at
     # which q of the TOKEN MASS sits in shorter docs (what packing and
     # truncation budgets see); all-integer threshold test, zero floats

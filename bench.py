@@ -181,6 +181,7 @@ HEADLINE = [
     "text_mi_lang_source",
     "text_weighted_len_quantiles",
     "events_ewma_monitor",
+    "events_changepoint",
 ]
 
 

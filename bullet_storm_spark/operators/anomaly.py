@@ -886,3 +886,143 @@ SELECT key AS {key_col}, hour, cnt, ewma, mu, sd, ucl, lcl,
 FROM __f
 ORDER BY {key_col}, hour
 """
+
+
+def binseg_changepoint(df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Single best retrospective changepoint per key (one step of binary
+    segmentation, Scott & Knott 1974 / the AMOC special case): over the
+    densified hourly count series, the split maximizing the standardized
+    between-segment separation
+
+        stat(t) = sqrt(t·(n−t)/n) · |mean(x[..t]) − mean(x[t+1..])|
+
+    computed for every prefix boundary from the integer PREFIX SUMS (one
+    cumulative window — no per-split rescans). Output per key:
+    ``(key, n_hours, split_hour, stat, mean_pre, mean_post)`` — the
+    boundary is the LAST hour of the pre segment (absolute epoch hour),
+    ties take the earliest split. CUSUM (volume_cusum) detects the shift
+    online; this is the offline "when did it change" answer on the same
+    series. Keys with fewer than 2 observed hours are omitted (no valid
+    split exists).
+
+    Engine parity: prefix sums are integers; each candidate's statistic
+    is a fixed IEEE expression of those integers with identical
+    association in both dialects, so the (stat DESC, t ASC) argmax picks
+    the same split everywhere — no rounding needed anywhere (the
+    deliberately-unrounded bootstrap convention).
+
+    Scale posture (100 TB): one corpus collapse to (key, hour) cells;
+    everything downstream is span-bounded per key (the cumulative window
+    and the argmax both ride one key-ordered partition).
+    """
+    observed = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            (F.expr("ts_ns div 1000") / _US_PER_HOUR).cast("bigint").alias("hour"),
+        )
+        .groupBy("__key", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spine = (
+        observed.groupBy("__key")
+        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
+        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
+    )
+    hours = spine.join(observed, ["__key", "hour"], "left").select(
+        "__key", "hour", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("__key").orderBy("hour")
+    wn = Window.partitionBy("__key")
+    pre = hours.select(
+        "__key",
+        "hour",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("__s"),
+        F.row_number().over(w).cast("long").alias("__t"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("__n"),
+        F.sum("cnt").over(wn).cast("long").alias("__tot"),
+    ).where(F.col("__t") < F.col("__n"))
+    t_d = F.col("__t").cast("double")
+    n_d = F.col("__n").cast("double")
+    m1 = F.col("__s").cast("double") / t_d
+    m2 = (F.col("__tot") - F.col("__s")).cast("double") / (n_d - t_d)
+    stat = F.sqrt((t_d * (n_d - t_d)) / n_d) * F.abs(m1 - m2)
+    scored = pre.select(
+        "__key",
+        "hour",
+        "__n",
+        stat.alias("__stat"),
+        m1.alias("__m1"),
+        m2.alias("__m2"),
+    )
+    ranked = scored.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("__key").orderBy(
+                F.desc_nulls_last("__stat"), F.asc("hour")
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("__r") == 1)
+        .select(
+            F.col("__key").alias(key_col),
+            F.col("__n").alias("n_hours"),
+            F.col("hour").alias("split_hour"),
+            F.col("__stat").alias("stat"),
+            F.col("__m1").alias("mean_pre"),
+            F.col("__m2").alias("mean_post"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def binseg_changepoint_sql(table: str, key_col: str = "event_type") -> str:
+    return f"""
+WITH __o AS (
+  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
+         COUNT(*)::BIGINT AS cnt
+  FROM {table} GROUP BY 1, 2
+),
+__spine AS (
+  SELECT key, unnest(generate_series(h0, h1)) AS hour
+  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1 FROM __o GROUP BY key)
+),
+__h AS (
+  SELECT s.key, s.hour, COALESCE(o.cnt, 0)::BIGINT AS cnt
+  FROM __spine s LEFT JOIN __o o ON s.key = o.key AND s.hour = o.hour
+),
+__p AS (
+  SELECT key, hour,
+         CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS s,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY hour)::BIGINT AS t,
+         COUNT(*) OVER (PARTITION BY key)::BIGINT AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS tot
+  FROM __h
+),
+__c AS (
+  SELECT key, hour, n,
+         sqrt((CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)))
+              / CAST(n AS DOUBLE))
+           * abs(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+                 - CAST(tot - s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))) AS stat,
+         CAST(s AS DOUBLE) / CAST(t AS DOUBLE) AS m1,
+         CAST(tot - s AS DOUBLE)
+           / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS m2
+  FROM __p WHERE t < n
+),
+__r AS (
+  SELECT key, hour, n, stat, m1, m2,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY stat DESC NULLS LAST, hour ASC) AS r
+  FROM __c
+)
+SELECT key AS {key_col}, n AS n_hours, hour AS split_hour, stat,
+       m1 AS mean_pre, m2 AS mean_post
+FROM __r WHERE r = 1
+ORDER BY {key_col}
+"""

@@ -612,3 +612,86 @@ def test_ewma_parity_fuzz(spark, seed):
     for k, hour, cnt, ewma, mu, sd, ucl, lcl, outside in got:
         assert ewma == pytest.approx(ref[(k, hour)][1], abs=1e-12)
         assert outside == ref[(k, hour)][6]
+
+
+# --- binary-segmentation changepoint ---------------------------------------
+
+
+def _py_binseg(rows):
+    """Pure-Python AMOC reference over densified hourly counts."""
+    import math as _m
+
+    by_key = {}
+    for _, k, us in rows:
+        by_key.setdefault(k, []).append(us // 3_600_000_000)
+    out = {}
+    for k, hs in by_key.items():
+        h0, h1 = min(hs), max(hs)
+        cnt = {h: 0 for h in range(h0, h1 + 1)}
+        for h in hs:
+            cnt[h] += 1
+        xs = [cnt[h] for h in range(h0, h1 + 1)]
+        n = len(xs)
+        if n < 2:
+            continue
+        best = None
+        s = 0
+        tot = sum(xs)
+        for t in range(1, n):
+            s += xs[t - 1]
+            m1 = s / t
+            m2 = (tot - s) / (n - t)
+            stat = _m.sqrt(t * (n - t) / n) * abs(m1 - m2)
+            if best is None or stat > best[0]:
+                best = (stat, h0 + t - 1, m1, m2)
+        out[k] = (n, best[1], best[0], best[2], best[3])
+    return out
+
+
+def test_binseg_finds_level_shift(shifted):
+    df, con = shifted
+    got = [tuple(r) for r in anomaly.binseg_changepoint(df).collect()]
+    oracle = con.execute(anomaly.binseg_changepoint_sql("ev")).fetchall()
+    assert got == oracle
+    ref = _py_binseg(
+        [(0, "a", h * HOUR + i * 60_000_000) for h in range(30) for i in range(2 if h < 20 else 9)]
+        + [(0, "b", h * HOUR + i * 60_000_000) for h in range(30) for i in range(3)]
+    )
+    by_key = {r[0]: r for r in got}
+    # key a: shift between hour 19 and 20 -> split at hour 19
+    assert by_key["a"][2] == 19
+    assert by_key["a"][4] == pytest.approx(2.0)  # mean_pre
+    assert by_key["a"][5] == pytest.approx(9.0)  # mean_post
+    for k, (n, split, stat, m1, m2) in ref.items():
+        r = by_key[k]
+        assert (r[1], r[2]) == (n, split)
+        assert r[3] == pytest.approx(stat, abs=1e-12)
+
+
+def test_binseg_single_hour_key_omitted(spark):
+    rows = [(0, "solo", 100), (1, "pair", 0), (2, "pair", HOUR)]
+    df, con = _mk_events(spark, rows)
+    got = [tuple(r) for r in anomaly.binseg_changepoint(df).collect()]
+    oracle = con.execute(anomaly.binseg_changepoint_sql("ev")).fetchall()
+    assert got == oracle
+    assert [r[0] for r in got] == ["pair"]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_binseg_parity_fuzz(spark, seed):
+    import random
+
+    rng = random.Random(9900 + seed)
+    rows = [
+        (i, rng.choice(["a", "b"]), rng.randint(0, 100) * HOUR + i)
+        for i in range(rng.randint(10, 150))
+    ]
+    df, con = _mk_events(spark, rows)
+    got = [tuple(r) for r in anomaly.binseg_changepoint(df).collect()]
+    oracle = con.execute(anomaly.binseg_changepoint_sql("ev")).fetchall()
+    assert got == oracle
+    ref = _py_binseg(rows)
+    for k, n, split, stat, m1, m2 in got:
+        rn, rsplit, rstat, rm1, rm2 = ref[k]
+        assert (n, split) == (rn, rsplit)
+        assert stat == pytest.approx(rstat, abs=1e-12)
