@@ -2743,6 +2743,15 @@ ORDER BY doc_id
         ),
         _fcst.seasonal_naive_eval_sql("events", period=168),
     ),
+    # quantile normalization: within-source midrank percentile of doc
+    # length — makes a score comparable ACROSS sources before a global
+    # threshold; dr/(2n) exact-integer division, broadcast rank map
+    "text_percentile_rank": (
+        lambda s, d: _correl.percentile_rank(
+            _docs(s, d), "source", "doc_id", "n_chars"
+        ),
+        _correl.percentile_rank_sql("documents", "source", "doc_id", "n_chars"),
+    ),
     # offline "when did it change": one binary-segmentation step per
     # type over the densified hourly series — integer prefix sums, one
     # IEEE statistic per candidate split, (stat desc, hour asc) argmax

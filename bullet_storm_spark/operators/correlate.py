@@ -278,3 +278,90 @@ SELECT n,
        END AS rho
 FROM __m
 """
+
+
+def percentile_rank(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Within-key midrank percentile of a score: ``(id, key, value,
+    pct_rank)`` with ``pct_rank = midrank/n ∈ (0, 1]`` — the
+    quantile-normalization transform that makes a quality score
+    comparable ACROSS sources before a global threshold cuts it (a
+    0.8-quantile arXiv doc and a 0.8-quantile webtext doc survive
+    together, where their raw scores live on different scales). Ties
+    share their midrank (the auc_rank_sum convention). NULL values are
+    excluded.
+
+    Engine parity: ``pct_rank = dr/(2n)`` where ``dr`` is the integer
+    doubled midrank from the support-sized rank map — one IEEE division
+    of exact integers, no accumulation anywhere.
+
+    Scale posture (100 TB): per-key support aggregation + support-sized
+    cumulative windows (the ks_drift contract: pre-quantize continuous
+    scores), then ONE broadcast join of the rank map back onto the fact
+    — the fact table itself never shuffles on the value.
+    """
+    pts = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    sup = pts.groupBy("__k", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w_cum = Window.partitionBy("__k").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.partitionBy("__k")
+    rmap = sup.select(
+        "__k",
+        "__v",
+        (
+            F.lit(2) * F.coalesce(F.sum("__c").over(w_cum), F.lit(0))
+            + F.col("__c")
+            + F.lit(1)
+        ).cast("long").alias("__dr"),
+        F.sum("__c").over(w_tot).cast("long").alias("__n"),
+    )
+    return (
+        pts.join(F.broadcast(rmap), ["__k", "__v"])
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__k").alias(key_col),
+            F.col("__v").alias(value_col),
+            (
+                F.col("__dr").cast("double")
+                / (F.lit(2).cast("long") * F.col("__n")).cast("double")
+            ).alias("pct_rank"),
+        )
+        .orderBy(key_col, id_col)
+    )
+
+
+def percentile_rank_sql(
+    table: str,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+) -> str:
+    return f"""
+WITH __p AS (
+  SELECT {key_col} AS k, {id_col} AS id, {value_col} AS v FROM {table}
+  WHERE {value_col} IS NOT NULL
+),
+__r AS (
+  SELECT k, v,
+         (2 * COALESCE(SUM(c) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1)::BIGINT AS dr,
+         CAST(SUM(c) OVER (PARTITION BY k) AS BIGINT) AS n
+  FROM (SELECT k, v, COUNT(*)::BIGINT AS c FROM __p GROUP BY k, v)
+)
+SELECT p.id AS {id_col}, p.k AS {key_col}, p.v AS {value_col},
+       CAST(dr AS DOUBLE) / CAST(2 * n AS DOUBLE) AS pct_rank
+FROM __p p JOIN __r r ON p.k = r.k AND p.v = r.v
+ORDER BY {key_col}, {id_col}
+"""

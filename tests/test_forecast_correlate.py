@@ -355,3 +355,58 @@ def test_spearman_parity_fuzz(spark, seed):
         assert got["rho"] is None
     else:
         assert got["rho"] == pytest.approx(ref, abs=1e-9)
+
+
+# --- percentile rank --------------------------------------------------------
+
+from bullet_storm_spark.operators.correlate import (
+    percentile_rank,
+    percentile_rank_sql,
+)
+
+
+def test_percentile_rank_semantics_and_ties(spark):
+    rows = [
+        ("s", 1, 10.0),
+        ("s", 2, 20.0),
+        ("s", 3, 20.0),  # tie shares midrank (2+3)/2 = 2.5 -> 0.625
+        ("s", 4, 30.0),
+        ("t", 5, 99.0),  # singleton key: midrank 1 of 1 -> 1.0
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = [tuple(r) for r in percentile_rank(df, "k", "id", "v").collect()]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{k}', {i}, {v})" for k, i, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) x(k, id, v)")
+    want = con.execute(percentile_rank_sql("t", "k", "id", "v")).fetchall()
+    assert got == want
+    pr = {r[0]: r[3] for r in got}
+    assert pr[1] == 0.25 and pr[4] == 1.0
+    assert pr[2] == pr[3] == 0.625
+    assert pr[5] == 1.0
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_percentile_rank_parity_fuzz(spark, seed):
+    rng = random.Random(5500 + seed)
+    rows = [
+        (
+            rng.choice(["a", "b"]),
+            i,
+            rng.choice([None, float(rng.randint(0, 15))]),
+        )
+        for i in range(rng.randint(10, 150))
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = [tuple(r) for r in percentile_rank(df, "k", "id", "v").collect()]
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('{k}', {i}, {'NULL' if v is None else v})" for k, i, v in rows
+    )
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) x(k, id, v)")
+    want = con.execute(percentile_rank_sql("t", "k", "id", "v")).fetchall()
+    assert got == want
+    # rank sanity: per key, values sort identically to pct_rank, and the
+    # max pct_rank is n_max_tie-adjusted <= 1 with top value at <= 1.0
+    for r in got:
+        assert 0.0 < r[3] <= 1.0
