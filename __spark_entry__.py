@@ -2743,6 +2743,15 @@ ORDER BY doc_id
         ),
         _fcst.seasonal_naive_eval_sql("events", period=168),
     ),
+    # slice-pair centroid cosine matrix (the matrix view of
+    # centroid_drift): near-duplicate SOURCES show cosine ~ 1 before any
+    # doc pair is compared; (key, dim) collapse, per-dim pair join
+    "embed_centroid_matrix": (
+        lambda s, d: _anomaly.centroid_matrix(
+            load_table(s, d, "embeddings"), "label", "embedding"
+        ),
+        _anomaly.centroid_matrix_sql("embeddings", "label", "embedding"),
+    ),
     # quantile normalization: within-source midrank percentile of doc
     # length — makes a score comparable ACROSS sources before a global
     # threshold; dr/(2n) exact-integer division, broadcast rank map

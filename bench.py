@@ -182,6 +182,7 @@ HEADLINE = [
     "text_weighted_len_quantiles",
     "events_ewma_monitor",
     "events_changepoint",
+    "embed_centroid_matrix",
     "text_percentile_rank",
 ]
 

@@ -640,20 +640,27 @@ def centroid_drift(
         b_pred.alias("__b"),
         F.posexplode(F.col(vec_col)).alias("dim", "__v"),
     )
+    # entry quantize via the TEXT hop: a direct float/double→decimal
+    # cast rounds the shortest repr HALF_UP in Spark but the binary
+    # value in DuckDB — divergence surfaced by the centroid_matrix
+    # sibling (this operator had the same latent class)
+    _vq9 = (
+        F.col("__v").cast("double").cast("string").cast("decimal(18,9)")
+    )
     dims = (
         base.groupBy("dim")
         .agg(
-            F.sum(F.when(F.col("__a"), F.col("__v").cast("decimal(38,9)")))
+            F.sum(F.when(F.col("__a"), _vq9).cast("decimal(38,9)"))
             .alias("__sa"),
-            F.sum(F.when(F.col("__b"), F.col("__v").cast("decimal(38,9)")))
+            F.sum(F.when(F.col("__b"), _vq9).cast("decimal(38,9)"))
             .alias("__sb"),
             F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__na"),
             F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long").alias("__nb"),
         )
         .select(
             "dim", "__na", "__nb",
-            F.round(F.col("__sa").cast("double") / F.col("__na"), 9).alias("__ma"),
-            F.round(F.col("__sb").cast("double") / F.col("__nb"), 9).alias("__mb"),
+            F.round(F.col("__sa").cast("string").cast("double") / F.col("__na"), 9).alias("__ma"),
+            F.round(F.col("__sb").cast("string").cast("double") / F.col("__nb"), 9).alias("__mb"),
         )
     )
     return dims.agg(
@@ -696,11 +703,13 @@ __d AS (
   SELECT dim,
          CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
          CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-         ROUND(CAST(SUM(CASE WHEN a THEN CAST(v AS DECIMAL(38,9)) END)
-               AS DOUBLE)
+         ROUND(CAST(CAST(SUM(CAST(CASE WHEN a THEN
+                 CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+               END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
                / SUM(CASE WHEN a THEN 1 ELSE 0 END), 9) AS ma,
-         ROUND(CAST(SUM(CASE WHEN b THEN CAST(v AS DECIMAL(38,9)) END)
-               AS DOUBLE)
+         ROUND(CAST(CAST(SUM(CAST(CASE WHEN b THEN
+                 CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+               END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
                / SUM(CASE WHEN b THEN 1 ELSE 0 END), 9) AS mb
   FROM __e GROUP BY dim
 )
@@ -1025,4 +1034,162 @@ SELECT key AS {key_col}, n AS n_hours, hour AS split_hour, stat,
        m1 AS mean_pre, m2 AS mean_post
 FROM __r WHERE r = 1
 ORDER BY {key_col}
+"""
+
+
+def centroid_matrix(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise centroid-cosine matrix across corpus slices:
+    ``(key_a, key_b, n_a, n_b, cosine)`` for every unordered slice pair
+    (key_a < key_b), ordered. The matrix view of ``centroid_drift``:
+    which sources/labels occupy the same region of representation space
+    — near-duplicate SOURCES (mirrors, syndication) show cosine ≈ 1
+    before any pair of documents is compared, and a mixing plan that
+    treats them as independent double-counts their distribution.
+
+    Engine parity: per-(key, dim) means follow centroid_drift's
+    decimal-sum + 9dp-round convention; the matrix sums (dot products,
+    squared norms) additionally quantize each product to (18,9) via the
+    text hop and accumulate in DECIMAL — the pair frame is big enough
+    (keys²·dims) that a raw double sum could reassociate across
+    partitions, which the 64-row drift frame never risked. Final cosine
+    is one IEEE chain ``dot / sqrt(n2a) / sqrt(n2b)`` (identical
+    association both sides), rounded at ``round_to``.
+
+    Scale posture (100 TB): one posexplode pass collapses to (key, dim)
+    cells — slices × dims, NOT corpus-sized; the pair join runs per dim
+    over the slice count (keys²·dims rows, bounded by the slice
+    vocabulary); norms broadcast back. The fact table shuffles once.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).where(F.col("__k").isNotNull())
+    means = (
+        base.groupBy("__k", "dim")
+        .agg(
+            # text-hop entry quantize: direct float→decimal casts round
+            # differently across engines (HALF_UP shortest repr vs
+            # binary) — this class produced 6dp cosine flips here
+            F.sum(
+                F.col("__v")
+                .cast("double")
+                .cast("string")
+                .cast("decimal(18,9)")
+                .cast("decimal(38,9)")
+            ).alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        .select(
+            "__k",
+            "dim",
+            "__n",
+            F.round(
+                F.col("__s").cast("string").cast("double") / F.col("__n"), 9
+            ).alias("__m"),
+        )
+    )
+    _q9 = lambda c: c.cast("string").cast("decimal(18,9)")
+    norms = means.groupBy("__k").agg(
+        F.max("__n").alias("__nvec"),
+        F.sum(_q9(F.col("__m") * F.col("__m")).cast("decimal(38,9)"))
+        .cast("decimal(38,9)")
+        .alias("__n2"),
+    )
+    m1 = means.select(
+        F.col("__k").alias("__ka"), "dim", F.col("__m").alias("__ma")
+    )
+    m2 = means.select(
+        F.col("__k").alias("__kb"), "dim", F.col("__m").alias("__mb")
+    )
+    dots = (
+        m1.join(m2, "dim")
+        .where(F.col("__ka") < F.col("__kb"))
+        .groupBy("__ka", "__kb")
+        .agg(
+            F.sum(_q9(F.col("__ma") * F.col("__mb")).cast("decimal(38,9)"))
+            .cast("decimal(38,9)")
+            .alias("__dot")
+        )
+    )
+    na = norms.select(
+        F.col("__k").alias("__ka"),
+        F.col("__nvec").alias("n_a"),
+        F.col("__n2").alias("__n2a"),
+    )
+    nb = norms.select(
+        F.col("__k").alias("__kb"),
+        F.col("__nvec").alias("n_b"),
+        F.col("__n2").alias("__n2b"),
+    )
+    d2d = lambda c: c.cast("string").cast("double")
+    return (
+        dots.join(F.broadcast(na), "__ka")
+        .join(F.broadcast(nb), "__kb")
+        .select(
+            F.col("__ka").alias("key_a"),
+            F.col("__kb").alias("key_b"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.try_divide(
+                    F.try_divide(
+                        d2d(F.col("__dot")), F.sqrt(d2d(F.col("__n2a")))
+                    ),
+                    F.sqrt(d2d(F.col("__n2b"))),
+                ),
+                round_to,
+            ).alias("cosine"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+def centroid_matrix_sql(
+    table: str,
+    key_col: str,
+    vec_col: str,
+    round_to: int = 6,
+) -> str:
+    q9 = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DECIMAL(18,9))"
+    d2d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
+    return f"""
+WITH __b AS (
+  SELECT {key_col} AS k, u.dim - 1 AS dim, u.v
+  FROM {table},
+       LATERAL (SELECT unnest({vec_col}) AS v,
+                       generate_subscripts({vec_col}, 1) AS dim) u
+  WHERE {key_col} IS NOT NULL
+),
+__m AS (
+  SELECT k, dim, COUNT(*)::BIGINT AS n,
+         ROUND(CAST(CAST(SUM(CAST(
+                 CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+               AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / COUNT(*), 9)
+           AS m
+  FROM __b GROUP BY k, dim
+),
+__norm AS (
+  SELECT k, MAX(n)::BIGINT AS nvec,
+         CAST(SUM(CAST({q9('m * m')} AS DECIMAL(38,9))) AS DECIMAL(38,9))
+           AS n2
+  FROM __m GROUP BY k
+),
+__dot AS (
+  SELECT a.k AS ka, b.k AS kb,
+         CAST(SUM(CAST({q9('a.m * b.m')} AS DECIMAL(38,9)))
+              AS DECIMAL(38,9)) AS dot
+  FROM __m a JOIN __m b ON a.dim = b.dim AND a.k < b.k
+  GROUP BY a.k, b.k
+)
+SELECT d.ka AS key_a, d.kb AS key_b,
+       na.nvec AS n_a, nb.nvec AS n_b,
+       ROUND({d2d('d.dot')} / sqrt({d2d('na.n2')}) / sqrt({d2d('nb.n2')}),
+             {int(round_to)}) AS cosine
+FROM __dot d JOIN __norm na ON d.ka = na.k JOIN __norm nb ON d.kb = nb.k
+ORDER BY key_a, key_b
 """

@@ -695,3 +695,62 @@ def test_binseg_parity_fuzz(spark, seed):
         rn, rsplit, rstat, rm1, rm2 = ref[k]
         assert (n, split) == (rn, rsplit)
         assert stat == pytest.approx(rstat, abs=1e-12)
+
+
+# --- centroid matrix --------------------------------------------------------
+
+
+def _mk_vecs(spark, rows):
+    # rows: (vec_id, label, [floats])
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb (vec_id BIGINT, label VARCHAR, embedding DOUBLE[])"
+    )
+    con.executemany("INSERT INTO emb VALUES (?,?,?)", rows)
+    return df, con
+
+
+def test_centroid_matrix_semantics_and_parity(spark):
+    # labels a,b share a centroid direction; c is orthogonal
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [0.9, 0.1]),
+        (3, "b", [1.0, 0.05]),
+        (4, "b", [0.95, 0.0]),
+        (5, "c", [0.0, 1.0]),
+        (6, "c", [0.0, 0.9]),
+    ]
+    df, con = _mk_vecs(spark, rows)
+    got = [tuple(r) for r in anomaly.centroid_matrix(df, "label", "embedding").collect()]
+    want = con.execute(
+        anomaly.centroid_matrix_sql("emb", "label", "embedding")
+    ).fetchall()
+    assert got == want
+    by_pair = {(r[0], r[1]): r[4] for r in got}
+    assert by_pair[("a", "b")] > 0.99
+    assert abs(by_pair[("a", "c")]) < 0.2
+    assert {(r[0], r[1]) for r in got} == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(r[2] == 2 and r[3] == 2 for r in got)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_centroid_matrix_parity_fuzz(spark, seed):
+    import random
+
+    rng = random.Random(8800 + seed)
+    dims = rng.choice([3, 8])
+    rows = [
+        (
+            i,
+            rng.choice(["a", "b", "c", "d"]),
+            [rng.uniform(-2, 2) for _ in range(dims)],
+        )
+        for i in range(rng.randint(8, 120))
+    ]
+    df, con = _mk_vecs(spark, rows)
+    got = [tuple(r) for r in anomaly.centroid_matrix(df, "label", "embedding").collect()]
+    want = con.execute(
+        anomaly.centroid_matrix_sql("emb", "label", "embedding")
+    ).fetchall()
+    assert got == want
