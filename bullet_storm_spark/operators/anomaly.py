@@ -1092,6 +1092,10 @@ def centroid_matrix(
                 F.col("__s").cast("string").cast("double") / F.col("__n"), 9
             ).alias("__m"),
         )
+        # the ONE corpus pass (posexplode + collapse); norms, m1 and m2
+        # all consume this slices×dims frame — without the pin the
+        # executed plan re-ran the explode aggregation 3x
+        .localCheckpoint()
     )
     _q9 = lambda c: c.cast("string").cast("decimal(18,9)")
     norms = means.groupBy("__k").agg(

@@ -1483,9 +1483,14 @@ def mutual_information(df: DataFrame, a_col: Column, b_col: Column) -> DataFrame
     cells = labeled.groupBy("__a", "__b").agg(
         F.count(F.lit(1)).cast("long").alias("__o")
     )
-    ra = labeled.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__r"))
-    cb = labeled.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    tot = labeled.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # ONE corpus pass: margins and the total re-aggregate the
+    # vocabulary-sized cells frame instead of re-scanning the fact
+    # (the executed plan held 7 parquet scans before this; checkpoint
+    # pins the single collapse for its four consumers)
+    cells = cells.localCheckpoint()
+    ra = cells.groupBy("__a").agg(F.sum("__o").cast("long").alias("__r"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").cast("long").alias("__c"))
+    tot = cells.agg(F.sum("__o").cast("long").alias("__n"))
     _ex = "decimal(38,0)"
     _q9 = lambda c: c.cast("string").cast("decimal(18,9)")
     _c19 = lambda c: c.cast("decimal(19,0)")

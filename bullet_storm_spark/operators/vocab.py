@@ -1204,6 +1204,10 @@ def oov_report(
     st = occ.groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    # the ONE explode pass; the vocabulary cut and the flag join both
+    # consume this (source, token) frame — pin it or the corpus explode
+    # runs twice
+    st = st.localCheckpoint()
     vocab = (
         st.groupBy("token")
         .agg(F.sum("__c").cast("long").alias("__tf"))
