@@ -528,6 +528,7 @@ from bullet_storm_spark.operators import forecast as _fcst
 from bullet_storm_spark.operators import ids as _ids
 from bullet_storm_spark.operators import distribution as _dist
 from bullet_storm_spark.operators import correlate as _correl
+from bullet_storm_spark.operators import privacy as _priv
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -3534,6 +3535,80 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             _LINK_COMPARATORS,
             threshold=1.5,
             survivor_col="c_acctbal",
+        ),
+    ),
+    # re-identification pre-flight over the structured side (pairs with
+    # the free-text pii_* entries): ONE groupBy over the generalized QI
+    # tuple, then class-table-sized finishes — per-threshold k-anonymity
+    # risk rows and the l-diversity histogram (d=1 bucket = homogeneity
+    # attack set)
+    "privacy_k_anonymity": (
+        lambda s, d: _priv.k_anonymity_audit(
+            load_table(s, d, "customer"),
+            [
+                F.col("c_mktsegment"),
+                F.col("c_nationkey"),
+                F.floor(F.col("c_acctbal") / F.lit(100.0)).cast("long"),
+            ],
+        ),
+        _priv.k_anonymity_audit_sql(
+            "customer",
+            [
+                "c_mktsegment",
+                "c_nationkey",
+                "CAST(FLOOR(c_acctbal / 100.0) AS BIGINT)",
+            ],
+        ),
+    ),
+    "privacy_l_diversity": (
+        lambda s, d: _priv.l_diversity_audit(
+            load_table(s, d, "customer"),
+            [
+                F.col("c_nationkey"),
+                F.floor(F.col("c_acctbal") / F.lit(500.0)).cast("long"),
+            ],
+            F.col("c_mktsegment"),
+        ),
+        _priv.l_diversity_audit_sql(
+            "customer",
+            ["c_nationkey", "CAST(FLOOR(c_acctbal / 500.0) AS BIGINT)"],
+            "c_mktsegment",
+        ),
+    ),
+    # SCD Type-2 dimension build from the orders change stream: per-key
+    # LAG change-collapse -> LEAD/ROW_NUMBER validity intervals, all in
+    # ONE key-partitioned WindowExec chain; int64 µs lattice end-to-end
+    # (far-future sentinel instead of NULL keeps pandas off float64)
+    "scd2_priority_history": (
+        lambda s, d: _merge.scd2_build(
+            load_table(s, d, "orders"),
+            "o_custkey",
+            "o_orderpriority",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+            "o_orderkey",
+        ),
+        _merge.scd2_build_sql(
+            "orders",
+            "o_custkey",
+            "o_orderpriority",
+            "epoch_us(o_orderdate)",
+            "o_orderkey",
+        ),
+    ),
+    "scd2_churn_summary": (
+        lambda s, d: _merge.scd2_summary(
+            load_table(s, d, "orders"),
+            "o_custkey",
+            "o_orderpriority",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+            "o_orderkey",
+        ),
+        _merge.scd2_summary_sql(
+            "orders",
+            "o_custkey",
+            "o_orderpriority",
+            "epoch_us(o_orderdate)",
+            "o_orderkey",
         ),
     ),
 }

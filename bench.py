@@ -184,6 +184,9 @@ HEADLINE = [
     "events_changepoint",
     "embed_centroid_matrix",
     "text_percentile_rank",
+    "privacy_k_anonymity",
+    "scd2_priority_history",
+    "scd2_churn_summary",
 ]
 
 

@@ -116,3 +116,149 @@ def merge_accounting_sql(
 SELECT action, CAST(COUNT(*) AS BIGINT) AS n
 FROM ({inner}) GROUP BY action ORDER BY action
 """
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_us: F.Column,
+    tiebreak_col: str,
+    far_future_us: int = 32503680000000000,  # 3000-01-01, exact in int64
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history from a change stream:
+    ``(key, attr, valid_from_us, valid_to_us, version, is_current)``.
+
+    The other half of table maintenance next to ``merge_upsert``: where
+    MERGE keeps only the latest value per key, SCD2 keeps every value
+    with its validity interval — the dimension shape every point-in-time
+    (as-of) join downstream wants.  Semantics:
+
+    - events for a key are ordered by ``(ts_us, tiebreak_col)`` (the
+      tiebreaker makes the history deterministic under same-timestamp
+      changes — without it the interval bounds are engine-dependent);
+    - consecutive events with an UNCHANGED attribute are collapsed (CDC
+      echo suppression, same contract as merge_upsert's no-op
+      detection);
+    - ``valid_to_us`` of a version is the ``valid_from_us`` of the next
+      one (half-open intervals); the current version gets a far-future
+      sentinel instead of NULL so the column stays int64 end-to-end
+      (a NULL here would coerce the whole column to float64 in pandas
+      on BOTH engines — exact below 2^53 µs, but the sentinel keeps the
+      lattice integer, per the repo dtype conventions).
+
+    Plan: ONE shuffle on the key; LAG (change detection) → filter →
+    LEAD + ROW_NUMBER (interval bounds + version) all share the same
+    window partitioning, so Catalyst runs them in a single WindowExec
+    chain without re-exchanging.  At 100 TB this is the minimal shape —
+    a per-key ordinal history cannot be built with less than one
+    key-partitioned sort.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        ts_us.cast("long").alias("__us"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    w = Window.partitionBy("key").orderBy("__us", "__tb")
+    changed = base.withColumn("__prev", F.lag("attr").over(w)).where(
+        F.col("__prev").isNull() | ~F.col("attr").eqNullSafe(F.col("__prev"))
+    )
+    # the filtered frame keeps the same partitioning; LEAD/ROW_NUMBER
+    # reuse it (one WindowExec, no second exchange)
+    w2 = Window.partitionBy("key").orderBy("__us", "__tb")
+    out = changed.select(
+        F.col("key"),
+        F.col("attr"),
+        F.col("__us").alias("valid_from_us"),
+        F.coalesce(
+            F.lead("__us").over(w2), F.lit(int(far_future_us))
+        ).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("__us").over(w2).isNull().cast("long").alias("is_current"),
+    )
+    return out.orderBy("key", "version")
+
+
+def scd2_build_sql(
+    table: str,
+    key_col: str,
+    attr_col: str,
+    ts_us_sql: str,
+    tiebreak_col: str,
+    far_future_us: int = 32503680000000000,
+) -> str:
+    return f"""
+WITH __b AS (
+  SELECT {key_col} AS key, {attr_col} AS attr,
+         CAST({ts_us_sql} AS BIGINT) AS __us, {tiebreak_col} AS __tb
+  FROM {table}
+),
+__lag AS (
+  SELECT *, LAG(attr) OVER (PARTITION BY key ORDER BY __us, __tb) AS __prev
+  FROM __b
+),
+__chg AS (
+  SELECT * FROM __lag
+  WHERE __prev IS NULL OR attr IS DISTINCT FROM __prev
+)
+SELECT key, attr, __us AS valid_from_us,
+       COALESCE(LEAD(__us) OVER (PARTITION BY key ORDER BY __us, __tb),
+                {int(far_future_us)}) AS valid_to_us,
+       CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY __us, __tb)
+            AS BIGINT) AS version,
+       CAST(CASE WHEN LEAD(__us) OVER (PARTITION BY key
+                                       ORDER BY __us, __tb) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM __chg ORDER BY key, version
+"""
+
+
+def scd2_summary(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_us: F.Column,
+    tiebreak_col: str,
+) -> DataFrame:
+    """(versions, n_keys, n_current): how churned the dimension is — a
+    histogram of keys by how many SCD2 versions they accumulated.  The
+    long tail IS the signal: keys with dozens of versions are either
+    genuinely volatile or a CDC-noise symptom merge_upsert's no-op
+    suppression should have caught upstream."""
+    hist = scd2_build(df, key_col, attr_col, ts_us, tiebreak_col)
+    per_key = hist.groupBy("key").agg(
+        F.max("version").alias("versions"),
+        F.sum("is_current").cast("long").alias("__cur"),
+    )
+    return (
+        per_key.groupBy("versions")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("__cur").cast("long").alias("n_current"),
+        )
+        .orderBy("versions")
+    )
+
+
+def scd2_summary_sql(
+    table: str,
+    key_col: str,
+    attr_col: str,
+    ts_us_sql: str,
+    tiebreak_col: str,
+) -> str:
+    inner = scd2_build_sql(table, key_col, attr_col, ts_us_sql, tiebreak_col)
+    return f"""
+WITH __h AS ({inner}),
+__k AS (
+  SELECT key, MAX(version) AS versions,
+         CAST(SUM(is_current) AS BIGINT) AS __cur
+  FROM __h GROUP BY key
+)
+SELECT versions, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(__cur) AS BIGINT) AS n_current
+FROM __k GROUP BY versions ORDER BY versions
+"""

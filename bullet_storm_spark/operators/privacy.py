@@ -1,0 +1,201 @@
+"""Privacy-risk audits over quasi-identifiers: k-anonymity and
+l-diversity.
+
+Before a corpus (or a user/event table joined into one) ships to a
+training pipeline, the standard re-identification pre-flight asks two
+questions (Sweeney 2002, "k-anonymity: a model for protecting privacy";
+Machanavajjhala et al. ICDE 2006, "l-diversity"):
+
+- **k-anonymity**: for a chosen set of quasi-identifier (QI) columns,
+  how many rows sit in QI-equivalence classes smaller than k?  A row in
+  a class of size 1 is uniquely re-identifiable from the QIs alone.
+- **l-diversity**: within each QI class, how many DISTINCT values of a
+  sensitive attribute appear?  A class that is k-large but carries a
+  single sensitive value still leaks it (the homogeneity attack).
+
+Spark-first shape — both audits are hash aggregations, nothing else:
+
+- ``k_anonymity_audit``: ONE groupBy over the QI tuple produces the
+  class-size table (this is the only shuffle of the fact table); the
+  per-threshold risk accounting is a second aggregation over that
+  class-sized (not row-sized) frame, finished with an unpivot of the
+  threshold literals.  At 100 TB the class table is orders of magnitude
+  smaller than the input (that is the point of QI generalization), so
+  everything after the first exchange is cheap.
+- ``l_diversity_audit``: groupBy (QI, sensitive) then groupBy QI —
+  Catalyst executes the distinct count as two-level partial
+  aggregation; the histogram finish runs over the class table.
+
+Both emit compact reports (rows = thresholds or distinct-count support)
+— audit artifacts, not per-row flags — so the driver-side result is
+bounded regardless of input size.
+
+cf. SURVEY.md §2 extension surface (the reference engine has no privacy
+tooling; this pairs with operators/pii.py, which audits free text while
+these audit the structured side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[Column],
+    ks: list[int] = (2, 5, 10, 20),
+) -> DataFrame:
+    """(k, classes_total, rows_total, classes_below, rows_below,
+    rows_below_share): one row per threshold k — how many QI classes
+    (and rows inside them) fall below k members.
+
+    ``qi_cols`` are already-generalized Column expressions (banded
+    balances, truncated geo, ...); generalization choice is the
+    caller's policy decision, the audit just measures it.
+    """
+    qi = [c.alias(f"__qi{i}") for i, c in enumerate(qi_cols)]
+    classes = df.select(*qi).groupBy(
+        *[f"__qi{i}" for i in range(len(qi))]
+    ).agg(F.count(F.lit(1)).alias("__sz"))
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("classes_total"),
+        F.sum("__sz").cast("long").alias("rows_total"),
+    ]
+    for k in ks:
+        below = F.col("__sz") < F.lit(int(k))
+        agg_cols.append(
+            F.sum(below.cast("long")).cast("long").alias(f"__cb_{k}")
+        )
+        agg_cols.append(
+            F.sum(F.when(below, F.col("__sz")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__rb_{k}")
+        )
+    totals = classes.agg(*agg_cols)
+    # unpivot the per-threshold columns into rows: stack() stays in
+    # codegen and the frame is ONE row, so this is free
+    stack_args = ", ".join(
+        f"{int(k)}L, __cb_{k}, __rb_{k}" for k in ks
+    )
+    out = totals.select(
+        "classes_total",
+        "rows_total",
+        F.expr(
+            f"stack({len(ks)}, {stack_args}) AS (k, classes_below, rows_below)"
+        ),
+    )
+    return out.select(
+        F.col("k").cast("long").alias("k"),
+        "classes_total",
+        "rows_total",
+        F.col("classes_below").cast("long").alias("classes_below"),
+        F.col("rows_below").cast("long").alias("rows_below"),
+        F.round(
+            F.col("rows_below").cast("double") / F.col("rows_total"), 9
+        ).alias("rows_below_share"),
+    ).orderBy("k")
+
+
+def k_anonymity_audit_sql(
+    table: str,
+    qi_sql: list[str],
+    ks: list[int] = (2, 5, 10, 20),
+) -> str:
+    qi = ", ".join(
+        f"{expr} AS __qi{i}" for i, expr in enumerate(qi_sql)
+    )
+    names = ", ".join(f"__qi{i}" for i in range(len(qi_sql)))
+    per_k = "\nUNION ALL\n".join(
+        f"SELECT {int(k)}::BIGINT AS k, classes_total, rows_total,\n"
+        f"       __cb_{k} AS classes_below, __rb_{k} AS rows_below\n"
+        f"FROM __t"
+        for k in ks
+    )
+    cb = ",\n".join(
+        f"         CAST(SUM(CASE WHEN __sz < {int(k)} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS __cb_{k},\n"
+        f"         CAST(SUM(CASE WHEN __sz < {int(k)} THEN __sz ELSE 0 END)"
+        f" AS BIGINT) AS __rb_{k}"
+        for k in ks
+    )
+    return f"""
+WITH __c AS (
+  SELECT {names}, COUNT(*) AS __sz
+  FROM (SELECT {qi} FROM {table})
+  GROUP BY {names}
+),
+__t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS classes_total,
+         CAST(SUM(__sz) AS BIGINT) AS rows_total,
+{cb}
+  FROM __c
+)
+SELECT k, classes_total, rows_total, classes_below, rows_below,
+       ROUND(CAST(rows_below AS DOUBLE) / rows_total, 9)
+         AS rows_below_share
+FROM ({per_k}) ORDER BY k
+"""
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qi_cols: list[Column],
+    sensitive: Column,
+    l_min: int = 3,
+) -> DataFrame:
+    """(distinct_sensitive, n_classes, n_rows, at_risk): histogram of QI
+    classes by how many DISTINCT sensitive values they contain;
+    ``at_risk`` marks buckets below ``l_min``.  The d=1 bucket is the
+    homogeneity-attack set: every row in it reveals its sensitive value
+    to anyone who knows the QIs."""
+    qi_names = [f"__qi{i}" for i in range(len(qi_cols))]
+    base = df.select(
+        *[c.alias(n) for c, n in zip(qi_cols, qi_names)],
+        sensitive.alias("__s"),
+    )
+    per_class = base.groupBy(*qi_names).agg(
+        F.count_distinct(F.col("__s")).cast("long").alias("__d"),
+        F.count(F.lit(1)).cast("long").alias("__sz"),
+    )
+    return (
+        per_class.groupBy(F.col("__d").alias("distinct_sensitive"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("__sz").cast("long").alias("n_rows"),
+        )
+        .select(
+            "distinct_sensitive",
+            "n_classes",
+            "n_rows",
+            (F.col("distinct_sensitive") < F.lit(int(l_min)))
+            .cast("long")
+            .alias("at_risk"),
+        )
+        .orderBy("distinct_sensitive")
+    )
+
+
+def l_diversity_audit_sql(
+    table: str,
+    qi_sql: list[str],
+    sensitive_sql: str,
+    l_min: int = 3,
+) -> str:
+    qi = ", ".join(f"{e} AS __qi{i}" for i, e in enumerate(qi_sql))
+    names = ", ".join(f"__qi{i}" for i in range(len(qi_sql)))
+    return f"""
+WITH __b AS (
+  SELECT {qi}, {sensitive_sql} AS __s FROM {table}
+),
+__c AS (
+  SELECT {names}, CAST(COUNT(DISTINCT __s) AS BIGINT) AS __d,
+         CAST(COUNT(*) AS BIGINT) AS __sz
+  FROM __b GROUP BY {names}
+)
+SELECT __d AS distinct_sensitive,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(__sz) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN __d < {int(l_min)} THEN 1 ELSE 0 END AS BIGINT)
+         AS at_risk
+FROM __c GROUP BY __d ORDER BY __d
+"""
