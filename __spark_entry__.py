@@ -2769,6 +2769,20 @@ ORDER BY doc_id
         lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
         _anomaly.binseg_changepoint_sql("events"),
     ),
+    # temporal train/test split with an embargo gap + leakage
+    # accounting (purging/embargo discipline): int64 µs boundary
+    # arithmetic, 1-row broadcast bounds, ONE user-keyed shuffle
+    "sample_time_split": (
+        lambda s, d: _smp.time_split_audit(load_table(s, d, "events")),
+        _smp.time_split_audit_sql("events"),
+    ),
+    # Theil-Sen robust trend per type: median of all pairwise slopes
+    # over the densified hourly series (29% breakdown vs OLS's 0) —
+    # integer-diff slopes, exact-percentile medians, span²-bounded pairs
+    "events_theil_sen": (
+        lambda s, d: _trend.theil_sen_trend(load_table(s, d, "events")),
+        _trend.theil_sen_trend_sql("events"),
+    ),
     # token-mass-weighted length quantiles per source: the doc length at
     # which q of the TOKEN MASS sits in shorter docs (what packing and
     # truncation budgets see); all-integer threshold test, zero floats

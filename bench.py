@@ -187,6 +187,8 @@ HEADLINE = [
     "privacy_k_anonymity",
     "scd2_priority_history",
     "scd2_churn_summary",
+    "events_theil_sen",
+    "sample_time_split",
 ]
 
 

@@ -854,3 +854,144 @@ SELECT p.split, p.n_groups, p.n_rows,
 FROM __p p CROSS JOIN __tot t CROSS JOIN __leak l
 ORDER BY p.split
 """
+
+
+def time_split_audit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_us: Column | None = None,
+    train_permille: int = 800,
+    embargo_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap, plus the leakage
+    accounting: ``(bucket, n_rows, n_users, users_also_in_train)``.
+
+    The time-series counterpart of ``group_split``: random splits leak
+    future information into training whenever rows are autocorrelated in
+    time, so the evaluation-honest split is BY TIME — train strictly
+    before a boundary, test strictly after boundary+embargo, and the
+    embargo band dropped so that trailing windows computed on train rows
+    (sessions, rolling stats, label horizons) cannot straddle the
+    boundary (the "purging/embargo" discipline of de Prado 2018, ch. 7).
+
+    The boundary is ``min + (max-min) * train_permille / 1000`` in pure
+    int64 µs arithmetic (identical across engines — no float, no
+    calendar).  ``users_also_in_train`` on the test row counts users
+    appearing on BOTH sides: not an error (user-level overlap is
+    expected in a time split), but the number an experimenter must know
+    — those users' test rows are in-distribution, the rest measure
+    cold-start generalization.  For train/embargo rows it is NULL.
+
+    Plan: the min/max boundary rides a 1-row broadcast; ONE shuffle on
+    the user key collapses per-user bucket counts; the report is a
+    constant-width aggregation over the user frame.  Nothing row-sized
+    crosses the driver at any scale.
+    """
+    t = (ts_us if ts_us is not None else F.expr("ts_ns div 1000")).cast(
+        "long"
+    )
+    base = df.select(F.col(user_col).alias("__u"), t.alias("__us"))
+    bounds = base.agg(
+        F.min("__us").alias("__lo"), F.max("__us").alias("__hi")
+    )
+    # `div` keeps the boundary arithmetic in int64 (a `/` here would be
+    # an IEEE division whose truncation can disagree with integer floor
+    # near representation boundaries — the 2^53 class)
+    tagged = base.crossJoin(F.broadcast(bounds)).select(
+        "__u",
+        "__us",
+        F.expr(
+            f"CAST(__lo + ((__hi - __lo) * {int(train_permille)}) div 1000 "
+            "AS BIGINT)"
+        ).alias("__split"),
+    )
+    per_user = tagged.groupBy("__u").agg(
+        F.sum((F.col("__us") < F.col("__split")).cast("long"))
+        .cast("long")
+        .alias("__tr"),
+        F.sum(
+            (
+                (F.col("__us") >= F.col("__split"))
+                & (F.col("__us") < F.col("__split") + F.lit(int(embargo_us)))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("__em"),
+        F.sum(
+            (F.col("__us") >= F.col("__split") + F.lit(int(embargo_us))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("__te"),
+    )
+    rep = per_user.agg(
+        F.sum("__tr").cast("long").alias("r_train"),
+        F.sum("__em").cast("long").alias("r_embargo"),
+        F.sum("__te").cast("long").alias("r_test"),
+        F.sum((F.col("__tr") > 0).cast("long")).cast("long").alias("u_train"),
+        F.sum((F.col("__em") > 0).cast("long")).cast("long").alias("u_embargo"),
+        F.sum((F.col("__te") > 0).cast("long")).cast("long").alias("u_test"),
+        F.sum(((F.col("__tr") > 0) & (F.col("__te") > 0)).cast("long"))
+        .cast("long")
+        .alias("u_both"),
+    )
+    return rep.select(
+        F.expr(
+            "stack(3, 'embargo', r_embargo, u_embargo, CAST(NULL AS BIGINT), "
+            "'test', r_test, u_test, u_both, "
+            "'train', r_train, u_train, CAST(NULL AS BIGINT)) "
+            "AS (bucket, n_rows, n_users, users_also_in_train)"
+        )
+    ).orderBy("bucket")
+
+
+def time_split_audit_sql(
+    table: str,
+    user_col: str = "user_id",
+    ts_us_sql: str = "epoch_us(ts)",
+    train_permille: int = 800,
+    embargo_us: int = 3_600_000_000,
+) -> str:
+    return f"""
+WITH __b AS (
+  SELECT {user_col} AS u, CAST({ts_us_sql} AS BIGINT) AS us FROM {table}
+),
+__bounds AS (
+  SELECT MIN(us) AS lo, MAX(us) AS hi FROM __b
+),
+__tag AS (
+  SELECT b.u, b.us,
+         CAST(x.lo + ((x.hi - x.lo) * {int(train_permille)}) // 1000
+              AS BIGINT) AS split
+  FROM __b b CROSS JOIN __bounds x
+),
+__pu AS (
+  SELECT u,
+         CAST(SUM(CASE WHEN us < split THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+         CAST(SUM(CASE WHEN us >= split
+                        AND us < split + {int(embargo_us)}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS em,
+         CAST(SUM(CASE WHEN us >= split + {int(embargo_us)}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS te
+  FROM __tag GROUP BY u
+),
+__rep AS (
+  SELECT CAST(SUM(tr) AS BIGINT) AS r_train,
+         CAST(SUM(em) AS BIGINT) AS r_embargo,
+         CAST(SUM(te) AS BIGINT) AS r_test,
+         CAST(SUM(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_train,
+         CAST(SUM(CASE WHEN em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_embargo,
+         CAST(SUM(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_test,
+         CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS u_both
+  FROM __pu
+)
+SELECT 'embargo' AS bucket, r_embargo AS n_rows, u_embargo AS n_users,
+       CAST(NULL AS BIGINT) AS users_also_in_train FROM __rep
+UNION ALL
+SELECT 'test', r_test, u_test, u_both FROM __rep
+UNION ALL
+SELECT 'train', r_train, u_train, CAST(NULL AS BIGINT) FROM __rep
+ORDER BY bucket
+"""

@@ -270,3 +270,147 @@ SELECT CAST(rank AS BIGINT) AS rank, item,
        CAST(CAST(dw AS VARCHAR) AS DOUBLE) AS decayed_count, n_events
 FROM __ranked WHERE rank <= {k} ORDER BY rank
 """
+
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def theil_sen_trend(df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key Theil-Sen robust trend over the densified hourly count
+    series: ``(key, n_hours, n_pairs, slope, intercept)``.
+
+    The median of all pairwise slopes (Theil 1950, Sen JASA 1968) — the
+    robust counterpart of ``groupwise_ols``: a 29% contamination
+    breakdown point, so a bursty outlier hour that drags an OLS fit
+    barely moves this one.  intercept is the Theil-Sen companion
+    median(y − slope·x) with x RELATIVE to the key's first hour (slope
+    is shift-invariant; the relative axis keeps magnitudes small and
+    makes the intercept "the robust level at the series start").
+
+    Parity: pairwise slopes are BIGINT-difference / BIGINT-difference →
+    one IEEE division, identical across engines; medians use the exact
+    interpolated percentile (quantile_cont convention) rounded to 9 dp
+    before the intercept pass consumes the slope, so both engines
+    subtract the SAME rounded slope (the robust_outliers boundary
+    discipline).
+
+    Scale posture (100 TB): one corpus collapse to (key, hour) cells is
+    the only fact shuffle; the pair join is span²-bounded per key
+    (calendar-bounded, not data-bounded — same contract as the binseg
+    changepoint scan) and the intercept pass joins a key-sized broadcast
+    back onto span-bounded cells.
+    """
+    observed = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            (F.expr("ts_ns div 1000") / _US_PER_HOUR)
+            .cast("bigint")
+            .alias("hour"),
+        )
+        .groupBy("__key", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spine = (
+        observed.groupBy("__key")
+        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
+        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
+    )
+    hours = (
+        spine.join(observed, ["__key", "hour"], "left")
+        .join(
+            F.broadcast(
+                observed.groupBy("__key").agg(F.min("hour").alias("__h0"))
+            ),
+            "__key",
+        )
+        .select(
+            "__key",
+            (F.col("hour") - F.col("__h0")).cast("long").alias("x"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    a = hours.select("__key", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = hours.select("__key", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "__key").where(F.col("x2") > F.col("x1"))
+    slopes = pairs.select(
+        "__key",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("__sl"),
+    )
+    per_key = slopes.groupBy("__key").agg(
+        F.round(F.percentile(F.col("__sl"), F.lit(0.5)), 9).alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = (
+        hours.join(F.broadcast(per_key), "__key")
+        .select(
+            "__key",
+            "n_pairs",
+            "slope",
+            (
+                F.col("y").cast("double")
+                - F.col("slope") * F.col("x").cast("double")
+            ).alias("__r"),
+        )
+        .groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.first("n_pairs").alias("n_pairs"),
+            F.first("slope").alias("slope"),
+            F.round(F.percentile(F.col("__r"), F.lit(0.5)), 9).alias(
+                "intercept"
+            ),
+        )
+    )
+    return resid.select(
+        F.col("__key").alias("key"),
+        "n_hours",
+        "n_pairs",
+        "slope",
+        "intercept",
+    ).orderBy("key")
+
+
+def theil_sen_trend_sql(table: str, key_col: str = "event_type") -> str:
+    return f"""
+WITH __obs AS (
+  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY key, hour
+),
+__spine AS (
+  SELECT o.key, UNNEST(range(o.h0, o.h1 + 1)) AS hour
+  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM __obs GROUP BY key) o
+),
+__cells AS (
+  SELECT s.key, CAST(s.hour - m.h0 AS BIGINT) AS x,
+         CAST(COALESCE(o.cnt, 0) AS BIGINT) AS y
+  FROM __spine s
+  LEFT JOIN __obs o ON s.key = o.key AND s.hour = o.hour
+  JOIN (SELECT key, MIN(hour) AS h0 FROM __obs GROUP BY key) m
+    ON s.key = m.key
+),
+__slopes AS (
+  SELECT a.key,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+  FROM __cells a JOIN __cells b ON a.key = b.key AND b.x > a.x
+),
+__sl AS (
+  SELECT key, ROUND(quantile_cont(sl, 0.5), 9) AS slope,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM __slopes GROUP BY key
+),
+__res AS (
+  SELECT c.key, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         ANY_VALUE(s.n_pairs) AS n_pairs,
+         ANY_VALUE(s.slope) AS slope,
+         ROUND(quantile_cont(CAST(c.y AS DOUBLE) - s.slope * c.x, 0.5), 9)
+           AS intercept
+  FROM __cells c JOIN __sl s ON c.key = s.key
+  GROUP BY c.key
+)
+SELECT key, n_hours, n_pairs, slope, intercept FROM __res ORDER BY key
+"""

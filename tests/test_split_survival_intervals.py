@@ -271,3 +271,54 @@ def test_user_day_incident_overlap_matches_duckdb(spark, sf_tables):
     assert got == oracle
     assert len(got) == 15  # 5 types x top-3 hours
     assert all(r[2] > 0 and r[3] > 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Temporal embargo split audit
+# ---------------------------------------------------------------------------
+
+def test_time_split_audit_hand_oracle(spark):
+    from bullet_storm_spark.operators.sampling import time_split_audit
+
+    # span 0..1000 µs, 80% boundary -> split=800; embargo 100 µs ->
+    # embargo band [800, 900), test [900, 1000]
+    rows = [
+        ("a", 0), ("a", 500), ("a", 950),    # a: train+test -> leaks
+        ("b", 100), ("b", 799),              # b: train only
+        ("c", 850),                          # c: embargo only
+        ("d", 900), ("d", 1000),             # d: test only
+    ]
+    df = spark.createDataFrame(rows, "user_id string, us long")
+    out = {
+        r.bucket: r
+        for r in time_split_audit(
+            df, ts_us=__import__("pyspark.sql.functions", fromlist=["col"]).col("us"),
+            embargo_us=100,
+        ).collect()
+    }
+    assert out["train"].n_rows == 4 and out["train"].n_users == 2
+    assert out["embargo"].n_rows == 1 and out["embargo"].n_users == 1
+    assert out["test"].n_rows == 3 and out["test"].n_users == 2
+    assert out["test"].users_also_in_train == 1          # only 'a'
+    assert out["train"].users_also_in_train is None
+
+
+def test_time_split_audit_duck_parity(spark, sf_tables):
+    from bullet_storm_spark.operators.sampling import (
+        time_split_audit, time_split_audit_sql,
+    )
+
+    got = [tuple(r) for r in time_split_audit(sf_tables["events"]).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    oracle = con.execute(time_split_audit_sql("events")).fetchall()
+    assert got == oracle
+    by = {r[0]: r for r in got}
+    # embargo band is 1h of a multi-day span: tiny but usually nonempty;
+    # the split must partition all rows
+    total = sum(r[1] for r in got)
+    assert total == sf_tables["events"].count()
+    assert by["train"][1] > by["test"][1] > 0

@@ -145,3 +145,85 @@ def test_decayed_top_items_validation(spark):
         decayed_top_items(df, "item", "ts", halflife_us=0)
     with pytest.raises(ValueError):
         decayed_top_items_sql("t", "item", "ts", halflife_us=10, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+_H = 3_600_000_000  # µs per hour
+# key 'up': hours 0..5 counts [1,2,3,4,5,100]-ish via repetition; the
+# 100-burst hour drags OLS hard but barely moves the pairwise-slope
+# median. key 'gap': hours 0,1,3 (hour 2 EMPTY -> densified to 0).
+TS_EVENTS = (
+    [("up", h, c) for h, c in enumerate([1, 2, 3, 4, 5, 40])]
+    + [("gap", 0, 2), ("gap", 1, 3), ("gap", 3, 4)]
+)
+
+
+def _ts_df(spark):
+    rows = []
+    eid = 0
+    for key, hour, cnt in TS_EVENTS:
+        for _ in range(cnt):
+            rows.append((key, eid, hour * _H * 1000))  # ts_ns
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_type string, event_id long, ts_ns long"
+    )
+
+
+def _py_theil_sen(series):
+    import statistics
+
+    xs = sorted(series)
+    x0 = xs[0][0]
+    pts = [(x - x0, y) for x, y in series]
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+        if x2 > x1
+    ]
+    slope = round(statistics.median(slopes), 9)
+    intercept = round(statistics.median([y - slope * x for x, y in pts]), 9)
+    return len(pts), len(slopes), slope, intercept
+
+
+def test_theil_sen_matches_python_oracle(spark):
+    from bullet_storm_spark.operators.trend import theil_sen_trend
+
+    out = {r.key: r for r in theil_sen_trend(_ts_df(spark)).collect()}
+    up = _py_theil_sen([(h, c) for k, h, c in TS_EVENTS if k == "up"])
+    assert (
+        out["up"].n_hours, out["up"].n_pairs, out["up"].slope,
+        out["up"].intercept,
+    ) == up
+    # the burst hour must NOT drag the slope to the OLS fit: the
+    # pairwise median stays near the underlying +1/hour trend
+    assert out["up"].slope < 5.0
+    # densified gap: hour 2 becomes y=0, so n_hours=4 (0..3)
+    gap = _py_theil_sen([(0, 2), (1, 3), (2, 0), (3, 4)])
+    assert (
+        out["gap"].n_hours, out["gap"].n_pairs, out["gap"].slope,
+        out["gap"].intercept,
+    ) == gap
+
+
+def test_theil_sen_duck_parity(spark, tmp_path):
+    from bullet_storm_spark.operators.trend import (
+        theil_sen_trend, theil_sen_trend_sql,
+    )
+
+    df = _ts_df(spark)
+    p = str(tmp_path / "ev.parquet")
+    # DuckDB twin reads ts as TIMESTAMP: materialize the same events
+    df.select(
+        "event_type", "event_id",
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
+    ).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{p}/*.parquet'")
+    s = [tuple(r) for r in theil_sen_trend(df).collect()]
+    d = con.execute(theil_sen_trend_sql("events")).fetchall()
+    assert s == d
