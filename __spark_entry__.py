@@ -529,6 +529,7 @@ from bullet_storm_spark.operators import ids as _ids
 from bullet_storm_spark.operators import distribution as _dist
 from bullet_storm_spark.operators import correlate as _correl
 from bullet_storm_spark.operators import privacy as _priv
+from bullet_storm_spark.operators import isotonic as _iso
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -2768,6 +2769,22 @@ ORDER BY doc_id
     "events_changepoint": (
         lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
         _anomaly.binseg_changepoint_sql("events"),
+    ),
+    # exact isotonic regression (PAV) via the RWD minimax identity —
+    # the monotone calibrator for the same score/gate pair the
+    # reliability bins diagnose; support²-bounded pair algebra, one
+    # IEEE division per pair from identical integer prefix sums
+    "text_isotonic_calibration": (
+        lambda s, d: _iso.isotonic_fit(
+            _docs(s, d),
+            F.least(F.col("n_chars"), F.lit(600)),
+            F.size(_text.tokens("text")) >= 45,
+        ),
+        _iso.isotonic_fit_sql(
+            "documents",
+            "LEAST(n_chars, 600)",
+            f"len({_text.tokens_sql('text')}) >= 45",
+        ),
     ),
     # temporal train/test split with an embargo gap + leakage
     # accounting (purging/embargo discipline): int64 µs boundary

@@ -189,6 +189,7 @@ HEADLINE = [
     "scd2_churn_summary",
     "events_theil_sen",
     "sample_time_split",
+    "text_isotonic_calibration",
 ]
 
 
