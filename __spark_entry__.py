@@ -2770,6 +2770,16 @@ ORDER BY doc_id
         lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
         _anomaly.binseg_changepoint_sql("events"),
     ),
+    # split-conformal nonconformity thresholds per source: the
+    # ⌈(n+1)(1−α)⌉-th smallest score as an all-integer order statistic
+    # (permille alphas, positive-only ceil identity, support-bounded
+    # cumulative scan) — the distribution-free outlier gate
+    "text_conformal_threshold": (
+        lambda s, d: _exp.conformal_thresholds(
+            _docs(s, d), "source", F.col("n_chars")
+        ),
+        _exp.conformal_thresholds_sql("documents", "source", "n_chars"),
+    ),
     # exact isotonic regression (PAV) via the RWD minimax identity —
     # the monotone calibrator for the same score/gate pair the
     # reliability bins diagnose; support²-bounded pair algebra, one

@@ -190,6 +190,7 @@ HEADLINE = [
     "events_theil_sen",
     "sample_time_split",
     "text_isotonic_calibration",
+    "text_conformal_threshold",
 ]
 
 

@@ -35,7 +35,7 @@ broadcast bounds + one keyed aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from bullet_storm_spark.operators.stats_tests import (
     _MOMENT,
@@ -339,4 +339,126 @@ SELECT n,
          ({float(z_alpha)!r} + {float(z_power)!r}) * sqrt(var)
            * sqrt(2.0 / CAST(n AS DOUBLE)) / mean END, {round_to}) AS mde_rel
 FROM __d
+"""
+
+
+def conformal_thresholds(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    alphas: list[float] = (0.1, 0.05, 0.01),
+) -> DataFrame:
+    """(group, alpha_permille, n, rank, threshold): split-conformal
+    quantile of a nonconformity score per group, with the finite-sample
+    correction — threshold = the ⌈(n+1)·(1−α)⌉-th smallest score
+    (Vovk et al. 2005; Angelopoulos & Bates 2023 §3).  Any future draw
+    from the same distribution lands ≤ threshold with probability
+    ≥ 1−α, GUARANTEED at finite n — the distribution-free gate for
+    "flag documents whose nonconformity exceeds the calibrated bound".
+
+    Exactness: the rank is computed as the all-integer
+    ``⌈(n+1)·(1000−a)/1000⌉`` (alphas carried in permille so no float
+    ever touches the rank), and the threshold is an ORDER STATISTIC —
+    the smallest support value whose cumulative count reaches the rank
+    (the weighted-quantiles threshold scan) — never an interpolation.
+    Ranks beyond n (tiny groups at strict alpha) clamp to n, the
+    conservative convention.
+
+    Scale: one (group, score) collapse, support-bounded cumulative
+    window per group (the ks_drift contract — quantize continuous
+    scores upstream), alphas fan out as a literal unpivot.
+    """
+    a_pm = [int(round(a * 1000)) for a in alphas]
+    cells = (
+        df.select(F.col(group_col).alias("grp"), score.cast("long").alias("__v"))
+        .groupBy("grp", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("grp").orderBy("__v")
+    cum = cells.select(
+        "grp",
+        "__v",
+        F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("grp")).cast("long").alias("n"),
+    )
+    stacked = cum.select(
+        "grp",
+        "__v",
+        "__cum",
+        "n",
+        F.expr(
+            "explode(array({}))".format(
+                ", ".join(f"{a}L" for a in a_pm)
+            )
+        ).alias("alpha_permille"),
+    )
+    # ceil(x/1000) for POSITIVE x as (x + 999) div 1000: `div` truncates
+    # toward zero and DuckDB's // floors, which only agree on positive
+    # operands — so the identity stays strictly positive by construction
+    rank = F.least(
+        F.expr(
+            "CAST(((n + 1) * (1000 - alpha_permille) + 999) div 1000"
+            " AS BIGINT)"
+        ),
+        F.col("n"),
+    )
+    hit = stacked.where(F.col("__cum") >= rank).groupBy(
+        "grp", "alpha_permille"
+    ).agg(
+        F.first("n").alias("n"),
+        F.min("__v").alias("threshold"),
+    )
+    return hit.select(
+        "grp",
+        "alpha_permille",
+        "n",
+        F.least(
+            F.expr(
+                "CAST(((n + 1) * (1000 - alpha_permille) + 999) div 1000"
+                " AS BIGINT)"
+            ),
+            F.col("n"),
+        ).alias("rank"),
+        "threshold",
+    ).orderBy("grp", "alpha_permille")
+
+
+def conformal_thresholds_sql(
+    table: str,
+    group_col: str,
+    score_sql: str,
+    alphas: list[float] = (0.1, 0.05, 0.01),
+) -> str:
+    a_pm = [int(round(a * 1000)) for a in alphas]
+    alist = ", ".join(str(a) for a in a_pm)
+    # ceil(x/1000) for POSITIVE x as (x+999)//1000 — floor and trunc
+    # agree on positives, so DuckDB's // matches Spark's div exactly
+    rank = "LEAST(((n + 1) * (1000 - alpha_permille) + 999) // 1000, n)"
+    return f"""
+WITH __cells AS (
+  SELECT {group_col} AS grp, CAST({score_sql} AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} GROUP BY grp, v
+),
+__cum AS (
+  SELECT grp, v,
+         CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM __cells
+),
+__st AS (
+  SELECT grp, v, cum, n, UNNEST([{alist}]) AS alpha_permille
+  FROM __cum
+),
+__hit AS (
+  SELECT grp, alpha_permille, ANY_VALUE(n) AS n, MIN(v) AS threshold
+  FROM __st WHERE cum >= {rank}
+  GROUP BY grp, alpha_permille
+)
+SELECT grp, CAST(alpha_permille AS BIGINT) AS alpha_permille, n,
+       CAST({rank} AS BIGINT) AS rank, threshold
+FROM __hit ORDER BY grp, alpha_permille
 """

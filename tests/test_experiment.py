@@ -197,3 +197,45 @@ def test_experiment_parity_fuzz(spark, seed):
         _rows_sql(rows, "g, p, value"), mde_planning_sql("t", "value", "g = 0")
     )
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal thresholds
+# ---------------------------------------------------------------------------
+
+def test_conformal_thresholds_hand_oracle(spark):
+    import math
+    import random
+
+    from bullet_storm_spark.operators.experiment import (
+        conformal_thresholds, conformal_thresholds_sql,
+    )
+
+    rng = random.Random(7)
+    rows = [("g1", rng.randint(0, 50)) for _ in range(137)] + [
+        ("g2", rng.randint(0, 9)) for _ in range(4)  # tiny group: clamp
+    ]
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = conformal_thresholds(df, "src", F.col("v"), alphas=[0.1, 0.01])
+    got = {(r.grp, r.alpha_permille): r for r in out.collect()}
+    for (g, a_pm), r in got.items():
+        vals = sorted(v for s, v in rows if s == g)
+        n = len(vals)
+        rank = min(math.ceil((n + 1) * (1000 - a_pm) / 1000), n)
+        assert r.n == n and r.rank == rank
+        assert r.threshold == vals[rank - 1]
+        # finite-sample guarantee on the calibration set itself
+        assert sum(v <= r.threshold for v in vals) >= rank
+    # tiny group at alpha=0.01: rank would be 5 of n=4 -> clamped
+    assert got[("g2", 10)].rank == 4
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(
+        conformal_thresholds_sql("t", "src", "v", alphas=[0.1, 0.01])
+    ).fetchall()
+    spark_rows = [tuple(r) for r in out.collect()]
+    assert spark_rows == duck
