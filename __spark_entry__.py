@@ -2770,6 +2770,13 @@ ORDER BY doc_id
         lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
         _anomaly.binseg_changepoint_sql("events"),
     ),
+    # uplift decile report + Qini curve (Radcliffe'07): md5-fraction
+    # treatment arms, support-sized DESC rank map for decile cuts
+    # (all-integer boundaries), one user shuffle + 10-row cum finish
+    "events_uplift_deciles": (
+        lambda s, d: _exp.uplift_deciles(load_table(s, d, "events")),
+        _exp.uplift_deciles_sql("events"),
+    ),
     # split-conformal nonconformity thresholds per source: the
     # ⌈(n+1)(1−α)⌉-th smallest score as an all-integer order statistic
     # (permille alphas, positive-only ceil identity, support-bounded

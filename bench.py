@@ -191,6 +191,7 @@ HEADLINE = [
     "sample_time_split",
     "text_isotonic_calibration",
     "text_conformal_threshold",
+    "events_uplift_deciles",
 ]
 
 

@@ -462,3 +462,175 @@ SELECT grp, CAST(alpha_permille AS BIGINT) AS alpha_permille, n,
        CAST({rank} AS BIGINT) AS rank, threshold
 FROM __hit ORDER BY grp, alpha_permille
 """
+
+
+def uplift_deciles(
+    df: DataFrame,
+    user_col: str = "user_id",
+    salt: str = "uplift-v1",
+) -> DataFrame:
+    """(decile, n_t, n_c, resp_t, resp_c, uplift, qini_cum): the uplift
+    decile report (Radcliffe 2007) — users ranked by a targeting score,
+    cut into deciles from the top, each decile's incremental response
+    rate (treated minus control) plus the cumulative Qini curve value
+
+        qini(d) = Σ resp_t − Σ resp_c · (Σ n_t / Σ n_c)
+
+    the standard readout for "did targeting the top-scored users
+    actually CAUSE more conversions, or just select likely converters".
+
+    Determinism: the treatment arm is the md5-fraction draw (the
+    sampling/group_split convention — a pure scan expression every
+    engine reproduces), the outcome is "user made ≥1 purchase", the
+    score is the user's integer-floored non-purchase value total.
+    Decile assignment goes through the SUPPORT-sized descending
+    cumulative rank map (the percentile_rank shape — the fact table
+    never globally sorts): decile = least(9, (10·cum_before) div n) on
+    all-integer operands, so boundaries are engine-exact.
+
+    Plan: one user-keyed shuffle (per-user score/arm/outcome), one
+    support-sized rank window, a broadcast map join back, one decile
+    aggregation, one 10-row cumulative finish.
+    """
+    users = (
+        df.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("event_type") != "purchase", F.col("value")
+                    ).otherwise(F.lit(0.0))
+                )
+            )
+            .cast("long")
+            .alias("score"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("y"),
+        )
+        .select(
+            "u",
+            "score",
+            "y",
+            (hash_fraction_col("u", salt) < F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    support = users.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wd = Window.orderBy(F.desc("score"))
+    rank_map = support.select(
+        "score",
+        (
+            F.sum("__c").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("__c")
+        ).cast("long").alias("__before"),
+        F.sum("__c").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("long").alias("__n"),
+    )
+    with_dec = users.join(F.broadcast(rank_map), "score").select(
+        "u",
+        "y",
+        "t",
+        F.least(
+            F.lit(9),
+            F.expr("CAST((10 * __before) div __n AS BIGINT)"),
+        ).cast("long").alias("decile"),
+    )
+    per_dec = with_dec.groupBy("decile").agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.lit(1) - F.col("t")).cast("long").alias("n_c"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("resp_t"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("long").alias("resp_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_dec.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "resp_t",
+        "resp_c",
+        F.round(
+            _div(F.col("resp_t").cast("double"), F.col("n_t").cast("double"))
+            - _div(F.col("resp_c").cast("double"), F.col("n_c").cast("double")),
+            9,
+        ).alias("uplift"),
+        F.round(
+            F.sum("resp_t").over(wc).cast("double")
+            - F.sum("resp_c").over(wc).cast("double")
+            * _div(
+                F.sum("n_t").over(wc).cast("double"),
+                F.sum("n_c").over(wc).cast("double"),
+            ),
+            9,
+        ).alias("qini_cum"),
+    ).orderBy("decile")
+
+
+def hash_fraction_col(col_name: str, salt: str) -> Column:
+    """The sampling.hash_fraction draw, importable without a circular
+    dependency (same expression, byte for byte)."""
+    from bullet_storm_spark.operators.sampling import hash_fraction
+
+    return hash_fraction(col_name, salt)
+
+
+def uplift_deciles_sql(
+    table: str,
+    user_col: str = "user_id",
+    salt: str = "uplift-v1",
+) -> str:
+    from bullet_storm_spark.operators.sampling import hash_fraction_sql
+
+    frac = hash_fraction_sql("u", salt)
+    return f"""
+WITH __users AS (
+  SELECT {user_col} AS u,
+         CAST(FLOOR(SUM(CASE WHEN event_type <> 'purchase' THEN value
+                             ELSE 0.0 END)) AS BIGINT) AS score,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM {table} GROUP BY u
+),
+__arm AS (
+  SELECT u, score, y,
+         CAST(CASE WHEN {frac} < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS t
+  FROM __users
+),
+__sup AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM __arm GROUP BY score
+),
+__rm AS (
+  SELECT score,
+         CAST(SUM(c) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+              - c AS BIGINT) AS bef,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM __sup
+),
+__dec AS (
+  SELECT a.u, a.y, a.t,
+         LEAST(9, (10 * r.bef) // r.n) AS decile
+  FROM __arm a JOIN __rm r ON a.score = r.score
+),
+__pd AS (
+  SELECT decile,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(SUM(1 - t) AS BIGINT) AS n_c,
+         CAST(SUM(t * y) AS BIGINT) AS resp_t,
+         CAST(SUM((1 - t) * y) AS BIGINT) AS resp_c
+  FROM __dec GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, resp_t, resp_c,
+       ROUND(CAST(resp_t AS DOUBLE) / n_t
+             - CAST(resp_c AS DOUBLE) / n_c, 9) AS uplift,
+       ROUND(CAST(SUM(resp_t) OVER __w AS DOUBLE)
+             - CAST(SUM(resp_c) OVER __w AS DOUBLE)
+               * (CAST(SUM(n_t) OVER __w AS DOUBLE)
+                  / CAST(SUM(n_c) OVER __w AS DOUBLE)), 9) AS qini_cum
+FROM __pd
+WINDOW __w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+ORDER BY decile
+"""

@@ -239,3 +239,43 @@ def test_conformal_thresholds_hand_oracle(spark):
     ).fetchall()
     spark_rows = [tuple(r) for r in out.collect()]
     assert spark_rows == duck
+
+
+# ---------------------------------------------------------------------------
+# Uplift deciles / Qini
+# ---------------------------------------------------------------------------
+
+def test_uplift_deciles_hand_oracle(spark):
+    from bullet_storm_spark.operators.experiment import (
+        uplift_deciles, uplift_deciles_sql,
+    )
+
+    # synthetic events: 40 users, each with one 'click' carrying the
+    # score value, some with a purchase; arms come from the md5 draw
+    rows = []
+    for u in range(40):
+        rows.append((u, "click", float(u)))          # score = u
+        if u % 3 == 0:
+            rows.append((u, "purchase", 1.0))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = uplift_deciles(df).collect()
+    assert [r.decile for r in out] == list(range(10))
+    # every user lands in exactly one decile; 40 users / 10 cuts = 4 each
+    assert all(r.n_t + r.n_c == 4 for r in out)
+    # responders: ceil(40/3)=14 users with purchases, split across arms
+    assert sum(r.resp_t + r.resp_c for r in out) == 14
+    # Qini at the last decile reduces to total_resp_t - total_resp_c *
+    # (N_t/N_c): verify against python
+    nt = sum(r.n_t for r in out); nc = sum(r.n_c for r in out)
+    rt = sum(r.resp_t for r in out); rc = sum(r.resp_c for r in out)
+    assert out[-1].qini_cum == round(rt - rc * (nt / nc), 9)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (user_id BIGINT, event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?,?,?)", rows)
+    duck = con.execute(uplift_deciles_sql("ev")).fetchall()
+    assert [tuple(r) for r in out] == duck
