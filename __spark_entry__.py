@@ -3643,6 +3643,22 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "o_orderkey",
         ),
     ),
+    "scd2_transitions": (
+        lambda s, d: _merge.scd2_transition_matrix(
+            load_table(s, d, "orders"),
+            "o_custkey",
+            "o_orderpriority",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+            "o_orderkey",
+        ),
+        _merge.scd2_transition_matrix_sql(
+            "orders",
+            "o_custkey",
+            "o_orderpriority",
+            "epoch_us(o_orderdate)",
+            "o_orderkey",
+        ),
+    ),
     "scd2_churn_summary": (
         lambda s, d: _merge.scd2_summary(
             load_table(s, d, "orders"),

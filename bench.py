@@ -192,6 +192,7 @@ HEADLINE = [
     "text_isotonic_calibration",
     "text_conformal_threshold",
     "events_uplift_deciles",
+    "scd2_transitions",
 ]
 
 

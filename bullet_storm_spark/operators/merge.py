@@ -262,3 +262,70 @@ SELECT versions, CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(SUM(__cur) AS BIGINT) AS n_current
 FROM __k GROUP BY versions ORDER BY versions
 """
+
+
+def scd2_transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_us: F.Column,
+    tiebreak_col: str,
+) -> DataFrame:
+    """(prev_attr, attr, n_changes): how the dimension MOVES — for every
+    SCD2 version after the first, the (previous value → new value)
+    transition count.  The consumer-side proof of the history table: a
+    point-in-time lookup of "what was this key's state just before this
+    version began" against the validity lattice itself.
+
+    The lookup is the PIT-join predicate ``valid_from ≤ t−1 < valid_to``
+    evaluated at each version's own start minus one µs — which the
+    half-open lattice answers with exactly the preceding version, even
+    for same-µs changes (an empty [t, t) interval can never match).
+    One equi-join on the key with a residual range filter: at 100 TB the
+    per-key version count is the residual's bound, the join itself is
+    plain hash partitioning.
+    """
+    hist = scd2_build(df, key_col, attr_col, ts_us, tiebreak_col)
+    later = hist.where(F.col("version") > 1).select(
+        F.col("key"),
+        F.col("attr"),
+        (F.col("valid_from_us") - F.lit(1)).alias("__probe"),
+    )
+    prev = hist.select(
+        F.col("key"),
+        F.col("attr").alias("prev_attr"),
+        F.col("valid_from_us").alias("__f"),
+        F.col("valid_to_us").alias("__t"),
+    )
+    joined = later.join(prev, "key").where(
+        (F.col("__f") <= F.col("__probe")) & (F.col("__probe") < F.col("__t"))
+    )
+    return (
+        joined.groupBy("prev_attr", "attr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changes"))
+        .orderBy("prev_attr", "attr")
+    )
+
+
+def scd2_transition_matrix_sql(
+    table: str,
+    key_col: str,
+    attr_col: str,
+    ts_us_sql: str,
+    tiebreak_col: str,
+) -> str:
+    inner = scd2_build_sql(table, key_col, attr_col, ts_us_sql, tiebreak_col)
+    return f"""
+WITH __h AS ({inner}),
+__later AS (
+  SELECT key, attr, valid_from_us - 1 AS probe
+  FROM __h WHERE version > 1
+),
+__j AS (
+  SELECT p.attr AS prev_attr, l.attr
+  FROM __later l JOIN __h p ON l.key = p.key
+  WHERE p.valid_from_us <= l.probe AND l.probe < p.valid_to_us
+)
+SELECT prev_attr, attr, CAST(COUNT(*) AS BIGINT) AS n_changes
+FROM __j GROUP BY prev_attr, attr ORDER BY prev_attr, attr
+"""

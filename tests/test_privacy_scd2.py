@@ -160,3 +160,19 @@ def test_scd2_single_window_chain(scd_df):
     )
     n_exch = plan.count("Exchange hashpartitioning")
     assert n_exch == 1, plan
+
+
+def test_scd2_transition_matrix(scd_df):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, attr VARCHAR, us BIGINT, tb BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", SCD)
+    s = [tuple(r) for r in M.scd2_transition_matrix(
+        scd_df, "k", "attr", F.col("us"), "tb").collect()]
+    d = con.execute(
+        M.scd2_transition_matrix_sql("t", "k", "attr", "us", "tb")
+    ).fetchall()
+    assert s == d
+    # key1: P1->P2 and P2->P1; key3's same-µs change (B then A at us=100)
+    # probes us=99, BEFORE the key's history starts -> dropped, so only
+    # key1's two transitions appear
+    assert s == [("P1", "P2", 1), ("P2", "P1", 1)]
