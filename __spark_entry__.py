@@ -3585,6 +3585,26 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             survivor_col="c_acctbal",
         ),
     ),
+    # sorted-neighborhood blocking audit (Hernández-Stolfo SIGMOD'95):
+    # the non-equality blocking family — dense ordinal via range
+    # exchange (no single-partition window), width-w band equi-join for
+    # the sliding-window pairs, agreement counts per comparator column
+    "link_sorted_neighborhood": (
+        lambda s, d: _linkage.sorted_neighborhood_audit(
+            load_table(s, d, "customer"),
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * F.lit(100.0)).cast("long"),
+            ["c_nationkey", "c_mktsegment"],
+            window=5,
+        ),
+        _linkage.sorted_neighborhood_audit_sql(
+            "customer",
+            "c_custkey",
+            "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)",
+            ["c_nationkey", "c_mktsegment"],
+            window=5,
+        ),
+    ),
     # re-identification pre-flight over the structured side (pairs with
     # the free-text pii_* entries): ONE groupBy over the generalized QI
     # tuple, then class-table-sized finishes — per-threshold k-anonymity

@@ -193,6 +193,7 @@ HEADLINE = [
     "text_conformal_threshold",
     "events_uplift_deciles",
     "scd2_transitions",
+    "link_sorted_neighborhood",
 ]
 
 

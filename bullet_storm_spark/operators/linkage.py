@@ -265,3 +265,113 @@ SELECT id AS {id_col}, cluster_id,
 FROM labeled
 ORDER BY {id_col}
 """
+
+
+def sorted_neighborhood_audit(
+    df: DataFrame,
+    id_col: str,
+    sort_key: Column,
+    agree_cols: list[str],
+    window: int = 5,
+) -> DataFrame:
+    """(n_records, n_pairs, *n_agree_<col>): the sorted-neighborhood
+    blocking audit (Hernández & Stolfo SIGMOD'95) — the OTHER classic
+    blocking family next to ``record_linkage_pairs``' equality blocking:
+    sort records by a fuzzy key, take every pair within a sliding window
+    of ``window`` positions as candidates.  Equality blocking misses
+    near-misses that cross block values; sorted neighborhood catches
+    them when the sort key places them adjacently.  The audit counts,
+    per agreement column, how many candidate pairs agree — the
+    pre-flight for choosing (sort key, window) before the comparator
+    stage runs.
+
+    Spark-first: the global ordinal comes from ``assign_dense_ids``
+    (range exchange + broadcast offsets — NOT a single-partition
+    window); the window-of-w pair generation is an EQUI-join on the
+    ``idx div w`` band (a pair within distance w spans at most two
+    adjacent width-w bands, so the probe side explodes to {b, b+1}) with
+    the exact distance predicate as a residual — never a BNLJ.
+
+    The sort key MUST be made tie-free by appending ``id_col`` (done
+    internally): a tied order would make the candidate set
+    engine-dependent.
+    """
+    from bullet_storm_spark.operators.ids import assign_dense_ids
+
+    w = int(window)
+    if w < 2:
+        raise ValueError(f"window must be >= 2, got {w}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        sort_key.cast("long").alias("__sk"),
+        *[F.col(c).alias(f"__a_{c}") for c in agree_cols],
+    )
+    idx = assign_dense_ids(base, ["__sk", "__id"], id_name="__idx")
+    lhs = idx.select(
+        "__idx",
+        *[f"__a_{c}" for c in agree_cols],
+        F.expr(f"__idx div {w}").alias("__b"),
+    )
+    rhs = idx.select(
+        F.col("__idx").alias("__jdx"),
+        *[F.col(f"__a_{c}").alias(f"__b_{c}") for c in agree_cols],
+        F.explode(
+            F.array(F.expr(f"__idx div {w} - 1"), F.expr(f"__idx div {w}"))
+        ).alias("__b"),
+    )
+    pairs = lhs.join(rhs, "__b").where(
+        (F.col("__jdx") > F.col("__idx"))
+        & (F.col("__jdx") - F.col("__idx") <= F.lit(w - 1))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")] + [
+        F.sum(
+            F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}")).cast("long")
+        )
+        .cast("long")
+        .alias(f"n_agree_{c}")
+        for c in agree_cols
+    ]
+    rep = pairs.agg(*aggs)
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    return rep.crossJoin(F.broadcast(n)).select(
+        "n_records", "n_pairs", *[f"n_agree_{c}" for c in agree_cols]
+    )
+
+
+def sorted_neighborhood_audit_sql(
+    table: str,
+    id_col: str,
+    sort_key_sql: str,
+    agree_cols: list[str],
+    window: int = 5,
+) -> str:
+    w = int(window)
+    pair_cols = ", ".join(
+        f"a.{c} AS a_{c}, b.{c} AS b_{c}" for c in agree_cols
+    )
+    agree = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN a_{c} IS NOT DISTINCT FROM b_{c}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_{c}"
+        for c in agree_cols
+    )
+    return f"""
+WITH __b AS (
+  SELECT {id_col} AS __id, CAST({sort_key_sql} AS BIGINT) AS __sk,
+         {", ".join(agree_cols)}
+  FROM {table}
+),
+__i AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY __sk, __id) AS BIGINT)
+           AS __idx
+  FROM __b
+),
+__p AS (
+  SELECT a.__idx AS i, b.__idx AS j, {pair_cols}
+  FROM __i a JOIN __i b
+    ON b.__idx > a.__idx AND b.__idx - a.__idx <= {w - 1}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM __b) AS n_records,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {agree}
+FROM __p
+"""

@@ -112,3 +112,71 @@ def test_empty_block_on_rejected(spark):
         record_linkage_pairs(_customer(spark), "c_custkey", [], _COMPS)
     with pytest.raises(ValueError, match="block_on"):
         record_linkage_pairs_sql("customer", "c_custkey", [], _COMPS)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+def test_sorted_neighborhood_pairs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.linkage import (
+        sorted_neighborhood_audit, sorted_neighborhood_audit_sql,
+    )
+
+    # 8 records; sort key ties broken by id; window 3 -> pairs with
+    # positional distance 1..2 over the (key, id) order
+    rows = [
+        (1, 10, "x"), (2, 10, "y"), (3, 12, "x"), (4, 15, "x"),
+        (5, 15, "y"), (6, 20, "y"), (7, 21, "x"), (8, 30, "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, g string")
+    out = sorted_neighborhood_audit(
+        df, "id", F.col("k"), ["g"], window=3
+    ).collect()[0]
+
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want_pairs = [
+        (order[i], order[j])
+        for i in range(len(order))
+        for j in range(i + 1, min(i + 3, len(order)))
+    ]
+    assert out.n_records == 8
+    assert out.n_pairs == len(want_pairs)
+    assert out.n_agree_g == sum(a[2] == b[2] for a, b in want_pairs)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, k BIGINT, g VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    duck = con.execute(
+        sorted_neighborhood_audit_sql("t", "id", "k", ["g"], window=3)
+    ).fetchall()
+    assert [tuple(out)] == duck
+
+
+def test_sorted_neighborhood_no_bnlj(spark):
+    """The window-of-w pair generation must be a band EQUI-join."""
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.linkage import sorted_neighborhood_audit
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 7 % 50).alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    plan = (
+        sorted_neighborhood_audit(df, "id", F.col("k"), ["g"], window=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly ONE nested-loop join is allowed: the declared 1-row
+    # n_records scalar broadcast; the pair generation itself must be a
+    # keyed join on the band column
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "__b" in plan
+    keyed = sum(plan.count(j) for j in (
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+    ))
+    assert keyed >= 1, plan
