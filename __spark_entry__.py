@@ -3585,6 +3585,27 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             survivor_col="c_acctbal",
         ),
     ),
+    # exact functional-dependency audit (TANE-family, candidate pairs):
+    # one two-phase distinct agg per candidate; NULL dependents count
+    # as conflicting values, NULL determinants determine nothing
+    "profile_functional_deps": (
+        lambda s, d: _profile.functional_deps(
+            load_table(s, d, "orders"),
+            [
+                ("o_orderkey", "o_custkey"),
+                ("o_custkey", "o_orderpriority"),
+                ("o_orderstatus", "o_orderpriority"),
+            ],
+        ),
+        _profile.functional_deps_sql(
+            "orders",
+            [
+                ("o_orderkey", "o_custkey"),
+                ("o_custkey", "o_orderpriority"),
+                ("o_orderstatus", "o_orderpriority"),
+            ],
+        ),
+    ),
     # sorted-neighborhood blocking audit (Hernández-Stolfo SIGMOD'95):
     # the non-equality blocking family — dense ordinal via range
     # exchange (no single-partition window), width-w band equi-join for

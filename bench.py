@@ -194,6 +194,7 @@ HEADLINE = [
     "events_uplift_deciles",
     "scd2_transitions",
     "link_sorted_neighborhood",
+    "profile_functional_deps",
 ]
 
 

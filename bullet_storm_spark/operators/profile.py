@@ -441,3 +441,85 @@ SELECT n_child, fk_nulls, n_orphans,
        (pk_distinct = pk_rows) AS pk_is_unique
 FROM __a CROSS JOIN __pk
 """
+
+
+def functional_deps(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """(determinant, dependent, n_keys, n_violating, max_dependents,
+    holds): exact functional-dependency audit — for each candidate
+    ``A → B``, how many A-values map to MORE than one B-value (TANE-
+    family dependency checking, Huhtala et al. Comp J 1999, restricted
+    to the caller's candidate pairs — discovery over all column pairs
+    is the same loop).  The data-quality primitive behind "is this
+    column a key?", "is this mapping table actually a mapping?", and
+    "did denormalization drift introduce conflicting attributes?".
+
+    Plan: one (A, B)-keyed partial-distinct aggregation per candidate
+    pair (Catalyst two-phase), finished by a key-sized summary; results
+    union into one report frame.  NULL determinants are excluded (SQL
+    convention: a NULL key determines nothing); NULL dependents count
+    as a distinct value (a NULL-vs-value conflict IS a violation).
+    """
+    reports = []
+    for det, dep in pairs:
+        per_key = (
+            df.where(F.col(det).isNotNull())
+            .groupBy(F.col(det).alias("__k"))
+            .agg(
+                F.count_distinct(F.col(dep)).cast("long").alias("__d"),
+                F.max(F.col(dep).isNull().cast("long")).alias("__has_null"),
+            )
+            .select(
+                "__k",
+                (F.col("__d") + F.col("__has_null")).cast("long").alias("__d"),
+            )
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("__d") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("__d").cast("long").alias("max_dependents"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "determinant",
+        "dependent",
+        "n_keys",
+        "n_violating",
+        "max_dependents",
+        (F.col("n_violating") == 0).cast("long").alias("holds"),
+    ).orderBy("determinant", "dependent")
+
+
+def functional_deps_sql(table: str, pairs: list[tuple[str, str]]) -> str:
+    parts = []
+    for det, dep in pairs:
+        parts.append(f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(MAX(d) AS BIGINT) AS max_dependents
+FROM (
+  SELECT {det} AS k,
+         CAST(COUNT(DISTINCT {dep})
+              + MAX(CASE WHEN {dep} IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM {table} WHERE {det} IS NOT NULL GROUP BY {det}
+)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT determinant, dependent, n_keys, n_violating, max_dependents,
+       CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM ({union})
+ORDER BY determinant, dependent
+"""

@@ -134,3 +134,55 @@ def test_referential_check_nonunique_parent_key(spark):
     c = spark.createDataFrame([(10, 1)], "id long, fk long")
     [r] = referential_check(c, p, "fk", "pk").collect()
     assert not r.pk_is_unique and r.n_parent == 3 and r.n_orphans == 0
+
+
+# ---------------------------------------------------------------------------
+# Functional dependencies
+# ---------------------------------------------------------------------------
+
+def test_functional_deps_semantics(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.profile import (
+        functional_deps, functional_deps_sql,
+    )
+
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 10.0),
+        (3, "b", 20.0),
+        (3, "b", 30.0),       # k=3 maps v -> {20, 30}: violates id->v
+        (4, "c", None),
+        (4, "c", 40.0),       # NULL-vs-value conflict IS a violation
+        (None, "d", 50.0),    # NULL determinant: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        (r.determinant, r.dependent): r
+        for r in functional_deps(
+            df, [("id", "g"), ("id", "v"), ("g", "id")]
+        ).collect()
+    }
+    r = out[("id", "g")]
+    assert (r.n_keys, r.n_violating, r.max_dependents, r.holds) == (4, 0, 1, 1)
+    r = out[("id", "v")]
+    # keys 3 (two values) and 4 (NULL + value) violate
+    assert (r.n_keys, r.n_violating, r.max_dependents, r.holds) == (4, 2, 2, 0)
+    r = out[("g", "id")]
+    # 'a' maps to ids {1, 2}: one violating key of four ('d' has only a
+    # NULL id — one "value", no conflict)
+    assert (r.n_keys, r.n_violating, r.max_dependents, r.holds) == (4, 1, 2, 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    duck = con.execute(
+        functional_deps_sql("t", [("id", "g"), ("id", "v"), ("g", "id")])
+    ).fetchall()
+    spark_rows = [
+        tuple(r)
+        for r in functional_deps(
+            df, [("id", "g"), ("id", "v"), ("g", "id")]
+        ).collect()
+    ]
+    assert spark_rows == duck
