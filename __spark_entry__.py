@@ -3585,6 +3585,16 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             survivor_col="c_acctbal",
         ),
     ),
+    # pairwise audience set algebra on DataSketches HLL summaries:
+    # union via sketch merge, intersection via inclusion-exclusion —
+    # the reference's Theta set-op surface; estimates are deterministic
+    # but not SQL-portable -> rows-only, pytest pins the error envelope
+    "sketch_audience_overlap": (
+        lambda s, d: _sketches.hll_audience_overlap(
+            load_table(s, d, "events"), "user_id", "event_type"
+        ),
+        None,
+    ),
     # exact functional-dependency audit (TANE-family, candidate pairs):
     # one two-phase distinct agg per candidate; NULL dependents count
     # as conflicting values, NULL determinants determine nothing

@@ -195,6 +195,7 @@ HEADLINE = [
     "scd2_transitions",
     "link_sorted_neighborhood",
     "profile_functional_deps",
+    "sketch_audience_overlap",
 ]
 
 

@@ -348,3 +348,64 @@ def hll_daily_rollup(df: DataFrame, key_col: str) -> DataFrame:
         F.hll_sketch_estimate("__u").cast("long").alias("est_distinct"),
     )
     return per_day.unionByName(total).orderBy("day")
+
+
+def hll_audience_overlap(
+    df: DataFrame,
+    key_col: str,
+    slice_col: str,
+) -> DataFrame:
+    """(slice_a, slice_b, est_a, est_b, est_union, est_intersect,
+    jaccard_est): pairwise audience set algebra over sketch SUMMARIES —
+    distinct-key union via native DataSketches HLL merge and
+    intersection by inclusion-exclusion (|A∩B| = |A|+|B|−|A∪B|,
+    clamped at 0), the workhorse "how much do these segments overlap"
+    readout the reference serves with Theta-sketch set operations
+    (SURVEY.md §2.4; Theta supports intersection natively, HLL gets it
+    via inclusion-exclusion — same API surface, wider error on small
+    overlaps, which is the documented trade).
+
+    Scale shape: ONE pass collapses the fact table to |slices| fixed-
+    size sketches (4 KB each at lgConfigK=12); every pairwise union
+    happens on the sketch frame (slices², not rows², and slices² of
+    4 KB buffers is nothing).  At 100 TB this is the only viable shape
+    for N-way segment overlap — the exact computation would be N² 
+    distinct-count shuffles over the raw keys.
+
+    Estimates are deterministic per input set but not SQL-portable:
+    rows-only entry, pytest pins the error envelope vs exact counts.
+    """
+    sketches = (
+        df.select(
+            F.col(slice_col).alias("__s"),
+            F.col(key_col).cast("string").alias("__k"),
+        )
+        .groupBy("__s")
+        .agg(F.hll_sketch_agg("__k").alias("__sk"))
+    )
+    a = sketches.select(
+        F.col("__s").alias("slice_a"), F.col("__sk").alias("__ska")
+    )
+    b = sketches.select(
+        F.col("__s").alias("slice_b"), F.col("__sk").alias("__skb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("slice_a") < F.col("slice_b"))
+    est_a = F.hll_sketch_estimate("__ska").cast("long")
+    est_b = F.hll_sketch_estimate("__skb").cast("long")
+    # per-pair union: merge the two 1-sketch buffers via the binary
+    # hll_union expression (no re-aggregation of the fact table)
+    est_u = F.hll_sketch_estimate(
+        F.expr("hll_union(__ska, __skb)")
+    ).cast("long")
+    inter = F.greatest(est_a + est_b - est_u, F.lit(0).cast("long"))
+    return pairs.select(
+        "slice_a",
+        "slice_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        inter.alias("est_intersect"),
+        F.round(
+            F.try_divide(inter.cast("double"), est_u.cast("double")), 9
+        ).alias("jaccard_est"),
+    ).orderBy("slice_a", "slice_b")

@@ -347,3 +347,34 @@ def test_hll_daily_rollup_error_envelope(spark):
     assert abs(out[-1] - exact_total) <= max(2, 0.05 * exact_total)
     # the union row merges summaries only — it must cover every day
     assert set(out) == set(exact_days) | {-1}
+
+
+def test_hll_audience_overlap_error_envelope(spark):
+    """Inclusion-exclusion overlap on HLL sketches: estimates within the
+    lgConfigK=12 envelope (~1.6% RSE -> 5% assertion head-room) of the
+    exact set algebra on a constructed overlap."""
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.sketches import hll_audience_overlap
+
+    # A = users 0..9999, B = 5000..14999 -> |A∩B| = 5000, |A∪B| = 15000
+    df = spark.range(10_000).select(
+        F.col("id").alias("user_id"), F.lit("A").alias("seg")
+    ).unionByName(
+        spark.range(5_000, 15_000).select(
+            F.col("id").alias("user_id"), F.lit("B").alias("seg")
+        )
+    )
+    r = hll_audience_overlap(df, "user_id", "seg").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.slice_a, row.slice_b) == ("A", "B")
+    for est, exact in (
+        (row.est_a, 10_000), (row.est_b, 10_000),
+        (row.est_union, 15_000), (row.est_intersect, 5_000),
+    ):
+        assert abs(est - exact) / exact < 0.05, (est, exact)
+    assert abs(row.jaccard_est - 5_000 / 15_000) < 0.02
+    # estimates are deterministic: a second run returns identical rows
+    r2 = hll_audience_overlap(df, "user_id", "seg").collect()
+    assert [tuple(x) for x in r] == [tuple(x) for x in r2]
