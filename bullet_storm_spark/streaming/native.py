@@ -729,3 +729,102 @@ def stream_ewma(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TOPK_STREAM_SCHEMA = (
+    "bucket long, n_batch long, items array<string>, "
+    "ests array<long>, errs array<long>"
+)
+_TOPK_STATE_SCHEMA = (
+    "keys array<string>, counts array<long>, errors array<long>, base long"
+)
+
+
+def stream_topk(
+    stream_df: DataFrame,
+    item_col: str,
+    capacity: int = 64,
+    n_buckets: int = 8,
+    k: int = 10,
+):
+    """Streaming TOP K: per-bucket SpaceSaving summaries living in the
+    state store — the streaming twin of operators/sketches.top_k_sketch
+    and the live form of the reference's TOP K aggregation family
+    (SURVEY.md §2.4: partial sketches in the filter stage, merged in the
+    join stage — here the state store IS the merge point).
+
+    Items hash into ``n_buckets`` state keys (md5 bucket — deterministic
+    across engines and restarts, the sampling-draw convention); each
+    bucket's state is one ``capacity``-counter SpaceSaving summary
+    (``keys/counts/errors/base`` arrays — fixed-size, checkpointable).
+    Every micro-batch folds the batch's exact per-item counts into the
+    summary via ``offer`` and emits the bucket's current top-k with
+    error bounds.  Reading side merges the ≤ n_buckets rows — each item
+    lives in exactly ONE bucket, so cross-bucket merge is concatenation,
+    not sketch union, and the no-false-negatives guarantee survives.
+
+    Equivalence contract (test-pinned): with ``capacity`` ≥ the
+    bucket's distinct-item count nothing ever evicts, estimates are
+    EXACT counts, and a replay of any corpus matches the exact batch
+    TOP K — the same exact-mode inheritance the batch sketch pins
+    against the GROUP BY oracle."""
+    import pandas as pd
+
+    from bullet_storm_spark.operators.sketches import SpaceSavingSketch
+
+    if capacity <= 0 or n_buckets <= 0 or k <= 0:
+        raise ValueError("capacity, n_buckets and k must be positive")
+
+    def fn(
+        key: Tuple[int], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        sk = SpaceSavingSketch(capacity)
+        if state.exists:
+            keys, counts, errors, base = state.get
+            sk.counts = dict(zip(keys, counts))
+            sk.errors = dict(zip(keys, errors))
+            sk._base_error = base
+        n_batch = 0
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            # exact in-batch combine first (one offer per distinct item)
+            for item, cnt in pdf["item"].value_counts().items():
+                sk.offer(item, int(cnt))
+        ordered = list(sk.counts.keys())
+        state.update(
+            (
+                ordered,
+                [sk.counts[x] for x in ordered],
+                [sk.errors[x] for x in ordered],
+                sk._base_error,
+            )
+        )
+        top = sk.top(k)
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "n_batch": [n_batch],
+                "items": [[t[0] for t in top]],
+                "ests": [[t[1] for t in top]],
+                "errs": [[t[2] for t in top]],
+            }
+        )
+
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(CAST({item_col} AS STRING)), 1, 8),"
+        f" 16, 10) AS BIGINT) % {int(n_buckets)}"
+    )
+    return (
+        stream_df.select(
+            bucket.alias("bucket"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            fn,
+            TOPK_STREAM_SCHEMA,
+            _TOPK_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -696,3 +696,61 @@ def test_stream_ewma_validation(spark):
         stream_ewma(df, "k", "s", "v", 0.0, -1.0)
     with pytest.raises(ValueError):
         stream_ewma(df, "k", "s", "v", 0.0, 1.0, limit_l=2.999)
+
+
+def test_stream_topk_exact_mode_equals_batch(spark, tmp_path):
+    """TOP K equivalence: replaying a corpus through the per-bucket
+    SpaceSaving state with capacity >= distinct-per-bucket must
+    reproduce the exact GROUP BY counts — the same exact-mode
+    inheritance the batch sketch pins (SURVEY §2.4 TOP K)."""
+    import os
+
+    from bullet_storm_spark.streaming.native import stream_topk
+
+    rows = [(f"u{i % 23}",) for i in range(400)] + [("whale",)] * 57
+    schema = "item string"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def _drop(i, chunk):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"c{i}.parquet"))
+
+    half = len(rows) // 2
+    _drop(0, rows[:half])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_stream = stream_topk(stream, "item", capacity=64, n_buckets=4, k=50)
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName("topk_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _drop(1, rows[half:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("topk_stream_out").collect()
+    # last emission per bucket = final state; buckets partition the item
+    # space so concatenation is the global answer
+    last = {}
+    for i, r in enumerate(out):
+        last[r.bucket] = (i, r)
+    merged = {}
+    for _, r in sorted(last.values()):
+        for item, est, err in zip(r.items, r.ests, r.errs):
+            merged[item] = (est, err)
+    exact = {r[0]: r[1] for r in
+             spark.createDataFrame(rows, schema).groupBy("item").count().collect()}
+    # capacity 64 > 24 distinct items: exact mode, zero error everywhere
+    assert set(merged) == set(exact)
+    for item, (est, err) in merged.items():
+        assert err == 0 and est == exact[item], (item, est, exact[item])
+    # the whale leads the merged ranking
+    top1 = max(merged.items(), key=lambda kv: kv[1][0])[0]
+    assert top1 == "whale"
