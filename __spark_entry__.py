@@ -3585,6 +3585,16 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             survivor_col="c_acctbal",
         ),
     ),
+    # cross-source quantile normalization on an all-integer permille
+    # lattice: per-source doubled-midrank permille equi-joined against
+    # the pooled 1001-row permille table (Bolstad'03 — the scale-drift
+    # canceller before any global length threshold)
+    "text_quantile_normalize": (
+        lambda s, d: _dist.quantile_normalize(
+            _docs(s, d), "source", "n_chars"
+        ),
+        _dist.quantile_normalize_sql("documents", "source", "n_chars"),
+    ),
     # pairwise audience set algebra on DataSketches HLL summaries:
     # union via sketch merge, intersection via inclusion-exclusion —
     # the reference's Theta set-op surface; estimates are deterministic

@@ -196,6 +196,7 @@ HEADLINE = [
     "link_sorted_neighborhood",
     "profile_functional_deps",
     "sketch_audience_overlap",
+    "text_quantile_normalize",
 ]
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from bullet_storm_spark.operators.common import apply_post, fmt_point, post_sql
 from bullet_storm_spark.plans.query import (
@@ -365,4 +365,152 @@ __a AS (
 )
 {arms}
 ORDER BY {key_col}, q
+"""
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(grp, v, n, pct_permille, v_norm): cross-group quantile
+    normalization — each group's value support mapped onto the POOLED
+    distribution (Bolstad et al. Bioinformatics 2003, the microarray
+    normalization transplanted to corpus curation): a doc that sits at
+    its source's 70th percentile of length is assigned the pooled 70th-
+    percentile length, so per-source scale drift cancels before any
+    global threshold runs.  The row-level transform is then one
+    broadcast join of this support-sized mapping.
+
+    ALL-INTEGER lattice: within-group position is the doubled midrank
+    permille ``(1000·(2·cum_before + c)) div (2·n)`` and the pooled
+    lookup is the weighted-quantiles threshold scan, materialized as an
+    EXACT permille table — each pooled support row explodes to the
+    integer permille range it covers (``(1000·cum_prev) div N + 1 ..
+    (1000·cum) div N``, 1001 rows total, p=0 pinned to the pooled
+    minimum), so the group↔pooled composition is an EQUI-join on the
+    permille key.  No engine evaluates a float anywhere; quantization
+    to 1/1000 fractions is the documented, deterministic resolution
+    (the weighted_quantiles q-grid convention).
+
+    Scale posture (100 TB): one scan to the (group, value) support;
+    cumulative windows run over supports (domain-bounded — the ks_drift
+    contract); the permille table is always 1001 rows.  Row counts up
+    to ~9.2e15 stay exact in the int64 products (1000·cum).
+    """
+    sup = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wg = Window.partitionBy("grp").orderBy("v")
+    per_grp = sup.select(
+        "grp",
+        "v",
+        "c",
+        (
+            F.sum("c").over(wg.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("c")
+        ).cast("long").alias("__cb"),
+        F.sum("c").over(Window.partitionBy("grp")).cast("long").alias("n"),
+    ).select(
+        "grp",
+        "v",
+        "n",
+        F.expr(
+            "CAST((1000 * (2 * __cb + c)) div (2 * n) AS BIGINT)"
+        ).alias("pct_permille"),
+    )
+    pooled = (
+        df.select(F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wp = Window.orderBy("v")
+    pooled_cum = pooled.select(
+        "v",
+        (
+            F.sum("c").over(wp.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("c")
+        ).cast("long").alias("__cb"),
+        F.sum("c").over(wp.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("__cum"),
+        F.sum("c").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("long").alias("__N"),
+    )
+    lo = F.expr(
+        "CASE WHEN __cb = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST((1000 * __cb) div __N + 1 AS BIGINT) END"
+    )
+    hi = F.expr("CAST((1000 * __cum) div __N AS BIGINT)")
+    # a support row can cover NO permille point (lo > hi): Spark's
+    # sequence() would silently REVERSE there (descending ranges), so
+    # the empty case must be an explicit empty array — DuckDB's
+    # range(lo, hi+1) is empty by definition
+    permille = pooled_cum.select(
+        F.col("v").alias("v_norm"),
+        F.explode(
+            F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("pct_permille"),
+    )
+    return (
+        per_grp.join(F.broadcast(permille), "pct_permille")
+        .select("grp", "v", "n", "pct_permille", "v_norm")
+        .orderBy("grp", "v")
+    )
+
+
+def quantile_normalize_sql(table: str, group_sql: str, value_sql: str) -> str:
+    return f"""
+WITH __s AS (
+  SELECT {group_sql} AS grp, {value_sql} AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} WHERE {value_sql} IS NOT NULL GROUP BY grp, v
+),
+__g AS (
+  SELECT grp, v,
+         CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS cb,
+         c,
+         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM __s
+),
+__gp AS (
+  SELECT grp, v, n,
+         (1000 * (2 * cb + c)) // (2 * n) AS pct_permille
+  FROM __g
+),
+__p AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT {value_sql} AS v FROM {table} WHERE {value_sql} IS NOT NULL)
+  GROUP BY v
+),
+__pc AS (
+  SELECT v,
+         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS cb,
+         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS N
+  FROM __p
+),
+__pm AS (
+  SELECT v AS v_norm,
+         UNNEST(range(
+           CASE WHEN cb = 0 THEN 0 ELSE (1000 * cb) // N + 1 END,
+           (1000 * cum) // N + 1
+         )) AS pct_permille
+  FROM __pc
+)
+SELECT g.grp, g.v, g.n, CAST(g.pct_permille AS BIGINT) AS pct_permille,
+       m.v_norm
+FROM __gp g JOIN __pm m ON g.pct_permille = m.pct_permille
+ORDER BY g.grp, g.v
 """

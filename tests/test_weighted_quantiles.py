@@ -115,3 +115,59 @@ def test_weighted_quantiles_parity_fuzz(spark, seed):
         ref = _py_wq(rows, q)
         by_key = {r[0]: r[2] for r in got if r[1] == float(q)}
         assert by_key == ref
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization
+# ---------------------------------------------------------------------------
+
+def test_quantile_normalize_semantics(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.distribution import (
+        quantile_normalize, quantile_normalize_sql,
+    )
+
+    # group A is uniformly SHORTER than group B; pooled support is the
+    # union. A's max (40) sits at A's top permille -> maps to pooled max
+    rows = (
+        [("A", v) for v in (10, 20, 20, 30, 40)]
+        + [("B", v) for v in (100, 200, 200, 300, 400)]
+    )
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = quantile_normalize(df, "src", "v").collect()
+    got = {(r.grp, r.v): (r.pct_permille, r.v_norm) for r in out}
+    # hand-check A/v=40: cb=4, c=1, n=5 -> pct = 1000*(2*4+1) div 10 = 900
+    # pooled cum at 900 permille: N=10; the smallest pooled v with
+    # (1000*cum) div N covering 900 -> cum >= 9 -> v=300 (cum=9)
+    assert got[("A", 40)] == (900, 300)
+    # A's minimum: cb=0, c=1 -> pct = 100 -> pooled v with cum>=1 ->
+    # need permille range of v=10 (cum=1): lo=0, hi=100 -> 100 in range
+    assert got[("A", 10)] == (100, 10)
+    # every (grp, v) maps to exactly one row; permille in [0, 1000]
+    assert len(out) == len(got)
+    assert all(0 <= p <= 1000 for p, _ in got.values())
+    # monotone: within a group, higher v never gets lower v_norm
+    for grp in ("A", "B"):
+        seq = [vn for (g, v), (_, vn) in sorted(got.items()) if g == grp]
+        assert seq == sorted(seq)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(quantile_normalize_sql("t", "src", "v")).fetchall()
+    assert [tuple(r) for r in out] == duck
+
+
+def test_quantile_normalize_empty_permille_rows(spark):
+    """Support rows covering no permille point (lo > hi) must vanish,
+    not reverse-explode (the Spark sequence() descending trap)."""
+    from bullet_storm_spark.operators.distribution import quantile_normalize
+
+    # 2000 rows over 3 values: middle value covers a sliver; every
+    # permille has exactly one owner -> output = support size, no dups
+    rows = [("g", 1)] * 999 + [("g", 2)] * 1 + [("g", 3)] * 1000
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = quantile_normalize(df, "src", "v").collect()
+    assert len(out) == 3
+    assert len({(r.grp, r.v) for r in out}) == 3
