@@ -1035,6 +1035,25 @@ GROUP BY cluster_size ORDER BY cluster_size
         lambda s, d: _dedup.minhash_lsh_pairs(_docs(s, d), "doc_id", "text", **_MINHASH3_KW),
         _dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", **_MINHASH3_KW),
     ),
+    # transitivity audit of the dedup pair graph: triangles by ordered
+    # edge³ equi-join + the Newman clustering coefficient — near-1 says
+    # coherent duplicate groups, low-with-many-edges says LSH chaining
+    "graph_triangle_stats": (
+        lambda s, d: _graph.triangle_stats(
+            _dedup.minhash_lsh_pairs(
+                _docs(s, d), "doc_id", "text", **_MINHASH3_KW
+            ),
+            "id_a",
+            "id_b",
+        ),
+        _graph.triangle_stats_sql(
+            _dedup.minhash_lsh_pairs_sql(
+                "documents", "doc_id", "text", **_MINHASH3_KW
+            ),
+            "id_a",
+            "id_b",
+        ),
+    ),
     "dedup_simhash": (
         lambda s, d: _dedup.simhash(_docs(s, d), "doc_id", "text"),
         _dedup.simhash_sql("documents", "doc_id", "text"),

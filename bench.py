@@ -197,6 +197,7 @@ HEADLINE = [
     "profile_functional_deps",
     "sketch_audience_overlap",
     "text_quantile_normalize",
+    "graph_triangle_stats",
 ]
 
 

@@ -172,3 +172,116 @@ SELECT r.node, d.degree, r.pr AS pr_units,
 FROM {prev} r JOIN __deg d ON r.node = d.node
 ORDER BY r.node
 """
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """(n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff): the
+    global clustering profile of an undirected graph — triangle count by
+    ordered edge-edge-edge equi-join and the transitivity ratio
+    ``3·triangles / wedges`` (Newman SIAM Rev 2003).  On a dedup pair
+    graph this is the audit BEHIND the cluster histogram: near-1
+    transitivity says the pair generator found coherent duplicate
+    groups; low transitivity with high edge count says the banding is
+    chaining unrelated docs (the LSH false-positive smell).
+
+    Plan: edges canonicalize to u<v and dedupe (one shuffle); degrees
+    are one union+groupBy; triangles enumerate each (a<b<c) exactly
+    once via two hash joins — (a,b)⋈(b,c) then ⋈(a,c).  Work is
+    Σ deg², the standard node-iterator bound; the upstream pair
+    generators' df_cap keeps hub degrees bounded, which is what makes
+    this shape safe at 100 TB.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+        # the canonical edge list is referenced five times (degrees,
+        # edge count, three triangle legs): pin ONE materialization so
+        # an expensive upstream pair generator (minhash, winnow) does
+        # not replay per reference — same posture as the components
+        # loop's per-round checkpoint
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = (
+        e.join(e2, F.col("v") == F.col("b"))
+        .join(
+            e3,
+            (F.col("u") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.try_divide(
+                    F.lit(3.0) * F.col("n_triangles").cast("double"),
+                    F.col("n_wedges").cast("double"),
+                ),
+                round_to,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def triangle_stats_sql(
+    edges_sql: str,
+    a_col: str,
+    b_col: str,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH __raw AS ({edges_sql}),
+__e AS (
+  SELECT DISTINCT LEAST({a_col}, {b_col}) AS u,
+                  GREATEST({a_col}, {b_col}) AS v
+  FROM __raw WHERE LEAST({a_col}, {b_col}) < GREATEST({a_col}, {b_col})
+),
+__deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM __e UNION ALL SELECT v FROM __e)
+  GROUP BY n
+),
+__c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM __deg
+),
+__ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM __e),
+__t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM __e e1
+  JOIN __e e2 ON e1.v = e2.u
+  JOIN __e e3 ON e1.u = e3.u AND e2.v = e3.v
+)
+SELECT c.n_nodes, ne.n_edges, c.n_wedges, t.n_triangles,
+       ROUND(3.0 * t.n_triangles / NULLIF(c.n_wedges, 0), {round_to})
+         AS clustering_coeff
+FROM __c c CROSS JOIN __ne ne CROSS JOIN __t t
+"""

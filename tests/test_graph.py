@@ -105,3 +105,47 @@ def test_canonical_pagerank_one_per_cluster(spark):
     # singletons canonicalize to themselves with no graph presence
     singles = [r for r in out if r.cluster_size == 1]
     assert singles and all(r.is_canonical and r.pr_units == -1 for r in singles)
+
+
+def test_triangle_stats_hand_graph(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.graph import (
+        triangle_stats, triangle_stats_sql,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5-6 edge + noise:
+    # duplicate, reversed, and self-loop edges must all canonicalize away
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1),          # reversed duplicate
+        (3, 1),          # reversed duplicate
+        (4, 4),          # self-loop: dropped
+        (5, 6),
+        (5, 6),          # exact duplicate
+    ]
+    df = spark.createDataFrame(edges, "x long, y long")
+    out = triangle_stats(df, "x", "y").collect()[0]
+    # degrees: 1..4 have 3 each, 5,6 have 1 -> wedges 4*3 + 0 = 12
+    assert (out.n_nodes, out.n_edges, out.n_wedges, out.n_triangles) == (
+        6, 7, 12, 4,
+    )
+    assert out.clustering_coeff == 1.0  # 3*4/12
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?,?)", edges)
+    duck = con.execute(
+        triangle_stats_sql("SELECT * FROM e", "x", "y")
+    ).fetchall()
+    assert [tuple(out)] == duck
+
+
+def test_triangle_stats_zero_wedges(spark):
+    from bullet_storm_spark.operators.graph import triangle_stats
+
+    # perfect matching: no wedges -> coefficient NULL, not a crash
+    df = spark.createDataFrame([(1, 2), (3, 4)], "x long, y long")
+    out = triangle_stats(df, "x", "y").collect()[0]
+    assert out.n_wedges == 0 and out.n_triangles == 0
+    assert out.clustering_coeff is None
