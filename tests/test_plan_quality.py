@@ -103,6 +103,8 @@ _SCALAR_BROADCAST_CROSS = {
     "sim_tfidf_pairs",            # corpus size N into the posting list
     "graph_pagerank_dedup",       # node count into the rank table, per iter
     "dedup_canonical_pagerank",   # same, via the composed pagerank stage
+    "graph_triangle_stats",       # 1-row aggregates (counts/edges/tris) cross
+    "link_sorted_neighborhood",   # 1-row n_records scalar into the report
 }
 
 
