@@ -865,6 +865,39 @@ _SCRUB_PII_SQL = (
 )
 
 
+def _krippendorff_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long (doc_id, rater, verdict) frame from three deterministic
+    heuristic gates; rater C skips doc_id % 3 == 0 (the missing-data
+    case that motivates alpha over kappa)."""
+    docs = _docs(spark, sf_dir)
+    verdict = lambda pred: F.when(pred, F.lit("keep")).otherwise(F.lit("drop"))
+    a = docs.select(
+        "doc_id", F.lit("A").alias("rater"),
+        verdict(F.col("n_chars") >= 300).alias("verdict"),
+    )
+    b = docs.select(
+        "doc_id", F.lit("B").alias("rater"),
+        verdict(F.size(_text.tokens("text")) >= 45).alias("verdict"),
+    )
+    c = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.lit("C").alias("rater"),
+        verdict(F.col("n_chars") >= 250).alias("verdict"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+_KRIPPENDORFF_RATINGS_SQL = (
+    "SELECT doc_id, 'A' AS rater, CASE WHEN n_chars >= 300 THEN 'keep' "
+    "ELSE 'drop' END AS verdict FROM documents "
+    "UNION ALL "
+    f"SELECT doc_id, 'B', CASE WHEN len({_text.tokens_sql('text')}) >= 45 "
+    "THEN 'keep' ELSE 'drop' END FROM documents "
+    "UNION ALL "
+    "SELECT doc_id, 'C', CASE WHEN n_chars >= 250 THEN 'keep' ELSE 'drop' "
+    "END FROM documents WHERE doc_id % 3 <> 0"
+)
+
+
 _LLM_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (_text_stats, _TEXT_STATS_SQL),
     "text_lang_breakdown": (_lang_breakdown, _LANG_BREAKDOWN_SQL),
@@ -2788,6 +2821,19 @@ ORDER BY doc_id
     "events_changepoint": (
         lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
         _anomaly.binseg_changepoint_sql("events"),
+    ),
+    # Krippendorff's alpha over three heuristic "annotators" with
+    # deterministic missingness (rater C skips doc_id % 3 == 0): the
+    # multi-rater agreement statistic kappa can't express; exact-integer
+    # coincidence algebra, one IEEE division at the end
+    "text_krippendorff_alpha": (
+        lambda s, d: _stats.krippendorff_alpha(
+            _krippendorff_ratings(s, d), "doc_id", "verdict", max_raters=3
+        ),
+        _stats.krippendorff_alpha_sql(
+            f"({_KRIPPENDORFF_RATINGS_SQL})", "doc_id", "verdict",
+            max_raters=3,
+        ),
     ),
     # uplift decile report + Qini curve (Radcliffe'07): md5-fraction
     # treatment arms, support-sized DESC rank map for decile cuts

@@ -198,6 +198,7 @@ HEADLINE = [
     "sketch_audience_overlap",
     "text_quantile_normalize",
     "graph_triangle_stats",
+    "text_krippendorff_alpha",
 ]
 
 

@@ -1606,3 +1606,142 @@ SELECT n, k_a, k_b,
             THEN ROUND(mi / sqrt(h_a * h_b), 9) END AS nmi
 FROM __x
 """
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    max_raters: int = 8,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row Krippendorff's alpha (nominal) over a LONG ratings frame
+    ``(unit, value)`` — one row per individual rating: the
+    inter-annotator agreement statistic that, unlike Cohen's kappa,
+    handles ANY number of raters and MISSING ratings (Krippendorff,
+    Content Analysis 2004 §11).  Output ``(n_units, n_ratings,
+    n_categories, do_num, de_num, alpha)``.
+
+    Exact-integer formulation: with per-unit category counts n_uc and
+    m_u = Σ_c n_uc,
+
+        alpha = 1 − (n−1) · Σ_u (m_u² − Σ_c n_uc²)/(m_u−1)
+                     / (n² − Σ_c n_c²)
+
+    The only rational is the per-unit 1/(m_u−1): scaling by
+    L = lcm(1..max_raters−1) makes every term integer (DECIMAL(38,0)
+    sums — margin products overflow int64 at ~3e9 ratings, the
+    cohens_kappa discipline), so both engines hit ONE IEEE division at
+    the very end.  Units with fewer than 2 ratings drop (they carry no
+    agreement information); NULL values drop.  alpha is NULL when no
+    unit has 2+ ratings or when every rating is the same category
+    (de_num = 0 — agreement is undefined without variation, not 1.0).
+
+    Scale: one (unit, value) count aggregation, one unit-sized pass,
+    one category-margin aggregation — no pairs anywhere (the m_u²
+    identity replaces pair enumeration).
+    """
+    import math
+
+    L = math.lcm(*range(1, max(int(max_raters), 2)))
+    base = df.select(
+        F.col(unit_col).alias("__u"), F.col(value_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+    per_uc = base.groupBy("__u", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_u = per_uc.groupBy("__u").agg(
+        F.sum("__c").cast("long").alias("__m"),
+        F.sum(F.expr("__c * __c")).cast("long").alias("__s2"),
+    ).where(F.col("__m") >= 2)
+    # Ã = Σ_u L·(m² − Σc²)/(m−1): (m−1) divides L by construction
+    a_num = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(
+            F.expr(f"(({L} div (__m - 1)) * (__m * __m - __s2))")
+        ).cast("decimal(38,0)").alias("__A"),
+    )
+    # margins over the SAME unit set (units dropped above contribute no
+    # ratings to n_c either — the standard convention)
+    margins = (
+        per_uc.join(per_u.select("__u"), "__u")
+        .groupBy("__v")
+        .agg(F.sum("__c").cast("long").alias("__nc"))
+    )
+    marg = margins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum("__nc").cast("long").alias("n_ratings"),
+        F.sum(F.expr("CAST(__nc AS DECIMAL(38,0)) * __nc"))
+        .cast("decimal(38,0)")
+        .alias("__sc2"),
+    )
+    j = a_num.crossJoin(F.broadcast(marg))
+    n = F.col("n_ratings").cast("decimal(38,0)")
+    do_num = (n - F.lit(1)).cast("decimal(38,0)") * F.col("__A")
+    de_num = F.lit(int(L)).cast("decimal(38,0)") * (
+        n * n - F.col("__sc2")
+    )
+    # _d2d, not a direct cast: the decimal nums exceed 2^53 unscaled at
+    # ~L·n² ratings and the direct decimal→double cast double-rounds
+    return j.select(
+        "n_units",
+        "n_ratings",
+        "n_categories",
+        _d2d(do_num).alias("do_num"),
+        _d2d(de_num).alias("de_num"),
+        F.round(
+            F.lit(1.0) - F.try_divide(_d2d(do_num), _d2d(de_num)),
+            round_to,
+        ).alias("alpha"),
+    )
+
+
+def krippendorff_alpha_sql(
+    table: str,
+    unit_sql: str,
+    value_sql: str,
+    max_raters: int = 8,
+    round_to: int = 9,
+) -> str:
+    import math
+
+    L = math.lcm(*range(1, max(int(max_raters), 2)))
+    return f"""
+WITH __b AS (
+  SELECT {unit_sql} AS u, {value_sql} AS v FROM {table}
+  WHERE {value_sql} IS NOT NULL
+),
+__uc AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c FROM __b GROUP BY u, v
+),
+__pu AS (
+  SELECT u, CAST(SUM(c) AS BIGINT) AS m,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM __uc GROUP BY u HAVING SUM(c) >= 2
+),
+__a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(({L} // (m - 1)) * (m * m - s2)) AS DECIMAL(38,0)) AS A
+  FROM __pu
+),
+__mg AS (
+  SELECT c.v, CAST(SUM(c.c) AS BIGINT) AS nc
+  FROM __uc c JOIN __pu p ON c.u = p.u
+  GROUP BY c.v
+),
+__m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         CAST(SUM(nc) AS BIGINT) AS n_ratings,
+         CAST(SUM(CAST(nc AS DECIMAL(38,0)) * nc) AS DECIMAL(38,0)) AS sc2
+  FROM __mg
+)
+SELECT a.n_units, m.n_ratings, m.n_categories,
+       {_d2d_sql("(CAST(m.n_ratings AS DECIMAL(38,0)) - 1) * a.A")}
+         AS do_num,
+       {_d2d_sql(f"CAST({L} AS DECIMAL(38,0)) * (CAST(m.n_ratings AS DECIMAL(38,0)) * m.n_ratings - m.sc2)")}
+         AS de_num,
+       ROUND(1.0 - {_d2d_sql("(CAST(m.n_ratings AS DECIMAL(38,0)) - 1) * a.A")}
+                   / NULLIF({_d2d_sql(f"CAST({L} AS DECIMAL(38,0)) * (CAST(m.n_ratings AS DECIMAL(38,0)) * m.n_ratings - m.sc2)")}, 0),
+             {round_to}) AS alpha
+FROM __a a CROSS JOIN __m m
+"""

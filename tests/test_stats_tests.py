@@ -688,3 +688,89 @@ def test_mi_parity_fuzz(spark, seed):
     assert got[3] == pytest.approx(mi, abs=1e-7)
     assert got[4] == pytest.approx(ha, abs=1e-7)
     assert got[5] == pytest.approx(hb, abs=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha
+# ---------------------------------------------------------------------------
+
+def _py_krippendorff(ratings):
+    """Exact nominal alpha via fractions over the long (unit, value)
+    frame — the coincidence-matrix textbook formula."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    by_unit = defaultdict(list)
+    for u, v in ratings:
+        if v is not None:
+            by_unit[u].append(v)
+    units = {u: vs for u, vs in by_unit.items() if len(vs) >= 2}
+    if not units:
+        return None
+    A = Fraction(0)
+    margins = Counter()
+    n = 0
+    for vs in units.values():
+        m = len(vs)
+        cnt = Counter(vs)
+        A += Fraction(m * m - sum(c * c for c in cnt.values()), m - 1)
+        margins.update(cnt)
+        n += m
+    B = n * n - sum(c * c for c in margins.values())
+    if B == 0:
+        return None
+    return float(1 - Fraction(n - 1) * A / B)
+
+
+def test_krippendorff_alpha_hand_cases(spark):
+    from bullet_storm_spark.operators.stats_tests import krippendorff_alpha
+
+    # mixed raters-per-unit incl. a singleton unit (dropped) and a NULL
+    ratings = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "b"), (2, "b"),
+        (3, "a"), (3, "a"), (3, "a"),
+        (4, "c"),               # single rating: drops
+        (5, "a"), (5, None),    # NULL rating drops -> unit 5 drops too
+        (6, "b"), (6, "c"), (6, "c"),
+    ]
+    df = spark.createDataFrame(ratings, "u long, v string")
+    out = krippendorff_alpha(df, "u", "v", max_raters=3).collect()[0]
+    want = _py_krippendorff(ratings)
+    assert out.alpha == pytest.approx(want, abs=1e-9)
+    assert out.n_units == 4 and out.n_ratings == 11
+    # perfect agreement across raters -> alpha == 1 exactly
+    perfect = [(u, "x") for u in (1, 1, 2, 2)] + [(3, "y"), (3, "y")]
+    p = krippendorff_alpha(
+        spark.createDataFrame(perfect, "u long, v string"), "u", "v"
+    ).collect()[0]
+    assert p.alpha == 1.0
+    # constant single category everywhere -> de_num = 0 -> NULL
+    const = [(1, "x"), (1, "x"), (2, "x"), (2, "x")]
+    c = krippendorff_alpha(
+        spark.createDataFrame(const, "u long, v string"), "u", "v"
+    ).collect()[0]
+    assert c.alpha is None
+
+
+def test_krippendorff_duck_parity(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.stats_tests import (
+        krippendorff_alpha, krippendorff_alpha_sql,
+    )
+
+    import random
+    rng = random.Random(99)
+    ratings = []
+    for u in range(60):
+        for r in range(rng.randint(1, 5)):
+            ratings.append((u, rng.choice("abc")))
+    df = spark.createDataFrame(ratings, "u long, v string")
+    s = [tuple(r) for r in krippendorff_alpha(df, "u", "v").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u BIGINT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", ratings)
+    d = con.execute(krippendorff_alpha_sql("t", "u", "v")).fetchall()
+    assert s == d
+    assert s[0][5] == pytest.approx(_py_krippendorff(ratings), abs=1e-9)
