@@ -2822,6 +2822,35 @@ ORDER BY doc_id
         lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
         _anomaly.binseg_changepoint_sql("events"),
     ),
+    # covariate balance table (Austin'09): per-covariate standardized
+    # mean difference between md5-draw arms in ONE conditional-agg scan;
+    # |SMD| > 0.1 flags; pooled variance clamped (chi2 sqrt(-eps) class)
+    "events_covariate_balance": (
+        lambda s, d: _exp.covariate_balance(
+            load_table(s, d, "events"),
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("user_id").cast("string"),
+                                           F.lit(":uplift-v1"))), 1, 8),
+                16, 10,
+            ).cast("bigint") / F.lit(4294967296.0) < F.lit(0.5),
+            {
+                "value": F.col("value"),
+                "hour_of_day": F.expr(
+                    "CAST((ts_ns div 1000 div 3600000000) % 24 AS DOUBLE)"
+                ),
+            },
+        ),
+        _exp.covariate_balance_sql(
+            "events",
+            "(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':uplift-v1'),"
+            " 1, 8))::BIGINT / 4294967296.0) < 0.5",
+            {
+                "value": "value",
+                "hour_of_day":
+                    "CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE)",
+            },
+        ),
+    ),
     # Krippendorff's alpha over three heuristic "annotators" with
     # deterministic missingness (rater C skips doc_id % 3 == 0): the
     # multi-rater agreement statistic kappa can't express; exact-integer

@@ -199,6 +199,7 @@ HEADLINE = [
     "text_quantile_normalize",
     "graph_triangle_stats",
     "text_krippendorff_alpha",
+    "events_covariate_balance",
 ]
 
 

@@ -634,3 +634,126 @@ FROM __pd
 WINDOW __w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
 ORDER BY decile
 """
+
+
+def covariate_balance(
+    df: DataFrame,
+    treat_pred: Column,
+    covariates: dict[str, Column],
+    round_to: int = 9,
+) -> DataFrame:
+    """(covariate, n_t, n_c, mean_t, mean_c, smd, flag): standardized
+    mean differences between arms per covariate — the balance table
+    every observational/experiment readout prints BEFORE the effect
+    estimate (Austin, Stat Med 2009): |SMD| > 0.1 (the conventional
+    flag) says the arms differ on that covariate and the estimate needs
+    adjustment (CUPED/DiD/stratification), randomization notwithstanding.
+
+        SMD = (x̄_t − x̄_c) / sqrt((s²_t + s²_c) / 2)
+
+    Engine parity: the welch_t arm-moment conventions verbatim —
+    DECIMAL(18,6) entry quantize, (38,12) exact sums, _d2d text-hop
+    conversions, try_divide, one ROUND on outputs.  All covariates
+    compute in ONE scan (conditional aggregates; adding a covariate
+    adds three columns to the same aggregation, not a pass), finished
+    by a literal-stack unpivot of the 1-row moment frame.
+    """
+    aggs = []
+    names = list(covariates)
+    for name in names:
+        v = covariates[name].cast("double")
+        for tag, pred in (("t", treat_pred), ("c", ~treat_pred)):
+            cols = _arm_moments(v, pred)
+            for mname, c in zip(("n", "s", "q"), cols):
+                aggs.append(c.alias(f"__{mname}_{tag}_{name}"))
+    agg = df.agg(*aggs)
+    rows = []
+    for name in names:
+        nt = F.col(f"__n_t_{name}").cast("double")
+        nc = F.col(f"__n_c_{name}").cast("double")
+        st = _d2d(F.col(f"__s_t_{name}"))
+        sc = _d2d(F.col(f"__s_c_{name}"))
+        qt = _d2d(F.col(f"__q_t_{name}"))
+        qc = _d2d(F.col(f"__q_c_{name}"))
+        mt = _div(st, nt)
+        mc = _div(sc, nc)
+        vt = _div(qt - _div(st * st, nt), nt - F.lit(1.0))
+        vc = _div(qc - _div(sc * sc, nc), nc - F.lit(1.0))
+        # clamp before the sqrt: exact-decimal variances can dip a hair
+        # below zero on constant covariates (the chi2 sqrt(-eps) class;
+        # DuckDB CRASHES on sqrt of a negative)
+        pooled = F.sqrt(F.greatest((vt + vc) / F.lit(2.0), F.lit(0.0)))
+        smd = F.round(_div(mt - mc, pooled), round_to)
+        rows.append(
+            F.struct(
+                F.lit(name).alias("covariate"),
+                F.col(f"__n_t_{name}").alias("n_t"),
+                F.col(f"__n_c_{name}").alias("n_c"),
+                F.round(mt, round_to).alias("mean_t"),
+                F.round(mc, round_to).alias("mean_c"),
+                smd.alias("smd"),
+                (F.abs(smd) > F.lit(0.1)).cast("long").alias("flag"),
+            )
+        )
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("__r"))
+        .select("__r.*")
+        .orderBy("covariate")
+    )
+
+
+def covariate_balance_sql(
+    table: str,
+    treat_sql: str,
+    covariates: dict[str, str],
+    round_to: int = 9,
+) -> str:
+    arm_blocks = []
+    for name, vsql in covariates.items():
+        for tag, pred in (("t", treat_sql), ("c", f"NOT ({treat_sql})")):
+            x = _q6_sql(f"CASE WHEN {pred} THEN CAST({vsql} AS DOUBLE) END")
+            xw = f"CAST({x} AS DECIMAL(19,6))"
+            arm_blocks.append(
+                f"COUNT({x})::BIGINT AS n_{tag}_{name},\n"
+                f"         CAST(SUM(CAST({x} AS DECIMAL(38,12)))"
+                f" AS DECIMAL(38,12)) AS s_{tag}_{name},\n"
+                f"         CAST(SUM({xw} * {xw})"
+                f" AS DECIMAL(38,12)) AS q_{tag}_{name}"
+            )
+    arms = ",\n         ".join(arm_blocks)
+    selects = []
+    for name in covariates:
+        mt = f"{_d2d_sql(f's_t_{name}')} / CAST(n_t_{name} AS DOUBLE)"
+        mc = f"{_d2d_sql(f's_c_{name}')} / CAST(n_c_{name} AS DOUBLE)"
+        vt = (
+            f"({_d2d_sql(f'q_t_{name}')} - {_d2d_sql(f's_t_{name}')}"
+            f" * {_d2d_sql(f's_t_{name}')} / CAST(n_t_{name} AS DOUBLE))"
+            f" / (CAST(n_t_{name} AS DOUBLE) - 1.0)"
+        )
+        vc = (
+            f"({_d2d_sql(f'q_c_{name}')} - {_d2d_sql(f's_c_{name}')}"
+            f" * {_d2d_sql(f's_c_{name}')} / CAST(n_c_{name} AS DOUBLE))"
+            f" / (CAST(n_c_{name} AS DOUBLE) - 1.0)"
+        )
+        smd = (
+            f"ROUND(({mt} - {mc})"
+            f" / NULLIF(sqrt(GREATEST(({vt} + {vc}) / 2.0, 0.0)), 0.0), {round_to})"
+        )
+        selects.append(
+            f"SELECT '{name}' AS covariate, n_t_{name} AS n_t,"
+            f" n_c_{name} AS n_c,"
+            f" ROUND({mt}, {round_to}) AS mean_t,"
+            f" ROUND({mc}, {round_to}) AS mean_c,"
+            f" {smd} AS smd,"
+            f" CAST(CASE WHEN abs({smd}) > 0.1 THEN 1 ELSE 0 END AS BIGINT)"
+            f" AS flag FROM __m"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH __m AS (
+  SELECT {arms}
+  FROM {table}
+)
+{union}
+ORDER BY covariate
+"""

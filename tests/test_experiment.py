@@ -279,3 +279,67 @@ def test_uplift_deciles_hand_oracle(spark):
     con.executemany("INSERT INTO ev VALUES (?,?,?)", rows)
     duck = con.execute(uplift_deciles_sql("ev")).fetchall()
     assert [tuple(r) for r in out] == duck
+
+
+# ---------------------------------------------------------------------------
+# Covariate balance (SMD)
+# ---------------------------------------------------------------------------
+
+def test_covariate_balance_hand_oracle(spark):
+    import statistics
+
+    import duckdb
+
+    from bullet_storm_spark.operators.experiment import (
+        covariate_balance, covariate_balance_sql,
+    )
+
+    rows = [
+        # (arm, x, y): arm 1 shifted on x, matched on y
+        (1, 10.0, 5.0), (1, 12.0, 6.0), (1, 14.0, 4.0), (1, 16.0, 5.0),
+        (0, 6.0, 5.5), (0, 7.0, 4.5), (0, 8.0, 5.0), (0, 9.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    out = {
+        r.covariate: r
+        for r in covariate_balance(
+            df, F.col("t") == 1, {"x": F.col("x"), "y": F.col("y")}
+        ).collect()
+    }
+
+    def smd(vals_t, vals_c):
+        mt, mc = statistics.mean(vals_t), statistics.mean(vals_c)
+        vt, vc = statistics.variance(vals_t), statistics.variance(vals_c)
+        return (mt - mc) / ((vt + vc) / 2) ** 0.5
+
+    want_x = smd([r[1] for r in rows if r[0] == 1],
+                 [r[1] for r in rows if r[0] == 0])
+    assert out["x"].smd == pytest.approx(want_x, abs=1e-9)
+    assert out["x"].flag == 1          # strongly imbalanced
+    assert abs(out["y"].smd) < 0.1 and out["y"].flag == 0
+    assert out["x"].n_t == 4 and out["x"].n_c == 4
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (t BIGINT, x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    duck = con.execute(
+        covariate_balance_sql("t", "t = 1", {"x": "x", "y": "y"})
+    ).fetchall()
+    spark_rows = [
+        tuple(r)
+        for r in covariate_balance(
+            df, F.col("t") == 1, {"x": F.col("x"), "y": F.col("y")}
+        ).collect()
+    ]
+    assert spark_rows == duck
+
+
+def test_covariate_balance_constant_covariate(spark):
+    """A constant covariate has zero pooled variance: SMD NULL (not a
+    DuckDB sqrt crash, not a Spark NaN)."""
+    from bullet_storm_spark.operators.experiment import covariate_balance
+
+    rows = [(1, 5.0), (1, 5.0), (0, 5.0), (0, 5.0)]
+    df = spark.createDataFrame(rows, "t long, x double")
+    out = covariate_balance(df, F.col("t") == 1, {"x": F.col("x")}).collect()
+    assert out[0].smd is None and out[0].flag is None or out[0].flag == 0
