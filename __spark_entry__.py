@@ -3932,14 +3932,32 @@ _DRIVER_PRIORITY = [
     "events_psi_drift",
     "events_robust_outliers",
     "events_attribution",
-    # NOTE: the window is exactly 50 here. r8 rotation: the remaining 15
+    # NOTE: the window is exactly 50 here. r8 rotation (56 never-checked
+    # candidates, pick 50; overflow + r8 additions go to r9): the 15
     # never-checked r6 entries (events_state_intervals, corpus_diff_*,
-    # sample_cap_*, profile_*, text_line_*, text_heaps_report,
-    # text_source_overlap, multimodal_resize, multimodal_wav_decimate,
-    # multimodal_dhash_groups), the 7 r1-era core entries deferred since
-    # r6 (raw_filter_project, raw_complex_filter, raw_regex_filter,
+    # sample_cap_*, profile_customer/referential/expectations,
+    # text_line_*, text_heaps_report, text_source_overlap,
+    # multimodal_resize, multimodal_wav_decimate, multimodal_dhash_groups),
+    # the r6-tail additions (events_forecast_eval, embed_centroid_matrix,
+    # text_percentile_rank, events_changepoint,
+    # text_weighted_len_quantiles, text_mi_lang_source, text_oov_report,
+    # events_dense_ids, corr_spearman_qty_price, events_ewma_monitor,
+    # corr_lineitem_matrix, events_did, events_trimmed_means,
+    # events_mde_planning, sample_group_split, sample_group_split_audit,
+    # events_km_survival, join_interval_overlap, text_readability,
+    # text_readability_sources, text_rake_keywords, corpus_token_gini,
+    # events_seasonality, events_seasonal_outliers, dedup_lsh_s_curve...),
+    # and the 20 r7 additions (privacy_*, scd2_*, events_theil_sen,
+    # sample_time_split, text_isotonic_calibration,
+    # text_conformal_threshold, events_uplift_deciles,
+    # link_sorted_neighborhood, profile_functional_deps,
+    # sketch_audience_overlap, text_quantile_normalize,
+    # graph_triangle_stats, text_krippendorff_alpha,
+    # events_covariate_balance). The 7 r1-era core entries
+    # (raw_filter_project, raw_complex_filter, raw_regex_filter,
     # group_all_metrics, group_by_event_type, count_distinct_users_approx,
-    # distribution_quantile_approx), and every r7 addition.
+    # distribution_quantile_approx) were driver-checked r1-r3 and are
+    # re-verified in-repo every round.
 ]
 
 
