@@ -2822,6 +2822,17 @@ ORDER BY doc_id
         lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
         _anomaly.binseg_changepoint_sql("events"),
     ),
+    # Kneser-Ney bigram LM ingredients: pair counts + continuation
+    # types (N1+(w•)/N1+(•w)) and the Ney-Essen-Kneser discount from
+    # count-of-counts — in-array zip bigrams, vocab-sized joins
+    "text_kn_bigrams": (
+        lambda s, d: _vocab.kn_bigram_counts(_docs(s, d), "doc_id", "text"),
+        _vocab.kn_bigram_counts_sql("documents", "doc_id", "text"),
+    ),
+    "text_kn_discount": (
+        lambda s, d: _vocab.kn_discount_summary(_docs(s, d), "doc_id", "text"),
+        _vocab.kn_discount_summary_sql("documents", "doc_id", "text"),
+    ),
     # covariate balance table (Austin'09): per-covariate standardized
     # mean difference between md5-draw arms in ONE conditional-agg scan;
     # |SMD| > 0.1 flags; pooled variance clamped (chi2 sqrt(-eps) class)

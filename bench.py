@@ -200,6 +200,7 @@ HEADLINE = [
     "graph_triangle_stats",
     "text_krippendorff_alpha",
     "events_covariate_balance",
+    "text_kn_bigrams",
 ]
 
 

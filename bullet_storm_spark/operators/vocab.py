@@ -1284,3 +1284,183 @@ SELECT source, total_tokens, oov_tokens,
 FROM __a
 ORDER BY source
 """
+
+
+def kn_bigram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 50,
+    round_to: int = 9,
+) -> DataFrame:
+    """(w1, w2, n_pair, right_types_w1, left_types_w2, pcont_w2): the
+    Kneser-Ney smoothing ingredients for a bigram LM (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman 1999 §2.7) — raw pair counts plus the
+    CONTINUATION statistics KN replaces raw unigram backoff with:
+    ``right_types(w1) = N1+(w1•)`` (how many distinct words follow w1 —
+    the backoff fan-out) and ``left_types(w2) = N1+(•w2)`` (how many
+    distinct contexts precede w2), with
+    ``pcont(w2) = N1+(•w2) / |bigram types|`` — "Francisco" is frequent
+    but only ever follows "San", so its continuation probability is
+    tiny; that correction IS Kneser-Ney.  These tables are what an
+    n-gram LM training job exports; the scorer is a join away.
+
+    Top ``top_n`` by (n_pair DESC, w1, w2) — a total order.  Scale:
+    bigrams from the in-array zip (codegen, no self-join), one pair
+    agg; both continuation tables are vocabulary-sized aggregations of
+    the TYPE frame (pair-distinct), joined back vocabulary-sized; the
+    type total rides a 1-row broadcast.  pcont is one exact-integer
+    IEEE division."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        df.where(n >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    rt = big.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("right_types_w1")
+    )
+    lt = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("left_types_w2")
+    )
+    types = big.agg(F.count(F.lit(1)).cast("long").alias("__ty"))
+    return (
+        big.join(rt, "w1")
+        .join(lt, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "right_types_w1",
+            "left_types_w2",
+            F.round(
+                F.col("left_types_w2").cast("double")
+                / F.col("__ty").cast("double"),
+                round_to,
+            ).alias("pcont_w2"),
+        )
+        .orderBy(F.desc("n_pair"), "w1", "w2")
+        .limit(int(top_n))
+    )
+
+
+def kn_bigram_counts_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    top_n: int = 50,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH __t AS (
+  SELECT {tokens_sql(text_col)} AS toks FROM {table}
+),
+__big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM __t, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i + 1] <> ''
+  GROUP BY w1, w2
+),
+__rt AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS right_types_w1
+  FROM __big GROUP BY w1
+),
+__lt AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS left_types_w2
+  FROM __big GROUP BY w2
+),
+__ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS ty FROM __big)
+SELECT b.w1, b.w2, b.n_pair, r.right_types_w1, l.left_types_w2,
+       ROUND(CAST(l.left_types_w2 AS DOUBLE) / t.ty, {round_to})
+         AS pcont_w2
+FROM __big b JOIN __rt r ON b.w1 = r.w1 JOIN __lt l ON b.w2 = l.w2
+CROSS JOIN __ty t
+ORDER BY b.n_pair DESC, b.w1, b.w2 LIMIT {int(top_n)}
+"""
+
+
+def kn_discount_summary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """(n_types, n_tokens, n1, n2, discount): the absolute-discount
+    estimate ``D = n1 / (n1 + 2·n2)`` from the count-of-counts (Ney,
+    Essen & Kneser 1994) over the bigram type table — the one scalar a
+    KN LM needs besides the count tables.  One count-of-counts
+    aggregation over the pair frame; all integers until the final
+    division."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        df.where(n >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    return big.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("__c") == 2).cast("long")).cast("long").alias("n2"),
+    ).select(
+        "n_types",
+        "n_tokens",
+        "n1",
+        "n2",
+        F.round(
+            F.try_divide(
+                F.col("n1").cast("double"),
+                (F.col("n1") + F.lit(2) * F.col("n2")).cast("double"),
+            ),
+            round_to,
+        ).alias("discount"),
+    )
+
+
+def kn_discount_summary_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH __t AS (
+  SELECT {tokens_sql(text_col)} AS toks FROM {table}
+),
+__big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM __t, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i + 1] <> ''
+  GROUP BY w1, w2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                      + 2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0),
+             {round_to}) AS discount
+FROM __big
+"""

@@ -150,3 +150,54 @@ def test_oov_report_oracle_parity_real_corpus(spark):
     ).fetchall()
     assert got == [tuple(w) for w in want]
     assert all(0.0 <= r[3] <= 1.0 and 0.0 <= r[6] <= 1.0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney count tables
+# ---------------------------------------------------------------------------
+
+def test_kn_counts_hand_oracle(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.vocab import (
+        kn_bigram_counts, kn_bigram_counts_sql,
+        kn_discount_summary, kn_discount_summary_sql,
+    )
+
+    # the canonical KN example: "francisco" frequent but only ever after
+    # "san"; "day" rarer as a pair but follows many contexts
+    docs = [
+        (1, "san francisco san francisco san francisco"),
+        (2, "good day nice day rainy day san francisco"),
+        (3, "one day another day"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in
+           kn_bigram_counts(df, "doc_id", "text", top_n=100).collect()}
+    # pairs from doc1: (san,francisco)x3 + (francisco,san)x2 -> plus
+    # doc2 contributes one more (san,francisco)
+    assert out[("san", "francisco")].n_pair == 4
+    # francisco has ONE left context (san) while day has four
+    # (good, nice, rainy, another... plus 'one day'? 'one' precedes day)
+    assert out[("san", "francisco")].left_types_w2 == 1
+    day_rows = [r for (w1, w2), r in out.items() if w2 == "day"]
+    assert day_rows and day_rows[0].left_types_w2 == 5  # good/nice/rainy/one/another
+    # continuation probability: day >> francisco despite lower pair count
+    assert day_rows[0].pcont_w2 > out[("san", "francisco")].pcont_w2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", docs)
+    duck = con.execute(
+        kn_bigram_counts_sql("d", "doc_id", "text", top_n=100)
+    ).fetchall()
+    spark_rows = [tuple(r) for r in
+                  kn_bigram_counts(df, "doc_id", "text", top_n=100).collect()]
+    assert spark_rows == duck
+
+    # discount: count-of-counts over the bigram types
+    s = kn_discount_summary(df, "doc_id", "text").collect()[0]
+    d = con.execute(kn_discount_summary_sql("d", "doc_id", "text")).fetchall()[0]
+    assert tuple(s) == d
+    assert s.discount == round(s.n1 / (s.n1 + 2 * s.n2), 9)
+    assert s.n_tokens == sum(len(t.split()) - 1 for _, t in docs)
