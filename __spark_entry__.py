@@ -2822,6 +2822,17 @@ ORDER BY doc_id
         lambda s, d: _anomaly.binseg_changepoint(load_table(s, d, "events")),
         _anomaly.binseg_changepoint_sql("events"),
     ),
+    # Neyman optimal allocation (JRSS'34): per-stratum N_h·S_h quotas
+    # resolved to integers by largest remainder (total-order ties) —
+    # sums to exactly n; welch-convention moments, one scan
+    "sample_neyman_allocation": (
+        lambda s, d: _smp.neyman_allocation(
+            _docs(s, d), "source", "n_chars", total_n=1000
+        ),
+        _smp.neyman_allocation_sql(
+            "documents", "source", "n_chars", total_n=1000
+        ),
+    ),
     # Kneser-Ney bigram LM ingredients: pair counts + continuation
     # types (N1+(w•)/N1+(•w)) and the Ney-Essen-Kneser discount from
     # count-of-counts — in-array zip bigrams, vocab-sized joins

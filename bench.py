@@ -201,6 +201,7 @@ HEADLINE = [
     "text_krippendorff_alpha",
     "events_covariate_balance",
     "text_kn_bigrams",
+    "sample_neyman_allocation",
 ]
 
 

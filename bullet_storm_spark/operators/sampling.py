@@ -23,7 +23,7 @@ hashing is what makes the sample reproducible under replay).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from bullet_storm_spark.functions.text import token_count, token_count_sql
 
@@ -994,4 +994,149 @@ SELECT 'test', r_test, u_test, u_both FROM __rep
 UNION ALL
 SELECT 'train', r_train, u_train, CAST(NULL AS BIGINT) FROM __rep
 ORDER BY bucket
+"""
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int = 1000,
+    round_to: int = 9,
+) -> DataFrame:
+    """(stratum, pop_n, sd, quota, alloc_n): optimal sample allocation
+    across strata for a fixed budget (Neyman JRSS 1934): stratum h gets
+    ``n · N_h·S_h / Σ N_h·S_h`` — more samples where the stratum is
+    BIG or NOISY, the design that minimizes the variance of the
+    stratified mean.  The survey-sampling complement to
+    ``stratified_split`` (which allocates by share, not by variance).
+
+    Fractional quotas are resolved to integers by LARGEST REMAINDER
+    (Hamilton): floor every quota, then hand the leftover units to the
+    largest remainders (ties broken by stratum name — a total order, so
+    the integer allocation is engine-exact).  Strata with zero variance
+    still receive their floor(quota) — a constant stratum needs ≥1
+    probe only if its quota says so; callers wanting minimums clamp
+    downstream.  alloc_n sums to exactly ``total_n`` whenever
+    Σ N_h·S_h > 0.
+
+    Engine parity: per-stratum moments follow the welch_t conventions
+    ((18,6) entry quantize, exact decimal sums, _d2d hops); S_h is one
+    sqrt of those (clamped at 0), quotas one shared IEEE expression,
+    and the remainder ranking a window over the strata frame
+    (stratum-count-sized).  One scan, no fact-table joins."""
+    from bullet_storm_spark.operators.stats_tests import _d2d, _div, _q6
+
+    x = _q6(F.col(value_col).cast("double"))
+    from bullet_storm_spark.operators.stats_tests import _MOMENT
+
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(x).cast("long").alias("pop_n"),
+        F.sum(x.cast(_MOMENT)).cast(_MOMENT).alias("__s"),
+        F.sum((x * x).cast(_MOMENT)).cast(_MOMENT).alias("__q"),
+    )
+    n_d = F.col("pop_n").cast("double")
+    s_d = _d2d(F.col("__s"))
+    q_d = _d2d(F.col("__q"))
+    var = _div(q_d - _div(s_d * s_d, n_d), n_d - F.lit(1.0))
+    sd = F.when(
+        F.col("pop_n") >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))
+    ).otherwise(F.lit(0.0))
+    strata = per.select(
+        "stratum", "pop_n", F.round(sd, 9).alias("sd")
+    ).withColumn("__w", F.col("pop_n").cast("double") * F.col("sd"))
+    tot = strata.agg(F.sum("__w").alias("__wsum"))
+    quoted = strata.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "pop_n",
+        "sd",
+        (F.lit(float(total_n)) * F.try_divide(F.col("__w"), F.col("__wsum")))
+        .alias("__quota"),
+    )
+    w = Window.orderBy(
+        F.desc(F.col("__quota") - F.floor(F.col("__quota"))), F.col("stratum")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = quoted.select(
+        "stratum",
+        "pop_n",
+        "sd",
+        F.round(F.coalesce(F.col("__quota"), F.lit(0.0)), round_to)
+        .alias("quota"),
+        F.floor(F.coalesce(F.col("__quota"), F.lit(0.0)))
+        .cast("long")
+        .alias("__fl"),
+        F.row_number().over(w).cast("long").alias("__rk"),
+    ).withColumn(
+        "__left",
+        (F.lit(int(total_n)) - F.sum("__fl").over(wall)).cast("long"),
+    )
+    return ranked.select(
+        "stratum",
+        "pop_n",
+        "sd",
+        "quota",
+        (
+            F.col("__fl")
+            + (F.col("__rk") <= F.col("__left")).cast("long")
+        ).cast("long").alias("alloc_n"),
+    ).orderBy("stratum")
+
+
+def neyman_allocation_sql(
+    table: str,
+    stratum_sql: str,
+    value_sql: str,
+    total_n: int = 1000,
+    round_to: int = 9,
+) -> str:
+    from bullet_storm_spark.operators.stats_tests import _d2d_sql, _q6_sql
+
+    x = _q6_sql(f"CAST({value_sql} AS DOUBLE)")
+    xw = f"CAST({x} AS DECIMAL(19,6))"
+    s = _d2d_sql("s")
+    q = _d2d_sql("q")
+    var = (
+        f"(({q} - {s} * {s} / CAST(pop_n AS DOUBLE))"
+        f" / (CAST(pop_n AS DOUBLE) - 1.0))"
+    )
+    return f"""
+WITH __m AS (
+  SELECT {stratum_sql} AS stratum,
+         COUNT({x})::BIGINT AS pop_n,
+         CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s,
+         CAST(SUM({xw} * {xw}) AS DECIMAL(38,12)) AS q
+  FROM {table} GROUP BY stratum
+),
+__sd AS (
+  SELECT stratum, pop_n,
+         ROUND(CASE WHEN pop_n >= 2
+                    THEN sqrt(GREATEST({var}, 0.0)) ELSE 0.0 END, 9) AS sd
+  FROM __m
+),
+__w AS (
+  SELECT *, CAST(pop_n AS DOUBLE) * sd AS w FROM __sd
+),
+__q AS (
+  SELECT stratum, pop_n, sd,
+         CAST({int(total_n)} AS DOUBLE) * w / NULLIF(SUM(w) OVER (), 0.0)
+           AS quota
+  FROM __w
+),
+__r AS (
+  SELECT stratum, pop_n, sd,
+         ROUND(COALESCE(quota, 0.0), {round_to}) AS quota,
+         CAST(FLOOR(COALESCE(quota, 0.0)) AS BIGINT) AS fl,
+         CAST(ROW_NUMBER() OVER (
+            ORDER BY COALESCE(quota, 0.0) - FLOOR(COALESCE(quota, 0.0)) DESC,
+                     stratum) AS BIGINT) AS rk,
+         CAST({int(total_n)} - SUM(CAST(FLOOR(COALESCE(quota, 0.0))
+              AS BIGINT)) OVER () AS BIGINT) AS lft
+  FROM __q
+)
+SELECT stratum, pop_n, sd, quota,
+       CAST(fl + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
+FROM __r ORDER BY stratum
 """

@@ -307,3 +307,51 @@ def test_containment_catches_quote_jaccard_misses(spark):
         (r.id_a, r.id_b, r.containment, r.size_a, r.size_b) for r in cont.collect()
     ]
     assert spark_rows == want
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation
+# ---------------------------------------------------------------------------
+
+def test_neyman_allocation_hand_oracle(spark):
+    import statistics
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.sampling import (
+        neyman_allocation, neyman_allocation_sql,
+    )
+
+    rows = (
+        [("big_noisy", float(v)) for v in (0, 10, 20, 30, 40, 50, 60, 70)]
+        + [("small_quiet", float(v)) for v in (10, 10, 11, 11)]
+        + [("constant", 5.0)] * 4
+        + [("singleton", 99.0)]
+    )
+    df = spark.createDataFrame(rows, "src string, v double")
+    out = {r.stratum: r for r in
+           neyman_allocation(df, "src", "v", total_n=100).collect()}
+    # quotas sum to exactly the budget
+    assert sum(r.alloc_n for r in out.values()) == 100
+    # all weight sits on the strata with variance; the noisy stratum
+    # dominates the allocation
+    assert out["big_noisy"].alloc_n > out["small_quiet"].alloc_n
+    assert out["constant"].alloc_n == 0 and out["singleton"].alloc_n == 0
+    # sd matches python's sample stdev
+    want_sd = statistics.stdev([v for s, v in rows if s == "big_noisy"])
+    assert out["big_noisy"].sd == round(want_sd, 9)
+    # proportional split: quota_h = 100 * Nh*Sh / sum
+    w_bn = 8 * out["big_noisy"].sd
+    w_sq = 4 * out["small_quiet"].sd
+    assert out["big_noisy"].quota == round(100 * w_bn / (w_bn + w_sq), 9)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(
+        neyman_allocation_sql("t", "src", "v", total_n=100)
+    ).fetchall()
+    spark_rows = [tuple(r) for r in
+                  neyman_allocation(df, "src", "v", total_n=100).collect()]
+    assert spark_rows == duck
