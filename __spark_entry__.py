@@ -2933,6 +2933,13 @@ ORDER BY doc_id
         lambda s, d: _trend.theil_sen_trend(load_table(s, d, "events")),
         _trend.theil_sen_trend_sql("events"),
     ),
+    # Mann-Kendall monotone-trend test (the significance companion to
+    # Theil-Sen): integer S and tie-corrected Var(S), z with continuity
+    # correction; no p on purpose (erf is not engine-portable)
+    "events_mann_kendall": (
+        lambda s, d: _trend.mann_kendall(load_table(s, d, "events")),
+        _trend.mann_kendall_sql("events"),
+    ),
     # token-mass-weighted length quantiles per source: the doc length at
     # which q of the TOKEN MASS sits in shorter docs (what packing and
     # truncation budgets see); all-integer threshold test, zero floats

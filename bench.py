@@ -202,6 +202,7 @@ HEADLINE = [
     "events_covariate_balance",
     "text_kn_bigrams",
     "sample_neyman_allocation",
+    "events_mann_kendall",
 ]
 
 

@@ -414,3 +414,138 @@ __res AS (
 )
 SELECT key, n_hours, n_pairs, slope, intercept FROM __res ORDER BY key
 """
+
+
+def mann_kendall(df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """(key, n_hours, s_stat, var_s, z): the Mann-Kendall trend test per
+    key over the densified hourly series — the nonparametric "is there
+    a monotone trend at all" companion to ``theil_sen_trend`` (Mann
+    Econometrica 1945; Kendall 1975):
+
+        S = Σ_{i<j} sign(y_j − y_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+        z = (S − sign(S)) / sqrt(Var(S))   (continuity correction)
+
+    S and the tie term are EXACT integers (pair signs and tie-group
+    counts), Var(S) one rational /18, z one IEEE finish — no p-value on
+    purpose: Φ needs erf, which engines evaluate differently; the
+    caller compares |z| against a literal quantile (1.959964 for 5%),
+    same convention as mde_planning's z constants.
+
+    Scale: shares theil_sen's shape — one collapse to calendar-bounded
+    (key, hour) cells, span²-bounded sign pairs, a tie histogram over
+    the cell values, all per key."""
+    observed = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            (F.expr("ts_ns div 1000") / _US_PER_HOUR)
+            .cast("bigint")
+            .alias("hour"),
+        )
+        .groupBy("__key", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spine = (
+        observed.groupBy("__key")
+        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
+        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
+    )
+    cells = spine.join(observed, ["__key", "hour"], "left").select(
+        "__key", "hour", F.coalesce("cnt", F.lit(0)).cast("long").alias("y")
+    )
+    a = cells.select("__key", F.col("hour").alias("h1"), F.col("y").alias("y1"))
+    b = cells.select("__key", F.col("hour").alias("h2"), F.col("y").alias("y2"))
+    s = (
+        a.join(b, "__key")
+        .where(F.col("h2") > F.col("h1"))
+        .groupBy("__key")
+        .agg(
+            F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nt = cells.groupBy("__key").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        cells.groupBy("__key", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy("__key")
+        .agg(
+            F.sum(
+                F.expr("__t * (__t - 1) * (2 * __t + 5)")
+            ).cast("long").alias("__tie")
+        )
+    )
+    j = nt.join(s, "__key").join(ties, "__key")
+    var_s = (
+        F.expr("n * (n - 1) * (2 * n + 5)").cast("double")
+        - F.col("__tie").cast("double")
+    ) / F.lit(18.0)
+    cc = F.col("s_stat").cast("double") - F.signum(
+        F.col("s_stat").cast("double")
+    )
+    return (
+        j.where(F.col("n") >= 2)
+        .select(
+            F.col("__key").alias("key"),
+            F.col("n").alias("n_hours"),
+            "s_stat",
+            F.round(var_s, 9).alias("var_s"),
+            F.round(
+                F.when(var_s > 0, cc / F.sqrt(var_s)).otherwise(F.lit(0.0)),
+                9,
+            ).alias("z"),
+        )
+        .orderBy("key")
+    )
+
+
+def mann_kendall_sql(table: str, key_col: str = "event_type") -> str:
+    return f"""
+WITH __obs AS (
+  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY key, hour
+),
+__spine AS (
+  SELECT o.key, UNNEST(range(o.h0, o.h1 + 1)) AS hour
+  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM __obs GROUP BY key) o
+),
+__cells AS (
+  SELECT s.key, s.hour, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS y
+  FROM __spine s LEFT JOIN __obs o ON s.key = o.key AND s.hour = o.hour
+),
+__s AS (
+  SELECT a.key,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM __cells a JOIN __cells b ON a.key = b.key AND b.hour > a.hour
+  GROUP BY a.key
+),
+__n AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM __cells GROUP BY key
+),
+__tie AS (
+  SELECT key,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+  FROM (SELECT key, y, CAST(COUNT(*) AS BIGINT) AS t
+        FROM __cells GROUP BY key, y)
+  GROUP BY key
+),
+__j AS (
+  SELECT n.key, n.n, s.s_stat, t.tie,
+         (CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS DOUBLE)
+          - CAST(t.tie AS DOUBLE)) / 18.0 AS var_s
+  FROM __n n JOIN __s s ON n.key = s.key JOIN __tie t ON n.key = t.key
+  WHERE n.n >= 2
+)
+SELECT key, n AS n_hours, s_stat,
+       ROUND(var_s, 9) AS var_s,
+       ROUND(CASE WHEN var_s > 0
+                  THEN (CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE)))
+                       / sqrt(var_s)
+                  ELSE 0.0 END, 9) AS z
+FROM __j ORDER BY key
+"""

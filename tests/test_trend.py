@@ -227,3 +227,39 @@ def test_theil_sen_duck_parity(spark, tmp_path):
     s = [tuple(r) for r in theil_sen_trend(df).collect()]
     d = con.execute(theil_sen_trend_sql("events")).fetchall()
     assert s == d
+
+
+def test_mann_kendall_hand_oracle(spark):
+    from bullet_storm_spark.operators.trend import mann_kendall, mann_kendall_sql
+
+    # key 'up': strictly increasing counts 1..6 -> S = C(6,2) = 15, no
+    # ties -> var = 6*5*17/18; key 'tied': [2,2,2,2] all equal -> S=0,
+    # fully tied -> var 0 -> z pinned 0
+    series = {"up": [1, 2, 3, 4, 5, 6], "tied": [2, 2, 2, 2]}
+    rows = []
+    eid = 0
+    for key, ys in series.items():
+        for h, c in enumerate(ys):
+            for _ in range(c):
+                rows.append((key, eid, h * 3_600_000_000 * 1000))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_type string, event_id long, ts_ns long")
+    out = {r.key: r for r in mann_kendall(df).collect()}
+    up = out["up"]
+    assert up.s_stat == 15 and up.n_hours == 6
+    assert up.var_s == round((6 * 5 * 17) / 18.0, 9)
+    assert up.z == round(14 / (up.var_s ** 0.5), 9)
+    t = out["tied"]
+    assert t.s_stat == 0 and t.var_s == 0.0 and t.z == 0.0
+
+    # DuckDB parity on the same corpus
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (event_type VARCHAR, event_id BIGINT, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO ev VALUES (?, ?, make_timestamp(?))",
+        [(k, e, ns // 1000) for k, e, ns in rows],
+    )
+    duck = con.execute(mann_kendall_sql("ev")).fetchall()
+    assert [tuple(r) for r in mann_kendall(df).collect()] == duck
