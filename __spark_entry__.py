@@ -2933,6 +2933,14 @@ ORDER BY doc_id
         lambda s, d: _trend.theil_sen_trend(load_table(s, d, "events")),
         _trend.theil_sen_trend_sql("events"),
     ),
+    # Holt double-exponential smoothing (fpp3 §8.2): level+trend
+    # integer fixed-point recursions (the ewma_monitor contract —
+    # applyInPandas loop vs recursive CTE walking identical int64),
+    # one-step-ahead forecasts + abs errors on the densified spine
+    "events_holt_linear": (
+        lambda s, d: _fcst.holt_linear(load_table(s, d, "events")),
+        _fcst.holt_linear_sql("events"),
+    ),
     # Mann-Kendall monotone-trend test (the significance companion to
     # Theil-Sen): integer S and tie-corrected Var(S), z with continuity
     # correction; no p on purpose (erf is not engine-portable)

@@ -203,6 +203,7 @@ HEADLINE = [
     "text_kn_bigrams",
     "sample_neyman_allocation",
     "events_mann_kendall",
+    "events_holt_linear",
 ]
 
 

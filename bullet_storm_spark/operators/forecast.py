@@ -182,3 +182,164 @@ SELECT event_type, n_eval,
 FROM __a
 ORDER BY event_type
 """
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str = "event_type",
+    alpha_num: int = 1,
+    alpha_den: int = 5,
+    beta_num: int = 1,
+    beta_den: int = 10,
+) -> DataFrame:
+    """(key, hour, cnt, level, trend, forecast, abs_err): Holt's linear
+    (double-exponential) smoothing per key over the densified hourly
+    series (Holt 1957 / Hyndman-Athanasopoulos fpp3 §8.2) — the
+    level+trend upgrade of the EWMA chart, and the model the
+    seasonal-naive backtest graduates to when a series actually drifts:
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        forecast_t (one-step, made at t−1) = l_{t−1} + b_{t−1}
+
+    Engine parity — the ewma_monitor integer fixed-point contract: l
+    and b carry nano-counts; each step is exact floor-division rational
+    rounding in pure int64 ((2·(αnum·x + (αden−αnum)(l+b)) + αden) div
+    2αden, same for β), seeded l_1 = x_1, b_1 = 0 (documented; the
+    trend warms up through β steps).  Both engines walk the SAME
+    integers — a bounded applyInPandas loop here, a recursive CTE in
+    the twin; floor division matches Python // and DuckDB // on every
+    sign.  Final doubles are text-hops of exact integers.
+
+    Scale posture: identical to ewma_monitor — one collapse to
+    calendar-bounded (key, hour) cells, per-key sequential pass over
+    the span, one shuffle on the key.
+    """
+    for num, den, nm in (
+        (alpha_num, alpha_den, "alpha"),
+        (beta_num, beta_den, "beta"),
+    ):
+        if den < 1 or num < 1 or num >= den:
+            raise ValueError(f"need 0 < {nm}_num < {nm}_den, got {num}/{den}")
+    scale = 10**9
+    observed = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            (F.expr("ts_ns div 1000") / _US_PER_HOUR)
+            .cast("bigint")
+            .alias("hour"),
+        )
+        .groupBy("__key", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spine = (
+        observed.groupBy("__key")
+        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
+        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
+    )
+    hours = spine.join(observed, ["__key", "hour"], "left").select(
+        "__key", "hour", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    an, ad = int(alpha_num), int(alpha_den)
+    bn, bd = int(beta_num), int(beta_den)
+
+    def tdiv(a, b):
+        # TRUNCATING integer division — DuckDB's // truncates toward
+        # zero while Python's // floors; the trend term goes negative on
+        # declining series, so the twins must share ONE semantics
+        # (fuzz-caught: -7//2 = -4 in Python, -3 in DuckDB)
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def rec(pdf):
+        pdf = pdf.sort_values("hour", kind="mergesort").reset_index(drop=True)
+        lvl = trd = None
+        ls, bs, fs = [], [], []
+        for x in pdf["cnt"]:
+            xi = int(x) * scale
+            if lvl is None:
+                lvl, trd, fc = xi, 0, None
+            else:
+                fc = lvl + trd
+                prev = lvl
+                lvl = tdiv(2 * (an * xi + (ad - an) * (lvl + trd)) + ad, 2 * ad)
+                trd = tdiv(2 * (bn * (lvl - prev) + (bd - bn) * trd) + bd, 2 * bd)
+            ls.append(lvl)
+            bs.append(trd)
+            fs.append(fc)
+        pdf["__l"] = ls
+        pdf["__b"] = bs
+        pdf["__f"] = fs
+        return pdf
+
+    walked = hours.groupBy("__key").applyInPandas(
+        rec, "__key string, hour long, cnt long, __l long, __b long, __f long"
+    )
+    d = lambda c: F.col(c).cast("string").cast("double") / F.lit(float(scale))
+    return walked.select(
+        F.col("__key").alias(key_col),
+        "hour",
+        "cnt",
+        d("__l").alias("level"),
+        d("__b").alias("trend"),
+        d("__f").alias("forecast"),
+        F.round(
+            F.abs(F.col("cnt").cast("double") - d("__f")), 9
+        ).alias("abs_err"),
+    ).orderBy(key_col, "hour")
+
+
+def holt_linear_sql(
+    table: str,
+    key_col: str = "event_type",
+    alpha_num: int = 1,
+    alpha_den: int = 5,
+    beta_num: int = 1,
+    beta_den: int = 10,
+) -> str:
+    an, ad = int(alpha_num), int(alpha_den)
+    bn, bd = int(beta_num), int(beta_den)
+    S = 10**9
+    return f"""
+WITH RECURSIVE __o AS (
+  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
+         COUNT(*)::BIGINT AS cnt
+  FROM {table} GROUP BY 1, 2
+),
+__spine AS (
+  SELECT key, unnest(generate_series(h0, h1)) AS hour
+  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1 FROM __o GROUP BY key)
+),
+__h AS (
+  SELECT s.key, s.hour, COALESCE(o.cnt, 0)::BIGINT AS cnt
+  FROM __spine s LEFT JOIN __o o ON s.key = o.key AND s.hour = o.hour
+),
+__nb AS (
+  SELECT key, hour, cnt,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY hour) AS rn
+  FROM __h
+),
+__rec AS (
+  SELECT key, hour, cnt, rn,
+         cnt * {S} AS l, CAST(0 AS BIGINT) AS b,
+         CAST(NULL AS BIGINT) AS f
+  FROM __nb WHERE rn = 1
+  UNION ALL
+  SELECT x.key, x.hour, x.cnt, x.rn,
+         (2 * ({an} * x.cnt * {S} + {ad - an} * (r.l + r.b)) + {ad})
+           // (2 * {ad}),
+         (2 * ({bn} * ((2 * ({an} * x.cnt * {S} + {ad - an} * (r.l + r.b))
+                        + {ad}) // (2 * {ad}) - r.l)
+               + {bd - bn} * r.b) + {bd}) // (2 * {bd}),
+         r.l + r.b
+  FROM __nb x JOIN __rec r ON x.key = r.key AND x.rn = r.rn + 1
+)
+SELECT key AS {key_col}, hour, cnt,
+       CAST(CAST(l AS VARCHAR) AS DOUBLE) / {float(S)!r} AS level,
+       CAST(CAST(b AS VARCHAR) AS DOUBLE) / {float(S)!r} AS trend,
+       CAST(CAST(f AS VARCHAR) AS DOUBLE) / {float(S)!r} AS forecast,
+       ROUND(abs(CAST(cnt AS DOUBLE)
+                 - CAST(CAST(f AS VARCHAR) AS DOUBLE) / {float(S)!r}), 9)
+         AS abs_err
+FROM __rec ORDER BY {key_col}, hour
+"""

@@ -410,3 +410,70 @@ def test_percentile_rank_parity_fuzz(spark, seed):
     # max pct_rank is n_max_tie-adjusted <= 1 with top value at <= 1.0
     for r in got:
         assert 0.0 < r[3] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Holt linear smoothing
+# ---------------------------------------------------------------------------
+
+def test_holt_linear_python_twin_and_trend_tracking(spark):
+    from bullet_storm_spark.operators.forecast import holt_linear
+
+    # linear ramp 10, 20, 30, ... -> Holt's trend must converge toward
+    # the true slope (10/hour) and one-step errors must shrink
+    rows = []
+    eid = 0
+    for h in range(12):
+        for _ in range(10 * (h + 1)):
+            rows.append(("ramp", eid, h * 3_600_000_000 * 1000))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_type string, event_id long, ts_ns long")
+    out = holt_linear(df).collect()
+    assert [r.hour for r in out] == list(range(12))
+    assert out[0].forecast is None and out[0].trend == 0.0
+
+    # python twin with the same truncating integer recursion
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    S = 10**9
+    an, ad, bn, bd = 1, 5, 1, 10
+    lvl = trd = None
+    for r in out:
+        xi = r.cnt * S
+        if lvl is None:
+            lvl, trd, fc = xi, 0, None
+        else:
+            fc = lvl + trd
+            prev = lvl
+            lvl = tdiv(2 * (an * xi + (ad - an) * (lvl + trd)) + ad, 2 * ad)
+            trd = tdiv(2 * (bn * (lvl - prev) + (bd - bn) * trd) + bd, 2 * bd)
+        assert abs(r.level - lvl / S) < 1e-9
+        assert abs(r.trend - trd / S) < 1e-9
+    # trend learned upward
+    assert out[-1].trend > 3.0
+    # declining series drives the trend NEGATIVE: the truncation-vs-
+    # floor divergence regression case
+    rows2 = []
+    eid = 0
+    for h in range(10):
+        for _ in range(100 - 10 * h):
+            rows2.append(("down", eid, h * 3_600_000_000 * 1000))
+            eid += 1
+    df2 = spark.createDataFrame(rows2, "event_type string, event_id long, ts_ns long")
+    out2 = holt_linear(df2).collect()
+    assert out2[-1].trend < 0
+
+    import duckdb
+
+    from bullet_storm_spark.operators.forecast import holt_linear_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (event_type VARCHAR, event_id BIGINT, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO ev VALUES (?, ?, make_timestamp(?))",
+        [(k, e, ns // 1000) for k, e, ns in rows2],
+    )
+    duck = con.execute(holt_linear_sql("ev")).fetchall()
+    assert [tuple(r) for r in out2] == duck
