@@ -394,9 +394,10 @@ def conformal_thresholds(
             )
         ).alias("alpha_permille"),
     )
-    # ceil(x/1000) for POSITIVE x as (x + 999) div 1000: `div` truncates
-    # toward zero and DuckDB's // floors, which only agree on positive
-    # operands — so the identity stays strictly positive by construction
+    # ceil(x/1000) for POSITIVE x as (x + 999) div 1000: Spark div and
+    # DuckDB // both truncate toward zero (Python // floors — keep any
+    # pandas twin away from negatives); operands here are positive by
+    # construction
     rank = F.least(
         F.expr(
             "CAST(((n + 1) * (1000 - alpha_permille) + 999) div 1000"
@@ -433,8 +434,8 @@ def conformal_thresholds_sql(
 ) -> str:
     a_pm = [int(round(a * 1000)) for a in alphas]
     alist = ", ".join(str(a) for a in a_pm)
-    # ceil(x/1000) for POSITIVE x as (x+999)//1000 — floor and trunc
-    # agree on positives, so DuckDB's // matches Spark's div exactly
+    # ceil(x/1000) for POSITIVE x as (x+999)//1000 — both dialects
+    # truncate, identical on every sign, positive here anyway
     rank = "LEAST(((n + 1) * (1000 - alpha_permille) + 999) // 1000, n)"
     return f"""
 WITH __cells AS (

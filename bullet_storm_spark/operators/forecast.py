@@ -208,8 +208,10 @@ def holt_linear(
     2αden, same for β), seeded l_1 = x_1, b_1 = 0 (documented; the
     trend warms up through β steps).  Both engines walk the SAME
     integers — a bounded applyInPandas loop here, a recursive CTE in
-    the twin; floor division matches Python // and DuckDB // on every
-    sign.  Final doubles are text-hops of exact integers.
+    the twin; the Python loop divides with an explicit TRUNCATING
+    helper because DuckDB's // truncates toward zero while Python's //
+    floors (they differ on negatives — hazard class 9).  Final doubles
+    are text-hops of exact integers.
 
     Scale posture: identical to ewma_monitor — one collapse to
     calendar-bounded (key, hour) cells, per-key sequential pass over
