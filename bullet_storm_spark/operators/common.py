@@ -83,3 +83,60 @@ def fmt_point(x: float) -> str:
     """Canonical split-point rendering for DISTRIBUTION range labels,
     identical in both generated programs ('0.0', '50.0', ...)."""
     return repr(float(x))
+
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def hourly_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """(__key, hour, cnt): per-key hourly event counts DENSIFIED onto
+    the key's min..max hour spine (zero hours materialized) — the
+    shared first stage of every span-bounded series operator (EWMA,
+    changepoint, Theil-Sen, Mann-Kendall, Holt, forecast backtests).
+    One corpus collapse; everything downstream is calendar-bounded.
+    The spine carries the key's first hour as ``__h0`` so consumers
+    needing a relative axis don't re-aggregate."""
+    observed = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            (F.expr("ts_ns div 1000") / _US_PER_HOUR)
+            .cast("bigint")
+            .alias("hour"),
+        )
+        .groupBy("__key", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spine = (
+        observed.groupBy("__key")
+        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
+        .select(
+            "__key",
+            "__h0",
+            F.explode(F.sequence("__h0", "__h1")).alias("hour"),
+        )
+    )
+    return spine.join(observed, ["__key", "hour"], "left").select(
+        "__key",
+        "__h0",
+        "hour",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )
+
+
+def hourly_cells_sql(table: str, key_col: str) -> str:
+    """DuckDB twin of hourly_cells: emits CTEs __obs/__spine/__cells;
+    consumers SELECT from __cells (key, h0, hour, cnt)."""
+    return f"""__obs AS (
+  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY key, hour
+),
+__spine AS (
+  SELECT o.key, o.h0, UNNEST(range(o.h0, o.h1 + 1)) AS hour
+  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM __obs GROUP BY key) o
+),
+__cells AS (
+  SELECT s.key, s.h0, s.hour, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS cnt
+  FROM __spine s LEFT JOIN __obs o ON s.key = o.key AND s.hour = o.hour
+)"""

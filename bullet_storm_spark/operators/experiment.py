@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from bullet_storm_spark.operators.sampling import hash_fraction, hash_fraction_sql
+
 from bullet_storm_spark.operators.stats_tests import (
     _MOMENT,
     _arm_moments,
@@ -441,7 +443,7 @@ def conformal_thresholds_sql(
 WITH __cells AS (
   SELECT {group_col} AS grp, CAST({score_sql} AS BIGINT) AS v,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} GROUP BY grp, v
+  FROM {table} WHERE ({score_sql}) IS NOT NULL GROUP BY grp, v
 ),
 __cum AS (
   SELECT grp, v,
@@ -496,12 +498,18 @@ def uplift_deciles(
     users = (
         df.groupBy(F.col(user_col).alias("u"))
         .agg(
+            # exact-decimal sum before the floor: a raw double sum is
+            # order-dependent and the floor boundary amplifies the last
+            # ulp into a different decile (review-caught); _q6 + decimal
+            # accumulation is the repo's moment convention
             F.floor(
                 F.sum(
-                    F.when(
-                        F.col("event_type") != "purchase", F.col("value")
-                    ).otherwise(F.lit(0.0))
-                )
+                    _q6(
+                        F.when(
+                            F.col("event_type") != "purchase", F.col("value")
+                        ).otherwise(F.lit(0.0))
+                    ).cast(_MOMENT)
+                ).cast(_MOMENT)
             )
             .cast("long")
             .alias("score"),
@@ -513,7 +521,7 @@ def uplift_deciles(
             "u",
             "score",
             "y",
-            (hash_fraction_col("u", salt) < F.lit(0.5))
+            (hash_fraction("u", salt) < F.lit(0.5))
             .cast("long")
             .alias("t"),
         )
@@ -571,27 +579,17 @@ def uplift_deciles(
     ).orderBy("decile")
 
 
-def hash_fraction_col(col_name: str, salt: str) -> Column:
-    """The sampling.hash_fraction draw, importable without a circular
-    dependency (same expression, byte for byte)."""
-    from bullet_storm_spark.operators.sampling import hash_fraction
-
-    return hash_fraction(col_name, salt)
-
-
 def uplift_deciles_sql(
     table: str,
     user_col: str = "user_id",
     salt: str = "uplift-v1",
 ) -> str:
-    from bullet_storm_spark.operators.sampling import hash_fraction_sql
-
     frac = hash_fraction_sql("u", salt)
     return f"""
 WITH __users AS (
   SELECT {user_col} AS u,
-         CAST(FLOOR(SUM(CASE WHEN event_type <> 'purchase' THEN value
-                             ELSE 0.0 END)) AS BIGINT) AS score,
+         CAST(FLOOR(CAST(SUM(CAST({_q6_sql("CASE WHEN event_type <> 'purchase' THEN value ELSE 0.0 END")}
+               AS DECIMAL(38,12))) AS DECIMAL(38,12))) AS BIGINT) AS score,
          CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
               AS BIGINT) AS y
   FROM {table} GROUP BY u

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from bullet_storm_spark.operators.common import hourly_cells_sql
 from bullet_storm_spark.operators.stats_tests import (
     _MOMENT,
     _d2d,
@@ -224,24 +225,9 @@ def holt_linear(
         if den < 1 or num < 1 or num >= den:
             raise ValueError(f"need 0 < {nm}_num < {nm}_den, got {num}/{den}")
     scale = 10**9
-    observed = (
-        df.select(
-            F.col(key_col).alias("__key"),
-            (F.expr("ts_ns div 1000") / _US_PER_HOUR)
-            .cast("bigint")
-            .alias("hour"),
-        )
-        .groupBy("__key", "hour")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    spine = (
-        observed.groupBy("__key")
-        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
-        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
-    )
-    hours = spine.join(observed, ["__key", "hour"], "left").select(
-        "__key", "hour", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
-    )
+    from bullet_storm_spark.operators.common import hourly_cells
+
+    hours = hourly_cells(df, key_col).select("__key", "hour", "cnt")
     an, ad = int(alpha_num), int(alpha_den)
     bn, bd = int(beta_num), int(beta_den)
 
@@ -303,23 +289,11 @@ def holt_linear_sql(
     bn, bd = int(beta_num), int(beta_den)
     S = 10**9
     return f"""
-WITH RECURSIVE __o AS (
-  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
-         COUNT(*)::BIGINT AS cnt
-  FROM {table} GROUP BY 1, 2
-),
-__spine AS (
-  SELECT key, unnest(generate_series(h0, h1)) AS hour
-  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1 FROM __o GROUP BY key)
-),
-__h AS (
-  SELECT s.key, s.hour, COALESCE(o.cnt, 0)::BIGINT AS cnt
-  FROM __spine s LEFT JOIN __o o ON s.key = o.key AND s.hour = o.hour
-),
+WITH RECURSIVE {hourly_cells_sql(table, key_col)},
 __nb AS (
   SELECT key, hour, cnt,
          ROW_NUMBER() OVER (PARTITION BY key ORDER BY hour) AS rn
-  FROM __h
+  FROM __cells
 ),
 __rec AS (
   SELECT key, hour, cnt, rn,

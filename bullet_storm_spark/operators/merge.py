@@ -163,8 +163,16 @@ def scd2_build(
         F.col(tiebreak_col).alias("__tb"),
     )
     w = Window.partitionBy("key").orderBy("__us", "__tb")
-    changed = base.withColumn("__prev", F.lag("attr").over(w)).where(
-        F.col("__prev").isNull() | ~F.col("attr").eqNullSafe(F.col("__prev"))
+    # first-row detection must be POSITIONAL (__rn = 1), not
+    # __prev IS NULL: a stream whose attribute is legitimately NULL in
+    # consecutive events would otherwise never collapse (review-caught —
+    # NULL attr echoes produced split versions)
+    changed = base.select(
+        "*",
+        F.lag("attr").over(w).alias("__prev"),
+        F.row_number().over(w).alias("__rn"),
+    ).where(
+        (F.col("__rn") == 1) | ~F.col("attr").eqNullSafe(F.col("__prev"))
     )
     # the filtered frame keeps the same partitioning; LEAD/ROW_NUMBER
     # reuse it (one WindowExec, no second exchange)
@@ -197,12 +205,13 @@ WITH __b AS (
   FROM {table}
 ),
 __lag AS (
-  SELECT *, LAG(attr) OVER (PARTITION BY key ORDER BY __us, __tb) AS __prev
+  SELECT *, LAG(attr) OVER (PARTITION BY key ORDER BY __us, __tb) AS __prev,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY __us, __tb) AS __rn
   FROM __b
 ),
 __chg AS (
   SELECT * FROM __lag
-  WHERE __prev IS NULL OR attr IS DISTINCT FROM __prev
+  WHERE __rn = 1 OR attr IS DISTINCT FROM __prev
 )
 SELECT key, attr, __us AS valid_from_us,
        COALESCE(LEAD(__us) OVER (PARTITION BY key ORDER BY __us, __tb),

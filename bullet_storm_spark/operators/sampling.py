@@ -1025,11 +1025,9 @@ def neyman_allocation(
     sqrt of those (clamped at 0), quotas one shared IEEE expression,
     and the remainder ranking a window over the strata frame
     (stratum-count-sized).  One scan, no fact-table joins."""
-    from bullet_storm_spark.operators.stats_tests import _d2d, _div, _q6
+    from bullet_storm_spark.operators.stats_tests import _MOMENT, _d2d, _div, _q6
 
     x = _q6(F.col(value_col).cast("double"))
-    from bullet_storm_spark.operators.stats_tests import _MOMENT
-
     per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(x).cast("long").alias("pop_n"),
         F.sum(x.cast(_MOMENT)).cast(_MOMENT).alias("__s"),
@@ -1042,16 +1040,26 @@ def neyman_allocation(
     sd = F.when(
         F.col("pop_n") >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))
     ).otherwise(F.lit(0.0))
+    # the weight sum must be ORDER-INDEPENDENT (strata arrive in
+    # engine-specific order): quantize each N_h·S_h through the _q6
+    # text hop and sum in exact decimal; the quota keeps ONE shared
+    # association, total · (w / W), in both dialects (review-caught:
+    # (total·w)/W vs total·(w/W) differ in the last ulp and flip
+    # largest-remainder ranks)
     strata = per.select(
         "stratum", "pop_n", F.round(sd, 9).alias("sd")
-    ).withColumn("__w", F.col("pop_n").cast("double") * F.col("sd"))
-    tot = strata.agg(F.sum("__w").alias("__wsum"))
+    ).withColumn(
+        "__w", _q6(F.col("pop_n").cast("double") * F.col("sd")).cast(_MOMENT)
+    )
+    tot = strata.agg(F.sum("__w").cast(_MOMENT).alias("__wsum"))
     quoted = strata.crossJoin(F.broadcast(tot)).select(
         "stratum",
         "pop_n",
         "sd",
-        (F.lit(float(total_n)) * F.try_divide(F.col("__w"), F.col("__wsum")))
-        .alias("__quota"),
+        (
+            F.lit(float(total_n))
+            * F.try_divide(_d2d(F.col("__w")), _d2d(F.col("__wsum")))
+        ).alias("__quota"),
     )
     w = Window.orderBy(
         F.desc(F.col("__quota") - F.floor(F.col("__quota"))), F.col("stratum")
@@ -1117,12 +1125,16 @@ __sd AS (
   FROM __m
 ),
 __w AS (
-  SELECT *, CAST(pop_n AS DOUBLE) * sd AS w FROM __sd
+  SELECT *, CAST({_q6_sql("CAST(pop_n AS DOUBLE) * sd")} AS DECIMAL(38,12))
+            AS w
+  FROM __sd
 ),
 __q AS (
   SELECT stratum, pop_n, sd,
-         CAST({int(total_n)} AS DOUBLE) * w / NULLIF(SUM(w) OVER (), 0.0)
-           AS quota
+         CAST({int(total_n)} AS DOUBLE)
+           * ({_d2d_sql("w")}
+              / NULLIF({_d2d_sql("CAST(SUM(w) OVER () AS DECIMAL(38,12))")},
+                       0.0)) AS quota
   FROM __w
 ),
 __r AS (

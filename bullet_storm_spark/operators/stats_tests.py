@@ -1654,11 +1654,24 @@ def krippendorff_alpha(
         F.sum("__c").cast("long").alias("__m"),
         F.sum(F.expr("__c * __c")).cast("long").alias("__s2"),
     ).where(F.col("__m") >= 2)
-    # Ã = Σ_u L·(m² − Σc²)/(m−1): (m−1) divides L by construction
+    # Ã = Σ_u L·(m² − Σc²)/(m−1): (m−1) divides L ONLY while
+    # m ≤ max_raters — beyond that the integer division silently
+    # truncates and deflates the unit's disagreement (review-caught), so
+    # the violation must FAIL, not skew; the term is folded through
+    # assert_true so pruning cannot drop the check. Terms sum in
+    # DECIMAL(38,0) (the margin-product discipline).
+    guard = F.assert_true(
+        F.col("__m") <= F.lit(int(max_raters)),
+        F.lit(
+            f"krippendorff_alpha: a unit has more ratings than "
+            f"max_raters={int(max_raters)}; raise max_raters"
+        ),
+    )
+    term = F.expr(f"(({L} div (__m - 1)) * (__m * __m - __s2))")
     a_num = per_u.agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         F.sum(
-            F.expr(f"(({L} div (__m - 1)) * (__m * __m - __s2))")
+            F.when(guard.isNull(), term).cast("decimal(38,0)")
         ).cast("decimal(38,0)").alias("__A"),
     )
     # margins over the SAME unit set (units dropped above contribute no
@@ -1721,7 +1734,11 @@ __pu AS (
 ),
 __a AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
-         CAST(SUM(({L} // (m - 1)) * (m * m - s2)) AS DECIMAL(38,0)) AS A
+         CAST(SUM(CAST(CASE WHEN m > {int(max_raters)}
+                  THEN CAST(error('krippendorff_alpha: a unit has more '
+                       'ratings than max_raters={int(max_raters)}') AS BIGINT)
+                  ELSE ({L} // (m - 1)) * (m * m - s2) END
+                  AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS A
   FROM __pu
 ),
 __mg AS (

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from bullet_storm_spark.operators.common import hourly_cells, hourly_cells_sql
 from bullet_storm_spark.operators.stats_tests import (
     _MOMENT,
     _VAL_DEC,
@@ -300,34 +301,10 @@ def theil_sen_trend(df: DataFrame, key_col: str = "event_type") -> DataFrame:
     changepoint scan) and the intercept pass joins a key-sized broadcast
     back onto span-bounded cells.
     """
-    observed = (
-        df.select(
-            F.col(key_col).alias("__key"),
-            (F.expr("ts_ns div 1000") / _US_PER_HOUR)
-            .cast("bigint")
-            .alias("hour"),
-        )
-        .groupBy("__key", "hour")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    spine = (
-        observed.groupBy("__key")
-        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
-        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
-    )
-    hours = (
-        spine.join(observed, ["__key", "hour"], "left")
-        .join(
-            F.broadcast(
-                observed.groupBy("__key").agg(F.min("hour").alias("__h0"))
-            ),
-            "__key",
-        )
-        .select(
-            "__key",
-            (F.col("hour") - F.col("__h0")).cast("long").alias("x"),
-            F.coalesce("cnt", F.lit(0)).cast("long").alias("y"),
-        )
+    hours = hourly_cells(df, key_col).select(
+        "__key",
+        (F.col("hour") - F.col("__h0")).cast("long").alias("x"),
+        F.col("cnt").alias("y"),
     )
     a = hours.select("__key", F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = hours.select("__key", F.col("x").alias("x2"), F.col("y").alias("y2"))
@@ -375,28 +352,14 @@ def theil_sen_trend(df: DataFrame, key_col: str = "event_type") -> DataFrame:
 
 def theil_sen_trend_sql(table: str, key_col: str = "event_type") -> str:
     return f"""
-WITH __obs AS (
-  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM {table} GROUP BY key, hour
-),
-__spine AS (
-  SELECT o.key, UNNEST(range(o.h0, o.h1 + 1)) AS hour
-  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1
-        FROM __obs GROUP BY key) o
-),
-__cells AS (
-  SELECT s.key, CAST(s.hour - m.h0 AS BIGINT) AS x,
-         CAST(COALESCE(o.cnt, 0) AS BIGINT) AS y
-  FROM __spine s
-  LEFT JOIN __obs o ON s.key = o.key AND s.hour = o.hour
-  JOIN (SELECT key, MIN(hour) AS h0 FROM __obs GROUP BY key) m
-    ON s.key = m.key
+WITH {hourly_cells_sql(table, key_col)},
+__rel AS (
+  SELECT key, CAST(hour - h0 AS BIGINT) AS x, cnt AS y FROM __cells
 ),
 __slopes AS (
   SELECT a.key,
          CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
-  FROM __cells a JOIN __cells b ON a.key = b.key AND b.x > a.x
+  FROM __rel a JOIN __rel b ON a.key = b.key AND b.x > a.x
 ),
 __sl AS (
   SELECT key, ROUND(quantile_cont(sl, 0.5), 9) AS slope,
@@ -409,7 +372,7 @@ __res AS (
          ANY_VALUE(s.slope) AS slope,
          ROUND(quantile_cont(CAST(c.y AS DOUBLE) - s.slope * c.x, 0.5), 9)
            AS intercept
-  FROM __cells c JOIN __sl s ON c.key = s.key
+  FROM __rel c JOIN __sl s ON c.key = s.key
   GROUP BY c.key
 )
 SELECT key, n_hours, n_pairs, slope, intercept FROM __res ORDER BY key
@@ -435,23 +398,8 @@ def mann_kendall(df: DataFrame, key_col: str = "event_type") -> DataFrame:
     Scale: shares theil_sen's shape — one collapse to calendar-bounded
     (key, hour) cells, span²-bounded sign pairs, a tie histogram over
     the cell values, all per key."""
-    observed = (
-        df.select(
-            F.col(key_col).alias("__key"),
-            (F.expr("ts_ns div 1000") / _US_PER_HOUR)
-            .cast("bigint")
-            .alias("hour"),
-        )
-        .groupBy("__key", "hour")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    spine = (
-        observed.groupBy("__key")
-        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
-        .select("__key", F.explode(F.sequence("__h0", "__h1")).alias("hour"))
-    )
-    cells = spine.join(observed, ["__key", "hour"], "left").select(
-        "__key", "hour", F.coalesce("cnt", F.lit(0)).cast("long").alias("y")
+    cells = hourly_cells(df, key_col).select(
+        "__key", "hour", F.col("cnt").alias("y")
     )
     a = cells.select("__key", F.col("hour").alias("h1"), F.col("y").alias("y1"))
     b = cells.select("__key", F.col("hour").alias("h2"), F.col("y").alias("y2"))
@@ -502,36 +450,26 @@ def mann_kendall(df: DataFrame, key_col: str = "event_type") -> DataFrame:
 
 def mann_kendall_sql(table: str, key_col: str = "event_type") -> str:
     return f"""
-WITH __obs AS (
-  SELECT {key_col} AS key, epoch_us(ts) // {_US_PER_HOUR} AS hour,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM {table} GROUP BY key, hour
-),
-__spine AS (
-  SELECT o.key, UNNEST(range(o.h0, o.h1 + 1)) AS hour
-  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1
-        FROM __obs GROUP BY key) o
-),
-__cells AS (
-  SELECT s.key, s.hour, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS y
-  FROM __spine s LEFT JOIN __obs o ON s.key = o.key AND s.hour = o.hour
+WITH {hourly_cells_sql(table, key_col)},
+__ycells AS (
+  SELECT key, hour, cnt AS y FROM __cells
 ),
 __s AS (
   SELECT a.key,
          CAST(SUM(CASE WHEN b.y > a.y THEN 1
                        WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
            AS s_stat
-  FROM __cells a JOIN __cells b ON a.key = b.key AND b.hour > a.hour
+  FROM __ycells a JOIN __ycells b ON a.key = b.key AND b.hour > a.hour
   GROUP BY a.key
 ),
 __n AS (
-  SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM __cells GROUP BY key
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM __ycells GROUP BY key
 ),
 __tie AS (
   SELECT key,
          CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
   FROM (SELECT key, y, CAST(COUNT(*) AS BIGINT) AS t
-        FROM __cells GROUP BY key, y)
+        FROM __ycells GROUP BY key, y)
   GROUP BY key
 ),
 __j AS (

@@ -1286,6 +1286,42 @@ ORDER BY source
 """
 
 
+def _bigram_pairs(df: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, n_pair): the shared bigram-type frame for the KN count
+    table and the discount estimate (one definition — the two consumers
+    must never see differently-built pair frames)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.where(n >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+
+
+def _bigram_sql(table: str, text_col: str) -> str:
+    """CTE body: ``__big`` with (w1, w2, n_pair) — the SQL twin of
+    _bigram_pairs."""
+    return f"""__t AS (
+  SELECT {tokens_sql(text_col)} AS toks FROM {table}
+),
+__big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM __t, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i + 1] <> ''
+  GROUP BY w1, w2
+)"""
+
+
 def kn_bigram_counts(
     df: DataFrame,
     id_col: str,
@@ -1311,21 +1347,7 @@ def kn_bigram_counts(
     the TYPE frame (pair-distinct), joined back vocabulary-sized; the
     type total rides a 1-row broadcast.  pcont is one exact-integer
     IEEE division."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    big = (
-        df.where(n >= 2)
-        .select(F.explode(pairs).alias("__p"))
-        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-        .where((F.col("w1") != "") & (F.col("w2") != ""))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-    )
+    big = _bigram_pairs(df, text_col)
     rt = big.groupBy("w1").agg(
         F.count(F.lit(1)).cast("long").alias("right_types_w1")
     )
@@ -1362,16 +1384,7 @@ def kn_bigram_counts_sql(
     round_to: int = 9,
 ) -> str:
     return f"""
-WITH __t AS (
-  SELECT {tokens_sql(text_col)} AS toks FROM {table}
-),
-__big AS (
-  SELECT toks[i] AS w1, toks[i + 1] AS w2,
-         CAST(COUNT(*) AS BIGINT) AS n_pair
-  FROM __t, UNNEST(range(1, len(toks))) AS u(i)
-  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i + 1] <> ''
-  GROUP BY w1, w2
-),
+WITH {_bigram_sql(table, text_col)},
 __rt AS (
   SELECT w1, CAST(COUNT(*) AS BIGINT) AS right_types_w1
   FROM __big GROUP BY w1
@@ -1402,21 +1415,7 @@ def kn_discount_summary(
     KN LM needs besides the count tables.  One count-of-counts
     aggregation over the pair frame; all integers until the final
     division."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    big = (
-        df.where(n >= 2)
-        .select(F.explode(pairs).alias("__p"))
-        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-        .where((F.col("w1") != "") & (F.col("w2") != ""))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    )
+    big = _bigram_pairs(df, text_col).withColumnRenamed("n_pair", "__c")
     return big.agg(
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.sum("__c").cast("long").alias("n_tokens"),
@@ -1444,23 +1443,14 @@ def kn_discount_summary_sql(
     round_to: int = 9,
 ) -> str:
     return f"""
-WITH __t AS (
-  SELECT {tokens_sql(text_col)} AS toks FROM {table}
-),
-__big AS (
-  SELECT toks[i] AS w1, toks[i + 1] AS w2,
-         CAST(COUNT(*) AS BIGINT) AS c
-  FROM __t, UNNEST(range(1, len(toks))) AS u(i)
-  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i + 1] <> ''
-  GROUP BY w1, w2
-)
+WITH {_bigram_sql(table, text_col)}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
-       CAST(SUM(c) AS BIGINT) AS n_tokens,
-       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / NULLIF(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-                      + 2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0),
+       CAST(SUM(n_pair) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN n_pair = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       ROUND(CAST(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END)
+                      + 2 * SUM(CASE WHEN n_pair = 2 THEN 1 ELSE 0 END), 0),
              {round_to}) AS discount
 FROM __big
 """

@@ -810,14 +810,19 @@ def stream_topk(
             }
         )
 
+    # NULL items stringify to 'null' BEFORE bucketing — the reference's
+    # TOP K convention (SURVEY §2.4) and the batch sketch's behavior; a
+    # raw NULL would count in n_batch but vanish from value_counts()
+    # (pandas dropna), silently breaking the exact-mode equivalence
+    item = F.coalesce(F.col(item_col).cast("string"), F.lit("null"))
     bucket = F.expr(
-        f"CAST(conv(substring(md5(CAST({item_col} AS STRING)), 1, 8),"
-        f" 16, 10) AS BIGINT) % {int(n_buckets)}"
+        f"CAST(conv(substring(md5(coalesce(CAST({item_col} AS STRING),"
+        f" 'null')), 1, 8), 16, 10) AS BIGINT) % {int(n_buckets)}"
     )
     return (
         stream_df.select(
             bucket.alias("bucket"),
-            F.col(item_col).cast("string").alias("item"),
+            item.alias("item"),
         )
         .groupBy("bucket")
         .applyInPandasWithState(

@@ -341,10 +341,21 @@ def test_neyman_allocation_hand_oracle(spark):
     # sd matches python's sample stdev
     want_sd = statistics.stdev([v for s, v in rows if s == "big_noisy"])
     assert out["big_noisy"].sd == round(want_sd, 9)
-    # proportional split: quota_h = 100 * Nh*Sh / sum
-    w_bn = 8 * out["big_noisy"].sd
-    w_sq = 4 * out["small_quiet"].sd
-    assert out["big_noisy"].quota == round(100 * w_bn / (w_bn + w_sq), 9)
+    # proportional split: quota_h = 100 * (w_h / W) with each N_h*S_h
+    # quantized through the 6dp text hop (the order-independent decimal
+    # weight sum) and the total*(w/W) association shared by both twins
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q6(x):
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    w_bn = q6(8 * out["big_noisy"].sd)
+    w_sq = q6(4 * out["small_quiet"].sd)
+    assert out["big_noisy"].quota == round(100 * (w_bn / (w_bn + w_sq)), 9)
 
     con = duckdb.connect()
     con.execute("CREATE TABLE t (src VARCHAR, v DOUBLE)")

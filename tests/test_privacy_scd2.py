@@ -176,3 +176,28 @@ def test_scd2_transition_matrix(scd_df):
     # probes us=99, BEFORE the key's history starts -> dropped, so only
     # key1's two transitions appear
     assert s == [("P1", "P2", 1), ("P2", "P1", 1)]
+
+
+def test_scd2_null_attr_echoes_collapse(spark):
+    """Consecutive NULL attribute values are echoes and must collapse
+    (review-caught: __prev IS NULL conflated 'first row' with 'previous
+    attr was NULL' and split versions)."""
+    rows = [
+        (1, "x", 100, 1),
+        (1, None, 200, 2),
+        (1, None, 300, 3),   # NULL echo -> must collapse into v2
+        (1, "y", 400, 4),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, us long, tb long")
+    out = M.scd2_build(df, "k", "attr", F.col("us"), "tb").collect()
+    assert [(r.attr, r.version) for r in out] == [
+        ("x", 1), (None, 2), ("y", 3),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, attr VARCHAR, us BIGINT, tb BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    d = con.execute(M.scd2_build_sql("t", "k", "attr", "us", "tb")).fetchall()
+    assert [tuple(r) for r in out] == d
+    # NULL-to-NULL must never appear in the transition matrix
+    tm = M.scd2_transition_matrix(df, "k", "attr", F.col("us"), "tb").collect()
+    assert all(not (r.prev_attr is None and r.attr is None) for r in tm)

@@ -774,3 +774,26 @@ def test_krippendorff_duck_parity(spark):
     d = con.execute(krippendorff_alpha_sql("t", "u", "v")).fetchall()
     assert s == d
     assert s[0][5] == pytest.approx(_py_krippendorff(ratings), abs=1e-9)
+
+
+def test_krippendorff_rejects_units_beyond_max_raters(spark):
+    """A unit with more ratings than max_raters must FAIL LOUDLY in both
+    engines — the lcm scaling silently truncates past it (review-caught)."""
+    import duckdb
+
+    from bullet_storm_spark.operators.stats_tests import (
+        krippendorff_alpha, krippendorff_alpha_sql,
+    )
+
+    ratings = [(1, "a")] * 4 + [(2, "b"), (2, "a")]
+    df = spark.createDataFrame(ratings, "u long, v string")
+    with pytest.raises(Exception, match="max_raters"):
+        krippendorff_alpha(df, "u", "v", max_raters=3).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u BIGINT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", ratings)
+    with pytest.raises(Exception, match="max_raters"):
+        con.execute(krippendorff_alpha_sql("t", "u", "v", max_raters=3))
+    # and the same data passes at an honest max_raters
+    ok = krippendorff_alpha(df, "u", "v", max_raters=4).collect()
+    assert ok[0].n_units == 2
