@@ -159,6 +159,16 @@ SHOW = [
     "link_sorted_neighborhood",
     "text_quantile_normalize",
     "graph_triangle_stats",
+    "events_holt_linear",
+    "events_mann_kendall",
+    "text_kn_bigrams",
+    "sample_neyman_allocation",
+    "events_covariate_balance",
+    "text_krippendorff_alpha",
+    "events_uplift_deciles",
+    "scd2_transitions",
+    "text_isotonic_calibration",
+    "text_conformal_threshold",
 ]
 
 
