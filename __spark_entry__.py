@@ -2933,6 +2933,14 @@ ORDER BY doc_id
         lambda s, d: _trend.theil_sen_trend(load_table(s, d, "events")),
         _trend.theil_sen_trend_sql("events"),
     ),
+    # time-split backtest of the first-order Markov next-event
+    # predictor: argmax(next|prev) fit on the first 80% of the time
+    # range (total-order ties), exact-match accuracy on the tail —
+    # the honest eval of the transition matrix (random splits leak)
+    "events_markov_backtest": (
+        lambda s, d: _behavior.markov_backtest(load_table(s, d, "events")),
+        _behavior.markov_backtest_sql("events"),
+    ),
     # Holt double-exponential smoothing (fpp3 §8.2): level+trend
     # integer fixed-point recursions (the ewma_monitor contract —
     # applyInPandas loop vs recursive CTE walking identical int64),

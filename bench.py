@@ -204,6 +204,7 @@ HEADLINE = [
     "sample_neyman_allocation",
     "events_mann_kendall",
     "events_holt_linear",
+    "events_markov_backtest",
 ]
 
 

@@ -988,3 +988,169 @@ SELECT event_type, n_gaps,
          THEN (sdev - mean) / (sdev + mean) END AS burstiness
 FROM __c ORDER BY event_type
 """.format(table=table)
+
+
+def markov_backtest(
+    df: DataFrame,
+    train_permille: int = 800,
+    round_to: int = 9,
+) -> DataFrame:
+    """(prev_type, n_test, n_correct, accuracy): time-split backtest of
+    the first-order Markov next-event predictor — the eval loop on top
+    of ``transition_matrix``: fit argmax(next | prev) on the FIRST
+    ``train_permille``/1000 of the time range, score exact-match
+    accuracy on the held-out tail, plus an ``__all__`` row.  The honest
+    version of "our transition matrix is predictive": a random-split
+    eval would leak adjacent events across the cut (the time_split_audit
+    rationale).
+
+    Determinism: the boundary is the time_split integer-µs arithmetic;
+    transitions are built per user with the (ts, event_id) tiebroken
+    LAG; the predictor is argmax with (count DESC, type ASC) total-order
+    ties; pairs CROSSING the boundary belong to neither side (both
+    engines drop them identically — the LAG runs inside each split).
+
+    Plan: two user-keyed window passes (train, test), one vocab²-sized
+    count aggregation, a vocab-sized argmax window, one broadcast join
+    of the predictor onto the test pairs.  Nothing row-sized leaves the
+    executors.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("__us"),
+    )
+    bounds = base.agg(F.min("__us").alias("__lo"), F.max("__us").alias("__hi"))
+    tagged = base.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "__us",
+        F.expr(
+            f"CAST(__lo + ((__hi - __lo) * {int(train_permille)}) div 1000 "
+            "AS BIGINT)"
+        ).alias("__split"),
+    )
+
+    def pairs(part):
+        w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+        return (
+            part.withColumn("__prev", F.lag("event_type").over(w))
+            .where(F.col("__prev").isNotNull())
+            .select(
+                F.col("__prev").alias("prev_type"),
+                F.col("event_type").alias("next_type"),
+            )
+        )
+
+    train = pairs(tagged.where(F.col("__us") < F.col("__split")))
+    test = pairs(tagged.where(F.col("__us") >= F.col("__split")))
+    counts = train.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wp = Window.partitionBy("prev_type").orderBy(
+        F.desc("__c"), F.col("next_type")
+    )
+    predictor = (
+        counts.withColumn("__rk", F.row_number().over(wp))
+        .where(F.col("__rk") == 1)
+        .select("prev_type", F.col("next_type").alias("__pred"))
+    )
+    scored = test.join(F.broadcast(predictor), "prev_type", "left").select(
+        "prev_type",
+        (F.col("next_type") == F.col("__pred")).cast("long").alias("__hit"),
+    )
+    per_prev = scored.groupBy("prev_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    overall = scored.agg(
+        F.lit("__all__").alias("prev_type"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        per_prev.unionByName(overall)
+        .select(
+            "prev_type",
+            "n_test",
+            "n_correct",
+            F.round(
+                F.try_divide(
+                    F.col("n_correct").cast("double"),
+                    F.col("n_test").cast("double"),
+                ),
+                round_to,
+            ).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+def markov_backtest_sql(
+    table: str,
+    train_permille: int = 800,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH __b AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM {table}
+),
+__bounds AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM __b),
+__tag AS (
+  SELECT b.*, CAST(x.lo + ((x.hi - x.lo) * {int(train_permille)}) // 1000
+              AS BIGINT) AS split
+  FROM __b b CROSS JOIN __bounds x
+),
+__train AS (
+  SELECT prev_type, next_type FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev_type,
+           event_type AS next_type
+    FROM __tag WHERE us < split
+  ) WHERE prev_type IS NOT NULL
+),
+__test AS (
+  SELECT prev_type, next_type FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev_type,
+           event_type AS next_type
+    FROM __tag WHERE us >= split
+  ) WHERE prev_type IS NOT NULL
+),
+__cnt AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM __train GROUP BY prev_type, next_type
+),
+__pred AS (
+  SELECT prev_type, next_type AS pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+               ORDER BY c DESC, next_type) AS rk
+    FROM __cnt
+  ) WHERE rk = 1
+),
+__sc AS (
+  SELECT t.prev_type,
+         CASE WHEN t.next_type = p.pred THEN 1 ELSE 0 END AS hit
+  FROM __test t LEFT JOIN __pred p ON t.prev_type = p.prev_type
+),
+__pp AS (
+  SELECT prev_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(hit) AS BIGINT) AS n_correct
+  FROM __sc GROUP BY prev_type
+  UNION ALL
+  SELECT '__all__', CAST(COUNT(*) AS BIGINT), CAST(SUM(hit) AS BIGINT)
+  FROM __sc
+)
+SELECT prev_type, n_test, n_correct,
+       ROUND(CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0), {round_to})
+         AS accuracy
+FROM __pp ORDER BY prev_type
+"""

@@ -419,3 +419,50 @@ def test_interarrival_stats_semantics_and_parity(spark):
     oracle = con.execute(behavior.interarrival_stats_sql("ev")).fetchall()
     srows = [tuple(r) for r in behavior.interarrival_stats(df).collect()]
     assert srows == [tuple(r) for r in oracle]
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event backtest
+# ---------------------------------------------------------------------------
+
+def test_markov_backtest_hand_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.behavior import (
+        markov_backtest, markov_backtest_sql,
+    )
+
+    # span 0..1000 µs, split at 800. user 1 train: a->b, b->a, a->b
+    # (predictor: a->b, b->a); test (us>=800): a->b (hit), b->c (miss)
+    rows = [
+        (1, 1, "a", 0), (1, 2, "b", 100), (1, 3, "a", 200),
+        (1, 4, "b", 300), (1, 5, "a", 700),
+        (1, 6, "a", 850), (1, 7, "b", 900), (1, 8, "c", 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long"
+    ).select(
+        "user_id", "event_id", "event_type",
+        (F.col("us") * 1000).alias("ts_ns"),
+    )
+    out = {r.prev_type: r for r in markov_backtest(df).collect()}
+    # train pairs: (a,b),(b,a),(a,b),(b,a? no: 300->700 a->... wait
+    # train events us<800: 0,100,200,300,700 -> pairs (a,b),(b,a),
+    # (a,b),(b,a) -> predictor a->b, b->a
+    # test events us>=800: 850 a, 900 b, 1000 c -> pairs (a,b),(b,c)
+    assert out["a"].n_test == 1 and out["a"].n_correct == 1
+    assert out["b"].n_test == 1 and out["b"].n_correct == 0
+    assert out["__all__"].n_test == 2 and out["__all__"].accuracy == 0.5
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (user_id BIGINT, event_id BIGINT,"
+        " event_type VARCHAR, ts TIMESTAMP)"
+    )
+    con.executemany(
+        "INSERT INTO ev VALUES (?,?,?,make_timestamp(?))",
+        [(u, e, t, us) for u, e, t, us in rows],
+    )
+    duck = con.execute(markov_backtest_sql("ev")).fetchall()
+    assert [tuple(r) for r in markov_backtest(df).collect()] == duck
