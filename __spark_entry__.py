@@ -865,6 +865,22 @@ _SCRUB_PII_SQL = (
 )
 
 
+# multi-key JSON bag synthesized deterministically from events (the
+# chat/url AUG convention): key 'k' always, 'flag' on event_id%3==0,
+# 'note' as an explicit JSON null on event_id%5==0
+_JSON_AUG_SQL = (
+    "'{' || '\"k\": ' || CAST(json_get_int AS VARCHAR) || "
+    "CASE WHEN event_id % 3 = 0 THEN ', \"flag\": true' ELSE '' END || "
+    "CASE WHEN event_id % 5 = 0 THEN ', \"note\": null' ELSE '' END || '}'"
+).replace("json_get_int", "COALESCE(CAST(json_extract(props, '$.k') AS INTEGER), 0)")
+_JSON_AUG_SQL_SPARK = (
+    "concat('{', '\"k\": ', CAST(COALESCE(CAST(get_json_object(props, '$.k')"
+    " AS INT), 0) AS STRING), "
+    "CASE WHEN event_id % 3 = 0 THEN ', \"flag\": true' ELSE '' END, "
+    "CASE WHEN event_id % 5 = 0 THEN ', \"note\": null' ELSE '' END, '}')"
+)
+
+
 def _krippendorff_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long (doc_id, rater, verdict) frame from three deterministic
     heuristic gates; rater C skips doc_id % 3 == 0 (the missing-data
@@ -3743,6 +3759,21 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             load_table(s, d, "events"), "user_id", "event_type"
         ),
         None,
+    ),
+    # top-level JSON key census over a synthesized multi-key property
+    # bag (deterministic concat both engines): which keys exist, how
+    # sparsely, explicit-null share — value TEXT never compared
+    # (object re-serialization whitespace differs across engines)
+    "events_json_key_profile": (
+        lambda s, d: _profile.json_key_profile(
+            load_table(s, d, "events").select(
+                F.expr(_JSON_AUG_SQL_SPARK).alias("props")
+            ),
+            "props",
+        ),
+        _profile.json_key_profile_sql(
+            f"(SELECT {_JSON_AUG_SQL} AS props FROM events)", "props"
+        ),
     ),
     # exact functional-dependency audit (TANE-family, candidate pairs):
     # one two-phase distinct agg per candidate; NULL dependents count

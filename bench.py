@@ -205,6 +205,7 @@ HEADLINE = [
     "events_mann_kendall",
     "events_holt_linear",
     "events_markov_backtest",
+    "events_json_key_profile",
 ]
 
 

@@ -523,3 +523,73 @@ SELECT determinant, dependent, n_keys, n_violating, max_dependents,
 FROM ({union})
 ORDER BY determinant, dependent
 """
+
+
+def json_key_profile(
+    df: DataFrame,
+    json_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """(key, n_present, n_json_null, share_present): top-level key
+    census of a semi-structured JSON column — the schema-discovery
+    pre-flight for event property bags (which keys exist, how sparsely,
+    and how often they carry an explicit JSON null vs a value).  Rows
+    whose JSON is NULL/unparseable contribute to the denominator (the
+    column exists for them; its keys don't).
+
+    Parity: both engines enumerate keys natively (``json_object_keys``
+    / ``json_keys``) and detect explicit-null via string extraction
+    returning NULL; value TEXT is never compared across engines (object
+    re-serialization whitespace differs — documented non-surface).
+    One explode + one key-sized aggregation; the row total rides a
+    1-row broadcast.
+    """
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    keys = df.select(
+        F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
+        F.col(json_col).alias("__j"),
+    )
+    # the PyFunction form of get_json_object requires a LITERAL path;
+    # the SQL form takes any expression
+    per_key = keys.select(
+        "key",
+        F.expr("get_json_object(__j, concat('$.', key))").alias("__v"),
+    ).groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.col("__v").isNull().cast("long"))
+        .cast("long")
+        .alias("n_json_null"),
+    )
+    return per_key.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_present",
+        "n_json_null",
+        F.round(
+            F.col("n_present").cast("double") / F.col("__n").cast("double"),
+            round_to,
+        ).alias("share_present"),
+    ).orderBy("key")
+
+
+def json_key_profile_sql(
+    table: str,
+    json_sql: str,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH __t AS (SELECT {json_sql} AS j FROM {table}),
+__n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM __t),
+__k AS (
+  SELECT UNNEST(json_keys(j)) AS key, j FROM __t WHERE j IS NOT NULL
+),
+__p AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(SUM(CASE WHEN json_extract_string(j, '$.' || key) IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_json_null
+  FROM __k GROUP BY key
+)
+SELECT p.key, p.n_present, p.n_json_null,
+       ROUND(CAST(p.n_present AS DOUBLE) / t.n, {round_to})
+         AS share_present
+FROM __p p CROSS JOIN __n t ORDER BY p.key
+"""

@@ -186,3 +186,33 @@ def test_functional_deps_semantics(spark):
         ).collect()
     ]
     assert spark_rows == duck
+
+
+def test_json_key_profile_semantics(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.profile import (
+        json_key_profile, json_key_profile_sql,
+    )
+
+    rows = [
+        ('{"a": 1, "b": null}',),
+        ('{"a": 2}',),
+        ('{"b": 3, "c": {"x": 1}}',),
+        (None,),                       # NULL json: denominator only
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = {r.key: r for r in json_key_profile(df, "j").collect()}
+    assert out["a"].n_present == 2 and out["a"].n_json_null == 0
+    assert out["b"].n_present == 2 and out["b"].n_json_null == 1
+    assert out["c"].n_present == 1 and out["c"].n_json_null == 0
+    # share over ALL rows incl. the NULL-json one
+    assert out["a"].share_present == 0.5
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (j VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    duck = con.execute(
+        json_key_profile_sql("(SELECT j FROM t)", "j")
+    ).fetchall()
+    assert [tuple(r) for r in json_key_profile(df, "j").collect()] == duck
