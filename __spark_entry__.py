@@ -2949,6 +2949,13 @@ ORDER BY doc_id
         lambda s, d: _trend.theil_sen_trend(load_table(s, d, "events")),
         _trend.theil_sen_trend_sql("events"),
     ),
+    # cumulative LTV by cohort age (the monetized retention curve):
+    # integer epoch-day cohorts, 6dp-text-hop decimal value sums so the
+    # cumulative window runs over EXACT decimals (order-independent)
+    "events_ltv_curve": (
+        lambda s, d: _behavior.ltv_curve(load_table(s, d, "events")),
+        _behavior.ltv_curve_sql("events"),
+    ),
     # time-split backtest of the first-order Markov next-event
     # predictor: argmax(next|prev) fit on the first 80% of the time
     # range (total-order ties), exact-match accuracy on the tail —

@@ -206,6 +206,7 @@ HEADLINE = [
     "events_holt_linear",
     "events_markov_backtest",
     "events_json_key_profile",
+    "events_ltv_curve",
 ]
 
 

@@ -1154,3 +1154,104 @@ SELECT prev_type, n_test, n_correct,
          AS accuracy
 FROM __pp ORDER BY prev_type
 """
+
+
+def ltv_curve(df: DataFrame, round_to: int = 9) -> DataFrame:
+    """(cohort_day, day_offset, cohort_size, n_active, cum_value,
+    ltv_per_user): cumulative lifetime value by cohort age — the
+    monetized extension of ``retention_cohorts``: users grouped by
+    first-seen epoch-day, each later day's total event value summed and
+    CUMULATED along the cohort's age axis, normalized per cohort
+    member.  Reading one cohort's row at age k answers "how much value
+    has an average day-X signup generated within k days" — the curve a
+    payback-period decision reads off directly.
+
+    Parity: day arithmetic is integer epoch-days (the retention
+    convention); per-(cohort, age) value sums quantize through the 6dp
+    text hop and accumulate in DECIMAL(38,12) — the cumulative window
+    then runs over EXACT decimals, so running totals are
+    order-independent (the review-caught uplift-score class); the
+    per-user division is one IEEE op on text-hopped totals.
+
+    Plan: one user-keyed aggregation (first-seen), one
+    (cohort, age)-keyed value aggregation, a cohort-sized broadcast,
+    and the cumulative window over cohort-bounded age rows.
+    """
+    from bullet_storm_spark.operators.stats_tests import _MOMENT, _d2d, _q6
+
+    ev = df.select(
+        "user_id",
+        (_ts_us() / _US_PER_DAY).cast("bigint").alias("__day"),
+        F.col("value").cast("double").alias("__v"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("__day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    per_age = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("__day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(
+            F.count_distinct(F.col("user_id")).cast("long").alias("n_active"),
+            F.sum(_q6(F.col("__v")).cast(_MOMENT)).cast(_MOMENT).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_age.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            "n_active",
+            _d2d(F.sum("__s").over(w).cast(_MOMENT)).alias("cum_value"),
+            F.round(
+                F.try_divide(
+                    _d2d(F.sum("__s").over(w).cast(_MOMENT)),
+                    F.col("cohort_size").cast("double"),
+                ),
+                round_to,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def ltv_curve_sql(table: str, round_to: int = 9) -> str:
+    from bullet_storm_spark.operators.stats_tests import _d2d_sql, _q6_sql
+
+    v6 = _q6_sql("CAST(value AS DOUBLE)")
+    cum = "CAST(SUM(a.s) OVER (PARTITION BY a.cohort_day ORDER BY a.day_offset " \
+          "ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,12))"
+    return f"""
+WITH __e AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST({v6} AS DECIMAL(38,12)) AS v6
+  FROM {table}
+),
+__f AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM __e GROUP BY user_id
+),
+__sz AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM __f GROUP BY cohort_day
+),
+__a AS (
+  SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+         CAST(SUM(e.v6) AS DECIMAL(38,12)) AS s
+  FROM __e e JOIN __f f ON e.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
+       z.cohort_size, a.n_active,
+       {_d2d_sql(cum)} AS cum_value,
+       ROUND({_d2d_sql(cum)} / z.cohort_size, {round_to}) AS ltv_per_user
+FROM __a a JOIN __sz z ON a.cohort_day = z.cohort_day
+ORDER BY a.cohort_day, a.day_offset
+"""

@@ -466,3 +466,42 @@ def test_markov_backtest_hand_oracle(spark):
     )
     duck = con.execute(markov_backtest_sql("ev")).fetchall()
     assert [tuple(r) for r in markov_backtest(df).collect()] == duck
+
+
+def test_ltv_curve_hand_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.behavior import ltv_curve, ltv_curve_sql
+
+    D = 86_400_000_000  # µs/day
+    # cohort day0: users 1,2. user1 spends 10 on d0, 5 on d2;
+    # user2 spends 2 on d0. cohort day1: user3 spends 7 on d1.
+    rows = [
+        (1, 0, 10.0), (1, 2 * D, 5.0),
+        (2, 0, 2.0),
+        (3, 1 * D, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, value double").select(
+        "user_id", (F.col("us") * 1000).alias("ts_ns"), "value"
+    )
+    out = {(r.cohort_day, r.day_offset): r for r in ltv_curve(df).collect()}
+    c0 = out[(0, 0)]
+    assert c0.cohort_size == 2 and c0.n_active == 2
+    assert c0.cum_value == 12.0 and c0.ltv_per_user == 6.0
+    c02 = out[(0, 2)]
+    assert c02.n_active == 1 and c02.cum_value == 17.0
+    assert c02.ltv_per_user == 8.5
+    c1 = out[(1, 0)]
+    assert c1.cohort_size == 1 and c1.cum_value == 7.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO ev VALUES (?, make_timestamp(?), ?)",
+        [(u, us, v) for u, us, v in rows],
+    )
+    duck = con.execute(ltv_curve_sql("ev")).fetchall()
+    assert [tuple(r) for r in ltv_curve(df).collect()] == duck
