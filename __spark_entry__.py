@@ -2949,6 +2949,17 @@ ORDER BY doc_id
         lambda s, d: _trend.theil_sen_trend(load_table(s, d, "events")),
         _trend.theil_sen_trend_sql("events"),
     ),
+    # Wilson score intervals (JASA 1927) for per-type conversion-ish
+    # shares: the [0,1]-safe error bar (Wald collapses at k=0/k=n);
+    # z quantile a python literal, one shared IEEE association
+    "events_wilson_intervals": (
+        lambda s, d: _stats.wilson_intervals(
+            load_table(s, d, "events"),
+            "event_type",
+            F.col("value") >= 50.0,
+        ),
+        _stats.wilson_intervals_sql("events", "event_type", "value >= 50.0"),
+    ),
     # cumulative LTV by cohort age (the monetized retention curve):
     # integer epoch-day cohorts, 6dp-text-hop decimal value sums so the
     # cumulative window runs over EXACT decimals (order-independent)

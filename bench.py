@@ -207,6 +207,7 @@ HEADLINE = [
     "events_markov_backtest",
     "events_json_key_profile",
     "events_ltv_curve",
+    "events_wilson_intervals",
 ]
 
 

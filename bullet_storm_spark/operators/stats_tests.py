@@ -1762,3 +1762,88 @@ SELECT a.n_units, m.n_ratings, m.n_categories,
              {round_to}) AS alpha
 FROM __a a CROSS JOIN __m m
 """
+
+
+def wilson_intervals(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    z: float = 1.959963984540054,
+    round_to: int = 9,
+) -> DataFrame:
+    """(grp, n, k, rate, lo, hi): per-group binomial proportion with the
+    Wilson score interval (Wilson JASA 1927) — the interval that stays
+    inside [0,1] and behaves at k=0/k=n, where the Wald interval
+    collapses; the standard error bar for per-slice pass rates, filter
+    keep-rates and conversion shares.
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p(1−p)/n + z²/4n²) / (1 + z²/n)
+
+    The z quantile is a PYTHON literal (the mde_planning convention —
+    neither engine evaluates Φ⁻¹); everything else is one fixed IEEE
+    expression of the integer (n, k) per group with identical
+    association in both dialects, 9dp-rounded on output.  One
+    conditional-count aggregation; output group-sized."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(success.cast("long")).cast("long").alias("k"),
+    )
+    zz = float(z) * float(z)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + F.lit(zz) / n
+    center = (p + F.lit(zz) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + F.lit(zz) / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return g.select(
+        "grp",
+        "n",
+        "k",
+        F.round(p, round_to).alias("rate"),
+        F.round(center - half, round_to).alias("lo"),
+        F.round(center + half, round_to).alias("hi"),
+    ).orderBy("grp")
+
+
+def wilson_intervals_sql(
+    table: str,
+    group_sql: str,
+    success_sql: str,
+    z: float = 1.959963984540054,
+    round_to: int = 9,
+) -> str:
+    zz = repr(float(z) * float(z))
+    zs = repr(float(z))
+    return f"""
+WITH __g AS (
+  SELECT {group_sql} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN {success_sql} THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM {table} GROUP BY grp
+)
+SELECT grp, n, k,
+       ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS rate,
+       ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + {zz} / (2.0 * CAST(n AS DOUBLE)))
+              / (1.0 + {zz} / CAST(n AS DOUBLE)))
+             - ({zs} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + {zz} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                / (1.0 + {zz} / CAST(n AS DOUBLE))), {round_to}) AS lo,
+       ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + {zz} / (2.0 * CAST(n AS DOUBLE)))
+              / (1.0 + {zz} / CAST(n AS DOUBLE)))
+             + ({zs} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + {zz} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                / (1.0 + {zz} / CAST(n AS DOUBLE))), {round_to}) AS hi
+FROM __g ORDER BY grp
+"""

@@ -797,3 +797,44 @@ def test_krippendorff_rejects_units_beyond_max_raters(spark):
     # and the same data passes at an honest max_raters
     ok = krippendorff_alpha(df, "u", "v", max_raters=4).collect()
     assert ok[0].n_units == 2
+
+
+def test_wilson_intervals_hand_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.stats_tests import (
+        wilson_intervals, wilson_intervals_sql,
+    )
+
+    rows = (
+        [("a", 1)] * 7 + [("a", 0)] * 3     # 7/10
+        + [("b", 1)] * 0 + [("b", 0)] * 5   # 0/5: Wald collapses, Wilson not
+        + [("c", 1)] * 4                    # 4/4
+    )
+    df = spark.createDataFrame(rows, "g string, y long")
+    out = {r.grp: r for r in wilson_intervals(
+        df, "g", F.col("y") == 1).collect()}
+
+    def wilson(k, n, z=1.959963984540054):
+        p = k / n
+        zz = z * z
+        denom = 1.0 + zz / n
+        center = (p + zz / (2.0 * n)) / denom
+        half = z * ((p * (1 - p) / n + zz / (4.0 * n * n)) ** 0.5) / denom
+        return round(center - half, 9), round(center + half, 9)
+
+    lo, hi = wilson(7, 10)
+    assert (out["a"].lo, out["a"].hi) == (lo, hi)
+    assert 0.0 < out["a"].lo < 0.7 < out["a"].hi < 1.0
+    # degenerate groups stay inside [0, 1] with NONZERO width
+    assert out["b"].lo == 0.0 or out["b"].lo > 0.0
+    assert out["b"].hi > 0.0 and out["b"].rate == 0.0
+    assert out["c"].lo < 1.0 and out["c"].hi <= 1.0000000001
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(wilson_intervals_sql("t", "g", "y = 1")).fetchall()
+    assert [tuple(r) for r in wilson_intervals(
+        df, "g", F.col("y") == 1).collect()] == duck
