@@ -2949,6 +2949,29 @@ ORDER BY doc_id
         lambda s, d: _trend.theil_sen_trend(load_table(s, d, "events")),
         _trend.theil_sen_trend_sql("events"),
     ),
+    # Newcombe square-and-add score interval (Stat Med'98 m10) for the
+    # per-type treated-vs-control rate delta: Wilson bounds per arm,
+    # empty-arm guard carries the NULL contract (Spark double/0 = Inf,
+    # DuckDB NULL)
+    "events_newcombe_diff": (
+        lambda s, d: _stats.newcombe_diff(
+            load_table(s, d, "events"),
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("user_id").cast("string"),
+                                           F.lit(":uplift-v1"))), 1, 8),
+                16, 10,
+            ).cast("bigint") / F.lit(4294967296.0) < F.lit(0.5),
+            F.col("value") >= 50.0,
+        ),
+        _stats.newcombe_diff_sql(
+            "events",
+            "event_type",
+            "(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':uplift-v1'),"
+            " 1, 8))::BIGINT / 4294967296.0) < 0.5",
+            "value >= 50.0",
+        ),
+    ),
     # Wilson score intervals (JASA 1927) for per-type conversion-ish
     # shares: the [0,1]-safe error bar (Wald collapses at k=0/k=n);
     # z quantile a python literal, one shared IEEE association

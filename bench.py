@@ -208,6 +208,7 @@ HEADLINE = [
     "events_json_key_profile",
     "events_ltv_curve",
     "events_wilson_intervals",
+    "events_newcombe_diff",
 ]
 
 

@@ -1847,3 +1847,124 @@ SELECT grp, n, k,
                 / (1.0 + {zz} / CAST(n AS DOUBLE))), {round_to}) AS hi
 FROM __g ORDER BY grp
 """
+
+
+def _wilson_bounds(n, k, z):
+    """(lo, hi) Column pair: the Wilson bounds as one fixed IEEE
+    expression of integer columns n/k — shared by wilson_intervals and
+    the Newcombe difference (identical association in the SQL twins)."""
+    zz = float(z) * float(z)
+    nd = n.cast("double")
+    p = k.cast("double") / nd
+    denom = F.lit(1.0) + F.lit(zz) / nd
+    center = (p + F.lit(zz) / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + F.lit(zz) / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    return p, center - half, center + half
+
+
+def _wilson_bounds_sql(n: str, k: str, z: float) -> tuple[str, str, str]:
+    zz = repr(float(z) * float(z))
+    zs = repr(float(z))
+    p = f"(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    nd = f"CAST({n} AS DOUBLE)"
+    denom = f"(1.0 + {zz} / {nd})"
+    center = f"(({p} + {zz} / (2.0 * {nd})) / {denom})"
+    half = (
+        f"({zs} * sqrt({p} * (1.0 - {p}) / {nd}"
+        f" + {zz} / (4.0 * {nd} * {nd})) / {denom})"
+    )
+    return p, f"({center} - {half})", f"({center} + {half})"
+
+
+def newcombe_diff(
+    df: DataFrame,
+    group_col: str,
+    treat_pred: Column,
+    success: Column,
+    z: float = 1.959963984540054,
+    round_to: int = 9,
+) -> DataFrame:
+    """(grp, n_t, k_t, n_c, k_c, diff, lo, hi): two-proportion
+    difference with the Newcombe square-and-add score interval
+    (Newcombe, Stat Med 1998 method 10) — Wilson bounds per arm,
+    combined as
+
+        lo = d − sqrt((p₁−l₁)² + (u₂−p₂)²)
+        hi = d + sqrt((u₁−p₁)² + (p₂−l₂)²)
+
+    the [−1,1]-safe error bar for per-slice treatment-vs-control rate
+    deltas, well-behaved at 0/n and n/n where the Wald difference
+    interval is not.  Arms with n = 0 yield NULLs (try_divide).  One
+    conditional-count aggregation per group; z a python literal; the
+    whole finish is a fixed IEEE expression shared with the SQL twin.
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(treat_pred.cast("long")).cast("long").alias("n_t"),
+        F.sum((treat_pred & success).cast("long")).cast("long").alias("k_t"),
+        F.sum((~treat_pred).cast("long")).cast("long").alias("n_c"),
+        F.sum(((~treat_pred) & success).cast("long")).cast("long").alias("k_c"),
+    )
+    p1, l1, u1 = _wilson_bounds(F.col("n_t"), F.col("k_t"), z)
+    p2, l2, u2 = _wilson_bounds(F.col("n_c"), F.col("k_c"), z)
+    d = p1 - p2
+    lo = d - F.sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2))
+    hi = d + F.sqrt((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2))
+    # an empty arm must yield NULLs identically: Spark double/0 is Inf
+    # while DuckDB's is NULL, so the guard — not division semantics —
+    # carries the contract
+    both = (F.col("n_t") > 0) & (F.col("n_c") > 0)
+    return g.select(
+        "grp",
+        "n_t",
+        "k_t",
+        "n_c",
+        "k_c",
+        F.round(F.when(both, d), round_to).alias("diff"),
+        F.round(F.when(both, lo), round_to).alias("lo"),
+        F.round(F.when(both, hi), round_to).alias("hi"),
+    ).orderBy("grp")
+
+
+def newcombe_diff_sql(
+    table: str,
+    group_sql: str,
+    treat_sql: str,
+    success_sql: str,
+    z: float = 1.959963984540054,
+    round_to: int = 9,
+) -> str:
+    _, l1, u1 = _wilson_bounds_sql("n_t", "k_t", z)
+    _, l2, u2 = _wilson_bounds_sql("n_c", "k_c", z)
+    p1 = "(CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE))"
+    p2 = "(CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+    d = f"({p1} - {p2})"
+    lo = (
+        f"({d} - sqrt(({p1} - {l1}) * ({p1} - {l1})"
+        f" + ({u2} - {p2}) * ({u2} - {p2})))"
+    )
+    hi = (
+        f"({d} + sqrt(({u1} - {p1}) * ({u1} - {p1})"
+        f" + ({p2} - {l2}) * ({p2} - {l2})))"
+    )
+    return f"""
+WITH __g AS (
+  SELECT {group_sql} AS grp,
+         CAST(SUM(CASE WHEN {treat_sql} THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN ({treat_sql}) AND ({success_sql})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k_t,
+         CAST(SUM(CASE WHEN NOT ({treat_sql}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c,
+         CAST(SUM(CASE WHEN NOT ({treat_sql}) AND ({success_sql})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k_c
+  FROM {table} GROUP BY grp
+)
+SELECT grp, n_t, k_t, n_c, k_c,
+       ROUND(CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END, {round_to}) AS diff,
+       ROUND(CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END, {round_to}) AS lo,
+       ROUND(CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END, {round_to}) AS hi
+FROM __g ORDER BY grp
+"""

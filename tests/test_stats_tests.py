@@ -838,3 +838,49 @@ def test_wilson_intervals_hand_oracle(spark):
     duck = con.execute(wilson_intervals_sql("t", "g", "y = 1")).fetchall()
     assert [tuple(r) for r in wilson_intervals(
         df, "g", F.col("y") == 1).collect()] == duck
+
+
+def test_newcombe_diff_hand_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.stats_tests import (
+        newcombe_diff, newcombe_diff_sql,
+    )
+
+    rows = (
+        [("a", 1, 1)] * 8 + [("a", 1, 0)] * 2      # treated 8/10
+        + [("a", 0, 1)] * 5 + [("a", 0, 0)] * 5    # control 5/10
+        + [("b", 1, 1)] * 3                         # b: control arm EMPTY
+    )
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    out = {r.grp: r for r in newcombe_diff(
+        df, "g", F.col("t") == 1, F.col("y") == 1).collect()}
+
+    def wilson(k, n, z=1.959963984540054):
+        p = k / n; zz = z * z
+        denom = 1.0 + zz / n
+        c = (p + zz / (2.0 * n)) / denom
+        h = z * ((p * (1 - p) / n + zz / (4.0 * n * n)) ** 0.5) / denom
+        return p, c - h, c + h
+
+    p1, l1, u1 = wilson(8, 10)
+    p2, l2, u2 = wilson(5, 10)
+    d = p1 - p2
+    lo = d - ((p1 - l1) ** 2 + (u2 - p2) ** 2) ** 0.5
+    hi = d + ((u1 - p1) ** 2 + (p2 - l2) ** 2) ** 0.5
+    a = out["a"]
+    assert (a.diff, a.lo, a.hi) == (round(d, 9), round(lo, 9), round(hi, 9))
+    assert a.lo < a.diff < a.hi and -1.0 <= a.lo and a.hi <= 1.0
+    # empty control arm: NULLs, not Inf/crash
+    b = out["b"]
+    assert b.n_c == 0 and b.diff is None and b.lo is None and b.hi is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, t BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    duck = con.execute(
+        newcombe_diff_sql("t", "g", "t = 1", "y = 1")
+    ).fetchall()
+    assert [tuple(r) for r in newcombe_diff(
+        df, "g", F.col("t") == 1, F.col("y") == 1).collect()] == duck
