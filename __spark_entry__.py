@@ -3992,89 +3992,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # stable core/BQL/join entries rotate to the tail, where
 # scripts/oracle_check.py re-verifies them in-repo every round.
 _DRIVER_PRIORITY = [
-    # --- r7 window: 50 of the 65 entries that have NEVER been inside a
-    # driver correctness window (all r6 additions; CORRECTNESS_r01-r06
-    # union = 144 of 209). All are tri-scale MATCH under
-    # scripts/oracle_check.py (text_compression_signal rows-only by
-    # declared contract). events_chi2_indep / events_experiment_readout
-    # carry the r7 chi2 clamp + text-hop fix (ADVICE r6) and were
-    # re-verified tri-scale after it.
-    "sample_mix_plan",
-    "text_pmi_collocations",
-    "text_compression_signal",
-    "text_token_entropy",
-    "text_filter_funnel",
-    "text_script_lang_matrix",
-    "text_pii_report",
-    "text_pii_redact",
-    "text_pii_summary",
-    "html_extract_text",
-    "html_extract_report",
-    "embed_matryoshka_audit",
-    "text_bm25_topk",
-    "ann_hybrid_bm25_rrf",
-    "text_retrieval_eval",
-    "embed_dim_auc",
-    "events_welch_ttest",
-    "events_ab_ztest",
-    "text_filter_kappa",
-    "text_calibration_bins",
-    "text_calibration_summary",
-    "events_bootstrap_ci",
-    "events_chi2_indep",
-    "events_experiment_readout",
-    "events_trend_ols",
-    "events_decayed_top",
-    "events_cuped_ttest",
-    "events_rolling_stats",
-    "events_path_trigrams",
-    "events_benford",
-    "events_assoc_rules",
-    "events_interarrival",
-    "dedup_lsh_s_curve",
-    "skew_key_profile",
-    "chat_parse_turns",
-    "chat_report",
-    "merge_upsert_customer",
-    "merge_upsert_accounting",
-    "url_normalize",
-    "url_dedup_report",
-    "url_domain_report",
-    "layout_zorder_keys",
-    "layout_zorder_blocks",
-    "dedup_containment_winnowed",
-    "dedup_containment_pairs",
-    "embed_centroid_drift",
-    "events_chi2_drift",
-    "events_psi_drift",
-    "events_robust_outliers",
-    "events_attribution",
-    # NOTE: the window is exactly 50 here. r8 rotation (56 never-checked
-    # candidates, pick 50; overflow + r8 additions go to r9): the 15
-    # never-checked r6 entries (events_state_intervals, corpus_diff_*,
-    # sample_cap_*, profile_customer/referential/expectations,
-    # text_line_*, text_heaps_report, text_source_overlap,
-    # multimodal_resize, multimodal_wav_decimate, multimodal_dhash_groups),
-    # the r6-tail additions (events_forecast_eval, embed_centroid_matrix,
-    # text_percentile_rank, events_changepoint,
-    # text_weighted_len_quantiles, text_mi_lang_source, text_oov_report,
-    # events_dense_ids, corr_spearman_qty_price, events_ewma_monitor,
-    # corr_lineitem_matrix, events_did, events_trimmed_means,
-    # events_mde_planning, sample_group_split, sample_group_split_audit,
-    # events_km_survival, join_interval_overlap, text_readability,
-    # text_readability_sources, text_rake_keywords, corpus_token_gini,
-    # events_seasonality, events_seasonal_outliers, dedup_lsh_s_curve...),
-    # and the 20 r7 additions (privacy_*, scd2_*, events_theil_sen,
-    # sample_time_split, text_isotonic_calibration,
-    # text_conformal_threshold, events_uplift_deciles,
-    # link_sorted_neighborhood, profile_functional_deps,
-    # sketch_audience_overlap, text_quantile_normalize,
-    # graph_triangle_stats, text_krippendorff_alpha,
-    # events_covariate_balance). The 7 r1-era core entries
-    # (raw_filter_project, raw_complex_filter, raw_regex_filter,
-    # group_all_metrics, group_by_event_type, count_distinct_users_approx,
-    # distribution_quantile_approx) were driver-checked r1-r3 and are
-    # re-verified in-repo every round.
+    # --- r8 window: 50 of the 66 entries that were never inside a driver
+    # correctness window after r7 (CORRECTNESS_r01-r07 union = 194 of 260).
+    # All 66 were verified MATCH by the round-7 judge's own oracle_check
+    # run at sf0.01 (VERDICT.md r7); the 16 overflow entries below are
+    # staged for r9. The window keeps the four entries touched by the r8
+    # ADVICE fixes (events_wilson_intervals, events_newcombe_diff,
+    # events_ewma_monitor via common.hourly_cells, privacy_k_anonymity)
+    # so the driver certifies them post-fix.
+    "graph_triangle_stats",
+    "text_readability",
+    "text_readability_sources",
+    "text_rake_keywords",
+    "corpus_token_gini",
+    "events_seasonality",
+    "events_seasonal_outliers",
+    "sample_group_split",
+    "sample_group_split_audit",
+    "events_km_survival",
+    "join_interval_overlap",
+    "events_did",
+    "events_trimmed_means",
+    "events_mde_planning",
+    "events_state_intervals",
+    "corpus_diff_versions",
+    "corpus_diff_summary",
+    "sample_cap_per_group",
+    "sample_cap_accounting",
+    "profile_customer",
+    "profile_referential",
+    "profile_expectations",
+    "text_line_boilerplate",
+    "text_line_dedup_clean",
+    "text_heaps_report",
+    "text_source_overlap",
+    "events_forecast_eval",
+    "embed_centroid_matrix",
+    "text_percentile_rank",
+    "events_changepoint",
+    "text_kn_bigrams",
+    "events_covariate_balance",
+    "text_krippendorff_alpha",
+    "events_uplift_deciles",
+    "text_conformal_threshold",
+    "text_isotonic_calibration",
+    "sample_time_split",
+    "events_theil_sen",
+    "events_newcombe_diff",
+    "events_wilson_intervals",
+    "events_ltv_curve",
+    "events_holt_linear",
+    "events_mann_kendall",
+    "text_weighted_len_quantiles",
+    "text_mi_lang_source",
+    "text_oov_report",
+    "events_dense_ids",
+    "corr_spearman_qty_price",
+    "events_ewma_monitor",
+    "privacy_k_anonymity",
+    # NOTE: the window is exactly 50 here. r9 rotation: the 16 overflow
+    # entries never driver-checked (events_markov_backtest,
+    # sample_neyman_allocation, text_kn_discount, corr_lineitem_matrix,
+    # multimodal_resize, multimodal_wav_decimate, multimodal_dhash_groups,
+    # text_quantile_normalize, sketch_audience_overlap [rows-only by
+    # declared sketch contract], events_json_key_profile,
+    # profile_functional_deps, link_sorted_neighborhood,
+    # privacy_l_diversity, scd2_priority_history, scd2_transitions,
+    # scd2_churn_summary) plus any r8 additions, padded with the oldest
+    # previously-green entries for drift re-checks if under 50.
 ]
 
 

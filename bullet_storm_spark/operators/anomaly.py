@@ -61,7 +61,7 @@ def volume_cusum(
     observed = (
         df.select(
             F.col(key_col).alias("__key"),
-            (F.expr("ts_ns div 1000") / _US_PER_HOUR).cast("bigint").alias("hour"),
+            F.expr(f"(ts_ns div 1000) div {_US_PER_HOUR}").alias("hour"),
         )
         .groupBy("__key", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -764,7 +764,7 @@ def ewma_monitor(
     observed = (
         df.select(
             F.col(key_col).alias("__key"),
-            (F.expr("ts_ns div 1000") / _US_PER_HOUR).cast("bigint").alias("hour"),
+            F.expr(f"(ts_ns div 1000) div {_US_PER_HOUR}").alias("hour"),
         )
         .groupBy("__key", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -927,7 +927,7 @@ def binseg_changepoint(df: DataFrame, key_col: str = "event_type") -> DataFrame:
     observed = (
         df.select(
             F.col(key_col).alias("__key"),
-            (F.expr("ts_ns div 1000") / _US_PER_HOUR).cast("bigint").alias("hour"),
+            F.expr(f"(ts_ns div 1000) div {_US_PER_HOUR}").alias("hour"),
         )
         .groupBy("__key", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

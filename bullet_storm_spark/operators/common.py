@@ -99,9 +99,10 @@ def hourly_cells(df: DataFrame, key_col: str) -> DataFrame:
     observed = (
         df.select(
             F.col(key_col).alias("__key"),
-            (F.expr("ts_ns div 1000") / _US_PER_HOUR)
-            .cast("bigint")
-            .alias("hour"),
+            # integer div end-to-end (matches the DuckDB twin's `//` and
+            # the intervals/forecast convention); double division is only
+            # coincidentally exact for current-era epoch-µs magnitudes
+            F.expr(f"(ts_ns div 1000) div {_US_PER_HOUR}").alias("hour"),
         )
         .groupBy("__key", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

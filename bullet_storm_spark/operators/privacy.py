@@ -90,8 +90,14 @@ def k_anonymity_audit(
         "rows_total",
         F.col("classes_below").cast("long").alias("classes_below"),
         F.col("rows_below").cast("long").alias("rows_below"),
+        # try_divide: on an empty input rows_total = 0 and bare `/`
+        # yields NaN while the NULLIF twin yields NULL (repo convention
+        # for data-dependent denominators)
         F.round(
-            F.col("rows_below").cast("double") / F.col("rows_total"), 9
+            F.try_divide(
+                F.col("rows_below").cast("double"), F.col("rows_total")
+            ),
+            9,
         ).alias("rows_below_share"),
     ).orderBy("k")
 
@@ -131,7 +137,7 @@ __t AS (
   FROM __c
 )
 SELECT k, classes_total, rows_total, classes_below, rows_below,
-       ROUND(CAST(rows_below AS DOUBLE) / rows_total, 9)
+       ROUND(CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0), 9)
          AS rows_below_share
 FROM ({per_k}) ORDER BY k
 """

@@ -1787,7 +1787,9 @@ def wilson_intervals(
     conditional-count aggregation; output group-sized."""
     g = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(success.cast("long")).cast("long").alias("k"),
+        # when/otherwise(0), not cast: SUM(cast) is NULL on an all-NULL
+        # predicate group while the CASE twin yields 0 (module convention)
+        F.sum(F.when(success, 1).otherwise(0)).cast("long").alias("k"),
     )
     zz = float(z) * float(z)
     n = F.col("n").cast("double")
@@ -1903,10 +1905,16 @@ def newcombe_diff(
     whole finish is a fixed IEEE expression shared with the SQL twin.
     """
     g = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.sum(treat_pred.cast("long")).cast("long").alias("n_t"),
-        F.sum((treat_pred & success).cast("long")).cast("long").alias("k_t"),
-        F.sum((~treat_pred).cast("long")).cast("long").alias("n_c"),
-        F.sum(((~treat_pred) & success).cast("long")).cast("long").alias("k_c"),
+        # when/otherwise(0), not cast: SUM(cast) is NULL on an all-NULL
+        # predicate group while the CASE twins yield 0 (module convention)
+        F.sum(F.when(treat_pred, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(treat_pred & success, 1).otherwise(0))
+        .cast("long")
+        .alias("k_t"),
+        F.sum(F.when(~treat_pred, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when((~treat_pred) & success, 1).otherwise(0))
+        .cast("long")
+        .alias("k_c"),
     )
     p1, l1, u1 = _wilson_bounds(F.col("n_t"), F.col("k_t"), z)
     p2, l2, u2 = _wilson_bounds(F.col("n_c"), F.col("k_c"), z)

@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame, functions as F
 from bullet_storm_spark.operators.common import apply_post, post_sql
 from bullet_storm_spark.plans.query import PostAggregation, TopK
 
+# Reference parity: TOP K stringifies every field and renders missing
+# values as the literal string "null" (T/TopKTest fixtures).  CONTRACT:
+# a genuine string value "null" therefore merges with NULLs into one
+# counter — a deliberate collision inherited from the reference, shared
+# by streaming/native.stream_topk so batch and stream stay replay-equal.
 NULL_RENDERING = "null"
 
 

@@ -811,9 +811,15 @@ def stream_topk(
         )
 
     # NULL items stringify to 'null' BEFORE bucketing — the reference's
-    # TOP K convention (SURVEY §2.4) and the batch sketch's behavior; a
-    # raw NULL would count in n_batch but vanish from value_counts()
-    # (pandas dropna), silently breaking the exact-mode equivalence
+    # TOP K convention (SURVEY §2.4, operators/top_k.NULL_RENDERING) and
+    # the batch sketch's behavior; a raw NULL would count in n_batch but
+    # vanish from value_counts() (pandas dropna), silently breaking the
+    # exact-mode equivalence.  CONTRACT: a genuine string item "null"
+    # therefore merges with NULL items into one counter — a deliberate
+    # collision inherited from the reference (its TopK stringifies null
+    # the same way), kept so stream and batch top-k stay replay-equal.
+    # Callers needing the distinction must pre-map NULLs to their own
+    # sentinel before the operator.
     item = F.coalesce(F.col(item_col).cast("string"), F.lit("null"))
     bucket = F.expr(
         f"CAST(conv(substring(md5(coalesce(CAST({item_col} AS STRING),"
