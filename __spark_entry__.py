@@ -914,6 +914,36 @@ _KRIPPENDORFF_RATINGS_SQL = (
 )
 
 
+def _fleiss_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long (doc_id, verdict) frame from the SAME three heuristic gates
+    as _krippendorff_ratings but with rater C rating EVERY doc — the
+    fixed-panel (m = 3 everywhere) case Fleiss' kappa requires."""
+    docs = _docs(spark, sf_dir)
+    verdict = lambda pred: F.when(pred, F.lit("keep")).otherwise(F.lit("drop"))
+    a = docs.select(
+        "doc_id", verdict(F.col("n_chars") >= 300).alias("verdict")
+    )
+    b = docs.select(
+        "doc_id", verdict(F.size(_text.tokens("text")) >= 45).alias("verdict")
+    )
+    c = docs.select(
+        "doc_id", verdict(F.col("n_chars") >= 250).alias("verdict")
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+_FLEISS_RATINGS_SQL = (
+    "SELECT doc_id, CASE WHEN n_chars >= 300 THEN 'keep' "
+    "ELSE 'drop' END AS verdict FROM documents "
+    "UNION ALL "
+    f"SELECT doc_id, CASE WHEN len({_text.tokens_sql('text')}) >= 45 "
+    "THEN 'keep' ELSE 'drop' END FROM documents "
+    "UNION ALL "
+    "SELECT doc_id, CASE WHEN n_chars >= 250 THEN 'keep' ELSE 'drop' "
+    "END FROM documents"
+)
+
+
 _LLM_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (_text_stats, _TEXT_STATS_SQL),
     "text_lang_breakdown": (_lang_breakdown, _LANG_BREAKDOWN_SQL),
@@ -3947,6 +3977,91 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "o_orderkey",
         ),
     ),
+    # --- r8 additions ---
+    # Mann-Whitney U between the welch_t arms: the nonparametric
+    # location twin for skewed metrics; exact midrank + tie-term
+    # integers, one IEEE finish
+    "events_mann_whitney": (
+        lambda s, d: _stats.mann_whitney_u(
+            load_table(s, d, "events"),
+            "value",
+            F.col("event_type") == "click",
+            F.col("event_type") == "view",
+        ),
+        _stats.mann_whitney_u_sql(
+            "events", "value", "event_type = 'click'", "event_type = 'view'"
+        ),
+    ),
+    # Fleiss' kappa over the fixed 3-rater panel (the krippendorff
+    # gates with rater C rating everything): exact-integer P̄/P̄e, one
+    # IEEE division each
+    "text_fleiss_kappa": (
+        lambda s, d: _stats.fleiss_kappa(
+            _fleiss_ratings(s, d), "doc_id", "verdict", n_raters=3
+        ),
+        _stats.fleiss_kappa_sql(
+            f"({_FLEISS_RATINGS_SQL})", "doc_id", "verdict", n_raters=3
+        ),
+    ),
+    # Cochran-Armitage: is the purchase share MONOTONE in hour-of-day?
+    # The ordered-dose sharpening of chi2 independence; exact integer
+    # level sums, two-sqrt-factor finish
+    "events_cochran_armitage": (
+        lambda s, d: _stats.cochran_armitage(
+            load_table(s, d, "events"),
+            F.expr("((ts_ns div 1000) div 3600000000) % 24"),
+            F.col("event_type") == "purchase",
+        ),
+        _stats.cochran_armitage_sql(
+            "events",
+            "(epoch_us(ts) // 3600000000) % 24",
+            "event_type = 'purchase'",
+        ),
+    ),
+    # Brown-Forsythe: equal SPREAD of value across event types —
+    # median-centered one-way F on the _q6 lattice
+    "events_brown_forsythe": (
+        lambda s, d: _stats.brown_forsythe(
+            load_table(s, d, "events"), "event_type", "value"
+        ),
+        _stats.brown_forsythe_sql("events", "event_type", "value"),
+    ),
+    # many-slice surge monitor with FDR control: empirical (add-one
+    # permutation) p-values of the latest day's (type, hour-of-day)
+    # counts vs all prior days, then Benjamini-Hochberg at α = 0.10 —
+    # every comparison exact-rational via cross-multiplication
+    "events_fdr_hourly": (
+        lambda s, d: _exp.fdr_bh(
+            _exp.empirical_hourly_pvalues(
+                load_table(s, d, "events"), "event_type"
+            ),
+            "test",
+            "p_num",
+            "p_den",
+            alpha_permille=100,
+        ),
+        _exp.fdr_bh_sql(
+            _exp.empirical_hourly_pvalues_sql("events", "event_type"),
+            "test",
+            "p_num",
+            "p_den",
+            alpha_permille=100,
+        ),
+    ),
+    # offline policy evaluation by replay (Li et al. WSDM'11): greedy
+    # per-cohort arm from the train half, replay-scored on the test
+    # half against the logging baseline
+    "events_policy_replay": (
+        lambda s, d: _exp.policy_replay(
+            load_table(s, d, "events"),
+            F.pmod(F.col("user_id"), F.lit(5)),
+            F.col("event_type"),
+            F.col("value"),
+        ),
+        _exp.policy_replay_sql(
+            "events", "user_id % 5", "event_type", "value"
+        ),
+    ),
 }
 
 
@@ -4058,7 +4173,9 @@ _DRIVER_PRIORITY = [
     # declared sketch contract], events_json_key_profile,
     # profile_functional_deps, link_sorted_neighborhood,
     # privacy_l_diversity, scd2_priority_history, scd2_transitions,
-    # scd2_churn_summary) plus any r8 additions, padded with the oldest
+    # scd2_churn_summary) plus the r8 additions (events_mann_whitney,
+    # text_fleiss_kappa, events_cochran_armitage, events_brown_forsythe,
+    # events_fdr_hourly, events_policy_replay), padded with the oldest
     # previously-green entries for drift re-checks if under 50.
 ]
 

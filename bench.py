@@ -209,6 +209,13 @@ HEADLINE = [
     "events_ltv_curve",
     "events_wilson_intervals",
     "events_newcombe_diff",
+    # r8 operator families
+    "events_mann_whitney",
+    "text_fleiss_kappa",
+    "events_cochran_armitage",
+    "events_brown_forsythe",
+    "events_fdr_hourly",
+    "events_policy_replay",
 ]
 
 
@@ -351,7 +358,12 @@ def main() -> None:
     events_batch = load_table(spark, SF_DIR, "events").persist()
     events_batch.count()
     for n_queries in (20, 50, 100):
-        engine = StreamingEngine(spark)
+        # FROZEN engine clock: the registry clamps queries to
+        # MAX_QUERY_DURATION_MS (10 s wall), and the steady-state loop can
+        # now take up to 4 runs — a wall clock would expire the fleet
+        # mid-measurement and min() would pick up a phantom empty-registry
+        # batch. The measurement is batch throughput, not lifecycle.
+        engine = StreamingEngine(spark, clock=lambda: 1.0)
         for i, b in enumerate(fleet(n_queries)):
             engine.submit(f"bench-{n_queries}-{i}", parse(b))
         engine.process_batch(events_batch)  # warm plans

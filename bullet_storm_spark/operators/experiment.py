@@ -756,3 +756,437 @@ WITH __m AS (
 {union}
 ORDER BY covariate
 """
+
+
+def fdr_bh(
+    tests: DataFrame,
+    test_col: str,
+    num_col: str,
+    den_col: str,
+    alpha_permille: int = 50,
+    round_to: int = 9,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over EXACT-RATIONAL
+    p-values (Benjamini & Hochberg, JRSS-B 1995): given one row per test
+    with p = num/den (an empirical/permutation p-value is exactly such a
+    rational), find k* = max{i : p_(i) ≤ i·α/m} and reject tests ranked
+    ≤ k*. The multiplicity gate for many-slice monitoring — at m = 120
+    slices, α = .05 per-slice alarms fire ~6 false positives per run;
+    BH caps the expected FALSE-DISCOVERY share of alarms at α instead.
+    Output per test: ``(test, p_num, p_den, p_value, m, rank, rejected,
+    bh_threshold)``, ordered by rank.
+
+    Exact arithmetic: the step-up comparison is cross-multiplied to
+    integers — num·1000·m ≤ rank·α‰·den via (19,0)-operand products in
+    DECIMAL(38,0) — so no engine ever compares IEEE fractions at the
+    boundary. The display p_value and bh_threshold = k*·α/m are each one
+    correctly-rounded IEEE division from identical integers. Rank order
+    is (p double, test id) — deterministic and engine-identical; exact
+    rational ties share a double and break on the id.
+
+    Scale: the tests frame is slice-count-sized (the caller collapses
+    the corpus first), so the global rank window and 1-row k* broadcast
+    are domain-bounded, never data-bounded."""
+    alpha = int(alpha_permille)
+    base = tests.select(
+        F.col(test_col).alias("test"),
+        F.col(num_col).cast("long").alias("p_num"),
+        F.col(den_col).cast("long").alias("p_den"),
+    ).withColumn(
+        "p_value",
+        F.col("p_num").cast("double") / F.col("p_den").cast("double"),
+    )
+    w = Window.orderBy("p_value", "test")
+    ranked = base.select(
+        "test",
+        "p_num",
+        "p_den",
+        "p_value",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("m"),
+    )
+    cond = (
+        (F.col("p_num") * F.lit(1000)).cast("decimal(19,0)")
+        * F.col("m").cast("decimal(19,0)")
+    ) <= (
+        (F.col("rank") * F.lit(alpha)).cast("decimal(19,0)")
+        * F.col("p_den").cast("decimal(19,0)")
+    )
+    kstar = ranked.agg(
+        F.max(F.when(cond, F.col("rank"))).cast("long").alias("__kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "test",
+            "p_num",
+            "p_den",
+            F.round("p_value", round_to).alias("p_value"),
+            "m",
+            "rank",
+            F.coalesce(
+                F.col("rank") <= F.col("__kstar"), F.lit(False)
+            ).alias("rejected"),
+            F.round(
+                F.col("__kstar").cast("double")
+                * F.lit(float(alpha))
+                / F.lit(1000.0)
+                / F.col("m").cast("double"),
+                round_to,
+            ).alias("bh_threshold"),
+        )
+        .orderBy("rank")
+    )
+
+
+def fdr_bh_sql(
+    tests_sql: str,
+    test_col: str,
+    num_col: str,
+    den_col: str,
+    alpha_permille: int = 50,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of fdr_bh; ``tests_sql`` is a subquery/CTE-able
+    SELECT producing the tests frame."""
+    alpha = int(alpha_permille)
+    return f"""
+WITH __t AS (
+  SELECT {test_col} AS test, CAST({num_col} AS BIGINT) AS p_num,
+         CAST({den_col} AS BIGINT) AS p_den,
+         CAST({num_col} AS DOUBLE) / CAST({den_col} AS DOUBLE) AS p_value
+  FROM ({tests_sql})
+),
+__r AS (
+  SELECT test, p_num, p_den, p_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value, test) AS BIGINT) AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM __t
+),
+__k AS (
+  SELECT MAX(CASE WHEN CAST(p_num * 1000 AS DECIMAL(19,0))
+                       * CAST(m AS DECIMAL(19,0))
+                    <= CAST(rank * {alpha} AS DECIMAL(19,0))
+                       * CAST(p_den AS DECIMAL(19,0))
+             THEN rank END)::BIGINT AS kstar
+  FROM __r
+)
+SELECT test, p_num, p_den, ROUND(p_value, {round_to}) AS p_value, m, rank,
+       COALESCE(rank <= kstar, FALSE) AS rejected,
+       ROUND(CAST(kstar AS DOUBLE) * {float(alpha)!r} / 1000.0
+             / CAST(m AS DOUBLE), {round_to}) AS bh_threshold
+FROM __r CROSS JOIN __k ORDER BY rank
+"""
+
+
+_US_PER_HOUR = 3_600_000_000
+_US_PER_DAY = 86_400_000_000
+
+
+def empirical_hourly_pvalues(
+    df: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """(test, key, hour_of_day, obs_cnt, ge_days, null_days, p_num,
+    p_den): per (key, hour-of-day) cell, the EMPIRICAL (permutation-
+    style) upper-tail p-value of the LATEST day's count against that
+    same cell's counts on every prior day:
+
+        p = (1 + #{prior days with count ≥ obs}) / (1 + n_prior_days)
+
+    — exact rationals by construction (Davison & Hinkley 1997 §4.2's
+    add-one form, which keeps p > 0 and the BH cross-multiplication
+    integral). Zero-days count: the (key, day, hour) frame densifies
+    onto the full key × day-span × 24 spine before comparison (the
+    CUSUM zero-fill rule), so a silent cell on a prior day correctly
+    weakens today's evidence of "unusually high".
+
+    Feed the output to fdr_bh for a multiplicity-controlled volume
+    surge readout. Scale: ONE corpus collapse to (key, day, hour)
+    counts; everything downstream is calendar-bounded (keys × days ×
+    24)."""
+    counts = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("__day"),
+            F.expr(
+                f"((ts_ns div 1000) div {_US_PER_HOUR}) % 24"
+            ).alias("__hod"),
+        )
+        .groupBy("__k", "__day", "__hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    bounds = counts.agg(
+        F.min("__day").alias("__d0"), F.max("__day").alias("__d1")
+    )
+    keys = counts.select("__k").distinct()
+    spine = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            "__k", F.explode(F.expr("sequence(__d0, __d1)")).alias("__day")
+        )
+        .select(
+            "__k",
+            "__day",
+            F.explode(F.expr("sequence(0, 23)")).alias("__hod"),
+        )
+    )
+    cells = spine.join(counts, ["__k", "__day", "__hod"], "left").select(
+        "__k",
+        "__day",
+        "__hod",
+        F.coalesce("__cnt", F.lit(0)).cast("long").alias("__cnt"),
+    )
+    cells = cells.crossJoin(F.broadcast(bounds))
+    obs = cells.where(F.col("__day") == F.col("__d1")).select(
+        "__k", "__hod", F.col("__cnt").alias("__obs")
+    )
+    nulls = cells.where(F.col("__day") < F.col("__d1"))
+    agg = (
+        nulls.join(obs, ["__k", "__hod"])
+        .groupBy("__k", "__hod", "__obs")
+        .agg(
+            F.sum(
+                F.when(F.col("__cnt") >= F.col("__obs"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("__ge"),
+            F.count(F.lit(1)).cast("long").alias("__nd"),
+        )
+    )
+    return agg.select(
+        F.concat_ws("@", F.col("__k"), F.col("__hod").cast("string")).alias(
+            "test"
+        ),
+        F.col("__k").alias("key"),
+        F.col("__hod").alias("hour_of_day"),
+        F.col("__obs").alias("obs_cnt"),
+        F.col("__ge").alias("ge_days"),
+        F.col("__nd").alias("null_days"),
+        (F.col("__ge") + F.lit(1)).cast("long").alias("p_num"),
+        (F.col("__nd") + F.lit(1)).cast("long").alias("p_den"),
+    )
+
+
+def empirical_hourly_pvalues_sql(table: str, key_sql: str) -> str:
+    return f"""
+SELECT test, key, hour_of_day, obs_cnt, ge_days, null_days, p_num, p_den
+FROM (
+  WITH __c AS (
+    SELECT {key_sql} AS k, epoch_us(ts) // {_US_PER_DAY} AS day,
+           (epoch_us(ts) // {_US_PER_HOUR}) % 24 AS hod,
+           COUNT(*)::BIGINT AS cnt
+    FROM {table} GROUP BY k, day, hod
+  ),
+  __bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM __c),
+  __spine AS (
+    SELECT k, d.day, h.hod
+    FROM (SELECT DISTINCT k FROM __c)
+    CROSS JOIN (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM __bounds) d
+    CROSS JOIN (SELECT UNNEST(range(0, 24)) AS hod) h
+  ),
+  __cells AS (
+    SELECT s.k, s.day, s.hod, COALESCE(c.cnt, 0)::BIGINT AS cnt
+    FROM __spine s LEFT JOIN __c c
+      ON s.k = c.k AND s.day = c.day AND s.hod = c.hod
+  ),
+  __obs AS (
+    SELECT k, hod, cnt AS obs FROM __cells, __bounds WHERE day = d1
+  ),
+  __agg AS (
+    SELECT n.k, n.hod, o.obs,
+           SUM(CASE WHEN n.cnt >= o.obs THEN 1 ELSE 0 END)::BIGINT AS ge,
+           COUNT(*)::BIGINT AS nd
+    FROM __cells n
+    JOIN __obs o ON n.k = o.k AND n.hod = o.hod
+    CROSS JOIN __bounds
+    WHERE n.day < d1
+    GROUP BY n.k, n.hod, o.obs
+  )
+  SELECT k || '@' || CAST(hod AS VARCHAR) AS test, k AS key,
+         hod AS hour_of_day, obs AS obs_cnt, ge AS ge_days,
+         nd AS null_days, (ge + 1)::BIGINT AS p_num,
+         (nd + 1)::BIGINT AS p_den
+  FROM __agg
+)
+"""
+
+
+def policy_replay(
+    df: DataFrame,
+    slice_col: str,
+    arm_col: str,
+    reward_col: str,
+    train_permille: int = 500,
+    round_to: int = 9,
+) -> DataFrame:
+    """(slice, policy_arm, n_train, n_test, n_matched, replay_mean,
+    logging_mean): offline policy evaluation by REPLAY (Li, Chu,
+    Langford & Wang, WSDM 2011): fit a greedy per-slice policy on the
+    TRAIN period (the arm with the highest train mean reward), then
+    estimate its value on the TEST period as the mean reward over
+    logged rounds where the logged arm HAPPENS to equal the policy's
+    choice — unbiased when the logging policy is stationary within the
+    slice, and the honest offline answer to "should slice s get arm a?"
+    before any live experiment. ``logging_mean`` (the test-period mean
+    over ALL arms) is the do-nothing baseline the replay estimate must
+    beat.
+
+    Time split mirrors sampling.time_split: boundary = lo + ((hi−lo)·
+    permille) div 1000 in pure int64 µs; train = us < boundary. Reward
+    sums quantize to DECIMAL(18,6) (_q6 text hop) so per-arm means are
+    ONE correctly-rounded IEEE division from exact decimals — the
+    argmax orders on that bit-identical double with the arm id as the
+    deterministic tiebreak. Slices/arms absent from the train period
+    have no policy and drop from the readout (a live system would fall
+    back to the logging policy there).
+
+    Scale: 1-row broadcast bounds; ONE (slice, arm) shuffle per period;
+    the argmax window runs on the slice×arm frame (domain-bounded).
+    Nothing row-sized crosses the driver."""
+    as_col = lambda c: c if isinstance(c, Column) else F.col(c)  # noqa: E731
+    s_c, a_c, r_c = as_col(slice_col), as_col(arm_col), as_col(reward_col)
+    base = df.where(
+        s_c.isNotNull() & a_c.isNotNull() & r_c.isNotNull()
+    ).select(
+        s_c.alias("__s"),
+        a_c.alias("__a"),
+        _q6(r_c).alias("__r"),
+        F.expr("ts_ns div 1000").cast("long").alias("__us"),
+    )
+    bounds = base.agg(
+        F.min("__us").alias("__lo"), F.max("__us").alias("__hi")
+    )
+    tagged = base.crossJoin(F.broadcast(bounds)).select(
+        "__s",
+        "__a",
+        "__r",
+        (
+            F.col("__us")
+            < F.expr(
+                f"CAST(__lo + ((__hi - __lo) * {int(train_permille)}) "
+                "div 1000 AS BIGINT)"
+            )
+        ).alias("__train"),
+    )
+    train = tagged.where(F.col("__train")).groupBy("__s", "__a").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__r").cast("decimal(38,6)").alias("__sum"),
+    )
+    w = Window.partitionBy("__s").orderBy(
+        _div(_d2d(F.col("__sum")), F.col("__n")).desc(), F.col("__a").asc()
+    )
+    policy = (
+        train.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "__s",
+            F.col("__a").alias("policy_arm"),
+            F.col("__n").alias("__n_train_arm"),
+        )
+    )
+    n_train = tagged.where(F.col("__train")).groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    test = tagged.where(~F.col("__train"))
+    per_slice = (
+        test.join(F.broadcast(policy), "__s")
+        .groupBy("__s", "policy_arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("__a") == F.col("policy_arm"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched"),
+            F.sum(
+                F.when(F.col("__a") == F.col("policy_arm"), F.col("__r"))
+            )
+            .cast("decimal(38,6)")
+            .alias("__msum"),
+            F.sum("__r").cast("decimal(38,6)").alias("__tsum"),
+        )
+    )
+    return (
+        per_slice.join(F.broadcast(n_train), "__s")
+        .select(
+            F.col("__s").alias("slice"),
+            "policy_arm",
+            "n_train",
+            "n_test",
+            "n_matched",
+            F.round(
+                _div(_d2d(F.col("__msum")), F.col("n_matched")), round_to
+            ).alias("replay_mean"),
+            F.round(
+                _div(_d2d(F.col("__tsum")), F.col("n_test")), round_to
+            ).alias("logging_mean"),
+        )
+        .orderBy("slice")
+    )
+
+
+def policy_replay_sql(
+    table: str,
+    slice_sql: str,
+    arm_sql: str,
+    reward_sql: str,
+    train_permille: int = 500,
+    round_to: int = 9,
+) -> str:
+    q6r = _q6_sql(reward_sql)
+    return f"""
+WITH __b AS (
+  SELECT {slice_sql} AS s, {arm_sql} AS a, {q6r} AS r, epoch_us(ts) AS us
+  FROM {table}
+  WHERE ({slice_sql}) IS NOT NULL AND ({arm_sql}) IS NOT NULL
+    AND ({reward_sql}) IS NOT NULL
+),
+__bounds AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM __b),
+__tag AS (
+  SELECT s, a, r,
+         us < CAST(lo + ((hi - lo) * {int(train_permille)}) // 1000
+                   AS BIGINT) AS train
+  FROM __b CROSS JOIN __bounds
+),
+__train AS (
+  SELECT s, a, COUNT(*)::BIGINT AS n,
+         CAST(SUM(r) AS DECIMAL(38,6)) AS rsum
+  FROM __tag WHERE train GROUP BY s, a
+),
+__policy AS (
+  SELECT s, a AS policy_arm
+  FROM (
+    SELECT s, a,
+           ROW_NUMBER() OVER (
+             PARTITION BY s
+             ORDER BY {_d2d_sql("rsum")} / n DESC, a ASC
+           ) AS rk
+    FROM __train
+  ) WHERE rk = 1
+),
+__ntr AS (
+  SELECT s, COUNT(*)::BIGINT AS n_train FROM __tag WHERE train GROUP BY s
+),
+__ps AS (
+  SELECT t.s, p.policy_arm, COUNT(*)::BIGINT AS n_test,
+         SUM(CASE WHEN t.a = p.policy_arm THEN 1 ELSE 0 END)::BIGINT
+           AS n_matched,
+         CAST(SUM(CASE WHEN t.a = p.policy_arm THEN t.r END)
+              AS DECIMAL(38,6)) AS msum,
+         CAST(SUM(t.r) AS DECIMAL(38,6)) AS tsum
+  FROM __tag t JOIN __policy p ON t.s = p.s
+  WHERE NOT t.train
+  GROUP BY t.s, p.policy_arm
+)
+SELECT ps.s AS slice, ps.policy_arm, n.n_train, ps.n_test, ps.n_matched,
+       ROUND({_d2d_sql("ps.msum")} / NULLIF(ps.n_matched, 0), {round_to})
+         AS replay_mean,
+       ROUND({_d2d_sql("ps.tsum")} / NULLIF(ps.n_test, 0), {round_to})
+         AS logging_mean
+FROM __ps ps JOIN __ntr n ON ps.s = n.s
+ORDER BY slice
+"""

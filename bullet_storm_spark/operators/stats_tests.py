@@ -1976,3 +1976,547 @@ SELECT grp, n_t, k_t, n_c, k_c,
        ROUND(CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END, {round_to}) AS hi
 FROM __g ORDER BY grp
 """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    a_pred: Column,
+    b_pred: Column,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row Mann-Whitney U test (Wilcoxon rank-sum) between two
+    arms — the nonparametric two-sample location test for metrics too
+    skewed for welch_t (Mann & Whitney, Ann. Math. Stat. 1947). Output
+    ``(n_a, n_b, u_a, z)``: the U statistic of arm A and its normal
+    approximation with the tie-corrected variance
+
+        z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+
+    Exact-integer formulation on auc_rank_sum's midrank machinery: the
+    doubled midrank sum rs2 and the tie term Σ(t³−t) accumulate in
+    DECIMAL(38,0) (t³ via three (12,0)-operand multiplies, exact far
+    past any real tie group), so both engines reach ONE fixed IEEE
+    expression from identical integers. Rows matching neither predicate
+    (or with NULL value/predicates) are excluded; z is NULL when either
+    arm is empty or every value is tied (zero variance).
+
+    Scale: one distinct-value collapse (support-sized — pre-round a
+    continuous metric, the ks_drift contract), one cumulative window
+    over the support, one 1-row finish."""
+    in_a = F.when(a_pred, F.lit(1)).otherwise(F.lit(0))
+    g = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & a_pred.isNotNull()
+            & b_pred.isNotNull()
+            & (a_pred | b_pred)
+        )
+        .select(
+            F.col(value_col).cast("double").alias("__s"),
+            in_a.alias("__a"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum("__a").cast("long").alias("__na"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.withColumn("__cum", F.sum("__cnt").over(w))
+    # 2*midrank of every row tied at this value = 2*(cum − cnt) + cnt + 1
+    term = F.col("__na").cast("decimal(19,0)") * (
+        F.lit(2) * (F.col("__cum") - F.col("__cnt")) + F.col("__cnt") + F.lit(1)
+    ).cast("decimal(19,0)")
+    tie = (
+        F.col("__cnt").cast("decimal(12,0)")
+        * F.col("__cnt").cast("decimal(12,0)")
+        * F.col("__cnt").cast("decimal(12,0)")
+        - F.col("__cnt").cast("decimal(38,0)")
+    )
+    agg = cum.agg(
+        F.sum("__na").cast("long").alias("n_a"),
+        (F.sum("__cnt") - F.sum("__na")).cast("long").alias("n_b"),
+        F.sum(term).cast("decimal(38,0)").alias("__rs2"),
+        F.sum(tie).cast("decimal(38,0)").alias("__ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    # u2 = 2*U_a = rs2 − n_a(n_a+1), exact in DECIMAL(38,0)
+    u2 = F.col("__rs2") - F.col("n_a").cast("decimal(19,0)") * (
+        F.col("n_a") + F.lit(1)
+    ).cast("decimal(19,0)")
+    ua = _d2d(u2) / F.lit(2.0)
+    var = (
+        na * nb / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - _div(_d2d(F.col("__ties")), nn * (nn - F.lit(1.0))))
+    )
+    z = _div(ua - na * nb / F.lit(2.0), F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_b",
+        _d2d(u2).alias("u2_a"),
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), z), round_to
+        ).alias("z"),
+    )
+
+
+def mann_whitney_u_sql(
+    table: str,
+    value_sql: str,
+    a_pred_sql: str,
+    b_pred_sql: str,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH __g AS (
+  SELECT CAST({value_sql} AS DOUBLE) AS s, COUNT(*)::BIGINT AS cnt,
+         SUM(CASE WHEN {a_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS na
+  FROM {table}
+  WHERE ({value_sql}) IS NOT NULL AND ({a_pred_sql}) IS NOT NULL
+    AND ({b_pred_sql}) IS NOT NULL AND (({a_pred_sql}) OR ({b_pred_sql}))
+  GROUP BY s
+),
+__cum AS (
+  SELECT na, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum
+  FROM __g
+),
+__agg AS (
+  SELECT SUM(na)::BIGINT AS n_a, (SUM(cnt) - SUM(na))::BIGINT AS n_b,
+         CAST(SUM(CAST(na AS DECIMAL(19,0))
+                  * CAST(2 * (cum - cnt) + cnt + 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS rs2,
+         CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+                  * CAST(cnt AS DECIMAL(12,0))
+                  - CAST(cnt AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ties
+  FROM __cum
+),
+__fin AS (
+  SELECT n_a, n_b,
+         {_d2d_sql("rs2 - CAST(n_a AS DECIMAL(19,0)) * CAST(n_a + 1 AS DECIMAL(19,0))")} AS u2_a,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+         {_d2d_sql("ties")} AS tiesd
+  FROM __agg
+)
+SELECT n_a, n_b, u2_a,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         (u2_a / 2.0 - nad * nbd / 2.0)
+         / sqrt(nad * nbd / 12.0
+                * ((nn + 1.0) - tiesd / (nn * (nn - 1.0))))
+       END, {round_to}) AS z
+FROM __fin
+"""
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    n_raters: int,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row Fleiss' kappa over a LONG ratings frame ``(unit, value)``
+    with a FIXED number of raters per unit (Fleiss, Psych. Bull. 1971)
+    — the classic fixed-panel agreement statistic; krippendorff_alpha
+    is the generalization when raters can skip units. Output
+    ``(n_units, n_raters, n_categories, p_bar, p_e, kappa)``.
+
+    Exact-integer accumulation: with per-unit category counts n_ij,
+    A = Σ_i Σ_j n_ij², M = n·m total ratings, D = m−1, S = Σ_j c_j²
+    (squared category margins),
+
+        P̄  = (A − M) / (M·D)     P̄e = S / M²     κ = (P̄ − P̄e)/(1 − P̄e)
+
+    A and S accumulate in DECIMAL(38,0) (margin products overflow int64
+    at ~3e9 ratings — the cohens_kappa discipline); P̄ and P̄e are each
+    ONE correctly-rounded IEEE division from identical integers, so the
+    κ finish is a fixed IEEE expression of bit-identical doubles in both
+    engines. A unit with a rating count ≠ n_raters FAILS via assert_true
+    (folded through the aggregate so pruning cannot drop the check) —
+    Fleiss is undefined on ragged panels; use krippendorff_alpha
+    instead. κ is NULL when P̄e = 1 (every rating in one category:
+    chance agreement is 1 and κ is undefined, not 1.0).
+
+    Scale: one (unit, value) count aggregation, one unit-sized pass, one
+    category-margin aggregation — no pair enumeration anywhere."""
+    m = int(n_raters)
+    base = df.select(
+        F.col(unit_col).alias("__u"), F.col(value_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+    per_uc = base.groupBy("__u", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_u = per_uc.groupBy("__u").agg(
+        F.sum("__c").cast("long").alias("__m"),
+        F.sum(F.expr("__c * __c")).cast("long").alias("__s2"),
+    )
+    guard = F.assert_true(
+        F.col("__m") == F.lit(m),
+        F.lit(
+            f"fleiss_kappa: a unit has a rating count != n_raters={m}; "
+            "the panel is ragged — use krippendorff_alpha"
+        ),
+    )
+    a_num = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(guard.isNull(), F.col("__s2")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__A"),
+    )
+    margins = per_uc.groupBy("__v").agg(
+        F.sum("__c").cast("long").alias("__nc")
+    )
+    marg = margins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum("__nc").cast("long").alias("__M"),
+        F.sum(
+            F.expr("CAST(__nc AS DECIMAL(19,0)) * CAST(__nc AS DECIMAL(19,0))")
+        )
+        .cast("decimal(38,0)")
+        .alias("__S"),
+    )
+    j = a_num.crossJoin(F.broadcast(marg))
+    big_m = F.col("__M").cast("decimal(19,0)")
+    # (19,0)×(19,0)→(38,0) exact products (the module's operand
+    # discipline; a (38,0)×(38,0) multiply is a DuckDB bind error)
+    p_bar = _div(
+        _d2d(F.col("__A") - F.col("__M").cast("decimal(38,0)")),
+        _d2d(big_m * F.lit(m - 1).cast("decimal(19,0)")),
+    )
+    p_e = _div(_d2d(F.col("__S")), _d2d(big_m * big_m))
+    kappa = _div(p_bar - p_e, F.lit(1.0) - p_e)
+    return j.select(
+        "n_units",
+        F.lit(m).cast("long").alias("n_raters"),
+        "n_categories",
+        F.round(p_bar, round_to).alias("p_bar"),
+        F.round(p_e, round_to).alias("p_e"),
+        F.round(kappa, round_to).alias("kappa"),
+    )
+
+
+def fleiss_kappa_sql(
+    table: str,
+    unit_sql: str,
+    value_sql: str,
+    n_raters: int,
+    round_to: int = 9,
+) -> str:
+    m = int(n_raters)
+    p_bar = (
+        f"({_d2d_sql('A - CAST(M AS DECIMAL(38,0))')}"
+        f" / {_d2d_sql(f'CAST(M AS DECIMAL(19,0)) * CAST({m - 1} AS DECIMAL(19,0))')})"
+    )
+    p_e = (
+        f"({_d2d_sql('S')}"
+        f" / {_d2d_sql('CAST(M AS DECIMAL(19,0)) * CAST(M AS DECIMAL(19,0))')})"
+    )
+    return f"""
+WITH __uc AS (
+  SELECT {unit_sql} AS u, {value_sql} AS v, COUNT(*)::BIGINT AS c
+  FROM {table} WHERE ({value_sql}) IS NOT NULL
+  GROUP BY u, v
+),
+__pu AS (
+  SELECT u, SUM(c)::BIGINT AS m, SUM(c * c)::BIGINT AS s2
+  FROM __uc GROUP BY u
+),
+__a AS (
+  SELECT COUNT(*)::BIGINT AS n_units,
+         CAST(SUM(CASE WHEN m = {m} THEN s2
+                       ELSE CAST(error('fleiss_kappa: ragged panel')
+                                 AS BIGINT) END)
+              AS DECIMAL(38,0)) AS A
+  FROM __pu
+),
+__marg AS (
+  SELECT COUNT(*)::BIGINT AS n_categories, SUM(nc)::BIGINT AS M,
+         CAST(SUM(CAST(nc AS DECIMAL(19,0)) * CAST(nc AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS S
+  FROM (SELECT v, SUM(c)::BIGINT AS nc FROM __uc GROUP BY v)
+)
+SELECT n_units, CAST({m} AS BIGINT) AS n_raters, n_categories,
+       ROUND({p_bar}, {round_to}) AS p_bar,
+       ROUND({p_e}, {round_to}) AS p_e,
+       ROUND(({p_bar} - {p_e}) / (1.0 - {p_e}), {round_to}) AS kappa
+FROM __a CROSS JOIN __marg
+"""
+
+
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: Column,
+    success_pred: Column,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row Cochran-Armitage trend test: is a binary rate MONOTONE in
+    an ordered integer dose (Cochran Biometrics'54 / Armitage'55)? The
+    chi2 independence test asks "does the rate differ by level"; this
+    asks the sharper ordered question — rate drift across hours of day,
+    model versions, or bucketed exposure levels. Output ``(n, r,
+    n_levels, z)`` with dose scores = the integer dose values
+    themselves and
+
+        T = Σ_k w_k (r_k − n_k R/N),  Var = (R/N)(1−R/N)(Σw²n − (Σwn)²/N)
+        z = T / sqrt(Var)
+
+    cleared to the exact-integer form z = (N·Swr − R·Swn) · sqrt(N) /
+    (sqrt(R(N−R)) · sqrt(N·Sw2n − Swn²)): every sum is an integer in
+    DECIMAL(38,0) via (19,0)-operand products, both engines reach one
+    fixed IEEE expression, and the two sqrt factors keep every operand
+    inside the 38-digit lattice (a single radicand would need w²N⁴).
+    NULL dose / NULL predicate rows are excluded; z is NULL when R = 0,
+    R = N, or the dose has no variance. Scale: one dose-level collapse
+    (support-sized), one 1-row finish."""
+    base = df.where(
+        dose_col.isNotNull() & success_pred.isNotNull()
+    ).select(
+        dose_col.cast("long").alias("__w"),
+        F.when(success_pred, F.lit(1)).otherwise(F.lit(0)).alias("__y"),
+    )
+    lev = base.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__r"),
+    )
+    w19 = F.col("__w").cast("decimal(19,0)")
+    agg = lev.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("r"),
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum(w19 * F.col("__n").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("__swn"),
+        F.sum(w19 * F.col("__r").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("__swr"),
+        F.sum(
+            (w19 * w19).cast("decimal(19,0)") * F.col("__n").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__sw2n"),
+    )
+    n19 = F.col("n").cast("decimal(19,0)")
+    r19 = F.col("r").cast("decimal(19,0)")
+    num = _d2d(
+        (n19 * F.col("__swr").cast("decimal(19,0)")).cast("decimal(38,0)")
+        - (r19 * F.col("__swn").cast("decimal(19,0)")).cast("decimal(38,0)")
+    )
+    f1 = F.sqrt(_d2d(r19 * (n19 - r19)))
+    f2 = F.sqrt(
+        _d2d(
+            (n19 * F.col("__sw2n").cast("decimal(19,0)")).cast("decimal(38,0)")
+            - (
+                F.col("__swn").cast("decimal(19,0)")
+                * F.col("__swn").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        )
+    )
+    z = _div(num * F.sqrt(F.col("n").cast("double")), f1 * f2)
+    return agg.select(
+        "n", "r", "n_levels", F.round(z, round_to).alias("z")
+    )
+
+
+def cochran_armitage_sql(
+    table: str,
+    dose_sql: str,
+    success_sql: str,
+    round_to: int = 9,
+) -> str:
+    num = _d2d_sql(
+        "CAST(CAST(n AS DECIMAL(19,0)) * CAST(swr AS DECIMAL(19,0)) AS DECIMAL(38,0))"
+        " - CAST(CAST(r AS DECIMAL(19,0)) * CAST(swn AS DECIMAL(19,0)) AS DECIMAL(38,0))"
+    )
+    f1 = _d2d_sql(
+        "CAST(r AS DECIMAL(19,0)) * CAST(n - r AS DECIMAL(19,0))"
+    )
+    f2 = _d2d_sql(
+        "CAST(CAST(n AS DECIMAL(19,0)) * CAST(sw2n AS DECIMAL(19,0)) AS DECIMAL(38,0))"
+        " - CAST(CAST(swn AS DECIMAL(19,0)) * CAST(swn AS DECIMAL(19,0)) AS DECIMAL(38,0))"
+    )
+    return f"""
+WITH __lev AS (
+  SELECT CAST({dose_sql} AS BIGINT) AS w, COUNT(*)::BIGINT AS nk,
+         SUM(CASE WHEN {success_sql} THEN 1 ELSE 0 END)::BIGINT AS rk
+  FROM {table}
+  WHERE ({dose_sql}) IS NOT NULL AND ({success_sql}) IS NOT NULL
+  GROUP BY w
+),
+__agg AS (
+  SELECT SUM(nk)::BIGINT AS n, SUM(rk)::BIGINT AS r,
+         COUNT(*)::BIGINT AS n_levels,
+         CAST(SUM(CAST(w AS DECIMAL(19,0)) * CAST(nk AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS swn,
+         CAST(SUM(CAST(w AS DECIMAL(19,0)) * CAST(rk AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS swr,
+         CAST(SUM(CAST(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))
+                       AS DECIMAL(19,0))
+                  * CAST(nk AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sw2n
+  FROM __lev
+)
+SELECT n, r, n_levels,
+       ROUND(({num}) * sqrt(CAST(n AS DOUBLE))
+             / (sqrt({f1}) * sqrt({f2})), {round_to}) AS z
+FROM __agg
+"""
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row Brown-Forsythe test: do the groups have EQUAL SPREAD
+    (Brown & Forsythe, JASA 1974 — Levene's test on median-centered
+    deviations, the robust form)? welch_t/mann_whitney compare
+    location; this is the variance-homogeneity gate that tells you
+    whether a location test's equal-spread reading is even meaningful,
+    and the dispersion-drift alarm for per-slice metric stability.
+    Output ``(n, n_groups, ssb, ssw, f_stat)``: the one-way ANOVA F on
+    z_ij = |x_ij − median_g|.
+
+    Determinism: medians are the exact-percentile convention
+    (quantile_cont, 9dp-rounded — robust_outliers' contract);
+    deviations quantize to DECIMAL(18,6) via the text hop, group/grand
+    means re-quantize to the same lattice, and every squared term is an
+    (18,6)² = (37,12)-exact product summed in DECIMAL(38,12) (DuckDB
+    twin widens factors to (19,6) — the int64 fast-path overflow), so
+    both engines reach ONE fixed IEEE expression from identical
+    decimals. SSB sums the per-ROW (m̄_g − m̄)² so no decimal×count
+    product ever leaves the 38-digit lattice. NULL groups/values are
+    excluded; F is NULL when SSW = 0 or n_groups < 2.
+
+    Scale: three scans, each ending in a group-sized aggregation
+    (median pass, deviation-sum pass, squared-term pass); group frames
+    broadcast back — the robust_outliers plan shape."""
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    med = base.groupBy("__g").agg(
+        F.round(F.percentile(F.col("__v"), F.lit(0.5)), 9).alias("__med")
+    )
+    z = base.join(F.broadcast(med), "__g").select(
+        "__g", _q6(F.abs(F.col("__v") - F.col("__med"))).alias("__z")
+    )
+    sums = z.groupBy("__g").agg(
+        F.sum("__z").cast("decimal(38,6)").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    means = sums.select(
+        "__g", _q6(_div(_d2d(F.col("__s")), F.col("__n"))).alias("__mg")
+    )
+    tot = sums.agg(
+        F.sum("__s").cast("decimal(38,6)").alias("__st"),
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    ).select(
+        "n",
+        "n_groups",
+        _q6(_div(_d2d(F.col("__st")), F.col("n"))).alias("__m"),
+    )
+    terms = (
+        z.join(F.broadcast(means), "__g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "n_groups",
+            (
+                (F.col("__mg") - F.col("__m")).cast(_VAL_DEC)
+                * (F.col("__mg") - F.col("__m")).cast(_VAL_DEC)
+            ).alias("__b"),
+            (
+                (F.col("__z") - F.col("__mg")).cast(_VAL_DEC)
+                * (F.col("__z") - F.col("__mg")).cast(_VAL_DEC)
+            ).alias("__w"),
+        )
+    )
+    agg = terms.groupBy("n", "n_groups").agg(
+        F.sum("__b").cast(_MOMENT).alias("__ssb"),
+        F.sum("__w").cast(_MOMENT).alias("__ssw"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("n_groups").cast("double")
+    f_stat = _div(
+        _d2d(F.col("__ssb")) * (nd - kd),
+        _d2d(F.col("__ssw")) * (kd - F.lit(1.0)),
+    )
+    return agg.select(
+        "n",
+        "n_groups",
+        _d2d(F.col("__ssb")).alias("ssb"),
+        _d2d(F.col("__ssw")).alias("ssw"),
+        F.round(
+            F.when(F.col("n_groups") >= 2, f_stat), round_to
+        ).alias("f_stat"),
+    )
+
+
+def brown_forsythe_sql(
+    table: str,
+    group_sql: str,
+    value_sql: str,
+    round_to: int = 9,
+) -> str:
+    q6_mean_g = _q6_sql(f"{_d2d_sql('s.s')} / s.n")
+    q6_mean_t = _q6_sql(f"{_d2d_sql('t.st')} / t.n")
+    return f"""
+WITH __b AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS DOUBLE) AS v
+  FROM {table}
+  WHERE ({group_sql}) IS NOT NULL AND ({value_sql}) IS NOT NULL
+),
+__med AS (
+  SELECT g, ROUND(quantile_cont(v, 0.5), 9) AS med FROM __b GROUP BY g
+),
+__z AS (
+  SELECT b.g, {_q6_sql("abs(b.v - m.med)")} AS z
+  FROM __b b JOIN __med m ON b.g = m.g
+),
+__s AS (
+  SELECT g, CAST(SUM(z) AS DECIMAL(38,6)) AS s, COUNT(*)::BIGINT AS n
+  FROM __z GROUP BY g
+),
+__mg AS (
+  SELECT s.g, {q6_mean_g} AS mg FROM __s s
+),
+__t AS (
+  SELECT CAST(SUM(s) AS DECIMAL(38,6)) AS st, SUM(n)::BIGINT AS n,
+         COUNT(*)::BIGINT AS n_groups
+  FROM __s
+),
+__tm AS (
+  SELECT t.n, t.n_groups, {q6_mean_t} AS m FROM __t t
+),
+__terms AS (
+  SELECT tm.n, tm.n_groups,
+         CAST(CAST(mg.mg - tm.m AS DECIMAL(18,6)) AS DECIMAL(19,6))
+           * CAST(CAST(mg.mg - tm.m AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS tb,
+         CAST(CAST(z.z - mg.mg AS DECIMAL(18,6)) AS DECIMAL(19,6))
+           * CAST(CAST(z.z - mg.mg AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS tw
+  FROM __z z JOIN __mg mg ON z.g = mg.g CROSS JOIN __tm tm
+),
+__agg AS (
+  SELECT n, n_groups,
+         CAST(SUM(tb) AS DECIMAL(38,12)) AS ssb,
+         CAST(SUM(tw) AS DECIMAL(38,12)) AS ssw
+  FROM __terms GROUP BY n, n_groups
+)
+SELECT n, n_groups,
+       {_d2d_sql("ssb")} AS ssb, {_d2d_sql("ssw")} AS ssw,
+       ROUND(CASE WHEN n_groups >= 2 THEN
+         ({_d2d_sql("ssb")} * (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))
+         / ({_d2d_sql("ssw")} * (CAST(n_groups AS DOUBLE) - 1.0))
+       END, {round_to}) AS f_stat
+FROM __agg
+"""

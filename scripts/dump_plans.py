@@ -169,6 +169,13 @@ SHOW = [
     "scd2_transitions",
     "text_isotonic_calibration",
     "text_conformal_threshold",
+    # r8 additions
+    "events_mann_whitney",
+    "text_fleiss_kappa",
+    "events_cochran_armitage",
+    "events_brown_forsythe",
+    "events_fdr_hourly",
+    "events_policy_replay",
 ]
 
 

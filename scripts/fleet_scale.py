@@ -86,9 +86,15 @@ def main() -> None:
     batch.count()
 
     out: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1], "fleet": {}}
+    # FROZEN engine clock: the registry clamps every query to
+    # MAX_QUERY_DURATION_MS (10 s), so a wall clock would expire the
+    # fleet mid-measurement (observed: the 500q phase's later batches
+    # ran against an empty registry in 6 ms). The probe measures batch
+    # throughput, not lifecycle — pin time so queries stay live.
+    frozen = lambda: 1.0  # noqa: E731
     prev_q, prev_t = None, None
     for n_q in (100, 200, 500):
-        engine = StreamingEngine(spark)
+        engine = StreamingEngine(spark, clock=frozen)
         t0 = time.perf_counter()
         for i, b in enumerate(fleet(n_q)):
             engine.submit(f"fleet-{n_q}-{i}", parse(b))
@@ -135,6 +141,7 @@ def main() -> None:
     for enabled in (False, True):
         engine = StreamingEngine(
             spark,
+            clock=frozen,
             enable_query_partitioner=enabled,
             enable_shared_scan=False,
         )

@@ -343,3 +343,161 @@ def test_covariate_balance_constant_covariate(spark):
     df = spark.createDataFrame(rows, "t long, x double")
     out = covariate_balance(df, F.col("t") == 1, {"x": F.col("x")}).collect()
     assert out[0].smd is None and out[0].flag is None or out[0].flag == 0
+
+
+def test_fdr_bh_hand_oracle(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.experiment import fdr_bh, fdr_bh_sql
+
+    # classic BH example (alpha=0.05): p = .01, .02, .03, .04, .20 over
+    # m=5 -> thresholds .01,.02,.03,.04,.05 -> k*=4, reject first four
+    rows = [
+        ("t1", 1, 100), ("t2", 2, 100), ("t3", 3, 100),
+        ("t4", 4, 100), ("t5", 20, 100),
+    ]
+    df = spark.createDataFrame(rows, "test string, k long, d long")
+    out = fdr_bh(df, "test", "k", "d", alpha_permille=50).collect()
+    got = {r.test: r for r in out}
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert all(got[t].rejected for t in ("t1", "t2", "t3", "t4"))
+    assert not got["t5"].rejected
+    assert got["t1"].m == 5
+    assert got["t1"].bh_threshold == round(4 * 0.05 / 5, 9)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (test VARCHAR, k BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    duck = con.execute(
+        fdr_bh_sql("SELECT * FROM t", "test", "k", "d", alpha_permille=50)
+    ).fetchall()
+    assert [tuple(r) for r in out] == duck
+
+    # boundary exactness: p = 2/40 vs i*alpha/m = 2*0.05/4 = 1/40 at
+    # rank 2 -> 0.025 <= 0.025 holds EXACTLY (cross-multiplied ints,
+    # no IEEE wobble): 2*1000*4 = 8000 <= 2*50*40 = 4000? No: 8000 >
+    # 4000 -> NOT rejected. Hand-check the integer comparison.
+    rows2 = [("a", 1, 100), ("b", 2, 40), ("c", 30, 100), ("d", 35, 100)]
+    df2 = spark.createDataFrame(rows2, "test string, k long, d long")
+    out2 = {r.test: r for r in fdr_bh(
+        df2, "test", "k", "d", alpha_permille=50).collect()}
+    # ranks: a(.01)=1, b(.05)=2, c(.30)=3, d(.35)=4
+    # a: 1*1000*4=4000 <= 1*50*100=5000 -> holds
+    # b: 2*1000*4=8000 <= 2*50*40=4000 -> fails
+    # k* = 1 -> only a rejected
+    assert out2["a"].rejected and not out2["b"].rejected
+
+    # nothing passes -> kstar NULL -> rejected all False, threshold NULL
+    rows3 = [("x", 90, 100), ("y", 95, 100)]
+    df3 = spark.createDataFrame(rows3, "test string, k long, d long")
+    out3 = fdr_bh(df3, "test", "k", "d", alpha_permille=50).collect()
+    assert all(not r.rejected for r in out3)
+    assert all(r.bh_threshold is None for r in out3)
+
+
+def test_empirical_hourly_pvalues_hand_oracle(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.experiment import (
+        empirical_hourly_pvalues,
+        empirical_hourly_pvalues_sql,
+    )
+
+    US_H = 3_600_000_000
+    US_D = 86_400_000_000
+    # 3 days, one key, hour 0 only: counts 2, 1 on prior days; 5 on the
+    # last day -> obs=5, ge=0, p=1/3. Hour 1 silent everywhere -> obs=0,
+    # every prior day >= 0 -> p = 3/3.
+    def mk(day, hod, n):
+        base = day * US_D + hod * US_H
+        return [(base * 1000 + i, "k") for i in range(n)]
+
+    rows = mk(0, 0, 2) + mk(1, 0, 1) + mk(2, 0, 5)
+    df = spark.createDataFrame(rows, "ts_ns long, event_type string")
+    out = {
+        (r.key, r.hour_of_day): r
+        for r in empirical_hourly_pvalues(df, "event_type").collect()
+    }
+    assert len(out) == 24
+    r0 = out[("k", 0)]
+    assert (r0.obs_cnt, r0.ge_days, r0.null_days) == (5, 0, 2)
+    assert (r0.p_num, r0.p_den) == (1, 3)
+    r1 = out[("k", 1)]
+    assert (r1.obs_cnt, r1.p_num, r1.p_den) == (0, 3, 3)
+
+    # DuckDB twin parity on a timestamp table (epoch µs = ts_ns/1000)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ts TIMESTAMP, event_type VARCHAR)")
+    con.executemany(
+        "INSERT INTO t SELECT make_timestamp(?), ?",
+        [(ns // 1000, k) for ns, k in rows],
+    )
+    duck = con.execute(
+        "SELECT * FROM ("
+        + empirical_hourly_pvalues_sql("t", "event_type")
+        + ") ORDER BY test"
+    ).fetchall()
+    got = sorted(
+        tuple(r)
+        for r in empirical_hourly_pvalues(df, "event_type").collect()
+    )
+    assert got == sorted(tuple(r) for r in duck)
+
+
+def test_policy_replay_hand_oracle(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.experiment import (
+        policy_replay,
+        policy_replay_sql,
+    )
+    from pyspark.sql import functions as F
+
+    # one slice; arm A mean 10 in train, arm B mean 1 -> policy = A;
+    # test rows: A rewards (20, 30) matched, B reward 5 ignored in the
+    # replay mean but in the logging baseline
+    rows = [
+        (0, "A", 10.0, 0),
+        (0, "A", 10.0, 1),
+        (0, "B", 1.0, 2),
+        # boundary = lo + ((hi-lo)*500) div 1000 = 0 + 3500 div 1000 = 3
+        # -> train = µs < 3 (3 rows), test = µs >= 3 (5 rows)
+        (0, "B", 1.0, 3),
+        (0, "A", 20.0, 4),
+        (0, "A", 30.0, 5),
+        (0, "B", 5.0, 6),
+        (0, "B", 5.0, 7),
+    ]
+    df = spark.createDataFrame(
+        [(s, a, r, us * 1000) for s, a, r, us in rows],
+        "s long, a string, r double, ts_ns long",
+    )
+    out = policy_replay(df, "s", "a", "r", train_permille=500).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert r0.policy_arm == "A"
+    assert (r0.n_train, r0.n_test, r0.n_matched) == (3, 5, 2)
+    assert r0.replay_mean == 25.0
+    assert r0.logging_mean == round((1 + 20 + 30 + 5 + 5) / 5, 9)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s BIGINT, a VARCHAR, r DOUBLE, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO t SELECT ?, ?, ?, make_timestamp(?)",
+        [(s, a, r, us) for s, a, r, us in rows],
+    )
+    duck = con.execute(
+        policy_replay_sql("t", "s", "a", "r", train_permille=500)
+    ).fetchall()
+    assert [tuple(r) for r in out] == duck
+
+    # tie on train means -> lexicographically smaller arm wins
+    rows2 = [
+        (0, "Z", 5.0, 0), (0, "B", 5.0, 1),
+        (0, "Z", 7.0, 4), (0, "B", 9.0, 5),
+    ]
+    df2 = spark.createDataFrame(
+        [(s, a, r, us * 1000) for s, a, r, us in rows2],
+        "s long, a string, r double, ts_ns long",
+    )
+    assert policy_replay(df2, "s", "a", "r").collect()[0].policy_arm == "B"

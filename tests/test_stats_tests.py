@@ -884,3 +884,226 @@ def test_newcombe_diff_hand_oracle(spark):
     ).fetchall()
     assert [tuple(r) for r in newcombe_diff(
         df, "g", F.col("t") == 1, F.col("y") == 1).collect()] == duck
+
+
+def test_mann_whitney_hand_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.stats_tests import (
+        mann_whitney_u, mann_whitney_u_sql,
+    )
+
+    # ties across and within arms; arm A stochastically larger
+    rows = (
+        [("A", 3.0), ("A", 5.0), ("A", 5.0), ("A", 8.0), ("A", 9.0)]
+        + [("B", 1.0), ("B", 2.0), ("B", 3.0), ("B", 5.0)]
+        + [("C", 99.0)]  # matches neither predicate: excluded
+    )
+    df = spark.createDataFrame(rows, "arm string, v double")
+    out = mann_whitney_u(
+        df, "v", F.col("arm") == "A", F.col("arm") == "B"
+    ).collect()[0]
+
+    # pure-Python midrank oracle
+    vals = sorted(v for a, v in rows if a in ("A", "B"))
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        ranks[vals[i]] = (i + 1 + j) / 2
+        i = j
+    a_vals = [v for a, v in rows if a == "A"]
+    b_vals = [v for a, v in rows if a == "B"]
+    n1, n2 = len(a_vals), len(b_vals)
+    r1 = sum(ranks[v] for v in a_vals)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    nn = n1 + n2
+    from collections import Counter
+    tie_sum = sum(t ** 3 - t for t in Counter(vals).values())
+    var = n1 * n2 / 12.0 * ((nn + 1.0) - tie_sum / (nn * (nn - 1.0)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    assert (out.n_a, out.n_b) == (n1, n2)
+    assert out.u2_a == 2 * u1
+    assert out.z == round(z, 9)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (arm VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(
+        mann_whitney_u_sql("t", "v", "arm = 'A'", "arm = 'B'")
+    ).fetchall()
+    assert [tuple(r) for r in mann_whitney_u(
+        df, "v", F.col("arm") == "A", F.col("arm") == "B"
+    ).collect()] == duck
+
+    # degenerate: every value tied -> zero variance -> NULL z
+    df2 = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0), ("B", 1.0)], "arm string, v double"
+    )
+    out2 = mann_whitney_u(
+        df2, "v", F.col("arm") == "A", F.col("arm") == "B"
+    ).collect()[0]
+    assert out2.z is None
+
+
+def test_fleiss_kappa_hand_oracle(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.stats_tests import (
+        fleiss_kappa, fleiss_kappa_sql,
+    )
+
+    # Fleiss 1971-style panel: 6 units x 3 raters, 3 categories
+    panel = {
+        1: ["a", "a", "a"],
+        2: ["a", "a", "b"],
+        3: ["b", "b", "c"],
+        4: ["c", "c", "c"],
+        5: ["a", "b", "c"],
+        6: ["b", "b", "b"],
+    }
+    rows = [(u, v) for u, vs in panel.items() for v in vs]
+    df = spark.createDataFrame(rows, "u long, v string")
+    out = fleiss_kappa(df, "u", "v", n_raters=3).collect()[0]
+
+    # pure-Python oracle
+    from collections import Counter
+    n, m = len(panel), 3
+    cats = sorted({v for vs in panel.values() for v in vs})
+    a_sum = sum(
+        sum(c * c for c in Counter(vs).values()) for vs in panel.values()
+    )
+    big_m = n * m
+    margins = Counter(v for vs in panel.values() for v in vs)
+    s = sum(c * c for c in margins.values())
+    p_bar = (a_sum - big_m) / (big_m * (m - 1))
+    p_e = s / (big_m * big_m)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert (out.n_units, out.n_raters, out.n_categories) == (n, m, len(cats))
+    assert out.p_bar == round(p_bar, 9)
+    assert out.p_e == round(p_e, 9)
+    assert out.kappa == round(kappa, 9)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u BIGINT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(fleiss_kappa_sql("t", "u", "v", n_raters=3)).fetchall()
+    assert [tuple(r) for r in fleiss_kappa(
+        df, "u", "v", n_raters=3).collect()] == duck
+
+    # ragged panel must FAIL loudly, not skew
+    df_bad = spark.createDataFrame(rows + [(1, "a")], "u long, v string")
+    with pytest.raises(Exception):
+        fleiss_kappa(df_bad, "u", "v", n_raters=3).collect()
+
+    # all ratings one category: kappa undefined -> NULL
+    df_one = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "u long, v string"
+    )
+    out_one = fleiss_kappa(df_one, "u", "v", n_raters=2).collect()[0]
+    assert out_one.kappa is None
+
+
+def test_cochran_armitage_hand_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.stats_tests import (
+        cochran_armitage, cochran_armitage_sql,
+    )
+
+    # rising rate across doses 0/1/2: 1/10, 4/10, 7/10
+    rows = (
+        [(0, 1)] * 1 + [(0, 0)] * 9
+        + [(1, 1)] * 4 + [(1, 0)] * 6
+        + [(2, 1)] * 7 + [(2, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "w long, y long")
+    out = cochran_armitage(df, F.col("w"), F.col("y") == 1).collect()[0]
+
+    # pure-Python oracle (cleared-integer form, same association)
+    from collections import defaultdict
+    lev = defaultdict(lambda: [0, 0])
+    for w, y in rows:
+        lev[w][0] += 1
+        lev[w][1] += y
+    n = sum(v[0] for v in lev.values())
+    r = sum(v[1] for v in lev.values())
+    swn = sum(w * v[0] for w, v in lev.items())
+    swr = sum(w * v[1] for w, v in lev.items())
+    sw2n = sum(w * w * v[0] for w, v in lev.items())
+    num = n * swr - r * swn
+    z = (
+        num * math.sqrt(n)
+        / (math.sqrt(r * (n - r)) * math.sqrt(n * sw2n - swn * swn))
+    )
+    assert (out.n, out.r, out.n_levels) == (n, r, len(lev))
+    assert out.z == round(z, 9)
+    assert out.z > 2.0  # clearly rising trend
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (w BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(cochran_armitage_sql("t", "w", "y = 1")).fetchall()
+    assert [tuple(r2) for r2 in cochran_armitage(
+        df, F.col("w"), F.col("y") == 1).collect()] == duck
+
+    # degenerate: single dose level -> no variance -> NULL z
+    df2 = spark.createDataFrame([(1, 1), (1, 0)], "w long, y long")
+    assert cochran_armitage(
+        df2, F.col("w"), F.col("y") == 1).collect()[0].z is None
+
+
+def test_brown_forsythe_hand_oracle(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.stats_tests import (
+        brown_forsythe, brown_forsythe_sql,
+    )
+
+    # g1 tight around 10, g2 wide around 10: location equal, spread not
+    rows = (
+        [("g1", v) for v in (9.5, 10.0, 10.0, 10.5)]
+        + [("g2", v) for v in (2.0, 6.0, 14.0, 18.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = brown_forsythe(df, "g", "v").collect()[0]
+
+    # pure-Python oracle on the same 6dp lattice
+    import statistics
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    z = {
+        g: [round(abs(v - round(statistics.median(vs), 9)), 6) for v in vs]
+        for g, vs in groups.items()
+    }
+    n = sum(len(vs) for vs in z.values())
+    k = len(z)
+    means = {g: round(sum(vs) / len(vs), 6) for g, vs in z.items()}
+    grand = round(sum(sum(vs) for vs in z.values()) / n, 6)
+    ssb = sum(len(vs) * (means[g] - grand) ** 2 for g, vs in z.items())
+    ssw = sum(
+        (x - means[g]) ** 2 for g, vs in z.items() for x in vs
+    )
+    f = (ssb * (n - k)) / (ssw * (k - 1))
+    assert (out.n, out.n_groups) == (n, k)
+    assert abs(out.ssb - ssb) < 1e-9
+    assert abs(out.ssw - ssw) < 1e-9
+    assert abs(out.f_stat - f) < 1e-6
+    assert out.f_stat > 3.0  # spread clearly differs
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(brown_forsythe_sql("t", "g", "v")).fetchall()
+    assert [tuple(r) for r in brown_forsythe(df, "g", "v").collect()] == duck
+
+    # one group: F undefined -> NULL
+    df1 = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0)], "g string, v double"
+    )
+    assert brown_forsythe(df1, "g", "v").collect()[0].f_stat is None
