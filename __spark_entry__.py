@@ -4062,6 +4062,53 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "events", "user_id % 5", "event_type", "value"
         ),
     ),
+    # DeLong AUC with CI: the error bar the point AUC (embed_dim_auc)
+    # lacks — placement-value variance from exact integer sums
+    "text_auc_delong": (
+        lambda s, d: _stats.auc_delong(
+            _docs(s, d),
+            "n_chars",
+            F.size(_text.tokens("text")) >= 45,
+        ),
+        _stats.auc_delong_sql(
+            "documents",
+            "n_chars",
+            f"len({_text.tokens_sql('text')}) >= 45",
+        ),
+    ),
+    # group-sequential A/B monitor: 5 equal-time looks with the
+    # O'Brien-Fleming boundary row — cumulative pooled z per look,
+    # first-crossing decision state
+    "events_sequential_looks": (
+        lambda s, d: _exp.sequential_ab(
+            load_table(s, d, "events"),
+            F.col("user_id") % 2 == 0,
+            F.col("value") >= 50.0,
+            boundaries=[4.562, 3.226, 2.634, 2.281, 2.040],
+        ),
+        _exp.sequential_ab_sql(
+            "events",
+            "user_id % 2 = 0",
+            "value >= 50.0",
+            boundaries=[4.562, 3.226, 2.634, 2.281, 2.040],
+        ),
+    ),
+    # per-source compaction sizing at 50 KB target files: ceil-division
+    # file counts, oversize forcing set, fill ratio
+    "layout_compaction_plan": (
+        lambda s, d: _layout.compaction_plan(
+            _docs(s, d), "source", "n_chars", target_bytes=50_000
+        ),
+        _layout.compaction_plan_sql(
+            "documents", "source", "n_chars", target_bytes=50_000
+        ),
+    ),
+    # tokenizer fertility by dominant script: chars/BPE-token and
+    # BPE-per-word — the context-window budget table per script family
+    "text_token_fertility": (
+        lambda s, d: _qual.token_fertility(_docs(s, d), "text"),
+        _qual.token_fertility_sql("documents", "text"),
+    ),
 }
 
 
@@ -4175,8 +4222,10 @@ _DRIVER_PRIORITY = [
     # privacy_l_diversity, scd2_priority_history, scd2_transitions,
     # scd2_churn_summary) plus the r8 additions (events_mann_whitney,
     # text_fleiss_kappa, events_cochran_armitage, events_brown_forsythe,
-    # events_fdr_hourly, events_policy_replay), padded with the oldest
-    # previously-green entries for drift re-checks if under 50.
+    # events_fdr_hourly, events_policy_replay, text_auc_delong,
+    # events_sequential_looks, layout_compaction_plan,
+    # text_token_fertility), padded with the oldest previously-green
+    # entries for drift re-checks if under 50.
 ]
 
 

@@ -1190,3 +1190,188 @@ SELECT ps.s AS slice, ps.policy_arm, n.n_train, ps.n_test, ps.n_matched,
 FROM __ps ps JOIN __ntr n ON ps.s = n.s
 ORDER BY slice
 """
+
+
+def sequential_ab(
+    df: DataFrame,
+    treat_pred: Column,
+    success_pred: Column,
+    boundaries: list[float],
+    round_to: int = 9,
+) -> DataFrame:
+    """Group-sequential A/B monitoring (Pocock Biometrika'77 /
+    O'Brien-Fleming Biometrics'79): split the experiment's TIME range
+    into K = len(boundaries) equal interim looks, compute the pooled
+    two-proportion z on the CUMULATIVE data at each look, and compare
+    |z_k| against the caller's boundary_k — the peeking-safe way to
+    monitor a running test (a fixed 1.96 at every look inflates false
+    positives ~5x at K = 5). Boundary values are PYTHON literals (the
+    mde_planning convention — Φ⁻¹ is a transcendental neither engine
+    should evaluate); pass e.g. the K = 5 O'Brien-Fleming row [4.562,
+    3.226, 2.634, 2.281, 2.040]. Output one row per look: ``(look, n_t,
+    s_t, n_c, s_c, z, boundary, crossed, decided)`` where ``decided``
+    marks the first crossing look onward — the live decision state.
+
+    Determinism: look assignment is pure int64 µs arithmetic
+    (idx = (us−lo)·K div (hi−lo+1), the time_split boundary class);
+    per-look conditional counts are integers; cumulative sums run over
+    the K-row look frame; the z finish mirrors two_proportion_z's
+    association exactly. Scale: ONE conditional-aggregation scan to K
+    rows; everything after is K-sized."""
+    k = len(boundaries)
+    if k < 1:
+        raise ValueError("need at least one look boundary")
+    one_if = lambda p: F.when(p, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    base = df.select(
+        treat_pred.alias("__t"),
+        success_pred.alias("__y"),
+        F.expr("ts_ns div 1000").cast("long").alias("__us"),
+    )
+    bounds = base.agg(
+        F.min("__us").alias("__lo"), F.max("__us").alias("__hi")
+    )
+    tagged = base.crossJoin(F.broadcast(bounds)).select(
+        "__t",
+        "__y",
+        (
+            F.expr(f"((__us - __lo) * {k}) div (__hi - __lo + 1)") + F.lit(1)
+        ).cast("long").alias("look"),
+    )
+    per_look = tagged.groupBy("look").agg(
+        F.sum(one_if(F.col("__t"))).cast("long").alias("__nt"),
+        F.sum(one_if(F.col("__t") & F.col("__y"))).cast("long").alias("__st"),
+        F.sum(one_if(~F.col("__t"))).cast("long").alias("__nc"),
+        F.sum(one_if((~F.col("__t")) & F.col("__y")))
+        .cast("long")
+        .alias("__sc"),
+    )
+    # densify: a silent interim period is still a look (zero increment)
+    spine = df.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("long").alias("look")
+    )
+    cells = spine.join(per_look, "look", "left").select(
+        "look",
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in ("__nt", "__st", "__nc", "__sc")
+        ],
+    )
+    w = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "look",
+        F.sum("__nt").over(w).cast("long").alias("n_t"),
+        F.sum("__st").over(w).cast("long").alias("s_t"),
+        F.sum("__nc").over(w).cast("long").alias("n_c"),
+        F.sum("__sc").over(w).cast("long").alias("s_c"),
+    )
+    boundary = F.lit(None).cast("double")
+    for i, b in reversed(list(enumerate(boundaries, start=1))):
+        boundary = F.when(F.col("look") == i, F.lit(float(b))).otherwise(
+            boundary
+        )
+    n_a, s_a = F.col("n_t").cast("double"), F.col("s_t").cast("double")
+    n_b, s_b = F.col("n_c").cast("double"), F.col("s_c").cast("double")
+    pa, pb = _div(s_a, n_a), _div(s_b, n_b)
+    pp = _div(s_a + s_b, n_a + n_b)
+    se2 = pp * (F.lit(1.0) - pp) * (
+        _div(F.lit(1.0), n_a) + _div(F.lit(1.0), n_b)
+    )
+    ok = (F.col("n_t") > 0) & (F.col("n_c") > 0)
+    scored = cum.select(
+        "look",
+        "n_t",
+        "s_t",
+        "n_c",
+        "s_c",
+        F.round(
+            F.when(ok & (se2 > 0), _div(pa - pb, F.sqrt(se2))), round_to
+        ).alias("z"),
+        boundary.alias("boundary"),
+    ).withColumn(
+        "crossed",
+        F.coalesce(F.abs(F.col("z")) >= F.col("boundary"), F.lit(False)),
+    )
+    wdec = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    return scored.withColumn(
+        "decided",
+        F.max(F.col("crossed").cast("int")).over(wdec) == 1,
+    ).orderBy("look")
+
+
+def sequential_ab_sql(
+    table: str,
+    treat_sql: str,
+    success_sql: str,
+    boundaries: list[float],
+    round_to: int = 9,
+) -> str:
+    k = len(boundaries)
+    bcase = " ".join(
+        f"WHEN look = {i} THEN {float(b)!r}"
+        for i, b in enumerate(boundaries, start=1)
+    )
+    return f"""
+WITH __b AS (
+  SELECT ({treat_sql}) AS t, ({success_sql}) AS y, epoch_us(ts) AS us
+  FROM {table}
+),
+__bounds AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM __b),
+__tag AS (
+  SELECT t, y, ((us - lo) * {k}) // (hi - lo + 1) + 1 AS look
+  FROM __b CROSS JOIN __bounds
+),
+__pl AS (
+  SELECT look,
+         SUM(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt,
+         SUM(CASE WHEN t AND y THEN 1 ELSE 0 END)::BIGINT AS st,
+         SUM(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS nc,
+         SUM(CASE WHEN (NOT t) AND y THEN 1 ELSE 0 END)::BIGINT AS sc
+  FROM __tag GROUP BY look
+),
+__spine AS (SELECT UNNEST(range(1, {k + 1})) AS look),
+__cells AS (
+  SELECT s.look, COALESCE(p.nt, 0)::BIGINT AS nt,
+         COALESCE(p.st, 0)::BIGINT AS st, COALESCE(p.nc, 0)::BIGINT AS nc,
+         COALESCE(p.sc, 0)::BIGINT AS sc
+  FROM __spine s LEFT JOIN __pl p ON s.look = p.look
+),
+__cum AS (
+  SELECT look,
+         CAST(SUM(nt) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS n_t,
+         CAST(SUM(st) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS s_t,
+         CAST(SUM(nc) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS n_c,
+         CAST(SUM(sc) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS s_c
+  FROM __cells
+),
+__z AS (
+  SELECT look, n_t, s_t, n_c, s_c,
+         ROUND(CASE WHEN n_t > 0 AND n_c > 0
+                     AND (CAST(s_t + s_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+                         * (1.0 - CAST(s_t + s_c AS DOUBLE)
+                                  / CAST(n_t + n_c AS DOUBLE))
+                         * (1.0 / CAST(n_t AS DOUBLE)
+                            + 1.0 / CAST(n_c AS DOUBLE)) > 0
+           THEN (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                / sqrt((CAST(s_t + s_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+                       * (1.0 - CAST(s_t + s_c AS DOUBLE)
+                                / CAST(n_t + n_c AS DOUBLE))
+                       * (1.0 / CAST(n_t AS DOUBLE)
+                          + 1.0 / CAST(n_c AS DOUBLE))) END,
+           {round_to}) AS z,
+         CAST(CASE {bcase} END AS DOUBLE) AS boundary
+  FROM __cum
+),
+__c AS (
+  SELECT *, COALESCE(abs(z) >= boundary, FALSE) AS crossed FROM __z
+)
+SELECT look, n_t, s_t, n_c, s_c, z, boundary, crossed,
+       MAX(CASE WHEN crossed THEN 1 ELSE 0 END)
+         OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) = 1 AS decided
+FROM __c ORDER BY look
+"""

@@ -174,3 +174,102 @@ SELECT ({key} >> {block_shift}) AS block,
 FROM {table}
 GROUP BY block ORDER BY block
 """
+
+
+def compaction_plan(
+    df: DataFrame,
+    part_col: str,
+    bytes_col: str,
+    target_bytes: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """(part, n_docs, bytes_total, n_files, avg_file_bytes, largest_doc,
+    oversize_docs): per-partition small-file compaction plan — how many
+    output files a bin-packing writer needs per partition at
+    ``target_bytes`` per file (the lakehouse OPTIMIZE sizing pass; cf.
+    spark.sql.files.maxPartitionBytes on the READ side). ``n_files`` is
+    the pure ceiling ⌈bytes/target⌉ via the positive-operand identity
+    (bytes + target − 1) div target — packing.py's FFD does the actual
+    document→file assignment when row order matters; this is the
+    planning aggregate that sizes the job. ``oversize_docs`` counts
+    documents that exceed the target on their own (they force a
+    one-doc file no matter the packer). ``fill_ratio`` =
+    bytes/(n_files·target) is the expected packing efficiency.
+
+    All arithmetic is int64 (`div`, never `/` — the time_split class);
+    the single ratio is one correctly-rounded IEEE division. One
+    partition-keyed aggregation; output partition-count-sized."""
+    t = int(target_bytes)
+    if t <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    from pyspark.sql import functions as F
+
+    b = F.col(bytes_col).cast("long")
+    g = (
+        df.where(F.col(part_col).isNotNull() & b.isNotNull())
+        .groupBy(F.col(part_col).alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(b).cast("long").alias("bytes_total"),
+            F.max(b).cast("long").alias("largest_doc"),
+            F.sum(F.when(b > t, 1).otherwise(0)).cast("long").alias(
+                "oversize_docs"
+            ),
+        )
+    )
+    n_files = F.expr(f"(bytes_total + {t - 1}) div {t}").cast("long")
+    return g.select(
+        "part",
+        "n_docs",
+        "bytes_total",
+        n_files.alias("n_files"),
+        # greatest(..., 1): an all-zero-bytes partition has n_files = 0
+        # and a bare `div 0` ERRORS under ANSI (and a when() guard can be
+        # hoisted by codegen subexpression elimination — the try_divide
+        # class); 0 div 1 = 0 is the right answer there anyway
+        F.expr(
+            f"bytes_total div greatest((bytes_total + {t - 1}) div {t}, 1)"
+        )
+        .cast("long")
+        .alias("avg_file_bytes"),
+        "largest_doc",
+        "oversize_docs",
+        F.round(
+            F.try_divide(
+                F.col("bytes_total").cast("double"),
+                n_files.cast("double") * F.lit(float(t)),
+            ),
+            round_to,
+        ).alias("fill_ratio"),
+    ).orderBy("part")
+
+
+def compaction_plan_sql(
+    table: str,
+    part_sql: str,
+    bytes_sql: str,
+    target_bytes: int,
+    round_to: int = 6,
+) -> str:
+    t = int(target_bytes)
+    return f"""
+WITH __g AS (
+  SELECT {part_sql} AS part, COUNT(*)::BIGINT AS n_docs,
+         SUM(CAST({bytes_sql} AS BIGINT))::BIGINT AS bytes_total,
+         MAX(CAST({bytes_sql} AS BIGINT))::BIGINT AS largest_doc,
+         SUM(CASE WHEN CAST({bytes_sql} AS BIGINT) > {t}
+             THEN 1 ELSE 0 END)::BIGINT AS oversize_docs
+  FROM {table}
+  WHERE ({part_sql}) IS NOT NULL AND ({bytes_sql}) IS NOT NULL
+  GROUP BY part
+)
+SELECT part, n_docs, bytes_total,
+       ((bytes_total + {t - 1}) // {t})::BIGINT AS n_files,
+       (bytes_total // greatest((bytes_total + {t - 1}) // {t}, 1))::BIGINT
+         AS avg_file_bytes,
+       largest_doc, oversize_docs,
+       ROUND(CAST(bytes_total AS DOUBLE)
+             / (CAST((bytes_total + {t - 1}) // {t} AS DOUBLE)
+                * {float(t)!r}), {round_to}) AS fill_ratio
+FROM __g ORDER BY part
+"""

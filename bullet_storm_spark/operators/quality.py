@@ -579,3 +579,112 @@ SELECT lang, dominant_script, n_docs,
         AND dominant_script <> (CASE {whens} ELSE NULL END)) AS is_mismatch
 FROM __m ORDER BY lang, dominant_script
 """
+
+
+def token_fertility(
+    df: DataFrame, text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """(script, n_docs, chars, ws_tokens, bpe_tokens, chars_per_bpe,
+    bpe_per_ws): tokenizer-fertility profile by dominant script — how
+    many characters one BPE-ish token covers, and how many subword
+    tokens a whitespace word fragments into, per script family. The
+    budget planner's table: CJK at ~1 char/token vs Latin at ~4 means
+    the same char volume costs 4x the context window, and a fertility
+    shift after a tokenizer change is the regression alarm
+    (cf. SentencePiece's character-coverage tuning; fertility metric as
+    in Rust et al., ACL 2021 "How Good is Your Tokenizer?").
+
+    Counts ride the scan as regexp expressions (script_profile's
+    classifier, functions.text's whitespace + BPE-ish tokenizers);
+    integer sums; the two ratios are one correctly-rounded IEEE
+    division each (try_divide — empty scripts yield NULL, not NaN).
+    One script-keyed aggregation; output ≤ |SCRIPT_ORDER|+1 rows."""
+    from bullet_storm_spark.functions.text import bpe_token_count, token_count
+
+    text = F.col(text_col)
+    counts = {
+        name: F.regexp_count(text, F.lit(f"[{rng}]")).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    best = counts[SCRIPT_ORDER[0]]
+    for name in SCRIPT_ORDER[1:]:
+        best = F.greatest(best, counts[name])
+    dominant = F.lit("und")
+    for name in reversed(SCRIPT_ORDER):
+        dominant = F.when(
+            (counts[name] > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(dominant)
+    base = df.select(
+        dominant.alias("script"),
+        F.length(text).cast("long").alias("__chars"),
+        token_count(text_col).cast("long").alias("__ws"),
+        bpe_token_count(text_col).cast("long").alias("__bpe"),
+    )
+    g = base.groupBy("script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__chars").cast("long").alias("chars"),
+        F.sum("__ws").cast("long").alias("ws_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_tokens"),
+    )
+    return g.select(
+        "script",
+        "n_docs",
+        "chars",
+        "ws_tokens",
+        "bpe_tokens",
+        F.round(
+            F.try_divide(
+                F.col("chars").cast("double"),
+                F.col("bpe_tokens").cast("double"),
+            ),
+            round_to,
+        ).alias("chars_per_bpe"),
+        F.round(
+            F.try_divide(
+                F.col("bpe_tokens").cast("double"),
+                F.col("ws_tokens").cast("double"),
+            ),
+            round_to,
+        ).alias("bpe_per_ws"),
+    ).orderBy("script")
+
+
+def token_fertility_sql(
+    table: str, text_col: str = "text", round_to: int = 6
+) -> str:
+    from bullet_storm_spark.functions.text import (
+        bpe_token_count_sql,
+        token_count_sql,
+    )
+
+    count_defs = ", ".join(
+        f"len(regexp_extract_all({text_col}, '[{rng}]'))::BIGINT AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    best = f"greatest({', '.join(f'n_{n}' for n in SCRIPT_ORDER)})"
+    whens = " ".join(
+        f"WHEN n_{n} > 0 AND n_{n} = {best} THEN '{n}'" for n in SCRIPT_ORDER
+    )
+    return f"""
+WITH __c AS (
+  SELECT {count_defs},
+         length({text_col})::BIGINT AS chars,
+         {token_count_sql(text_col)}::BIGINT AS ws,
+         {bpe_token_count_sql(text_col)}::BIGINT AS bpe
+  FROM {table}
+),
+__s AS (
+  SELECT (CASE {whens} ELSE 'und' END) AS script, chars, ws, bpe FROM __c
+),
+__g AS (
+  SELECT script, COUNT(*)::BIGINT AS n_docs, SUM(chars)::BIGINT AS chars,
+         SUM(ws)::BIGINT AS ws_tokens, SUM(bpe)::BIGINT AS bpe_tokens
+  FROM __s GROUP BY script
+)
+SELECT script, n_docs, chars, ws_tokens, bpe_tokens,
+       ROUND(CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0),
+             {round_to}) AS chars_per_bpe,
+       ROUND(CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0),
+             {round_to}) AS bpe_per_ws
+FROM __g ORDER BY script
+"""

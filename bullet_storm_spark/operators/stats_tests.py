@@ -2520,3 +2520,183 @@ SELECT n, n_groups,
        END, {round_to}) AS f_stat
 FROM __agg
 """
+
+
+def auc_delong(
+    df: DataFrame,
+    score_col: str,
+    pos_pred: Column,
+    z: float = 1.959963984540054,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row ROC AUC with the DeLong standard error and CI (DeLong,
+    DeLong & Clarke-Pearson, Biometrics 1988): auc_rank_sum gives the
+    point estimate; this adds the error bar a model-comparison decision
+    actually needs, from the variance of the PLACEMENT values
+
+        p_i = (#neg < s_i + ½·#neg = s_i)/n₂   (positives; q_j mirrored)
+        SE² = Var(p)/n₁ + Var(q)/n₂
+
+    Exact-integer formulation on the distinct-score table: 2·n₂·p_i =
+    2·neg_below + neg_tied is an INTEGER shared by every positive tied
+    at s, so Σp and Σp² clear to integer sums (P2 and P2² as
+    (19,0)-operand products in DECIMAL(38,0)); both engines reach one
+    fixed IEEE expression. The (19,0) bound means a CLASS larger than
+    ~1.5e9 rows fails loudly on the P2² cast rather than silently
+    wrong — at that n the DeLong SE is ~0 and a sampled AUC is the
+    right tool anyway. Output ``(n_pos, n_neg, auc, se, lo, hi)`` with
+    the CI clamped to [0,1]; se/lo/hi NULL when either class is empty
+    or has a single row.
+
+    Scale: one distinct-score collapse (support-sized — pre-round a
+    continuous score, the ks_drift contract), one cumulative window
+    over the support, one 1-row finish."""
+    lbl = F.when(pos_pred, F.lit(1)).otherwise(F.lit(0))
+    g = (
+        df.where(F.col(score_col).isNotNull() & pos_pred.isNotNull())
+        .select(F.col(score_col).cast("double").alias("__s"), lbl.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum("__y").cast("long").alias("__pos"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    # posabove = n1 − cumpos needs the TOTAL positives on every row, so
+    # the full-frame window rides the same select as the cumulative ones
+    # (a later withColumn could not order by the already-dropped __s)
+    w_all = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "__cnt",
+        "__pos",
+        (F.col("__cnt") - F.col("__pos")).alias("__neg"),
+        F.sum("__cnt").over(w).alias("__cum"),
+        F.sum("__pos").over(w).alias("__cumpos"),
+        F.sum("__pos").over(w_all).alias("__n1"),
+    )
+    cumneg = F.col("__cum") - F.col("__cumpos")
+    negbelow = cumneg - F.col("__neg")
+    p2 = (F.lit(2) * negbelow + F.col("__neg")).cast("decimal(19,0)")
+    posabove = F.col("__n1") - F.col("__cumpos")
+    q2 = (F.lit(2) * posabove + F.col("__pos")).cast("decimal(19,0)")
+    agg = cum.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.sum(F.col("__pos").cast("decimal(19,0)") * p2)
+        .cast("decimal(38,0)")
+        .alias("__a2"),
+        F.sum(
+            F.col("__pos").cast("decimal(19,0)") * (p2 * p2).cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__qa2"),
+        F.sum(F.col("__neg").cast("decimal(19,0)") * q2)
+        .cast("decimal(38,0)")
+        .alias("__b2"),
+        F.sum(
+            F.col("__neg").cast("decimal(19,0)") * (q2 * q2).cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__qb2"),
+    )
+    n1d = F.col("n_pos").cast("double")
+    n2d = F.col("n_neg").cast("double")
+    a2d, qa2d = _d2d(F.col("__a2")), _d2d(F.col("__qa2"))
+    b2d, qb2d = _d2d(F.col("__b2")), _d2d(F.col("__qb2"))
+    auc = _div(a2d, F.lit(2.0) * n1d * n2d)
+    s10 = _div(
+        qa2d - _div(a2d * a2d, n1d),
+        (n1d - F.lit(1.0)) * F.lit(4.0) * n2d * n2d,
+    )
+    s01 = _div(
+        qb2d - _div(b2d * b2d, n2d),
+        (n2d - F.lit(1.0)) * F.lit(4.0) * n1d * n1d,
+    )
+    se = F.sqrt(_div(s10, n1d) + _div(s01, n2d))
+    ok = (F.col("n_pos") > 1) & (F.col("n_neg") > 1)
+    zl = F.lit(float(z))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc), round_to
+        ).alias("auc"),
+        F.round(F.when(ok, se), round_to).alias("se"),
+        F.round(F.when(ok, F.greatest(auc - zl * se, F.lit(0.0))), round_to).alias(
+            "lo"
+        ),
+        F.round(F.when(ok, F.least(auc + zl * se, F.lit(1.0))), round_to).alias(
+            "hi"
+        ),
+    )
+
+
+def auc_delong_sql(
+    table: str,
+    score_sql: str,
+    pos_pred_sql: str,
+    z: float = 1.959963984540054,
+    round_to: int = 9,
+) -> str:
+    zs = repr(float(z))
+    auc = f"({_d2d_sql('a2')} / (2.0 * n1d * n2d))"
+    s10 = (
+        f"(({_d2d_sql('qa2')} - {_d2d_sql('a2')} * {_d2d_sql('a2')} / n1d)"
+        f" / ((n1d - 1.0) * 4.0 * n2d * n2d))"
+    )
+    s01 = (
+        f"(({_d2d_sql('qb2')} - {_d2d_sql('b2')} * {_d2d_sql('b2')} / n2d)"
+        f" / ((n2d - 1.0) * 4.0 * n1d * n1d))"
+    )
+    se = f"sqrt({s10} / n1d + {s01} / n2d)"
+    return f"""
+WITH __g AS (
+  SELECT CAST({score_sql} AS DOUBLE) AS s, COUNT(*)::BIGINT AS cnt,
+         SUM(CASE WHEN {pos_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS pos
+  FROM {table}
+  WHERE ({score_sql}) IS NOT NULL AND ({pos_pred_sql}) IS NOT NULL
+  GROUP BY s
+),
+__cum AS (
+  SELECT cnt, pos, cnt - pos AS neg,
+         CAST(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(pos) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cumpos,
+         CAST(SUM(pos) OVER () AS BIGINT) AS n1
+  FROM __g
+),
+__p AS (
+  SELECT pos, neg,
+         CAST(2 * ((cum - cumpos) - neg) + neg AS DECIMAL(19,0)) AS p2,
+         CAST(2 * (n1 - cumpos) + pos AS DECIMAL(19,0)) AS q2
+  FROM __cum
+),
+__agg AS (
+  SELECT SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+         CAST(SUM(CAST(pos AS DECIMAL(19,0)) * p2) AS DECIMAL(38,0)) AS a2,
+         CAST(SUM(CAST(pos AS DECIMAL(19,0))
+                  * CAST(p2 * p2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS qa2,
+         CAST(SUM(CAST(neg AS DECIMAL(19,0)) * q2) AS DECIMAL(38,0)) AS b2,
+         CAST(SUM(CAST(neg AS DECIMAL(19,0))
+                  * CAST(q2 * q2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS qb2
+  FROM __p
+),
+__d AS (
+  SELECT n_pos, n_neg, a2, qa2, b2, qb2,
+         CAST(n_pos AS DOUBLE) AS n1d, CAST(n_neg AS DOUBLE) AS n2d
+  FROM __agg
+)
+SELECT n_pos, n_neg,
+       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END, {round_to})
+         AS auc,
+       ROUND(CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END, {round_to})
+         AS se,
+       ROUND(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+         greatest({auc} - {zs} * {se}, 0.0) END, {round_to}) AS lo,
+       ROUND(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+         least({auc} + {zs} * {se}, 1.0) END, {round_to}) AS hi
+FROM __d
+"""

@@ -176,6 +176,10 @@ SHOW = [
     "events_brown_forsythe",
     "events_fdr_hourly",
     "events_policy_replay",
+    "text_auc_delong",
+    "events_sequential_looks",
+    "layout_compaction_plan",
+    "text_token_fertility",
 ]
 
 

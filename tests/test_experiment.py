@@ -501,3 +501,65 @@ def test_policy_replay_hand_oracle(spark):
         "s long, a string, r double, ts_ns long",
     )
     assert policy_replay(df2, "s", "a", "r").collect()[0].policy_arm == "B"
+
+
+def test_sequential_ab_hand_oracle(spark):
+    import duckdb
+    import math as _math
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.experiment import (
+        sequential_ab, sequential_ab_sql,
+    )
+
+    # 4 looks over µs 0..39 (10 µs each); treatment converts hard in
+    # look 3 so the OBF-ish boundary crosses at look 3, stays decided
+    rows = []
+    us = 0
+    for look in range(4):
+        for i in range(10):
+            t = i % 2 == 0
+            y = look >= 2 and t  # treatment converts 100% from look 3 on
+            rows.append((t, y, us * 1000))
+            us += 1
+    df = spark.createDataFrame(rows, "t boolean, y boolean, ts_ns long")
+    bounds = [3.0, 2.5, 2.0, 1.8]
+    out = sequential_ab(
+        df, F.col("t"), F.col("y"), boundaries=bounds
+    ).collect()
+
+    # pure-Python oracle
+    cum = {"nt": 0, "st": 0, "nc": 0, "sc": 0}
+    exp = []
+    decided = False
+    for k in range(4):
+        seg = rows[k * 10:(k + 1) * 10]
+        cum["nt"] += sum(1 for t, y, _ in seg if t)
+        cum["st"] += sum(1 for t, y, _ in seg if t and y)
+        cum["nc"] += sum(1 for t, y, _ in seg if not t)
+        cum["sc"] += sum(1 for t, y, _ in seg if not t and y)
+        pa = cum["st"] / cum["nt"]
+        pb = cum["sc"] / cum["nc"]
+        pp = (cum["st"] + cum["sc"]) / (cum["nt"] + cum["nc"])
+        se2 = pp * (1 - pp) * (1 / cum["nt"] + 1 / cum["nc"])
+        z = round((pa - pb) / _math.sqrt(se2), 9) if se2 > 0 else None
+        crossed = z is not None and abs(z) >= bounds[k]
+        decided = decided or crossed
+        exp.append((k + 1, cum["nt"], cum["st"], cum["nc"], cum["sc"],
+                    z, bounds[k], crossed, decided))
+    assert [tuple(r) for r in out] == exp
+    assert any(r.crossed for r in out)
+    # decided stays latched after the first crossing
+    first = next(r.look for r in out if r.crossed)
+    assert all(r.decided for r in out if r.look >= first)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (t BOOLEAN, y BOOLEAN, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO t SELECT ?, ?, make_timestamp(?)",
+        [(t, y, ns // 1000) for t, y, ns in rows],
+    )
+    duck = con.execute(
+        sequential_ab_sql("t", "t", "y", boundaries=bounds)
+    ).fetchall()
+    assert [tuple(r) for r in out] == duck

@@ -106,3 +106,34 @@ def test_zorder_rejects_bad_config(spark):
         zorder_key([("x", 0.0, 1.0)] * 8, bits=8)  # 64 bits overflows
     with pytest.raises(ValueError):
         zorder_key_sql([("x", 5.0, 5.0)])
+
+
+def test_compaction_plan_hand_oracle(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.layout import (
+        compaction_plan, compaction_plan_sql,
+    )
+
+    rows = [
+        ("a", 30), ("a", 30), ("a", 50),   # 110 bytes @40 -> 3 files
+        ("b", 45), ("b", 10),              # 55 -> 2 files, one oversize
+        ("c", 120),                        # 120 -> 3 files, oversize doc
+    ]
+    df = spark.createDataFrame(rows, "src string, b long")
+    out = {r.part: r for r in compaction_plan(
+        df, "src", "b", target_bytes=40).collect()}
+    assert (out["a"].n_files, out["a"].oversize_docs) == (3, 1)
+    assert out["a"].avg_file_bytes == 110 // 3
+    assert (out["b"].n_files, out["b"].oversize_docs) == (2, 1)
+    assert (out["c"].n_files, out["c"].largest_doc) == (3, 120)
+    assert out["a"].fill_ratio == round(110 / (3 * 40), 6)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src VARCHAR, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(
+        compaction_plan_sql("t", "src", "b", target_bytes=40)
+    ).fetchall()
+    assert [tuple(r) for r in compaction_plan(
+        df, "src", "b", target_bytes=40).collect()] == duck

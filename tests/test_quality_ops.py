@@ -633,3 +633,38 @@ def test_script_lang_matrix(spark):
     s = [tuple(r) for r in Q.script_lang_matrix(df, "doc_id", "text", "lang").collect()]
     d = con.execute(Q.script_lang_matrix_sql("sdocs", "doc_id", "text", "lang")).fetchall()
     assert s == [tuple(r) for r in d]
+
+
+def test_token_fertility_hand_oracle(spark):
+    import duckdb
+
+    from bullet_storm_spark.operators.quality import (
+        token_fertility, token_fertility_sql,
+    )
+    from bullet_storm_spark.functions.text import (
+        bpe_token_count_sql, token_count_sql,
+    )
+
+    rows = [
+        (1, "hello world program"),        # latin, 3 ws tokens
+        (2, "the quick brown fox jumps"),  # latin
+        (3, "это тест на кириллице"),      # cyrillic
+        (4, "1234 5678"),                  # no script chars -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.script: r for r in token_fertility(df, "text").collect()}
+    assert set(out) == {"latin", "cyrillic", "und"}
+    assert out["latin"].n_docs == 2
+    assert out["cyrillic"].n_docs == 1
+    # whitespace tokens by hand
+    assert out["latin"].ws_tokens == 3 + 5
+    # ratios: one division from the integer sums
+    lat = out["latin"]
+    assert lat.chars_per_bpe == round(lat.chars / lat.bpe_tokens, 6)
+    assert lat.bpe_per_ws == round(lat.bpe_tokens / lat.ws_tokens, 6)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(token_fertility_sql("t", "text")).fetchall()
+    assert [tuple(r) for r in token_fertility(df, "text").collect()] == duck

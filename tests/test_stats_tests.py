@@ -1107,3 +1107,60 @@ def test_brown_forsythe_hand_oracle(spark):
         [("g1", 1.0), ("g1", 2.0)], "g string, v double"
     )
     assert brown_forsythe(df1, "g", "v").collect()[0].f_stat is None
+
+
+def test_auc_delong_hand_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.stats_tests import (
+        auc_delong, auc_rank_sum, auc_delong_sql,
+    )
+
+    rows = AUC_ROWS  # ties across classes at score 2.0
+    df = spark.createDataFrame(rows, "s double, y long")
+    out = auc_delong(df, "s", F.col("y") == 1).collect()[0]
+
+    # point estimate must equal the rank-sum AUC exactly
+    ref = auc_rank_sum(df, "s", F.col("y") == 1).collect()[0]
+    assert out.auc == ref.auc
+    assert (out.n_pos, out.n_neg) == (ref.n_pos, ref.n_neg)
+
+    # pure-Python DeLong oracle via placement values
+    pos = sorted(r[0] for r in rows if r[1] == 1)
+    neg = sorted(r[0] for r in rows if r[1] == 0)
+    n1, n2 = len(pos), len(neg)
+    p = [
+        (sum(1 for v in neg if v < s) + 0.5 * sum(1 for v in neg if v == s))
+        / n2
+        for s in pos
+    ]
+    q = [
+        (sum(1 for v in pos if v > s) + 0.5 * sum(1 for v in pos if v == s))
+        / n1
+        for s in neg
+    ]
+    auc = sum(p) / n1
+    # mean of q is ALSO the AUC (placements of positives above each
+    # negative), not 1-AUC — the classic DeLong orientation slip
+    s10 = sum((x - auc) ** 2 for x in p) / (n1 - 1)
+    s01 = sum((x - auc) ** 2 for x in q) / (n2 - 1)
+    se = math.sqrt(s10 / n1 + s01 / n2)
+    assert out.auc == round(auc, 9)
+    assert abs(out.se - se) < 1e-9
+    assert out.lo <= out.auc <= out.hi
+    assert 0.0 <= out.lo and out.hi <= 1.0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s DOUBLE, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(auc_delong_sql("t", "s", "y = 1")).fetchall()
+    assert [tuple(r) for r in auc_delong(
+        df, "s", F.col("y") == 1).collect()] == duck
+
+    # single positive: SE undefined -> NULLs, AUC still defined
+    df1 = spark.createDataFrame(
+        [(1.0, 1), (0.5, 0), (0.2, 0)], "s double, y long"
+    )
+    o1 = auc_delong(df1, "s", F.col("y") == 1).collect()[0]
+    assert o1.auc == 1.0 and o1.se is None and o1.lo is None
