@@ -291,14 +291,16 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run decides
         # steady-state criterion at SF_DIR (r8, was best-of-2 in r3-r7):
-        # rerun until the LAST run lands within 15% of the running min
-        # (min 2, cap 4 runs), report the min. A single sample is exposed
-        # to driver-JVM GC pauses and daemon-pool hiccups (observed
-        # 0.6s-vs-3.7s swings on identical plans), and best-of-2 still
-        # recorded four phantom 1.7-2.6x "regressions" in BENCH_r07 on a
-        # loaded machine — the convergence criterion keeps sampling while
-        # the machine is visibly unsettled instead of trusting two draws.
-        # Every run executes end-to-end to a driver count, nothing cached.
+        # rerun until the TWO SMALLEST runs agree within 10% (cap 6),
+        # report the min — a reproduced floor, not a lucky draw. A single
+        # sample is exposed to driver-JVM GC pauses and daemon-pool
+        # hiccups (observed 0.6s-vs-3.7s swings on identical plans), and
+        # best-of-2 recorded four phantom 1.7-2.6x "regressions" in
+        # BENCH_r07 on a loaded machine. (A first-cut "last run within
+        # 15% of min" rule was trivially satisfied by any DESCENDING pair
+        # — [3.0, 2.0] stopped at two runs far above the floor — hence
+        # the two-smallest form.) Every run executes end-to-end to a
+        # driver count, nothing cached.
         # METHODOLOGY: "queries" carries the steady (min) number; the
         # first timed run is reported in "queries_detail" as "cold" plus
         # the full run list, so rounds compare on both axes.
@@ -309,9 +311,10 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             n = df.count()
             runs.append(time.perf_counter() - t0)
-            if len(runs) >= 2 and runs[-1] <= min(runs) * 1.15:
+            s = sorted(runs)
+            if len(runs) >= 2 and s[1] <= s[0] * 1.10:
                 break
-            if len(runs) >= 4:
+            if len(runs) >= 6:
                 break
         dt = min(runs)
         timings[name] = round(dt, 3)
@@ -376,9 +379,10 @@ def main() -> None:
             t0 = time.perf_counter()
             engine.process_batch(events_batch)
             runs.append(time.perf_counter() - t0)
-            if len(runs) >= 2 and runs[-1] <= min(runs) * 1.15:
+            s = sorted(runs)
+            if len(runs) >= 2 and s[1] <= s[0] * 1.10:
                 break
-            if len(runs) >= 4:
+            if len(runs) >= 6:
                 break
         dt = min(runs)
         name = f"streaming_multiplex_{n_queries}q_batch"

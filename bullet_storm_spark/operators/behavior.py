@@ -234,7 +234,7 @@ def retention_cohorts(df: DataFrame, round_to: int = 6) -> DataFrame:
     of the cohort were active. Day arithmetic is integer epoch-days (the
     engines' shared resolution); ``retention`` = n_active / cohort_size
     rounded."""
-    ev = df.select("user_id", (_ts_us() / _US_PER_DAY).cast("bigint").alias("__day"))
+    ev = df.select("user_id", F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("__day"))
     first = ev.groupBy("user_id").agg(F.min("__day").alias("cohort_day"))
     sizes = first.groupBy("cohort_day").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_size")
@@ -1181,7 +1181,7 @@ def ltv_curve(df: DataFrame, round_to: int = 9) -> DataFrame:
 
     ev = df.select(
         "user_id",
-        (_ts_us() / _US_PER_DAY).cast("bigint").alias("__day"),
+        F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("__day"),
         F.col("value").cast("double").alias("__v"),
     )
     first = ev.groupBy("user_id").agg(F.min("__day").alias("cohort_day"))

@@ -788,13 +788,25 @@ def fdr_bh(
     the corpus first), so the global rank window and 1-row k* broadcast
     are domain-bounded, never data-bounded."""
     alpha = int(alpha_permille)
-    base = tests.select(
-        F.col(test_col).alias("test"),
-        F.col(num_col).cast("long").alias("p_num"),
-        F.col(den_col).cast("long").alias("p_den"),
-    ).withColumn(
-        "p_value",
-        F.col("p_num").cast("double") / F.col("p_den").cast("double"),
+    base = (
+        tests.select(
+            F.col(test_col).alias("test"),
+            F.col(num_col).cast("long").alias("p_num"),
+            F.col(den_col).cast("long").alias("p_den"),
+        )
+        # a test without a valid rational p carries no evidence and is
+        # dropped BEFORE ranking: a NULL p_value would rank nulls-FIRST
+        # in Spark but nulls-LAST in DuckDB's ROW_NUMBER, shifting every
+        # other test's rank and flipping boundary rejections cross-engine
+        .where(
+            F.col("p_num").isNotNull()
+            & F.col("p_den").isNotNull()
+            & (F.col("p_den") > 0)
+        )
+        .withColumn(
+            "p_value",
+            _div(F.col("p_num").cast("double"), F.col("p_den").cast("double")),
+        )
     )
     w = Window.orderBy("p_value", "test")
     ranked = base.select(
@@ -860,6 +872,8 @@ WITH __t AS (
          CAST({den_col} AS BIGINT) AS p_den,
          CAST({num_col} AS DOUBLE) / CAST({den_col} AS DOUBLE) AS p_value
   FROM ({tests_sql})
+  WHERE ({num_col}) IS NOT NULL AND ({den_col}) IS NOT NULL
+    AND ({den_col}) > 0
 ),
 __r AS (
   SELECT test, p_num, p_den, p_value,
@@ -909,7 +923,11 @@ def empirical_hourly_pvalues(
     counts; everything downstream is calendar-bounded (keys × days ×
     24)."""
     counts = (
-        df.select(
+        # NULL keys drop: a NULL monitoring slice is meaningless, and the
+        # test-id concat would diverge cross-engine (concat_ws skips
+        # NULLs, || propagates them)
+        df.where(F.col(key_col).isNotNull())
+        .select(
             F.col(key_col).alias("__k"),
             F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("__day"),
             F.expr(
@@ -979,7 +997,7 @@ FROM (
     SELECT {key_sql} AS k, epoch_us(ts) // {_US_PER_DAY} AS day,
            (epoch_us(ts) // {_US_PER_HOUR}) % 24 AS hod,
            COUNT(*)::BIGINT AS cnt
-    FROM {table} GROUP BY k, day, hod
+    FROM {table} WHERE ({key_sql}) IS NOT NULL GROUP BY k, day, hod
   ),
   __bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM __c),
   __spine AS (
@@ -1082,14 +1100,12 @@ def policy_replay(
     policy = (
         train.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
-        .select(
-            "__s",
-            F.col("__a").alias("policy_arm"),
-            F.col("__n").alias("__n_train_arm"),
-        )
+        .select("__s", F.col("__a").alias("policy_arm"))
     )
-    n_train = tagged.where(F.col("__train")).groupBy("__s").agg(
-        F.count(F.lit(1)).cast("long").alias("n_train")
+    # n_train derives from the (slice, arm) aggregate — re-aggregating
+    # the corpus-sized tagged frame would be a second full scan
+    n_train = train.groupBy("__s").agg(
+        F.sum("__n").cast("long").alias("n_train")
     )
     test = tagged.where(~F.col("__train"))
     per_slice = (
@@ -1169,7 +1185,7 @@ __policy AS (
   ) WHERE rk = 1
 ),
 __ntr AS (
-  SELECT s, COUNT(*)::BIGINT AS n_train FROM __tag WHERE train GROUP BY s
+  SELECT s, SUM(n)::BIGINT AS n_train FROM __train GROUP BY s
 ),
 __ps AS (
   SELECT t.s, p.policy_arm, COUNT(*)::BIGINT AS n_test,
@@ -1306,6 +1322,8 @@ def sequential_ab_sql(
     round_to: int = 9,
 ) -> str:
     k = len(boundaries)
+    if k < 1:
+        raise ValueError("need at least one look boundary")
     bcase = " ".join(
         f"WHEN look = {i} THEN {float(b)!r}"
         for i, b in enumerate(boundaries, start=1)

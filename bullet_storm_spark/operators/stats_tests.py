@@ -1988,8 +1988,10 @@ def mann_whitney_u(
     """One-row Mann-Whitney U test (Wilcoxon rank-sum) between two
     arms — the nonparametric two-sample location test for metrics too
     skewed for welch_t (Mann & Whitney, Ann. Math. Stat. 1947). Output
-    ``(n_a, n_b, u_a, z)``: the U statistic of arm A and its normal
-    approximation with the tie-corrected variance
+    ``(n_a, n_b, u2_a, z)``: the DOUBLED U statistic of arm A (2·U —
+    doubling keeps tie midranks integral, the auc_rank_sum rank_sum2
+    convention; halve for the textbook U) and its normal approximation
+    with the tie-corrected variance
 
         z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
 
@@ -1998,8 +2000,9 @@ def mann_whitney_u(
     DECIMAL(38,0) (t³ via three (12,0)-operand multiplies, exact far
     past any real tie group), so both engines reach ONE fixed IEEE
     expression from identical integers. Rows matching neither predicate
-    (or with NULL value/predicates) are excluded; z is NULL when either
-    arm is empty or every value is tied (zero variance).
+    (or with NULL value/predicates) are excluded; a row matching BOTH
+    predicates counts toward arm A only — pass disjoint arms. z is NULL
+    when either arm is empty or every value is tied (zero variance).
 
     Scale: one distinct-value collapse (support-sized — pre-round a
     continuous metric, the ks_drift contract), one cumulative window
