@@ -530,6 +530,7 @@ from bullet_storm_spark.operators import distribution as _dist
 from bullet_storm_spark.operators import correlate as _correl
 from bullet_storm_spark.operators import privacy as _priv
 from bullet_storm_spark.operators import isotonic as _iso
+from bullet_storm_spark.operators import diagnostics as _diag
 
 # winnowing window/gram config shared by the fingerprint + pair entries
 _WINNOW_KW = dict(k=8, w=16)
@@ -4109,6 +4110,98 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         lambda s, d: _qual.token_fertility(_docs(s, d), "text"),
         _qual.token_fertility_sql("documents", "text"),
     ),
+    # --- r8 series-diagnostics family (diagnostics.py) ---
+    # hourly-count autocorrelation at lags 1..6 + running Ljung-Box Q:
+    # the residual-whiteness pre-flight for the forecast family
+    "events_acf": (
+        lambda s, d: _diag.acf(load_table(s, d, "events"), max_lag=6),
+        _diag.acf_sql("events", max_lag=6),
+    ),
+    # Wald-Wolfowitz runs test around the exact hourly median: detects
+    # one-sided excursions the ACF's linear view misses
+    "events_runs_test": (
+        lambda s, d: _diag.runs_test(load_table(s, d, "events")),
+        _diag.runs_test_sql("events"),
+    ),
+    # Grubbs max-outlier: names the single worst hour per type with a
+    # studentized magnitude (vs robust_outliers' MAD fence list)
+    "events_grubbs": (
+        lambda s, d: _diag.grubbs(load_table(s, d, "events")),
+        _diag.grubbs_sql("events"),
+    ),
+    # Pettitt rank changepoint: nonparametric single change-point,
+    # the distribution-free complement to events_changepoint (binseg)
+    "events_pettitt": (
+        lambda s, d: _diag.pettitt(load_table(s, d, "events")),
+        _diag.pettitt_sql("events"),
+    ),
+    # Kendall tau-b between hourly count and hourly value mass: the
+    # pair-inversion rank association (spearman's tau complement)
+    "corr_kendall_hourly": (
+        lambda s, d: _correl.kendall_tau_hourly(load_table(s, d, "events")),
+        _correl.kendall_tau_hourly_sql("events"),
+    ),
+    # McNemar paired-rule test: do the 45-token and 200-char quality
+    # rules disagree one-sidedly on the same documents?
+    "text_mcnemar_rules": (
+        lambda s, d: _stats.mcnemar(
+            _docs(s, d),
+            F.size(_text.tokens("text")) >= 45,
+            F.col("n_chars") >= 200,
+        ),
+        _stats.mcnemar_sql(
+            "documents",
+            f"len({_text.tokens_sql('text')}) >= 45",
+            "n_chars >= 200",
+        ),
+    ),
+    # post-stratified ATE over the 4-cohort covariate: the imbalance-
+    # robust estimator the plain welch/z readouts should defer to.
+    # Treatment comes from an INDEPENDENT id digit (user_id div 4) —
+    # user_id % 2 would be perfectly confounded with the % 4 strata
+    # (every stratum single-armed -> estimator correctly empty)
+    "events_poststrat_ate": (
+        lambda s, d: _exp.poststrat_ate(
+            load_table(s, d, "events"),
+            F.pmod(F.col("user_id"), F.lit(4)),
+            F.pmod(F.expr("user_id div 4"), F.lit(2)) == 0,
+            "value",
+        ),
+        _exp.poststrat_ate_sql(
+            "events", "user_id % 4", "(user_id // 4) % 2 = 0", "value"
+        ),
+    ),
+    # embedding-space anisotropy: exact all-pairs average cosine via the
+    # Gram identity (one vector sum, no pair generation) + norm drift
+    "embed_anisotropy": (
+        lambda s, d: _sim.anisotropy_audit(
+            load_table(s, d, "embeddings"), "embedding"
+        ),
+        _sim.anisotropy_audit_sql("embeddings", "embedding"),
+    ),
+    # contrastive hard negatives: mid-band cosine neighbors (confusable,
+    # below the dup threshold) for the first 8 vectors
+    "ann_hard_negatives": (
+        lambda s, d: _sim.hard_negatives(
+            load_table(s, d, "embeddings"),
+            "vec_id",
+            "embedding",
+            F.col("vec_id") < 8,
+            lo=0.30,
+            hi=0.90,
+            k=5,
+        ),
+        _sim.hard_negatives_sql(
+            "embeddings", "vec_id", "embedding", "id < 8",
+            lo=0.30, hi=0.90, k=5,
+        ),
+    ),
+    # Herfindahl concentration of token mass across sources + the
+    # effective-source count: the cross-source Gini complement
+    "corpus_source_hhi": (
+        lambda s, d: _conc.hhi(_docs(s, d), "source", "text"),
+        _conc.hhi_sql("documents", "source", "text"),
+    ),
 }
 
 
@@ -4224,8 +4317,12 @@ _DRIVER_PRIORITY = [
     # text_fleiss_kappa, events_cochran_armitage, events_brown_forsythe,
     # events_fdr_hourly, events_policy_replay, text_auc_delong,
     # events_sequential_looks, layout_compaction_plan,
-    # text_token_fertility), padded with the oldest previously-green
-    # entries for drift re-checks if under 50.
+    # text_token_fertility) and the second r8 batch (events_acf,
+    # events_runs_test, events_grubbs, events_pettitt,
+    # corr_kendall_hourly, text_mcnemar_rules, events_poststrat_ate,
+    # embed_anisotropy, ann_hard_negatives, corpus_source_hhi), padded
+    # with the oldest previously-green entries for drift re-checks if
+    # under 50.
 ]
 
 

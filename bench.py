@@ -220,6 +220,16 @@ HEADLINE = [
     "events_sequential_looks",
     "layout_compaction_plan",
     "text_token_fertility",
+    "events_acf",
+    "events_runs_test",
+    "events_grubbs",
+    "events_pettitt",
+    "corr_kendall_hourly",
+    "text_mcnemar_rules",
+    "events_poststrat_ate",
+    "embed_anisotropy",
+    "ann_hard_negatives",
+    "corpus_source_hhi",
 ]
 
 

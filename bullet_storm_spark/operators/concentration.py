@@ -130,3 +130,67 @@ SELECT source, n_docs, CAST(s0 AS BIGINT) AS total_tokens,
 FROM __a
 ORDER BY source
 """
+
+
+def hhi(df: DataFrame, group_col: str, text_col: str, round_to: int = 9) -> DataFrame:
+    """One-row Herfindahl-Hirschman concentration of token mass across
+    sources: ``(n_sources, total_tokens, hhi, effective_sources)`` where
+    ``hhi = Σ_s (M_s/M)² = (Σ M_s²)/M²`` over per-source token masses
+    and ``effective_sources = 1/hhi`` (the "numbers equivalent", Adelman
+    REStat 1969) — how many EQUAL-sized sources the mix behaves like.
+
+    The cross-source complement to ``token_concentration``'s
+    within-source Gini: a 50-source mix where one crawl holds 80% of
+    tokens trains like a 1.5-source mix, and every source-level quota or
+    mixture weight silently inherits that skew. Exact integer masses,
+    DECIMAL(38,0) squares (M_s² overflows int64 past ~3·10⁹ tokens per
+    source — routine at 100 TB), two IEEE finishes. NULL when the corpus
+    has no tokens.
+
+    Scale posture: one scan (map-side-combined per-source mass, sources
+    are a bounded dimension), one source-sized reduction."""
+    per = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            token_count(text_col).cast("long").alias("__x"),
+        )
+        .groupBy("__g")
+        .agg(F.sum(F.col("__x").cast(_EXACT)).cast(_EXACT).alias("__m"))
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("__m").cast(_EXACT).alias("__tot"),
+        F.sum(F.col("__m") * F.col("__m")).cast(_EXACT).alias("__sq"),
+    )
+    h = _div(_d2d(F.col("__sq")), _d2d(F.col("__tot") * F.col("__tot")))
+    return agg.select(
+        "n_sources",
+        F.col("__tot").cast("long").alias("total_tokens"),
+        F.round(h, round_to).alias("hhi"),
+        F.round(_div(F.lit(1.0), h), round_to).alias("effective_sources"),
+    )
+
+
+def hhi_sql(table: str, group_col: str, text_col: str, round_to: int = 9) -> str:
+    d = "DECIMAL(38,0)"
+    return f"""
+WITH __per AS (
+  SELECT {group_col} AS g,
+         CAST(SUM(CAST({token_count_sql(text_col)}::BIGINT AS {d})) AS {d}) AS m
+  FROM {table} GROUP BY g
+),
+__a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(m) AS {d}) AS tot,
+         CAST(SUM(m * m) AS {d}) AS sq
+  FROM __per
+)
+SELECT n_sources, CAST(tot AS BIGINT) AS total_tokens,
+       ROUND(CASE WHEN tot > 0
+                  THEN {_d2d_sql('sq')} / {_d2d_sql('tot * tot')} END,
+             {round_to}) AS hhi,
+       ROUND(CASE WHEN tot > 0 AND sq > 0
+                  THEN 1.0 / ({_d2d_sql('sq')} / {_d2d_sql('tot * tot')}) END,
+             {round_to}) AS effective_sources
+FROM __a
+"""

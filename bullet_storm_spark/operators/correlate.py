@@ -36,6 +36,8 @@ from bullet_storm_spark.operators.stats_tests import (
     _d2d,
     _d2d_sql,
     _div,
+    _q6,
+    _q6_sql,
 )
 
 
@@ -364,4 +366,147 @@ SELECT p.id AS {id_col}, p.k AS {key_col}, p.v AS {value_col},
        CAST(dr AS DOUBLE) / CAST(2 * n AS DOUBLE) AS pct_rank
 FROM __p p JOIN __r r ON p.k = r.k AND p.v = r.v
 ORDER BY {key_col}, {id_col}
+"""
+
+
+def kendall_tau_hourly(
+    df: DataFrame, key_col: str = "event_type", round_to: int = 9
+) -> DataFrame:
+    """Per-key Kendall τ-b between the hourly event COUNT and the hourly
+    VALUE mass over the densified calendar spine: ``(key, n_hours,
+    concordant, discordant, tau_b)`` ordered by key (Kendall Biometrika
+    1938; τ-b tie form per Agresti 2010 §2.1.2) — does "busier hours
+    carry proportionally more value" hold monotonically, the rank
+    complement to ``spearman`` that weighs pair inversions instead of
+    rank displacement (τ is less sensitive to a few large displacements).
+
+        τ-b = (C − D) / sqrt((n₀ − T_x)(n₀ − T_y)),  n₀ = n(n−1)/2
+
+    C/D count concordant/discordant hour pairs; T_x/T_y count pairs tied
+    on each variable (pairs tied on both are in both T's — the τ-b
+    convention). The y series is the per-hour Σ of the (18,6)-quantized
+    value — an EXACT decimal, so pair comparisons are exact in both
+    engines; all counts are integers with decimal(38,0) products, one
+    IEEE finish. NULL τ when either variable is constant.
+
+    Scale posture: the mann_kendall shape — one corpus collapse to
+    calendar-bounded (key, hour) cells, span²-bounded pair comparisons
+    per key behind a key equi-join (trend.py:383 precedent)."""
+    ex = "decimal(38,0)"
+    obs = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            F.expr("(ts_ns div 1000) div 3600000000").alias("hour"),
+            _q6(F.col("value")).alias("__v"),
+        )
+        .groupBy("__key", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum(F.col("__v").cast(_MOMENT)).cast(_MOMENT).alias("__sv"),
+        )
+    )
+    spine = (
+        obs.groupBy("__key")
+        .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))
+        .select(
+            "__key", F.explode(F.sequence("__h0", "__h1")).alias("hour")
+        )
+    )
+    cells = spine.join(obs, ["__key", "hour"], "left").select(
+        "__key",
+        "hour",
+        F.coalesce("__cnt", F.lit(0)).cast("long").alias("x"),
+        F.coalesce("__sv", F.lit(0).cast(_MOMENT)).cast(_MOMENT).alias("y"),
+    )
+    a = cells.select(
+        "__key", F.col("hour").alias("h1"),
+        F.col("x").alias("x1"), F.col("y").alias("y1"),
+    )
+    b = cells.select(
+        "__key", F.col("hour").alias("h2"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    cx = F.signum((F.col("x2") - F.col("x1")).cast("double")).cast("int")
+    cy = F.signum((F.col("y2") - F.col("y1")).cast("double")).cast("int")
+    pairs = (
+        a.join(b, "__key")
+        .where(F.col("h2") > F.col("h1"))
+        .groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n0"),
+            F.sum(F.when(cx * cy > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+            F.sum(F.when(cx * cy < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+            F.sum(F.when(cx == 0, 1).otherwise(0)).cast("long").alias("__tx"),
+            F.sum(F.when(cy == 0, 1).otherwise(0)).cast("long").alias("__ty"),
+        )
+    )
+    nt = cells.groupBy("__key").agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    j = pairs.join(nt, "__key")
+    den = (
+        (F.col("__n0").cast(ex) - F.col("__tx").cast(ex))
+        * (F.col("__n0").cast(ex) - F.col("__ty").cast(ex))
+    )
+    tau = F.round(
+        _div(
+            (F.col("concordant") - F.col("discordant")).cast("double"),
+            F.sqrt(_d2d(den)),
+        ),
+        round_to,
+    )
+    return j.select(
+        F.col("__key").alias("key"),
+        "n_hours",
+        "concordant",
+        "discordant",
+        tau.alias("tau_b"),
+    ).orderBy("key")
+
+
+def kendall_tau_hourly_sql(
+    table: str, key_col: str = "event_type", round_to: int = 9
+) -> str:
+    d = "DECIMAL(38,0)"
+    v = _q6_sql("value")
+    return f"""
+WITH __obs AS (
+  SELECT {key_col} AS key, epoch_us(ts) // 3600000000 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST({v} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sv
+  FROM {table} GROUP BY key, hour
+),
+__spine AS (
+  SELECT o.key, UNNEST(range(o.h0, o.h1 + 1)) AS hour
+  FROM (SELECT key, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM __obs GROUP BY key) o
+),
+__cells AS (
+  SELECT s.key, s.hour,
+         CAST(COALESCE(o.cnt, 0) AS BIGINT) AS x,
+         CAST(COALESCE(o.sv, 0) AS DECIMAL(38,12)) AS y
+  FROM __spine s LEFT JOIN __obs o ON s.key = o.key AND s.hour = o.hour
+),
+__pairs AS (
+  SELECT a.key,
+         CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                          * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                          * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM __cells a JOIN __cells b ON a.key = b.key AND b.hour > a.hour
+  GROUP BY a.key
+),
+__n AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_hours FROM __cells GROUP BY key
+)
+SELECT p.key, n.n_hours, p.concordant, p.discordant,
+       ROUND(CASE WHEN (CAST(p.n0 AS {d}) - p.tx) * (CAST(p.n0 AS {d}) - p.ty) > 0
+                  THEN CAST(p.concordant - p.discordant AS DOUBLE)
+                       / sqrt({_d2d_sql(f'(CAST(p.n0 AS {d}) - p.tx) * (CAST(p.n0 AS {d}) - p.ty)')})
+             END, {round_to}) AS tau_b
+FROM __pairs p JOIN __n n ON p.key = n.key
+ORDER BY p.key
 """

@@ -1393,3 +1393,152 @@ SELECT look, n_t, s_t, n_c, s_c, z, boundary, crossed,
                AND CURRENT ROW) = 1 AS decided
 FROM __c ORDER BY look
 """
+
+
+def poststrat_ate(
+    df: DataFrame,
+    strata_col: Column,
+    treat_pred: Column,
+    value_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row post-stratified average treatment effect: ``(n, n_strata,
+    ate, se, z)`` — the stratified estimator every experiment readout
+    should prefer when assignment is imbalanced across a covariate
+    (Imbens & Rubin 2015 ch. 9 lineage; the estimator itself is the
+    classical survey post-stratification):
+
+        ATE = Σ_s w_s · (ȳ_ts − ȳ_cs),   w_s = n_s / Σ_kept n_s
+        SE² = Σ_s w_s² · (s²_ts/n_ts + s²_cs/n_cs)
+
+    Strata with fewer than 2 rows in EITHER arm are excluded and the
+    weights renormalize over the kept strata (the standard
+    collapse-or-drop small-cell rule, drop flavor — documented, not
+    silent: n counts only kept-strata rows and n_strata the kept
+    strata). Rows with NULL value or NULL stratum are excluded.
+
+    Engine parity: per-stratum moments are the _arm_moments exact
+    decimals; the cross-STRATA combination of the per-stratum IEEE
+    terms runs as an ORDER BY stratum running window, so both engines
+    add the doubles left-to-right in the same order (the fdr_bh
+    cumulative convention; a bare SUM over strata would be
+    partition-order dependent). One final row via last-row selection.
+
+    Scale posture (100 TB): one scan with map-side-combined conditional
+    moments per stratum, then strata-count-sized window work (strata
+    are a handful of cohorts by construction — the single-partition
+    WindowExec is over #strata rows, not data)."""
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(value_col).isNotNull() & strata_col.isNotNull()
+    ).select(strata_col.alias("__s"), treat_pred.alias("__t"), v.alias("__v"))
+    nt, st, qt = _arm_moments(F.col("__v"), F.col("__t"))
+    nc, sc, qc = _arm_moments(F.col("__v"), ~F.col("__t"))
+    strata = base.groupBy("__s").agg(
+        nt.alias("__nt"), st.alias("__st"), qt.alias("__qt"),
+        nc.alias("__nc"), sc.alias("__sc"), qc.alias("__qc"),
+    ).where((F.col("__nt") >= 2) & (F.col("__nc") >= 2))
+    wall = Window.partitionBy()
+    kept = strata.withColumn(
+        "__nk", F.sum(F.col("__nt") + F.col("__nc")).over(wall).cast("long")
+    ).withColumn(
+        "__ns", F.count(F.lit(1)).over(wall).cast("long")
+    )
+    nt_d = F.col("__nt").cast("double")
+    nc_d = F.col("__nc").cast("double")
+    mt = _div(_d2d(F.col("__st")), nt_d)
+    mc = _div(_d2d(F.col("__sc")), nc_d)
+    vt = _div(
+        _d2d(F.col("__qt")) - _div(_d2d(F.col("__st")) * _d2d(F.col("__st")), nt_d),
+        nt_d - F.lit(1.0),
+    )
+    vc = _div(
+        _d2d(F.col("__qc")) - _div(_d2d(F.col("__sc")) * _d2d(F.col("__sc")), nc_d),
+        nc_d - F.lit(1.0),
+    )
+    w_s = (F.col("__nt") + F.col("__nc")).cast("double") / F.col("__nk").cast(
+        "double"
+    )
+    terms = kept.select(
+        "__s", "__nk", "__ns",
+        (w_s * (mt - mc)).alias("__term"),
+        (w_s * w_s * (_div(vt, nt_d) + _div(vc, nc_d))).alias("__se2t"),
+    )
+    wrun = (
+        Window.partitionBy()
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        terms.withColumn("__ate", F.sum("__term").over(wrun))
+        .withColumn("__se2", F.sum("__se2t").over(wrun))
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy().orderBy(F.desc("__s"))),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    se = F.sqrt(F.col("__se2"))
+    return cum.select(
+        F.col("__nk").alias("n"),
+        F.col("__ns").alias("n_strata"),
+        F.round(F.col("__ate"), round_to).alias("ate"),
+        F.round(F.when(F.col("__se2") > 0, se), round_to).alias("se"),
+        F.round(
+            F.when(F.col("__se2") > 0, _div(F.col("__ate"), se)), round_to
+        ).alias("z"),
+    )
+
+
+def poststrat_ate_sql(
+    table: str,
+    strata_sql: str,
+    treat_sql: str,
+    value_sql: str,
+    round_to: int = 9,
+) -> str:
+    arm_t = _arm_sql(value_sql, f"({treat_sql})", "t")
+    arm_c = _arm_sql(value_sql, f"NOT ({treat_sql})", "c")
+    return f"""
+WITH __m AS (
+  SELECT ({strata_sql}) AS s,
+         {arm_t},
+         {arm_c}
+  FROM {table}
+  WHERE ({value_sql}) IS NOT NULL AND ({strata_sql}) IS NOT NULL
+  GROUP BY s
+),
+__kept AS (
+  SELECT *,
+         CAST(SUM(n_t + n_c) OVER () AS BIGINT) AS nk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS ns
+  FROM __m WHERE n_t >= 2 AND n_c >= 2
+),
+__terms AS (
+  SELECT s, nk, ns,
+         (CAST(n_t + n_c AS DOUBLE) / CAST(nk AS DOUBLE))
+           * ({_d2d_sql('s_t')} / CAST(n_t AS DOUBLE)
+              - {_d2d_sql('s_c')} / CAST(n_c AS DOUBLE)) AS term,
+         (CAST(n_t + n_c AS DOUBLE) / CAST(nk AS DOUBLE))
+           * (CAST(n_t + n_c AS DOUBLE) / CAST(nk AS DOUBLE))
+           * ((({_d2d_sql('q_t')} - {_d2d_sql('s_t')} * {_d2d_sql('s_t')}
+                / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0))
+                / CAST(n_t AS DOUBLE)
+              + (({_d2d_sql('q_c')} - {_d2d_sql('s_c')} * {_d2d_sql('s_c')}
+                  / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0))
+                / CAST(n_c AS DOUBLE)) AS se2t
+  FROM __kept
+),
+__cum AS (
+  SELECT nk, ns,
+         SUM(term) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS ate,
+         SUM(se2t) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS se2,
+         ROW_NUMBER() OVER (ORDER BY s DESC) AS rn
+  FROM __terms
+)
+SELECT nk AS n, ns AS n_strata,
+       ROUND(ate, {round_to}) AS ate,
+       ROUND(CASE WHEN se2 > 0 THEN sqrt(se2) END, {round_to}) AS se,
+       ROUND(CASE WHEN se2 > 0 THEN ate / sqrt(se2) END, {round_to}) AS z
+FROM __cum WHERE rn = 1
+"""

@@ -28,7 +28,13 @@ from typing import Iterator
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from bullet_storm_spark.functions.vectors import as_double, cosine, cosine_sql, dot
+from bullet_storm_spark.functions.vectors import (
+    as_double,
+    cosine,
+    cosine_sql,
+    dot,
+    norm,
+)
 
 LSH_SEED = 42
 
@@ -844,4 +850,192 @@ SELECT query_id, neighbor_id, rrf,
 FROM __fused
 QUALIFY rank <= {k}
 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining + anisotropy audit
+# ---------------------------------------------------------------------------
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    lo: float,
+    hi: float,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k hard negatives per query: the corpus rows whose cosine to
+    the query falls in the [lo, hi) band — similar enough to be
+    confusable, below the near-duplicate threshold — ranked by cosine
+    descending. Output ``(query_id, neighbor_id, cos, rank)``.
+
+    The contrastive-training companion to ``brute_force_neighbors``:
+    in-batch random negatives saturate quickly; retrieval/embedding
+    fine-tuning wants negatives from exactly this band (hardest
+    non-duplicates — e.g. DPR, Karpukhin et al. EMNLP'20 §3.2 picks
+    them from BM25/ANN candidates). Keep ``hi`` at or below the dedup
+    threshold so actual duplicates (false negatives for training) are
+    excluded. The band compare runs on the ALREADY-ROUNDED cosine, so
+    band edges are exact in both engines (the round-then-compare
+    convention of the dedup family).
+
+    Scale posture: identical to brute_force_neighbors — broadcast the
+    bounded query set (query_pred is the caller's contract to keep it
+    small), scan-side cosine, per-query top-k window. For corpus-scale
+    query sets use the IVF/LSH index paths and band-filter their
+    candidate output instead.
+
+    Zero-norm vectors are excluded up front (cosine is undefined on
+    them; under ANSI the division would raise once the band predicate
+    forces cosine evaluation on every pair)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
+        norm(as_double(F.col(vec_col))) > 0
+    )
+    queries = base.where(query_pred).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(base, F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+        )
+        .where((F.col("cos") >= lo) & (F.col("cos") < hi))
+    )
+    return _rank_topk(pairs, k)
+
+
+def hard_negatives_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    lo: float,
+    hi: float,
+    k: int = 5,
+    round_to: int = 6,
+) -> str:
+    cos = f"ROUND({cosine_sql('q.qv', 'c.v')}, {round_to})"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+  WHERE sqrt(list_inner_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) > 0
+),
+q AS (SELECT id AS query_id, v AS qv FROM base WHERE {query_pred_sql}),
+band AS (
+  SELECT query_id, id AS neighbor_id, {cos} AS cos
+  FROM q JOIN base c ON q.query_id <> c.id
+  WHERE {cos} >= {lo!r} AND {cos} < {hi!r}
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER)
+         AS rank
+FROM band
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def anisotropy_audit(
+    df: DataFrame, vec_col: str, round_to: int = 6
+) -> DataFrame:
+    """One-row embedding-space anisotropy audit: ``(n, mean_norm,
+    avg_pairwise_cos)`` where avg_pairwise_cos is the EXACT average
+    cosine over all n(n−1)/2 pairs of the unit-normalized vectors —
+    computed without any pair generation via the Gram identity
+
+        Σ_{i≠j} v̂_i·v̂_j = ‖Σ v̂‖² − n        (‖v̂_i‖ = 1)
+
+    so the all-pairs statistic is one vector sum. High average cosine
+    is the anisotropy / representation-degeneration signature
+    (Ethayarajh EMNLP'19; Gao et al. ICLR'19): embeddings collapsing
+    into a narrow cone, which silently inflates every cosine-based
+    dedup/ANN threshold calibrated on a healthier space. mean_norm (of
+    the RAW vectors) catches norm drift from a new encoder checkpoint.
+    Zero-norm vectors are excluded (and counted out of n).
+
+    Engine parity: per-row normalization is index-ordered expression
+    math (bit-identical, the functions/vectors.py contract); normalized
+    components quantize to decimal(18,9) via the text hop and sum
+    exactly per dimension (the centroid_drift convention,
+    anomaly.py:645); the dim-bounded ‖·‖² finish runs on 9dp-rounded
+    per-dim sums. Scale: one scan + one dim-keyed aggregation (≤ dim
+    rows) + a 1-row reduction."""
+    nrm = norm(as_double(F.col(vec_col)))
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("__v"), nrm.alias("__n"))
+        .where(F.col("__n") > 0)
+    )
+    q6n = F.col("__n").cast("string").cast("decimal(18,6)")
+    unit = F.transform(
+        as_double(F.col("__v")), lambda x: x / F.col("__n")
+    )
+    ex = base.select(
+        q6n.alias("__q6n"), F.posexplode(unit).alias("dim", "__u")
+    )
+    _uq9 = F.col("__u").cast("string").cast("decimal(18,9)")
+    dims = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.sum(_uq9.cast("decimal(38,9)")).cast("decimal(38,9)").alias("__s"),
+        F.sum(F.when(F.col("dim") == 0, F.col("__q6n")).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("__norms"),
+    )
+    s9 = F.round(F.col("__s").cast("string").cast("double"), 9)
+    out = dims.agg(
+        F.max("__cnt").alias("n"),
+        F.sum(s9 * s9).alias("__q"),
+        F.max(F.col("__norms").cast("string").cast("double")).alias("__sn"),
+    )
+    n_d = F.col("n").cast("double")
+    return out.select(
+        "n",
+        F.round(F.col("__sn") / n_d, round_to).alias("mean_norm"),
+        F.round(
+            F.try_divide(F.col("__q") - n_d, n_d * (n_d - F.lit(1.0))),
+            round_to,
+        ).alias("avg_pairwise_cos"),
+    )
+
+
+def anisotropy_audit_sql(table: str, vec_col: str, round_to: int = 6) -> str:
+    nrm = f"sqrt(list_inner_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))"
+    return f"""
+WITH __b AS (
+  SELECT {vec_col}::DOUBLE[] AS v, {nrm} AS nr,
+         CAST(CAST({nrm} AS VARCHAR) AS DECIMAL(18,6)) AS q6n
+  FROM {table}
+  WHERE {vec_col} IS NOT NULL AND {nrm} > 0
+),
+__e AS (
+  SELECT q6n, CAST(i - 1 AS INTEGER) AS dim, v[i] / nr AS u
+  FROM __b, UNNEST(generate_series(1, len(v))) AS __x(i)
+),
+__d AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(CAST(CAST(u AS VARCHAR) AS DECIMAL(18,9))
+                       AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s,
+         CAST(SUM(CASE WHEN dim = 0 THEN q6n END) AS DECIMAL(38,6)) AS norms
+  FROM __e GROUP BY dim
+),
+__a AS (
+  SELECT MAX(cnt) AS n,
+         SUM(ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 9)
+             * ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 9)) AS q,
+         MAX(CAST(CAST(norms AS VARCHAR) AS DOUBLE)) AS sn
+  FROM __d
+)
+SELECT n,
+       ROUND(sn / CAST(n AS DOUBLE), {round_to}) AS mean_norm,
+       ROUND((q - CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+             {round_to}) AS avg_pairwise_cos
+FROM __a
 """

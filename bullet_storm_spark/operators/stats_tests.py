@@ -2703,3 +2703,71 @@ SELECT n_pos, n_neg,
          least({auc} + {zs} * {se}, 1.0) END, {round_to}) AS hi
 FROM __d
 """
+
+
+def mcnemar(
+    df: DataFrame,
+    rule_a: Column,
+    rule_b: Column,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row McNemar test for two paired binary rules over the same
+    rows (McNemar Psychometrika 1947): ``(n, n_both, n_a_only,
+    n_b_only, n_neither, chi2_cc)`` with the continuity-corrected
+
+        χ² = (max(|b − c| − 1, 0))² / (b + c)
+
+    where b/c are the discordant counts (A-only / B-only). The filter-
+    migration readout: swapping quality rule A for rule B, the marginal
+    pass rates can look identical while b+c says how many documents
+    actually flip — and χ² whether the flips are one-sided. Compare
+    against the literal χ²₁ quantile (3.841459 at 5%) — no p-value
+    (erf), the module convention. Rows where either rule is NULL are
+    excluded; χ² is NULL when b + c = 0 (no discordant pairs). The
+    max(…, 0) clamp keeps |b−c| ≤ 1 cases at 0 instead of the spurious
+    1/(b+c) the naive corrected formula yields. Single-pass conditional
+    aggregation — no shuffle beyond the 1-row agg."""
+    a = rule_a.cast("boolean")
+    b = rule_b.cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    one = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        one(F.col("__a") & F.col("__b")).alias("n_both"),
+        one(F.col("__a") & ~F.col("__b")).alias("n_a_only"),
+        one(~F.col("__a") & F.col("__b")).alias("n_b_only"),
+        one(~F.col("__a") & ~F.col("__b")).alias("n_neither"),
+    )
+    d = F.greatest(
+        F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1, F.lit(0)
+    ).cast("double")
+    chi2 = _div(d * d, (F.col("n_a_only") + F.col("n_b_only")).cast("double"))
+    return agg.select(
+        "n", "n_both", "n_a_only", "n_b_only", "n_neither",
+        F.round(chi2, round_to).alias("chi2_cc"),
+    )
+
+
+def mcnemar_sql(
+    table: str, rule_a_sql: str, rule_b_sql: str, round_to: int = 9
+) -> str:
+    return f"""
+WITH __m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ({rule_a_sql}) AND ({rule_b_sql}) THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(SUM(CASE WHEN ({rule_a_sql}) AND NOT ({rule_b_sql}) THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+         CAST(SUM(CASE WHEN NOT ({rule_a_sql}) AND ({rule_b_sql}) THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+         CAST(SUM(CASE WHEN NOT ({rule_a_sql}) AND NOT ({rule_b_sql}) THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+  FROM {table}
+  WHERE ({rule_a_sql}) IS NOT NULL AND ({rule_b_sql}) IS NOT NULL
+)
+SELECT n, n_both, n_a_only, n_b_only, n_neither,
+       ROUND(CASE WHEN n_a_only + n_b_only > 0
+                  THEN CAST(GREATEST(abs(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
+                       * CAST(GREATEST(abs(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
+                       / CAST(n_a_only + n_b_only AS DOUBLE)
+             END, {round_to}) AS chi2_cc
+FROM __m
+"""

@@ -93,6 +93,10 @@ _ALL_PAIRS_VERIFIERS = {
     #                         hash-joined postings (its own 1-row stats
     #                         cross is the allowed scalar broadcast) and
     #                         the fusion joins rank lists only
+    "ann_hard_negatives",  # band-filtered variant of the brute-force
+    #                        verifier: same broadcast contract-bounded
+    #                        |Q|; the scale path band-filters IVF/LSH
+    #                        candidates instead (operator docstring)
 }
 
 
