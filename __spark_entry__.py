@@ -4202,6 +4202,52 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         lambda s, d: _conc.hhi(_docs(s, d), "source", "text"),
         _conc.hhi_sql("documents", "source", "text"),
     ),
+    # Fisher randomization test at the user level: 200 deterministic
+    # md5 re-assignments, add-one empirical p — the distribution-free
+    # companion to welch_t, fully hash-checkable
+    "events_permutation_pvalue": (
+        lambda s, d: _exp.permutation_test(
+            load_table(s, d, "events"),
+            "user_id",
+            F.col("user_id") % 2 == 0,
+            "value",
+            n_perm=200,
+        ),
+        _exp.permutation_test_sql(
+            "events", "user_id", "user_id % 2 = 0", "value", n_perm=200
+        ),
+    ),
+    # empirical-Bayes beta-binomial shrinkage of per-cohort conversion
+    # rates: the small-cell ranking fix (3/4 must not beat 700/1000)
+    "events_eb_shrunk_rates": (
+        lambda s, d: _exp.eb_shrunk_rates(
+            load_table(s, d, "events"),
+            F.pmod(F.col("user_id"), F.lit(20)),
+            F.col("value") >= 50.0,
+        ),
+        _exp.eb_shrunk_rates_sql("events", "user_id % 20", "value >= 50.0"),
+    ),
+    # Church-Gale term burstiness: content-vs-function-word separation
+    # from dispersion alone (no stopword list)
+    "text_term_burstiness": (
+        lambda s, d: _vocab.term_burstiness(
+            _docs(s, d), "doc_id", "text", min_df=20, top_k=40
+        ),
+        _vocab.term_burstiness_sql(
+            "documents", "doc_id", "text", min_df=20, top_k=40
+        ),
+    ),
+    # does the embedding space organize around the labels? NMI between
+    # the frozen-centroid clustering and the label column
+    "embed_cluster_nmi": (
+        lambda s, d: _sim.cluster_label_nmi(
+            load_table(s, d, "embeddings"), "embedding", "label",
+            n_centroids=8, dim=64,
+        ),
+        _sim.cluster_label_nmi_sql(
+            "embeddings", "embedding", "label", n_centroids=8, dim=64
+        ),
+    ),
 }
 
 
@@ -4320,9 +4366,10 @@ _DRIVER_PRIORITY = [
     # text_token_fertility) and the second r8 batch (events_acf,
     # events_runs_test, events_grubbs, events_pettitt,
     # corr_kendall_hourly, text_mcnemar_rules, events_poststrat_ate,
-    # embed_anisotropy, ann_hard_negatives, corpus_source_hhi), padded
-    # with the oldest previously-green entries for drift re-checks if
-    # under 50.
+    # embed_anisotropy, ann_hard_negatives, corpus_source_hhi) and the
+    # third r8 batch (events_permutation_pvalue, events_eb_shrunk_rates,
+    # text_term_burstiness, embed_cluster_nmi), padded with the oldest
+    # previously-green entries for drift re-checks if under 50.
 ]
 
 

@@ -230,6 +230,10 @@ HEADLINE = [
     "embed_anisotropy",
     "ann_hard_negatives",
     "corpus_source_hhi",
+    "events_permutation_pvalue",
+    "events_eb_shrunk_rates",
+    "text_term_burstiness",
+    "embed_cluster_nmi",
 ]
 
 

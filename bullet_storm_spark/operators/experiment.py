@@ -1542,3 +1542,317 @@ SELECT nk AS n, ns AS n_strata,
        ROUND(CASE WHEN se2 > 0 THEN ate / sqrt(se2) END, {round_to}) AS z
 FROM __cum WHERE rn = 1
 """
+
+
+_HASH_SCALE = float(1 << 32)
+
+
+def permutation_test(
+    df: DataFrame,
+    id_col: str,
+    treat_pred: Column,
+    value_col: str,
+    n_perm: int = 200,
+    salt: str = "perm",
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row randomization test of the difference in means, permuting
+    treatment at the UNIT level (Fisher 1935; the modern A/A-replay
+    form): ``(n_units, n_events, n_perm, d_obs, n_ge, p_num, p_den, p)``
+    where p = (1 + #{|d_k| ≥ |d_obs|}) / (n_perm + 1) — the add-one form
+    that never returns p = 0 (Phipson & Smyth SAGMB 2010).
+
+    The distribution-free companion to welch_t: no normality, no
+    variance formula — the null is built by deterministically
+    re-assigning each unit via md5(unit:salt:k) < 0.5 (the
+    sampling.hash_fraction construction with a per-replicate salt), so
+    both engines generate THE SAME permutations and the whole test is
+    hash-checkable. Assignment permutes at the id level — the
+    cluster-randomized unit treatment actually varies on — while d is
+    the event-level mean difference.
+
+    Engine parity: one collapse to per-unit (Σ_q6 value, count) exact
+    decimals; every d_k and d_obs is the identical two-division IEEE
+    expression over exact sums, so the |d_k| ≥ |d_obs| comparison is
+    bit-deterministic. A replicate with an empty arm yields NULL d_k
+    and counts as not-exceeding (documented). Scale posture: one
+    unit-keyed shuffle, then a units×n_perm frame (bounded by the
+    unit-dimension size, not the corpus) into one n_perm-sized
+    aggregation."""
+    units = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(id_col).alias("__u"))
+        .agg(
+            F.sum(_q6(F.col(value_col).cast("double")).cast(_MOMENT))
+            .cast(_MOMENT)
+            .alias("__sv"),
+            F.count(F.lit(1)).cast("long").alias("__c"),
+            F.max(treat_pred.cast("int")).alias("__t"),
+        )
+    )
+    d_expr = lambda st, nt, sc, nc: _div(_d2d(st), nt.cast("double")) - _div(  # noqa: E731
+        _d2d(sc), nc.cast("double")
+    )
+    obs = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__c").cast("long").alias("n_events"),
+        d_expr(
+            F.sum(F.when(F.col("__t") == 1, F.col("__sv")).cast(_MOMENT)),
+            F.sum(F.when(F.col("__t") == 1, F.col("__c")).otherwise(0)),
+            F.sum(F.when(F.col("__t") == 0, F.col("__sv")).cast(_MOMENT)),
+            F.sum(F.when(F.col("__t") == 0, F.col("__c")).otherwise(0)),
+        ).alias("__dobs"),
+    )
+    reps = units.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(n_perm)))
+    ).withColumn(
+        "__a",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("__u").cast("string"),
+                            F.lit(f":{salt}:"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(_HASH_SCALE)
+            < 0.5
+        ).cast("int"),
+    )
+    per_k = reps.groupBy("k").agg(
+        d_expr(
+            F.sum(F.when(F.col("__a") == 1, F.col("__sv")).cast(_MOMENT)),
+            F.sum(F.when(F.col("__a") == 1, F.col("__c")).otherwise(0)),
+            F.sum(F.when(F.col("__a") == 0, F.col("__sv")).cast(_MOMENT)),
+            F.sum(F.when(F.col("__a") == 0, F.col("__c")).otherwise(0)),
+        ).alias("__dk")
+    )
+    tail = per_k.crossJoin(F.broadcast(obs)).agg(
+        F.max("n_units").alias("n_units"),
+        F.max("n_events").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_perm"),
+        F.max("__dobs").alias("__dobs"),
+        F.sum(
+            F.when(F.abs(F.col("__dk")) >= F.abs(F.col("__dobs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ge"),
+    )
+    return tail.select(
+        "n_units",
+        "n_events",
+        "n_perm",
+        F.round(F.col("__dobs"), round_to).alias("d_obs"),
+        "n_ge",
+        (F.lit(1) + F.col("n_ge")).cast("long").alias("p_num"),
+        (F.col("n_perm") + 1).cast("long").alias("p_den"),
+        F.round(
+            (F.lit(1) + F.col("n_ge")).cast("double")
+            / (F.col("n_perm") + 1).cast("double"),
+            round_to,
+        ).alias("p"),
+    )
+
+
+def permutation_test_sql(
+    table: str,
+    id_col: str,
+    treat_sql: str,
+    value_sql: str,
+    n_perm: int = 200,
+    salt: str = "perm",
+    round_to: int = 9,
+) -> str:
+    v6 = _q6_sql(f"CAST({value_sql} AS DOUBLE)")
+    assign = (
+        f"(('0x' || substr(md5(CAST(u AS VARCHAR) || ':{salt}:' ||"
+        f" CAST(k AS VARCHAR)), 1, 8))::BIGINT / {_HASH_SCALE!r} < 0.5)::INTEGER"
+    )
+    d = (
+        "({st} / CAST(NULLIF({nt}, 0) AS DOUBLE)"
+        " - {sc} / CAST(NULLIF({nc}, 0) AS DOUBLE))"
+    )
+    d_obs = d.format(
+        st=_d2d_sql("SUM(CASE WHEN t = 1 THEN sv END)"),
+        nt="SUM(CASE WHEN t = 1 THEN c ELSE 0 END)",
+        sc=_d2d_sql("SUM(CASE WHEN t = 0 THEN sv END)"),
+        nc="SUM(CASE WHEN t = 0 THEN c ELSE 0 END)",
+    )
+    d_k = d.format(
+        st=_d2d_sql("SUM(CASE WHEN a = 1 THEN sv END)"),
+        nt="SUM(CASE WHEN a = 1 THEN c ELSE 0 END)",
+        sc=_d2d_sql("SUM(CASE WHEN a = 0 THEN sv END)"),
+        nc="SUM(CASE WHEN a = 0 THEN c ELSE 0 END)",
+    )
+    return f"""
+WITH __units AS (
+  SELECT {id_col} AS u,
+         CAST(SUM(CAST({v6} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         MAX(({treat_sql})::INTEGER) AS t
+  FROM {table} WHERE ({value_sql}) IS NOT NULL
+  GROUP BY u
+),
+__obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         {d_obs} AS dobs
+  FROM __units
+),
+__reps AS (
+  SELECT u, sv, c, k, {assign} AS a
+  FROM __units, (SELECT UNNEST(range(1, {n_perm} + 1)) AS k)
+),
+__perk AS (
+  SELECT k, {d_k} AS dk FROM __reps GROUP BY k
+),
+__tail AS (
+  SELECT MAX(o.n_units) AS n_units, MAX(o.n_events) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_perm,
+         MAX(o.dobs) AS dobs,
+         CAST(SUM(CASE WHEN abs(p.dk) >= abs(o.dobs) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ge
+  FROM __perk p, __obs o
+)
+SELECT n_units, n_events, n_perm,
+       ROUND(dobs, {round_to}) AS d_obs,
+       n_ge,
+       CAST(1 + n_ge AS BIGINT) AS p_num,
+       CAST(n_perm + 1 AS BIGINT) AS p_den,
+       ROUND(CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE),
+             {round_to}) AS p
+FROM __tail
+"""
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    item_col: Column,
+    success_pred: Column,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-item empirical-Bayes beta-binomial shrinkage of success
+    rates: ``(item, n_trials, n_success, rate, alpha, beta,
+    shrunk_rate)`` ordered by item (Robbins 1956 lineage; the
+    method-of-moments prior fit per Morris JASA'83 practice).
+
+    The small-cell fix for every per-item rate table (CTR by slice,
+    conversion by cohort): an item with 3/4 successes should NOT rank
+    above one with 700/1000. The Beta(α, β) prior is fitted by moments
+    on the observed item rates — with m/v the mean/variance of p_i,
+    α+β = m(1−m)/v − 1, α = m·(α+β) — and each item's posterior mean is
+    (s_i + α)/(n_i + α + β). α/β/shrunk are NULL when the moment fit
+    degenerates (v = 0, or fitted α+β ≤ 0 when between-item variance
+    exceeds the binomial bound); the raw rates remain.
+
+    Engine parity: item rates quantize to (18,6) via the text hop and
+    the rate moments accumulate in DECIMAL (the stats_tests
+    convention) — the prior fit and every posterior mean are then fixed
+    IEEE expressions over exact sums. Rows with NULL item or NULL
+    predicate are excluded. One item-keyed aggregation + a 1-row prior
+    broadcast."""
+    base = df.where(item_col.isNotNull() & success_pred.isNotNull()).select(
+        item_col.alias("item"),
+        success_pred.cast("int").alias("__y"),
+    )
+    items = base.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trials"),
+        F.sum("__y").cast("long").alias("n_success"),
+    )
+    p6 = _q6(
+        F.col("n_success").cast("double") / F.col("n_trials").cast("double")
+    )
+    # square the (18,6) directly: (18,6)x(18,6) is (37,12) exact; a
+    # (19,6) operand squares to (39,12), which Spark silently rescales
+    # to scale 11 (the _VAL_DEC comment's Brier-score hazard) — the
+    # (19,6) widening belongs only in the DuckDB twin
+    mom = items.agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum(p6.cast(_MOMENT)).cast(_MOMENT).alias("__sp"),
+        F.sum((p6 * p6).cast(_MOMENT)).cast(_MOMENT).alias("__spp"),
+    )
+    k_d = F.col("__k").cast("double")
+    m = _d2d(F.col("__sp")) / k_d
+    v = _div(
+        _d2d(F.col("__spp")) - (_d2d(F.col("__sp")) * _d2d(F.col("__sp"))) / k_d,
+        k_d - F.lit(1.0),
+    )
+    ab = (m * (F.lit(1.0) - m)) / v - F.lit(1.0)
+    prior = mom.select(
+        F.when((v > 0) & (ab > 0), ab).alias("__ab"),
+        F.when((v > 0) & (ab > 0), m * ab).alias("__alpha"),
+    )
+    j = items.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("n_success").cast("double") + F.col("__alpha")) / (
+        F.col("n_trials").cast("double") + F.col("__ab")
+    )
+    return j.select(
+        "item",
+        "n_trials",
+        "n_success",
+        F.round(
+            F.col("n_success").cast("double") / F.col("n_trials").cast("double"),
+            round_to,
+        ).alias("rate"),
+        F.round(F.col("__alpha"), round_to).alias("alpha"),
+        F.round(F.col("__ab") - F.col("__alpha"), round_to).alias("beta"),
+        F.round(shrunk, round_to).alias("shrunk_rate"),
+    ).orderBy("item")
+
+
+def eb_shrunk_rates_sql(
+    table: str,
+    item_sql: str,
+    success_sql: str,
+    round_to: int = 9,
+) -> str:
+    p6 = _q6_sql(
+        "CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)"
+    )
+    return f"""
+WITH __items AS (
+  SELECT ({item_sql}) AS item,
+         CAST(COUNT(*) AS BIGINT) AS n_trials,
+         CAST(SUM(({success_sql})::INTEGER) AS BIGINT) AS n_success
+  FROM {table}
+  WHERE ({item_sql}) IS NOT NULL AND ({success_sql}) IS NOT NULL
+  GROUP BY item
+),
+__mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST({p6} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sp,
+         CAST(SUM(CAST({p6} AS DECIMAL(19,6)) * CAST({p6} AS DECIMAL(19,6)))
+              AS DECIMAL(38,12)) AS spp
+  FROM __items
+),
+__prior AS (
+  SELECT CASE WHEN v > 0 AND (m * (1.0 - m)) / v - 1.0 > 0
+              THEN (m * (1.0 - m)) / v - 1.0 END AS ab,
+         CASE WHEN v > 0 AND (m * (1.0 - m)) / v - 1.0 > 0
+              THEN m * ((m * (1.0 - m)) / v - 1.0) END AS alpha
+  FROM (
+    SELECT {_d2d_sql('sp')} / CAST(k AS DOUBLE) AS m,
+           ({_d2d_sql('spp')} - ({_d2d_sql('sp')} * {_d2d_sql('sp')})
+              / CAST(k AS DOUBLE))
+             / NULLIF(CAST(k AS DOUBLE) - 1.0, 0.0) AS v
+    FROM __mom
+  )
+)
+SELECT item, n_trials, n_success,
+       ROUND(CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE),
+             {round_to}) AS rate,
+       ROUND(alpha, {round_to}) AS alpha,
+       ROUND(ab - alpha, {round_to}) AS beta,
+       ROUND((CAST(n_success AS DOUBLE) + alpha)
+             / (CAST(n_trials AS DOUBLE) + ab), {round_to}) AS shrunk_rate
+FROM __items, __prior
+ORDER BY item
+"""

@@ -1039,3 +1039,151 @@ SELECT n,
              {round_to}) AS avg_pairwise_cos
 FROM __a
 """
+
+
+def cluster_label_nmi(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    n_centroids: int = 8,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row agreement between an UNSUPERVISED embedding clustering and
+    a label column: ``(n, n_clusters, n_labels, h_cluster, h_label,
+    h_joint, mi, nmi)`` — does the embedding space actually organize
+    around the labels? The space-quality audit that should gate any
+    label-free curation decision (cluster-balanced sampling, SemDeDup
+    pruning): near-zero NMI says the clusters are slicing noise, not
+    semantics.
+
+    Clustering is the frozen-seeded-centroid assignment of
+    ``embedding_outlier_report`` (argmax cosine against literal
+    centroids — production fits centroids offline and ships them as
+    literals). Entropies are the plug-in estimates H = Σ −p·ln p over
+    the contingency cells; MI = H_c + H_l − H_joint and NMI is the
+    arithmetic-mean normalization 2·MI/(H_c + H_l) (Strehl & Ghosh
+    JMLR'02). Per-cell entropy terms round to 9dp and sum in DECIMAL —
+    order-free across partitions AND engines (the lm_score convention,
+    vocab.py:112); ln on identical double inputs is the same de-facto
+    portable libm call the certified entropy entries already rely on.
+    NULL-label rows are excluded. NMI is NULL when either marginal
+    entropy is 0 (single cluster or single label).
+
+    Scale posture: assignment rides the scan; one (cluster, label)
+    contingency aggregation (k·L cells); entropy finishes on the
+    bounded cell frame."""
+    cents = seeded_centroids(dim, n_centroids)
+    v = as_double(F.col("__v"))
+    ranked = F.array_sort(
+        F.transform(
+            _planes_lit(cents),
+            lambda c, i: F.struct(
+                (-dot(v, c)).alias("nd"), i.cast("int").alias("i")
+            ),
+        )
+    )
+    cells = (
+        df.where(F.col(label_col).isNotNull())
+        .select(
+            F.col(vec_col).alias("__v"), F.col(label_col).alias("__l")
+        )
+        .select(F.element_at(ranked, 1)["i"].alias("__c"), "__l")
+        .groupBy("__c", "__l")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    tot = cells.agg(F.sum("__cnt").cast("long").alias("__n"))
+    j = cells.crossJoin(F.broadcast(tot))
+
+    def _ent(cnt):
+        p = cnt.cast("double") / F.col("__n").cast("double")
+        return F.sum(
+            F.round(-p * F.log(p), 9).cast("decimal(38,9)")
+        ).cast("double")
+
+    marg_c = j.groupBy("__c", "__n").agg(F.sum("__cnt").cast("long").alias("__m"))
+    marg_l = j.groupBy("__l", "__n").agg(F.sum("__cnt").cast("long").alias("__m"))
+    h_c = marg_c.agg(
+        _ent(F.col("__m")).alias("h_cluster"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("__n").alias("__n1"),
+    )
+    h_l = marg_l.agg(
+        _ent(F.col("__m")).alias("h_label"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    h_j = j.agg(_ent(F.col("__cnt")).alias("h_joint"))
+    out = h_c.crossJoin(F.broadcast(h_l)).crossJoin(F.broadcast(h_j))
+    mi = F.col("h_cluster") + F.col("h_label") - F.col("h_joint")
+    denom = F.col("h_cluster") + F.col("h_label")
+    return out.select(
+        F.col("__n1").alias("n"),
+        "n_clusters",
+        "n_labels",
+        F.round("h_cluster", round_to).alias("h_cluster"),
+        F.round("h_label", round_to).alias("h_label"),
+        F.round("h_joint", round_to).alias("h_joint"),
+        F.round(mi, round_to).alias("mi"),
+        F.round(
+            F.when(
+                (F.col("h_cluster") > 0) & (F.col("h_label") > 0),
+                (F.lit(2.0) * mi) / denom,
+            ),
+            round_to,
+        ).alias("nmi"),
+    )
+
+
+def cluster_label_nmi_sql(
+    table: str,
+    vec_col: str,
+    label_col: str,
+    n_centroids: int = 8,
+    dim: int = 64,
+    round_to: int = 6,
+) -> str:
+    cents = seeded_centroids(dim, n_centroids)
+    entries = ", ".join(
+        "{'nd': -list_dot_product(v::DOUBLE[], ["
+        + ", ".join(repr(x) for x in c)
+        + f"]), 'i': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    ent = (
+        "CAST(SUM(CAST(ROUND(-(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE)), 9)"
+        " AS DECIMAL(38,9))) AS DOUBLE)"
+    )
+    return f"""
+WITH __b AS (
+  SELECT {vec_col}::DOUBLE[] AS v, {label_col} AS l
+  FROM {table} WHERE {label_col} IS NOT NULL
+),
+__cells AS (
+  SELECT (list_sort([{entries}]))[1].i AS c, l,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM __b GROUP BY c, l
+),
+__t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM __cells),
+__j AS (SELECT c, l, cnt, n FROM __cells, __t),
+__hc AS (
+  SELECT {ent.format(c='m')} AS h_cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters, MAX(n) AS n
+  FROM (SELECT c, n, CAST(SUM(cnt) AS BIGINT) AS m FROM __j GROUP BY c, n)
+),
+__hl AS (
+  SELECT {ent.format(c='m')} AS h_label,
+         CAST(COUNT(*) AS BIGINT) AS n_labels
+  FROM (SELECT l, n, CAST(SUM(cnt) AS BIGINT) AS m FROM __j GROUP BY l, n)
+),
+__hj AS (SELECT {ent.format(c='cnt')} AS h_joint FROM __j)
+SELECT n, n_clusters, n_labels,
+       ROUND(h_cluster, {round_to}) AS h_cluster,
+       ROUND(h_label, {round_to}) AS h_label,
+       ROUND(h_joint, {round_to}) AS h_joint,
+       ROUND(h_cluster + h_label - h_joint, {round_to}) AS mi,
+       ROUND(CASE WHEN h_cluster > 0 AND h_label > 0
+                  THEN (2.0 * (h_cluster + h_label - h_joint))
+                       / (h_cluster + h_label) END, {round_to}) AS nmi
+FROM __hc, __hl, __hj
+"""

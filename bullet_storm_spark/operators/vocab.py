@@ -1454,3 +1454,113 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
              {round_to}) AS discount
 FROM __big
 """
+
+
+def term_burstiness(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 20,
+    top_k: int = 40,
+) -> DataFrame:
+    """Top-``top_k`` burstiest terms: ``(token, doc_freq, term_freq,
+    in_doc_mean, fano)`` ordered by fano desc, token asc — Church &
+    Gale's observation (JNLE 1995) that content words arrive in BURSTS
+    (a document that mentions a term once tends to mention it again)
+    while function words arrive ~Poisson. ``fano`` is the index of
+    dispersion of the per-document count INCLUDING zero-count documents
+    (var/mean; 1 = Poisson, ≫1 = bursty) and ``in_doc_mean`` is
+    E[c | c > 0], Church-Gale's burstiness proper.
+
+    The keyword/topicality signal that needs no stopword list: ranking
+    by fano surfaces content terms and buries function words even
+    though both have huge raw frequencies — the corpus-statistics
+    complement to RAKE (keywords.py) and TF-IDF (retrieval.py).
+
+    Engine parity: with N docs, Σc and Σc² over present docs (zeros
+    contribute nothing to either), fano = (N·Σc² − (Σc)²)/(N·Σc) is one
+    IEEE division over DECIMAL(38,0)-exact integers. Terms below
+    ``min_df`` documents are excluded (their dispersion estimate is
+    noise). Deterministic LIMIT boundary: fano is a ratio of exact
+    integers so ties are exact, broken by token asc.
+
+    Scale posture: one (doc, token) collapse, one vocab-sized
+    aggregation, a 1-row N broadcast, TakeOrdered top-k."""
+    ex = "decimal(38,0)"
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    per_doc = tok.groupBy("__doc", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_term = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum(F.col("__c").cast(ex)).cast(ex).alias("__sc"),
+        F.sum(F.col("__c").cast(ex) * F.col("__c").cast(ex))
+        .cast(ex)
+        .alias("__scc"),
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    j = per_term.where(F.col("doc_freq") >= min_df).crossJoin(
+        F.broadcast(n_docs)
+    )
+    fano = F.round(
+        F.try_divide(
+            F.col("__scc").cast("string").cast("double") * F.col("__n").cast("double")
+            - F.col("__sc").cast("string").cast("double")
+            * F.col("__sc").cast("string").cast("double"),
+            F.col("__sc").cast("string").cast("double") * F.col("__n").cast("double"),
+        ),
+        9,
+    )
+    return (
+        j.select(
+            "token",
+            "doc_freq",
+            F.col("__sc").cast("long").alias("term_freq"),
+            F.round(
+                F.col("__sc").cast("string").cast("double")
+                / F.col("doc_freq").cast("double"),
+                9,
+            ).alias("in_doc_mean"),
+            fano.alias("fano"),
+        )
+        .orderBy(F.desc("fano"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def term_burstiness_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_df: int = 20,
+    top_k: int = 40,
+) -> str:
+    d = "DECIMAL(38,0)"
+    d2d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH __tok AS (
+  SELECT {id_col} AS doc, UNNEST({tokens_sql(text_col)}) AS token
+  FROM {table}
+),
+__pd AS (
+  SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM __tok WHERE token <> '' GROUP BY doc, token
+),
+__pt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         CAST(SUM(CAST(c AS {d})) AS {d}) AS sc,
+         CAST(SUM(CAST(c AS {d}) * CAST(c AS {d})) AS {d}) AS scc
+  FROM __pd GROUP BY token
+),
+__n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table})
+SELECT token, doc_freq, CAST(sc AS BIGINT) AS term_freq,
+       ROUND({d2d('sc')} / CAST(doc_freq AS DOUBLE), 9) AS in_doc_mean,
+       ROUND(({d2d('scc')} * CAST(n AS DOUBLE) - {d2d('sc')} * {d2d('sc')})
+             / NULLIF({d2d('sc')} * CAST(n AS DOUBLE), 0.0), 9) AS fano
+FROM __pt, __n
+WHERE doc_freq >= {min_df}
+ORDER BY fano DESC, token ASC
+LIMIT {top_k}
+"""
