@@ -1092,32 +1092,45 @@ def cluster_label_nmi(
         .groupBy("__c", "__l")
         .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     )
-    tot = cells.agg(F.sum("__cnt").cast("long").alias("__n"))
-    j = cells.crossJoin(F.broadcast(tot))
+    # single-scan finish: marginals/total as windows over the k*L cell
+    # frame (cells are bounded, so the unpartitioned window is over a
+    # handful of rows, not data) — a CTE-per-entropy diamond would
+    # recompute the corpus scan once per branch (the triangle_stats
+    # recompute trap, SCALING.md)
+    wc = Window.partitionBy("__c")
+    wl = Window.partitionBy("__l")
+    g = (
+        cells.withColumn("__n", F.sum("__cnt").over(Window.partitionBy()).cast("long"))
+        .withColumn("__mc", F.sum("__cnt").over(wc).cast("long"))
+        .withColumn("__ml", F.sum("__cnt").over(wl).cast("long"))
+        .withColumn("__rc", F.row_number().over(wc.orderBy("__l")))
+        .withColumn("__rl", F.row_number().over(wl.orderBy("__c")))
+    )
 
-    def _ent(cnt):
+    def _term(cnt):
         p = cnt.cast("double") / F.col("__n").cast("double")
-        return F.sum(
-            F.round(-p * F.log(p), 9).cast("decimal(38,9)")
-        ).cast("double")
+        return F.round(-p * F.log(p), 9).cast("decimal(38,9)")
 
-    marg_c = j.groupBy("__c", "__n").agg(F.sum("__cnt").cast("long").alias("__m"))
-    marg_l = j.groupBy("__l", "__n").agg(F.sum("__cnt").cast("long").alias("__m"))
-    h_c = marg_c.agg(
-        _ent(F.col("__m")).alias("h_cluster"),
-        F.count(F.lit(1)).cast("long").alias("n_clusters"),
-        F.max("__n").alias("__n1"),
+    agg = g.agg(
+        F.max("__n").alias("n"),
+        F.sum(F.when(F.col("__rc") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clusters"),
+        F.sum(F.when(F.col("__rl") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_labels"),
+        F.sum(F.when(F.col("__rc") == 1, _term(F.col("__mc"))))
+        .cast("double")
+        .alias("h_cluster"),
+        F.sum(F.when(F.col("__rl") == 1, _term(F.col("__ml"))))
+        .cast("double")
+        .alias("h_label"),
+        F.sum(_term(F.col("__cnt"))).cast("double").alias("h_joint"),
     )
-    h_l = marg_l.agg(
-        _ent(F.col("__m")).alias("h_label"),
-        F.count(F.lit(1)).cast("long").alias("n_labels"),
-    )
-    h_j = j.agg(_ent(F.col("__cnt")).alias("h_joint"))
-    out = h_c.crossJoin(F.broadcast(h_l)).crossJoin(F.broadcast(h_j))
     mi = F.col("h_cluster") + F.col("h_label") - F.col("h_joint")
     denom = F.col("h_cluster") + F.col("h_label")
-    return out.select(
-        F.col("__n1").alias("n"),
+    return agg.select(
+        "n",
         "n_clusters",
         "n_labels",
         F.round("h_cluster", round_to).alias("h_cluster"),
@@ -1149,10 +1162,9 @@ def cluster_label_nmi_sql(
         + f"]), 'i': {i}}}"
         for i, c in enumerate(cents)
     )
-    ent = (
-        "CAST(SUM(CAST(ROUND(-(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
+    term = (
+        "ROUND(-(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
         " * ln(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE)), 9)"
-        " AS DECIMAL(38,9))) AS DOUBLE)"
     )
     return f"""
 WITH __b AS (
@@ -1164,19 +1176,29 @@ __cells AS (
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM __b GROUP BY c, l
 ),
-__t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM __cells),
-__j AS (SELECT c, l, cnt, n FROM __cells, __t),
-__hc AS (
-  SELECT {ent.format(c='m')} AS h_cluster,
-         CAST(COUNT(*) AS BIGINT) AS n_clusters, MAX(n) AS n
-  FROM (SELECT c, n, CAST(SUM(cnt) AS BIGINT) AS m FROM __j GROUP BY c, n)
+__g AS (
+  SELECT c, l, cnt,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY c) AS BIGINT) AS mc,
+         CAST(SUM(cnt) OVER (PARTITION BY l) AS BIGINT) AS ml,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY l) AS rc,
+         ROW_NUMBER() OVER (PARTITION BY l ORDER BY c) AS rl
+  FROM __cells
 ),
-__hl AS (
-  SELECT {ent.format(c='m')} AS h_label,
-         CAST(COUNT(*) AS BIGINT) AS n_labels
-  FROM (SELECT l, n, CAST(SUM(cnt) AS BIGINT) AS m FROM __j GROUP BY l, n)
-),
-__hj AS (SELECT {ent.format(c='cnt')} AS h_joint FROM __j)
+__a AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CASE WHEN rc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+         CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_labels,
+         CAST(SUM(CASE WHEN rc = 1
+                       THEN CAST({term.format(c='mc')} AS DECIMAL(38,9)) END)
+              AS DOUBLE) AS h_cluster,
+         CAST(SUM(CASE WHEN rl = 1
+                       THEN CAST({term.format(c='ml')} AS DECIMAL(38,9)) END)
+              AS DOUBLE) AS h_label,
+         CAST(SUM(CAST({term.format(c='cnt')} AS DECIMAL(38,9))) AS DOUBLE)
+           AS h_joint
+  FROM __g
+)
 SELECT n, n_clusters, n_labels,
        ROUND(h_cluster, {round_to}) AS h_cluster,
        ROUND(h_label, {round_to}) AS h_label,
@@ -1185,5 +1207,5 @@ SELECT n, n_clusters, n_labels,
        ROUND(CASE WHEN h_cluster > 0 AND h_label > 0
                   THEN (2.0 * (h_cluster + h_label - h_joint))
                        / (h_cluster + h_label) END, {round_to}) AS nmi
-FROM __hc, __hl, __hj
+FROM __a
 """
