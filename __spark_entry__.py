@@ -4237,6 +4237,55 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "documents", "doc_id", "text", min_df=20, top_k=40
         ),
     ),
+    # REAL WAV decode -> loudness/health triage: RMS, DC offset, clip
+    # rate — integer-exact decode columns, IEEE ratio finishes
+    "multimodal_wav_loudness": (
+        lambda s, d: _mm.decode_wav_loudness(
+            _mm.synthesize_wav(_docs(s, d), "doc_id")
+        ),
+        _mm.wav_loudness_sql("documents", "doc_id"),
+    ),
+    # intraclass correlation + Kish design effect over users: the
+    # variance-inflation honesty check for user-randomized experiments
+    "events_icc_users": (
+        lambda s, d: _exp.icc_design_effect(
+            load_table(s, d, "events"), "user_id", "value"
+        ),
+        _exp.icc_design_effect_sql("events", "user_id", "value"),
+    ),
+    # is quantity<->price real or just the discount? first-order partial
+    # correlation from one moment pass
+    "corr_partial_qty_price": (
+        lambda s, d: _correl.partial_correlation(
+            load_table(s, d, "lineitem"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ),
+        _correl.partial_correlation_sql(
+            "lineitem", "l_quantity", "l_extendedprice", "l_discount"
+        ),
+    ),
+    # candidate-pair cosine histogram over the LSH buckets: the dedup
+    # threshold calibration table (near-dup mode vs random bulk)
+    "embed_cos_histogram": (
+        lambda s, d: _sim.cosine_histogram(
+            load_table(s, d, "embeddings"), "vec_id", "embedding",
+            nbits=4, dim=64,
+        ),
+        _sim.cosine_histogram_sql(
+            "embeddings", "vec_id", "embedding", nbits=4, dim=64
+        ),
+    ),
+    # JSON property-bag drift between event-id halves: which keys
+    # appeared/vanished/changed share — the upstream contract alarm
+    "events_props_key_drift": (
+        lambda s, d: _profile.json_key_drift(
+            load_table(s, d, "events"), "props",
+            F.col("event_id") % 2 == 1,
+        ),
+        _profile.json_key_drift_sql("events", "props", "event_id % 2 = 1"),
+    ),
     # does the embedding space organize around the labels? NMI between
     # the frozen-centroid clustering and the label column
     "embed_cluster_nmi": (
@@ -4368,8 +4417,10 @@ _DRIVER_PRIORITY = [
     # corr_kendall_hourly, text_mcnemar_rules, events_poststrat_ate,
     # embed_anisotropy, ann_hard_negatives, corpus_source_hhi) and the
     # third r8 batch (events_permutation_pvalue, events_eb_shrunk_rates,
-    # text_term_burstiness, embed_cluster_nmi), padded with the oldest
-    # previously-green entries for drift re-checks if under 50.
+    # text_term_burstiness, embed_cluster_nmi) and the fourth
+    # (multimodal_wav_loudness, events_icc_users, corr_partial_qty_price,
+    # embed_cos_histogram, events_props_key_drift), padded with the
+    # oldest previously-green entries for drift re-checks if under 50.
 ]
 
 

@@ -234,6 +234,11 @@ HEADLINE = [
     "events_eb_shrunk_rates",
     "text_term_burstiness",
     "embed_cluster_nmi",
+    "multimodal_wav_loudness",
+    "events_icc_users",
+    "corr_partial_qty_price",
+    "embed_cos_histogram",
+    "events_props_key_drift",
 ]
 
 

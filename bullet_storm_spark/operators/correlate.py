@@ -510,3 +510,149 @@ SELECT p.key, n.n_hours, p.concordant, p.discordant,
 FROM __pairs p JOIN __n n ON p.key = n.key
 ORDER BY p.key
 """
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row first-order partial correlation: ``(n, r_xy, r_xz, r_yz,
+    r_xy_z)`` — the x↔y association with the confounder z regressed
+    out of both (Fisher 1924 recursion):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²))
+
+    The "is this correlation real or just z" pre-flight for any pair a
+    pipeline is about to treat as a signal (e.g. quantity↔price looks
+    correlated until discount is controlled). Listwise completeness
+    (rows with a NULL in ANY of the three columns are excluded — the
+    correlation_matrix contract).
+
+    Engine parity: every pairwise moment (Σx, Σx², Σxy for the three
+    pairs) comes from the SAME single map-side-combined aggregation in
+    (18,6)-quantized decimals (the correlation_matrix convention); the
+    three r's and the partial are fixed IEEE expressions. NULL when
+    either conditioning correlation is ±1 (degenerate denominator) or
+    any variance is 0."""
+    q = lambda c: _q6(F.col(c).cast("double"))  # noqa: E731
+    base = df.where(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    ).select(q(x_col).alias("__x"), q(y_col).alias("__y"), q(z_col).alias("__z"))
+    s = lambda c: F.sum(F.col(c).cast(_MOMENT)).cast(_MOMENT)  # noqa: E731
+    sp = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a) * F.col(b)).cast(_MOMENT)
+    ).cast(_MOMENT)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        s("__x").alias("__sx"), s("__y").alias("__sy"), s("__z").alias("__sz"),
+        sp("__x", "__x").alias("__qx"), sp("__y", "__y").alias("__qy"),
+        sp("__z", "__z").alias("__qz"),
+        sp("__x", "__y").alias("__pxy"), sp("__x", "__z").alias("__pxz"),
+        sp("__y", "__z").alias("__pyz"),
+    )
+    n_d = F.col("n").cast("double")
+
+    def corr(pab, sa, sb, qa, qb):
+        num = (n_d * _d2d(F.col(pab))) - (_d2d(F.col(sa)) * _d2d(F.col(sb)))
+        va = F.greatest(
+            (n_d * _d2d(F.col(qa))) - (_d2d(F.col(sa)) * _d2d(F.col(sa))),
+            F.lit(0.0),
+        )
+        vb = F.greatest(
+            (n_d * _d2d(F.col(qb))) - (_d2d(F.col(sb)) * _d2d(F.col(sb))),
+            F.lit(0.0),
+        )
+        return _div(num, F.sqrt(va * vb))
+
+    withr = agg.select(
+        "n",
+        corr("__pxy", "__sx", "__sy", "__qx", "__qy").alias("__rxy"),
+        corr("__pxz", "__sx", "__sz", "__qx", "__qz").alias("__rxz"),
+        corr("__pyz", "__sy", "__sz", "__qy", "__qz").alias("__ryz"),
+    )
+    den = F.sqrt(
+        (F.lit(1.0) - F.col("__rxz") * F.col("__rxz"))
+        * (F.lit(1.0) - F.col("__ryz") * F.col("__ryz"))
+    )
+    return withr.select(
+        "n",
+        F.round(F.col("__rxy"), round_to).alias("r_xy"),
+        F.round(F.col("__rxz"), round_to).alias("r_xz"),
+        F.round(F.col("__ryz"), round_to).alias("r_yz"),
+        F.round(
+            _div(
+                F.col("__rxy") - F.col("__rxz") * F.col("__ryz"), den
+            ),
+            round_to,
+        ).alias("r_xy_z"),
+    )
+
+
+def partial_correlation_sql(
+    table: str,
+    x_sql: str,
+    y_sql: str,
+    z_sql: str,
+    round_to: int = 9,
+) -> str:
+    def q(e):
+        return _q6_sql(f"CAST({e} AS DOUBLE)")
+
+    def w(e):
+        return f"CAST({e} AS DECIMAL(19,6))"
+
+    cols = {"x": q(x_sql), "y": q(y_sql), "z": q(z_sql)}
+    sums = ",\n         ".join(
+        f"CAST(SUM(CAST({cols[a]} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s{a}"
+        for a in "xyz"
+    )
+    prods = ",\n         ".join(
+        f"CAST(SUM({w(cols[a])} * {w(cols[b])}) AS DECIMAL(38,12)) AS p{a}{b}"
+        for a, b in ("xx", "yy", "zz", "xy", "xz", "yz")
+    )
+
+    def corr(ab, a, b):
+        num = (
+            f"(CAST(n AS DOUBLE) * {_d2d_sql(f'p{ab}')})"
+            f" - ({_d2d_sql(f's{a}')} * {_d2d_sql(f's{b}')})"
+        )
+        va = (
+            f"GREATEST((CAST(n AS DOUBLE) * {_d2d_sql(f'p{a}{a}')})"
+            f" - ({_d2d_sql(f's{a}')} * {_d2d_sql(f's{a}')}), 0.0)"
+        )
+        vb = (
+            f"GREATEST((CAST(n AS DOUBLE) * {_d2d_sql(f'p{b}{b}')})"
+            f" - ({_d2d_sql(f's{b}')} * {_d2d_sql(f's{b}')}), 0.0)"
+        )
+        return f"({num}) / NULLIF(sqrt({va} * {vb}), 0.0)"
+
+    return f"""
+WITH __m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sums},
+         {prods}
+  FROM {table}
+  WHERE ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL
+        AND ({z_sql}) IS NOT NULL
+),
+__r AS (
+  SELECT n,
+         {corr('xy', 'x', 'y')} AS rxy,
+         {corr('xz', 'x', 'z')} AS rxz,
+         {corr('yz', 'y', 'z')} AS ryz
+  FROM __m
+)
+SELECT n,
+       ROUND(rxy, {round_to}) AS r_xy,
+       ROUND(rxz, {round_to}) AS r_xz,
+       ROUND(ryz, {round_to}) AS r_yz,
+       ROUND((rxy - rxz * ryz)
+             / NULLIF(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 0.0),
+             {round_to}) AS r_xy_z
+FROM __r
+"""

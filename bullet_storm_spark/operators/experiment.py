@@ -1856,3 +1856,144 @@ SELECT item, n_trials, n_success,
 FROM __items, __prior
 ORDER BY item
 """
+
+
+def icc_design_effect(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row intraclass correlation + design effect from a one-way
+    ANOVA over clusters: ``(n, k, msb, msw, icc, m_bar, deff)`` —
+    the cluster-randomization planning pair (Kish 1965; Donner & Klar
+    2000): ICC₁ = (MSB − MSW)/(MSB + (n₀−1)·MSW) with Kish's n₀ =
+    (N − Σn_g²/N)/(k−1) correcting for unequal cluster sizes, and
+    DEFF = 1 + (m̄−1)·ICC for m̄ = N/k. DEFF is the variance-inflation
+    factor a user-randomized experiment pays over unit randomization —
+    the companion every permutation_test / welch readout on clustered
+    assignment needs to size itself honestly.
+
+    Engine parity: grand moments (Σx, Σx²) are the exact _q6 decimals;
+    the cross-cluster Σ s_g²/n_g cannot stay decimal (a division per
+    cluster), so each cluster's term rounds to 9dp and sums in
+    DECIMAL(38,9) — order-free across partitions AND engines (the
+    lm_score rounded-term convention). ICC is clamped to ≥ 0 wherever
+    MSB < MSW (the standard negative-estimate floor) and NULL when
+    dof degenerates (k < 2 or N ≤ k). Rows with NULL value or group
+    are excluded.
+
+    Scale posture: one group-keyed aggregation (map-side combined),
+    then a 1-row reduction over the cluster frame."""
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        _q6(F.col(value_col).cast("double")).alias("__x"),
+    )
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(F.col("__x").cast(_MOMENT)).cast(_MOMENT).alias("__sg"),
+        F.sum((F.col("__x") * F.col("__x")).cast(_MOMENT))
+        .cast(_MOMENT)
+        .alias("__qg"),
+    )
+    ratio = F.round(
+        (_d2d(F.col("__sg")) * _d2d(F.col("__sg")))
+        / F.col("__ng").cast("double"),
+        9,
+    ).cast("decimal(38,9)")
+    agg = per.agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__sg")).cast(_MOMENT).alias("__s"),
+        F.sum(F.col("__qg")).cast(_MOMENT).alias("__q"),
+        F.sum(ratio).cast("decimal(38,9)").alias("__r"),
+        F.sum(
+            F.col("__ng").cast("decimal(38,0)") * F.col("__ng").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__n2"),
+    )
+    n_d = F.col("n").cast("double")
+    k_d = F.col("k").cast("double")
+    r_d = _d2d(F.col("__r"))
+    ssb = r_d - (_d2d(F.col("__s")) * _d2d(F.col("__s"))) / n_d
+    ssw = _d2d(F.col("__q")) - r_d
+    msb = _div(ssb, k_d - F.lit(1.0))
+    msw = _div(ssw, n_d - k_d)
+    n0 = _div(n_d - _d2d(F.col("__n2")) / n_d, k_d - F.lit(1.0))
+    icc = F.greatest(
+        _div(msb - msw, msb + (n0 - F.lit(1.0)) * msw), F.lit(0.0)
+    )
+    m_bar = n_d / k_d
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k"))
+    return agg.select(
+        "n",
+        "k",
+        F.round(F.when(ok, msb), round_to).alias("msb"),
+        F.round(F.when(ok, msw), round_to).alias("msw"),
+        F.round(F.when(ok, icc), round_to).alias("icc"),
+        F.round(m_bar, round_to).alias("m_bar"),
+        F.round(
+            F.when(ok, F.lit(1.0) + (m_bar - F.lit(1.0)) * icc), round_to
+        ).alias("deff"),
+    )
+
+
+def icc_design_effect_sql(
+    table: str,
+    group_sql: str,
+    value_sql: str,
+    round_to: int = 9,
+) -> str:
+    x = _q6_sql(f"CAST({value_sql} AS DOUBLE)")
+    return f"""
+WITH __per AS (
+  SELECT ({group_sql}) AS g,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sg,
+         CAST(SUM(CAST({x} AS DECIMAL(19,6)) * CAST({x} AS DECIMAL(19,6)))
+              AS DECIMAL(38,12)) AS qg
+  FROM {table}
+  WHERE ({value_sql}) IS NOT NULL AND ({group_sql}) IS NOT NULL
+  GROUP BY g
+),
+__agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS DECIMAL(38,12)) AS s,
+         CAST(SUM(qg) AS DECIMAL(38,12)) AS q,
+         CAST(SUM(CAST(ROUND(({_d2d_sql('sg')} * {_d2d_sql('sg')})
+                             / CAST(ng AS DOUBLE), 9) AS DECIMAL(38,9)))
+              AS DECIMAL(38,9)) AS r,
+         CAST(SUM(CAST(ng AS DECIMAL(38,0)) * CAST(ng AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS n2
+  FROM __per
+),
+__f AS (
+  SELECT n, k,
+         ({_d2d_sql('r')} - ({_d2d_sql('s')} * {_d2d_sql('s')})
+            / CAST(n AS DOUBLE)) / NULLIF(CAST(k AS DOUBLE) - 1.0, 0.0)
+           AS msb,
+         ({_d2d_sql('q')} - {_d2d_sql('r')})
+           / NULLIF(CAST(n AS DOUBLE) - CAST(k AS DOUBLE), 0.0) AS msw,
+         (CAST(n AS DOUBLE) - {_d2d_sql('n2')} / CAST(n AS DOUBLE))
+           / NULLIF(CAST(k AS DOUBLE) - 1.0, 0.0) AS n0,
+         CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS m_bar
+  FROM __agg
+),
+__i AS (
+  SELECT *, GREATEST((msb - msw)
+                     / NULLIF(msb + (n0 - 1.0) * msw, 0.0), 0.0) AS icc
+  FROM __f
+)
+SELECT n, k,
+       ROUND(CASE WHEN k >= 2 AND n > k THEN msb END, {round_to}) AS msb,
+       ROUND(CASE WHEN k >= 2 AND n > k THEN msw END, {round_to}) AS msw,
+       ROUND(CASE WHEN k >= 2 AND n > k THEN icc END, {round_to}) AS icc,
+       ROUND(m_bar, {round_to}) AS m_bar,
+       ROUND(CASE WHEN k >= 2 AND n > k
+                  THEN 1.0 + (m_bar - 1.0) * icc END, {round_to}) AS deff
+FROM __i
+"""

@@ -764,3 +764,112 @@ SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
          AS mean_amp
 FROM s GROUP BY id, frame_idx ORDER BY id, frame_idx
 """
+
+
+LOUDNESS_SCHEMA = (
+    "id long, n_samples long, sum_sq long, sum_s long, n_clipped long, "
+    "decode_ok boolean"
+)
+
+
+def decode_wav_loudness(
+    payloads: DataFrame, clip_threshold: int = 32000, round_to: int = 9
+) -> DataFrame:
+    """REAL WAV decode → per-clip loudness/health report: ``(id,
+    n_samples, rms, dc_offset, clip_rate, decode_ok)``.
+
+    The audio-curation triage columns: RMS (perceived-loudness proxy —
+    silent or near-silent clips waste training tokens), DC offset (a
+    nonzero mean is the classic broken-recorder / bad-resample
+    signature), and clip rate (share of samples at or beyond
+    ``clip_threshold`` of the int16 range — hard-clipped audio
+    distorts features downstream). Complements ``decode_wav_features``
+    (energy/peak/zero-crossings) without touching its certified schema.
+
+    Parity shape: the Arrow decode emits ONLY exact integers (Σs², Σs,
+    clip count); the three ratios are IEEE finishes computed by BOTH
+    engines from those integers — the SQL twin re-derives the integers
+    from the closed-form waveform, fully independent of RIFF parsing
+    (the decode_wav_features contract, multimodal.py:341). Undecodable
+    payloads report decode_ok=false with NULL ratios."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+    import pandas as pd
+
+    thr = int(clip_threshold)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                try:
+                    with wavmod.open(io.BytesIO(bytes(blob)), "rb") as w:
+                        raw = w.readframes(w.getnframes())
+                    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    rows.append(
+                        (
+                            int(ident),
+                            len(s),
+                            int((s * s).sum()),
+                            int(s.sum()),
+                            int((np.abs(s) >= thr).sum()),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(ident), 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_samples", "sum_sq", "sum_s", "n_clipped",
+                    "decode_ok",
+                ],
+            )
+
+    ints = payloads.mapInPandas(decode, LOUDNESS_SCHEMA)
+    n_d = F.col("n_samples").cast("double")
+    return ints.select(
+        "id",
+        "n_samples",
+        F.round(
+            F.sqrt(F.try_divide(F.col("sum_sq").cast("double"), n_d)), round_to
+        ).alias("rms"),
+        F.round(F.try_divide(F.col("sum_s").cast("double"), n_d), round_to).alias(
+            "dc_offset"
+        ),
+        F.round(
+            F.try_divide(F.col("n_clipped").cast("double"), n_d), round_to
+        ).alias("clip_rate"),
+        "decode_ok",
+    ).orderBy("id")
+
+
+def wav_loudness_sql(
+    table: str, id_col: str, clip_threshold: int = 32000, round_to: int = 9
+) -> str:
+    return f"""
+WITH ids AS (
+  SELECT {id_col} AS id, 400 + {id_col} % 600 AS n FROM {table}
+), smp AS (
+  SELECT id, ((id * 131 + t * 65) % 2003) - 1001 AS s
+  FROM (SELECT id, n, unnest(range(0, n)) AS t FROM ids)
+), agg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+         CAST(SUM(s) AS BIGINT) AS sum_s,
+         CAST(SUM(CASE WHEN ABS(s) >= {clip_threshold} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clipped
+  FROM smp GROUP BY id
+)
+SELECT id, n_samples,
+       ROUND(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)),
+             {round_to}) AS rms,
+       ROUND(CAST(sum_s AS DOUBLE) / CAST(n_samples AS DOUBLE),
+             {round_to}) AS dc_offset,
+       ROUND(CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE),
+             {round_to}) AS clip_rate,
+       TRUE AS decode_ok
+FROM agg ORDER BY id
+"""

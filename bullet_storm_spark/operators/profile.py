@@ -26,7 +26,7 @@ DISTINCT aggregation family (the entry then declares rows-only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 _NUMERIC = (
@@ -592,4 +592,96 @@ SELECT p.key, p.n_present, p.n_json_null,
        ROUND(CAST(p.n_present AS DOUBLE) / t.n, {round_to})
          AS share_present
 FROM __p p CROSS JOIN __n t ORDER BY p.key
+"""
+
+
+def json_key_drift(
+    df: DataFrame,
+    json_col: str,
+    b_pred: Column,
+    round_to: int = 9,
+) -> DataFrame:
+    """Top-level JSON key census drift between two slices: ``(key,
+    n_a, n_b, share_a, share_b, delta)`` ordered by key — did the
+    producer's property bag change shape between the reference slice
+    (¬b_pred) and the comparison slice (b_pred)? The schema-drift alarm
+    for semi-structured columns: a key whose presence share jumps or
+    collapses between deploys is the usual first symptom of an upstream
+    contract change, invisible to column-level profiling because the
+    column is one string.
+
+    Shares are per-slice (key presence / slice row count, NULL-JSON
+    rows in the denominator — the json_key_profile contract); a key
+    absent from a slice reports 0 there, so additions and removals both
+    surface. delta = share_b − share_a. Integer counts, one IEEE
+    division per share; the two slice totals ride a 1-row broadcast.
+    One explode + one key-sized aggregation."""
+    tagged = df.select(
+        F.col(json_col).alias("__j"), b_pred.cast("boolean").alias("__b")
+    ).where(b_pred.isNotNull())
+    totals = tagged.agg(
+        F.sum(F.when(~F.col("__b"), 1).otherwise(0)).cast("long").alias("__na"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long").alias("__nb"),
+    )
+    keys = tagged.select(
+        F.explode(F.json_object_keys(F.col("__j"))).alias("key"), "__b"
+    )
+    per_key = keys.groupBy("key").agg(
+        F.sum(F.when(~F.col("__b"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    j = per_key.crossJoin(F.broadcast(totals))
+    share_a = F.round(
+        F.try_divide(F.col("n_a").cast("double"), F.col("__na").cast("double")),
+        round_to,
+    )
+    share_b = F.round(
+        F.try_divide(F.col("n_b").cast("double"), F.col("__nb").cast("double")),
+        round_to,
+    )
+    return j.select(
+        "key",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        F.round(share_b - share_a, round_to).alias("delta"),
+    ).orderBy("key")
+
+
+def json_key_drift_sql(
+    table: str,
+    json_sql: str,
+    b_pred_sql: str,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH __t AS (
+  SELECT {json_sql} AS j, ({b_pred_sql}) AS b
+  FROM {table} WHERE ({b_pred_sql}) IS NOT NULL
+),
+__tot AS (
+  SELECT CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM __t
+),
+__k AS (
+  SELECT UNNEST(json_keys(j)) AS key, b FROM __t WHERE j IS NOT NULL
+),
+__p AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM __k GROUP BY key
+)
+SELECT p.key, p.n_a, p.n_b,
+       ROUND(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0),
+             {round_to}) AS share_a,
+       ROUND(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0),
+             {round_to}) AS share_b,
+       ROUND(ROUND(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0),
+                   {round_to})
+             - ROUND(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0),
+                     {round_to}), {round_to}) AS delta
+FROM __p p, __tot t ORDER BY p.key
 """

@@ -1209,3 +1209,102 @@ SELECT n, n_clusters, n_labels,
                        / (h_cluster + h_label) END, {round_to}) AS nmi
 FROM __a
 """
+
+
+def cosine_histogram(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nbits: int = 4,
+    dim: int = 64,
+    n_bins: int = 10,
+    round_to: int = 9,
+) -> DataFrame:
+    """Candidate-pair cosine histogram for near-dup threshold
+    calibration: ``(bin_lo, n_pairs, share)`` where ``bin_lo`` is the
+    inclusive lower edge of a width-1/n_bins cosine bin (the top bin
+    also takes cos = 1.0) over the LSH-bucketed candidate pairs.
+
+    The "where should the dedup threshold go" table: a healthy corpus
+    shows a near-dup mode separated from the random-pair bulk; the
+    valley between them is the threshold. Pairs come from the SAME
+    LSH bucketing the dedup/ANN paths use (so the histogram describes
+    exactly the candidate distribution those operators will see), each
+    unordered pair counted once (id₁ < id₂ within a bucket). Zero-norm
+    vectors are excluded (cosine undefined).
+
+    Engine parity: binning floors the ALREADY-ROUNDED cosine (exact in
+    both engines — the dedup band convention); counts are integers,
+    shares one IEEE division each. Scale: bucket equi-join (the
+    lsh_bucketed_neighbors posture — no all-pairs), bin-sized output."""
+    planes = hyperplanes(dim, nbits)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _bucket_col(F.col(vec_col), planes).alias("bucket"),
+    ).where(norm(as_double(F.col(vec_col))) > 0)
+    a = base.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket"
+    )
+    b = base.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket"
+    )
+    cos = F.round(cosine(F.col("v1"), F.col("v2")), 6)
+    binned = (
+        a.join(b, "bucket")
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            F.least(
+                F.floor(cos * n_bins).cast("long"), F.lit(n_bins - 1)
+            ).alias("__bin")
+        )
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.partitionBy()
+    return (
+        binned.withColumn("__tot", F.sum("n_pairs").over(w).cast("long"))
+        .select(
+            F.round(
+                F.col("__bin").cast("double") / F.lit(float(n_bins)), round_to
+            ).alias("bin_lo"),
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("__tot").cast("double"),
+                round_to,
+            ).alias("share"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+def cosine_histogram_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    nbits: int = 4,
+    dim: int = 64,
+    n_bins: int = 10,
+    round_to: int = 9,
+) -> str:
+    planes = hyperplanes(dim, nbits)
+    bucket = _bucket_sql("v", planes)
+    cos = f"ROUND({cosine_sql('a.v', 'b.v')}, 6)"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket
+  FROM {table}
+  WHERE sqrt(list_inner_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) > 0
+),
+__binned AS (
+  SELECT LEAST(CAST(FLOOR({cos} * {n_bins}) AS BIGINT), {n_bins - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+  GROUP BY bin
+)
+SELECT ROUND(CAST(bin AS DOUBLE) / {float(n_bins)!r}, {round_to}) AS bin_lo,
+       n_pairs,
+       ROUND(CAST(n_pairs AS DOUBLE)
+             / CAST(SUM(n_pairs) OVER () AS DOUBLE), {round_to}) AS share
+FROM __binned ORDER BY bin_lo
+"""
