@@ -4286,6 +4286,43 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         ),
         _profile.json_key_drift_sql("events", "props", "event_id % 2 = 1"),
     ),
+    # whale/bot audit: Gini + top-decile share of event mass across
+    # users — the one-scalar alarm that per-event metrics are whale
+    # studies
+    "events_user_gini": (
+        lambda s, d: _conc.activity_concentration(
+            load_table(s, d, "events"), "user_id"
+        ),
+        _conc.activity_concentration_sql("events", "user_id"),
+    ),
+    # session health header: bounce rate + avg events/duration/value
+    # over the sessionize frame
+    "events_session_report": (
+        lambda s, d: _behavior.session_report(load_table(s, d, "events")),
+        _behavior.session_report_sql("events"),
+    ),
+    # heavy-change detection: top-20 users by count delta between the
+    # corpus's calendar halves — arrivals/departures rank too
+    "events_top_movers": (
+        lambda s, d: _trend.top_movers(
+            load_table(s, d, "events"), "user_id", top_k=20
+        ),
+        _trend.top_movers_sql("events", "user_id", top_k=20),
+    ),
+    # rolling 24h MEDIAN of hourly counts: the spike-proof baseline
+    # rolling_stats' mean/std cannot give
+    "events_rolling_median": (
+        lambda s, d: _rolling.rolling_median(
+            load_table(s, d, "events"), "event_type", window_hours=24
+        ),
+        _rolling.rolling_median_sql("events", "event_type", window_hours=24),
+    ),
+    # code-vs-prose router from symbol-density arithmetic alone (the
+    # length-difference identity — no regex engine in the loop)
+    "text_code_detection": (
+        lambda s, d: _qual.code_detection(_docs(s, d), "doc_id", "text"),
+        _qual.code_detection_sql("documents", "doc_id", "text"),
+    ),
     # does the embedding space organize around the labels? NMI between
     # the frozen-centroid clustering and the label column
     "embed_cluster_nmi": (
@@ -4419,7 +4456,9 @@ _DRIVER_PRIORITY = [
     # third r8 batch (events_permutation_pvalue, events_eb_shrunk_rates,
     # text_term_burstiness, embed_cluster_nmi) and the fourth
     # (multimodal_wav_loudness, events_icc_users, corr_partial_qty_price,
-    # embed_cos_histogram, events_props_key_drift), padded with the
+    # embed_cos_histogram, events_props_key_drift) and the fifth
+    # (events_user_gini, events_session_report, events_top_movers,
+    # events_rolling_median, text_code_detection), padded with the
     # oldest previously-green entries for drift re-checks if under 50.
 ]
 

@@ -239,6 +239,11 @@ HEADLINE = [
     "corr_partial_qty_price",
     "embed_cos_histogram",
     "events_props_key_drift",
+    "events_user_gini",
+    "events_session_report",
+    "events_top_movers",
+    "events_rolling_median",
+    "text_code_detection",
 ]
 
 

@@ -1255,3 +1255,78 @@ SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
 FROM __a a JOIN __sz z ON a.cohort_day = z.cohort_day
 ORDER BY a.cohort_day, a.day_offset
 """
+
+
+def session_report(
+    df: DataFrame, gap_minutes: int = 30, round_to: int = 9
+) -> DataFrame:
+    """One-row session health report over ``sessionize``'s output:
+    ``(n_sessions, n_users, n_bounce, bounce_rate, avg_events,
+    avg_duration_us, avg_value)`` — the engagement dashboard header.
+    ``n_bounce`` counts single-event sessions (the classic bounce);
+    averages are IEEE finishes over exact integer/decimal sums (event
+    counts and durations are integers; session value is the 6dp-exact
+    decimal sessionize already emits re-quantized via the text hop).
+
+    Scale posture: sessionize's one user-keyed shuffle, then a 1-row
+    reduction over the session frame."""
+    s = sessionize(df, gap_minutes=gap_minutes)
+    v6 = (
+        F.col("total_value").cast("double").cast("string").cast("decimal(18,6)")
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounce"),
+        F.sum(F.col("n_events").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__se"),
+        F.sum(F.col("duration_us").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sd"),
+        F.sum(v6.cast("decimal(38,6)")).cast("decimal(38,6)").alias("__sv"),
+    )
+    n_d = F.col("n_sessions").cast("double")
+    d2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return agg.select(
+        "n_sessions",
+        "n_users",
+        "n_bounce",
+        F.round(
+            F.try_divide(F.col("n_bounce").cast("double"), n_d), round_to
+        ).alias("bounce_rate"),
+        F.round(F.try_divide(d2d("__se"), n_d), round_to).alias("avg_events"),
+        F.round(F.try_divide(d2d("__sd"), n_d), round_to).alias(
+            "avg_duration_us"
+        ),
+        F.round(F.try_divide(d2d("__sv"), n_d), round_to).alias("avg_value"),
+    )
+
+
+def session_report_sql(
+    table: str, gap_minutes: int = 30, round_to: int = 9
+) -> str:
+    inner = sessionize_sql(table, gap_minutes=gap_minutes)
+    d2d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH __s AS ({inner})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), {round_to})
+         AS bounce_rate,
+       ROUND({d2d('CAST(SUM(CAST(n_events AS DECIMAL(38,0))) AS DECIMAL(38,0))')}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), {round_to})
+         AS avg_events,
+       ROUND({d2d('CAST(SUM(CAST(duration_us AS DECIMAL(38,0))) AS DECIMAL(38,0))')}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), {round_to})
+         AS avg_duration_us,
+       ROUND({d2d("CAST(SUM(CAST(CAST(CAST(CAST(total_value AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(38,6))) AS DECIMAL(38,6))")}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), {round_to})
+         AS avg_value
+FROM __s
+"""

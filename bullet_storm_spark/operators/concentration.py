@@ -194,3 +194,93 @@ SELECT n_sources, CAST(tot AS BIGINT) AS total_tokens,
              {round_to}) AS effective_sources
 FROM __a
 """
+
+
+def activity_concentration(
+    df: DataFrame, group_col: str, round_to: int = 9
+) -> DataFrame:
+    """One-row concentration of EVENT mass across actors: ``(n_keys,
+    n_events, gini, top_decile_share)`` — the whale/bot audit for any
+    keyed event stream. A handful of users generating most events skews
+    every per-event metric (session stats, funnels, experiment arms all
+    silently become whale studies); the Gini over per-actor counts is
+    the one-scalar alarm, top_decile_share the "how much do the top 10%
+    own" view.
+
+    Same exact rank formula as ``token_concentration`` (ties rank-
+    ordered by key, statistic invariant to tie order), same
+    DECIMAL(38,0) moments; the rank window here is GLOBAL over the
+    actor frame — actor-dimension-sized, not event-sized (one corpus
+    collapse first)."""
+    per = df.groupBy(F.col(group_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__x")
+    )
+    w = Window.orderBy(F.asc("__x"), F.asc("__k"))
+    ranked = per.withColumn("__i", F.row_number().over(w).cast("long")).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    s0 = F.sum(F.col("__x").cast(_EXACT)).cast(_EXACT)
+    s1 = F.sum(F.col("__i").cast(_EXACT) * F.col("__x").cast(_EXACT)).cast(_EXACT)
+    top = (
+        F.sum(
+            F.when(
+                F.col("__i")
+                > F.col("__n") - F.ceil(F.col("__n") / F.lit(10.0)).cast("long"),
+                F.col("__x").cast(_EXACT),
+            )
+        )
+        .cast(_EXACT)
+    )
+    agg = ranked.agg(
+        n.alias("n_keys"), s0.alias("__s0"), s1.alias("__s1"), top.alias("__top")
+    )
+    num = (
+        F.lit(2).cast(_EXACT) * F.col("__s1")
+        - (F.col("n_keys") + F.lit(1)).cast(_EXACT) * F.col("__s0")
+    ).cast(_EXACT)
+    den = (F.col("n_keys").cast(_EXACT) * F.col("__s0")).cast(_EXACT)
+    return agg.select(
+        "n_keys",
+        F.col("__s0").cast("long").alias("n_events"),
+        F.round(_div(_d2d(num), _d2d(den)), round_to).alias("gini"),
+        F.round(_div(_d2d(F.col("__top")), _d2d(F.col("__s0"))), round_to).alias(
+            "top_decile_share"
+        ),
+    )
+
+
+def activity_concentration_sql(
+    table: str, group_col: str, round_to: int = 9
+) -> str:
+    num = _d2d_sql(
+        "CAST(2 AS DECIMAL(38,0)) * s1 - CAST(n_keys + 1 AS DECIMAL(38,0)) * s0"
+    )
+    den = _d2d_sql("CAST(n_keys AS DECIMAL(38,0)) * s0")
+    return f"""
+WITH __per AS (
+  SELECT {group_col} AS k, CAST(COUNT(*) AS BIGINT) AS x
+  FROM {table} GROUP BY k
+),
+__r AS (
+  SELECT k, x,
+         ROW_NUMBER() OVER (ORDER BY x ASC, k ASC)::BIGINT AS i,
+         COUNT(*) OVER ()::BIGINT AS n
+  FROM __per
+),
+__a AS (
+  SELECT COUNT(*)::BIGINT AS n_keys,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s0,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CASE WHEN i > n - CAST(CEIL(n / 10.0) AS BIGINT)
+                       THEN CAST(x AS DECIMAL(38,0)) END)
+              AS DECIMAL(38,0)) AS tp
+  FROM __r
+)
+SELECT n_keys, CAST(s0 AS BIGINT) AS n_events,
+       ROUND({num} / {den}, {round_to}) AS gini,
+       ROUND({_d2d_sql('tp')} / {_d2d_sql('s0')}, {round_to})
+         AS top_decile_share
+FROM __a
+"""

@@ -688,3 +688,111 @@ SELECT script, n_docs, chars, ws_tokens, bpe_tokens,
              {round_to}) AS bpe_per_ws
 FROM __g ORDER BY script
 """
+
+
+def code_detection(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.03,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-document code-likeness: ``(id, n_chars, n_braces, n_semis,
+    n_eq, indent_lines, n_lines, code_score, is_code)`` ordered by id —
+    the "is this prose or source code" router every mixed web corpus
+    needs before prose-tuned quality filters throw away working code
+    (or code floods a prose mix).
+
+    The signal is pure symbol-density arithmetic — no tokenizer, no
+    regex: brace/semicolon/equals counts via the length-difference
+    identity (count(ch) = len(t) − len(replace(t, ch, ''))) plus the
+    share of lines opening with a 2-space indent. Every count is an
+    exact integer in both engines (the length-difference trick avoids
+    regex-engine divergence entirely);
+
+        code_score = (braces + semis + eq) / chars
+                     + indent_lines / lines
+
+    is one fixed IEEE expression, and ``is_code`` compares it against
+    the caller-literal threshold. Empty documents report NULL
+    score/flag. One scan, no shuffle beyond the final ORDER BY."""
+
+    def cnt(ch: str):
+        lit = F.lit(ch)
+        return (
+            F.length(F.col("__t"))
+            - F.length(F.replace(F.col("__t"), lit, F.lit("")))
+        ).cast("long")
+
+    lines = F.split(F.col("__t"), "\n", -1)
+    indent = F.size(F.filter(lines, lambda l: l.startswith("  "))).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"), F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+    )
+    feat = base.select(
+        "id",
+        F.length("__t").cast("long").alias("n_chars"),
+        (cnt("{") + cnt("}")).alias("n_braces"),
+        cnt(";").alias("n_semis"),
+        cnt("=").alias("n_eq"),
+        indent.alias("indent_lines"),
+        F.size(lines).cast("long").alias("n_lines"),
+    )
+    score = F.round(
+        (F.col("n_braces") + F.col("n_semis") + F.col("n_eq")).cast("double")
+        / F.col("n_chars").cast("double")
+        + F.col("indent_lines").cast("double") / F.col("n_lines").cast("double"),
+        round_to,
+    )
+    return feat.select(
+        "id",
+        "n_chars",
+        "n_braces",
+        "n_semis",
+        "n_eq",
+        "indent_lines",
+        "n_lines",
+        F.when(F.col("n_chars") > 0, score).alias("code_score"),
+        F.when(F.col("n_chars") > 0, score >= F.lit(float(threshold))).alias(
+            "is_code"
+        ),
+    ).orderBy("id")
+
+
+def code_detection_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.03,
+    round_to: int = 9,
+) -> str:
+    t = f"COALESCE({text_col}, '')"
+
+    def cnt(ch: str) -> str:
+        q = ch.replace("'", "''")
+        return f"(length({t}) - length(replace({t}, '{q}', '')))::BIGINT"
+
+    score = (
+        f"ROUND(CAST(n_braces + n_semis + n_eq AS DOUBLE)"
+        f" / CAST(n_chars AS DOUBLE)"
+        f" + CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE),"
+        f" {round_to})"
+    )
+    return f"""
+WITH __f AS (
+  SELECT {id_col} AS id,
+         length({t})::BIGINT AS n_chars,
+         ({cnt('{')} + {cnt('}')}) AS n_braces,
+         {cnt(';')} AS n_semis,
+         {cnt('=')} AS n_eq,
+         len(list_filter(string_split({t}, chr(10)),
+                         l -> l LIKE '  %'))::BIGINT AS indent_lines,
+         len(string_split({t}, chr(10)))::BIGINT AS n_lines
+  FROM {table}
+)
+SELECT id, n_chars, n_braces, n_semis, n_eq, indent_lines, n_lines,
+       CASE WHEN n_chars > 0 THEN {score} END AS code_score,
+       CASE WHEN n_chars > 0
+            THEN {score} >= {float(threshold)!r} END AS is_code
+FROM __f ORDER BY id
+"""

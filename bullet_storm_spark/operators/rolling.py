@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from bullet_storm_spark.operators.common import hourly_cells, hourly_cells_sql
 from bullet_storm_spark.operators.stats_tests import (
     _MOMENT,
     _VAL_DEC,
@@ -256,4 +257,65 @@ SELECT {keys}, {order}, CAST(CAST(v6 AS VARCHAR) AS DOUBLE) AS value,
 FROM __r
 WHERE abs(roll_z) >= {z_threshold}
 ORDER BY {keys}, {order}
+"""
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str = "event_type",
+    window_hours: int = 24,
+    round_to: int = 9,
+) -> DataFrame:
+    """Trailing rolling MEDIAN of the hourly counts per key: ``(key,
+    hour, cnt, roll_n, roll_median)`` over the frame ``window_hours−1
+    PRECEDING .. CURRENT ROW`` of the densified hourly spine — the
+    robust baseline ``rolling_stats``'s mean/std cannot give (one spike
+    hour drags a 24 h mean by spike/24; the median ignores it
+    entirely). Pair with rolling_stats' z for a spike detector whose
+    baseline cannot be poisoned by the spikes it is hunting.
+
+    Parity: both engines compute the exact interpolated percentile over
+    the SAME integer frame (Spark ``percentile``, DuckDB
+    ``quantile_cont`` — the identical (1−g)·a + g·b form on sorted
+    values; probed bit-equal on integer counts, where g ∈ {0, ½} makes
+    the interpolation exact). The frame is hour-ordered rows on the
+    gap-free spine, so row frames equal time frames.
+
+    Scale posture: one corpus collapse to calendar-bounded cells, one
+    per-key ordered window (O(w log w) per row on bounded w)."""
+    cells = hourly_cells(df, key_col)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("hour")
+        .rowsBetween(-(window_hours - 1), 0)
+    )
+    return (
+        cells.select(
+            F.col("__key").alias("key"),
+            "hour",
+            "cnt",
+            F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+            F.round(
+                F.expr("percentile(cnt, 0.5)").over(w), round_to
+            ).alias("roll_median"),
+        )
+        .orderBy("key", "hour")
+    )
+
+
+def rolling_median_sql(
+    table: str,
+    key_col: str = "event_type",
+    window_hours: int = 24,
+    round_to: int = 9,
+) -> str:
+    return f"""
+WITH {hourly_cells_sql(table, key_col)}
+SELECT key, hour, cnt,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+       ROUND(quantile_cont(cnt, 0.5) OVER w, {round_to}) AS roll_median
+FROM __cells
+WINDOW w AS (PARTITION BY key ORDER BY hour
+             ROWS BETWEEN {window_hours - 1} PRECEDING AND CURRENT ROW)
+ORDER BY key, hour
 """

@@ -487,3 +487,74 @@ SELECT key, n AS n_hours, s_stat,
                   ELSE 0.0 END, 9) AS z
 FROM __j ORDER BY key
 """
+
+
+def top_movers(
+    df: DataFrame,
+    group_col: str = "user_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-change detection: the ``top_k`` actors whose event count
+    moved most between the corpus's first and second calendar half:
+    ``(key, cnt_a, cnt_b, delta)`` ordered by |delta| desc, key asc
+    (Cormode-Muthukrishnan's "what's new" question, exact form).
+
+    The split point is the midpoint hour (h0+h1) div 2 of the corpus
+    span — integer arithmetic on the same epoch-µs hour lattice as the
+    series family, broadcast as a 1-row bound. delta = cnt_b − cnt_a;
+    an actor absent from a half counts 0 there, so arrivals and
+    departures rank alongside accelerations. Exact integer ties make
+    the LIMIT boundary deterministic.
+
+    Scale posture: one scan to the (key, half) collapse (map-side
+    combined), a 1-row span broadcast, TakeOrdered top-k."""
+    hours = df.select(
+        F.col(group_col).alias("__k"),
+        F.expr("(ts_ns div 1000) div 3600000000").alias("__h"),
+    )
+    span = hours.agg(
+        F.expr("(min(__h) + max(__h)) div 2").cast("long").alias("__mid")
+    )
+    per = (
+        hours.crossJoin(F.broadcast(span))
+        .groupBy("__k")
+        .agg(
+            F.sum(F.when(F.col("__h") <= F.col("__mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("__h") > F.col("__mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+    )
+    return (
+        per.select(
+            F.col("__k").alias("key"),
+            "cnt_a",
+            "cnt_b",
+            (F.col("cnt_b") - F.col("cnt_a")).alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.asc("key"))
+        .limit(top_k)
+    )
+
+
+def top_movers_sql(
+    table: str, group_col: str = "user_id", top_k: int = 20
+) -> str:
+    return f"""
+WITH __h AS (
+  SELECT {group_col} AS k, epoch_us(ts) // 3600000000 AS h FROM {table}
+),
+__mid AS (SELECT (MIN(h) + MAX(h)) // 2 AS mid FROM __h),
+__per AS (
+  SELECT k,
+         CAST(SUM(CASE WHEN h <= mid THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN h > mid THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM __h, __mid GROUP BY k
+)
+SELECT k AS key, cnt_a, cnt_b, cnt_b - cnt_a AS delta
+FROM __per
+ORDER BY abs(cnt_b - cnt_a) DESC, key ASC
+LIMIT {top_k}
+"""
