@@ -3712,8 +3712,67 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped trade matrix: lineitem revenue between the
+    SUPPLIER's nation and the CUSTOMER's nation (the reference's BQL has
+    no joins at all — this is the widest star join in the extension
+    surface: fact ⋈ orders ⋈ customer ⋈ nation ⋈ supplier ⋈ nation).
+
+    Scale design: lineitem⋈orders co-partitions on the order key (the
+    one unavoidable fact-fact shuffle); customer/supplier hash-join on
+    their keys; the two nation dims broadcast (25 rows, aliased twice).
+    No year dimension on purpose: calendar extraction on instant
+    timestamps is session-timezone-dependent in a vanilla Spark session
+    (the seasonality operators' documented reason for integer epoch
+    arithmetic), and the nation-pair matrix is the join-shape point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("__cnk"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("__snk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(revenue, 4).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+_TRADE_MATRIX_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+GROUP BY supp_nation, cust_nation
+ORDER BY supp_nation, cust_nation
+"""
+
+
 _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "join_revenue_by_nation": (_revenue_by_nation, _REVENUE_BY_NATION_SQL),
+    "join_trade_matrix": (_trade_matrix, _TRADE_MATRIX_SQL),
     "join_top_orders_by_revenue": (_top_orders_by_revenue, _TOP_ORDERS_SQL),
     "join_region_supplier_rollup": (_region_nation_rollup, _REGION_NATION_SQL),
     "join_asof_purchase_signup": (_asof_purchase_signup, _asof_sql()),
@@ -4323,6 +4382,12 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         lambda s, d: _qual.code_detection(_docs(s, d), "doc_id", "text"),
         _qual.code_detection_sql("documents", "doc_id", "text"),
     ),
+    # interpolated Kneser-Ney bigram cross-entropy per document: the
+    # bigram upgrade of lm_score's unigram CCNet curation signal
+    "text_kn_doc_score": (
+        lambda s, d: _vocab.kn_doc_score(_docs(s, d), "doc_id", "text"),
+        _vocab.kn_doc_score_sql("documents", "doc_id", "text"),
+    ),
     # does the embedding space organize around the labels? NMI between
     # the frozen-centroid clustering and the label column
     "embed_cluster_nmi": (
@@ -4458,8 +4523,9 @@ _DRIVER_PRIORITY = [
     # (multimodal_wav_loudness, events_icc_users, corr_partial_qty_price,
     # embed_cos_histogram, events_props_key_drift) and the fifth
     # (events_user_gini, events_session_report, events_top_movers,
-    # events_rolling_median, text_code_detection), padded with the
-    # oldest previously-green entries for drift re-checks if under 50.
+    # events_rolling_median, text_code_detection) and the sixth
+    # (text_kn_doc_score, join_trade_matrix), padded with the oldest
+    # previously-green entries for drift re-checks if under 50.
 ]
 
 

@@ -244,6 +244,8 @@ HEADLINE = [
     "events_top_movers",
     "events_rolling_median",
     "text_code_detection",
+    "join_trade_matrix",
+    "text_kn_doc_score",
 ]
 
 

@@ -1564,3 +1564,146 @@ WHERE doc_freq >= {min_df}
 ORDER BY fano DESC, token ASC
 LIMIT {top_k}
 """
+
+
+def kn_doc_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram cross-entropy:
+    ``(id, n_bigrams, kn_cross_entropy)`` ordered by id — the bigram
+    upgrade of ``lm_score``'s unigram CCNet signal. With D the
+    count-of-counts discount (kn_discount_summary) and the continuation
+    statistics of kn_bigram_counts,
+
+        P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+                   + (D·N1+(w1·)/c(w1·)) · (N1+(•w2)/types)
+
+    (Chen & Goodman 1999 eq. 12, bigram case) and the score is
+    −mean ln P over the document's bigrams. The corpus IS the model
+    (self-scoring, the lm_score posture), so every scored bigram exists
+    in the tables — no OOV branch. A document needs ≥ 2 tokens to have
+    a bigram; shorter ones emit no row.
+
+    Parity: every P is one fixed IEEE expression over exact integers
+    plus the shared D double; per-bigram ln P rounds to 9dp and sums in
+    DECIMAL (lm_score's order-free convention). Scale: bigrams from the
+    in-array zip, vocabulary-sized model tables hash-joined back onto
+    the token stream, one doc-keyed aggregation."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = (
+        df.where(n >= 2)
+        .select(F.col(id_col).alias("__doc"), F.explode(pairs).alias("__p"))
+        .select("__doc", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    big = _bigram_pairs(df, text_col)
+    ctx = big.groupBy("w1").agg(
+        F.sum("n_pair").cast("long").alias("__ctx"),
+        F.count(F.lit(1)).cast("long").alias("__rt"),
+    )
+    lt = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("__lt"))
+    glob = big.agg(
+        F.count(F.lit(1)).cast("long").alias("__ty"),
+        F.sum(F.when(F.col("n_pair") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__n1"),
+        F.sum(F.when(F.col("n_pair") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("__n2"),
+    )
+    # degenerate count-of-counts (no singleton/doubleton bigram types —
+    # a small-vocab corpus at scale hits this): D = 0, i.e. plain MLE,
+    # matching the twin's COALESCE; a bare `/` raises under ANSI
+    d = F.coalesce(
+        F.try_divide(
+            F.col("__n1").cast("double"),
+            (F.col("__n1") + 2 * F.col("__n2")).cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    p = (
+        F.greatest(F.col("n_pair").cast("double") - d, F.lit(0.0))
+        / F.col("__ctx").cast("double")
+        + (d * F.col("__rt").cast("double") / F.col("__ctx").cast("double"))
+        * (F.col("__lt").cast("double") / F.col("__ty").cast("double"))
+    )
+    lm = (
+        big.join(ctx, "w1")
+        .join(lt, "w2")
+        .crossJoin(F.broadcast(glob))
+        .select("w1", "w2", F.round(F.log(p), 9).alias("__logp"))
+    )
+    return (
+        occ.join(lm, ["w1", "w2"])
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("__logp").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("kn_cross_entropy"),
+        )
+        .withColumnRenamed("__doc", "id")
+        .orderBy("id")
+    )
+
+
+def kn_doc_score_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH {_bigram_sql(table, text_col)},
+__occ AS (
+  SELECT {id_col} AS doc, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table}),
+       UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i + 1] <> ''
+),
+__ctx AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS ctx,
+         CAST(COUNT(*) AS BIGINT) AS rt
+  FROM __big GROUP BY w1
+),
+__lt AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS lt FROM __big GROUP BY w2
+),
+__glob AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ty,
+         CAST(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN n_pair = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM __big
+),
+__lm AS (
+  SELECT b.w1, b.w2,
+         ROUND(ln(
+           GREATEST(CAST(b.n_pair AS DOUBLE)
+                    - COALESCE(CAST(g.n1 AS DOUBLE) / NULLIF(CAST(g.n1 + 2 * g.n2 AS DOUBLE), 0.0), 0.0),
+                    0.0)
+           / CAST(c.ctx AS DOUBLE)
+           + ((COALESCE(CAST(g.n1 AS DOUBLE) / NULLIF(CAST(g.n1 + 2 * g.n2 AS DOUBLE), 0.0), 0.0))
+              * CAST(c.rt AS DOUBLE) / CAST(c.ctx AS DOUBLE))
+             * (CAST(l.lt AS DOUBLE) / CAST(g.ty AS DOUBLE))
+         ), 9) AS logp
+  FROM __big b JOIN __ctx c ON b.w1 = c.w1
+  JOIN __lt l ON b.w2 = l.w2
+  CROSS JOIN __glob g
+)
+SELECT o.doc AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-CAST(SUM(CAST(m.logp AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), {round_to}) AS kn_cross_entropy
+FROM __occ o JOIN __lm m ON o.w1 = m.w1 AND o.w2 = m.w2
+GROUP BY o.doc ORDER BY id
+"""

@@ -839,3 +839,76 @@ def stream_topk(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_rolling_median(
+    stream_df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    window_rows: int = 24,
+):
+    """Live trailing rolling MEDIAN per key over a stream of
+    pre-aggregated observations — the streaming twin of
+    ``operators/rolling.rolling_median`` (the spike-proof baseline: a
+    burst cannot poison the very statistic hunting it, unlike the
+    mean/std chart's baseline).
+
+    Emits one row per observation: ``(key, seq, cnt, roll_n,
+    roll_median)``. State per key is the last ``window_rows`` integer
+    observations (a bounded deque) plus a count — constant memory, one
+    key shuffle per batch. The median is the same (1−g)·a + g·b
+    interpolation Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    evaluate; on integer inputs with g ∈ {0, ½} every step is exact in
+    IEEE doubles, so a replayed series is BIT-equal to the batch
+    operator (the stream_ewma equivalence contract — pinned by test).
+    Observations are ordered by ``seq_col`` within each micro-batch;
+    feed batches in order (the shared replay contract)."""
+    import pandas as pd
+
+    if window_rows < 1:
+        raise ValueError(f"need window_rows >= 1, got {window_rows}")
+    w = int(window_rows)
+
+    def _median(sorted_vals) -> float:
+        n = len(sorted_vals)
+        h = (n - 1) * 0.5
+        lo = int(h)
+        hi = n - 1 - lo
+        return (float(sorted_vals[lo]) + float(sorted_vals[hi])) / 2.0
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (vals,) = state.get if state.exists else ([],)
+        vals = list(vals)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("__seq", kind="mergesort")
+        for seq, v in zip(batch["__seq"], batch["__v"]):
+            vals.append(int(v))
+            if len(vals) > w:
+                vals.pop(0)
+            rows.append(
+                (key[0], int(seq), int(v), len(vals), _median(sorted(vals)))
+            )
+        state.update((vals,))
+        yield pd.DataFrame(
+            rows, columns=["key", "seq", "cnt", "roll_n", "roll_median"]
+        )
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(seq_col).cast("long").alias("__seq"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            "key string, seq long, cnt long, roll_n long, roll_median double",
+            "vals array<long>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -754,3 +754,54 @@ def test_stream_topk_exact_mode_equals_batch(spark, tmp_path):
     # the whale leads the merged ranking
     top1 = max(merged.items(), key=lambda kv: kv[1][0])[0]
     assert top1 == "whale"
+
+
+def test_stream_rolling_median_bit_equal_to_batch(spark, tmp_path):
+    """Replaying the batch operator's densified hour cells through the
+    stream must reproduce the rolling median BIT-exactly: both sides
+    evaluate the same (1-g)a+gb interpolation on the same integer
+    window, exact in doubles for g in {0, 1/2}."""
+    from bullet_storm_spark.operators.rolling import rolling_median
+    from bullet_storm_spark.streaming.native import stream_rolling_median
+
+    rows = []
+    eid = 0
+    for key, counts in (
+        ("a", [5, 1, 4, 2, 9, 3, 3, 8, 1, 7]),
+        ("b", [2, 2, 400, 2, 2]),
+    ):
+        for h, c in enumerate(counts):
+            for i in range(c):
+                rows.append((eid, key, (h * 3_600_000_000 + i) * 1000))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts_ns long")
+    batch = rolling_median(df, "event_type", window_hours=4).collect()
+    for key in ("a", "b"):
+        cells = [(key, r["hour"], r["cnt"]) for r in batch if r["key"] == key]
+        mid = len(cells) // 2
+        out = _run_stream(
+            spark,
+            tmp_path / f"rmed_{key}",
+            lambda st: stream_rolling_median(st, "k", "h", "c", window_rows=4),
+            "k string, h long, c long",
+            [cells[:mid], cells[mid:]],
+        )
+        got = {r.seq: (r.cnt, r.roll_n, r.roll_median) for r in out.collect()}
+        want = {
+            r["hour"]: (r["cnt"], r["roll_n"], r["roll_median"])
+            for r in batch
+            if r["key"] == key
+        }
+        assert got == want  # bit-exact, == on doubles intended
+
+
+def test_stream_rolling_median_validation(spark):
+    import pytest
+
+    from bullet_storm_spark.streaming.native import stream_rolling_median
+
+    with pytest.raises(ValueError, match="window_rows"):
+        stream_rolling_median(
+            spark.createDataFrame([("a", 1, 1)], "k string, h long, c long"),
+            "k", "h", "c", window_rows=0,
+        )
