@@ -4388,6 +4388,43 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         lambda s, d: _vocab.kn_doc_score(_docs(s, d), "doc_id", "text"),
         _vocab.kn_doc_score_sql("documents", "doc_id", "text"),
     ),
+    # t-closeness: the distributional member of the privacy family —
+    # EMD between each QI class's banded-balance distribution and the
+    # global one (k-anon counts sizes, l-div counts values; neither
+    # catches an all-low-balance class)
+    "privacy_t_closeness": (
+        lambda s, d: _priv.t_closeness_audit(
+            load_table(s, d, "customer"),
+            [F.col("c_mktsegment"), F.col("c_nationkey")],
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long"),
+        ),
+        _priv.t_closeness_audit_sql(
+            "customer",
+            ["c_mktsegment", "c_nationkey"],
+            "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)",
+        ),
+    ),
+    # deterministic class-balanced downsample of documents by language:
+    # every lang keeps the minority count, md5-ranked (reproducible
+    # across runs/engines/layouts)
+    "sample_class_balance": (
+        lambda s, d: _smp.class_balance(_docs(s, d), F.col("lang"), "doc_id"),
+        _smp.class_balance_sql("documents", "lang", "doc_id"),
+    ),
+    # per-user zero-hour outage report: did a feed go dark, how often,
+    # how long — the darkness complement to the spike detectors
+    "events_gap_report": (
+        lambda s, d: _diag.gap_report(load_table(s, d, "events"), "user_id"),
+        _diag.gap_report_sql("events", "user_id"),
+    ),
+    # Fisher scatter ratio of embedding space vs labels: the trace
+    # criterion twin of embed_cluster_nmi's information view
+    "embed_fisher_separation": (
+        lambda s, d: _sim.fisher_separation(
+            load_table(s, d, "embeddings"), "embedding", "label"
+        ),
+        _sim.fisher_separation_sql("embeddings", "embedding", "label"),
+    ),
     # does the embedding space organize around the labels? NMI between
     # the frozen-centroid clustering and the label column
     "embed_cluster_nmi": (
@@ -4524,8 +4561,10 @@ _DRIVER_PRIORITY = [
     # embed_cos_histogram, events_props_key_drift) and the fifth
     # (events_user_gini, events_session_report, events_top_movers,
     # events_rolling_median, text_code_detection) and the sixth
-    # (text_kn_doc_score, join_trade_matrix), padded with the oldest
-    # previously-green entries for drift re-checks if under 50.
+    # (text_kn_doc_score, join_trade_matrix) and the seventh
+    # (privacy_t_closeness, sample_class_balance, events_gap_report,
+    # embed_fisher_separation), padded with the oldest previously-green
+    # entries for drift re-checks if under 50.
 ]
 
 

@@ -246,6 +246,10 @@ HEADLINE = [
     "text_code_detection",
     "join_trade_matrix",
     "text_kn_doc_score",
+    "privacy_t_closeness",
+    "sample_class_balance",
+    "events_gap_report",
+    "embed_fisher_separation",
 ]
 
 

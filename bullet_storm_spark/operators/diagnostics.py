@@ -550,3 +550,79 @@ SELECT key, n AS n_hours, abs(u) AS u_abs_max, hour AS t_hat,
 FROM __peak WHERE pk = 1 AND n >= 2
 ORDER BY key
 """
+
+
+# --------------------------------------------------------------------------
+# Gap / outage report
+# --------------------------------------------------------------------------
+
+def gap_report(df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key zero-hour outage report over the densified spine:
+    ``(key, n_hours, zero_hours, n_gaps, longest_gap)`` ordered by key —
+    the pipeline-health complement to the spike detectors: CUSUM/EWMA
+    ask "did the rate surge", this asks "did the feed go DARK, how
+    often, and for how long at a stretch".
+
+    Gaps group by the classic run-length identity (hour − rank is
+    constant within a consecutive zero run — exact integers, no
+    session window needed); all outputs are integer counts. Keys with
+    no zero hours report (0, 0, 0)."""
+    cells = _cells(df, key_col)
+    zeros = cells.where(F.col("y") == 0)
+    wr = Window.partitionBy("__key").orderBy("hour")
+    runs = (
+        zeros.withColumn(
+            "__grp", F.col("hour") - F.row_number().over(wr).cast("long")
+        )
+        .groupBy("__key", "__grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("__len"))
+        .groupBy("__key")
+        .agg(
+            F.sum("__len").cast("long").alias("zero_hours"),
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.max("__len").cast("long").alias("longest_gap"),
+        )
+    )
+    n = cells.groupBy("__key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    return (
+        n.join(runs, "__key", "left")
+        .select(
+            F.col("__key").alias("key"),
+            "n_hours",
+            F.coalesce("zero_hours", F.lit(0)).cast("long").alias("zero_hours"),
+            F.coalesce("n_gaps", F.lit(0)).cast("long").alias("n_gaps"),
+            F.coalesce("longest_gap", F.lit(0)).cast("long").alias("longest_gap"),
+        )
+        .orderBy("key")
+    )
+
+
+def gap_report_sql(table: str, key_col: str = "event_type") -> str:
+    return f"""
+WITH {hourly_cells_sql(table, key_col)},
+__z AS (
+  SELECT key, hour,
+         hour - ROW_NUMBER() OVER (PARTITION BY key ORDER BY hour) AS grp
+  FROM __cells WHERE cnt = 0
+),
+__runs AS (
+  SELECT key,
+         CAST(SUM(len) AS BIGINT) AS zero_hours,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(MAX(len) AS BIGINT) AS longest_gap
+  FROM (SELECT key, grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM __z GROUP BY key, grp)
+  GROUP BY key
+),
+__n AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_hours FROM __cells GROUP BY key
+)
+SELECT n.key, n.n_hours,
+       CAST(COALESCE(r.zero_hours, 0) AS BIGINT) AS zero_hours,
+       CAST(COALESCE(r.n_gaps, 0) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(r.longest_gap, 0) AS BIGINT) AS longest_gap
+FROM __n n LEFT JOIN __runs r ON n.key = r.key
+ORDER BY n.key
+"""

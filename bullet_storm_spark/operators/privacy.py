@@ -37,7 +37,7 @@ these audit the structured side).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def k_anonymity_audit(
@@ -204,4 +204,180 @@ SELECT __d AS distinct_sensitive,
        CAST(CASE WHEN __d < {int(l_min)} THEN 1 ELSE 0 END AS BIGINT)
          AS at_risk
 FROM __c GROUP BY __d ORDER BY __d
+"""
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list[Column],
+    sensitive_ordinal: Column,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row t-closeness audit over an ORDINAL sensitive attribute:
+    ``(classes_total, rows_total, t_max, t_mean, classes_over_015)`` —
+    the distributional member of the privacy family (k-anonymity counts
+    class sizes, l-diversity counts distinct sensitive values; neither
+    catches a class whose value DISTRIBUTION leaks — all-low-balance,
+    say). t is the Earth Mover's Distance between each QI class's
+    sensitive distribution and the global one; for an ordinal attribute
+    with m support values, EMD = Σ|cumshare_class − cumshare_global|
+    / (m−1) (Li, Li & Venkatasubramanian ICDE 2007 §4.2). The 0.15
+    threshold column uses the paper's illustrative t.
+
+    Engine parity: cumulative shares are exact-integer cumulative
+    counts divided once per support point; the per-class EMD and the
+    t_mean average both accumulate 9dp-rounded terms in DECIMAL — the
+    lm_score order-free convention, partition- and engine-independent.
+    The support size m is a bounded driver-side scalar (the frozen-
+    codebook precedent). Rows with a NULL sensitive value are
+    excluded.
+
+    Scale posture: one (class × support) aggregation, support-sized
+    windows per class, one class-frame reduction — the k_anonymity
+    shuffle plus a support factor."""
+    named = [c.alias(f"__qi{i}") for i, c in enumerate(qi_cols)]
+    keys = [f"__qi{i}" for i in range(len(qi_cols))]
+    base = df.select(*named, sensitive_ordinal.alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+    cells = base.groupBy(*keys, "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    # densify each class onto the GLOBAL support (absent values carry
+    # zero mass but still accumulate cumulative share)
+    support = cells.select("__s").distinct()
+    classes = cells.select(*keys).distinct()
+    dense = (
+        classes.crossJoin(support)
+        .join(cells, [*keys, "__s"], "left")
+        .select(*keys, "__s", F.coalesce("__c", F.lit(0)).cast("long").alias("__c"))
+    )
+    wclass = (
+        Window.partitionBy(*keys)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wglob = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    glob = (
+        cells.groupBy("__s")
+        .agg(F.sum("__c").cast("long").alias("__gc"))
+        .withColumn("__gcum", F.sum("__gc").over(wglob).cast("long"))
+        .withColumn(
+            "__gn",
+            F.sum("__gc").over(Window.partitionBy(F.lit(1))).cast("long"),
+        )
+        .select(
+            "__s",
+            F.round(
+                F.col("__gcum").cast("double") / F.col("__gn").cast("double"), 9
+            ).alias("__gshare"),
+        )
+    )
+    per_cell = (
+        dense.withColumn("__ccum", F.sum("__c").over(wclass).cast("long"))
+        .withColumn(
+            "__cn",
+            F.sum("__c").over(Window.partitionBy(*keys)).cast("long"),
+        )
+        .join(glob, "__s")
+        .withColumn(
+            "__diff",
+            F.abs(
+                F.round(
+                    F.col("__ccum").cast("double") / F.col("__cn").cast("double"),
+                    9,
+                )
+                - F.col("__gshare")
+            ),
+        )
+    )
+    m = support.count()  # bounded ordinal support: a driver-side scalar
+    per_class = per_cell.groupBy(*keys, "__cn").agg(
+        F.round(
+            F.sum(F.round(F.col("__diff"), 9).cast("decimal(38,9)")).cast("double")
+            / F.lit(float(max(m - 1, 1))),
+            9,
+        ).alias("t"),
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).cast("long").alias("classes_total"),
+        F.sum("__cn").cast("long").alias("rows_total"),
+        F.max("t").alias("t_max"),
+        F.round(
+            F.sum(F.round(F.col("t"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            round_to,
+        ).alias("t_mean"),
+        F.sum(F.when(F.col("t") > 0.15, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_over_015"),
+    )
+
+
+def t_closeness_audit_sql(
+    table: str,
+    qi_sql: list[str],
+    sensitive_sql: str,
+    round_to: int = 9,
+) -> str:
+    qi = ", ".join(f"{e} AS __qi{i}" for i, e in enumerate(qi_sql))
+    names = ", ".join(f"__qi{i}" for i in range(len(qi_sql)))
+    on = " AND ".join(
+        f"c.__qi{i} = cl.__qi{i}" for i in range(len(qi_sql))
+    )
+    return f"""
+WITH __b AS (
+  SELECT {qi}, ({sensitive_sql}) AS s FROM {table}
+  WHERE ({sensitive_sql}) IS NOT NULL
+),
+__cells AS (
+  SELECT {names}, s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM __b GROUP BY {names}, s
+),
+__support AS (SELECT DISTINCT s FROM __cells),
+__m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM __support),
+__classes AS (SELECT DISTINCT {names} FROM __cells),
+__dense AS (
+  SELECT cl.*, sp.s, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM __classes cl CROSS JOIN __support sp
+  LEFT JOIN __cells c ON {on} AND c.s = sp.s
+),
+__glob AS (
+  SELECT s,
+         ROUND(CAST(SUM(gc) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE)
+               / CAST(SUM(gc) OVER () AS DOUBLE), 9) AS gshare
+  FROM (SELECT s, CAST(SUM(c) AS BIGINT) AS gc FROM __cells GROUP BY s)
+),
+__pc AS (
+  SELECT {names}, d.s,
+         CAST(SUM(c) OVER (PARTITION BY {names} ORDER BY d.s
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum,
+         CAST(SUM(c) OVER (PARTITION BY {names}) AS BIGINT) AS cn
+  FROM __dense d
+),
+__diff AS (
+  SELECT {names}, cn,
+         abs(ROUND(CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE), 9)
+             - g.gshare) AS diff
+  FROM __pc p JOIN __glob g ON p.s = g.s
+),
+__t AS (
+  SELECT {names}, cn,
+         ROUND(CAST(SUM(CAST(ROUND(diff, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / CAST(GREATEST(m - 1, 1) AS DOUBLE), 9) AS t
+  FROM __diff, __m GROUP BY {names}, cn, m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS classes_total,
+       CAST(SUM(cn) AS BIGINT) AS rows_total,
+       MAX(t) AS t_max,
+       ROUND(CAST(SUM(CAST(ROUND(t, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), {round_to}) AS t_mean,
+       CAST(SUM(CASE WHEN t > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_over_015
+FROM __t
 """

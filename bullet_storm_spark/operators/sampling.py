@@ -1152,3 +1152,63 @@ SELECT stratum, pop_n, sd, quota,
        CAST(fl + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
 FROM __r ORDER BY stratum
 """
+
+
+def class_balance(
+    df: DataFrame,
+    class_col: Column,
+    id_col: str,
+    salt: str = "balance",
+) -> DataFrame:
+    """Deterministic class-balanced downsample: every class keeps
+    exactly the MINORITY class's row count, selected by md5 rank —
+    ``(class, id)`` ordered by (class, id). The classifier-training
+    prep for skewed label columns (a 95/5 mix trains a majority-class
+    predictor); hash ranking makes the kept set reproducible across
+    runs, engines and cluster layouts (the hash_fraction contract —
+    no RNG, no sort instability).
+
+    Per class, rows rank by (md5-uniform, id) — the id tiebreak makes
+    the boundary exact — and ranks ≤ min-class-count survive. The
+    min count rides a 1-row broadcast. One class-keyed rank window
+    (the stratified-split shuffle), no other exchange."""
+    base = df.select(
+        class_col.alias("class"), F.col(id_col).alias("id")
+    ).where(class_col.isNotNull())
+    mins = base.groupBy("class").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    ).agg(F.min("__n").cast("long").alias("__keep"))
+    w = Window.partitionBy("class").orderBy(
+        hash_fraction("id", salt).asc(), F.col("id").asc()
+    )
+    ranked = base.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(mins))
+        .where(F.col("__rk") <= F.col("__keep"))
+        .select("class", "id")
+        .orderBy("class", "id")
+    )
+
+
+def class_balance_sql(
+    table: str, class_sql: str, id_col: str, salt: str = "balance"
+) -> str:
+    frac = hash_fraction_sql("id", salt)
+    return f"""
+WITH __b AS (
+  SELECT ({class_sql}) AS class, {id_col} AS id FROM {table}
+  WHERE ({class_sql}) IS NOT NULL
+),
+__keep AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS keep
+  FROM (SELECT class, COUNT(*)::BIGINT AS n FROM __b GROUP BY class)
+),
+__r AS (
+  SELECT class, id,
+         ROW_NUMBER() OVER (PARTITION BY class
+                            ORDER BY {frac} ASC, id ASC) AS rk
+  FROM __b
+)
+SELECT class, id FROM __r, __keep
+WHERE rk <= keep ORDER BY class, id
+"""

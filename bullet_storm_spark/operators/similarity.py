@@ -1308,3 +1308,132 @@ SELECT ROUND(CAST(bin AS DOUBLE) / {float(n_bins)!r}, {round_to}) AS bin_lo,
              / CAST(SUM(n_pairs) OVER () AS DOUBLE), {round_to}) AS share
 FROM __binned ORDER BY bin_lo
 """
+
+
+def fisher_separation(
+    df: DataFrame, vec_col: str, label_col: str, round_to: int = 6
+) -> DataFrame:
+    """One-row Fisher class-separation of the embedding space: ``(n,
+    dim, n_labels, ss_between, ss_within, fisher_ratio)`` — the scatter
+    view of the space-vs-labels question ``cluster_label_nmi`` answers
+    in information terms (Fisher 1936 lineage; the trace criterion
+    tr(S_B)/tr(S_W)):
+
+        SS_between = Σ_l n_l·‖m_l − m‖²,  SS_within = Σ_l Σ_{i∈l}‖x_i − m_l‖²
+
+    A ratio near 0 says the labels live nowhere in this space (don't
+    cluster-sample by it); a large ratio says linear probes will be
+    easy. NULL-label rows are excluded; ratio is NULL when SS_within
+    is 0 (every vector equals its class mean).
+
+    Engine parity: per-(label, dim) moments are exact decimals via the
+    text hop (the centroid_drift convention); each label×dim scatter
+    term is one fixed IEEE expression rounded to 9dp and summed in
+    DECIMAL (order-free, the lm_score convention). One posexplode scan,
+    one (label, dim) aggregation (labels×dims rows), one 1-row
+    reduction."""
+    base = df.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("__l"),
+        F.posexplode(as_double(F.col(vec_col))).alias("dim", "__v"),
+    )
+    _vq9 = F.col("__v").cast("string").cast("decimal(18,9)")
+    ld = base.groupBy("__l", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(_vq9.cast("decimal(38,9)")).cast("decimal(38,9)").alias("__s"),
+        # square the (18,9) directly: (18,9)x(18,9) is (37,18) exact in
+        # Spark; a (19,9) operand squares to (39,18), silently rescaled
+        # (the eb_shrunk_rates lesson) — the (19,9) widening is DuckDB-only
+        F.sum((_vq9 * _vq9))
+        .cast("decimal(38,18)")
+        .alias("__q"),
+    )
+    wd = Window.partitionBy("dim")
+    g = (
+        ld.withColumn("__gn", F.sum("__n").over(wd).cast("long"))
+        .withColumn(
+            "__gs", F.sum("__s").over(wd).cast("decimal(38,9)")
+        )
+    )
+    s_d = F.col("__s").cast("string").cast("double")
+    q_d = F.col("__q").cast("string").cast("double")
+    gs_d = F.col("__gs").cast("string").cast("double")
+    ml = s_d / F.col("__n").cast("double")
+    gm = gs_d / F.col("__gn").cast("double")
+    between_term = F.round(
+        F.col("__n").cast("double") * ((ml - gm) * (ml - gm)), 9
+    )
+    within_term = F.round(
+        F.greatest(q_d - (s_d * s_d) / F.col("__n").cast("double"), F.lit(0.0)),
+        9,
+    )
+    agg = g.agg(
+        F.max("__gn").alias("n"),
+        (F.max("dim") + 1).cast("long").alias("dim"),
+        F.count_distinct("__l").cast("long").alias("n_labels"),
+        F.sum(between_term.cast("decimal(38,9)")).cast("double").alias("__b"),
+        F.sum(within_term.cast("decimal(38,9)")).cast("double").alias("__w"),
+    )
+    return agg.select(
+        "n",
+        "dim",
+        "n_labels",
+        F.round(F.col("__b"), round_to).alias("ss_between"),
+        F.round(F.col("__w"), round_to).alias("ss_within"),
+        F.round(F.try_divide(F.col("__b"), F.col("__w")), round_to).alias(
+            "fisher_ratio"
+        ),
+    )
+
+
+def fisher_separation_sql(
+    table: str, vec_col: str, label_col: str, round_to: int = 6
+) -> str:
+    vq9 = "CAST(CAST(v AS VARCHAR) AS DECIMAL(18,9))"
+    return f"""
+WITH __e AS (
+  SELECT {label_col} AS l, CAST(i - 1 AS INTEGER) AS dim,
+         CAST(({vec_col}::DOUBLE[])[i] AS DOUBLE) AS v
+  FROM {table}, UNNEST(generate_series(1, len({vec_col}))) AS __u(i)
+  WHERE {label_col} IS NOT NULL
+),
+__ld AS (
+  SELECT l, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST({vq9} AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s,
+         CAST(SUM(CAST({vq9} AS DECIMAL(19,9)) * CAST({vq9} AS DECIMAL(19,9)))
+              AS DECIMAL(38,18)) AS q
+  FROM __e GROUP BY l, dim
+),
+__g AS (
+  SELECT *, CAST(SUM(n) OVER (PARTITION BY dim) AS BIGINT) AS gn,
+         CAST(SUM(s) OVER (PARTITION BY dim) AS DECIMAL(38,9)) AS gs
+  FROM __ld
+),
+__terms AS (
+  SELECT gn, dim, l,
+         ROUND(CAST(n AS DOUBLE)
+               * ((CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(CAST(gs AS VARCHAR) AS DOUBLE) / CAST(gn AS DOUBLE))
+                  * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(CAST(gs AS VARCHAR) AS DOUBLE)
+                       / CAST(gn AS DOUBLE))),
+               9) AS bt,
+         ROUND(GREATEST(CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                        - (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+                          / CAST(n AS DOUBLE), 0.0), 9) AS wt
+  FROM __g
+),
+__a AS (
+  SELECT MAX(gn) AS n,
+         CAST(MAX(dim) + 1 AS BIGINT) AS dim,
+         CAST(COUNT(DISTINCT l) AS BIGINT) AS n_labels,
+         CAST(SUM(CAST(bt AS DECIMAL(38,9))) AS DOUBLE) AS b,
+         CAST(SUM(CAST(wt AS DECIMAL(38,9))) AS DOUBLE) AS w
+  FROM __terms
+)
+SELECT n, dim, n_labels,
+       ROUND(b, {round_to}) AS ss_between,
+       ROUND(w, {round_to}) AS ss_within,
+       ROUND(CASE WHEN w <> 0.0 THEN b / w END, {round_to}) AS fisher_ratio
+FROM __a
+"""
