@@ -912,3 +912,57 @@ def stream_rolling_median(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_gap_detector(
+    stream_df: DataFrame,
+    key_col: str,
+    seq_col: str,
+):
+    """Live dark-feed detector: per key, emit one row per GAP — a run
+    of missing sequence slots between consecutive observed observations
+    (the streaming twin of ``operators/diagnostics.gap_report``, which
+    derives the same runs from zero cells on the densified offline
+    spine). Feed it the observed (non-empty) hour cells an upstream
+    windowed count emits; a jump from seq s to s' > s+1 means the feed
+    was dark for s'−s−1 slots.
+
+    Emits ``(key, gap_start, gap_len)`` per detected gap (append mode —
+    a gap is known the moment the feed RESUMES; a still-dark feed has
+    emitted nothing yet, which is exactly the offline report's
+    min..max-span semantics). State per key is the last seen sequence —
+    one integer. Replay equivalence with the batch report is pinned by
+    test: replaying a key's observed hours yields gap runs whose count,
+    total length and max length equal gap_report's (n_gaps, zero_hours,
+    longest_gap)."""
+    import pandas as pd
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (last,) = state.get if state.exists else (None,)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("__seq", kind="mergesort")
+        for seq in batch["__seq"]:
+            s = int(seq)
+            if last is not None and s > last + 1:
+                rows.append((key[0], last + 1, s - last - 1))
+            last = s if last is None else max(last, s)
+        state.update((last,))
+        yield pd.DataFrame(rows, columns=["key", "gap_start", "gap_len"])
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(seq_col).cast("long").alias("__seq"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            "key string, gap_start long, gap_len long",
+            "last long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -805,3 +805,44 @@ def test_stream_rolling_median_validation(spark):
             spark.createDataFrame([("a", 1, 1)], "k string, h long, c long"),
             "k", "h", "c", window_rows=0,
         )
+
+
+def test_stream_gap_detector_matches_batch_report(spark, tmp_path):
+    """Replaying each key's OBSERVED hours must yield gap runs whose
+    (count, total, max) equal the offline gap_report's
+    (n_gaps, zero_hours, longest_gap)."""
+    from bullet_storm_spark.operators.diagnostics import gap_report
+    from bullet_storm_spark.streaming.native import stream_gap_detector
+
+    rows = []
+    eid = 0
+    for key, pattern in (
+        ("a", [3, 0, 0, 2, 0, 1]),
+        ("b", [1, 1, 1]),
+        ("c", [2, 0, 0, 0, 5]),
+    ):
+        for h, c in enumerate(pattern):
+            for i in range(c):
+                rows.append((eid, key, (h * 3_600_000_000 + i) * 1000))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts_ns long")
+    batch = {r.key: r for r in gap_report(df).collect()}
+
+    for key in ("a", "b", "c"):
+        observed = sorted(
+            {ns // 1000 // 3_600_000_000 for _, k, ns in rows if k == key}
+        )
+        cells = [(key, h) for h in observed]
+        mid = max(1, len(cells) // 2)
+        out = _run_stream(
+            spark,
+            tmp_path / f"gaps_{key}",
+            lambda st: stream_gap_detector(st, "k", "h"),
+            "k string, h long",
+            [cells[:mid], cells[mid:]],
+        )
+        gaps = [(r.gap_start, r.gap_len) for r in out.collect()]
+        want = batch[key]
+        assert len(gaps) == want.n_gaps
+        assert sum(g for _, g in gaps) == want.zero_hours
+        assert (max((g for _, g in gaps), default=0)) == want.longest_gap
