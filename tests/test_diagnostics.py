@@ -482,3 +482,117 @@ def test_hhi_single_source_is_one(spark):
     )
     row = hhi(df, "source", "text").collect()[0]
     assert row.hhi == 1.0 and row.effective_sources == 1.0
+
+
+def test_diagnostics_randomized_python_oracle(spark):
+    """25 random integer series (mixed lengths, ties, constants) in ONE
+    DataFrame; every per-key output of acf/runs/grubbs/pettitt must
+    match a pure-Python reference — the randomized sweep behind the
+    single hand-oracle cases."""
+    rng = random.Random(20260816)
+    series = {}
+    for i in range(25):
+        n = rng.choice([2, 3, 5, 8, 13, 24])
+        if i % 7 == 0:
+            vals = [rng.randrange(0, 3)] * n  # heavy-tie / constant
+        else:
+            vals = [rng.randrange(0, 12) for _ in range(n)]
+        series[f"k{i:02d}"] = vals
+    rows = []
+    eid = 0
+    for key, ys in series.items():
+        for h, c in enumerate(ys):
+            for _ in range(c):
+                rows.append((key, eid, h * _US_PER_HOUR * 1000))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts_ns long"
+    )
+    # keys whose every hour is 0 events never materialize (no rows);
+    # keys collapse to their observed-hour span — rebuild that spine
+    spans = {}
+    for key, ys in series.items():
+        hours = [h for h, c in enumerate(ys) if c > 0]
+        if not hours:
+            continue
+        lo, hi = min(hours), max(hours)
+        spans[key] = ys[lo : hi + 1]
+
+    # --- acf ---
+    got = {}
+    for r in acf(df, max_lag=4).collect():
+        got.setdefault(r.key, {})[r.lag] = (r.n_hours, r.r, r.q_lb)
+    for key, ys in spans.items():
+        n = len(ys)
+        m = sum(ys) / n
+        den = sum((y - m) ** 2 for y in ys)
+        if den == 0:
+            assert key not in got
+            continue
+        q = 0.0
+        for k in range(1, min(4, n - 1) + 1):
+            rk = round(
+                sum((ys[t] - m) * (ys[t + k] - m) for t in range(n - k)) / den,
+                9,
+            )
+            q += rk * rk / (n - k)
+            assert got[key][k] == (n, rk, round(n * (n + 2) * q, 9)), key
+
+    # --- runs test ---
+    got = {r.key: r for r in runs_test(df).collect()}
+    for key, ys in spans.items():
+        n = len(ys)
+        s = sorted(ys)
+        med2 = s[(n + 1) // 2 - 1] + s[n // 2]
+        signs = [1 if 2 * y > med2 else -1 for y in ys if 2 * y != med2]
+        if not signs:
+            assert key not in got, key
+            continue
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        n1 = sum(1 for x in signs if x > 0)
+        n2 = len(signs) - n1
+        row = got[key]
+        assert (row.n_pos, row.n_neg, row.runs) == (n1, n2, runs), key
+        nn = n1 + n2
+        var = (
+            2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
+            if nn > 1
+            else 0
+        )
+        if n1 and n2 and var > 0:
+            mu = 2 * n1 * n2 / nn + 1
+            assert row.z == round((runs - mu) / math.sqrt(var), 9), key
+        else:
+            assert row.z is None, key
+
+    # --- grubbs ---
+    got = {r.key: r for r in grubbs(df).collect()}
+    for key, ys in spans.items():
+        n = len(ys)
+        m = sum(ys) / n
+        ss = sum((y - m) ** 2 for y in ys)
+        if n < 3 or ss == 0:
+            assert key not in got, key
+            continue
+        s = math.sqrt(ss / (n - 1))
+        g = max(abs(y - m) for y in ys) / s
+        assert got[key].g_stat == pytest.approx(g, abs=2e-9), key
+
+    # --- pettitt ---
+    got = {r.key: r for r in pettitt(df).collect()}
+    sgn = lambda x: (x > 0) - (x < 0)  # noqa: E731
+    for key, ys in spans.items():
+        n = len(ys)
+        if n < 2:
+            assert key not in got, key
+            continue
+        best_k, best_t = -1, None
+        for t in range(1, n):
+            u = sum(
+                sgn(ys[i] - ys[j]) for i in range(t) for j in range(t, n)
+            )
+            if abs(u) > best_k:
+                best_k, best_t = abs(u), t - 1
+        row = got[key]
+        assert row.u_abs_max == best_k, key
+        assert row.stat == round(6 * best_k**2 / (n**3 + n**2), 9), key
