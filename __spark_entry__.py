@@ -4417,6 +4417,21 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         lambda s, d: _diag.gap_report(load_table(s, d, "events"), "user_id"),
         _diag.gap_report_sql("events", "user_id"),
     ),
+    # Cramér–von Mises drift on the ks_drift slices: the integrated
+    # ECDF discrepancy — a broad mild shift scores even when no single
+    # point produces a KS-sized gap; exact-integer numerator
+    "events_cvm_drift": (
+        lambda s, d: _anomaly.cvm_drift(
+            load_table(s, d, "events"), "value",
+            F.expr("(ts_ns div 1000) div 86400000000") < 19738,
+            F.expr("(ts_ns div 1000) div 86400000000") >= 19738,
+        ),
+        _anomaly.cvm_drift_sql(
+            "events", "value",
+            "epoch_us(ts) // 86400000000 < 19738",
+            "epoch_us(ts) // 86400000000 >= 19738",
+        ),
+    ),
     # Fisher scatter ratio of embedding space vs labels: the trace
     # criterion twin of embed_cluster_nmi's information view
     "embed_fisher_separation": (
@@ -4563,8 +4578,8 @@ _DRIVER_PRIORITY = [
     # events_rolling_median, text_code_detection) and the sixth
     # (text_kn_doc_score, join_trade_matrix) and the seventh
     # (privacy_t_closeness, sample_class_balance, events_gap_report,
-    # embed_fisher_separation), padded with the oldest previously-green
-    # entries for drift re-checks if under 50.
+    # embed_fisher_separation, events_cvm_drift), padded with the oldest
+    # previously-green entries for drift re-checks if under 50.
 ]
 
 

@@ -250,6 +250,7 @@ HEADLINE = [
     "sample_class_balance",
     "events_gap_report",
     "embed_fisher_separation",
+    "events_cvm_drift",
 ]
 
 

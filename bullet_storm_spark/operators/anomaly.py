@@ -1197,3 +1197,131 @@ SELECT d.ka AS key_a, d.kb AS key_b,
 FROM __dot d JOIN __norm na ON d.ka = na.k JOIN __norm nb ON d.kb = nb.k
 ORDER BY key_a, key_b
 """
+
+
+def cvm_drift(
+    df: DataFrame,
+    value_col: str,
+    a_pred,
+    b_pred,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row two-sample Cramér–von Mises drift statistic between the
+    rows matching ``a_pred`` and ``b_pred``: ``(n_a, n_b, cvm_t)``
+    — the INTEGRATED-squared-difference companion to ``ks_drift``'s
+    max-gap: KS sees the single worst point; CvM accumulates the whole
+    ECDF discrepancy, so a broad mild shift that never produces one big
+    gap still scores (Anderson, Ann. Math. Stat. 1962 two-sample form,
+    evaluated at the pooled sample):
+
+        T = (n·m/N²)·Σ_pooled (F_a(x) − F_b(x))²
+          = Σ_v w_v·(c_a(v)·m − c_b(v)·n)² / (n·m·N²)
+
+    where the sum runs over DISTINCT pooled values v with multiplicity
+    w_v and cumulative per-slice counts — so every term is an exact
+    BIGINT/DECIMAL product (the ks_drift cross-multiplication idea,
+    squared) and the single numerator/denominator division at the end
+    is the only IEEE step (the exact DECIMAL numerator stays internal —
+    a Decimal output column degrades to object/float64 divergently in
+    the two engines' pandas paths, the driver-canonicalizer hazard).
+    The decimal holds to roughly n·m ≈ 10¹⁷ pair mass — a LOUD overflow, not a wrong
+    answer, far past any per-slice support this operator should see
+    un-bucketed (the ks_drift pre-bucketing contract applies).
+
+    Scale shape: identical to ks_drift — one conditional-count
+    aggregation, one support-sized cumulative window, one 1-row
+    reduce."""
+    ex = "decimal(38,0)"
+    counts = (
+        df.select(
+            F.col(value_col).alias("__v"),
+            F.when(a_pred, 1).otherwise(0).alias("__a"),
+            F.when(b_pred, 1).otherwise(0).alias("__b"),
+        )
+        .where((F.col("__a") == 1) | (F.col("__b") == 1))
+        .groupBy("__v")
+        .agg(
+            F.sum("__a").cast("long").alias("__ca"),
+            F.sum("__b").cast("long").alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        (F.col("__ca") + F.col("__cb")).cast(ex).alias("__w"),
+        F.sum("__ca").over(w).cast("long").alias("__cuma"),
+        F.sum("__cb").over(w).cast("long").alias("__cumb"),
+    )
+    totals = counts.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+    )
+    diff = (
+        F.col("__cuma").cast(ex) * F.col("n_b").cast(ex)
+        - F.col("__cumb").cast(ex) * F.col("n_a").cast(ex)
+    )
+    agg = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("__w") * diff * diff).cast(ex).alias("t_num"),
+    )
+    n_d = F.col("n_a").cast("double")
+    m_d = F.col("n_b").cast("double")
+    nn = n_d + m_d
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.try_divide(
+                F.col("t_num").cast("string").cast("double"),
+                (n_d * m_d) * (nn * nn),
+            ),
+            round_to,
+        ).alias("cvm_t"),
+    )
+
+
+def cvm_drift_sql(
+    table: str,
+    value_col: str,
+    a_pred_sql: str,
+    b_pred_sql: str,
+    round_to: int = 9,
+) -> str:
+    d = "DECIMAL(38,0)"
+    return f"""
+WITH __counts AS (
+  SELECT {value_col} AS v,
+         SUM(CASE WHEN {a_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS ca,
+         SUM(CASE WHEN {b_pred_sql} THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM {table}
+  WHERE ({a_pred_sql}) OR ({b_pred_sql})
+  GROUP BY v
+),
+__cum AS (
+  SELECT CAST(ca + cb AS {d}) AS w,
+         CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cumb
+  FROM __counts
+),
+__tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM __counts
+),
+__agg AS (
+  SELECT MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b,
+         CAST(SUM(c.w * (CAST(c.cuma AS {d}) * t.n_b
+                         - CAST(c.cumb AS {d}) * t.n_a)
+                      * (CAST(c.cuma AS {d}) * t.n_b
+                         - CAST(c.cumb AS {d}) * t.n_a)) AS {d}) AS t_num
+  FROM __cum c, __tot t
+)
+SELECT n_a, n_b,
+       ROUND(CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
+             / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))),
+             {round_to}) AS cvm_t
+FROM __agg
+"""

@@ -754,3 +754,48 @@ def test_centroid_matrix_parity_fuzz(spark, seed):
         anomaly.centroid_matrix_sql("emb", "label", "embedding")
     ).fetchall()
     assert got == want
+
+
+def test_cvm_drift_hand_oracle_and_parity(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bullet_storm_spark.operators.anomaly import cvm_drift, cvm_drift_sql
+
+    # slice A: [1,2,2,3]; slice B: [2,3,3,4] — hand ECDF evaluation
+    rows = [(0, v) for v in (1.0, 2.0, 2.0, 3.0)] + [
+        (1, v) for v in (2.0, 3.0, 3.0, 4.0)
+    ]
+    df = spark.createDataFrame(rows, "g int, value double")
+    out = cvm_drift(
+        df, "value", F.col("g") == 0, F.col("g") == 1
+    ).collect()[0]
+    n = m = 4
+    a = [1.0, 2.0, 2.0, 3.0]
+    b = [2.0, 3.0, 3.0, 4.0]
+    pooled = sorted(a + b)
+    t = sum(
+        (sum(1 for x in a if x <= v) / n - sum(1 for x in b if x <= v) / m)
+        ** 2
+        for v in pooled
+    ) * n * m / (n + m) ** 2
+    assert (out.n_a, out.n_b) == (4, 4)
+    assert out.cvm_t == pytest.approx(t, abs=1e-9)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g INTEGER, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = con.execute(
+        cvm_drift_sql("t", "value", "g = 0", "g = 1")
+    ).fetchall()
+    assert [tuple(r) for r in cvm_drift(
+        df, "value", F.col("g") == 0, F.col("g") == 1
+    ).collect()] == duck
+
+    # identical slices -> zero discrepancy
+    df2 = spark.createDataFrame(
+        [(g, float(v)) for g in (0, 1) for v in (1, 2, 3)], "g int, value double"
+    )
+    assert cvm_drift(
+        df2, "value", F.col("g") == 0, F.col("g") == 1
+    ).collect()[0].cvm_t == 0.0
