@@ -1785,7 +1785,10 @@ def eb_shrunk_rates(
         _d2d(F.col("__spp")) - (_d2d(F.col("__sp")) * _d2d(F.col("__sp"))) / k_d,
         k_d - F.lit(1.0),
     )
-    ab = (m * (F.lit(1.0) - m)) / v - F.lit(1.0)
+    # _div, not a when()-guarded `/`: the v > 0 guard can be HOISTED by
+    # codegen subexpression elimination (the CUPED incident) and v = 0
+    # is a REAL input (identical item rates)
+    ab = _div(m * (F.lit(1.0) - m), v) - F.lit(1.0)
     prior = mom.select(
         F.when((v > 0) & (ab > 0), ab).alias("__ab"),
         F.when((v > 0) & (ab > 0), m * ab).alias("__alpha"),

@@ -738,9 +738,14 @@ def code_detection(
         indent.alias("indent_lines"),
         F.size(lines).cast("long").alias("n_lines"),
     )
+    # try_divide, not a when()-guarded `/`: codegen subexpression
+    # elimination can HOIST the division out of the n_chars > 0 branch
+    # (the stats_tests CUPED incident) and double/0 RAISES under ANSI
     score = F.round(
-        (F.col("n_braces") + F.col("n_semis") + F.col("n_eq")).cast("double")
-        / F.col("n_chars").cast("double")
+        F.try_divide(
+            (F.col("n_braces") + F.col("n_semis") + F.col("n_eq")).cast("double"),
+            F.col("n_chars").cast("double"),
+        )
         + F.col("indent_lines").cast("double") / F.col("n_lines").cast("double"),
         round_to,
     )

@@ -1138,9 +1138,11 @@ def cluster_label_nmi(
         F.round("h_joint", round_to).alias("h_joint"),
         F.round(mi, round_to).alias("mi"),
         F.round(
+            # try_divide inside the guard: the when() can be hoisted
+            # (the CUPED incident) and denom = 0 is a real input
             F.when(
                 (F.col("h_cluster") > 0) & (F.col("h_label") > 0),
-                (F.lit(2.0) * mi) / denom,
+                F.try_divide(F.lit(2.0) * mi, denom),
             ),
             round_to,
         ).alias("nmi"),
