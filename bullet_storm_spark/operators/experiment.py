@@ -1901,11 +1901,21 @@ def icc_design_effect(
         .cast(_MOMENT)
         .alias("__qg"),
     )
-    ratio = F.round(
-        (_d2d(F.col("__sg")) * _d2d(F.col("__sg")))
-        / F.col("__ng").cast("double"),
-        9,
-    ).cast("decimal(38,9)")
+    # text hop, not a direct double->decimal cast: at s_g^2/n_g
+    # magnitudes (~1e10 on fuzz inputs) ROUND(x, 9) is an ulp-level
+    # no-op, so the decimal conversion sees a full-precision double —
+    # Spark rounds its shortest repr HALF_UP while DuckDB rounds the
+    # exact binary value (the _q6 class; fuzz-caught as a 2e-7 msb
+    # divergence at seed 7005)
+    ratio = (
+        F.round(
+            (_d2d(F.col("__sg")) * _d2d(F.col("__sg")))
+            / F.col("__ng").cast("double"),
+            9,
+        )
+        .cast("string")
+        .cast("decimal(38,9)")
+    )
     agg = per.agg(
         F.sum("__ng").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -1967,8 +1977,9 @@ __agg AS (
          CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(sg) AS DECIMAL(38,12)) AS s,
          CAST(SUM(qg) AS DECIMAL(38,12)) AS q,
-         CAST(SUM(CAST(ROUND(({_d2d_sql('sg')} * {_d2d_sql('sg')})
-                             / CAST(ng AS DOUBLE), 9) AS DECIMAL(38,9)))
+         CAST(SUM(CAST(CAST(ROUND(({_d2d_sql('sg')} * {_d2d_sql('sg')})
+                                   / CAST(ng AS DOUBLE), 9) AS VARCHAR)
+                       AS DECIMAL(38,9)))
               AS DECIMAL(38,9)) AS r,
          CAST(SUM(CAST(ng AS DECIMAL(38,0)) * CAST(ng AS DECIMAL(38,0)))
               AS DECIMAL(38,0)) AS n2

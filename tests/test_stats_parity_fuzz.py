@@ -201,3 +201,69 @@ def test_bootstrap_parity_fuzz(spark, seed):
         setup, bootstrap_mean_ci_sql("t", "id", "value", b=40, alpha=0.1)
     )
     assert [tuple(r) for r in got.collect()] == oracle
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_r8_second_half_parity_fuzz(spark, seed):
+    """Seeded boundary fuzz for the r8 second-half scan-shaped
+    statistics: McNemar, post-stratified ATE, EB shrinkage, ICC,
+    partial correlation, CvM drift — tie-prone values, degenerate
+    strata/classes, zero-variance slices."""
+    from bullet_storm_spark.operators.anomaly import cvm_drift, cvm_drift_sql
+    from bullet_storm_spark.operators.correlate import (
+        partial_correlation,
+        partial_correlation_sql,
+    )
+    from bullet_storm_spark.operators.experiment import (
+        eb_shrunk_rates,
+        eb_shrunk_rates_sql,
+        icc_design_effect,
+        icc_design_effect_sql,
+        poststrat_ate,
+        poststrat_ate_sql,
+    )
+    from bullet_storm_spark.operators.stats_tests import mcnemar, mcnemar_sql
+
+    rng = random.Random(7000 + seed)
+    n = rng.randint(8, 120)
+    n_strata = rng.choice([1, 2, 3, 5])
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                i % n_strata,
+                rng.randint(0, 1),
+                _values(rng, 1)[0],
+                rng.randint(0, 1),
+                rng.randint(0, 1),
+            )
+        )
+    df = spark.createDataFrame(rows, "id long, s int, t int, v double, a int, b int")
+    setup = _rows_sql(rows, "id, s, t, v, a, b")
+
+    sp = [tuple(r) for r in mcnemar(df, F.col("a") == 1, F.col("b") == 1).collect()]
+    assert sp == _duck(setup, mcnemar_sql("t", "a = 1", "b = 1"))
+
+    sp = [tuple(r) for r in poststrat_ate(
+        df, F.col("s"), F.col("t") == 1, "v"
+    ).collect()]
+    assert sp == _duck(setup, poststrat_ate_sql("t", "s", "t = 1", "v"))
+
+    sp = [tuple(r) for r in eb_shrunk_rates(
+        df, F.col("s"), F.col("a") == 1
+    ).collect()]
+    assert sp == _duck(setup, eb_shrunk_rates_sql("t", "s", "a = 1"))
+
+    sp = [tuple(r) for r in icc_design_effect(df, "s", "v").collect()]
+    assert sp == _duck(setup, icc_design_effect_sql("t", "s", "v"))
+
+    sp = [tuple(r) for r in partial_correlation(
+        df, "v", "a", "b"
+    ).collect()]
+    assert sp == _duck(setup, partial_correlation_sql("t", "v", "a", "b"))
+
+    sp = [tuple(r) for r in cvm_drift(
+        df, "v", F.col("t") == 1, F.col("t") == 0
+    ).collect()]
+    assert sp == _duck(setup, cvm_drift_sql("t", "v", "t = 1", "t = 0"))
