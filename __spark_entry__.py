@@ -4417,6 +4417,12 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         lambda s, d: _diag.gap_report(load_table(s, d, "events"), "user_id"),
         _diag.gap_report_sql("events", "user_id"),
     ),
+    # RFM segmentation: the classic marketing recency/frequency/
+    # monetary quintile scores per user, fully tie-broken NTILEs
+    "events_rfm_segments": (
+        lambda s, d: _behavior.rfm_segments(load_table(s, d, "events")),
+        _behavior.rfm_segments_sql("events"),
+    ),
     # Cramér–von Mises drift on the ks_drift slices: the integrated
     # ECDF discrepancy — a broad mild shift scores even when no single
     # point produces a KS-sized gap; exact-integer numerator
@@ -4578,8 +4584,9 @@ _DRIVER_PRIORITY = [
     # events_rolling_median, text_code_detection) and the sixth
     # (text_kn_doc_score, join_trade_matrix) and the seventh
     # (privacy_t_closeness, sample_class_balance, events_gap_report,
-    # embed_fisher_separation, events_cvm_drift), padded with the oldest
-    # previously-green entries for drift re-checks if under 50.
+    # embed_fisher_separation, events_cvm_drift, events_rfm_segments),
+    # padded with the oldest previously-green entries for drift
+    # re-checks if under 50.
 ]
 
 

@@ -251,6 +251,7 @@ HEADLINE = [
     "events_gap_report",
     "embed_fisher_separation",
     "events_cvm_drift",
+    "events_rfm_segments",
 ]
 
 

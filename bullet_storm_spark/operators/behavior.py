@@ -1330,3 +1330,105 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
          AS avg_value
 FROM __s
 """
+
+
+def rfm_segments(
+    df: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Per-user RFM segmentation: ``(user_id, r_hours, frequency,
+    monetary, r_score, f_score, m_score, rfm_code)`` ordered by user —
+    the classic recency/frequency/monetary marketing segmentation
+    (Hughes 1994 lineage) as one user collapse plus three quintile
+    windows. ``r_hours`` is whole hours since the user's last event
+    relative to the corpus's last event (integer epoch-µs arithmetic,
+    no calendar functions); scores are NTILE(5) with 5 = best
+    (most recent / most frequent / highest value) and ``rfm_code``
+    concatenates them ("555" = the champions segment).
+
+    Determinism: every NTILE runs over a fully tie-broken order
+    (metric, then user_id) — both engines implement standard NTILE
+    (equal buckets, earlier buckets take the remainder), so bucket
+    boundaries are identical; monetary ORDERING uses the exact (38,12)
+    decimal sum (no float compare), while the emitted monetary column
+    is the rounded double.
+
+    Scale posture: one user-keyed collapse (map-side combined), then
+    user-dimension-sized windows (the activity_concentration global-
+    rank posture), a 1-row corpus-max broadcast."""
+    per = (
+        df.groupBy("user_id")
+        .agg(
+            F.max(_ts_us()).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.round(F.col("value"), 6).cast("decimal(38,6)")
+            ).cast("decimal(38,12)").alias("__m"),
+        )
+    )
+    gmax = per.agg(F.max("__last").alias("__gmax"))
+    base = per.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        F.expr("(__gmax - __last) div 3600000000").cast("long").alias("r_hours"),
+        "frequency",
+        "__m",
+    )
+    r_sc = 6 - F.ntile(5).over(
+        Window.orderBy(F.asc("r_hours"), F.asc("user_id"))
+    )
+    f_sc = F.ntile(5).over(
+        Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    )
+    m_sc = F.ntile(5).over(Window.orderBy(F.asc("__m"), F.asc("user_id")))
+    out = base.select(
+        "user_id",
+        "r_hours",
+        "frequency",
+        F.round(F.col("__m").cast("string").cast("double"), round_to).alias(
+            "monetary"
+        ),
+        r_sc.cast("int").alias("r_score"),
+        f_sc.cast("int").alias("f_score"),
+        m_sc.cast("int").alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm_code",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    ).orderBy("user_id")
+
+
+def rfm_segments_sql(table: str, round_to: int = 6) -> str:
+    return f"""
+WITH __per AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DECIMAL(38,12))
+           AS m
+  FROM {table} GROUP BY user_id
+),
+__g AS (SELECT MAX(last_us) AS gmax FROM __per),
+__b AS (
+  SELECT user_id,
+         CAST((g.gmax - p.last_us) // 3600000000 AS BIGINT) AS r_hours,
+         frequency, m
+  FROM __per p, __g g
+),
+__s AS (
+  SELECT user_id, r_hours, frequency, m,
+         6 - NTILE(5) OVER (ORDER BY r_hours ASC, user_id ASC) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
+         NTILE(5) OVER (ORDER BY m ASC, user_id ASC) AS m_score
+  FROM __b
+)
+SELECT user_id, r_hours, frequency,
+       ROUND(CAST(CAST(m AS VARCHAR) AS DOUBLE), {round_to}) AS monetary,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm_code
+FROM __s ORDER BY user_id
+"""

@@ -228,3 +228,44 @@ def test_code_detection_duck_parity(spark):
     sp = [tuple(r) for r in code_detection(df, "doc_id", "text").collect()]
     duck = con.execute(code_detection_sql("documents", "doc_id", "text")).fetchall()
     assert sp == duck
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+def test_rfm_hand_oracle(spark):
+    # 3 users with clearly ordered R/F/M; corpus max is user 3's event
+    rows = [
+        # user 1: stale, low frequency, low value
+        (0, 1, 10.0, 0),
+        # user 2: mid
+        (1, 2, 50.0, 10 * _US_PER_HOUR * 1000),
+        (2, 2, 50.0, 11 * _US_PER_HOUR * 1000),
+        # user 3: fresh, frequent, high value
+        (3, 3, 100.0, 20 * _US_PER_HOUR * 1000),
+        (4, 3, 100.0, 21 * _US_PER_HOUR * 1000),
+        (5, 3, 100.0, 22 * _US_PER_HOUR * 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts_ns long"
+    )
+    from bullet_storm_spark.operators.behavior import rfm_segments
+
+    out = {r.user_id: r for r in rfm_segments(df).collect()}
+    assert out[1].r_hours == 22 and out[3].r_hours == 0
+    assert (out[1].frequency, out[2].frequency, out[3].frequency) == (1, 2, 3)
+    assert out[3].monetary == 300.0
+    # strict orderings: user 3 beats user 2 beats user 1 on every score
+    for col in ("r_score", "f_score", "m_score"):
+        assert out[3][col] > out[2][col] > out[1][col]
+    assert out[3].rfm_code == f"{out[3].r_score}{out[3].f_score}{out[3].m_score}"
+
+
+def test_rfm_duck_parity(ev, ev_duck):
+    from bullet_storm_spark.operators.behavior import (
+        rfm_segments,
+        rfm_segments_sql,
+    )
+
+    sp = [tuple(r) for r in rfm_segments(ev).collect()]
+    duck = ev_duck.execute(rfm_segments_sql("ev")).fetchall()
+    assert sp == duck
