@@ -47,6 +47,7 @@ from bullet_storm_spark.operators.stats_tests import (
     _div,
     _q6,
     _q6_sql,
+    _qround_sql,
 )
 
 # Φ⁻¹(0.975) and Φ⁻¹(0.80): the standard 5%-two-sided / 80%-power pair
@@ -623,12 +624,12 @@ __pd AS (
   FROM __dec GROUP BY decile
 )
 SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, resp_t, resp_c,
-       ROUND(CAST(resp_t AS DOUBLE) / n_t
-             - CAST(resp_c AS DOUBLE) / n_c, 9) AS uplift,
-       ROUND(CAST(SUM(resp_t) OVER __w AS DOUBLE)
-             - CAST(SUM(resp_c) OVER __w AS DOUBLE)
-               * (CAST(SUM(n_t) OVER __w AS DOUBLE)
-                  / CAST(SUM(n_c) OVER __w AS DOUBLE)), 9) AS qini_cum
+       {_qround_sql("CAST(resp_t AS DOUBLE) / n_t - CAST(resp_c AS DOUBLE) / n_c", 9)} AS uplift,
+       {_qround_sql(
+           "CAST(SUM(resp_t) OVER __w AS DOUBLE) "
+           "- CAST(SUM(resp_c) OVER __w AS DOUBLE) "
+           "* (CAST(SUM(n_t) OVER __w AS DOUBLE) "
+           "/ CAST(SUM(n_c) OVER __w AS DOUBLE))", 9)} AS qini_cum
 FROM __pd
 WINDOW __w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
 ORDER BY decile

@@ -85,6 +85,25 @@ def _q6_sql(e: str) -> str:
     return f"CAST(CAST(CAST({e} AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))"
 
 
+def _qround_sql(e: str, digits: int) -> str:
+    """Engine-identical twin of Spark's ``F.round(double, digits)`` for the
+    DuckDB oracle. Spark's Round on DoubleType is EXACT: shortest-repr text
+    via BigDecimal.valueOf then setScale HALF_UP. DuckDB's ROUND(double, n)
+    rounds in float arithmetic (x * 10^n, round, divide), which diverges
+    from exact HALF_UP by 1 ulp when x * 10^n sits within a ulp of a .5
+    boundary — driver-caught r8 on events_uplift_deciles (local DuckDB
+    happened to agree; the driver's build did not). The text hop
+    double→VARCHAR→DECIMAL→VARCHAR→DOUBLE is exact/correctly-rounded at
+    every step, so the oracle reproduces Spark's rounding bit-for-bit on
+    any DuckDB build. Only for double operands (decimal ROUND is already
+    exact in both engines); NULL propagates, NaN/Inf must be impossible
+    upstream (this repo's _div/NULLIF conventions yield NULL, not NaN)."""
+    return (
+        f"CAST(CAST(CAST(CAST({e} AS VARCHAR) AS DECIMAL(38,{digits})) "
+        f"AS VARCHAR) AS DOUBLE)"
+    )
+
+
 def _div(a, b):
     """NULL-on-zero division for data-dependent denominators.
 

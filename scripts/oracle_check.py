@@ -43,7 +43,11 @@ def canon(value):
             return "NaN"
         if value == int(value) and abs(value) < 1e15:
             return str(int(value))
-        return f"{value:.10g}"
+        # 17 significant digits distinguishes every double — the local
+        # gate must be at least as strict as the driver's canonicalizer
+        # (r8 shipped a ROUND(double,9) 1-ulp divergence invisible at
+        # the previous %.10g).
+        return f"{value:.17g}"
     if isinstance(value, bytes):
         return value.hex()
     if isinstance(value, (list, tuple)):
