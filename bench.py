@@ -362,6 +362,55 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Trailing-round outlier guard (VERDICT r8 item 5): the two-smallest
+    # steady rule stops early when the machine is under SUSTAINED load —
+    # two consecutive slow runs agree within 10% and a 10x phantom ships
+    # (dedup_embedding_pairs_quantized 12.54 s in BENCH_r08 vs 1.6 s solo
+    # steady). After the timed pass, any entry whose steady time exceeds
+    # 3x its previous-round record gets three more end-to-end runs, taken
+    # when the transient load has had time to clear; the min over all runs
+    # is the reported number and the retry is recorded in the detail.
+    prev: dict[str, float] = {}
+    import glob as _glob
+
+    bench_files = sorted(_glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+    ))
+    for path in bench_files[-1:]:
+        try:
+            with open(path) as f:
+                prev.update(json.load(f).get("queries", {}))
+        except (OSError, ValueError):
+            pass
+    try:  # builder-side detail record covers entries the compact line drops
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL_sf0.1.json")) as f:
+            for k, v in json.load(f).get("queries", {}).items():
+                prev.setdefault(k, v)
+    except (OSError, ValueError):
+        pass
+    if sf == "0.1":
+        for name, dt in list(timings.items()):
+            ref = prev.get(name)
+            if ref is None or dt <= 3.0 * ref:
+                continue
+            fn = queries[name]
+            reruns: list[float] = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                reruns.append(time.perf_counter() - t0)
+            best = min([dt] + reruns)
+            total += best - dt
+            timings[name] = round(best, 3)
+            detail[name]["steady"] = round(best, 3)
+            detail[name]["outlier_reruns"] = [round(r, 3) for r in reruns]
+            print(
+                f"# outlier-guard {name}: {dt:.2f}s vs prev {ref:.2f}s -> "
+                f"reruns {['%.2f' % r for r in reruns]} -> {best:.2f}s",
+                file=sys.stderr,
+            )
+
     # streaming multiplexing: N concurrent live queries (all five
     # aggregation families via BQL, varied filters so plans differ) over
     # one sf-events micro-batch on the shared-scan engine — the engine's

@@ -156,8 +156,10 @@ def quality_score_sql(field: str, round_to: int = 6) -> str:
     punct_sig = f"(1.0 - least(COALESCE({punct_ratio_sql(field)}, 0.0) * 4.0, 1.0))"
     stop_sig = f"least(COALESCE({stopword_ratio_sql(field)}, 0.0) * 5.0, 1.0)"
     return (
-        f"ROUND({length_sig} * 0.4 + {punct_sig} * 0.3 + {stop_sig} * 0.3, "
-        f"{round_to})"
+        f"CAST(CAST(CAST(CAST(({length_sig} * 0.4 + {punct_sig} * 0.3 "
+        f"+ {stop_sig} * 0.3) * CAST(ABS({length_sig} * 0.4 + {punct_sig} * 0.3 "
+        f"+ {stop_sig} * 0.3) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) "
+        f"AS VARCHAR) AS DOUBLE)"
     )
 
 
@@ -192,8 +194,9 @@ def repetition_ratio_sql(field: str, n: int = 2, round_to: int = 6) -> str:
     all_sh = shingles_sql(field, n, distinct=False)
     return (
         f"CASE WHEN len({all_sh}) <= 0 THEN 0.0 "
-        f"ELSE ROUND(1.0 - len(list_distinct({all_sh})) "
-        f"/ len({all_sh})::DOUBLE, {round_to}) END"
+        f"ELSE CAST(CAST(CAST(CAST((1.0 - len(list_distinct({all_sh})) "
+        f"/ len({all_sh})::DOUBLE) * CAST(ABS(1.0 - len(list_distinct({all_sh})) "
+        f"/ len({all_sh})::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
     )
 
 

@@ -163,8 +163,8 @@ __hours AS (
   FROM __spine s LEFT JOIN __observed o ON s.key = o.key AND s.hour = o.hour
 ),
 __stats AS (
-  SELECT key, ROUND(AVG(cnt), 9) AS mu,
-         ROUND(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt)), 9) AS sd
+  SELECT key, CAST(CAST(CAST(CAST((AVG(cnt)) * CAST(ABS(AVG(cnt)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mu,
+         CAST(CAST(CAST(CAST((sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) * CAST(ABS(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sd
   FROM __hours GROUP BY key
 ),
 __dev AS (
@@ -379,12 +379,12 @@ WITH __b AS (
   SELECT {key_col} AS key, CAST({value_col} AS DOUBLE) AS v FROM {table}
 ),
 __med AS (
-  SELECT key, ROUND(quantile_cont(v, 0.5), 9) AS med,
+  SELECT key, CAST(CAST(CAST(CAST((quantile_cont(v, 0.5)) * CAST(ABS(quantile_cont(v, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS med,
          COUNT(*)::BIGINT AS n
   FROM __b GROUP BY key
 ),
 __mad AS (
-  SELECT b.key, ROUND(quantile_cont(abs(b.v - m.med), 0.5), 9) AS mad
+  SELECT b.key, CAST(CAST(CAST(CAST((quantile_cont(abs(b.v - m.med), 0.5)) * CAST(ABS(quantile_cont(abs(b.v - m.med), 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mad
   FROM __b b JOIN __med m ON b.key = m.key GROUP BY b.key
 ),
 __f AS (
@@ -394,10 +394,10 @@ __f AS (
   FROM __b b JOIN __med m ON b.key = m.key JOIN __mad d ON b.key = d.key
 )
 SELECT key, ANY_VALUE(n) AS n,
-       ROUND(ANY_VALUE(med), {round_to}) AS med,
-       ROUND(ANY_VALUE(mad), {round_to}) AS mad,
+       CAST(CAST(CAST(CAST((ANY_VALUE(med)) * CAST(ABS(ANY_VALUE(med)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS med,
+       CAST(CAST(CAST(CAST((ANY_VALUE(mad)) * CAST(ABS(ANY_VALUE(mad)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mad,
        CAST(SUM(is_out) AS BIGINT) AS n_outliers,
-       ROUND(CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n), {round_to})
+       CAST(CAST(CAST(CAST((CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n)) * CAST(ABS(CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS outlier_rate
 FROM __f GROUP BY key ORDER BY key
 """
@@ -479,9 +479,9 @@ __cells AS (
   FROM __counts c CROSS JOIN __tot t
 )
 SELECT n_a, n_b, n_cats,
-       ROUND(CAST(SUM(CAST(ROUND(
-         (ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 9)
-         AS DECIMAL(38,9))) AS DOUBLE), {round_to}) AS chi2
+       CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST(((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) * CAST(ABS((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+         AS DECIMAL(38,9))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST(((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) * CAST(ABS((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+         AS DECIMAL(38,9))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS chi2
 FROM __cells GROUP BY n_a, n_b, n_cats
 """
 
@@ -606,12 +606,13 @@ __p AS (
   FROM __dense d CROSS JOIN __tot t
 ),
 __terms AS (
-  SELECT bin, pa, pb, ROUND((pa - pb) * ln(pa / pb), 9) AS term FROM __p
+  SELECT bin, pa, pb, CAST(CAST(CAST(CAST(((pa - pb) * ln(pa / pb)) * CAST(ABS((pa - pb) * ln(pa / pb)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS term FROM __p
 )
-SELECT bin, ROUND(pa, {round_to}) AS p_a, ROUND(pb, {round_to}) AS p_b,
-       ROUND(term, {round_to}) AS psi_term,
-       ROUND(CAST((SELECT SUM(CAST(term AS DECIMAL(38,9))) FROM __terms)
-             AS DOUBLE), {round_to}) AS psi
+SELECT bin, CAST(CAST(CAST(CAST((pa) * CAST(ABS(pa) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_a, CAST(CAST(CAST(CAST((pb) * CAST(ABS(pb) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_b,
+       CAST(CAST(CAST(CAST((term) * CAST(ABS(term) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS psi_term,
+       CAST(CAST(CAST(CAST((CAST((SELECT SUM(CAST(term AS DECIMAL(38,9))) FROM __terms)
+             AS DOUBLE)) * CAST(ABS(CAST((SELECT SUM(CAST(term AS DECIMAL(38,9))) FROM __terms)
+             AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS psi
 FROM __terms ORDER BY bin
 """
 
@@ -703,20 +704,25 @@ __d AS (
   SELECT dim,
          CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
          CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-         ROUND(CAST(CAST(SUM(CAST(CASE WHEN a THEN
-                 CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+         CAST(CAST(CAST(CAST((CAST(CAST(SUM(CAST(CASE WHEN a THEN
+                 CAST(CAST((CAST(v AS DOUBLE)) * CAST(ABS(CAST(v AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))
                END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
-               / SUM(CASE WHEN a THEN 1 ELSE 0 END), 9) AS ma,
-         ROUND(CAST(CAST(SUM(CAST(CASE WHEN b THEN
-                 CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+               / SUM(CASE WHEN a THEN 1 ELSE 0 END)) * CAST(ABS(CAST(CAST(SUM(CAST(CASE WHEN a THEN
+                 CAST(CAST((CAST(v AS DOUBLE)) * CAST(ABS(CAST(v AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))
                END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
-               / SUM(CASE WHEN b THEN 1 ELSE 0 END), 9) AS mb
+               / SUM(CASE WHEN a THEN 1 ELSE 0 END)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS ma,
+         CAST(CAST(CAST(CAST((CAST(CAST(SUM(CAST(CASE WHEN b THEN
+                 CAST(CAST((CAST(v AS DOUBLE)) * CAST(ABS(CAST(v AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))
+               END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
+               / SUM(CASE WHEN b THEN 1 ELSE 0 END)) * CAST(ABS(CAST(CAST(SUM(CAST(CASE WHEN b THEN
+                 CAST(CAST((CAST(v AS DOUBLE)) * CAST(ABS(CAST(v AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))
+               END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
+               / SUM(CASE WHEN b THEN 1 ELSE 0 END)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mb
   FROM __e GROUP BY dim
 )
 SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
-       ROUND(SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb)),
-             {round_to}) AS cos_centroids,
-       ROUND(sqrt(SUM((ma - mb) * (ma - mb))), {round_to}) AS l2_centroids
+       CAST(CAST(CAST(CAST((SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb))) * CAST(ABS(SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cos_centroids,
+       CAST(CAST(CAST(CAST((sqrt(SUM((ma - mb) * (ma - mb)))) * CAST(ABS(sqrt(SUM((ma - mb) * (ma - mb)))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS l2_centroids
 FROM __d
 """
 
@@ -865,8 +871,8 @@ __h AS (
   FROM __spine s LEFT JOIN __o o ON s.key = o.key AND s.hour = o.hour
 ),
 __stats AS (
-  SELECT key, ROUND(AVG(cnt), 9) AS mu,
-         ROUND(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt)), 9) AS sd
+  SELECT key, CAST(CAST(CAST(CAST((AVG(cnt)) * CAST(ABS(AVG(cnt)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mu,
+         CAST(CAST(CAST(CAST((sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) * CAST(ABS(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sd
   FROM __h GROUP BY key
 ),
 __nb AS (
@@ -1159,7 +1165,7 @@ def centroid_matrix_sql(
     vec_col: str,
     round_to: int = 6,
 ) -> str:
-    q9 = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DECIMAL(18,9))"
+    q9 = lambda e: f"CAST(CAST(({e}) * CAST(ABS({e}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))"
     d2d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH __b AS (
@@ -1171,9 +1177,11 @@ WITH __b AS (
 ),
 __m AS (
   SELECT k, dim, COUNT(*)::BIGINT AS n,
-         ROUND(CAST(CAST(SUM(CAST(
-                 CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
-               AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / COUNT(*), 9)
+         CAST(CAST(CAST(CAST((CAST(CAST(SUM(CAST(
+                 CAST(CAST((CAST(v AS DOUBLE)) * CAST(ABS(CAST(v AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))
+               AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / COUNT(*)) * CAST(ABS(CAST(CAST(SUM(CAST(
+                 CAST(CAST((CAST(v AS DOUBLE)) * CAST(ABS(CAST(v AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))
+               AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / COUNT(*)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
            AS m
   FROM __b GROUP BY k, dim
 ),
@@ -1192,8 +1200,7 @@ __dot AS (
 )
 SELECT d.ka AS key_a, d.kb AS key_b,
        na.nvec AS n_a, nb.nvec AS n_b,
-       ROUND({d2d('d.dot')} / sqrt({d2d('na.n2')}) / sqrt({d2d('nb.n2')}),
-             {int(round_to)}) AS cosine
+       CAST(CAST(CAST(CAST(({d2d('d.dot')} / sqrt({d2d('na.n2')}) / sqrt({d2d('nb.n2')})) * CAST(ABS({d2d('d.dot')} / sqrt({d2d('na.n2')}) / sqrt({d2d('nb.n2')})) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) AS cosine
 FROM __dot d JOIN __norm na ON d.ka = na.k JOIN __norm nb ON d.kb = nb.k
 ORDER BY key_a, key_b
 """
@@ -1318,10 +1325,12 @@ __agg AS (
   FROM __cum c, __tot t
 )
 SELECT n_a, n_b,
-       ROUND(CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
+       CAST(CAST(CAST(CAST((CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
              / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
                 * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))),
-             {round_to}) AS cvm_t
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))) * CAST(ABS(CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
+             / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cvm_t
 FROM __agg
 """

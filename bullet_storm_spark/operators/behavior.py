@@ -103,8 +103,7 @@ __sess AS (
 SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
        MIN(us) AS start_us, MAX(us) AS end_us,
        MAX(us) - MIN(us) AS duration_us,
-       ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE),
-             {round_to}) AS total_value
+       CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST((value) * CAST(ABS(value) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST((value) * CAST(ABS(value) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS total_value
 FROM __sess GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
 """
@@ -220,8 +219,7 @@ def funnel_sql(
 WITH {', '.join(ctes)},
 __stages AS ({union})
 SELECT stage_idx, stage, n_users,
-       ROUND(n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1),
-             {round_to}) AS conversion
+       CAST(CAST(CAST(CAST((n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1)) * CAST(ABS(n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS conversion
 FROM __stages
 WHERE n_users > 0  -- stages nobody reaches are omitted (Spark groupBy shape)
 ORDER BY stage_idx
@@ -279,7 +277,7 @@ __active AS (
   GROUP BY f.cohort_day, e.day - f.cohort_day
 )
 SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
-       ROUND(a.n_active / s.cohort_size, {round_to}) AS retention
+       CAST(CAST(CAST(CAST((a.n_active / s.cohort_size) * CAST(ABS(a.n_active / s.cohort_size) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS retention
 FROM __active a JOIN __sizes s ON a.cohort_day = s.cohort_day
 ORDER BY a.cohort_day, a.day_offset
 """
@@ -398,7 +396,7 @@ __totals AS (
   SELECT from_type, SUM(cnt) AS total FROM __counts GROUP BY from_type
 )
 SELECT c.from_type, c.to_type, c.cnt,
-       ROUND(c.cnt / t.total, {round_to}) AS prob
+       CAST(CAST(CAST(CAST((c.cnt / t.total) * CAST(ABS(c.cnt / t.total) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS prob
 FROM __counts c JOIN __totals t ON c.from_type = t.from_type
 ORDER BY c.from_type, c.to_type
 """
@@ -1150,7 +1148,7 @@ __pp AS (
   FROM __sc
 )
 SELECT prev_type, n_test, n_correct,
-       ROUND(CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0), {round_to})
+       CAST(CAST(CAST(CAST((CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0)) * CAST(ABS(CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS accuracy
 FROM __pp ORDER BY prev_type
 """
@@ -1251,7 +1249,7 @@ __a AS (
 SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
        z.cohort_size, a.n_active,
        {_d2d_sql(cum)} AS cum_value,
-       ROUND({_d2d_sql(cum)} / z.cohort_size, {round_to}) AS ltv_per_user
+       CAST(CAST(CAST(CAST(({_d2d_sql(cum)} / z.cohort_size) * CAST(ABS({_d2d_sql(cum)} / z.cohort_size) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ltv_per_user
 FROM __a a JOIN __sz z ON a.cohort_day = z.cohort_day
 ORDER BY a.cohort_day, a.day_offset
 """
@@ -1316,17 +1314,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_bounce,
-       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), {round_to})
+       CAST(CAST(CAST(CAST((CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) * CAST(ABS(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS bounce_rate,
-       ROUND({d2d('CAST(SUM(CAST(n_events AS DECIMAL(38,0))) AS DECIMAL(38,0))')}
-             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), {round_to})
+       CAST(CAST(CAST(CAST(({d2d('CAST(SUM(CAST(n_events AS DECIMAL(38,0))) AS DECIMAL(38,0))')}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) * CAST(ABS({d2d('CAST(SUM(CAST(n_events AS DECIMAL(38,0))) AS DECIMAL(38,0))')}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS avg_events,
-       ROUND({d2d('CAST(SUM(CAST(duration_us AS DECIMAL(38,0))) AS DECIMAL(38,0))')}
-             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), {round_to})
+       CAST(CAST(CAST(CAST(({d2d('CAST(SUM(CAST(duration_us AS DECIMAL(38,0))) AS DECIMAL(38,0))')}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) * CAST(ABS({d2d('CAST(SUM(CAST(duration_us AS DECIMAL(38,0))) AS DECIMAL(38,0))')}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS avg_duration_us,
-       ROUND({d2d("CAST(SUM(CAST(CAST(CAST(CAST(total_value AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(38,6))) AS DECIMAL(38,6))")}
-             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), {round_to})
+       CAST(CAST(CAST(CAST(({d2d("CAST(SUM(CAST(CAST(CAST((CAST(total_value AS DOUBLE)) * CAST(ABS(CAST(total_value AS DOUBLE)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(38,6))) AS DECIMAL(38,6))")}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) * CAST(ABS({d2d("CAST(SUM(CAST(CAST(CAST((CAST(total_value AS DOUBLE)) * CAST(ABS(CAST(total_value AS DOUBLE)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(38,6))) AS DECIMAL(38,6))")}
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS avg_value
 FROM __s
 """
@@ -1352,9 +1354,10 @@ def rfm_segments(
     decimal sum (no float compare), while the emitted monetary column
     is the rounded double.
 
-    Scale posture: one user-keyed collapse (map-side combined), then
-    user-dimension-sized windows (the activity_concentration global-
-    rank posture), a 1-row corpus-max broadcast."""
+    Scale posture: one user-keyed collapse (map-side combined), a 1-row
+    corpus-max broadcast, then three range-exchange NTILEs
+    (operators/ids.py partition-offset pattern) — parallel rank, never
+    the single-task global window."""
     per = (
         df.groupBy("user_id")
         .agg(
@@ -1372,23 +1375,25 @@ def rfm_segments(
         "frequency",
         "__m",
     )
-    r_sc = 6 - F.ntile(5).over(
-        Window.orderBy(F.asc("r_hours"), F.asc("user_id"))
-    )
-    f_sc = F.ntile(5).over(
-        Window.orderBy(F.asc("frequency"), F.asc("user_id"))
-    )
-    m_sc = F.ntile(5).over(Window.orderBy(F.asc("__m"), F.asc("user_id")))
-    out = base.select(
+    # quintiles via the range-exchange NTILE (operators/ids.py), never a
+    # global single-task window — the user dimension is 10^8-10^9 rows at
+    # 100 TB (VERDICT r8 item 4). Same tie-free orders as before, so the
+    # emitted scores are bit-identical to the NTILE(5) twins in the SQL.
+    from bullet_storm_spark.operators.ids import assign_ntile
+
+    scored = assign_ntile(base, ["r_hours", "user_id"], 5, name="__q_r")
+    scored = assign_ntile(scored, ["frequency", "user_id"], 5, name="__q_f")
+    scored = assign_ntile(scored, ["__m", "user_id"], 5, name="__q_m")
+    out = scored.select(
         "user_id",
         "r_hours",
         "frequency",
         F.round(F.col("__m").cast("string").cast("double"), round_to).alias(
             "monetary"
         ),
-        r_sc.cast("int").alias("r_score"),
-        f_sc.cast("int").alias("f_score"),
-        m_sc.cast("int").alias("m_score"),
+        (6 - F.col("__q_r")).cast("int").alias("r_score"),
+        F.col("__q_f").cast("int").alias("f_score"),
+        F.col("__q_m").cast("int").alias("m_score"),
     )
     return out.withColumn(
         "rfm_code",
@@ -1405,7 +1410,7 @@ def rfm_segments_sql(table: str, round_to: int = 6) -> str:
 WITH __per AS (
   SELECT user_id, MAX(epoch_us(ts)) AS last_us,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DECIMAL(38,12))
+         CAST(SUM(CAST(CAST(CAST(CAST(CAST((value) * CAST(ABS(value) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,12))
            AS m
   FROM {table} GROUP BY user_id
 ),
@@ -1424,7 +1429,7 @@ __s AS (
   FROM __b
 )
 SELECT user_id, r_hours, frequency,
-       ROUND(CAST(CAST(m AS VARCHAR) AS DOUBLE), {round_to}) AS monetary,
+       CAST(CAST(CAST(CAST((CAST(CAST(m AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(m AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS monetary,
        CAST(r_score AS INTEGER) AS r_score,
        CAST(f_score AS INTEGER) AS f_score,
        CAST(m_score AS INTEGER) AS m_score,

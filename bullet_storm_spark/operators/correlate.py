@@ -503,10 +503,13 @@ __n AS (
   SELECT key, CAST(COUNT(*) AS BIGINT) AS n_hours FROM __cells GROUP BY key
 )
 SELECT p.key, n.n_hours, p.concordant, p.discordant,
-       ROUND(CASE WHEN (CAST(p.n0 AS {d}) - p.tx) * (CAST(p.n0 AS {d}) - p.ty) > 0
+       CAST(CAST(CAST(CAST((CASE WHEN (CAST(p.n0 AS {d}) - p.tx) * (CAST(p.n0 AS {d}) - p.ty) > 0
                   THEN CAST(p.concordant - p.discordant AS DOUBLE)
                        / sqrt({_d2d_sql(f'(CAST(p.n0 AS {d}) - p.tx) * (CAST(p.n0 AS {d}) - p.ty)')})
-             END, {round_to}) AS tau_b
+             END) * CAST(ABS(CASE WHEN (CAST(p.n0 AS {d}) - p.tx) * (CAST(p.n0 AS {d}) - p.ty) > 0
+                  THEN CAST(p.concordant - p.discordant AS DOUBLE)
+                       / sqrt({_d2d_sql(f'(CAST(p.n0 AS {d}) - p.tx) * (CAST(p.n0 AS {d}) - p.ty)')})
+             END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS tau_b
 FROM __pairs p JOIN __n n ON p.key = n.key
 ORDER BY p.key
 """
@@ -575,9 +578,14 @@ def partial_correlation(
         corr("__pxz", "__sx", "__sz", "__qx", "__qz").alias("__rxz"),
         corr("__pyz", "__sy", "__sz", "__qy", "__qz").alias("__ryz"),
     )
+    # each factor clamped at 0 like the first-level variance arms above:
+    # a conditioning correlation can exceed 1 by an FP ulp on a
+    # near-collinear confounder, where an unclamped sqrt(negative) is NaN
+    # here but an ERROR in the DuckDB twin (ADVICE r8); the zero
+    # denominator then flows through _div to the documented NULL
     den = F.sqrt(
-        (F.lit(1.0) - F.col("__rxz") * F.col("__rxz"))
-        * (F.lit(1.0) - F.col("__ryz") * F.col("__ryz"))
+        F.greatest(F.lit(1.0) - F.col("__rxz") * F.col("__rxz"), F.lit(0.0))
+        * F.greatest(F.lit(1.0) - F.col("__ryz") * F.col("__ryz"), F.lit(0.0))
     )
     return withr.select(
         "n",
@@ -648,11 +656,13 @@ __r AS (
   FROM __m
 )
 SELECT n,
-       ROUND(rxy, {round_to}) AS r_xy,
-       ROUND(rxz, {round_to}) AS r_xz,
-       ROUND(ryz, {round_to}) AS r_yz,
-       ROUND((rxy - rxz * ryz)
-             / NULLIF(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 0.0),
-             {round_to}) AS r_xy_z
+       CAST(CAST(CAST(CAST((rxy) * CAST(ABS(rxy) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS r_xy,
+       CAST(CAST(CAST(CAST((rxz) * CAST(ABS(rxz) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS r_xz,
+       CAST(CAST(CAST(CAST((ryz) * CAST(ABS(ryz) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS r_yz,
+       CAST(CAST(CAST(CAST(((rxy - rxz * ryz)
+             / NULLIF(sqrt(GREATEST(1.0 - rxz * rxz, 0.0)
+                           * GREATEST(1.0 - ryz * ryz, 0.0)), 0.0)) * CAST(ABS((rxy - rxz * ryz)
+             / NULLIF(sqrt(GREATEST(1.0 - rxz * rxz, 0.0)
+                           * GREATEST(1.0 - ryz * ryz, 0.0)), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS r_xy_z
 FROM __r
 """

@@ -114,8 +114,10 @@ def contamination_sql(
     bsh = shingles_sql(bench_text_col, shingle_n)
     contam = (
         f"CASE WHEN total_ngrams <= 0 THEN 0.0 "
-        f"ELSE ROUND(COALESCE(overlap_ngrams, 0)::DOUBLE / total_ngrams, "
-        f"{round_to}) END"
+        f"ELSE CAST(CAST(CAST(CAST((COALESCE(overlap_ngrams, 0)::DOUBLE "
+        f"/ total_ngrams) * CAST(ABS(COALESCE(overlap_ngrams, 0)::DOUBLE "
+        f"/ total_ngrams) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) "
+        f"AS VARCHAR) AS DOUBLE) END"
     )
     return f"""
 WITH bench_sh AS (
@@ -238,7 +240,7 @@ def fuzzy_contamination_sql(
 WITH __fz_corpus AS ({banded(table, id_col, text_col)}
 ), __fz_bench AS ({banded(bench_table, bench_id_col, bench_text_col)}
 ), __fz_hits AS (
-  SELECT c.id AS hid, MAX(ROUND({jac}, {round_to})) AS maxjac
+  SELECT c.id AS hid, MAX(CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)) AS maxjac
   FROM __fz_corpus c JOIN __fz_bench b ON c.band = b.band AND c.bh = b.bh
   GROUP BY c.id
 )

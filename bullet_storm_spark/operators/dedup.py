@@ -284,13 +284,13 @@ WITH pairs AS (
     ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
 )
 SELECT id_a, id_b,
-       ROUND(len(list_intersect(sh_a, sh_b))
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE,
-             {round_to}) AS jaccard
+       CAST(CAST(CAST(CAST((len(list_intersect(sh_a, sh_b))
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE) * CAST(ABS(len(list_intersect(sh_a, sh_b))
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS jaccard
 FROM cand
-WHERE ROUND(len(list_intersect(sh_a, sh_b))
-            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE,
-            {round_to}) >= {threshold}
+WHERE CAST(CAST(CAST(CAST((len(list_intersect(sh_a, sh_b))
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE) * CAST(ABS(len(list_intersect(sh_a, sh_b))
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -735,11 +735,11 @@ WITH base AS (
   SELECT {id_col} AS id, {sh} AS sh FROM {table}
 ), nonempty AS (SELECT * FROM base WHERE len(sh) > 0)
 SELECT l.id AS id_a, r.id AS id_b,
-       ROUND({cont}, {round_to}) AS containment,
+       CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS containment,
        CAST(len(l.sh) AS INTEGER) AS size_a,
        CAST(len(r.sh) AS INTEGER) AS size_b
 FROM nonempty l JOIN nonempty r ON l.id < r.id
-WHERE ROUND({cont}, {round_to}) >= {threshold}
+WHERE CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -761,9 +761,9 @@ def ngram_jaccard_pairs_sql(
 WITH base AS (
   SELECT {id_col} AS id, {sh} AS sh FROM {table}
 ), nonempty AS (SELECT * FROM base WHERE len(sh) > 0)
-SELECT l.id AS id_a, r.id AS id_b, ROUND({jac}, {round_to}) AS jaccard
+SELECT l.id AS id_a, r.id AS id_b, CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS jaccard
 FROM nonempty l JOIN nonempty r ON l.id < r.id
-WHERE ROUND({jac}, {round_to}) >= {threshold}
+WHERE CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -805,7 +805,7 @@ def embedding_neardup_pairs_sql(
     threshold: float = 0.9,
     round_to: int = 6,
 ) -> str:
-    cos = f"ROUND({cosine_sql('l.v', 'r.v')}, {round_to})"
+    cos = f"CAST(CAST(CAST(CAST(({cosine_sql('l.v', 'r.v')}) * CAST(ABS({cosine_sql('l.v', 'r.v')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
 SELECT l.id AS id_a, r.id AS id_b, {cos} AS cos
@@ -936,8 +936,9 @@ def embedding_neardup_pairs_lsh_sql(
     # ids deduped first, dot / (na * nb) per unique pair (NOT
     # list_cosine_similarity, whose internal association could differ)
     cos = (
-        f"ROUND(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) "
-        f"/ (a.nrm * b.nrm), {round_to})"
+        f"CAST(CAST(CAST(CAST((list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) "
+        f"/ (a.nrm * b.nrm)) * CAST(ABS(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) "
+        f"/ (a.nrm * b.nrm)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     )
     return f"""
 WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
@@ -1259,7 +1260,7 @@ lsh_pairs AS (SELECT id_a, id_b, 1 AS found FROM ({lsh}))
 SELECT COUNT(*) AS exact_pairs,
        CAST(SUM(COALESCE(found, 0)) AS BIGINT) AS lsh_found,
        CAST(SUM(CASE WHEN found IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missed,
-       ROUND(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0), {round_to}) AS recall
+       CAST(CAST(CAST(CAST((SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) * CAST(ABS(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS recall
 FROM exact_pairs LEFT JOIN lsh_pairs USING (id_a, id_b)
 """
 
@@ -1393,9 +1394,10 @@ def lsh_s_curve_sql(
     r = num_hashes // bands
     rt = int(round_to)
     return f"""
-SELECT ROUND(CAST(i AS DOUBLE) / {float(grid)!r}, {rt}) AS similarity,
-       ROUND(1.0 - POWER(1.0 - POWER(CAST(i AS DOUBLE) / {float(grid)!r},
-                                     {r}), {bands}), {rt}) AS p_collision
+SELECT CAST(CAST(CAST(CAST((CAST(i AS DOUBLE) / {float(grid)!r}) * CAST(ABS(CAST(i AS DOUBLE) / {float(grid)!r}) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS similarity,
+       CAST(CAST(CAST(CAST((1.0 - POWER(1.0 - POWER(CAST(i AS DOUBLE) / {float(grid)!r},
+                                     {r}), {bands})) * CAST(ABS(1.0 - POWER(1.0 - POWER(CAST(i AS DOUBLE) / {float(grid)!r},
+                                     {r}), {bands})) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS p_collision
 FROM range(0, {int(grid) + 1}) t(i)
 ORDER BY similarity
 """

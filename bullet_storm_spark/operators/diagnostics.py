@@ -163,21 +163,25 @@ __pairs AS (
 ),
 __r AS (
   SELECT p.key, p.lag, q.n AS n_hours,
-         ROUND({_d2d_sql(f'''CAST(q.n AS {d}) * CAST(q.n AS {d}) * p.sxy
+         CAST(CAST(CAST(CAST(({_d2d_sql(f'''CAST(q.n AS {d}) * CAST(q.n AS {d}) * p.sxy
                 - CAST(q.n AS {d}) * q.s * (p.hs + p.ts)
                 + (CAST(q.n AS {d}) - CAST(p.lag AS {d})) * q.s * q.s''')}
-               / {_d2d_sql(f'CAST(q.n AS {d}) * CAST(q.n AS {d}) * q.syy - CAST(q.n AS {d}) * q.s * q.s')},
-               9) AS r
+               / {_d2d_sql(f'CAST(q.n AS {d}) * CAST(q.n AS {d}) * q.syy - CAST(q.n AS {d}) * q.s * q.s')}) * CAST(ABS({_d2d_sql(f'''CAST(q.n AS {d}) * CAST(q.n AS {d}) * p.sxy
+                - CAST(q.n AS {d}) * q.s * (p.hs + p.ts)
+                + (CAST(q.n AS {d}) - CAST(p.lag AS {d})) * q.s * q.s''')}
+               / {_d2d_sql(f'CAST(q.n AS {d}) * CAST(q.n AS {d}) * q.syy - CAST(q.n AS {d}) * q.s * q.s')}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS r
   FROM __pairs p JOIN __per q ON p.key = q.key
   WHERE CAST(q.n AS {d}) * CAST(q.n AS {d}) * q.syy
         - CAST(q.n AS {d}) * q.s * q.s > 0
 )
 SELECT key, lag, n_hours, r,
-       ROUND(CAST(n_hours * (n_hours + 2) AS DOUBLE)
+       CAST(CAST(CAST(CAST((CAST(n_hours * (n_hours + 2) AS DOUBLE)
              * SUM((r * r) / CAST(n_hours - lag AS DOUBLE))
                OVER (PARTITION BY key ORDER BY lag
-                     ROWS UNBOUNDED PRECEDING),
-             9) AS q_lb
+                     ROWS UNBOUNDED PRECEDING)) * CAST(ABS(CAST(n_hours * (n_hours + 2) AS DOUBLE)
+             * SUM((r * r) / CAST(n_hours - lag AS DOUBLE))
+               OVER (PARTITION BY key ORDER BY lag
+                     ROWS UNBOUNDED PRECEDING)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS q_lb
 FROM __r ORDER BY key, lag
 """
 
@@ -322,16 +326,21 @@ SELECT key, n_pos, n_neg, runs,
        CASE WHEN n_pos > 0 AND n_neg > 0
                  AND CAST(2 AS {d}) * n_pos * n_neg
                      * (CAST(2 AS {d}) * n_pos * n_neg - (n_pos + n_neg)) > 0
-            THEN ROUND(
-              (CAST(runs AS DOUBLE)
+            THEN CAST(CAST(CAST(CAST(((CAST(runs AS DOUBLE)
                - ({_d2d_sql(f'CAST(2 AS {d}) * n_pos * n_neg')}
                   / {_d2d_sql('CAST(n_pos + n_neg AS ' + d + ')')} + 1.0))
               / sqrt({_d2d_sql(f'''CAST(2 AS {d}) * n_pos * n_neg
                        * (CAST(2 AS {d}) * n_pos * n_neg - (n_pos + n_neg))''')}
                      / {_d2d_sql(f'''CAST(n_pos + n_neg AS {d})
                           * CAST(n_pos + n_neg AS {d})
-                          * (CAST(n_pos + n_neg AS {d}) - 1)''')}),
-              9)
+                          * (CAST(n_pos + n_neg AS {d}) - 1)''')})) * CAST(ABS((CAST(runs AS DOUBLE)
+               - ({_d2d_sql(f'CAST(2 AS {d}) * n_pos * n_neg')}
+                  / {_d2d_sql('CAST(n_pos + n_neg AS ' + d + ')')} + 1.0))
+              / sqrt({_d2d_sql(f'''CAST(2 AS {d}) * n_pos * n_neg
+                       * (CAST(2 AS {d}) * n_pos * n_neg - (n_pos + n_neg))''')}
+                     / {_d2d_sql(f'''CAST(n_pos + n_neg AS {d})
+                          * CAST(n_pos + n_neg AS {d})
+                          * (CAST(n_pos + n_neg AS {d}) - 1)''')})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
        END AS z
 FROM __agg ORDER BY key
 """
@@ -420,11 +429,13 @@ __dev AS (
   FROM __y c JOIN __per p ON c.key = p.key
 )
 SELECT key, n AS n_hours, hour AS peak_hour, y AS peak_cnt,
-       ROUND({_d2d_sql('dev')}
+       CAST(CAST(CAST(CAST(({_d2d_sql('dev')}
              * sqrt(CAST(n - 1 AS DOUBLE)
                     / (CAST(n AS DOUBLE)
-                       * {_d2d_sql(f'CAST(n AS {d}) * syy - s * s')})),
-             9) AS g_stat
+                       * {_d2d_sql(f'CAST(n AS {d}) * syy - s * s')}))) * CAST(ABS({_d2d_sql('dev')}
+             * sqrt(CAST(n - 1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE)
+                       * {_d2d_sql(f'CAST(n AS {d}) * syy - s * s')}))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS g_stat
 FROM __dev
 WHERE pk = 1 AND n >= 3 AND CAST(n AS {d}) * syy - s * s > 0
 ORDER BY key
@@ -543,10 +554,11 @@ __peak AS (
   FROM __u WHERE t < n
 )
 SELECT key, n AS n_hours, abs(u) AS u_abs_max, hour AS t_hat,
-       ROUND({_d2d_sql(f'CAST(6 AS {d}) * CAST(abs(u) AS {d}) * CAST(abs(u) AS {d})')}
+       CAST(CAST(CAST(CAST(({_d2d_sql(f'CAST(6 AS {d}) * CAST(abs(u) AS {d}) * CAST(abs(u) AS {d})')}
              / {_d2d_sql(f'''CAST(n AS {d}) * CAST(n AS {d}) * CAST(n AS {d})
-                  + CAST(n AS {d}) * CAST(n AS {d})''')},
-             9) AS stat
+                  + CAST(n AS {d}) * CAST(n AS {d})''')}) * CAST(ABS({_d2d_sql(f'CAST(6 AS {d}) * CAST(abs(u) AS {d}) * CAST(abs(u) AS {d})')}
+             / {_d2d_sql(f'''CAST(n AS {d}) * CAST(n AS {d}) * CAST(n AS {d})
+                  + CAST(n AS {d}) * CAST(n AS {d})''')}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS stat
 FROM __peak WHERE pk = 1 AND n >= 2
 ORDER BY key
 """

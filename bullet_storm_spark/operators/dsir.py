@@ -157,15 +157,15 @@ WITH __doc AS (
   FROM __g GROUP BY b
 ), __tot AS (SELECT SUM(cr)::BIGINT AS Tr, SUM(ct)::BIGINT AS Tt FROM __model),
 __llr AS (
-  SELECT b, ROUND(ln((ct + {a!r}) / (Tt + {a!r} * {b}))
-               - ln((cr + {a!r}) / (Tr + {a!r} * {b})), 9) AS llr
+  SELECT b, CAST(CAST(CAST(CAST((ln((ct + {a!r}) / (Tt + {a!r} * {b}))
+               - ln((cr + {a!r}) / (Tr + {a!r} * {b}))) * CAST(ABS(ln((ct + {a!r}) / (Tt + {a!r} * {b}))
+               - ln((cr + {a!r}) / (Tr + {a!r} * {b}))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS llr
   FROM __model CROSS JOIN __tot
 ), __scored AS (
   SELECT g.id, g.b, l.llr FROM __g g LEFT JOIN __llr l USING (b)
 ), __sums AS (
   SELECT id, COUNT(b)::BIGINT AS n_grams,
-         ROUND(COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0),
-               {round_to}) AS log_weight
+         CAST(CAST(CAST(CAST((COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0)) * CAST(ABS(COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS log_weight
   FROM __scored GROUP BY id
 )
 SELECT d.id AS {id_col}, COALESCE(s.n_grams, 0) AS n_grams,

@@ -161,15 +161,14 @@ __e AS (
   FROM __d
 )
 SELECT n_00, n_01, n_10, n_11,
-       ROUND(CASE WHEN n_00 > 0 THEN m_00 END, {round_to}) AS m_00,
-       ROUND(CASE WHEN n_01 > 0 THEN m_01 END, {round_to}) AS m_01,
-       ROUND(CASE WHEN n_10 > 0 THEN m_10 END, {round_to}) AS m_10,
-       ROUND(CASE WHEN n_11 > 0 THEN m_11 END, {round_to}) AS m_11,
-       ROUND(CASE WHEN {ok} THEN est END, {round_to}) AS did,
-       ROUND(CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END, {round_to})
+       CAST(CAST(CAST(CAST((CASE WHEN n_00 > 0 THEN m_00 END) * CAST(ABS(CASE WHEN n_00 > 0 THEN m_00 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_00,
+       CAST(CAST(CAST(CAST((CASE WHEN n_01 > 0 THEN m_01 END) * CAST(ABS(CASE WHEN n_01 > 0 THEN m_01 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_01,
+       CAST(CAST(CAST(CAST((CASE WHEN n_10 > 0 THEN m_10 END) * CAST(ABS(CASE WHEN n_10 > 0 THEN m_10 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_10,
+       CAST(CAST(CAST(CAST((CASE WHEN n_11 > 0 THEN m_11 END) * CAST(ABS(CASE WHEN n_11 > 0 THEN m_11 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_11,
+       CAST(CAST(CAST(CAST((CASE WHEN {ok} THEN est END) * CAST(ABS(CASE WHEN {ok} THEN est END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS did,
+       CAST(CAST(CAST(CAST((CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END) * CAST(ABS(CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS se_did,
-       ROUND(CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END,
-             {round_to}) AS z
+       CAST(CAST(CAST(CAST((CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END) * CAST(ABS(CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS z
 FROM __e
 """
 
@@ -246,8 +245,8 @@ WITH __b AS (
   WHERE ({value_col}) IS NOT NULL
 ),
 __bd AS (
-  SELECT key, ROUND(quantile_cont(v, {float(alpha)!r}), 9) AS lo,
-         ROUND(quantile_cont(v, {1.0 - float(alpha)!r}), 9) AS hi,
+  SELECT key, CAST(CAST(CAST(CAST((quantile_cont(v, {float(alpha)!r})) * CAST(ABS(quantile_cont(v, {float(alpha)!r})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS lo,
+         CAST(CAST(CAST(CAST((quantile_cont(v, {1.0 - float(alpha)!r})) * CAST(ABS(quantile_cont(v, {1.0 - float(alpha)!r})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS hi,
          COUNT(*)::BIGINT AS n
   FROM __b GROUP BY key
 ),
@@ -262,9 +261,9 @@ __a AS (
   FROM __j GROUP BY key
 )
 SELECT key, n, (n - nt)::BIGINT AS n_trimmed, lo, hi,
-       ROUND({_d2d_sql('st')} / CAST(nt AS DOUBLE), {round_to})
+       CAST(CAST(CAST(CAST(({_d2d_sql('st')} / CAST(nt AS DOUBLE)) * CAST(ABS({_d2d_sql('st')} / CAST(nt AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS trimmed_mean,
-       ROUND({_d2d_sql('sw')} / CAST(n AS DOUBLE), {round_to})
+       CAST(CAST(CAST(CAST(({_d2d_sql('sw')} / CAST(n AS DOUBLE)) * CAST(ABS({_d2d_sql('sw')} / CAST(n AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS winsorized_mean
 FROM __a
 ORDER BY key
@@ -332,15 +331,19 @@ __d AS (
   FROM __m
 )
 SELECT n,
-       ROUND(CASE WHEN n > 0 THEN mean END, {round_to}) AS mean,
-       ROUND(CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END, {round_to})
+       CAST(CAST(CAST(CAST((CASE WHEN n > 0 THEN mean END) * CAST(ABS(CASE WHEN n > 0 THEN mean END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean,
+       CAST(CAST(CAST(CAST((CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END) * CAST(ABS(CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS sd,
-       ROUND(CASE WHEN n >= 2 AND var > 0 THEN
+       CAST(CAST(CAST(CAST((CASE WHEN n >= 2 AND var > 0 THEN
          ({float(z_alpha)!r} + {float(z_power)!r}) * sqrt(var)
-           * sqrt(2.0 / CAST(n AS DOUBLE)) END, {round_to}) AS mde_abs,
-       ROUND(CASE WHEN n >= 2 AND var > 0 AND mean <> 0 THEN
+           * sqrt(2.0 / CAST(n AS DOUBLE)) END) * CAST(ABS(CASE WHEN n >= 2 AND var > 0 THEN
          ({float(z_alpha)!r} + {float(z_power)!r}) * sqrt(var)
-           * sqrt(2.0 / CAST(n AS DOUBLE)) / mean END, {round_to}) AS mde_rel
+           * sqrt(2.0 / CAST(n AS DOUBLE)) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mde_abs,
+       CAST(CAST(CAST(CAST((CASE WHEN n >= 2 AND var > 0 AND mean <> 0 THEN
+         ({float(z_alpha)!r} + {float(z_power)!r}) * sqrt(var)
+           * sqrt(2.0 / CAST(n AS DOUBLE)) / mean END) * CAST(ABS(CASE WHEN n >= 2 AND var > 0 AND mean <> 0 THEN
+         ({float(z_alpha)!r} + {float(z_power)!r}) * sqrt(var)
+           * sqrt(2.0 / CAST(n AS DOUBLE)) / mean END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mde_rel
 FROM __d
 """
 
@@ -736,14 +739,15 @@ def covariate_balance_sql(
             f" / (CAST(n_c_{name} AS DOUBLE) - 1.0)"
         )
         smd = (
-            f"ROUND(({mt} - {mc})"
-            f" / NULLIF(sqrt(GREATEST(({vt} + {vc}) / 2.0, 0.0)), 0.0), {round_to})"
+            f"CAST(CAST(CAST(CAST((({mt} - {mc})"
+            f" / NULLIF(sqrt(GREATEST(({vt} + {vc}) / 2.0, 0.0)), 0.0)) * CAST(ABS(({mt} - {mc})"
+            f" / NULLIF(sqrt(GREATEST(({vt} + {vc}) / 2.0, 0.0)), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
         )
         selects.append(
             f"SELECT '{name}' AS covariate, n_t_{name} AS n_t,"
             f" n_c_{name} AS n_c,"
-            f" ROUND({mt}, {round_to}) AS mean_t,"
-            f" ROUND({mc}, {round_to}) AS mean_c,"
+            f" CAST(CAST(CAST(CAST(({mt}) * CAST(ABS({mt}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_t,"
+            f" CAST(CAST(CAST(CAST(({mc}) * CAST(ABS({mc}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_c,"
             f" {smd} AS smd,"
             f" CAST(CASE WHEN abs({smd}) > 0.1 THEN 1 ELSE 0 END AS BIGINT)"
             f" AS flag FROM __m"
@@ -890,10 +894,11 @@ __k AS (
              THEN rank END)::BIGINT AS kstar
   FROM __r
 )
-SELECT test, p_num, p_den, ROUND(p_value, {round_to}) AS p_value, m, rank,
+SELECT test, p_num, p_den, CAST(CAST(CAST(CAST((p_value) * CAST(ABS(p_value) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_value, m, rank,
        COALESCE(rank <= kstar, FALSE) AS rejected,
-       ROUND(CAST(kstar AS DOUBLE) * {float(alpha)!r} / 1000.0
-             / CAST(m AS DOUBLE), {round_to}) AS bh_threshold
+       CAST(CAST(CAST(CAST((CAST(kstar AS DOUBLE) * {float(alpha)!r} / 1000.0
+             / CAST(m AS DOUBLE)) * CAST(ABS(CAST(kstar AS DOUBLE) * {float(alpha)!r} / 1000.0
+             / CAST(m AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS bh_threshold
 FROM __r CROSS JOIN __k ORDER BY rank
 """
 
@@ -1200,9 +1205,9 @@ __ps AS (
   GROUP BY t.s, p.policy_arm
 )
 SELECT ps.s AS slice, ps.policy_arm, n.n_train, ps.n_test, ps.n_matched,
-       ROUND({_d2d_sql("ps.msum")} / NULLIF(ps.n_matched, 0), {round_to})
+       CAST(CAST(CAST(CAST(({_d2d_sql("ps.msum")} / NULLIF(ps.n_matched, 0)) * CAST(ABS({_d2d_sql("ps.msum")} / NULLIF(ps.n_matched, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS replay_mean,
-       ROUND({_d2d_sql("ps.tsum")} / NULLIF(ps.n_test, 0), {round_to})
+       CAST(CAST(CAST(CAST(({_d2d_sql("ps.tsum")} / NULLIF(ps.n_test, 0)) * CAST(ABS({_d2d_sql("ps.tsum")} / NULLIF(ps.n_test, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS logging_mean
 FROM __ps ps JOIN __ntr n ON ps.s = n.s
 ORDER BY slice
@@ -1368,7 +1373,7 @@ __cum AS (
 ),
 __z AS (
   SELECT look, n_t, s_t, n_c, s_c,
-         ROUND(CASE WHEN n_t > 0 AND n_c > 0
+         CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0
                      AND (CAST(s_t + s_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
                          * (1.0 - CAST(s_t + s_c AS DOUBLE)
                                   / CAST(n_t + n_c AS DOUBLE))
@@ -1380,8 +1385,19 @@ __z AS (
                        * (1.0 - CAST(s_t + s_c AS DOUBLE)
                                 / CAST(n_t + n_c AS DOUBLE))
                        * (1.0 / CAST(n_t AS DOUBLE)
-                          + 1.0 / CAST(n_c AS DOUBLE))) END,
-           {round_to}) AS z,
+                          + 1.0 / CAST(n_c AS DOUBLE))) END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0
+                     AND (CAST(s_t + s_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+                         * (1.0 - CAST(s_t + s_c AS DOUBLE)
+                                  / CAST(n_t + n_c AS DOUBLE))
+                         * (1.0 / CAST(n_t AS DOUBLE)
+                            + 1.0 / CAST(n_c AS DOUBLE)) > 0
+           THEN (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                / sqrt((CAST(s_t + s_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+                       * (1.0 - CAST(s_t + s_c AS DOUBLE)
+                                / CAST(n_t + n_c AS DOUBLE))
+                       * (1.0 / CAST(n_t AS DOUBLE)
+                          + 1.0 / CAST(n_c AS DOUBLE))) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS z,
          CAST(CASE {bcase} END AS DOUBLE) AS boundary
   FROM __cum
 ),
@@ -1538,9 +1554,9 @@ __cum AS (
   FROM __terms
 )
 SELECT nk AS n, ns AS n_strata,
-       ROUND(ate, {round_to}) AS ate,
-       ROUND(CASE WHEN se2 > 0 THEN sqrt(se2) END, {round_to}) AS se,
-       ROUND(CASE WHEN se2 > 0 THEN ate / sqrt(se2) END, {round_to}) AS z
+       CAST(CAST(CAST(CAST((ate) * CAST(ABS(ate) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ate,
+       CAST(CAST(CAST(CAST((CASE WHEN se2 > 0 THEN sqrt(se2) END) * CAST(ABS(CASE WHEN se2 > 0 THEN sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS se,
+       CAST(CAST(CAST(CAST((CASE WHEN se2 > 0 THEN ate / sqrt(se2) END) * CAST(ABS(CASE WHEN se2 > 0 THEN ate / sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS z
 FROM __cum WHERE rn = 1
 """
 
@@ -1724,12 +1740,11 @@ __tail AS (
   FROM __perk p, __obs o
 )
 SELECT n_units, n_events, n_perm,
-       ROUND(dobs, {round_to}) AS d_obs,
+       CAST(CAST(CAST(CAST((dobs) * CAST(ABS(dobs) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS d_obs,
        n_ge,
        CAST(1 + n_ge AS BIGINT) AS p_num,
        CAST(n_perm + 1 AS BIGINT) AS p_den,
-       ROUND(CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE),
-             {round_to}) AS p
+       CAST(CAST(CAST(CAST((CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE)) * CAST(ABS(CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p
 FROM __tail
 """
 
@@ -1851,12 +1866,12 @@ __prior AS (
   )
 )
 SELECT item, n_trials, n_success,
-       ROUND(CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE),
-             {round_to}) AS rate,
-       ROUND(alpha, {round_to}) AS alpha,
-       ROUND(ab - alpha, {round_to}) AS beta,
-       ROUND((CAST(n_success AS DOUBLE) + alpha)
-             / (CAST(n_trials AS DOUBLE) + ab), {round_to}) AS shrunk_rate
+       CAST(CAST(CAST(CAST((CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)) * CAST(ABS(CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS rate,
+       CAST(CAST(CAST(CAST((alpha) * CAST(ABS(alpha) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS alpha,
+       CAST(CAST(CAST(CAST((ab - alpha) * CAST(ABS(ab - alpha) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS beta,
+       CAST(CAST(CAST(CAST(((CAST(n_success AS DOUBLE) + alpha)
+             / (CAST(n_trials AS DOUBLE) + ab)) * CAST(ABS((CAST(n_success AS DOUBLE) + alpha)
+             / (CAST(n_trials AS DOUBLE) + ab)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS shrunk_rate
 FROM __items, __prior
 ORDER BY item
 """
@@ -1903,7 +1918,7 @@ def icc_design_effect(
         .alias("__qg"),
     )
     # text hop, not a direct double->decimal cast: at s_g^2/n_g
-    # magnitudes (~1e10 on fuzz inputs) ROUND(x, 9) is an ulp-level
+    # magnitudes (~1e10 on fuzz inputs) a bare 9-dp double round is an ulp-level
     # no-op, so the decimal conversion sees a full-precision double —
     # Spark rounds its shortest repr HALF_UP while DuckDB rounds the
     # exact binary value (the _q6 class; fuzz-caught as a 2e-7 msb
@@ -1978,8 +1993,9 @@ __agg AS (
          CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(sg) AS DECIMAL(38,12)) AS s,
          CAST(SUM(qg) AS DECIMAL(38,12)) AS q,
-         CAST(SUM(CAST(CAST(ROUND(({_d2d_sql('sg')} * {_d2d_sql('sg')})
-                                   / CAST(ng AS DOUBLE), 9) AS VARCHAR)
+         CAST(SUM(CAST(CAST(CAST(CAST(CAST(CAST((({_d2d_sql('sg')} * {_d2d_sql('sg')})
+                                   / CAST(ng AS DOUBLE)) * CAST(ABS(({_d2d_sql('sg')} * {_d2d_sql('sg')})
+                                   / CAST(ng AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS VARCHAR)
                        AS DECIMAL(38,9)))
               AS DECIMAL(38,9)) AS r,
          CAST(SUM(CAST(ng AS DECIMAL(38,0)) * CAST(ng AS DECIMAL(38,0)))
@@ -2004,11 +2020,12 @@ __i AS (
   FROM __f
 )
 SELECT n, k,
-       ROUND(CASE WHEN k >= 2 AND n > k THEN msb END, {round_to}) AS msb,
-       ROUND(CASE WHEN k >= 2 AND n > k THEN msw END, {round_to}) AS msw,
-       ROUND(CASE WHEN k >= 2 AND n > k THEN icc END, {round_to}) AS icc,
-       ROUND(m_bar, {round_to}) AS m_bar,
-       ROUND(CASE WHEN k >= 2 AND n > k
-                  THEN 1.0 + (m_bar - 1.0) * icc END, {round_to}) AS deff
+       CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN msb END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN msb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS msb,
+       CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN msw END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN msw END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS msw,
+       CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN icc END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN icc END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS icc,
+       CAST(CAST(CAST(CAST((m_bar) * CAST(ABS(m_bar) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_bar,
+       CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k
+                  THEN 1.0 + (m_bar - 1.0) * icc END) * CAST(ABS(CASE WHEN k >= 2 AND n > k
+                  THEN 1.0 + (m_bar - 1.0) * icc END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS deff
 FROM __i
 """

@@ -131,7 +131,7 @@ def seasonal_naive_eval_sql(
     table: str, type_col: str = "event_type", period: int = 168
 ) -> str:
     smape_q = _q6_sql("2.0 * CAST(abs(a - fs) AS DOUBLE) / CAST(a + fs AS DOUBLE)")
-    zero_q = "CAST(CAST(CAST(0.0 AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))"
+    zero_q = "CAST(CAST((CAST(0.0 AS DOUBLE)) * CAST(ABS(CAST(0.0 AS DOUBLE)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(18,6))"
     mae_s = f"{_d2d_sql('sae')} / CAST(n_eval AS DOUBLE)"
     mae_1 = f"{_d2d_sql('sa1')} / CAST(n_eval AS DOUBLE)"
     return f"""
@@ -314,8 +314,9 @@ SELECT key AS {key_col}, hour, cnt,
        CAST(CAST(l AS VARCHAR) AS DOUBLE) / {float(S)!r} AS level,
        CAST(CAST(b AS VARCHAR) AS DOUBLE) / {float(S)!r} AS trend,
        CAST(CAST(f AS VARCHAR) AS DOUBLE) / {float(S)!r} AS forecast,
-       ROUND(abs(CAST(cnt AS DOUBLE)
-                 - CAST(CAST(f AS VARCHAR) AS DOUBLE) / {float(S)!r}), 9)
+       CAST(CAST(CAST(CAST((abs(CAST(cnt AS DOUBLE)
+                 - CAST(CAST(f AS VARCHAR) AS DOUBLE) / {float(S)!r})) * CAST(ABS(abs(CAST(cnt AS DOUBLE)
+                 - CAST(CAST(f AS VARCHAR) AS DOUBLE) / {float(S)!r})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
          AS abs_err
 FROM __rec ORDER BY {key_col}, hour
 """

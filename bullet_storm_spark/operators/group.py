@@ -132,7 +132,7 @@ def _agg_sql(op: GroupOperation) -> str:
     else:  # pragma: no cover
         raise ValueError(f"unsupported group op {t}")
     if op.round_to is not None:
-        body = f"ROUND({body}, {op.round_to})"
+        body = f"CAST(CAST(CAST(CAST(({body}) * CAST(ABS({body}) >= POWER(10.0, -({op.round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{op.round_to})) AS VARCHAR) AS DOUBLE)"
     return f"{body} AS {op.alias}"
 
 

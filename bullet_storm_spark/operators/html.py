@@ -143,8 +143,10 @@ WITH __b AS (
   FROM {table}
 )
 SELECT id, n_tags, n_links, title,
-       ROUND(CASE WHEN raw_len > 0
+       CAST(CAST(CAST(CAST((CASE WHEN raw_len > 0
                   THEN CAST(n_chars AS DOUBLE) / raw_len
-                  ELSE 0.0 END, 6) AS text_ratio
+                  ELSE 0.0 END) * CAST(ABS(CASE WHEN raw_len > 0
+                  THEN CAST(n_chars AS DOUBLE) / raw_len
+                  ELSE 0.0 END) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS text_ratio
 FROM __b ORDER BY id
 """

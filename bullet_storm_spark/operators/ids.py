@@ -82,6 +82,42 @@ def assign_dense_ids(
     )
 
 
+def assign_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    name: str = "ntile",
+) -> DataFrame:
+    """Scale-safe ``NTILE(n) OVER (ORDER BY order_cols)``: dense rank via
+    the partition-offset pattern above plus a 1-row total broadcast —
+    never a single-task global window (the r8 verdict's one scale-killer
+    shape). ``order_cols`` must be a total order (append a unique key).
+
+    Standard NTILE semantics, reproduced arithmetically: with N rows,
+    base = N div n and rem = N mod n, the first ``rem`` buckets hold
+    base+1 rows; 0-based rank r maps to
+    ``r div (base+1) + 1``               when r < rem * (base + 1)
+    ``rem + (r - rem*(base+1)) div base + 1`` otherwise
+    — bit-identical to both engines' NTILE over the same tie-free order."""
+    if n < 1:
+        raise ValueError(f"need n >= 1, got {n}")
+    with_rn = assign_dense_ids(df, order_cols, id_name="__rn")
+    total = with_rn.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    r = F.col("__rn") - 1
+    base = F.expr(f"__N div {n}")
+    rem = F.col("__N") % n
+    cut = rem * (base + 1)
+    # greatest(base, 1): base = 0 (N < n) keeps every row in the r < cut
+    # branch, but ANSI-mode codegen may hoist the other branch's division
+    bucket = F.when(r < cut, F.floor(r / (base + 1)) + 1).otherwise(
+        rem + F.floor((r - cut) / F.greatest(base, F.lit(1))) + 1
+    )
+    out_cols = [c for c in df.columns]
+    return with_rn.crossJoin(F.broadcast(total)).select(
+        *out_cols, bucket.cast("int").alias(name)
+    )
+
+
 def assign_dense_ids_sql(
     table: str,
     order_cols: list[str],

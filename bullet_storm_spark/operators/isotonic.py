@@ -148,8 +148,8 @@ __fit AS (
   SELECT k AS i, MAX(sm) AS fit FROM __sm GROUP BY k
 )
 SELECT p.score, p.cnt, p.pos,
-       ROUND(CAST(p.pos AS DOUBLE) / p.cnt, 9) AS rate_raw,
-       ROUND(f.fit, 9) AS rate_fit
+       CAST(CAST(CAST(CAST((CAST(p.pos AS DOUBLE) / p.cnt) * CAST(ABS(CAST(p.pos AS DOUBLE) / p.cnt) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS rate_raw,
+       CAST(CAST(CAST(CAST((f.fit) * CAST(ABS(f.fit) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS rate_fit
 FROM __pre p JOIN __fit f ON p.i = f.i
 ORDER BY p.score
 """

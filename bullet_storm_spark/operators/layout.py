@@ -268,8 +268,10 @@ SELECT part, n_docs, bytes_total,
        (bytes_total // greatest((bytes_total + {t - 1}) // {t}, 1))::BIGINT
          AS avg_file_bytes,
        largest_doc, oversize_docs,
-       ROUND(CAST(bytes_total AS DOUBLE)
+       CAST(CAST(CAST(CAST((CAST(bytes_total AS DOUBLE)
              / (CAST((bytes_total + {t - 1}) // {t} AS DOUBLE)
-                * {float(t)!r}), {round_to}) AS fill_ratio
+                * {float(t)!r})) * CAST(ABS(CAST(bytes_total AS DOUBLE)
+             / (CAST((bytes_total + {t - 1}) // {t} AS DOUBLE)
+                * {float(t)!r})) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS fill_ratio
 FROM __g ORDER BY part
 """

@@ -136,8 +136,10 @@ def pca_project_sql(
     for comp, off in zip(components, offsets):
         arr = "[" + ", ".join(repr(c) for c in comp) + "]"
         terms.append(
-            f"ROUND(list_dot_product({vec_col}::DOUBLE[], {arr}) - {off!r}, "
-            f"{round_to})"
+            f"CAST(CAST(CAST(CAST((list_dot_product({vec_col}::DOUBLE[], {arr})"
+            f" - {off!r}) * CAST(ABS(list_dot_product({vec_col}::DOUBLE[], {arr})"
+            f" - {off!r}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) "
+            f"AS VARCHAR) AS DOUBLE)"
         )
     return (
         f"SELECT {id_col}, [{', '.join(terms)}] AS proj "
@@ -212,22 +214,23 @@ def pca_report_sql(
     return f"""
 WITH __proj AS ({inner}),
 __tot AS (
-  SELECT CAST(SUM(CAST(ROUND(list_dot_product({vec_col}::DOUBLE[],
-                                              {vec_col}::DOUBLE[]), {COEF_DP})
+  SELECT CAST(SUM(CAST(CAST(CAST(CAST(CAST((list_dot_product({vec_col}::DOUBLE[],
+                                              {vec_col}::DOUBLE[])) * CAST(ABS(list_dot_product({vec_col}::DOUBLE[],
+                                              {vec_col}::DOUBLE[])) >= POWER(10.0, -({COEF_DP}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{COEF_DP})) AS VARCHAR) AS DOUBLE)
                        AS DECIMAL(38,9))) AS DOUBLE) AS total,
          COUNT(*)::BIGINT AS n
   FROM {table}
 ), __pc AS (
   SELECT u.__i - 1 AS component,
-         CAST(SUM(CAST(ROUND(u.__y * u.__y, {COEF_DP}) AS DECIMAL(38,9)))
+         CAST(SUM(CAST(CAST(CAST(CAST(CAST((u.__y * u.__y) * CAST(ABS(u.__y * u.__y) >= POWER(10.0, -({COEF_DP}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{COEF_DP})) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9)))
               AS DOUBLE) AS var
   FROM __proj p,
        LATERAL (SELECT unnest(p.proj) AS __y,
                        generate_subscripts(p.proj, 1) AS __i) u
   GROUP BY u.__i
 )
-SELECT component, ROUND(var / t.n, {round_to}) AS var_captured,
-       ROUND(var / t.total, {round_to}) AS var_total_ratio
+SELECT component, CAST(CAST(CAST(CAST((var / t.n) * CAST(ABS(var / t.n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS var_captured,
+       CAST(CAST(CAST(CAST((var / t.total) * CAST(ABS(var / t.total) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS var_total_ratio
 FROM __pc CROSS JOIN __tot t
 ORDER BY component
 """
@@ -317,10 +320,10 @@ def pca_rerank_neighbors_sql(
     for comp, off in zip(components, offsets):
         arr = "[" + ", ".join(repr(c) for c in comp) + "]"
         terms.append(
-            f"ROUND(list_dot_product(v::DOUBLE[], {arr}) - {off!r}, {COEF_DP})"
+            f"CAST(CAST(CAST(CAST((list_dot_product(v::DOUBLE[], {arr}) - {off!r}) * CAST(ABS(list_dot_product(v::DOUBLE[], {arr}) - {off!r}) >= POWER(10.0, -({COEF_DP}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{COEF_DP})) AS VARCHAR) AS DOUBLE)"
         )
-    ccos = f"ROUND(list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[]), {round_to})"
-    ecos = f"ROUND(list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[]), {round_to})"
+    ccos = f"CAST(CAST(CAST(CAST((list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[])) * CAST(ABS(list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[])) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+    ecos = f"CAST(CAST(CAST(CAST((list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[])) * CAST(ABS(list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[])) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH __base AS (
   SELECT {id_col} AS id, {vec_col} AS v, [{', '.join(terms)}] AS p

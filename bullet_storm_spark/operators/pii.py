@@ -210,8 +210,9 @@ SELECT grp,
        COUNT(*)::BIGINT AS n_docs,
        CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS docs_with_pii,
-       ROUND(CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS pii_rate,
+       CAST(CAST(CAST(CAST((CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*)) * CAST(ABS(CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS pii_rate,
        CAST(SUM(n_pii) AS BIGINT) AS n_pii_total
 FROM __d GROUP BY grp ORDER BY grp
 """

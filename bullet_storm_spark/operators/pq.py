@@ -210,7 +210,7 @@ def pq_report_sql(
 WITH base AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
 coded AS (SELECT id, v, {_codes_sql('v', cb)} AS codes FROM base)
 SELECT id AS {id_col}, {len(cb)} AS m,
-       ROUND(sqrt({err2}) / sqrt(list_dot_product(v, v)), {round_to}) AS rel_err
+       CAST(CAST(CAST(CAST((sqrt({err2}) / sqrt(list_dot_product(v, v))) * CAST(ABS(sqrt({err2}) / sqrt(list_dot_product(v, v))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS rel_err
 FROM coded ORDER BY {id_col}
 """
 
@@ -325,9 +325,9 @@ def pq_neighbors_sql(
         adc_terms.append(f"list_dot_product({qsub}, {cent})")
         recon_terms.append(f"list_dot_product({cent}, {cent})")
     score = (
-        f"ROUND(({' + '.join(adc_terms)}) / "
-        f"(sqrt(list_dot_product(q.qv, q.qv)) * sqrt({' + '.join(recon_terms)})), "
-        f"{round_to})"
+        f"CAST(CAST(CAST(CAST(({' + '.join(adc_terms)}) / "
+        f"(sqrt(list_dot_product(q.qv, q.qv)) * sqrt({' + '.join(recon_terms)})) "
+        f"AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     )
     return f"""
 WITH base AS (
@@ -471,9 +471,9 @@ def ivfpq_neighbors_sql(
         adc_terms.append(f"list_dot_product({qsub}, {cent})")
         recon_terms.append(f"list_dot_product({cent}, {cent})")
     score = (
-        f"ROUND(({' + '.join(adc_terms)}) / "
-        f"(sqrt(list_dot_product(q.qv, q.qv)) * sqrt({' + '.join(recon_terms)})), "
-        f"{round_to})"
+        f"CAST(CAST(CAST(CAST(({' + '.join(adc_terms)}) / "
+        f"(sqrt(list_dot_product(q.qv, q.qv)) * sqrt({' + '.join(recon_terms)})) "
+        f"AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     )
     return f"""
 WITH base AS (
@@ -571,7 +571,7 @@ def ann_recall_report_sql(
     # ground truth inlined (brute_force_neighbors_sql binds its predicate
     # over the aliased projection; here both arms bind over the original
     # table columns so ONE predicate string drives both)
-    cos = f"ROUND({cosine_sql('q.qv', 'c.v')}, {round_to})"
+    cos = f"CAST(CAST(CAST(CAST(({cosine_sql('q.qv', 'c.v')}) * CAST(ABS({cosine_sql('q.qv', 'c.v')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     approx = ivfpq_neighbors_sql(
         table, id_col, vec_col, query_pred_sql, k, nprobe, n_centroids,
         codebook, dim, m, ksub, round_to,
@@ -593,7 +593,7 @@ approx_k AS (SELECT query_id, neighbor_id, 1 AS found FROM ({approx}))
 SELECT query_id,
        COUNT(*) AS exact_k,
        CAST(SUM(COALESCE(found, 0)) AS BIGINT) AS found,
-       ROUND(SUM(COALESCE(found, 0)) / COUNT(*), {round_to}) AS recall
+       CAST(CAST(CAST(CAST((SUM(COALESCE(found, 0)) / COUNT(*)) * CAST(ABS(SUM(COALESCE(found, 0)) / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS recall
 FROM exact_k LEFT JOIN approx_k USING (query_id, neighbor_id)
 GROUP BY query_id
 ORDER BY query_id
@@ -933,8 +933,9 @@ def ivfpq_residual_neighbors_sql(
         qsub = f"list_slice(q.qv, {j * dsub + 1}, {(j + 1) * dsub})"
         adc_terms.append(f"list_dot_product({qsub}, {cent})")
     score = (
-        f"ROUND((q.qc + {' + '.join(adc_terms)}) / "
-        f"(sqrt(list_dot_product(q.qv, q.qv)) * c.vn), {round_to})"
+        f"CAST(CAST(CAST(CAST(((q.qc + {' + '.join(adc_terms)}) / "
+        f"(sqrt(list_dot_product(q.qv, q.qv)) * c.vn)) * CAST(ABS((q.qc + {' + '.join(adc_terms)}) / "
+        f"(sqrt(list_dot_product(q.qv, q.qv)) * c.vn)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     )
     return f"""
 WITH base AS (

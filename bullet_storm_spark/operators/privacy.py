@@ -137,7 +137,7 @@ __t AS (
   FROM __c
 )
 SELECT k, classes_total, rows_total, classes_below, rows_below,
-       ROUND(CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0), 9)
+       CAST(CAST(CAST(CAST((CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0)) * CAST(ABS(CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
          AS rows_below_share
 FROM ({per_k}) ORDER BY k
 """
@@ -348,9 +348,11 @@ __dense AS (
 ),
 __glob AS (
   SELECT s,
-         ROUND(CAST(SUM(gc) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+         CAST(CAST(CAST(CAST((CAST(SUM(gc) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
                     AS DOUBLE)
-               / CAST(SUM(gc) OVER () AS DOUBLE), 9) AS gshare
+               / CAST(SUM(gc) OVER () AS DOUBLE)) * CAST(ABS(CAST(SUM(gc) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE)
+               / CAST(SUM(gc) OVER () AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS gshare
   FROM (SELECT s, CAST(SUM(c) AS BIGINT) AS gc FROM __cells GROUP BY s)
 ),
 __pc AS (
@@ -362,21 +364,23 @@ __pc AS (
 ),
 __diff AS (
   SELECT {names}, cn,
-         abs(ROUND(CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE), 9)
+         abs(CAST(CAST(CAST(CAST((CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE)) * CAST(ABS(CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
              - g.gshare) AS diff
   FROM __pc p JOIN __glob g ON p.s = g.s
 ),
 __t AS (
   SELECT {names}, cn,
-         ROUND(CAST(SUM(CAST(ROUND(diff, 9) AS DECIMAL(38,9))) AS DOUBLE)
-               / CAST(GREATEST(m - 1, 1) AS DOUBLE), 9) AS t
+         CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST((diff) * CAST(ABS(diff) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+               / CAST(GREATEST(m - 1, 1) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST((diff) * CAST(ABS(diff) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+               / CAST(GREATEST(m - 1, 1) AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS t
   FROM __diff, __m GROUP BY {names}, cn, m
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS classes_total,
        CAST(SUM(cn) AS BIGINT) AS rows_total,
        MAX(t) AS t_max,
-       ROUND(CAST(SUM(CAST(ROUND(t, 9) AS DECIMAL(38,9))) AS DOUBLE)
-             / COUNT(*), {round_to}) AS t_mean,
+       CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST((t) * CAST(ABS(t) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST((t) * CAST(ABS(t) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS t_mean,
        CAST(SUM(CASE WHEN t > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
          AS classes_over_015
 FROM __t

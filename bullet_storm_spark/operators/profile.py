@@ -142,9 +142,9 @@ def profile_table_sql(
             continue
         aggs.append(f"COUNT(DISTINCT {name})::BIGINT AS __dist_{name}")
         if kind == "num":
-            aggs.append(f"ROUND(CAST(MIN({name}) AS DOUBLE), {round_to})"
+            aggs.append(f"CAST(CAST(CAST(CAST((CAST(MIN({name}) AS DOUBLE)) * CAST(ABS(CAST(MIN({name}) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
                         f" AS __min_{name}")
-            aggs.append(f"ROUND(CAST(MAX({name}) AS DOUBLE), {round_to})"
+            aggs.append(f"CAST(CAST(CAST(CAST((CAST(MAX({name}) AS DOUBLE)) * CAST(ABS(CAST(MAX({name}) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
                         f" AS __max_{name}")
         elif kind == "ts":
             aggs.append(f"CAST(epoch_us(MIN({name})) AS DOUBLE) AS __min_{name}")
@@ -162,7 +162,7 @@ def profile_table_sql(
         selects.append(
             f"SELECT '{name}' AS \"column\", '{dtype}' AS dtype, __n AS n_rows,\n"
             f"       __nulls_{name} AS n_nulls,\n"
-            f"       ROUND(CAST(__nulls_{name} AS DOUBLE) / __n, {round_to})"
+            f"       CAST(CAST(CAST(CAST((CAST(__nulls_{name} AS DOUBLE) / __n) * CAST(ABS(CAST(__nulls_{name} AS DOUBLE) / __n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
             f" AS null_rate,\n"
             f"       {dist} AS n_distinct, {nmin} AS num_min, {nmax} AS num_max,\n"
             f"       {smin} AS str_min, {smax} AS str_max FROM __agg"
@@ -313,16 +313,16 @@ def check_expectations_sql(
         param = float(r[2]) if len(r) > 2 else None
         thr = repr(param) if param is not None else "CAST(NULL AS DOUBLE)"
         if kind == "not_null":
-            obs = f"ROUND(CAST(__nulls_{col} AS DOUBLE) / __n, {round_to})"
+            obs = f"CAST(CAST(CAST(CAST((CAST(__nulls_{col} AS DOUBLE) / __n) * CAST(ABS(CAST(__nulls_{col} AS DOUBLE) / __n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
             passed = f"({obs}) <= {param!r}"
         elif kind == "unique":
             obs = f"CAST(__dist_{col} + __nulls_{col} AS DOUBLE)"
             passed = f"(__dist_{col} + __nulls_{col}) = __n"
         elif kind == "min_at_least":
-            obs = f"ROUND(__min_{col}, {round_to})"
+            obs = f"CAST(CAST(CAST(CAST((__min_{col}) * CAST(ABS(__min_{col}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
             passed = f"({obs}) >= {param!r}"
         elif kind == "max_at_most":
-            obs = f"ROUND(__max_{col}, {round_to})"
+            obs = f"CAST(CAST(CAST(CAST((__max_{col}) * CAST(ABS(__max_{col}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
             passed = f"({obs}) <= {param!r}"
         elif kind == "distinct_at_least":
             obs = f"CAST(__dist_{col} AS DOUBLE)"
@@ -434,9 +434,11 @@ __a AS (
   FROM __j
 )
 SELECT n_child, fk_nulls, n_orphans,
-       ROUND(CASE WHEN n_child - fk_nulls > 0
+       CAST(CAST(CAST(CAST((CASE WHEN n_child - fk_nulls > 0
                   THEN CAST(n_orphans AS DOUBLE) / (n_child - fk_nulls)
-                  ELSE 0.0 END, {round_to}) AS orphan_rate,
+                  ELSE 0.0 END) * CAST(ABS(CASE WHEN n_child - fk_nulls > 0
+                  THEN CAST(n_orphans AS DOUBLE) / (n_child - fk_nulls)
+                  ELSE 0.0 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS orphan_rate,
        pk_rows AS n_parent,
        (pk_distinct = pk_rows) AS pk_is_unique
 FROM __a CROSS JOIN __pk
@@ -580,7 +582,11 @@ def json_key_profile_sql(
 WITH __t AS (SELECT {json_sql} AS j FROM {table}),
 __n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM __t),
 __k AS (
-  SELECT UNNEST(json_keys(j)) AS key, j FROM __t WHERE j IS NOT NULL
+  -- json_valid mirrors Spark's json_object_keys returning NULL on
+  -- malformed JSON (row silently skipped) where DuckDB json_keys would
+  -- ERROR the whole query (ADVICE r8); malformed rows stay in __n
+  SELECT UNNEST(json_keys(j)) AS key, j
+  FROM __t WHERE j IS NOT NULL AND json_valid(j)
 ),
 __p AS (
   SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
@@ -589,7 +595,7 @@ __p AS (
   FROM __k GROUP BY key
 )
 SELECT p.key, p.n_present, p.n_json_null,
-       ROUND(CAST(p.n_present AS DOUBLE) / t.n, {round_to})
+       CAST(CAST(CAST(CAST((CAST(p.n_present AS DOUBLE) / t.n) * CAST(ABS(CAST(p.n_present AS DOUBLE) / t.n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS share_present
 FROM __p p CROSS JOIN __n t ORDER BY p.key
 """
@@ -666,7 +672,10 @@ __tot AS (
   FROM __t
 ),
 __k AS (
-  SELECT UNNEST(json_keys(j)) AS key, b FROM __t WHERE j IS NOT NULL
+  -- json_valid: skip malformed rows exactly like Spark's
+  -- json_object_keys-returns-NULL path (slice totals keep them)
+  SELECT UNNEST(json_keys(j)) AS key, b
+  FROM __t WHERE j IS NOT NULL AND json_valid(j)
 ),
 __p AS (
   SELECT key,
@@ -675,13 +684,10 @@ __p AS (
   FROM __k GROUP BY key
 )
 SELECT p.key, p.n_a, p.n_b,
-       ROUND(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0),
-             {round_to}) AS share_a,
-       ROUND(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0),
-             {round_to}) AS share_b,
-       ROUND(ROUND(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0),
-                   {round_to})
-             - ROUND(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0),
-                     {round_to}), {round_to}) AS delta
+       CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS share_a,
+       CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS share_b,
+       CAST(CAST(CAST(CAST((CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS delta
 FROM __p p, __tot t ORDER BY p.key
 """

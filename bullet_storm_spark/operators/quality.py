@@ -154,12 +154,15 @@ WITH __t AS (
 ), __m AS (
   SELECT __id,
          len(__toks)::BIGINT AS n_words,
-         ROUND(list_sum(list_transform(__toks, x -> length(x)))
-               / NULLIF(len(__toks), 0)::DOUBLE, {round_to}) AS mean_word_len,
-         ROUND(length(regexp_replace(__text, '{_NON_ALNUM}', '', 'g'))
-               / NULLIF(len(__toks), 0)::DOUBLE, {round_to}) AS symbol_word_ratio,
-         ROUND(len(list_filter(__toks, x -> regexp_matches(x, '[a-zA-Z]')))
-               / NULLIF(len(__toks), 0)::DOUBLE, {round_to}) AS alpha_word_ratio,
+         CAST(CAST(CAST(CAST((list_sum(list_transform(__toks, x -> length(x)))
+               / NULLIF(len(__toks), 0)::DOUBLE) * CAST(ABS(list_sum(list_transform(__toks, x -> length(x)))
+               / NULLIF(len(__toks), 0)::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_word_len,
+         CAST(CAST(CAST(CAST((length(regexp_replace(__text, '{_NON_ALNUM}', '', 'g'))
+               / NULLIF(len(__toks), 0)::DOUBLE) * CAST(ABS(length(regexp_replace(__text, '{_NON_ALNUM}', '', 'g'))
+               / NULLIF(len(__toks), 0)::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS symbol_word_ratio,
+         CAST(CAST(CAST(CAST((len(list_filter(__toks, x -> regexp_matches(x, '[a-zA-Z]')))
+               / NULLIF(len(__toks), 0)::DOUBLE) * CAST(ABS(len(list_filter(__toks, x -> regexp_matches(x, '[a-zA-Z]')))
+               / NULLIF(len(__toks), 0)::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS alpha_word_ratio,
          len(list_intersect(list_distinct(__toks), {stop_arr}))::BIGINT
            AS n_stopword_kinds
   FROM __t
@@ -260,7 +263,7 @@ def filter_funnel_sql(
             f"SELECT CAST({i} AS BIGINT) AS stage, '{r[3:]}' AS rule,"
             f" {n_in} AS n_in, {n_in} - __cum{i} AS n_killed,"
             f" __cum{i} AS n_out, __solo{i} AS solo_failures,"
-            f" ROUND(({n_in} - __cum{i}) / NULLIF({n_in}, 0), {round_to})"
+            f" CAST(CAST(CAST(CAST((({n_in} - __cum{i}) / NULLIF({n_in}, 0)) * CAST(ABS(({n_in} - __cum{i}) / NULLIF({n_in}, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
             f" AS marginal_kill_rate FROM __w"
         )
     body = "\nUNION ALL\n".join(rows)
@@ -297,7 +300,7 @@ def token_entropy(
     Parity + scale shape: one (doc, token) hash aggregation (the heavy
     shuffle, partial+final), a doc-partitioned window for the doc total
     (BIGINT-cast — the DuckDB HUGEINT class), per-term
-    ``ROUND(p ln p, 9)`` then an order-free DECIMAL(38,9) sum per doc —
+    a 9-dp text-hop round of ``p ln p`` then an order-free DECIMAL(38,9) sum per doc —
     the lm_score parity pattern; the final doc aggregation reuses the
     window's hash partitioning, so there is no third exchange."""
     from pyspark.sql import Window
@@ -349,16 +352,16 @@ wn AS (
   SELECT doc, c, CAST(SUM(c) OVER (PARTITION BY doc) AS BIGINT) AS n FROM cnt
 ),
 term AS (
-  SELECT doc, n, ROUND((c / n) * ln(c / n), 9) AS term FROM wn
+  SELECT doc, n, CAST(CAST(CAST(CAST(((c / n) * ln(c / n)) * CAST(ABS((c / n) * ln(c / n)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS term FROM wn
 )
 SELECT doc AS {id_col},
        MAX(n) AS n_tokens,
        COUNT(*)::BIGINT AS n_distinct,
-       ROUND(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE),
-             {round_to}) AS token_entropy,
+       CAST(CAST(CAST(CAST((-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) * CAST(ABS(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS token_entropy,
        CASE WHEN COUNT(*) > 1
-            THEN ROUND(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)
-                       / ln(COUNT(*)), {round_to}) END AS norm_entropy
+            THEN CAST(CAST(CAST(CAST((-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)
+                       / ln(COUNT(*))) * CAST(ABS(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)
+                       / ln(COUNT(*))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS norm_entropy
 FROM term GROUP BY doc ORDER BY {id_col}
 """
 
@@ -483,8 +486,9 @@ def script_profile_sql(
     return f"""
 WITH __c AS (
   SELECT {id_col}, {count_defs},
-         ROUND(len(regexp_extract_all({text_col}, '{_NON_ASCII}'))
-               / NULLIF(length({text_col}), 0)::DOUBLE, {round_to})
+         CAST(CAST(CAST(CAST((len(regexp_extract_all({text_col}, '{_NON_ASCII}'))
+               / NULLIF(length({text_col}), 0)::DOUBLE) * CAST(ABS(len(regexp_extract_all({text_col}, '{_NON_ASCII}'))
+               / NULLIF(length({text_col}), 0)::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
            AS non_ascii_ratio
   FROM {table}
 )
@@ -682,10 +686,8 @@ __g AS (
   FROM __s GROUP BY script
 )
 SELECT script, n_docs, chars, ws_tokens, bpe_tokens,
-       ROUND(CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0),
-             {round_to}) AS chars_per_bpe,
-       ROUND(CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0),
-             {round_to}) AS bpe_per_ws
+       CAST(CAST(CAST(CAST((CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0)) * CAST(ABS(CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS chars_per_bpe,
+       CAST(CAST(CAST(CAST((CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0)) * CAST(ABS(CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS bpe_per_ws
 FROM __g ORDER BY script
 """
 
@@ -778,10 +780,13 @@ def code_detection_sql(
         return f"(length({t}) - length(replace({t}, '{q}', '')))::BIGINT"
 
     score = (
-        f"ROUND(CAST(n_braces + n_semis + n_eq AS DOUBLE)"
+        f"CAST(CAST(CAST(CAST((CAST(n_braces + n_semis + n_eq AS DOUBLE)"
         f" / CAST(n_chars AS DOUBLE)"
-        f" + CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE),"
-        f" {round_to})"
+        f" + CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)"
+        f") * CAST(ABS(CAST(n_braces + n_semis + n_eq AS DOUBLE)"
+        f" / CAST(n_chars AS DOUBLE)"
+        f" + CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)"
+        f") >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     )
     return f"""
 WITH __f AS (

@@ -97,7 +97,7 @@ def quantize_embeddings_sql(
 ) -> str:
     return f"""
 WITH {_quantized_base_sql(table, id_col, vec_col)}
-SELECT id AS {id_col}, ROUND(uscale, {round_to}) AS scale, qv
+SELECT id AS {id_col}, CAST(CAST(CAST(CAST((uscale) * CAST(ABS(uscale) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS scale, qv
 FROM quantized ORDER BY {id_col}
 """
 
@@ -173,8 +173,9 @@ def quantized_neighbors_sql(
     bit-identical, so one oracle covers both). list_dot_product over
     integer lists is exact: products and partial sums stay < 2^53."""
     cos = (
-        f"ROUND(list_dot_product(q.qqv::DOUBLE[], c.qv::DOUBLE[]) "
-        f"/ (sqrt(q.qn2::DOUBLE) * sqrt(c.n2::DOUBLE)), {round_to})"
+        f"CAST(CAST(CAST(CAST((list_dot_product(q.qqv::DOUBLE[], c.qv::DOUBLE[]) "
+        f"/ (sqrt(q.qn2::DOUBLE) * sqrt(c.n2::DOUBLE))) * CAST(ABS(list_dot_product(q.qqv::DOUBLE[], c.qv::DOUBLE[]) "
+        f"/ (sqrt(q.qn2::DOUBLE) * sqrt(c.n2::DOUBLE))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     )
     return f"""
 WITH {_quantized_base_sql(table, id_col, vec_col)},
@@ -424,9 +425,11 @@ def quantized_neardup_pairs_lsh_sql(
         for t in range(ntables)
     )
     qcos = (
-        f"ROUND(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) "
+        f"CAST(CAST(CAST(CAST((list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) "
         f"/ (sqrt(list_dot_product(a.qv::DOUBLE[], a.qv::DOUBLE[])) "
-        f"* sqrt(list_dot_product(b.qv::DOUBLE[], b.qv::DOUBLE[]))), {round_to})"
+        f"* sqrt(list_dot_product(b.qv::DOUBLE[], b.qv::DOUBLE[])))) * CAST(ABS(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) "
+        f"/ (sqrt(list_dot_product(a.qv::DOUBLE[], a.qv::DOUBLE[])) "
+        f"* sqrt(list_dot_product(b.qv::DOUBLE[], b.qv::DOUBLE[])))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     )
     return f"""
 WITH {_quantized_base_sql(table, id_col, vec_col)},
@@ -498,10 +501,10 @@ joined AS (
   FROM scaled s
 )
 SELECT id AS {id_col}, len(v) AS dim,
-       ROUND(list_max(list_transform(range(1, len(v) + 1),
-                                     i -> abs(v[i] - q[i] * uscale))),
-             {round_to}) AS max_abs_err,
-       ROUND(uscale / 2, {round_to}) AS err_bound
+       CAST(CAST(CAST(CAST((list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - q[i] * uscale)))) * CAST(ABS(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - q[i] * uscale)))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS max_abs_err,
+       CAST(CAST(CAST(CAST((uscale / 2) * CAST(ABS(uscale / 2) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS err_bound
 FROM joined ORDER BY {id_col}
 """
 
@@ -598,26 +601,30 @@ WITH __v AS (
 ),
 __p AS (
   SELECT l.v AS a, r.v AS b,
-         ROUND(list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[]),
-               {rt}) AS cf
+         CAST(CAST(CAST(CAST((list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[])) * CAST(ABS(list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[])) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS cf
   FROM __v l JOIN __v r ON r.i = l.i + 1
   WHERE l.i % 2 = 0
 ),
 __e AS (
   SELECT k.dims,
-         ROUND(ABS(
-           ROUND(list_cosine_similarity(a[1:k.dims]::DOUBLE[],
-                                        b[1:k.dims]::DOUBLE[]), {rt})
+         CAST(CAST(CAST(CAST((ABS(
+           CAST(CAST(CAST(CAST((list_cosine_similarity(a[1:k.dims]::DOUBLE[],
+                                        b[1:k.dims]::DOUBLE[])) * CAST(ABS(list_cosine_similarity(a[1:k.dims]::DOUBLE[],
+                                        b[1:k.dims]::DOUBLE[])) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE)
            - cf
-         ), {rt}) AS err
+         )) * CAST(ABS(ABS(
+           CAST(CAST(CAST(CAST((list_cosine_similarity(a[1:k.dims]::DOUBLE[],
+                                        b[1:k.dims]::DOUBLE[])) * CAST(ABS(list_cosine_similarity(a[1:k.dims]::DOUBLE[],
+                                        b[1:k.dims]::DOUBLE[])) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE)
+           - cf
+         )) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS err
   FROM __p CROSS JOIN (SELECT unnest([{ks}]) AS dims) k
   WHERE k.dims <= LEAST(len(a), len(b))
     AND list_dot_product(a[1:k.dims]::DOUBLE[], a[1:k.dims]::DOUBLE[]) > 0
     AND list_dot_product(b[1:k.dims]::DOUBLE[], b[1:k.dims]::DOUBLE[]) > 0
 )
 SELECT dims, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*),
-             {rt}) AS mean_abs_err,
+       CAST(CAST(CAST(CAST((CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) * CAST(ABS(CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS mean_abs_err,
        MAX(err) AS max_abs_err
 FROM __e GROUP BY dims ORDER BY dims
 """

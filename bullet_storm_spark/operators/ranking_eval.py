@@ -243,15 +243,16 @@ __nret AS (
 SELECT b.query_id, b.n_rel,
        COALESCE(nr.n_ret, 0)::BIGINT AS n_ret,
        COALESCE(h.hits, 0)::BIGINT AS hits,
-       ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}, {round_to})
+       CAST(CAST(CAST(CAST((CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}) * CAST(ABS(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS precision_at_k,
-       ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE),
-             {round_to}) AS recall_at_k,
-       ROUND(COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0), {round_to})
+       CAST(CAST(CAST(CAST((CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)) * CAST(ABS(CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS recall_at_k,
+       CAST(CAST(CAST(CAST((COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0)) * CAST(ABS(COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS rr,
-       ROUND(CAST(CAST(COALESCE(h.dcg, CAST(0 AS DECIMAL(38,12)))
+       CAST(CAST(CAST(CAST((CAST(CAST(COALESCE(h.dcg, CAST(0 AS DECIMAL(38,12)))
                        AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(i.idcg AS VARCHAR) AS DOUBLE), {round_to}) AS ndcg
+             / CAST(CAST(i.idcg AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(COALESCE(h.dcg, CAST(0 AS DECIMAL(38,12)))
+                       AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(i.idcg AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ndcg
 FROM __base b
 JOIN __idcg i ON b.query_id = i.query_id
 LEFT JOIN __hits h ON b.query_id = h.query_id

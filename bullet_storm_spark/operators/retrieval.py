@@ -229,11 +229,15 @@ __q(query_id, token) AS (VALUES {vals}),
 __scored AS (
   SELECT q.query_id::BIGINT AS query_id, t.doc,
          COUNT(*)::BIGINT AS n_terms_matched,
-         ROUND(CAST(SUM(CAST(ROUND(
-           ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+         CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST((ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
            * ((t.tf * ({k1} + 1.0))
-              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))),
-         12) AS DECIMAL(38,12))) AS DOUBLE), {round_to}) AS score
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))) * CAST(ABS(ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+           * ((t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST((ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+           * ((t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))) * CAST(ABS(ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+           * ((t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS score
   FROM __tf t
   JOIN __q q ON t.token = q.token
   JOIN __dl l ON t.doc = l.doc
@@ -383,11 +387,15 @@ __q AS (
 __scored AS (
   SELECT q.query_id, t.doc,
          COUNT(*)::BIGINT AS n_terms_matched,
-         ROUND(CAST(SUM(CAST(ROUND(
-           ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+         CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST((ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
            * ((t.tf * ({k1} + 1.0))
-              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))),
-         12) AS DECIMAL(38,12))) AS DOUBLE), {round_to}) AS score
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))) * CAST(ABS(ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+           * ((t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST((ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+           * ((t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))) * CAST(ABS(ln(1.0 + (s.N - d.dfc + 0.5) / (d.dfc + 0.5))
+           * ((t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS score
   FROM __tf t
   JOIN __q q ON t.token = q.token AND q.query_id <> t.doc
   JOIN __dl l ON t.doc = l.doc
@@ -508,8 +516,9 @@ __den AS (
 __fused AS (
   SELECT COALESCE(a.query_id, b.query_id) AS query_id,
          COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
-         ROUND(COALESCE(1.0 / ({c} + a.rl), 0.0)
-               + COALESCE(1.0 / ({c} + b.rd), 0.0), 9) AS rrf
+         CAST(CAST(CAST(CAST((COALESCE(1.0 / ({c} + a.rl), 0.0)
+               + COALESCE(1.0 / ({c} + b.rd), 0.0)) * CAST(ABS(COALESCE(1.0 / ({c} + a.rl), 0.0)
+               + COALESCE(1.0 / ({c} + b.rd), 0.0)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS rrf
   FROM __lex a FULL OUTER JOIN __den b
     ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
 )

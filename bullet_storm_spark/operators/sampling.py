@@ -333,7 +333,7 @@ __plan AS (
   SELECT {stratum_col}, n_docs, avail_tokens,
          {target} AS target_tokens,
          CASE WHEN avail_tokens > 0
-              THEN ROUND(({target}) / avail_tokens, 6) END AS planned_epochs,
+              THEN CAST(CAST(CAST(CAST((({target}) / avail_tokens) * CAST(ABS(({target}) / avail_tokens) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS planned_epochs,
          CAST(FLOOR(avail_tokens * CAST({float(max_epochs)!r} AS DOUBLE))
               AS BIGINT) AS __cap
   FROM __full
@@ -581,10 +581,10 @@ def priority_sample_sql(
         f"::BIGINT + 1) / {float(1 << 32) + 1.0!r})"
     )
     return f"""
-SELECT {id_col}, ROUND({weight_expr}, 9) AS {weight_name},
-       ROUND(-ln({u}) / ({weight_expr}), 9) AS priority
+SELECT {id_col}, CAST(CAST(CAST(CAST(({weight_expr}) * CAST(ABS({weight_expr}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS {weight_name},
+       CAST(CAST(CAST(CAST((-ln({u}) / ({weight_expr})) * CAST(ABS(-ln({u}) / ({weight_expr})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS priority
 FROM {table}
-WHERE ROUND({weight_expr}, 9) > 0
+WHERE CAST(CAST(CAST(CAST(({weight_expr}) * CAST(ABS({weight_expr}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) > 0
 ORDER BY priority, {id_col}
 LIMIT {int(k)}
 """
@@ -1120,8 +1120,9 @@ WITH __m AS (
 ),
 __sd AS (
   SELECT stratum, pop_n,
-         ROUND(CASE WHEN pop_n >= 2
-                    THEN sqrt(GREATEST({var}, 0.0)) ELSE 0.0 END, 9) AS sd
+         CAST(CAST(CAST(CAST((CASE WHEN pop_n >= 2
+                    THEN sqrt(GREATEST({var}, 0.0)) ELSE 0.0 END) * CAST(ABS(CASE WHEN pop_n >= 2
+                    THEN sqrt(GREATEST({var}, 0.0)) ELSE 0.0 END) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sd
   FROM __m
 ),
 __w AS (
@@ -1139,7 +1140,7 @@ __q AS (
 ),
 __r AS (
   SELECT stratum, pop_n, sd,
-         ROUND(COALESCE(quota, 0.0), {round_to}) AS quota,
+         CAST(CAST(CAST(CAST((COALESCE(quota, 0.0)) * CAST(ABS(COALESCE(quota, 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS quota,
          CAST(FLOOR(COALESCE(quota, 0.0)) AS BIGINT) AS fl,
          CAST(ROW_NUMBER() OVER (
             ORDER BY COALESCE(quota, 0.0) - FLOOR(COALESCE(quota, 0.0)) DESC,

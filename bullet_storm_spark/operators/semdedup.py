@@ -113,7 +113,7 @@ def semantic_dedup_sql(
         + f"]), 'i': {i}}}"
         for i, c in enumerate(cents)
     )
-    cos = f"ROUND({cosine_sql('l.v', 'r.v')}, {round_to})"
+    cos = f"CAST(CAST(CAST(CAST(({cosine_sql('l.v', 'r.v')}) * CAST(ABS({cosine_sql('l.v', 'r.v')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
 assigned AS (

@@ -85,7 +85,7 @@ def brute_force_neighbors_sql(
     k: int = 5,
     round_to: int = 6,
 ) -> str:
-    cos = f"ROUND({cosine_sql('q.qv', 'c.v')}, {round_to})"
+    cos = f"CAST(CAST(CAST(CAST(({cosine_sql('q.qv', 'c.v')}) * CAST(ABS({cosine_sql('q.qv', 'c.v')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
 q AS (SELECT id AS query_id, v AS qv FROM base WHERE {query_pred_sql})
@@ -190,7 +190,7 @@ def lsh_bucketed_neighbors_sql(
 ) -> str:
     planes = hyperplanes(dim, nbits)
     bucket = _bucket_sql("v", planes)
-    cos = f"ROUND({cosine_sql('q.qv', 'c.v')}, {round_to})"
+    cos = f"CAST(CAST(CAST(CAST(({cosine_sql('q.qv', 'c.v')}) * CAST(ABS({cosine_sql('q.qv', 'c.v')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table}
@@ -405,7 +405,7 @@ def ivf_neighbors_frozen_sql(
         + f"]), 'i': {i}}}"
         for i, c in enumerate(cents)
     )
-    cos = f"ROUND({cosine_sql('q.qv', 'c.v')}, {round_to})"
+    cos = f"CAST(CAST(CAST(CAST(({cosine_sql('q.qv', 'c.v')}) * CAST(ABS({cosine_sql('q.qv', 'c.v')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {vec_col} AS v, ({query_pred_sql}) AS is_q
@@ -734,7 +734,7 @@ WITH base AS (
   FROM {table}
 ),
 dists AS (
-  SELECT id, cell, ROUND(1.0 - {cos}, 9) AS dist FROM base
+  SELECT id, cell, CAST(CAST(CAST(CAST((1.0 - {cos}) * CAST(ABS(1.0 - {cos}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS dist FROM base
 ),
 stats AS (
   SELECT cell,
@@ -744,9 +744,9 @@ stats AS (
   FROM dists GROUP BY cell
 )
 SELECT d.id AS {id_col}, d.cell,
-       ROUND(d.dist, {round_to}) AS dist,
-       ROUND(s.mean, {round_to}) AS cell_mean,
-       ROUND(sqrt(greatest(s.m2 - s.mean * s.mean, 0.0)), {round_to}) AS cell_std,
+       CAST(CAST(CAST(CAST((d.dist) * CAST(ABS(d.dist) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS dist,
+       CAST(CAST(CAST(CAST((s.mean) * CAST(ABS(s.mean) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cell_mean,
+       CAST(CAST(CAST(CAST((sqrt(greatest(s.m2 - s.mean * s.mean, 0.0))) * CAST(ABS(sqrt(greatest(s.m2 - s.mean * s.mean, 0.0))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cell_std,
        (d.dist > s.mean + {float(z)!r} * sqrt(greatest(s.m2 - s.mean * s.mean, 0.0)))
          AS is_outlier
 FROM dists d JOIN stats s USING (cell)
@@ -838,8 +838,9 @@ __b AS (SELECT query_id, neighbor_id, rank AS rb FROM ({lsh}) t),
 __fused AS (
   SELECT COALESCE(a.query_id, b.query_id) AS query_id,
          COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
-         ROUND(COALESCE(1.0 / ({c} + a.ra), 0.0)
-               + COALESCE(1.0 / ({c} + b.rb), 0.0), 9) AS rrf
+         CAST(CAST(CAST(CAST((COALESCE(1.0 / ({c} + a.ra), 0.0)
+               + COALESCE(1.0 / ({c} + b.rb), 0.0)) * CAST(ABS(COALESCE(1.0 / ({c} + a.ra), 0.0)
+               + COALESCE(1.0 / ({c} + b.rb), 0.0)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS rrf
   FROM __a a FULL OUTER JOIN __b b
     ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
 )
@@ -920,7 +921,7 @@ def hard_negatives_sql(
     k: int = 5,
     round_to: int = 6,
 ) -> str:
-    cos = f"ROUND({cosine_sql('q.qv', 'c.v')}, {round_to})"
+    cos = f"CAST(CAST(CAST(CAST(({cosine_sql('q.qv', 'c.v')}) * CAST(ABS({cosine_sql('q.qv', 'c.v')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {vec_col} AS v FROM {table}
@@ -1010,7 +1011,7 @@ def anisotropy_audit_sql(table: str, vec_col: str, round_to: int = 6) -> str:
     return f"""
 WITH __b AS (
   SELECT {vec_col}::DOUBLE[] AS v, {nrm} AS nr,
-         CAST(CAST({nrm} AS VARCHAR) AS DECIMAL(18,6)) AS q6n
+         CAST(CAST(({nrm}) * CAST(ABS({nrm}) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(18,6)) AS q6n
   FROM {table}
   WHERE {vec_col} IS NOT NULL AND {nrm} > 0
 ),
@@ -1020,23 +1021,23 @@ __e AS (
 ),
 __d AS (
   SELECT dim, CAST(COUNT(*) AS BIGINT) AS cnt,
-         CAST(SUM(CAST(CAST(CAST(u AS VARCHAR) AS DECIMAL(18,9))
+         CAST(SUM(CAST(CAST(CAST((u) * CAST(ABS(u) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))
                        AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s,
          CAST(SUM(CASE WHEN dim = 0 THEN q6n END) AS DECIMAL(38,6)) AS norms
   FROM __e GROUP BY dim
 ),
 __a AS (
   SELECT MAX(cnt) AS n,
-         SUM(ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 9)
-             * ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 9)) AS q,
+         SUM(CAST(CAST(CAST(CAST((CAST(CAST(s AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(s AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+             * CAST(CAST(CAST(CAST((CAST(CAST(s AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(s AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)) AS q,
          MAX(CAST(CAST(norms AS VARCHAR) AS DOUBLE)) AS sn
   FROM __d
 )
 SELECT n,
-       ROUND(sn / CAST(n AS DOUBLE), {round_to}) AS mean_norm,
-       ROUND((q - CAST(n AS DOUBLE))
-             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
-             {round_to}) AS avg_pairwise_cos
+       CAST(CAST(CAST(CAST((sn / CAST(n AS DOUBLE)) * CAST(ABS(sn / CAST(n AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_norm,
+       CAST(CAST(CAST(CAST(((q - CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) * CAST(ABS((q - CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS avg_pairwise_cos
 FROM __a
 """
 
@@ -1165,8 +1166,9 @@ def cluster_label_nmi_sql(
         for i, c in enumerate(cents)
     )
     term = (
-        "ROUND(-(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
-        " * ln(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE)), 9)"
+        "CAST(CAST(CAST(CAST((-(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))) * CAST(ABS(-(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)"
     )
     return f"""
 WITH __b AS (
@@ -1202,13 +1204,15 @@ __a AS (
   FROM __g
 )
 SELECT n, n_clusters, n_labels,
-       ROUND(h_cluster, {round_to}) AS h_cluster,
-       ROUND(h_label, {round_to}) AS h_label,
-       ROUND(h_joint, {round_to}) AS h_joint,
-       ROUND(h_cluster + h_label - h_joint, {round_to}) AS mi,
-       ROUND(CASE WHEN h_cluster > 0 AND h_label > 0
+       CAST(CAST(CAST(CAST((h_cluster) * CAST(ABS(h_cluster) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS h_cluster,
+       CAST(CAST(CAST(CAST((h_label) * CAST(ABS(h_label) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS h_label,
+       CAST(CAST(CAST(CAST((h_joint) * CAST(ABS(h_joint) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS h_joint,
+       CAST(CAST(CAST(CAST((h_cluster + h_label - h_joint) * CAST(ABS(h_cluster + h_label - h_joint) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mi,
+       CAST(CAST(CAST(CAST((CASE WHEN h_cluster > 0 AND h_label > 0
                   THEN (2.0 * (h_cluster + h_label - h_joint))
-                       / (h_cluster + h_label) END, {round_to}) AS nmi
+                       / (h_cluster + h_label) END) * CAST(ABS(CASE WHEN h_cluster > 0 AND h_label > 0
+                  THEN (2.0 * (h_cluster + h_label - h_joint))
+                       / (h_cluster + h_label) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS nmi
 FROM __a
 """
 
@@ -1225,7 +1229,10 @@ def cosine_histogram(
     """Candidate-pair cosine histogram for near-dup threshold
     calibration: ``(bin_lo, n_pairs, share)`` where ``bin_lo`` is the
     inclusive lower edge of a width-1/n_bins cosine bin (the top bin
-    also takes cos = 1.0) over the LSH-bucketed candidate pairs.
+    also takes cos = 1.0; bin 0 also takes the anti-correlated cos < 0
+    pairs — LSH buckets collide same-sign patterns so negatives are a
+    trace population, folded rather than given negative bin_lo rows)
+    over the LSH-bucketed candidate pairs.
 
     The "where should the dedup threshold go" table: a healthy corpus
     shows a near-dup mode separated from the random-pair bulk; the
@@ -1256,8 +1263,11 @@ def cosine_histogram(
         a.join(b, "bucket")
         .where(F.col("id1") < F.col("id2"))
         .select(
-            F.least(
-                F.floor(cos * n_bins).cast("long"), F.lit(n_bins - 1)
+            F.greatest(
+                F.least(
+                    F.floor(cos * n_bins).cast("long"), F.lit(n_bins - 1)
+                ),
+                F.lit(0),
             ).alias("__bin")
         )
         .groupBy("__bin")
@@ -1291,7 +1301,7 @@ def cosine_histogram_sql(
 ) -> str:
     planes = hyperplanes(dim, nbits)
     bucket = _bucket_sql("v", planes)
-    cos = f"ROUND({cosine_sql('a.v', 'b.v')}, 6)"
+    cos = f"CAST(CAST(CAST(CAST(({cosine_sql('a.v', 'b.v')}) * CAST(ABS({cosine_sql('a.v', 'b.v')}) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket
@@ -1299,15 +1309,16 @@ WITH base AS (
   WHERE sqrt(list_inner_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) > 0
 ),
 __binned AS (
-  SELECT LEAST(CAST(FLOOR({cos} * {n_bins}) AS BIGINT), {n_bins - 1}) AS bin,
+  SELECT GREATEST(LEAST(CAST(FLOOR({cos} * {n_bins}) AS BIGINT), {n_bins - 1}), 0) AS bin,
          CAST(COUNT(*) AS BIGINT) AS n_pairs
   FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
   GROUP BY bin
 )
-SELECT ROUND(CAST(bin AS DOUBLE) / {float(n_bins)!r}, {round_to}) AS bin_lo,
+SELECT CAST(CAST(CAST(CAST((CAST(bin AS DOUBLE) / {float(n_bins)!r}) * CAST(ABS(CAST(bin AS DOUBLE) / {float(n_bins)!r}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS bin_lo,
        n_pairs,
-       ROUND(CAST(n_pairs AS DOUBLE)
-             / CAST(SUM(n_pairs) OVER () AS DOUBLE), {round_to}) AS share
+       CAST(CAST(CAST(CAST((CAST(n_pairs AS DOUBLE)
+             / CAST(SUM(n_pairs) OVER () AS DOUBLE)) * CAST(ABS(CAST(n_pairs AS DOUBLE)
+             / CAST(SUM(n_pairs) OVER () AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS share
 FROM __binned ORDER BY bin_lo
 """
 
@@ -1390,7 +1401,7 @@ def fisher_separation(
 def fisher_separation_sql(
     table: str, vec_col: str, label_col: str, round_to: int = 6
 ) -> str:
-    vq9 = "CAST(CAST(v AS VARCHAR) AS DECIMAL(18,9))"
+    vq9 = "CAST(CAST((v) * CAST(ABS(v) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))"
     return f"""
 WITH __e AS (
   SELECT {label_col} AS l, CAST(i - 1 AS INTEGER) AS dim,
@@ -1412,17 +1423,24 @@ __g AS (
 ),
 __terms AS (
   SELECT gn, dim, l,
-         ROUND(CAST(n AS DOUBLE)
+         CAST(CAST(CAST(CAST((CAST(n AS DOUBLE)
                * ((CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
                    - CAST(CAST(gs AS VARCHAR) AS DOUBLE) / CAST(gn AS DOUBLE))
                   * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
                      - CAST(CAST(gs AS VARCHAR) AS DOUBLE)
-                       / CAST(gn AS DOUBLE))),
-               9) AS bt,
-         ROUND(GREATEST(CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                       / CAST(gn AS DOUBLE)))) * CAST(ABS(CAST(n AS DOUBLE)
+               * ((CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(CAST(gs AS VARCHAR) AS DOUBLE) / CAST(gn AS DOUBLE))
+                  * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(CAST(gs AS VARCHAR) AS DOUBLE)
+                       / CAST(gn AS DOUBLE)))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS bt,
+         CAST(CAST(CAST(CAST((GREATEST(CAST(CAST(q AS VARCHAR) AS DOUBLE)
                         - (CAST(CAST(s AS VARCHAR) AS DOUBLE)
                            * CAST(CAST(s AS VARCHAR) AS DOUBLE))
-                          / CAST(n AS DOUBLE), 0.0), 9) AS wt
+                          / CAST(n AS DOUBLE), 0.0)) * CAST(ABS(GREATEST(CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                        - (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+                          / CAST(n AS DOUBLE), 0.0)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS wt
   FROM __g
 ),
 __a AS (
@@ -1434,8 +1452,8 @@ __a AS (
   FROM __terms
 )
 SELECT n, dim, n_labels,
-       ROUND(b, {round_to}) AS ss_between,
-       ROUND(w, {round_to}) AS ss_within,
-       ROUND(CASE WHEN w <> 0.0 THEN b / w END, {round_to}) AS fisher_ratio
+       CAST(CAST(CAST(CAST((b) * CAST(ABS(b) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ss_between,
+       CAST(CAST(CAST(CAST((w) * CAST(ABS(w) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ss_within,
+       CAST(CAST(CAST(CAST((CASE WHEN w <> 0.0 THEN b / w END) * CAST(ABS(CASE WHEN w <> 0.0 THEN b / w END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS fisher_ratio
 FROM __a
 """

@@ -82,7 +82,7 @@ def _q6(c):
 
 
 def _q6_sql(e: str) -> str:
-    return f"CAST(CAST(CAST({e} AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))"
+    return f"CAST(CAST((CAST({e} AS DOUBLE)) * CAST(ABS(CAST({e} AS DOUBLE)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(18,6))"
 
 
 def _qround_sql(e: str, digits: int) -> str:
@@ -99,7 +99,7 @@ def _qround_sql(e: str, digits: int) -> str:
     exact in both engines); NULL propagates, NaN/Inf must be impossible
     upstream (this repo's _div/NULLIF conventions yield NULL, not NaN)."""
     return (
-        f"CAST(CAST(CAST(CAST({e} AS VARCHAR) AS DECIMAL(38,{digits})) "
+        f"CAST(CAST(CAST(CAST(({e}) * CAST(ABS({e}) >= POWER(10.0, -({digits}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{digits})) "
         f"AS VARCHAR) AS DOUBLE)"
     )
 
@@ -199,11 +199,15 @@ __agg AS (
   FROM __cum
 )
 SELECT n_pos, n_neg, CAST(CAST(rs2 AS VARCHAR) AS DOUBLE) AS rank_sum2,
-       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       CAST(CAST(CAST(CAST((CASE WHEN n_pos > 0 AND n_neg > 0 THEN
          (CAST(CAST(rs2 AS VARCHAR) AS DOUBLE) / 2.0
           - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
          / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
-       END, {round_to}) AS auc
+       END) * CAST(ABS(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         (CAST(CAST(rs2 AS VARCHAR) AS DOUBLE) / 2.0
+          - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS auc
 FROM __agg
 """
 
@@ -318,21 +322,31 @@ __d AS (
   FROM __m
 )
 SELECT n_a, n_b,
-       ROUND(CASE WHEN n_a > 0 THEN ma END, {round_to}) AS mean_a,
-       ROUND(CASE WHEN n_b > 0 THEN mb END, {round_to}) AS mean_b,
-       ROUND(CASE WHEN n_a >= 2 AND n_b >= 2
+       CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 THEN ma END) * CAST(ABS(CASE WHEN n_a > 0 THEN ma END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_a,
+       CAST(CAST(CAST(CAST((CASE WHEN n_b > 0 THEN mb END) * CAST(ABS(CASE WHEN n_b > 0 THEN mb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_b,
+       CAST(CAST(CAST(CAST((CASE WHEN n_a >= 2 AND n_b >= 2
                    AND va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
          THEN (ma - mb) / sqrt(va / CAST(n_a AS DOUBLE)
-                               + vb / CAST(n_b AS DOUBLE)) END, {round_to})
+                               + vb / CAST(n_b AS DOUBLE)) END) * CAST(ABS(CASE WHEN n_a >= 2 AND n_b >= 2
+                   AND va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
+         THEN (ma - mb) / sqrt(va / CAST(n_a AS DOUBLE)
+                               + vb / CAST(n_b AS DOUBLE)) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS t_stat,
-       ROUND(CASE WHEN n_a >= 2 AND n_b >= 2
+       CAST(CAST(CAST(CAST((CASE WHEN n_a >= 2 AND n_b >= 2
                    AND va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
          THEN ((va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
                * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)))
               / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
                    / (CAST(n_a AS DOUBLE) - 1.0)
                  + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
-                   / (CAST(n_b AS DOUBLE) - 1.0)) END, {round_to}) AS dof
+                   / (CAST(n_b AS DOUBLE) - 1.0)) END) * CAST(ABS(CASE WHEN n_a >= 2 AND n_b >= 2
+                   AND va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
+         THEN ((va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+               * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)))
+              / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1.0)
+                 + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1.0)) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS dof
 FROM __d
 """
 
@@ -399,15 +413,19 @@ __d AS (
   FROM __c
 )
 SELECT n_a, s_a, n_b, s_b,
-       ROUND(CASE WHEN n_a > 0 THEN pa END, {round_to}) AS p_a,
-       ROUND(CASE WHEN n_b > 0 THEN pb END, {round_to}) AS p_b,
-       ROUND(CASE WHEN n_a > 0 AND n_b > 0
+       CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 THEN pa END) * CAST(ABS(CASE WHEN n_a > 0 THEN pa END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_a,
+       CAST(CAST(CAST(CAST((CASE WHEN n_b > 0 THEN pb END) * CAST(ABS(CASE WHEN n_b > 0 THEN pb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_b,
+       CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 AND n_b > 0
                    AND pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)
                                           + 1.0 / CAST(n_b AS DOUBLE)) > 0
          THEN (pa - pb) / sqrt(pp * (1.0 - pp)
                                * (1.0 / CAST(n_a AS DOUBLE)
-                                  + 1.0 / CAST(n_b AS DOUBLE))) END,
-         {round_to}) AS z_stat
+                                  + 1.0 / CAST(n_b AS DOUBLE))) END) * CAST(ABS(CASE WHEN n_a > 0 AND n_b > 0
+                   AND pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+                                          + 1.0 / CAST(n_b AS DOUBLE)) > 0
+         THEN (pa - pb) / sqrt(pp * (1.0 - pp)
+                               * (1.0 / CAST(n_a AS DOUBLE)
+                                  + 1.0 / CAST(n_b AS DOUBLE))) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS z_stat
 FROM __d
 """
 
@@ -501,21 +519,27 @@ __pe AS (
     ON r.cat = c.cat
 )
 SELECT d.n, d.agree,
-       ROUND(CASE WHEN d.n > 0
-         THEN CAST(d.agree AS DOUBLE) / CAST(d.n AS DOUBLE) END,
-         {round_to}) AS po,
-       ROUND(CASE WHEN d.n > 0
+       CAST(CAST(CAST(CAST((CASE WHEN d.n > 0
+         THEN CAST(d.agree AS DOUBLE) / CAST(d.n AS DOUBLE) END) * CAST(ABS(CASE WHEN d.n > 0
+         THEN CAST(d.agree AS DOUBLE) / CAST(d.n AS DOUBLE) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS po,
+       CAST(CAST(CAST(CAST((CASE WHEN d.n > 0
          THEN CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
-              / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)) END,
-         {round_to}) AS pe,
-       ROUND(CASE WHEN d.n > 0 AND CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
+              / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)) END) * CAST(ABS(CASE WHEN d.n > 0
+         THEN CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
+              / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS pe,
+       CAST(CAST(CAST(CAST((CASE WHEN d.n > 0 AND CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
                   / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)) < 1.0
          THEN (CAST(d.agree AS DOUBLE) / CAST(d.n AS DOUBLE)
                - CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
                  / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)))
               / (1.0 - CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
-                 / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE))) END,
-         {round_to}) AS kappa
+                 / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE))) END) * CAST(ABS(CASE WHEN d.n > 0 AND CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
+                  / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)) < 1.0
+         THEN (CAST(d.agree AS DOUBLE) / CAST(d.n AS DOUBLE)
+               - CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
+                 / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE)))
+              / (1.0 - CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
+                 / (CAST(d.n AS DOUBLE) * CAST(d.n AS DOUBLE))) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS kappa
 FROM __diag d CROSS JOIN __pe p
 """
 
@@ -954,16 +978,18 @@ __ranksrc AS (
   FROM __means
 ),
 __ci AS (
-  SELECT ROUND(MIN(CASE WHEN rn = lo THEN m END), {round_to}) AS ci_lo,
-         ROUND(MIN(CASE WHEN rn = nb + 1 - lo THEN m END), {round_to})
+  SELECT CAST(CAST(CAST(CAST((MIN(CASE WHEN rn = lo THEN m END)) * CAST(ABS(MIN(CASE WHEN rn = lo THEN m END)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ci_lo,
+         CAST(CAST(CAST(CAST((MIN(CASE WHEN rn = nb + 1 - lo THEN m END)) * CAST(ABS(MIN(CASE WHEN rn = nb + 1 - lo THEN m END)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
            AS ci_hi
   FROM __ranksrc
 ),
 __est AS (
   SELECT COUNT(*)::BIGINT AS n,
-         ROUND(CAST(CAST(CAST(SUM(CAST({q6v} AS DECIMAL(38,12)))
+         CAST(CAST(CAST(CAST((CAST(CAST(CAST(SUM(CAST({q6v} AS DECIMAL(38,12)))
                     AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
-               / COUNT(*), {round_to}) AS est_mean
+               / COUNT(*)) * CAST(ABS(CAST(CAST(CAST(SUM(CAST({q6v} AS DECIMAL(38,12)))
+                    AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+               / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS est_mean
   FROM {table} WHERE ({value_sql}) IS NOT NULL
 )
 SELECT e.n, CAST({b} AS BIGINT) AS b, e.est_mean, c.ci_lo, c.ci_hi
@@ -1570,7 +1596,7 @@ def mutual_information(df: DataFrame, a_col: Column, b_col: Column) -> DataFrame
 
 
 def mutual_information_sql(table: str, a_sql: str, b_sql: str) -> str:
-    q9 = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DECIMAL(18,9))"
+    q9 = lambda e: f"CAST(CAST(({e}) * CAST(ABS({e}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(18,9))"
     d2d = _d2d_sql
     lmi = (
         f"ln({d2d('CAST(CAST(n AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0)) AS DECIMAL(38,0))')}"
@@ -1618,11 +1644,11 @@ __x AS (
   FROM __tot CROSS JOIN __smi CROSS JOIN __ha CROSS JOIN __hb
 )
 SELECT n, k_a, k_b,
-       ROUND(mi, 9) AS mi,
-       ROUND(h_a, 9) AS h_a,
-       ROUND(h_b, 9) AS h_b,
+       CAST(CAST(CAST(CAST((mi) * CAST(ABS(mi) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mi,
+       CAST(CAST(CAST(CAST((h_a) * CAST(ABS(h_a) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS h_a,
+       CAST(CAST(CAST(CAST((h_b) * CAST(ABS(h_b) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS h_b,
        CASE WHEN h_a * h_b <> 0.0
-            THEN ROUND(mi / sqrt(h_a * h_b), 9) END AS nmi
+            THEN CAST(CAST(CAST(CAST((mi / sqrt(h_a * h_b)) * CAST(ABS(mi / sqrt(h_a * h_b)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS nmi
 FROM __x
 """
 
@@ -1776,9 +1802,9 @@ SELECT a.n_units, m.n_ratings, m.n_categories,
          AS do_num,
        {_d2d_sql(f"CAST({L} AS DECIMAL(38,0)) * (CAST(m.n_ratings AS DECIMAL(38,0)) * m.n_ratings - m.sc2)")}
          AS de_num,
-       ROUND(1.0 - {_d2d_sql("(CAST(m.n_ratings AS DECIMAL(38,0)) - 1) * a.A")}
-                   / NULLIF({_d2d_sql(f"CAST({L} AS DECIMAL(38,0)) * (CAST(m.n_ratings AS DECIMAL(38,0)) * m.n_ratings - m.sc2)")}, 0),
-             {round_to}) AS alpha
+       CAST(CAST(CAST(CAST((1.0 - {_d2d_sql("(CAST(m.n_ratings AS DECIMAL(38,0)) - 1) * a.A")}
+                   / NULLIF({_d2d_sql(f"CAST({L} AS DECIMAL(38,0)) * (CAST(m.n_ratings AS DECIMAL(38,0)) * m.n_ratings - m.sc2)")}, 0)) * CAST(ABS(1.0 - {_d2d_sql("(CAST(m.n_ratings AS DECIMAL(38,0)) - 1) * a.A")}
+                   / NULLIF({_d2d_sql(f"CAST({L} AS DECIMAL(38,0)) * (CAST(m.n_ratings AS DECIMAL(38,0)) * m.n_ratings - m.sc2)")}, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS alpha
 FROM __a a CROSS JOIN __m m
 """
 
@@ -1849,23 +1875,37 @@ WITH __g AS (
   FROM {table} GROUP BY grp
 )
 SELECT grp, n, k,
-       ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS rate,
-       ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       CAST(CAST(CAST(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(ABS(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS rate,
+       CAST(CAST(CAST(CAST((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
                + {zz} / (2.0 * CAST(n AS DOUBLE)))
               / (1.0 + {zz} / CAST(n AS DOUBLE)))
              - ({zs} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
                   * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
                   / CAST(n AS DOUBLE)
                   + {zz} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-                / (1.0 + {zz} / CAST(n AS DOUBLE))), {round_to}) AS lo,
-       ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                / (1.0 + {zz} / CAST(n AS DOUBLE)))) * CAST(ABS(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + {zz} / (2.0 * CAST(n AS DOUBLE)))
+              / (1.0 + {zz} / CAST(n AS DOUBLE)))
+             - ({zs} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + {zz} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                / (1.0 + {zz} / CAST(n AS DOUBLE)))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS lo,
+       CAST(CAST(CAST(CAST((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
                + {zz} / (2.0 * CAST(n AS DOUBLE)))
               / (1.0 + {zz} / CAST(n AS DOUBLE)))
              + ({zs} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
                   * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
                   / CAST(n AS DOUBLE)
                   + {zz} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-                / (1.0 + {zz} / CAST(n AS DOUBLE))), {round_to}) AS hi
+                / (1.0 + {zz} / CAST(n AS DOUBLE)))) * CAST(ABS(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + {zz} / (2.0 * CAST(n AS DOUBLE)))
+              / (1.0 + {zz} / CAST(n AS DOUBLE)))
+             + ({zs} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + {zz} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                / (1.0 + {zz} / CAST(n AS DOUBLE)))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS hi
 FROM __g ORDER BY grp
 """
 
@@ -1990,9 +2030,9 @@ WITH __g AS (
   FROM {table} GROUP BY grp
 )
 SELECT grp, n_t, k_t, n_c, k_c,
-       ROUND(CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END, {round_to}) AS diff,
-       ROUND(CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END, {round_to}) AS lo,
-       ROUND(CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END, {round_to}) AS hi
+       CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS diff,
+       CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS lo,
+       CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS hi
 FROM __g ORDER BY grp
 """
 
@@ -2127,11 +2167,15 @@ __fin AS (
   FROM __agg
 )
 SELECT n_a, n_b, u2_a,
-       ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+       CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 AND n_b > 0 THEN
          (u2_a / 2.0 - nad * nbd / 2.0)
          / sqrt(nad * nbd / 12.0
                 * ((nn + 1.0) - tiesd / (nn * (nn - 1.0))))
-       END, {round_to}) AS z
+       END) * CAST(ABS(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         (u2_a / 2.0 - nad * nbd / 2.0)
+         / sqrt(nad * nbd / 12.0
+                * ((nn + 1.0) - tiesd / (nn * (nn - 1.0))))
+       END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS z
 FROM __fin
 """
 
@@ -2264,9 +2308,9 @@ __marg AS (
   FROM (SELECT v, SUM(c)::BIGINT AS nc FROM __uc GROUP BY v)
 )
 SELECT n_units, CAST({m} AS BIGINT) AS n_raters, n_categories,
-       ROUND({p_bar}, {round_to}) AS p_bar,
-       ROUND({p_e}, {round_to}) AS p_e,
-       ROUND(({p_bar} - {p_e}) / (1.0 - {p_e}), {round_to}) AS kappa
+       CAST(CAST(CAST(CAST(({p_bar}) * CAST(ABS({p_bar}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_bar,
+       CAST(CAST(CAST(CAST(({p_e}) * CAST(ABS({p_e}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_e,
+       CAST(CAST(CAST(CAST((({p_bar} - {p_e}) / (1.0 - {p_e})) * CAST(ABS(({p_bar} - {p_e}) / (1.0 - {p_e})) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS kappa
 FROM __a CROSS JOIN __marg
 """
 
@@ -2384,8 +2428,9 @@ __agg AS (
   FROM __lev
 )
 SELECT n, r, n_levels,
-       ROUND(({num}) * sqrt(CAST(n AS DOUBLE))
-             / (sqrt({f1}) * sqrt({f2})), {round_to}) AS z
+       CAST(CAST(CAST(CAST((({num}) * sqrt(CAST(n AS DOUBLE))
+             / (sqrt({f1}) * sqrt({f2}))) * CAST(ABS(({num}) * sqrt(CAST(n AS DOUBLE))
+             / (sqrt({f1}) * sqrt({f2}))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS z
 FROM __agg
 """
 
@@ -2499,7 +2544,7 @@ WITH __b AS (
   WHERE ({group_sql}) IS NOT NULL AND ({value_sql}) IS NOT NULL
 ),
 __med AS (
-  SELECT g, ROUND(quantile_cont(v, 0.5), 9) AS med FROM __b GROUP BY g
+  SELECT g, CAST(CAST(CAST(CAST((quantile_cont(v, 0.5)) * CAST(ABS(quantile_cont(v, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS med FROM __b GROUP BY g
 ),
 __z AS (
   SELECT b.g, {_q6_sql("abs(b.v - m.med)")} AS z
@@ -2536,10 +2581,13 @@ __agg AS (
 )
 SELECT n, n_groups,
        {_d2d_sql("ssb")} AS ssb, {_d2d_sql("ssw")} AS ssw,
-       ROUND(CASE WHEN n_groups >= 2 THEN
+       CAST(CAST(CAST(CAST((CASE WHEN n_groups >= 2 THEN
          ({_d2d_sql("ssb")} * (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))
          / ({_d2d_sql("ssw")} * (CAST(n_groups AS DOUBLE) - 1.0))
-       END, {round_to}) AS f_stat
+       END) * CAST(ABS(CASE WHEN n_groups >= 2 THEN
+         ({_d2d_sql("ssb")} * (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))
+         / ({_d2d_sql("ssw")} * (CAST(n_groups AS DOUBLE) - 1.0))
+       END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS f_stat
 FROM __agg
 """
 
@@ -2712,14 +2760,16 @@ __d AS (
   FROM __agg
 )
 SELECT n_pos, n_neg,
-       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END, {round_to})
+       CAST(CAST(CAST(CAST((CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END) * CAST(ABS(CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS auc,
-       ROUND(CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END, {round_to})
+       CAST(CAST(CAST(CAST((CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END) * CAST(ABS(CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS se,
-       ROUND(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
-         greatest({auc} - {zs} * {se}, 0.0) END, {round_to}) AS lo,
-       ROUND(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
-         least({auc} + {zs} * {se}, 1.0) END, {round_to}) AS hi
+       CAST(CAST(CAST(CAST((CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+         greatest({auc} - {zs} * {se}, 0.0) END) * CAST(ABS(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+         greatest({auc} - {zs} * {se}, 0.0) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS lo,
+       CAST(CAST(CAST(CAST((CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+         least({auc} + {zs} * {se}, 1.0) END) * CAST(ABS(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+         least({auc} + {zs} * {se}, 1.0) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS hi
 FROM __d
 """
 
@@ -2783,10 +2833,14 @@ WITH __m AS (
   WHERE ({rule_a_sql}) IS NOT NULL AND ({rule_b_sql}) IS NOT NULL
 )
 SELECT n, n_both, n_a_only, n_b_only, n_neither,
-       ROUND(CASE WHEN n_a_only + n_b_only > 0
+       CAST(CAST(CAST(CAST((CASE WHEN n_a_only + n_b_only > 0
                   THEN CAST(GREATEST(abs(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
                        * CAST(GREATEST(abs(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
                        / CAST(n_a_only + n_b_only AS DOUBLE)
-             END, {round_to}) AS chi2_cc
+             END) * CAST(ABS(CASE WHEN n_a_only + n_b_only > 0
+                  THEN CAST(GREATEST(abs(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
+                       * CAST(GREATEST(abs(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
+                       / CAST(n_a_only + n_b_only AS DOUBLE)
+             END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS chi2_cc
 FROM __m
 """

@@ -79,8 +79,9 @@ WITH tok AS (
   FROM per_doc GROUP BY token
 )
 SELECT token, term_freq, doc_freq,
-       ROUND(ln((1 + (SELECT COUNT(*) FROM {table}))::DOUBLE
-                / (1 + doc_freq)), {round_to}) AS idf
+       CAST(CAST(CAST(CAST((ln((1 + (SELECT COUNT(*) FROM {table}))::DOUBLE
+                / (1 + doc_freq))) * CAST(ABS(ln((1 + (SELECT COUNT(*) FROM {table}))::DOUBLE
+                / (1 + doc_freq))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS idf
 FROM vocab
 ORDER BY term_freq DESC, token
 LIMIT {top_n}
@@ -161,13 +162,13 @@ vocab AS (
 totals AS (SELECT SUM(tf)::BIGINT AS T, COUNT(*)::BIGINT AS V FROM vocab),
 scored AS (
   SELECT n.doc,
-         ROUND(ln((v.tf + {float(alpha)!r})
-                  / (t.T + {float(alpha)!r} * t.V)), 9) AS logp
+         CAST(CAST(CAST(CAST((ln((v.tf + {float(alpha)!r})
+                  / (t.T + {float(alpha)!r} * t.V))) * CAST(ABS(ln((v.tf + {float(alpha)!r})
+                  / (t.T + {float(alpha)!r} * t.V))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS logp
   FROM nonempty n JOIN vocab v USING (token) CROSS JOIN totals t
 )
 SELECT doc AS {id_col}, COUNT(*)::BIGINT AS n_tokens,
-       ROUND(-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*),
-             {round_to}) AS cross_entropy
+       CAST(CAST(CAST(CAST((-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) * CAST(ABS(-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cross_entropy
 FROM scored GROUP BY doc ORDER BY {id_col}
 """
 
@@ -240,8 +241,9 @@ WITH tok AS (
   SELECT token, COUNT(*)::BIGINT AS df FROM per_doc GROUP BY token
 ), scored AS (
   SELECT doc, token, tf,
-         ROUND(tf * ln((1 + (SELECT COUNT(*) FROM {table}))::DOUBLE
-                       / (1 + df)), {round_to}) AS tfidf
+         CAST(CAST(CAST(CAST((tf * ln((1 + (SELECT COUNT(*) FROM {table}))::DOUBLE
+                       / (1 + df))) * CAST(ABS(tf * ln((1 + (SELECT COUNT(*) FROM {table}))::DOUBLE
+                       / (1 + df))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS tfidf
   FROM per_doc JOIN dfreq USING (token)
 )
 SELECT doc AS {id_col},
@@ -331,7 +333,7 @@ per_src AS (
 ), grand AS (SELECT SUM(tfc)::BIGINT AS Tc FROM corpus),
 terms AS (
   SELECT p.src, t.Ts,
-         ROUND((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc)), 12)
+         CAST(CAST(CAST(CAST(((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc))) * CAST(ABS((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc))) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
            AS term
   FROM per_src p
   JOIN corpus c USING (token)
@@ -340,7 +342,7 @@ terms AS (
 )
 SELECT src AS {stratum_col}, ANY_VALUE(Ts) AS n_tokens,
        COUNT(*)::BIGINT AS vocab_size,
-       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), {round_to})
+       CAST(CAST(CAST(CAST((CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS kl_to_corpus
 FROM terms GROUP BY src ORDER BY {stratum_col}
 """
@@ -415,8 +417,9 @@ __tiled AS (
   FROM __scores s JOIN {table} t ON s.{id_col} = t.{id_col}
 )
 SELECT bucket, src AS {stratum_col}, COUNT(*)::BIGINT AS n_docs,
-       ROUND(CAST(SUM(CAST(cross_entropy AS DECIMAL(38,9))) AS DOUBLE)
-             / COUNT(*), {round_to}) AS mean_ce
+       CAST(CAST(CAST(CAST((CAST(SUM(CAST(cross_entropy AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*)) * CAST(ABS(CAST(SUM(CAST(cross_entropy AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_ce
 FROM __tiled GROUP BY bucket, src ORDER BY bucket, src
 """
 
@@ -551,7 +554,7 @@ __dfreq AS (
 ),
 __n AS (SELECT COUNT(DISTINCT {id_col})::BIGINT AS N FROM {table}),
 __posting0 AS (
-  SELECT t.id, t.token, ROUND(t.tf * ln(n.N / d.dfc), 9) AS w
+  SELECT t.id, t.token, CAST(CAST(CAST(CAST((t.tf * ln(n.N / d.dfc)) * CAST(ABS(t.tf * ln(n.N / d.dfc)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS w
   FROM __tf t
   JOIN __dfreq d ON t.token = d.token AND d.dfc >= 2
   CROSS JOIN __n n
@@ -562,24 +565,24 @@ __posting0 AS (
 __posting AS (SELECT * FROM __posting0 WHERE w > 0),
 __norms AS (
   SELECT id,
-         sqrt(CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE))
+         sqrt(CAST(SUM(CAST(CAST(CAST(CAST(CAST((w * w) * CAST(ABS(w * w) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE))
            AS nrm
   FROM __posting GROUP BY id
 ),
 __dots AS (
   SELECT a.id AS da, b.id AS db, COUNT(*)::BIGINT AS n_shared_terms,
-         CAST(SUM(CAST(ROUND(a.w * b.w, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         CAST(SUM(CAST(CAST(CAST(CAST(CAST((a.w * b.w) * CAST(ABS(a.w * b.w) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
            AS dot
   FROM __posting a JOIN __posting b
     ON a.token = b.token AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT d.da AS doc_a, d.db AS doc_b, d.n_shared_terms,
-       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+       CAST(CAST(CAST(CAST((d.dot / (na.nrm * nb.nrm)) * CAST(ABS(d.dot / (na.nrm * nb.nrm)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS cosine
 FROM __dots d
 JOIN __norms na ON d.da = na.id
 JOIN __norms nb ON d.db = nb.id
-WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= {float(min_sim)}
+WHERE CAST(CAST(CAST(CAST((d.dot / (na.nrm * nb.nrm)) * CAST(ABS(d.dot / (na.nrm * nb.nrm)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) >= {float(min_sim)}
 ORDER BY doc_a, doc_b
 """
 
@@ -704,12 +707,12 @@ WITH tok AS (
   FROM ranked
 )
 SELECT n_terms, total_tf,
-       ROUND(top_tf / total_tf::DOUBLE, {round_to}) AS top_coverage,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), {round_to}) AS zipf_slope,
-       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
-             {round_to}) AS zipf_intercept,
-       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), {round_to}) AS zipf_r2
+       CAST(CAST(CAST(CAST((top_tf / total_tf::DOUBLE) * CAST(ABS(top_tf / total_tf::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS top_coverage,
+       CAST(CAST(CAST(CAST(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * CAST(ABS((n * sxy - sx * sy) / (n * sxx - sx * sx)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS zipf_slope,
+       CAST(CAST(CAST(CAST(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * CAST(ABS((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS zipf_intercept,
+       CAST(CAST(CAST(CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * CAST(ABS((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS zipf_r2
 FROM fit, totals
 """
 
@@ -849,11 +852,13 @@ __spine AS (
 )
 SELECT s.source_a, s.source_b, s.grams_a, s.grams_b,
        COALESCE(h.shared, 0)::BIGINT AS shared,
-       ROUND(CASE WHEN s.grams_a + s.grams_b > 0
+       CAST(CAST(CAST(CAST((CASE WHEN s.grams_a + s.grams_b > 0
                   THEN CAST(COALESCE(h.shared, 0) AS DOUBLE)
                        / (s.grams_a + s.grams_b - COALESCE(h.shared, 0))
-                  ELSE 0.0 END,
-             {round_to}) AS jaccard
+                  ELSE 0.0 END) * CAST(ABS(CASE WHEN s.grams_a + s.grams_b > 0
+                  THEN CAST(COALESCE(h.shared, 0) AS DOUBLE)
+                       / (s.grams_a + s.grams_b - COALESCE(h.shared, 0))
+                  ELSE 0.0 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS jaccard
 FROM __spine s LEFT JOIN __shared h
   ON s.source_a = h.source_a AND s.source_b = h.source_b
 ORDER BY s.source_a, s.source_b
@@ -1039,21 +1044,27 @@ __fit AS (
   FROM __pts
 )
 SELECT p.checkpoint, p.docs_le, p.cum_tokens, p.cum_distinct,
-       ROUND(CASE WHEN f.n * f.sxx - f.sx * f.sx <> 0
+       CAST(CAST(CAST(CAST((CASE WHEN f.n * f.sxx - f.sx * f.sx <> 0
                   THEN (f.n * f.sxy - f.sx * f.sy)
-                       / (f.n * f.sxx - f.sx * f.sx) END,
-             {round_to}) AS heaps_beta,
-       ROUND(CASE WHEN f.n * f.sxx - f.sx * f.sx <> 0
+                       / (f.n * f.sxx - f.sx * f.sx) END) * CAST(ABS(CASE WHEN f.n * f.sxx - f.sx * f.sx <> 0
+                  THEN (f.n * f.sxy - f.sx * f.sy)
+                       / (f.n * f.sxx - f.sx * f.sx) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS heaps_beta,
+       CAST(CAST(CAST(CAST((CASE WHEN f.n * f.sxx - f.sx * f.sx <> 0
                   THEN (f.sy - ((f.n * f.sxy - f.sx * f.sy)
                                 / (f.n * f.sxx - f.sx * f.sx)) * f.sx) / f.n
-                  END,
-             {round_to}) AS heaps_log_k,
-       ROUND(CASE WHEN (f.n * f.sxx - f.sx * f.sx) <> 0
+                  END) * CAST(ABS(CASE WHEN f.n * f.sxx - f.sx * f.sx <> 0
+                  THEN (f.sy - ((f.n * f.sxy - f.sx * f.sy)
+                                / (f.n * f.sxx - f.sx * f.sx)) * f.sx) / f.n
+                  END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS heaps_log_k,
+       CAST(CAST(CAST(CAST((CASE WHEN (f.n * f.sxx - f.sx * f.sx) <> 0
                    AND (f.n * f.syy - f.sy * f.sy) <> 0
                   THEN (f.n * f.sxy - f.sx * f.sy) * (f.n * f.sxy - f.sx * f.sy)
                        / ((f.n * f.sxx - f.sx * f.sx)
-                          * (f.n * f.syy - f.sy * f.sy)) END,
-             {round_to}) AS heaps_r2
+                          * (f.n * f.syy - f.sy * f.sy)) END) * CAST(ABS(CASE WHEN (f.n * f.sxx - f.sx * f.sx) <> 0
+                   AND (f.n * f.syy - f.sy * f.sy) <> 0
+                  THEN (f.n * f.sxy - f.sx * f.sy) * (f.n * f.sxy - f.sx * f.sy)
+                       / ((f.n * f.sxx - f.sx * f.sx)
+                          * (f.n * f.syy - f.sy * f.sy)) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS heaps_r2
 FROM __pts p CROSS JOIN __fit f
 ORDER BY p.checkpoint
 """
@@ -1158,9 +1169,9 @@ __pair AS (
 ),
 __btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS B FROM __pair)
 SELECT p.w1, p.w2, p.n_pair, u1.c AS n_left, u2.c AS n_right,
-       ROUND(ln((CAST(p.n_pair AS DOUBLE) * t.T * t.T)
-                / ((CAST(b.B AS DOUBLE) * u1.c) * u2.c)),
-             {int(round_to)}) AS pmi
+       CAST(CAST(CAST(CAST((ln((CAST(p.n_pair AS DOUBLE) * t.T * t.T)
+                / ((CAST(b.B AS DOUBLE) * u1.c) * u2.c))) * CAST(ABS(ln((CAST(p.n_pair AS DOUBLE) * t.T * t.T)
+                / ((CAST(b.B AS DOUBLE) * u1.c) * u2.c))) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) AS pmi
 FROM __pair p
 JOIN __uni u1 ON p.w1 = u1.token
 JOIN __uni u2 ON p.w2 = u2.token
@@ -1395,7 +1406,7 @@ __lt AS (
 ),
 __ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS ty FROM __big)
 SELECT b.w1, b.w2, b.n_pair, r.right_types_w1, l.left_types_w2,
-       ROUND(CAST(l.left_types_w2 AS DOUBLE) / t.ty, {round_to})
+       CAST(CAST(CAST(CAST((CAST(l.left_types_w2 AS DOUBLE) / t.ty) * CAST(ABS(CAST(l.left_types_w2 AS DOUBLE) / t.ty) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS pcont_w2
 FROM __big b JOIN __rt r ON b.w1 = r.w1 JOIN __lt l ON b.w2 = l.w2
 CROSS JOIN __ty t
@@ -1448,10 +1459,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
        CAST(SUM(n_pair) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
        CAST(SUM(CASE WHEN n_pair = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-       ROUND(CAST(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(CAST(CAST(CAST((CAST(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / NULLIF(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END)
-                      + 2 * SUM(CASE WHEN n_pair = 2 THEN 1 ELSE 0 END), 0),
-             {round_to}) AS discount
+                      + 2 * SUM(CASE WHEN n_pair = 2 THEN 1 ELSE 0 END), 0)) * CAST(ABS(CAST(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN n_pair = 1 THEN 1 ELSE 0 END)
+                      + 2 * SUM(CASE WHEN n_pair = 2 THEN 1 ELSE 0 END), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS discount
 FROM __big
 """
 
@@ -1556,9 +1568,10 @@ __pt AS (
 ),
 __n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table})
 SELECT token, doc_freq, CAST(sc AS BIGINT) AS term_freq,
-       ROUND({d2d('sc')} / CAST(doc_freq AS DOUBLE), 9) AS in_doc_mean,
-       ROUND(({d2d('scc')} * CAST(n AS DOUBLE) - {d2d('sc')} * {d2d('sc')})
-             / NULLIF({d2d('sc')} * CAST(n AS DOUBLE), 0.0), 9) AS fano
+       CAST(CAST(CAST(CAST(({d2d('sc')} / CAST(doc_freq AS DOUBLE)) * CAST(ABS({d2d('sc')} / CAST(doc_freq AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS in_doc_mean,
+       CAST(CAST(CAST(CAST((({d2d('scc')} * CAST(n AS DOUBLE) - {d2d('sc')} * {d2d('sc')})
+             / NULLIF({d2d('sc')} * CAST(n AS DOUBLE), 0.0)) * CAST(ABS(({d2d('scc')} * CAST(n AS DOUBLE) - {d2d('sc')} * {d2d('sc')})
+             / NULLIF({d2d('sc')} * CAST(n AS DOUBLE), 0.0)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS fano
 FROM __pt, __n
 WHERE doc_freq >= {min_df}
 ORDER BY fano DESC, token ASC
@@ -1688,7 +1701,7 @@ __glob AS (
 ),
 __lm AS (
   SELECT b.w1, b.w2,
-         ROUND(ln(
+         CAST(CAST(CAST(CAST((ln(
            GREATEST(CAST(b.n_pair AS DOUBLE)
                     - COALESCE(CAST(g.n1 AS DOUBLE) / NULLIF(CAST(g.n1 + 2 * g.n2 AS DOUBLE), 0.0), 0.0),
                     0.0)
@@ -1696,14 +1709,23 @@ __lm AS (
            + ((COALESCE(CAST(g.n1 AS DOUBLE) / NULLIF(CAST(g.n1 + 2 * g.n2 AS DOUBLE), 0.0), 0.0))
               * CAST(c.rt AS DOUBLE) / CAST(c.ctx AS DOUBLE))
              * (CAST(l.lt AS DOUBLE) / CAST(g.ty AS DOUBLE))
-         ), 9) AS logp
+         )) * CAST(ABS(ln(
+           GREATEST(CAST(b.n_pair AS DOUBLE)
+                    - COALESCE(CAST(g.n1 AS DOUBLE) / NULLIF(CAST(g.n1 + 2 * g.n2 AS DOUBLE), 0.0), 0.0),
+                    0.0)
+           / CAST(c.ctx AS DOUBLE)
+           + ((COALESCE(CAST(g.n1 AS DOUBLE) / NULLIF(CAST(g.n1 + 2 * g.n2 AS DOUBLE), 0.0), 0.0))
+              * CAST(c.rt AS DOUBLE) / CAST(c.ctx AS DOUBLE))
+             * (CAST(l.lt AS DOUBLE) / CAST(g.ty AS DOUBLE))
+         )) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS logp
   FROM __big b JOIN __ctx c ON b.w1 = c.w1
   JOIN __lt l ON b.w2 = l.w2
   CROSS JOIN __glob g
 )
 SELECT o.doc AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(-CAST(SUM(CAST(m.logp AS DECIMAL(38,9))) AS DOUBLE)
-             / COUNT(*), {round_to}) AS kn_cross_entropy
+       CAST(CAST(CAST(CAST((-CAST(SUM(CAST(m.logp AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*)) * CAST(ABS(-CAST(SUM(CAST(m.logp AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS kn_cross_entropy
 FROM __occ o JOIN __lm m ON o.w1 = m.w1 AND o.w2 = m.w2
 GROUP BY o.doc ORDER BY id
 """

@@ -82,3 +82,31 @@ def test_dense_ids_parity_fuzz(spark, seed):
     ]
     oracle = _duck(rows, assign_dense_ids_sql("t", ["k", "s"]))
     assert got == oracle
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_assign_ntile_matches_window_ntile(spark, seed):
+    # the range-exchange NTILE must be bit-identical to the engine's own
+    # NTILE over the same tie-free order, including non-divisible N
+    # (first N mod n buckets take the extra row)
+    from pyspark.sql import Window, functions as F
+
+    from bullet_storm_spark.operators.ids import assign_ntile
+
+    rng = random.Random(7100 + seed)
+    n_rows = rng.choice([7, 53, 250])
+    buckets = rng.choice([3, 5, 8])
+    rows = [(rng.randint(-30, 30), f"u{i}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = {
+        (r.k, r.s): r.q
+        for r in assign_ntile(df, ["k", "s"], buckets, name="q").collect()
+    }
+    want = {
+        (r.k, r.s): r.q
+        for r in df.select(
+            "k", "s",
+            F.ntile(buckets).over(Window.orderBy("k", "s")).alias("q"),
+        ).collect()
+    }
+    assert got == want

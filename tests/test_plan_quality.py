@@ -149,3 +149,31 @@ def test_no_nested_loop_joins_in_dedup_and_ann_plans(plans):
         elif "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
             offenders[name] = True
     assert not offenders, f"nested-loop plans in: {sorted(offenders)}"
+
+
+def test_entity_dimension_ranks_never_single_task_windows(plans):
+    """The r8 verdict's one scale-killer shape: an unpartitioned
+    Window.orderBy over the user/doc dimension funnels 10^8-10^9 rows
+    through ONE WindowExec task at 100 TB. The migrated entries
+    (range-exchange partition-offset ranking, operators/ids.py) may keep
+    exactly one class of unpartitioned window: the prefix-sum over
+    __pid — a partition-count-sized frame, bounded by cluster size, not
+    data. Any other unpartitioned windowspecdefinition is a regression."""
+    import re
+
+    for name in (
+        "events_rfm_segments",
+        "events_user_gini",
+        "corpus_token_gini",
+        "events_dense_ids",
+    ):
+        p = plans(name)
+        offenders = []
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", p):
+            args = m.group(1)
+            first = args.split(",")[0].strip()
+            # partitioned windows lead with a bare column (no sort
+            # direction); unpartitioned ones lead with an ordering
+            if (" ASC" in first or " DESC" in first) and "__pid" not in first:
+                offenders.append((name, first))
+        assert not offenders, f"single-task entity windows: {offenders}"

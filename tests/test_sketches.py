@@ -49,6 +49,43 @@ def test_top_k_sketch_batch_operator(spark):
     assert all(r.cnt_error == 0 for r in out)  # capacity > cardinality -> exact
 
 
+def test_top_k_sketch_tree_merge_equals_flat(spark):
+    # 16 source partitions, fanin 4 forces the intermediate merge level;
+    # capacity exceeds cardinality so every level is truncation-free and
+    # the tree result must EQUAL the flat collect-and-merge path exactly.
+    rows = [(f"k{i % 37}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "x string").repartition(16)
+    flat = top_k_sketch(df, {"x": ""}, k=10, name="cnt", capacity=512,
+                        fanin=None).collect()
+    tree = top_k_sketch(df, {"x": ""}, k=10, name="cnt", capacity=512,
+                        fanin=4).collect()
+    assert [(r.x, r.cnt, r.cnt_error) for r in tree] == [
+        (r.x, r.cnt, r.cnt_error) for r in flat
+    ]
+    assert all(r.cnt_error == 0 for r in tree)
+
+
+def test_top_k_sketch_tree_merge_floor_invariants(spark):
+    # capacity << cardinality: truncation happens at the partition level,
+    # the intermediate merge level, and the driver merge. The SpaceSaving
+    # guarantees must survive the whole tree: no false negatives for the
+    # true heavy hitters, estimate >= true >= estimate - error.
+    rng = random.Random(11)
+    rows = [("hot1",)] * 400 + [("hot2",)] * 300 + [("hot3",)] * 200
+    rows += [(f"cold{i}",) for i in range(600)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "x string").repartition(12)
+    out = top_k_sketch(df, {"x": ""}, k=3, name="cnt", capacity=48,
+                       fanin=3).collect()
+    true = {"hot1": 400, "hot2": 300, "hot3": 200}
+    got = {r.x: (r.cnt, r.cnt_error) for r in out}
+    assert set(true) <= set(got)  # no false negatives
+    for key, t in true.items():
+        est, err = got[key]
+        assert est >= t, (key, est, t)
+        assert est - err <= t, (key, est, err, t)
+
+
 def test_streaming_topk_sketch_state(spark):
     engine = StreamingEngine(spark)
     engine.submit(
