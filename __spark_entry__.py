@@ -4308,6 +4308,20 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         ),
         _mm.wav_loudness_sql("documents", "doc_id"),
     ),
+    # REAL baseline-JPEG decode (operators/jpeg.py, pure numpy: Huffman +
+    # dequantize + IDCT + color convert) over encoder-twin fixtures.
+    # Rows-only by declared contract: no SQL engine can decode JPEG; the
+    # pixel-level oracle is the pytest hash/error-envelope pin
+    # (tests/test_multimodal.py). Bounded fixture set (first 400 ids) —
+    # the entry certifies the codec + Arrow plumbing, not bulk throughput
+    "multimodal_jpeg_decode": (
+        lambda s, d: _mm.decode_jpeg_features(
+            _mm.synthesize_jpeg(
+                _docs(s, d).where("doc_id < 400"), "doc_id"
+            )
+        ),
+        None,
+    ),
     # intraclass correlation + Kish design effect over users: the
     # variance-inflation honesty check for user-randomized experiments
     "events_icc_users": (

@@ -252,6 +252,8 @@ HEADLINE = [
     "embed_fisher_separation",
     "events_cvm_drift",
     "events_rfm_segments",
+    # r9 operator families
+    "multimodal_jpeg_decode",
 ]
 
 

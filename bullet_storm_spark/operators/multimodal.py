@@ -11,13 +11,18 @@ Decode status by format:
   recomputes them from the payloads' closed-form generative formula
   (codec-independent oracle: a header/stride/endianness bug fails the
   hash check).
-* **Exotic codecs (JPEG/PNG/MP3/H.264): stubbed** — ``decode_image_meta``
-  uses a clearly-marked deterministic fake derived from the payload
-  bytes, and ``decode_image_real`` raises NotImplementedError until
-  PIL/libvips is present. Everything around the stub — schema contract,
-  binary handling, mapInPandas batch shape, partition-preserving
-  plumbing — is real and tested, so swapping in a real decoder is a
-  one-function change.
+* **Baseline JPEG: REAL decoder (r9)** — ``decode_jpeg_features`` /
+  ``decode_image_real`` run the in-repo pure-numpy baseline JFIF codec
+  (`operators/jpeg.py`: Huffman + dequantize + IDCT + chroma upsample +
+  color convert; the encoder twin synthesizes the fixtures). Pytest pins
+  the decoded pixel hashes and the encode→decode error envelope.
+* **Compressed audio (MP3/AAC) and PNG/H.264: stubbed** —
+  ``decode_image_meta`` keeps a clearly-marked deterministic fake for
+  generic payloads, ``decode_audio_real`` raises NotImplementedError,
+  and non-JPEG/BMP containers report ``decode_ok = false``. Everything
+  around the stubs — schema contract, binary handling, mapInPandas batch
+  shape, partition-preserving plumbing — is real and tested, so swapping
+  in a decoder is a one-function change.
 
 Scale notes: binary payloads ride the scan as ordinary columns (parquet
 keeps them row-grouped; column pruning drops them when untouched);
@@ -110,17 +115,53 @@ ORDER BY id
 
 
 def decode_image_real(payloads: DataFrame) -> DataFrame:
-    """Real decode path — requires an imaging library not present in this
-    environment."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow; this environment has no "
-            "imaging libraries. Use decode_image_meta (deterministic fake) "
-            "for plumbing tests."
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the library exists")
+    """REAL image decode: JPEG payloads (FFD8 magic) go through the
+    in-repo numpy baseline codec (operators/jpeg.py — Huffman +
+    dequantize + IDCT + color convert, r9); BMP payloads through
+    :func:`_parse_bmp`. Returns the DECODE_SCHEMA shape with true
+    dimensions from the decoded pixels. Other formats (PNG/H.264) emit
+    ``decode_ok = false`` — the remaining honest boundary; swap in a
+    real decoder per format as libraries appear."""
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bullet_storm_spark.operators.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                b = bytes(blob)
+                try:
+                    if b[:2] == b"\xff\xd8":
+                        img = decode_jpeg(b)
+                    elif b[:2] == b"BM":
+                        img = _parse_bmp(b)
+                    else:
+                        raise ValueError("unsupported container")
+                    h, w = img.shape[:2]
+                    rows.append((int(ident), w, h, 3, len(b), True))
+                except Exception:
+                    rows.append((int(ident), 0, 0, 0, len(b), False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "channels", "n_bytes", "decode_ok",
+                ],
+            )
+
+    return payloads.mapInPandas(decode, DECODE_SCHEMA).orderBy("id")
+
+
+def decode_audio_real(payloads: DataFrame) -> DataFrame:
+    """Compressed-audio decode path — MP3/AAC stay stubbed (no audio
+    codec library in this environment, and a correct MP3 synthesis
+    filterbank is out of scope); PCM WAV has the real decoder above
+    (:func:`decode_wav_features`)."""
+    raise NotImplementedError(
+        "MP3/AAC decoding requires an audio codec library; this "
+        "environment has none. PCM WAV decodes for real via "
+        "decode_wav_features."
+    )
 
 
 def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -870,3 +911,100 @@ SELECT id, n_samples,
        TRUE AS decode_ok
 FROM agg ORDER BY id
 """
+
+
+# --- JPEG: REAL baseline codec (operators/jpeg.py, pure numpy) ---------------
+
+JPEG_SCHEMA = (
+    "id long, width int, height int, n_bytes long, mean_luma double, "
+    "pixel_sha string, decode_ok boolean"
+)
+
+
+def _jpeg_pixels(ident: int):
+    """Closed-form deterministic RGB test card per id (the BMP/WAV
+    generative-formula discipline, but smooth — JPEG-friendly content):
+    two sinusoid gradients + a diagonal ramp, id-dependent dimensions."""
+    import numpy as np
+
+    h = 24 + (ident * 5) % 17
+    w = 24 + (ident * 7) % 23
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (128 + 100 * np.sin((xx + ident) / 9.0)).clip(0, 255)
+    g = (128 + 100 * np.cos((yy + 2 * ident) / 7.0)).clip(0, 255)
+    b = (xx + yy + ident) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str, quality: int = 85) -> DataFrame:
+    """(id, payload): one REAL baseline JFIF JPEG per id, encoded by the
+    numpy codec — the fixture source for the decode entries (no imaging
+    library exists in this environment to make them any other way)."""
+    import pandas as pd
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bullet_storm_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = [
+                (int(i), encode_jpeg(_jpeg_pixels(int(i)), quality=quality))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        synth, "id long, payload binary"
+    )
+
+
+def decode_jpeg_features(payloads: DataFrame, round_to: int = 6) -> DataFrame:
+    """REAL JPEG decode on the Arrow-batched path: Huffman + dequantize +
+    IDCT + color convert (operators/jpeg.py), emitting per-image features
+    from the DECODED pixels — ``(id, width, height, n_bytes, mean_luma,
+    pixel_sha, decode_ok)``. ``pixel_sha`` is the sha256 of the raw RGB
+    buffer (first 16 hex chars): any drift in the entropy decoder, IDCT,
+    or upsampling changes it, which is what the pytest pixel-hash pins
+    assert. Non-JPEG or non-baseline payloads emit decode_ok = false
+    rows (the honest boundary: progressive/arithmetic profiles raise
+    JpegFormatError inside and are reported, not faked)."""
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from bullet_storm_spark.operators.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                try:
+                    img = decode_jpeg(bytes(blob))
+                    h, w = img.shape[:2]
+                    luma = (
+                        0.299 * img[..., 0].astype(np.float64)
+                        + 0.587 * img[..., 1]
+                        + 0.114 * img[..., 2]
+                    )
+                    rows.append(
+                        (
+                            int(ident), w, h, len(blob),
+                            round(float(luma.mean()), round_to),
+                            hashlib.sha256(img.tobytes()).hexdigest()[:16],
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(ident), 0, 0, len(blob), 0.0, "", False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_bytes",
+                    "mean_luma", "pixel_sha", "decode_ok",
+                ],
+            )
+
+    return payloads.mapInPandas(decode, JPEG_SCHEMA).orderBy("id")

@@ -192,3 +192,118 @@ def test_decimate_exact_frame(spark):
     assert first.sum_amp == sum(samples)
     assert first.sum_sq == sum(v * v for v in samples)
     assert first.mean_amp == round(sum(samples) / 8, 6)
+
+
+# --- baseline JPEG codec (operators/jpeg.py) --------------------------------
+
+
+def test_jpeg_roundtrip_error_envelope():
+    # encode->decode must stay within baseline-JPEG quantization error on
+    # smooth content; exercises non-multiple-of-8 dims (edge padding)
+    import numpy as np
+
+    from bullet_storm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 45, 62
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (128 + 100 * np.sin(xx / 9.0)).clip(0, 255),
+            (128 + 100 * np.cos(yy / 7.0)).clip(0, 255),
+            (xx + yy) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3.0
+
+
+def test_jpeg_decode_is_deterministic_pixel_hash():
+    # the pixel-hash pin: any drift in Huffman/IDCT/color-convert flips it
+    import hashlib
+
+    import numpy as np
+
+    from bullet_storm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from bullet_storm_spark.operators.multimodal import _jpeg_pixels
+
+    img = _jpeg_pixels(7)
+    payload = encode_jpeg(img, quality=85)
+    out1, out2 = decode_jpeg(payload), decode_jpeg(bytes(payload))
+    assert np.array_equal(out1, out2)
+    h1 = hashlib.sha256(out1.tobytes()).hexdigest()
+    assert h1 == hashlib.sha256(out2.tobytes()).hexdigest()
+    # encode determinism: same pixels -> same bytes
+    assert encode_jpeg(img, quality=85) == payload
+
+
+def test_jpeg_rejects_non_baseline():
+    import numpy as np
+    import pytest
+
+    from bullet_storm_spark.operators.jpeg import (
+        JpegFormatError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    # flip the SOF0 marker to SOF2 (progressive): honest refusal, not junk
+    payload = bytearray(encode_jpeg(_smooth(16, 16), quality=85))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(payload))
+
+
+def _smooth(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([xx * 4 % 256, yy * 4 % 256, (xx + yy) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+
+def test_jpeg_entry_decodes_real_fixtures(spark):
+    # the registry entry end-to-end on the Arrow path: every fixture
+    # decodes, dims match the generator, and the decoded pixels equal a
+    # local decode of the same payload (worker/driver agreement)
+    import hashlib
+
+    from bullet_storm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from bullet_storm_spark.operators.multimodal import (
+        _jpeg_pixels,
+        decode_jpeg_features,
+        synthesize_jpeg,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = decode_jpeg_features(synthesize_jpeg(ids, "doc_id")).collect()
+    assert len(out) == 12 and all(r.decode_ok for r in out)
+    for r in out:
+        img = _jpeg_pixels(r.id)
+        assert (r.width, r.height) == (img.shape[1], img.shape[0])
+        local = decode_jpeg(encode_jpeg(img, quality=85))
+        assert r.pixel_sha == hashlib.sha256(local.tobytes()).hexdigest()[:16]
+
+
+def test_decode_image_real_dispatches_jpeg_and_bmp(spark):
+    from bullet_storm_spark.operators.multimodal import (
+        decode_image_real,
+        synthesize_bmp,
+        synthesize_jpeg,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    jp = decode_image_real(synthesize_jpeg(ids, "doc_id")).collect()
+    bm = decode_image_real(synthesize_bmp(ids, "doc_id")).collect()
+    assert all(r.decode_ok and r.width > 0 for r in jp)
+    assert all(r.decode_ok and r.width > 0 for r in bm)
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG....not really"))], "id long, payload binary"
+    )
+    assert [r.decode_ok for r in decode_image_real(junk).collect()] == [False]
