@@ -2305,6 +2305,25 @@ ORDER BY doc_id
         lambda s, d: _surv.km_survival(load_table(s, d, "events")),
         _surv.km_survival_sql("events"),
     ),
+    # Nelson-Aalen cumulative hazard (r9): the additive hazard-scale twin
+    # of KM — (18,9)-quantized terms in order-free DECIMAL(38,9) running
+    # sums, so no recursive CTE / sequential pass is needed
+    "events_nelson_aalen": (
+        lambda s, d: _surv.nelson_aalen(load_table(s, d, "events")),
+        _surv.nelson_aalen_sql("events"),
+    ),
+    # two-arm log-rank churn test (r9) on a deterministic hash-draw arm
+    # (the uplift entries' assignment discipline): hypergeometric E/V per
+    # event time, decimal-summed, one chi2 finish
+    "events_logrank": (
+        lambda s, d: _surv.logrank_test(
+            load_table(s, d, "events"),
+            _smp.hash_fraction("user_id", "logrank-v1") < 0.5,
+        ),
+        _surv.logrank_test_sql(
+            "events", f"{_smp.hash_fraction_sql('user_id', 'logrank-v1')} < 0.5"
+        ),
+    ),
     # bucketed interval-overlap join (the scale-safe non-equi join):
     # user-day activity intervals x per-type top-3 busiest-hour incident
     # windows -> blast radius per incident; hour buckets + equi-join +
@@ -4371,6 +4390,30 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             load_table(s, d, "events"), "user_id"
         ),
         _conc.activity_concentration_sql("events", "user_id"),
+    ),
+    # Lorenz curve points (r9): the curve the Gini summarizes, at 10
+    # equal-population cuts of the ascending-activity user order —
+    # range-exchange rank, exact integer masses
+    "events_lorenz_curve": (
+        lambda s, d: _conc.lorenz_curve(load_table(s, d, "events"), "user_id"),
+        _conc.lorenz_curve_sql("events", "user_id"),
+    ),
+    # lexical-richness battery per source (r9): hapax ratio, Yule's K,
+    # Simpson's D — exact integer/decimal tf moments, wordcount shape
+    "text_richness": (
+        lambda s, d: _vocab.vocabulary_richness(_docs(s, d), "source", "text"),
+        _vocab.vocabulary_richness_sql("documents", "source", "text"),
+    ),
+    # measured LSH banding plan (r9): candidate-pair workload of every
+    # (bands, rows) factorization of the 16-hash signature on THIS corpus
+    # — the cost-side companion to the analytic lsh_s_curve entry
+    "dedup_lsh_band_plan": (
+        lambda s, d: _dedup.lsh_band_plan(
+            _docs(s, d), "doc_id", "text", num_hashes=16, shingle_n=3
+        ),
+        _dedup.lsh_band_plan_sql(
+            "documents", "doc_id", "text", num_hashes=16, shingle_n=3
+        ),
     ),
     # session health header: bounce rate + avg events/duration/value
     # over the sessionize frame

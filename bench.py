@@ -254,6 +254,11 @@ HEADLINE = [
     "events_rfm_segments",
     # r9 operator families
     "multimodal_jpeg_decode",
+    "events_nelson_aalen",
+    "events_logrank",
+    "events_lorenz_curve",
+    "text_richness",
+    "dedup_lsh_band_plan",
 ]
 
 

@@ -22,13 +22,15 @@ the ceil(n/10) largest documents (the "how much do the whales own" view
 of the same curve).
 
 Scale posture (100 TB): one scan computing per-doc token counts, one
-window rank per source (the sort is inherent to any rank statistic), one
-hash aggregation per source. No joins, no pair generation.
+range-exchange dense-rank pass (operators/ids.py — the sort is inherent
+to any rank statistic, but it runs as a parallel range exchange, never a
+single-task window), one hash aggregation per source. No joins, no pair
+generation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from bullet_storm_spark.functions.text import token_count, token_count_sql
 from bullet_storm_spark.operators.stats_tests import _d2d, _d2d_sql, _div
@@ -299,4 +301,103 @@ SELECT n_keys, CAST(s0 AS BIGINT) AS n_events,
        CAST(CAST(CAST(CAST(({_d2d_sql('tp')} / {_d2d_sql('s0')}) * CAST(ABS({_d2d_sql('tp')} / {_d2d_sql('s0')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS top_decile_share
 FROM __a
+"""
+
+
+def lorenz_curve(
+    df: DataFrame, group_col: str, n_points: int = 10, round_to: int = 9
+) -> DataFrame:
+    """Lorenz curve of event mass across actors: ``(point, n_keys_le,
+    cum_events, cum_share)`` at ``n_points`` equal-population cuts of
+    the ascending-activity actor order — the curve whose area the Gini
+    summarizes (activity_concentration), kept as actual points for
+    plotting and for "the bottom 50% of users generate X% of events"
+    statements. ``point`` k covers the floor(k·n/n_points) least-active
+    actors; exact integer masses, one IEEE division per row.
+
+    Scale posture: actor collapse → range-exchange dense rank
+    (operators/ids.py, never a single-task window) → n_points-sized
+    aggregation; the 1-row totals ride a broadcast."""
+    if n_points < 1:
+        raise ValueError(f"need n_points >= 1, got {n_points}")
+    from bullet_storm_spark.operators.ids import assign_dense_ids
+
+    per = df.groupBy(F.col(group_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__x")
+    )
+    ranked = assign_dense_ids(per, ["__x", "__k"], id_name="__i").crossJoin(
+        F.broadcast(
+            per.agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                F.sum(F.col("__x").cast(_EXACT)).cast(_EXACT).alias("__tot"),
+            )
+        )
+    )
+    # actor at rank i belongs to the smallest point k with
+    # i <= floor(k*n/n_points): k = ceil(i*n_points/n), computed as
+    # (a + n - 1) div n with POSITIVE operands only — Spark's `div`
+    # truncates toward zero while DuckDB's `//` floors, so the usual
+    # -((-a) div n) ceil trick diverges on negatives across engines
+    pt = F.expr(
+        f"CAST((__i * {int(n_points)} + __n - 1) div __n AS BIGINT)"
+    )
+    by_pt = (
+        ranked.select(
+            pt.alias("point"),
+            "__i",
+            F.col("__x").cast(_EXACT).alias("__xe"),
+            "__tot",
+        )
+        .groupBy("point")
+        .agg(
+            F.max("__i").cast("long").alias("n_keys_le"),
+            F.sum("__xe").cast(_EXACT).alias("__m"),
+            F.max(_d2d(F.col("__tot"))).alias("__totd"),
+        )
+    )
+    w_cum = Window.orderBy("point").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col("__m")).over(w_cum).cast(_EXACT)
+    return by_pt.select(
+        F.col("point").cast("long").alias("point"),
+        "n_keys_le",
+        cum.cast("long").alias("cum_events"),
+        F.round(_div(_d2d(cum), F.col("__totd")), round_to).alias("cum_share"),
+    ).orderBy("point")
+
+
+def lorenz_curve_sql(
+    table: str, group_col: str, n_points: int = 10, round_to: int = 9
+) -> str:
+    if n_points < 1:
+        raise ValueError(f"need n_points >= 1, got {n_points}")
+    cum = "CAST(SUM(m) OVER (ORDER BY point ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0))"
+    share = f"{_d2d_sql(cum)} / {_d2d_sql('CAST(tot AS DECIMAL(38,0))')}"
+    guarded = (
+        f"CAST(CAST(CAST(CAST(({share}) * CAST(ABS({share}) >= "
+        f"POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS "
+        f"DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+    )
+    return f"""
+WITH __per AS (
+  SELECT {group_col} AS k, CAST(COUNT(*) AS BIGINT) AS x
+  FROM {table} GROUP BY k
+),
+__r AS (
+  SELECT k, x,
+         ROW_NUMBER() OVER (ORDER BY x ASC, k ASC)::BIGINT AS i,
+         COUNT(*) OVER ()::BIGINT AS n,
+         SUM(x) OVER ()::BIGINT AS tot
+  FROM __per
+),
+__pt AS (
+  SELECT (i * {int(n_points)} + n - 1) // n AS point,
+         MAX(i)::BIGINT AS n_keys_le,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS m,
+         MAX(tot) AS tot
+  FROM __r GROUP BY point
+)
+SELECT CAST(point AS BIGINT) AS point, n_keys_le,
+       CAST({cum} AS BIGINT) AS cum_events,
+       {guarded} AS cum_share
+FROM __pt ORDER BY point
 """

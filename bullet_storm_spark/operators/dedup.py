@@ -1401,3 +1401,130 @@ SELECT CAST(CAST(CAST(CAST((CAST(i AS DOUBLE) / {float(grid)!r}) * CAST(ABS(CAST
 FROM range(0, {int(grid) + 1}) t(i)
 ORDER BY similarity
 """
+
+
+def lsh_band_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """MEASURED banding-plan table: for every (bands, rows) factorization
+    of ``num_hashes``, the candidate-pair workload the corpus would
+    actually generate — ``(bands, rows_per_band, est_threshold,
+    n_buckets, max_bucket, n_candidate_pairs)`` ordered by bands. The
+    operational companion to the analytic ``lsh_s_curve``: the curve
+    says what each (b, r) RECALLS, this says what it COSTS on this
+    corpus (Σ C(bucket, 2) over occupied band buckets — exactly the
+    equi-join output size of the pair stage), which is the number that
+    decides whether a banding is runnable at 100 TB. ``est_threshold``
+    is the standard (1/b)^(1/r) similarity knee, a plan literal computed
+    once in Python so no transcendental crosses engines.
+
+    Scale posture: the signature build is the shared one-md5-per-shingle
+    hash aggregation; each config is one (band, band-signature) count
+    aggregation over it (map-side combined) plus a config-sized
+    reduction — bands·docs rows shuffled per config, no pair
+    materialization anywhere."""
+    if num_hashes < 2:
+        raise ValueError(f"need num_hashes >= 2, got {num_hashes}")
+    wide = _minhash_sig_wide(df, id_col, text_col, num_hashes, shingle_n)
+    d = "decimal(38,0)"
+    planned = None
+    for bands in range(2, num_hashes + 1):
+        if num_hashes % bands != 0:
+            continue
+        r = num_hashes // bands
+        est = round((1.0 / bands) ** (1.0 / r), round_to)
+        band_sig = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.col(f"__h{j * r + i}") for i in range(r)],
+                        ).alias("__sig"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        )
+        buckets = (
+            wide.select(band_sig.alias("__b"))
+            .select("__b.__band", "__b.__sig")
+            .groupBy("__band", "__sig")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        summary = buckets.agg(
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.lit(float(est)).alias("est_threshold"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("__c").cast("long").alias("max_bucket"),
+            F.sum(
+                (
+                    F.col("__c").cast(d)
+                    * (F.col("__c") - F.lit(1)).cast(d)
+                ).cast(d)
+            ).cast(d).cast("long").alias("__pairs2"),
+        ).select(
+            "bands",
+            "rows_per_band",
+            "est_threshold",
+            "n_buckets",
+            "max_bucket",
+            F.expr("__pairs2 div 2").cast("long").alias("n_candidate_pairs"),
+        )
+        planned = summary if planned is None else planned.unionByName(summary)
+    return planned.orderBy("bands")
+
+
+def lsh_band_plan_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    round_to: int = 6,
+) -> str:
+    if num_hashes < 2:
+        raise ValueError(f"need num_hashes >= 2, got {num_hashes}")
+    hp = _hash_pairs_sql(text_col, shingle_n)
+    parts = []
+    for bands in range(2, num_hashes + 1):
+        if num_hashes % bands != 0:
+            continue
+        r = num_hashes // bands
+        est = round((1.0 / bands) ** (1.0 / r), round_to)
+        band_rows = ", ".join(
+            "({j}, array_to_string([{mins}], ','))".format(
+                j=j,
+                mins=", ".join(
+                    f"list_min(list_transform(hp, p -> (p[1] + {j * r + i} * p[2]) % {_MOD}))"
+                    for i in range(r)
+                ),
+            )
+            for j in range(bands)
+        )
+        parts.append(f"""
+SELECT {bands}::BIGINT AS bands, {r}::BIGINT AS rows_per_band,
+       CAST({est!r} AS DOUBLE) AS est_threshold,
+       COUNT(*)::BIGINT AS n_buckets,
+       MAX(c)::BIGINT AS max_bucket,
+       CAST(CAST(SUM(CAST(CAST(c AS DECIMAL(38,0)) * CAST(c - 1 AS DECIMAL(38,0))
+                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS BIGINT) // 2
+         AS n_candidate_pairs
+FROM (
+  SELECT band, sig, COUNT(*)::BIGINT AS c
+  FROM (
+    SELECT unnest([{band_rows}]) AS bs
+    FROM (SELECT {hp} AS hp FROM {table})
+    WHERE len(hp) > 0
+  ) t(bs), LATERAL (SELECT bs[1] AS band, bs[2] AS sig) u
+  GROUP BY band, sig
+) b""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM ({union}) ORDER BY bands"

@@ -1729,3 +1729,117 @@ SELECT o.doc AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM __occ o JOIN __lm m ON o.w1 = m.w1 AND o.w2 = m.w2
 GROUP BY o.doc ORDER BY id
 """
+
+
+def vocabulary_richness(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-slice lexical-richness report: ``(group, n_tokens, n_types,
+    n_hapax, n_dis, hapax_ratio, yule_k, simpson_d)`` ordered by group —
+    the length-robust vocabulary-diversity battery (Yule 1944; Simpson
+    1949) complementing Zipf (distribution shape) and Heaps (growth):
+
+    * ``hapax_ratio`` = V₁/V — share of once-seen types; collapses on
+      templated/looped text, inflates on OCR noise;
+    * ``yule_k`` = 10⁴·(Σ tf² − N)/N² — repeat-rate constant,
+      approximately length-invariant (the property that makes it
+      comparable across slices of very different sizes);
+    * ``simpson_d`` = Σ tf(tf−1)/(N(N−1)) — probability two random
+      tokens are the same type.
+
+    Engine parity: every sum is an exact integer/DECIMAL(38,0) moment of
+    the term-frequency table (tf² overflows int64 past ~3·10⁹
+    occurrences of one token — routine for stopwords at 100 TB); one
+    IEEE division per statistic. Scale posture: one (group, token) hash
+    aggregation (map-side combined — the wordcount shape), then a
+    group-sized reduction; no windows, no joins."""
+    from bullet_storm_spark.operators.stats_tests import _d2d, _div
+
+    d = "decimal(38,0)"
+    tf = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+        .groupBy("group", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    agg = tf.groupBy("group").agg(
+        F.sum(F.col("__tf").cast(d)).cast(d).alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("__tf") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("__tf") == 2, 1).otherwise(0)).cast("long").alias("n_dis"),
+        F.sum((F.col("__tf").cast(d) * F.col("__tf").cast(d)).cast(d))
+        .cast(d)
+        .alias("__sq"),
+    )
+    n_d = _d2d(F.col("__n"))
+    return agg.select(
+        "group",
+        F.col("__n").cast("long").alias("n_tokens"),
+        "n_types",
+        "n_hapax",
+        "n_dis",
+        F.round(
+            _div(F.col("n_hapax").cast("double"), F.col("n_types").cast("double")),
+            round_to,
+        ).alias("hapax_ratio"),
+        F.round(
+            F.lit(10_000.0) * _div(_d2d(F.col("__sq") - F.col("__n")), n_d * n_d),
+            round_to,
+        ).alias("yule_k"),
+        F.round(
+            _div(
+                _d2d(F.col("__sq") - F.col("__n")),
+                n_d * (n_d - F.lit(1.0)),
+            ),
+            round_to,
+        ).alias("simpson_d"),
+    ).orderBy("group")
+
+
+def vocabulary_richness_sql(
+    table: str,
+    group_col: str,
+    text_col: str,
+    round_to: int = 9,
+) -> str:
+    from bullet_storm_spark.operators.stats_tests import _d2d_sql
+
+    def qround(e: str) -> str:
+        return (
+            f"CAST(CAST(CAST(CAST(({e}) * CAST(ABS({e}) >= POWER(10.0, "
+            f"-({round_to}+1)) AS INT) AS VARCHAR) AS "
+            f"DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+        )
+
+    nd = _d2d_sql("n")
+    sqn = _d2d_sql("sq - n")
+    return f"""
+WITH __tf AS (
+  SELECT {group_col} AS grp, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT {group_col}, unnest({tokens_sql(text_col)}) AS token
+        FROM {table})
+  WHERE token <> '' GROUP BY grp, token
+),
+__a AS (
+  SELECT grp,
+         CAST(SUM(CAST(tf AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n,
+         COUNT(*)::BIGINT AS n_types,
+         SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+         CAST(SUM(CAST(CAST(tf AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0))
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+  FROM __tf GROUP BY grp
+)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n_tokens, n_types, n_hapax, n_dis,
+       {qround("CAST(n_hapax AS DOUBLE) / NULLIF(CAST(n_types AS DOUBLE), 0.0)")}
+         AS hapax_ratio,
+       {qround(f"10000.0 * (({sqn}) / NULLIF({nd} * {nd}, 0.0))")} AS yule_k,
+       {qround(f"({sqn}) / NULLIF({nd} * ({nd} - 1.0), 0.0)")} AS simpson_d
+FROM __a ORDER BY "group"
+"""
