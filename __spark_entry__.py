@@ -4404,6 +4404,18 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         lambda s, d: _vocab.vocabulary_richness(_docs(s, d), "source", "text"),
         _vocab.vocabulary_richness_sql("documents", "source", "text"),
     ),
+    # waterfill token-budget allocation (r9): max-min-fair split of a
+    # token budget across sources under an epoch cap — integer-exact
+    # waterline decision, one IEEE theta division; the automatic
+    # complement to the fixed-proportion mix_plan pre-flight
+    "sample_token_waterfill": (
+        lambda s, d: _smp.token_waterfill(
+            _docs(s, d), "source", "text", budget_tokens=1_000_000
+        ),
+        _smp.token_waterfill_sql(
+            "documents", "source", "text", budget_tokens=1_000_000
+        ),
+    ),
     # measured LSH banding plan (r9): candidate-pair workload of every
     # (bands, rows) factorization of the 16-hash signature on THIS corpus
     # — the cost-side companion to the analytic lsh_s_curve entry

@@ -259,6 +259,7 @@ HEADLINE = [
     "events_lorenz_curve",
     "text_richness",
     "dedup_lsh_band_plan",
+    "sample_token_waterfill",
 ]
 
 

@@ -1213,3 +1213,191 @@ __r AS (
 SELECT class, id FROM __r, __keep
 WHERE rk <= keep ORDER BY class, id
 """
+
+
+def token_waterfill(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Automatic token-budget allocation across sources by WATERFILLING:
+    spread ``budget_tokens`` as evenly as possible across sources,
+    capping each at ``max_epochs`` passes over its available tokens —
+    the "no target proportions given" complement to :func:`mix_plan`
+    (which checks a GIVEN mixture). Waterfilling is the max-min-fair
+    allocation: every uncapped source gets the same waterline θ, every
+    capped source gets its cap, with θ solving Σ min(capₛ, θ) = B.
+
+    Output per source, ordered by stratum: ``(stratum, n_docs,
+    avail_tokens, cap_tokens, capped, allocated, epochs_used,
+    budget_share, unallocated_tokens)``. ``unallocated_tokens`` (same on
+    every row) is max(B − Σ caps, 0) — nonzero means the corpus cannot
+    absorb the budget under the epoch cap and the budget itself must
+    shrink or the cap rise.
+
+    Engine parity: the waterline is found with EXACT integer arithmetic
+    — source r (caps ascending, stratum tie-break) is capped iff
+    ``cap_r·(m−r+1) + Σ_{i<r} cap_i <= B`` (DECIMAL(38,0) products; no
+    float enters the decision), then θ = (B − Σ capped) / n_uncapped is
+    the single IEEE division both engines perform on identical integers.
+    Scale posture: one corpus hash aggregation; everything after runs on
+    the source-sized frame (bounded dimension — the support-sized window
+    convention)."""
+    if budget_tokens < 0:
+        raise ValueError(f"need budget_tokens >= 0, got {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"need max_epochs > 0, got {max_epochs}")
+    from bullet_storm_spark.functions.text import token_count
+    from bullet_storm_spark.operators.stats_tests import _d2d, _div
+
+    d = "decimal(38,0)"
+    per = (
+        df.select(
+            F.col(stratum_col).alias("stratum"),
+            token_count(text_col).cast("long").alias("__t"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("__t").cast(d)).cast(d).alias("__avail"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            F.col("__avail").cast("long").alias("avail_tokens"),
+            # cap = floor(avail * E): one double product on exact ints,
+            # floored — the same IEEE op in both engines
+            F.floor(
+                F.col("__avail").cast("double") * F.lit(float(max_epochs))
+            ).cast("long").alias("cap_tokens"),
+        )
+    )
+    w_rank = Window.orderBy(F.asc("cap_tokens"), F.asc("stratum"))
+    w_prev = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    ranked = per.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("__r"),
+        F.coalesce(
+            F.sum(F.col("cap_tokens").cast(d)).over(w_prev), F.lit(0).cast(d)
+        ).cast(d).alias("__cum_before"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__m"),
+    )
+    b_lit = F.lit(int(budget_tokens)).cast(d)
+    capped = (
+        F.col("cap_tokens").cast(d) * (F.col("__m") - F.col("__r") + 1).cast(d)
+        + F.col("__cum_before")
+    ) <= b_lit
+    tagged = ranked.select("*", capped.alias("capped"))
+    totals = tagged.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens").cast(d)).otherwise(F.lit(0).cast(d)))
+        .cast(d).alias("__capped_mass"),
+        F.sum(F.when(~F.col("capped"), 1).otherwise(0)).cast("long").alias("__n_un"),
+        F.sum(F.col("cap_tokens").cast(d)).cast(d).alias("__cap_total"),
+    )
+    j = tagged.crossJoin(F.broadcast(totals))
+    theta = _div(
+        _d2d(b_lit - F.col("__capped_mass")),
+        F.col("__n_un").cast("double"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens").cast("double")).otherwise(theta)
+    unalloc = F.greatest(
+        _d2d(b_lit - F.col("__cap_total")), F.lit(0.0)
+    ).cast("long")
+    return j.select(
+        "stratum",
+        "n_docs",
+        "avail_tokens",
+        "cap_tokens",
+        "capped",
+        F.round(alloc, round_to).alias("allocated"),
+        F.round(
+            _div(alloc, F.col("avail_tokens").cast("double")), round_to
+        ).alias("epochs_used"),
+        F.round(
+            _div(alloc, F.lit(float(budget_tokens))), round_to
+        ).alias("budget_share"),
+        unalloc.alias("unallocated_tokens"),
+    ).orderBy("stratum")
+
+
+def token_waterfill_sql(
+    table: str,
+    stratum_col: str,
+    text_col: str,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    round_to: int = 6,
+) -> str:
+    if budget_tokens < 0:
+        raise ValueError(f"need budget_tokens >= 0, got {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"need max_epochs > 0, got {max_epochs}")
+    from bullet_storm_spark.functions.text import token_count_sql
+    from bullet_storm_spark.operators.stats_tests import _d2d_sql
+
+    def qround(e: str) -> str:
+        return (
+            f"CAST(CAST(CAST(CAST(({e}) * CAST(ABS({e}) >= POWER(10.0, "
+            f"-({round_to}+1)) AS INT) AS VARCHAR) AS "
+            f"DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+        )
+
+    d = "DECIMAL(38,0)"
+    b = f"CAST({int(budget_tokens)} AS {d})"
+    theta = (
+        f"{_d2d_sql(f'{b} - t.capped_mass')} / NULLIF(CAST(t.n_un AS DOUBLE), 0.0)"
+    )
+    alloc = f"CASE WHEN r.capped THEN CAST(r.cap_tokens AS DOUBLE) ELSE {theta} END"
+    return f"""
+WITH __per AS (
+  SELECT {stratum_col} AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST({token_count_sql(text_col)}::BIGINT AS {d})) AS {d})
+           AS avail
+  FROM {table} GROUP BY stratum
+),
+__caps AS (
+  SELECT stratum, n_docs,
+         CAST(avail AS BIGINT) AS avail_tokens,
+         CAST(FLOOR({_d2d_sql('avail')} * {float(max_epochs)!r}) AS BIGINT)
+           AS cap_tokens
+  FROM __per
+),
+__ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens ASC, stratum ASC)::BIGINT AS r,
+         COALESCE(CAST(SUM(CAST(cap_tokens AS {d})) OVER (
+             ORDER BY cap_tokens ASC, stratum ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS {d}),
+           CAST(0 AS {d})) AS cum_before,
+         COUNT(*) OVER ()::BIGINT AS m
+  FROM __caps
+),
+__tag AS (
+  SELECT *,
+         (CAST(cap_tokens AS {d}) * CAST(m - r + 1 AS {d}) + cum_before) <= {b}
+           AS capped
+  FROM __ranked
+),
+__tot AS (
+  SELECT CAST(SUM(CASE WHEN capped THEN CAST(cap_tokens AS {d})
+                       ELSE CAST(0 AS {d}) END) AS {d}) AS capped_mass,
+         SUM(CASE WHEN capped THEN 0 ELSE 1 END)::BIGINT AS n_un,
+         CAST(SUM(CAST(cap_tokens AS {d})) AS {d}) AS cap_total
+  FROM __tag
+)
+SELECT r.stratum, r.n_docs, r.avail_tokens, r.cap_tokens, r.capped,
+       {qround(alloc)} AS allocated,
+       {qround(f"({alloc}) / NULLIF(CAST(r.avail_tokens AS DOUBLE), 0.0)")}
+         AS epochs_used,
+       {qround(f"({alloc}) / NULLIF({float(budget_tokens)!r}, 0.0)")}
+         AS budget_share,
+       CAST(GREATEST({_d2d_sql(f'{b} - t.cap_total')}, 0.0) AS BIGINT)
+         AS unallocated_tokens
+FROM __tag r, __tot t
+ORDER BY r.stratum
+"""

@@ -99,3 +99,37 @@ def test_lsh_band_plan_workload_grows_with_bands(spark):
     for r in rows:
         assert r.bands * r.rows_per_band == 16
         assert r.max_bucket >= 1 and r.n_buckets >= 1
+
+
+def test_token_waterfill_math(spark):
+    from bullet_storm_spark.operators.sampling import token_waterfill
+
+    # three sources: 10 / 100 / 1000 tokens, epoch cap 2x -> caps
+    # 20/200/2000; budget 1000: a and b cap out (20 + 200 — the even
+    # share exceeds both caps at every waterline stage), c takes the
+    # remaining 780 uncapped (θ = 780 < 2000)
+    rows = [("a", " ".join(["t"] * 10)), ("b", " ".join(["t"] * 100)),
+            ("c", " ".join(["t"] * 1000))]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        r.stratum: r
+        for r in token_waterfill(
+            df, "source", "text", budget_tokens=1000, max_epochs=2.0
+        ).collect()
+    }
+    assert out["a"].capped and out["a"].allocated == 20.0
+    assert out["b"].capped and out["b"].allocated == 200.0
+    assert not out["c"].capped and out["c"].allocated == 780.0
+    assert out["b"].epochs_used == 2.0 and out["c"].epochs_used == 0.78
+    assert sum(r.allocated for r in out.values()) == 1000.0
+    assert all(r.unallocated_tokens == 0 for r in out.values())
+    # budget exceeding total capacity: everyone capped, remainder reported
+    out2 = {
+        r.stratum: r
+        for r in token_waterfill(
+            df, "source", "text", budget_tokens=10_000, max_epochs=2.0
+        ).collect()
+    }
+    assert all(r.capped for r in out2.values())
+    assert all(r.unallocated_tokens == 10_000 - 2220 for r in out2.values())
+    assert sum(r.allocated for r in out2.values()) == 2220.0
