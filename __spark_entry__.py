@@ -3793,7 +3793,83 @@ ORDER BY supp_nation, cust_nation
 """
 
 
+def _small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-aggregate join: revenue locked up in
+    small-quantity line items of selected brands — items whose quantity
+    is under 20% of their part's average order quantity.
+
+    Scale shape: the classic decorrelation — the per-part AVG becomes an
+    aggregate frame keyed on the SAME column as the join (l_partkey), so
+    Catalyst plans one co-partitioned shuffle reused by both the agg and
+    the join (no per-row subquery); the brand dimension rides a
+    broadcast. The per-part average is engine-pinned (exact decimal sum,
+    text-hop to double, one IEEE division) so the 0.2·avg threshold
+    comparison is bit-identical in both programs."""
+    from bullet_storm_spark.operators.stats_tests import _d2d as _d2d_c
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brands = part.where(F.col("p_brand").isin("Brand#1", "Brand#2")).select(
+        "p_partkey"
+    )
+    avg_q = (
+        lineitem.groupBy(F.col("l_partkey").alias("__pk"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("decimal(38,12)")
+            .alias("__sq"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        .select(
+            "__pk",
+            F.try_divide(
+                _d2d_c(F.col("__sq")), F.col("__n").cast("double")
+            ).alias("__avg_qty"),
+        )
+    )
+    filtered = (
+        lineitem.join(F.broadcast(brands), lineitem.l_partkey == brands.p_partkey)
+        .join(avg_q, lineitem.l_partkey == F.col("__pk"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            _d2d_c(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast(
+                    "decimal(38,12)"
+                )
+            )
+            / F.lit(7.0),
+            2,
+        ).alias("avg_yearly"),
+    )
+
+
+_SMALL_QTY_SQL = """
+WITH __avg AS (
+  SELECT l_partkey AS pk,
+         CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,12))
+              AS VARCHAR) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(CAST(CAST((CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                  AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) / 7.0)
+             * CAST(ABS(CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                  AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) / 7.0) >= POWER(10.0, -(2+1))
+                  AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_brand IN ('Brand#1', 'Brand#2')
+JOIN __avg ON pk = l_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
 _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "join_small_qty_revenue": (_small_qty_revenue, _SMALL_QTY_SQL),
     "join_revenue_by_nation": (_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "join_trade_matrix": (_trade_matrix, _TRADE_MATRIX_SQL),
     "join_top_orders_by_revenue": (_top_orders_by_revenue, _TOP_ORDERS_SQL),
@@ -4414,6 +4490,17 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         ),
         _smp.token_waterfill_sql(
             "documents", "source", "text", budget_tokens=1_000_000
+        ),
+    ),
+    # simhash radius calibration (r9): hamming-distance histogram over
+    # the banded candidate pairs — where max_hamming should sit on this
+    # corpus (the simhash twin of embed_cos_histogram)
+    "dedup_simhash_histogram": (
+        lambda s, d: _dedup.simhash_hamming_histogram(
+            _docs(s, d), "doc_id", "text", shingle_n=1
+        ),
+        _dedup.simhash_hamming_histogram_sql(
+            "documents", "doc_id", "text", shingle_n=1
         ),
     ),
     # measured LSH banding plan (r9): candidate-pair workload of every

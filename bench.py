@@ -260,6 +260,8 @@ HEADLINE = [
     "text_richness",
     "dedup_lsh_band_plan",
     "sample_token_waterfill",
+    "dedup_simhash_histogram",
+    "join_small_qty_revenue",
 ]
 
 

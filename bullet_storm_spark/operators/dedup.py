@@ -1528,3 +1528,117 @@ FROM (
 ) b""")
     union = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM ({union}) ORDER BY bands"
+
+
+def simhash_hamming_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    round_to: int = 9,
+) -> DataFrame:
+    """SimHash-radius calibration table: ``(hamming, n_pairs, share)``
+    over the banded candidate pairs — where should ``max_hamming`` go on
+    THIS corpus? The simhash twin of ``similarity.cosine_histogram``
+    (which calibrates the embedding-cosine threshold): near-dups pile up
+    at distance 0-3, the random-collision bulk sits near half the dirty
+    bits, and the valley between them is the radius to run
+    ``simhash_pairs`` with. Pairs come from the SAME 4x12-bit banding the
+    dedup path uses, each unordered pair counted once (band collisions
+    collapsed via DISTINCT on the id pair before counting), so the
+    histogram describes exactly the candidate population that operator
+    will verify.
+
+    Engine parity: integer bit_count on identical simhashes, integer
+    counts, one IEEE division per share. Scale: the banding equi-join
+    (no BNLJ — the simhash_pairs posture), a pair-distinct shuffle, a
+    64-row output."""
+    hdf = simhash(df, id_col, text_col, shingle_n)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    blocked = hdf.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(bands).alias("band", "bh"),
+    ).repartition(
+        # the simhash_pairs AQE pin: banded rows are byte-cheap but the
+        # pair stage is compute-heavy; keep the join fed at full width
+        df.sparkSession.sparkContext.defaultParallelism,
+        "band",
+        "bh",
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy()
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("__tot", F.sum("n_pairs").over(w).cast("long"))
+        .select(
+            "hamming",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("__tot").cast("double"),
+                round_to,
+            ).alias("share"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def simhash_hamming_histogram_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    round_to: int = 9,
+) -> str:
+    inner = simhash_sql(table, id_col, text_col, shingle_n)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    share = "CAST(n_pairs AS DOUBLE) / CAST(SUM(n_pairs) OVER () AS DOUBLE)"
+    guarded = (
+        f"CAST(CAST(CAST(CAST(({share}) * CAST(ABS({share}) >= "
+        f"POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS "
+        f"DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+    )
+    return f"""
+WITH h AS ({inner}),
+blocked AS (
+  SELECT {id_col} AS id, simhash, b.band,
+         (simhash >> ({SIMHASH_BAND_BITS} * b.band)) & {mask} AS bh
+  FROM h, (SELECT UNNEST(range({SIMHASH_BANDS})) AS band) b
+),
+__pairs AS (
+  SELECT DISTINCT l.id AS id1, r.id AS id2,
+         bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+  FROM blocked l JOIN blocked r
+    ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+),
+__hist AS (
+  SELECT hamming, COUNT(*)::BIGINT AS n_pairs FROM __pairs GROUP BY hamming
+)
+SELECT hamming, n_pairs, {guarded} AS share
+FROM __hist ORDER BY hamming
+"""
