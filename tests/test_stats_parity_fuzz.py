@@ -267,3 +267,144 @@ def test_r8_second_half_parity_fuzz(spark, seed):
         df, "v", F.col("t") == 1, F.col("t") == 0
     ).collect()]
     assert sp == _duck(setup, cvm_drift_sql("t", "v", "t = 1", "t = 0"))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_r9_parity_fuzz(spark, seed):
+    """Seeded boundary fuzz for the r9 additions: vocabulary richness
+    (tie-heavy tiny vocabularies), waterfill (budgets at the all-capped /
+    none-capped boundaries), Lorenz curve (heavy actor ties), and the
+    survival pair (Nelson-Aalen, log-rank) on synthetic timestamp
+    frames. Bitwise tuple equality against the DuckDB twins."""
+    from bullet_storm_spark.operators.concentration import (
+        lorenz_curve,
+        lorenz_curve_sql,
+    )
+    from bullet_storm_spark.operators.sampling import (
+        token_waterfill,
+        token_waterfill_sql,
+    )
+    from bullet_storm_spark.operators.survival import (
+        logrank_test,
+        logrank_test_sql,
+        nelson_aalen,
+        nelson_aalen_sql,
+    )
+    from bullet_storm_spark.operators.vocab import (
+        vocabulary_richness,
+        vocabulary_richness_sql,
+    )
+
+    rng = random.Random(8100 + seed)
+
+    # --- richness + waterfill on one documents-shaped frame
+    vocab = [f"w{i}" for i in range(rng.randint(2, 8))]
+    docs = [
+        (
+            rng.choice(["s1", "s2", "s3"]),
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))),
+        )
+        for _ in range(rng.randint(3, 60))
+    ]
+    ddf = spark.createDataFrame(docs, "source string, text string")
+    setup = _rows_sql(docs, "source, text")
+    sp = [tuple(r) for r in vocabulary_richness(ddf, "source", "text").collect()]
+    assert sp == _duck(setup, vocabulary_richness_sql("t", "source", "text"))
+
+    total = sum(len(t.split()) for _, t in docs)
+    for budget in (0, 1, total, 2 * total, 4 * total, 8 * total + 1):
+        sp = [
+            tuple(r)
+            for r in token_waterfill(
+                ddf, "source", "text", budget_tokens=budget, max_epochs=2.0
+            ).collect()
+        ]
+        assert sp == _duck(
+            setup,
+            token_waterfill_sql(
+                "t", "source", "text", budget_tokens=budget, max_epochs=2.0
+            ),
+        ), f"budget={budget}"
+
+    # --- Lorenz on a heavy-tie actor frame
+    ev = []
+    for u in range(rng.randint(2, 30)):
+        ev += [(u,)] * rng.choice([1, 1, 1, 2, 5, 40])
+    edf = spark.createDataFrame(ev, "user_id long")
+    setup = _rows_sql(ev, "user_id")
+    sp = [tuple(r) for r in lorenz_curve(edf, "user_id").collect()]
+    assert sp == _duck(setup, lorenz_curve_sql("t", "user_id"))
+
+    # --- survival pair on a synthetic timestamp frame: Spark reads
+    # ts_ns (the load_table convention), the twin reads epoch_us(ts)
+    n_users = rng.randint(4, 40)
+    rows = []
+    for u in range(n_users):
+        first = rng.randint(0, 50)
+        span = rng.choice([0, 0, 1, 3, 10, 30])
+        for h in (first, first + span):
+            us = h * 3_600_000_000 + rng.randint(0, 3_599_000_000)
+            rows.append((u, us))
+    sdf = spark.createDataFrame(
+        [(u, us * 1000) for u, us in rows], "user_id long, ts_ns long"
+    )
+    vals = ", ".join(f"({u}, make_timestamp({us}))" for u, us in rows)
+    setup = f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(user_id, ts)"
+    sp = [tuple(r) for r in nelson_aalen(sdf, censor_gap_units=5).collect()]
+    assert sp == _duck(setup, nelson_aalen_sql("t", censor_gap_units=5))
+
+    from bullet_storm_spark.operators.sampling import (
+        hash_fraction,
+        hash_fraction_sql,
+    )
+
+    sp = [
+        tuple(r)
+        for r in logrank_test(
+            sdf,
+            hash_fraction("user_id", "fz") < 0.5,
+            censor_gap_units=5,
+        ).collect()
+    ]
+    assert sp == _duck(
+        setup,
+        logrank_test_sql(
+            "t", f"{hash_fraction_sql('user_id', 'fz')} < 0.5",
+            censor_gap_units=5,
+        ),
+    )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_partial_correlation_collinear_clamp(spark, seed):
+    """ADVICE r8: a conditioning correlation at exactly ±1 (or 1 + an FP
+    ulp) must yield the documented NULL in BOTH engines — before the
+    clamp, the DuckDB twin raised on sqrt(negative) while Spark returned
+    NaN. Exact collinear confounders hit the boundary by construction."""
+    from bullet_storm_spark.operators.correlate import (
+        partial_correlation,
+        partial_correlation_sql,
+    )
+
+    rng = random.Random(9200 + seed)
+    n = rng.randint(5, 40)
+    rows = []
+    for i in range(n):
+        v = _values(rng, 1)[0]
+        # z EXACTLY collinear with x -> r_xz = 1 up to FP; y noisy
+        rows.append((i, v, 2.0 * v + 1.0, rng.uniform(-5, 5)))
+    df = spark.createDataFrame(rows, "id long, x double, z double, y double")
+    setup = _rows_sql(rows, "id, x, z, y")
+    sp = [
+        tuple(r)
+        for r in partial_correlation(df, "x", "y", "z").collect()
+    ]
+    # the contract: BOTH engines survive (pre-clamp the DuckDB twin
+    # raised on sqrt(negative) whenever FP pushed r_xz an ulp past 1)
+    # and agree bitwise. The EMITTED r_xz rounds to 1.0 while the
+    # internal unrounded value sits an ulp below, so r_xy_z is usually a
+    # tiny well-defined number, identically in both engines — the
+    # documented NULL fires only at the exact pole.
+    oracle = _duck(setup, partial_correlation_sql("t", "x", "y", "z"))
+    assert sp == oracle
+    assert abs(sp[0][2]) >= 0.999999  # the fixture really is collinear
