@@ -4564,6 +4564,34 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)",
         ),
     ),
+    # re-identification risk (r9): prosecutor/journalist/marketer
+    # attacker models + singleton share over the same generalized QI
+    # classes as the k-anonymity audit (El Emam & Dankar JAMIA'08)
+    "privacy_reid_risk": (
+        lambda s, d: _priv.reidentification_risk(
+            load_table(s, d, "customer"),
+            [
+                F.col("c_mktsegment"),
+                F.col("c_nationkey"),
+                F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long"),
+            ],
+        ),
+        _priv.reidentification_risk_sql(
+            "customer",
+            [
+                "c_mktsegment",
+                "c_nationkey",
+                "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)",
+            ],
+        ),
+    ),
+    # first-order Markov entropy rate of the event-type process (r9):
+    # the one-scalar predictability summary of the transition matrix;
+    # 9dp-quantized pi*p*ln p terms in order-free DECIMAL sums
+    "events_entropy_rate": (
+        lambda s, d: _behavior.entropy_rate(load_table(s, d, "events")),
+        _behavior.entropy_rate_sql("events"),
+    ),
     # deterministic class-balanced downsample of documents by language:
     # every lang keeps the minority count, md5-ranked (reproducible
     # across runs/engines/layouts)

@@ -262,6 +262,8 @@ HEADLINE = [
     "sample_token_waterfill",
     "dedup_simhash_histogram",
     "join_small_qty_revenue",
+    "privacy_reid_risk",
+    "events_entropy_rate",
 ]
 
 

@@ -1437,3 +1437,120 @@ SELECT user_id, r_hours, frequency,
          || CAST(m_score AS VARCHAR) AS rfm_code
 FROM __s ORDER BY user_id
 """
+
+
+def entropy_rate(df: DataFrame, round_to: int = 9) -> DataFrame:
+    """First-order Markov entropy rate of the event-type process — one
+    row ``(n_states, n_transitions, entropy_rate, max_entropy,
+    predictability)``: ``H = −Σᵢⱼ πᵢ pᵢⱼ ln pᵢⱼ`` over the
+    :func:`transition_matrix` counts with πᵢ the from-state share, and
+    ``predictability = 1 − H / ln(n_states)`` (0 = i.i.d.-uniform
+    behavior, →1 = deterministic chains). The one-scalar behavioral
+    summary of the full transition matrix: bot cohorts and broken
+    clients collapse it toward 1, organic traffic sits mid-range —
+    worth tracking per release next to the session report.
+
+    Engine parity: the matrix is exact integers; each πᵢpᵢⱼ ln pᵢⱼ term
+    = (cᵢⱼ/N)·ln(cᵢⱼ/Tᵢ) rounds to 9 dp and sums in DECIMAL(38,9)
+    (order-free, the lm_score convention — ln is the one transcendental
+    and it is quantized before any accumulation). Scale: the
+    transition-matrix shape (one user-keyed lag window, |types|² frame),
+    then a 1-row reduction."""
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    counts = (
+        df.select("user_id", "event_id", "event_type", _ts_us().alias("__us"))
+        .withColumn("__next", F.lead("event_type").over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("__from"),
+            F.col("__next").alias("__to"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    totals = counts.groupBy("__from").agg(
+        F.sum("__c").cast("long").alias("__t")
+    )
+    grand = counts.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.countDistinct("__from").cast("long").alias("__k"),
+    )
+    _q9 = lambda c: c.cast("double").cast("string").cast("decimal(18,9)")  # noqa: E731
+    from bullet_storm_spark.operators.stats_tests import _d2d, _div
+
+    term = _q9(
+        _div(F.col("__c").cast("double"), F.col("__n").cast("double"))
+        * F.log(
+            _div(F.col("__c").cast("double"), F.col("__t").cast("double"))
+        )
+    )
+    joined = counts.join(F.broadcast(totals), "__from").crossJoin(
+        F.broadcast(grand)
+    )
+    agg = joined.agg(
+        F.max("__k").alias("n_states"),
+        F.max("__n").alias("n_transitions"),
+        F.sum(term.cast("decimal(38,9)")).cast("decimal(38,9)").alias("__s"),
+    )
+    h = -_d2d(F.col("__s"))
+    hmax = F.log(F.col("n_states").cast("double"))
+    return agg.select(
+        "n_states",
+        "n_transitions",
+        F.round(h, round_to).alias("entropy_rate"),
+        F.round(hmax, round_to).alias("max_entropy"),
+        F.round(F.lit(1.0) - _div(h, hmax), round_to).alias("predictability"),
+    )
+
+
+def entropy_rate_sql(table: str, round_to: int = 9) -> str:
+    from bullet_storm_spark.operators.stats_tests import _d2d_sql, _qround_sql
+
+    def q9(e: str) -> str:
+        return (
+            f"CAST(CAST(({e}) * CAST(ABS({e}) >= POWER(10.0, -10) AS INT)"
+            f" AS VARCHAR) AS DECIMAL(18,9))"
+        )
+
+    term = q9(
+        "(CAST(c.cnt AS DOUBLE) / CAST(g.n AS DOUBLE))"
+        " * ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))"
+    )
+    h = f"-{_d2d_sql('s')}"
+    hmax = "ln(CAST(n_states AS DOUBLE))"
+    return f"""
+WITH __e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM {table}
+),
+__pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS to_type
+  FROM __e
+),
+__counts AS (
+  SELECT from_type, to_type, COUNT(*)::BIGINT AS cnt
+  FROM __pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+__totals AS (
+  SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM __counts GROUP BY from_type
+),
+__grand AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT from_type) AS BIGINT) AS k
+  FROM __counts
+),
+__agg AS (
+  SELECT MAX(g.k) AS n_states, MAX(g.n) AS n_transitions,
+         CAST(SUM(CAST({term} AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s
+  FROM __counts c
+  JOIN __totals t ON c.from_type = t.from_type
+  CROSS JOIN __grand g
+)
+SELECT n_states, n_transitions,
+       {_qround_sql(h, round_to)} AS entropy_rate,
+       {_qround_sql(hmax, round_to)} AS max_entropy,
+       {_qround_sql(f"1.0 - ({h}) / NULLIF({hmax}, 0.0)", round_to)} AS predictability
+FROM __agg
+"""

@@ -385,3 +385,97 @@ SELECT CAST(COUNT(*) AS BIGINT) AS classes_total,
          AS classes_over_015
 FROM __t
 """
+
+
+def reidentification_risk(
+    df: DataFrame,
+    qi_cols: list[Column],
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row re-identification risk summary over the QI classes —
+    ``(classes_total, rows_total, min_class, prosecutor_risk,
+    journalist_risk, marketer_risk, unique_rows, unique_share)`` — the
+    three standard attacker models over the SAME generalized
+    quasi-identifiers the k-anonymity audit measures (El Emam & Dankar,
+    JAMIA 2008):
+
+    * prosecutor: the attacker knows the target IS in the data —
+      worst-case risk = 1/min class size;
+    * journalist: re-identify ANYONE — also bounded by 1/min k
+      (reported separately for the standard two-row readout);
+    * marketer: expected share re-identified matching each row to its
+      class uniformly = (Σ per-class 1) / N = classes/N.
+
+    ``unique_rows`` counts singleton classes (k = 1): each is an exact
+    re-identification. Engine parity: everything is integer counts with
+    three IEEE divisions. Scale: one QI-tuple shuffle (the k-anonymity
+    posture), a 1-row reduction."""
+    from bullet_storm_spark.operators.stats_tests import _div
+
+    qi = [c.alias(f"__qi{i}") for i, c in enumerate(qi_cols)]
+    classes = df.select(*qi).groupBy(
+        *[f"__qi{i}" for i in range(len(qi))]
+    ).agg(F.count(F.lit(1)).cast("long").alias("__sz"))
+    agg = classes.agg(
+        F.count(F.lit(1)).cast("long").alias("classes_total"),
+        F.sum("__sz").cast("long").alias("rows_total"),
+        F.min("__sz").cast("long").alias("min_class"),
+        F.sum(F.when(F.col("__sz") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("unique_rows"),
+    )
+    inv_min = _div(F.lit(1.0), F.col("min_class").cast("double"))
+    return agg.select(
+        "classes_total",
+        "rows_total",
+        "min_class",
+        F.round(inv_min, round_to).alias("prosecutor_risk"),
+        F.round(inv_min, round_to).alias("journalist_risk"),
+        F.round(
+            _div(
+                F.col("classes_total").cast("double"),
+                F.col("rows_total").cast("double"),
+            ),
+            round_to,
+        ).alias("marketer_risk"),
+        "unique_rows",
+        F.round(
+            _div(
+                F.col("unique_rows").cast("double"),
+                F.col("rows_total").cast("double"),
+            ),
+            round_to,
+        ).alias("unique_share"),
+    )
+
+
+def reidentification_risk_sql(
+    table: str,
+    qi_sqls: list[str],
+    round_to: int = 9,
+) -> str:
+    from bullet_storm_spark.operators.stats_tests import _qround_sql
+
+    qi = ", ".join(f"({q}) AS qi{i}" for i, q in enumerate(qi_sqls))
+    keys = ", ".join(f"qi{i}" for i in range(len(qi_sqls)))
+    inv_min = "1.0 / CAST(min_class AS DOUBLE)"
+    return f"""
+WITH __cls AS (
+  SELECT {qi}, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM {table} GROUP BY {keys}
+),
+__a AS (
+  SELECT COUNT(*)::BIGINT AS classes_total,
+         CAST(SUM(sz) AS BIGINT) AS rows_total,
+         CAST(MIN(sz) AS BIGINT) AS min_class,
+         SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS unique_rows
+  FROM __cls
+)
+SELECT classes_total, rows_total, min_class,
+       {_qround_sql(inv_min, round_to)} AS prosecutor_risk,
+       {_qround_sql(inv_min, round_to)} AS journalist_risk,
+       {_qround_sql("CAST(classes_total AS DOUBLE) / CAST(rows_total AS DOUBLE)", round_to)} AS marketer_risk,
+       unique_rows,
+       {_qround_sql("CAST(unique_rows AS DOUBLE) / CAST(rows_total AS DOUBLE)", round_to)} AS unique_share
+FROM __a
+"""
