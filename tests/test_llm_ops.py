@@ -221,10 +221,18 @@ def test_multimodal_payload_and_decode(docs):
     assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
 
 
-def test_multimodal_real_decode_is_stubbed(docs):
+def test_multimodal_real_decode_contract(docs):
+    # r9: decode_image_real REALLY decodes JPEG/BMP containers (the
+    # in-repo numpy codec) and reports decode_ok=false for anything
+    # else — text payloads are not images, so every row must come back
+    # ok=false with true byte lengths, not an exception
     payloads = multimodal.with_payload(docs, "doc_id", "text")
+    rows = multimodal.decode_image_real(payloads).collect()
+    assert rows and all(not r.decode_ok for r in rows)
+    assert any(r.n_bytes > 0 for r in rows)  # byte lengths are real
+    # the remaining honest stub is compressed audio
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(payloads)
+        multimodal.decode_audio_real(payloads)
 
 
 def test_sample_frames(docs):
