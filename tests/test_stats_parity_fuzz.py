@@ -408,3 +408,44 @@ def test_partial_correlation_collinear_clamp(spark, seed):
     oracle = _duck(setup, partial_correlation_sql("t", "x", "y", "z"))
     assert sp == oracle
     assert abs(sp[0][2]) >= 0.999999  # the fixture really is collinear
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_qround_hop_matches_spark_round_fuzz(spark, seed):
+    """Direct certification of SCALING.md hazards #7/#8: the guarded
+    text hop the oracle uses for every final round must equal Spark's
+    F.round(double, n) bit-for-bit — including short-decimal ties (where
+    DuckDB's float-arithmetic ROUND diverges build-dependently) and the
+    sub-10^-(n+1) zone (where DuckDB 1.0 mis-parses scientific-notation
+    text into DECIMAL)."""
+    from bullet_storm_spark.operators.stats_tests import _qround_sql
+
+    rng = random.Random(9900 + seed)
+    vals = []
+    for _ in range(300):
+        kind = rng.random()
+        if kind < 0.3:  # short-decimal ties at the 10th digit
+            vals.append(float(f"{rng.randint(-99, 99)}."
+                              f"{rng.randint(0, 999999999):09d}5"))
+        elif kind < 0.6:  # the broken sci-notation zone
+            vals.append((10 ** rng.uniform(-20, -9)) * rng.uniform(-10, 10))
+        else:  # general magnitudes
+            vals.append(rng.uniform(-1, 1) * 10 ** rng.uniform(-8, 6))
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    digits = rng.choice([2, 6, 9])
+    got = {
+        r.id: r.r
+        for r in df.select("id", F.round("v", digits).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(_rows_sql(rows, "id, v"))
+    want = dict(
+        con.execute(
+            f"SELECT id, {_qround_sql('v', digits)} FROM t"
+        ).fetchall()
+    )
+    diverged = {
+        i: (got[i], want[i], vals[i]) for i in got if got[i] != want[i]
+    }
+    assert not diverged, f"digits={digits}: {list(diverged.items())[:4]}"
