@@ -4503,6 +4503,33 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "documents", "doc_id", "text", shingle_n=1
         ),
     ),
+    # similarity-graph degree power-law (r9): Hill/MLE exponent + degree
+    # header over the SAME minhash pair graph the clustering entries use
+    # — the hub/boilerplate pre-flight before connected-components
+    # survivorship (CSN SIAM Rev'09 eq. 3.7)
+    "graph_degree_powerlaw": (
+        lambda s, d: _graph.degree_powerlaw(
+            _dedup.minhash_lsh_pairs(
+                _docs(s, d), "doc_id", "text", **_MINHASH3_KW
+            ),
+            "id_a",
+            "id_b",
+        ),
+        _graph.degree_powerlaw_sql(
+            _dedup.minhash_lsh_pairs_sql(
+                "documents", "doc_id", "text", **_MINHASH3_KW
+            ),
+            "id_a",
+            "id_b",
+        ),
+    ),
+    # vocabulary coverage curve (r9): share of token mass covered by the
+    # top-k types at size cutoffs — the tokenizer-sizing table; exact
+    # integer counts on the zipf support-sized rank
+    "text_coverage_curve": (
+        lambda s, d: _vocab.coverage_curve(_docs(s, d), "doc_id", "text"),
+        _vocab.coverage_curve_sql("documents", "doc_id", "text"),
+    ),
     # measured LSH banding plan (r9): candidate-pair workload of every
     # (bands, rows) factorization of the 16-hash signature on THIS corpus
     # — the cost-side companion to the analytic lsh_s_curve entry
@@ -4562,6 +4589,21 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "customer",
             ["c_mktsegment", "c_nationkey"],
             "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)",
+        ),
+    ),
+    # generalization ladder (r9): the k-anonymity headline at three
+    # widths of the numeric-QI banding — the utility/privacy trade-off
+    # table a policy review reads to pick the coarsest sufficient rung
+    "privacy_generalization_ladder": (
+        lambda s, d: _priv.generalization_ladder(
+            load_table(s, d, "customer"),
+            [F.col("c_mktsegment"), F.col("c_nationkey")],
+            F.col("c_acctbal"),
+        ),
+        _priv.generalization_ladder_sql(
+            "customer",
+            ["c_mktsegment", "c_nationkey"],
+            "c_acctbal",
         ),
     ),
     # re-identification risk (r9): prosecutor/journalist/marketer

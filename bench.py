@@ -264,6 +264,9 @@ HEADLINE = [
     "join_small_qty_revenue",
     "privacy_reid_risk",
     "events_entropy_rate",
+    "text_coverage_curve",
+    "graph_degree_powerlaw",
+    "privacy_generalization_ladder",
 ]
 
 

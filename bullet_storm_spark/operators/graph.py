@@ -285,3 +285,115 @@ SELECT c.n_nodes, ne.n_edges, c.n_wedges, t.n_triangles,
          AS clustering_coeff
 FROM __c c CROSS JOIN __ne ne CROSS JOIN __t t
 """
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    x_min: int = 2,
+    round_to: int = 9,
+) -> DataFrame:
+    """Degree distribution + Hill/MLE power-law exponent over an
+    undirected edge list — one row ``(n_nodes, n_edges, max_degree,
+    n_tail, alpha, mean_degree)`` where ``alpha = 1 + n_tail /
+    Σ ln(dᵢ/(x_min − 1/2))`` is the discrete-MLE exponent (Clauset,
+    Shalizi & Newman, SIAM Rev 2009 eq. 3.7) over nodes with degree
+    >= x_min. The similarity-graph health scalar: a dup graph whose
+    degrees go heavy-tailed (alpha < 2.5-ish) has hub documents —
+    boilerplate templates — that transitive clustering will glue into
+    one giant component, so this is the pre-flight before
+    connected-components survivorship.
+
+    Engine parity: degrees are exact integers (each undirected edge
+    counted once per endpoint); the ln terms round to 9 dp and sum in
+    DECIMAL(38,9) (order-free — the lm_score convention), one IEEE
+    finish. Scale: one edge explode + one node-keyed count (map-side
+    combined), a 1-row reduction."""
+    if x_min < 2:
+        raise ValueError(f"need x_min >= 2, got {x_min}")
+    from bullet_storm_spark.operators.stats_tests import _d2d, _div
+
+    nodes = edges.select(F.col(src_col).alias("__n")).unionAll(
+        edges.select(F.col(dst_col).alias("__n"))
+    )
+    deg = nodes.groupBy("__n").agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    _q9 = lambda c: c.cast("double").cast("string").cast("decimal(18,9)")  # noqa: E731
+    term = F.when(
+        F.col("__d") >= x_min,
+        _q9(F.log(F.col("__d").cast("double") / F.lit(float(x_min) - 0.5))),
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("__d") / 2).cast("long").alias("n_edges"),
+        F.max("__d").cast("long").alias("max_degree"),
+        F.sum(F.when(F.col("__d") >= x_min, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tail"),
+        F.sum(term.cast("decimal(38,9)")).cast("decimal(38,9)").alias("__s"),
+    )
+    return agg.select(
+        "n_nodes",
+        "n_edges",
+        "max_degree",
+        "n_tail",
+        F.round(
+            F.lit(1.0)
+            + _div(F.col("n_tail").cast("double"), _d2d(F.col("__s"))),
+            round_to,
+        ).alias("alpha"),
+        F.round(
+            _div(
+                (F.lit(2.0) * F.col("n_edges").cast("double")),
+                F.col("n_nodes").cast("double"),
+            ),
+            round_to,
+        ).alias("mean_degree"),
+    )
+
+
+def degree_powerlaw_sql(
+    edges_sql: str,
+    src_col: str,
+    dst_col: str,
+    x_min: int = 2,
+    round_to: int = 9,
+) -> str:
+    if x_min < 2:
+        raise ValueError(f"need x_min >= 2, got {x_min}")
+    from bullet_storm_spark.operators.stats_tests import _d2d_sql, _qround_sql
+
+    def q9(e: str) -> str:
+        return (
+            f"CAST(CAST(({e}) * CAST(ABS({e}) >= POWER(10.0, -10) AS INT)"
+            f" AS VARCHAR) AS DECIMAL(18,9))"
+        )
+
+    term = q9(f"ln(CAST(d AS DOUBLE) / {float(x_min) - 0.5!r})")
+    alpha = f"1.0 + CAST(n_tail AS DOUBLE) / NULLIF({_d2d_sql('s')}, 0.0)"
+    meand = "(2.0 * CAST(n_edges AS DOUBLE)) / CAST(n_nodes AS DOUBLE)"
+    return f"""
+WITH __e AS ({edges_sql}),
+__nodes AS (
+  SELECT {src_col} AS n FROM __e
+  UNION ALL
+  SELECT {dst_col} AS n FROM __e
+),
+__deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM __nodes GROUP BY n
+),
+__a AS (
+  SELECT COUNT(*)::BIGINT AS n_nodes,
+         CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+         CAST(MAX(d) AS BIGINT) AS max_degree,
+         SUM(CASE WHEN d >= {int(x_min)} THEN 1 ELSE 0 END)::BIGINT AS n_tail,
+         CAST(SUM(CASE WHEN d >= {int(x_min)}
+                  THEN CAST({term} AS DECIMAL(38,9)) END)
+              AS DECIMAL(38,9)) AS s
+  FROM __deg
+)
+SELECT n_nodes, n_edges, max_degree, n_tail,
+       {_qround_sql(alpha, round_to)} AS alpha,
+       {_qround_sql(meand, round_to)} AS mean_degree
+FROM __a
+"""

@@ -19,7 +19,7 @@ global sort. IDF needs the corpus size N, which rides a broadcast of a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from bullet_storm_spark.functions.text import tokens, tokens_sql
 
@@ -1842,4 +1842,99 @@ SELECT grp AS "group", CAST(n AS BIGINT) AS n_tokens, n_types, n_hapax, n_dis,
        {qround(f"10000.0 * (({sqn}) / NULLIF({nd} * {nd}, 0.0))")} AS yule_k,
        {qround(f"({sqn}) / NULLIF({nd} * ({nd} - 1.0), 0.0)")} AS simpson_d
 FROM __a ORDER BY "group"
+"""
+
+
+def coverage_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cutoffs: list[int] = (10, 100, 1000, 10000),
+    round_to: int = 9,
+) -> DataFrame:
+    """Vocabulary coverage curve: ``(cutoff, n_types_used, covered_tokens,
+    coverage)`` — the share of ALL token occurrences covered by the top
+    ``cutoff`` types (by frequency, token-text tie-break). The
+    tokenizer-sizing table: "how big must the vocab be to cover 99% of
+    the corpus" read directly off the curve, and the drift of that curve
+    between crawls is an early tokenizer-mismatch alarm. Cutoffs beyond
+    the actual vocabulary report the full vocabulary (coverage 1.0).
+
+    Engine parity: exact integer counts; the rank and the running total
+    use the fully tie-broken (count desc, token asc) order so the
+    boundary type at each cutoff is identical; DECIMAL(38,0) running
+    sums; one IEEE division per row. Scale: one wordcount aggregation,
+    a vocabulary-sized rank (the zipf_report support-sized-window
+    convention), a cutoff-sized output."""
+    from bullet_storm_spark.operators.stats_tests import _d2d, _div
+
+    d = "decimal(38,0)"
+    tf = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .where(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.orderBy(F.desc("__c"), F.asc("__t"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = tf.select(
+        F.row_number().over(w).cast("long").alias("__r"),
+        F.sum(F.col("__c").cast(d)).over(w_cum).cast(d).alias("__cum"),
+    )
+    totals = tf.agg(
+        F.sum(F.col("__c").cast(d)).cast(d).alias("__tot"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
+    )
+    cuts = df.sparkSession.createDataFrame(
+        [(int(c),) for c in cutoffs], "cutoff long"
+    )
+    # the boundary row for each cutoff: rank = min(cutoff, vocab size)
+    j = cuts.crossJoin(F.broadcast(totals)).join(
+        ranked,
+        F.col("__r") == F.least(F.col("cutoff"), F.col("__v")),
+    )
+    return j.select(
+        "cutoff",
+        F.col("__r").alias("n_types_used"),
+        F.col("__cum").cast("long").alias("covered_tokens"),
+        F.round(_div(_d2d(F.col("__cum")), _d2d(F.col("__tot"))), round_to)
+        .alias("coverage"),
+    ).orderBy("cutoff")
+
+
+def coverage_curve_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    cutoffs: list[int] = (10, 100, 1000, 10000),
+    round_to: int = 9,
+) -> str:
+    from bullet_storm_spark.operators.stats_tests import _d2d_sql, _qround_sql
+
+    cuts = ", ".join(f"({int(c)})" for c in cutoffs)
+    cov = f"{_d2d_sql('cum')} / {_d2d_sql('tot')}"
+    return f"""
+WITH __tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({tokens_sql(text_col)}) AS token FROM {table})
+  WHERE token <> '' GROUP BY token
+),
+__r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, token ASC)::BIGINT AS r,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) OVER (
+             ORDER BY c DESC, token ASC ROWS UNBOUNDED PRECEDING)
+           AS DECIMAL(38,0)) AS cum
+  FROM __tf
+),
+__tot AS (
+  SELECT CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tot,
+         COUNT(*)::BIGINT AS v
+  FROM __tf
+)
+SELECT CAST(c.cutoff AS BIGINT) AS cutoff, r.r AS n_types_used,
+       CAST(r.cum AS BIGINT) AS covered_tokens,
+       {_qround_sql(cov, round_to)} AS coverage
+FROM (VALUES {cuts}) c(cutoff), __tot t, __r r
+WHERE r.r = LEAST(CAST(c.cutoff AS BIGINT), t.v)
+ORDER BY cutoff
 """
