@@ -966,3 +966,79 @@ def stream_gap_detector(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITIONS_STREAM_SCHEMA = (
+    "user_id long, from_type string, to_type string, cnt long"
+)
+_TRANSITIONS_STATE_SCHEMA = "last_type string, last_us long, last_id long"
+
+
+def stream_transitions(stream_df: DataFrame):
+    """Streaming per-user event-type transition deltas — the live feed
+    for :func:`operators.behavior.transition_matrix` /
+    :func:`operators.behavior.entropy_rate`: each micro-batch emits
+    ``(user_id, from_type, to_type, cnt)`` for the consecutive pairs it
+    completed, INCLUDING the pair that straddles the batch boundary (the
+    user's final event of the previous batch carries over in one row of
+    state: last type + its (us, event_id) order key). Downstream folds
+    the deltas with a plain SUM — transition counts are additive — and
+    applies the batch entropy/probability formulas.
+
+    Equivalence contract (test-pinned): replaying a corpus in batches
+    that respect per-user event-time order (in-batch disorder is fine —
+    each batch sorts on (us, event_id) before pairing) and summing the
+    emitted deltas reproduces the batch ``transition_matrix`` counts
+    exactly. Cross-batch LATE arrivals pair in arrival order — the
+    standard stateful-streaming caveat; front the operator with a
+    watermark if the source reorders across batches. Bounded state: one
+    (string, long, long) row per user, regardless of history length."""
+    import pandas as pd
+
+    def fn(
+        key: Tuple[int], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf)
+        batch = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+            columns=["us", "event_id", "event_type"]
+        )
+        batch = batch.sort_values(
+            ["us", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        seq = list(batch["event_type"])
+        if state.exists:
+            last_type, last_us, last_id = state.get
+            seq = [last_type] + seq
+        counts: dict = {}
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        if len(batch):
+            tail = batch.iloc[-1]
+            state.update(
+                (str(tail["event_type"]), int(tail["us"]), int(tail["event_id"]))
+            )
+        out = [
+            (key[0], a, b, c) for (a, b), c in sorted(counts.items())
+        ]
+        yield pd.DataFrame(
+            out, columns=["user_id", "from_type", "to_type", "cnt"]
+        )
+
+    return (
+        stream_df.select(
+            "user_id",
+            F.expr("(ts_ns div 1000)").alias("us"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            TRANSITIONS_STREAM_SCHEMA,
+            _TRANSITIONS_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -846,3 +846,90 @@ def test_stream_gap_detector_matches_batch_report(spark, tmp_path):
         assert len(gaps) == want.n_gaps
         assert sum(g for _, g in gaps) == want.zero_hours
         assert (max((g for _, g in gaps), default=0)) == want.longest_gap
+
+
+def test_stream_transitions_fold_equals_batch_matrix(spark, tmp_path):
+    """Replaying a corpus in two batch splits through the per-user
+    transition state and SUMming the emitted deltas must reproduce the
+    batch transition_matrix counts EXACTLY — including the pairs that
+    straddle the batch boundary (the one-row carryover state), and the
+    entropy computed from the folded counts must equal the batch
+    entropy_rate output."""
+    import os
+    import random
+
+    from bullet_storm_spark.operators.behavior import entropy_rate, transition_matrix
+    from bullet_storm_spark.streaming.native import stream_transitions
+
+    rng = random.Random(31)
+    types = ["view", "click", "purchase", "share"]
+    rows = []
+    eid = 0
+    for u in range(12):
+        for _ in range(rng.randint(2, 40)):
+            rows.append((eid, u, rng.choice(types), eid * 1_000_000_000))
+            eid += 1
+    # split respects event time ACROSS batches (the operator's
+    # in-order-arrival contract, like every stateful native here);
+    # within a batch, arrival order is scrambled — the in-batch sort
+    # must absorb that
+    rows.sort(key=lambda r: r[3])
+    schema = "event_id long, user_id long, event_type string, ts_ns long"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def _drop(i, chunk):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"c{i}.parquet"))
+
+    half = len(rows) // 2
+    first, second = rows[:half], rows[half:]
+    rng.shuffle(first)
+    rng.shuffle(second)
+    _drop(0, first)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_stream = stream_transitions(stream)
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName("transitions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _drop(1, second)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded = {}
+    for r in spark.table("transitions_out").collect():
+        folded[(r.from_type, r.to_type)] = (
+            folded.get((r.from_type, r.to_type), 0) + r.cnt
+        )
+    batch_df = spark.createDataFrame(rows, schema)
+    batch = {
+        (r.from_type, r.to_type): r.cnt
+        for r in transition_matrix(batch_df).collect()
+    }
+    assert folded == batch
+    # entropy from folded counts == the batch operator's output
+    import math
+
+    n = sum(folded.values())
+    totals = {}
+    for (a, _), c in folded.items():
+        totals[a] = totals.get(a, 0) + c
+    from decimal import Decimal, ROUND_HALF_UP
+
+    s = sum(
+        Decimal(repr((c / n) * math.log(c / totals[a]))).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+        for (a, _), c in folded.items()
+    )
+    got = entropy_rate(batch_df).collect()[0]
+    assert got.n_transitions == n
+    assert math.isclose(got.entropy_rate, float(-s), abs_tol=1e-9)
