@@ -4591,6 +4591,13 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)",
         ),
     ),
+    # per-type Fano dispersion of hourly counts (r9): the one-scalar
+    # burstiness alarm (Poisson feed = 1, batch-loading >> 1); exact
+    # DECIMAL moments on the shared densified spine
+    "events_fano_factor": (
+        lambda s, d: _diag.fano_report(load_table(s, d, "events")),
+        _diag.fano_report_sql("events"),
+    ),
     # generalization ladder (r9): the k-anonymity headline at three
     # widths of the numeric-QI banding — the utility/privacy trade-off
     # table a policy review reads to pick the coarsest sufficient rung

@@ -267,6 +267,7 @@ HEADLINE = [
     "text_coverage_curve",
     "graph_degree_powerlaw",
     "privacy_generalization_ladder",
+    "events_fano_factor",
 ]
 
 

@@ -638,3 +638,71 @@ SELECT n.key, n.n_hours,
 FROM __n n LEFT JOIN __runs r ON n.key = r.key
 ORDER BY n.key
 """
+
+
+def fano_report(
+    df: DataFrame, key_col: str = "event_type", round_to: int = 9
+) -> DataFrame:
+    """Per-key Fano factor (index of dispersion) of the densified hourly
+    counts: ``(key, n_hours, total, mean_rate, fano)`` ordered by key,
+    with ``fano = Var(y)/E[y]`` over the key's min..max hour spine
+    (population variance). The one-scalar burstiness alarm for an event
+    feed: a Poisson-ish feed sits at 1, batch-loading and incident
+    spikes push it far above, an artificially smoothed/rate-limited
+    feed below — worth tracking per release next to the ACF/seasonality
+    diagnostics (the same Fano statistic term_burstiness applies to
+    token counts, here on the time axis).
+
+    Engine parity: with S = Σy and Syy = Σy² (exact DECIMAL(38,0)
+    moments on the zero-densified spine), fano multiplies through by n
+    to stay integer-exact until ONE final IEEE division:
+    ``fano = (n·Syy − S²) / (n·S)`` and ``mean_rate = S/n``. Zero-total
+    keys report NULL fano (0/0). Scale: the shared hourly_cells
+    collapse, then a key-sized reduction — no windows, no joins."""
+    cells = _cells(df, key_col)
+    agg = cells.groupBy("__key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.col("y").cast(_EXACT)).cast(_EXACT).alias("__s"),
+        F.sum((F.col("y").cast(_EXACT) * F.col("y").cast(_EXACT)).cast(_EXACT))
+        .cast(_EXACT)
+        .alias("__syy"),
+    )
+    n_e = F.col("n_hours").cast(_EXACT)
+    num = (n_e * F.col("__syy") - F.col("__s") * F.col("__s")).cast(_EXACT)
+    den = (n_e * F.col("__s")).cast(_EXACT)
+    return agg.select(
+        F.col("__key").alias("key"),
+        "n_hours",
+        F.col("__s").cast("long").alias("total"),
+        F.round(
+            _div(_d2d(F.col("__s")), F.col("n_hours").cast("double")), round_to
+        ).alias("mean_rate"),
+        F.round(_div(_d2d(num), _d2d(den)), round_to).alias("fano"),
+    ).orderBy("key")
+
+
+def fano_report_sql(
+    table: str, key_col: str = "event_type", round_to: int = 9
+) -> str:
+    from bullet_storm_spark.operators.stats_tests import _qround_sql
+
+    d = "DECIMAL(38,0)"
+    num = _d2d_sql(
+        f"CAST(CAST(n_hours AS {d}) * syy - s * s AS {d})"
+    )
+    den = _d2d_sql(f"CAST(CAST(n_hours AS {d}) * s AS {d})")
+    return f"""
+WITH {hourly_cells_sql(table, key_col)},
+__a AS (
+  SELECT key, COUNT(*)::BIGINT AS n_hours,
+         CAST(SUM(CAST(cnt AS {d})) AS {d}) AS s,
+         CAST(SUM(CAST(CAST(cnt AS {d}) * CAST(cnt AS {d}) AS {d})) AS {d})
+           AS syy
+  FROM __cells GROUP BY key
+)
+SELECT key, n_hours, CAST(s AS BIGINT) AS total,
+       {_qround_sql(_d2d_sql('s') + ' / CAST(n_hours AS DOUBLE)', round_to)}
+         AS mean_rate,
+       {_qround_sql(f"({num}) / NULLIF({den}, 0.0)", round_to)} AS fano
+FROM __a ORDER BY key
+"""
