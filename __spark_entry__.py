@@ -4591,6 +4591,13 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)",
         ),
     ),
+    # DAU/WAU stickiness (r9): sliding DISTINCT via offset-explode (a
+    # bounded xW map step + one (user, day)-distinct agg — never a
+    # user-dimension window), the standard habituality product scalar
+    "events_stickiness": (
+        lambda s, d: _behavior.stickiness_report(load_table(s, d, "events")),
+        _behavior.stickiness_report_sql("events"),
+    ),
     # per-type Fano dispersion of hourly counts (r9): the one-scalar
     # burstiness alarm (Poisson feed = 1, batch-loading >> 1); exact
     # DECIMAL moments on the shared densified spine

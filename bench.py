@@ -268,6 +268,7 @@ HEADLINE = [
     "graph_degree_powerlaw",
     "privacy_generalization_ladder",
     "events_fano_factor",
+    "events_stickiness",
 ]
 
 

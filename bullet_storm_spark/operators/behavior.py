@@ -1554,3 +1554,94 @@ SELECT n_states, n_transitions,
        {_qround_sql(f"1.0 - ({h}) / NULLIF({hmax}, 0.0)", round_to)} AS predictability
 FROM __agg
 """
+
+
+def stickiness_report(df: DataFrame, window_days: int = 7, round_to: int = 9) -> DataFrame:
+    """Daily engagement stickiness: ``(day, dau, wau, stickiness)``
+    ordered by day — distinct active users per day, distinct active
+    users over the trailing ``window_days`` (clipped at corpus start),
+    and the DAU/WAU ratio (the standard "how habitual is usage" product
+    scalar; 1/window_days = everyone shows up once a week, → 1 =
+    everyone daily).
+
+    Scale shape: a sliding DISTINCT cannot be summed from daily
+    distincts, and a user-dimension window would be the single-task
+    trap — instead each distinct (user, day) row EXPLODES to the
+    ``window_days`` target days it contributes to (a bounded ×W map
+    step), and WAU is one (user, target_day)-distinct aggregation —
+    map-side shapes only, integer-exact counts, one IEEE division.
+    Target days past the corpus end are dropped, and the report carries
+    the days with at least one active user (dau >= 1 — the inner join
+    on the DAU frame; a zero-DAU day inside an active week is absent,
+    not a zero row)."""
+    if window_days < 1:
+        raise ValueError(f"need window_days >= 1, got {window_days}")
+    from bullet_storm_spark.operators.stats_tests import _div
+
+    user_days = df.select(
+        "user_id",
+        F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").cast("long").alias("__day"),
+    ).distinct()
+    bounds = user_days.agg(
+        F.min("__day").alias("__d0"), F.max("__day").alias("__d1")
+    )
+    dau = user_days.groupBy(F.col("__day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("__day"), F.col("__day") + (window_days - 1))
+            ).alias("__t"),
+        )
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("__t") <= F.col("__d1"))
+    )
+    wau = contrib.groupBy(F.col("__t").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                _div(F.col("dau").cast("double"), F.col("wau").cast("double")),
+                round_to,
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+def stickiness_report_sql(table: str, window_days: int = 7, round_to: int = 9) -> str:
+    if window_days < 1:
+        raise ValueError(f"need window_days >= 1, got {window_days}")
+    from bullet_storm_spark.operators.stats_tests import _qround_sql
+
+    return f"""
+WITH __ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM {table}
+),
+__b AS (SELECT MAX(day) AS d1 FROM __ud),
+__dau AS (
+  SELECT day, COUNT(*)::BIGINT AS dau FROM __ud GROUP BY day
+),
+__wau AS (
+  SELECT t AS day, COUNT(DISTINCT user_id)::BIGINT AS wau
+  FROM (
+    SELECT u.user_id, u.day + o.off AS t
+    FROM __ud u, (SELECT UNNEST(range({int(window_days)})) AS off) o, __b b
+    WHERE u.day + o.off <= b.d1
+  )
+  GROUP BY t
+)
+SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau,
+       {_qround_sql("CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)", round_to)}
+         AS stickiness
+FROM __dau d JOIN __wau w ON d.day = w.day
+ORDER BY day
+"""
