@@ -18,7 +18,24 @@ from bullet_storm_spark.streaming.native import compile_streaming_query, session
 
 
 def _write(spark, path, rows, schema):
-    spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+    """Land one chunk as ONE parquet file via an ATOMIC rename into the
+    watched directory. A direct `.write.parquet(path)` on a live file
+    source is racy: Spark stages part files under _temporary/ and
+    renames them one by one, so the stream's directory listing can
+    trigger on a PARTIAL subset of the chunk in file-listing (non-seq)
+    order — which reordered observations across micro-batches and broke
+    the order-sensitive recursions (EWMA) about 1 run in 4 under load."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    stage = path.rstrip("/") + f"_stage_{uuid.uuid4().hex}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+    [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.rename(
+        os.path.join(stage, part),
+        os.path.join(path, f"{uuid.uuid4().hex}.parquet"),
+    )
 
 
 def _run_stream(spark, tmp_path, out_df_fn, schema, chunks, mode="append"):
