@@ -4812,12 +4812,13 @@ _DRIVER_PRIORITY = [
     # sketch_audience_overlap [rows-only by declared sketch contract],
     # scd2_priority_history, scd2_transitions, scd2_churn_summary,
     # profile_functional_deps — each with exact in-repo pins) plus the
-    # 15 r9 additions (events_nelson_aalen, events_logrank,
+    # 16 r9 additions (events_nelson_aalen, events_logrank,
     # events_lorenz_curve, text_richness, dedup_lsh_band_plan,
     # sample_token_waterfill, dedup_simhash_histogram,
     # join_small_qty_revenue, privacy_reid_risk, events_entropy_rate,
     # text_coverage_curve, graph_degree_powerlaw,
     # privacy_generalization_ladder, events_fano_factor,
+    # events_stickiness,
     # multimodal_jpeg_decode [rows-only by declared codec contract]),
     # padded with the oldest previously-green entries for drift
     # re-checks if under 50.
