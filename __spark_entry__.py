@@ -3868,8 +3868,74 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+def _shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution per order priority — the
+    TPC-H-flavored operational latency readout (n_items, mean/median/max
+    whole-day delays). Day gaps are date-part differences of the NTZ
+    wall timestamps (TZ-free by construction — no instant/zone
+    conversion anywhere, mirrored by DuckDB date_diff over
+    CAST(... AS DATE)); the median is
+    the engines' shared (1−g)a+gb interpolation over integer days
+    (probed bit-equal on rolling_median). One co-partitioned
+    lineitem⋈orders shuffle, a priority-sized aggregation."""
+    from bullet_storm_spark.operators.stats_tests import _d2d as _d2d_c, _div as _div_c
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # TIMESTAMP_NTZ wall times: datediff on the DATE parts is the
+    # TZ-free gap (calendar difference of date parts, mirrored exactly
+    # by DuckDB's date_diff over CAST(... AS DATE))
+    delay = F.expr(
+        "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"
+    ).cast("long")
+    j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"), delay.alias("__d")
+    )
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("__d").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("__s"),
+            F.expr("percentile(__d, 0.5)").alias("__p50"),
+            F.max("__d").cast("long").alias("max_delay_days"),
+        )
+        .select(
+            "priority",
+            "n_items",
+            F.round(
+                _div_c(_d2d_c(F.col("__s")), F.col("n_items").cast("double")), 6
+            ).alias("mean_delay_days"),
+            F.col("__p50").alias("median_delay_days"),
+            "max_delay_days",
+        )
+        .orderBy("priority")
+    )
+
+
+_SHIPPING_DELAY_SQL = """
+WITH __j AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(CAST(CAST((CAST(CAST(CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE))
+             * CAST(ABS(CAST(CAST(CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+         AS mean_delay_days,
+       quantile_cont(d, 0.5) AS median_delay_days,
+       CAST(MAX(d) AS BIGINT) AS max_delay_days
+FROM __j GROUP BY priority ORDER BY priority
+"""
+
+
 _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "join_small_qty_revenue": (_small_qty_revenue, _SMALL_QTY_SQL),
+    "join_shipping_delay": (_shipping_delay, _SHIPPING_DELAY_SQL),
     "join_revenue_by_nation": (_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "join_trade_matrix": (_trade_matrix, _TRADE_MATRIX_SQL),
     "join_top_orders_by_revenue": (_top_orders_by_revenue, _TOP_ORDERS_SQL),

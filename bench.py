@@ -269,6 +269,7 @@ HEADLINE = [
     "privacy_generalization_ladder",
     "events_fano_factor",
     "events_stickiness",
+    "join_shipping_delay",
 ]
 
 
