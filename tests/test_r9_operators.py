@@ -133,3 +133,48 @@ def test_token_waterfill_math(spark):
     assert all(r.capped for r in out2.values())
     assert all(r.unallocated_tokens == 10_000 - 2220 for r in out2.values())
     assert sum(r.allocated for r in out2.values()) == 2220.0
+
+
+def test_stickiness_invariants(spark):
+    from bullet_storm_spark.operators.behavior import stickiness_report
+
+    rows = stickiness_report(load_table(spark, SF, "events")).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau          # the window contains the day
+        assert 0.0 < r.stickiness <= 1.0
+    # a single-day corpus: dau == wau == distinct users, stickiness 1.0
+    one = spark.createDataFrame(
+        [(u, u * 1_000_000_000) for u in range(7)], "user_id long, ts_ns long"
+    )
+    r = stickiness_report(one).collect()
+    assert len(r) == 1 and r[0].dau == r[0].wau == 7 and r[0].stickiness == 1.0
+
+
+def test_entropy_rate_known_chain(spark):
+    import math
+
+    from bullet_storm_spark.operators.behavior import entropy_rate
+
+    # deterministic alternating chain a->b->a->...: H = 0, predictability 1
+    rows = [
+        (i, 1, "a" if i % 2 == 0 else "b", i * 1_000_000_000)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ns long"
+    )
+    r = entropy_rate(df).collect()[0]
+    assert r.n_states == 2 and r.entropy_rate == 0.0
+    assert math.isclose(r.predictability, 1.0, rel_tol=1e-9)
+
+
+def test_shipping_delay_nonnegative(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["join_shipping_delay"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_items > 0
+        assert 0 <= r.mean_delay_days <= r.max_delay_days
+        assert 0 <= r.median_delay_days <= r.max_delay_days
