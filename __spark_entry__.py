@@ -4812,82 +4812,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # stable core/BQL/join entries rotate to the tail, where
 # scripts/oracle_check.py re-verifies them in-repo every round.
 _DRIVER_PRIORITY = [
-    # --- r9 window: 50 of the 58 entries never inside a driver
-    # correctness window after r8 (registry 302; CORRECTNESS_r01-r08
-    # union = 244). All 58 were MATCH in the round-8 judge's own
-    # full-registry oracle_check at sf0.01 (VERDICT.md r8); this window
-    # converts judge-green to driver-green for the r7-era overflow and
-    # every r8 addition, and keeps the entries touched by the r9 fixes
-    # (events_rfm_segments / events_user_gini window migration;
-    # corr_partial_qty_price clamp, embed_cos_histogram bin clamp,
-    # events_props_key_drift json_valid guard) so the driver certifies
-    # them post-fix.
-    "sample_neyman_allocation",
-    "text_kn_discount",
-    "events_markov_backtest",
-    "corr_lineitem_matrix",
-    "join_trade_matrix",
-    "text_quantile_normalize",
-    "events_json_key_profile",
-    "link_sorted_neighborhood",
-    "privacy_l_diversity",
-    "events_mann_whitney",
-    "text_fleiss_kappa",
-    "events_cochran_armitage",
-    "events_brown_forsythe",
-    "events_fdr_hourly",
-    "events_policy_replay",
-    "text_auc_delong",
-    "events_sequential_looks",
-    "layout_compaction_plan",
-    "text_token_fertility",
-    "events_acf",
-    "events_runs_test",
-    "events_grubbs",
-    "events_pettitt",
-    "corr_kendall_hourly",
-    "text_mcnemar_rules",
-    "events_poststrat_ate",
-    "embed_anisotropy",
-    "ann_hard_negatives",
-    "corpus_source_hhi",
-    "events_permutation_pvalue",
-    "events_eb_shrunk_rates",
-    "text_term_burstiness",
-    "multimodal_wav_loudness",
-    "events_icc_users",
-    "corr_partial_qty_price",
-    "embed_cos_histogram",
-    "events_props_key_drift",
-    "events_user_gini",
-    "events_session_report",
-    "events_top_movers",
-    "events_rolling_median",
-    "text_code_detection",
-    "text_kn_doc_score",
-    "privacy_t_closeness",
-    "sample_class_balance",
-    "events_gap_report",
-    "events_rfm_segments",
-    "events_cvm_drift",
-    "embed_fisher_separation",
-    "embed_cluster_nmi",
-    # NOTE: the window is exactly 50 here. r10 rotation: the 8 overflow
-    # entries never driver-checked (multimodal_resize,
-    # multimodal_wav_decimate, multimodal_dhash_groups,
-    # sketch_audience_overlap [rows-only by declared sketch contract],
-    # scd2_priority_history, scd2_transitions, scd2_churn_summary,
-    # profile_functional_deps — each with exact in-repo pins) plus the
-    # 16 r9 additions (events_nelson_aalen, events_logrank,
-    # events_lorenz_curve, text_richness, dedup_lsh_band_plan,
-    # sample_token_waterfill, dedup_simhash_histogram,
-    # join_small_qty_revenue, privacy_reid_risk, events_entropy_rate,
-    # text_coverage_curve, graph_degree_powerlaw,
-    # privacy_generalization_ladder, events_fano_factor,
-    # events_stickiness,
-    # multimodal_jpeg_decode [rows-only by declared codec contract]),
-    # padded with the oldest previously-green entries for drift
-    # re-checks if under 50.
+    # --- r10 window: the 25 registry entries never inside any driver
+    # correctness window (CORRECTNESS_r01-r09 union = 294 of 319), plus
+    # events_uplift_deciles (r8's one red row; the fix was judge-verified
+    # full-mode MATCH in r9 but never driver-re-sampled). All 25 were
+    # MATCH (23 hash-checkable) in the round-9 judge's own full-registry
+    # oracle_check at sf0.01 (VERDICT.md r9); this window converts
+    # judge-green to driver-green, completing every-entry-driver-checked.
+    # 8 r8-era overflow entries:
+    "multimodal_resize",
+    "multimodal_wav_decimate",
+    "multimodal_dhash_groups",
+    "sketch_audience_overlap",  # rows-only by declared sketch contract
+    "scd2_priority_history",
+    "scd2_transitions",
+    "scd2_churn_summary",
+    "profile_functional_deps",
+    # 17 r9 additions:
+    "events_nelson_aalen",
+    "events_logrank",
+    "events_lorenz_curve",
+    "events_entropy_rate",
+    "events_fano_factor",
+    "events_stickiness",
+    "text_richness",
+    "text_coverage_curve",
+    "dedup_lsh_band_plan",
+    "dedup_simhash_histogram",
+    "graph_degree_powerlaw",
+    "join_small_qty_revenue",
+    "join_shipping_delay",
+    "multimodal_jpeg_decode",  # rows-only by declared codec contract
+    "privacy_reid_risk",
+    "privacy_generalization_ladder",
+    "sample_token_waterfill",
+    # the r8 red row, fixed in r9 (17-digit canon), never driver-resampled:
+    "events_uplift_deciles",
+    # --- drift re-checks (24): the stalest driver-green entries. 7 last
+    # checked in r3 (incl. the two rows-only approx contracts) and the
+    # ANN/dedup pair family last checked in r4 -- also the round-10
+    # scale-curve subjects -- plus the two entries touched this round
+    # (sample_dsir_weights steady-state re-measure, top_k_sketched
+    # SpaceSaving driver-fold bound).
+    "raw_filter_project",
+    "raw_complex_filter",
+    "raw_regex_filter",
+    "group_all_metrics",
+    "group_by_event_type",
+    "count_distinct_users_approx",  # rows-only by declared contract
+    "distribution_quantile_approx",  # rows-only by declared contract
+    "sample_dsir_weights",
+    "top_k_sketched",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "dedup_semantic",
+    "dedup_embedding_pairs",
+    "dedup_embedding_pairs_quantized",
+    "dedup_embedding_pairs_exact_block",
+    "dedup_lsh_recall",
+    "ann_quantized_arrow",
+    "ann_quantized_topk",
+    "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_pq_topk",
+    # NOTE: the window is exactly 50 here. After r10 every registry entry
+    # has been inside at least one driver window; future rotations are
+    # new additions first, then stalest-green drift re-checks.
 ]
 
 
