@@ -398,6 +398,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+        # fill bytes — skip them (real-world encoders pad with them)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise JpegFormatError("truncated at fill bytes")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

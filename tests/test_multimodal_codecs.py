@@ -259,6 +259,38 @@ def test_jpeg_rejects_non_baseline():
         decode_jpeg(bytes(payload))
 
 
+def test_jpeg_skips_ff_fill_bytes():
+    # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    # bytes; real-world encoders pad with them (ADVICE r9). Injecting
+    # fill bytes before each table/frame marker must not change the
+    # decoded pixels.
+    import numpy as np
+
+    from bullet_storm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    payload = encode_jpeg(_smooth(16, 16), quality=85)
+    base = decode_jpeg(payload)
+    padded = bytearray(payload[:2])
+    pos = 2
+    # walk the marker stream up to SOS and insert fill bytes before each
+    # marker; after SOS copy verbatim (entropy-coded data must not change)
+    import struct as _struct
+
+    while pos < len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        padded += b"\xff\xff\xff" + payload[pos : pos + 2]
+        pos += 2
+        if marker == 0xDA:  # SOS: the rest is entropy data + EOI
+            padded += payload[pos:]
+            break
+        (seglen,) = _struct.unpack(">H", payload[pos : pos + 2])
+        padded += payload[pos : pos + seglen]
+        pos += seglen
+    out = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)
+
+
 def _smooth(h, w):
     import numpy as np
 
