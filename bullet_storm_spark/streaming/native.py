@@ -989,9 +989,14 @@ def stream_transitions(stream_df: DataFrame):
     that respect per-user event-time order (in-batch disorder is fine —
     each batch sorts on (us, event_id) before pairing) and summing the
     emitted deltas reproduces the batch ``transition_matrix`` counts
-    exactly. Cross-batch LATE arrivals pair in arrival order — the
-    standard stateful-streaming caveat; front the operator with a
-    watermark if the source reorders across batches. Bounded state: one
+    exactly. Cross-batch LATE arrivals — events whose (us, event_id)
+    order key is at or before the carried state's — would pair in the
+    wrong order, so they are DROPPED from pairing and surfaced as one
+    ``(user_id, '__late__', '__late__', n_dropped)`` marker row per
+    batch (ADVICE r9: the stored order key now enforces the contract it
+    exists to order against; downstream sums can filter or alert on the
+    marker). Front the operator with a watermark if the source reorders
+    across batches and late loss matters. Bounded state: one
     (string, long, long) row per user, regardless of history length."""
     import pandas as pd
 
@@ -1007,9 +1012,18 @@ def stream_transitions(stream_df: DataFrame):
         batch = batch.sort_values(
             ["us", "event_id"], kind="mergesort"
         ).reset_index(drop=True)
+        n_late = 0
         seq = list(batch["event_type"])
         if state.exists:
             last_type, last_us, last_id = state.get
+            if len(batch):
+                fresh = (batch["us"] > last_us) | (
+                    (batch["us"] == last_us) & (batch["event_id"] > last_id)
+                )
+                n_late = int((~fresh).sum())
+                if n_late:
+                    batch = batch[fresh].reset_index(drop=True)
+                    seq = list(batch["event_type"])
             seq = [last_type] + seq
         counts: dict = {}
         for a, b in zip(seq, seq[1:]):
@@ -1022,6 +1036,8 @@ def stream_transitions(stream_df: DataFrame):
         out = [
             (key[0], a, b, c) for (a, b), c in sorted(counts.items())
         ]
+        if n_late:
+            out.append((key[0], "__late__", "__late__", n_late))
         yield pd.DataFrame(
             out, columns=["user_id", "from_type", "to_type", "cnt"]
         )

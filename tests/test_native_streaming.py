@@ -950,3 +950,68 @@ def test_stream_transitions_fold_equals_batch_matrix(spark, tmp_path):
     got = entropy_rate(batch_df).collect()[0]
     assert got.n_transitions == n
     assert math.isclose(got.entropy_rate, float(-s), abs_tol=1e-9)
+
+
+def test_stream_transitions_flags_and_drops_cross_batch_late(spark, tmp_path):
+    """A second batch carrying events at or before the stored
+    (us, event_id) order key must NOT pair them in arrival order
+    (the r9 silent caveat): they are dropped from pairing and surfaced
+    as one (user, '__late__', '__late__', n) marker row, and the
+    remaining folded counts equal the batch matrix over the fresh
+    events only."""
+    import os
+
+    from bullet_storm_spark.operators.behavior import transition_matrix
+    from bullet_storm_spark.streaming.native import stream_transitions
+
+    schema = "event_id long, user_id long, event_type string, ts_ns long"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def _drop(i, chunk):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"c{i}.parquet"))
+
+    ns = 1_000_000_000
+    first = [
+        (0, 7, "view", 0),
+        (1, 7, "click", 1 * ns),
+        (2, 7, "view", 2 * ns),
+    ]
+    # two late events (ts before the stored last=2s) + two fresh ones
+    second = [
+        (10, 7, "purchase", 1 * ns),  # late
+        (11, 7, "share", 0),  # late
+        (12, 7, "click", 3 * ns),
+        (13, 7, "purchase", 4 * ns),
+    ]
+    _drop(0, first)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("transitions_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _drop(1, second)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded = {}
+    for r in spark.table("transitions_late").collect():
+        folded[(r.from_type, r.to_type)] = (
+            folded.get((r.from_type, r.to_type), 0) + r.cnt
+        )
+    assert folded.pop(("__late__", "__late__")) == 2
+    fresh_rows = first + second[2:]
+    batch = {
+        (r.from_type, r.to_type): r.cnt
+        for r in transition_matrix(spark.createDataFrame(fresh_rows, schema)).collect()
+    }
+    assert folded == batch
