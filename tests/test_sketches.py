@@ -65,6 +65,46 @@ def test_top_k_sketch_tree_merge_equals_flat(spark):
     assert all(r.cnt_error == 0 for r in tree)
 
 
+def test_fold_schedule_bounds_driver_and_per_task_fanin():
+    # VERDICT r9 item 5: the tree fold must end at <= fanin partitions
+    # (driver collect O(fanin x capacity) rows) AND every level must merge
+    # <= fanin sources per task (a single level keyed __part % fanin would
+    # make one task fold N/fanin sketches serially at 10^5 partitions).
+    from bullet_storm_spark.operators.sketches import _fold_schedule
+
+    import pytest
+
+    for nparts in (1, 3, 64, 65, 100, 4096, 100_000, 1_000_000):
+        for fanin in (2, 3, 16, 64):
+            sched = _fold_schedule(nparts, fanin)
+            prev = nparts
+            for level in sched:
+                # per-task fan-in = ceil(prev / level) <= fanin
+                assert -(-prev // level) <= fanin, (nparts, fanin, sched)
+                assert level < prev
+                prev = level
+            final = sched[-1] if sched else nparts
+            assert final <= fanin, (nparts, fanin, sched)
+    assert _fold_schedule(64, 64) == []
+    assert _fold_schedule(100_000, 64) == [1563, 25]
+    with pytest.raises(ValueError):
+        _fold_schedule(10, 1)
+
+
+def test_top_k_sketch_multilevel_tree(spark):
+    # 32 source partitions with fanin 3 forces MULTIPLE fold levels
+    # (32 -> 11 -> 4 -> 2); exactness must survive the deeper tree when
+    # capacity exceeds cardinality.
+    rows = [(f"k{i % 23}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "x string").repartition(32)
+    out = top_k_sketch(df, {"x": ""}, k=23, name="cnt", capacity=256,
+                       fanin=3).collect()
+    got = {r.x: r.cnt for r in out}
+    true = {f"k{j}": len([i for i in range(3000) if i % 23 == j]) for j in range(23)}
+    assert got == true
+    assert all(r.cnt_error == 0 for r in out)
+
+
 def test_top_k_sketch_tree_merge_floor_invariants(spark):
     # capacity << cardinality: truncation happens at the partition level,
     # the intermediate merge level, and the driver merge. The SpaceSaving
