@@ -96,11 +96,23 @@ def _qround_sql(e: str, digits: int) -> str:
     double→VARCHAR→DECIMAL→VARCHAR→DOUBLE is exact/correctly-rounded at
     every step, so the oracle reproduces Spark's rounding bit-for-bit on
     any DuckDB build. Only for double operands (decimal ROUND is already
-    exact in both engines); NULL propagates, NaN/Inf must be impossible
-    upstream (this repo's _div/NULLIF conventions yield NULL, not NaN)."""
+    exact in both engines); NULL propagates (ABS(NULL) >= 1e16 is NULL,
+    so the CASE falls to the hop, which propagates NULL).
+
+    Large-magnitude bypass (advisor r9): DuckDB's VARCHAR→DECIMAL(38,d)
+    parse RAISES on overflow (|x| >= 10^(38-d)) or NaN/Inf rather than
+    returning a value, so an unbounded operand (MIN/MAX profiles, sums)
+    would turn an oracle comparison into a hard query error. Every
+    double with |x| >= 2^52 is integer-valued, so Spark's
+    BigDecimal.setScale(d >= 0, HALF_UP) is the identity there — the
+    oracle can return x directly for |x| >= 1e16 (> 2^53) with
+    bit-identical results and no DECIMAL hop to overflow. The same
+    branch absorbs NaN/Inf (DuckDB orders NaN above all values; Spark's
+    Round returns NaN/Inf unchanged)."""
     return (
+        f"CASE WHEN ABS({e}) >= 1e16 THEN CAST(({e}) AS DOUBLE) ELSE "
         f"CAST(CAST(CAST(CAST(({e}) * CAST(ABS({e}) >= POWER(10.0, -({digits}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{digits})) "
-        f"AS VARCHAR) AS DOUBLE)"
+        f"AS VARCHAR) AS DOUBLE) END"
     )
 
 
