@@ -23,10 +23,19 @@ fan-out (SURVEY.md §4 row 1 / §7.3 known-hard #1) as Catalyst plans.
 Shareable: GROUP ALL / GROUP BY, TOP K, DISTRIBUTION PMF/CDF — anything
 whose partial is a (possibly keyless) hash aggregation; their per-member
 match count doubles as the record-consumption metric, so they stay
-shareable under rate limits. Not shareable: RAW (limit semantics),
-QUANTILE (value-sample partials), record-window queries (emission timing
-is per-query), and COUNT DISTINCT under a rate limit (its sketch partial
-carries no per-member count) — those run on the per-query path.
+shareable under rate limits. RAW fleets (the reference's most common
+query shape, ``T/JoinBoltTest.java:340-351`` makeRawQuery) share ONE
+mapInPandas pass per <=MAX_RAW_MEMBERS_PER_JOB members: every member's
+filter and projection evaluate JVM-side into a nullable struct column,
+rows matching no member are dropped JVM-side, and the Python stage only
+caps each member at its limit per partition (bounded output:
+partitions x sum(limits) rows; bounded memory: one Arrow batch). The
+member's CURRENT remaining capacity is applied driver-side at split
+time so the cached batch-independent plan survives capacity decay.
+Not shareable: QUANTILE (value-sample partials), record-window queries
+(emission timing is per-query), and COUNT DISTINCT under a rate limit
+(its sketch partial carries no per-member count) — those run on the
+per-query path.
 """
 
 from __future__ import annotations
@@ -48,6 +57,7 @@ from bullet_storm_spark.streaming.state import (
     CountDistinctState,
     DistributionState,
     GroupState,
+    RawState,
     TopKState,
 )
 
@@ -57,6 +67,12 @@ def is_shareable(rq, rate_limited: bool) -> bool:
         return False
     state = rq.state
     if isinstance(state, (GroupState, TopKState)):
+        return True
+    if isinstance(state, RawState):
+        # shipped rows ARE the consumed records for RAW, and the shared
+        # pass ships exactly the per-query path's rows (capped at the
+        # remaining capacity at split time) — accounting is identical
+        # under a rate limit too
         return True
     if isinstance(state, DistributionState):
         return state.agg.dist_type != DistributionType.QUANTILE
@@ -256,6 +272,106 @@ def _add_agg_cols(member: _Member, state, rq, resolve, job: _Job) -> None:
 # ALLs in one plan ran slower than 93 small jobs)
 MAX_MEMBERS_PER_JOB = 16
 
+# RAW members per shared pass: the pre-select is one struct + no agg
+# expressions per member (far cheaper to analyze than an agg chunk), so
+# the cap is looser; it bounds the Arrow row width of the Python stage
+MAX_RAW_MEMBERS_PER_JOB = 64
+
+
+@dataclass
+class RawChunkPlan:
+    """One shared RAW pass's batch-independent pieces: per member i a
+    nullable struct column ``m{i}`` (the member's projection, null unless
+    its filter matches), the per-partition cap (the member's FULL limit —
+    an upper bound of its remaining capacity, so the plan is reusable
+    across batches while capacity decays), and the member queries for
+    split-time capping."""
+
+    pre_cols: list
+    caps: list[int]
+    rqs: list[Any]
+
+
+def _plan_raw_chunks(raw_queries) -> list[RawChunkPlan]:
+    chunks: list[RawChunkPlan] = []
+    for start in range(0, len(raw_queries), MAX_RAW_MEMBERS_PER_JOB):
+        members = raw_queries[start : start + MAX_RAW_MEMBERS_PER_JOB]
+        pre_cols, caps = [], []
+        for i, rq in enumerate(members):
+            q = rq.query
+            fcol = q.filter.to_column() if q.filter is not None else F.lit(True)
+            if q.projection.fields is not None:
+                payload = F.struct(
+                    *[
+                        f.expression.to_column().alias(f.name)
+                        for f in q.projection.fields
+                    ]
+                )
+            else:
+                payload = F.struct("*")  # pass-through projection
+            pre_cols.append(F.when(fcol, payload).alias(f"m{i}"))
+            caps.append(rq.state.size)
+        chunks.append(RawChunkPlan(pre_cols, caps, list(members)))
+    return chunks
+
+
+def _run_raw_chunk(batch_df: DataFrame, cp: RawChunkPlan) -> list[list[dict]]:
+    """Execute one shared RAW pass; returns per-member partial row lists
+    capped at each member's CURRENT remaining capacity (read at call
+    time, like RawState.partial's per-batch limit)."""
+    import pandas as pd
+
+    n = len(cp.rqs)
+    names = [f"m{i}" for i in range(n)]
+    pre = batch_df.select(*cp.pre_cols)
+    # rows matching no member never leave the JVM
+    from functools import reduce
+
+    alive = pre.where(
+        reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in names])
+    )
+    caps = list(cp.caps)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("member", IntegerType(), False)] + list(alive.schema.fields)
+    )
+
+    def take_first(pdfs):
+        remaining = list(caps)
+        for pdf in pdfs:
+            if not any(remaining):
+                break
+            frames = []
+            for i, col in enumerate(names):
+                if remaining[i] <= 0:
+                    continue
+                hits = pdf[col].dropna()
+                if not len(hits):
+                    continue
+                take = hits.iloc[: remaining[i]]
+                remaining[i] -= len(take)
+                frame = pd.DataFrame(
+                    {"member": [i] * len(take)}
+                    | {c: [None] * len(take) for c in names}
+                )
+                frame[col] = take.to_list()
+                frames.append(frame)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    rows = alive.mapInPandas(take_first, out_schema).collect()
+    result: list[list[dict]] = [[] for _ in range(n)]
+    room = [
+        max(rq.state.size - len(rq.state.records), 0) for rq in cp.rqs
+    ]
+    for row in rows:
+        i = row["member"]
+        if len(result[i]) < room[i]:
+            payload = row[f"m{i}"]
+            result[i].append(payload.asDict() if payload is not None else {})
+    return result
+
 
 @dataclass
 class ChunkPlan:
@@ -273,13 +389,16 @@ class ChunkPlan:
     members: list[_Member]
 
 
-def plan_chunks(queries) -> list[ChunkPlan]:
+def plan_chunks(queries) -> list:
     """plan_jobs + MAX_MEMBERS_PER_JOB chunking + per-chunk column
-    pruning, as cacheable batch-independent plans. The engine caches the
-    result keyed on the fleet identity and rebuilds only when a query is
-    added or finishes."""
-    chunks: list[ChunkPlan] = []
-    for job in plan_jobs(queries):
+    pruning, as cacheable batch-independent plans (ChunkPlan for the
+    aggregation families, RawChunkPlan for RAW fleets). The engine caches
+    the result keyed on the fleet identity and rebuilds only when a query
+    is added or finishes."""
+    raw = [rq for rq in queries if isinstance(rq.state, RawState)]
+    agg = [rq for rq in queries if not isinstance(rq.state, RawState)]
+    chunks: list = list(_plan_raw_chunks(raw))
+    for job in plan_jobs(agg):
         for start in range(0, len(job.members), MAX_MEMBERS_PER_JOB):
             members = job.members[start : start + MAX_MEMBERS_PER_JOB]
             needed_values = {
@@ -310,8 +429,11 @@ def shared_partials(
     result: dict[str, list[dict[str, Any]]] = {rq.id: [] for rq in queries}
     if chunks is None:
         chunks = plan_chunks(queries)
-    bound: list[tuple[Any, list[_Member]]] = []
+    bound: list = []
     for cp in chunks:
+        if isinstance(cp, RawChunkPlan):
+            bound.append(cp)
+            continue
         pre = batch_df.select(*cp.pre_cols)
         if cp.key_names:
             out = pre.groupBy(*[F.col(k) for k in cp.key_names]).agg(*cp.aggs)
@@ -320,6 +442,8 @@ def shared_partials(
         bound.append((out, cp.members))
 
     def run(chunk):
+        if isinstance(chunk, RawChunkPlan):
+            return _run_raw_chunk(batch_df, chunk), chunk
         out, members = chunk
         return [r.asDict() for r in out.collect()], members
 
@@ -329,6 +453,10 @@ def shared_partials(
     else:
         computed = [run(bound[0])] if bound else []
     for rows, members in computed:
+        if isinstance(members, RawChunkPlan):
+            for rq, member_rows in zip(members.rqs, rows):
+                result[rq.id] = member_rows
+            continue
         for row in rows:
             for m in members:
                 if m.keyed and not row.get(f"{m.prefix}match"):
