@@ -395,7 +395,7 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REVENUE_BY_NATION_SQL = """
 SELECT n_name AS nation,
        COUNT(*) AS order_cnt,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS revenue
+       CASE WHEN ABS(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) >= 1e16 THEN CAST((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) END AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -428,7 +428,7 @@ def _top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_ORDERS_SQL = """
 SELECT o_orderkey AS orderkey,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(4+1)) AS INT) AS VARCHAR) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
+       CASE WHEN ABS(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) >= 1e16 THEN CAST((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(4+1)) AS INT) AS VARCHAR) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) END AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'O'
@@ -461,7 +461,7 @@ def _region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGION_NATION_SQL = """
 SELECT r_name AS region,
        COUNT(*) AS suppliers,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_acctbal
+       CASE WHEN ABS(CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)) >= 1e16 THEN CAST((CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) END AS total_acctbal
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -3241,7 +3241,7 @@ _RANGE_JOIN_SQL = (
     "WITH bands(band, lo, hi) AS (VALUES "
     + ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _VALUE_BANDS)
     + ") SELECT band, COUNT(*) AS cnt, "
-    "CAST(CAST(CAST(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value "
+    "CASE WHEN ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= 1e16 THEN CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) END AS sum_value "
     "FROM events JOIN bands ON value >= lo AND value < hi "
     "GROUP BY band ORDER BY band"
 )
@@ -3342,9 +3342,9 @@ def _win_type_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_RANK_SQL = (
     "SELECT event_type, user_id, rev, CAST(rnk AS INTEGER) AS rnk FROM ("
     "SELECT event_type, user_id, "
-    "CAST(CAST(CAST(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS rev, "
+    "CASE WHEN ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= 1e16 THEN CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) END AS rev, "
     "row_number() OVER (PARTITION BY event_type "
-    "ORDER BY CAST(CAST(CAST(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) DESC, "
+    "ORDER BY CASE WHEN ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= 1e16 THEN CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) END DESC, "
     "user_id ASC) AS rnk "
     "FROM events GROUP BY event_type, user_id) "
     "WHERE rnk <= 3 ORDER BY event_type, rnk"
@@ -3513,7 +3513,7 @@ def _bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_JOIN_SQL = """
 SELECT c.c_custkey, c.c_name, COUNT(*)::BIGINT AS order_cnt,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) >= 1e16 THEN CAST((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) END
          AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_nationkey = 7
@@ -3699,7 +3699,7 @@ def _salted_join_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_JOIN_SQL = """
 SELECT p_brand, COUNT(*) AS cnt,
        (SUM(CAST(l_quantity AS DECIMAL(38,6))))::DOUBLE AS sum_qty,
-       CAST(CAST(CAST(CAST(((SUM(CAST(l_extendedprice AS DECIMAL(38,6))))::DOUBLE) * CAST(ABS((SUM(CAST(l_extendedprice AS DECIMAL(38,6))))::DOUBLE) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
+       CASE WHEN ABS((SUM(CAST(l_extendedprice AS DECIMAL(38,6))))::DOUBLE) >= 1e16 THEN CAST(((SUM(CAST(l_extendedprice AS DECIMAL(38,6))))::DOUBLE) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((SUM(CAST(l_extendedprice AS DECIMAL(38,6))))::DOUBLE) * CAST(ABS((SUM(CAST(l_extendedprice AS DECIMAL(38,6))))::DOUBLE) >= POWER(10.0, -(2+1)) AS INT) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) END AS sum_price
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand
 """
@@ -3726,9 +3726,9 @@ def _salted_group_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SALTED_GROUP_SQL = """
 SELECT event_type, COUNT(*) AS cnt,
-       CAST(CAST(CAST(CAST(((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE) * CAST(ABS((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_value,
+       CASE WHEN ABS((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE) >= 1e16 THEN CAST(((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE) * CAST(ABS((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS sum_value,
        MIN(value) AS min_value, MAX(value) AS max_value,
-       CAST(CAST(CAST(CAST(((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE / COUNT(value)) * CAST(ABS((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE / COUNT(value)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE / COUNT(value)) >= 1e16 THEN CAST(((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE / COUNT(value)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE / COUNT(value)) * CAST(ABS((SUM(CAST(value AS DECIMAL(38,6))))::DOUBLE / COUNT(value)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END
          AS avg_value
 FROM events GROUP BY event_type ORDER BY event_type
 """

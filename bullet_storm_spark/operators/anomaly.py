@@ -163,8 +163,8 @@ __hours AS (
   FROM __spine s LEFT JOIN __observed o ON s.key = o.key AND s.hour = o.hour
 ),
 __stats AS (
-  SELECT key, CAST(CAST(CAST(CAST((AVG(cnt)) * CAST(ABS(AVG(cnt)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mu,
-         CAST(CAST(CAST(CAST((sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) * CAST(ABS(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sd
+  SELECT key, CASE WHEN ABS(AVG(cnt)) >= 1e16 THEN CAST((AVG(cnt)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((AVG(cnt)) * CAST(ABS(AVG(cnt)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS mu,
+         CASE WHEN ABS(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) >= 1e16 THEN CAST((sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) * CAST(ABS(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS sd
   FROM __hours GROUP BY key
 ),
 __dev AS (
@@ -379,12 +379,12 @@ WITH __b AS (
   SELECT {key_col} AS key, CAST({value_col} AS DOUBLE) AS v FROM {table}
 ),
 __med AS (
-  SELECT key, CAST(CAST(CAST(CAST((quantile_cont(v, 0.5)) * CAST(ABS(quantile_cont(v, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS med,
+  SELECT key, CASE WHEN ABS(quantile_cont(v, 0.5)) >= 1e16 THEN CAST((quantile_cont(v, 0.5)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(v, 0.5)) * CAST(ABS(quantile_cont(v, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS med,
          COUNT(*)::BIGINT AS n
   FROM __b GROUP BY key
 ),
 __mad AS (
-  SELECT b.key, CAST(CAST(CAST(CAST((quantile_cont(abs(b.v - m.med), 0.5)) * CAST(ABS(quantile_cont(abs(b.v - m.med), 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mad
+  SELECT b.key, CASE WHEN ABS(quantile_cont(abs(b.v - m.med), 0.5)) >= 1e16 THEN CAST((quantile_cont(abs(b.v - m.med), 0.5)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(abs(b.v - m.med), 0.5)) * CAST(ABS(quantile_cont(abs(b.v - m.med), 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS mad
   FROM __b b JOIN __med m ON b.key = m.key GROUP BY b.key
 ),
 __f AS (
@@ -394,10 +394,10 @@ __f AS (
   FROM __b b JOIN __med m ON b.key = m.key JOIN __mad d ON b.key = d.key
 )
 SELECT key, ANY_VALUE(n) AS n,
-       CAST(CAST(CAST(CAST((ANY_VALUE(med)) * CAST(ABS(ANY_VALUE(med)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS med,
-       CAST(CAST(CAST(CAST((ANY_VALUE(mad)) * CAST(ABS(ANY_VALUE(mad)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mad,
+       CASE WHEN ABS(ANY_VALUE(med)) >= 1e16 THEN CAST((ANY_VALUE(med)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((ANY_VALUE(med)) * CAST(ABS(ANY_VALUE(med)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS med,
+       CASE WHEN ABS(ANY_VALUE(mad)) >= 1e16 THEN CAST((ANY_VALUE(mad)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((ANY_VALUE(mad)) * CAST(ABS(ANY_VALUE(mad)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS mad,
        CAST(SUM(is_out) AS BIGINT) AS n_outliers,
-       CAST(CAST(CAST(CAST((CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n)) * CAST(ABS(CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n)) >= 1e16 THEN CAST((CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n)) * CAST(ABS(CAST(SUM(is_out) AS DOUBLE) / ANY_VALUE(n)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS outlier_rate
 FROM __f GROUP BY key ORDER BY key
 """
@@ -479,8 +479,8 @@ __cells AS (
   FROM __counts c CROSS JOIN __tot t
 )
 SELECT n_a, n_b, n_cats,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST(((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) * CAST(ABS((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
-         AS DECIMAL(38,9))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST(((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) * CAST(ABS((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+       CAST(CAST(CAST(CAST((CAST(SUM(CAST(CASE WHEN ABS((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) >= 1e16 THEN CAST(((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) * CAST(ABS((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END
+         AS DECIMAL(38,9))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CASE WHEN ABS((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) >= 1e16 THEN CAST(((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) * CAST(ABS((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END
          AS DECIMAL(38,9))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS chi2
 FROM __cells GROUP BY n_a, n_b, n_cats
 """
@@ -606,10 +606,10 @@ __p AS (
   FROM __dense d CROSS JOIN __tot t
 ),
 __terms AS (
-  SELECT bin, pa, pb, CAST(CAST(CAST(CAST(((pa - pb) * ln(pa / pb)) * CAST(ABS((pa - pb) * ln(pa / pb)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS term FROM __p
+  SELECT bin, pa, pb, CASE WHEN ABS((pa - pb) * ln(pa / pb)) >= 1e16 THEN CAST(((pa - pb) * ln(pa / pb)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((pa - pb) * ln(pa / pb)) * CAST(ABS((pa - pb) * ln(pa / pb)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS term FROM __p
 )
-SELECT bin, CAST(CAST(CAST(CAST((pa) * CAST(ABS(pa) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_a, CAST(CAST(CAST(CAST((pb) * CAST(ABS(pb) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_b,
-       CAST(CAST(CAST(CAST((term) * CAST(ABS(term) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS psi_term,
+SELECT bin, CASE WHEN ABS(pa) >= 1e16 THEN CAST((pa) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((pa) * CAST(ABS(pa) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS p_a, CASE WHEN ABS(pb) >= 1e16 THEN CAST((pb) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((pb) * CAST(ABS(pb) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS p_b,
+       CASE WHEN ABS(term) >= 1e16 THEN CAST((term) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((term) * CAST(ABS(term) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS psi_term,
        CAST(CAST(CAST(CAST((CAST((SELECT SUM(CAST(term AS DECIMAL(38,9))) FROM __terms)
              AS DOUBLE)) * CAST(ABS(CAST((SELECT SUM(CAST(term AS DECIMAL(38,9))) FROM __terms)
              AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS psi
@@ -721,8 +721,8 @@ __d AS (
   FROM __e GROUP BY dim
 )
 SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
-       CAST(CAST(CAST(CAST((SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb))) * CAST(ABS(SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cos_centroids,
-       CAST(CAST(CAST(CAST((sqrt(SUM((ma - mb) * (ma - mb)))) * CAST(ABS(sqrt(SUM((ma - mb) * (ma - mb)))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS l2_centroids
+       CASE WHEN ABS(SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb))) >= 1e16 THEN CAST((SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb))) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb))) * CAST(ABS(SUM(ma * mb) / sqrt(SUM(ma * ma)) / sqrt(SUM(mb * mb))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS cos_centroids,
+       CASE WHEN ABS(sqrt(SUM((ma - mb) * (ma - mb)))) >= 1e16 THEN CAST((sqrt(SUM((ma - mb) * (ma - mb)))) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sqrt(SUM((ma - mb) * (ma - mb)))) * CAST(ABS(sqrt(SUM((ma - mb) * (ma - mb)))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS l2_centroids
 FROM __d
 """
 
@@ -871,8 +871,8 @@ __h AS (
   FROM __spine s LEFT JOIN __o o ON s.key = o.key AND s.hour = o.hour
 ),
 __stats AS (
-  SELECT key, CAST(CAST(CAST(CAST((AVG(cnt)) * CAST(ABS(AVG(cnt)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mu,
-         CAST(CAST(CAST(CAST((sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) * CAST(ABS(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sd
+  SELECT key, CASE WHEN ABS(AVG(cnt)) >= 1e16 THEN CAST((AVG(cnt)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((AVG(cnt)) * CAST(ABS(AVG(cnt)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS mu,
+         CASE WHEN ABS(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) >= 1e16 THEN CAST((sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) * CAST(ABS(sqrt(AVG(cnt * cnt) - AVG(cnt) * AVG(cnt))) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS sd
   FROM __h GROUP BY key
 ),
 __nb AS (

@@ -81,7 +81,16 @@ def sessionize(
 
 
 def sessionize_sql(table: str, gap_minutes: int = 30, round_to: int = 6) -> str:
+    from bullet_storm_spark.operators.stats_tests import _qround_sql
+
     gap_us = int(gap_minutes) * 60_000_000
+    # twin of F.round(F.sum(F.round(value, 6).cast(decimal(38,6)))
+    # .cast(double), round_to): per-value exact 6dp round, decimal-exact
+    # sum, one exact final round
+    total_value = _qround_sql(
+        f"CAST(SUM(CAST({_qround_sql('value', 6)} AS DECIMAL(38,6))) AS DOUBLE)",
+        round_to,
+    )
     return f"""
 WITH __e AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us FROM {table}
@@ -103,7 +112,7 @@ __sess AS (
 SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
        MIN(us) AS start_us, MAX(us) AS end_us,
        MAX(us) - MIN(us) AS duration_us,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST((value) * CAST(ABS(value) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST((value) * CAST(ABS(value) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS total_value
+       {total_value} AS total_value
 FROM __sess GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
 """
@@ -219,7 +228,7 @@ def funnel_sql(
 WITH {', '.join(ctes)},
 __stages AS ({union})
 SELECT stage_idx, stage, n_users,
-       CAST(CAST(CAST(CAST((n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1)) * CAST(ABS(n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS conversion
+       CASE WHEN ABS(n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1)) >= 1e16 THEN CAST((n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1)) * CAST(ABS(n_users / (SELECT n_users FROM __stages WHERE stage_idx = 1)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS conversion
 FROM __stages
 WHERE n_users > 0  -- stages nobody reaches are omitted (Spark groupBy shape)
 ORDER BY stage_idx
@@ -277,7 +286,7 @@ __active AS (
   GROUP BY f.cohort_day, e.day - f.cohort_day
 )
 SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
-       CAST(CAST(CAST(CAST((a.n_active / s.cohort_size) * CAST(ABS(a.n_active / s.cohort_size) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS retention
+       CASE WHEN ABS(a.n_active / s.cohort_size) >= 1e16 THEN CAST((a.n_active / s.cohort_size) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((a.n_active / s.cohort_size) * CAST(ABS(a.n_active / s.cohort_size) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS retention
 FROM __active a JOIN __sizes s ON a.cohort_day = s.cohort_day
 ORDER BY a.cohort_day, a.day_offset
 """
@@ -396,7 +405,7 @@ __totals AS (
   SELECT from_type, SUM(cnt) AS total FROM __counts GROUP BY from_type
 )
 SELECT c.from_type, c.to_type, c.cnt,
-       CAST(CAST(CAST(CAST((c.cnt / t.total) * CAST(ABS(c.cnt / t.total) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS prob
+       CASE WHEN ABS(c.cnt / t.total) >= 1e16 THEN CAST((c.cnt / t.total) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((c.cnt / t.total) * CAST(ABS(c.cnt / t.total) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS prob
 FROM __counts c JOIN __totals t ON c.from_type = t.from_type
 ORDER BY c.from_type, c.to_type
 """
@@ -1148,7 +1157,7 @@ __pp AS (
   FROM __sc
 )
 SELECT prev_type, n_test, n_correct,
-       CAST(CAST(CAST(CAST((CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0)) * CAST(ABS(CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0)) >= 1e16 THEN CAST((CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0)) * CAST(ABS(CAST(n_correct AS DOUBLE) / NULLIF(n_test, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS accuracy
 FROM __pp ORDER BY prev_type
 """
@@ -1249,7 +1258,7 @@ __a AS (
 SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
        z.cohort_size, a.n_active,
        {_d2d_sql(cum)} AS cum_value,
-       CAST(CAST(CAST(CAST(({_d2d_sql(cum)} / z.cohort_size) * CAST(ABS({_d2d_sql(cum)} / z.cohort_size) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ltv_per_user
+       CASE WHEN ABS({_d2d_sql(cum)} / z.cohort_size) >= 1e16 THEN CAST(({_d2d_sql(cum)} / z.cohort_size) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({_d2d_sql(cum)} / z.cohort_size) * CAST(ABS({_d2d_sql(cum)} / z.cohort_size) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS ltv_per_user
 FROM __a a JOIN __sz z ON a.cohort_day = z.cohort_day
 ORDER BY a.cohort_day, a.day_offset
 """
@@ -1410,7 +1419,7 @@ def rfm_segments_sql(table: str, round_to: int = 6) -> str:
 WITH __per AS (
   SELECT user_id, MAX(epoch_us(ts)) AS last_us,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(CAST(CAST(CAST(CAST((value) * CAST(ABS(value) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,12))
+         CAST(SUM(CAST(CASE WHEN ABS(value) >= 1e16 THEN CAST((value) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((value) * CAST(ABS(value) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS DECIMAL(38,6))) AS DECIMAL(38,12))
            AS m
   FROM {table} GROUP BY user_id
 ),
@@ -1429,7 +1438,7 @@ __s AS (
   FROM __b
 )
 SELECT user_id, r_hours, frequency,
-       CAST(CAST(CAST(CAST((CAST(CAST(m AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(m AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS monetary,
+       CASE WHEN ABS(CAST(CAST(m AS VARCHAR) AS DOUBLE)) >= 1e16 THEN CAST((CAST(CAST(m AS VARCHAR) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(CAST(m AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(m AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS monetary,
        CAST(r_score AS INTEGER) AS r_score,
        CAST(f_score AS INTEGER) AS f_score,
        CAST(m_score AS INTEGER) AS m_score,

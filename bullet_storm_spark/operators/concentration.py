@@ -297,7 +297,7 @@ __a AS (
   FROM __r
 )
 SELECT n_keys, CAST(s0 AS BIGINT) AS n_events,
-       CAST(CAST(CAST(CAST(({num} / {den}) * CAST(ABS({num} / {den}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS gini,
+       CASE WHEN ABS({num} / {den}) >= 1e16 THEN CAST(({num} / {den}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({num} / {den}) * CAST(ABS({num} / {den}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS gini,
        CAST(CAST(CAST(CAST(({_d2d_sql('tp')} / {_d2d_sql('s0')}) * CAST(ABS({_d2d_sql('tp')} / {_d2d_sql('s0')}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
          AS top_decile_share
 FROM __a

@@ -656,9 +656,9 @@ __r AS (
   FROM __m
 )
 SELECT n,
-       CAST(CAST(CAST(CAST((rxy) * CAST(ABS(rxy) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS r_xy,
-       CAST(CAST(CAST(CAST((rxz) * CAST(ABS(rxz) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS r_xz,
-       CAST(CAST(CAST(CAST((ryz) * CAST(ABS(ryz) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS r_yz,
+       CASE WHEN ABS(rxy) >= 1e16 THEN CAST((rxy) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((rxy) * CAST(ABS(rxy) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS r_xy,
+       CASE WHEN ABS(rxz) >= 1e16 THEN CAST((rxz) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((rxz) * CAST(ABS(rxz) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS r_xz,
+       CASE WHEN ABS(ryz) >= 1e16 THEN CAST((ryz) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((ryz) * CAST(ABS(ryz) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS r_yz,
        CAST(CAST(CAST(CAST(((rxy - rxz * ryz)
              / NULLIF(sqrt(GREATEST(1.0 - rxz * rxz, 0.0)
                            * GREATEST(1.0 - ryz * ryz, 0.0)), 0.0)) * CAST(ABS((rxy - rxz * ryz)

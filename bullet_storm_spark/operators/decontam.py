@@ -240,7 +240,7 @@ def fuzzy_contamination_sql(
 WITH __fz_corpus AS ({banded(table, id_col, text_col)}
 ), __fz_bench AS ({banded(bench_table, bench_id_col, bench_text_col)}
 ), __fz_hits AS (
-  SELECT c.id AS hid, MAX(CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)) AS maxjac
+  SELECT c.id AS hid, MAX(CASE WHEN ABS({jac}) >= 1e16 THEN CAST(({jac}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END) AS maxjac
   FROM __fz_corpus c JOIN __fz_bench b ON c.band = b.band AND c.bh = b.bh
   GROUP BY c.id
 )

@@ -735,11 +735,11 @@ WITH base AS (
   SELECT {id_col} AS id, {sh} AS sh FROM {table}
 ), nonempty AS (SELECT * FROM base WHERE len(sh) > 0)
 SELECT l.id AS id_a, r.id AS id_b,
-       CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS containment,
+       CASE WHEN ABS({cont}) >= 1e16 THEN CAST(({cont}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS containment,
        CAST(len(l.sh) AS INTEGER) AS size_a,
        CAST(len(r.sh) AS INTEGER) AS size_b
 FROM nonempty l JOIN nonempty r ON l.id < r.id
-WHERE CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) >= {threshold}
+WHERE CASE WHEN ABS({cont}) >= 1e16 THEN CAST(({cont}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -761,9 +761,9 @@ def ngram_jaccard_pairs_sql(
 WITH base AS (
   SELECT {id_col} AS id, {sh} AS sh FROM {table}
 ), nonempty AS (SELECT * FROM base WHERE len(sh) > 0)
-SELECT l.id AS id_a, r.id AS id_b, CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS jaccard
+SELECT l.id AS id_a, r.id AS id_b, CASE WHEN ABS({jac}) >= 1e16 THEN CAST(({jac}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS jaccard
 FROM nonempty l JOIN nonempty r ON l.id < r.id
-WHERE CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) >= {threshold}
+WHERE CASE WHEN ABS({jac}) >= 1e16 THEN CAST(({jac}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({jac}) * CAST(ABS({jac}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -1260,7 +1260,7 @@ lsh_pairs AS (SELECT id_a, id_b, 1 AS found FROM ({lsh}))
 SELECT COUNT(*) AS exact_pairs,
        CAST(SUM(COALESCE(found, 0)) AS BIGINT) AS lsh_found,
        CAST(SUM(CASE WHEN found IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missed,
-       CAST(CAST(CAST(CAST((SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) * CAST(ABS(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS recall
+       CASE WHEN ABS(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) >= 1e16 THEN CAST((SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) * CAST(ABS(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS recall
 FROM exact_pairs LEFT JOIN lsh_pairs USING (id_a, id_b)
 """
 
@@ -1394,7 +1394,7 @@ def lsh_s_curve_sql(
     r = num_hashes // bands
     rt = int(round_to)
     return f"""
-SELECT CAST(CAST(CAST(CAST((CAST(i AS DOUBLE) / {float(grid)!r}) * CAST(ABS(CAST(i AS DOUBLE) / {float(grid)!r}) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS similarity,
+SELECT CASE WHEN ABS(CAST(i AS DOUBLE) / {float(grid)!r}) >= 1e16 THEN CAST((CAST(i AS DOUBLE) / {float(grid)!r}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(i AS DOUBLE) / {float(grid)!r}) * CAST(ABS(CAST(i AS DOUBLE) / {float(grid)!r}) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) END AS similarity,
        CAST(CAST(CAST(CAST((1.0 - POWER(1.0 - POWER(CAST(i AS DOUBLE) / {float(grid)!r},
                                      {r}), {bands})) * CAST(ABS(1.0 - POWER(1.0 - POWER(CAST(i AS DOUBLE) / {float(grid)!r},
                                      {r}), {bands})) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS p_collision

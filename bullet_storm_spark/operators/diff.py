@@ -110,7 +110,7 @@ WITH __d AS ({diff}),
 __t AS (SELECT COUNT(*)::BIGINT AS t FROM {new_table})
 SELECT status, COUNT(*)::BIGINT AS n,
        CASE WHEN status <> 'removed'
-            THEN CAST(CAST(CAST(CAST((CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(__t.t)) * CAST(ABS(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(__t.t)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+            THEN CASE WHEN ABS(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(__t.t)) >= 1e16 THEN CAST((CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(__t.t)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(__t.t)) * CAST(ABS(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(__t.t)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END
             END AS pct_of_new
 FROM __d, __t GROUP BY status ORDER BY status
 """

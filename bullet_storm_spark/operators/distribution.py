@@ -168,7 +168,7 @@ def sql(agg: Distribution, base_sql: str, post: Sequence[PostAggregation]) -> st
     base = f"SELECT CAST({f} AS DOUBLE) AS v FROM ({base_sql}) WHERE {f} IS NOT NULL"
 
     def r(expr: str) -> str:
-        return f"CAST(CAST(CAST(CAST(({expr}) * CAST(ABS({expr}) >= POWER(10.0, -({rnd}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rnd})) AS VARCHAR) AS DOUBLE)" if rnd is not None else expr
+        return f"CASE WHEN ABS({expr}) >= 1e16 THEN CAST(({expr}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({expr}) * CAST(ABS({expr}) >= POWER(10.0, -({rnd}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rnd})) AS VARCHAR) AS DOUBLE) END" if rnd is not None else expr
 
     if agg.dist_type == DistributionType.QUANTILE:
         arms = [

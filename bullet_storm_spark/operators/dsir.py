@@ -165,7 +165,7 @@ __llr AS (
   SELECT g.id, g.b, l.llr FROM __g g LEFT JOIN __llr l USING (b)
 ), __sums AS (
   SELECT id, COUNT(b)::BIGINT AS n_grams,
-         CAST(CAST(CAST(CAST((COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0)) * CAST(ABS(COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS log_weight
+         CASE WHEN ABS(COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0)) >= 1e16 THEN CAST((COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0)) * CAST(ABS(COALESCE(CAST(SUM(CAST(llr AS DECIMAL(38,9))) AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS log_weight
   FROM __scored GROUP BY id
 )
 SELECT d.id AS {id_col}, COALESCE(s.n_grams, 0) AS n_grams,

@@ -161,14 +161,14 @@ __e AS (
   FROM __d
 )
 SELECT n_00, n_01, n_10, n_11,
-       CAST(CAST(CAST(CAST((CASE WHEN n_00 > 0 THEN m_00 END) * CAST(ABS(CASE WHEN n_00 > 0 THEN m_00 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_00,
-       CAST(CAST(CAST(CAST((CASE WHEN n_01 > 0 THEN m_01 END) * CAST(ABS(CASE WHEN n_01 > 0 THEN m_01 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_01,
-       CAST(CAST(CAST(CAST((CASE WHEN n_10 > 0 THEN m_10 END) * CAST(ABS(CASE WHEN n_10 > 0 THEN m_10 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_10,
-       CAST(CAST(CAST(CAST((CASE WHEN n_11 > 0 THEN m_11 END) * CAST(ABS(CASE WHEN n_11 > 0 THEN m_11 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_11,
-       CAST(CAST(CAST(CAST((CASE WHEN {ok} THEN est END) * CAST(ABS(CASE WHEN {ok} THEN est END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS did,
-       CAST(CAST(CAST(CAST((CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END) * CAST(ABS(CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CASE WHEN n_00 > 0 THEN m_00 END) >= 1e16 THEN CAST((CASE WHEN n_00 > 0 THEN m_00 END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_00 > 0 THEN m_00 END) * CAST(ABS(CASE WHEN n_00 > 0 THEN m_00 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS m_00,
+       CASE WHEN ABS(CASE WHEN n_01 > 0 THEN m_01 END) >= 1e16 THEN CAST((CASE WHEN n_01 > 0 THEN m_01 END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_01 > 0 THEN m_01 END) * CAST(ABS(CASE WHEN n_01 > 0 THEN m_01 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS m_01,
+       CASE WHEN ABS(CASE WHEN n_10 > 0 THEN m_10 END) >= 1e16 THEN CAST((CASE WHEN n_10 > 0 THEN m_10 END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_10 > 0 THEN m_10 END) * CAST(ABS(CASE WHEN n_10 > 0 THEN m_10 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS m_10,
+       CASE WHEN ABS(CASE WHEN n_11 > 0 THEN m_11 END) >= 1e16 THEN CAST((CASE WHEN n_11 > 0 THEN m_11 END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_11 > 0 THEN m_11 END) * CAST(ABS(CASE WHEN n_11 > 0 THEN m_11 END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS m_11,
+       CASE WHEN ABS(CASE WHEN {ok} THEN est END) >= 1e16 THEN CAST((CASE WHEN {ok} THEN est END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN {ok} THEN est END) * CAST(ABS(CASE WHEN {ok} THEN est END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS did,
+       CASE WHEN ABS(CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END) >= 1e16 THEN CAST((CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END) * CAST(ABS(CASE WHEN ({ok}) AND se2 > 0 THEN sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS se_did,
-       CAST(CAST(CAST(CAST((CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END) * CAST(ABS(CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS z
+       CASE WHEN ABS(CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END) >= 1e16 THEN CAST((CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END) * CAST(ABS(CASE WHEN ({ok}) AND se2 > 0 THEN est / sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS z
 FROM __e
 """
 
@@ -245,8 +245,8 @@ WITH __b AS (
   WHERE ({value_col}) IS NOT NULL
 ),
 __bd AS (
-  SELECT key, CAST(CAST(CAST(CAST((quantile_cont(v, {float(alpha)!r})) * CAST(ABS(quantile_cont(v, {float(alpha)!r})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS lo,
-         CAST(CAST(CAST(CAST((quantile_cont(v, {1.0 - float(alpha)!r})) * CAST(ABS(quantile_cont(v, {1.0 - float(alpha)!r})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS hi,
+  SELECT key, CASE WHEN ABS(quantile_cont(v, {float(alpha)!r})) >= 1e16 THEN CAST((quantile_cont(v, {float(alpha)!r})) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(v, {float(alpha)!r})) * CAST(ABS(quantile_cont(v, {float(alpha)!r})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS lo,
+         CASE WHEN ABS(quantile_cont(v, {1.0 - float(alpha)!r})) >= 1e16 THEN CAST((quantile_cont(v, {1.0 - float(alpha)!r})) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(v, {1.0 - float(alpha)!r})) * CAST(ABS(quantile_cont(v, {1.0 - float(alpha)!r})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS hi,
          COUNT(*)::BIGINT AS n
   FROM __b GROUP BY key
 ),
@@ -331,8 +331,8 @@ __d AS (
   FROM __m
 )
 SELECT n,
-       CAST(CAST(CAST(CAST((CASE WHEN n > 0 THEN mean END) * CAST(ABS(CASE WHEN n > 0 THEN mean END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean,
-       CAST(CAST(CAST(CAST((CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END) * CAST(ABS(CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CASE WHEN n > 0 THEN mean END) >= 1e16 THEN CAST((CASE WHEN n > 0 THEN mean END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n > 0 THEN mean END) * CAST(ABS(CASE WHEN n > 0 THEN mean END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS mean,
+       CASE WHEN ABS(CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END) >= 1e16 THEN CAST((CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END) * CAST(ABS(CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS sd,
        CAST(CAST(CAST(CAST((CASE WHEN n >= 2 AND var > 0 THEN
          ({float(z_alpha)!r} + {float(z_power)!r}) * sqrt(var)
@@ -746,8 +746,8 @@ def covariate_balance_sql(
         selects.append(
             f"SELECT '{name}' AS covariate, n_t_{name} AS n_t,"
             f" n_c_{name} AS n_c,"
-            f" CAST(CAST(CAST(CAST(({mt}) * CAST(ABS({mt}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_t,"
-            f" CAST(CAST(CAST(CAST(({mc}) * CAST(ABS({mc}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_c,"
+            f" CASE WHEN ABS({mt}) >= 1e16 THEN CAST(({mt}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({mt}) * CAST(ABS({mt}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS mean_t,"
+            f" CASE WHEN ABS({mc}) >= 1e16 THEN CAST(({mc}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({mc}) * CAST(ABS({mc}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS mean_c,"
             f" {smd} AS smd,"
             f" CAST(CASE WHEN abs({smd}) > 0.1 THEN 1 ELSE 0 END AS BIGINT)"
             f" AS flag FROM __m"
@@ -894,7 +894,7 @@ __k AS (
              THEN rank END)::BIGINT AS kstar
   FROM __r
 )
-SELECT test, p_num, p_den, CAST(CAST(CAST(CAST((p_value) * CAST(ABS(p_value) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_value, m, rank,
+SELECT test, p_num, p_den, CASE WHEN ABS(p_value) >= 1e16 THEN CAST((p_value) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((p_value) * CAST(ABS(p_value) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS p_value, m, rank,
        COALESCE(rank <= kstar, FALSE) AS rejected,
        CAST(CAST(CAST(CAST((CAST(kstar AS DOUBLE) * {float(alpha)!r} / 1000.0
              / CAST(m AS DOUBLE)) * CAST(ABS(CAST(kstar AS DOUBLE) * {float(alpha)!r} / 1000.0
@@ -1554,9 +1554,9 @@ __cum AS (
   FROM __terms
 )
 SELECT nk AS n, ns AS n_strata,
-       CAST(CAST(CAST(CAST((ate) * CAST(ABS(ate) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ate,
-       CAST(CAST(CAST(CAST((CASE WHEN se2 > 0 THEN sqrt(se2) END) * CAST(ABS(CASE WHEN se2 > 0 THEN sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS se,
-       CAST(CAST(CAST(CAST((CASE WHEN se2 > 0 THEN ate / sqrt(se2) END) * CAST(ABS(CASE WHEN se2 > 0 THEN ate / sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS z
+       CASE WHEN ABS(ate) >= 1e16 THEN CAST((ate) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((ate) * CAST(ABS(ate) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS ate,
+       CASE WHEN ABS(CASE WHEN se2 > 0 THEN sqrt(se2) END) >= 1e16 THEN CAST((CASE WHEN se2 > 0 THEN sqrt(se2) END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN se2 > 0 THEN sqrt(se2) END) * CAST(ABS(CASE WHEN se2 > 0 THEN sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS se,
+       CASE WHEN ABS(CASE WHEN se2 > 0 THEN ate / sqrt(se2) END) >= 1e16 THEN CAST((CASE WHEN se2 > 0 THEN ate / sqrt(se2) END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN se2 > 0 THEN ate / sqrt(se2) END) * CAST(ABS(CASE WHEN se2 > 0 THEN ate / sqrt(se2) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS z
 FROM __cum WHERE rn = 1
 """
 
@@ -1740,11 +1740,11 @@ __tail AS (
   FROM __perk p, __obs o
 )
 SELECT n_units, n_events, n_perm,
-       CAST(CAST(CAST(CAST((dobs) * CAST(ABS(dobs) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS d_obs,
+       CASE WHEN ABS(dobs) >= 1e16 THEN CAST((dobs) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((dobs) * CAST(ABS(dobs) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS d_obs,
        n_ge,
        CAST(1 + n_ge AS BIGINT) AS p_num,
        CAST(n_perm + 1 AS BIGINT) AS p_den,
-       CAST(CAST(CAST(CAST((CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE)) * CAST(ABS(CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p
+       CASE WHEN ABS(CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE)) >= 1e16 THEN CAST((CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE)) * CAST(ABS(CAST(1 + n_ge AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS p
 FROM __tail
 """
 
@@ -1866,9 +1866,9 @@ __prior AS (
   )
 )
 SELECT item, n_trials, n_success,
-       CAST(CAST(CAST(CAST((CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)) * CAST(ABS(CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS rate,
-       CAST(CAST(CAST(CAST((alpha) * CAST(ABS(alpha) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS alpha,
-       CAST(CAST(CAST(CAST((ab - alpha) * CAST(ABS(ab - alpha) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS beta,
+       CASE WHEN ABS(CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)) >= 1e16 THEN CAST((CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)) * CAST(ABS(CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS rate,
+       CASE WHEN ABS(alpha) >= 1e16 THEN CAST((alpha) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((alpha) * CAST(ABS(alpha) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS alpha,
+       CASE WHEN ABS(ab - alpha) >= 1e16 THEN CAST((ab - alpha) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((ab - alpha) * CAST(ABS(ab - alpha) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS beta,
        CAST(CAST(CAST(CAST(((CAST(n_success AS DOUBLE) + alpha)
              / (CAST(n_trials AS DOUBLE) + ab)) * CAST(ABS((CAST(n_success AS DOUBLE) + alpha)
              / (CAST(n_trials AS DOUBLE) + ab)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS shrunk_rate
@@ -2020,10 +2020,10 @@ __i AS (
   FROM __f
 )
 SELECT n, k,
-       CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN msb END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN msb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS msb,
-       CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN msw END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN msw END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS msw,
-       CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN icc END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN icc END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS icc,
-       CAST(CAST(CAST(CAST((m_bar) * CAST(ABS(m_bar) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS m_bar,
+       CASE WHEN ABS(CASE WHEN k >= 2 AND n > k THEN msb END) >= 1e16 THEN CAST((CASE WHEN k >= 2 AND n > k THEN msb END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN msb END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN msb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS msb,
+       CASE WHEN ABS(CASE WHEN k >= 2 AND n > k THEN msw END) >= 1e16 THEN CAST((CASE WHEN k >= 2 AND n > k THEN msw END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN msw END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN msw END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS msw,
+       CASE WHEN ABS(CASE WHEN k >= 2 AND n > k THEN icc END) >= 1e16 THEN CAST((CASE WHEN k >= 2 AND n > k THEN icc END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k THEN icc END) * CAST(ABS(CASE WHEN k >= 2 AND n > k THEN icc END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS icc,
+       CASE WHEN ABS(m_bar) >= 1e16 THEN CAST((m_bar) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((m_bar) * CAST(ABS(m_bar) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS m_bar,
        CAST(CAST(CAST(CAST((CASE WHEN k >= 2 AND n > k
                   THEN 1.0 + (m_bar - 1.0) * icc END) * CAST(ABS(CASE WHEN k >= 2 AND n > k
                   THEN 1.0 + (m_bar - 1.0) * icc END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS deff

@@ -281,7 +281,7 @@ __t AS (
   JOIN __e e3 ON e1.u = e3.u AND e2.v = e3.v
 )
 SELECT c.n_nodes, ne.n_edges, c.n_wedges, t.n_triangles,
-       CAST(CAST(CAST(CAST((3.0 * t.n_triangles / NULLIF(c.n_wedges, 0)) * CAST(ABS(3.0 * t.n_triangles / NULLIF(c.n_wedges, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(3.0 * t.n_triangles / NULLIF(c.n_wedges, 0)) >= 1e16 THEN CAST((3.0 * t.n_triangles / NULLIF(c.n_wedges, 0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((3.0 * t.n_triangles / NULLIF(c.n_wedges, 0)) * CAST(ABS(3.0 * t.n_triangles / NULLIF(c.n_wedges, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS clustering_coeff
 FROM __c c CROSS JOIN __ne ne CROSS JOIN __t t
 """

@@ -132,7 +132,7 @@ def _agg_sql(op: GroupOperation) -> str:
     else:  # pragma: no cover
         raise ValueError(f"unsupported group op {t}")
     if op.round_to is not None:
-        body = f"CAST(CAST(CAST(CAST(({body}) * CAST(ABS({body}) >= POWER(10.0, -({op.round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{op.round_to})) AS VARCHAR) AS DOUBLE)"
+        body = f"CASE WHEN ABS({body}) >= 1e16 THEN CAST(({body}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({body}) * CAST(ABS({body}) >= POWER(10.0, -({op.round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{op.round_to})) AS VARCHAR) AS DOUBLE) END"
     return f"{body} AS {op.alias}"
 
 

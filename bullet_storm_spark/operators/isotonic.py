@@ -148,8 +148,8 @@ __fit AS (
   SELECT k AS i, MAX(sm) AS fit FROM __sm GROUP BY k
 )
 SELECT p.score, p.cnt, p.pos,
-       CAST(CAST(CAST(CAST((CAST(p.pos AS DOUBLE) / p.cnt) * CAST(ABS(CAST(p.pos AS DOUBLE) / p.cnt) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS rate_raw,
-       CAST(CAST(CAST(CAST((f.fit) * CAST(ABS(f.fit) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS rate_fit
+       CASE WHEN ABS(CAST(p.pos AS DOUBLE) / p.cnt) >= 1e16 THEN CAST((CAST(p.pos AS DOUBLE) / p.cnt) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(p.pos AS DOUBLE) / p.cnt) * CAST(ABS(CAST(p.pos AS DOUBLE) / p.cnt) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS rate_raw,
+       CASE WHEN ABS(f.fit) >= 1e16 THEN CAST((f.fit) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((f.fit) * CAST(ABS(f.fit) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS rate_fit
 FROM __pre p JOIN __fit f ON p.i = f.i
 ORDER BY p.score
 """

@@ -131,7 +131,7 @@ def record_linkage_pairs_sql(
     return f"""
 SELECT id_a, id_b, score FROM (
   SELECT l.{id_col} AS id_a, r.{id_col} AS id_b,
-         CAST(CAST(CAST(CAST(({score}) * CAST(ABS({score}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS score
+         CASE WHEN ABS({score}) >= 1e16 THEN CAST(({score}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({score}) * CAST(ABS({score}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS score
   FROM {table} l JOIN {table} r
     ON l.{id_col} < r.{id_col} AND {block}
 ) WHERE score >= {threshold}

@@ -623,7 +623,7 @@ def resize_bmp_sql(
     return f"""
 WITH {_resize_cells_sql(table, id_col, out_w, out_h)}
 SELECT id, out_x, out_y, n_px, sum_gray,
-       CAST(CAST(CAST(CAST((sum_gray / n_px) * CAST(ABS(sum_gray / n_px) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) AS mean_gray
+       CASE WHEN ABS(sum_gray / n_px) >= 1e16 THEN CAST((sum_gray / n_px) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sum_gray / n_px) * CAST(ABS(sum_gray / n_px) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) END AS mean_gray
 FROM cells ORDER BY id, out_y, out_x
 """
 
@@ -677,7 +677,7 @@ def dhash_bmp_sql(table: str, id_col: str, round_to: int = 6) -> str:
 WITH {_resize_cells_sql(table, id_col, 8, 8)},
 means AS (
   SELECT id, out_x, out_y,
-         CAST(CAST(CAST(CAST((sum_gray / n_px) * CAST(ABS(sum_gray / n_px) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) AS mean_gray
+         CASE WHEN ABS(sum_gray / n_px) >= 1e16 THEN CAST((sum_gray / n_px) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sum_gray / n_px) * CAST(ABS(sum_gray / n_px) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) END AS mean_gray
   FROM cells
 ),
 bits AS (
@@ -801,7 +801,7 @@ SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(COUNT(*) AS BIGINT) AS n_samples,
        CAST(SUM(v) AS BIGINT) AS sum_amp,
        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
-       CAST(CAST(CAST(CAST((CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) * CAST(ABS(CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) >= 1e16 THEN CAST((CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) * CAST(ABS(CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) END
          AS mean_amp
 FROM s GROUP BY id, frame_idx ORDER BY id, frame_idx
 """
@@ -905,9 +905,9 @@ WITH ids AS (
   FROM smp GROUP BY id
 )
 SELECT id, n_samples,
-       CAST(CAST(CAST(CAST((sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))) * CAST(ABS(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS rms,
-       CAST(CAST(CAST(CAST((CAST(sum_s AS DOUBLE) / CAST(n_samples AS DOUBLE)) * CAST(ABS(CAST(sum_s AS DOUBLE) / CAST(n_samples AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS dc_offset,
-       CAST(CAST(CAST(CAST((CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)) * CAST(ABS(CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS clip_rate,
+       CASE WHEN ABS(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))) >= 1e16 THEN CAST((sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))) * CAST(ABS(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS rms,
+       CASE WHEN ABS(CAST(sum_s AS DOUBLE) / CAST(n_samples AS DOUBLE)) >= 1e16 THEN CAST((CAST(sum_s AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(sum_s AS DOUBLE) / CAST(n_samples AS DOUBLE)) * CAST(ABS(CAST(sum_s AS DOUBLE) / CAST(n_samples AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS dc_offset,
+       CASE WHEN ABS(CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)) >= 1e16 THEN CAST((CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)) * CAST(ABS(CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS clip_rate,
        TRUE AS decode_ok
 FROM agg ORDER BY id
 """

@@ -145,7 +145,7 @@ SELECT shard,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(ceil(SUM(n_tokens) / {cap}) AS BIGINT) AS n_bins,
-       CAST(CAST(CAST(CAST((SUM(n_tokens) / (ceil(SUM(n_tokens) / {cap}) * {cap})) * CAST(ABS(SUM(n_tokens) / (ceil(SUM(n_tokens) / {cap}) * {cap})) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS fill_ratio
+       CASE WHEN ABS(SUM(n_tokens) / (ceil(SUM(n_tokens) / {cap}) * {cap})) >= 1e16 THEN CAST((SUM(n_tokens) / (ceil(SUM(n_tokens) / {cap}) * {cap})) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((SUM(n_tokens) / (ceil(SUM(n_tokens) / {cap}) * {cap})) * CAST(ABS(SUM(n_tokens) / (ceil(SUM(n_tokens) / {cap}) * {cap})) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS fill_ratio
 FROM (SELECT CAST({id_col} % {int(n_shards)} AS BIGINT) AS shard,
              CAST({token_count_sql(text_col)} AS BIGINT) AS n_tokens
       FROM {table})

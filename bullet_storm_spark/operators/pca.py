@@ -222,15 +222,15 @@ __tot AS (
   FROM {table}
 ), __pc AS (
   SELECT u.__i - 1 AS component,
-         CAST(SUM(CAST(CAST(CAST(CAST(CAST((u.__y * u.__y) * CAST(ABS(u.__y * u.__y) >= POWER(10.0, -({COEF_DP}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{COEF_DP})) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9)))
+         CAST(SUM(CAST(CASE WHEN ABS(u.__y * u.__y) >= 1e16 THEN CAST((u.__y * u.__y) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((u.__y * u.__y) * CAST(ABS(u.__y * u.__y) >= POWER(10.0, -({COEF_DP}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{COEF_DP})) AS VARCHAR) AS DOUBLE) END AS DECIMAL(38,9)))
               AS DOUBLE) AS var
   FROM __proj p,
        LATERAL (SELECT unnest(p.proj) AS __y,
                        generate_subscripts(p.proj, 1) AS __i) u
   GROUP BY u.__i
 )
-SELECT component, CAST(CAST(CAST(CAST((var / t.n) * CAST(ABS(var / t.n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS var_captured,
-       CAST(CAST(CAST(CAST((var / t.total) * CAST(ABS(var / t.total) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS var_total_ratio
+SELECT component, CASE WHEN ABS(var / t.n) >= 1e16 THEN CAST((var / t.n) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((var / t.n) * CAST(ABS(var / t.n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS var_captured,
+       CASE WHEN ABS(var / t.total) >= 1e16 THEN CAST((var / t.total) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((var / t.total) * CAST(ABS(var / t.total) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS var_total_ratio
 FROM __pc CROSS JOIN __tot t
 ORDER BY component
 """
@@ -320,10 +320,10 @@ def pca_rerank_neighbors_sql(
     for comp, off in zip(components, offsets):
         arr = "[" + ", ".join(repr(c) for c in comp) + "]"
         terms.append(
-            f"CAST(CAST(CAST(CAST((list_dot_product(v::DOUBLE[], {arr}) - {off!r}) * CAST(ABS(list_dot_product(v::DOUBLE[], {arr}) - {off!r}) >= POWER(10.0, -({COEF_DP}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{COEF_DP})) AS VARCHAR) AS DOUBLE)"
+            f"CASE WHEN ABS(list_dot_product(v::DOUBLE[], {arr}) - {off!r}) >= 1e16 THEN CAST((list_dot_product(v::DOUBLE[], {arr}) - {off!r}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((list_dot_product(v::DOUBLE[], {arr}) - {off!r}) * CAST(ABS(list_dot_product(v::DOUBLE[], {arr}) - {off!r}) >= POWER(10.0, -({COEF_DP}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{COEF_DP})) AS VARCHAR) AS DOUBLE) END"
         )
-    ccos = f"CAST(CAST(CAST(CAST((list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[])) * CAST(ABS(list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[])) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
-    ecos = f"CAST(CAST(CAST(CAST((list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[])) * CAST(ABS(list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[])) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+    ccos = f"CASE WHEN ABS(list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[])) >= 1e16 THEN CAST((list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[])) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[])) * CAST(ABS(list_cosine_similarity(q.qp::DOUBLE[], c.p::DOUBLE[])) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
+    ecos = f"CASE WHEN ABS(list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[])) >= 1e16 THEN CAST((list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[])) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[])) * CAST(ABS(list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[])) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
     return f"""
 WITH __base AS (
   SELECT {id_col} AS id, {vec_col} AS v, [{', '.join(terms)}] AS p

@@ -210,7 +210,7 @@ def pq_report_sql(
 WITH base AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
 coded AS (SELECT id, v, {_codes_sql('v', cb)} AS codes FROM base)
 SELECT id AS {id_col}, {len(cb)} AS m,
-       CAST(CAST(CAST(CAST((sqrt({err2}) / sqrt(list_dot_product(v, v))) * CAST(ABS(sqrt({err2}) / sqrt(list_dot_product(v, v))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS rel_err
+       CASE WHEN ABS(sqrt({err2}) / sqrt(list_dot_product(v, v))) >= 1e16 THEN CAST((sqrt({err2}) / sqrt(list_dot_product(v, v))) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sqrt({err2}) / sqrt(list_dot_product(v, v))) * CAST(ABS(sqrt({err2}) / sqrt(list_dot_product(v, v))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS rel_err
 FROM coded ORDER BY {id_col}
 """
 
@@ -593,7 +593,7 @@ approx_k AS (SELECT query_id, neighbor_id, 1 AS found FROM ({approx}))
 SELECT query_id,
        COUNT(*) AS exact_k,
        CAST(SUM(COALESCE(found, 0)) AS BIGINT) AS found,
-       CAST(CAST(CAST(CAST((SUM(COALESCE(found, 0)) / COUNT(*)) * CAST(ABS(SUM(COALESCE(found, 0)) / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS recall
+       CASE WHEN ABS(SUM(COALESCE(found, 0)) / COUNT(*)) >= 1e16 THEN CAST((SUM(COALESCE(found, 0)) / COUNT(*)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((SUM(COALESCE(found, 0)) / COUNT(*)) * CAST(ABS(SUM(COALESCE(found, 0)) / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS recall
 FROM exact_k LEFT JOIN approx_k USING (query_id, neighbor_id)
 GROUP BY query_id
 ORDER BY query_id

@@ -137,7 +137,7 @@ __t AS (
   FROM __c
 )
 SELECT k, classes_total, rows_total, classes_below, rows_below,
-       CAST(CAST(CAST(CAST((CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0)) * CAST(ABS(CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0)) >= 1e16 THEN CAST((CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0)) * CAST(ABS(CAST(rows_below AS DOUBLE) / NULLIF(rows_total, 0)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END
          AS rows_below_share
 FROM ({per_k}) ORDER BY k
 """
@@ -364,22 +364,22 @@ __pc AS (
 ),
 __diff AS (
   SELECT {names}, cn,
-         abs(CAST(CAST(CAST(CAST((CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE)) * CAST(ABS(CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+         abs(CASE WHEN ABS(CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE)) >= 1e16 THEN CAST((CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE)) * CAST(ABS(CAST(ccum AS DOUBLE) / CAST(cn AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END
              - g.gshare) AS diff
   FROM __pc p JOIN __glob g ON p.s = g.s
 ),
 __t AS (
   SELECT {names}, cn,
-         CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST((diff) * CAST(ABS(diff) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
-               / CAST(GREATEST(m - 1, 1) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST((diff) * CAST(ABS(diff) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+         CAST(CAST(CAST(CAST((CAST(SUM(CAST(CASE WHEN ABS(diff) >= 1e16 THEN CAST((diff) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((diff) * CAST(ABS(diff) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS DECIMAL(38,9))) AS DOUBLE)
+               / CAST(GREATEST(m - 1, 1) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(CASE WHEN ABS(diff) >= 1e16 THEN CAST((diff) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((diff) * CAST(ABS(diff) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS DECIMAL(38,9))) AS DOUBLE)
                / CAST(GREATEST(m - 1, 1) AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS t
   FROM __diff, __m GROUP BY {names}, cn, m
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS classes_total,
        CAST(SUM(cn) AS BIGINT) AS rows_total,
        MAX(t) AS t_max,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(CAST(CAST(CAST(CAST((t) * CAST(ABS(t) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
-             / COUNT(*)) * CAST(ABS(CAST(SUM(CAST(CAST(CAST(CAST(CAST((t) * CAST(ABS(t) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+       CAST(CAST(CAST(CAST((CAST(SUM(CAST(CASE WHEN ABS(t) >= 1e16 THEN CAST((t) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((t) * CAST(ABS(t) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*)) * CAST(ABS(CAST(SUM(CAST(CASE WHEN ABS(t) >= 1e16 THEN CAST((t) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((t) * CAST(ABS(t) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS DECIMAL(38,9))) AS DOUBLE)
              / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS t_mean,
        CAST(SUM(CASE WHEN t > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
          AS classes_over_015

@@ -142,9 +142,9 @@ def profile_table_sql(
             continue
         aggs.append(f"COUNT(DISTINCT {name})::BIGINT AS __dist_{name}")
         if kind == "num":
-            aggs.append(f"CAST(CAST(CAST(CAST((CAST(MIN({name}) AS DOUBLE)) * CAST(ABS(CAST(MIN({name}) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+            aggs.append(f"CASE WHEN ABS(CAST(MIN({name}) AS DOUBLE)) >= 1e16 THEN CAST((CAST(MIN({name}) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(MIN({name}) AS DOUBLE)) * CAST(ABS(CAST(MIN({name}) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
                         f" AS __min_{name}")
-            aggs.append(f"CAST(CAST(CAST(CAST((CAST(MAX({name}) AS DOUBLE)) * CAST(ABS(CAST(MAX({name}) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+            aggs.append(f"CASE WHEN ABS(CAST(MAX({name}) AS DOUBLE)) >= 1e16 THEN CAST((CAST(MAX({name}) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(MAX({name}) AS DOUBLE)) * CAST(ABS(CAST(MAX({name}) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
                         f" AS __max_{name}")
         elif kind == "ts":
             aggs.append(f"CAST(epoch_us(MIN({name})) AS DOUBLE) AS __min_{name}")
@@ -162,7 +162,7 @@ def profile_table_sql(
         selects.append(
             f"SELECT '{name}' AS \"column\", '{dtype}' AS dtype, __n AS n_rows,\n"
             f"       __nulls_{name} AS n_nulls,\n"
-            f"       CAST(CAST(CAST(CAST((CAST(__nulls_{name} AS DOUBLE) / __n) * CAST(ABS(CAST(__nulls_{name} AS DOUBLE) / __n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+            f"       CASE WHEN ABS(CAST(__nulls_{name} AS DOUBLE) / __n) >= 1e16 THEN CAST((CAST(__nulls_{name} AS DOUBLE) / __n) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(__nulls_{name} AS DOUBLE) / __n) * CAST(ABS(CAST(__nulls_{name} AS DOUBLE) / __n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
             f" AS null_rate,\n"
             f"       {dist} AS n_distinct, {nmin} AS num_min, {nmax} AS num_max,\n"
             f"       {smin} AS str_min, {smax} AS str_max FROM __agg"
@@ -313,16 +313,16 @@ def check_expectations_sql(
         param = float(r[2]) if len(r) > 2 else None
         thr = repr(param) if param is not None else "CAST(NULL AS DOUBLE)"
         if kind == "not_null":
-            obs = f"CAST(CAST(CAST(CAST((CAST(__nulls_{col} AS DOUBLE) / __n) * CAST(ABS(CAST(__nulls_{col} AS DOUBLE) / __n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+            obs = f"CASE WHEN ABS(CAST(__nulls_{col} AS DOUBLE) / __n) >= 1e16 THEN CAST((CAST(__nulls_{col} AS DOUBLE) / __n) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(__nulls_{col} AS DOUBLE) / __n) * CAST(ABS(CAST(__nulls_{col} AS DOUBLE) / __n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
             passed = f"({obs}) <= {param!r}"
         elif kind == "unique":
             obs = f"CAST(__dist_{col} + __nulls_{col} AS DOUBLE)"
             passed = f"(__dist_{col} + __nulls_{col}) = __n"
         elif kind == "min_at_least":
-            obs = f"CAST(CAST(CAST(CAST((__min_{col}) * CAST(ABS(__min_{col}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+            obs = f"CASE WHEN ABS(__min_{col}) >= 1e16 THEN CAST((__min_{col}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((__min_{col}) * CAST(ABS(__min_{col}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
             passed = f"({obs}) >= {param!r}"
         elif kind == "max_at_most":
-            obs = f"CAST(CAST(CAST(CAST((__max_{col}) * CAST(ABS(__max_{col}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+            obs = f"CASE WHEN ABS(__max_{col}) >= 1e16 THEN CAST((__max_{col}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((__max_{col}) * CAST(ABS(__max_{col}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
             passed = f"({obs}) <= {param!r}"
         elif kind == "distinct_at_least":
             obs = f"CAST(__dist_{col} AS DOUBLE)"
@@ -595,7 +595,7 @@ __p AS (
   FROM __k GROUP BY key
 )
 SELECT p.key, p.n_present, p.n_json_null,
-       CAST(CAST(CAST(CAST((CAST(p.n_present AS DOUBLE) / t.n) * CAST(ABS(CAST(p.n_present AS DOUBLE) / t.n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(p.n_present AS DOUBLE) / t.n) >= 1e16 THEN CAST((CAST(p.n_present AS DOUBLE) / t.n) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(p.n_present AS DOUBLE) / t.n) * CAST(ABS(CAST(p.n_present AS DOUBLE) / t.n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS share_present
 FROM __p p CROSS JOIN __n t ORDER BY p.key
 """
@@ -684,10 +684,10 @@ __p AS (
   FROM __k GROUP BY key
 )
 SELECT p.key, p.n_a, p.n_b,
-       CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS share_a,
-       CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS share_b,
-       CAST(CAST(CAST(CAST((CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
-             - CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
-             - CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS delta
+       CASE WHEN ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= 1e16 THEN CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS share_a,
+       CASE WHEN ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= 1e16 THEN CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS share_b,
+       CAST(CAST(CAST(CAST((CASE WHEN ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= 1e16 THEN CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
+             - CASE WHEN ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= 1e16 THEN CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END) * CAST(ABS(CASE WHEN ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= 1e16 THEN CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_b AS DOUBLE) / NULLIF(CAST(t.nb AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
+             - CASE WHEN ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= 1e16 THEN CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) * CAST(ABS(CAST(p.n_a AS DOUBLE) / NULLIF(CAST(t.na AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS delta
 FROM __p p, __tot t ORDER BY p.key
 """

@@ -263,7 +263,7 @@ def filter_funnel_sql(
             f"SELECT CAST({i} AS BIGINT) AS stage, '{r[3:]}' AS rule,"
             f" {n_in} AS n_in, {n_in} - __cum{i} AS n_killed,"
             f" __cum{i} AS n_out, __solo{i} AS solo_failures,"
-            f" CAST(CAST(CAST(CAST((({n_in} - __cum{i}) / NULLIF({n_in}, 0)) * CAST(ABS(({n_in} - __cum{i}) / NULLIF({n_in}, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)"
+            f" CASE WHEN ABS(({n_in} - __cum{i}) / NULLIF({n_in}, 0)) >= 1e16 THEN CAST((({n_in} - __cum{i}) / NULLIF({n_in}, 0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((({n_in} - __cum{i}) / NULLIF({n_in}, 0)) * CAST(ABS(({n_in} - __cum{i}) / NULLIF({n_in}, 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END"
             f" AS marginal_kill_rate FROM __w"
         )
     body = "\nUNION ALL\n".join(rows)
@@ -352,12 +352,12 @@ wn AS (
   SELECT doc, c, CAST(SUM(c) OVER (PARTITION BY doc) AS BIGINT) AS n FROM cnt
 ),
 term AS (
-  SELECT doc, n, CAST(CAST(CAST(CAST(((c / n) * ln(c / n)) * CAST(ABS((c / n) * ln(c / n)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS term FROM wn
+  SELECT doc, n, CASE WHEN ABS((c / n) * ln(c / n)) >= 1e16 THEN CAST(((c / n) * ln(c / n)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((c / n) * ln(c / n)) * CAST(ABS((c / n) * ln(c / n)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS term FROM wn
 )
 SELECT doc AS {id_col},
        MAX(n) AS n_tokens,
        COUNT(*)::BIGINT AS n_distinct,
-       CAST(CAST(CAST(CAST((-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) * CAST(ABS(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS token_entropy,
+       CASE WHEN ABS(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) >= 1e16 THEN CAST((-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) * CAST(ABS(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS token_entropy,
        CASE WHEN COUNT(*) > 1
             THEN CAST(CAST(CAST(CAST((-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)
                        / ln(COUNT(*))) * CAST(ABS(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)
@@ -686,8 +686,8 @@ __g AS (
   FROM __s GROUP BY script
 )
 SELECT script, n_docs, chars, ws_tokens, bpe_tokens,
-       CAST(CAST(CAST(CAST((CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0)) * CAST(ABS(CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS chars_per_bpe,
-       CAST(CAST(CAST(CAST((CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0)) * CAST(ABS(CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS bpe_per_ws
+       CASE WHEN ABS(CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0)) >= 1e16 THEN CAST((CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0)) * CAST(ABS(CAST(chars AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS chars_per_bpe,
+       CASE WHEN ABS(CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0)) >= 1e16 THEN CAST((CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0)) * CAST(ABS(CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS bpe_per_ws
 FROM __g ORDER BY script
 """
 

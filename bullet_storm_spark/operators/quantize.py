@@ -97,7 +97,7 @@ def quantize_embeddings_sql(
 ) -> str:
     return f"""
 WITH {_quantized_base_sql(table, id_col, vec_col)}
-SELECT id AS {id_col}, CAST(CAST(CAST(CAST((uscale) * CAST(ABS(uscale) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS scale, qv
+SELECT id AS {id_col}, CASE WHEN ABS(uscale) >= 1e16 THEN CAST((uscale) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((uscale) * CAST(ABS(uscale) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS scale, qv
 FROM quantized ORDER BY {id_col}
 """
 
@@ -504,7 +504,7 @@ SELECT id AS {id_col}, len(v) AS dim,
        CAST(CAST(CAST(CAST((list_max(list_transform(range(1, len(v) + 1),
                                      i -> abs(v[i] - q[i] * uscale)))) * CAST(ABS(list_max(list_transform(range(1, len(v) + 1),
                                      i -> abs(v[i] - q[i] * uscale)))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS max_abs_err,
-       CAST(CAST(CAST(CAST((uscale / 2) * CAST(ABS(uscale / 2) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS err_bound
+       CASE WHEN ABS(uscale / 2) >= 1e16 THEN CAST((uscale / 2) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((uscale / 2) * CAST(ABS(uscale / 2) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS err_bound
 FROM joined ORDER BY {id_col}
 """
 
@@ -601,7 +601,7 @@ WITH __v AS (
 ),
 __p AS (
   SELECT l.v AS a, r.v AS b,
-         CAST(CAST(CAST(CAST((list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[])) * CAST(ABS(list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[])) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS cf
+         CASE WHEN ABS(list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[])) >= 1e16 THEN CAST((list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[])) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[])) * CAST(ABS(list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[])) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) END AS cf
   FROM __v l JOIN __v r ON r.i = l.i + 1
   WHERE l.i % 2 = 0
 ),
@@ -624,7 +624,7 @@ __e AS (
     AND list_dot_product(b[1:k.dims]::DOUBLE[], b[1:k.dims]::DOUBLE[]) > 0
 )
 SELECT dims, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) * CAST(ABS(CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS mean_abs_err,
+       CASE WHEN ABS(CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) >= 1e16 THEN CAST((CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) * CAST(ABS(CAST(SUM(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) END AS mean_abs_err,
        MAX(err) AS max_abs_err
 FROM __e GROUP BY dims ORDER BY dims
 """

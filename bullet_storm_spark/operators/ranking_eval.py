@@ -243,10 +243,10 @@ __nret AS (
 SELECT b.query_id, b.n_rel,
        COALESCE(nr.n_ret, 0)::BIGINT AS n_ret,
        COALESCE(h.hits, 0)::BIGINT AS hits,
-       CAST(CAST(CAST(CAST((CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}) * CAST(ABS(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}) >= 1e16 THEN CAST((CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}) * CAST(ABS(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(k)}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS precision_at_k,
-       CAST(CAST(CAST(CAST((CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)) * CAST(ABS(CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS recall_at_k,
-       CAST(CAST(CAST(CAST((COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0)) * CAST(ABS(COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)) >= 1e16 THEN CAST((CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)) * CAST(ABS(CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS recall_at_k,
+       CASE WHEN ABS(COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0)) >= 1e16 THEN CAST((COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0)) * CAST(ABS(COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS rr,
        CAST(CAST(CAST(CAST((CAST(CAST(COALESCE(h.dcg, CAST(0 AS DECIMAL(38,12)))
                        AS VARCHAR) AS DOUBLE)

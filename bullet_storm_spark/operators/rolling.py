@@ -313,7 +313,7 @@ def rolling_median_sql(
 WITH {hourly_cells_sql(table, key_col)}
 SELECT key, hour, cnt,
        CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
-       CAST(CAST(CAST(CAST((quantile_cont(cnt, 0.5) OVER w) * CAST(ABS(quantile_cont(cnt, 0.5) OVER w) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS roll_median
+       CASE WHEN ABS(quantile_cont(cnt, 0.5) OVER w) >= 1e16 THEN CAST((quantile_cont(cnt, 0.5) OVER w) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(cnt, 0.5) OVER w) * CAST(ABS(quantile_cont(cnt, 0.5) OVER w) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS roll_median
 FROM __cells
 WINDOW w AS (PARTITION BY key ORDER BY hour
              ROWS BETWEEN {window_hours - 1} PRECEDING AND CURRENT ROW)

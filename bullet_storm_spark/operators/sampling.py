@@ -333,7 +333,7 @@ __plan AS (
   SELECT {stratum_col}, n_docs, avail_tokens,
          {target} AS target_tokens,
          CASE WHEN avail_tokens > 0
-              THEN CAST(CAST(CAST(CAST((({target}) / avail_tokens) * CAST(ABS(({target}) / avail_tokens) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS planned_epochs,
+              THEN CASE WHEN ABS(({target}) / avail_tokens) >= 1e16 THEN CAST((({target}) / avail_tokens) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((({target}) / avail_tokens) * CAST(ABS(({target}) / avail_tokens) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END END AS planned_epochs,
          CAST(FLOOR(avail_tokens * CAST({float(max_epochs)!r} AS DOUBLE))
               AS BIGINT) AS __cap
   FROM __full
@@ -581,10 +581,10 @@ def priority_sample_sql(
         f"::BIGINT + 1) / {float(1 << 32) + 1.0!r})"
     )
     return f"""
-SELECT {id_col}, CAST(CAST(CAST(CAST(({weight_expr}) * CAST(ABS({weight_expr}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS {weight_name},
-       CAST(CAST(CAST(CAST((-ln({u}) / ({weight_expr})) * CAST(ABS(-ln({u}) / ({weight_expr})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS priority
+SELECT {id_col}, CASE WHEN ABS({weight_expr}) >= 1e16 THEN CAST(({weight_expr}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({weight_expr}) * CAST(ABS({weight_expr}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS {weight_name},
+       CASE WHEN ABS(-ln({u}) / ({weight_expr})) >= 1e16 THEN CAST((-ln({u}) / ({weight_expr})) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((-ln({u}) / ({weight_expr})) * CAST(ABS(-ln({u}) / ({weight_expr})) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS priority
 FROM {table}
-WHERE CAST(CAST(CAST(CAST(({weight_expr}) * CAST(ABS({weight_expr}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) > 0
+WHERE CASE WHEN ABS({weight_expr}) >= 1e16 THEN CAST(({weight_expr}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({weight_expr}) * CAST(ABS({weight_expr}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END > 0
 ORDER BY priority, {id_col}
 LIMIT {int(k)}
 """
@@ -1140,7 +1140,7 @@ __q AS (
 ),
 __r AS (
   SELECT stratum, pop_n, sd,
-         CAST(CAST(CAST(CAST((COALESCE(quota, 0.0)) * CAST(ABS(COALESCE(quota, 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS quota,
+         CASE WHEN ABS(COALESCE(quota, 0.0)) >= 1e16 THEN CAST((COALESCE(quota, 0.0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((COALESCE(quota, 0.0)) * CAST(ABS(COALESCE(quota, 0.0)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS quota,
          CAST(FLOOR(COALESCE(quota, 0.0)) AS BIGINT) AS fl,
          CAST(ROW_NUMBER() OVER (
             ORDER BY COALESCE(quota, 0.0) - FLOOR(COALESCE(quota, 0.0)) DESC,

@@ -284,20 +284,20 @@ __d AS (
     ON g.event_type = c.event_type AND g.week = c.week AND g.how = c.how
 ),
 __med AS (
-  SELECT event_type, how, CAST(CAST(CAST(CAST((quantile_cont(CAST(cnt AS DOUBLE), 0.5)) * CAST(ABS(quantile_cont(CAST(cnt AS DOUBLE), 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+  SELECT event_type, how, CASE WHEN ABS(quantile_cont(CAST(cnt AS DOUBLE), 0.5)) >= 1e16 THEN CAST((quantile_cont(CAST(cnt AS DOUBLE), 0.5)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(CAST(cnt AS DOUBLE), 0.5)) * CAST(ABS(quantile_cont(CAST(cnt AS DOUBLE), 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END
            AS med
   FROM __d GROUP BY event_type, how
 ),
 __mad AS (
   SELECT d.event_type, d.how,
-         CAST(CAST(CAST(CAST((quantile_cont(abs(CAST(d.cnt AS DOUBLE) - m.med), 0.5)) * CAST(ABS(quantile_cont(abs(CAST(d.cnt AS DOUBLE) - m.med), 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+         CASE WHEN ABS(quantile_cont(abs(CAST(d.cnt AS DOUBLE) - m.med), 0.5)) >= 1e16 THEN CAST((quantile_cont(abs(CAST(d.cnt AS DOUBLE) - m.med), 0.5)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(abs(CAST(d.cnt AS DOUBLE) - m.med), 0.5)) * CAST(ABS(quantile_cont(abs(CAST(d.cnt AS DOUBLE) - m.med), 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END
            AS mad
   FROM __d d JOIN __med m ON d.event_type = m.event_type AND d.how = m.how
   GROUP BY d.event_type, d.how
 )
 SELECT d.event_type, d.week, d.how, d.cnt,
-       CAST(CAST(CAST(CAST((m.med) * CAST(ABS(m.med) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) AS med,
-       CAST(CAST(CAST(CAST((a.mad) * CAST(ABS(a.mad) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) AS mad,
+       CASE WHEN ABS(m.med) >= 1e16 THEN CAST((m.med) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((m.med) * CAST(ABS(m.med) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) END AS med,
+       CASE WHEN ABS(a.mad) >= 1e16 THEN CAST((a.mad) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((a.mad) * CAST(ABS(a.mad) >= POWER(10.0, -({int(round_to)}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{int(round_to)})) AS VARCHAR) AS DOUBLE) END AS mad,
        CAST(d.cnt AS DOUBLE) > m.med AS high
 FROM __d d
 JOIN __med m ON d.event_type = m.event_type AND d.how = m.how

@@ -734,7 +734,7 @@ WITH base AS (
   FROM {table}
 ),
 dists AS (
-  SELECT id, cell, CAST(CAST(CAST(CAST((1.0 - {cos}) * CAST(ABS(1.0 - {cos}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS dist FROM base
+  SELECT id, cell, CASE WHEN ABS(1.0 - {cos}) >= 1e16 THEN CAST((1.0 - {cos}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((1.0 - {cos}) * CAST(ABS(1.0 - {cos}) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS dist FROM base
 ),
 stats AS (
   SELECT cell,
@@ -744,9 +744,9 @@ stats AS (
   FROM dists GROUP BY cell
 )
 SELECT d.id AS {id_col}, d.cell,
-       CAST(CAST(CAST(CAST((d.dist) * CAST(ABS(d.dist) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS dist,
-       CAST(CAST(CAST(CAST((s.mean) * CAST(ABS(s.mean) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cell_mean,
-       CAST(CAST(CAST(CAST((sqrt(greatest(s.m2 - s.mean * s.mean, 0.0))) * CAST(ABS(sqrt(greatest(s.m2 - s.mean * s.mean, 0.0))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cell_std,
+       CASE WHEN ABS(d.dist) >= 1e16 THEN CAST((d.dist) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((d.dist) * CAST(ABS(d.dist) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS dist,
+       CASE WHEN ABS(s.mean) >= 1e16 THEN CAST((s.mean) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((s.mean) * CAST(ABS(s.mean) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS cell_mean,
+       CASE WHEN ABS(sqrt(greatest(s.m2 - s.mean * s.mean, 0.0))) >= 1e16 THEN CAST((sqrt(greatest(s.m2 - s.mean * s.mean, 0.0))) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sqrt(greatest(s.m2 - s.mean * s.mean, 0.0))) * CAST(ABS(sqrt(greatest(s.m2 - s.mean * s.mean, 0.0))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS cell_std,
        (d.dist > s.mean + {float(z)!r} * sqrt(greatest(s.m2 - s.mean * s.mean, 0.0)))
          AS is_outlier
 FROM dists d JOIN stats s USING (cell)
@@ -1028,13 +1028,13 @@ __d AS (
 ),
 __a AS (
   SELECT MAX(cnt) AS n,
-         SUM(CAST(CAST(CAST(CAST((CAST(CAST(s AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(s AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
-             * CAST(CAST(CAST(CAST((CAST(CAST(s AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(s AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)) AS q,
+         SUM(CASE WHEN ABS(CAST(CAST(s AS VARCHAR) AS DOUBLE)) >= 1e16 THEN CAST((CAST(CAST(s AS VARCHAR) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(CAST(s AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(s AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END
+             * CASE WHEN ABS(CAST(CAST(s AS VARCHAR) AS DOUBLE)) >= 1e16 THEN CAST((CAST(CAST(s AS VARCHAR) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(CAST(s AS VARCHAR) AS DOUBLE)) * CAST(ABS(CAST(CAST(s AS VARCHAR) AS DOUBLE)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END) AS q,
          MAX(CAST(CAST(norms AS VARCHAR) AS DOUBLE)) AS sn
   FROM __d
 )
 SELECT n,
-       CAST(CAST(CAST(CAST((sn / CAST(n AS DOUBLE)) * CAST(ABS(sn / CAST(n AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_norm,
+       CASE WHEN ABS(sn / CAST(n AS DOUBLE)) >= 1e16 THEN CAST((sn / CAST(n AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((sn / CAST(n AS DOUBLE)) * CAST(ABS(sn / CAST(n AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS mean_norm,
        CAST(CAST(CAST(CAST(((q - CAST(n AS DOUBLE))
              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) * CAST(ABS((q - CAST(n AS DOUBLE))
              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS avg_pairwise_cos
@@ -1204,10 +1204,10 @@ __a AS (
   FROM __g
 )
 SELECT n, n_clusters, n_labels,
-       CAST(CAST(CAST(CAST((h_cluster) * CAST(ABS(h_cluster) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS h_cluster,
-       CAST(CAST(CAST(CAST((h_label) * CAST(ABS(h_label) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS h_label,
-       CAST(CAST(CAST(CAST((h_joint) * CAST(ABS(h_joint) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS h_joint,
-       CAST(CAST(CAST(CAST((h_cluster + h_label - h_joint) * CAST(ABS(h_cluster + h_label - h_joint) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mi,
+       CASE WHEN ABS(h_cluster) >= 1e16 THEN CAST((h_cluster) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((h_cluster) * CAST(ABS(h_cluster) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS h_cluster,
+       CASE WHEN ABS(h_label) >= 1e16 THEN CAST((h_label) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((h_label) * CAST(ABS(h_label) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS h_label,
+       CASE WHEN ABS(h_joint) >= 1e16 THEN CAST((h_joint) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((h_joint) * CAST(ABS(h_joint) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS h_joint,
+       CASE WHEN ABS(h_cluster + h_label - h_joint) >= 1e16 THEN CAST((h_cluster + h_label - h_joint) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((h_cluster + h_label - h_joint) * CAST(ABS(h_cluster + h_label - h_joint) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS mi,
        CAST(CAST(CAST(CAST((CASE WHEN h_cluster > 0 AND h_label > 0
                   THEN (2.0 * (h_cluster + h_label - h_joint))
                        / (h_cluster + h_label) END) * CAST(ABS(CASE WHEN h_cluster > 0 AND h_label > 0
@@ -1314,7 +1314,7 @@ __binned AS (
   FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
   GROUP BY bin
 )
-SELECT CAST(CAST(CAST(CAST((CAST(bin AS DOUBLE) / {float(n_bins)!r}) * CAST(ABS(CAST(bin AS DOUBLE) / {float(n_bins)!r}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS bin_lo,
+SELECT CASE WHEN ABS(CAST(bin AS DOUBLE) / {float(n_bins)!r}) >= 1e16 THEN CAST((CAST(bin AS DOUBLE) / {float(n_bins)!r}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(bin AS DOUBLE) / {float(n_bins)!r}) * CAST(ABS(CAST(bin AS DOUBLE) / {float(n_bins)!r}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS bin_lo,
        n_pairs,
        CAST(CAST(CAST(CAST((CAST(n_pairs AS DOUBLE)
              / CAST(SUM(n_pairs) OVER () AS DOUBLE)) * CAST(ABS(CAST(n_pairs AS DOUBLE)
@@ -1452,8 +1452,8 @@ __a AS (
   FROM __terms
 )
 SELECT n, dim, n_labels,
-       CAST(CAST(CAST(CAST((b) * CAST(ABS(b) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ss_between,
-       CAST(CAST(CAST(CAST((w) * CAST(ABS(w) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ss_within,
-       CAST(CAST(CAST(CAST((CASE WHEN w <> 0.0 THEN b / w END) * CAST(ABS(CASE WHEN w <> 0.0 THEN b / w END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS fisher_ratio
+       CASE WHEN ABS(b) >= 1e16 THEN CAST((b) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((b) * CAST(ABS(b) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS ss_between,
+       CASE WHEN ABS(w) >= 1e16 THEN CAST((w) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((w) * CAST(ABS(w) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS ss_within,
+       CASE WHEN ABS(CASE WHEN w <> 0.0 THEN b / w END) >= 1e16 THEN CAST((CASE WHEN w <> 0.0 THEN b / w END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN w <> 0.0 THEN b / w END) * CAST(ABS(CASE WHEN w <> 0.0 THEN b / w END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS fisher_ratio
 FROM __a
 """

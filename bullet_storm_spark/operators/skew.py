@@ -194,8 +194,8 @@ WITH cnt AS (
   FROM rk
 )
 SELECT n_rows, n_keys, max_count,
-       CAST(CAST(CAST(CAST((max_count / CAST(n_rows AS DOUBLE)) * CAST(ABS(max_count / CAST(n_rows AS DOUBLE)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS top1_share,
-       CAST(CAST(CAST(CAST((topn / CAST(n_rows AS DOUBLE)) * CAST(ABS(topn / CAST(n_rows AS DOUBLE)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS topn_share,
+       CASE WHEN ABS(max_count / CAST(n_rows AS DOUBLE)) >= 1e16 THEN CAST((max_count / CAST(n_rows AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((max_count / CAST(n_rows AS DOUBLE)) * CAST(ABS(max_count / CAST(n_rows AS DOUBLE)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) END AS top1_share,
+       CASE WHEN ABS(topn / CAST(n_rows AS DOUBLE)) >= 1e16 THEN CAST((topn / CAST(n_rows AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((topn / CAST(n_rows AS DOUBLE)) * CAST(ABS(topn / CAST(n_rows AS DOUBLE)) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) END AS topn_share,
        CAST(CAST(CAST(CAST(((2.0 * CAST(A AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * n_rows)
              - (n_keys + 1.0) / n_keys) * CAST(ABS((2.0 * CAST(A AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * n_rows)
              - (n_keys + 1.0) / n_keys) >= POWER(10.0, -({rt}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{rt})) AS VARCHAR) AS DOUBLE) AS gini

@@ -595,7 +595,7 @@ SELECT s.__id AS {id_col},
        COALESCE(p.n_ngrams, 0) AS n_ngrams,
        COALESCE(p.n_novel, 0) AS n_novel,
        CASE WHEN p.n_ngrams IS NOT NULL
-            THEN CAST(CAST(CAST(CAST((p.n_novel / p.n_ngrams) * CAST(ABS(p.n_novel / p.n_ngrams) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS novelty
+            THEN CASE WHEN ABS(p.n_novel / p.n_ngrams) >= 1e16 THEN CAST((p.n_novel / p.n_ngrams) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((p.n_novel / p.n_ngrams) * CAST(ABS(p.n_novel / p.n_ngrams) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END END AS novelty
 FROM __sized s LEFT JOIN __per_doc p ON s.__id = p.__id
 ORDER BY s.__id
 """

@@ -334,8 +334,8 @@ __d AS (
   FROM __m
 )
 SELECT n_a, n_b,
-       CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 THEN ma END) * CAST(ABS(CASE WHEN n_a > 0 THEN ma END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_a,
-       CAST(CAST(CAST(CAST((CASE WHEN n_b > 0 THEN mb END) * CAST(ABS(CASE WHEN n_b > 0 THEN mb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS mean_b,
+       CASE WHEN ABS(CASE WHEN n_a > 0 THEN ma END) >= 1e16 THEN CAST((CASE WHEN n_a > 0 THEN ma END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 THEN ma END) * CAST(ABS(CASE WHEN n_a > 0 THEN ma END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS mean_a,
+       CASE WHEN ABS(CASE WHEN n_b > 0 THEN mb END) >= 1e16 THEN CAST((CASE WHEN n_b > 0 THEN mb END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_b > 0 THEN mb END) * CAST(ABS(CASE WHEN n_b > 0 THEN mb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS mean_b,
        CAST(CAST(CAST(CAST((CASE WHEN n_a >= 2 AND n_b >= 2
                    AND va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
          THEN (ma - mb) / sqrt(va / CAST(n_a AS DOUBLE)
@@ -425,8 +425,8 @@ __d AS (
   FROM __c
 )
 SELECT n_a, s_a, n_b, s_b,
-       CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 THEN pa END) * CAST(ABS(CASE WHEN n_a > 0 THEN pa END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_a,
-       CAST(CAST(CAST(CAST((CASE WHEN n_b > 0 THEN pb END) * CAST(ABS(CASE WHEN n_b > 0 THEN pb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_b,
+       CASE WHEN ABS(CASE WHEN n_a > 0 THEN pa END) >= 1e16 THEN CAST((CASE WHEN n_a > 0 THEN pa END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 THEN pa END) * CAST(ABS(CASE WHEN n_a > 0 THEN pa END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS p_a,
+       CASE WHEN ABS(CASE WHEN n_b > 0 THEN pb END) >= 1e16 THEN CAST((CASE WHEN n_b > 0 THEN pb END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_b > 0 THEN pb END) * CAST(ABS(CASE WHEN n_b > 0 THEN pb END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS p_b,
        CAST(CAST(CAST(CAST((CASE WHEN n_a > 0 AND n_b > 0
                    AND pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)
                                           + 1.0 / CAST(n_b AS DOUBLE)) > 0
@@ -990,8 +990,8 @@ __ranksrc AS (
   FROM __means
 ),
 __ci AS (
-  SELECT CAST(CAST(CAST(CAST((MIN(CASE WHEN rn = lo THEN m END)) * CAST(ABS(MIN(CASE WHEN rn = lo THEN m END)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS ci_lo,
-         CAST(CAST(CAST(CAST((MIN(CASE WHEN rn = nb + 1 - lo THEN m END)) * CAST(ABS(MIN(CASE WHEN rn = nb + 1 - lo THEN m END)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+  SELECT CASE WHEN ABS(MIN(CASE WHEN rn = lo THEN m END)) >= 1e16 THEN CAST((MIN(CASE WHEN rn = lo THEN m END)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((MIN(CASE WHEN rn = lo THEN m END)) * CAST(ABS(MIN(CASE WHEN rn = lo THEN m END)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS ci_lo,
+         CASE WHEN ABS(MIN(CASE WHEN rn = nb + 1 - lo THEN m END)) >= 1e16 THEN CAST((MIN(CASE WHEN rn = nb + 1 - lo THEN m END)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((MIN(CASE WHEN rn = nb + 1 - lo THEN m END)) * CAST(ABS(MIN(CASE WHEN rn = nb + 1 - lo THEN m END)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
            AS ci_hi
   FROM __ranksrc
 ),
@@ -1656,11 +1656,11 @@ __x AS (
   FROM __tot CROSS JOIN __smi CROSS JOIN __ha CROSS JOIN __hb
 )
 SELECT n, k_a, k_b,
-       CAST(CAST(CAST(CAST((mi) * CAST(ABS(mi) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS mi,
-       CAST(CAST(CAST(CAST((h_a) * CAST(ABS(h_a) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS h_a,
-       CAST(CAST(CAST(CAST((h_b) * CAST(ABS(h_b) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS h_b,
+       CASE WHEN ABS(mi) >= 1e16 THEN CAST((mi) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((mi) * CAST(ABS(mi) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS mi,
+       CASE WHEN ABS(h_a) >= 1e16 THEN CAST((h_a) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((h_a) * CAST(ABS(h_a) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS h_a,
+       CASE WHEN ABS(h_b) >= 1e16 THEN CAST((h_b) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((h_b) * CAST(ABS(h_b) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS h_b,
        CASE WHEN h_a * h_b <> 0.0
-            THEN CAST(CAST(CAST(CAST((mi / sqrt(h_a * h_b)) * CAST(ABS(mi / sqrt(h_a * h_b)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS nmi
+            THEN CASE WHEN ABS(mi / sqrt(h_a * h_b)) >= 1e16 THEN CAST((mi / sqrt(h_a * h_b)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((mi / sqrt(h_a * h_b)) * CAST(ABS(mi / sqrt(h_a * h_b)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END END AS nmi
 FROM __x
 """
 
@@ -1887,7 +1887,7 @@ WITH __g AS (
   FROM {table} GROUP BY grp
 )
 SELECT grp, n, k,
-       CAST(CAST(CAST(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(ABS(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS rate,
+       CASE WHEN ABS(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) >= 1e16 THEN CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(ABS(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS rate,
        CAST(CAST(CAST(CAST((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
                + {zz} / (2.0 * CAST(n AS DOUBLE)))
               / (1.0 + {zz} / CAST(n AS DOUBLE)))
@@ -2042,9 +2042,9 @@ WITH __g AS (
   FROM {table} GROUP BY grp
 )
 SELECT grp, n_t, k_t, n_c, k_c,
-       CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS diff,
-       CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS lo,
-       CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS hi
+       CASE WHEN ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END) >= 1e16 THEN CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {d} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS diff,
+       CASE WHEN ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END) >= 1e16 THEN CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {lo} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS lo,
+       CASE WHEN ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END) >= 1e16 THEN CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END) * CAST(ABS(CASE WHEN n_t > 0 AND n_c > 0 THEN {hi} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS hi
 FROM __g ORDER BY grp
 """
 
@@ -2320,9 +2320,9 @@ __marg AS (
   FROM (SELECT v, SUM(c)::BIGINT AS nc FROM __uc GROUP BY v)
 )
 SELECT n_units, CAST({m} AS BIGINT) AS n_raters, n_categories,
-       CAST(CAST(CAST(CAST(({p_bar}) * CAST(ABS({p_bar}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_bar,
-       CAST(CAST(CAST(CAST(({p_e}) * CAST(ABS({p_e}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS p_e,
-       CAST(CAST(CAST(CAST((({p_bar} - {p_e}) / (1.0 - {p_e})) * CAST(ABS(({p_bar} - {p_e}) / (1.0 - {p_e})) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS kappa
+       CASE WHEN ABS({p_bar}) >= 1e16 THEN CAST(({p_bar}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({p_bar}) * CAST(ABS({p_bar}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS p_bar,
+       CASE WHEN ABS({p_e}) >= 1e16 THEN CAST(({p_e}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({p_e}) * CAST(ABS({p_e}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS p_e,
+       CASE WHEN ABS(({p_bar} - {p_e}) / (1.0 - {p_e})) >= 1e16 THEN CAST((({p_bar} - {p_e}) / (1.0 - {p_e})) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((({p_bar} - {p_e}) / (1.0 - {p_e})) * CAST(ABS(({p_bar} - {p_e}) / (1.0 - {p_e})) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS kappa
 FROM __a CROSS JOIN __marg
 """
 
@@ -2556,7 +2556,7 @@ WITH __b AS (
   WHERE ({group_sql}) IS NOT NULL AND ({value_sql}) IS NOT NULL
 ),
 __med AS (
-  SELECT g, CAST(CAST(CAST(CAST((quantile_cont(v, 0.5)) * CAST(ABS(quantile_cont(v, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS med FROM __b GROUP BY g
+  SELECT g, CASE WHEN ABS(quantile_cont(v, 0.5)) >= 1e16 THEN CAST((quantile_cont(v, 0.5)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(v, 0.5)) * CAST(ABS(quantile_cont(v, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS med FROM __b GROUP BY g
 ),
 __z AS (
   SELECT b.g, {_q6_sql("abs(b.v - m.med)")} AS z
@@ -2772,9 +2772,9 @@ __d AS (
   FROM __agg
 )
 SELECT n_pos, n_neg,
-       CAST(CAST(CAST(CAST((CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END) * CAST(ABS(CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END) >= 1e16 THEN CAST((CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END) * CAST(ABS(CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS auc,
-       CAST(CAST(CAST(CAST((CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END) * CAST(ABS(CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END) >= 1e16 THEN CAST((CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END) * CAST(ABS(CASE WHEN n_pos > 1 AND n_neg > 1 THEN {se} END) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS se,
        CAST(CAST(CAST(CAST((CASE WHEN n_pos > 1 AND n_neg > 1 THEN
          greatest({auc} - {zs} * {se}, 0.0) END) * CAST(ABS(CASE WHEN n_pos > 1 AND n_neg > 1 THEN

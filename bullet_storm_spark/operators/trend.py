@@ -362,7 +362,7 @@ __slopes AS (
   FROM __rel a JOIN __rel b ON a.key = b.key AND b.x > a.x
 ),
 __sl AS (
-  SELECT key, CAST(CAST(CAST(CAST((quantile_cont(sl, 0.5)) * CAST(ABS(quantile_cont(sl, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS slope,
+  SELECT key, CASE WHEN ABS(quantile_cont(sl, 0.5)) >= 1e16 THEN CAST((quantile_cont(sl, 0.5)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(sl, 0.5)) * CAST(ABS(quantile_cont(sl, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS slope,
          CAST(COUNT(*) AS BIGINT) AS n_pairs
   FROM __slopes GROUP BY key
 ),
@@ -370,7 +370,7 @@ __res AS (
   SELECT c.key, CAST(COUNT(*) AS BIGINT) AS n_hours,
          ANY_VALUE(s.n_pairs) AS n_pairs,
          ANY_VALUE(s.slope) AS slope,
-         CAST(CAST(CAST(CAST((quantile_cont(CAST(c.y AS DOUBLE) - s.slope * c.x, 0.5)) * CAST(ABS(quantile_cont(CAST(c.y AS DOUBLE) - s.slope * c.x, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE)
+         CASE WHEN ABS(quantile_cont(CAST(c.y AS DOUBLE) - s.slope * c.x, 0.5)) >= 1e16 THEN CAST((quantile_cont(CAST(c.y AS DOUBLE) - s.slope * c.x, 0.5)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((quantile_cont(CAST(c.y AS DOUBLE) - s.slope * c.x, 0.5)) * CAST(ABS(quantile_cont(CAST(c.y AS DOUBLE) - s.slope * c.x, 0.5)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END
            AS intercept
   FROM __rel c JOIN __sl s ON c.key = s.key
   GROUP BY c.key
@@ -480,7 +480,7 @@ __j AS (
   WHERE n.n >= 2
 )
 SELECT key, n AS n_hours, s_stat,
-       CAST(CAST(CAST(CAST((var_s) * CAST(ABS(var_s) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS var_s,
+       CASE WHEN ABS(var_s) >= 1e16 THEN CAST((var_s) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((var_s) * CAST(ABS(var_s) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS var_s,
        CAST(CAST(CAST(CAST((CASE WHEN var_s > 0
                   THEN (CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE)))
                        / sqrt(var_s)

@@ -184,6 +184,6 @@ __a AS (
   FROM __u GROUP BY 1
 )
 SELECT domain, n_docs, n_urls,
-       CAST(CAST(CAST(CAST((n_docs / CAST(SUM(n_docs) OVER () AS BIGINT)) * CAST(ABS(n_docs / CAST(SUM(n_docs) OVER () AS BIGINT)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS share
+       CASE WHEN ABS(n_docs / CAST(SUM(n_docs) OVER () AS BIGINT)) >= 1e16 THEN CAST((n_docs / CAST(SUM(n_docs) OVER () AS BIGINT)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((n_docs / CAST(SUM(n_docs) OVER () AS BIGINT)) * CAST(ABS(n_docs / CAST(SUM(n_docs) OVER () AS BIGINT)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS share
 FROM __a ORDER BY domain
 """

@@ -168,7 +168,7 @@ scored AS (
   FROM nonempty n JOIN vocab v USING (token) CROSS JOIN totals t
 )
 SELECT doc AS {id_col}, COUNT(*)::BIGINT AS n_tokens,
-       CAST(CAST(CAST(CAST((-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) * CAST(ABS(-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS cross_entropy
+       CASE WHEN ABS(-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) >= 1e16 THEN CAST((-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) * CAST(ABS(-CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS cross_entropy
 FROM scored GROUP BY doc ORDER BY {id_col}
 """
 
@@ -333,7 +333,7 @@ per_src AS (
 ), grand AS (SELECT SUM(tfc)::BIGINT AS Tc FROM corpus),
 terms AS (
   SELECT p.src, t.Ts,
-         CAST(CAST(CAST(CAST(((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc))) * CAST(ABS((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc))) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+         CASE WHEN ABS((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc))) >= 1e16 THEN CAST(((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc))) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc))) * CAST(ABS((p.tfs / t.Ts) * ln((p.tfs / t.Ts) / (c.tfc / g.Tc))) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) END
            AS term
   FROM per_src p
   JOIN corpus c USING (token)
@@ -342,7 +342,7 @@ terms AS (
 )
 SELECT src AS {stratum_col}, ANY_VALUE(Ts) AS n_tokens,
        COUNT(*)::BIGINT AS vocab_size,
-       CAST(CAST(CAST(CAST((CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)) >= 1e16 THEN CAST((CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)) * CAST(ABS(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS kl_to_corpus
 FROM terms GROUP BY src ORDER BY {stratum_col}
 """
@@ -554,7 +554,7 @@ __dfreq AS (
 ),
 __n AS (SELECT COUNT(DISTINCT {id_col})::BIGINT AS N FROM {table}),
 __posting0 AS (
-  SELECT t.id, t.token, CAST(CAST(CAST(CAST((t.tf * ln(n.N / d.dfc)) * CAST(ABS(t.tf * ln(n.N / d.dfc)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS w
+  SELECT t.id, t.token, CASE WHEN ABS(t.tf * ln(n.N / d.dfc)) >= 1e16 THEN CAST((t.tf * ln(n.N / d.dfc)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((t.tf * ln(n.N / d.dfc)) * CAST(ABS(t.tf * ln(n.N / d.dfc)) >= POWER(10.0, -(9+1)) AS INT) AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) END AS w
   FROM __tf t
   JOIN __dfreq d ON t.token = d.token AND d.dfc >= 2
   CROSS JOIN __n n
@@ -565,24 +565,24 @@ __posting0 AS (
 __posting AS (SELECT * FROM __posting0 WHERE w > 0),
 __norms AS (
   SELECT id,
-         sqrt(CAST(SUM(CAST(CAST(CAST(CAST(CAST((w * w) * CAST(ABS(w * w) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE))
+         sqrt(CAST(SUM(CAST(CASE WHEN ABS(w * w) >= 1e16 THEN CAST((w * w) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((w * w) * CAST(ABS(w * w) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) END AS DECIMAL(38,12))) AS DOUBLE))
            AS nrm
   FROM __posting GROUP BY id
 ),
 __dots AS (
   SELECT a.id AS da, b.id AS db, COUNT(*)::BIGINT AS n_shared_terms,
-         CAST(SUM(CAST(CAST(CAST(CAST(CAST((a.w * b.w) * CAST(ABS(a.w * b.w) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         CAST(SUM(CAST(CASE WHEN ABS(a.w * b.w) >= 1e16 THEN CAST((a.w * b.w) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((a.w * b.w) * CAST(ABS(a.w * b.w) >= POWER(10.0, -(12+1)) AS INT) AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) END AS DECIMAL(38,12))) AS DOUBLE)
            AS dot
   FROM __posting a JOIN __posting b
     ON a.token = b.token AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT d.da AS doc_a, d.db AS doc_b, d.n_shared_terms,
-       CAST(CAST(CAST(CAST((d.dot / (na.nrm * nb.nrm)) * CAST(ABS(d.dot / (na.nrm * nb.nrm)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS cosine
+       CASE WHEN ABS(d.dot / (na.nrm * nb.nrm)) >= 1e16 THEN CAST((d.dot / (na.nrm * nb.nrm)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((d.dot / (na.nrm * nb.nrm)) * CAST(ABS(d.dot / (na.nrm * nb.nrm)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS cosine
 FROM __dots d
 JOIN __norms na ON d.da = na.id
 JOIN __norms nb ON d.db = nb.id
-WHERE CAST(CAST(CAST(CAST((d.dot / (na.nrm * nb.nrm)) * CAST(ABS(d.dot / (na.nrm * nb.nrm)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) >= {float(min_sim)}
+WHERE CASE WHEN ABS(d.dot / (na.nrm * nb.nrm)) >= 1e16 THEN CAST((d.dot / (na.nrm * nb.nrm)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((d.dot / (na.nrm * nb.nrm)) * CAST(ABS(d.dot / (na.nrm * nb.nrm)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END >= {float(min_sim)}
 ORDER BY doc_a, doc_b
 """
 
@@ -707,9 +707,9 @@ WITH tok AS (
   FROM ranked
 )
 SELECT n_terms, total_tf,
-       CAST(CAST(CAST(CAST((top_tf / total_tf::DOUBLE) * CAST(ABS(top_tf / total_tf::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS top_coverage,
-       CAST(CAST(CAST(CAST(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * CAST(ABS((n * sxy - sx * sy) / (n * sxx - sx * sx)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS zipf_slope,
-       CAST(CAST(CAST(CAST(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * CAST(ABS((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS zipf_intercept,
+       CASE WHEN ABS(top_tf / total_tf::DOUBLE) >= 1e16 THEN CAST((top_tf / total_tf::DOUBLE) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((top_tf / total_tf::DOUBLE) * CAST(ABS(top_tf / total_tf::DOUBLE) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS top_coverage,
+       CASE WHEN ABS((n * sxy - sx * sy) / (n * sxx - sx * sx)) >= 1e16 THEN CAST(((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * CAST(ABS((n * sxy - sx * sy) / (n * sxx - sx * sx)) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS zipf_slope,
+       CASE WHEN ABS((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) >= 1e16 THEN CAST(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * CAST(ABS((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS zipf_intercept,
        CAST(CAST(CAST(CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy)
              / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * CAST(ABS((n * sxy - sx * sy) * (n * sxy - sx * sy)
              / ((n * sxx - sx * sx) * (n * syy - sy * sy))) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS zipf_r2
@@ -1406,7 +1406,7 @@ __lt AS (
 ),
 __ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS ty FROM __big)
 SELECT b.w1, b.w2, b.n_pair, r.right_types_w1, l.left_types_w2,
-       CAST(CAST(CAST(CAST((CAST(l.left_types_w2 AS DOUBLE) / t.ty) * CAST(ABS(CAST(l.left_types_w2 AS DOUBLE) / t.ty) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE)
+       CASE WHEN ABS(CAST(l.left_types_w2 AS DOUBLE) / t.ty) >= 1e16 THEN CAST((CAST(l.left_types_w2 AS DOUBLE) / t.ty) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((CAST(l.left_types_w2 AS DOUBLE) / t.ty) * CAST(ABS(CAST(l.left_types_w2 AS DOUBLE) / t.ty) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END
          AS pcont_w2
 FROM __big b JOIN __rt r ON b.w1 = r.w1 JOIN __lt l ON b.w2 = l.w2
 CROSS JOIN __ty t

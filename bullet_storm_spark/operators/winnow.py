@@ -267,7 +267,7 @@ winnow_pairs AS (SELECT id_a, id_b, 1 AS found FROM ({found}))
 SELECT COUNT(*) AS exact_pairs,
        CAST(SUM(COALESCE(found, 0)) AS BIGINT) AS winnow_found,
        CAST(SUM(CASE WHEN found IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missed,
-       CAST(CAST(CAST(CAST((SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) * CAST(ABS(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS recall
+       CASE WHEN ABS(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) >= 1e16 THEN CAST((SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) AS DOUBLE) ELSE CAST(CAST(CAST(CAST((SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) * CAST(ABS(SUM(COALESCE(found, 0)) / NULLIF(COUNT(*), 0)) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS recall
 FROM exact_pairs LEFT JOIN winnow_pairs USING (id_a, id_b)
 """
 
@@ -345,10 +345,10 @@ __base AS (
 ),
 __nonempty AS (SELECT * FROM __base WHERE len(sh) > 0)
 SELECT c.id_a, c.id_b, c.shared,
-       CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) AS containment
+       CASE WHEN ABS({cont}) >= 1e16 THEN CAST(({cont}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END AS containment
 FROM __cands c
 JOIN __nonempty a ON c.id_a = a.id
 JOIN __nonempty b ON c.id_b = b.id
-WHERE CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) >= {threshold}
+WHERE CASE WHEN ABS({cont}) >= 1e16 THEN CAST(({cont}) AS DOUBLE) ELSE CAST(CAST(CAST(CAST(({cont}) * CAST(ABS({cont}) >= POWER(10.0, -({round_to}+1)) AS INT) AS VARCHAR) AS DECIMAL(38,{round_to})) AS VARCHAR) AS DOUBLE) END >= {threshold}
 ORDER BY c.id_a, c.id_b
 """

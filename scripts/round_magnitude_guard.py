@@ -37,9 +37,10 @@ START = re.compile(r"CAST\(CAST\(CAST\(CAST\(\(")
 # the whole tail must live inside ONE string literal: any quote or newline
 # in the match means it crossed a literal/site boundary (the first version
 # of this pass allowed that and spliced END into unrelated literals)
-TAIL = re.compile(
-    r"^ \* CAST\(ABS\([^\"'\n]*?\) >= POWER\(10\.0, -\((\d+|\{[^{}\"'\n]+\}|\{\{[^}\"'\n]+\}\})\+1\)\) AS INT\)"
-    r" AS VARCHAR\) AS DECIMAL\(38,(\d+|\{[^{}\"'\n]+\}|\{\{[^}\"'\n]+\}\})\)\) AS VARCHAR\) AS DOUBLE\)"
+SCALE = r"(\d+|\{[^{}\"'\n]+\}|\{\{[^}\"'\n]+\}\})"
+TAIL_AFTER_ABS = re.compile(
+    r"^ >= POWER\(10\.0, -\(" + SCALE + r"\+1\)\) AS INT\)"
+    r" AS VARCHAR\) AS DECIMAL\(38," + SCALE + r"\)\) AS VARCHAR\) AS DOUBLE\)"
 )
 
 
@@ -69,10 +70,26 @@ def find_site(text: str, from_idx: int = 0):
             # into the CASE condition would splice quote/format junk into
             # the SQL — leave such (rare, hand-audited) sites alone
             continue
-        tail = TAIL.match(text[a_close + 1 :])
+        # the ABS() group is matched PAREN-BALANCED, never by regex: on
+        # nested same-shaped sites a lazy regex binds to an inner ') >='
+        # and splices END after the wrong AS DOUBLE) (corrupted
+        # sessionize_sql before this was procedural)
+        mid = " * CAST(ABS"
+        if text[a_close + 1 : a_close + 1 + len(mid)] != mid:
+            continue
+        abs_open = a_close + 1 + len(mid)
+        if abs_open >= len(text) or text[abs_open] != "(":
+            continue
+        abs_close = match_paren(text, abs_open)
+        if abs_close < 0:
+            continue
+        abs_arg = text[abs_open : abs_close + 1]
+        if '"' in abs_arg or "'" in abs_arg or "\n" in abs_arg:
+            continue
+        tail = TAIL_AFTER_ABS.match(text[abs_close + 1 :])
         if not tail:
             continue
-        end = a_close + 1 + tail.end()
+        end = abs_close + 1 + tail.end()
         # skip sites already wrapped (ELSE <hop> END), tolerating f-string
         # quote/prefix/whitespace junk between the keywords and the hop
         junk = '"\'fF \n\t('
