@@ -374,6 +374,49 @@ def test_r9_parity_fuzz(spark, seed):
         ),
     )
 
+    # --- r9 second batch (VERDICT r9 item 8): entropy rate, stickiness,
+    # Fano — on one events-shaped frame with tie-heavy chains (few event
+    # types, few users, clustered hours: the boundary zones are
+    # single-state processes, single-day corpora, zero-variance spines)
+    from bullet_storm_spark.operators.behavior import (
+        entropy_rate,
+        entropy_rate_sql,
+        stickiness_report,
+        stickiness_report_sql,
+    )
+    from bullet_storm_spark.operators.diagnostics import (
+        fano_report,
+        fano_report_sql,
+    )
+
+    types = ["view", "click", "buy"][: rng.randint(1, 3)]
+    ev_rows = []
+    eid = 0
+    for u in range(rng.randint(1, 12)):
+        for _ in range(rng.randint(1, 25)):
+            us = rng.randint(0, rng.choice([1, 24, 24 * 14])) * 3_600_000_000
+            us += rng.randint(0, 3_599_000_000)
+            ev_rows.append((u, eid, rng.choice(types), us))
+            eid += 1
+    evdf = spark.createDataFrame(
+        [(u, e, t, us * 1000) for u, e, t, us in ev_rows],
+        "user_id long, event_id long, event_type string, ts_ns long",
+    )
+    vals = ", ".join(
+        f"({u}, {e}, '{t}', make_timestamp({us}))" for u, e, t, us in ev_rows
+    )
+    setup = (
+        f"CREATE TABLE t AS SELECT * FROM (VALUES {vals})"
+        " v(user_id, event_id, event_type, ts)"
+    )
+    sp = [tuple(r) for r in entropy_rate(evdf).collect()]
+    assert sp == _duck(setup, entropy_rate_sql("t"))
+    wd = rng.choice([1, 2, 7])
+    sp = [tuple(r) for r in stickiness_report(evdf, window_days=wd).collect()]
+    assert sp == _duck(setup, stickiness_report_sql("t", window_days=wd))
+    sp = [tuple(r) for r in fano_report(evdf).collect()]
+    assert sp == _duck(setup, fano_report_sql("t"))
+
 
 @pytest.mark.parametrize("seed", range(3))
 def test_partial_correlation_collinear_clamp(spark, seed):
@@ -429,6 +472,9 @@ def test_qround_hop_matches_spark_round_fuzz(spark, seed):
                               f"{rng.randint(0, 999999999):09d}5"))
         elif kind < 0.6:  # the broken sci-notation zone
             vals.append((10 ** rng.uniform(-20, -9)) * rng.uniform(-10, 10))
+        elif kind < 0.7:  # the DECIMAL(38,d) overflow zone (ADVICE r9:
+            # the 1e16 bypass must return x unchanged, not raise)
+            vals.append(rng.uniform(-1, 1) * 10 ** rng.uniform(16, 60))
         else:  # general magnitudes
             vals.append(rng.uniform(-1, 1) * 10 ** rng.uniform(-8, 6))
     rows = [(i, v) for i, v in enumerate(vals)]
