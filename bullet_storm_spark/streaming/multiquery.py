@@ -32,10 +32,14 @@ caps each member at its limit per partition (bounded output:
 partitions x sum(limits) rows; bounded memory: one Arrow batch). The
 member's CURRENT remaining capacity is applied driver-side at split
 time so the cached batch-independent plan survives capacity decay.
-Not shareable: QUANTILE (value-sample partials), record-window queries
-(emission timing is per-query), and COUNT DISTINCT under a rate limit
-(its sketch partial carries no per-member count) — those run on the
-per-query path.
+QUANTILE fleets likewise share one mapInPandas pass per
+<=MAX_QUANTILE_MEMBERS_PER_JOB members, each member folding its
+filtered values into its own mergeable KLL summary (identical
+compression to the per-query partial, so the paths produce the same
+summaries for the same partitioning).
+Not shareable: record-window queries (emission timing is per-query)
+and COUNT DISTINCT under a rate limit (its sketch partial carries no
+per-member count) — those run on the per-query path.
 """
 
 from __future__ import annotations
@@ -75,7 +79,11 @@ def is_shareable(rq, rate_limited: bool) -> bool:
         # under a rate limit too
         return True
     if isinstance(state, DistributionState):
-        return state.agg.dist_type != DistributionType.QUANTILE
+        # PMF/CDF fold into the binning agg jobs; QUANTILE members share
+        # one mapInPandas pass building each member's mergeable KLL
+        # summary (r10 — the value-sample partial stopped being a blocker
+        # once the partial became the associative KLLSummary)
+        return True
     if isinstance(state, CountDistinctState):
         # approx folds an HLL sketch column into the keyless job; exact
         # folds a collect_set column (raw key values — identical contents
@@ -315,6 +323,146 @@ def _plan_raw_chunks(raw_queries) -> list[RawChunkPlan]:
     return chunks
 
 
+# QUANTILE members per shared pass: each member carries a value + flag
+# column through Arrow and a SAMPLE_CAP-float accumulator per task
+MAX_QUANTILE_MEMBERS_PER_JOB = 16
+
+
+@dataclass
+class QuantileChunkPlan:
+    """One shared QUANTILE pass: per member i a filter flag ``f{i}`` and
+    a filtered double value column ``q{i}``; the Python stage folds each
+    member's values into its own KLL accumulator (the same deterministic
+    compression as DistributionState.partial), one row per (partition,
+    member) out, tree-merged executor-side past TREE_FANIN partitions."""
+
+    pre_cols: list
+    rqs: list[Any]
+
+
+def _plan_quantile_chunks(qqueries) -> list[QuantileChunkPlan]:
+    chunks: list[QuantileChunkPlan] = []
+    for start in range(0, len(qqueries), MAX_QUANTILE_MEMBERS_PER_JOB):
+        members = qqueries[start : start + MAX_QUANTILE_MEMBERS_PER_JOB]
+        pre_cols = []
+        for i, rq in enumerate(members):
+            q = rq.query
+            fcol = (
+                F.coalesce(q.filter.to_column(), F.lit(False))
+                if q.filter is not None
+                else F.lit(True)
+            )
+            vcol, _ = _resolver(rq)(rq.state.agg.field)
+            pre_cols.append(fcol.alias(f"f{i}"))
+            pre_cols.append(F.when(fcol, vcol.cast("double")).alias(f"q{i}"))
+        chunks.append(QuantileChunkPlan(pre_cols, list(members)))
+    return chunks
+
+
+def _run_quantile_chunk(
+    batch_df: DataFrame, cp: QuantileChunkPlan
+) -> list[list[dict]]:
+    """One job for every QUANTILE member: per-partition per-member KLL
+    summaries (self-contained closures — the same deterministic
+    alternate-keep compression as DistributionState.partial, so shared
+    and per-query paths produce IDENTICAL summaries for the same
+    partitioning), tree-merged executor-side, rows shaped exactly like
+    the per-query partial (__levels/__n/__nrec) for state.merge."""
+    n = len(cp.rqs)
+    cap = cp.rqs[0].state.SAMPLE_CAP
+    fanin = cp.rqs[0].state.TREE_FANIN
+    schema = "member int, __levels array<array<double>>, __n long, __nrec long"
+
+    def make_acc():
+        levels: list[list[float]] = [[]]
+        counter = [0]
+
+        def fold(in_levels):
+            for i, lvl in enumerate(in_levels):
+                while len(levels) <= i:
+                    levels.append([])
+                levels[i].extend(float(x) for x in lvl)
+            i = 0
+            while i < len(levels):
+                if len(levels[i]) > cap:
+                    lvl = sorted(levels[i])
+                    off = counter[0] & 1
+                    counter[0] += 1
+                    held = []
+                    if len(lvl) & 1:
+                        held = [lvl.pop()] if off else [lvl.pop(0)]
+                    if len(levels) <= i + 1:
+                        levels.append([])
+                    levels[i + 1].extend(lvl[off::2])
+                    levels[i] = held
+                i += 1
+
+        return levels, fold
+
+    def build(batches):
+        import pandas as pd
+
+        accs = [make_acc() for _ in range(n)]
+        nv = [0] * n
+        nr = [0] * n
+        for pdf in batches:
+            for i in range(n):
+                nr[i] += int(pdf[f"f{i}"].sum())
+                vals = pdf[f"q{i}"].dropna()
+                nv[i] += len(vals)
+                accs[i][1]([list(vals)])
+        yield pd.DataFrame(
+            {
+                "member": list(range(n)),
+                "__levels": [accs[i][0] for i in range(n)],
+                "__n": nv,
+                "__nrec": nr,
+            }
+        )
+
+    def tree_merge(batches):
+        import pandas as pd
+
+        accs = {}
+        nv: dict = {}
+        nr: dict = {}
+        for pdf in batches:
+            for m, lv, nn, nrec in zip(
+                pdf["member"], pdf["__levels"], pdf["__n"], pdf["__nrec"]
+            ):
+                m = int(m)
+                if m not in accs:
+                    accs[m] = make_acc()
+                    nv[m] = 0
+                    nr[m] = 0
+                accs[m][1](lv)
+                nv[m] += int(nn)
+                nr[m] += int(nrec)
+        members = sorted(accs)
+        yield pd.DataFrame(
+            {
+                "member": members,
+                "__levels": [accs[m][0] for m in members],
+                "__n": [nv[m] for m in members],
+                "__nrec": [nr[m] for m in members],
+            }
+        )
+
+    out = batch_df.select(*cp.pre_cols).mapInPandas(build, schema)
+    if batch_df.rdd.getNumPartitions() > fanin:
+        out = out.coalesce(fanin).mapInPandas(tree_merge, schema)
+    result: list[list[dict]] = [[] for _ in range(n)]
+    for row in out.collect():
+        result[row["member"]].append(
+            {
+                "__levels": row["__levels"],
+                "__n": row["__n"],
+                "__nrec": row["__nrec"],
+            }
+        )
+    return result
+
+
 def _run_raw_chunk(batch_df: DataFrame, cp: RawChunkPlan) -> list[list[dict]]:
     """Execute one shared RAW pass; returns per-member partial row lists
     capped at each member's CURRENT remaining capacity (read at call
@@ -395,9 +543,21 @@ def plan_chunks(queries) -> list:
     aggregation families, RawChunkPlan for RAW fleets). The engine caches
     the result keyed on the fleet identity and rebuilds only when a query
     is added or finishes."""
+    def _is_quantile(rq):
+        return (
+            isinstance(rq.state, DistributionState)
+            and rq.state.agg.dist_type == DistributionType.QUANTILE
+        )
+
     raw = [rq for rq in queries if isinstance(rq.state, RawState)]
-    agg = [rq for rq in queries if not isinstance(rq.state, RawState)]
+    quant = [rq for rq in queries if _is_quantile(rq)]
+    agg = [
+        rq
+        for rq in queries
+        if not isinstance(rq.state, RawState) and not _is_quantile(rq)
+    ]
     chunks: list = list(_plan_raw_chunks(raw))
+    chunks.extend(_plan_quantile_chunks(quant))
     for job in plan_jobs(agg):
         for start in range(0, len(job.members), MAX_MEMBERS_PER_JOB):
             members = job.members[start : start + MAX_MEMBERS_PER_JOB]
@@ -431,7 +591,7 @@ def shared_partials(
         chunks = plan_chunks(queries)
     bound: list = []
     for cp in chunks:
-        if isinstance(cp, RawChunkPlan):
+        if isinstance(cp, (RawChunkPlan, QuantileChunkPlan)):
             bound.append(cp)
             continue
         pre = batch_df.select(*cp.pre_cols)
@@ -444,6 +604,8 @@ def shared_partials(
     def run(chunk):
         if isinstance(chunk, RawChunkPlan):
             return _run_raw_chunk(batch_df, chunk), chunk
+        if isinstance(chunk, QuantileChunkPlan):
+            return _run_quantile_chunk(batch_df, chunk), chunk
         out, members = chunk
         return [r.asDict() for r in out.collect()], members
 
@@ -453,7 +615,7 @@ def shared_partials(
     else:
         computed = [run(bound[0])] if bound else []
     for rows, members in computed:
-        if isinstance(members, RawChunkPlan):
+        if isinstance(members, (RawChunkPlan, QuantileChunkPlan)):
             for rq, member_rows in zip(members.rqs, rows):
                 result[rq.id] = member_rows
             continue

@@ -83,7 +83,7 @@ def _mixed_queries():
         "raw": Query(
             filter=gt("n", 50), aggregation=Raw(size=100), duration_ms=600_000
         ),
-        # NOT shareable -> per-query path alongside (value-sample partial)
+        # QUANTILE is shareable since r10 (one KLL-partial pass per fleet)
         "quant": Query(
             aggregation=Distribution(
                 field="v", dist_type=DistributionType.QUANTILE, points=[0.5]
@@ -119,7 +119,7 @@ def _run(spark, batches, shared: bool):
 def test_shared_scan_equals_per_query(spark, batches):
     base, _ = _run(spark, batches, shared=False)
     shared, engine = _run(spark, batches, shared=True)
-    assert engine.shared_scan_queries >= 16  # 8 shareable queries x 2 batches
+    assert engine.shared_scan_queries >= 20  # all 10 queries shareable x 2 batches
     assert base.keys() == shared.keys()
     for qid in base:
         assert base[qid] == shared[qid], qid
@@ -259,3 +259,53 @@ def test_raw_fleet_is_one_chunk_plan():
     assert len(chunks[0].rqs) == 50
     big = [_RQ(q) for q in _raw_fleet(MAX_RAW_MEMBERS_PER_JOB + 1).values()]
     assert len(plan_chunks(big)) == 2
+
+
+def test_shared_quantile_fleet_equals_per_query(spark, batches):
+    # QUANTILE fleet on the shared KLL pass: small input (< SAMPLE_CAP)
+    # is EXACT on both paths, so results must be identical; the fleet
+    # plans into one QuantileChunkPlan and runs one job per batch.
+    from bullet_storm_spark.streaming.multiquery import (
+        QuantileChunkPlan,
+        plan_chunks,
+    )
+    from bullet_storm_spark.streaming.state import make_state
+
+    def fleet():
+        return {
+            f"qt{i}": Query(
+                filter=gt("n", 10 * i) if i else None,
+                aggregation=Distribution(
+                    field="v",
+                    dist_type=DistributionType.QUANTILE,
+                    points=[0.1, 0.5, 0.9],
+                ),
+                duration_ms=600_000,
+            )
+            for i in range(5)
+        }
+
+    def run(shared):
+        engine = StreamingEngine(spark, enable_shared_scan=shared)
+        for qid, q in fleet().items():
+            engine.submit(qid, q)
+        for b in batches:
+            engine.process_batch(b)
+        return {
+            qid: rq.state.result()
+            for qid, rq in engine.registry.queries.items()
+        }, engine
+
+    base, _ = run(False)
+    got, engine = run(True)
+    assert engine.shared_scan_queries == 10
+    assert base == got
+
+    class _RQ:
+        def __init__(self, q):
+            self.query = q
+            self.state = make_state(q)
+            self.id = id(self)
+
+    chunks = plan_chunks([_RQ(q) for q in fleet().values()])
+    assert len(chunks) == 1 and isinstance(chunks[0], QuantileChunkPlan)
