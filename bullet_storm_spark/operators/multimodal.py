@@ -16,13 +16,15 @@ Decode status by format:
   (`operators/jpeg.py`: Huffman + dequantize + IDCT + chroma upsample +
   color convert; the encoder twin synthesizes the fixtures). Pytest pins
   the decoded pixel hashes and the encode→decode error envelope.
-* **Compressed audio (MP3/AAC) and PNG/H.264: stubbed** —
-  ``decode_image_meta`` keeps a clearly-marked deterministic fake for
-  generic payloads, ``decode_audio_real`` raises NotImplementedError,
-  and non-JPEG/BMP containers report ``decode_ok = false``. Everything
-  around the stubs — schema contract, binary handling, mapInPandas batch
-  shape, partition-preserving plumbing — is real and tested, so swapping
-  in a decoder is a one-function change.
+* **Compressed audio (MP3/AAC) and PNG/H.264: decode_ok = false** —
+  the honest boundary, uniform across modalities (r10: zero
+  NotImplementedError left): ``decode_image_meta`` keeps a
+  clearly-marked deterministic fake for generic payloads, and
+  non-JPEG/BMP image containers and non-WAV audio containers report
+  ``decode_ok = false`` with true byte lengths. Everything around the
+  boundary — schema contract, binary handling, mapInPandas batch shape,
+  partition-preserving plumbing — is real and tested, so swapping in a
+  decoder is a one-function change.
 
 Scale notes: binary payloads ride the scan as ordinary columns (parquet
 keeps them row-grouped; column pruning drops them when untouched);
@@ -153,15 +155,16 @@ def decode_image_real(payloads: DataFrame) -> DataFrame:
 
 
 def decode_audio_real(payloads: DataFrame) -> DataFrame:
-    """Compressed-audio decode path — MP3/AAC stay stubbed (no audio
-    codec library in this environment, and a correct MP3 synthesis
-    filterbank is out of scope); PCM WAV has the real decoder above
-    (:func:`decode_wav_features`)."""
-    raise NotImplementedError(
-        "MP3/AAC decoding requires an audio codec library; this "
-        "environment has none. PCM WAV decodes for real via "
-        "decode_wav_features."
-    )
+    """Audio decode front door, mirroring :func:`decode_image_real`'s
+    honest-boundary contract: PCM WAV payloads decode for REAL
+    (:func:`decode_wav_features` — stdlib RIFF parse + integer-exact
+    features) and compressed containers (MP3 frame sync / ADTS AAC /
+    anything else) report ``decode_ok = false`` with true byte lengths
+    — a truthful row, never an exception (a faithful MPEG synthesis
+    filterbank needs the spec's window tables, which this environment
+    cannot verify against a real decoder; claiming one without that
+    check would be worse than the boundary). Output: WAV_SCHEMA."""
+    return decode_wav_features(payloads)
 
 
 def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -274,8 +277,9 @@ FROM __h ORDER BY id
 # recompute the expected features independently of the codec: if the
 # decoder misparses headers, padding, row order, or sample width, the
 # hash check fails. This closes the decode gap for stdlib-decodable
-# formats; only exotic codecs (JPEG/MP3/H.264) remain behind the
-# documented decode_image_real stub.
+# formats; JPEG decodes for real via the in-repo codec (r9), and the
+# remaining exotic codecs (MP3/AAC/PNG/H.264) report decode_ok = false
+# through the decode_image_real / decode_audio_real front doors.
 # ---------------------------------------------------------------------------
 
 WAV_SCHEMA = (

@@ -230,9 +230,10 @@ def test_multimodal_real_decode_contract(docs):
     rows = multimodal.decode_image_real(payloads).collect()
     assert rows and all(not r.decode_ok for r in rows)
     assert any(r.n_bytes > 0 for r in rows)  # byte lengths are real
-    # the remaining honest stub is compressed audio
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio_real(payloads)
+    # r10: the audio front door mirrors the image contract — text
+    # payloads are not WAVs, so truthful ok=false rows, no exception
+    arows = multimodal.decode_audio_real(payloads).collect()
+    assert arows and all(not r.decode_ok for r in arows)
 
 
 def test_sample_frames(docs):
