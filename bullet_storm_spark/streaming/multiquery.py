@@ -289,13 +289,19 @@ MAX_RAW_MEMBERS_PER_JOB = 64
 @dataclass
 class RawChunkPlan:
     """One shared RAW pass's batch-independent pieces: per member i a
-    nullable struct column ``m{i}`` (the member's projection, null unless
-    its filter matches), the per-partition cap (the member's FULL limit —
-    an upper bound of its remaining capacity, so the plan is reusable
-    across batches while capacity decays), and the member queries for
-    split-time capping."""
+    filter flag ``__f{i}`` and a nullable struct column ``m{i}`` (the
+    member's projection, null unless its flag is set), the per-partition
+    cap (the member's FULL limit — an upper bound of its remaining
+    capacity, so the plan is reusable across batches while capacity
+    decays), and the member queries for split-time capping. Flags and
+    payloads are SEPARATE projection steps so Catalyst pushes the
+    any-member OR filter below the (wide) struct construction — the
+    structs evaluate only on surviving rows, not the whole batch
+    (measured: 50 structs over a 100k-row batch cost 0.6 s JVM-side
+    when built before the filter)."""
 
-    pre_cols: list
+    flag_cols: list
+    payload_cols: list
     caps: list[int]
     rqs: list[Any]
 
@@ -304,10 +310,14 @@ def _plan_raw_chunks(raw_queries) -> list[RawChunkPlan]:
     chunks: list[RawChunkPlan] = []
     for start in range(0, len(raw_queries), MAX_RAW_MEMBERS_PER_JOB):
         members = raw_queries[start : start + MAX_RAW_MEMBERS_PER_JOB]
-        pre_cols, caps = [], []
+        flag_cols, payload_cols, caps = [], [], []
         for i, rq in enumerate(members):
             q = rq.query
-            fcol = q.filter.to_column() if q.filter is not None else F.lit(True)
+            fcol = (
+                F.coalesce(q.filter.to_column(), F.lit(False))
+                if q.filter is not None
+                else F.lit(True)
+            )
             if q.projection.fields is not None:
                 payload = F.struct(
                     *[
@@ -316,10 +326,14 @@ def _plan_raw_chunks(raw_queries) -> list[RawChunkPlan]:
                     ]
                 )
             else:
-                payload = F.struct("*")  # pass-through projection
-            pre_cols.append(F.when(fcol, payload).alias(f"m{i}"))
+                # pass-through projection: the struct must cover the
+                # BATCH columns only (a plan-time "*" would swallow the
+                # flag columns added upstream) — bound at run time
+                payload = None
+            flag_cols.append(fcol.alias(f"__f{i}"))
+            payload_cols.append(payload)
             caps.append(rq.state.size)
-        chunks.append(RawChunkPlan(pre_cols, caps, list(members)))
+        chunks.append(RawChunkPlan(flag_cols, payload_cols, caps, list(members)))
     return chunks
 
 
@@ -471,13 +485,23 @@ def _run_raw_chunk(batch_df: DataFrame, cp: RawChunkPlan) -> list[list[dict]]:
 
     n = len(cp.rqs)
     names = [f"m{i}" for i in range(n)]
-    pre = batch_df.select(*cp.pre_cols)
-    # rows matching no member never leave the JVM
+    # flags first, any-member OR filter second, structs LAST: Catalyst
+    # pushes the OR into the scan and the wide struct projection runs on
+    # surviving rows only
     from functools import reduce
 
-    alive = pre.where(
-        reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in names])
-    )
+    batch_cols = list(batch_df.columns)
+    payload_cols = [
+        F.when(
+            F.col(f"__f{i}"),
+            p if p is not None else F.struct(*[F.col(c) for c in batch_cols]),
+        ).alias(f"m{i}")
+        for i, p in enumerate(cp.payload_cols)
+    ]
+    flagged = batch_df.select(F.col("*"), *cp.flag_cols)
+    alive = flagged.where(
+        reduce(lambda a, b: a | b, [F.col(f"__f{i}") for i in range(n)])
+    ).select(*payload_cols)
     caps = list(cp.caps)
     from pyspark.sql.types import IntegerType, StructField, StructType
 
