@@ -4515,6 +4515,22 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "embeddings", "vec_id", "embedding", nbits=4, dim=64
         ),
     ),
+    # the 100 TB path for the same calibration table (r10, motivated by
+    # the weak-scaling curve: fixed-plane bucketing is candidate-pair
+    # QUADRATIC in corpus size — 3.4 s -> 27.9 s at sf0.1 -> sf0.3):
+    # hash-elected <=48 rows per bucket bound the pair stage at
+    # buckets x C(48,2) regardless of corpus size; within-bucket pair
+    # SHARES (what calibration reads) survive the sampling
+    "embed_cos_histogram_capped": (
+        lambda s, d: _sim.cosine_histogram(
+            load_table(s, d, "embeddings"), "vec_id", "embedding",
+            nbits=6, dim=64, per_bucket_cap=48,
+        ),
+        _sim.cosine_histogram_sql(
+            "embeddings", "vec_id", "embedding", nbits=6, dim=64,
+            per_bucket_cap=48,
+        ),
+    ),
     # JSON property-bag drift between event-id halves: which keys
     # appeared/vanished/changed share — the upstream contract alarm
     "events_props_key_drift": (

@@ -1225,6 +1225,7 @@ def cosine_histogram(
     dim: int = 64,
     n_bins: int = 10,
     round_to: int = 9,
+    per_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate-pair cosine histogram for near-dup threshold
     calibration: ``(bin_lo, n_pairs, share)`` where ``bin_lo`` is the
@@ -1245,13 +1246,41 @@ def cosine_histogram(
     Engine parity: binning floors the ALREADY-ROUNDED cosine (exact in
     both engines — the dedup band convention); counts are integers,
     shares one IEEE division each. Scale: bucket equi-join (the
-    lsh_bucketed_neighbors posture — no all-pairs), bin-sized output."""
+    lsh_bucketed_neighbors posture — no all-pairs), bin-sized output.
+
+    ``per_bucket_cap`` is the 100 TB path (r10, measured on the weak-
+    scaling curve): at a FIXED hyperplane count the bucket population
+    grows with the corpus and the candidate-pair stage is inherently
+    quadratic (sf0.1→0.3 on the driver-shaped corpus: 3.4 s → 27.9 s).
+    The cap elects at most ``per_bucket_cap`` rows per bucket by the
+    deterministic (id, salt) hash draw (the cap_per_group/hash_fraction
+    contract — any re-run, partitioning, or engine elects the same
+    rows), bounding the pair stage at buckets × C(cap, 2) pairs
+    REGARDLESS of corpus size. The histogram becomes a per-bucket
+    uniform pair SAMPLE: within a bucket the sampled pairs are an
+    unbiased draw of its pair population, so the shares that drive
+    threshold calibration survive; raw counts no longer scale with the
+    corpus (that is the point). Give the capped mode enough nbits that
+    one bucket's window sort stays a fraction of a partition."""
     planes = hyperplanes(dim, nbits)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _bucket_col(F.col(vec_col), planes).alias("bucket"),
     ).where(norm(as_double(F.col(vec_col))) > 0)
+    if per_bucket_cap is not None:
+        if per_bucket_cap < 2:
+            raise ValueError(f"need per_bucket_cap >= 2, got {per_bucket_cap}")
+        from bullet_storm_spark.operators.sampling import hash_fraction
+
+        wb = Window.partitionBy("bucket").orderBy(
+            hash_fraction("id", "coshist"), F.col("id")
+        )
+        base = (
+            base.withColumn("__r", F.row_number().over(wb))
+            .where(F.col("__r") <= per_bucket_cap)
+            .drop("__r")
+        )
     a = base.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket"
     )
@@ -1298,16 +1327,33 @@ def cosine_histogram_sql(
     dim: int = 64,
     n_bins: int = 10,
     round_to: int = 9,
+    per_bucket_cap: int | None = None,
 ) -> str:
     planes = hyperplanes(dim, nbits)
     bucket = _bucket_sql("v", planes)
     cos = f"CAST(CAST(CAST(CAST(({cosine_sql('a.v', 'b.v')}) * CAST(ABS({cosine_sql('a.v', 'b.v')}) >= POWER(10.0, -(6+1)) AS INT) AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
+    if per_bucket_cap is not None:
+        from bullet_storm_spark.operators.sampling import hash_fraction_sql
+
+        u = hash_fraction_sql("id", "coshist")
+        cap_clause = f""",
+base AS (
+  SELECT id, v, bucket FROM (
+    SELECT id, v, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY {u}, id) AS __r
+    FROM __all
+  ) WHERE __r <= {int(per_bucket_cap)}
+)"""
+        base_name = "__all"
+    else:
+        cap_clause = ""
+        base_name = "base"
     return f"""
-WITH base AS (
+WITH {base_name} AS (
   SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket
   FROM {table}
   WHERE sqrt(list_inner_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) > 0
-),
+){cap_clause},
 __binned AS (
   SELECT GREATEST(LEAST(CAST(FLOOR({cos} * {n_bins}) AS BIGINT), {n_bins - 1}), 0) AS bin,
          CAST(COUNT(*) AS BIGINT) AS n_pairs

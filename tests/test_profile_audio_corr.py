@@ -219,6 +219,49 @@ def test_cosine_histogram_properties_and_parity(spark):
     assert [tuple(r) for r in out] == duck
 
 
+def test_cosine_histogram_per_bucket_cap(spark):
+    # the 100 TB path (r10): hash-elected <= cap rows per bucket bound
+    # the pair stage at buckets x C(cap,2) pairs regardless of corpus
+    # size; the election is a pure (id, salt) function so any run /
+    # partitioning / engine elects the same rows (bit-identical output,
+    # pinned against the DuckDB twin), and shares still sum to 1
+    random.seed(7)
+    rows = [
+        (i, [round(random.gauss(0.0, 1), 4) for _ in range(8)], 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cap = 12
+    out = cosine_histogram(
+        df, "vec_id", "embedding", nbits=3, dim=8, per_bucket_cap=cap
+    ).collect()
+    total = sum(r.n_pairs for r in out)
+    assert 0 < total <= 8 * cap * (cap - 1) // 2  # 2^3 buckets x C(cap,2)
+    full = sum(
+        r.n_pairs
+        for r in cosine_histogram(df, "vec_id", "embedding", nbits=3, dim=8).collect()
+    )
+    assert total < full  # the cap actually sampled
+    assert sum(r.share for r in out) == pytest.approx(1.0, abs=1e-6)
+    # repartitioned input elects the same rows -> identical histogram
+    out2 = cosine_histogram(
+        df.repartition(13), "vec_id", "embedding", nbits=3, dim=8,
+        per_bucket_cap=cap,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", rows)
+    duck = con.execute(cosine_histogram_sql(
+        "embeddings", "vec_id", "embedding", nbits=3, dim=8, per_bucket_cap=cap
+    )).fetchall()
+    assert [tuple(r) for r in out] == duck
+
+
 def test_cosine_histogram_identical_vectors_top_bin(spark):
     # identical vectors -> cos 1.0 -> clamped into the top bin (0.9)
     rows = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(5)]
