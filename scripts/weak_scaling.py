@@ -42,6 +42,7 @@ sys.path.insert(0, "/root/repo")
 ENTRIES = [
     ("dedup_simhash_pairs", 1.0),
     ("embed_cos_histogram", 1.0),
+    ("embed_cos_histogram_capped", 3.0),  # the r10 fix: bounded pair stage
     ("ann_quantized_arrow", 3.0),
 ]
 POINTS = [
