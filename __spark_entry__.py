@@ -4585,6 +4585,19 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             "documents", "doc_id", "text", shingle_n=1
         ),
     ),
+    # simhash band workload pre-flight (r10): per-band bucket counts +
+    # exact Sigma C(s,2) candidate-pair price, NO pair materialization —
+    # the "is simhash_pairs runnable on this corpus" report (motivated
+    # by the weak-scaling run: pair output grows sf^2.3 on this corpus
+    # and a single hot bucket at sf3 emitted a multi-GB shuffle task)
+    "dedup_simhash_bucket_plan": (
+        lambda s, d: _dedup.simhash_bucket_profile(
+            _docs(s, d), "doc_id", "text", shingle_n=1
+        ),
+        _dedup.simhash_bucket_profile_sql(
+            "documents", "doc_id", "text", shingle_n=1
+        ),
+    ),
     # similarity-graph degree power-law (r9): Hill/MLE exponent + degree
     # header over the SAME minhash pair graph the clustering entries use
     # — the hub/boilerplate pre-flight before connected-components

@@ -1530,6 +1530,84 @@ FROM (
     return f"SELECT * FROM ({union}) ORDER BY bands"
 
 
+def simhash_bucket_profile(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
+) -> DataFrame:
+    """Per-band bucket workload of the SimHash banding — the pre-flight
+    that says whether ``simhash_pairs`` is runnable BEFORE any pair
+    materializes: ``(band, n_buckets, n_docs, max_bucket,
+    candidate_pairs)`` with ``candidate_pairs = Σ C(s, 2)`` over the
+    band's bucket sizes, i.e. exactly the pair-join output the band will
+    emit. The simhash twin of ``lsh_band_plan`` (which plans the minhash
+    factorizations), motivated by a live r10 measurement: on the
+    driver-shaped corpus the pair OUTPUT grows as sf^2.3 (WEAK_SCALING
+    .json) and at sf3 a single hot band bucket emitted a multi-GB
+    shuffle task — this report prices that before a 100 TB sweep, for
+    the cost of one wordcount-shaped double aggregation (no join, no
+    pair rows; ``max_bucket`` names the boilerplate cluster to excise).
+
+    Engine parity: pure integer counts, ``s*(s-1)/2`` stays exact in
+    BIGINT (a band bucket would need > 6e9 docs to overflow — the
+    64-bit ceiling documents itself via the simhash space: 2^12 buckets
+    per band)."""
+    hdf = simhash(df, id_col, text_col, shingle_n)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    blocked = hdf.select(F.posexplode(bands).alias("band", "bh"))
+    sizes = blocked.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("s").cast("long").alias("n_docs"),
+            F.max("s").cast("long").alias("max_bucket"),
+            # s*(s-1) is even, so >>1 is the exact integer C(s,2) — a
+            # double `/ 2` would round past 2^53
+            F.sum(
+                F.shiftright(
+                    (F.col("s") * (F.col("s") - F.lit(1))).cast("long"), 1
+                )
+            )
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+def simhash_bucket_profile_sql(
+    table: str, id_col: str, text_col: str, shingle_n: int = 1
+) -> str:
+    inner = simhash_sql(table, id_col, text_col, shingle_n)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH h AS ({inner}),
+blocked AS (
+  SELECT b.band,
+         (simhash >> ({SIMHASH_BAND_BITS} * b.band)) & {mask} AS bh
+  FROM h, (SELECT UNNEST(range({SIMHASH_BANDS})) AS band) b
+),
+sizes AS (
+  SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS s
+  FROM blocked GROUP BY band, bh
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(s) AS BIGINT) AS n_docs,
+       CAST(MAX(s) AS BIGINT) AS max_bucket,
+       CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM sizes GROUP BY band ORDER BY band
+"""
+
+
 def simhash_hamming_histogram(
     df: DataFrame,
     id_col: str,

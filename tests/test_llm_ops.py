@@ -128,6 +128,33 @@ def test_simhash_parity_and_pairs(docs, duck_docs):
     assert {(r.id_a, r.id_b) for r in pairs} >= {(0, 1), (0, 4), (1, 4)}
 
 
+def test_simhash_bucket_profile(docs, duck_docs):
+    # the pre-flight prices the pair join WITHOUT materializing pairs:
+    # per band, sum C(bucket, 2) must equal the number of candidate
+    # pairs the band's equi-join would emit (pair-listed here on the
+    # tiny fixture to verify the identity), and the DuckDB twin matches
+    prof = dedup.simhash_bucket_profile(docs, "doc_id", "text").collect()
+    assert [r.band for r in prof] == [0, 1, 2, 3]
+    n_docs = dedup.simhash(docs, "doc_id", "text").count()
+    hdf = dedup.simhash(docs, "doc_id", "text").collect()
+    from collections import Counter
+
+    for r in prof:
+        assert r.n_docs == n_docs
+        buckets = Counter(
+            (h.simhash >> (dedup.SIMHASH_BAND_BITS * r.band))
+            & ((1 << dedup.SIMHASH_BAND_BITS) - 1)
+            for h in hdf
+        )
+        assert r.n_buckets == len(buckets)
+        assert r.max_bucket == max(buckets.values())
+        assert r.candidate_pairs == sum(s * (s - 1) // 2 for s in buckets.values())
+    drows = duck_docs.sql(
+        dedup.simhash_bucket_profile_sql("docs", "doc_id", "text")
+    ).fetchall()
+    assert sorted(tuple(r) for r in prof) == sorted(drows)
+
+
 def test_ngram_jaccard_pairs(docs, duck_docs):
     kw = dict(shingle_n=1, threshold=0.6)
     srows = sorted(
