@@ -112,9 +112,16 @@ class StreamingEngine:
         # shared-scan plan cache: ChunkPlans are batch-independent Column
         # trees, and rebuilding them per micro-batch cost ~1.5 s/batch at
         # 100 queries (more than the jobs themselves). Keyed on the exact
-        # member objects in order; any fleet change rebuilds.
+        # member objects in order; any fleet change rebuilds. RAW members
+        # cache SEPARATELY: RAW queries fill and COMPLETE by design
+        # (often one per batch), and keying one cache on the whole fleet
+        # made every RAW completion re-plan the (stable) aggregation
+        # fleet too — measured 2.3 s/batch on the 100-query bench mix vs
+        # 0.5 s once split (r10).
         self._chunk_cache_key: tuple | None = None
         self._chunk_cache = None
+        self._raw_chunk_cache_key: tuple | None = None
+        self._raw_chunk_cache = None
 
     def add_metrics_consumer(self, consumer) -> None:
         """Register a pluggable metrics consumer (BulletMetrics analogue,
@@ -300,13 +307,17 @@ class StreamingEngine:
         self.metrics.increment(M.BATCHES_PROCESSED)
         active = self.registry.active()
         now_ms = int(self.clock() * 1000)
-        if len(active) < 2 and self._chunk_cache is not None:
+        if len(active) < 2 and (
+            self._chunk_cache is not None or self._raw_chunk_cache is not None
+        ):
             # fleet shrank below any possible shareable threshold: drop
             # the cached ChunkPlans so retired queries' state can be
             # collected (the later shared-scan check also clears this,
             # but never runs when the batch short-circuits here)
             self._chunk_cache_key = None
             self._chunk_cache = None
+            self._raw_chunk_cache_key = None
+            self._raw_chunk_cache = None
         if not active:
             return
         if source is not None:
@@ -387,28 +398,50 @@ class StreamingEngine:
             else:
                 partials = {}
             partials = {k: v for k, v in partials.items() if v is not None}
-            if not shared and self._chunk_cache is not None:
+            if not shared and (
+                self._chunk_cache is not None
+                or self._raw_chunk_cache is not None
+            ):
                 # fleet shrank below the shareable threshold: drop the
                 # cached plans so the retired queries' RunningQuery
                 # objects (and their accumulated state) can be collected
                 self._chunk_cache_key = None
                 self._chunk_cache = None
+                self._raw_chunk_cache_key = None
+                self._raw_chunk_cache = None
             if shared:
                 from bullet_storm_spark.streaming.multiquery import (
                     plan_chunks,
                     shared_partials,
                 )
 
+                from bullet_storm_spark.streaming.multiquery import (
+                    _plan_raw_chunks,
+                )
+                from bullet_storm_spark.streaming.state import RawState
+
                 try:
-                    key = tuple((rq.id, id(rq)) for rq in shared)
+                    raw_fleet = [
+                        rq for rq in shared if isinstance(rq.state, RawState)
+                    ]
+                    agg_fleet = [
+                        rq
+                        for rq in shared
+                        if not isinstance(rq.state, RawState)
+                    ]
+                    key = tuple((rq.id, id(rq)) for rq in agg_fleet)
                     if key != self._chunk_cache_key:
-                        self._chunk_cache = plan_chunks(shared)
+                        self._chunk_cache = plan_chunks(agg_fleet)
                         self._chunk_cache_key = key
+                    raw_key = tuple((rq.id, id(rq)) for rq in raw_fleet)
+                    if raw_key != self._raw_chunk_cache_key:
+                        self._raw_chunk_cache = _plan_raw_chunks(raw_fleet)
+                        self._raw_chunk_cache_key = raw_key
                     for qid, rows in shared_partials(
                         cached,
                         shared,
                         pool_width=self.job_pool_width,
-                        chunks=self._chunk_cache,
+                        chunks=self._raw_chunk_cache + self._chunk_cache,
                     ).items():
                         partials[qid] = rows
                     self.shared_scan_queries += len(shared)
@@ -419,6 +452,8 @@ class StreamingEngine:
                     # plans so the next batch re-plans from scratch
                     self._chunk_cache_key = None
                     self._chunk_cache = None
+                    self._raw_chunk_cache_key = None
+                    self._raw_chunk_cache = None
                     for rq in shared:
                         out = safe_partial(rq)
                         if out is not None:
