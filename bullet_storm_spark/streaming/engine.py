@@ -23,9 +23,13 @@ Windows (SURVEY.md §2.5):
 The batch work stays fully distributed (Catalyst plans each query's
 filter+partial-agg over the batch); only bounded partial tables reach the
 driver — the same wire discipline as FilterBolt->JoinBolt sketch bytes.
-Scale note: with N concurrent queries the batch is scanned once per query;
-batch caching amortizes the scan, and the union-of-plans / query-predicate
-partitioner of SURVEY.md §4 is the documented next optimization.
+Scale note: with N concurrent queries the shared-scan multiplexer
+(streaming/multiquery.py) folds every aggregation family into one job per
+distinct key-set, RAW fleets into one mapInPandas pass per 64 members,
+and QUANTILE fleets into one KLL-partial pass per 16; the query-predicate
+partitioner (streaming/partitioner.py) prunes provably-non-matching
+queries before any job runs. Batch caching amortizes whatever remains
+per-query.
 """
 
 from __future__ import annotations
