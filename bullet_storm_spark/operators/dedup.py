@@ -547,6 +547,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     shingle_n: int = 1,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose SimHashes differ in <= max_hamming bits.
 
@@ -564,12 +565,38 @@ def simhash_pairs(
     distinct on the id pair; exact bit_count verifies the radius after
     blocking. Cost is O(sum of squared band-bucket sizes), not O(n^2):
     scale-safe (tests/test_plan_quality.py pins the no-BNLJ property).
+
+    ``candidate_pair_budget`` automates the pre-flight
+    (:func:`simhash_bucket_profile`): when set, one cheap aggregation
+    prices the banded join's candidate output BEFORE any pair
+    materializes and raises loudly (with the per-band workload and the
+    hottest bucket) if it exceeds the budget — the weak-scaling run
+    found the pair OUTPUT grows as sf^2.3 on a near-dup-dense corpus
+    and one hot bucket can emit a multi-GB shuffle task; at 100 TB this
+    guard turns that into an actionable error instead of a hung stage.
     """
     if max_hamming > SIMHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the banding recall guarantee "
             f"({SIMHASH_BANDS} bands -> complete for <= {SIMHASH_BANDS - 1})"
         )
+    if candidate_pair_budget is not None:
+        profile = simhash_bucket_profile(
+            df, id_col, text_col, shingle_n
+        ).collect()
+        total = sum(r.candidate_pairs for r in profile)
+        if total > candidate_pair_budget:
+            detail = ", ".join(
+                f"band {r.band}: {r.candidate_pairs} pairs "
+                f"(hottest bucket {r.max_bucket} docs)"
+                for r in profile
+            )
+            raise ValueError(
+                f"simhash banding would emit {total} candidate pairs "
+                f"(> budget {candidate_pair_budget}): {detail}. Excise the "
+                "hot buckets (boilerplate clusters) or dedup exact first; "
+                "simhash_bucket_profile has the full workload table."
+            )
     hdf = simhash(df, id_col, text_col, shingle_n)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
