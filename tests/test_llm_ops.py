@@ -402,3 +402,23 @@ def test_neyman_allocation_hand_oracle(spark):
     spark_rows = [tuple(r) for r in
                   neyman_allocation(df, "src", "v", total_n=100).collect()]
     assert spark_rows == duck
+
+
+def test_simhash_pairs_candidate_budget_guard(docs):
+    # the automated pre-flight: a budget below the priced workload must
+    # raise BEFORE any pair materializes, naming the per-band workload;
+    # a budget above it must return the normal pair set
+    import pytest as _pytest
+
+    prof = dedup.simhash_bucket_profile(docs, "doc_id", "text").collect()
+    total = sum(r.candidate_pairs for r in prof)
+    assert total > 0
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        dedup.simhash_pairs(
+            docs, "doc_id", "text", candidate_pair_budget=total - 1
+        )
+    ok = dedup.simhash_pairs(
+        docs, "doc_id", "text", candidate_pair_budget=total
+    ).collect()
+    base = dedup.simhash_pairs(docs, "doc_id", "text").collect()
+    assert sorted(map(tuple, ok)) == sorted(map(tuple, base))
