@@ -4905,11 +4905,15 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
-    "ann_lsh_bucketed_topk",
-    "ann_pq_topk",
-    # NOTE: the window is exactly 50 here. After r10 every registry entry
-    # has been inside at least one driver window; future rotations are
-    # new additions first, then stalest-green drift re-checks.
+    # --- the 2 r10 additions (tri-scale green in-repo; new entries go
+    # first, ahead of further drift re-checks):
+    "embed_cos_histogram_capped",
+    "dedup_simhash_bucket_plan",
+    # NOTE: the window is exactly 50 here. After r10 every pre-r10
+    # registry entry has been inside at least one driver window; future
+    # rotations are new additions first, then stalest-green drift
+    # re-checks (next up: ann_lsh_bucketed_topk, ann_pq_topk — displaced
+    # from this window by the r10 additions).
 ]
 
 
