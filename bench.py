@@ -270,6 +270,9 @@ HEADLINE = [
     "events_fano_factor",
     "events_stickiness",
     "join_shipping_delay",
+    # r10 additions
+    "embed_cos_histogram_capped",
+    "dedup_simhash_bucket_plan",
 ]
 
 
