@@ -41,6 +41,8 @@ sys.path.insert(0, "/root/repo")
 # the curve documents the fixed-parameter behavior honestly instead
 ENTRIES = [
     ("dedup_simhash_pairs", 1.0),
+    ("dedup_minhash_lsh_pairs_3gram", 1.0),  # 3-gram shingles: distinctive
+    # signatures, so pair output stays near-linear on this corpus
     ("embed_cos_histogram", 1.0),
     ("embed_cos_histogram_capped", 3.0),  # the r10 fix: bounded pair stage
     ("ann_quantized_arrow", 3.0),
