@@ -34,14 +34,121 @@ _WS = r"\s+"
 _NON_ALNUM = r"[a-zA-Z0-9\s]"  # chars REMOVED to count punctuation
 
 
+# --- engine-identical case fold (r10) ----------------------------------------
+# Spark (UTF8String full casing, current Unicode) and DuckDB (utf8proc)
+# disagree on lower() for exactly 72 code points, found by an exhaustive
+# sweep of the BMP plus every cased astral block (tests pin the sweep's
+# probe set): U+0130 Turkish dotted I (Spark's full fold emits i +
+# combining dot; DuckDB emits plain i), U+03A3 capital sigma (Spark
+# applies the CONTEXT-SENSITIVE final form; DuckDB always emits U+03C3),
+# and 70 newer-Unicode letters (Vithkuqi, Garay, Todhri, old-Polish
+# Latin, ...) where the engines carry different mapping versions. The
+# fold pre-translates every divergent point to Spark's lowercase form —
+# each 1:1 target verified lower()-stable in BOTH engines — so
+# tokenization/fingerprints are engine-identical on ANY input, not just
+# the ASCII corpus. Sigma note: pre-translating removes Java's final-form
+# context sensitivity; this repo's fold is defined as the
+# language-independent form (always U+03C3), matching DuckDB.
+_CASEFOLD_1TO1 = {
+    0x03A3: 0x03C3,
+    0x1C89: 0x1C8A,
+    0x2C2F: 0x2C5F,
+    0xA7C0: 0xA7C1,
+    0xA7C7: 0xA7C8,
+    0xA7C9: 0xA7CA,
+    0xA7CB: 0x0264,
+    0xA7CC: 0xA7CD,
+    0xA7D0: 0xA7D1,
+    0xA7D6: 0xA7D7,
+    0xA7D8: 0xA7D9,
+    0xA7DA: 0xA7DB,
+    0xA7DC: 0x019B,
+    0xA7F5: 0xA7F6,
+    0x10570: 0x10597,
+    0x10571: 0x10598,
+    0x10572: 0x10599,
+    0x10573: 0x1059A,
+    0x10574: 0x1059B,
+    0x10575: 0x1059C,
+    0x10576: 0x1059D,
+    0x10577: 0x1059E,
+    0x10578: 0x1059F,
+    0x10579: 0x105A0,
+    0x1057A: 0x105A1,
+    0x1057C: 0x105A3,
+    0x1057D: 0x105A4,
+    0x1057E: 0x105A5,
+    0x1057F: 0x105A6,
+    0x10580: 0x105A7,
+    0x10581: 0x105A8,
+    0x10582: 0x105A9,
+    0x10583: 0x105AA,
+    0x10584: 0x105AB,
+    0x10585: 0x105AC,
+    0x10586: 0x105AD,
+    0x10587: 0x105AE,
+    0x10588: 0x105AF,
+    0x10589: 0x105B0,
+    0x1058A: 0x105B1,
+    0x1058C: 0x105B3,
+    0x1058D: 0x105B4,
+    0x1058E: 0x105B5,
+    0x1058F: 0x105B6,
+    0x10590: 0x105B7,
+    0x10591: 0x105B8,
+    0x10592: 0x105B9,
+    0x10594: 0x105BB,
+    0x10595: 0x105BC,
+    0x10D50: 0x10D70,
+    0x10D51: 0x10D71,
+    0x10D52: 0x10D72,
+    0x10D53: 0x10D73,
+    0x10D54: 0x10D74,
+    0x10D55: 0x10D75,
+    0x10D56: 0x10D76,
+    0x10D57: 0x10D77,
+    0x10D58: 0x10D78,
+    0x10D59: 0x10D79,
+    0x10D5A: 0x10D7A,
+    0x10D5B: 0x10D7B,
+    0x10D5C: 0x10D7C,
+    0x10D5D: 0x10D7D,
+    0x10D5E: 0x10D7E,
+    0x10D5F: 0x10D7F,
+    0x10D60: 0x10D80,
+    0x10D61: 0x10D81,
+    0x10D62: 0x10D82,
+    0x10D63: 0x10D83,
+    0x10D64: 0x10D84,
+    0x10D65: 0x10D85,
+}
+_CF_SRC = "".join(chr(c) for c in _CASEFOLD_1TO1)
+_CF_DST = "".join(chr(c) for c in _CASEFOLD_1TO1.values())
+
+
+def fold_lower(col: Column) -> Column:
+    """lower() with the 72-point divergence table pre-applied — the ONLY
+    case fold dual-compiled text operators may use."""
+    return F.lower(
+        F.translate(F.regexp_replace(col, "\u0130", "i\u0307"), _CF_SRC, _CF_DST)
+    )
+
+
+def fold_lower_sql(e: str) -> str:
+    return (
+        f"lower(translate(regexp_replace({e}, '\u0130', 'i\u0307', 'g'), "
+        f"'{_CF_SRC}', '{_CF_DST}'))"
+    )
+
+
 # --- tokenization -----------------------------------------------------------
 
 def tokens(field: str) -> Column:
-    return F.split(F.lower(F.trim(F.col(field))), _WS)
+    return F.split(fold_lower(F.trim(F.col(field))), _WS)
 
 
 def tokens_sql(field: str) -> str:
-    return f"string_split_regex(lower(trim({field})), '{_WS}')"
+    return f"string_split_regex({fold_lower_sql(f'trim({field})')}, '{_WS}')"
 
 
 def token_count(field: str) -> Column:
@@ -308,12 +415,15 @@ def redaction_count_sql(scrubbed_expr: str, kind: str) -> str:
 
 def fingerprint(field: str) -> Column:
     """md5 of whitespace-normalized lowercase text — exact-dedup key."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(field))), _WS, " ")
+    normalized = F.regexp_replace(fold_lower(F.trim(F.col(field))), _WS, " ")
     return F.md5(normalized)
 
 
 def fingerprint_sql(field: str) -> str:
-    return f"md5(regexp_replace(lower(trim({field})), '{_WS}', ' ', 'g'))"
+    return (
+        f"md5(regexp_replace({fold_lower_sql(f'trim({field})')},"
+        f" '{_WS}', ' ', 'g'))"
+    )
 
 
 def rolling_fingerprint_from_norm(norm: Column, k: int = 8) -> Column:
@@ -335,7 +445,7 @@ def rolling_fingerprint_from_norm(norm: Column, k: int = 8) -> Column:
 
 
 def normalized_text(field: str) -> Column:
-    return F.regexp_replace(F.lower(F.trim(F.col(field))), _WS, " ")
+    return F.regexp_replace(fold_lower(F.trim(F.col(field))), _WS, " ")
 
 
 def rolling_fingerprint(field: str, k: int = 8) -> Column:
@@ -350,7 +460,9 @@ def rolling_fingerprint(field: str, k: int = 8) -> Column:
 
 
 def rolling_fingerprint_sql(field: str, k: int = 8) -> str:
-    norm = f"regexp_replace(lower(trim({field})), '{_WS}', ' ', 'g')"
+    norm = (
+        f"regexp_replace({fold_lower_sql(f'trim({field})')}, '{_WS}', ' ', 'g')"
+    )
     return (
         f"list_min(list_transform(range(1, length({norm}) - {k - 2}), "
         f"i -> ('0x' || substr(md5(substr({norm}, i, {k})), 1, 8))::BIGINT))"

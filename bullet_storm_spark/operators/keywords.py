@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bullet_storm_spark.functions.text import EN_STOPWORDS
+from bullet_storm_spark.functions.text import fold_lower, fold_lower_sql, EN_STOPWORDS
 from bullet_storm_spark.operators.stats_tests import _div, _q6, _q6_sql
 
 _PUNCT = r"[^a-z0-9\s]+"
@@ -61,7 +61,7 @@ def rake_keywords(
         raise ValueError(f"need max_words >= 1, got {max_words}")
     stop = list(stopwords) if stopwords is not None else list(EN_STOPWORDS)
     seg = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), _PUNCT, "|"),
+        F.regexp_replace(fold_lower(F.trim(F.col(text_col))), _PUNCT, "|"),
         _stop_pattern(stop),
         "|",
     )
@@ -136,7 +136,7 @@ WITH __ph AS (
   SELECT trim(p) AS phrase
   FROM (
     SELECT unnest(string_split_regex(
-      regexp_replace(regexp_replace(lower(trim({text_col})),
+      regexp_replace(regexp_replace({fold_lower_sql(f"trim({text_col})")},
                      '{_PUNCT}', '|', 'g'),
       '{pat}', '|', 'g'), '\\|')) AS p
     FROM {table}

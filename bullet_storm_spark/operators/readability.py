@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bullet_storm_spark.functions.text import tokens
+from bullet_storm_spark.functions.text import fold_lower, fold_lower_sql, tokens
 from bullet_storm_spark.operators.stats_tests import _d2d, _d2d_sql, _div, _q6, _q6_sql
 
 _VOWEL_GROUP = r"[aeiouy]+"
@@ -41,7 +41,7 @@ _SENTENCE = r"[.!?]+"
 
 
 def _counts(text_col: str):
-    t = F.lower(F.trim(F.col(text_col)))
+    t = fold_lower(F.trim(F.col(text_col)))
     words = F.size(tokens(text_col)).cast("long")
     sents = F.greatest(
         F.lit(1).cast("long"), F.regexp_count(t, F.lit(_SENTENCE)).cast("long")
@@ -91,7 +91,7 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def readability_sql(table: str, id_col: str, text_col: str) -> str:
-    t = f"lower(trim({text_col}))"
+    t = fold_lower_sql(f"trim({text_col})")
     return f"""
 WITH __w AS (
   SELECT {id_col}, {t} AS __t,
@@ -161,7 +161,7 @@ def readability_by_source(
 
 
 def readability_by_source_sql(table: str, source_col: str, text_col: str) -> str:
-    t = f"lower(trim({text_col}))"
+    t = fold_lower_sql(f"trim({text_col})")
     return f"""
 WITH __c AS (
   SELECT {source_col} AS source,

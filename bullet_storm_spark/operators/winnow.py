@@ -127,9 +127,11 @@ def winnow_fingerprints_sql(
     w: int = 16,
     max_chars: int = 100_000,
 ) -> str:
+    from bullet_storm_spark.functions.text import fold_lower_sql
+
     norm = (
-        f"substr(regexp_replace(lower(trim({text_col})), '{_WS}', ' ', 'g'),"
-        f" 1, {int(max_chars)})"
+        f"substr(regexp_replace({fold_lower_sql(f'trim({text_col})')},"
+        f" '{_WS}', ' ', 'g'), 1, {int(max_chars)})"
     )
     return f"""
 WITH grams AS (
