@@ -30,8 +30,14 @@ LANG_ORDER = list(LANG_MARKERS)  # fixed tie-break order
 
 EN_STOPWORDS = LANG_MARKERS["en"]
 
-_WS = r"\s+"
-_NON_ALNUM = r"[a-zA-Z0-9\s]"  # chars REMOVED to count punctuation
+# THE cross-engine whitespace class: exactly Java's \s set, spelled out
+# because RE2 (DuckDB) excludes \x0B from \s while Java (Spark) includes
+# it — a vertical tab in crawled text silently forked tokenization
+# (probe-caught r10; both engines parse the explicit class identically)
+_WS = r"[ \t\n\x0B\f\r]+"
+# chars REMOVED to count punctuation; the whitespace set is spelled out
+# for the same RE2-vs-Java \s divergence _WS documents (\x0B)
+_NON_ALNUM = r"[a-zA-Z0-9 \t\n\x0B\f\r]"
 
 
 # --- engine-identical case fold (r10) ----------------------------------------

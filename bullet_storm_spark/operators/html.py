@@ -26,6 +26,7 @@ operators/pii.py), so the DuckDB twins run them verbatim.
 
 from __future__ import annotations
 
+from bullet_storm_spark.functions.text import _WS as _TEXT_WS
 from pyspark.sql import DataFrame, functions as F
 
 # (pattern, replacement) applied in order — see module docstring
@@ -56,7 +57,7 @@ def _stripped(html_col: str):
         col = F.regexp_replace(col, pat, repl)
     for ent, ch in _ENTITIES:
         col = F.replace(col, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, _TEXT_WS, " "))
 
 
 def _stripped_sql(html_col: str) -> str:
@@ -66,7 +67,7 @@ def _stripped_sql(html_col: str) -> str:
     for ent, ch in _ENTITIES:
         lit = ch.replace("'", "''")
         col = f"replace({col}, '{ent}', '{lit}')"
-    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({col}, '{_TEXT_WS}', ' ', 'g'))"
 
 
 def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bullet_storm_spark.functions.text import fold_lower, fold_lower_sql, EN_STOPWORDS
+from bullet_storm_spark.functions.text import _WS, fold_lower, fold_lower_sql, EN_STOPWORDS
 from bullet_storm_spark.operators.stats_tests import _div, _q6, _q6_sql
 
 _PUNCT = r"[^a-z0-9\s]+"
@@ -70,13 +70,13 @@ def rake_keywords(
         .select(F.trim(F.col("__raw")).alias("phrase"))
         .where(
             (F.col("phrase") != "")
-            & (F.size(F.split(F.col("phrase"), r"\s+")) <= max_words)
+            & (F.size(F.split(F.col("phrase"), _WS)) <= max_words)
         )
     )
     words = phrases.select(
         "phrase",
-        F.size(F.split(F.col("phrase"), r"\s+")).alias("__plen"),
-        F.explode(F.split(F.col("phrase"), r"\s+")).alias("word"),
+        F.size(F.split(F.col("phrase"), _WS)).alias("__plen"),
+        F.explode(F.split(F.col("phrase"), _WS)).alias("word"),
     )
     wscore = (
         words.groupBy("word")
@@ -99,7 +99,7 @@ def rake_keywords(
     pwords = pstats.select(
         "phrase",
         "n_occur",
-        F.explode(F.split(F.col("phrase"), r"\s+")).alias("word"),
+        F.explode(F.split(F.col("phrase"), _WS)).alias("word"),
     )
     return (
         pwords.join(wscore, "word")
@@ -142,11 +142,11 @@ WITH __ph AS (
     FROM {table}
   )
   WHERE trim(p) <> ''
-    AND len(string_split_regex(trim(p), '\\s+')) <= {int(max_words)}
+    AND len(string_split_regex(trim(p), '{_WS}')) <= {int(max_words)}
 ),
 __pw AS (
-  SELECT phrase, len(string_split_regex(phrase, '\\s+'))::BIGINT AS plen,
-         unnest(string_split_regex(phrase, '\\s+')) AS word
+  SELECT phrase, len(string_split_regex(phrase, '{_WS}'))::BIGINT AS plen,
+         unnest(string_split_regex(phrase, '{_WS}')) AS word
   FROM __ph
 ),
 __ws AS (
@@ -158,7 +158,7 @@ __ps AS (
 ),
 __pm AS (
   SELECT ps.phrase, ps.n_occur,
-         unnest(string_split_regex(ps.phrase, '\\s+')) AS word
+         unnest(string_split_regex(ps.phrase, '{_WS}')) AS word
   FROM __ps ps
 )
 SELECT pm.phrase, COUNT(*)::BIGINT AS n_words, pm.n_occur,

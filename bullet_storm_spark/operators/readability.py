@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bullet_storm_spark.functions.text import fold_lower, fold_lower_sql, tokens
+from bullet_storm_spark.functions.text import _WS, fold_lower, fold_lower_sql, tokens
 from bullet_storm_spark.operators.stats_tests import _d2d, _d2d_sql, _div, _q6, _q6_sql
 
 _VOWEL_GROUP = r"[aeiouy]+"
@@ -95,7 +95,7 @@ def readability_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
 WITH __w AS (
   SELECT {id_col}, {t} AS __t,
-         len(string_split_regex({t}, '\\s+'))::BIGINT AS n_words
+         len(string_split_regex({t}, '{_WS}'))::BIGINT AS n_words
   FROM {table}
 ),
 __c AS (
@@ -165,7 +165,7 @@ def readability_by_source_sql(table: str, source_col: str, text_col: str) -> str
     return f"""
 WITH __c AS (
   SELECT {source_col} AS source,
-         len(string_split_regex({t}, '\\s+'))::BIGINT AS n_words,
+         len(string_split_regex({t}, '{_WS}'))::BIGINT AS n_words,
          GREATEST(1::BIGINT, len(regexp_extract_all({t}, '{_SENTENCE}'))::BIGINT)
            AS n_sentences,
          len(regexp_extract_all({t}, '{_VOWEL_GROUP}'))::BIGINT AS __vg,

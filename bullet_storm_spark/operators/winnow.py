@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from bullet_storm_spark.functions.text import normalized_text
 
-_WS = r"\s+"
+from bullet_storm_spark.functions.text import _WS  # noqa: E402 (the cross-engine whitespace class)
 
 
 def _gram_hashes(norm, k: int):

@@ -74,6 +74,40 @@ def test_fold_targets_are_lower_stable(spark):
     assert all(a == b for a, b in con.execute("SELECT t, lower(t) FROM d").fetchall())
 
 
+def test_whitespace_class_engine_identity(spark):
+    # RE2 (DuckDB) excludes \x0B from \s while Java (Spark) includes it;
+    # the explicit _WS class must tokenize identically — including the
+    # vertical tab — and the unicode spaces (NBSP, thin, zero-width,
+    # ideographic, NEL) must stay NON-separators in both engines
+    rows = [
+        (0, "vertical\x0bfeed"),
+        (1, "a\u00a0b"),
+        (2, "a\u2009b\u2003c"),
+        (3, "a\u200bb"),
+        (4, "a\u3000b"),
+        (5, "ab"),
+        (6, "a\r\nb\tc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    for col, sql in [
+        (T.token_count("text"), T.token_count_sql("text")),
+        (T.fingerprint("text"), T.fingerprint_sql("text")),
+        (T.quality_score("text"), T.quality_score_sql("text")),
+    ]:
+        sp = {r.doc_id: r.v for r in df.select("doc_id", col.alias("v")).collect()}
+        du = dict(con.execute(f"SELECT doc_id, {sql} FROM d").fetchall())
+        assert sp == du
+    counts = {
+        r.doc_id: r.v
+        for r in df.select("doc_id", T.token_count("text").alias("v")).collect()
+    }
+    assert counts[0] == 2  # \x0B separates
+    assert counts[1] == 1  # NBSP does not
+
+
 def test_ascii_fold_is_plain_lower(spark):
     # the fold must be a no-op versus plain lower() on ASCII — the
     # driver's corpus and every existing oracle are unaffected
