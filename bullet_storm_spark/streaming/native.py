@@ -1058,3 +1058,107 @@ def stream_transitions(stream_df: DataFrame):
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FIRST_SEEN_SCHEMA = "id long, fingerprint string, keep boolean"
+_FIRST_SEEN_STATE_SCHEMA = "bloom binary, n_set long"
+
+
+def stream_first_seen(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 1 << 16,
+    hashes: int = 4,
+    groups: int = 16,
+) -> DataFrame:
+    """Streaming ingest-time exact dedup with an UNBOUNDED horizon and
+    BOUNDED state — the third member of the dedup-at-ingest family:
+    ``stream_dedup`` is exact within the watermark horizon (state
+    evicts, an old doc re-ingested after the horizon passes again);
+    ``stream_dedup_incremental`` is near-dup against a persisted band
+    index; this one never forgets and never grows — each record's
+    whitespace/case-fold fingerprint (the same ``functions/text.
+    fingerprint`` key, computed JVM-side) is checked against a per-group
+    Bloom filter carried in state; output ``(id, fingerprint, keep)``
+    with ``keep`` true for the first sighting ACROSS batches and the
+    first occurrence (by id) within a batch. One ``bits/8``-byte state
+    cell per group, deterministic bit positions (md5 slices of the
+    fingerprint — partitioning/replay-identical).
+
+    Contract: no false KEEPs for exact duplicates (a set bit never
+    clears), and false DROPs at the standard Bloom rate
+    ``(1 - e^(-k*n/m))^k`` — size ``bits`` for the expected distinct
+    count per group (fingerprints spread uniformly over ``groups`` by
+    their first hex byte). With ``bits`` sized 10x the corpus the replay
+    equals the batch operator's keep set exactly (test-pinned)."""
+    if bits < 8 or bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two >= 8, got {bits}")
+    if not 1 <= hashes <= 16:
+        raise ValueError(f"need 1 <= hashes <= 16, got {hashes}")
+    import pandas as pd
+
+    from bullet_storm_spark.functions.text import fingerprint
+
+    nbytes = bits // 8
+    k = hashes
+
+    def fn(
+        key: Tuple[int], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            blob, n_set = state.get
+            bloom = bytearray(blob)
+        else:
+            bloom = bytearray(nbytes)
+            n_set = 0
+
+        def positions(fp_hex: str):
+            # k deterministic positions from md5 hex slices: 8 hex chars
+            # (32 bits) per hash, stride 6 so 16 hashes fit in 2x md5;
+            # the fingerprint IS an md5, so slices are already uniform
+            for j in range(k):
+                yield int(fp_hex[j * 6 : j * 6 + 8].ljust(8, "0"), 16) % (
+                    nbytes * 8
+                )
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id", kind="mergesort")
+            keeps = []
+            for fp in pdf["fp"]:
+                pos = list(positions(fp))
+                seen = all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
+                if not seen:
+                    for p in pos:
+                        bloom[p >> 3] |= 1 << (p & 7)
+                    n_set += 1
+                keeps.append(not seen)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_list(),
+                    "fingerprint": pdf["fp"].to_list(),
+                    "keep": keeps,
+                }
+            )
+        state.update((bytes(bloom), int(n_set)))
+
+    fp = fingerprint(text_col)
+    return (
+        stream_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            fp.alias("fp"),
+            # group on the fingerprint's first hex byte: uniform spread,
+            # and every duplicate lands in the SAME group/state cell
+            (F.conv(F.substring(fp, 1, 2), 16, 10) % groups)
+            .cast("int")
+            .alias("grp"),
+        )
+        .groupBy("grp")
+        .applyInPandasWithState(
+            fn,
+            FIRST_SEEN_SCHEMA,
+            _FIRST_SEEN_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

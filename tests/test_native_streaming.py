@@ -1015,3 +1015,78 @@ def test_stream_transitions_flags_and_drops_cross_batch_late(spark, tmp_path):
         for r in transition_matrix(spark.createDataFrame(fresh_rows, schema)).collect()
     }
     assert folded == batch
+
+
+def test_stream_first_seen_equals_batch_exact_dedup(spark, tmp_path):
+    """Bloom first-seen replay (bits sized 10x the corpus -> no false
+    drops on this input, asserted) must reproduce the batch
+    exact_dedup keep set EXACTLY, including duplicates that straddle
+    the batch boundary and whitespace/case variants; and the bloom
+    state must persist across batches (an old doc re-ingested in batch
+    2 is dropped — the unbounded-horizon contract stream_dedup's
+    watermark eviction cannot make)."""
+    import os
+    import random
+
+    from bullet_storm_spark.operators.dedup import exact_dedup
+    from bullet_storm_spark.streaming.native import stream_first_seen
+
+    rng = random.Random(17)
+    base = [f"doc number {i} with words" for i in range(40)]
+    texts = []
+    for i in range(70):
+        if i < 40:
+            texts.append(base[i])
+        else:
+            pick = base[rng.randrange(40)]
+            # ws/case variants share the fingerprint
+            texts.append(pick.upper() if i % 2 else f"  {pick}  ")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def _drop(i, chunk):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"c{i}.parquet"))
+
+    _drop(0, rows[:35])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_first_seen(stream, "doc_id", "text", bits=1 << 13)
+        .writeStream.format("memory")
+        .queryName("first_seen_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _drop(1, rows[35:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.id: r.keep for r in spark.table("first_seen_out").collect()}
+    assert len(got) == 70
+    batch = {
+        r.doc_id: r.keep
+        for r in exact_dedup(
+            spark.createDataFrame(rows, schema), "doc_id", "text"
+        ).collect()
+    }
+    assert got == batch
+    # the batch-boundary property explicitly: every text in batch 2 that
+    # already appeared in batch 1 must be keep=False
+    import hashlib, re
+
+    def fp(t):
+        return hashlib.md5(
+            re.sub(r"[ \t\n\x0B\f\r]+", " ", t.strip().lower()).encode()
+        ).hexdigest()
+
+    seen1 = {fp(t) for _, t in rows[:35]}
+    for i, t in rows[35:]:
+        if fp(t) in seen1:
+            assert got[i] is False, i
