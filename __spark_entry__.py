@@ -328,7 +328,8 @@ def _core_queries() -> dict[str, Query]:
     bucket = SqlExpression(
         "CAST(floor(CAST(get_json_object(props, '$.k') AS DOUBLE) / 10) AS INT)",
         duckdb_sql=(
-            "CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10)"
+            "CAST(floor(CAST((CASE WHEN json_valid(props) THEN"
+            " json_extract_string(props, '$.k') END) AS DOUBLE) / 10)"
             " AS INTEGER)"
         ),
     )
@@ -874,7 +875,11 @@ _JSON_AUG_SQL = (
     "'{' || '\"k\": ' || CAST(json_get_int AS VARCHAR) || "
     "CASE WHEN event_id % 3 = 0 THEN ', \"flag\": true' ELSE '' END || "
     "CASE WHEN event_id % 5 = 0 THEN ', \"note\": null' ELSE '' END || '}'"
-).replace("json_get_int", "COALESCE(CAST(json_extract(props, '$.k') AS INTEGER), 0)")
+).replace(
+    "json_get_int",
+    "COALESCE(CAST((CASE WHEN json_valid(props) THEN"
+    " json_extract(props, '$.k') END) AS INTEGER), 0)",
+)
 _JSON_AUG_SQL_SPARK = (
     "concat('{', '\"k\": ', CAST(COALESCE(CAST(get_json_object(props, '$.k')"
     " AS INT), 0) AS STRING), "
