@@ -1195,6 +1195,14 @@ ORDER BY doc_id
             _curate.CurationConfig(min_quality=0.3, keep_langs=("en", "de", "es")),
         ),
     ),
+    # one-row corpus datacard (r10): the dataset-card numbers in one
+    # scan pass — counts, token mass, median length, exact-dup rate,
+    # mean quality, dominant language — the pre-flight readout a
+    # training-data review quotes before any pipeline runs
+    "corpus_datacard": (
+        lambda s, d: _curate.datacard(_docs(s, d), "doc_id", "text"),
+        _curate.datacard_sql("documents", "doc_id", "text"),
+    ),
     "dedup_simhash_pairs": (
         lambda s, d: _dedup.simhash_pairs(_docs(s, d), "doc_id", "text", max_hamming=2),
         _dedup.simhash_pairs_sql("documents", "doc_id", "text", max_hamming=2),

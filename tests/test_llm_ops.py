@@ -422,3 +422,36 @@ def test_simhash_pairs_candidate_budget_guard(docs):
     ).collect()
     base = dedup.simhash_pairs(docs, "doc_id", "text").collect()
     assert sorted(map(tuple, ok)) == sorted(map(tuple, base))
+
+
+def test_corpus_datacard(docs, duck_docs, spark):
+    # one-row corpus readout with a hand-checkable fixture: add lang and
+    # source columns to the tiny docs frame and verify every cell
+    from bullet_storm_spark.operators import curate
+
+    annotated = docs.where("text <> ''").selectExpr(
+        "doc_id",
+        "text",
+        "CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+        "concat('s', CAST(doc_id % 2 AS STRING)) AS source",
+    )
+    out = curate.datacard(annotated, "doc_id", "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 5 and r.n_sources == 2 and r.n_langs == 2
+    # 3 distinct fingerprints among 5 docs (0/1/4 share one)
+    assert r.exact_dup_rate == round(1 - 3 / 5, 6)
+    assert r.top_lang == "en" and r.top_lang_share == round(3 / 5, 6)
+    assert r.total_tokens == sum(
+        len(t.split()) for _, t in annotated.select("doc_id", "text").collect()
+    )
+    # DuckDB twin equality on the same frame
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?)", annotated.collect())
+    drows = con.execute(curate.datacard_sql("d", "doc_id", "text")).fetchall()
+    assert [tuple(x) for x in out] == drows
