@@ -4917,16 +4917,17 @@ _DRIVER_PRIORITY = [
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    # --- the 2 r10 additions (tri-scale green in-repo; new entries go
+    # --- the 3 r10 additions (tri-scale green in-repo; new entries go
     # first, ahead of further drift re-checks):
     "embed_cos_histogram_capped",
     "dedup_simhash_bucket_plan",
+    "corpus_datacard",
     # NOTE: the window is exactly 50 here. After r10 every pre-r10
     # registry entry has been inside at least one driver window; future
     # rotations are new additions first, then stalest-green drift
-    # re-checks (next up: ann_lsh_bucketed_topk, ann_pq_topk — displaced
-    # from this window by the r10 additions).
+    # re-checks (next up: ann_lsh_bucketed_topk, ann_pq_topk,
+    # ann_ivfpq_residual_topk — displaced from this window by the r10
+    # additions).
 ]
 
 
