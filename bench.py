@@ -273,6 +273,7 @@ HEADLINE = [
     # r10 additions
     "embed_cos_histogram_capped",
     "dedup_simhash_bucket_plan",
+    "corpus_datacard",
 ]
 
 
