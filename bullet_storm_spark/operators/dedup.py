@@ -173,6 +173,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 1,
     threshold: float = 0.9,
     round_to: int = 6,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding proposes candidates, exact Jaccard
     on the shingle sets verifies >= threshold. Output (id_a, id_b, jaccard).
@@ -180,6 +181,12 @@ def minhash_lsh_pairs(
     The full pipeline (signature -> bands -> candidate join -> verify) is
     one declarative plan; Spark shuffles only on (band, band_hash) and then
     on the candidate ids — never all-pairs.
+
+    ``candidate_pair_budget`` prices the band join's candidate output
+    (Σ C(s, 2) over band-bucket sizes — one cheap aggregation over the
+    banded id rows) BEFORE any pair materializes and raises loudly when
+    it exceeds the budget, naming the hot band (`operators.pair_budget`,
+    the family-wide guard; `lsh_band_plan` remains the tuning report).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -210,6 +217,20 @@ def minhash_lsh_pairs(
     banded = wide.select(
         "__id", F.posexplode(band_hashes).alias("__band", "__bh")
     ).repartition(par, "__band", "__bh")
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        check_candidate_pair_budget(
+            banded.select("__band", "__bh"),
+            ["__band", "__bh"],
+            candidate_pair_budget,
+            "minhash_lsh_pairs",
+            "Use fewer/wider bands (lsh_band_plan prices the "
+            "factorizations), raise shingle_n, or dedup exact first.",
+            block_col="__band",
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     # candidate generation shuffles on (band, band_hash) only — ids, no
@@ -580,23 +601,6 @@ def simhash_pairs(
             f"max_hamming={max_hamming} exceeds the banding recall guarantee "
             f"({SIMHASH_BANDS} bands -> complete for <= {SIMHASH_BANDS - 1})"
         )
-    if candidate_pair_budget is not None:
-        profile = simhash_bucket_profile(
-            df, id_col, text_col, shingle_n
-        ).collect()
-        total = sum(r.candidate_pairs for r in profile)
-        if total > candidate_pair_budget:
-            detail = ", ".join(
-                f"band {r.band}: {r.candidate_pairs} pairs "
-                f"(hottest bucket {r.max_bucket} docs)"
-                for r in profile
-            )
-            raise ValueError(
-                f"simhash banding would emit {total} candidate pairs "
-                f"(> budget {candidate_pair_budget}): {detail}. Excise the "
-                "hot buckets (boilerplate clusters) or dedup exact first; "
-                "simhash_bucket_profile has the full workload table."
-            )
     hdf = simhash(df, id_col, text_col, shingle_n)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
@@ -621,6 +625,20 @@ def simhash_pairs(
         "band",
         "bh",
     )
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        check_candidate_pair_budget(
+            blocked.select("band", "bh"),
+            ["band", "bh"],
+            candidate_pair_budget,
+            "simhash_pairs",
+            "Excise the hot buckets (boilerplate clusters) or dedup exact "
+            "first; simhash_bucket_profile has the full workload table.",
+            block_col="band",
+        )
     l, r = blocked.alias("l"), blocked.alias("r")
     cand = l.join(
         r,
@@ -851,9 +869,15 @@ def embedding_neardup_pairs_lsh(
     ntables: int = 4,
     dim: int = 64,
     round_to: int = 6,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH blocking + exact cosine
     verification inside buckets — the 100 TB shape for embedding dedup.
+
+    ``candidate_pair_budget`` prices Σ C(s, 2) over the (table, bucket)
+    populations before the pair join runs and raises loudly over budget,
+    naming the hot table (`operators.pair_budget`); raise ``nbits`` to
+    split hot buckets or excise the dense cluster it names.
 
     Each vector hashes into one bucket per hash table (ntables independent
     hyperplane sets); a pair is a candidate iff it collides in ANY table.
@@ -896,6 +920,20 @@ def embedding_neardup_pairs_lsh(
     blocked = base.select(
         "id", F.posexplode(buckets).alias("tbl", "bucket")
     ).repartition(par, "tbl", "bucket")
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        check_candidate_pair_budget(
+            blocked.select("tbl", "bucket"),
+            ["tbl", "bucket"],
+            candidate_pair_budget,
+            "embedding_neardup_pairs_lsh",
+            "Raise nbits (smaller buckets) or excise the dense cluster "
+            "the hot bucket names; block_size_audit has the layout.",
+            block_col="tbl",
+        )
     l, r = blocked.alias("l"), blocked.alias("r")
     cand_ids = (
         l.join(

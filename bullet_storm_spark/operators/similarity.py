@@ -1226,6 +1226,7 @@ def cosine_histogram(
     n_bins: int = 10,
     round_to: int = 9,
     per_bucket_cap: int | None = None,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """Candidate-pair cosine histogram for near-dup threshold
     calibration: ``(bin_lo, n_pairs, share)`` where ``bin_lo`` is the
@@ -1280,6 +1281,26 @@ def cosine_histogram(
             base.withColumn("__r", F.row_number().over(wb))
             .where(F.col("__r") <= per_bucket_cap)
             .drop("__r")
+        )
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        # priced on the (post-cap, if any) bucket populations — the
+        # exact pair volume the in-bucket join below will emit; the
+        # guard is what makes the UNCAPPED mode (measured sf^1.89 at a
+        # fixed hyperplane count, WEAK_SCALING.json) safe to run
+        # unattended: over budget it names the hot buckets and the fix
+        # (set per_bucket_cap, or raise nbits) instead of melting the
+        # pair stage
+        check_candidate_pair_budget(
+            base.select("bucket"),
+            ["bucket"],
+            candidate_pair_budget,
+            "cosine_histogram",
+            "Set per_bucket_cap (unbiased per-bucket pair sample, "
+            "corpus-size-independent cost) or raise nbits.",
         )
     a = base.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket"

@@ -156,17 +156,40 @@ def winnow_neardup_pairs(
     w: int = 16,
     min_shared: int = 2,
     df_cap: int = 50,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, shared) — document pairs sharing >= ``min_shared``
     winnowing fingerprints; fingerprints in more than ``df_cap`` documents
     are dropped before the join (boilerplate / skew bound). One equi-join
-    on fp + one pair groupBy — never all-pairs."""
+    on fp + one pair groupBy — never all-pairs.
+
+    ``candidate_pair_budget`` prices Σ C(s, 2) over the post-``df_cap``
+    fingerprint buckets before the fp join runs and raises loudly over
+    budget (`operators.pair_budget`, the family-wide guard) — ``df_cap``
+    bounds the worst BUCKET, not the candidate TOTAL, and a
+    boilerplate-heavy corpus can still emit quadratic pair volume from
+    many medium buckets; lower ``df_cap`` or raise ``k`` when it fires.
+    """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     kept = (
         fps.withColumn("__df", F.count("*").over(Window.partitionBy("fp")))
         .where(F.col("__df") <= df_cap)
         .drop("__df")
     )
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        check_candidate_pair_budget(
+            kept.select("fp"),
+            ["fp"],
+            candidate_pair_budget,
+            "winnow_neardup_pairs",
+            "Lower df_cap (drops hotter fingerprints) or raise k "
+            "(longer, rarer grams); winnow_recall_audit prices the "
+            "recall cost of the config.",
+        )
     l = kept.alias("l")
     r = kept.alias("r")
     return (
@@ -285,6 +308,7 @@ def winnow_containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     round_to: int = 6,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, shared, containment): the SCALE path for asymmetric
     (quote-inclusion) near-dup — winnowing fingerprint candidates,
@@ -298,7 +322,14 @@ def winnow_containment_pairs(
     from bullet_storm_spark.functions.text import shingles
 
     cands = winnow_neardup_pairs(
-        df, id_col, text_col, k=k, w=w, min_shared=min_shared, df_cap=df_cap
+        df,
+        id_col,
+        text_col,
+        k=k,
+        w=w,
+        min_shared=min_shared,
+        df_cap=df_cap,
+        candidate_pair_budget=candidate_pair_budget,
     )
     base = df.select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")

@@ -455,3 +455,126 @@ def test_corpus_datacard(docs, duck_docs, spark):
     con.executemany("INSERT INTO d VALUES (?,?,?,?)", annotated.collect())
     drows = con.execute(curate.datacard_sql("d", "doc_id", "text")).fetchall()
     assert [tuple(x) for x in out] == drows
+
+
+def test_candidate_pair_budget_guard_family_wide(spark, docs):
+    # r11: the simhash budget guard generalized to EVERY banded pair
+    # generator (operators.pair_budget). For each family: budget = 0
+    # surfaces the priced total via the typed error, budget = total
+    # passes with the unguarded result, budget = total - 1 raises
+    # BEFORE any pair materializes.
+    import random
+
+    from bullet_storm_spark.operators import winnow
+    from bullet_storm_spark.operators.pair_budget import (
+        CandidatePairBudgetExceeded,
+    )
+
+    random.seed(11)
+    embs = spark.createDataFrame(
+        [
+            (i, [round(random.gauss(0.1, 1), 4) for _ in range(8)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+    cases = [
+        (
+            "minhash_lsh_pairs",
+            lambda b: dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", candidate_pair_budget=b
+            ),
+        ),
+        (
+            "winnow_neardup_pairs",
+            lambda b: winnow.winnow_neardup_pairs(
+                docs, "doc_id", "text", k=4, w=4, candidate_pair_budget=b
+            ),
+        ),
+        (
+            "winnow_containment_pairs",
+            lambda b: winnow.winnow_containment_pairs(
+                docs, "doc_id", "text", k=4, w=4, candidate_pair_budget=b
+            ),
+        ),
+        (
+            "embedding_neardup_pairs_lsh",
+            lambda b: dedup.embedding_neardup_pairs_lsh(
+                embs,
+                "vec_id",
+                "embedding",
+                threshold=0.4,
+                nbits=3,
+                ntables=2,
+                dim=8,
+                candidate_pair_budget=b,
+            ),
+        ),
+        (
+            "cosine_histogram",
+            lambda b: similarity.cosine_histogram(
+                embs,
+                "vec_id",
+                "embedding",
+                nbits=3,
+                dim=8,
+                candidate_pair_budget=b,
+            ),
+        ),
+    ]
+    for name, run in cases:
+        with pytest.raises(
+            CandidatePairBudgetExceeded, match="candidate pairs"
+        ) as ei:
+            run(0)
+        total = ei.value.total
+        assert total > 0, name
+        # containment delegates its blocking (and hence the guard) to
+        # winnow_neardup_pairs — the op names the generator that priced
+        expected_op = (
+            "winnow_neardup_pairs"
+            if name == "winnow_containment_pairs"
+            else name
+        )
+        assert ei.value.op == expected_op, name
+        assert ei.value.workload and all(
+            r["candidate_pairs"] >= 0 for r in ei.value.workload
+        ), name
+        with pytest.raises(CandidatePairBudgetExceeded):
+            run(total - 1)
+        guarded = sorted(map(tuple, run(total).collect()))
+        base = sorted(map(tuple, run(None).collect()))
+        assert guarded == base, name
+
+
+def test_cosine_histogram_budget_prices_capped_population(spark):
+    # with per_bucket_cap set, the guard prices the POST-cap buckets:
+    # a budget that the uncapped population would blow must pass once
+    # the cap bounds every bucket
+    import random
+
+    from bullet_storm_spark.operators.pair_budget import (
+        CandidatePairBudgetExceeded,
+    )
+
+    random.seed(13)
+    embs = spark.createDataFrame(
+        [
+            (i, [round(random.gauss(0.0, 1), 4) for _ in range(4)])
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(CandidatePairBudgetExceeded) as ei:
+        similarity.cosine_histogram(
+            embs, "vec_id", "embedding", nbits=2, dim=4,
+            candidate_pair_budget=0,
+        )
+    uncapped_total = ei.value.total
+    # 2^2 buckets x C(3,2) = at most 12 pairs under the cap
+    capped = similarity.cosine_histogram(
+        embs, "vec_id", "embedding", nbits=2, dim=4,
+        per_bucket_cap=3, candidate_pair_budget=12,
+    ).collect()
+    assert uncapped_total > 12 and capped
