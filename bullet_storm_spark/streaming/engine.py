@@ -416,30 +416,23 @@ class StreamingEngine:
             if shared:
                 from bullet_storm_spark.streaming.multiquery import (
                     plan_chunks,
+                    plan_raw_chunks,
                     shared_partials,
+                    split_fleet,
                 )
-
-                from bullet_storm_spark.streaming.multiquery import (
-                    _plan_raw_chunks,
-                )
-                from bullet_storm_spark.streaming.state import RawState
 
                 try:
-                    raw_fleet = [
-                        rq for rq in shared if isinstance(rq.state, RawState)
-                    ]
-                    agg_fleet = [
-                        rq
-                        for rq in shared
-                        if not isinstance(rq.state, RawState)
-                    ]
+                    # the one split definition (multiquery.split_fleet)
+                    # keys BOTH caches, so the cache layout can't drift
+                    # from the planner's own split
+                    raw_fleet, agg_fleet = split_fleet(shared)
                     key = tuple((rq.id, id(rq)) for rq in agg_fleet)
                     if key != self._chunk_cache_key:
                         self._chunk_cache = plan_chunks(agg_fleet)
                         self._chunk_cache_key = key
                     raw_key = tuple((rq.id, id(rq)) for rq in raw_fleet)
                     if raw_key != self._raw_chunk_cache_key:
-                        self._raw_chunk_cache = _plan_raw_chunks(raw_fleet)
+                        self._raw_chunk_cache = plan_raw_chunks(raw_fleet)
                         self._raw_chunk_cache_key = raw_key
                     for qid, rows in shared_partials(
                         cached,

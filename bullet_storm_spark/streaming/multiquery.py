@@ -28,8 +28,11 @@ query shape, ``T/JoinBoltTest.java:340-351`` makeRawQuery) share ONE
 mapInPandas pass per <=MAX_RAW_MEMBERS_PER_JOB members: every member's
 filter and projection evaluate JVM-side into a nullable struct column,
 rows matching no member are dropped JVM-side, and the Python stage only
-caps each member at its limit per partition (bounded output:
-partitions x sum(limits) rows; bounded memory: one Arrow batch). The
+caps each member at its limit per partition; past RAW_FOLD_FANIN scan
+partitions one coalesce + re-cap fold level bounds the driver collect
+at O(RAW_FOLD_FANIN x sum(limits)) rows at ANY partition count (the
+sketch tree-fold discipline — without it a 100k-partition batch could
+funnel partitions x sum(limits) rows to the driver). The
 member's CURRENT remaining capacity is applied driver-side at split
 time so the cached batch-independent plan survives capacity decay.
 QUANTILE fleets likewise share one mapInPandas pass per
@@ -477,10 +480,20 @@ def _run_quantile_chunk(
     return result
 
 
-def _run_raw_chunk(batch_df: DataFrame, cp: RawChunkPlan) -> list[list[dict]]:
-    """Execute one shared RAW pass; returns per-member partial row lists
-    capped at each member's CURRENT remaining capacity (read at call
-    time, like RawState.partial's per-batch limit)."""
+# first-fold fan-in of the shared RAW pass: past this many scan
+# partitions a coalesce(fanin) + re-cap level bounds the driver collect
+# at O(fanin x sum of member limits) rows REGARDLESS of partition count
+# (the sketches._fold_schedule / DistributionState.TREE_FANIN
+# discipline) — without it a 100k-partition batch with 64 members could
+# funnel partitions x sum(limits) rows to the driver
+RAW_FOLD_FANIN = 32
+
+
+def _raw_chunk_folded_df(batch_df: DataFrame, cp: RawChunkPlan) -> DataFrame:
+    """The shared RAW pass as a bounded DataFrame: per-partition
+    first-rows capping, then (past RAW_FOLD_FANIN partitions) one
+    executor-side re-cap fold so at most RAW_FOLD_FANIN x sum(caps)
+    rows ever reach the driver."""
     import pandas as pd
 
     n = len(cp.rqs)
@@ -532,7 +545,38 @@ def _run_raw_chunk(batch_df: DataFrame, cp: RawChunkPlan) -> list[list[dict]]:
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    rows = alive.mapInPandas(take_first, out_schema).collect()
+    folded = alive.mapInPandas(take_first, out_schema)
+    if batch_df.rdd.getNumPartitions() > RAW_FOLD_FANIN:
+        def re_cap(pdfs):
+            # each coalesced group re-caps every member at its FULL
+            # limit (caps, not current room — keeps the plan
+            # batch-independent); the driver trims to room afterwards
+            remaining = list(caps)
+            for pdf in pdfs:
+                if not any(r > 0 for r in remaining):
+                    break
+                keep = []
+                for pos, m in enumerate(pdf["member"].to_list()):
+                    if remaining[m] > 0:
+                        keep.append(pos)
+                        remaining[m] -= 1
+                if len(keep) == len(pdf):
+                    yield pdf
+                elif keep:
+                    yield pdf.iloc[keep]
+
+        folded = folded.coalesce(RAW_FOLD_FANIN).mapInPandas(
+            re_cap, out_schema
+        )
+    return folded
+
+
+def _run_raw_chunk(batch_df: DataFrame, cp: RawChunkPlan) -> list[list[dict]]:
+    """Execute one shared RAW pass; returns per-member partial row lists
+    capped at each member's CURRENT remaining capacity (read at call
+    time, like RawState.partial's per-batch limit)."""
+    n = len(cp.rqs)
+    rows = _raw_chunk_folded_df(batch_df, cp).collect()
     result: list[list[dict]] = [[] for _ in range(n)]
     room = [
         max(rq.state.size - len(rq.state.records), 0) for rq in cp.rqs
@@ -561,6 +605,24 @@ class ChunkPlan:
     members: list[_Member]
 
 
+def split_fleet(queries) -> tuple[list, list]:
+    """THE RAW-vs-rest fleet split — the one definition both the
+    engine's split plan caches and ``plan_chunks`` key off (RAW members
+    cache separately because they fill and COMPLETE per batch; one
+    whole-fleet cache key made every RAW completion re-plan the stable
+    aggregation fleet — measured 2.3 s/batch vs 0.5 s split, r10).
+    Returns ``(raw_queries, other_queries)`` preserving order."""
+    raw = [rq for rq in queries if isinstance(rq.state, RawState)]
+    rest = [rq for rq in queries if not isinstance(rq.state, RawState)]
+    return raw, rest
+
+
+def plan_raw_chunks(raw_queries) -> list[RawChunkPlan]:
+    """Public name for the RAW fleet planner (the engine's split RAW
+    plan cache calls this directly on ``split_fleet``'s first half)."""
+    return _plan_raw_chunks(raw_queries)
+
+
 def plan_chunks(queries) -> list:
     """plan_jobs + MAX_MEMBERS_PER_JOB chunking + per-chunk column
     pruning, as cacheable batch-independent plans (ChunkPlan for the
@@ -573,14 +635,10 @@ def plan_chunks(queries) -> list:
             and rq.state.agg.dist_type == DistributionType.QUANTILE
         )
 
-    raw = [rq for rq in queries if isinstance(rq.state, RawState)]
-    quant = [rq for rq in queries if _is_quantile(rq)]
-    agg = [
-        rq
-        for rq in queries
-        if not isinstance(rq.state, RawState) and not _is_quantile(rq)
-    ]
-    chunks: list = list(_plan_raw_chunks(raw))
+    raw, rest = split_fleet(queries)
+    quant = [rq for rq in rest if _is_quantile(rq)]
+    agg = [rq for rq in rest if not _is_quantile(rq)]
+    chunks: list = list(plan_raw_chunks(raw))
     chunks.extend(_plan_quantile_chunks(quant))
     for job in plan_jobs(agg):
         for start in range(0, len(job.members), MAX_MEMBERS_PER_JOB):

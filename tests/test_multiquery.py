@@ -419,3 +419,66 @@ def test_shared_scan_random_fleet_equivalence(spark, seed):
                 col = q.filter.to_column()  # noqa: F841 (structural check only)
         else:
             assert sorted(map(str, b)) == sorted(map(str, g)), qid
+
+
+def test_raw_fold_bounds_driver_rows_at_any_partition_count(spark):
+    # r11 (VERDICT item 2): the shared RAW pass's driver collect is
+    # O(RAW_FOLD_FANIN x sum(limits)) rows REGARDLESS of scan partition
+    # count — each first-pass partition caps every member at its FULL
+    # limit, so without the fold a P-partition batch could ship
+    # P x sum(limits) rows. Pin the folded row count AND that semantics
+    # survive: every member still fills to exactly its limit with rows
+    # matching its filter.
+    from bullet_storm_spark.streaming.multiquery import (
+        RAW_FOLD_FANIN,
+        _raw_chunk_folded_df,
+        _run_raw_chunk,
+        plan_raw_chunks,
+    )
+    from bullet_storm_spark.streaming.state import RawState
+
+    class _RQ:
+        def __init__(self, q):
+            self.query = q
+            self.state = RawState(q.aggregation)
+            self.id = id(self)
+
+    parts = 4 * RAW_FOLD_FANIN  # local[32] handles 128 empty-ish slices
+    rows = [(f"{'ab'[i % 2]}", "x", float(i), i) for i in range(4000)]
+    batch = spark.createDataFrame(
+        rows, "k string, s string, v double, n int"
+    ).repartition(parts)
+    fleet = [_RQ(q) for q in _raw_fleet(8, size=7).values()]
+    (cp,) = plan_raw_chunks(fleet)
+    caps_total = sum(cp.caps)
+    folded_rows = _raw_chunk_folded_df(batch, cp).count()
+    # the bound that matters: independent of the 128 partitions
+    assert folded_rows <= RAW_FOLD_FANIN * caps_total
+    # and the per-member contract is intact through the fold
+    result = _run_raw_chunk(batch, cp)
+    for i, member_rows in enumerate(result):
+        assert len(member_rows) == 7, i
+        key = "num" if i % 2 else "n"
+        assert all(r[key] > i for r in member_rows), i
+
+
+def test_split_fleet_is_the_single_cache_key(spark):
+    # advice r10: engine and planner key off ONE split definition
+    from bullet_storm_spark.streaming.multiquery import split_fleet
+    from bullet_storm_spark.streaming.state import RawState
+
+    class _RQ:
+        def __init__(self, q):
+            self.query = q
+            self.state = RawState(q.aggregation) if isinstance(
+                q.aggregation, Raw
+            ) else object()
+            self.id = id(self)
+
+    raw_qs = [_RQ(q) for q in _raw_fleet(3).values()]
+    mixed = [object.__new__(_RQ) for _ in range(2)]
+    for m in mixed:
+        m.query, m.state, m.id = None, object(), id(m)
+    fleet = [raw_qs[0], mixed[0], raw_qs[1], mixed[1], raw_qs[2]]
+    raw, rest = split_fleet(fleet)
+    assert raw == raw_qs and rest == mixed
