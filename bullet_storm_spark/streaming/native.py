@@ -1060,7 +1060,7 @@ def stream_transitions(stream_df: DataFrame):
     )
 
 
-FIRST_SEEN_SCHEMA = "id long, fingerprint string, keep boolean"
+FIRST_SEEN_SCHEMA = "id long, fingerprint string, keep boolean, saturation double"
 _FIRST_SEEN_STATE_SCHEMA = "bloom binary, n_set long"
 
 
@@ -1071,31 +1071,55 @@ def stream_first_seen(
     bits: int = 1 << 16,
     hashes: int = 4,
     groups: int = 16,
+    saturation_limit: float | None = None,
 ) -> DataFrame:
-    """Streaming ingest-time exact dedup with an UNBOUNDED horizon and
-    BOUNDED state — the third member of the dedup-at-ingest family:
+    """Streaming ingest-time first-seen dedup with an UNBOUNDED horizon
+    and BOUNDED state — the third member of the dedup-at-ingest family:
     ``stream_dedup`` is exact within the watermark horizon (state
     evicts, an old doc re-ingested after the horizon passes again);
     ``stream_dedup_incremental`` is near-dup against a persisted band
     index; this one never forgets and never grows — each record's
     whitespace/case-fold fingerprint (the same ``functions/text.
     fingerprint`` key, computed JVM-side) is checked against a per-group
-    Bloom filter carried in state; output ``(id, fingerprint, keep)``
-    with ``keep`` true for the first sighting ACROSS batches and the
-    first occurrence (by id) within a batch. One ``bits/8``-byte state
-    cell per group, deterministic bit positions (md5 slices of the
-    fingerprint — partitioning/replay-identical).
+    Bloom filter carried in state; output ``(id, fingerprint, keep,
+    saturation)`` with ``keep`` true for the first sighting ACROSS
+    batches and the first occurrence (by id, over the WHOLE micro-batch
+    — the group's Arrow chunks are concatenated and sorted once before
+    the scan, so a duplicate pair split across chunks still resolves to
+    the lowest id) within a batch. One ``bits/8``-byte state cell per
+    group, deterministic bit positions (md5 slices of the fingerprint —
+    partitioning/replay-identical).
 
-    Contract: no false KEEPs for exact duplicates (a set bit never
-    clears), and false DROPs at the standard Bloom rate
-    ``(1 - e^(-k*n/m))^k`` — size ``bits`` for the expected distinct
+    Bloom-exactness contract — this is NOT symmetric exact dedup: no
+    false KEEPs ever (a set bit never clears), but a filter false
+    positive DROPS a never-seen record, which is silent data loss if the
+    filter is under-sized. The false-drop probability is the standard
+    ``(1 - e^(-k*n/m))^k``; size ``bits`` for the expected distinct
     count per group (fingerprints spread uniformly over ``groups`` by
-    their first hex byte). With ``bits`` sized 10x the corpus the replay
-    equals the batch operator's keep set exactly (test-pinned)."""
+    their first hex byte — with the default 2^16 bits it reaches ~1%
+    around 3.3k distinct docs per group). With ``bits`` sized 10x the
+    corpus the replay equals the batch operator's keep set exactly
+    (test-pinned).
+
+    SATURATION IS SURFACED, not silent (advice r10): every output row
+    carries the group filter's estimated false-drop probability
+    (computed from the tracked insert count ``n_set`` after the row's
+    batch), so a dashboard threshold on ``max(saturation)`` sees an
+    under-sized filter while the keeps are still trustworthy; and when
+    ``saturation_limit`` is set, the operator raises loudly (failing
+    the streaming query) the moment any group's estimate crosses it —
+    re-size ``bits``/``groups`` and replay rather than ingest through a
+    saturated filter."""
     if bits < 8 or bits & (bits - 1):
         raise ValueError(f"bits must be a power of two >= 8, got {bits}")
     if not 1 <= hashes <= 16:
         raise ValueError(f"need 1 <= hashes <= 16, got {hashes}")
+    if saturation_limit is not None and not 0 < saturation_limit <= 1:
+        raise ValueError(
+            f"need 0 < saturation_limit <= 1, got {saturation_limit}"
+        )
+    import math
+
     import pandas as pd
 
     from bullet_storm_spark.functions.text import fingerprint
@@ -1122,22 +1146,44 @@ def stream_first_seen(
                     nbytes * 8
                 )
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id", kind="mergesort")
-            keeps = []
-            for fp in pdf["fp"]:
-                pos = list(positions(fp))
-                seen = all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
-                if not seen:
-                    for p in pos:
-                        bloom[p >> 3] |= 1 << (p & 7)
-                    n_set += 1
-                keeps.append(not seen)
+        # concatenate the group's Arrow chunks and sort ONCE: the
+        # "first occurrence by id within a batch" contract must hold
+        # across chunk boundaries (state groups are bounded, so the
+        # concat is too)
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else (chunks[0] if chunks else pd.DataFrame({"id": [], "fp": []}))
+        )
+        pdf = pdf.sort_values("id", kind="mergesort")
+        keeps = []
+        for fp in pdf["fp"]:
+            pos = list(positions(fp))
+            seen = all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
+            if not seen:
+                for p in pos:
+                    bloom[p >> 3] |= 1 << (p & 7)
+                n_set += 1
+            keeps.append(not seen)
+        # estimated false-drop probability at the END of this batch —
+        # the group's saturation readout, one exp per batch
+        sat = (1.0 - math.exp(-k * n_set / (nbytes * 8.0))) ** k
+        if saturation_limit is not None and sat > saturation_limit:
+            raise ValueError(
+                f"stream_first_seen bloom saturated: group {key[0]} holds "
+                f"{n_set} inserts in {nbytes * 8} bits -> estimated "
+                f"false-drop rate {sat:.4f} > limit {saturation_limit}. "
+                "New documents are now being dropped as duplicates at "
+                "that rate; re-size bits/groups and replay."
+            )
+        if len(pdf):
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_list(),
                     "fingerprint": pdf["fp"].to_list(),
                     "keep": keeps,
+                    "saturation": [sat] * len(pdf),
                 }
             )
         state.update((bytes(bloom), int(n_set)))

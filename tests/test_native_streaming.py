@@ -1090,3 +1090,119 @@ def test_stream_first_seen_equals_batch_exact_dedup(spark, tmp_path):
     for i, t in rows[35:]:
         if fp(t) in seen1:
             assert got[i] is False, i
+
+
+def test_stream_first_seen_first_occurrence_spans_chunks(spark, tmp_path):
+    """r11 (advice): the 'first occurrence by id within a batch' contract
+    must hold across Arrow chunk boundaries — the group's chunks are
+    concatenated and sorted ONCE, so with ids arriving in descending
+    order and a tiny Arrow batch size the LOWEST id of each duplicate
+    fingerprint still wins keep=true."""
+    import os
+
+    from bullet_storm_spark.streaming.native import stream_first_seen
+
+    texts = [f"chunk span doc {i // 2}" for i in range(20)]  # each text twice
+    rows = [(100 - i, texts[i]) for i in range(20)]  # ids descending
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+    [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.rename(os.path.join(stage, part), os.path.join(src, "c0.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_first_seen(stream, "doc_id", "text", bits=1 << 13, groups=1)
+            .writeStream.format("memory")
+            .queryName("first_seen_chunks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r.id: r.keep for r in spark.table("first_seen_chunks").collect()}
+    assert len(got) == 20
+    # per duplicated text the LOWER id keeps; rows[i] has id 100 - i and
+    # text i//2, so the second sighting (higher index, lower... ) — ids
+    # descend with i, so for text t the two ids are 100-2t and 99-2t:
+    # the lower one (99-2t) must be the keeper
+    for t in range(10):
+        assert got[99 - 2 * t] is True, t
+        assert got[100 - 2 * t] is False, t
+
+
+def test_stream_first_seen_saturation_surfaced_and_limit_raises(
+    spark, tmp_path
+):
+    """r11 (VERDICT item 3): the saturation column carries the group's
+    estimated false-drop rate (1 - e^{-kn/m})^k from the tracked n_set,
+    and saturation_limit turns an under-sized filter into a loud
+    streaming failure instead of silent drops."""
+    import math
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bullet_storm_spark.streaming.native import stream_first_seen
+
+    rows = [(i, f"distinct saturation doc {i}") for i in range(64)]
+    schema = "doc_id long, text string"
+
+    def _feed(name, **kw):
+        src = str(tmp_path / f"in_{name}")
+        os.makedirs(src)
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(os.path.join(stage, part), os.path.join(src, "c0.parquet"))
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            stream_first_seen(stream, "doc_id", "text", groups=1, **kw)
+            .writeStream.format("memory")
+            .queryName(f"first_seen_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+
+    # (a) tiny filter, no limit: all rows land with the SAME end-of-batch
+    # saturation equal to the formula at n_set inserts
+    q = _feed("sat", bits=256, hashes=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("first_seen_sat").collect()
+    assert len(out) == 64
+    n_set = sum(1 for r in out if r.keep)
+    expect = (1.0 - math.exp(-4 * n_set / 256.0)) ** 4
+    assert all(abs(r.saturation - expect) < 1e-12 for r in out)
+    assert expect > 0.1  # genuinely saturated fixture
+    # (b) generously sized filter: saturation is reported tiny
+    q = _feed("ok", bits=1 << 13, hashes=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ok = spark.table("first_seen_ok").collect()
+    assert all(r.saturation < 0.01 for r in ok)
+    # (c) limit below the tiny filter's saturation: the query fails LOUD
+    q = _feed("lim", bits=256, hashes=4, saturation_limit=0.05)
+    try:
+        with pytest.raises(StreamingQueryException, match="saturated"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
