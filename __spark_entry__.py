@@ -480,6 +480,7 @@ ORDER BY region
 from bullet_storm_spark.functions import text as _text
 from bullet_storm_spark.operators import curate as _curate
 from bullet_storm_spark.operators import dedup as _dedup
+from bullet_storm_spark.operators import mpeg_audio as _mpeg
 from bullet_storm_spark.operators import multimodal as _mm
 from bullet_storm_spark.operators import packing as _pack
 from bullet_storm_spark.operators import sampling as _smp
@@ -4493,6 +4494,18 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             _mm.synthesize_jpeg(
                 _docs(s, d).where("doc_id < 400"), "doc_id"
             )
+        ),
+        None,
+    ),
+    # frame-level MP3 metadata (r11): REAL compressed-audio parsing —
+    # ID3 skip, double-header sync scan, frame stepping, CBR/VBR,
+    # truncation accounting — the audio-datacard pass that runs before
+    # any sample decode is scheduled; binary parsing is not
+    # SQL-expressible, so rows-only with hand-computed pytest pins
+    # (test_mpeg_audio)
+    "multimodal_mp3_probe": (
+        lambda s, d: _mpeg.mp3_probe(
+            _mpeg.synthesize_mp3(_docs(s, d).where("doc_id < 400"), "doc_id")
         ),
         None,
     ),

@@ -274,6 +274,8 @@ HEADLINE = [
     "embed_cos_histogram_capped",
     "dedup_simhash_bucket_plan",
     "corpus_datacard",
+    # r11 additions
+    "multimodal_mp3_probe",
 ]
 
 
@@ -467,7 +469,7 @@ def main() -> None:
     # events ts normalization per measurement would just measure the scan)
     events_batch = load_table(spark, SF_DIR, "events").persist()
     events_batch.count()
-    for n_queries in (20, 50, 100):
+    for n_queries in (20, 50, 100, 500):
         # FROZEN engine clock: the registry clamps queries to
         # MAX_QUERY_DURATION_MS (10 s wall), and the steady-state loop can
         # now take up to 4 runs — a wall clock would expire the fleet
@@ -580,8 +582,15 @@ def main() -> None:
         "queries": compact,
         "sf": sf,
     }
-    while len(json.dumps(result)) > 1900 and compact:
-        fastest = min(compact, key=compact.get)
+    # the multiplex fleet entries are the engine's differentiating
+    # round-over-round series (VERDICT r10 item 4) — like the
+    # calibrators they must survive the size trim, so the trim only
+    # considers unprotected keys
+    protected = {k for k in compact if k.startswith("streaming_multiplex")}
+    while len(json.dumps(result)) > 1900 and len(compact) > len(protected):
+        fastest = min(
+            (k for k in compact if k not in protected), key=compact.get
+        )
         del compact[fastest]
         result["queries_omitted"] = len(timings) - len(compact)
     print(json.dumps(result))

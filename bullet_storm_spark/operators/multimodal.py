@@ -161,9 +161,12 @@ def decode_audio_real(payloads: DataFrame) -> DataFrame:
     features) and compressed containers (MP3 frame sync / ADTS AAC /
     anything else) report ``decode_ok = false`` with true byte lengths
     — a truthful row, never an exception (a faithful MPEG synthesis
-    filterbank needs the spec's window tables, which this environment
-    cannot verify against a real decoder; claiming one without that
-    check would be worse than the boundary). Output: WAV_SCHEMA."""
+    filterbank needs the spec's NORMATIVE coefficient tables — the
+    512-entry Annex B synthesis window has no closed form — so sample
+    synthesis for MP3/AAC is permanently closed; COVERAGE.md records
+    the decision). Frame-level MP3 METADATA decodes for real via
+    `operators.mpeg_audio.mp3_probe` (duration, rate, mode, CBR/VBR,
+    truncation — the curation-time needs). Output: WAV_SCHEMA."""
     return decode_wav_features(payloads)
 
 

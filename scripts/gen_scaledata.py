@@ -82,6 +82,35 @@ def gen_embeddings(sf: float, seed: int) -> pa.Table:
     )
 
 
+def gen_events(sf: float, seed: int) -> pa.Table:
+    # calibrated to /root/testdata/sf0.1 events: value ~ Exp(mean 50)
+    # (measured mean 49.9 == stddev 49.6, median 34.8 == 50 ln 2), 5
+    # uniform event types, users linear in sf (sf0.1 -> 1500), ts
+    # uniform over Jan 2024 as TIMESTAMP_NTZ micros, props a tiny JSON
+    n = int(1_000_000 * sf)
+    users = max(int(15_000 * sf), 1)
+    rs = np.random.RandomState(seed)
+    types = np.array(["click", "view", "purchase", "signup", "error"])
+    epoch_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = epoch_us + rs.randint(0, span_us, size=n, dtype=np.int64)
+    ks = rs.randint(0, 100, size=n)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(
+                rs.randint(0, users, size=n).astype("int64"), pa.int64()
+            ),
+            "event_type": pa.array(types[rs.randint(0, 5, size=n)]),
+            "value": pa.array(
+                np.round(rs.exponential(50.0, size=n), 2), pa.float64()
+            ),
+            "props": pa.array([f'{{"k": {k}}}' for k in ks]),
+        }
+    )
+
+
 def main() -> None:
     sfs = [float(a) for a in sys.argv[1:]] or [0.3, 1.0, 3.0]
     for sf in sfs:
@@ -93,7 +122,11 @@ def main() -> None:
         pq.write_table(
             gen_embeddings(sf, 9042 + int(sf * 100)), out / "embeddings.parquet"
         )
-        print(f"sf{tag}: {int(50_000 * sf)} docs, {int(20_000 * sf)} vectors -> {out}")
+        pq.write_table(gen_events(sf, 9042 + int(sf * 100)), out / "events.parquet")
+        print(
+            f"sf{tag}: {int(50_000 * sf)} docs, {int(20_000 * sf)} vectors, "
+            f"{int(1_000_000 * sf)} events -> {out}"
+        )
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ def test_bench_emits_contract_json():
         text=True,
         # the headline list keeps growing (130+ entries, cold+warm each);
         # 420s tipped over at ~130 entries on a busy machine
-        timeout=900,
+        timeout=1400,
         env=env,
         cwd="/root/repo",
     )
