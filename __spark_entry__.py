@@ -4867,80 +4867,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # stable core/BQL/join entries rotate to the tail, where
 # scripts/oracle_check.py re-verifies them in-repo every round.
 _DRIVER_PRIORITY = [
-    # --- r10 window: the 25 registry entries never inside any driver
-    # correctness window (CORRECTNESS_r01-r09 union = 294 of 319), plus
-    # events_uplift_deciles (r8's one red row; the fix was judge-verified
-    # full-mode MATCH in r9 but never driver-re-sampled). All 25 were
-    # MATCH (23 hash-checkable) in the round-9 judge's own full-registry
-    # oracle_check at sf0.01 (VERDICT.md r9); this window converts
-    # judge-green to driver-green, completing every-entry-driver-checked.
-    # 8 r8-era overflow entries:
-    "multimodal_resize",
-    "multimodal_wav_decimate",
-    "multimodal_dhash_groups",
-    "sketch_audience_overlap",  # rows-only by declared sketch contract
-    "scd2_priority_history",
-    "scd2_transitions",
-    "scd2_churn_summary",
-    "profile_functional_deps",
-    # 17 r9 additions:
-    "events_nelson_aalen",
-    "events_logrank",
-    "events_lorenz_curve",
-    "events_entropy_rate",
-    "events_fano_factor",
-    "events_stickiness",
-    "text_richness",
-    "text_coverage_curve",
-    "dedup_lsh_band_plan",
-    "dedup_simhash_histogram",
-    "graph_degree_powerlaw",
-    "join_small_qty_revenue",
-    "join_shipping_delay",
-    "multimodal_jpeg_decode",  # rows-only by declared codec contract
-    "privacy_reid_risk",
-    "privacy_generalization_ladder",
-    "sample_token_waterfill",
-    # the r8 red row, fixed in r9 (17-digit canon), never driver-resampled:
-    "events_uplift_deciles",
-    # --- drift re-checks (24): the stalest driver-green entries. 7 last
-    # checked in r3 (incl. the two rows-only approx contracts) and the
-    # ANN/dedup pair family last checked in r4 -- also the round-10
-    # scale-curve subjects -- plus the two entries touched this round
-    # (sample_dsir_weights steady-state re-measure, top_k_sketched
-    # SpaceSaving driver-fold bound).
-    "raw_filter_project",
-    "raw_complex_filter",
-    "raw_regex_filter",
-    "group_all_metrics",
-    "group_by_event_type",
-    "count_distinct_users_approx",  # rows-only by declared contract
-    "distribution_quantile_approx",  # rows-only by declared contract
-    "sample_dsir_weights",
-    "top_k_sketched",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "dedup_semantic",
-    "dedup_embedding_pairs",
-    "dedup_embedding_pairs_quantized",
-    "dedup_embedding_pairs_exact_block",
-    "dedup_lsh_recall",
-    "ann_quantized_arrow",
-    "ann_quantized_topk",
-    "ann_brute_force_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    # --- the 3 r10 additions (tri-scale green in-repo; new entries go
-    # first, ahead of further drift re-checks):
-    "embed_cos_histogram_capped",
-    "dedup_simhash_bucket_plan",
-    "corpus_datacard",
-    # NOTE: the window is exactly 50 here. After r10 every pre-r10
-    # registry entry has been inside at least one driver window; future
-    # rotations are new additions first, then stalest-green drift
-    # re-checks (next up: ann_lsh_bucketed_topk, ann_pq_topk,
-    # ann_ivfpq_residual_topk — displaced from this window by the r10
-    # additions).
+    # --- r11 window: 1 new entry + the 49 STALEST driver-checked
+    # entries (VERDICT r10 item 8: keep the rotation honest now every
+    # entry has signal). Staleness computed from CORRECTNESS_r01-r10:
+    # the r1-r3 core was re-sampled inside the r10 window, so the true
+    # tail is the r4 additions (29 entries, last driver-checked r4)
+    # plus the first 20 of the r5 batch. All pre-verified MATCH (or
+    # declared rows-only) by scripts/oracle_check.py full mode at
+    # sf0.01 before this rotation was staged.
+    "multimodal_mp3_probe",  # NEW r11 (rows-only by declared contract)
+    # 29 r4-era entries:
+    "ann_ivfpq_residual_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_pq_topk",
+    "ann_recall_report",
+    "dedup_span_chunks",
+    "dedup_substring_spans",
+    "embed_outlier_report",
+    "group_rollup_type_user",
+    "multimodal_decode_meta",
+    "multimodal_payload_meta",
+    "pack_contiguous",
+    "pack_greedy_bins",  # rows-only by declared contract
+    "pack_shard_stats",
+    "sample_epoch_shuffle",
+    "sample_mix_accounting",
+    "sample_split_accounting",
+    "sample_stratified_split",
+    "sample_weighted_mix",
+    "text_bpe_merges",  # rows-only by declared contract
+    "text_chunk_documents",
+    "text_gopher_rules",
+    "text_lm_score",
+    "text_script_profile",
+    "text_scrub_pii",
+    "text_source_divergence",
+    "text_tfidf_terms",
+    "win_type_user_rank",
+    "win_user_inter_event_gap",
+    "win_user_running_revenue",
+    # first 20 r5-era entries (alphabetical; the remaining r5 tail is
+    # next round's rotation):
+    "ann_brute_force_arrow",  # rows-only by declared contract
+    "ann_pca_rerank_topk",
+    "ann_rrf_fusion",
+    "dedup_bloom_index",
+    "dedup_bloom_probe",
+    "dedup_canonical_pagerank",
+    "dedup_editdistance_pairs",
+    "dedup_semantic_report",
+    "dedup_substring_clean",
+    "dedup_substring_report",
+    "dedup_winnow_pairs",
+    "distinct_daily_hll",  # rows-only by declared sketch contract
+    "embed_kmeans_report",  # rows-only by declared contract
+    "embed_pca_variance",
+    "embed_pq_encode",
+    "embed_pq_report",
+    "embed_quantize",
+    "embed_quantize_report",
+    "events_funnel",
+    "events_latest_by_key",
+    # NOTE: the window is exactly 50 here.
 ]
 
 

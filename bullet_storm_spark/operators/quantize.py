@@ -292,6 +292,7 @@ def quantized_neardup_pairs_lsh(
     ntables: int = 4,
     dim: int = 64,
     round_to: int = 6,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-LSH blocking (identical to
     dedup.embedding_neardup_pairs_lsh) + QUANTIZED verification — the
@@ -350,6 +351,22 @@ def quantized_neardup_pairs_lsh(
         # coalesce the small shuffle onto few tasks)
         .repartition(par, "tbl", "bucket")
     )
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        # here the "pairs" are the in-bucket verify matmul cells, not a
+        # join output — same Sigma C(s,2) price, same fix (raise nbits)
+        check_candidate_pair_budget(
+            blocked.select("tbl", "bucket"),
+            ["tbl", "bucket"],
+            candidate_pair_budget,
+            "quantized_neardup_pairs_lsh",
+            "Raise nbits (smaller buckets) or excise the dense cluster "
+            "the hot bucket names; block_size_audit has the layout.",
+            block_col="tbl",
+        )
     # pre-filter inside the pandas group at threshold - quantum: anything
     # that could ROUND to >= threshold survives to the exact Spark-side
     # filter, everything else is dropped before the shuffle

@@ -512,6 +512,21 @@ def test_candidate_pair_budget_guard_family_wide(spark, docs):
             ),
         ),
         (
+            "quantized_neardup_pairs_lsh",
+            lambda b: __import__(
+                "bullet_storm_spark.operators.quantize", fromlist=["x"]
+            ).quantized_neardup_pairs_lsh(
+                embs,
+                "vec_id",
+                "embedding",
+                threshold=0.4,
+                nbits=3,
+                ntables=2,
+                dim=8,
+                candidate_pair_budget=b,
+            ),
+        ),
+        (
             "cosine_histogram",
             lambda b: similarity.cosine_histogram(
                 embs,
