@@ -65,14 +65,33 @@ def semantic_dedup(
     n_centroids: int = 16,
     dim: int = 64,
     round_to: int = 6,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """(id, cell, keep): keep=False iff a lower-id member of the same
     cluster has cosine >= threshold. Output ordered by id.
 
     The cosine is rounded to ``round_to`` decimals before the threshold
-    test so the Spark and DuckDB programs make identical keep decisions."""
+    test so the Spark and DuckDB programs make identical keep decisions.
+
+    ``candidate_pair_budget`` prices the in-cell pair join
+    (Σ C(cell, 2)) before it runs and raises loudly over budget
+    (`operators.pair_budget`, the family-wide guard); raise
+    ``n_centroids`` (smaller cells) or pass finer ``centroids``."""
     cents = centroids or seeded_centroids(dim, n_centroids)
     assigned = assign_cells_frozen(df, id_col, vec_col, cents)
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        check_candidate_pair_budget(
+            assigned.select("cell"),
+            ["cell"],
+            candidate_pair_budget,
+            "semantic_dedup",
+            "Raise n_centroids (smaller cells) or pass finer centroids; "
+            "the hot cell names the dense cluster.",
+        )
     left = assigned.select(
         F.col("id").alias("l_id"), F.col("v").alias("l_v"), "cell"
     )

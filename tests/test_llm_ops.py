@@ -527,6 +527,20 @@ def test_candidate_pair_budget_guard_family_wide(spark, docs):
             ),
         ),
         (
+            "semantic_dedup",
+            lambda b: __import__(
+                "bullet_storm_spark.operators.semdedup", fromlist=["x"]
+            ).semantic_dedup(
+                embs,
+                "vec_id",
+                "embedding",
+                threshold=0.2,
+                n_centroids=4,
+                dim=8,
+                candidate_pair_budget=b,
+            ),
+        ),
+        (
             "cosine_histogram",
             lambda b: similarity.cosine_histogram(
                 embs,
