@@ -1336,6 +1336,7 @@ def editdistance_pairs(
     text_col: str,
     max_dist: int = 20,
     prefix_len: int = 12,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, len_a, len_b, edit_distance): document pairs within
     ``max_dist`` Levenshtein edits, candidate-blocked by an exact match on
@@ -1363,6 +1364,21 @@ def editdistance_pairs(
         F.length(text_col).cast("long").alias("__len"),
         F.substring(text_col, 1, int(prefix_len)).alias("__blk"),
     )
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        # priced on the prefix blocks — each C(block, 2) candidate pays
+        # an O(len^2) levenshtein, the family's most expensive verify
+        check_candidate_pair_budget(
+            base.select("__blk"),
+            ["__blk"],
+            candidate_pair_budget,
+            "editdistance_pairs",
+            "Raise prefix_len (finer blocks) or dedup exact first (a "
+            "viral boilerplate prefix concentrates one block).",
+        )
     right = base.select(
         F.col("__id").alias("__id_b"),
         F.col("__text").alias("__text_b"),

@@ -527,6 +527,13 @@ def test_candidate_pair_budget_guard_family_wide(spark, docs):
             ),
         ),
         (
+            "editdistance_pairs",
+            lambda b: dedup.editdistance_pairs(
+                docs, "doc_id", "text", max_dist=20, prefix_len=4,
+                candidate_pair_budget=b,
+            ),
+        ),
+        (
             "semantic_dedup",
             lambda b: __import__(
                 "bullet_storm_spark.operators.semdedup", fromlist=["x"]
