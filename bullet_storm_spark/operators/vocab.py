@@ -430,6 +430,7 @@ def tfidf_pairs(
     text_col: str,
     df_cap: int = 100,
     min_sim: float = 0.3,
+    candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared_terms, cosine): document pairs with TF-IDF
     cosine similarity >= ``min_sim``, computed over the MID-FREQUENCY
@@ -488,6 +489,21 @@ def tfidf_pairs(
         # sorts high). Zero weights carry no signal — drop them.
         .where(F.col("__w") > 0)
     )
+    if candidate_pair_budget is not None:
+        from bullet_storm_spark.operators.pair_budget import (
+            check_candidate_pair_budget,
+        )
+
+        # priced on the kept posting list: Sigma C(df, 2) over kept
+        # terms is exactly the term self-join's pre-aggregation volume
+        check_candidate_pair_budget(
+            posting.select("token"),
+            ["token"],
+            candidate_pair_budget,
+            "tfidf_pairs",
+            "Lower df_cap (drops hotter terms from the join) or dedup "
+            "exact first; the hot bucket names the term.",
+        )
     norms = posting.groupBy("__id").agg(
         F.sqrt(
             F.sum(

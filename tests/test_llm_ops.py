@@ -527,6 +527,15 @@ def test_candidate_pair_budget_guard_family_wide(spark, docs):
             ),
         ),
         (
+            "tfidf_pairs",
+            lambda b: __import__(
+                "bullet_storm_spark.operators.vocab", fromlist=["x"]
+            ).tfidf_pairs(
+                docs, "doc_id", "text", df_cap=10, min_sim=0.1,
+                candidate_pair_budget=b,
+            ),
+        ),
+        (
             "editdistance_pairs",
             lambda b: dedup.editdistance_pairs(
                 docs, "doc_id", "text", max_dist=20, prefix_len=4,
