@@ -623,3 +623,39 @@ def test_cosine_histogram_budget_prices_capped_population(spark):
         per_bucket_cap=3, candidate_pair_budget=12,
     ).collect()
     assert uncapped_total > 12 and capped
+
+
+def test_price_candidate_pairs_identity(spark):
+    # the generic pricer's Sigma C(s,2) must EQUAL the pair volume a
+    # self-join on the bucket key with an id < id residual emits
+    # (pre-dedup) — the same identity pin simhash_bucket_profile has,
+    # for the shared helper on an arbitrary blocking layout
+    from bullet_storm_spark.operators.pair_budget import (
+        price_candidate_pairs,
+    )
+
+    rows = [(i, f"blk{i % 7}", i % 3) for i in range(200)]
+    blocked = spark.createDataFrame(rows, "id long, bucket string, tbl int")
+    priced = {
+        r.block: r.candidate_pairs
+        for r in price_candidate_pairs(
+            blocked, ["tbl", "bucket"], block_col="tbl"
+        ).collect()
+    }
+    l, r = blocked.alias("l"), blocked.alias("r")
+    actual = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.tbl").alias("tbl"))
+        .count()
+        .collect()
+    )
+    assert priced == {str(a["tbl"]): a["count"] for a in actual}
+    assert sum(priced.values()) > 0
+    one = price_candidate_pairs(blocked, ["tbl", "bucket"]).collect()
+    assert len(one) == 1 and one[0].block == "all"
+    assert one[0].candidate_pairs == sum(priced.values())
