@@ -4509,6 +4509,15 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         ),
         None,
     ),
+    # frame-level ADTS AAC metadata (r11): the AAC twin — explicit
+    # 13-bit frame lengths, MPEG-4 sampling-frequency-index table,
+    # 1024-sample access units; rows-only like the MP3 probe
+    "multimodal_adts_probe": (
+        lambda s, d: _mpeg.adts_probe(
+            _mpeg.synthesize_adts(_docs(s, d).where("doc_id < 400"), "doc_id")
+        ),
+        None,
+    ),
     # intraclass correlation + Kish design effect over users: the
     # variance-inflation honesty check for user-randomized experiments
     "events_icc_users": (
@@ -4876,6 +4885,7 @@ _DRIVER_PRIORITY = [
     # declared rows-only) by scripts/oracle_check.py full mode at
     # sf0.01 before this rotation was staged.
     "multimodal_mp3_probe",  # NEW r11 (rows-only by declared contract)
+    "multimodal_adts_probe",  # NEW r11 (rows-only by declared contract)
     # 29 r4-era entries:
     "ann_ivfpq_residual_topk",
     "ann_lsh_bucketed_topk",
@@ -4927,7 +4937,8 @@ _DRIVER_PRIORITY = [
     "embed_quantize",
     "embed_quantize_report",
     "events_funnel",
-    "events_latest_by_key",
+    # (events_latest_by_key displaced by the second r11 addition;
+    # it heads next round's drift re-checks)
     # NOTE: the window is exactly 50 here.
 ]
 

@@ -276,6 +276,7 @@ HEADLINE = [
     "corpus_datacard",
     # r11 additions
     "multimodal_mp3_probe",
+    "multimodal_adts_probe",
 ]
 
 

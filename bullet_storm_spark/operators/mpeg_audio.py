@@ -347,3 +347,200 @@ def synthesize_mp3(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id")).mapInPandas(
         gen, "id long, payload binary"
     )
+
+
+# --------------------------------------------------------------------------
+# ADTS (AAC) frame probe — same honest-metadata posture as parse_mp3
+# --------------------------------------------------------------------------
+
+# MPEG-4 sampling frequency index (ISO/IEC 14496-3 §1.6.3.4); 13-15 reserved
+_ADTS_SAMPLE_RATE = [
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+]
+_ADTS_PROFILE = ["Main", "LC", "SSR", "LTP"]  # 2-bit profile (object type - 1)
+
+
+def _parse_adts_header(b: bytes, off: int):
+    """Decode the 7/9-byte ADTS header at ``off``; None if invalid.
+    Unlike MP3, the full frame length is an explicit 13-bit field —
+    no bitrate arithmetic needed."""
+    if off + 7 > len(b):
+        return None
+    if b[off] != 0xFF or (b[off + 1] & 0xF6) != 0xF0:
+        return None  # 12-bit sync + layer bits must be 00
+    sr_idx = (b[off + 2] >> 2) & 0xF
+    if sr_idx >= 13:
+        return None
+    profile = (b[off + 2] >> 6) & 0x3
+    channel_cfg = ((b[off + 2] & 0x1) << 2) | ((b[off + 3] >> 6) & 0x3)
+    frame_len = (
+        ((b[off + 3] & 0x3) << 11) | (b[off + 4] << 3) | ((b[off + 5] >> 5) & 0x7)
+    )
+    crc_absent = b[off + 1] & 0x1
+    header_len = 7 if crc_absent else 9
+    if frame_len < header_len:
+        return None
+    return {
+        "mpeg4": (b[off + 1] >> 3) & 0x1 == 0,  # ID bit: 0 = MPEG-4
+        "profile": profile,
+        "sr_idx": sr_idx,
+        "sample_rate": _ADTS_SAMPLE_RATE[sr_idx],
+        "channel_cfg": channel_cfg,
+        "frame_len": frame_len,
+        "crc_absent": crc_absent,
+    }
+
+
+def parse_adts(b: bytes) -> dict:
+    """Walk an ADTS AAC stream (ID3v2-prefix tolerant): ``(parse_ok,
+    profile, sample_rate, channels, frames, duration_ms, junk_bytes,
+    trailing_bytes)``. Each ADTS frame carries 1024 PCM samples per
+    channel (one AAC access unit); duration is integer-exact
+    ``frames * 1024 * 1000 // sample_rate``. Stream identity
+    (profile, sample rate, channel config) comes from the first frame;
+    the same double-header sync confirmation as :func:`parse_mp3`."""
+    out = {
+        "parse_ok": False,
+        "profile": None,
+        "sample_rate": 0,
+        "channels": 0,
+        "frames": 0,
+        "duration_ms": 0,
+        "junk_bytes": 0,
+        "trailing_bytes": 0,
+        "n_bytes": len(b),
+    }
+    off = _skip_id3v2(b)
+    id3 = off
+    first = None
+    while off + 7 <= len(b):
+        hdr = _parse_adts_header(b, off)
+        if hdr is not None:
+            nxt = off + hdr["frame_len"]
+            if nxt + 7 > len(b):
+                first = hdr
+                break
+            peer = _parse_adts_header(b, nxt)
+            if peer is not None and all(
+                peer[k] == hdr[k] for k in ("profile", "sr_idx", "channel_cfg")
+            ):
+                first = hdr
+                break
+        off += 1
+    if first is None:
+        out["junk_bytes"] = len(b) - id3
+        return out
+    out["junk_bytes"] = off - id3
+    ident = {k: first[k] for k in ("profile", "sr_idx", "channel_cfg")}
+    frames = 0
+    while off + 7 <= len(b):
+        hdr = _parse_adts_header(b, off)
+        if hdr is None or any(hdr[k] != ident[k] for k in ident):
+            break
+        if off + hdr["frame_len"] > len(b):
+            break
+        frames += 1
+        off += hdr["frame_len"]
+    out["trailing_bytes"] = len(b) - off
+    if frames == 0:
+        return out
+    out.update(
+        parse_ok=True,
+        profile=_ADTS_PROFILE[ident["profile"]],
+        sample_rate=_ADTS_SAMPLE_RATE[ident["sr_idx"]],
+        channels=ident["channel_cfg"],
+        frames=frames,
+        duration_ms=frames * 1024 * 1000 // _ADTS_SAMPLE_RATE[ident["sr_idx"]],
+    )
+    return out
+
+
+ADTS_PROBE_SCHEMA = (
+    "id long, parse_ok boolean, profile string, sample_rate int, "
+    "channels int, frames int, duration_ms long, junk_bytes long, "
+    "trailing_bytes long, n_bytes long"
+)
+
+
+def adts_probe(payloads: DataFrame) -> DataFrame:
+    """Frame-level ADTS AAC metadata over ``(id, payload: binary)`` —
+    the AAC twin of :func:`mp3_probe`, same Arrow-batched shape."""
+    import pandas as pd
+
+    cols = [
+        "parse_ok", "profile", "sample_rate", "channels", "frames",
+        "duration_ms", "junk_bytes", "trailing_bytes", "n_bytes",
+    ]
+
+    def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for ident, blob in zip(pdf["id"], pdf["payload"]):
+                r = parse_adts(bytes(blob))
+                rows.append([int(ident)] + [r[c] for c in cols])
+            yield pd.DataFrame(rows, columns=["id"] + cols)
+
+    return payloads.mapInPandas(probe, ADTS_PROBE_SCHEMA).orderBy("id")
+
+
+def make_adts_bytes(ident: int) -> bytes:
+    """One deterministic MPEG-4 ADTS stream per id: profile/rate/
+    channels/frame sizes vary by id; payload bytes are md5 keystream
+    with 0xFF masked (no fake sync); every fourth id gets an ID3v2
+    prefix."""
+    profile = ident % 4
+    sr_idx = 3 + ident % 6  # 48000..12000 band
+    channels = 1 + ident % 2
+    n_frames = 3 + ident % 4
+    parts = []
+    if ident % 4 == 0:
+        tag = b"aac tag %d" % ident
+        parts.append(
+            b"ID3\x04\x00\x00"
+            + bytes(
+                [
+                    (len(tag) >> 21) & 0x7F,
+                    (len(tag) >> 14) & 0x7F,
+                    (len(tag) >> 7) & 0x7F,
+                    len(tag) & 0x7F,
+                ]
+            )
+            + tag
+        )
+    for f in range(n_frames):
+        flen = 64 + ((ident * 13 + f * 7) % 200)  # varied frame sizes
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        hdr[2] = (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 0x1)
+        hdr[3] = ((channels & 0x3) << 6) | ((flen >> 11) & 0x3)
+        hdr[4] = (flen >> 3) & 0xFF
+        hdr[5] = ((flen & 0x7) << 5) | 0x1F  # buffer fullness high bits
+        hdr[6] = 0xFC
+        body = bytearray()
+        seed = f"adts{ident}:{f}".encode()
+        while len(body) < flen - 7:
+            seed = hashlib.md5(seed).digest()
+            body.extend(seed)
+        frame = hdr + bytes(
+            x if x != 0xFF else 0x7E for x in body[: flen - 7]
+        )
+        parts.append(bytes(frame))
+    return b"".join(parts)
+
+
+def synthesize_adts(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) deterministic ADTS fixture streams, one per row."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [make_adts_bytes(i) for i in ids]}
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, "id long, payload binary"
+    )

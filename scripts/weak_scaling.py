@@ -46,6 +46,13 @@ ENTRIES = [
     ("embed_cos_histogram", 1.0),
     ("embed_cos_histogram_capped", 3.0),  # the r10 fix: bounded pair stage
     ("ann_quantized_arrow", 3.0),
+    # r11: curves for two newly budget-guarded families. winnow: df_cap
+    # bounds the worst fingerprint bucket but candidate volume is still
+    # Sigma C(df,2) over kept fps; tfidf: the posting-list join over
+    # mid-frequency terms (fixed df_cap=100 keeps only the rare tail as
+    # the corpus grows, so wall should stay agg-dominated ~linear)
+    ("dedup_winnow_pairs", 3.0),
+    ("sim_tfidf_pairs", 3.0),
 ]
 POINTS = [
     (0.1, "/root/testdata/sf0.1"),

@@ -114,3 +114,50 @@ def test_mpeg2_halved_layer3_frames():
     assert r["sample_rate"] == 22050 and r["frames"] == 3
     assert r["bitrate_min_kbps"] == 64
     assert r["duration_ms"] == 3 * 576 * 1000 // 22050
+
+
+def test_parse_adts_hand_built():
+    # hand-built: MPEG-4 LC @ 48 kHz stereo, explicit 13-bit frame
+    # lengths 100 and 120; duration 2*1024*1000 // 48000 = 42 ms
+    def hdr(flen):
+        h = bytearray(7)
+        h[0], h[1] = 0xFF, 0xF1
+        h[2] = (1 << 6) | (3 << 2) | 0  # LC, sr_idx 3 (48k), ch high bit 0
+        h[3] = (2 << 6) | ((flen >> 11) & 0x3)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 0x7) << 5) | 0x1F
+        h[6] = 0xFC
+        return bytes(h)
+
+    b = hdr(100) + bytes(93) + hdr(120) + bytes(113)
+    r = M.parse_adts(b)
+    assert r["parse_ok"] is True
+    assert r["profile"] == "LC" and r["sample_rate"] == 48000
+    assert r["channels"] == 2 and r["frames"] == 2
+    assert r["duration_ms"] == 2 * 1024 * 1000 // 48000
+    assert r["junk_bytes"] == 0 and r["trailing_bytes"] == 0
+    # truncated tail: second frame loses bytes -> 1 frame + trailing
+    cut = M.parse_adts(b[:-20])
+    assert cut["frames"] == 1 and cut["trailing_bytes"] == 120 - 20
+    # garbage never parses
+    assert M.parse_adts(bytes(range(256)) * 3)["parse_ok"] is False
+
+
+def test_adts_probe_operator(spark):
+    df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    out = M.adts_probe(M.synthesize_adts(df, "doc_id")).collect()
+    assert len(out) == 24
+    rates = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+             16000, 12000, 11025, 8000, 7350]
+    profiles = ["Main", "LC", "SSR", "LTP"]
+    for r in out:
+        i = r.id
+        assert r.parse_ok, i
+        assert r.profile == profiles[i % 4], i
+        assert r.sample_rate == rates[3 + i % 6], i
+        assert r.channels == 1 + i % 2, i
+        assert r.frames == 3 + i % 4, i
+        assert r.duration_ms == (3 + i % 4) * 1024 * 1000 // rates[3 + i % 6]
+        # the ID3 prefix is SKIPPED, not junk (junk counts after it)
+        assert r.junk_bytes == 0, i
+        assert r.trailing_bytes == 0, i
