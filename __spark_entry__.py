@@ -481,6 +481,8 @@ from bullet_storm_spark.functions import text as _text
 from bullet_storm_spark.operators import curate as _curate
 from bullet_storm_spark.operators import dedup as _dedup
 from bullet_storm_spark.operators import mpeg_audio as _mpeg
+from bullet_storm_spark.operators import isobmff as _bmff
+from bullet_storm_spark.operators import png as _png
 from bullet_storm_spark.operators import multimodal as _mm
 from bullet_storm_spark.operators import packing as _pack
 from bullet_storm_spark.operators import sampling as _smp
@@ -4518,6 +4520,28 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         ),
         None,
     ),
+    # REAL PNG decode (r11), and — unlike the lossy JPEG row — HASH-
+    # CHECKABLE: pixels are a modular formula of (id, x, y), PNG is
+    # lossless, and the DuckDB twin recomputes the exact integer
+    # channel sums from the formula WITHOUT parsing a single PNG byte;
+    # the Spark side must survive zlib + all five scanline filters to
+    # reproduce them (operators/png.py)
+    "multimodal_png_decode": (
+        lambda s, d: _png.decode_png_features(
+            _png.synthesize_png(_docs(s, d).where("doc_id < 400"), "doc_id")
+        ),
+        _png.png_features_oracle_sql("documents", "doc_id", 400),
+    ),
+    # ISO-BMFF container probe (r11): real MP4 box walk (ftyp brand,
+    # mvhd v0/v1 timescale+duration, per-trak tkhd dims + hdlr
+    # classification, largesize boxes, truncation honesty) — the video
+    # twin of the MP3/ADTS probes; binary parsing -> rows-only
+    "multimodal_mp4_probe": (
+        lambda s, d: _bmff.mp4_probe(
+            _bmff.synthesize_mp4(_docs(s, d).where("doc_id < 400"), "doc_id")
+        ),
+        None,
+    ),
     # intraclass correlation + Kish design effect over users: the
     # variance-inflation honesty check for user-randomized experiments
     "events_icc_users": (
@@ -4886,6 +4910,8 @@ _DRIVER_PRIORITY = [
     # sf0.01 before this rotation was staged.
     "multimodal_mp3_probe",  # NEW r11 (rows-only by declared contract)
     "multimodal_adts_probe",  # NEW r11 (rows-only by declared contract)
+    "multimodal_png_decode",  # NEW r11 (hash-checkable formula oracle)
+    "multimodal_mp4_probe",  # NEW r11 (rows-only by declared contract)
     # 29 r4-era entries:
     "ann_ivfpq_residual_topk",
     "ann_lsh_bucketed_topk",
@@ -4935,10 +4961,9 @@ _DRIVER_PRIORITY = [
     "embed_pq_encode",
     "embed_pq_report",
     "embed_quantize",
-    "embed_quantize_report",
-    "events_funnel",
-    # (events_latest_by_key displaced by the second r11 addition;
-    # it heads next round's drift re-checks)
+    # (embed_quantize_report, events_funnel + events_latest_by_key
+    # displaced by the 2nd-4th r11 additions; they head next round's
+    # drift re-checks)
     # NOTE: the window is exactly 50 here.
 ]
 

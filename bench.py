@@ -277,6 +277,8 @@ HEADLINE = [
     # r11 additions
     "multimodal_mp3_probe",
     "multimodal_adts_probe",
+    "multimodal_png_decode",
+    "multimodal_mp4_probe",
 ]
 
 

@@ -120,14 +120,18 @@ def decode_image_real(payloads: DataFrame) -> DataFrame:
     """REAL image decode: JPEG payloads (FFD8 magic) go through the
     in-repo numpy baseline codec (operators/jpeg.py — Huffman +
     dequantize + IDCT + color convert, r9); BMP payloads through
-    :func:`_parse_bmp`. Returns the DECODE_SCHEMA shape with true
-    dimensions from the decoded pixels. Other formats (PNG/H.264) emit
-    ``decode_ok = false`` — the remaining honest boundary; swap in a
-    real decoder per format as libraries appear."""
+    :func:`_parse_bmp`; PNG payloads (r11) through the in-repo
+    `operators/png.py` codec (chunk walk + zlib inflate + all five
+    scanline filters — lossless, so the PNG entry is hash-checkable
+    against a formula oracle). Returns the DECODE_SCHEMA shape with
+    true dimensions from the decoded pixels. Remaining formats (H.264,
+    paletted/interlaced/16-bit PNG) emit ``decode_ok = false`` — the
+    honest boundary, now three codecs smaller."""
     import pandas as pd
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from bullet_storm_spark.operators.jpeg import decode_jpeg
+        from bullet_storm_spark.operators.png import decode_png
 
         for pdf in batches:
             rows = []
@@ -138,10 +142,13 @@ def decode_image_real(payloads: DataFrame) -> DataFrame:
                         img = decode_jpeg(b)
                     elif b[:2] == b"BM":
                         img = _parse_bmp(b)
+                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                        img = decode_png(b)
                     else:
                         raise ValueError("unsupported container")
                     h, w = img.shape[:2]
-                    rows.append((int(ident), w, h, 3, len(b), True))
+                    nch = img.shape[2] if img.ndim == 3 else 1
+                    rows.append((int(ident), w, h, nch, len(b), True))
                 except Exception:
                     rows.append((int(ident), 0, 0, 0, len(b), False))
             yield pd.DataFrame(
