@@ -481,6 +481,7 @@ from bullet_storm_spark.functions import text as _text
 from bullet_storm_spark.operators import curate as _curate
 from bullet_storm_spark.operators import dedup as _dedup
 from bullet_storm_spark.operators import mpeg_audio as _mpeg
+from bullet_storm_spark.operators import gif as _gif
 from bullet_storm_spark.operators import isobmff as _bmff
 from bullet_storm_spark.operators import png as _png
 from bullet_storm_spark.operators import multimodal as _mm
@@ -4532,6 +4533,16 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         ),
         _png.png_features_oracle_sql("documents", "doc_id", 400),
     ),
+    # REAL GIF decode (r11): full LZW (variable widths, KwKwK,
+    # 4096-cap) + palette + 4-pass interlace; lossless, so hash-
+    # checkable the same way as PNG — the DuckDB twin recomputes the
+    # channel sums from the index+palette formulas, no GIF bytes
+    "multimodal_gif_decode": (
+        lambda s, d: _gif.decode_gif_features(
+            _gif.synthesize_gif(_docs(s, d).where("doc_id < 400"), "doc_id")
+        ),
+        _gif.gif_features_oracle_sql("documents", "doc_id", 400),
+    ),
     # ISO-BMFF container probe (r11): real MP4 box walk (ftyp brand,
     # mvhd v0/v1 timescale+duration, per-trak tkhd dims + hdlr
     # classification, largesize boxes, truncation honesty) — the video
@@ -4912,6 +4923,7 @@ _DRIVER_PRIORITY = [
     "multimodal_adts_probe",  # NEW r11 (rows-only by declared contract)
     "multimodal_png_decode",  # NEW r11 (hash-checkable formula oracle)
     "multimodal_mp4_probe",  # NEW r11 (rows-only by declared contract)
+    "multimodal_gif_decode",  # NEW r11 (hash-checkable formula oracle)
     # 29 r4-era entries:
     "ann_ivfpq_residual_topk",
     "ann_lsh_bucketed_topk",
@@ -4960,10 +4972,9 @@ _DRIVER_PRIORITY = [
     "embed_pca_variance",
     "embed_pq_encode",
     "embed_pq_report",
-    "embed_quantize",
-    # (embed_quantize_report, events_funnel + events_latest_by_key
-    # displaced by the 2nd-4th r11 additions; they head next round's
-    # drift re-checks)
+    # (embed_quantize, embed_quantize_report, events_funnel +
+    # events_latest_by_key displaced by the 2nd-5th r11 additions;
+    # they head next round's drift re-checks)
     # NOTE: the window is exactly 50 here.
 ]
 

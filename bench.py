@@ -279,6 +279,7 @@ HEADLINE = [
     "multimodal_adts_probe",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
+    "multimodal_gif_decode",
 ]
 
 

@@ -144,6 +144,12 @@ def decode_image_real(payloads: DataFrame) -> DataFrame:
                         img = _parse_bmp(b)
                     elif b[:8] == b"\x89PNG\r\n\x1a\n":
                         img = decode_png(b)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        from bullet_storm_spark.operators.gif import (
+                            decode_gif,
+                        )
+
+                        img, _ = decode_gif(b)
                     else:
                         raise ValueError("unsupported container")
                     h, w = img.shape[:2]
