@@ -1276,7 +1276,8 @@ ORDER BY doc_id
     ),
     "ann_brute_force_topk": (
         lambda s, d: _sim.brute_force_neighbors(
-            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, **_ANN_KW
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8,
+            dim=64, **_ANN_KW
         ),
         _sim.brute_force_neighbors_sql(
             "embeddings", "vec_id", "embedding", "id < 8", **_ANN_KW
@@ -1585,7 +1586,8 @@ ORDER BY doc_id
     ),
     "ann_quantized_topk": (
         lambda s, d: _quant.quantized_neighbors(
-            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, k=5
+            _embs(s, d), "vec_id", "embedding", F.col("vec_id") < 8, k=5,
+            dim=64,
         ),
         _quant.quantized_neighbors_sql(
             "embeddings", "vec_id", "embedding", "id < 8", k=5
@@ -1922,7 +1924,7 @@ ORDER BY doc_id
         lambda s, d: _retr.hybrid_rrf(
             _docs(s, d), _embs(s, d),
             "doc_id", "text", "vec_id", "embedding",
-            _HYBRID_QIDS, k=5, pool=10,
+            _HYBRID_QIDS, k=5, pool=10, dim=64,
         ),
         _retr.hybrid_rrf_sql(
             "documents", "embeddings",
@@ -4431,6 +4433,7 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
             lo=0.30,
             hi=0.90,
             k=5,
+            dim=64,
         ),
         _sim.hard_negatives_sql(
             "embeddings", "vec_id", "embedding", "id < 8",

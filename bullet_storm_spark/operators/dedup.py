@@ -890,7 +890,7 @@ def embedding_neardup_pairs_lsh(
     for recall, nbits for smaller buckets. Hyperplanes are deterministic
     seeded literals, so the DuckDB twin replicates the bucketing exactly
     and the approximate pipeline stays hash-checkable."""
-    from bullet_storm_spark.functions.vectors import as_double, dot, norm
+    from bullet_storm_spark.functions.vectors import dot_fixed, norm_fixed
     from bullet_storm_spark.operators.similarity import (
         LSH_SEED,
         _bucket_col,
@@ -957,14 +957,17 @@ def embedding_neardup_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs = base.select(
-        "id", "v", norm(as_double(F.col("v"))).alias("nrm")
+        "id", "v", norm_fixed(F.col("v"), dim).alias("nrm")
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     cand = cand_ids.join(a, F.col("id_a") == F.col("a.id")).join(
         b, F.col("id_b") == F.col("b.id")
     )
+    # unrolled fixed-dim dot (bit-identical to the HOF form, but
+    # whole-stage-codegen instead of one interpreted lambda frame per
+    # element — functions.vectors fixed-form contract)
     cos = F.round(
-        dot(as_double(F.col("a.v")), as_double(F.col("b.v")))
+        dot_fixed(F.col("a.v"), F.col("b.v"), dim)
         / (F.col("a.nrm") * F.col("b.nrm")),
         round_to,
     )

@@ -527,9 +527,9 @@ def ann_recall_report(
     set exactly as they do for ann_brute_force_topk."""
     from bullet_storm_spark.operators.similarity import brute_force_neighbors
 
-    exact = brute_force_neighbors(df, id_col, vec_col, query_pred, k, round_to).select(
-        "query_id", "neighbor_id"
-    )
+    exact = brute_force_neighbors(
+        df, id_col, vec_col, query_pred, k, round_to, dim=dim
+    ).select("query_id", "neighbor_id")
     approx = ivfpq_neighbors(
         df, id_col, vec_col, query_pred, k, nprobe, n_centroids,
         codebook, dim, m, ksub, round_to,

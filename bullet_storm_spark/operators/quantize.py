@@ -35,7 +35,12 @@ from typing import Iterator
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
-from bullet_storm_spark.functions.vectors import as_double, cosine, dot
+from bullet_storm_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    int_dot_fixed,
+)
 from bullet_storm_spark.operators.similarity import _rank_topk
 
 QMAX = 127  # symmetric int8 range
@@ -118,6 +123,7 @@ def quantized_neighbors(
     query_pred: Column,
     k: int = 5,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine over the int8-quantized vectors (self excluded;
     zero-quantized vectors excluded as both query and candidate). Output
@@ -135,8 +141,16 @@ def quantized_neighbors(
             F.lit(float(QMAX)),
         ).cast("int"),
     )
+    # integer dots are exact in ANY evaluation order, so the unrolled
+    # fixed-dim form (whole-stage codegen) is value-identical to the HOF
+    # fold — use it whenever the caller declares the width
+    idot = (
+        (lambda x, y: int_dot_fixed(x, y, dim))
+        if dim is not None
+        else _int_dot
+    )
     quant = scaled.select("__id", "__isq", q.alias("__qv")).select(
-        "__id", "__isq", "__qv", _int_dot(F.col("__qv"), F.col("__qv")).alias("__n2")
+        "__id", "__isq", "__qv", idot(F.col("__qv"), F.col("__qv")).alias("__n2")
     ).where(F.col("__n2") > 0)
     queries = quant.where(F.col("__isq")).select(
         F.col("__id").alias("query_id"),
@@ -144,7 +158,7 @@ def quantized_neighbors(
         F.col("__n2").alias("__qn2"),
     )
     qcos = F.round(
-        _int_dot(F.col("__qqv"), F.col("__qv")).cast("double")
+        idot(F.col("__qqv"), F.col("__qv")).cast("double")
         / (F.sqrt(F.col("__qn2").cast("double")) * F.sqrt(F.col("__n2").cast("double"))),
         round_to,
     )

@@ -428,6 +428,7 @@ def hybrid_rrf(
     pool: int = 10,
     c: int = 60,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rrf, rank): the modern hybrid-search
     stack — BM25 lexical retrieval fused with exact dense cosine
@@ -454,7 +455,7 @@ def hybrid_rrf(
     # brute_force_neighbors aliases its id column to "id" before applying
     # the predicate, so the query filter references that alias
     den = brute_force_neighbors(
-        embs, vec_id_col, vec_col, F.col("id").isin(qids), k=pool
+        embs, vec_id_col, vec_col, F.col("id").isin(qids), k=pool, dim=dim
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),

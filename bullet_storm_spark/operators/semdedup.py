@@ -30,7 +30,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bullet_storm_spark.functions.vectors import as_double, cosine, cosine_sql, dot
+from bullet_storm_spark.functions.vectors import (
+    as_double,
+    cosine,
+    cosine_sql,
+    dot,
+    dot_fixed,
+    norm_fixed,
+)
 from bullet_storm_spark.operators.similarity import _planes_lit, seeded_centroids
 
 
@@ -92,17 +99,32 @@ def semantic_dedup(
             "Raise n_centroids (smaller cells) or pass finer centroids; "
             "the hot cell names the dense cluster.",
         )
-    left = assigned.select(
-        F.col("id").alias("l_id"), F.col("v").alias("l_v"), "cell"
-    )
-    right = assigned.select(
-        F.col("id").alias("r_id"), F.col("v").alias("r_v"), "cell"
+    # norm once per vector + unrolled dot per pair (bit-identical to the
+    # HOF cosine — functions.vectors fixed-form contract), and the pair
+    # side hash-distributed on the high-cardinality id so the in-cell
+    # pair compute never runs at the (single-row-group) scan parallelism
+    withn = assigned.withColumn("__nrm", norm_fixed(F.col("v"), dim))
+    left = withn.select(
+        F.col("id").alias("l_id"),
+        F.col("v").alias("l_v"),
+        F.col("__nrm").alias("l_n"),
+        "cell",
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "l_id")
+    right = withn.select(
+        F.col("id").alias("r_id"),
+        F.col("v").alias("r_v"),
+        F.col("__nrm").alias("r_n"),
+        "cell",
     )
     dropped = (
         left.join(right, "cell")
         .where(F.col("l_id") < F.col("r_id"))
         .where(
-            F.round(cosine(F.col("l_v"), F.col("r_v")), round_to)
+            F.round(
+                dot_fixed(F.col("l_v"), F.col("r_v"), dim)
+                / (F.col("l_n") * F.col("r_n")),
+                round_to,
+            )
             >= F.lit(threshold)
         )
         .select(F.col("r_id").alias("id"))

@@ -31,9 +31,12 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from bullet_storm_spark.functions.vectors import (
     as_double,
     cosine,
+    cosine_fixed,
     cosine_sql,
     dot,
+    dot_fixed,
     norm,
+    norm_fixed,
 )
 
 LSH_SEED = 42
@@ -57,21 +60,41 @@ def brute_force_neighbors(
     query_pred: Column,
     k: int = 5,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every row matching query_pred,
     searched over all rows (self excluded).
-    Output: (query_id, neighbor_id, cos, rank)."""
+    Output: (query_id, neighbor_id, cos, rank).
+
+    With ``dim`` set (the declared embedding width), the per-pair cosine
+    runs as the unrolled fixed-dim form with norms computed once per side
+    — bit-identical to the HOF form (functions.vectors contract), but
+    whole-stage-codegen and O(1) array walks per pair instead of 3."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    queries = base.where(query_pred).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
-    )
+    if dim is not None:
+        base = base.withColumn("__n", norm_fixed(F.col("v"), dim))
+        queries = base.where(query_pred).select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("__n").alias("__qn"),
+        )
+        cos = F.round(
+            dot_fixed(F.col("qv"), F.col("v"), dim)
+            / (F.col("__qn") * F.col("__n")),
+            round_to,
+        )
+    else:
+        queries = base.where(query_pred).select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv")
+        )
+        cos = F.round(cosine(F.col("qv"), F.col("v")), round_to)
     pairs = (
         F.broadcast(queries)
         .join(base, F.col("query_id") != F.col("id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+            cos.alias("cos"),
         )
     )
     return _rank_topk(pairs, k)
@@ -152,15 +175,19 @@ def lsh_bucketed_neighbors(
     """Approximate top-k: search only within the query's LSH bucket.
     Same output shape as brute_force_neighbors; recall < 1 by design."""
     planes = hyperplanes(dim, nbits)
+    # norm once per side + unrolled fixed-dim dot per pair (bit-identical
+    # to the HOF cosine — functions.vectors fixed-form contract)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _bucket_col(F.col(vec_col), planes).alias("bucket"),
+        norm_fixed(F.col(vec_col), dim).alias("__n"),
     )
     queries = base.where(query_pred).select(
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("__n").alias("__qn"),
     )
     pairs = (
         F.broadcast(queries)
@@ -172,7 +199,11 @@ def lsh_bucketed_neighbors(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+            F.round(
+                dot_fixed(F.col("qv"), F.col("v"), dim)
+                / (F.col("__qn") * F.col("__n")),
+                round_to,
+            ).alias("cos"),
         )
     )
     return _rank_topk(pairs, k)
@@ -363,23 +394,33 @@ def ivf_neighbors_frozen(
     )
     probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
     # materialize probes behind the select so the HOF tree is evaluated
-    # once per row (CollapseProject would otherwise re-inline it per use)
-    assigned = base0.select("id", "v", "is_q", probes.alias("probes")).select(
-        "id", "v", "is_q", "probes", F.element_at("probes", 1).alias("cell")
+    # once per row (CollapseProject would otherwise re-inline it per use);
+    # norm once per row here too — the pair stage below reuses it
+    assigned = base0.select(
+        "id", "v", "is_q", probes.alias("probes"),
+        norm_fixed(F.col("v"), dim).alias("__n"),
+    ).select(
+        "id", "v", "is_q", "probes", "__n",
+        F.element_at("probes", 1).alias("cell"),
     )
     queries = assigned.where(F.col("is_q")).select(
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("__n").alias("__qn"),
         F.explode("probes").alias("cell"),
     )
     pairs = (
         F.broadcast(queries)
-        .join(assigned.select("id", "v", "cell"), "cell")
+        .join(assigned.select("id", "v", "__n", "cell"), "cell")
         .where(F.col("query_id") != F.col("id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+            F.round(
+                dot_fixed(F.col("qv"), F.col("v"), dim)
+                / (F.col("__qn") * F.col("__n")),
+                round_to,
+            ).alias("cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -670,9 +711,10 @@ def embedding_outlier_report(
             "cell",
             F.round(
                 F.lit(1.0)
-                - cosine(
+                - cosine_fixed(
                     F.col("v"),
                     F.element_at(_planes_lit(cents), F.col("cell") + 1),
+                    dim,
                 ),
                 9,
             ).alias("dist"),
@@ -787,9 +829,9 @@ def rrf_fusion(
     9 dp with the neighbor id as tiebreak."""
     if k < 1 or pool < k or c < 1:
         raise ValueError(f"need 1 <= k <= pool and c >= 1, got {k=} {pool=} {c=}")
-    a = brute_force_neighbors(df, id_col, vec_col, query_pred, k=pool).select(
-        "query_id", "neighbor_id", F.col("rank").alias("__ra")
-    )
+    a = brute_force_neighbors(
+        df, id_col, vec_col, query_pred, k=pool, dim=dim
+    ).select("query_id", "neighbor_id", F.col("rank").alias("__ra"))
     b = lsh_bucketed_neighbors(
         df, id_col, vec_col, query_pred, k=pool, nbits=nbits, dim=dim
     ).select("query_id", "neighbor_id", F.col("rank").alias("__rb"))
@@ -867,6 +909,7 @@ def hard_negatives(
     hi: float,
     k: int = 5,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k hard negatives per query: the corpus rows whose cosine to
     the query falls in the [lo, hi) band — similar enough to be
@@ -892,19 +935,40 @@ def hard_negatives(
     Zero-norm vectors are excluded up front (cosine is undefined on
     them; under ANSI the division would raise once the band predicate
     forces cosine evaluation on every pair)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
-        norm(as_double(F.col(vec_col))) > 0
-    )
-    queries = base.where(query_pred).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
-    )
+    if dim is not None:
+        # fixed-dim path: norm once per row (reused by the filter AND the
+        # pair stage), unrolled dot per pair — bit-identical to the HOF
+        # cosine (functions.vectors fixed-form contract)
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm_fixed(F.col(vec_col), dim).alias("__n"),
+        ).where(F.col("__n") > 0)
+        queries = base.where(query_pred).select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("__n").alias("__qn"),
+        )
+        cos = F.round(
+            dot_fixed(F.col("qv"), F.col("v"), dim)
+            / (F.col("__qn") * F.col("__n")),
+            round_to,
+        )
+    else:
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
+            norm(as_double(F.col(vec_col))) > 0
+        )
+        queries = base.where(query_pred).select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv")
+        )
+        cos = F.round(cosine(F.col("qv"), F.col("v")), round_to)
     pairs = (
         F.broadcast(queries)
         .join(base, F.col("query_id") != F.col("id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cos"),
+            cos.alias("cos"),
         )
         .where((F.col("cos") >= lo) & (F.col("cos") < hi))
     )
@@ -1264,11 +1328,17 @@ def cosine_histogram(
     corpus (that is the point). Give the capped mode enough nbits that
     one bucket's window sort stays a fraction of a partition."""
     planes = hyperplanes(dim, nbits)
+    # norm once per VECTOR, not once per PAIR: the pair stage below reuses
+    # __nrm, so each candidate pair costs one unrolled dot + one divide
+    # instead of three interpreted HOF array walks (guide §2.3 "don't
+    # compute things you throw away"; bit-identical — same expression on
+    # the same rows, see functions.vectors fixed-form contract)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _bucket_col(F.col(vec_col), planes).alias("bucket"),
-    ).where(norm(as_double(F.col(vec_col))) > 0)
+        norm_fixed(F.col(vec_col), dim).alias("__nrm"),
+    ).where(F.col("__nrm") > 0)
     if per_bucket_cap is not None:
         if per_bucket_cap < 2:
             raise ValueError(f"need per_bucket_cap >= 2, got {per_bucket_cap}")
@@ -1302,13 +1372,29 @@ def cosine_histogram(
             "Set per_bucket_cap (unbiased per-bucket pair sample, "
             "corpus-size-independent cost) or raise nbits.",
         )
+    # the probe side feeds the pair stage, whose cost is O(Σ C(bucket, 2))
+    # dot products while its input is only O(N) rows — at bench scale the
+    # single-row-group parquet scan leaves it ONE task under the broadcast
+    # join (measured: the whole pair stage on one core). Hash-distribute
+    # the probe rows on the high-cardinality id so the pair compute runs
+    # at full width at any input partitioning (guide §2.5; the
+    # embedding_neardup_pairs_lsh pin, same reasoning)
     a = base.select(
-        F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket"
-    )
+        F.col("id").alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("__nrm").alias("n1"),
+        "bucket",
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "id1")
     b = base.select(
-        F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket"
+        F.col("id").alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("__nrm").alias("n2"),
+        "bucket",
     )
-    cos = F.round(cosine(F.col("v1"), F.col("v2")), 6)
+    cos = F.round(
+        dot_fixed(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2")),
+        6,
+    )
     binned = (
         a.join(b, "bucket")
         .where(F.col("id1") < F.col("id2"))
