@@ -59,6 +59,20 @@ def correlation_matrix(
         if exact_decimal
         else (lambda c: F.col(c).cast("double").cast("string").cast(_VAL_DEC))
     )
+    # the moment pass is CPU-bound (the entry quantize, then k² decimal
+    # multiplies per row) and reduces to ONE row, so its cost is the
+    # PARTIAL phase — which runs at the scan's parallelism. A single-file
+    # table scans as one effective task (guide §2.5 input skew); spread
+    # the raw rows BEFORE the per-row decimal casts so both the quantize
+    # and the products run at full width. Gated on the actual scan width
+    # so a production table that already scans wide never pays a
+    # pointless extra shuffle. Round-robin is retry-safe
+    # (sortBeforeRepartition, SPARK-23207) and result-neutral: every
+    # aggregate here is an exact decimal sum or count, identical under
+    # any row order and grouping.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if complete.rdd.getNumPartitions() < par:
+        complete = complete.select(*cols).repartition(par)
     vals = complete.select(*[ent(c).alias(c) for c in cols])
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for c in cols:

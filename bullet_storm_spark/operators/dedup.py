@@ -494,6 +494,17 @@ SIMHASH_BITS = 48  # 48-bit keeps every intermediate in signed-64 range in
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1) -> DataFrame:
+    """(id, simhash), ordered by id — the declared-query surface. The
+    banded pair/profile operators consume :func:`_simhash_unsorted`
+    instead: the global orderBy executes a range Exchange + Sort that a
+    downstream hash join immediately destroys (measured: one full extra
+    exchange of the simhash table per reference)."""
+    return _simhash_unsorted(df, id_col, text_col, shingle_n).orderBy(id_col)
+
+
+def _simhash_unsorted(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
+) -> DataFrame:
     """(id, simhash) — SIMHASH_BITS-bit (48) SimHash over shingle md5s: per
     bit, a +1/-1 vote per shingle; the output bit is 1 iff the vote sum is
     positive (equivalently, iff more than half the shingles have it set).
@@ -515,29 +526,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1) -> Da
         "__id", h.alias("__h")
     )
 
-    def bit(b: int):
-        return F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))
-
+    # The 25 packed-plane aggregates and the 48-term vote expression are
+    # built as SQL strings parsed by ONE F.expr each: the equivalent
+    # Column-API loops cost ~1.1 s of py4j round trips PER QUERY BUILD
+    # (measured — hundreds of JVM calls), while string building is free
+    # and the JVM parses the whole tree in one hop. The parsed
+    # expressions analyze to the identical plan (same shiftright/&/
+    # shiftleft/cast tree, same integer math), so results are unchanged
+    # (oracle-pinned tri-scale).
     aggs = [
-        F.sum(
-            F.shiftleft(bit(2 * k).cast("bigint"), 32) + bit(2 * k + 1)
+        F.expr(
+            f"sum(shiftleft(cast(shiftright(__h, {2 * k}) & 1 as bigint), 32)"
+            f" + (shiftright(__h, {2 * k + 1}) & 1))"
         ).alias(f"__p{k}")
         for k in range(SIMHASH_BITS // 2)
     ] + [F.count(F.lit(1)).alias("__n")]
     wide = rows.groupBy("__id").agg(*aggs)
-    acc = F.lit(0).cast("bigint")
+    mask_lo = (1 << 32) - 1
+    terms = ["cast(0 as bigint)"]
     for b in range(SIMHASH_BITS):
         k, low_half = divmod(b, 2)
-        cnt = (
-            F.col(f"__p{k}").bitwiseAND(F.lit((1 << 32) - 1))
-            if low_half
-            else F.shiftright(F.col(f"__p{k}"), 32)
-        )
+        cnt = f"(__p{k} & {mask_lo})" if low_half else f"shiftright(__p{k}, 32)"
         # vote sum positive <=> 2 * count_of_set_bits > shingle count
-        acc = acc + F.shiftleft((cnt * 2 > F.col("__n")).cast("bigint"), b)
-    return wide.select(F.col("__id").alias(id_col), acc.alias("simhash")).orderBy(
-        id_col
-    )
+        terms.append(f"shiftleft(cast(({cnt} * 2 > __n) as bigint), {b})")
+    acc = F.expr(" + ".join(terms))
+    return wide.select(F.col("__id").alias(id_col), acc.alias("simhash"))
 
 
 def simhash_sql(table: str, id_col: str, text_col: str, shingle_n: int = 1) -> str:
@@ -601,7 +614,7 @@ def simhash_pairs(
             f"max_hamming={max_hamming} exceeds the banding recall guarantee "
             f"({SIMHASH_BANDS} bands -> complete for <= {SIMHASH_BANDS - 1})"
         )
-    hdf = simhash(df, id_col, text_col, shingle_n)
+    hdf = _simhash_unsorted(df, id_col, text_col, shingle_n)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
         *[
@@ -1634,7 +1647,7 @@ def simhash_bucket_profile(
     BIGINT (a band bucket would need > 6e9 docs to overflow — the
     64-bit ceiling documents itself via the simhash space: 2^12 buckets
     per band)."""
-    hdf = simhash(df, id_col, text_col, shingle_n)
+    hdf = _simhash_unsorted(df, id_col, text_col, shingle_n)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
         *[
@@ -1715,7 +1728,7 @@ def simhash_hamming_histogram(
     counts, one IEEE division per share. Scale: the banding equi-join
     (no BNLJ — the simhash_pairs posture), a pair-distinct shuffle, a
     64-row output."""
-    hdf = simhash(df, id_col, text_col, shingle_n)
+    hdf = _simhash_unsorted(df, id_col, text_col, shingle_n)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
         *[
