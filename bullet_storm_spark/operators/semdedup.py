@@ -85,6 +85,10 @@ def semantic_dedup(
     (`operators.pair_budget`, the family-wide guard); raise
     ``n_centroids`` (smaller cells) or pass finer ``centroids``."""
     cents = centroids or seeded_centroids(dim, n_centroids)
+    # the unrolled fixed-dim forms are only HOF-identical when the
+    # vectors really have ``dim`` entries; caller-supplied centroids
+    # define the true dimension, so derive it from them
+    dim = len(cents[0])
     assigned = assign_cells_frozen(df, id_col, vec_col, cents)
     if candidate_pair_budget is not None:
         from bullet_storm_spark.operators.pair_budget import (
