@@ -1113,7 +1113,7 @@ GROUP BY cluster_size ORDER BY cluster_size
     # per-iteration = one node-keyed join + one aggregation)
     "graph_pagerank_dedup": (
         lambda s, d: _graph.pagerank(
-            _dedup.minhash_lsh_pairs(_docs(s, d), "doc_id", "text", **_MINHASH3_KW),
+            _dedup.minhash_lsh_pairs_unsorted(_docs(s, d), "doc_id", "text", **_MINHASH3_KW),
             "id_a", "id_b", iterations=5,
         ),
         _graph.pagerank_sql(
@@ -1130,7 +1130,7 @@ GROUP BY cluster_size ORDER BY cluster_size
     # coherent duplicate groups, low-with-many-edges says LSH chaining
     "graph_triangle_stats": (
         lambda s, d: _graph.triangle_stats(
-            _dedup.minhash_lsh_pairs(
+            _dedup.minhash_lsh_pairs_unsorted(
                 _docs(s, d), "doc_id", "text", **_MINHASH3_KW
             ),
             "id_a",
@@ -3555,7 +3555,7 @@ def _canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster_id", "cluster_size"
     )
     pr = _graph.pagerank(
-        _dedup.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH3_KW),
+        _dedup.minhash_lsh_pairs_unsorted(docs, "doc_id", "text", **_MINHASH3_KW),
         "id_a", "id_b", iterations=5,
     ).select(F.col("node").alias("doc_id"), "pr_units")
     w = Window.partitionBy("cluster_id").orderBy(
@@ -4677,7 +4677,7 @@ _JOINS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # survivorship (CSN SIAM Rev'09 eq. 3.7)
     "graph_degree_powerlaw": (
         lambda s, d: _graph.degree_powerlaw(
-            _dedup.minhash_lsh_pairs(
+            _dedup.minhash_lsh_pairs_unsorted(
                 _docs(s, d), "doc_id", "text", **_MINHASH3_KW
             ),
             "id_a",

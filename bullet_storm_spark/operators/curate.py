@@ -29,8 +29,8 @@ from bullet_storm_spark.functions.text import (
     quality_score_sql,
 )
 from bullet_storm_spark.operators.dedup import (
-    minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
+    minhash_lsh_pairs_unsorted,
 )
 
 
@@ -63,7 +63,7 @@ def curate(
             else F.col("pred_lang")
         )
         kept = kept.where(lang.isin(*cfg.keep_langs))
-    pairs = minhash_lsh_pairs(
+    pairs = minhash_lsh_pairs_unsorted(
         kept,
         id_col,
         text_col,

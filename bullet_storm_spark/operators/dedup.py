@@ -176,7 +176,8 @@ def minhash_lsh_pairs(
     candidate_pair_budget: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding proposes candidates, exact Jaccard
-    on the shingle sets verifies >= threshold. Output (id_a, id_b, jaccard).
+    on the shingle sets verifies >= threshold. Output (id_a, id_b, jaccard)
+    ordered by (id_a, id_b).
 
     The full pipeline (signature -> bands -> candidate join -> verify) is
     one declarative plan; Spark shuffles only on (band, band_hash) and then
@@ -188,6 +189,28 @@ def minhash_lsh_pairs(
     it exceeds the budget, naming the hot band (`operators.pair_budget`,
     the family-wide guard; `lsh_band_plan` remains the tuning report).
     """
+    return minhash_lsh_pairs_unsorted(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold,
+        round_to, candidate_pair_budget,
+    ).orderBy("id_a", "id_b")
+
+
+def minhash_lsh_pairs_unsorted(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    round_to: int = 6,
+    candidate_pair_budget: int | None = None,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` without the final (id_a, id_b) sort —
+    the form order-insensitive consumers (graph analytics, connected
+    components, recall audits) should take: their first move is a
+    shuffle/aggregate that destroys the ordering, so the range exchange
+    + sort would be pure waste (guide §2.4, the determinism-only sort)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -263,7 +286,6 @@ def minhash_lsh_pairs(
               F.col("id_b") == F.col("__sid")).drop("__sid")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -355,7 +377,7 @@ def deduplicate(
             .where(F.col("__keep"))
             .drop("__fp", "__keep")
         )
-    pairs = minhash_lsh_pairs(
+    pairs = minhash_lsh_pairs_unsorted(
         base, id_col, text_col, num_hashes, bands, shingle_n, threshold
     )
     losers = pairs.select(F.col("id_b").alias("__loser")).distinct()
@@ -471,7 +493,7 @@ def dedup_against_index(
         .select(F.col("__nid").alias("__loser"))
         .distinct()
     )
-    within = minhash_lsh_pairs(
+    within = minhash_lsh_pairs_unsorted(
         new_df, id_col, text_col, num_hashes, bands, shingle_n, threshold, round_to
     ).select(F.col("id_b").alias("__loser"))
     losers = dup_vs_index.union(within).distinct()
@@ -1186,7 +1208,7 @@ def dedup_clusters(
         "__rep", F.min(F.col(id_col)).over(wfp)
     )
     reps_df = base.where(F.col(id_col) == F.col("__rep")).drop("__fp", "__rep")
-    pairs = minhash_lsh_pairs(
+    pairs = minhash_lsh_pairs_unsorted(
         reps_df, id_col, text_col, num_hashes, bands, shingle_n, threshold
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
@@ -1300,7 +1322,7 @@ def lsh_recall_audit(
     config ((bands, rows) sets the S-curve) before a 100 TB run, on a
     sample small enough for the exact all-pairs verifier."""
     exact = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold, round_to)
-    lsh = minhash_lsh_pairs(
+    lsh = minhash_lsh_pairs_unsorted(
         df, id_col, text_col, num_hashes, bands, shingle_n, threshold, round_to
     )
     found = lsh.select("id_a", "id_b", F.lit(1).alias("__found"))
@@ -1529,36 +1551,46 @@ def lsh_band_plan(
         raise ValueError(f"need num_hashes >= 2, got {num_hashes}")
     wide = _minhash_sig_wide(df, id_col, text_col, num_hashes, shingle_n)
     d = "decimal(38,0)"
-    planned = None
-    for bands in range(2, num_hashes + 1):
-        if num_hashes % bands != 0:
-            continue
-        r = num_hashes // bands
-        est = round((1.0 / bands) ** (1.0 / r), round_to)
-        band_sig = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("__band"),
-                        F.concat_ws(
-                            ",",
-                            *[F.col(f"__h{j * r + i}") for i in range(r)],
-                        ).alias("__sig"),
-                    )
-                    for j in range(bands)
-                ]
-            )
+    configs = [
+        (bands, num_hashes // bands)
+        for bands in range(2, num_hashes + 1)
+        if num_hashes % bands == 0
+    ]
+    # ONE pass over the signature table for every configuration: explode
+    # each doc into (config, band, band-signature) rows for ALL configs
+    # at once, then a single two-level aggregation. The per-config-union
+    # formulation re-ran the whole signature build (tokenize + shingle
+    # md5 + 16-way min agg) once per configuration — measured 4 stages
+    # x ~1.5-3 s executor time each at sf0.1, identical results.
+    arms = [
+        F.struct(
+            F.lit(bands).alias("__bands"),
+            F.lit(j).alias("__band"),
+            F.concat_ws(
+                ",", *[F.col(f"__h{j * r + i}") for i in range(r)]
+            ).alias("__sig"),
         )
-        buckets = (
-            wide.select(band_sig.alias("__b"))
-            .select("__b.__band", "__b.__sig")
-            .groupBy("__band", "__sig")
-            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        )
-        summary = buckets.agg(
-            F.lit(bands).cast("long").alias("bands"),
-            F.lit(r).cast("long").alias("rows_per_band"),
-            F.lit(float(est)).alias("est_threshold"),
+        for bands, r in configs
+        for j in range(bands)
+    ]
+    buckets = (
+        wide.select(F.explode(F.array(*arms)).alias("__b"))
+        .select("__b.__bands", "__b.__band", "__b.__sig")
+        .groupBy("__bands", "__band", "__sig")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # est_threshold is a per-config Python literal ((1/b)^(1/r), computed
+    # once driver-side so no transcendental crosses engines) — attach it
+    # with a literal CASE over the config key
+    est = None
+    for bands, r in configs:
+        lit = F.lit(float(round((1.0 / bands) ** (1.0 / r), round_to)))
+        est = lit if est is None else F.when(
+            F.col("bands") == bands, lit
+        ).otherwise(est)
+    summary = (
+        buckets.groupBy(F.col("__bands").cast("long").alias("bands"))
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_buckets"),
             F.max("__c").cast("long").alias("max_bucket"),
             F.sum(
@@ -1567,16 +1599,19 @@ def lsh_band_plan(
                     * (F.col("__c") - F.lit(1)).cast(d)
                 ).cast(d)
             ).cast(d).cast("long").alias("__pairs2"),
-        ).select(
+        )
+        .select(
             "bands",
-            "rows_per_band",
-            "est_threshold",
+            F.expr(f"{num_hashes} div bands").cast("long").alias(
+                "rows_per_band"
+            ),
+            est.alias("est_threshold"),
             "n_buckets",
             "max_bucket",
             F.expr("__pairs2 div 2").cast("long").alias("n_candidate_pairs"),
         )
-        planned = summary if planned is None else planned.unionByName(summary)
-    return planned.orderBy("bands")
+    )
+    return summary.orderBy("bands")
 
 
 def lsh_band_plan_sql(

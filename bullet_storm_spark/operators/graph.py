@@ -73,18 +73,25 @@ def pagerank(
         # dedup.connected_components; swap for checkpoint() on a cluster.
         .localCheckpoint()
     )
-    nodes = und.select(F.col("__s").alias("node")).distinct()
+    # degree is the only per-node scan needed: an undirected edge
+    # contributes both endpoints, so deg's key set IS the node set —
+    # deriving nodes from deg removes a second distinct over the edges,
+    # and carrying ``degree`` inside the rank table removes the second
+    # per-iteration join the old (ranks ⋈ und ⋈ deg) chain paid
     deg = und.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
-    )
-    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", F.expr(f"{MASS} div __n").alias("__pr")
+    ).localCheckpoint()
+    # the node count is a single scalar consumed only inside integer-div
+    # literals; folding it here (one count on the checkpointed deg table)
+    # replaces a broadcast-exchange crossJoin PER ITERATION with literal
+    # arithmetic — same integers, fewer plan nodes per round
+    n = deg.count()
+    ranks = deg.select(
+        "node", "degree", F.lit(MASS // n).cast("long").alias("__pr")
     )
     for it in range(int(iterations)):
         contrib = (
             und.join(ranks.withColumnRenamed("node", "__s"), "__s")
-            .join(deg.withColumnRenamed("node", "__s"), "__s")
             .select(
                 F.col("__d").alias("node"),
                 F.expr("__pr div degree").alias("__c"),
@@ -93,12 +100,12 @@ def pagerank(
             .agg(F.sum("__c").cast("long").alias("__sum"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
+            deg.join(contrib, "node", "left")
             .select(
                 "node",
+                "degree",
                 (
-                    F.expr(f"{TELEPORT_UNITS} div __n")
+                    F.lit(TELEPORT_UNITS // n)
                     + F.expr(
                         f"(coalesce(__sum, 0L) * {DAMP_NUM}) div {DAMP_DEN}"
                     )
@@ -107,16 +114,12 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint()
-    return (
-        ranks.join(deg, "node")
-        .select(
-            "node",
-            "degree",
-            F.col("__pr").alias("pr_units"),
-            (F.col("__pr") / F.lit(float(MASS))).alias("pagerank"),
-        )
-        .orderBy("node")
-    )
+    return ranks.select(
+        "node",
+        "degree",
+        F.col("__pr").alias("pr_units"),
+        (F.col("__pr") / F.lit(float(MASS))).alias("pagerank"),
+    ).orderBy("node")
 
 
 def pagerank_sql(

@@ -50,7 +50,13 @@ def _pair_score(c: Comparator):
     if c.kind == "exact":
         sim = F.when(l == r, F.lit(1.0)).otherwise(F.lit(0.0))
     elif c.kind == "levenshtein":
-        dist = F.levenshtein(l, r).cast("double")
+        # any distance >= scale contributes exactly 0, so the banded
+        # O(n·scale) early-exit form (threshold arg, Spark 3.5+) replaces
+        # the full O(n·m) matrix: -1 ("above threshold") maps to scale,
+        # which the greatest() clamps to the same 0 contribution
+        thr = max(int(-(-c.scale // 1)), 1)  # ceil(scale)
+        dist = F.levenshtein(l, r, thr).cast("double")
+        dist = F.when(dist < 0, F.lit(float(c.scale))).otherwise(dist)
         sim = F.greatest(F.lit(0.0), F.lit(1.0) - dist / F.lit(float(c.scale)))
     elif c.kind == "abs_diff":
         dist = F.abs(l - r).cast("double")
@@ -80,6 +86,7 @@ def record_linkage_pairs(
     comparators: list[Comparator],
     threshold: float = 1.5,
     round_to: int = 6,
+    ordered: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, score) — candidate pairs from equality blocking on
     ``block_on``, scored as the weighted sum of per-field similarities,
@@ -104,7 +111,7 @@ def record_linkage_pairs(
     score = F.round(
         sum((_pair_score(c) for c in comparators), F.lit(0.0)), round_to
     )
-    return (
+    out = (
         l.join(r, cond)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
@@ -112,8 +119,10 @@ def record_linkage_pairs(
             score.alias("score"),
         )
         .where(F.col("score") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    # ordered=False skips the determinism-only sort for order-insensitive
+    # consumers (connected components in resolve_entities) — guide §2.4
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 def record_linkage_pairs_sql(
@@ -195,7 +204,9 @@ def resolve_entities(
 
     from bullet_storm_spark.operators.dedup import connected_components
 
-    pairs = record_linkage_pairs(df, id_col, block_on, comparators, threshold)
+    pairs = record_linkage_pairs(
+        df, id_col, block_on, comparators, threshold, ordered=False
+    )
     comp = connected_components(pairs)
     keep = [id_col] + ([survivor_col] if survivor_col else [])
     base = df.select(*keep)

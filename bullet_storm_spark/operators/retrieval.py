@@ -103,8 +103,17 @@ def bm25_topk(
     tok = df.select(
         F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
-    tf = tok.groupBy("__doc", "token").agg(F.count("*").cast("long").alias("__tf"))
-    dl = tok.groupBy("__doc").agg(F.count("*").cast("long").alias("__dl"))
+    # tf is the hub every other statistic derives from (dl = Σ tf per
+    # doc, corpus stats from dl, df per token) — materialize it ONCE:
+    # without the cut each consumer branch re-ran the whole
+    # tokenize+explode+count pipeline over the corpus (8 parquet scans
+    # of the document table in the before-plan, one per branch; exchange
+    # reuse never fires across differently-aggregated lineages). Same
+    # shared-intermediate discipline as the graph edge list.
+    tf = tok.groupBy("__doc", "token").agg(
+        F.count("*").cast("long").alias("__tf")
+    ).localCheckpoint()
+    dl = tf.groupBy("__doc").agg(F.sum("__tf").cast("long").alias("__dl"))
     stats = dl.agg(
         F.count("*").cast("long").alias("__N"),
         F.avg("__dl").alias("__avgdl"),
@@ -293,8 +302,17 @@ def bm25_topk_by_doc(
     tok = df.select(
         F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
-    tf = tok.groupBy("__doc", "token").agg(F.count("*").cast("long").alias("__tf"))
-    dl = tok.groupBy("__doc").agg(F.count("*").cast("long").alias("__dl"))
+    # tf is the hub every other statistic derives from (dl = Σ tf per
+    # doc, corpus stats from dl, df per token) — materialize it ONCE:
+    # without the cut each consumer branch re-ran the whole
+    # tokenize+explode+count pipeline over the corpus (8 parquet scans
+    # of the document table in the before-plan, one per branch; exchange
+    # reuse never fires across differently-aggregated lineages). Same
+    # shared-intermediate discipline as the graph edge list.
+    tf = tok.groupBy("__doc", "token").agg(
+        F.count("*").cast("long").alias("__tf")
+    ).localCheckpoint()
+    dl = tf.groupBy("__doc").agg(F.sum("__tf").cast("long").alias("__dl"))
     stats = dl.agg(
         F.count("*").cast("long").alias("__N"),
         F.avg("__dl").alias("__avgdl"),

@@ -71,6 +71,13 @@ def brute_force_neighbors(
     — bit-identical to the HOF form (functions.vectors contract), but
     whole-stage-codegen and O(1) array walks per pair instead of 3."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # the corpus side streams under a broadcast join, so a single-file
+    # table would run the whole O(|Q| x N) cosine sweep in ONE scan task
+    # (guide §2.5 input skew); spread it first when the scan is narrower
+    # than the cores — a table that already scans wide pays nothing
+    sc = df.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
     if dim is not None:
         base = base.withColumn("__n", norm_fixed(F.col("v"), dim))
         queries = base.where(query_pred).select(
