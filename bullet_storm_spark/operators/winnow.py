@@ -71,8 +71,8 @@ def winnow_fingerprints(
     max_chars: int = 100_000,
 ) -> DataFrame:
     """(id, fp) — the distinct winnowing fingerprint set per document:
-    minimum of each window of ``w`` consecutive k-gram hashes. Documents
-    shorter than k chars produce no rows (no grams).
+    minimum of each window of ``w`` consecutive k-gram hashes, ordered by
+    (id, fp). Documents shorter than k chars produce no rows (no grams).
 
     ``max_chars`` bounds per-row state: the gram-hash array is one bigint
     per character, so an unbounded megabyte document would materialize a
@@ -80,12 +80,39 @@ def winnow_fingerprints(
     ``max_chars`` normalized chars only — for whole-document near-dup
     blocking that prefix is enough (same contract as MinHash's shingle
     sampling); raise it when hunting tail-of-document plagiarism."""
+    return winnow_fingerprints_unsorted(
+        df, id_col, text_col, k, w, max_chars
+    ).orderBy("id", "fp")
+
+
+def winnow_fingerprints_unsorted(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+    max_chars: int = 100_000,
+) -> DataFrame:
+    """:func:`winnow_fingerprints` without the final (id, fp) sort — the
+    form order-insensitive consumers (the pair join, containment
+    verification) should take: their first move is a shuffle/aggregate
+    that destroys the ordering, so the range exchange + sort would be
+    pure waste (guide §2.4, the determinism-only sort)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     # the short-doc filter runs HERE, on the normalized length, and never
     # on __g: a predicate referencing __g gets pushed below the exchange
     # and re-inlines the normalization regex into every gram of the
     # filter's transform — O(chars per doc) regex evaluations per doc
-    # (measured 15.3 s vs 1.0 s at sf0.1 for the identical result)
+    # (measured 15.3 s vs 1.0 s at sf0.1 for the identical result).
+    # ONE hash exchange on the high-cardinality id: it spreads a
+    # narrow (single-row-group) scan across the cores AND acts as the
+    # optimizer barrier that keeps __norm materialized. Hash beats the
+    # previous keyless repartition(par), which pays a local
+    # sort-before-repartition per task (SPARK-23207); a second barrier
+    # before the window-min pass is unnecessary — CollapseProject never
+    # inlines the non-cheap gram array into its multiple __g references
+    # (Spark 3.3+ cheap-expression guard; measured identical results,
+    # 2.45 s -> 1.01 s steady at sf0.1 for the fingerprint pass).
     base = (
         df.select(
             F.col(id_col).alias("id"),
@@ -94,14 +121,9 @@ def winnow_fingerprints(
             ),
         )
         .where(F.length("__norm") >= k)
-        .repartition(par)
+        .repartition(par, "id")
     )
-    # the exchange materializes __g as a concrete column: without it,
-    # CollapseProject inlines the md5-gram transform into every window's
-    # slice() in the fps lambda below — O(grams × windows) gram hashing
-    grams = base.select(
-        "id", _gram_hashes(F.col("__norm"), k).alias("__g")
-    ).repartition(par)
+    grams = base.select("id", _gram_hashes(F.col("__norm"), k).alias("__g"))
     ng = F.size("__g")
     # window starts: 1 .. max(ng - w + 1, 1) — shorter-than-w docs keep
     # their single global min (degenerate window = whole array). NO
@@ -112,11 +134,7 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.greatest(ng - (w - 1), F.lit(1))),
         lambda i: F.array_min(F.slice("__g", i, w)),
     )
-    return (
-        grams.select("id", F.explode(fps).alias("fp"))
-        .distinct()
-        .orderBy("id", "fp")
-    )
+    return grams.select("id", F.explode(fps).alias("fp")).distinct()
 
 
 def winnow_fingerprints_sql(
@@ -170,11 +188,19 @@ def winnow_neardup_pairs(
     boilerplate-heavy corpus can still emit quadratic pair volume from
     many medium buckets; lower ``df_cap`` or raise ``k`` when it fires.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    fps = winnow_fingerprints_unsorted(df, id_col, text_col, k, w)
     kept = (
         fps.withColumn("__df", F.count("*").over(Window.partitionBy("fp")))
         .where(F.col("__df") <= df_cap)
         .drop("__df")
+        # both sides of the fp self-join read this relation; without the
+        # cut each side re-runs the whole normalize+gram+window-min
+        # pipeline (self-join sides never share an exchange — the build
+        # side is a BroadcastExchange, the probe side streams). The
+        # fingerprint relation is tiny (~2/(w+1) of gram count, ids and
+        # 32-bit hashes only), so materializing it once is cheap at any
+        # corpus size (guide §3.3).
+        .localCheckpoint()
     )
     if candidate_pair_budget is not None:
         from bullet_storm_spark.operators.pair_budget import (
