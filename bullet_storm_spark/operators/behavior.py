@@ -753,7 +753,16 @@ def session_assoc_rules(
             .rowsBetween(Window.unboundedPreceding, 0)
         ).cast("long").alias("session_idx"),
     )
-    items = tagged.select("user_id", "session_idx", "event_type").distinct()
+    # the distinct basket table feeds FOUR consumers (the session total,
+    # per-type support, and both self-join sides); each would re-run the
+    # two user-keyed session windows over the full event table.
+    # Materialize once — baskets are sessions × type-vocabulary, far
+    # smaller than events (guide §3.3).
+    items = (
+        tagged.select("user_id", "session_idx", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
     # total session count rides the plan as a 1-row broadcast — a
     # driver-side .count() here would be an eager action that runs the
     # session split twice and breaks lazy composition

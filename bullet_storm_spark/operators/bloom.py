@@ -120,22 +120,25 @@ def bloom_maybe_member(
 ) -> Column:
     """Boolean scan expression: all k probe bits set in the embedded word
     array. No shuffle, no join — this is the probe-side hot path. The bit
-    test is (word div 2^bit) mod 2 rather than a shift because Spark's
-    shiftright only takes literal shift amounts; division by a power of
-    two is exact for 32-bit words in either engine's arithmetic."""
+    mask comes from a 32-literal power-of-two array (Spark's shiftleft
+    only takes literal shift amounts) and the test is a single bitwise
+    AND — both exact integer ops, value-identical to the previous
+    (word div 2^bit) mod 2 form but without its per-probe transcendental
+    pow(2.0, x) and floor division (guide §1.2 per-task work; the result
+    cannot change regardless: the filter admits a superset and the
+    downstream join discards false positives)."""
     _check_params(m_bits, k)
     if len(words) != m_bits // _WORD:
         raise ValueError(f"need {m_bits // _WORD} words, got {len(words)}")
     h1, h2 = _halves(key)
     arr = F.array(*[F.lit(int(w)).cast("bigint") for w in words])
+    pow2 = F.array(*[F.lit(1 << b).cast("bigint") for b in range(_WORD)])
     conds = []
     for i in range(k):
         p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
         word = F.element_at(arr, F.floor(p / _WORD).cast("int") + 1)
-        divisor = F.pow(F.lit(2.0), F.pmod(p, F.lit(_WORD)).cast("double")).cast(
-            "bigint"
-        )
-        conds.append(F.pmod(F.floor(word / divisor).cast("bigint"), F.lit(2)) == 1)
+        mask = F.element_at(pow2, F.pmod(p, F.lit(_WORD)).cast("int") + 1)
+        conds.append(word.bitwiseAND(mask) != 0)
     out = conds[0]
     for c in conds[1:]:
         out = out & c

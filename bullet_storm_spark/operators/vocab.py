@@ -1116,7 +1116,15 @@ def pmi_collocations(
     anywhere."""
     toks = tokens(text_col)
     tok = df.select(F.explode(toks).alias("token")).where(F.col("token") != "")
-    uni = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    # the unigram table feeds THREE consumers (the token total and both
+    # join sides) and the bigram table TWO (pair total + join base);
+    # materialize each once — vocabulary-sized, not corpus-sized — so
+    # the corpus tokenize+explode runs twice, not five times (guide §3.3)
+    uni = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint()
+    )
     tot = uni.agg(F.sum("__c").cast("long").alias("__T"))
     n = F.size(toks)
     pairs = F.zip_with(
@@ -1131,6 +1139,7 @@ def pmi_collocations(
         .where((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .localCheckpoint()
     )
     btot = big.agg(F.sum("n_pair").cast("long").alias("__B"))
     u1 = uni.select(F.col("token").alias("w1"), F.col("__c").alias("n_left"))
@@ -1374,7 +1383,12 @@ def kn_bigram_counts(
     the TYPE frame (pair-distinct), joined back vocabulary-sized; the
     type total rides a 1-row broadcast.  pcont is one exact-integer
     IEEE division."""
-    big = _bigram_pairs(df, text_col)
+    # the bigram-type frame feeds FOUR consumers (rt, lt, the type
+    # total, and the join base); without the cut each re-runs the whole
+    # corpus tokenize+explode+pair-agg (exchange reuse never fires
+    # across differently-aggregated lineages). The frame itself is
+    # vocabulary²-bounded, not corpus-bounded (guide §3.3).
+    big = _bigram_pairs(df, text_col).localCheckpoint()
     rt = big.groupBy("w1").agg(
         F.count(F.lit(1)).cast("long").alias("right_types_w1")
     )
@@ -1634,7 +1648,9 @@ def kn_doc_score(
         .select("__doc", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .where((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    big = _bigram_pairs(df, text_col)
+    # four consumers of the bigram-type frame (ctx, lt, glob, lm's join
+    # base) — materialize once instead of four corpus passes (guide §3.3)
+    big = _bigram_pairs(df, text_col).localCheckpoint()
     ctx = big.groupBy("w1").agg(
         F.sum("n_pair").cast("long").alias("__ctx"),
         F.count(F.lit(1)).cast("long").alias("__rt"),
