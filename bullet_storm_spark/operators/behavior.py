@@ -1376,6 +1376,9 @@ def rfm_segments(
     corpus-max broadcast, then three range-exchange NTILEs
     (operators/ids.py partition-offset pattern) — parallel rank, never
     the single-task global window."""
+    # the per-user collapse feeds TWO consumers (the corpus-max scalar
+    # and the scoring base); materialize once — user-sized — so the
+    # event table is aggregated once, not twice (guide §3.3)
     per = (
         df.groupBy("user_id")
         .agg(
@@ -1385,6 +1388,7 @@ def rfm_segments(
                 F.round(F.col("value"), 6).cast("decimal(38,6)")
             ).cast("decimal(38,12)").alias("__m"),
         )
+        .localCheckpoint()
     )
     gmax = per.agg(F.max("__last").alias("__gmax"))
     base = per.crossJoin(F.broadcast(gmax)).select(

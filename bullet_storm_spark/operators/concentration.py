@@ -322,9 +322,12 @@ def lorenz_curve(
         raise ValueError(f"need n_points >= 1, got {n_points}")
     from bullet_storm_spark.operators.ids import assign_dense_ids
 
+    # the actor collapse feeds TWO consumers (the rank assignment and
+    # the 1-row totals); materialize once — actor-sized — so the event
+    # table is aggregated once, not twice (guide §3.3)
     per = df.groupBy(F.col(group_col).alias("__k")).agg(
         F.count(F.lit(1)).cast("long").alias("__x")
-    )
+    ).localCheckpoint()
     ranked = assign_dense_ids(per, ["__x", "__k"], id_name="__i").crossJoin(
         F.broadcast(
             per.agg(

@@ -463,7 +463,10 @@ def pettitt(df: DataFrame, key_col: str = "event_type") -> DataFrame:
     p ≈ 2·exp(−stat), left to the caller because exp() is not
     bit-portable across engines (the no-erf convention). Keys need
     n ≥ 2; t ranges over 1..n−1 (U_n ≡ 0 is excluded)."""
-    cells = _cells(df, key_col)
+    # the hourly cell table feeds TWO consumers (the value-rank frame
+    # and the join probe); materialize once — keys × hours, tiny — so
+    # the event collapse runs once, not twice (guide §3.3)
+    cells = _cells(df, key_col).localCheckpoint()
     vg = cells.groupBy("__key", "y").agg(
         F.count(F.lit(1)).cast("long").alias("__cnt")
     )

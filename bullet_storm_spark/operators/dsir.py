@@ -76,8 +76,11 @@ def dsir_weights(
             tokens(text_col).alias("__toks"),
         )
         # materialize the token array behind the exchange
-        # (functions/text.py:57-65) and parallelize the one-file scan
-        .repartition(spark.sparkContext.defaultParallelism)
+        # (functions/text.py:57-65) and parallelize the one-file scan.
+        # HASH on the unique id, not round-robin: a keyless repartition
+        # pays a full local sort of every row first (SPARK-23207
+        # determinism), and unique ids spread just as evenly (guide §2)
+        .repartition(spark.sparkContext.defaultParallelism, "__id")
         .select(
             "__id",
             "__is_target",

@@ -196,7 +196,14 @@ def tfidf_terms(
     tok = df.select(
         F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
-    per_doc = tok.groupBy("__doc", "token").agg(F.count("*").cast("long").alias("tf"))
+    # the (doc, token, tf) frame feeds TWO consumers (doc-frequency and
+    # the scoring join base); materialize once so the corpus
+    # tokenize+explode runs once, not twice (guide §3.3)
+    per_doc = (
+        tok.groupBy("__doc", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = per_doc.groupBy("token").agg(F.count("*").cast("long").alias("__df"))
     n_docs = df.agg(F.count("*").alias("__n"))
     scored = (
@@ -285,8 +292,14 @@ def source_divergence(
         F.col(stratum_col).alias("__src"),
         F.explode(tokens(text_col)).alias("token"),
     ).where(F.col("token") != "")
-    per_src = tok.groupBy("__src", "token").agg(
-        F.count("*").cast("long").alias("__tfs")
+    # the (stratum, token) frame feeds THREE consumers (corpus vocab,
+    # per-stratum totals, and the join base); materialize once so the
+    # corpus tokenize+explode runs once, not three times (guide §3.3) —
+    # the frame is strata × vocabulary, not corpus-sized
+    per_src = (
+        tok.groupBy("__src", "token")
+        .agg(F.count("*").cast("long").alias("__tfs"))
+        .localCheckpoint()
     )
     corpus = per_src.groupBy("token").agg(F.sum("__tfs").cast("long").alias("__tfc"))
     totals = per_src.groupBy("__src").agg(F.sum("__tfs").cast("long").alias("__Ts"))
@@ -461,7 +474,13 @@ def tfidf_pairs(
     tok = df.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
-    tf = tok.groupBy("__id", "token").agg(F.count("*").cast("long").alias("__tf"))
+    # (doc, token, tf) hub: feeds doc-frequency AND the posting join —
+    # materialize so the corpus tokenize+explode runs once (guide §3.3)
+    tf = (
+        tok.groupBy("__id", "token")
+        .agg(F.count("*").cast("long").alias("__tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("__df"))
     n_docs = df.select(F.count_distinct(F.col(id_col)).cast("long").alias("__N"))
     if isinstance(cap, float):
@@ -488,6 +507,10 @@ def tfidf_pairs(
         # 0/0 = NaN cosine passes the >= threshold in both engines (NaN
         # sorts high). Zero weights carry no signal — drop them.
         .where(F.col("__w") > 0)
+        # the kept posting list feeds the norm aggregation and BOTH
+        # sides of the term self-join (plus the budget pre-flight);
+        # materialize once — vocabulary-height × df_cap-bounded
+        .localCheckpoint()
     )
     if candidate_pair_budget is not None:
         from bullet_storm_spark.operators.pair_budget import (
@@ -933,10 +956,19 @@ def heaps_report(
             ).cast("long").alias("__cut"),
         )
     )
-    first_seen = base.groupBy("token").agg(F.min("id").alias("__first"))
-    doc_tokens = base.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("__nt")
+    # one corpus tokenize feeds BOTH derived frames through a
+    # (doc, token, count) hub — first-occurrence is min-of-mins and the
+    # per-doc token count is the sum of per-(doc,token) counts, so both
+    # regroupings are integer-exact. Without the cut each frame re-ran
+    # the tokenize+explode over the corpus (guide §3.3); the hub is
+    # docs × distinct-tokens-per-doc, far smaller than the token stream.
+    hub = (
+        base.groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint()
     )
+    first_seen = hub.groupBy("token").agg(F.min("id").alias("__first"))
+    doc_tokens = hub.groupBy("id").agg(F.sum("__c").cast("long").alias("__nt"))
     curves = (
         cps.join(
             F.broadcast(
@@ -966,6 +998,10 @@ def heaps_report(
             F.col("checkpoint") == F.col("__cp3"),
         )
         .select("checkpoint", "docs_le", "cum_tokens", "cum_distinct")
+        # n_checkpoints rows feed TWO consumers (the OLS fit and the
+        # report body); materialize so the curve construction — three
+        # checkpoint-conditional aggregations — runs once, not twice
+        .localCheckpoint()
     )
     pts = curves.select(
         "checkpoint", "docs_le", "cum_tokens", "cum_distinct",
