@@ -55,52 +55,103 @@ def cosine(a: Column, b: Column) -> Column:
 # short array exactly where zip_with() pads NULL, and NULL poisons the
 # whole sum in both forms. Arrays LONGER than dim would diverge (the HOF
 # walks them all) — dim is a contract, not a hint.
+#
+# BUILD COST: each builder renders ONE SQL string parsed by a single
+# F.expr. The original Column-by-Column loop cost ~5 py4j round trips per
+# term — ~1 s of DRIVER time per dim-64 expression, which the bench pays
+# on every timed run (build is inside the timed region). The parsed tree
+# is term-for-term identical to the loop's (verified analyzed-plan-equal
+# modulo exprIds), so results cannot change. Operands are passed as SQL
+# fragments (column names); a Column operand is accepted and rendered to
+# SQL once via its underlying expression — callers should pre-project
+# complex expressions to a named column rather than inline them, since
+# the fragment is repeated per term.
+
+VecRef = "Column | str"
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+def _ref(x) -> str:
+    """SQL fragment for an operand: strings pass through (already a
+    column reference), Columns render once via the JVM expression."""
+    if isinstance(x, str):
+        return x
+    return x._jc.node().sql()
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"0.0D + {terms}"
+
+
+def _sqsum_sql(a: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({a}, {i}) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"0.0D + {terms}"
+
+
+def dot_fixed(a, b, dim: int) -> Column:
     """``dot(as_double(a), as_double(b))`` for length-``dim`` arrays as a
     flat codegen-able expression (same fold order, same IEEE ops)."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-    return acc
+    return F.expr(_dot_sql(_ref(a), _ref(b), dim))
 
 
-def dot_lit_fixed(a: Column, plane: list[float]) -> Column:
+def _lit_double_sql(w: float) -> str:
+    # repr() is the shortest round-trip form; Double.parseDouble of it
+    # yields the identical double, and the parser folds `-x` literals
+    # directly (grammar: number := MINUS? DOUBLE_LITERAL)
+    r = repr(float(w))
+    if r == "inf":
+        return "CAST('Infinity' AS DOUBLE)"
+    if r == "-inf":
+        return "CAST('-Infinity' AS DOUBLE)"
+    if r == "nan":
+        return "CAST('NaN' AS DOUBLE)"
+    return f"{r}D"
+
+
+def dot_lit_fixed(a, plane: list) -> Column:
     """``dot(as_double(a), lit(plane))`` unrolled over a Python-literal
     hyperplane (the LSH bucketing hot path)."""
-    acc: Column = F.lit(0.0)
-    for i, w in enumerate(plane):
-        acc = acc + F.get(a, i).cast("double") * F.lit(float(w))
-    return acc
+    aa = _ref(a)
+    terms = " + ".join(
+        f"CAST(get({aa}, {i}) AS DOUBLE) * {_lit_double_sql(w)}"
+        for i, w in enumerate(plane)
+    )
+    return F.expr(f"0.0D + {terms}")
 
 
-def sqsum_fixed(a: Column, dim: int) -> Column:
+def sqsum_fixed(a, dim: int) -> Column:
     """Sum of squares with the HOF fold order (0.0 + x0² + x1² + ...)."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        x = F.get(a, i).cast("double")
-        acc = acc + x * x
-    return acc
+    return F.expr(_sqsum_sql(_ref(a), dim))
 
 
-def norm_fixed(a: Column, dim: int) -> Column:
-    return F.sqrt(sqsum_fixed(a, dim))
+def norm_fixed(a, dim: int) -> Column:
+    return F.expr(f"SQRT({_sqsum_sql(_ref(a), dim)})")
 
 
-def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+def cosine_fixed(a, b, dim: int) -> Column:
     """``cosine(a, b)`` for length-``dim`` arrays, unrolled."""
-    return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))
+    aa, bb = _ref(a), _ref(b)
+    return F.expr(
+        f"({_dot_sql(aa, bb, dim)}) / "
+        f"(SQRT({_sqsum_sql(aa, dim)}) * SQRT({_sqsum_sql(bb, dim)}))"
+    )
 
 
-def int_dot_fixed(a: Column, b: Column, dim: int) -> Column:
+def int_dot_fixed(a, b, dim: int) -> Column:
     """Unrolled exact integer dot (bigint) over length-``dim`` int arrays —
     value-identical to the HOF fold in any order (integer math is exact;
     |dot| <= 127² · dim stays far below 2^63)."""
-    acc: Column = F.lit(0).cast("bigint")
-    for i in range(dim):
-        acc = acc + (F.get(a, i) * F.get(b, i)).cast("bigint")
-    return acc
+    aa, bb = _ref(a), _ref(b)
+    terms = " + ".join(
+        f"CAST(get({aa}, {i}) * get({bb}, {i}) AS BIGINT)" for i in range(dim)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def cosine_sql(a: str, b: str) -> str:

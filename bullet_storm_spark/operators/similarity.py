@@ -153,10 +153,29 @@ def _planes_lit(planes: list[list[float]]) -> Column:
 
 
 def _bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    v = as_double(vec)
-    bits = F.transform(_planes_lit(planes), lambda p: (dot(v, p) > 0).cast("int"))
+    """Hyperplane sign bucket as ONE parsed SQL expression (the
+    functions.vectors fixed-form discipline): each plane's dot unrolls
+    to the codegen-able chain bit-identical to the HOF fold (same
+    left-to-right IEEE adds, get() NULL-pads exactly like zip_with),
+    the sign bit is an exact (dot > 0) compare, and the Horner fold
+    over reversed bits becomes a nested integer chain — integer math,
+    so the bucket id cannot change. Replaces an interpreted
+    nbits x dim lambda walk per corpus ROW with compiled arithmetic."""
+    from bullet_storm_spark.functions.vectors import _lit_double_sql, _ref
+
+    v = _ref(vec)
+    bits = []
+    for p in planes:
+        dot_sql = " + ".join(
+            f"CAST(get({v}, {i}) AS DOUBLE) * {_lit_double_sql(w)}"
+            for i, w in enumerate(p)
+        )
+        bits.append(f"CAST((0.0D + {dot_sql}) > 0.0D AS INT)")
     # Horner fold over reversed bits: bucket = sum bits[i] << i
-    return F.aggregate(F.reverse(bits), F.lit(0), lambda acc, b: acc * 2 + b)
+    acc = "0"
+    for b in reversed(bits):
+        acc = f"({acc} * 2 + {b})"
+    return F.expr(acc)
 
 
 def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
@@ -713,16 +732,21 @@ def embedding_outlier_report(
     base = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .select("id", "v", F.element_at(ranked, 1)["i"].alias("cell"))
+        # name the looked-up centroid BEFORE the unrolled cosine: the
+        # fixed-dim builder repeats each operand's SQL fragment per term,
+        # so an inline element_at(<literal codebook>, ...) operand would
+        # render the whole codebook dim×3 times into the parsed text
+        .select(
+            "id",
+            "v",
+            "cell",
+            F.element_at(_planes_lit(cents), F.col("cell") + 1).alias("__cent"),
+        )
         .select(
             "id",
             "cell",
             F.round(
-                F.lit(1.0)
-                - cosine_fixed(
-                    F.col("v"),
-                    F.element_at(_planes_lit(cents), F.col("cell") + 1),
-                    dim,
-                ),
+                F.lit(1.0) - cosine_fixed("v", "__cent", dim),
                 9,
             ).alias("dist"),
         )
