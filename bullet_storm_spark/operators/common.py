@@ -106,6 +106,12 @@ def hourly_cells(df: DataFrame, key_col: str) -> DataFrame:
         )
         .groupBy("__key", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # the observed cells feed TWO consumers (the min/max spine and
+        # the densifying join) — materialize the keys × hours frame once
+        # so every series operator's event collapse runs once, not twice
+        # (guide §3.3; this is the shared first stage of the whole
+        # EWMA/changepoint/Theil-Sen/Holt/forecast family)
+        .localCheckpoint()
     )
     spine = (
         observed.groupBy("__key")

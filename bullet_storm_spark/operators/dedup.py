@@ -1118,9 +1118,24 @@ def connected_components(
     are component-min ids, so the result is deterministic regardless of
     execution order.
     """
+    # both orientations in ONE pass over the pair generator: the union
+    # form re-ran the (expensive — minhash/linkage) upstream lineage once
+    # per direction before the checkpoint. explode of the two oriented
+    # structs yields the identical edge multiset from a single scan
     edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
         .dropDuplicates(["src", "dst"])
         .localCheckpoint()
     )

@@ -61,10 +61,23 @@ def pagerank(
     if checkpoint_every < 1:
         raise ValueError(f"need checkpoint_every >= 1, got {checkpoint_every}")
     und = (
-        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
+        # both orientations in ONE pass: the unionByName form re-ran the
+        # (possibly expensive) edge-producing pipeline once per direction
+        # BEFORE the checkpoint could cut it; explode of the two oriented
+        # structs yields the identical multiset from a single scan
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")
+                    ),
+                )
+            ).alias("__e")
         )
+        .select(F.col("__e.__s").alias("__s"), F.col("__e.__d").alias("__d"))
         .distinct()
         # materialize the edge list ONCE: the iteration chain references it
         # every round, and without the lineage cut each round re-runs the
@@ -317,8 +330,12 @@ def degree_powerlaw(
         raise ValueError(f"need x_min >= 2, got {x_min}")
     from bullet_storm_spark.operators.stats_tests import _d2d, _div
 
-    nodes = edges.select(F.col(src_col).alias("__n")).unionAll(
-        edges.select(F.col(dst_col).alias("__n"))
+    # both endpoints in ONE pass over the edge list: the unionAll form
+    # re-ran the (possibly expensive — minhash pairs) upstream lineage
+    # once per side. explode(array(src,dst)) yields the identical
+    # endpoint multiset, including NULLs, from a single scan (guide §1.2)
+    nodes = edges.select(
+        F.explode(F.array(F.col(src_col), F.col(dst_col))).alias("__n")
     )
     deg = nodes.groupBy("__n").agg(F.count(F.lit(1)).cast("long").alias("__d"))
     _q9 = lambda c: c.cast("double").cast("string").cast("decimal(18,9)")  # noqa: E731

@@ -117,10 +117,23 @@ def pca_project(
     ``proj[j] = round(dot(v, components[j]) - offsets[j], round_to)``.
     Pure scan-riding expressions; the component matrix is ONE
     constant-folded literal (similarity._planes_lit discipline)."""
-    v = as_double(F.col(vec_col))
-    dots = F.transform(_planes_lit(components), lambda w: dot(v, w))
-    off_lit = F.array(*[F.lit(float(c)) for c in offsets])
-    proj = F.zip_with(dots, off_lit, lambda d, c: F.round(d - c, round_to))
+    # one parsed SQL array expression (the functions.vectors fixed-form
+    # discipline): each component's dot unrolls to the codegen-able chain
+    # bit-identical to the HOF fold; replaces k × dim interpreted lambda
+    # frames per ROW with compiled arithmetic
+    from bullet_storm_spark.functions.vectors import _lit_double_sql, _ref
+
+    v = _ref(F.col(vec_col))
+    terms = []
+    for comp, off in zip(components, offsets):
+        d = " + ".join(
+            f"CAST(get({v}, {i}) AS DOUBLE) * {_lit_double_sql(w)}"
+            for i, w in enumerate(comp)
+        )
+        terms.append(
+            f"ROUND((0.0D + {d}) - {_lit_double_sql(off)}, {int(round_to)})"
+        )
+    proj = F.expr("array(" + ", ".join(terms) + ")")
     return df.select(F.col(id_col), proj.alias("proj")).orderBy(id_col)
 
 

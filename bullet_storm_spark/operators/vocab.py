@@ -113,7 +113,16 @@ def lm_score(
     tok = df.select(
         F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
-    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("__tf"))
+    # the unigram model feeds the totals AND the scoring join;
+    # materialize the vocab-sized frame once so the corpus tokenize runs
+    # twice (model + scoring — inherent), not three times (guide §3.3).
+    # The corpus-sized token stream itself is deliberately NOT
+    # checkpointed: vocab is the scale-bounded hub.
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("__tf"))
+        .localCheckpoint()
+    )
     totals = vocab.agg(
         F.sum("__tf").cast("long").alias("__T"),
         F.count("*").cast("long").alias("__V"),
@@ -1937,11 +1946,15 @@ def coverage_curve(
     from bullet_storm_spark.operators.stats_tests import _d2d, _div
 
     d = "decimal(38,0)"
+    # the wordcount frame feeds the rank window AND the totals;
+    # materialize the vocab-sized frame once so the corpus tokenize runs
+    # once, not twice (guide §3.3)
     tf = (
         df.select(F.explode(tokens(text_col)).alias("__t"))
         .where(F.col("__t") != "")
         .groupBy("__t")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint()
     )
     w = Window.orderBy(F.desc("__c"), F.asc("__t"))
     w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
