@@ -78,6 +78,38 @@ def _ref(x) -> str:
     return x._jc.node().sql()
 
 
+def _guard_sql(anchor: str) -> str:
+    """An exactly-1.0 factor whose subtree contains a trivial
+    CodegenFallback higher-order function (a one-element aggregate whose
+    lambda ignores its input — always 0, non-foldable because it
+    references the anchor column). Any operator carrying a
+    CodegenFallback expression is excluded from whole-stage codegen
+    (CollapseCodegenStages), which is exactly what the unrolled chains
+    need: fused into one WSCG processNext they exceed janino's 64 KB
+    method limit ("Code grows beyond 64 KB"), the compile FAILS, the
+    failure is not cached, and every run re-pays a 1–3 s compile attempt
+    before falling back to fully interpreted eval. Outside WSCG the
+    row-projection codegen (INPUT_ROW mode) splits expression code into
+    methods, so the same chain compiles and runs compiled.
+    Value identity: the marker is always 0, the factor exactly 1.0D, and
+    x * 1.0 is the IEEE identity for EVERY double — -0.0 (-0.0*1.0 =
+    -0.0), NaN, ±inf, and NULL propagates unchanged. The one-element
+    fold costs one interpreted lambda frame per row."""
+    return (
+        f"(1.0D + 0.0D * CAST(aggregate(array(get({anchor}, 0)), 0L, "
+        "(acc, x) -> acc) AS DOUBLE))"
+    )
+
+
+def _guard_int_sql(anchor: str) -> str:
+    """Integer twin of ``_guard_sql``: an exactly-1 BIGINT factor
+    (integer multiply by 1 is exact for any value)."""
+    return (
+        f"(1L + 0L * aggregate(array(get({anchor}, 0)), 0L, "
+        "(acc, x) -> acc))"
+    )
+
+
 def _dot_sql(a: str, b: str, dim: int) -> str:
     terms = " + ".join(
         f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
@@ -97,7 +129,8 @@ def _sqsum_sql(a: str, dim: int) -> str:
 def dot_fixed(a, b, dim: int) -> Column:
     """``dot(as_double(a), as_double(b))`` for length-``dim`` arrays as a
     flat codegen-able expression (same fold order, same IEEE ops)."""
-    return F.expr(_dot_sql(_ref(a), _ref(b), dim))
+    aa = _ref(a)
+    return F.expr(f"({_dot_sql(aa, _ref(b), dim)}) * {_guard_sql(aa)}")
 
 
 def _lit_double_sql(w: float) -> str:
@@ -122,23 +155,27 @@ def dot_lit_fixed(a, plane: list) -> Column:
         f"CAST(get({aa}, {i}) AS DOUBLE) * {_lit_double_sql(w)}"
         for i, w in enumerate(plane)
     )
-    return F.expr(f"0.0D + {terms}")
+    return F.expr(f"(0.0D + {terms}) * {_guard_sql(aa)}")
 
 
 def sqsum_fixed(a, dim: int) -> Column:
     """Sum of squares with the HOF fold order (0.0 + x0² + x1² + ...)."""
-    return F.expr(_sqsum_sql(_ref(a), dim))
+    aa = _ref(a)
+    return F.expr(f"({_sqsum_sql(aa, dim)}) * {_guard_sql(aa)}")
 
 
 def norm_fixed(a, dim: int) -> Column:
-    return F.expr(f"SQRT({_sqsum_sql(_ref(a), dim)})")
+    # the guard multiplies the SQUARED sum (×1.0 exact), so the sqrt
+    # argument — and the norm — is bit-identical
+    aa = _ref(a)
+    return F.expr(f"SQRT(({_sqsum_sql(aa, dim)}) * {_guard_sql(aa)})")
 
 
 def cosine_fixed(a, b, dim: int) -> Column:
     """``cosine(a, b)`` for length-``dim`` arrays, unrolled."""
     aa, bb = _ref(a), _ref(b)
     return F.expr(
-        f"({_dot_sql(aa, bb, dim)}) / "
+        f"(({_dot_sql(aa, bb, dim)}) * {_guard_sql(aa)}) / "
         f"(SQRT({_sqsum_sql(aa, dim)}) * SQRT({_sqsum_sql(bb, dim)}))"
     )
 
@@ -151,7 +188,7 @@ def int_dot_fixed(a, b, dim: int) -> Column:
     terms = " + ".join(
         f"CAST(get({aa}, {i}) * get({bb}, {i}) AS BIGINT)" for i in range(dim)
     )
-    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+    return F.expr(f"(CAST(0 AS BIGINT) + {terms}) * {_guard_int_sql(aa)}")
 
 
 def cosine_sql(a: str, b: str) -> str:

@@ -121,7 +121,11 @@ def pca_project(
     # discipline): each component's dot unrolls to the codegen-able chain
     # bit-identical to the HOF fold; replaces k × dim interpreted lambda
     # frames per ROW with compiled arithmetic
-    from bullet_storm_spark.functions.vectors import _lit_double_sql, _ref
+    from bullet_storm_spark.functions.vectors import (
+        _guard_sql,
+        _lit_double_sql,
+        _ref,
+    )
 
     v = _ref(F.col(vec_col))
     terms = []
@@ -133,6 +137,10 @@ def pca_project(
         terms.append(
             f"ROUND((0.0D + {d}) - {_lit_double_sql(off)}, {int(round_to)})"
         )
+    # one ×1.0 guard on the first component keeps the whole projection
+    # out of WSCG (functions.vectors._guard_sql rationale); rounded ×1.0
+    # is the IEEE identity, so the projection values cannot change
+    terms[0] = f"({terms[0]}) * {_guard_sql(v)}"
     proj = F.expr("array(" + ", ".join(terms) + ")")
     return df.select(F.col(id_col), proj.alias("proj")).orderBy(id_col)
 

@@ -74,9 +74,16 @@ def brute_force_neighbors(
     # the corpus side streams under a broadcast join, so a single-file
     # table would run the whole O(|Q| x N) cosine sweep in ONE scan task
     # (guide §2.5 input skew); spread it first when the scan is narrower
-    # than the cores — a table that already scans wide pays nothing
+    # than the cores — a table that already scans wide pays nothing.
+    # SIZE-GATED: below _SPREAD_MIN_BYTES of input the exchange plus
+    # 32-task scheduling costs more than the whole single-task sweep
+    # (measured: the sf0.1 2000-row arm 1.2 s spread vs 0.8 s unspread);
+    # a production-size table crosses the threshold and still spreads
     sc = df.sparkSession.sparkContext
-    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+    if (
+        base.rdd.getNumPartitions() < sc.defaultParallelism
+        and _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
+    ):
         base = base.repartition(sc.defaultParallelism)
     if dim is not None:
         base = base.withColumn("__n", norm_fixed(F.col("v"), dim))
@@ -152,6 +159,25 @@ def _planes_lit(planes: list[list[float]]) -> Column:
     return F.from_json(F.lit(json.dumps(planes)), "array<array<double>>")
 
 
+# minimum estimated input size (catalog/parquet stats, no action) before
+# a narrow scan is worth a spreading exchange: below this the single-task
+# compute finishes before 32 tasks even schedule. Env-tunable so a
+# cluster deployment can raise/lower it (guide §2 scale-adaptive, not a
+# local[32] constant).
+_SPREAD_MIN_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 8 << 20)
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of a frame (parquet footer stats — a
+    driver-side call, never an action)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - stats unavailable -> spread
+        return 1 << 62
+
+
 def _bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     """Hyperplane sign bucket as ONE parsed SQL expression (the
     functions.vectors fixed-form discipline): each plane's dot unrolls
@@ -175,7 +201,16 @@ def _bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     acc = "0"
     for b in reversed(bits):
         acc = f"({acc} * 2 + {b})"
-    return F.expr(acc)
+    # ×1 INT guard (functions.vectors._guard_sql rationale): the
+    # CodegenFallback marker keeps the host operator out of whole-stage
+    # codegen, where the fused nbits × dim chain blows janino's 64 KB
+    # method limit and re-pays a failed compile every run; integer
+    # multiply by 1 is exact, so the bucket id cannot change
+    guard = (
+        f"(1 + 0 * CAST(aggregate(array(get({v}, 0)), 0L, "
+        "(acc, x) -> acc) AS INT))"
+    )
+    return F.expr(f"({acc}) * {guard}")
 
 
 def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
