@@ -79,6 +79,43 @@ def post_sql(inner: str, post: Sequence[PostAggregation], limit: int | None) -> 
     return sql
 
 
+_HUB_MIN_BYTES_ENV = "SPARK_GRAFT_HUB_MIN_BYTES"
+
+
+def hub_min_bytes() -> int:
+    import os
+
+    return int(os.environ.get(_HUB_MIN_BYTES_ENV, str(32 << 20)))
+
+
+def hub_checkpoint(df: DataFrame, src: DataFrame) -> DataFrame:
+    """Size-gated multi-consumer hub materialization (guide §3.3).
+
+    An eager ``localCheckpoint`` replaces N re-runs of the hub's lineage
+    with one — the right trade when each re-run re-scans a large source.
+    But the checkpoint itself costs a fixed extra job (driver latency +
+    hub serialization + a pipeline barrier: consumers wait for full
+    materialization), which at small-source scale exceeds the duplicate
+    lineage it saves (measured r11 at sf0.1: events_acf 0.52 s
+    re-deriving the hourly cells twice vs 0.86 s checkpointing them;
+    text_kn_doc_score 1.67 vs 2.26). Gate on the SOURCE's optimizer size
+    estimate — the thing each extra lineage run would re-scan — with the
+    same posture as functions.vectors.prefer_fixed: below the threshold
+    return the frame unmaterialized (the optimizer re-derives it, r10
+    behavior), above it checkpoint. Sites whose hub wins at ANY scale
+    (measured: the session-basket and kn-bigram hubs) keep an
+    unconditional localCheckpoint instead of this gate."""
+    try:
+        size = int(
+            src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - stats unavailable -> big
+        size = 1 << 62
+    if size >= hub_min_bytes():
+        return df.localCheckpoint()
+    return df
+
+
 def fmt_point(x: float) -> str:
     """Canonical split-point rendering for DISTRIBUTION range labels,
     identical in both generated programs ('0.0', '50.0', ...)."""
@@ -106,13 +143,15 @@ def hourly_cells(df: DataFrame, key_col: str) -> DataFrame:
         )
         .groupBy("__key", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        # the observed cells feed TWO consumers (the min/max spine and
-        # the densifying join) — materialize the keys × hours frame once
-        # so every series operator's event collapse runs once, not twice
-        # (guide §3.3; this is the shared first stage of the whole
-        # EWMA/changepoint/Theil-Sen/Holt/forecast family)
-        .localCheckpoint()
     )
+    # the observed cells feed TWO consumers (the min/max spine and the
+    # densifying join) — materialize the keys × hours frame once so every
+    # series operator's event collapse runs once, not twice (guide §3.3;
+    # this is the shared first stage of the whole EWMA/changepoint/
+    # Theil-Sen/Holt/forecast family). Size-gated: below hub_min_bytes
+    # the checkpoint job costs more than the second collapse (measured
+    # events_acf 0.52 s ungated-small vs 0.86 s checkpointed at sf0.1).
+    observed = hub_checkpoint(observed, df)
     spine = (
         observed.groupBy("__key")
         .agg(F.min("hour").alias("__h0"), F.max("hour").alias("__h1"))

@@ -925,17 +925,33 @@ def embedding_neardup_pairs_lsh(
     for recall, nbits for smaller buckets. Hyperplanes are deterministic
     seeded literals, so the DuckDB twin replicates the bucketing exactly
     and the approximate pipeline stays hash-checkable."""
-    from bullet_storm_spark.functions.vectors import dot_fixed, norm_fixed
+    from bullet_storm_spark.functions.vectors import (
+        as_double,
+        dot,
+        dot_fixed,
+        norm,
+        norm_fixed,
+        prefer_fixed,
+    )
     from bullet_storm_spark.operators.similarity import (
         LSH_SEED,
         _bucket_col,
         hyperplanes,
     )
 
+    # unrolled forms only at scale (functions.vectors.prefer_fixed): the
+    # ntables × nbits × dim bucket chain is ~5k Expression nodes whose
+    # per-task deserialization dominates a small corpus run; the HOF
+    # twins are bit-identical
+    fixed = prefer_fixed(df)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     buckets = F.array(
         *[
-            _bucket_col(F.col("v"), hyperplanes(dim, nbits, seed=LSH_SEED + t))
+            _bucket_col(
+                F.col("v"),
+                hyperplanes(dim, nbits, seed=LSH_SEED + t),
+                fixed=fixed,
+            )
             for t in range(ntables)
         ]
     )
@@ -991,21 +1007,26 @@ def embedding_neardup_pairs_lsh(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = base.select(
-        "id", "v", norm_fixed(F.col("v"), dim).alias("nrm")
+    nrm = (
+        norm_fixed(F.col("v"), dim)
+        if fixed
+        else norm(as_double(F.col("v")))
     )
+    vecs = base.select("id", "v", nrm.alias("nrm"))
     a, b = vecs.alias("a"), vecs.alias("b")
     cand = cand_ids.join(a, F.col("id_a") == F.col("a.id")).join(
         b, F.col("id_b") == F.col("b.id")
     )
-    # unrolled fixed-dim dot (bit-identical to the HOF form, but
-    # whole-stage-codegen instead of one interpreted lambda frame per
-    # element — functions.vectors fixed-form contract)
-    cos = F.round(
+    # at scale, unrolled fixed-dim dot (bit-identical to the HOF form,
+    # but compiled instead of one interpreted lambda frame per element —
+    # functions.vectors fixed-form contract); compact HOF twin below the
+    # size gate
+    pair_dot = (
         dot_fixed(F.col("a.v"), F.col("b.v"), dim)
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        round_to,
+        if fixed
+        else dot(as_double(F.col("a.v")), as_double(F.col("b.v")))
     )
+    cos = F.round(pair_dot / (F.col("a.nrm") * F.col("b.nrm")), round_to)
     return (
         cand.select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)

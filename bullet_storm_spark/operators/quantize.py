@@ -143,10 +143,14 @@ def quantized_neighbors(
     )
     # integer dots are exact in ANY evaluation order, so the unrolled
     # fixed-dim form (whole-stage codegen) is value-identical to the HOF
-    # fold — use it whenever the caller declares the width
+    # fold — use it when the caller declares the width AND the corpus is
+    # big enough to pay the unrolled tree's per-task overhead
+    # (functions.vectors.prefer_fixed)
+    from bullet_storm_spark.functions.vectors import prefer_fixed
+
     idot = (
         (lambda x, y: int_dot_fixed(x, y, dim))
-        if dim is not None
+        if dim is not None and prefer_fixed(df)
         else _int_dot
     )
     quant = scaled.select("__id", "__isq", q.alias("__qv")).select(
@@ -351,9 +355,18 @@ def quantized_neardup_pairs_lsh(
             F.lit(float(QMAX)),
         ).cast("int"),
     )
+    from bullet_storm_spark.functions.vectors import prefer_fixed
+
+    # unrolled bucket chains only at scale (prefer_fixed): the compact
+    # HOF twin is bucket-identical and ~1/50th the tree per task
+    fixed = prefer_fixed(df)
     buckets = F.array(
         *[
-            _bucket_col(F.col("__v"), hyperplanes(dim, nbits, seed=LSH_SEED + t))
+            _bucket_col(
+                F.col("__v"),
+                hyperplanes(dim, nbits, seed=LSH_SEED + t),
+                fixed=fixed,
+            )
             for t in range(ntables)
         ]
     )

@@ -37,6 +37,7 @@ from bullet_storm_spark.functions.vectors import (
     dot_fixed,
     norm,
     norm_fixed,
+    prefer_fixed,
 )
 
 LSH_SEED = 42
@@ -85,7 +86,10 @@ def brute_force_neighbors(
         and _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
     ):
         base = base.repartition(sc.defaultParallelism)
-    if dim is not None:
+    # unrolled forms only at scale (prefer_fixed): below the threshold
+    # the HOF twin is bit-identical and its compact tree avoids the
+    # per-task/per-action overhead that dominates a small sweep
+    if dim is not None and prefer_fixed(df):
         base = base.withColumn("__n", norm_fixed(F.col("v"), dim))
         queries = base.where(query_pred).select(
             F.col("id").alias("query_id"),
@@ -178,15 +182,29 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
-def _bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Hyperplane sign bucket as ONE parsed SQL expression (the
-    functions.vectors fixed-form discipline): each plane's dot unrolls
-    to the codegen-able chain bit-identical to the HOF fold (same
-    left-to-right IEEE adds, get() NULL-pads exactly like zip_with),
-    the sign bit is an exact (dot > 0) compare, and the Horner fold
-    over reversed bits becomes a nested integer chain — integer math,
-    so the bucket id cannot change. Replaces an interpreted
-    nbits x dim lambda walk per corpus ROW with compiled arithmetic."""
+def _bucket_col(
+    vec: Column, planes: list[list[float]], fixed: bool = True
+) -> Column:
+    """Hyperplane sign bucket. With ``fixed`` (the at-scale form), ONE
+    parsed SQL expression (the functions.vectors fixed-form discipline):
+    each plane's dot unrolls to the codegen-able chain bit-identical to
+    the HOF fold (same left-to-right IEEE adds, get() NULL-pads exactly
+    like zip_with), the sign bit is an exact (dot > 0) compare, and the
+    Horner fold over reversed bits becomes a nested integer chain —
+    integer math, so the bucket id cannot change. Replaces an
+    interpreted nbits x dim lambda walk per corpus ROW with compiled
+    arithmetic. With ``fixed=False`` (small inputs — see
+    functions.vectors.prefer_fixed), the compact HOF tree: the unrolled
+    chain is ~1.4k Expression nodes that every task deserializes and the
+    driver re-plans per action, which dominates wall time when the
+    per-row compute is tiny."""
+    if not fixed:
+        v = as_double(vec)
+        bits = F.transform(
+            _planes_lit(planes), lambda p: (dot(v, p) > 0).cast("int")
+        )
+        # Horner fold over reversed bits: bucket = sum bits[i] << i
+        return F.aggregate(F.reverse(bits), F.lit(0), lambda acc, b: acc * 2 + b)
     from bullet_storm_spark.functions.vectors import _lit_double_sql, _ref
 
     v = _ref(vec)
@@ -236,20 +254,36 @@ def lsh_bucketed_neighbors(
     """Approximate top-k: search only within the query's LSH bucket.
     Same output shape as brute_force_neighbors; recall < 1 by design."""
     planes = hyperplanes(dim, nbits)
-    # norm once per side + unrolled fixed-dim dot per pair (bit-identical
-    # to the HOF cosine — functions.vectors fixed-form contract)
-    base = df.select(
+    # at scale: norm once per side + unrolled fixed-dim dot per pair
+    # (bit-identical to the HOF cosine — functions.vectors fixed-form
+    # contract). Small inputs take the compact HOF tree instead: the
+    # unrolled chains' per-task/per-action tree overhead dominates when
+    # the bucket join emits few pairs (prefer_fixed rationale).
+    fixed = prefer_fixed(df)
+    cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _bucket_col(F.col(vec_col), planes).alias("bucket"),
-        norm_fixed(F.col(vec_col), dim).alias("__n"),
-    )
-    queries = base.where(query_pred).select(
+        _bucket_col(F.col(vec_col), planes, fixed=fixed).alias("bucket"),
+    ]
+    if fixed:
+        cols.append(norm_fixed(F.col(vec_col), dim).alias("__n"))
+    base = df.select(*cols)
+    qcols = [
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
-        F.col("__n").alias("__qn"),
-    )
+    ]
+    if fixed:
+        qcols.append(F.col("__n").alias("__qn"))
+    queries = base.where(query_pred).select(*qcols)
+    if fixed:
+        cos = F.round(
+            dot_fixed(F.col("qv"), F.col("v"), dim)
+            / (F.col("__qn") * F.col("__n")),
+            round_to,
+        )
+    else:
+        cos = F.round(cosine(F.col("qv"), F.col("v")), round_to)
     pairs = (
         F.broadcast(queries)
         .join(
@@ -260,11 +294,7 @@ def lsh_bucketed_neighbors(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(
-                dot_fixed(F.col("qv"), F.col("v"), dim)
-                / (F.col("__qn") * F.col("__n")),
-                round_to,
-            ).alias("cos"),
+            cos.alias("cos"),
         )
     )
     return _rank_topk(pairs, k)
@@ -456,32 +486,41 @@ def ivf_neighbors_frozen(
     probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
     # materialize probes behind the select so the HOF tree is evaluated
     # once per row (CollapseProject would otherwise re-inline it per use);
-    # norm once per row here too — the pair stage below reuses it
-    assigned = base0.select(
-        "id", "v", "is_q", probes.alias("probes"),
-        norm_fixed(F.col("v"), dim).alias("__n"),
-    ).select(
-        "id", "v", "is_q", "probes", "__n",
-        F.element_at("probes", 1).alias("cell"),
+    # at scale, norm once per row here too — the pair stage below reuses
+    # it (small inputs take the compact HOF cosine instead, prefer_fixed
+    # rationale)
+    fixed = prefer_fixed(df)
+    acols = ["id", "v", "is_q", probes.alias("probes")]
+    if fixed:
+        acols.append(norm_fixed(F.col("v"), dim).alias("__n"))
+    assigned = base0.select(*acols).select(
+        "*", F.element_at("probes", 1).alias("cell")
     )
-    queries = assigned.where(F.col("is_q")).select(
+    qcols = [
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("__n").alias("__qn"),
         F.explode("probes").alias("cell"),
-    )
+    ]
+    ccols = ["id", "v", "cell"]
+    if fixed:
+        qcols.insert(2, F.col("__n").alias("__qn"))
+        ccols.insert(2, "__n")
+        cos = F.round(
+            dot_fixed(F.col("qv"), F.col("v"), dim)
+            / (F.col("__qn") * F.col("__n")),
+            round_to,
+        )
+    else:
+        cos = F.round(cosine(F.col("qv"), F.col("v")), round_to)
+    queries = assigned.where(F.col("is_q")).select(*qcols)
     pairs = (
         F.broadcast(queries)
-        .join(assigned.select("id", "v", "__n", "cell"), "cell")
+        .join(assigned.select(*ccols), "cell")
         .where(F.col("query_id") != F.col("id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(
-                dot_fixed(F.col("qv"), F.col("v"), dim)
-                / (F.col("__qn") * F.col("__n")),
-                round_to,
-            ).alias("cos"),
+            cos.alias("cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -1001,10 +1040,11 @@ def hard_negatives(
     Zero-norm vectors are excluded up front (cosine is undefined on
     them; under ANSI the division would raise once the band predicate
     forces cosine evaluation on every pair)."""
-    if dim is not None:
-        # fixed-dim path: norm once per row (reused by the filter AND the
-        # pair stage), unrolled dot per pair — bit-identical to the HOF
-        # cosine (functions.vectors fixed-form contract)
+    if dim is not None and prefer_fixed(df):
+        # fixed-dim path (at scale only — prefer_fixed): norm once per
+        # row (reused by the filter AND the pair stage), unrolled dot per
+        # pair — bit-identical to the HOF cosine (functions.vectors
+        # fixed-form contract)
         base = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
@@ -1395,15 +1435,23 @@ def cosine_histogram(
     one bucket's window sort stays a fraction of a partition."""
     planes = hyperplanes(dim, nbits)
     # norm once per VECTOR, not once per PAIR: the pair stage below reuses
-    # __nrm, so each candidate pair costs one unrolled dot + one divide
-    # instead of three interpreted HOF array walks (guide §2.3 "don't
-    # compute things you throw away"; bit-identical — same expression on
-    # the same rows, see functions.vectors fixed-form contract)
+    # __nrm, so each candidate pair costs one dot + one divide instead of
+    # three array walks (guide §2.3 "don't compute things you throw
+    # away"; bit-identical — same expression on the same rows, see
+    # functions.vectors fixed-form contract). The unrolled forms are
+    # scale-gated (prefer_fixed): small inputs build the compact HOF
+    # trees — identical values, ~1/50th the Expression nodes per task.
+    fixed = prefer_fixed(df)
+    nrm = (
+        norm_fixed(F.col(vec_col), dim)
+        if fixed
+        else norm(as_double(F.col(vec_col)))
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _bucket_col(F.col(vec_col), planes).alias("bucket"),
-        norm_fixed(F.col(vec_col), dim).alias("__nrm"),
+        _bucket_col(F.col(vec_col), planes, fixed=fixed).alias("bucket"),
+        nrm.alias("__nrm"),
     ).where(F.col("__nrm") > 0)
     if per_bucket_cap is not None:
         if per_bucket_cap < 2:
@@ -1444,23 +1492,33 @@ def cosine_histogram(
     # join (measured: the whole pair stage on one core). Hash-distribute
     # the probe rows on the high-cardinality id so the pair compute runs
     # at full width at any input partitioning (guide §2.5; the
-    # embedding_neardup_pairs_lsh pin, same reasoning)
+    # embedding_neardup_pairs_lsh pin, same reasoning). CAPPED mode skips
+    # the spread: the election bounds the pair stage at
+    # buckets × C(cap, 2) pairs — measured at sf0.1, the 32-task exchange
+    # cost more in task-overhead (deser + scheduling) than the entire
+    # bounded pair compute (37 tasks / 3.8 s deserialize vs a
+    # milliseconds-scale dot pass).
     a = base.select(
         F.col("id").alias("id1"),
         F.col("v").alias("v1"),
         F.col("__nrm").alias("n1"),
         "bucket",
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "id1")
+    )
+    if per_bucket_cap is None:
+        a = a.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id1"
+        )
     b = base.select(
         F.col("id").alias("id2"),
         F.col("v").alias("v2"),
         F.col("__nrm").alias("n2"),
         "bucket",
     )
-    cos = F.round(
-        dot_fixed(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2")),
-        6,
-    )
+    if fixed:
+        pair_dot = dot_fixed(F.col("v1"), F.col("v2"), dim)
+    else:
+        pair_dot = dot(as_double(F.col("v1")), as_double(F.col("v2")))
+    cos = F.round(pair_dot / (F.col("n1") * F.col("n2")), 6)
     binned = (
         a.join(b, "bucket")
         .where(F.col("id1") < F.col("id2"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from bullet_storm_spark.functions.text import tokens, tokens_sql
+from bullet_storm_spark.operators.common import hub_checkpoint
 
 
 def vocabulary(
@@ -117,11 +118,13 @@ def lm_score(
     # materialize the vocab-sized frame once so the corpus tokenize runs
     # twice (model + scoring — inherent), not three times (guide §3.3).
     # The corpus-sized token stream itself is deliberately NOT
-    # checkpointed: vocab is the scale-bounded hub.
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.count("*").cast("long").alias("__tf"))
-        .localCheckpoint()
+    # checkpointed: vocab is the scale-bounded hub. Size-gated
+    # (hub_checkpoint): below the threshold the checkpoint job costs
+    # more than the third tokenize it saves (measured 0.54 vs 0.69 s at
+    # sf0.1).
+    vocab = hub_checkpoint(
+        tok.groupBy("token").agg(F.count("*").cast("long").alias("__tf")),
+        df,
     )
     totals = vocab.agg(
         F.sum("__tf").cast("long").alias("__T"),
@@ -971,10 +974,11 @@ def heaps_report(
     # regroupings are integer-exact. Without the cut each frame re-ran
     # the tokenize+explode over the corpus (guide §3.3); the hub is
     # docs × distinct-tokens-per-doc, far smaller than the token stream.
-    hub = (
-        base.groupBy("id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .localCheckpoint()
+    hub = hub_checkpoint(
+        base.groupBy("id", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        ),
+        df,
     )
     first_seen = hub.groupBy("token").agg(F.min("id").alias("__first"))
     doc_tokens = hub.groupBy("id").agg(F.sum("__c").cast("long").alias("__nt"))
@@ -1007,11 +1011,12 @@ def heaps_report(
             F.col("checkpoint") == F.col("__cp3"),
         )
         .select("checkpoint", "docs_le", "cum_tokens", "cum_distinct")
-        # n_checkpoints rows feed TWO consumers (the OLS fit and the
-        # report body); materialize so the curve construction — three
-        # checkpoint-conditional aggregations — runs once, not twice
-        .localCheckpoint()
     )
+    # n_checkpoints rows feed TWO consumers (the OLS fit and the report
+    # body); materialize so the curve construction — three checkpoint-
+    # conditional aggregations — runs once, not twice (size-gated:
+    # at a small source the re-run is cheaper than the checkpoint job)
+    curves = hub_checkpoint(curves, df)
     pts = curves.select(
         "checkpoint", "docs_le", "cum_tokens", "cum_distinct",
         F.log(F.col("cum_tokens").cast("double")).alias("__x"),
@@ -1164,11 +1169,12 @@ def pmi_collocations(
     # the unigram table feeds THREE consumers (the token total and both
     # join sides) and the bigram table TWO (pair total + join base);
     # materialize each once — vocabulary-sized, not corpus-sized — so
-    # the corpus tokenize+explode runs twice, not five times (guide §3.3)
-    uni = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .localCheckpoint()
+    # the corpus tokenize+explode runs twice, not five times (guide §3.3;
+    # size-gated: at a small source the extra checkpoint jobs cost more
+    # than the re-derived lineages — measured 1.22 vs 1.46 s at sf0.1)
+    uni = hub_checkpoint(
+        tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__c")),
+        df,
     )
     tot = uni.agg(F.sum("__c").cast("long").alias("__T"))
     n = F.size(toks)
@@ -1177,14 +1183,14 @@ def pmi_collocations(
         F.slice(toks, 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    big = (
+    big = hub_checkpoint(
         df.where(n >= 2)
         .select(F.explode(pairs).alias("__p"))
         .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .where((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair")),
+        df,
     )
     btot = big.agg(F.sum("n_pair").cast("long").alias("__B"))
     u1 = uni.select(F.col("token").alias("w1"), F.col("__c").alias("n_left"))
@@ -1694,8 +1700,9 @@ def kn_doc_score(
         .where((F.col("w1") != "") & (F.col("w2") != ""))
     )
     # four consumers of the bigram-type frame (ctx, lt, glob, lm's join
-    # base) — materialize once instead of four corpus passes (guide §3.3)
-    big = _bigram_pairs(df, text_col).localCheckpoint()
+    # base) — materialize once instead of four corpus passes (guide §3.3;
+    # size-gated: measured 1.67 vs 2.26 s at sf0.1 with the checkpoint)
+    big = hub_checkpoint(_bigram_pairs(df, text_col), df)
     ctx = big.groupBy("w1").agg(
         F.sum("n_pair").cast("long").alias("__ctx"),
         F.count(F.lit(1)).cast("long").alias("__rt"),
