@@ -120,12 +120,30 @@ def pca_project(
     # one parsed SQL array expression (the functions.vectors fixed-form
     # discipline): each component's dot unrolls to the codegen-able chain
     # bit-identical to the HOF fold; replaces k × dim interpreted lambda
-    # frames per ROW with compiled arithmetic
+    # frames per ROW with compiled arithmetic. Size-gated (prefer_fixed):
+    # the k × dim unrolled array is the largest tree in the repo
+    # (~16 × 64 terms) and its per-task/per-action cost dominates a small
+    # projection — below the threshold the compact HOF twin runs instead
+    # (identical values, the r10 form).
     from bullet_storm_spark.functions.vectors import (
         _guard_sql,
         _lit_double_sql,
         _ref,
+        as_double,
+        dot,
+        prefer_fixed,
     )
+
+    if not prefer_fixed(df):
+        from bullet_storm_spark.operators.similarity import _planes_lit
+
+        vv = as_double(F.col(vec_col))
+        dots = F.transform(_planes_lit(components), lambda w: dot(vv, w))
+        off_lit = F.array(*[F.lit(float(c)) for c in offsets])
+        proj = F.zip_with(
+            dots, off_lit, lambda d, c: F.round(d - c, round_to)
+        )
+        return df.select(F.col(id_col), proj.alias("proj")).orderBy(id_col)
 
     v = _ref(F.col(vec_col))
     terms = []
