@@ -55,8 +55,16 @@ def cosine(a: Column, b: Column) -> Column:
 # HOF form (oracle-verified tri-scale; see OPTIMIZATION_r11.md).
 # Null/length semantics also match: F.get() yields NULL past the end of a
 # short array exactly where zip_with() pads NULL, and NULL poisons the
-# whole sum in both forms. Arrays LONGER than dim would diverge (the HOF
-# walks them all) — dim is a contract, not a hint.
+# whole sum in both forms. Arrays LONGER than dim would silently compute a
+# TRUNCATED result in the raw unrolled chain while the HOF twin (and the
+# DuckDB oracle) walk the full array — the ae25be8 bug class. Every
+# builder therefore wraps its chain in a per-row guard:
+#   CASE WHEN size(v) <= dim THEN <unrolled> ELSE <hof fold> END
+# so an over-length row takes the bit-identical HOF branch instead of a
+# truncated sum, and the scale gate can NEVER change results (r12,
+# VERDICT r11 item 6; pinned by tests/test_scale_gates.py's ragged
+# fuzz). The ELSE subtree is the compact fold (a few nodes); CASE is
+# lazy, so conforming rows never evaluate it.
 #
 # BUILD COST: each builder renders ONE SQL string parsed by a single
 # F.expr. The original Column-by-Column loop cost ~5 py4j round trips per
@@ -154,12 +162,40 @@ def _guard_int_sql(anchor: str) -> str:
     )
 
 
+def _hof_dot_sql(a: str, b: str) -> str:
+    """SQL text of the HOF dot fold — the same zip_with/aggregate chain
+    as :func:`dot` (cast inside the lambda equals transform-then-zip:
+    each element is cast exactly once either way, and zip padding yields
+    the same NULL products)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _hof_sqsum_sql(a: str) -> str:
+    return (
+        f"aggregate({a}, 0.0D, (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+
+
 def _dot_sql(a: str, b: str, dim: int) -> str:
     terms = " + ".join(
         f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
         for i in range(dim)
     )
-    return f"0.0D + {terms}"
+    # length guard (see block comment): the unrolled chain walks exactly
+    # dim indices, the HOF zip_with walks max(len(a), len(b)) — they are
+    # bit-identical ONLY when both arrays are exactly dim long (longer
+    # rows would truncate; a PAIR of equally-short rows folds to a real
+    # value in HOF but NULL in the chain). Any other length takes the
+    # HOF fold. size(NULL) is NULL -> ELSE -> HOF(NULL) = NULL, same as
+    # the chain.
+    return (
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN (0.0D + {terms}) ELSE ({_hof_dot_sql(a, b)}) END"
+    )
 
 
 def _sqsum_sql(a: str, dim: int) -> str:
@@ -167,7 +203,13 @@ def _sqsum_sql(a: str, dim: int) -> str:
         f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({a}, {i}) AS DOUBLE)"
         for i in range(dim)
     )
-    return f"0.0D + {terms}"
+    # == dim, not <=: the HOF fold walks the ACTUAL length, so a short
+    # row's square-sum is a real number there while the unrolled chain
+    # NULLs it (get() past the end) — the ae25be8 semantic_dedup bug
+    return (
+        f"CASE WHEN size({a}) = {dim} "
+        f"THEN (0.0D + {terms}) ELSE ({_hof_sqsum_sql(a)}) END"
+    )
 
 
 def dot_fixed(a, b, dim: int) -> Column:
@@ -193,13 +235,23 @@ def _lit_double_sql(w: float) -> str:
 
 def dot_lit_fixed(a, plane: list) -> Column:
     """``dot(as_double(a), lit(plane))`` unrolled over a Python-literal
-    hyperplane (the LSH bucketing hot path)."""
+    hyperplane (the LSH bucketing hot path). Over-length rows take the
+    HOF fold against the literal array (zip padding NULLs the sum there,
+    exactly like the gate-off form)."""
     aa = _ref(a)
     terms = " + ".join(
         f"CAST(get({aa}, {i}) AS DOUBLE) * {_lit_double_sql(w)}"
         for i, w in enumerate(plane)
     )
-    return F.expr(f"(0.0D + {terms}) * {_guard_sql(aa)}")
+    lit_arr = "array(" + ", ".join(_lit_double_sql(w) for w in plane) + ")"
+    hof = (
+        f"aggregate(zip_with({aa}, {lit_arr}, (x, y) -> "
+        "CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"(CASE WHEN size({aa}) <= {len(plane)} THEN (0.0D + {terms}) "
+        f"ELSE ({hof}) END) * {_guard_sql(aa)}"
+    )
 
 
 def sqsum_fixed(a, dim: int) -> Column:
@@ -227,12 +279,21 @@ def cosine_fixed(a, b, dim: int) -> Column:
 def int_dot_fixed(a, b, dim: int) -> Column:
     """Unrolled exact integer dot (bigint) over length-``dim`` int arrays —
     value-identical to the HOF fold in any order (integer math is exact;
-    |dot| <= 127² · dim stays far below 2^63)."""
+    |dot| <= 127² · dim stays far below 2^63). Over-length rows take the
+    HOF fold (the _int_dot twin) instead of a truncated sum."""
     aa, bb = _ref(a), _ref(b)
     terms = " + ".join(
         f"CAST(get({aa}, {i}) * get({bb}, {i}) AS BIGINT)" for i in range(dim)
     )
-    return F.expr(f"(CAST(0 AS BIGINT) + {terms}) * {_guard_int_sql(aa)}")
+    hof = (
+        f"aggregate(zip_with({aa}, {bb}, (x, y) -> CAST(x * y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"(CASE WHEN size({aa}) = {dim} AND size({bb}) = {dim} "
+        f"THEN (CAST(0 AS BIGINT) + {terms}) ELSE ({hof}) END) "
+        f"* {_guard_int_sql(aa)}"
+    )
 
 
 def cosine_sql(a: str, b: str) -> str:

@@ -159,7 +159,17 @@ def pca_project(
     # out of WSCG (functions.vectors._guard_sql rationale); rounded ×1.0
     # is the IEEE identity, so the projection values cannot change
     terms[0] = f"({terms[0]}) * {_guard_sql(v)}"
-    proj = F.expr("array(" + ", ".join(terms) + ")")
+    # over-length guard (functions.vectors r12): a vector longer than the
+    # component width would get silently truncated dots from the unrolled
+    # chains, while the HOF twin's zip_with pads the component with NULLs
+    # and every projection element folds to NULL — match that exactly so
+    # both gate branches are identical on any input
+    dim = len(components[0]) if components else 0
+    nulls = ", ".join(["CAST(NULL AS DOUBLE)"] * len(terms))
+    proj = F.expr(
+        f"CASE WHEN size({v}) <= {dim} THEN array({', '.join(terms)}) "
+        f"ELSE array({nulls}) END"
+    )
     return df.select(F.col(id_col), proj.alias("proj")).orderBy(id_col)
 
 

@@ -80,10 +80,12 @@ def brute_force_neighbors(
     # 32-task scheduling costs more than the whole single-task sweep
     # (measured: the sf0.1 2000-row arm 1.2 s spread vs 0.8 s unspread);
     # a production-size table crosses the threshold and still spreads
+    # size gate FIRST: the stats read is a cheap driver-side call while
+    # .rdd.getNumPartitions() pays a physical-planning pass of the frame
     sc = df.sparkSession.sparkContext
     if (
-        base.rdd.getNumPartitions() < sc.defaultParallelism
-        and _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
+        _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
+        and base.rdd.getNumPartitions() < sc.defaultParallelism
     ):
         base = base.repartition(sc.defaultParallelism)
     # unrolled forms only at scale (prefer_fixed): below the threshold
@@ -219,6 +221,14 @@ def _bucket_col(
     acc = "0"
     for b in reversed(bits):
         acc = f"({acc} * 2 + {b})"
+    # over-length guard (functions.vectors r12, the ae25be8 bug class):
+    # a vector LONGER than the planes would get a silently TRUNCATED dot
+    # from the unrolled chain, while the HOF twin's zip_with pads the
+    # plane with NULLs and the whole bucket folds to NULL — so rows past
+    # the declared dim must yield NULL here too, keeping both gate
+    # branches identical on any input (pinned by the ragged fuzz tests)
+    dim = len(planes[0]) if planes else 0
+    acc = f"CASE WHEN size({v}) <= {dim} THEN {acc} ELSE CAST(NULL AS INT) END"
     # ×1 INT guard (functions.vectors._guard_sql rationale): the
     # CodegenFallback marker keeps the host operator out of whole-stage
     # codegen, where the fused nbits × dim chain blows janino's 64 KB
@@ -608,7 +618,24 @@ def brute_force_neighbors_arrow(
     import pandas as pd
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # the Arrow matmul inherits the scan's parallelism — a single-file
+    # table runs the whole Q x N BLAS sweep in ONE Python worker (guide
+    # §2.5 input skew / §4: the r11 spread_ids defect, VERDICT item 3).
+    # Size-gated exactly like brute_force_neighbors: below the threshold
+    # the exchange + task scheduling cost more than the single-task
+    # sweep. Result-identical at any partitioning: each partition emits
+    # its exact local top-k on rounded scores, the global rank merges.
     qrows = base.where(query_pred).collect()
+    # size gate FIRST: the stats read is a cheap driver-side call while
+    # .rdd.getNumPartitions() pays a physical-planning pass (see
+    # quantized_neighbors_arrow) — short-circuit keeps the small-input
+    # path free
+    sc = df.sparkSession.sparkContext
+    if (
+        _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
+        and base.rdd.getNumPartitions() < sc.defaultParallelism
+    ):
+        base = base.repartition(sc.defaultParallelism, "id")
     qids = np.array([r["id"] for r in qrows])
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
