@@ -114,13 +114,21 @@ def bm25_topk(
     # (hub_checkpoint): at a small corpus the checkpoint job + barrier
     # outweigh the re-derivations (measured text_retrieval_eval paired
     # A/B 1.34 s ungated vs 1.75 s checkpointed at sf0.1).
-    tf = hub_checkpoint(
-        tok.groupBy("__doc", "token").agg(
-            F.count("*").cast("long").alias("__tf")
-        ),
-        df,
+    tf_raw = tok.groupBy("__doc", "token").agg(
+        F.count("*").cast("long").alias("__tf")
     )
-    dl = tf.groupBy("__doc").agg(F.sum("__tf").cast("long").alias("__dl"))
+    tf = hub_checkpoint(tf_raw, df)
+    # dl derives from the HUB only when the hub is actually materialized
+    # (sum of per-(doc,token) counts == count of tokens per doc, integer-
+    # exact either way). With the gate OFF, deriving dl from tf would
+    # inline the (doc,token) aggregation into dl's lineage — one extra
+    # Exchange per consumer vs the r10 shape (VERDICT r11 item 4: the
+    # gate-off after-plan read 34 Exchanges vs r10's 30 and the entry
+    # regressed 29%); the direct per-doc count keeps the r10 lineage.
+    if tf is tf_raw:
+        dl = tok.groupBy("__doc").agg(F.count("*").cast("long").alias("__dl"))
+    else:
+        dl = tf.groupBy("__doc").agg(F.sum("__tf").cast("long").alias("__dl"))
     stats = dl.agg(
         F.count("*").cast("long").alias("__N"),
         F.avg("__dl").alias("__avgdl"),
@@ -319,13 +327,17 @@ def bm25_topk_by_doc(
     # (hub_checkpoint): at a small corpus the checkpoint job + barrier
     # outweigh the re-derivations (measured text_retrieval_eval paired
     # A/B 1.34 s ungated vs 1.75 s checkpointed at sf0.1).
-    tf = hub_checkpoint(
-        tok.groupBy("__doc", "token").agg(
-            F.count("*").cast("long").alias("__tf")
-        ),
-        df,
+    tf_raw = tok.groupBy("__doc", "token").agg(
+        F.count("*").cast("long").alias("__tf")
     )
-    dl = tf.groupBy("__doc").agg(F.sum("__tf").cast("long").alias("__dl"))
+    tf = hub_checkpoint(tf_raw, df)
+    # gate-off: derive dl straight from tok (the r10 lineage — see
+    # bm25_topk above); gate-on: from the materialized hub (integer-
+    # exact either way: sum of per-(doc,token) counts == token count)
+    if tf is tf_raw:
+        dl = tok.groupBy("__doc").agg(F.count("*").cast("long").alias("__dl"))
+    else:
+        dl = tf.groupBy("__doc").agg(F.sum("__tf").cast("long").alias("__dl"))
     stats = dl.agg(
         F.count("*").cast("long").alias("__N"),
         F.avg("__dl").alias("__avgdl"),
