@@ -126,6 +126,12 @@ class StreamingEngine:
         self._chunk_cache = None
         self._raw_chunk_cache_key: tuple | None = None
         self._raw_chunk_cache = None
+        # bound-DataFrame cache (multiquery.shared_partials): chunk plans
+        # attached to a concrete batch frame. Hits when a stable fleet
+        # replays one frame (bench/tests/replay); a fresh foreachBatch
+        # frame misses by key and rebinds. Invalidated with the plan
+        # caches above.
+        self._bound_cache: dict = {}
 
     def add_metrics_consumer(self, consumer) -> None:
         """Register a pluggable metrics consumer (BulletMetrics analogue,
@@ -322,6 +328,7 @@ class StreamingEngine:
             self._chunk_cache = None
             self._raw_chunk_cache_key = None
             self._raw_chunk_cache = None
+            self._bound_cache.clear()
         if not active:
             return
         if source is not None:
@@ -413,6 +420,7 @@ class StreamingEngine:
                 self._chunk_cache = None
                 self._raw_chunk_cache_key = None
                 self._raw_chunk_cache = None
+                self._bound_cache.clear()
             if shared:
                 from bullet_storm_spark.streaming.multiquery import (
                     plan_chunks,
@@ -432,13 +440,36 @@ class StreamingEngine:
                         self._chunk_cache_key = key
                     raw_key = tuple((rq.id, id(rq)) for rq in raw_fleet)
                     if raw_key != self._raw_chunk_cache_key:
-                        self._raw_chunk_cache = plan_raw_chunks(raw_fleet)
+                        # RAW members fill and COMPLETE by design, often a
+                        # few per batch — rebuilding the plan (and its
+                        # bound frame) on every completion kept the bench
+                        # fleet in permanent plan churn (~0.8 s/batch,
+                        # r12). A fleet that only SHRANK keeps the cached
+                        # plan: completed members' rows are skipped at
+                        # collect time (room = 0) and ignored by the
+                        # active-query merge, so results are identical.
+                        # Rebuild on NEW members, or once live members
+                        # drop below half the plan (dead flag columns
+                        # still evaluate JVM-side — bounded waste).
+                        cached_ids = {
+                            (rq.id, id(rq))
+                            for cp in (self._raw_chunk_cache or [])
+                            for rq in cp.rqs
+                        }
+                        live = set(raw_key)
+                        if (
+                            self._raw_chunk_cache is None
+                            or not live <= cached_ids
+                            or len(live) * 2 < len(cached_ids)
+                        ):
+                            self._raw_chunk_cache = plan_raw_chunks(raw_fleet)
                         self._raw_chunk_cache_key = raw_key
                     for qid, rows in shared_partials(
                         cached,
                         shared,
                         pool_width=self.job_pool_width,
                         chunks=self._raw_chunk_cache + self._chunk_cache,
+                        bound_cache=self._bound_cache,
                     ).items():
                         partials[qid] = rows
                     self.shared_scan_queries += len(shared)
@@ -451,6 +482,7 @@ class StreamingEngine:
                     self._chunk_cache = None
                     self._raw_chunk_cache_key = None
                     self._raw_chunk_cache = None
+                    self._bound_cache.clear()
                     for rq in shared:
                         out = safe_partial(rq)
                         if out is not None:
