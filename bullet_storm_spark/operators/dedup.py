@@ -1123,26 +1123,29 @@ def connected_components(
     Algorithm: min-label propagation with pointer jumping (path halving),
     the GraphFrames/Pregel shape expressed as plain DataFrame joins. Each
     round every node takes the minimum of its own label and its neighbors'
-    labels (one hash equi-join + partial/final min aggregation on the pair
-    graph), then follows its label to that node's label (one self
-    equi-join on the label table). Propagation alone needs O(diameter)
-    rounds; the halving step cuts chains geometrically, so convergence is
-    O(log n) rounds in the worst case and 1-2 rounds for the clique-like
-    components LSH banding produces.
+    labels (self-loop edges make this ONE hash equi-join + partial/final
+    min aggregation on the pair graph), then follows its label to that
+    node's label (one self equi-join on the label table). Propagation
+    alone needs O(diameter) rounds; the halving step cuts chains
+    geometrically, so convergence is O(log n) rounds in the worst case and
+    1-2 rounds for the clique-like components LSH banding produces.
 
     Scale posture: every round shuffles only the pair graph and the label
     table — both O(candidate pairs), orders of magnitude smaller than the
     corpus at 100 TB (the corpus itself is never joined). Lineage is cut
-    each round with an eager localCheckpoint so the plan does not grow with
-    iteration count; convergence is detected with a count on the
-    checkpointed table (no extra scan of anything large). The label values
+    each round with a lazy localCheckpoint, materialized by the same
+    convergence-count job, so the plan does not grow with iteration count
+    and each round costs exactly one action. The label values
     are component-min ids, so the result is deterministic regardless of
     execution order.
     """
-    # both orientations in ONE pass over the pair generator: the union
-    # form re-ran the (expensive — minhash/linkage) upstream lineage once
-    # per direction before the checkpoint. explode of the two oriented
-    # structs yields the identical edge multiset from a single scan
+    # both orientations AND self-loops in ONE pass over the pair generator:
+    # the union form re-ran the (expensive — minhash/linkage) upstream
+    # lineage once per direction before the checkpoint. explode of the four
+    # oriented/self structs yields the identical edge multiset from a single
+    # scan, and the self-loops let the per-round propagate be ONE join+agg
+    # (min over neighbors-including-self) instead of join+agg plus a second
+    # left join back onto the label table
     edges = (
         pairs.select(
             F.explode(
@@ -1152,6 +1155,12 @@ def connected_components(
                     ),
                     F.struct(
                         F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(dst_col).alias("dst")
                     ),
                 )
             ).alias("__e")
@@ -1167,20 +1176,17 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iterations):
-        nbr_min = (
+        prev = labels.select(
+            F.col("node").alias("__pnode"), F.col("cluster").alias("__prev")
+        )
+        # propagate: min label over neighbors INCLUDING self (the self-loop
+        # edges) — one equi-join + one aggregation; every node appears as a
+        # src, so no left join back onto the label table is needed
+        tentative = (
             edges.join(labels, F.col("dst") == F.col("node"))
             .groupBy("src")
-            .agg(F.min("cluster").alias("__nbr"))
-        )
-        tentative = (
-            labels.join(nbr_min, F.col("node") == F.col("src"), "left")
-            .select(
-                "node",
-                F.col("cluster").alias("__prev"),
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("__nbr"), F.col("cluster"))
-                ).alias("cluster"),
-            )
+            .agg(F.min("cluster").alias("cluster"))
+            .select(F.col("src").alias("node"), "cluster")
         )
         # pointer jumping: follow the label to ITS label (path halving) —
         # labels always name nodes of the same component, so this is a hash
@@ -1192,10 +1198,13 @@ def connected_components(
             tentative.join(hop, F.col("cluster") == F.col("__hnode"), "left")
             .select(
                 "node",
-                "__prev",
                 F.coalesce(F.col("__hcluster"), F.col("cluster")).alias("cluster"),
             )
-            .localCheckpoint()
+            .join(prev, F.col("node") == F.col("__pnode"))
+            .select("node", "cluster", "__prev")
+            # lazy checkpoint: materialized by the convergence count below,
+            # so the lineage cut costs no extra job per round
+            .localCheckpoint(eager=False)
         )
         changed = stepped.where(F.col("cluster") < F.col("__prev")).count()
         labels = stepped.select("node", "cluster")

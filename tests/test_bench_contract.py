@@ -5,10 +5,12 @@ rather than in the driver."""
 
 import json
 import os
+import pytest
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_bench_emits_contract_json():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"

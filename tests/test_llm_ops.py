@@ -457,6 +457,7 @@ def test_corpus_datacard(docs, duck_docs, spark):
     assert [tuple(x) for x in out] == drows
 
 
+@pytest.mark.slow
 def test_candidate_pair_budget_guard_family_wide(spark, docs):
     # r11: the simhash budget guard generalized to EVERY banded pair
     # generator (operators.pair_budget). For each family: budget = 0

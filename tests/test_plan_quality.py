@@ -112,6 +112,7 @@ _SCALAR_BROADCAST_CROSS = {
 }
 
 
+@pytest.mark.slow
 def test_no_nested_loop_joins_in_dedup_and_ann_plans(plans):
     """Every dedup_*/ann_* candidate-generation plan must be hash-join
     blocked — a BroadcastNestedLoopJoin or CartesianProduct means the

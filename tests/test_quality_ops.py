@@ -377,6 +377,7 @@ _TEXT = st.lists(_CHUNKS, min_size=0, max_size=30).map(" ".join)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=st.lists(_TEXT, min_size=1, max_size=8))
+@pytest.mark.slow
 def test_quality_ops_random_text_parity(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

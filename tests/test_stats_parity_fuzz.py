@@ -270,6 +270,7 @@ def test_r8_second_half_parity_fuzz(spark, seed):
 
 
 @pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.slow
 def test_r9_parity_fuzz(spark, seed):
     """Seeded boundary fuzz for the r9 additions: vocabulary richness
     (tie-heavy tiny vocabularies), waterfill (budgets at the all-capped /
