@@ -237,9 +237,16 @@ def minhash_lsh_pairs_unsorted(
     # which AQE would otherwise coalesce onto few tasks (measured 2.4x on
     # the sf0.1 3-gram entry)
     par = df.sparkSession.sparkContext.defaultParallelism
-    banded = wide.select(
-        "__id", F.posexplode(band_hashes).alias("__band", "__bh")
-    ).repartition(par, "__band", "__bh")
+    # each banded row also carries the full band-hash array (4 short
+    # strings, linear in the corpus): at join time it lets "count each
+    # candidate pair once" be an inline first-matching-band test instead
+    # of a dropDuplicates that shuffles and hash-dedupes the QUADRATIC
+    # candidate stream
+    banded = (
+        wide.select("__id", band_hashes.alias("__bhs"))
+        .select("__id", "__bhs", F.posexplode("__bhs").alias("__band", "__bh"))
+        .repartition(par, "__band", "__bh")
+    )
     if candidate_pair_budget is not None:
         from bullet_storm_spark.operators.pair_budget import (
             check_candidate_pair_budget,
@@ -258,6 +265,17 @@ def minhash_lsh_pairs_unsorted(
     right = banded.alias("r")
     # candidate generation shuffles on (band, band_hash) only — ids, no
     # payloads; the shingle arrays join back for surviving candidates only
+    # first-matching-band filter: emit each unordered pair exactly once
+    # (in the lowest band where the two signatures collide) — replaces the
+    # dropDuplicates that shuffled and hash-deduped the quadratic
+    # candidate stream with four string equalities per candidate row
+    first_band = F.when(
+        F.col("l.__bhs")[0] == F.col("r.__bhs")[0], F.lit(0)
+    )
+    for _b in range(1, bands):
+        first_band = first_band.when(
+            F.col("l.__bhs")[_b] == F.col("r.__bhs")[_b], F.lit(_b)
+        )
     cand = (
         left.join(
             right,
@@ -265,14 +283,12 @@ def minhash_lsh_pairs_unsorted(
             & (F.col("l.__bh") == F.col("r.__bh"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
+        .where(F.col("l.__band") == first_band)
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        # repartition BEFORE the dedup: placed after, the optimizer elides
-        # it as redundant with the dedup's own exchange and AQE coalesces
-        # the surviving ENSURE_REQUIREMENTS read, serializing the per-pair
-        # jaccard verify stage; placed here the dedup reads the
-        # REPARTITION_BY_NUM exchange, which AQE must respect
+        # the explicit hash repartition still pins the per-pair jaccard
+        # verify stage at full parallelism (AQE would coalesce the
+        # byte-cheap candidate exchange and serialize the verify)
         .repartition(par, "id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     sh_sets = toks.select(
         F.col("__id").alias("__sid"),
@@ -597,6 +613,27 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12
 
 
+def _first_matching_band(l_sim, r_sim):
+    """0-based index of the FIRST band where the two simhashes collide.
+
+    Filtering the banded self-join on ``band == _first_matching_band(...)``
+    emits each unordered candidate pair exactly once (in its lowest
+    colliding band) with pure bit arithmetic, replacing the DISTINCT that
+    had to shuffle and hash-dedupe the full quadratic candidate stream.
+    Value-identical: the join guarantees at least one band matches, so the
+    CASE always hits, and keeping one designated collision per pair yields
+    the same pair set as collapsing them afterwards."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+
+    def band_of(col, b):
+        return F.shiftright(col, SIMHASH_BAND_BITS * b).bitwiseAND(F.lit(mask))
+
+    first = F.when(band_of(l_sim, 0) == band_of(r_sim, 0), F.lit(0))
+    for b in range(1, SIMHASH_BANDS):
+        first = first.when(band_of(l_sim, b) == band_of(r_sim, b), F.lit(b))
+    return first
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -617,8 +654,9 @@ def simhash_pairs(
     Physical plan: each id explodes to (band, band_hash) rows and
     candidates come from ONE hash equi-join on (band, band_hash) — a
     shuffle/broadcast HASH join keyed on the band value, never a
-    nested-loop. Pairs that collide in several bands collapse via a
-    distinct on the id pair; exact bit_count verifies the radius after
+    nested-loop. Pairs that collide in several bands are emitted once (in
+    the lowest colliding band — an inline bit test, no distinct over the
+    candidate stream); exact bit_count verifies the radius after
     blocking. Cost is O(sum of squared band-bucket sizes), not O(n^2):
     scale-safe (tests/test_plan_quality.py pins the no-BNLJ property).
 
@@ -680,6 +718,11 @@ def simhash_pairs(
         (F.col("l.band") == F.col("r.band"))
         & (F.col("l.bh") == F.col("r.bh"))
         & (F.col("l.id") < F.col("r.id")),
+    ).where(
+        # emit each pair once, in its lowest colliding band — inline bit
+        # test instead of a DISTINCT over the whole candidate stream
+        F.col("l.band")
+        == _first_matching_band(F.col("l.simhash"), F.col("r.simhash"))
     )
     ham = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
@@ -691,7 +734,6 @@ def simhash_pairs(
             ham.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
         .orderBy("id_a", "id_b")
     )
 
@@ -1837,14 +1879,20 @@ def simhash_hamming_histogram(
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        # first-matching-band filter: both full simhashes are present at
+        # join time, so "count each unordered pair once" is an inline bit
+        # test (keep the pair only in the LOWEST band where the two hashes
+        # collide) instead of a DISTINCT that shuffles and hash-dedupes the
+        # whole quadratic candidate stream
+        .where(
+            F.col("l.band")
+            == _first_matching_band(F.col("l.simhash"), F.col("r.simhash"))
+        )
         .select(
-            F.col("l.id").alias("id1"),
-            F.col("r.id").alias("id2"),
             F.bit_count(
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).cast("long").alias("hamming"),
         )
-        .distinct()
     )
     w = Window.partitionBy()
     return (
