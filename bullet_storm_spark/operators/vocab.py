@@ -209,12 +209,13 @@ def tfidf_terms(
         F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
     # the (doc, token, tf) frame feeds TWO consumers (doc-frequency and
-    # the scoring join base); materialize once so the corpus
-    # tokenize+explode runs once, not twice (guide §3.3)
-    per_doc = (
-        tok.groupBy("__doc", "token")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .localCheckpoint()
+    # the scoring join base); size-gated hub: above the threshold one
+    # materialization replaces two corpus tokenize+explode runs, below it
+    # the checkpoint's fixed job costs more than the duplicate lineage
+    # (driver-measured -16% at sf0.1 when unconditional — guide §3.3)
+    per_doc = hub_checkpoint(
+        tok.groupBy("__doc", "token").agg(F.count("*").cast("long").alias("tf")),
+        df,
     )
     dfreq = per_doc.groupBy("token").agg(F.count("*").cast("long").alias("__df"))
     n_docs = df.agg(F.count("*").alias("__n"))
