@@ -4914,70 +4914,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # stable core/BQL/join entries rotate to the tail, where
 # scripts/oracle_check.py re-verifies them in-repo every round.
 _DRIVER_PRIORITY = [
-    # --- r11 window: 1 new entry + the 49 STALEST driver-checked
-    # entries (VERDICT r10 item 8: keep the rotation honest now every
-    # entry has signal). Staleness computed from CORRECTNESS_r01-r10:
-    # the r1-r3 core was re-sampled inside the r10 window, so the true
-    # tail is the r4 additions (29 entries, last driver-checked r4)
-    # plus the first 20 of the r5 batch. All pre-verified MATCH (or
-    # declared rows-only) by scripts/oracle_check.py full mode at
-    # sf0.01 before this rotation was staged.
-    "multimodal_mp3_probe",  # NEW r11 (rows-only by declared contract)
-    "multimodal_adts_probe",  # NEW r11 (rows-only by declared contract)
-    "multimodal_png_decode",  # NEW r11 (hash-checkable formula oracle)
-    "multimodal_mp4_probe",  # NEW r11 (rows-only by declared contract)
-    "multimodal_gif_decode",  # NEW r11 (hash-checkable formula oracle)
-    # 29 r4-era entries:
-    "ann_ivfpq_residual_topk",
-    "ann_lsh_bucketed_topk",
-    "ann_pq_topk",
-    "ann_recall_report",
-    "dedup_span_chunks",
-    "dedup_substring_spans",
-    "embed_outlier_report",
-    "group_rollup_type_user",
-    "multimodal_decode_meta",
-    "multimodal_payload_meta",
-    "pack_contiguous",
-    "pack_greedy_bins",  # rows-only by declared contract
-    "pack_shard_stats",
-    "sample_epoch_shuffle",
-    "sample_mix_accounting",
-    "sample_split_accounting",
-    "sample_stratified_split",
-    "sample_weighted_mix",
-    "text_bpe_merges",  # rows-only by declared contract
-    "text_chunk_documents",
-    "text_gopher_rules",
-    "text_lm_score",
-    "text_script_profile",
-    "text_scrub_pii",
-    "text_source_divergence",
-    "text_tfidf_terms",
-    "win_type_user_rank",
-    "win_user_inter_event_gap",
-    "win_user_running_revenue",
-    # first 20 r5-era entries (alphabetical; the remaining r5 tail is
-    # next round's rotation):
-    "ann_brute_force_arrow",  # rows-only by declared contract
-    "ann_pca_rerank_topk",
-    "ann_rrf_fusion",
-    "dedup_bloom_index",
-    "dedup_bloom_probe",
+    # --- r12 window: every declared entry whose operator was touched by
+    # this optimization round (fixed-dim length-safety, quantize/Arrow
+    # spread, bm25 lineage restore, connected-components loop, first-
+    # matching-band pair dedup, tfidf hub gate) plus the 19 STALEST
+    # driver-checked entries (last signal r5, from CORRECTNESS_r01-r11).
+    # All pre-verified by scripts/oracle_check.py at sf0.01 before this
+    # rotation was staged.
+    # 31 optimizer-touched entries:
+    "ann_quantized_arrow",
+    "ann_quantized_topk",
+    "embed_quantize",
+    "embed_quantize_report",
+    "dedup_embedding_pairs_quantized",
+    "ann_brute_force_topk",
+    "ann_brute_force_arrow",
+    "text_bm25_topk",
+    "ann_hybrid_bm25_rrf",
+    "text_retrieval_eval",
+    "link_resolve_entities",
+    "dedup_clusters",
+    "dedup_cluster_histogram",
     "dedup_canonical_pagerank",
-    "dedup_editdistance_pairs",
+    "dedup_simhash_histogram",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_3gram",
+    "dedup_lsh_recall",
+    "text_tfidf_terms",
+    "graph_pagerank_dedup",
+    "graph_triangle_stats",
+    "dedup_embedding_pairs",
+    "dedup_semantic",
+    "embed_pca_project",
+    "ann_pca_rerank_topk",
+    "ann_ivf_topk",
+    "ann_hard_negatives",
+    "ann_lsh_bucketed_topk",
     "dedup_semantic_report",
-    "dedup_substring_clean",
-    "dedup_substring_report",
-    "dedup_winnow_pairs",
-    "distinct_daily_hll",  # rows-only by declared sketch contract
-    "embed_kmeans_report",  # rows-only by declared contract
-    "embed_pca_variance",
-    "embed_pq_encode",
-    "embed_pq_report",
-    # (embed_quantize, embed_quantize_report, events_funnel +
-    # events_latest_by_key displaced by the 2nd-5th r11 additions;
-    # they head next round's drift re-checks)
+    # 19 stalest entries (r5-era, displaced r5 tail first):
+    "events_funnel",
+    "events_latest_by_key",
+    "events_pivot_matrix",
+    "events_resample_gaps",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_volume_cusum",
+    "freq_cms_audit",
+    "freq_cms_sketch",
+    "group_salted_skew",
+    "join_bloom_prefiltered",
+    "join_salted_skew",
+    "link_block_audit",
+    "link_customer_pairs",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "sample_priority_weighted",
+    "sim_tfidf_pairs",
+    "text_bpe_segment",
     # NOTE: the window is exactly 50 here.
 ]
 

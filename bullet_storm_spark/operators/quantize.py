@@ -332,7 +332,7 @@ def quantized_neighbors_arrow(
     # Spark expression recomputes the rounded qcos and global rank.
     from bullet_storm_spark.operators.similarity import (
         _plan_size_bytes,
-        _SPREAD_MIN_BYTES,
+        _ARROW_SPREAD_MIN_BYTES,
     )
 
     # size gate FIRST (a driver-side stats read): .rdd.getNumPartitions()
@@ -342,7 +342,7 @@ def quantized_neighbors_arrow(
     # the RAW source (quantize is narrow, so the count is identical).
     sc = spark.sparkContext
     if (
-        _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
+        _plan_size_bytes(df) >= _ARROW_SPREAD_MIN_BYTES
         and df.rdd.getNumPartitions() < sc.defaultParallelism
     ):
         base = base.repartition(sc.defaultParallelism, "id")

@@ -173,6 +173,22 @@ def _planes_lit(planes: list[list[float]]) -> Column:
 _SPREAD_MIN_BYTES = int(
     __import__("os").environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 8 << 20)
 )
+# the Arrow/BLAS matmul paths get their OWN, much higher threshold: numpy
+# computes ~100x more dot products per second than the codegen'd SQL
+# chain, so the spreading exchange (which shuffles the whole vector
+# table) overtakes the parallelism it buys far later. Measured at the
+# sf10 weak-scaling point (53 MB embeddings, 200k x 64): the SQL
+# brute-force spread WINS 3.5x (2.3-3.7 s vs 7.5-10.1 s) while the Arrow
+# matmul spread LOSES ~15% (9.2-11.5 s unspread vs 9.3-15.1 s spread) —
+# WEAK_SCALING.json gate_crossovers_r12. At real cluster scale parquet
+# row-group splits bound any single scan task near 128 MB (~0.3 s of
+# BLAS), so the exchange stays a net loss until per-row work grows
+# (bigger query fleets) — env-tunable for such deployments.
+_ARROW_SPREAD_MIN_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_ARROW_SPREAD_MIN_BYTES", 1 << 30
+    )
+)
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -632,7 +648,7 @@ def brute_force_neighbors_arrow(
     # path free
     sc = df.sparkSession.sparkContext
     if (
-        _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
+        _plan_size_bytes(df) >= _ARROW_SPREAD_MIN_BYTES
         and base.rdd.getNumPartitions() < sc.defaultParallelism
     ):
         base = base.repartition(sc.defaultParallelism, "id")

@@ -307,3 +307,23 @@ def test_bm25_and_series_hub_branches_identical(spark, monkeypatch):
         rows[label] = sorted(map(repr, (tuple(r) for r in out.collect())))
     assert rows["off"] == rows["on"]
     assert len(rows["off"]) > 0
+
+
+def test_arrow_spread_threshold_is_separate_and_higher(monkeypatch):
+    # r12: the Arrow/BLAS matmul paths spread far later than the SQL
+    # pair-compute paths (numpy does ~100x the work per second, so the
+    # spreading exchange overtakes its parallelism gain only on much
+    # larger inputs — measured at the sf10 weak-scaling point). Pin the
+    # split: a separate env knob, defaulting well above the SQL spread.
+    import importlib
+
+    import bullet_storm_spark.operators.similarity as sim
+
+    assert sim._ARROW_SPREAD_MIN_BYTES > sim._SPREAD_MIN_BYTES
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_SPREAD_MIN_BYTES", "123")
+    importlib.reload(sim)
+    try:
+        assert sim._ARROW_SPREAD_MIN_BYTES == 123
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_ARROW_SPREAD_MIN_BYTES")
+        importlib.reload(sim)
