@@ -84,7 +84,12 @@ def pagerank(
         # (possibly expensive) edge-producing pipeline — measured 64 s ->
         # 7 s on the LSH pair graph. Same discipline as
         # dedup.connected_components; swap for checkpoint() on a cluster.
-        .localCheckpoint()
+        # LAZY: the plan is cut immediately and the RDD persists on first
+        # use — the n = deg.count() action below materializes edges, deg
+        # and the count in ONE driver job instead of three sequential
+        # ones (r12; measured 1.45-2.21 -> 1.25-1.64 s on the LSH pair
+        # graph with identical ranks)
+        .localCheckpoint(eager=False)
     )
     # degree is the only per-node scan needed: an undirected edge
     # contributes both endpoints, so deg's key set IS the node set —
@@ -93,7 +98,7 @@ def pagerank(
     # per-iteration join the old (ranks ⋈ und ⋈ deg) chain paid
     deg = und.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # the node count is a single scalar consumed only inside integer-div
     # literals; folding it here (one count on the checkpointed deg table)
     # replaces a broadcast-exchange crossJoin PER ITERATION with literal
@@ -126,7 +131,9 @@ def pagerank(
             )
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            # lazy: cuts the plan now, persists within the final action's
+            # job — no dedicated checkpoint job per cut
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         "degree",
